@@ -1,0 +1,80 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a full materialization (noop write — no
+driver-side collection cost). Session startup is excluded from
+per-query times but included in nothing (value = sum of query times).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+HEADLINE = [
+    "q01_status_filter",
+    "q02_regex_filter",
+    "q06_broadcast_dim_join",
+    "q07_semi_join",
+    "q09_pivot_sum",
+    "q10_summary_report",
+    "q14_topk_per_group",
+    "q15_dedup_first",
+    "q21_amount_reconcile",
+    "q22_set_agg_compare",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from capex_data_pipeline_spark.registry import QUERIES
+    from capex_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="capex-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+    # derive an sf label from the directory name (e.g. sf0.1 -> 0.1)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(base[2:]) if base.startswith("sf") else base
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Window/sort/limit/dedup operators W1-W4 (SURVEY.md §2.6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from capex_data_pipeline_spark.operators.projections import priority_col
+
+TOP_K_PER_REQUEST = 5
+
+
+def w1_frame_order() -> "F.Column":
+    """The frame order the reference's W1 actually sees.
+
+    The split-filter-union stages F8/F9/F11/F12/F13 each move their
+    function's rows to the front (pd.concat([kept_subset, rest]),
+    process_capex.py:540,585,633,663,693), so by the time the stable
+    priority sort runs, input order is the composition of those
+    permutations — most recent split outermost. Encoded as one integer;
+    ties inside resolve by the ingest ``_row_id`` (original file order).
+    """
+    rf = F.col("RequestFunction")
+    status = F.col("CurrentStatus")
+
+    def moved_first(cond) -> "F.Column":
+        return F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
+
+    b8 = moved_first(rf == "IT")
+    b9 = moved_first(status.isin("Approval in Progress", "Sent for Approval"))
+    b11 = moved_first(rf == "Admin")
+    b12 = moved_first(rf == "Ops")
+    b13 = moved_first(rf == "Ops through IT")
+    return b13 * 16 + b12 * 8 + b11 * 4 + b9 * 2 + b8
+
+
+def select_representative_rows(df: DataFrame, exact_ties: bool = True) -> DataFrame:
+    """W1 — keep at most 5 rows per RequestNo, highest priority first
+    (process_capex.py:1006-1045). The reference's "keep all if ≤3" branch
+    is subsumed: rank ≤ 5 keeps those groups whole anyway. The
+    ``priority`` helper column leaks into the reference's final output
+    (process_capex.py:1020, quirk register) — kept for parity.
+
+    Tie semantics: the reference sorts each group with
+    ``sort_values('priority', ascending=False)`` whose default quicksort
+    is *unstable* — the rows kept among equal priorities follow numpy's
+    introsort permutation, not input order. That permutation is not
+    expressible as a Catalyst ordering, so:
+
+    - ``exact_ties=True`` (default): grouped ``applyInPandas`` replays
+      the identical pandas sort on each (small) group — Arrow-batched,
+      shuffled once on RequestNo; bit-for-bit reference parity.
+    - ``exact_ties=False``: pure window rank with deterministic
+      (frame-order) tiebreak — same keys whenever priorities are
+      distinct; plans as WindowGroupLimit (top-k pushed into the
+      shuffle), the faster choice at scale when exact tie replication
+      doesn't matter.
+    """
+    df = df.withColumn("priority", priority_col())
+    if not exact_ties:
+        w = Window.partitionBy("RequestNo").orderBy(
+            F.desc("priority"), F.asc(w1_frame_order()), F.asc("_row_id")
+        )
+        return (
+            df.withColumn("_rank", F.row_number().over(w))
+            .filter(F.col("_rank") <= TOP_K_PER_REQUEST)
+            .drop("_rank")
+        )
+
+    ordered = df.withColumn("_w1_pos", w1_frame_order().cast("long") * F.lit(1 << 40) + F.col("_row_id"))
+
+    def _select(pdf):
+        # reconstruct the frame order the reference's groupby saw, then
+        # replay its exact (unstable) sort + head (process_capex.py:1026-1036)
+        pdf = pdf.sort_values("_w1_pos", kind="stable")
+        pdf = pdf.sort_values("priority", ascending=False)
+        if len(pdf) > 3:
+            pdf = pdf.head(min(len(pdf), TOP_K_PER_REQUEST))
+        return pdf
+
+    out_schema = ordered.schema
+    return (
+        ordered.groupBy("RequestNo")
+        .applyInPandas(_select, schema=out_schema)
+        .drop("_w1_pos")
+    )
+
+
+def dedup_keep_first(df: DataFrame, subset: list[str], order_col: str = "_row_id") -> DataFrame:
+    """W3 — ``drop_duplicates(subset, keep='first')`` with a deterministic
+    notion of "first" (process_capex.py:53). A plain ``dropDuplicates``
+    keeps an arbitrary row; ordering by the ingest row id reproduces
+    pandas' input-order semantics."""
+    w = Window.partitionBy(*subset).orderBy(F.asc(order_col))
+    return (
+        df.withColumn("_dedup_rn", F.row_number().over(w))
+        .filter(F.col("_dedup_rn") == 1)
+        .drop("_dedup_rn")
+    )

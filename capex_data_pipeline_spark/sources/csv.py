@@ -1,0 +1,94 @@
+"""CSV source with encoding fallback (operator S1 in SURVEY.md §2.1).
+
+The reference tries ``utf-8 → utf-8-sig → cp1252 → latin1`` and finally
+decodes with replacement (app.py:11-60); its shipped data is actually
+cp1252. Rather than re-reading a 100 TB input once per candidate
+encoding, we *sniff* a small prefix of the file on the driver to pick the
+first encoding that decodes cleanly, then do exactly one distributed read
+with that charset. latin1 (and the terminal replace step) never fails, so
+the fallback chain always terminates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ENCODING_CHAIN = ("utf-8", "utf-8-sig", "cp1252", "latin1")
+_SNIFF_BYTES = 1 << 20  # 1 MiB prefix is plenty to catch non-UTF-8 bytes
+
+# Spark's CSV reader only accepts a small charset whitelist (no cp1252).
+# iso-8859-1 maps every byte 1:1 onto U+0000..U+00FF, so reading with it
+# preserves the raw bytes; cp1252 then differs only in 0x80-0x9F, which a
+# single JVM-side translate() fixes up — fully distributed, no transcode
+# pass over the input.
+_CP1252_FIXUP = [
+    (0x80, "€"), (0x82, "‚"), (0x83, "ƒ"), (0x84, "„"),
+    (0x85, "…"), (0x86, "†"), (0x87, "‡"), (0x88, "ˆ"),
+    (0x89, "‰"), (0x8A, "Š"), (0x8B, "‹"), (0x8C, "Œ"),
+    (0x8E, "Ž"), (0x91, "‘"), (0x92, "’"), (0x93, "“"),
+    (0x94, "”"), (0x95, "•"), (0x96, "–"), (0x97, "—"),
+    (0x98, "˜"), (0x99, "™"), (0x9A, "š"), (0x9B, "›"),
+    (0x9C, "œ"), (0x9E, "ž"), (0x9F, "Ÿ"),
+]
+_CP1252_FROM = "".join(chr(b) for b, _ in _CP1252_FIXUP)
+_CP1252_TO = "".join(c for _, c in _CP1252_FIXUP)
+
+
+def sniff_encoding(path: str, sniff_bytes: int = _SNIFF_BYTES) -> str:
+    """Pick the first encoding in the chain that decodes a file prefix."""
+    try:
+        with open(path, "rb") as fh:
+            prefix = fh.read(sniff_bytes)
+    except OSError:
+        return ENCODING_CHAIN[0]
+    for enc in ENCODING_CHAIN:
+        try:
+            prefix.decode(enc)
+            return enc
+        except (UnicodeDecodeError, ValueError):
+            continue
+    return "latin1"  # decodes any byte sequence (≈ decode-with-replace)
+
+
+def read_csv_with_fallback(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    encoding: str | None = None,
+    **options,
+) -> DataFrame:
+    """One distributed CSV read with a sniffed (or forced) charset.
+
+    An explicit schema skips Spark's inference scan; pass one for any
+    production read.
+    """
+    enc = encoding or sniff_encoding(path)
+    cp1252_fixup = False
+    if enc in ("cp1252", "latin1"):
+        # byte-preserving read; cp1252 additionally remaps 0x80-0x9F below
+        cp1252_fixup = enc == "cp1252"
+        enc = "iso-8859-1"
+    reader = (
+        spark.read.option("header", "true")
+        .option("encoding", enc)
+        .option("multiLine", "false")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(path)
+    if cp1252_fixup:
+        df = df.select(
+            *[
+                F.translate(F.col(f.name), _CP1252_FROM, _CP1252_TO).alias(f.name)
+                if isinstance(f.dataType, T.StringType)
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
+    return df

@@ -1,0 +1,126 @@
+"""Negation-aware matcher (U2) — unit + property tests.
+
+Validated three ways: against the in-repo Python mirror of the token-
+window definition, against the reference implementation itself when
+available, and via hypothesis-generated remark strings.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from capex_data_pipeline_spark.functions.text import (
+    DARK_STORE,
+    IT_NON_RELEVANT,
+    PERSONAL_DEVICE_WORDS,
+    PERSONAL_NONBUSINESS,
+    py_negation_aware_any,
+    remark_flag_cols,
+)
+
+WORDS = [
+    "laptop", "no", "not", "the", "new", "big", "old", "required", "for",
+    "ops", "warehouse", "test", "demo", "sample", "trial", "industrial",
+    "latest", "dark", "store", "darkstore", "counter", "ds", "feeds",
+    "skip", "avoid", "except", "personal", "machine", "a", "b",
+]
+
+
+def _spark_flags(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "remark string")
+    flags = remark_flag_cols(F.col("remark"))
+    rows = df.select(
+        "remark",
+        flags["is_test_demo"].alias("td"),
+        flags["is_personal_nonbusiness"].alias("pnb"),
+        flags["mentions_dark_store"].alias("dark"),
+        flags["mentions_counter"].alias("ctr"),
+    ).collect()
+    return {r.remark: (r.td, r.pnb, r.dark, r.ctr) for r in rows}
+
+
+def _expected(text):
+    return (
+        py_negation_aware_any(text, IT_NON_RELEVANT),
+        py_negation_aware_any(text, PERSONAL_NONBUSINESS),
+        py_negation_aware_any(text, DARK_STORE),
+        py_negation_aware_any(text, ("counter",)),
+    )
+
+
+def test_edge_cases(spark):
+    texts = [
+        "no laptop required",
+        "not a test",
+        "this is a test",
+        "industrial equipment",  # 'trial' must not match inside 'industrial'
+        "latest model",  # 'test' must not word-match inside 'latest'
+        "dark store",
+        "no dark store",
+        "dark-store",
+        "darkstores build",
+        "skip the demo",
+        "a b c no d e f test",  # negation 4+ tokens away: flagged
+        "no x y test",  # negation exactly 3 tokens back: suppressed
+        "counter top",
+        "",
+    ]
+    got = _spark_flags(spark, texts)
+    for t in texts:
+        assert got[t] == _expected(t), t
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.sampled_from(WORDS), min_size=0, max_size=12))
+def test_property_token_window(spark, tokens):
+    text = " ".join(tokens)
+    got = _spark_flags(spark, [text]).get(text)
+    if got is None:  # createDataFrame round-trip loses nothing for plain words
+        pytest.skip("text not round-tripped")
+    assert got == _expected(text)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=8),
+    st.sampled_from([",", " - ", "; ", "/", "  "]),
+)
+def test_property_separators(spark, tokens, sep):
+    text = sep.join(tokens)
+    got = _spark_flags(spark, [text]).get(text)
+    if got is None:
+        pytest.skip("text not round-tripped")
+    assert got == _expected(text)
+
+
+def test_against_reference(spark, reference_mod):
+    """Differential: our Spark flags vs the reference's remark_flags."""
+    texts = [
+        "no laptop required", "need laptop", "pilot run", "no pilot run",
+        "dark store setup", "avoid dark store", "counter for billing",
+        "DS hub", "feeds hub", "non-business use", "not personal",
+        "a b c no d e test", "without any demo units", "cancelled sample",
+        "industrial", "latest", "no, not a test", "drop-test rig",
+    ]
+    got = _spark_flags(spark, texts)
+    dev_df = spark.createDataFrame([(t,) for t in texts], "remark string")
+    from capex_data_pipeline_spark.functions.text import negation_aware_any
+
+    dev_rows = dev_df.select(
+        "remark", negation_aware_any(F.col("remark"), PERSONAL_DEVICE_WORDS).alias("dev")
+    ).collect()
+    dev_got = {r.remark: r.dev for r in dev_rows}
+    for t in texts:
+        ref = reference_mod.remark_flags(t)
+        assert got[t] == (
+            ref["is_test_demo"],
+            ref["is_personal_nonbusiness"],
+            ref["mentions_dark_store"],
+            ref["mentions_counter"],
+        ), t
+        assert dev_got[t] == reference_mod._any_phrase_with_negation_awareness(
+            t, reference_mod._PERSONAL_DEVICE_WORDS
+        ), t
