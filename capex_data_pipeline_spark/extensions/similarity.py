@@ -1,0 +1,152 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — broadcast the (small) query
+  set against the corpus; one pass, dot products in JVM higher-order
+  functions, top-k per query via WindowGroupLimit. The right baseline
+  and the correctness oracle for any ANN variant.
+- ``srp_lsh_topk``: approximate top-k via sign-random-projection LSH
+  (Charikar 2002): deterministic md5-derived hyperplanes, Hamming-
+  bucketed candidates, exact re-rank inside buckets. The scale path —
+  the corpus shuffles once on compact bucket keys; probing multiple
+  bands trades recall for cost.
+
+At 100 TB / billions of vectors the brute-force path is a full scan per
+query batch (fine for offline eval); the LSH path is the online one.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for every query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank); self-matches are
+    excluded; ties broken by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane: component j is
+    derived from md5(seed|j) mapped to [-0.5, 0.5). Engine-independent
+    and stable across runs (no RNG state)."""
+    comps = []
+    for j in range(dim):
+        h = hashlib.md5(f"{seed}|{j}".encode()).hexdigest()[:15]
+        comps.append(int(h, 16) / float(1 << 60) - 0.5)
+    n = math.sqrt(sum(x * x for x in comps)) or 1.0
+    return [x / n for x in comps]
+
+
+def srp_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Bit b = sign(v · plane_b): an integer bucket id."""
+    sig = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec_col, arr) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + bit
+    return sig
+
+
+def srp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing an exact
+    LSH bucket with the query in any of ``n_tables`` independent tables,
+    re-ranked by exact cosine.
+
+    Recall rises with tables/probes; the shuffle key is (table, bucket)
+    — a few bytes per vector regardless of dimensionality.
+    """
+    tables = [
+        [_hyperplane(t * 1000 + b, dim) for b in range(n_bits)] for t in range(n_tables)
+    ]
+
+    def bucketed(df: DataFrame, idname: str) -> DataFrame:
+        out = df.select(
+            F.col(id_col).alias(idname), F.col(vec_col).alias(f"{idname}_v")
+        )
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    srp_signature(F.col(f"{idname}_v"), tables[t]).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return out.select(
+            idname, f"{idname}_v", F.explode(buckets).alias("bk")
+        ).select(
+            idname,
+            f"{idname}_v",
+            F.col("bk.tbl").alias("tbl"),
+            F.col("bk.bucket").alias("bucket"),
+        )
+
+    cb = bucketed(corpus, "neighbor_id")
+    qb = bucketed(queries, "query_id")
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("query_id_v"), F.col("neighbor_id_v")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,126 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+Everything is a native column expression (regex counts, higher-order
+functions) — one projection over the corpus, no shuffle, no Python.
+Each operator is deliberately expressible in plain SQL so the DuckDB
+oracle can replay it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# marker-word sets for the n-gram/stopword language heuristic: the score
+# for a language is the number of marker-word hits; argmax wins, 'und'
+# (undetermined) when nothing matches.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "was", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "pas"),
+    "es": ("el", "los", "las", "es", "y", "como"),
+}
+
+# GPT-2-flavored BPE pre-tokenizer regex (public pattern family):
+# contractions, letter runs, digit runs, punctuation runs.
+BPE_ISH_TOKEN_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    """Number of regex matches (regexp_count is in both Spark 3.5+ and
+    DuckDB)."""
+    return F.regexp_count(F.coalesce(col.cast("string"), F.lit("")), F.lit(pattern))
+
+
+def whitespace_token_count(col: Column) -> Column:
+    return _count_matches(col, r"\S+")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return _count_matches(col, BPE_ISH_TOKEN_REGEX)
+
+
+def word_count(col: Column) -> Column:
+    return _count_matches(col, r"[A-Za-z0-9']+")
+
+
+def stopword_hits(col: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    pat = r"(?i)\b(?:" + "|".join(stopwords) + r")\b"
+    return _count_matches(col, pat)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        pat = r"(?i)\b(?:" + "|".join(markers) + r")\b"
+        out[lang] = _count_matches(col, pat)
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """argmax over marker-hit counts; first language in declaration
+    order wins ties; 'und' when all scores are zero."""
+    scores = lang_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("bigint")
+    for lang, score in scores.items():  # later entries win only when strictly greater
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_metrics(col: Column) -> dict[str, Column]:
+    """Length/punctuation/stopword-ratio quality features + a composite
+    score in [0, 1] (C4/Gopher-style cheap heuristics)."""
+    text = F.coalesce(col.cast("string"), F.lit(""))
+    n_chars = F.length(text)
+    n_words = word_count(col)
+    n_punct = _count_matches(col, r"[^\sA-Za-z0-9]")
+    n_digits = _count_matches(col, r"[0-9]")
+    n_stop = stopword_hits(col)
+    safe_words = F.greatest(n_words, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    mean_word_len = F.round(
+        (n_chars - (safe_words - 1)).cast("double") / safe_words, 4
+    )
+    punct_ratio = F.round(n_punct.cast("double") / safe_chars, 4)
+    digit_ratio = F.round(n_digits.cast("double") / safe_chars, 4)
+    stop_ratio = F.round(n_stop.cast("double") / safe_words, 4)
+    score = (
+        F.when(n_words >= 5, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_word_len >= 2) & (mean_word_len <= 12), F.lit(0.25)).otherwise(
+            F.lit(0.0)
+        )
+        + F.when(punct_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_words": n_words,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "stop_ratio": stop_ratio,
+        "mean_word_len": mean_word_len,
+        "quality_score": F.round(score, 2),
+    }
+
+
+def rolling_fingerprint_expr(text_col: str, window: int = 8) -> Column:
+    """Winnowing-flavored document fingerprint: md5 of every ``window``-
+    word shingle of the normalized text, lexicographic minimum kept.
+    Robust to local edits outside the minimal shingle; one projection."""
+    words = (
+        f"split(trim(regexp_replace(lower(coalesce(cast({text_col} as string), '')),"
+        f" '[^a-z0-9]+', ' ')), ' ')"
+    )
+    return F.expr(
+        f"""
+        array_min(transform(
+          sequence(1, greatest(size({words}) - {window} + 1, 1)),
+          i -> md5(array_join(slice({words}, i, {window}), ' '))))
+        """
+    )

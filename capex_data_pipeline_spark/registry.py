@@ -641,3 +641,7 @@ def q18_except(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
     okeys = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
     return cust.exceptAll(okeys.distinct()).distinct()
+
+
+# extension queries register themselves on import (same QUERIES/ORACLES)
+from capex_data_pipeline_spark import registry_ext  # noqa: E402,F401  isort:skip

@@ -1,0 +1,545 @@
+"""Extension-operator queries (SURVEY.md §7 phase 3): dedup, similarity,
+text analysis, streaming windows, multimodal plumbing.
+
+Same contract as ``registry``: Spark builder + DuckDB oracle per entry.
+Oracle-less entries (LSH-ANN, mapInPandas feature extraction) get the
+driver's weaker rows-only check — noted in their docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from capex_data_pipeline_spark.registry import _t, query
+from capex_data_pipeline_spark.extensions import dedup as D
+from capex_data_pipeline_spark.extensions import similarity as S
+from capex_data_pipeline_spark.extensions import textstats as TS
+from capex_data_pipeline_spark.extensions.multimodal import (
+    decode_media,
+    documents_as_media,
+    frame_sample,
+)
+from capex_data_pipeline_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+# DuckDB fragment: normalized text (matches dedup.normalized_text)
+_NORM = "trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g'))"
+# DuckDB fragment: word array of normalized text
+_WORDS = f"string_split({_NORM}, ' ')"
+# DuckDB fragment: distinct word 3-shingles (matches dedup._shingles_expr)
+_SHINGLES = f"""
+  list_distinct(CASE WHEN len({_WORDS}) < 3
+    THEN [array_to_string({_WORDS}, ' ')]
+    ELSE list_transform(range(1, len({_WORDS}) - 1),
+                        i -> array_to_string(({_WORDS})[i:i+2], ' '))
+  END)
+"""
+
+
+# =========================================================================
+# J1b analog on documents: regex word-match fallback join
+# =========================================================================
+
+_TAG_DIM = [("spark", "ENGINE"), ("stream", "FLOW"), ("vector", "MATH"), ("window", "SQL")]
+
+
+@query(
+    "q24_regex_fallback_join",
+    """
+    SELECT doc_id,
+      CASE
+        WHEN regexp_matches(lower(coalesce(text, '')), '\\bspark\\b') THEN 'ENGINE'
+        WHEN regexp_matches(lower(coalesce(text, '')), '\\bstream\\b') THEN 'FLOW'
+        WHEN regexp_matches(lower(coalesce(text, '')), '\\bvector\\b') THEN 'MATH'
+        WHEN regexp_matches(lower(coalesce(text, '')), '\\bwindow\\b') THEN 'SQL'
+        ELSE 'Unknown'
+      END AS tag
+    FROM documents
+    """,
+)
+def q24_regex_fallback_join(spark, sf_dir):
+    """J1b analog: first-match whole-word regex lookup against a small
+    in-memory dimension, 'Unknown' fallback (process_capex.py:252-285) —
+    the same compiled WHEN-chain technique operators.joins uses."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    tag = F.lit("Unknown")
+    for word, label in reversed(_TAG_DIM):
+        tag = F.when(text.rlike(rf"\b{word}\b"), F.lit(label)).otherwise(tag)
+    return docs.select("doc_id", tag.alias("tag"))
+
+
+@query(
+    "q25_negation_flags",
+    """
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9'']+') AS tk
+      FROM documents
+    )
+    SELECT doc_id,
+      len(list_filter(range(1, len(tk) + 1),
+          i -> tk[i] = 'merge'
+               AND NOT list_has_any(tk[greatest(i-3,1):i-1],
+                   ['no','not','without','exclude','excluding','except',
+                    'avoid','cancel','cancelled','drop','skip']))) > 0 AS flag_merge,
+      len(list_filter(range(1, len(tk) + 1),
+          i -> tk[i] = 'scan'
+               AND NOT list_has_any(tk[greatest(i-3,1):i-1],
+                   ['no','not','without','exclude','excluding','except',
+                    'avoid','cancel','cancelled','drop','skip']))) > 0 AS flag_scan
+    FROM tok
+    """,
+)
+def q25_negation_flags(spark, sf_dir):
+    """U2 as a corpus operator: negation-aware word flags. The oracle
+    recomputes the 3-token-window definition from first principles
+    (token lists), independently validating the compiled Java-regex
+    lookbehind (functions.text)."""
+    from capex_data_pipeline_spark.functions.text import negation_aware_phrase
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        negation_aware_phrase(F.col("text"), "merge").alias("flag_merge"),
+        negation_aware_phrase(F.col("text"), "scan").alias("flag_scan"),
+    )
+
+
+# =========================================================================
+# Deduplication
+# =========================================================================
+
+
+@query(
+    "q30_exact_dedup",
+    f"""
+    SELECT md5({_NORM}) AS fingerprint,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def q30_exact_dedup(spark, sf_dir):
+    """Exact dedup: md5 of normalized text, hash aggregate."""
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q31_minhash_lsh",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 8),
+               i -> list_min(list_transform({_SHINGLES}, s -> md5(i || '|' || s)))) AS sig
+      FROM documents
+    ), banded AS (
+      SELECT doc_id, sig, b,
+             md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS bhash
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) bands
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(len(list_filter(range(1, 9), i -> sig_a[i] = sig_b[i])) / 8.0, 4)
+             AS est_jaccard
+    FROM pairs
+    WHERE len(list_filter(range(1, 9), i -> sig_a[i] = sig_b[i])) / 8.0 >= 0.5
+    """,
+)
+def q31_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dedup: 8-component md5 signatures, 4 bands,
+    banded self-join, signature-estimated Jaccard ≥ 0.5. The oracle
+    reproduces the identical signature math in SQL."""
+    return D.minhash_near_dups(
+        _t(spark, sf_dir, "documents"), num_hashes=8, bands=4, threshold=0.5
+    )
+
+
+@query(
+    "q32_simhash",
+    f"""
+    WITH tok AS (SELECT doc_id, {_WORDS} AS w FROM documents)
+    SELECT doc_id,
+      CAST(list_sum(list_transform(range(0, 60), bit ->
+        CASE WHEN list_sum(list_transform(w, wd ->
+               CASE WHEN (CAST(('0x' || substr(md5(wd), 1, 15)) AS BIGINT) >> bit) & 1 = 1
+                    THEN 1 ELSE -1 END)) > 0
+             THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM tok
+    """,
+)
+def q32_simhash(spark, sf_dir):
+    """60-bit SimHash sketch per document (bit-identical across engines
+    via md5-derived token hashes)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash60("text").alias("simhash"))
+
+
+@query(
+    "q33_ngram_jaccard",
+    f"""
+    WITH sh AS (SELECT doc_id, source, {_SHINGLES} AS sh FROM documents),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+    ex AS (SELECT doc_id, source, unnest(sh) AS g FROM sh),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b
+        ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.1
+    """,
+)
+def q33_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard for same-source pairs ≥ 0.1
+    (explode-join formulation — engine-portable)."""
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.1
+    )
+
+
+# =========================================================================
+# Similarity search
+# =========================================================================
+
+
+@query(
+    "q34_cosine_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                   4) AS cosine
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q34_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-10 for query vectors (vec_id < 5).
+    Vectors are cast float→double before any arithmetic so both engines
+    accumulate identical IEEE doubles in index order."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.cosine_topk(emb, queries, k=10)
+
+
+@query(
+    "q35_embedding_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 4) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                4) >= 0.9
+    """,
+)
+def q35_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicates (≥ 0.9) within a label block."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    return D.embedding_near_dups(emb, threshold=0.9)
+
+
+@query("q36_ann_lsh")  # rows-only: hyperplane constants live Python-side
+def q36_ann_lsh(spark, sf_dir):
+    """Approximate top-10 via sign-random-projection LSH (2 tables × 8
+    bits, md5-derived hyperplanes), exact re-rank inside buckets. No SQL
+    oracle (driver records the rows-only check); recall vs the exact
+    q34 baseline is asserted in tests/test_extensions.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.srp_lsh_topk(emb, queries, k=10, dim=64, n_bits=8, n_tables=2)
+
+
+# =========================================================================
+# Text analysis
+# =========================================================================
+
+
+@query(
+    "q40_lang_id",
+    r"""
+    WITH scored AS (
+      SELECT lang AS labeled_lang,
+        len(regexp_extract_all(lower(coalesce(text,'')), '\b(?:the|and|of|is|was|with)\b')) AS s_en,
+        len(regexp_extract_all(lower(coalesce(text,'')), '\b(?:der|die|das|und|ist|nicht)\b')) AS s_de,
+        len(regexp_extract_all(lower(coalesce(text,'')), '\b(?:le|la|les|et|est|pas)\b')) AS s_fr,
+        len(regexp_extract_all(lower(coalesce(text,'')), '\b(?:el|los|las|es|y|como)\b')) AS s_es
+      FROM documents
+    ), decided AS (
+      SELECT labeled_lang,
+        CASE
+          WHEN s_en >= greatest(s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+          WHEN s_de >= greatest(s_fr, s_es) AND s_de > 0 THEN 'de'
+          WHEN s_fr >= greatest(s_es) AND s_fr > 0 THEN 'fr'
+          WHEN s_es > 0 THEN 'es'
+          ELSE 'und'
+        END AS detected
+      FROM scored
+    )
+    SELECT labeled_lang, detected, count(*) AS n FROM decided GROUP BY 1, 2
+    """,
+)
+def q40_lang_id(spark, sf_dir):
+    """Marker-word language ID vs the labeled lang column (confusion
+    counts). First-declared language wins ties — mirrored in the
+    oracle's cascading CASE."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            TS.lang_id(F.col("text")).alias("detected"),
+        )
+        .groupBy("labeled_lang", "detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q41_quality_score",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+        length(coalesce(text, '')) AS n_chars,
+        len(regexp_extract_all(coalesce(text,''), '[A-Za-z0-9'']+')) AS n_words,
+        len(regexp_extract_all(coalesce(text,''), '[^\sA-Za-z0-9]')) AS n_punct,
+        len(regexp_extract_all(lower(coalesce(text,'')),
+            '\b(?:the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_words,
+      round(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE), 4) AS punct_ratio,
+      round(n_stop / CAST(greatest(n_words, 1) AS DOUBLE), 4) AS stop_ratio,
+      round((n_chars - (greatest(n_words, 1) - 1)) / CAST(greatest(n_words, 1) AS DOUBLE), 4)
+        AS mean_word_len,
+      round(
+        (CASE WHEN n_words >= 5 THEN 0.25 ELSE 0 END)
+        + (CASE WHEN (n_chars - (greatest(n_words,1) - 1)) / CAST(greatest(n_words,1) AS DOUBLE)
+                 BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END)
+        + (CASE WHEN n_punct / CAST(greatest(n_chars,1) AS DOUBLE) <= 0.2 THEN 0.25 ELSE 0 END)
+        + (CASE WHEN n_stop / CAST(greatest(n_words,1) AS DOUBLE) >= 0.05 THEN 0.25 ELSE 0 END),
+      2) AS quality_score
+    FROM m
+    """,
+)
+def q41_quality_score(spark, sf_dir):
+    """Document quality features + composite score (length, punctuation,
+    stopword heuristics)."""
+    docs = _t(spark, sf_dir, "documents")
+    m = TS.quality_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_words"].alias("n_words"),
+        m["punct_ratio"].alias("punct_ratio"),
+        m["stop_ratio"].alias("stop_ratio"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["quality_score"].alias("quality_score"),
+    )
+
+
+@query(
+    "q42_token_count",
+    r"""
+    SELECT doc_id,
+      len(regexp_extract_all(coalesce(text,''), '\S+')) AS ws_tokens,
+      len(regexp_extract_all(coalesce(text,''),
+          '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+')) AS bpe_tokens,
+      len(regexp_extract_all(coalesce(text,''), '[A-Za-z0-9'']+')) AS words
+    FROM documents
+    """,
+)
+def q42_token_count(spark, sf_dir):
+    """Token counting: whitespace, BPE-ish pre-tokenizer regex, word
+    tokens — all as regexp_count projections."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        TS.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        TS.word_count(F.col("text")).alias("words"),
+    )
+
+
+@query(
+    "q43_fingerprint",
+    f"""
+    SELECT doc_id,
+      md5({_NORM}) AS exact_fp,
+      list_min(list_transform(
+        range(1, greatest(len({_WORDS}) - 7, 1) + 1),
+        i -> md5(array_to_string(({_WORDS})[i:i+7], ' ')))) AS rolling_fp
+    FROM documents
+    """,
+)
+def q43_fingerprint(spark, sf_dir):
+    """Document fingerprints: exact (md5 of normalized text) + rolling
+    8-word minimum shingle hash (winnowing-flavored)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        D.text_fingerprint(F.col("text")).alias("exact_fp"),
+        TS.rolling_fingerprint_expr("text", window=8).alias("rolling_fp"),
+    )
+
+
+# =========================================================================
+# Event-time windows (batch-parity forms of the streaming operators)
+# =========================================================================
+
+
+@query(
+    "q50_tumbling_window",
+    """
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+           epoch_us(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS window_end_us,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q50_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour event-time windows (same plan runs under
+    Structured Streaming via streaming.windows.tumbling_window_stream)."""
+    return tumbling_window_agg(_t(spark, sf_dir, "events"), "1 hour")
+
+
+@query(
+    "q51_sliding_window",
+    """
+    WITH cand AS (
+      SELECT e.*, time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes'
+               AS wstart
+      FROM events e, (SELECT unnest([0, 1]) AS k) ks
+    )
+    SELECT epoch_us(wstart) AS window_start_us,
+           epoch_us(wstart + INTERVAL '1 hour') AS window_end_us,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM cand
+    WHERE ts >= wstart AND ts < wstart + INTERVAL '1 hour'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q51_sliding_window(spark, sf_dir):
+    """Sliding windows (1 hour / 30 min): each event lands in two
+    windows; the oracle enumerates both candidate starts."""
+    return sliding_window_agg(_t(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+@query(
+    "q52_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), s AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM o
+    )
+    SELECT epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts) + INTERVAL '30 minutes') AS session_end_us,
+           user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def q52_session_window(spark, sf_dir):
+    """Per-user session windows, 30-minute gap (session end = last
+    event + gap). The oracle derives sessions with the classic
+    gaps-and-islands formulation."""
+    return session_window_agg(_t(spark, sf_dir, "events"), "30 minutes")
+
+
+# =========================================================================
+# Multimodal plumbing
+# =========================================================================
+
+
+@query(
+    "q60_binary_meta",
+    """
+    SELECT doc_id AS media_id,
+           'application/octet-stream' AS mime,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents
+    """,
+)
+def q60_binary_meta(spark, sf_dir):
+    """Binary-column metadata derivation (payload bytes, sha-256) —
+    JVM-side only; payload column is never shipped to Python."""
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return media.select("media_id", "mime", "n_bytes", "sha")
+
+
+@query(
+    "q61_multimodal_decode",
+    """
+    SELECT doc_id AS media_id,
+           16 + octet_length(encode(text)) % 64 AS width,
+           16 + (octet_length(encode(text)) // 64) % 64 AS height,
+           1 + octet_length(encode(text)) % 4 AS n_frames
+    FROM documents
+    """,
+)
+def q61_multimodal_decode(spark, sf_dir):
+    """mapInPandas decode plumbing (deterministic fake decoder standing
+    in for Pillow/ffmpeg): the oracle recomputes the scalar metadata the
+    fake decoder derives from payload size; the feature vectors are
+    covered by tests/test_extensions.py."""
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return decode_media(media, fake=True).select(
+        "media_id", "width", "height", "n_frames"
+    )
+
+
+@query(
+    "q62_frame_sample",
+    """
+    SELECT doc_id AS media_id, unnest(range(0, 1 + octet_length(encode(text)) % 4, 2))
+             AS frame_idx
+    FROM documents
+    """,
+)
+def q62_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: one row per sampled frame index."""
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return frame_sample(decode_media(media, fake=True), every_n=2)

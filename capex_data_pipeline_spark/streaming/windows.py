@@ -1,0 +1,104 @@
+"""Event-time windowed aggregations (SURVEY.md §2.10 extensions).
+
+Each operator is ONE function usable in both execution modes: pass a
+batch DataFrame for batch semantics (what the DuckDB oracle checks), or
+a streaming DataFrame (``spark.readStream``) and the identical plan runs
+incrementally under Structured Streaming — that mode-agnosticism is the
+point of the DataFrame API, and it's what makes the batch-mode oracle a
+valid correctness check for the streaming operator.
+
+Streaming specifics (watermarking, output modes, state cleanup) live in
+the ``*_stream`` wrappers: the watermark bounds state (late events
+older than the bound are dropped; state for closed windows is freed),
+which is what lets these run indefinitely on an unbounded source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _window_agg(df: DataFrame, window_col, group_cols: list[str]) -> DataFrame:
+    return (
+        df.groupBy(window_col.alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            F.unix_micros(F.col("w.end")).alias("window_end_us"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def tumbling_window_agg(
+    events: DataFrame, width: str = "1 hour", group_cols: list[str] | None = None
+) -> DataFrame:
+    """Non-overlapping event-time windows: count + exact-decimal sum per
+    (window, event_type)."""
+    return _window_agg(
+        events, F.window(F.col("ts"), width), group_cols or ["event_type"]
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Overlapping windows (each event lands in width/slide windows)."""
+    return _window_agg(
+        events, F.window(F.col("ts"), width, slide), group_cols or ["event_type"]
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user sessions: events within ``gap`` of each other merge;
+    session end = last event + gap (Spark session_window semantics)."""
+    return (
+        events.groupBy(F.session_window(F.col("ts"), gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- streaming wrappers ----------------------------------------------------
+
+
+def tumbling_window_stream(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming tumbling windows with a late-data bound: events more
+    than ``watermark`` behind the max seen event time are dropped and
+    closed-window state is released."""
+    return tumbling_window_agg(events.withWatermark("ts", watermark), width)
+
+
+def session_window_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    return session_window_agg(events.withWatermark("ts", watermark), gap)
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming dedup on event_id: duplicates arriving within
+    the watermark horizon are suppressed; state ages out with the
+    watermark (bounded memory on an unbounded stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

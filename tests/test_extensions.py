@@ -1,0 +1,143 @@
+"""Extension operators: dedup tiers, similarity search, multimodal
+plumbing — behavioral tests on constructed corpora with known ground
+truth (the cross-engine value checks live in scripts/check_contract.py
+and the driver's oracle gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from capex_data_pipeline_spark.extensions.dedup import (
+    exact_dedup,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash60,
+    simhash_near_dups,
+)
+from capex_data_pipeline_spark.extensions.multimodal import (
+    _fake_decode,
+    decode_media,
+    documents_as_media,
+    frame_sample,
+)
+from capex_data_pipeline_spark.extensions.similarity import cosine_topk, srp_lsh_topk
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE, "src0"),
+        (1, BASE, "src0"),  # exact duplicate of 0
+        (2, BASE.replace("lazy", "sleepy"), "src0"),  # near-dup of 0
+        (3, "completely different text about spark query engines and shuffles", "src0"),
+        (4, "the quick brown fox jumps over the lazy dog", "src1"),  # prefix, other block
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs).collect()
+    groups = {r.fingerprint: (r.keeper_id, r.n_docs) for r in out}
+    dup_group = [g for g in groups.values() if g[1] == 2]
+    assert dup_group == [(0, 2)]  # docs 0 and 1 collapse, keeper = min id
+    assert len(out) == 4
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_near_dups(docs, num_hashes=16, bands=8, threshold=0.3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # identical text
+    assert (0, 2) in pairs  # one-word edit
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_hamming(docs, spark):
+    vals = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", simhash60("text").alias("sh")).collect()
+    }
+    assert vals[0] == vals[1]  # identical docs, identical sketch
+    ham02 = bin(vals[0] ^ vals[2]).count("1")
+    ham03 = bin(vals[0] ^ vals[3]).count("1")
+    assert ham02 < ham03  # near-dup closer than unrelated
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dups(docs, max_hamming=ham02).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs
+
+
+def test_ngram_jaccard_blocks(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.1).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 < pairs[(0, 2)] < 1.0
+    # doc 4 shares text with 0 but sits in another blocking key
+    assert not any(4 in p for p in pairs)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    return read_table(spark, "/root/testdata/sf0.001", "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+
+
+def test_ann_rerank_is_exact_and_recall_positive(emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = srp_lsh_topk(emb, queries, k=10, dim=64, n_bits=8, n_tables=2).collect()
+    all_cos = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, queries, k=10_000).collect()
+    }
+    for r in approx:  # re-ranked scores must be the exact cosine
+        assert all_cos[(r.query_id, r.neighbor_id)] == r.cosine
+    recall_hits = sum(1 for r in approx if (r.query_id, r.neighbor_id) in exact)
+    assert recall_hits > 0  # LSH finds at least some true top-10 neighbors
+
+
+def test_multimodal_decode_roundtrip(spark, docs):
+    media = documents_as_media(docs.select("doc_id", "text"))
+    decoded = {r.media_id: r for r in decode_media(media, fake=True).collect()}
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for mid, payload in payloads.items():
+        w, h, nf, feats = _fake_decode(payload)
+        row = decoded[mid]
+        assert (row.width, row.height, row.n_frames) == (w, h, nf)
+        # features travel as float32; compare within float32 tolerance
+        assert row.features == pytest.approx(feats, abs=1e-6)
+        assert len(row.features) == 16
+
+
+def test_multimodal_real_decode_is_stubbed(docs):
+    media = documents_as_media(docs.select("doc_id", "text"))
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        decode_media(media, fake=False).collect()
+
+
+def test_frame_sample(docs):
+    media = documents_as_media(docs.select("doc_id", "text"))
+    decoded = decode_media(media, fake=True)
+    n_frames = {r.media_id: r.n_frames for r in decoded.collect()}
+    sampled = frame_sample(decoded, every_n=2).collect()
+    per_doc: dict[int, list[int]] = {}
+    for r in sampled:
+        per_doc.setdefault(r.media_id, []).append(r.frame_idx)
+    for mid, frames in per_doc.items():
+        assert sorted(frames) == list(range(0, n_frames[mid], 2))

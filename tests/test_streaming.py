@@ -1,0 +1,116 @@
+"""Structured Streaming operators: the same plan must produce identical
+results in batch and incremental (availableNow-triggered) execution, and
+stateful stream dedup must suppress in-watermark duplicates."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from capex_data_pipeline_spark.sources.parquet import read_table
+from capex_data_pipeline_spark.streaming.windows import (
+    session_window_agg,
+    stream_dedup,
+    tumbling_window_agg,
+    tumbling_window_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) under nanosAsLong
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), d / "events.parquet")
+    return str(d)
+
+
+def _streaming_events(spark, path):
+    sdf = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(sdf, name, output_mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_stream_matches_batch(spark, events_stream_dir):
+    batch = {
+        tuple(r): None
+        for r in tumbling_window_agg(read_table(spark, SF_DIR, "events")).collect()
+    }
+    stream = tumbling_window_stream(
+        _streaming_events(spark, events_stream_dir), "1 hour", watermark="10 days"
+    )
+    _run_to_memory(stream, "tumbling_mem", "complete")
+    got = {tuple(r): None for r in spark.sql("SELECT * FROM tumbling_mem").collect()}
+    assert got == batch
+
+
+def test_session_stream_matches_batch(spark, events_stream_dir):
+    batch = sorted(
+        tuple(r)
+        for r in session_window_agg(read_table(spark, SF_DIR, "events")).collect()
+    )
+    stream = session_window_agg(
+        _streaming_events(spark, events_stream_dir).withWatermark("ts", "10 days")
+    )
+    _run_to_memory(stream, "session_mem", "complete")
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM session_mem").collect())
+    assert got == batch
+
+
+def test_stream_dedup_suppresses_duplicates(spark, tmp_path):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 1, 2, 2, 2, 3],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:05:00",
+                    "2024-01-01 00:10:00",
+                    "2024-01-01 00:11:00",
+                    "2024-01-01 00:12:00",
+                    "2024-01-01 01:00:00",
+                ]
+            ),
+            "user_id": [1, 1, 2, 2, 2, 3],
+            "event_type": ["click"] * 6,
+            "value": [1.0, 1.0, 2.0, 2.0, 2.0, 3.0],
+            "props": ["{}"] * 6,
+        }
+    )
+    src = tmp_path / "dup_events"
+    src.mkdir()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(str(src / "p"))
+    schema = spark.read.parquet(str(src / "p")).schema
+    sdf = spark.readStream.schema(schema).parquet(str(src / "p"))
+    deduped = stream_dedup(sdf, watermark="1 day")
+    _run_to_memory(deduped, "dedup_mem", "append")
+    out = spark.sql("SELECT event_id, count(*) n FROM dedup_mem GROUP BY 1").collect()
+    assert {r.event_id: r.n for r in out} == {1: 1, 2: 1, 3: 1}
