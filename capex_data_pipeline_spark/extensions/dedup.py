@@ -112,9 +112,29 @@ def minhash_near_dups(
     threshold. Only (band_hash, id, signature) tuples ever shuffle.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes, k).alias("sig"),
+
+    def seeded(i: int):
+        prefix = f"{i}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    # Shingle once into a column, then derive all hash components from it
+    # (inlining the shingle expression per component would re-split the
+    # text num_hashes times). Repartition first: the signature projection
+    # is CPU-bound, and small corpora arrive as a single parquet split —
+    # spread it across the cluster before the heavy md5 work.
+    sig = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+        .withColumn("_sh", _shingles_expr("_t", k))
+        .select(
+            "id",
+            F.array(
+                *[
+                    F.array_min(F.transform(F.col("_sh"), seeded(i)))
+                    for i in range(num_hashes)
+                ]
+            ).alias("sig"),
+        )
     )
     banded = sig.select(
         "id",
@@ -207,10 +227,14 @@ def simhash_near_dups(
     Candidate blocking on ``block_col`` (at scale: replace with the
     standard 4-segment simhash split so any pair within distance 3
     shares one exact segment — same join shape, engine-side)."""
-    s = df.select(
-        F.col(id_col).alias("id"),
-        (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
-        simhash60(text_col).alias("sh"),
+    s = (
+        df.select(
+            F.col(id_col).alias("id"),
+            (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
+            F.col(text_col).alias("_t"),
+        )
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+        .select("id", "blk", simhash60("_t").alias("sh"))
     )
     a, b = s.alias("a"), s.alias("b")
     return (
@@ -241,10 +265,14 @@ def ngram_jaccard_pairs(
     per-pair intersection count is a hash aggregate. Identical SQL runs
     on any engine — no array-intersect builtins needed.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.col(block_col).alias("blk"),
-        _shingles_expr(text_col, k).alias("sh"),
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(block_col).alias("blk"),
+            F.col(text_col).alias("_t"),
+        )
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+        .select("id", "blk", _shingles_expr("_t", k).alias("sh"))
     )
     sizes = sh.select("id", "blk", F.size("sh").alias("n"))
     exploded = sh.select("id", "blk", F.explode("sh").alias("g"))

@@ -169,6 +169,11 @@ def _f7_ds_darkstore_counter() -> Column:
 
 
 # --- remark-flag disjunction shared by F8/F9/F11/F12/F13 -------------------
+# The disjunction is ~15 negation-aware regexes; five rules consume it, so
+# it is materialized once per row as a shared pass column (see PASS_C_SHARED)
+# rather than re-evaluated inside every consuming predicate.
+
+_NONREL_COL = "_shared_nonrelevant_remarks"
 
 
 def _nonrelevant_remarks() -> Column:
@@ -185,7 +190,7 @@ def _function_remark_rule(function_value: str) -> Callable[[], Column]:
     # (process_capex.py:521,615,645,675)
     def _pred() -> Column:
         return F.coalesce(
-            (F.col("RequestFunction") == function_value) & _nonrelevant_remarks(),
+            (F.col("RequestFunction") == function_value) & F.col(_NONREL_COL),
             F.lit(False),
         )
 
@@ -201,7 +206,7 @@ def _f9_approval_status() -> Column:
     # 'Sent for Approval' rows go only when remark-flagged.
     return F.coalesce(
         (status == "Approval in Progress")
-        | ((status == "Sent for Approval") & _nonrelevant_remarks()),
+        | ((status == "Sent for Approval") & F.col(_NONREL_COL)),
         F.lit(False),
     )
 
@@ -353,18 +358,42 @@ PASS_D = tuple(
 
 ALL_PASSES: tuple[tuple[ExclusionRule, ...], ...] = (PASS_A, PASS_B, PASS_C, PASS_D)
 
+#: shared-expression columns each pass materializes before its predicates
+#: run (regex work consumed by several rules is computed once per row)
+PASS_SHARED: dict[int, dict[str, Callable[[], Column]]] = {
+    id(PASS_C): {_NONREL_COL: _nonrelevant_remarks},
+}
+
 
 def tag_pass(df: DataFrame, rules: tuple[ExclusionRule, ...]) -> DataFrame:
-    """Add first-matching-rule tag columns in one projection:
-    ``_excl_order`` (int, null = kept), ``_excl_label``, ``_excl_value``.
+    """Add first-matching-rule tag columns: ``_excl_order`` (int, null =
+    kept), ``_excl_label``, ``_excl_column``, ``_excl_value``.
+
+    Every predicate is evaluated exactly ONCE per row into an
+    intermediate boolean column; the four tag chains then reference
+    those attributes. (Building the chains directly over the predicate
+    expressions would evaluate each — including the expensive
+    negation-regex ones — four times per row; Catalyst's CollapseProject
+    deliberately refuses to inline non-trivial expressions referenced
+    more than once, so the staging survives optimization.)
     """
+    shared = PASS_SHARED.get(id(rules), {})
+    staged = df
+    for name, build in shared.items():
+        staged = staged.withColumn(name, build())
+    pred_names = []
+    for rule in rules:
+        name = f"_pred_{rule.order}"
+        pred_names.append(name)
+        staged = staged.withColumn(name, F.coalesce(rule.predicate(), F.lit(False)))
+
     order_expr: Column = F.lit(None).cast("int")
     label_expr: Column = F.lit(None).cast("string")
     column_expr: Column = F.lit(None).cast("string")
     value_expr: Column = F.lit(None).cast("string")
     # build WHEN chain in reverse so the first rule ends up outermost
     for rule in reversed(rules):
-        pred = rule.predicate()
+        pred = F.col(f"_pred_{rule.order}")
         order_expr = F.when(pred, F.lit(rule.order)).otherwise(order_expr)
         label_expr = F.when(pred, F.lit(rule.label)).otherwise(label_expr)
         column_expr = F.when(pred, F.lit(rule.audit_column)).otherwise(column_expr)
@@ -372,10 +401,11 @@ def tag_pass(df: DataFrame, rules: tuple[ExclusionRule, ...]) -> DataFrame:
             pred, F.col(rule.audit_column).cast("string")
         ).otherwise(value_expr)
     return (
-        df.withColumn("_excl_order", order_expr)
+        staged.withColumn("_excl_order", order_expr)
         .withColumn("_excl_label", label_expr)
         .withColumn("_excl_column", column_expr)
         .withColumn("_excl_value", value_expr)
+        .drop(*pred_names, *shared.keys())
     )
 
 
@@ -390,3 +420,48 @@ def split_pass(
     )
     excluded = tagged.filter(F.col("_excl_order").isNotNull())
     return kept, excluded
+
+
+TAG_COLUMNS = ("_excl_order", "_excl_label", "_excl_column", "_excl_value")
+
+
+def init_tags(df: DataFrame) -> DataFrame:
+    """Start the accumulated-lineage frame: null tag columns."""
+    return (
+        df.withColumn("_excl_order", F.lit(None).cast("int"))
+        .withColumn("_excl_label", F.lit(None).cast("string"))
+        .withColumn("_excl_column", F.lit(None).cast("string"))
+        .withColumn("_excl_value", F.lit(None).cast("string"))
+    )
+
+
+def accumulate_pass(df: DataFrame, rules: tuple[ExclusionRule, ...]) -> DataFrame:
+    """Apply one tagging pass WITHOUT splitting the frame: rows already
+    tagged keep their first tag; untagged rows matching a rule gain it.
+
+    Keeping everything in one frame means the expensive upstream (scan,
+    regexes, joins) is evaluated once for all downstream consumers
+    (kept rows, audit, fail-open) instead of once per split branch —
+    the difference between 1 and ~6 full input scans at 100 TB.
+    Predicates run on already-excluded rows too (their result is
+    discarded by the coalesce), trading a little CPU for plan linearity.
+    """
+    stage = tag_pass(
+        df.withColumnRenamed("_excl_order", "_prev_order")
+        .withColumnRenamed("_excl_label", "_prev_label")
+        .withColumnRenamed("_excl_column", "_prev_column")
+        .withColumnRenamed("_excl_value", "_prev_value"),
+        rules,
+    )
+    merged = (
+        stage.withColumn("_excl_order", F.coalesce("_prev_order", "_excl_order"))
+        .withColumn("_excl_label", F.coalesce("_prev_label", "_excl_label"))
+        .withColumn("_excl_column", F.coalesce("_prev_column", "_excl_column"))
+        .withColumn(
+            "_excl_value",
+            F.when(F.col("_prev_order").isNotNull(), F.col("_prev_value")).otherwise(
+                F.col("_excl_value")
+            ),
+        )
+    )
+    return merged.drop("_prev_order", "_prev_label", "_prev_column", "_prev_value")

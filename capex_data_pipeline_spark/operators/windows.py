@@ -58,41 +58,61 @@ def select_representative_rows(df: DataFrame, exact_ties: bool = True) -> DataFr
       doesn't matter.
     """
     df = df.withColumn("priority", priority_col())
+    w = Window.partitionBy("RequestNo").orderBy(
+        F.desc("priority"), F.asc(w1_frame_order()), F.asc("_row_id")
+    )
+    ranked = df.withColumn("_rank", F.row_number().over(w))
     if not exact_ties:
-        w = Window.partitionBy("RequestNo").orderBy(
-            F.desc("priority"), F.asc(w1_frame_order()), F.asc("_row_id")
-        )
-        return (
-            df.withColumn("_rank", F.row_number().over(w))
-            .filter(F.col("_rank") <= TOP_K_PER_REQUEST)
-            .drop("_rank")
-        )
+        return ranked.filter(F.col("_rank") <= TOP_K_PER_REQUEST).drop("_rank")
 
-    ordered = df.withColumn("_w1_pos", w1_frame_order().cast("long") * F.lit(1 << 40) + F.col("_row_id"))
+    # Hybrid exact mode: the unstable-sort permutation only changes the
+    # KEPT SET when a priority tie straddles the rank-5 boundary (rank 5
+    # and rank 6 share a priority). Everywhere else the top-5 set is
+    # uniquely determined by priority values, so the native rank filter
+    # is bit-equivalent — only the rare straddling groups (typically
+    # <<1%) pay the Arrow grouped-map replay.
+    wg = Window.partitionBy("RequestNo")
+    p5 = F.max(F.when(F.col("_rank") == TOP_K_PER_REQUEST, F.col("priority"))).over(wg)
+    p6 = F.max(
+        F.when(F.col("_rank") == TOP_K_PER_REQUEST + 1, F.col("priority"))
+    ).over(wg)
+    flagged = ranked.withColumn(
+        "_ambiguous", p6.isNotNull() & (p5 == p6)
+    )
+
+    easy = (
+        flagged.filter(~F.col("_ambiguous") & (F.col("_rank") <= TOP_K_PER_REQUEST))
+        .drop("_rank", "_ambiguous")
+    )
+
+    hard = flagged.filter(F.col("_ambiguous")).drop("_rank", "_ambiguous")
+    hard = hard.withColumn("_w1_ord", w1_frame_order())
 
     def _select(pdf):
         # reconstruct the frame order the reference's groupby saw, then
         # replay its exact (unstable) sort + head (process_capex.py:1026-1036)
-        pdf = pdf.sort_values("_w1_pos", kind="stable")
+        pdf = pdf.sort_values(["_w1_ord", "_row_id"], kind="stable")
         pdf = pdf.sort_values("priority", ascending=False)
         if len(pdf) > 3:
             pdf = pdf.head(min(len(pdf), TOP_K_PER_REQUEST))
         return pdf
 
-    out_schema = ordered.schema
-    return (
-        ordered.groupBy("RequestNo")
-        .applyInPandas(_select, schema=out_schema)
-        .drop("_w1_pos")
+    hard_selected = (
+        hard.groupBy("RequestNo").applyInPandas(_select, schema=hard.schema).drop("_w1_ord")
     )
+    return easy.unionByName(hard_selected)
 
 
-def dedup_keep_first(df: DataFrame, subset: list[str], order_col: str = "_row_id") -> DataFrame:
+def dedup_keep_first(
+    df: DataFrame, subset: list[str], order_cols: list[str] | None = None
+) -> DataFrame:
     """W3 — ``drop_duplicates(subset, keep='first')`` with a deterministic
     notion of "first" (process_capex.py:53). A plain ``dropDuplicates``
     keeps an arbitrary row; ordering by the ingest row id reproduces
     pandas' input-order semantics."""
-    w = Window.partitionBy(*subset).orderBy(F.asc(order_col))
+    w = Window.partitionBy(*subset).orderBy(
+        *[F.asc(c) for c in (order_cols or ["_row_id"])]
+    )
     return (
         df.withColumn("_dedup_rn", F.row_number().over(w))
         .filter(F.col("_dedup_rn") == 1)

@@ -3,17 +3,24 @@
 
 Shape of the plan (4 tagging passes instead of 15 materialized filters):
 
-    raw ──[+_row_id]── pass A (F1-F4) ── P2 ── P1 ── pass B (F5-F7)
-        ── J1 zone/region (broadcast) ── pass C (F8-F13)
-        ├── A1 pivot                       (aggregate branch)
-        ── P3 ── P4 (Category_Type + extracts) ── P5 ── pass D (F14)
-        ── P6 composite key ── [F15 golden semi-join] ── W1 top-5 window
-        ── [J4 fail-open re-include] ──► processed
+    raw ──[+_row_id, null tags]── pass A (F1-F4) ── P2 ── P1
+        ── pass B (F5-F7) ── J1 zone/region (broadcast) ── pass C (F8-F13)
+        ── P3 ── P4 ── P5 ── pass D (F14) ── P6 key ── [F15 golden tag]
+        ──► ONE tagged lineage frame, consumed by:
+              kept (tags null) ── W1 top-5 window ──┐
+              audit (tags non-null, key fully gone) ├─ [J4 fail-open] ─► processed
+              pivot (kept, pre-P3 categories)       │
+              amc/sorter/rental extracts            ┘
 
-Catalyst fuses each pass's predicates into one codegen'd loop; the only
-shuffles in the whole plan are the W1 window (top-k pushed into the
-shuffle via WindowGroupLimit) and the audit/fail-open key aggregations.
-The office dimension and golden key set are broadcast.
+Every row flows through a single linear plan carrying its exclusion tag
+(first matching rule wins, rules.txt order) — the scan, the regex
+passes and the broadcast join run ONCE regardless of how many outputs
+are consumed. With ``persist_tagged`` (default on) the tagged frame is
+persisted before fan-out, so multi-output actions don't recompute it;
+at cluster scale replace with a staging-table write for the same
+effect. The only shuffles are the W1 window (top-k pushed into the
+shuffle via WindowGroupLimit / the grouped-Arrow exchange in exact-ties
+mode) and the small audit/fail-open key aggregations.
 """
 
 from __future__ import annotations
@@ -22,6 +29,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from capex_data_pipeline_spark.functions.keys import robust_key, strict_composite_key
 from capex_data_pipeline_spark.operators.audit import build_audit
@@ -31,16 +39,21 @@ from capex_data_pipeline_spark.operators.rules import (
     PASS_B,
     PASS_C,
     PASS_D,
-    ExclusionRule,
-    split_pass,
+    TAG_COLUMNS,
+    accumulate_pass,
+    init_tags,
 )
 from capex_data_pipeline_spark.operators.aggregates import create_pivot_table
 from capex_data_pipeline_spark.operators.projections import (
-    apply_category_type,
+    AMC_KEYWORDS,
+    RENTAL_KEYWORDS,
+    SORTER_KEYWORDS,
     apply_mum_remarks,
     apply_normalize_category,
     apply_office_furniture_recat,
     apply_separate_plant_machinery,
+    category_type_col,
+    contains_any_ci,
     normalized_category,
 )
 from capex_data_pipeline_spark.operators.windows import (
@@ -56,6 +69,8 @@ _GOLDEN_RULE_ORDER = 99
 class CapexPipelineConfig:
     fail_open: bool = True  # FAIL_OPEN_UNKNOWN defaults true (process_capex.py:10)
     legacy_dates: bool = False  # reproduce the dayfirst misparse when True
+    exact_w1_ties: bool = True  # replay pandas' unstable sort in W1
+    persist_tagged: bool = True  # persist the lineage frame before fan-out
 
 
 @dataclass
@@ -71,8 +86,16 @@ class PipelineResult:
 
 
 def _ingest(raw: DataFrame) -> DataFrame:
-    """Attach the deterministic row id used for pandas-order tiebreaks."""
-    return raw.withColumn("_row_id", F.monotonically_increasing_id())
+    """Attach the deterministic row id used for pandas-order tiebreaks,
+    then spread the data: the rule passes are regex-heavy, and a small
+    input (one CSV / one parquet split) would otherwise run them on a
+    single core. The id is assigned BELOW the exchange, so it still
+    reflects input order and stays deterministic."""
+    df = raw.withColumn("_row_id", F.monotonically_increasing_id())
+    target = raw.sparkSession.sparkContext.defaultParallelism
+    if raw.rdd.getNumPartitions() < max(target // 2, 2):
+        df = df.repartition(target, "_row_id")
+    return df
 
 
 def run_pipeline(
@@ -82,41 +105,38 @@ def run_pipeline(
     config: CapexPipelineConfig = CapexPipelineConfig(),
 ) -> PipelineResult:
     """Build the full lazy plan; nothing executes until an action runs."""
-    df = _ingest(raw)
-    raw_with_id = df
-
-    excluded_frames: list[DataFrame] = []
+    raw_with_id = _ingest(raw)
+    df = init_tags(raw_with_id)
 
     # pass A: F1 rejected, F2 dash vendor, F3 functions, F4 equipment
-    df, excl = split_pass(df, PASS_A)
-    excluded_frames.append(excl)
+    df = accumulate_pass(df, PASS_A)
 
     # P2 office/furniture re-cat (mutates AssetCategoryName), then P1
     # normalize into AssetCategoryName_2 — reference order :1123-1125.
     df = apply_normalize_category(apply_office_furniture_recat(df))
 
     # pass B: F5 category keep-3, F6 personal devices, F7 ds/darkstore/counter
-    df, excl = split_pass(df, PASS_B)
-    excluded_frames.append(excl)
+    df = accumulate_pass(df, PASS_B)
 
     # J1(+J1b): zone/region broadcast join with remarks fallback
     df = add_zone_region(df, office)
 
     # pass C: F8 IT, F9 approval, F10 darkstore, F11 Admin, F12 Ops, F13 OtIT
-    df, excl = split_pass(df, PASS_C)
-    excluded_frames.append(excl)
+    df = accumulate_pass(df, PASS_C)
 
-    # A1: pivot branch from the cleaned frame (pre-P3, as in :1147)
-    pivot = create_pivot_table(df, legacy_dates=config.legacy_dates)
+    # A1's input categories are pre-P3 (reference pivots at :1147, before
+    # separate_plant_machinery) and the P4 extracts snapshot remarks
+    # before P5's MUM suffix: remember both before the mutations.
+    df = df.withColumn("_cat_pre_p3", F.col("AssetCategoryName_2"))
 
-    # P3 separate P&M items, P4 Category_Type + extracts, P5 MUM remarks
+    # P3 separate P&M items, P4 Category_Type, P5 MUM remarks
     df = apply_separate_plant_machinery(df)
-    df, amc, sorter, rental = apply_category_type(df)
+    df = df.withColumn("Category_Type", category_type_col())
+    df = df.withColumn("_remarks_pre_p5", F.col("UserRemarks"))
     df = apply_mum_remarks(df)
 
     # pass D: F14 non-ops keywords + CCTV
-    df, excl = split_pass(df, PASS_D)
-    excluded_frames.append(excl)
+    df = accumulate_pass(df, PASS_D)
 
     # P6: strict composite key (trailing '|' on empty vendor, :1245-1270)
     df = df.withColumn(
@@ -126,41 +146,95 @@ def run_pipeline(
         ),
     )
 
-    # F15: golden RequestNo semi-join (skipped when no golden file,
-    # :982-1004). Implemented as a broadcast IN-set tag so excluded rows
-    # feed the audit like any other rule.
+    # F15: golden RequestNo tag (skipped when no golden file, :982-1004)
     if golden is not None:
         golden_keys = golden.select("RequestNo").distinct()
-        tagged = df.join(
+        df = df.join(
             F.broadcast(golden_keys.withColumn("_in_golden", F.lit(True))),
             "RequestNo",
             "left",
         )
-        kept = tagged.filter(F.col("_in_golden").isNotNull()).drop("_in_golden")
-        gone = (
-            tagged.filter(F.col("_in_golden").isNull())
+        newly_gone = F.col("_excl_order").isNull() & F.col("_in_golden").isNull()
+        df = (
+            df.withColumn(
+                "_excl_order",
+                F.when(newly_gone, F.lit(_GOLDEN_RULE_ORDER)).otherwise(
+                    F.col("_excl_order")
+                ),
+            )
+            .withColumn(
+                "_excl_label",
+                F.when(newly_gone, F.lit(GOLDEN_FILTER_LABEL)).otherwise(
+                    F.col("_excl_label")
+                ),
+            )
+            .withColumn(
+                "_excl_column",
+                F.when(newly_gone, F.lit("RequestNo")).otherwise(F.col("_excl_column")),
+            )
+            .withColumn(
+                "_excl_value",
+                F.when(newly_gone, F.col("RequestNo").cast("string")).otherwise(
+                    F.col("_excl_value")
+                ),
+            )
             .drop("_in_golden")
-            .withColumn("_excl_order", F.lit(_GOLDEN_RULE_ORDER))
-            .withColumn("_excl_label", F.lit(GOLDEN_FILTER_LABEL))
-            .withColumn("_excl_column", F.lit("RequestNo"))
-            .withColumn("_excl_value", F.col("RequestNo").cast("string"))
         )
-        excluded_frames.append(gone)
-        df = kept
 
-    cleaned = df  # survived every exclusion rule; W1 removals are unaudited
-    audit = build_audit(excluded_frames, cleaned)
+    # ── the single tagged lineage frame; everything below consumes it ──
+    if config.persist_tagged:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+
+    _internal = ("_cat_pre_p3", "_remarks_pre_p5")
+    kept = df.filter(F.col("_excl_order").isNull()).drop(*TAG_COLUMNS, *_internal)
+    excluded = df.filter(F.col("_excl_order").isNotNull()).drop(*_internal)
+
+    # Rows that survived rules F1-F13: the reference computes the pivot
+    # (:1147) and the P4 extracts (:1151) at that point in the DAG, so
+    # rows later removed by F14/F15/W1 still participate. F14 tags use
+    # orders ≥ 14 and the golden tag 99, making the membership test a
+    # predicate on the lineage column.
+    through_f13 = df.filter(
+        F.col("_excl_order").isNull() | (F.col("_excl_order") >= 14)
+    )
+
+    # A1: pivot with pre-P3 categories
+    pivot = create_pivot_table(
+        through_f13.drop("AssetCategoryName_2", *TAG_COLUMNS)
+        .withColumnRenamed("_cat_pre_p3", "AssetCategoryName_2")
+        .drop("_remarks_pre_p5"),
+        legacy_dates=config.legacy_dates,
+    )
+
+    # P4 extracts (may overlap; pre-P5 remarks, no composite key yet)
+    item = F.col("AssetItemName")
+    extract_base = (
+        through_f13.withColumn("UserRemarks", F.col("_remarks_pre_p5"))
+        .drop(*TAG_COLUMNS, *_internal, "CompositePrimaryKey")
+    )
+    amc = extract_base.filter(contains_any_ci(item, AMC_KEYWORDS)).withColumn(
+        "Category_Type", F.lit("AMC")
+    )
+    sorter = extract_base.filter(contains_any_ci(item, SORTER_KEYWORDS)).withColumn(
+        "Category_Type", F.lit("Sorter")
+    )
+    rental = extract_base.filter(contains_any_ci(item, RENTAL_KEYWORDS)).withColumn(
+        "Category_Type", F.lit("Rental_Opex")
+    )
+
+    cleaned = kept  # survived every exclusion rule; W1 removals unaudited
+    audit = build_audit([excluded], cleaned)
 
     # W1: top-5 representative rows per RequestNo (adds leaky 'priority')
-    df = select_representative_rows(df)
+    processed = select_representative_rows(cleaned, exact_ties=config.exact_w1_ties)
 
     # J4: fail-open — re-include raw rows whose key was neither kept nor
     # audited (reinstate_unknown_exclusions, process_capex.py:12-56).
     if config.fail_open:
-        df = _fail_open(raw_with_id, df, office, audit)
+        processed = _fail_open(raw_with_id, processed, office, audit)
 
     return PipelineResult(
-        processed=df,
+        processed=processed,
         pivot=pivot,
         amc=amc,
         sorter=sorter,
@@ -183,17 +257,16 @@ def _fail_open(
     - re-running the zone join recomputes Zone/Region for every row
       (idempotent for previously mapped rows);
     - dedup on (CompositePrimaryKey, AssetItemAmount) keeps processed
-      rows over re-included ones (concat order + keep='first', :40-53).
+      rows over re-included ones (concat order + keep='first', :40-53);
+    - the raw side uses ROBUST keys while the processed side keeps its
+      STRICT keys (trailing '|' on empty vendors, :22-26) — so a kept
+      row with an empty vendor never matches and gets re-included as a
+      duplicate. Reproduced deliberately.
     """
     raw_keyed = raw.withColumn(
         "CompositePrimaryKey",
         robust_key(F.col("RequestNo"), F.col("AssetItemName"), F.col("VendorName")),
     )
-    # Reference quirk (process_capex.py:22-26): the processed side keeps its
-    # STRICT keys (P6 already set CompositePrimaryKey, with a trailing '|'
-    # on empty vendors) while the raw side uses robust keys — so a kept row
-    # with an empty vendor never matches and gets re-included as a
-    # duplicate. Reproduced deliberately.
     processed_keys = processed.select("CompositePrimaryKey").distinct()
     audited_keys = audit.select(
         F.col("CompositeKey").alias("CompositePrimaryKey")
@@ -219,11 +292,8 @@ def _fail_open(
         F.when(F.col("ReincludedViaFailOpen").isNotNull(), F.lit(1)).otherwise(F.lit(0)),
     )
     merged = dedup_keep_first(
-        merged.withColumn(
-            "_dedup_ord",
-            F.col("_failopen_ord") * F.lit(1 << 40) + F.col("_row_id"),
-        ),
+        merged,
         ["CompositePrimaryKey", "AssetItemAmount"],
-        order_col="_dedup_ord",
-    ).drop("_failopen_ord", "_dedup_ord")
+        order_cols=["_failopen_ord", "_row_id"],
+    ).drop("_failopen_ord")
     return merged

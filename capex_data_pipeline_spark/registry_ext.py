@@ -176,8 +176,11 @@ def q31_minhash_lsh(spark, sf_dir):
 )
 def q32_simhash(spark, sf_dir):
     """60-bit SimHash sketch per document (bit-identical across engines
-    via md5-derived token hashes)."""
-    docs = _t(spark, sf_dir, "documents")
+    via md5-derived token hashes). Repartitioned first: the projection is
+    CPU-bound and small corpora arrive as one parquet split."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return docs.select("doc_id", D.simhash60("text").alias("simhash"))
 
 
@@ -267,6 +270,54 @@ def q35_embedding_neardup(spark, sf_dir):
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     return D.embedding_near_dups(emb, threshold=0.9)
+
+
+@query("q90_capex_pipeline")  # rows-only: the full rule DAG is not one SQL query
+def q90_capex_pipeline(spark, sf_dir):
+    """End-to-end capex cleaning pipeline (SURVEY.md §3) on a
+    deterministic capex-shaped synthesis of the orders table — exercises
+    every rule pass, the broadcast zone join + regex fallback, the audit,
+    the top-5 window and fail-open at scale-factor-proportional size.
+    Correctness vs the reference is covered bit-for-bit by
+    tests/test_pipeline_differential.py; the driver records rows-only."""
+    from capex_data_pipeline_spark.plans.pipeline import run_pipeline
+    from capex_data_pipeline_spark.plans.synth import (
+        synthesize_capex_raw,
+        synthesize_office,
+    )
+
+    raw = synthesize_capex_raw(spark, sf_dir)
+    office = synthesize_office(spark, sf_dir)
+    res = run_pipeline(raw, office)
+    return res.processed.select(
+        "RequestNo",
+        "AssetItemName",
+        "VendorName",
+        "Zone",
+        "Region",
+        "AssetCategoryName_2",
+        "Category_Type",
+        "AssetItemAmount",
+        "priority",
+        "ReincludedViaFailOpen",
+    )
+
+
+@query("q91_capex_audit")  # rows-only companion: exclusion lineage
+def q91_capex_audit(spark, sf_dir):
+    """The exclusion-audit lineage table for q90's run (replaces the
+    reference's global EXCLUSION_REASONS dict): one row per fully
+    excluded composite key with first-wins rule attribution."""
+    from capex_data_pipeline_spark.plans.pipeline import run_pipeline
+    from capex_data_pipeline_spark.plans.synth import (
+        synthesize_capex_raw,
+        synthesize_office,
+    )
+
+    res = run_pipeline(
+        synthesize_capex_raw(spark, sf_dir), synthesize_office(spark, sf_dir)
+    )
+    return res.audit
 
 
 @query("q36_ann_lsh")  # rows-only: hyperplane constants live Python-side

@@ -77,11 +77,21 @@ OFFICE_LOCATION_SCHEMA = T.StructType(
     ]
 )
 
-#: golden/final table = raw + (Zone, Region, AssetCategoryName_2)
-CAPEX_FINAL_SCHEMA = T.StructType(
-    list(CAPEX_RAW_SCHEMA.fields)
-    + [_f("Zone", _S), _f("Region", _S), _f("AssetCategoryName_2", _S)]
-)
+#: golden/final table = raw + (Zone, Region, AssetCategoryName_2),
+#: inserted at their positions in the shipped file (CSV schemas are
+#: positional): Zone/Region after BranchName, _2 after AssetCategoryName.
+def _final_fields() -> list[T.StructField]:
+    out = []
+    for f in CAPEX_RAW_SCHEMA.fields:
+        out.append(f)
+        if f.name == "BranchName":
+            out.extend([_f("Zone", _S), _f("Region", _S)])
+        elif f.name == "AssetCategoryName":
+            out.append(_f("AssetCategoryName_2", _S))
+    return out
+
+
+CAPEX_FINAL_SCHEMA = T.StructType(_final_fields())
 
 #: columns the pipeline appends to the fact table (SURVEY.md §1.2)
 DERIVED_COLUMNS = (

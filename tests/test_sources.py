@@ -1,0 +1,51 @@
+"""CSV encoding-fallback source (S1) and parquet nanos handling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from capex_data_pipeline_spark.sources.csv import (
+    read_csv_with_fallback,
+    sniff_encoding,
+)
+from capex_data_pipeline_spark.sources.parquet import read_table
+
+
+def _write(path, data: bytes):
+    path.write_bytes(data)
+    return str(path)
+
+
+def test_sniff_utf8(tmp_path):
+    p = _write(tmp_path / "a.csv", "col\nvalue – ok\n".encode("utf-8"))
+    assert sniff_encoding(p) == "utf-8"
+
+
+def test_sniff_cp1252(tmp_path):
+    p = _write(tmp_path / "b.csv", "col\nbudget \x96 approved\n".encode("latin1"))
+    # 0x96 is invalid UTF-8 and cp1252 comes before latin1 in the chain
+    assert sniff_encoding(p) == "cp1252"
+
+
+def test_cp1252_values_roundtrip(spark, tmp_path):
+    # raw cp1252 bytes: 0x96 = EN DASH, 0xe9 = é
+    p = _write(tmp_path / "c.csv", b"col\nbudget \x96 approved\ncaf\xe9\n")
+    schema = T.StructType([T.StructField("col", T.StringType())])
+    vals = {r.col for r in read_csv_with_fallback(spark, p, schema=schema).collect()}
+    # 0x96 must decode as EN DASH (cp1252), not a C1 control char (latin1)
+    assert "budget – approved" in vals
+    assert "café" in vals
+
+
+def test_utf8_passthrough(spark, tmp_path):
+    p = _write(tmp_path / "d.csv", "col\n–dash\n".encode("utf-8"))
+    schema = T.StructType([T.StructField("col", T.StringType())])
+    vals = {r.col for r in read_csv_with_fallback(spark, p, schema=schema).collect()}
+    assert "–dash" in vals
+
+
+def test_events_nanos_become_timestamps(spark):
+    df = read_table(spark, "/root/testdata/sf0.001", "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    assert df.filter(df.ts.isNull()).count() == 0
