@@ -36,14 +36,17 @@ _ITEM_SUFFIX = [
     "AMC for Gensets",
     "Rental Forklift",
 ]
+# entries 5-6 carry regioncode words (nation-name prefixes) so unmapped
+# branches exercise the remarks-fallback join — IND and UNI are duplicated
+# prefixes in the nation-derived dim, probing the dict-order semantics
 _REMARKS = [
     "standard operational request",
     "no laptop required for this branch",
     "dark store expansion phase",
     "test setup for pilot",
     "new counter for billing",
-    "capex for BLR facility",
-    "latest spec upgrade",
+    "central purchase for IND region",
+    "pending UNI approval latest",
     "",
 ]
 
@@ -58,6 +61,9 @@ def synthesize_office(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = read_table(spark, sf_dir, "region")
     return (
         nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        # deterministic row order: the zone join's dict semantics (first
+        # occurrence wins on duplicate regioncodes) depend on it
+        .orderBy("n_nationkey")
         .select(
             F.col("r_name").alias("zone"),
             F.col("n_name").alias("region"),

@@ -272,6 +272,64 @@ def q35_embedding_neardup(spark, sf_dir):
     return D.embedding_near_dups(emb, threshold=0.9)
 
 
+@query(
+    "q92_capex_zone_join",
+    r"""
+    WITH office AS (
+      SELECT r_name AS zone, n_name AS region,
+             'B' || n_nationkey AS office,
+             substr(n_name, 1, 3) AS rc, n_nationkey AS pos
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+    ), rcmap AS (  -- python-dict semantics: first occurrence ranks, last wins
+      SELECT rc, arg_max(zone, pos) AS zone, arg_max(region, pos) AS region,
+             min(pos) AS pos
+      FROM office GROUP BY rc
+    ), fact AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 7 = 0 THEN 'ZZ' || (o_custkey % 5)
+             ELSE 'B' || (o_custkey % 25) END AS BranchCode,
+        (['standard operational request', 'no laptop required for this branch',
+          'dark store expansion phase', 'test setup for pilot',
+          'new counter for billing', 'central purchase for IND region',
+          'pending UNI approval latest', ''])[(o_orderkey % 8) + 1] AS UserRemarks
+      FROM orders
+    ), branch AS (
+      SELECT f.*, o.zone AS bzone, o.region AS bregion
+      FROM fact f LEFT JOIN office o ON f.BranchCode = o.office
+    ), fb AS (
+      SELECT b.o_orderkey, m.zone AS fzone, m.region AS fregion,
+             row_number() OVER (PARTITION BY b.o_orderkey ORDER BY m.pos) AS rn
+      FROM branch b JOIN rcmap m
+        ON b.bzone IS NULL
+       AND regexp_matches(lower(coalesce(b.UserRemarks, 'nan')),
+                          '\b' || lower(m.rc) || '\b')
+    )
+    SELECT b.BranchCode, b.UserRemarks,
+           coalesce(b.bzone, f.fzone, 'Unknown') AS Zone,
+           coalesce(b.bregion, f.fregion, 'Unknown') AS Region
+    FROM branch b LEFT JOIN (SELECT * FROM fb WHERE rn = 1) f USING (o_orderkey)
+    """,
+)
+def q92_capex_zone_join(spark, sf_dir):
+    """J1+J1b verified cross-engine on the synthesized capex input: the
+    broadcast branch-code join, the whole-word regioncode fallback over
+    remarks (python-dict first-occurrence priority on duplicate
+    regioncodes — IND/IRA/UNI collide in the nation-derived dim), and
+    the 'Unknown' fill. The oracle reimplements the dict semantics with
+    arg_max/min-pos + a ranked regex join."""
+    from capex_data_pipeline_spark.operators.joins import add_zone_region
+    from capex_data_pipeline_spark.plans.synth import (
+        synthesize_capex_raw,
+        synthesize_office,
+    )
+
+    raw = synthesize_capex_raw(spark, sf_dir).withColumn(
+        "_row_id", F.monotonically_increasing_id()
+    )
+    joined = add_zone_region(raw, synthesize_office(spark, sf_dir))
+    return joined.select("BranchCode", "UserRemarks", "Zone", "Region")
+
+
 @query("q90_capex_pipeline")  # rows-only: the full rule DAG is not one SQL query
 def q90_capex_pipeline(spark, sf_dir):
     """End-to-end capex cleaning pipeline (SURVEY.md §3) on a
