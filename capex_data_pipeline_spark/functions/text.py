@@ -88,6 +88,17 @@ def negation_aware_pattern(phrase: str) -> str:
     return rf"(?i){_negation_lookbehind()}\b{p}\b"
 
 
+def negation_aware_any_pattern(phrases) -> str:
+    """One pattern for "ANY phrase has a non-negated occurrence".
+
+    Equivalent to OR-ing the per-phrase patterns — the lookbehind is
+    evaluated at each alternation match — but the engine scans the text
+    once instead of once per phrase (the phrase lists run to 16 entries;
+    this is the hot path of the rule passes)."""
+    alt = "|".join(_java_escape(p.lower().strip()) for p in phrases)
+    return rf"(?i){_negation_lookbehind()}\b(?:{alt})\b"
+
+
 # --- Column builders -------------------------------------------------------
 
 
@@ -115,10 +126,7 @@ def negation_aware_phrase(col: Column, phrase: str) -> Column:
 
 
 def negation_aware_any(col: Column, phrases: tuple[str, ...] | list[str]) -> Column:
-    out = F.lit(False)
-    for p in phrases:
-        out = out | negation_aware_phrase(col, p)
-    return out
+    return _norm(col).rlike(negation_aware_any_pattern(phrases))
 
 
 def remark_flag_cols(col: Column) -> dict[str, Column]:
