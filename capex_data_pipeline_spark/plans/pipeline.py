@@ -230,7 +230,11 @@ def run_pipeline(
 
     # J4: fail-open — re-include raw rows whose key was neither kept nor
     # audited (reinstate_unknown_exclusions, process_capex.py:12-56).
+    # The W1 output feeds two consumers there (key anti-join build side +
+    # the union), so persist it too.
     if config.fail_open:
+        if config.persist_tagged:
+            processed = processed.persist(StorageLevel.MEMORY_AND_DISK)
         processed = _fail_open(raw_with_id, processed, office, audit)
 
     return PipelineResult(

@@ -49,3 +49,26 @@ def test_events_nanos_become_timestamps(spark):
     df = read_table(spark, "/root/testdata/sf0.001", "events")
     assert isinstance(df.schema["ts"].dataType, T.TimestampType)
     assert df.filter(df.ts.isNull()).count() == 0
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    from capex_data_pipeline_spark.sources.sinks import (
+        csv_bytes,
+        write_csv,
+        write_parquet,
+    )
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    write_csv(df, str(tmp_path / "csv_out"))
+    back = spark.read.option("header", "true").csv(str(tmp_path / "csv_out"))
+    assert back.count() == 10
+
+    write_parquet(df.withColumn("bucket", df.k % 2), str(tmp_path / "pq_out"),
+                  partition_by=["bucket"])
+    back_pq = spark.read.parquet(str(tmp_path / "pq_out"))
+    assert back_pq.count() == 10
+    # partition pruning: only one directory read when filtering the key
+    assert back_pq.filter("bucket = 0").count() == 5
+
+    data = csv_bytes(df)
+    assert data.startswith(b"k\n") and data.count(b"\n") == 11
