@@ -362,6 +362,25 @@ def q10_summary_report(spark, sf_dir):
 
 
 @query(
+    "q26_global_totals",
+    """
+    SELECT count(*) AS total_records,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+    FROM orders
+    """,
+)
+def q26_global_totals(spark, sf_dir):
+    """A2's global totals row (process_capex.py:945-946)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_amount"),
+    )
+
+
+@query(
     "q11_distinct_counts",
     """
     SELECT count(DISTINCT o_custkey) AS n_custs,

@@ -597,6 +597,27 @@ def q52_session_window(spark, sf_dir):
     return session_window_agg(_t(spark, sf_dir, "events"), "30 minutes")
 
 
+@query(
+    "q53_user_activity",
+    """
+    SELECT user_id,
+           CAST(count(DISTINCT strftime(ts, '%Y-%m-%d')) AS INTEGER) AS n_active_days,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def q53_user_activity(spark, sf_dir):
+    """Per-user activity profile — the batch-equivalent form of the
+    custom stateful streaming operator (streaming/stateful.py,
+    applyInPandasWithState); commutative state makes the two provably
+    identical, verified in tests/test_streaming.py."""
+    from capex_data_pipeline_spark.streaming.stateful import user_activity_batch
+
+    return user_activity_batch(_t(spark, sf_dir, "events"))
+
+
 # =========================================================================
 # Multimodal plumbing
 # =========================================================================

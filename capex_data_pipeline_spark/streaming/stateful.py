@@ -1,0 +1,97 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState`` —
+the escape hatch for per-key streaming logic the built-in windowed
+aggregations can't express.
+
+Operator: per-user activity profile — distinct active days, event count,
+value sum. The state transition is a commutative monoid (set-union +
+sums), so results are EXACTLY batch-equivalent under any micro-batch
+arrival order — which is what makes the batch formulation a valid
+oracle for the streaming one (tests/test_streaming.py).
+
+State lives per group in the state store (checkpointed, recoverable);
+``GroupStateTimeout.NoTimeout`` keeps profiles forever — production
+would use event-time timeout to age out idle users.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_active_days", T.IntegerType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("days", T.ArrayType(T.StringType())),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def _update(key, pdfs: Iterator, state: GroupState) -> Iterator:
+    import pandas as pd
+
+    days: set[str] = set()
+    n_events = 0
+    sum_value = 0.0
+    if state.exists:
+        prev_days, prev_n, prev_sum = state.get
+        days.update(prev_days or [])
+        n_events = prev_n or 0
+        sum_value = prev_sum or 0.0
+    for pdf in pdfs:
+        days.update(pdf["ts"].dt.strftime("%Y-%m-%d"))
+        n_events += len(pdf)
+        sum_value += float(pdf["value"].fillna(0.0).sum())
+    state.update((sorted(days), n_events, sum_value))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_active_days": [len(days)],
+            "n_events": [n_events],
+            "sum_value": [round(sum_value, 2)],
+        }
+    )
+
+
+def user_activity_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user activity profile (emits the updated profile for
+    each user touched by a micro-batch)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def user_activity_batch(events: DataFrame) -> DataFrame:
+    """The batch-equivalent formulation (the correctness oracle)."""
+    return events.groupBy("user_id").agg(
+        F.countDistinct(F.date_format("ts", "yyyy-MM-dd"))
+        .cast("int")
+        .alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,6)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("sum_value"),
+    )

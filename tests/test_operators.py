@@ -1,0 +1,140 @@
+"""Operator edge semantics: date parsing modes, W1 tie routing, audit
+attribution, summary shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from capex_data_pipeline_spark.operators.aggregates import (
+    analytics_summary,
+    parse_request_date,
+    summary_report,
+    value_counts,
+)
+from capex_data_pipeline_spark.operators.audit import build_audit
+from capex_data_pipeline_spark.operators.rules import (
+    PASS_A,
+    accumulate_pass,
+    init_tags,
+)
+from capex_data_pipeline_spark.operators.windows import select_representative_rows
+
+
+def test_date_parsing_default_dayfirst(spark):
+    df = spark.createDataFrame(
+        [("17-04-2025",), ("05-06-2025",), ("garbage",), (None,)], "RequestDate string"
+    )
+    got = {str(r.RequestDate) for r in parse_request_date(df).collect()}
+    assert got == {"2025-04-17", "2025-06-05", "None"}
+
+
+def test_date_parsing_legacy_monthfirst_bug(spark):
+    """legacy_dates reproduces the reference's pd.to_datetime default:
+    ambiguous values parse month-first, unambiguous fall back day-first
+    (process_capex.py:928, quirk register)."""
+    df = spark.createDataFrame(
+        [("17-04-2025",), ("05-06-2025",)], "RequestDate string"
+    )
+    got = {str(r.RequestDate) for r in parse_request_date(df, legacy_dates=True).collect()}
+    assert got == {"2025-04-17", "2025-05-06"}
+
+
+def _w1_frame(spark, rows):
+    cols = "RequestNo string, AssetItemName string, CurrentStatus string, IsSelectedVendor string, RequestFunction string, _row_id long"
+    return spark.createDataFrame(rows, cols)
+
+
+def test_w1_small_groups_keep_all(spark):
+    rows = [("R1", f"i{i}", "Approved", "Yes", "Ops", i) for i in range(3)]
+    rows += [("R2", f"i{i}", "Approved", "Yes", "Ops", 10 + i) for i in range(5)]
+    out = select_representative_rows(_w1_frame(spark, rows))
+    counts = {r.RequestNo: r.n for r in out.groupBy("RequestNo").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"R1": 3, "R2": 5}
+
+
+def test_w1_caps_at_five_highest_priority(spark):
+    rows = [
+        ("R1", "low1", "Rejected", None, "Ops", 0),
+        ("R1", "hi1", "Approved", "Yes", "Ops", 1),
+        ("R1", "hi2", "Approved", "Yes", "Ops", 2),
+        ("R1", "hi3", "Approved", None, "Ops", 3),
+        ("R1", "mid1", "Sent for Approval", None, "Ops", 4),
+        ("R1", "mid2", "Sent for Approval", None, "Ops", 5),
+        ("R1", "low2", "Rejected", None, "Ops", 6),
+    ]
+    out = select_representative_rows(_w1_frame(spark, rows))
+    kept = {r.AssetItemName for r in out.collect()}
+    # distinct priorities: 110,110,100,50,50,0,0 — unique top-5 set
+    assert kept == {"hi1", "hi2", "hi3", "mid1", "mid2"}
+
+
+def test_w1_boundary_tie_matches_reference(spark, reference_mod):
+    """A priority tie straddling rank 5 routes through the pandas-replay
+    path; the kept set must equal the reference's for the same frame."""
+    import contextlib
+    import io
+
+    import pandas as pd
+
+    rows = [
+        ("R1", f"item{i}", "Approved", "Yes", "Ops", i) for i in range(8)
+    ]  # 8 rows all priority 110 -> ambiguous boundary
+    pdf = pd.DataFrame(
+        rows,
+        columns=["RequestNo", "AssetItemName", "CurrentStatus", "IsSelectedVendor", "RequestFunction", "_row_id"],
+    ).drop(columns=["_row_id"])
+    with contextlib.redirect_stdout(io.StringIO()):
+        ref_out = reference_mod.select_representative_rows_per_requestno(pdf.copy())
+    ref_kept = sorted(ref_out["AssetItemName"].tolist())
+
+    out = select_representative_rows(_w1_frame(spark, rows))
+    got = sorted(r.AssetItemName for r in out.collect())
+    assert got == ref_kept
+
+
+def test_audit_records_last_removing_rule(spark):
+    """A key whose rows die under different rules is attributed to the
+    rule that removed its LAST row (reference semantics: a key is only
+    recorded once no row carries it, process_capex.py:197-220)."""
+    from tests.conftest import RAW_COLUMNS, make_raw_row
+
+    import pandas as pd
+
+    rows = [
+        # same robust key pieces; row 1 dies at F1 (rejected), row 2 at F3
+        make_raw_row(request_no="K1", item="Shared Item", status="Rejected"),
+        make_raw_row(request_no="K1", item="Shared Item", function="Sales"),
+        # a key where one row survives: must NOT be audited
+        make_raw_row(request_no="K2", item="Other Item", status="Rejected"),
+        make_raw_row(request_no="K2", item="Other Item"),
+    ]
+    pdf = pd.DataFrame(rows, columns=RAW_COLUMNS)
+    from capex_data_pipeline_spark.schemas import CAPEX_RAW_SCHEMA
+
+    df = init_tags(
+        spark.createDataFrame(pdf, schema=CAPEX_RAW_SCHEMA).withColumn(
+            "_row_id", F.monotonically_increasing_id()
+        )
+    )
+    tagged = accumulate_pass(df, PASS_A)
+    kept = tagged.filter(F.col("_excl_order").isNull())
+    audit = build_audit([tagged.filter(F.col("_excl_order").isNotNull())], kept)
+    rows_a = {r.CompositeKey: r.label for r in audit.collect()}
+    assert rows_a == {
+        "K1|Shared Item|Acme Corp": "3: Removed RequestFunction (CS/FA/Sales/Channel/Vigilance)"
+    }
+
+
+def test_summary_shapes(spark, raw_sdf, office_sdf):
+    from capex_data_pipeline_spark.plans.pipeline import run_pipeline
+
+    res = run_pipeline(raw_sdf, office_sdf)
+    rep = summary_report(res.processed)
+    assert set(rep) == {"Zone", "AssetCategoryName", "RequestFunction", "CurrentStatus", "totals"}
+    totals = rep["totals"].collect()[0]
+    assert totals["total_records"] == res.processed.count()
+    a = analytics_summary(res.processed, "Zone")
+    assert set(a.columns) == {"Zone", "Count", "Total_Amount", "Average_Amount"}
+    vc = value_counts(res.processed, "Zone").collect()
+    assert sum(r["count"] for r in vc) == res.processed.count()

@@ -83,6 +83,38 @@ def test_session_stream_matches_batch(spark, events_stream_dir):
     assert got == batch
 
 
+def test_stateful_user_activity_matches_batch(spark, events_stream_dir):
+    """applyInPandasWithState profile == batch aggregation (the state
+    transition is commutative, so any micro-batching gives the same
+    final answer). The memory sink in update mode may emit a row per
+    batch per user; the LAST emission per user is the final profile."""
+    from capex_data_pipeline_spark.streaming.stateful import (
+        user_activity_batch,
+        user_activity_stream,
+    )
+
+    batch = {
+        r.user_id: (r.n_active_days, r.n_events, r.sum_value)
+        for r in user_activity_batch(read_table(spark, SF_DIR, "events")).collect()
+    }
+    stream = user_activity_stream(_streaming_events(spark, events_stream_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("activity_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM activity_mem").collect()
+    got = {}
+    for r in rows:  # later emissions overwrite earlier (monotone counters)
+        cur = got.get(r.user_id)
+        if cur is None or r.n_events >= cur[1]:
+            got[r.user_id] = (r.n_active_days, r.n_events, r.sum_value)
+    assert got == batch
+
+
 def test_stream_dedup_suppresses_duplicates(spark, tmp_path):
     import pandas as pd
 
