@@ -378,14 +378,18 @@ def tag_pass(df: DataFrame, rules: tuple[ExclusionRule, ...]) -> DataFrame:
     more than once, so the staging survives optimization.)
     """
     shared = PASS_SHARED.get(id(rules), {})
-    staged = df
-    for name, build in shared.items():
-        staged = staged.withColumn(name, build())
-    pred_names = []
-    for rule in rules:
-        name = f"_pred_{rule.order}"
-        pred_names.append(name)
-        staged = staged.withColumn(name, F.coalesce(rule.predicate(), F.lit(False)))
+    # two batched withColumns calls: every withColumn triggers a full
+    # plan re-analysis on the driver, which adds up on a plan this wide
+    stage_cols: dict[str, Column] = {name: build() for name, build in shared.items()}
+    # shared columns must resolve before predicates that reference them
+    staged = df.withColumns(stage_cols) if stage_cols else df
+    pred_names = [f"_pred_{rule.order}" for rule in rules]
+    staged = staged.withColumns(
+        {
+            f"_pred_{rule.order}": F.coalesce(rule.predicate(), F.lit(False))
+            for rule in rules
+        }
+    )
 
     order_expr: Column = F.lit(None).cast("int")
     label_expr: Column = F.lit(None).cast("string")
@@ -400,13 +404,14 @@ def tag_pass(df: DataFrame, rules: tuple[ExclusionRule, ...]) -> DataFrame:
         value_expr = F.when(
             pred, F.col(rule.audit_column).cast("string")
         ).otherwise(value_expr)
-    return (
-        staged.withColumn("_excl_order", order_expr)
-        .withColumn("_excl_label", label_expr)
-        .withColumn("_excl_column", column_expr)
-        .withColumn("_excl_value", value_expr)
-        .drop(*pred_names, *shared.keys())
-    )
+    return staged.withColumns(
+        {
+            "_excl_order": order_expr,
+            "_excl_label": label_expr,
+            "_excl_column": column_expr,
+            "_excl_value": value_expr,
+        }
+    ).drop(*pred_names, *shared.keys())
 
 
 def split_pass(
@@ -427,11 +432,13 @@ TAG_COLUMNS = ("_excl_order", "_excl_label", "_excl_column", "_excl_value")
 
 def init_tags(df: DataFrame) -> DataFrame:
     """Start the accumulated-lineage frame: null tag columns."""
-    return (
-        df.withColumn("_excl_order", F.lit(None).cast("int"))
-        .withColumn("_excl_label", F.lit(None).cast("string"))
-        .withColumn("_excl_column", F.lit(None).cast("string"))
-        .withColumn("_excl_value", F.lit(None).cast("string"))
+    return df.withColumns(
+        {
+            "_excl_order": F.lit(None).cast("int"),
+            "_excl_label": F.lit(None).cast("string"),
+            "_excl_column": F.lit(None).cast("string"),
+            "_excl_value": F.lit(None).cast("string"),
+        }
     )
 
 
@@ -447,21 +454,24 @@ def accumulate_pass(df: DataFrame, rules: tuple[ExclusionRule, ...]) -> DataFram
     discarded by the coalesce), trading a little CPU for plan linearity.
     """
     stage = tag_pass(
-        df.withColumnRenamed("_excl_order", "_prev_order")
-        .withColumnRenamed("_excl_label", "_prev_label")
-        .withColumnRenamed("_excl_column", "_prev_column")
-        .withColumnRenamed("_excl_value", "_prev_value"),
+        df.withColumnsRenamed(
+            {
+                "_excl_order": "_prev_order",
+                "_excl_label": "_prev_label",
+                "_excl_column": "_prev_column",
+                "_excl_value": "_prev_value",
+            }
+        ),
         rules,
     )
-    merged = (
-        stage.withColumn("_excl_order", F.coalesce("_prev_order", "_excl_order"))
-        .withColumn("_excl_label", F.coalesce("_prev_label", "_excl_label"))
-        .withColumn("_excl_column", F.coalesce("_prev_column", "_excl_column"))
-        .withColumn(
-            "_excl_value",
-            F.when(F.col("_prev_order").isNotNull(), F.col("_prev_value")).otherwise(
-                F.col("_excl_value")
-            ),
-        )
+    merged = stage.withColumns(
+        {
+            "_excl_order": F.coalesce("_prev_order", "_excl_order"),
+            "_excl_label": F.coalesce("_prev_label", "_excl_label"),
+            "_excl_column": F.coalesce("_prev_column", "_excl_column"),
+            "_excl_value": F.when(
+                F.col("_prev_order").isNotNull(), F.col("_prev_value")
+            ).otherwise(F.col("_excl_value")),
+        }
     )
     return merged.drop("_prev_order", "_prev_label", "_prev_column", "_prev_value")
