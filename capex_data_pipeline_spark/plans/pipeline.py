@@ -111,6 +111,11 @@ def run_pipeline(
     # pass A: F1 rejected, F2 dash vendor, F3 functions, F4 equipment
     df = accumulate_pass(df, PASS_A)
 
+    # snapshot the one other column a projection mutates (P2): fail-open
+    # reconstructs ORIGINAL raw rows from the tagged frame instead of
+    # re-scanning the input (at 100 TB the second scan is the cost)
+    df = df.withColumn("_orig_category", F.col("AssetCategoryName"))
+
     # P2 office/furniture re-cat (mutates AssetCategoryName), then P1
     # normalize into AssetCategoryName_2 — reference order :1123-1125.
     df = apply_normalize_category(apply_office_furniture_recat(df))
@@ -185,9 +190,23 @@ def run_pipeline(
     if config.persist_tagged:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
 
-    _internal = ("_cat_pre_p3", "_remarks_pre_p5")
+    _internal = ("_cat_pre_p3", "_remarks_pre_p5", "_orig_category")
     kept = df.filter(F.col("_excl_order").isNull()).drop(*TAG_COLUMNS, *_internal)
     excluded = df.filter(F.col("_excl_order").isNotNull()).drop(*_internal)
+
+    # raw-shaped reconstruction (original column values, pre-mutation)
+    # for the fail-open path — avoids a second scan of the input
+    raw_shape = df.select(
+        *[
+            F.col("_orig_category").alias("AssetCategoryName")
+            if c == "AssetCategoryName"
+            else F.col("_remarks_pre_p5").alias("UserRemarks")
+            if c == "UserRemarks"
+            else F.col(c)
+            for c in raw.columns
+        ],
+        "_row_id",
+    )
 
     # Rows that survived rules F1-F13: the reference computes the pivot
     # (:1147) and the P4 extracts (:1151) at that point in the DAG, so
@@ -235,7 +254,7 @@ def run_pipeline(
     if config.fail_open:
         if config.persist_tagged:
             processed = processed.persist(StorageLevel.MEMORY_AND_DISK)
-        processed = _fail_open(raw_with_id, processed, office, audit)
+        processed = _fail_open(raw_shape, processed, office, audit)
 
     return PipelineResult(
         processed=processed,
