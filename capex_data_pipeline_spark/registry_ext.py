@@ -100,7 +100,9 @@ def q25_negation_flags(spark, sf_dir):
     lookbehind (functions.text)."""
     from capex_data_pipeline_spark.functions.text import negation_aware_phrase
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return docs.select(
         "doc_id",
         negation_aware_phrase(F.col("text"), "merge").alias("flag_merge"),
@@ -378,6 +380,19 @@ def q91_capex_audit(spark, sf_dir):
     return res.audit
 
 
+@query("q37_ann_ivf")  # rows-only: k-means centers are model state
+def q37_ann_ivf(spark, sf_dir):
+    """IVF approximate top-10 (k-means coarse quantizer, nprobe=3 of 16
+    cells, exact re-rank inside probed cells) — the scale path for
+    similarity search alongside the SRP-LSH variant; recall vs the exact
+    q34 baseline asserted in tests/test_extensions.py."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries, k=10, n_cells=16, nprobe=3)
+
+
 @query("q36_ann_lsh")  # rows-only: hyperplane constants live Python-side
 def q36_ann_lsh(spark, sf_dir):
     """Approximate top-10 via sign-random-projection LSH (2 tables × 8
@@ -463,7 +478,9 @@ def q40_lang_id(spark, sf_dir):
 def q41_quality_score(spark, sf_dir):
     """Document quality features + composite score (length, punctuation,
     stopword heuristics)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     m = TS.quality_metrics(F.col("text"))
     return docs.select(
         "doc_id",
@@ -513,7 +530,9 @@ def q42_token_count(spark, sf_dir):
 def q43_fingerprint(spark, sf_dir):
     """Document fingerprints: exact (md5 of normalized text) + rolling
     8-word minimum shingle hash (winnowing-flavored)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return docs.select(
         "doc_id",
         D.text_fingerprint(F.col("text")).alias("exact_fp"),

@@ -112,6 +112,27 @@ def test_ann_rerank_is_exact_and_recall_positive(emb):
     assert recall_hits > 0  # LSH finds at least some true top-10 neighbors
 
 
+def test_ivf_rerank_exact_and_good_recall(emb):
+    from capex_data_pipeline_spark.extensions.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4).collect()
+    all_cos = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, queries, k=10_000).collect()
+    }
+    for r in approx:
+        assert all_cos[(r.query_id, r.neighbor_id)] == r.cosine
+    recall = sum(1 for r in approx if (r.query_id, r.neighbor_id) in exact) / len(exact)
+    # probing the 4 nearest of 16 cells should recover a decent share of
+    # the true top-10 (the quantizer clusters by direction)
+    assert recall >= 0.3
+
+
 def test_multimodal_decode_roundtrip(spark, docs):
     media = documents_as_media(docs.select("doc_id", "text"))
     decoded = {r.media_id: r for r in decode_media(media, fake=True).collect()}
