@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from capex_data_pipeline_spark.functions.keys import robust_key, strict_composite_key
@@ -56,10 +57,7 @@ from capex_data_pipeline_spark.operators.projections import (
     contains_any_ci,
     normalized_category,
 )
-from capex_data_pipeline_spark.operators.windows import (
-    dedup_keep_first,
-    select_representative_rows,
-)
+from capex_data_pipeline_spark.operators.windows import select_representative_rows
 
 GOLDEN_FILTER_LABEL = "Post: Not in final_data RequestNos"
 _GOLDEN_RULE_ORDER = 99
@@ -274,6 +272,10 @@ def _fail_open(
     reinstate_unknown_exclusions (process_capex.py:12-56) including its
     side effects on already-processed rows:
 
+    - when NOTHING needs re-including the reference early-returns
+      (:26-28,:38-39) — none of the side effects below happen. That
+      global condition is carried in-plan as a broadcast 1-row flag so
+      the pipeline stays lazy;
     - re-running P1 on the merged frame erases P3's
       'PLANT & MACHINERY - <item>' labels from AssetCategoryName_2
       (process_capex.py:43-46) — a real reference quirk;
@@ -302,21 +304,43 @@ def _fail_open(
         .withColumn("FailOpenNote", F.lit("Unknown exclusion; fail-open applied"))
     )
 
+    # the reference's early-return condition, as data: did anything get
+    # re-included? (1-row broadcast; gates every side effect below)
+    has_addback = add_back.agg(
+        (F.count(F.lit(1)) > 0).alias("_failopen_active")
+    )
+
     merged = processed.unionByName(add_back, allowMissingColumns=True)
+    merged = merged.crossJoin(F.broadcast(has_addback))
+    active = F.col("_failopen_active")
+
     # P1 re-run on the merged frame (erases P3 suffixes — see docstring)
     merged = merged.withColumn(
-        "AssetCategoryName_2", normalized_category(F.col("AssetCategoryName"))
+        "AssetCategoryName_2",
+        F.when(active, normalized_category(F.col("AssetCategoryName"))).otherwise(
+            F.col("AssetCategoryName_2")
+        ),
     )
-    # zone join re-run; drop previous Zone/Region first
-    merged = add_zone_region(merged.drop("Zone", "Region"), office)
-    # keep processed rows over re-included ones, then raw input order
-    merged = merged.withColumn(
-        "_failopen_ord",
+    # zone join re-run; blend with the previous values under the flag
+    merged = add_zone_region(
+        merged.withColumnsRenamed({"Zone": "_old_zone", "Region": "_old_region"}),
+        office,
+    )
+    merged = merged.withColumns(
+        {
+            "Zone": F.when(active, F.col("Zone")).otherwise(F.col("_old_zone")),
+            "Region": F.when(active, F.col("Region")).otherwise(F.col("_old_region")),
+        }
+    ).drop("_old_zone", "_old_region")
+    # keep processed rows over re-included ones, then raw input order —
+    # but only dedup at all when the fail-open actually fired
+    w = Window.partitionBy("CompositePrimaryKey", "AssetItemAmount").orderBy(
         F.when(F.col("ReincludedViaFailOpen").isNotNull(), F.lit(1)).otherwise(F.lit(0)),
+        F.asc("_row_id"),
     )
-    merged = dedup_keep_first(
-        merged,
-        ["CompositePrimaryKey", "AssetItemAmount"],
-        order_cols=["_failopen_ord", "_row_id"],
-    ).drop("_failopen_ord")
+    merged = (
+        merged.withColumn("_dedup_rn", F.row_number().over(w))
+        .filter(~active | (F.col("_dedup_rn") == 1))
+        .drop("_dedup_rn", "_failopen_active")
+    )
     return merged
