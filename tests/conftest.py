@@ -251,3 +251,4 @@ def office_sdf(spark, office_pdf):
     from capex_data_pipeline_spark.schemas import OFFICE_LOCATION_SCHEMA
 
     return spark.createDataFrame(office_pdf, schema=OFFICE_LOCATION_SCHEMA)
+
