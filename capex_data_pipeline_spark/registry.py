@@ -662,5 +662,64 @@ def q18_except(spark, sf_dir):
     return cust.exceptAll(okeys.distinct()).distinct()
 
 
+@query(
+    "q28_rollup_subtotals",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q28_rollup_subtotals(spark, sf_dir):
+    """Hierarchical subtotals via ROLLUP — beyond the reference's four
+    separate group-bys (SURVEY.md §2.5 notes it never uses grouping
+    sets); one pass produces per-(status,priority), per-status and grand
+    totals."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "q54_running_analytics",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           round(sum(o_totalprice) OVER w, 2) AS running_total,
+           round(coalesce(lag(o_totalprice) OVER w, 0.0), 2) AS prev_price,
+           ntile(4) OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice, o_orderkey) AS price_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def q54_running_analytics(spark, sf_dir):
+    """Analytic window functions (running sum, lag, ntile) — absent from
+    the reference (SURVEY.md §2.6) but core engine surface; deterministic
+    via orderkey tiebreaks."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wq = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ), F.lit(0.0)), 2).alias("prev_price"),
+        F.ntile(4).over(wq).alias("price_quartile"),
+    )
+
+
 # extension queries register themselves on import (same QUERIES/ORACLES)
 from capex_data_pipeline_spark import registry_ext  # noqa: E402,F401  isort:skip
