@@ -688,7 +688,7 @@ def q28_rollup_subtotals(spark, sf_dir):
     "q54_running_analytics",
     """
     SELECT o_custkey, o_orderkey,
-           CAST(o_orderdate AS DATE) AS order_date,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            round(sum(o_totalprice) OVER w, 2) AS running_total,
            round(coalesce(lag(o_totalprice) OVER w, 0.0), 2) AS prev_price,
            ntile(4) OVER (PARTITION BY o_custkey
@@ -712,7 +712,7 @@ def q54_running_analytics(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
         F.round(F.coalesce(F.lag("o_totalprice").over(
             Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
