@@ -27,6 +27,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # The events table carries INT64 TIMESTAMP(NANOS) parquet columns, which
+    # Spark rejects outright unless nanosAsLong is set.  The conf is
+    # runtime-settable (non-static SQL conf), so set it here rather than at
+    # session build — consuming sessions we don't construct (e.g. an external
+    # driver harness) must work too.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer division: truncate nanos exactly like DuckDB's epoch_us

@@ -51,6 +51,18 @@ def test_events_nanos_become_timestamps(spark):
     assert df.filter(df.ts.isNull()).count() == 0
 
 
+def test_events_readable_without_session_conf(spark):
+    # Driver-harness contract: the consuming session may not have set
+    # nanosAsLong at build time; read_table must still succeed.
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = read_table(spark, "/root/testdata/sf0.001", "events")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+        assert df.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def test_sinks_roundtrip(spark, tmp_path):
     from capex_data_pipeline_spark.sources.sinks import (
         csv_bytes,
