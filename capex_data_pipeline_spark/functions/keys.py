@@ -31,15 +31,22 @@ def strict_composite_key(
     return F.concat_ws("|", _part(request_no), _part(item_name), _part(vendor_name))
 
 
+def _astype_str_part(col: Column) -> Column:
+    """pandas ``astype(str)``-first rendering: null -> literal 'nan'
+    (the subsequent ``fillna('')`` in the reference is a no-op because
+    astype already stringified the NaN)."""
+    return F.trim(F.when(col.isNull(), F.lit("nan")).otherwise(col.cast("string")))
+
+
 def robust_key(request_no: Column, item_name: Column, vendor_name: Column) -> Column:
     """3-part key when vendor present, else 2-part (process_capex.py:168-179).
 
-    The literal string ``'nan'`` counts as empty — the reference
-    stringifies NaN before cleaning it up, and real vendor columns that
-    went through that path carry the artifact.
+    The reference runs ``astype(str)`` *before* ``fillna``, so null
+    RequestNo/AssetItemName render as the literal ``'nan'`` in the key;
+    only VendorName's 'nan' is cleaned back to '' (``replace({'nan': ''})``).
     """
-    req = _part(request_no)
-    item = _part(item_name)
+    req = _astype_str_part(request_no)
+    item = _astype_str_part(item_name)
     vendor = _part(vendor_name)
     vendor = F.when(vendor == "nan", F.lit("")).otherwise(vendor)
     short = F.concat_ws("|", req, item)

@@ -9,7 +9,9 @@ combined with "only when the key fully disappears", means:
 
     key K is audited  ⇔  every row of K was excluded by some rule
     recording rule    =  max(rule order) over K's rows' first-match tags
-    recorded row      =  min(_row_id) among rows tagged with that order
+    recorded row      =  first row tagged with that order, in the frame
+                         order the recording step saw (the F8-F13 concat
+                         permutations applied before it, then input order)
 
 (the max because K "fully disappears" only at the last step that removes
 a row of K; earlier steps see K still present and skip it.)
@@ -27,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from capex_data_pipeline_spark.functions.keys import robust_key
+from capex_data_pipeline_spark.operators.windows import frame_order_at
 
 AUDIT_COLUMNS = ("CompositeKey", "rule_order", "label", "column", "value")
 
@@ -57,6 +60,9 @@ def build_audit(
                 F.col("_excl_label").alias("label"),
                 F.col("_excl_column").alias("column"),
                 F.col("_excl_value").alias("value"),
+                # the frame order the recording step itself iterated —
+                # splits that ran before the row's exclusion step count
+                frame_order_at(F.col("_excl_order")).alias("_step_ord"),
                 "_row_id",
             )
             for f in excluded_frames
@@ -65,7 +71,7 @@ def build_audit(
     surviving_keys = _with_key(kept_after_rules).select("CompositeKey").distinct()
     fully_gone = tagged.join(surviving_keys, "CompositeKey", "left_anti")
     w = Window.partitionBy("CompositeKey").orderBy(
-        F.desc("rule_order"), F.asc("_row_id")
+        F.desc("rule_order"), F.asc("_step_ord"), F.asc("_row_id")
     )
     return (
         fully_gone.withColumn("_rn", F.row_number().over(w))

@@ -11,15 +11,20 @@ from capex_data_pipeline_spark.operators.projections import priority_col
 TOP_K_PER_REQUEST = 5
 
 
-def w1_frame_order() -> "F.Column":
-    """The frame order the reference's W1 actually sees.
+def frame_order_at(step: "F.Column | None" = None) -> "F.Column":
+    """The reference frame's row order as seen at a given pipeline step.
 
     The split-filter-union stages F8/F9/F11/F12/F13 each move their
     function's rows to the front (pd.concat([kept_subset, rest]),
-    process_capex.py:540,585,633,663,693), so by the time the stable
-    priority sort runs, input order is the composition of those
-    permutations — most recent split outermost. Encoded as one integer;
-    ties inside resolve by the ingest ``_row_id`` (original file order).
+    process_capex.py:540,585,633,663,693), so a step's input order is
+    the composition of the permutations applied *before* it — most
+    recent split outermost. Encoded as one integer; ties inside resolve
+    by the ingest ``_row_id`` (original file order).
+
+    ``step`` is the rule order of the observing step: split ``s``'s
+    permutation counts only when ``step > s`` (a step removing rows at
+    order ``s`` iterates the frame as it was *before* its own split).
+    ``None`` means "after all splits" — W1's view.
     """
     rf = F.col("RequestFunction")
     status = F.col("CurrentStatus")
@@ -27,12 +32,25 @@ def w1_frame_order() -> "F.Column":
     def moved_first(cond) -> "F.Column":
         return F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
 
-    b8 = moved_first(rf == "IT")
-    b9 = moved_first(status.isin("Approval in Progress", "Sent for Approval"))
-    b11 = moved_first(rf == "Admin")
-    b12 = moved_first(rf == "Ops")
-    b13 = moved_first(rf == "Ops through IT")
-    return b13 * 16 + b12 * 8 + b11 * 4 + b9 * 2 + b8
+    splits = [
+        (8, moved_first(rf == "IT"), 1),
+        (9, moved_first(status.isin("Approval in Progress", "Sent for Approval")), 2),
+        (11, moved_first(rf == "Admin"), 4),
+        (12, moved_first(rf == "Ops"), 8),
+        (13, moved_first(rf == "Ops through IT"), 16),
+    ]
+    total = F.lit(0)
+    for order, bit, weight in splits:
+        term = bit * weight
+        if step is not None:
+            term = F.when(step > order, term).otherwise(F.lit(0))
+        total = total + term
+    return total
+
+
+def w1_frame_order() -> "F.Column":
+    """The frame order the reference's W1 sees (after every split)."""
+    return frame_order_at(None)
 
 
 def select_representative_rows(df: DataFrame, exact_ties: bool = True) -> DataFrame:

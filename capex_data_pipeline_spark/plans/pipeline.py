@@ -57,7 +57,10 @@ from capex_data_pipeline_spark.operators.projections import (
     contains_any_ci,
     normalized_category,
 )
-from capex_data_pipeline_spark.operators.windows import select_representative_rows
+from capex_data_pipeline_spark.operators.windows import (
+    select_representative_rows,
+    w1_frame_order,
+)
 
 GOLDEN_FILTER_LABEL = "Post: Not in final_data RequestNos"
 _GOLDEN_RULE_ORDER = 99
@@ -332,10 +335,18 @@ def _fail_open(
             "Region": F.when(active, F.col("Region")).otherwise(F.col("_old_region")),
         }
     ).drop("_old_zone", "_old_region")
-    # keep processed rows over re-included ones, then raw input order —
-    # but only dedup at all when the fail-open actually fired
+    # keep processed rows over re-included ones; within the processed
+    # side the reference's keep='first' sees the W1 output order
+    # (priority desc, then the split-permutation frame order), while
+    # re-included rows follow raw input order — but only dedup at all
+    # when the fail-open actually fired
+    is_reincluded = F.col("ReincludedViaFailOpen").isNotNull()
     w = Window.partitionBy("CompositePrimaryKey", "AssetItemAmount").orderBy(
-        F.when(F.col("ReincludedViaFailOpen").isNotNull(), F.lit(1)).otherwise(F.lit(0)),
+        F.when(is_reincluded, F.lit(1)).otherwise(F.lit(0)),
+        F.when(is_reincluded, F.lit(0)).otherwise(
+            -F.coalesce(F.col("priority"), F.lit(0))
+        ),
+        F.when(is_reincluded, F.lit(0)).otherwise(w1_frame_order()),
         F.asc("_row_id"),
     )
     merged = (

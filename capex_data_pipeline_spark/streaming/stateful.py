@@ -35,9 +35,22 @@ STATE_SCHEMA = T.StructType(
     [
         T.StructField("days", T.ArrayType(T.StringType())),
         T.StructField("n_events", T.LongType()),
-        T.StructField("sum_value", T.DoubleType()),
+        # integer micro-units: int64 addition is an exact, associative
+        # monoid, so the accumulated sum is identical under ANY
+        # micro-batch split/arrival order (float += is not associative
+        # and would drift from the batch oracle's exact decimal sum)
+        T.StructField("sum_value_micros", T.LongType()),
     ]
 )
+
+
+def _round_like_spark(x: float) -> float:
+    """Spark's ROUND on doubles goes through BigDecimal.valueOf (shortest
+    decimal repr) with HALF_UP; Python's round() is half-even. Mirror
+    Spark so stream output == batch-oracle output bit-for-bit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.01"), ROUND_HALF_UP))
 
 
 def _update(key, pdfs: Iterator, state: GroupState) -> Iterator:
@@ -45,30 +58,38 @@ def _update(key, pdfs: Iterator, state: GroupState) -> Iterator:
 
     days: set[str] = set()
     n_events = 0
-    sum_value = 0.0
+    sum_micros = 0
     if state.exists:
         prev_days, prev_n, prev_sum = state.get
         days.update(prev_days or [])
         n_events = prev_n or 0
-        sum_value = prev_sum or 0.0
+        sum_micros = prev_sum or 0
     for pdf in pdfs:
         days.update(pdf["ts"].dt.strftime("%Y-%m-%d"))
         n_events += len(pdf)
-        sum_value += float(pdf["value"].fillna(0.0).sum())
-    state.update((sorted(days), n_events, sum_value))
+        sum_micros += int(pdf["value_micros"].sum())
+    state.update((sorted(days), n_events, sum_micros))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_active_days": [len(days)],
             "n_events": [n_events],
-            "sum_value": [round(sum_value, 2)],
+            "sum_value": [_round_like_spark(sum_micros / 1_000_000)],
         }
     )
 
 
 def user_activity_stream(events: DataFrame) -> DataFrame:
     """Streaming per-user activity profile (emits the updated profile for
-    each user touched by a micro-batch)."""
+    each user touched by a micro-batch).
+
+    ``value`` is converted to integer micros JVM-side with the same
+    DECIMAL(18,6) cast the batch oracle uses, so the per-row quantization
+    is identical by construction; the state then sums exactly."""
+    events = events.withColumn(
+        "value_micros",
+        F.expr("CAST(CAST(coalesce(value, 0.0) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"),
+    )
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(

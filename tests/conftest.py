@@ -234,9 +234,14 @@ def office_pdf():
 
 @pytest.fixture(scope="session")
 def raw_pdf():
+    import numpy as np
     import pandas as pd
 
-    return pd.DataFrame(synthetic_raw_rows(), columns=RAW_COLUMNS)
+    df = pd.DataFrame(synthetic_raw_rows(), columns=RAW_COLUMNS)
+    # CSV-faithful missing values: the reference ingests via read_csv, where
+    # missing cells are NaN (astype(str) -> 'nan'), never Python None
+    # (astype(str) -> 'None'). Spark null == pandas NaN on that path.
+    return df.where(df.notna(), np.nan)
 
 
 @pytest.fixture(scope="session")

@@ -33,20 +33,7 @@ def _run_reference(reference_mod, raw_pdf, office_pdf, monkeypatch, tmp_path):
 
 
 def _ref_keys(pdf):
-    import pandas as pd
-
-    req = pdf["RequestNo"].fillna("").astype(str).str.strip()
-    item = pdf["AssetItemName"].fillna("").astype(str).str.strip()
-    vendor = (
-        pdf.get("VendorName", pd.Series([""] * len(pdf)))
-        .fillna("")
-        .astype(str)
-        .str.strip()
-        .replace({"nan": ""})
-    )
-    full = req + "|" + item + "|" + vendor
-    short = req + "|" + item
-    return sorted((full.where(vendor != "", short)).tolist())
+    return sorted(_key_series(pdf).tolist())
 
 
 def _spark_keys(sdf):
@@ -108,14 +95,17 @@ def test_zone_region_category_values(both_results):
 
 
 def _key_series(pdf):
+    """The reference's own astype-first builder (process_capex.py:168-179):
+    astype(str) runs before fillna, so nulls render as the literal 'nan'
+    (only VendorName's 'nan' is cleaned back to '')."""
     import pandas as pd
 
-    req = pdf["RequestNo"].fillna("").astype(str).str.strip()
-    item = pdf["AssetItemName"].fillna("").astype(str).str.strip()
+    req = pdf["RequestNo"].astype(str).fillna("").str.strip()
+    item = pdf["AssetItemName"].astype(str).fillna("").str.strip()
     vendor = (
         pdf.get("VendorName", pd.Series([""] * len(pdf)))
-        .fillna("")
         .astype(str)
+        .fillna("")
         .str.strip()
         .replace({"nan": ""})
     )

@@ -98,7 +98,11 @@ def test_fuzzed_frames_match_reference(spark, reference_mod, office_pdf, tmp_pat
     from capex_data_pipeline_spark.schemas import CAPEX_RAW_SCHEMA, OFFICE_LOCATION_SCHEMA
     from pyspark.sql import functions as F
 
+    import numpy as np
+
     raw_pdf = pd.DataFrame(rows + ANCHORS, columns=RAW_COLUMNS)
+    # CSV-faithful missing values (None -> NaN); see conftest.raw_pdf
+    raw_pdf = raw_pdf.where(raw_pdf.notna(), np.nan)
 
     tmp = tmp_path_factory.mktemp("fuzz")
     office_pdf.to_csv(tmp / "office_location.csv", index=False)
