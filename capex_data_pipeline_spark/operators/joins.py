@@ -8,81 +8,130 @@ office dimension, so at 100 TB the fact table never shuffles here.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from capex_data_pipeline_spark.operators.rules import sql_str
 
-def add_zone_region(df: DataFrame, office: DataFrame) -> DataFrame:
+
+@dataclass(frozen=True)
+class ZoneMaps:
+    """The office dimension, digested for the J1 join: a broadcastable
+    branch-code frame plus the collected region-code dict. Build it ONCE
+    per office frame (``build_zone_maps``) and reuse — the pipeline
+    attaches zones twice (main plan + fail-open re-join), and each build
+    runs a small driver-side collect job."""
+
+    by_branch: DataFrame
+    rc_rows: tuple  # (code, zone, region) in dict-insertion order
+
+
+def build_zone_maps(office: DataFrame) -> ZoneMaps:
+    """ONE collect of the (small, by construction) office dimension; both
+    reference dicts (process_capex.py:234-239, 259-264) are then literal
+    Python dicts — last-occurrence values, first-occurrence insertion
+    order — and the branch map re-enters the plan as a LocalRelation, so
+    the join's build side needs no shuffle, no aggregation, no job."""
+    rows = office.select("office", "zone", "region", "regioncode").collect()
+
+    branch: dict[str, tuple] = {}  # last occurrence wins (dict assignment)
+    for r in rows:
+        if r["office"] is not None:
+            branch[r["office"]] = (r["zone"], r["region"])
+
+    rc_pos: dict[str, int] = {}  # first occurrence fixes the position
+    rc_val: dict[str, tuple] = {}  # last occurrence fixes the value
+    for i, r in enumerate(rows):
+        if r["regioncode"] is None:
+            continue
+        code = str(r["regioncode"])
+        rc_pos.setdefault(code, i)
+        rc_val[code] = (r["zone"], r["region"])
+
+    spark = office.sparkSession
+    by_branch = spark.createDataFrame(
+        [(k, z, rg) for k, (z, rg) in branch.items()],
+        schema="_dim_office string, _zone_b string, _region_b string",
+    )
+    return ZoneMaps(
+        by_branch=by_branch,
+        rc_rows=tuple(
+            (code, rc_val[code][0], rc_val[code][1])
+            for code in sorted(rc_pos, key=rc_pos.get)
+        ),
+    )
+
+
+def add_zone_region(
+    df: DataFrame, office: DataFrame, maps: ZoneMaps | None = None
+) -> DataFrame:
     """J1 + J1b — Zone/Region via BranchCode equi-join; unmatched rows fall
     back to scanning UserRemarks for a region code as a whole word (first
     code in office-file order wins, process_capex.py:268-279); anything
     still unmatched becomes 'Unknown' (process_capex.py:284-285).
 
     The branch map is a broadcast equi-join (fact side keeps its
-    partitioning — no shuffle). The remarks fallback is compiled into a
-    first-match WHEN chain over the ~21 distinct region codes, collected
-    from the dimension at plan-build time: exactly the reference's
-    Python-dict iteration, fully deterministic, no extra join/window, and
-    row-multiplicity-safe (a join+rank formulation would need a unique
+    partitioning — no shuffle). The remarks fallback compiles the ~21
+    distinct region codes into ONE alternation regex: extract every code
+    occurring in the remark, map each to its dict position, take the min
+    — identical winner to the reference's dict-order iteration, but one
+    regex scan per row instead of one per code, and a compact plan
+    (the old per-code WHEN chain was ~40 nested CASE nodes that every
+    downstream analyzer pass re-walked). Row-multiplicity-safe: no
+    extra join/window (a join+rank formulation would need a unique
     per-row id, which the fail-open union deliberately breaks).
     """
-    # All dim-side columns get underscore-prefixed names up front: the fact
-    # table has its own RegionCode column and Spark resolves names
-    # case-insensitively, so the raw dim names would clash.
-    dim = office.select(
-        F.col("office").alias("_dim_office"),
-        F.col("zone").alias("_dim_zone"),
-        F.col("region").alias("_dim_region"),
-        F.col("regioncode").alias("_dim_rc"),
-    ).withColumn("_dim_row_id", F.monotonically_increasing_id())
-
-    # branch-code map: dict semantics — last occurrence of a duplicate
-    # office code wins (process_capex.py:234-239).
-    by_branch = (
-        dim.groupBy("_dim_office")
-        .agg(
-            F.max_by("_dim_zone", "_dim_row_id").alias("_zone_b"),
-            F.max_by("_dim_region", "_dim_row_id").alias("_region_b"),
-        )
-    )
-
-    # region-code dict: insertion order = first occurrence, value = last
-    # occurrence (process_capex.py:259-264). Collected to the driver —
-    # the office table is a small dimension by construction.
-    rc_rows = (
-        dim.filter(F.col("_dim_rc").isNotNull())
-        .groupBy("_dim_rc")
-        .agg(
-            F.max_by("_dim_zone", "_dim_row_id").alias("z"),
-            F.max_by("_dim_region", "_dim_row_id").alias("r"),
-            F.min("_dim_row_id").alias("pos"),
-        )
-        .orderBy("pos")
-        .collect()
-    )
+    if maps is None:
+        maps = build_zone_maps(office)
 
     out = df.join(
-        F.broadcast(by_branch), df["BranchCode"] == by_branch["_dim_office"], "left"
+        F.broadcast(maps.by_branch),
+        df["BranchCode"] == maps.by_branch["_dim_office"],
+        "left",
     ).drop("_dim_office")
 
-    remarks = F.coalesce(F.col("UserRemarks").cast("string"), F.lit("nan"))
-    fb_zone: Column = F.lit(None).cast("string")
-    fb_region: Column = F.lit(None).cast("string")
-    for row in reversed(rc_rows):  # reversed so the first code wins
-        # \Q..\E quoting mirrors re.escape + word boundaries (:273)
-        pat = r"(?i)\b\Q" + str(row["_dim_rc"]) + r"\E\b"
-        hit = remarks.rlike(pat)
-        fb_zone = F.when(hit, F.lit(row["z"])).otherwise(fb_zone)
-        fb_region = F.when(hit, F.lit(row["r"])).otherwise(fb_region)
+    # dedupe case-insensitively, keeping the smaller dict position (the
+    # match itself is case-insensitive, so case-variant codes compete for
+    # the same occurrences and the earlier one always wins)
+    seen: dict[str, tuple[int, str, str]] = {}
+    for pos, (code, zone, region) in enumerate(maps.rc_rows):
+        seen.setdefault(code.upper(), (pos, zone, region))
 
-    return (
-        out.withColumn(
-            "Zone", F.coalesce(F.col("_zone_b"), fb_zone, F.lit("Unknown"))
+    if not seen:
+        fb_zone, fb_region = "CAST(NULL AS STRING)", "CAST(NULL AS STRING)"
+    else:
+        entries = sorted(seen.values())
+        # \Q..\E quoting mirrors re.escape + word boundaries (:273)
+        alt = "|".join(
+            rf"\Q{code}\E"
+            for code in sorted(seen, key=lambda c: seen[c][0])
         )
-        .withColumn(
-            "Region", F.coalesce(F.col("_region_b"), fb_region, F.lit("Unknown"))
+        pattern = sql_str(rf"(?i)\b({alt})\b")
+        pos_map = (
+            "map("
+            + ", ".join(f"{sql_str(c)}, {seen[c][0]}" for c in seen)
+            + ")"
         )
-        .drop("_zone_b", "_region_b")
+        zone_map = (
+            "map(" + ", ".join(f"{p}, {sql_str(z)}" for p, z, _ in entries) + ")"
+        )
+        region_map = (
+            "map(" + ", ".join(f"{p}, {sql_str(r)}" for p, _, r in entries) + ")"
+        )
+        remarks = "COALESCE(CAST(`UserRemarks` AS STRING), 'nan')"
+        fb_pos = (
+            f"array_min(transform(regexp_extract_all({remarks}, {pattern}, 1),"
+            f" x -> {pos_map}[upper(x)]))"
+        )
+        fb_zone = f"{zone_map}[{fb_pos}]"
+        fb_region = f"{region_map}[{fb_pos}]"
+
+    return out.selectExpr(
+        *[f"`{c}`" for c in out.columns if c not in ("_zone_b", "_region_b")],
+        f"COALESCE(_zone_b, {fb_zone}, 'Unknown') AS Zone",
+        f"COALESCE(_region_b, {fb_region}, 'Unknown') AS Region",
     )
 
 

@@ -34,7 +34,7 @@ from pyspark.storagelevel import StorageLevel
 
 from capex_data_pipeline_spark.functions.keys import robust_key, strict_composite_key
 from capex_data_pipeline_spark.operators.audit import build_audit
-from capex_data_pipeline_spark.operators.joins import add_zone_region
+from capex_data_pipeline_spark.operators.joins import add_zone_region, build_zone_maps
 from capex_data_pipeline_spark.operators.rules import (
     PASS_A,
     PASS_B,
@@ -94,7 +94,12 @@ def _ingest(raw: DataFrame) -> DataFrame:
     reflects input order and stays deterministic."""
     df = raw.withColumn("_row_id", F.monotonically_increasing_id())
     target = raw.sparkSession.sparkContext.defaultParallelism
-    if raw.rdd.getNumPartitions() < max(target // 2, 2):
+    # inputFiles() is a cheap file-listing probe; the precise check
+    # (raw.rdd.getNumPartitions()) costs a full physical planning +
+    # Python-RDD conversion (~1s of driver time on a wide plan). A
+    # many-file input is already spread; few/no files (single CSV, an
+    # in-memory test frame) is what needs the exchange.
+    if len(raw.inputFiles()) < max(target // 2, 2):
         df = df.repartition(target, "_row_id")
     return df
 
@@ -124,8 +129,11 @@ def run_pipeline(
     # pass B: F5 category keep-3, F6 personal devices, F7 ds/darkstore/counter
     df = accumulate_pass(df, PASS_B)
 
-    # J1(+J1b): zone/region broadcast join with remarks fallback
-    df = add_zone_region(df, office)
+    # J1(+J1b): zone/region broadcast join with remarks fallback. The
+    # office digest (one small collect job) is shared with the fail-open
+    # re-join instead of being rebuilt there.
+    zone_maps = build_zone_maps(office)
+    df = add_zone_region(df, office, zone_maps)
 
     # pass C: F8 IT, F9 approval, F10 darkstore, F11 Admin, F12 Ops, F13 OtIT
     df = accumulate_pass(df, PASS_C)
@@ -255,7 +263,7 @@ def run_pipeline(
     if config.fail_open:
         if config.persist_tagged:
             processed = processed.persist(StorageLevel.MEMORY_AND_DISK)
-        processed = _fail_open(raw_shape, processed, office, audit)
+        processed = _fail_open(raw_shape, processed, office, audit, zone_maps)
 
     return PipelineResult(
         processed=processed,
@@ -269,7 +277,11 @@ def run_pipeline(
 
 
 def _fail_open(
-    raw: DataFrame, processed: DataFrame, office: DataFrame, audit: DataFrame
+    raw: DataFrame,
+    processed: DataFrame,
+    office: DataFrame,
+    audit: DataFrame,
+    zone_maps=None,
 ) -> DataFrame:
     """Reinstate unexplained exclusions, then re-normalize — reproducing
     reinstate_unknown_exclusions (process_capex.py:12-56) including its
@@ -328,6 +340,7 @@ def _fail_open(
     merged = add_zone_region(
         merged.withColumnsRenamed({"Zone": "_old_zone", "Region": "_old_region"}),
         office,
+        zone_maps,
     )
     merged = merged.withColumns(
         {

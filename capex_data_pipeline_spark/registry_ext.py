@@ -340,7 +340,10 @@ def q90_capex_pipeline(spark, sf_dir):
     the top-5 window and fail-open at scale-factor-proportional size.
     Correctness vs the reference is covered bit-for-bit by
     tests/test_pipeline_differential.py; the driver records rows-only."""
-    from capex_data_pipeline_spark.plans.pipeline import run_pipeline
+    from capex_data_pipeline_spark.plans.pipeline import (
+        CapexPipelineConfig,
+        run_pipeline,
+    )
     from capex_data_pipeline_spark.plans.synth import (
         synthesize_capex_raw,
         synthesize_office,
@@ -348,7 +351,13 @@ def q90_capex_pipeline(spark, sf_dir):
 
     raw = synthesize_capex_raw(spark, sf_dir)
     office = synthesize_office(spark, sf_dir)
-    res = run_pipeline(raw, office)
+    # native deterministic W1 ties (pure WindowGroupLimit — no Python
+    # stage): the tiebreak is (priority desc, frame order, ingest order),
+    # fully SQL-expressible, which is what lets q90 carry a DuckDB
+    # oracle at all. Bit-level pandas-introsort tie parity vs the
+    # reference remains covered by tests/test_pipeline_differential.py
+    # (exact_w1_ties=True default there).
+    res = run_pipeline(raw, office, config=CapexPipelineConfig(exact_w1_ties=False))
     return res.processed.select(
         "RequestNo",
         "AssetItemName",
@@ -368,14 +377,22 @@ def q91_capex_audit(spark, sf_dir):
     """The exclusion-audit lineage table for q90's run (replaces the
     reference's global EXCLUSION_REASONS dict): one row per fully
     excluded composite key with first-wins rule attribution."""
-    from capex_data_pipeline_spark.plans.pipeline import run_pipeline
+    from capex_data_pipeline_spark.plans.pipeline import (
+        CapexPipelineConfig,
+        run_pipeline,
+    )
     from capex_data_pipeline_spark.plans.synth import (
         synthesize_capex_raw,
         synthesize_office,
     )
 
+    # the audit is derived pre-W1/pre-fail-open; skip building those
+    # plan branches (their execution is lazy anyway, but the plan-build
+    # driver time isn't)
     res = run_pipeline(
-        synthesize_capex_raw(spark, sf_dir), synthesize_office(spark, sf_dir)
+        synthesize_capex_raw(spark, sf_dir),
+        synthesize_office(spark, sf_dir),
+        config=CapexPipelineConfig(fail_open=False, exact_w1_ties=False),
     )
     return res.audit
 
