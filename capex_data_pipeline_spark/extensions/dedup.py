@@ -5,9 +5,13 @@ fingerprints, band hashes — never on full documents):
 
 - exact:      md5 of normalized text, hash-aggregate            (1 shuffle)
 - minhash:    word-shingle MinHash signatures + LSH band join   (2 shuffles)
-- simhash:    60-bit token simhash, hamming-distance pairs      (2 shuffles)
-- ngram:      exact Jaccard on shingle sets for candidate pairs (explode join)
-- embedding:  cosine near-duplicates within a blocking key
+- simhash:    60-bit token simhash; pairs via segment-split LSH (pigeonhole)
+- ngram:      exact Jaccard re-rank over MinHash-LSH candidates
+- embedding:  cosine near-dups via banded SRP-LSH + exact re-rank
+
+No dedup path contains an all-pairs join: every candidate generator is
+an equi-join on a compact LSH key (band hash, sketch segment, SRP
+bucket), so cost scales with true collision counts, not block sizes.
 
 MinHash per Broder (1997): P[min-hash collision] = Jaccard similarity;
 banding (LSH) makes the candidate-pair probability an S-curve around the
@@ -220,33 +224,63 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    block_col: str | None = "source",
+    block_col: str | None = None,
 ) -> DataFrame:
-    """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
-
-    Candidate blocking on ``block_col`` (at scale: replace with the
-    standard 4-segment simhash split so any pair within distance 3
-    shares one exact segment — same join shape, engine-side)."""
+    """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming, via the
+    standard segment-split LSH (the Manku/Jain/Sarma simhash-dedup
+    scheme): the 60-bit sketch splits into ``max_hamming + 1`` segments;
+    by pigeonhole, any pair within distance ``max_hamming`` agrees
+    EXACTLY on at least one segment, so candidate generation is an
+    equi-join on (segment index, segment value) — no quadratic scan
+    anywhere, and the shuffle carries only (id, sketch, segment).
+    Optional ``block_col`` adds a same-block constraint on top.
+    """
+    n_seg = max_hamming + 1
+    width = -(-60 // n_seg)  # ceil(60 / n_seg)
+    blk = F.col(block_col) if block_col else F.lit("all")
     s = (
         df.select(
             F.col(id_col).alias("id"),
-            (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
+            blk.alias("blk"),
             F.col(text_col).alias("_t"),
         )
         .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
         .select("id", "blk", simhash60("_t").alias("sh"))
     )
-    a, b = s.alias("a"), s.alias("b")
+    mask = (1 << width) - 1
+    segs = s.select(
+        "id",
+        "blk",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg_i"),
+                        F.shiftright(F.col("sh"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("seg_v"),
+                    )
+                    for i in range(n_seg)
+                ]
+            )
+        ).alias("sg"),
+    ).select("id", "blk", "sh", F.col("sg.seg_i").alias("seg_i"), F.col("sg.seg_v").alias("seg_v"))
+    a, b = segs.alias("a"), segs.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.seg_i") == F.col("b.seg_i"))
+            & (F.col("a.seg_v") == F.col("b.seg_v"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id")),
         )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
         )
+        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -255,85 +289,195 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    block_col: str = "source",
+    block_col: str | None = None,
     k: int = DEFAULT_SHINGLE_K,
     threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
-    """Exact word-k-gram Jaccard for pairs sharing a blocking key.
+    """EXACT word-k-gram Jaccard, computed as the re-rank stage over
+    MinHash-LSH candidate pairs.
 
-    Explode-join formulation: shuffle carries (shingle, id) pairs; the
-    per-pair intersection count is a hash aggregate. Identical SQL runs
-    on any engine — no array-intersect builtins needed.
+    A standalone explode-join on (block, shingle) goes quadratic on
+    frequent shingles inside a big block; here candidates come from the
+    banded MinHash join (compact keys, S-curve selectivity around the
+    threshold) and only candidate pairs pay the exact set intersection
+    — both shingle arrays sit in one row, so the Jaccard is a single
+    JVM ``array_intersect`` with no further shuffle fan-out. Optional
+    ``block_col`` adds a same-block constraint to the candidates.
     """
+    rows_per_band = num_hashes // bands
+    blk = F.col(block_col) if block_col else F.lit("all")
+
+    def seeded(i: int):
+        prefix = f"{i}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
     sh = (
         df.select(
             F.col(id_col).alias("id"),
-            F.col(block_col).alias("blk"),
+            blk.alias("blk"),
             F.col(text_col).alias("_t"),
         )
         .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
         .select("id", "blk", _shingles_expr("_t", k).alias("sh"))
     )
-    sizes = sh.select("id", "blk", F.size("sh").alias("n"))
-    exploded = sh.select("id", "blk", F.explode("sh").alias("g"))
-    a, b = exploded.alias("a"), exploded.alias("b")
-    common = (
+    # the band join itself shuffles only (id, blk, band, bhash) — compact
+    # keys; the shingle arrays move once more, and only for candidates
+    banded = sh.select(
+        "id",
+        "blk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.array(
+                                    *[
+                                        F.array_min(
+                                            F.transform(F.col("sh"), seeded(i))
+                                        )
+                                        for i in range(
+                                            b * rows_per_band, (b + 1) * rows_per_band
+                                        )
+                                    ]
+                                ),
+                                "|",
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "blk", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.g") == F.col("b.g"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                4,
-            ).alias("jaccard"),
+            F.round(inter / union.cast("double"), 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def srp_plane_ints(band: int, bit: int, dim: int) -> list[int]:
+    """Deterministic hyperplane for banded SRP: component j is
+    md5(band|bit|j) truncated to 48 bits and centered — an integer that
+    is EXACT in a double, so any engine deriving the same md5 computes
+    bit-identical dot-product signs (the plane's norm is irrelevant to
+    the sign)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{band}|{bit}|{j}".encode()).hexdigest()[:12], 16) - (1 << 47)
+        for j in range(dim)
+    ]
 
 
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_col: str = "label",
+    block_col: str | None = None,
     threshold: float = 0.95,
+    dim: int = 64,
+    bands: int = 16,
+    bits_per_band: int = 12,
 ) -> DataFrame:
-    """Cosine near-duplicates within a blocking key, entirely in
-    higher-order functions (JVM-side dot products)."""
+    """Cosine near-duplicates via banded sign-random-projection LSH +
+    exact re-rank (the same candidate scheme ``similarity.srp_lsh_topk``
+    uses): a pair is a candidate when ALL ``bits_per_band`` sign bits of
+    some band agree, then candidates are scored with the exact cosine.
+
+    An all-pairs-within-block join is quadratic in the block size; here
+    the bucket join's collision probability for a non-dup pair is
+    ~2^-bits_per_band per band, and recall at cosine c is
+    1-(1-p^bits)^bands with p = 1 - arccos(c)/pi (defaults: ~99% at
+    0.95). Buckets shuffle as compact (band, int) keys; vectors move
+    only for candidate pairs.
+    """
+    from capex_data_pipeline_spark.extensions.similarity import cosine
+
     e = df.select(
         F.col(id_col).alias("id"),
-        F.col(block_col).alias("blk"),
+        (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
         F.col(vec_col).alias("v"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+
+    def bucket_expr(band: int) -> F.Column:
+        # integer bucket = sum of sign bits; plane components embedded as
+        # exact double literals (parsed once — no per-literal py4j calls)
+        terms = []
+        for bit in range(bits_per_band):
+            comps = ", ".join(
+                f"{c}D" for c in srp_plane_ints(band, bit, dim)
+            )
+            dot = (
+                f"aggregate(zip_with(v, array({comps}), (x, y) -> x * y),"
+                f" 0D, (acc, x) -> acc + x)"
+            )
+            terms.append(f"IF({dot} > 0, {1 << bit}, 0)")
+        return F.expr("(" + " + ".join(terms) + ")")
+
+    buckets = e.select(
+        "id",
+        "blk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        bucket_expr(band).alias("bucket"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "blk", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    a, b = e.alias("a"), e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(dot / (norm(F.col("a.v")) * norm(F.col("b.v"))), 4).alias("cosine"),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

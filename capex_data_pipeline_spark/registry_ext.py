@@ -186,31 +186,79 @@ def q32_simhash(spark, sf_dir):
     return docs.select("doc_id", D.simhash60("text").alias("simhash"))
 
 
+_SIMHASH_SQL = f"""
+    CAST(list_sum(list_transform(range(0, 60), bit ->
+      CASE WHEN list_sum(list_transform({_WORDS}, wd ->
+             CASE WHEN (CAST(('0x' || substr(md5(wd), 1, 15)) AS BIGINT) >> bit) & 1 = 1
+                  THEN 1 ELSE -1 END)) > 0
+           THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)) AS BIGINT)
+"""
+
+
+@query(
+    "q38_simhash_pairs",
+    f"""
+    WITH sk AS (SELECT doc_id, {_SIMHASH_SQL} AS sh FROM documents),
+    segs AS (
+      SELECT doc_id, sh, i.i AS i, (sh >> (i.i * 15)) & 32767 AS seg
+      FROM sk, (SELECT unnest(range(0, 4)) AS i) i
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sh AS sha, b.sh AS shb
+      FROM segs a JOIN segs b
+        ON a.i = b.i AND a.seg = b.seg AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sha, shb)) <= 3
+    """,
+)
+def q38_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming <= 3 via the 4-segment
+    pigeonhole split (any pair within distance 3 agrees exactly on one
+    15-bit segment) — candidates equi-join on (segment idx, value), no
+    quadratic block scan. Oracle reproduces the segment join in SQL."""
+    return D.simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
 @query(
     "q33_ngram_jaccard",
     f"""
-    WITH sh AS (SELECT doc_id, source, {_SHINGLES} AS sh FROM documents),
-    sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
-    ex AS (SELECT doc_id, source, unnest(sh) AS g FROM sh),
-    common AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM ex a JOIN ex b
-        ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 8),
+               i -> list_min(list_transform(sh, s -> md5(i || '|' || s)))) AS sig
+      FROM sh
+    ), banded AS (
+      SELECT doc_id, b,
+             md5(array_to_string(sig[b+1 : b+1], '|')) AS bhash
+      FROM sig, (SELECT unnest(range(0, 8)) AS b) bands
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT id_a, id_b,
+             round(len(list_intersect(sa.sh, sb.sh))
+                   / CAST(len(sa.sh) + len(sb.sh)
+                          - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE),
+                   4) AS jaccard
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
     )
-    SELECT id_a, id_b,
-           round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_common / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.1
+    SELECT * FROM scored WHERE jaccard >= 0.1
     """,
 )
 def q33_ngram_jaccard(spark, sf_dir):
-    """Exact word-3-gram Jaccard for same-source pairs ≥ 0.1
-    (explode-join formulation — engine-portable)."""
+    """EXACT word-3-gram Jaccard as the re-rank stage over MinHash-LSH
+    candidate pairs (8 md5 signature components, 8 single-row bands —
+    per-band collision probability = Jaccard itself, the right S-curve
+    for this low 0.1 threshold). The standalone explode-join on
+    shingles goes quadratic on frequent shingles; the banded join does
+    not."""
     return D.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), k=3, threshold=0.1
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.1, num_hashes=8, bands=8
     )
 
 
@@ -253,25 +301,46 @@ def q34_cosine_topk(spark, sf_dir):
 @query(
     "q35_embedding_neardup",
     """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                 4) AS cosine
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-                4) >= 0.9
+    WITH pl AS (
+      SELECT b.b AS band, t.t AS bit,
+             list_transform(range(0, 64),
+               j -> CAST(CAST(('0x' || substr(md5(b.b || '|' || t.t || '|' || j), 1, 12))
+                         AS BIGINT) - 140737488355328 AS DOUBLE)) AS c
+      FROM (SELECT unnest(range(0, 16)) AS b) b,
+           (SELECT unnest(range(0, 12)) AS t) t
+    ), bits AS (
+      SELECT e.vec_id, pl.band, pl.bit,
+             CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.c) > 0
+                  THEN (1 << pl.bit) ELSE 0 END AS bv
+      FROM embeddings e, pl
+    ), buckets AS (
+      SELECT vec_id, band, SUM(bv) AS bucket FROM bits GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), scored AS (
+      SELECT id_a, id_b,
+             round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
+                   4) AS cosine
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = id_a
+      JOIN embeddings eb ON eb.vec_id = id_b
+    )
+    SELECT * FROM scored WHERE cosine >= 0.9
     """,
 )
 def q35_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicates (≥ 0.9) within a label block."""
+    """Embedding-cosine near-duplicates (≥ 0.9): banded SRP-LSH
+    candidates (16 bands x 12 md5-derived integer hyperplane sign bits
+    — bit-reproducible in any engine) + exact cosine re-rank. The
+    oracle reproduces the identical bucket math in SQL."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
-    return D.embedding_near_dups(emb, threshold=0.9)
+    return D.embedding_near_dups(emb, threshold=0.9, dim=64)
 
 
 @query(

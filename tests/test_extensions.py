@@ -78,12 +78,42 @@ def test_simhash_hamming(docs, spark):
 def test_ngram_jaccard_blocks(docs):
     pairs = {
         (r.id_a, r.id_b): r.jaccard
-        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.1).collect()
+        for r in ngram_jaccard_pairs(
+            docs, block_col="source", k=3, threshold=0.1, num_hashes=16, bands=8
+        ).collect()
     }
     assert pairs[(0, 1)] == 1.0
     assert 0.5 < pairs[(0, 2)] < 1.0
     # doc 4 shares text with 0 but sits in another blocking key
     assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard_lsh_candidates_global(docs):
+    # without a block column, candidates come purely from the MinHash
+    # band join — the near-identical pair still surfaces, and scores are
+    # the EXACT set Jaccard (not the signature estimate)
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, k=3, threshold=0.1, num_hashes=16, bands=8
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 < pairs[(0, 2)] < 1.0
+
+
+def test_embedding_neardup_identical_vectors(spark):
+    from capex_data_pipeline_spark.extensions.dedup import embedding_near_dups
+
+    rows = [
+        (0, [1.0, 0.0, 0.5, 0.25] * 16),
+        (1, [1.0, 0.0, 0.5, 0.25] * 16),  # identical -> cosine 1.0
+        (2, [-1.0, 0.5, -0.5, 1.0] * 16),  # far away
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {(r.id_a, r.id_b): r.cosine for r in embedding_near_dups(df, dim=64).collect()}
+    # identical vectors share every SRP bucket -> always a candidate
+    assert out == {(0, 1): 1.0}
 
 
 @pytest.fixture(scope="module")

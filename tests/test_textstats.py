@@ -75,6 +75,18 @@ def test_embedding_near_dups(spark):
         (3, [1.0, 0.0, 0.0], 2),      # identical to 0 but other block
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
-    pairs = {(r.id_a, r.id_b): r.cosine for r in embedding_near_dups(df, threshold=0.95).collect()}
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dups(
+            df, block_col="label", threshold=0.95, dim=3
+        ).collect()
+    }
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     assert not any(2 in p or 3 in p for p in pairs)
+
+    # without the block constraint the identical cross-block pair appears
+    # (candidates come from the SRP buckets alone)
+    global_pairs = {
+        (r.id_a, r.id_b) for r in embedding_near_dups(df, threshold=0.95, dim=3).collect()
+    }
+    assert (0, 3) in global_pairs
