@@ -401,14 +401,24 @@ def q92_capex_zone_join(spark, sf_dir):
     return joined.select("BranchCode", "UserRemarks", "Zone", "Region")
 
 
-@query("q90_capex_pipeline")  # rows-only: the full rule DAG is not one SQL query
+from capex_data_pipeline_spark.oracle_capex import (
+    q90_processed_oracle_sql,
+    q91_audit_oracle_sql,
+)
+
+
+@query("q90_capex_pipeline", q90_processed_oracle_sql())
 def q90_capex_pipeline(spark, sf_dir):
     """End-to-end capex cleaning pipeline (SURVEY.md §3) on a
     deterministic capex-shaped synthesis of the orders table — exercises
     every rule pass, the broadcast zone join + regex fallback, the audit,
     the top-5 window and fail-open at scale-factor-proportional size.
-    Correctness vs the reference is covered bit-for-bit by
-    tests/test_pipeline_differential.py; the driver records rows-only."""
+    The oracle (oracle_capex.q90_processed_oracle_sql) restates the
+    whole DAG in DuckDB SQL — including the fail-open's P1-rerun /
+    zone-rerun / keep-first dedup side effects — so the flagship output
+    is value-hash-checked, not just row-counted. Bit-level pandas tie
+    parity vs the reference stays covered by
+    tests/test_pipeline_differential.py."""
     from capex_data_pipeline_spark.plans.pipeline import (
         CapexPipelineConfig,
         run_pipeline,
@@ -436,16 +446,23 @@ def q90_capex_pipeline(spark, sf_dir):
         "AssetCategoryName_2",
         "Category_Type",
         "AssetItemAmount",
-        "priority",
-        "ReincludedViaFailOpen",
+        # sentinels instead of NULLs for the two W1/fail-open-derived
+        # columns (NULL INT/BOOLEAN round-trip as NaN through pandas on
+        # the oracle side); re-included rows are the flag=true ones
+        F.coalesce(F.col("priority"), F.lit(-1)).alias("priority"),
+        F.coalesce(F.col("ReincludedViaFailOpen"), F.lit(False)).alias(
+            "ReincludedViaFailOpen"
+        ),
     )
 
 
-@query("q91_capex_audit")  # rows-only companion: exclusion lineage
+@query("q91_capex_audit", q91_audit_oracle_sql())
 def q91_capex_audit(spark, sf_dir):
     """The exclusion-audit lineage table for q90's run (replaces the
     reference's global EXCLUSION_REASONS dict): one row per fully
-    excluded composite key with first-wins rule attribution."""
+    excluded composite key with max-order rule attribution and the
+    recording step's frame-order value pick. Oracle: the first-match
+    tagging + attribution restated in DuckDB SQL (oracle_capex)."""
     from capex_data_pipeline_spark.plans.pipeline import (
         CapexPipelineConfig,
         run_pipeline,

@@ -63,6 +63,21 @@ def test_events_readable_without_session_conf(spark):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+def test_orders_parquet_is_key_ordered():
+    """oracle_capex uses o_orderkey as the row-order surrogate for
+    Spark's ingest _row_id; that's only valid while the testdata orders
+    files are written in key order."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01"):
+        total, nondec = duckdb.sql(
+            f"""SELECT count(*), count(*) FILTER (l IS NULL OR o_orderkey >= l)
+            FROM (SELECT o_orderkey, lag(o_orderkey) OVER () AS l
+                  FROM '/root/testdata/{sf}/orders.parquet')"""
+        ).fetchone()
+        assert total == nondec, sf
+
+
 def test_sinks_roundtrip(spark, tmp_path):
     from capex_data_pipeline_spark.sources.sinks import (
         csv_bytes,
