@@ -42,7 +42,9 @@ def _with_key(df: DataFrame) -> DataFrame:
 
 
 def build_audit(
-    excluded_frames: list[DataFrame], kept_after_rules: DataFrame
+    excluded_frames: list[DataFrame],
+    kept_after_rules: DataFrame,
+    keep_order_cols: bool = False,
 ) -> DataFrame:
     """Collapse per-pass excluded rows into the per-key audit table.
 
@@ -73,8 +75,9 @@ def build_audit(
     w = Window.partitionBy("CompositeKey").orderBy(
         F.desc("rule_order"), F.asc("_step_ord"), F.asc("_row_id")
     )
+    cols = AUDIT_COLUMNS + (("_step_ord", "_row_id") if keep_order_cols else ())
     return (
         fully_gone.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(*AUDIT_COLUMNS)
+        .select(*cols)
     )

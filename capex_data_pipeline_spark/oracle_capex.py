@@ -313,7 +313,7 @@ _AUDIT_CTES = """
 surviving AS (SELECT DISTINCT robust_key FROM tagged WHERE rule_order IS NULL),
 audit AS MATERIALIZED (
   SELECT robust_key AS CompositeKey, rule_order, rule_label, rule_column,
-         rule_value,
+         rule_value, step_ord, ord,
          row_number() OVER (PARTITION BY robust_key
                             ORDER BY rule_order DESC, step_ord ASC, ord ASC) AS rn
   FROM tagged
@@ -392,6 +392,235 @@ def _category_type() -> str:
         f" WHEN {_contains_any_ci('AssetItemName', AMC_KEYWORDS)} THEN 'AMC'"
         " ELSE 'Regular' END)"
     )
+
+
+def _first_occ_not_negated_sql(text_expr: str, word: str) -> str:
+    """First word-bounded occurrence of ``word`` exists and is NOT
+    negated (explain_exclusion_reason checks only the first span,
+    process_capex.py:475-478)."""
+    n = len(word)
+    positions = (
+        f"list_filter(list_filter(range(1, greatest(len({text_expr}) - {n} + 2, 1)),"
+        f" i -> substr({text_expr}, i, {n}) = {_lit(word)}),"
+        f" i -> (i = 1 OR NOT regexp_matches(substr({text_expr}, i - 1, 1), '[a-z0-9_]'))"
+        f" AND NOT regexp_matches(substr({text_expr}, i + {n}, 1), '[a-z0-9_]'))"
+    )
+    first = f"coalesce(list_min({positions}), 0)"
+    prefix_toks = (
+        f"regexp_extract_all(substr({text_expr}, 1, {first} - 1), '[a-z0-9'']+')"
+    )
+    window = (
+        f"({prefix_toks})[greatest(len({prefix_toks}) - 2, 1) : len({prefix_toks})]"
+    )
+    return (
+        f"(contains({text_expr}, {_lit(word)}) AND {first} > 0"
+        f" AND NOT list_has_any({window}, {_NEG_ARR}))"
+    )
+
+
+_EXPLAIN_MAP = {
+    "LEASEHOLD IMPROVEMENTS": "LEASEHOLD",
+    "LEASE HOLD": "LEASEHOLD",
+    "LEASEHOLD IMPROVEMENT": "LEASEHOLD",
+    "FURNITURE": "FURNITURE",
+    "OFFICE EQUIPMENTS": "OFFICE EQUIPMENTS",
+}
+
+
+def _explain_reason_sql(label_expr: str) -> str:
+    """``explain_exclusion_reason`` (process_capex.py:385-499) as one
+    DuckDB CASE over golden-frame columns (no VendorName) — including
+    the reduced category map, the missing CCTV/STOOL branch, the
+    first-occurrence device negation, and the in-loop audit fallback
+    that fires between the 'Personal' and 'Individual' keyword checks
+    (the reference's try block is indented inside the keyword loop).
+    ``label_expr`` is the audit label for the row's own un-stripped
+    robust key (the in-loop fallback's lookup result)."""
+    cs = "trim(coalesce(CurrentStatus, ''))"
+    isv = "trim(coalesce(IsSelectedVendor, ''))"
+    rf = "trim(coalesce(RequestFunction, ''))"
+    ac = "trim(coalesce(AssetCategoryName, ''))"
+    item = "trim(coalesce(AssetItemName, ''))"
+    itemcat = "trim(coalesce(ItemCategory, ''))"
+    remarks = "coalesce(UserRemarks, '')"
+
+    combined = f"lower(concat_ws(' ', {item}, {itemcat}, {ac}))"
+    f3a = (
+        f"(regexp_matches({combined}, '(?i)fire\\s*extinguish\\w*|\\bfire\\s*ex\\w*|\\bfireex\\b')"
+        f" OR regexp_matches({combined}, '(?i)\\bfans?\\b')"
+        f" OR regexp_matches({combined}, '(?i)air\\s*condit(?:ion|ioner|ioning)?|air[-\\s]*conditioning|air\\s*condition|air\\s*conditioner|air\\s*conditioning|air\\s*con\\b|aircon\\b|a\\s*\\/\\s*c')"
+        f" OR (regexp_matches({combined}, '(?i)\\bAC\\b')"
+        f"     AND regexp_matches({combined}, '(?i)split|window|\\bton\\b|inverter|compressor|air|cond')))"
+    )
+    ac2 = _case_map(f"upper({ac})", _EXPLAIN_MAP)
+    norm_remark = f"lower(trim({remarks}))"
+    combined_pd = f"lower(concat_ws(' ', {item}, {itemcat}, {remarks}, {ac}))"
+    device = "(" + " OR ".join(
+        _first_occ_not_negated_sql(combined_pd, w.lower())
+        for w in PERSONAL_DEVICE_WORDS
+    ) + ")"
+    nonrel = (
+        "("
+        + _neg_aware_any(norm_remark, PERSONAL_NONBUSINESS)
+        + " OR "
+        + _neg_aware_any(norm_remark, IT_NON_RELEVANT)
+        + " OR "
+        + _neg_aware_any(norm_remark, EXPERIMENTAL)
+        + ")"
+    )
+    combined2 = f"lower(concat_ws(' ', {item}, {itemcat}, {remarks}))"
+
+    whens = [
+        f"WHEN lower({cs}) = 'rejected' THEN 'Rejected status'",
+        f"WHEN {isv} = '-' THEN 'IsSelectedVendor is ''-'''",
+        f"WHEN lower({rf}) IN ({', '.join(_lit(f) for f in UNWANTED_FUNCTIONS)})"
+        f" THEN 'Removed RequestFunction ''' || {rf} || ''''",
+        f"WHEN {f3a} THEN 'Excluded equipment: Air Conditioner/Fan/Fire Extinguisher'",
+        f"WHEN NOT ({ac2} IN ('COMPUTER', 'PLANT & MACHINERY', 'LEASEHOLD'))"
+        f" THEN 'Asset category excluded after normalization (''' || {ac2} || ''')'",
+        f"WHEN regexp_matches({norm_remark}, '(?i)\\bds\\b') THEN 'UserRemarks mention ''DS'''",
+        f"WHEN {_neg_aware_any(norm_remark, DARK_STORE)} THEN 'UserRemarks mention ''dark store'''",
+        f"WHEN {_neg_aware_any(norm_remark, ('counter',))} THEN 'UserRemarks mention ''counter'''",
+        f"WHEN {device} THEN 'Mention of personal computing device (laptop/macbook/tablet/phone)'",
+    ]
+    for func in ("IT", "Admin", "Ops", "Ops through IT"):
+        whens.append(
+            f"WHEN {rf} = {_lit(func)} AND {nonrel}"
+            f" THEN {_lit(func + ' non-relevant by UserRemarks')}"
+        )
+    whens.append(
+        f"WHEN {cs} = 'Approval in Progress' THEN 'Status ''Approval in Progress'' removed'"
+    )
+    kws = ("Personal", "Individual", "Non-operational", "Administrative only",
+           "test", "demo", "sample")
+
+    def kw_reason(kw: str) -> str:
+        return _lit("Non-Ops equipment keyword: '" + kw + "'")
+
+    whens.append(
+        f"WHEN contains({combined2}, {_lit(kws[0].lower())}) THEN {kw_reason(kws[0])}"
+    )
+    whens.append(f"WHEN {label_expr} IS NOT NULL THEN {label_expr}")
+    for kw in kws[1:]:
+        whens.append(
+            f"WHEN contains({combined2}, {_lit(kw.lower())}) THEN {kw_reason(kw)}"
+        )
+    return "CASE " + " ".join(whens) + " ELSE 'Unknown' END"
+
+
+def q93_fn_enrichment_oracle_sql() -> str:
+    """FN enrichment on the synth corpus: golden = raw minus VendorName
+    (robust keys become short), FN = golden keys absent from the
+    processed output's robust keys, each resolved through exact audit /
+    short-key / prefix / explain-on-golden / Unknown.
+
+    The raw-frame explain tier (strict keys) can never match here —
+    every FN key is a 2-part short key while strict keys always carry
+    two separators — so the oracle encodes only the golden-frame tier
+    the reference would actually reach (process_capex.py:1445-1466).
+    """
+    w1_ord = (
+        "(CASE WHEN RequestFunction = 'IT' THEN 0 ELSE 1 END)"
+        " + 2 * (CASE WHEN CurrentStatus IN ('Approval in Progress', 'Sent for Approval') THEN 0 ELSE 1 END)"
+        " + 4 * (CASE WHEN RequestFunction = 'Admin' THEN 0 ELSE 1 END)"
+        " + 8 * (CASE WHEN RequestFunction = 'Ops' THEN 0 ELSE 1 END)"
+        " + 16 * (CASE WHEN RequestFunction = 'Ops through IT' THEN 0 ELSE 1 END)"
+    )
+    priority = (
+        "(CASE WHEN CurrentStatus = 'Approved' THEN 100 ELSE 0 END"
+        " + CASE WHEN CurrentStatus = 'Sent for Approval' THEN 50 ELSE 0 END"
+        " + CASE WHEN IsSelectedVendor = 'Yes' THEN 10 ELSE 0 END)"
+    )
+    ctes = ",\n".join(
+        [
+            _RAW_CTE.strip(),
+            _P2P1_CTE.strip(),
+            _tagged_cte().strip(),
+            _AUDIT_CTES.strip(),
+        ]
+    )
+    return f"""
+    WITH {ctes},
+    auditf AS (SELECT * FROM audit WHERE rn = 1),
+    w1 AS (
+      SELECT *, row_number() OVER (PARTITION BY RequestNo
+                                   ORDER BY {priority} DESC, {w1_ord} ASC, ord ASC) AS w1rn
+      FROM tagged WHERE rule_order IS NULL
+    ),
+    processed0 AS (SELECT * FROM w1 WHERE w1rn <= 5),
+    addback AS (
+      SELECT * FROM tagged
+      WHERE robust_key NOT IN (SELECT DISTINCT strict_key FROM processed0)
+        AND robust_key NOT IN (SELECT CompositeKey FROM auditf)
+    ),
+    prockeys AS (
+      SELECT DISTINCT robust_key FROM processed0
+      UNION SELECT DISTINCT robust_key FROM addback
+    ),
+    golden_keys AS (
+      SELECT trim(coalesce(RequestNo, 'nan')) || '|' ||
+             trim(coalesce(AssetItemName, 'nan')) AS ck,
+             min(ord) AS first_ord
+      FROM raw GROUP BY 1
+    ),
+    fn AS (
+      SELECT ck AS CompositeKey FROM golden_keys
+      WHERE ck NOT IN (SELECT robust_key FROM prockeys)
+    ),
+    -- prefix tier: audit keys extending a short key by a vendor part,
+    -- earliest in dict-insertion order (recording step, frame order)
+    prefix AS (
+      SELECT short_ck, rule_label, rule_column, rule_value FROM (
+        SELECT array_to_string(string_split(CompositeKey, '|')[1:2], '|')
+                 AS short_ck,
+               rule_label, rule_column, rule_value,
+               row_number() OVER (
+                 PARTITION BY array_to_string(string_split(CompositeKey, '|')[1:2], '|')
+                 ORDER BY rule_order ASC, step_ord ASC, ord ASC) AS prn
+        FROM audit
+        WHERE rn = 1 AND len(string_split(CompositeKey, '|')) >= 3
+      ) WHERE prn = 1
+    ),
+    -- explain tier over the golden frame (raw minus VendorName): robust
+    -- keys are short; first matching row in input order explains. The
+    -- LEFT JOIN feeds the in-loop fallback: the audit label for the
+    -- row's own key (un-stripped components, vendor-less -> short)
+    golden_expl AS (
+      SELECT ck, reason FROM (
+        SELECT trim(coalesce(g.RequestNo, 'nan')) || '|' ||
+               trim(coalesce(g.AssetItemName, 'nan')) AS ck,
+               {_explain_reason_sql("rk.rule_label")} AS reason,
+               row_number() OVER (
+                 PARTITION BY trim(coalesce(g.RequestNo, 'nan')) || '|' ||
+                              trim(coalesce(g.AssetItemName, 'nan'))
+                 ORDER BY g.ord ASC) AS ern
+        FROM raw g
+        LEFT JOIN auditf rk
+          ON (coalesce(g.RequestNo, '') || '|' || coalesce(g.AssetItemName, ''))
+             = rk.CompositeKey
+      ) WHERE ern = 1
+    )
+    SELECT f.CompositeKey,
+           string_split(f.CompositeKey, '|')[1] AS RequestNo,
+           coalesce(string_split(f.CompositeKey, '|')[2], '') AS AssetItemName,
+           coalesce(string_split(f.CompositeKey, '|')[3], '') AS VendorName,
+           coalesce(x.rule_label, p.rule_label, g.reason, 'Unknown')
+             AS exclusion_reason,
+           CASE WHEN x.rule_label IS NOT NULL THEN x.rule_column
+                WHEN p.rule_label IS NOT NULL THEN p.rule_column END
+             AS exclusion_column,
+           CASE WHEN x.rule_label IS NOT NULL THEN x.rule_value
+                WHEN p.rule_label IS NOT NULL THEN p.rule_value END
+             AS exclusion_value,
+           CASE WHEN x.rule_label IS NOT NULL THEN 'audit_exact'
+                WHEN p.rule_label IS NOT NULL THEN 'audit_prefix'
+                WHEN g.reason IS NOT NULL THEN 'explained_reference'
+                ELSE 'unknown' END AS reason_source
+    FROM fn f
+    LEFT JOIN auditf x ON x.CompositeKey = f.CompositeKey
+    LEFT JOIN prefix p ON p.short_ck = f.CompositeKey
+    LEFT JOIN golden_expl g ON g.ck = f.CompositeKey
+    """
 
 
 def q90_processed_oracle_sql() -> str:

@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from capex_data_pipeline_spark.functions.keys import robust_key, strict_composite_key
-from capex_data_pipeline_spark.operators.audit import build_audit
+from capex_data_pipeline_spark.operators.audit import AUDIT_COLUMNS, build_audit
 from capex_data_pipeline_spark.operators.joins import add_zone_region, build_zone_maps
 from capex_data_pipeline_spark.operators.rules import (
     PASS_A,
@@ -83,6 +83,7 @@ class PipelineResult:
     rental: DataFrame
     audit: DataFrame
     cleaned: DataFrame = None  # post-rule, pre-window frame (for tests)
+    audit_ordered: DataFrame = None  # audit + dict-insertion order cols
     stage_counts: dict = field(default_factory=dict)
 
 
@@ -251,7 +252,8 @@ def run_pipeline(
     )
 
     cleaned = kept  # survived every exclusion rule; W1 removals unaudited
-    audit = build_audit([excluded], cleaned)
+    audit_ordered = build_audit([excluded], cleaned, keep_order_cols=True)
+    audit = audit_ordered.select(*AUDIT_COLUMNS)
 
     # W1: top-5 representative rows per RequestNo (adds leaky 'priority')
     processed = select_representative_rows(cleaned, exact_ties=config.exact_w1_ties)
@@ -272,6 +274,7 @@ def run_pipeline(
         sorter=sorter,
         rental=rental,
         audit=audit,
+        audit_ordered=audit_ordered,
         cleaned=cleaned,
     )
 

@@ -404,6 +404,7 @@ def q92_capex_zone_join(spark, sf_dir):
 from capex_data_pipeline_spark.oracle_capex import (
     q90_processed_oracle_sql,
     q91_audit_oracle_sql,
+    q93_fn_enrichment_oracle_sql,
 )
 
 
@@ -481,6 +482,39 @@ def q91_capex_audit(spark, sf_dir):
         config=CapexPipelineConfig(fail_open=False, exact_w1_ties=False),
     )
     return res.audit
+
+
+@query("q93_fn_enrichment", q93_fn_enrichment_oracle_sql())
+def q93_fn_enrichment(spark, sf_dir):
+    """False-negative enrichment (process_capex.py:1406-1471): validate
+    the pipeline output against a golden frame (the synth raw minus
+    VendorName, so its robust keys are short), then resolve every FN
+    key through the exact-audit / short-key / prefix / explain fallback
+    chain. Bit-parity with the reference's own enrichment is pinned by
+    tests/test_enrichment.py on the 2,238-row fixture; the oracle
+    restates the chain (incl. explain_exclusion_reason's quirks) in
+    DuckDB SQL."""
+    from capex_data_pipeline_spark.operators.enrichment import (
+        enrich_false_negatives,
+    )
+    from capex_data_pipeline_spark.operators.validation import with_robust_key
+    from capex_data_pipeline_spark.plans.pipeline import (
+        CapexPipelineConfig,
+        run_pipeline,
+    )
+    from capex_data_pipeline_spark.plans.synth import (
+        synthesize_capex_raw,
+        synthesize_office,
+    )
+
+    raw = synthesize_capex_raw(spark, sf_dir)
+    office = synthesize_office(spark, sf_dir)
+    res = run_pipeline(raw, office, config=CapexPipelineConfig(exact_w1_ties=False))
+    golden = raw.drop("VendorName")
+    p_keys = with_robust_key(res.processed).select("CompositeKey").distinct()
+    g_keys = with_robust_key(golden).select("CompositeKey").distinct()
+    fn = g_keys.join(p_keys, "CompositeKey", "left_anti")
+    return enrich_false_negatives(fn, res.audit_ordered, raw=raw, reference=golden)
 
 
 @query("q37_ann_ivf")  # rows-only: k-means centers are model state
