@@ -17,7 +17,6 @@ query batch (fine for offline eval); the LSH path is the online one.
 from __future__ import annotations
 
 import hashlib
-import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -70,15 +69,17 @@ def cosine_topk(
 
 
 def _hyperplane(seed: int, dim: int) -> list[float]:
-    """Deterministic pseudo-random unit-ish hyperplane: component j is
-    derived from md5(seed|j) mapped to [-0.5, 0.5). Engine-independent
-    and stable across runs (no RNG state)."""
-    comps = []
-    for j in range(dim):
-        h = hashlib.md5(f"{seed}|{j}".encode()).hexdigest()[:15]
-        comps.append(int(h, 16) / float(1 << 60) - 0.5)
-    n = math.sqrt(sum(x * x for x in comps)) or 1.0
-    return [x / n for x in comps]
+    """Deterministic pseudo-random hyperplane: component j is md5(seed|j)
+    truncated to 48 bits and centered — an INTEGER that is exact in a
+    double, so any engine deriving the same md5 computes bit-identical
+    dot-product signs. (A unit normalization would not change any sign
+    mathematically, but pre-divided float components round differently
+    across engines; sign-LSH only consumes the sign, so the magnitude
+    is irrelevant and exactness wins.)"""
+    return [
+        float(int(hashlib.md5(f"{seed}|{j}".encode()).hexdigest()[:12], 16) - (1 << 47))
+        for j in range(dim)
+    ]
 
 
 def srp_signature(vec_col: Column, planes: list[list[float]]) -> Column:

@@ -64,11 +64,18 @@ def summary_report(df: DataFrame) -> dict[str, DataFrame]:
 
 
 def analytics_summary(df: DataFrame, dim: str) -> DataFrame:
-    """A3 (app.py:344-365) — count/sum/mean by one dimension."""
+    """A3 (app.py:344-365) — count/sum/mean by one dimension.
+
+    The sum accumulates as exact DECIMAL and casts to double at the
+    edge, so the result is identical under any partial-aggregation
+    order (a plain double sum re-rounds per merge order); the mean then
+    divides that one exact sum."""
+    total = F.sum(F.col("AssetItemAmount").cast("decimal(18,2)"))
+    cnt = F.count("AssetItemAmount")
     return df.groupBy(dim).agg(
-        F.count("AssetItemAmount").alias("Count"),
-        F.round(F.sum("AssetItemAmount"), 2).alias("Total_Amount"),
-        F.round(F.avg("AssetItemAmount"), 2).alias("Average_Amount"),
+        cnt.alias("Count"),
+        F.round(total.cast("double"), 2).alias("Total_Amount"),
+        F.round(total.cast("double") / cnt, 2).alias("Average_Amount"),
     )
 
 

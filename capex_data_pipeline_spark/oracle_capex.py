@@ -623,12 +623,14 @@ def q93_fn_enrichment_oracle_sql() -> str:
     """
 
 
-def q90_processed_oracle_sql() -> str:
-    """Full pipeline output (native deterministic W1 ties): zone join,
-    top-5 per RequestNo, fail-open re-inclusion with the reference's
-    P1-rerun / zone-rerun / keep-first dedup side effects. P5 (MUM
-    remark suffix) never fires on the synth corpus (no MUMBAI region in
-    the nation-derived dim), so remark mutation is the identity here."""
+def _processed_chain_ctes() -> str:
+    """The full pipeline-as-SQL CTE chain ending in ``deduped`` (+ the
+    ``flags`` early-return marker): zone join, W1 top-5 per RequestNo
+    (native deterministic ties), fail-open re-inclusion with the
+    reference's P1-rerun / zone-rerun / keep-first dedup side effects.
+    P5 (MUM remark suffix) never fires on the synth corpus (no MUMBAI
+    region in the nation-derived dim), so remark mutation is the
+    identity here."""
     w1_ord = (
         "(CASE WHEN RequestFunction = 'IT' THEN 0 ELSE 1 END)"
         " + 2 * (CASE WHEN CurrentStatus IN ('Approval in Progress', 'Sent for Approval') THEN 0 ELSE 1 END)"
@@ -641,8 +643,7 @@ def q90_processed_oracle_sql() -> str:
         " + CASE WHEN CurrentStatus = 'Sent for Approval' THEN 50 ELSE 0 END"
         " + CASE WHEN IsSelectedVendor = 'Yes' THEN 10 ELSE 0 END)"
     )
-    return f"""
-    WITH {_RAW_CTE.strip()},
+    return f"""{_RAW_CTE.strip()},
     {_P2P1_CTE.strip()},
     {_tagged_cte().strip()},
     {_AUDIT_CTES.strip()},
@@ -665,7 +666,8 @@ def q90_processed_oracle_sql() -> str:
     merged AS (
       -- processed side: P3-suffixed category, erased again by the
       -- fail-open P1 rerun when anything was re-included
-      SELECT RequestNo, AssetItemName, VendorName, Zone, Region,
+      SELECT RequestNo, AssetItemName, VendorName, RequestFunction,
+             Zone, Region,
              CASE WHEN (SELECT active FROM flags)
                   THEN {_case_map("upper(trim(cat_p2))", CATEGORY_NORMALIZATION)}
                   ELSE {_p3_cat("norm2")} END AS AssetCategoryName_2,
@@ -677,7 +679,8 @@ def q90_processed_oracle_sql() -> str:
       UNION ALL
       -- re-included side: ORIGINAL raw category (pre-P2 snapshot),
       -- P1 applied by the rerun; Category_Type/priority never assigned
-      SELECT RequestNo, AssetItemName, VendorName, Zone, Region,
+      SELECT RequestNo, AssetItemName, VendorName, RequestFunction,
+             Zone, Region,
              {_case_map("upper(trim(AssetCategoryName))", CATEGORY_NORMALIZATION)}
                AS AssetCategoryName_2,
              CAST(NULL AS VARCHAR) AS Category_Type,
@@ -694,7 +697,18 @@ def q90_processed_oracle_sql() -> str:
                         CASE WHEN reincl = 1 THEN 0 ELSE w1o END ASC,
                         ord ASC) AS drn
       FROM merged
-    )
+    ),
+    processed_final AS (
+      SELECT * FROM deduped
+      WHERE (NOT (SELECT active FROM flags)) OR drn = 1
+    )"""
+
+
+def q90_processed_oracle_sql() -> str:
+    """Full pipeline output — the processed_final chain projected to the
+    q90 driver-contract columns."""
+    return f"""
+    WITH {_processed_chain_ctes()}
     SELECT RequestNo, AssetItemName, VendorName, Zone, Region,
            AssetCategoryName_2, Category_Type, AssetItemAmount,
            -- -1 sentinel: a NULL INT column round-trips as NaN through
@@ -702,6 +716,43 @@ def q90_processed_oracle_sql() -> str:
            -- priority (their null-ness is visible via the flag column)
            coalesce(priority, -1) AS priority,
            ReincludedViaFailOpen
-    FROM deduped
-    WHERE (NOT (SELECT active FROM flags)) OR drn = 1
+    FROM processed_final
+    """
+
+
+def q27_analytics_oracle_sql() -> str:
+    """A3 analytics (app.py:344-365) over the processed output: one
+    count/sum/mean summary per dimension, unioned with a dim tag.
+    Sums aggregate as exact DECIMAL (order-independent); the mean's
+    final rounding goes through the shortest-repr VARCHAR -> DECIMAL
+    path to match Spark's BigDecimal HALF_UP on doubles."""
+    total = "CAST(sum(CAST(AssetItemAmount AS DECIMAL(18,2))) AS DOUBLE)"
+    cnt = "count(AssetItemAmount)"
+    avg = (
+        f"CAST(round(CAST(CAST(({total} / {cnt}) AS VARCHAR)"
+        " AS DECIMAL(38,20)), 2) AS DOUBLE)"
+    )
+    dims = ("Zone", "AssetCategoryName_2", "RequestFunction")
+    selects = [
+        f"""SELECT '{d}' AS dim, CAST({d} AS VARCHAR) AS dim_value,
+               {cnt} AS Count, round({total}, 2) AS Total_Amount,
+               {avg} AS Average_Amount
+        FROM processed_final GROUP BY {d}"""
+        for d in dims
+    ]
+    union = "\n    UNION ALL\n    ".join(selects)
+    return f"""
+    WITH {_processed_chain_ctes()}
+    {union}
+    """
+
+
+def q94_explain_oracle_sql() -> str:
+    """U3 explain_exclusion_reason over every synth raw row (no audit
+    in scope -> the in-loop fallback label is NULL)."""
+    return f"""
+    WITH {_RAW_CTE.strip()}
+    SELECT RequestNo, AssetItemName,
+           {_explain_reason_sql("CAST(NULL AS VARCHAR)")} AS explained_reason
+    FROM raw
     """

@@ -402,10 +402,67 @@ def q92_capex_zone_join(spark, sf_dir):
 
 
 from capex_data_pipeline_spark.oracle_capex import (
+    q27_analytics_oracle_sql,
     q90_processed_oracle_sql,
     q91_audit_oracle_sql,
     q93_fn_enrichment_oracle_sql,
+    q94_explain_oracle_sql,
 )
+
+
+@query("q27_analytics_dims", q27_analytics_oracle_sql())
+def q27_analytics_dims(spark, sf_dir):
+    """A3 (app.py:344-365): the three per-dimension count/sum/mean
+    summaries (Zone, normalized category, request function) over the
+    REAL processed pipeline output, unioned with a dim tag. The oracle
+    recomputes them on the DuckDB restatement of the whole pipeline."""
+    from functools import reduce
+
+    from capex_data_pipeline_spark.operators.aggregates import analytics_summary
+    from capex_data_pipeline_spark.plans.pipeline import (
+        CapexPipelineConfig,
+        run_pipeline,
+    )
+    from capex_data_pipeline_spark.plans.synth import (
+        synthesize_capex_raw,
+        synthesize_office,
+    )
+
+    res = run_pipeline(
+        synthesize_capex_raw(spark, sf_dir),
+        synthesize_office(spark, sf_dir),
+        config=CapexPipelineConfig(exact_w1_ties=False),
+    )
+    parts = [
+        analytics_summary(res.processed, d).select(
+            F.lit(d).alias("dim"),
+            F.col(d).cast("string").alias("dim_value"),
+            "Count",
+            "Total_Amount",
+            "Average_Amount",
+        )
+        for d in ("Zone", "AssetCategoryName_2", "RequestFunction")
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@query("q94_explain_exclusion", q94_explain_oracle_sql())
+def q94_explain_exclusion(spark, sf_dir):
+    """U3: explain_exclusion_reason (process_capex.py:385-499) applied
+    to every synth raw row — the on-the-fly rule re-derivation, quirks
+    included (reduced category map, first-occurrence device negation).
+    The oracle restates the same CASE in DuckDB."""
+    from capex_data_pipeline_spark.operators.enrichment import (
+        explain_exclusion_reason_col,
+    )
+    from capex_data_pipeline_spark.plans.synth import synthesize_capex_raw
+
+    raw = synthesize_capex_raw(spark, sf_dir)
+    return raw.select(
+        "RequestNo",
+        "AssetItemName",
+        explain_exclusion_reason_col(None).alias("explained_reason"),
+    )
 
 
 @query("q90_capex_pipeline", q90_processed_oracle_sql())
@@ -519,24 +576,85 @@ def q93_fn_enrichment(spark, sf_dir):
 
 @query("q37_ann_ivf")  # rows-only: k-means centers are model state
 def q37_ann_ivf(spark, sf_dir):
-    """IVF approximate top-10 (k-means coarse quantizer, nprobe=3 of 16
-    cells, exact re-rank inside probed cells) — the scale path for
-    similarity search alongside the SRP-LSH variant; recall vs the exact
-    q34 baseline asserted in tests/test_extensions.py."""
+    """IVF top-10 (k-means coarse quantizer, nprobe=3 of 16 cells,
+    exact re-rank inside probed cells) graded against the exact
+    baseline IN the query: one recall@10 row per query vector, so the
+    output is small, deterministic for a fixed quantizer fit, and
+    meaningful to eyeball. No SQL oracle — the k-means centers are
+    model state the oracle engine cannot re-derive; recall is
+    additionally asserted in tests/test_extensions.py."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.ivf_topk(emb, queries, k=10, n_cells=16, nprobe=3)
+    approx = S.ivf_topk(emb, queries, k=10, n_cells=16, nprobe=3).select(
+        "query_id", "neighbor_id"
+    )
+    exact = S.cosine_topk(emb, queries, k=10).select(
+        "query_id", F.col("neighbor_id").alias("exact_neighbor_id")
+    )
+    hits = approx.join(
+        exact,
+        (approx["query_id"] == exact["query_id"])
+        & (approx["neighbor_id"] == exact["exact_neighbor_id"]),
+        "left",
+    ).groupBy(approx["query_id"].alias("query_id")).agg(
+        F.round(
+            F.count("exact_neighbor_id") / F.lit(10.0), 2
+        ).alias("recall_at_10")
+    )
+    return hits
 
 
-@query("q36_ann_lsh")  # rows-only: hyperplane constants live Python-side
+@query(
+    "q36_ann_lsh",
+    """
+    WITH pl AS (
+      SELECT t.t AS tbl, b.b AS bit,
+             list_transform(range(0, 64),
+               j -> CAST(CAST(('0x' || substr(md5((t.t*1000 + b.b) || '|' || j), 1, 12))
+                         AS BIGINT) - 140737488355328 AS DOUBLE)) AS c
+      FROM (SELECT unnest(range(0, 2)) AS t) t,
+           (SELECT unnest(range(0, 8)) AS b) b
+    ), bits AS (
+      SELECT e.vec_id, pl.tbl,
+             CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.c) > 0
+                  THEN (1 << pl.bit) ELSE 0 END AS bv
+      FROM embeddings e, pl
+    ), buckets AS (
+      SELECT vec_id, tbl, SUM(bv) AS bucket FROM bits GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM (SELECT * FROM buckets WHERE vec_id < 5) q
+      JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+                    AND c.vec_id <> q.vec_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(eq.embedding::DOUBLE[], en.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(en.embedding::DOUBLE[], en.embedding::DOUBLE[]))),
+                   4) AS cosine
+      FROM cand
+      JOIN embeddings eq ON eq.vec_id = query_id
+      JOIN embeddings en ON en.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
 def q36_ann_lsh(spark, sf_dir):
     """Approximate top-10 via sign-random-projection LSH (2 tables × 8
-    bits, md5-derived hyperplanes), exact re-rank inside buckets. No SQL
-    oracle (driver records the rows-only check); recall vs the exact
-    q34 baseline is asserted in tests/test_extensions.py."""
-    emb = _t(spark, sf_dir, "embeddings")
+    bits), exact re-rank inside buckets. Hyperplane components are
+    md5-derived 48-bit integers (exact in a double), so the oracle
+    derives bit-identical buckets in SQL and the whole ANN result is
+    value-checked — not just row-counted. Recall vs the exact q34
+    baseline is additionally asserted in tests/test_extensions.py."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
     queries = emb.filter(F.col("vec_id") < 5)
     return S.srp_lsh_topk(emb, queries, k=10, dim=64, n_bits=8, n_tables=2)
 
