@@ -801,6 +801,36 @@ def q43_fingerprint(spark, sf_dir):
 
 
 @query(
+    "q55_attribution_join",
+    """
+    SELECT l.user_id,
+           l.event_id AS l_event_id, r.event_id AS r_event_id,
+           epoch_us(l.ts) AS l_ts_us, epoch_us(r.ts) AS r_ts_us,
+           round(CAST(CAST(r.value AS DECIMAL(18,6))
+                      - CAST(l.value AS DECIMAL(18,6)) AS DOUBLE), 2)
+             AS value_delta
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'view' AND r.event_type = 'purchase'
+     -- compare at MICROsecond precision on both sides: Spark's ts is
+     -- micro-truncated at read time, DuckDB's is nanos
+     AND epoch_us(r.ts) >= epoch_us(l.ts)
+     AND epoch_us(r.ts) <= epoch_us(l.ts) + 3600000000
+    """,
+)
+def q55_attribution_join(spark, sf_dir):
+    """Event-to-event interval join (view -> purchase attribution
+    within 1 hour, per user) — the batch formulation of the
+    stream-stream join in streaming.windows.attribution_join_stream
+    (equi-key + event-time range, the state-bounded streaming shape);
+    stream==batch parity in tests/test_streaming.py."""
+    from capex_data_pipeline_spark.streaming.windows import attribution_join
+
+    e = _t(spark, sf_dir, "events")
+    return attribution_join(e, e)
+
+
+@query(
     "q50_tumbling_window",
     """
     SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,

@@ -102,3 +102,74 @@ def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def attribution_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Event-to-event interval join ("attribution": every ``right_type``
+    event paired with the same user's ``left_type`` events in the
+    preceding ``horizon``). The join condition is an equi-key
+    (user_id) plus an event-time range — exactly the shape Structured
+    Streaming's stream-stream join requires to bound state.
+
+    Batch mode is the oracle semantics; ``attribution_join_stream``
+    runs the identical plan on two streams with watermarks, where the
+    time bound lets Spark expire buffered rows on both sides.
+    """
+    l = left.filter(F.col("event_type") == left_type).select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("value").alias("l_value"),
+    )
+    r = right.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    )
+    joined = l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
+    )
+    return joined.select(
+        F.col("l_user").alias("user_id"),
+        "l_event_id",
+        "r_event_id",
+        F.unix_micros(F.col("l_ts")).alias("l_ts_us"),
+        F.unix_micros(F.col("r_ts")).alias("r_ts_us"),
+        F.round(
+            (
+                F.col("r_value").cast("decimal(18,6)")
+                - F.col("l_value").cast("decimal(18,6)")
+            ).cast("double"),
+            2,
+        ).alias("value_delta"),
+    )
+
+
+def attribution_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner interval join: both sides watermarked, so
+    each side buffers at most watermark+horizon of state — the bounded
+    formulation that runs indefinitely on unbounded sources."""
+    return attribution_join(
+        left.withWatermark("ts", watermark),
+        right.withWatermark("ts", watermark),
+        left_type,
+        right_type,
+        horizon,
+    )

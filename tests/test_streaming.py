@@ -146,3 +146,23 @@ def test_stream_dedup_suppresses_duplicates(spark, tmp_path):
     _run_to_memory(deduped, "dedup_mem", "append")
     out = spark.sql("SELECT event_id, count(*) n FROM dedup_mem GROUP BY 1").collect()
     assert {r.event_id: r.n for r in out} == {1: 1, 2: 1, 3: 1}
+
+
+def test_attribution_join_stream_matches_batch(spark, events_stream_dir):
+    from capex_data_pipeline_spark.streaming.windows import (
+        attribution_join,
+        attribution_join_stream,
+    )
+
+    e = read_table(spark, SF_DIR, "events")
+    batch = sorted(tuple(r) for r in attribution_join(e, e).collect())
+    assert len(batch) > 0
+
+    left = _streaming_events(spark, events_stream_dir)
+    right = _streaming_events(spark, events_stream_dir)
+    stream = attribution_join_stream(left, right, watermark="10 days")
+    _run_to_memory(stream, "attribution_mem", "append")
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM attribution_mem").collect()
+    )
+    assert got == batch
