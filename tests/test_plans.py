@@ -1,0 +1,69 @@
+"""Physical-plan regression tests: the scale properties documented in
+docs/SCALE.md pinned as assertions, so a refactor that silently turns a
+broadcast join into a shuffle (or a bucketed candidate join into an
+all-pairs nested loop) fails CI instead of failing at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from capex_data_pipeline_spark.registry import QUERIES
+
+    return QUERIES
+
+
+def test_dim_join_broadcasts(spark, queries):
+    plan = _plan(queries["q06_broadcast_dim_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the fact side must not shuffle
+
+
+def test_topk_pushes_into_shuffle(spark, queries):
+    plan = _plan(queries["q14_topk_per_group"](spark, SF))
+    assert "WindowGroupLimit" in plan  # top-k applied map-side pre-exchange
+
+
+def test_filter_scan_prunes_columns(spark, queries):
+    plan = _plan(queries["q01_status_filter"](spark, SF))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    # the orders table has 6 columns; q01 needs only its projection
+    assert "o_orderdate" not in read_schema[0]
+
+
+def test_dedup_candidate_joins_are_equi_joins(spark, queries):
+    """No dedup path may degrade to an all-pairs join: every candidate
+    generator joins on a compact LSH key (band hash, sketch segment,
+    SRP bucket)."""
+    for name in (
+        "q31_minhash_lsh",
+        "q33_ngram_jaccard",
+        "q35_embedding_neardup",
+        "q38_simhash_pairs",
+    ):
+        plan = _plan(queries[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pipeline_consumers_read_the_persisted_frame(spark, raw_sdf, office_sdf):
+    """The tagged-lineage design's core property: the fan-out consumers
+    (kept rows, audit keys, fail-open raw reconstruction) all read the
+    persisted tagged frame — InMemoryTableScan nodes — instead of
+    re-deriving from the input, so the scan + regex + join work runs
+    once however many outputs are consumed. (A plan-string node COUNT
+    can't prove single-scan: cached nodes reprint their lineage.)"""
+    from capex_data_pipeline_spark.plans.pipeline import run_pipeline
+
+    res = run_pipeline(raw_sdf, office_sdf, golden=None)
+    plan = res.processed._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3  # kept, audit, fail-open sides
