@@ -665,6 +665,101 @@ def q36_ann_lsh(spark, sf_dir):
 
 
 @query(
+    "q39_corpus_curation",
+    f"""
+    WITH fp AS (SELECT doc_id, md5({_NORM}) AS f FROM documents),
+    keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+    surv AS (SELECT d.* FROM documents d JOIN keep k USING (doc_id)),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 8),
+               i -> list_min(list_transform({_SHINGLES}, s -> md5(i || '|' || s)))) AS sig
+      FROM surv
+    ), banded AS (
+      SELECT doc_id, sig, b,
+             md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS bhash
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) bands
+    ), losers AS (
+      SELECT DISTINCT b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+      WHERE len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) / 8.0 >= 0.5
+    ), cur AS (
+      SELECT * FROM surv WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    ), scored AS (
+      SELECT doc_id,
+        CASE
+          WHEN len(regexp_extract_all(lower(coalesce(text,'')), '\\b(?:the|and|of|is|was|with)\\b'))
+               >= greatest(
+                    len(regexp_extract_all(lower(coalesce(text,'')), '\\b(?:der|die|das|und|ist|nicht)\\b')),
+                    len(regexp_extract_all(lower(coalesce(text,'')), '\\b(?:le|la|les|et|est|pas)\\b')),
+                    len(regexp_extract_all(lower(coalesce(text,'')), '\\b(?:el|los|las|es|y|como)\\b')))
+           AND len(regexp_extract_all(lower(coalesce(text,'')), '\\b(?:the|and|of|is|was|with)\\b')) > 0
+          THEN 'en'
+          WHEN len(regexp_extract_all(lower(coalesce(text,'')), '\\b(?:der|die|das|und|ist|nicht)\\b'))
+               >= greatest(
+                    len(regexp_extract_all(lower(coalesce(text,'')), '\\b(?:le|la|les|et|est|pas)\\b')),
+                    len(regexp_extract_all(lower(coalesce(text,'')), '\\b(?:el|los|las|es|y|como)\\b')))
+           AND len(regexp_extract_all(lower(coalesce(text,'')), '\\b(?:der|die|das|und|ist|nicht)\\b')) > 0
+          THEN 'de'
+          WHEN len(regexp_extract_all(lower(coalesce(text,'')), '\\b(?:le|la|les|et|est|pas)\\b'))
+               >= len(regexp_extract_all(lower(coalesce(text,'')), '\\b(?:el|los|las|es|y|como)\\b'))
+           AND len(regexp_extract_all(lower(coalesce(text,'')), '\\b(?:le|la|les|et|est|pas)\\b')) > 0
+          THEN 'fr'
+          WHEN len(regexp_extract_all(lower(coalesce(text,'')), '\\b(?:el|los|las|es|y|como)\\b')) > 0
+          THEN 'es'
+          ELSE 'und'
+        END AS lang,
+        len(regexp_extract_all(coalesce(text,''), '[A-Za-z0-9'']+')) AS n_tokens,
+        round(
+          (CASE WHEN len(regexp_extract_all(coalesce(text,''), '[A-Za-z0-9'']+')) >= 5 THEN 0.25 ELSE 0 END)
+          + (CASE WHEN (length(coalesce(text,'')) - (greatest(len(regexp_extract_all(coalesce(text,''), '[A-Za-z0-9'']+')),1) - 1))
+                       / CAST(greatest(len(regexp_extract_all(coalesce(text,''), '[A-Za-z0-9'']+')),1) AS DOUBLE)
+                   BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END)
+          + (CASE WHEN len(regexp_extract_all(coalesce(text,''), '[^\\sA-Za-z0-9]'))
+                       / CAST(greatest(length(coalesce(text,'')),1) AS DOUBLE) <= 0.2 THEN 0.25 ELSE 0 END)
+          + (CASE WHEN len(regexp_extract_all(lower(coalesce(text,'')), '\\b(?:the|a|an|and|or|of|to|in|is|it)\\b'))
+                       / CAST(greatest(len(regexp_extract_all(coalesce(text,''), '[A-Za-z0-9'']+')),1) AS DOUBLE) >= 0.05
+             THEN 0.25 ELSE 0 END),
+        2) AS quality_score
+      FROM cur
+    )
+    SELECT doc_id, lang, n_tokens, quality_score
+    FROM scored WHERE lang = 'en' AND quality_score >= 0.75
+    """,
+)
+def q39_corpus_curation(spark, sf_dir):
+    """The end-to-end training-corpus curation pipeline, composed from
+    the individual tiers: exact dedup (md5 fingerprint, keep lowest id)
+    → MinHash-LSH near-dedup among survivors (est. Jaccard ≥ 0.5, drop
+    the higher id of each pair) → language gate (marker-word id = 'en')
+    → quality gate (composite score ≥ 0.75). Emits the curated doc ids
+    with their language, token count and score — what a data-pipeline
+    user actually ships to training."""
+    docs = _t(spark, sf_dir, "documents")
+    keepers = D.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    surv = docs.join(keepers, "doc_id", "left_semi")
+    losers = (
+        D.minhash_near_dups(surv, num_hashes=8, bands=4, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    cur = surv.join(losers, "doc_id", "left_anti").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    m = TS.quality_metrics(F.col("text"))
+    return (
+        cur.select(
+            "doc_id",
+            TS.lang_id(F.col("text")).alias("lang"),
+            TS.word_count(F.col("text")).alias("n_tokens"),
+            m["quality_score"].alias("quality_score"),
+        )
+        .filter((F.col("lang") == "en") & (F.col("quality_score") >= 0.75))
+    )
+
+
+@query(
     "q40_lang_id",
     r"""
     WITH scored AS (
