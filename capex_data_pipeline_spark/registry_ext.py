@@ -926,6 +926,34 @@ def q55_attribution_join(spark, sf_dir):
 
 
 @query(
+    "q56_dedup_replayed_stream",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM (SELECT DISTINCT event_id, ts, user_id, event_type, value
+          FROM (SELECT * FROM events UNION ALL SELECT * FROM events))
+    """,
+)
+def q56_dedup_replayed_stream(spark, sf_dir):
+    """Batch analog of streaming.windows.stream_dedup: a replayed
+    (doubled) event feed deduplicated on event_id — the exactly-once
+    repair for at-least-once sources. The streaming form
+    (dropDuplicatesWithinWatermark) bounds the same computation's state
+    by the watermark; its stream==batch behavior is covered in
+    tests/test_streaming.py."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    deduped = e.unionByName(e).dropDuplicates(["event_id"])
+    return deduped.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+@query(
     "q50_tumbling_window",
     """
     SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
