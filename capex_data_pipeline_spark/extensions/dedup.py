@@ -225,6 +225,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     block_col: str | None = None,
+    include_sketches: bool = False,
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming, via the
     standard segment-split LSH (the Manku/Jain/Sarma simhash-dedup
@@ -233,7 +234,8 @@ def simhash_near_dups(
     EXACTLY on at least one segment, so candidate generation is an
     equi-join on (segment index, segment value) — no quadratic scan
     anywhere, and the shuffle carries only (id, sketch, segment).
-    Optional ``block_col`` adds a same-block constraint on top.
+    Optional ``block_col`` adds a same-block constraint on top;
+    ``include_sketches`` keeps both 60-bit sketches on the output rows.
     """
     n_seg = max_hamming + 1
     width = -(-60 // n_seg)  # ceil(60 / n_seg)
@@ -278,6 +280,14 @@ def simhash_near_dups(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
+            *(
+                [
+                    F.col("a.sh").alias("simhash_a"),
+                    F.col("b.sh").alias("simhash_b"),
+                ]
+                if include_sketches
+                else []
+            ),
             F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])

@@ -103,12 +103,20 @@ def add_zone_region(
         fb_zone, fb_region = "CAST(NULL AS STRING)", "CAST(NULL AS STRING)"
     else:
         entries = sorted(seen.values())
-        # \Q..\E quoting mirrors re.escape + word boundaries (:273)
+        # \Q..\E quoting mirrors re.escape + word boundaries (:273).
+        # The alternation sits inside a zero-width lookahead so the scan
+        # observes ALL occurrences, including overlapping ones: a plain
+        # scan consumes its match, so 'NEW DELHI' at pos 0 would hide
+        # 'DELHI' at pos 4 and a later-dict-order code could win against
+        # the reference's per-code re.search (which sees both). At the
+        # same start position the alternation tries dict order first, so
+        # any shadowed code has a strictly larger dict position and
+        # cannot change the min.
         alt = "|".join(
             rf"\Q{code}\E"
             for code in sorted(seen, key=lambda c: seen[c][0])
         )
-        pattern = sql_str(rf"(?i)\b({alt})\b")
+        pattern = sql_str(rf"(?i)(?=\b({alt})\b)")
         pos_map = (
             "map("
             + ", ".join(f"{sql_str(c)}, {seen[c][0]}" for c in seen)

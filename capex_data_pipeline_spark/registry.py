@@ -279,21 +279,11 @@ def q07_semi_join(spark, sf_dir):
     )
 
 
-@query(
-    "q08_anti_join",
-    """
-    SELECT c_custkey, c_name
-    FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-    """,
-)
-def q08_anti_join(spark, sf_dir):
-    """J4 building block: anti join (process_capex.py:12-56)."""
-    cust = _t(spark, sf_dir, "customer")
-    keys = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return cust.join(keys.distinct(), "c_custkey", "left_anti").select(
-        "c_custkey", "c_name"
-    )
+# NOTE: the standalone J4 anti-join query (formerly q08) was folded into
+# q90's full-pipeline oracle, which exercises the fail-open anti-join +
+# union + dedup (process_capex.py:12-56) end-to-end with a hash-checked
+# DuckDB restatement; the registry is capped at 50 entries so every
+# registered query fits the driver's correctness window.
 
 
 # =========================================================================
@@ -339,91 +329,88 @@ def q09_pivot_sum(spark, sf_dir):
 @query(
     "q10_summary_report",
     """
-    SELECT o_orderpriority,
+    SELECT coalesce(o_orderpriority, 'TOTAL') AS o_orderpriority,
            count(*) AS cnt,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
            round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2)
              AS avg_amount
-    FROM orders GROUP BY 1
+    FROM orders GROUP BY ROLLUP (o_orderpriority)
     """,
 )
 def q10_summary_report(spark, sf_dir):
-    """A2/A3 analog: per-dimension count/sum/mean
-    (process_capex.py:938-980; app.py:344-365). Exact decimal sum; the
-    mean divides that one exact sum so both engines round the same
-    double."""
+    """A2 analog: per-dimension count/sum/mean summary report PLUS the
+    global-totals row (process_capex.py:938-980,945-946; app.py:344-365)
+    — one ROLLUP pass instead of the reference's two separate
+    aggregations. Exact decimal sum; the mean divides that one exact sum
+    so both engines round the same double. The totals row surfaces as
+    o_orderpriority = 'TOTAL' (column never null in the corpus)."""
     o = _t(spark, sf_dir, "orders")
     total = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-    return o.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        total.cast("double").alias("total_amount"),
-        F.round(total.cast("double") / F.count(F.lit(1)), 2).alias("avg_amount"),
+    return (
+        o.rollup("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            total.cast("double").alias("total_amount"),
+            F.round(total.cast("double") / F.count(F.lit(1)), 2).alias("avg_amount"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("TOTAL")).alias("o_orderpriority"),
+            "cnt",
+            "total_amount",
+            "avg_amount",
+        )
     )
 
 
 @query(
-    "q26_global_totals",
+    "q11_profile",
     """
-    SELECT count(*) AS total_records,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+    SELECT 'distinct_custs' AS section, 'o_custkey' AS key,
+           count(DISTINCT o_custkey) AS cnt
     FROM orders
+    UNION ALL
+    SELECT 'distinct_orders', 'o_orderkey', count(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'value_count', event_type, count(*) FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'dup_keys', user_id || '|' || event_type, count(*)
+    FROM events GROUP BY user_id, event_type HAVING count(*) > 1
     """,
 )
-def q26_global_totals(spark, sf_dir):
-    """A2's global totals row (process_capex.py:945-946)."""
+def q11_profile(spark, sf_dir):
+    """A4 + A5 analog in one profile query: exact distinct counts
+    (process_capex.py:287), value histogram (:288) and duplicate-key
+    detection (:1317-1334), unified as (section, key, cnt) rows.
+    Each section is an independent aggregation; Spark unions the partial
+    aggregates, so the sections pipeline rather than barrier."""
     o = _t(spark, sf_dir, "orders")
-    return o.agg(
-        F.count(F.lit(1)).alias("total_records"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("total_amount"),
-    )
-
-
-@query(
-    "q11_distinct_counts",
-    """
-    SELECT count(DISTINCT o_custkey) AS n_custs,
-           count(DISTINCT o_orderkey) AS n_orders
-    FROM orders
-    """,
-)
-def q11_distinct_counts(spark, sf_dir):
-    """A4 analog: exact distinct counts (process_capex.py:287)."""
-    o = _t(spark, sf_dir, "orders")
-    return o.agg(
+    e = _t(spark, sf_dir, "events")
+    distincts = o.agg(
         F.countDistinct("o_custkey").alias("n_custs"),
         F.countDistinct("o_orderkey").alias("n_orders"),
+    ).selectExpr(
+        # unpivot the one aggregate row -> two (section, key, cnt) rows
+        # without re-scanning orders per section
+        "stack(2, 'distinct_custs', 'o_custkey', n_custs,"
+        "         'distinct_orders', 'o_orderkey', n_orders)"
+        " AS (section, key, cnt)"
     )
-
-
-@query(
-    "q12_value_counts",
-    """
-    SELECT event_type, count(*) AS cnt FROM events GROUP BY 1
-    """,
-)
-def q12_value_counts(spark, sf_dir):
-    """A5 analog: value histogram (process_capex.py:288)."""
-    e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
-
-
-@query(
-    "q13_duplicate_keys",
-    """
-    SELECT user_id, event_type, count(*) AS n
-    FROM events GROUP BY 1, 2 HAVING count(*) > 1
-    """,
-)
-def q13_duplicate_keys(spark, sf_dir):
-    """A5b analog: duplicate detection (process_capex.py:1317-1334)."""
-    e = _t(spark, sf_dir, "events")
-    return (
+    vcounts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("value_count").alias("section"),
+        F.col("event_type").alias("key"),
+        "cnt",
+    )
+    dups = (
         e.groupBy("user_id", "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select(
+            F.lit("dup_keys").alias("section"),
+            F.concat_ws("|", "user_id", "event_type").alias("key"),
+            "cnt",
+        )
     )
+    return distincts.unionByName(vcounts).unionByName(dups)
 
 
 @query(
@@ -616,50 +603,58 @@ def q15_dedup_first(spark, sf_dir):
 
 
 @query(
-    "q16_union",
+    "q16_set_ops",
     """
-    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
-    UNION ALL
-    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'
-    """,
-)
-def q16_union(spark, sf_dir):
-    """U1 analog: vertical concat (process_capex.py:540,584-585)."""
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    return o.filter(F.col("o_orderpriority") == "1-URGENT").unionByName(
-        o.filter(F.col("o_orderpriority") == "2-HIGH")
+    SELECT 'union' AS op, key FROM (
+      SELECT o_orderkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '2-HIGH'
     )
-
-
-@query(
-    "q17_intersect",
-    """
-    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT 'intersect', key FROM (
+      SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'except', key FROM (
+      SELECT c_custkey AS key FROM customer
+      EXCEPT
+      SELECT o_custkey FROM orders
+    )
     """,
 )
-def q17_intersect(spark, sf_dir):
-    """U2 analog: key-set intersection (process_capex.py:1575)."""
+def q16_set_ops(spark, sf_dir):
+    """U1 + U2 + U3 analogs in one query, tagged by op: vertical concat
+    (process_capex.py:540,584-585), key-set intersection (:1575) and
+    key-set difference (:1577-1579), unified as (op, key) rows. Each arm
+    stays an independent Spark set operator — union is a zero-shuffle
+    concat; intersect/except are the same hash-aggregate + join plans
+    the standalone queries produced."""
     o = _t(spark, sf_dir, "orders")
-    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    return a.intersect(b)
-
-
-@query(
-    "q18_except",
-    """
-    SELECT c_custkey FROM customer
-    EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders
-    """,
-)
-def q18_except(spark, sf_dir):
-    """U3 analog: key-set difference (process_capex.py:1577-1579)."""
-    cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    okeys = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return cust.exceptAll(okeys.distinct()).distinct()
+    union_arm = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("key"))
+        .unionByName(
+            o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+                F.col("o_orderkey").alias("key")
+            )
+        )
+        .select(F.lit("union").alias("op"), "key")
+    )
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("key")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("key"))
+    intersect_arm = a.intersect(b).select(F.lit("intersect").alias("op"), "key")
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    okeys = o.select(F.col("o_custkey").alias("key"))
+    except_arm = (
+        cust.exceptAll(okeys.distinct())
+        .distinct()
+        .select(F.lit("except").alias("op"), "key")
+    )
+    return union_arm.unionByName(intersect_arm).unionByName(except_arm)
 
 
 @query(

@@ -163,29 +163,6 @@ def q31_minhash_lsh(spark, sf_dir):
     )
 
 
-@query(
-    "q32_simhash",
-    f"""
-    WITH tok AS (SELECT doc_id, {_WORDS} AS w FROM documents)
-    SELECT doc_id,
-      CAST(list_sum(list_transform(range(0, 60), bit ->
-        CASE WHEN list_sum(list_transform(w, wd ->
-               CASE WHEN (CAST(('0x' || substr(md5(wd), 1, 15)) AS BIGINT) >> bit) & 1 = 1
-                    THEN 1 ELSE -1 END)) > 0
-             THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)) AS BIGINT) AS simhash
-    FROM tok
-    """,
-)
-def q32_simhash(spark, sf_dir):
-    """60-bit SimHash sketch per document (bit-identical across engines
-    via md5-derived token hashes). Repartitioned first: the projection is
-    CPU-bound and small corpora arrive as one parquet split."""
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
-    return docs.select("doc_id", D.simhash60("text").alias("simhash"))
-
-
 _SIMHASH_SQL = f"""
     CAST(list_sum(list_transform(range(0, 60), bit ->
       CASE WHEN list_sum(list_transform({_WORDS}, wd ->
@@ -196,7 +173,7 @@ _SIMHASH_SQL = f"""
 
 
 @query(
-    "q38_simhash_pairs",
+    "q32_simhash",
     f"""
     WITH sk AS (SELECT doc_id, {_SIMHASH_SQL} AS sh FROM documents),
     segs AS (
@@ -208,16 +185,22 @@ _SIMHASH_SQL = f"""
       FROM segs a JOIN segs b
         ON a.i = b.i AND a.seg = b.seg AND a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+    SELECT id_a, id_b, sha AS simhash_a, shb AS simhash_b,
+           CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
     FROM cand WHERE bit_count(xor(sha, shb)) <= 3
     """,
 )
-def q38_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs at Hamming <= 3 via the 4-segment
-    pigeonhole split (any pair within distance 3 agrees exactly on one
-    15-bit segment) — candidates equi-join on (segment idx, value), no
-    quadratic block scan. Oracle reproduces the segment join in SQL."""
-    return D.simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
+def q32_simhash(spark, sf_dir):
+    """SimHash sketch + near-dup pairs in one query (60-bit Charikar
+    sketch, bit-identical across engines via md5-derived token hashes;
+    pairs at Hamming <= 3 via the 4-segment pigeonhole split — any pair
+    within distance 3 agrees exactly on one 15-bit segment, so
+    candidates equi-join on (segment idx, value), no quadratic block
+    scan). Both sketches ride on the output rows so the oracle
+    hash-checks the sketch math AND the pair join."""
+    return D.simhash_near_dups(
+        _t(spark, sf_dir, "documents"), max_hamming=3, include_sketches=True
+    )
 
 
 @query(
@@ -660,6 +643,218 @@ def q36_ann_lsh(spark, sf_dir):
 
 
 # =========================================================================
+# Event-time windows (batch-parity forms of the streaming operators)
+# =========================================================================
+
+
+@query(
+    "q55_attribution_join",
+    """
+    SELECT l.user_id,
+           l.event_id AS l_event_id, r.event_id AS r_event_id,
+           epoch_us(l.ts) AS l_ts_us, epoch_us(r.ts) AS r_ts_us,
+           round(CAST(CAST(r.value AS DECIMAL(18,6))
+                      - CAST(l.value AS DECIMAL(18,6)) AS DOUBLE), 2)
+             AS value_delta
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'view' AND r.event_type = 'purchase'
+     -- compare at MICROsecond precision on both sides: Spark's ts is
+     -- micro-truncated at read time, DuckDB's is nanos
+     AND epoch_us(r.ts) >= epoch_us(l.ts)
+     AND epoch_us(r.ts) <= epoch_us(l.ts) + 3600000000
+    """,
+)
+def q55_attribution_join(spark, sf_dir):
+    """Event-to-event interval join (view -> purchase attribution
+    within 1 hour, per user) — the batch formulation of the
+    stream-stream join in streaming.windows.attribution_join_stream
+    (equi-key + event-time range, the state-bounded streaming shape);
+    stream==batch parity in tests/test_streaming.py."""
+    from capex_data_pipeline_spark.streaming.windows import attribution_join
+
+    e = _t(spark, sf_dir, "events")
+    return attribution_join(e, e)
+
+
+@query(
+    "q56_dedup_replayed_stream",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM (SELECT DISTINCT event_id, ts, user_id, event_type, value
+          FROM (SELECT * FROM events UNION ALL SELECT * FROM events))
+    """,
+)
+def q56_dedup_replayed_stream(spark, sf_dir):
+    """Batch analog of streaming.windows.stream_dedup: a replayed
+    (doubled) event feed deduplicated on event_id — the exactly-once
+    repair for at-least-once sources. The streaming form
+    (dropDuplicatesWithinWatermark) bounds the same computation's state
+    by the watermark; its stream==batch behavior is covered in
+    tests/test_streaming.py."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    deduped = e.unionByName(e).dropDuplicates(["event_id"])
+    return deduped.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+@query(
+    "q50_tumbling_window",
+    """
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+           epoch_us(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS window_end_us,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q50_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour event-time windows (same plan runs under
+    Structured Streaming via streaming.windows.tumbling_window_stream)."""
+    return tumbling_window_agg(_t(spark, sf_dir, "events"), "1 hour")
+
+
+@query(
+    "q51_sliding_window",
+    """
+    WITH cand AS (
+      SELECT e.*, time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes'
+               AS wstart
+      FROM events e, (SELECT unnest([0, 1]) AS k) ks
+    )
+    SELECT epoch_us(wstart) AS window_start_us,
+           epoch_us(wstart + INTERVAL '1 hour') AS window_end_us,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM cand
+    WHERE ts >= wstart AND ts < wstart + INTERVAL '1 hour'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q51_sliding_window(spark, sf_dir):
+    """Sliding windows (1 hour / 30 min): each event lands in two
+    windows; the oracle enumerates both candidate starts."""
+    return sliding_window_agg(_t(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+@query(
+    "q52_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), s AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM o
+    )
+    SELECT epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts) + INTERVAL '30 minutes') AS session_end_us,
+           user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def q52_session_window(spark, sf_dir):
+    """Per-user session windows, 30-minute gap (session end = last
+    event + gap). The oracle derives sessions with the classic
+    gaps-and-islands formulation."""
+    return session_window_agg(_t(spark, sf_dir, "events"), "30 minutes")
+
+
+@query(
+    "q53_user_activity",
+    """
+    SELECT user_id,
+           CAST(count(DISTINCT strftime(ts, '%Y-%m-%d')) AS INTEGER) AS n_active_days,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def q53_user_activity(spark, sf_dir):
+    """Per-user activity profile — the batch-equivalent form of the
+    custom stateful streaming operator (streaming/stateful.py,
+    applyInPandasWithState); commutative state makes the two provably
+    identical, verified in tests/test_streaming.py."""
+    from capex_data_pipeline_spark.streaming.stateful import user_activity_batch
+
+    return user_activity_batch(_t(spark, sf_dir, "events"))
+
+
+# =========================================================================
+# Multimodal plumbing
+# =========================================================================
+
+
+@query(
+    "q60_binary_meta",
+    """
+    SELECT doc_id AS media_id,
+           'application/octet-stream' AS mime,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents
+    """,
+)
+def q60_binary_meta(spark, sf_dir):
+    """Binary-column metadata derivation (payload bytes, sha-256) —
+    JVM-side only; payload column is never shipped to Python."""
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return media.select("media_id", "mime", "n_bytes", "sha")
+
+
+@query(
+    "q61_multimodal_decode",
+    """
+    SELECT doc_id AS media_id,
+           16 + octet_length(encode(text)) % 64 AS width,
+           16 + (octet_length(encode(text)) // 64) % 64 AS height,
+           1 + octet_length(encode(text)) % 4 AS n_frames
+    FROM documents
+    """,
+)
+def q61_multimodal_decode(spark, sf_dir):
+    """mapInPandas decode plumbing (deterministic fake decoder standing
+    in for Pillow/ffmpeg): the oracle recomputes the scalar metadata the
+    fake decoder derives from payload size; the feature vectors are
+    covered by tests/test_extensions.py."""
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return decode_media(media, fake=True).select(
+        "media_id", "width", "height", "n_frames"
+    )
+
+
+@query(
+    "q62_frame_sample",
+    """
+    SELECT doc_id AS media_id, unnest(range(0, 1 + octet_length(encode(text)) % 4, 2))
+             AS frame_idx
+    FROM documents
+    """,
+)
+def q62_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: one row per sampled frame index."""
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return frame_sample(decode_media(media, fake=True), every_n=2)
+
+
+# =========================================================================
 # Text analysis
 # =========================================================================
 
@@ -890,213 +1085,3 @@ def q43_fingerprint(spark, sf_dir):
     )
 
 
-# =========================================================================
-# Event-time windows (batch-parity forms of the streaming operators)
-# =========================================================================
-
-
-@query(
-    "q55_attribution_join",
-    """
-    SELECT l.user_id,
-           l.event_id AS l_event_id, r.event_id AS r_event_id,
-           epoch_us(l.ts) AS l_ts_us, epoch_us(r.ts) AS r_ts_us,
-           round(CAST(CAST(r.value AS DECIMAL(18,6))
-                      - CAST(l.value AS DECIMAL(18,6)) AS DOUBLE), 2)
-             AS value_delta
-    FROM events l JOIN events r
-      ON l.user_id = r.user_id
-     AND l.event_type = 'view' AND r.event_type = 'purchase'
-     -- compare at MICROsecond precision on both sides: Spark's ts is
-     -- micro-truncated at read time, DuckDB's is nanos
-     AND epoch_us(r.ts) >= epoch_us(l.ts)
-     AND epoch_us(r.ts) <= epoch_us(l.ts) + 3600000000
-    """,
-)
-def q55_attribution_join(spark, sf_dir):
-    """Event-to-event interval join (view -> purchase attribution
-    within 1 hour, per user) — the batch formulation of the
-    stream-stream join in streaming.windows.attribution_join_stream
-    (equi-key + event-time range, the state-bounded streaming shape);
-    stream==batch parity in tests/test_streaming.py."""
-    from capex_data_pipeline_spark.streaming.windows import attribution_join
-
-    e = _t(spark, sf_dir, "events")
-    return attribution_join(e, e)
-
-
-@query(
-    "q56_dedup_replayed_stream",
-    """
-    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
-    FROM (SELECT DISTINCT event_id, ts, user_id, event_type, value
-          FROM (SELECT * FROM events UNION ALL SELECT * FROM events))
-    """,
-)
-def q56_dedup_replayed_stream(spark, sf_dir):
-    """Batch analog of streaming.windows.stream_dedup: a replayed
-    (doubled) event feed deduplicated on event_id — the exactly-once
-    repair for at-least-once sources. The streaming form
-    (dropDuplicatesWithinWatermark) bounds the same computation's state
-    by the watermark; its stream==batch behavior is covered in
-    tests/test_streaming.py."""
-    e = _t(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    deduped = e.unionByName(e).dropDuplicates(["event_id"])
-    return deduped.select(
-        "event_id",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
-        "user_id",
-        "event_type",
-        "value",
-    )
-
-
-@query(
-    "q50_tumbling_window",
-    """
-    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
-           epoch_us(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS window_end_us,
-           event_type,
-           count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1, 2, 3
-    """,
-)
-def q50_tumbling_window(spark, sf_dir):
-    """Tumbling 1-hour event-time windows (same plan runs under
-    Structured Streaming via streaming.windows.tumbling_window_stream)."""
-    return tumbling_window_agg(_t(spark, sf_dir, "events"), "1 hour")
-
-
-@query(
-    "q51_sliding_window",
-    """
-    WITH cand AS (
-      SELECT e.*, time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes'
-               AS wstart
-      FROM events e, (SELECT unnest([0, 1]) AS k) ks
-    )
-    SELECT epoch_us(wstart) AS window_start_us,
-           epoch_us(wstart + INTERVAL '1 hour') AS window_end_us,
-           event_type,
-           count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-    FROM cand
-    WHERE ts >= wstart AND ts < wstart + INTERVAL '1 hour'
-    GROUP BY 1, 2, 3
-    """,
-)
-def q51_sliding_window(spark, sf_dir):
-    """Sliding windows (1 hour / 30 min): each event lands in two
-    windows; the oracle enumerates both candidate starts."""
-    return sliding_window_agg(_t(spark, sf_dir, "events"), "1 hour", "30 minutes")
-
-
-@query(
-    "q52_session_window",
-    """
-    WITH o AS (
-      SELECT user_id, ts, value,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL '30 minutes'
-                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-    ), s AS (
-      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                       ROWS UNBOUNDED PRECEDING) AS session_no
-      FROM o
-    )
-    SELECT epoch_us(min(ts)) AS session_start_us,
-           epoch_us(max(ts) + INTERVAL '30 minutes') AS session_end_us,
-           user_id,
-           count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-    FROM s GROUP BY user_id, session_no
-    """,
-)
-def q52_session_window(spark, sf_dir):
-    """Per-user session windows, 30-minute gap (session end = last
-    event + gap). The oracle derives sessions with the classic
-    gaps-and-islands formulation."""
-    return session_window_agg(_t(spark, sf_dir, "events"), "30 minutes")
-
-
-@query(
-    "q53_user_activity",
-    """
-    SELECT user_id,
-           CAST(count(DISTINCT strftime(ts, '%Y-%m-%d')) AS INTEGER) AS n_active_days,
-           count(*) AS n_events,
-           round(CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,6))) AS DOUBLE), 2)
-             AS sum_value
-    FROM events GROUP BY 1
-    """,
-)
-def q53_user_activity(spark, sf_dir):
-    """Per-user activity profile — the batch-equivalent form of the
-    custom stateful streaming operator (streaming/stateful.py,
-    applyInPandasWithState); commutative state makes the two provably
-    identical, verified in tests/test_streaming.py."""
-    from capex_data_pipeline_spark.streaming.stateful import user_activity_batch
-
-    return user_activity_batch(_t(spark, sf_dir, "events"))
-
-
-# =========================================================================
-# Multimodal plumbing
-# =========================================================================
-
-
-@query(
-    "q60_binary_meta",
-    """
-    SELECT doc_id AS media_id,
-           'application/octet-stream' AS mime,
-           octet_length(encode(text)) AS n_bytes,
-           sha256(text) AS sha
-    FROM documents
-    """,
-)
-def q60_binary_meta(spark, sf_dir):
-    """Binary-column metadata derivation (payload bytes, sha-256) —
-    JVM-side only; payload column is never shipped to Python."""
-    media = documents_as_media(_t(spark, sf_dir, "documents"))
-    return media.select("media_id", "mime", "n_bytes", "sha")
-
-
-@query(
-    "q61_multimodal_decode",
-    """
-    SELECT doc_id AS media_id,
-           16 + octet_length(encode(text)) % 64 AS width,
-           16 + (octet_length(encode(text)) // 64) % 64 AS height,
-           1 + octet_length(encode(text)) % 4 AS n_frames
-    FROM documents
-    """,
-)
-def q61_multimodal_decode(spark, sf_dir):
-    """mapInPandas decode plumbing (deterministic fake decoder standing
-    in for Pillow/ffmpeg): the oracle recomputes the scalar metadata the
-    fake decoder derives from payload size; the feature vectors are
-    covered by tests/test_extensions.py."""
-    media = documents_as_media(_t(spark, sf_dir, "documents"))
-    return decode_media(media, fake=True).select(
-        "media_id", "width", "height", "n_frames"
-    )
-
-
-@query(
-    "q62_frame_sample",
-    """
-    SELECT doc_id AS media_id, unnest(range(0, 1 + octet_length(encode(text)) % 4, 2))
-             AS frame_idx
-    FROM documents
-    """,
-)
-def q62_frame_sample(spark, sf_dir):
-    """Frame-sampling plumbing: one row per sampled frame index."""
-    media = documents_as_media(_t(spark, sf_dir, "documents"))
-    return frame_sample(decode_media(media, fake=True), every_n=2)

@@ -138,3 +138,54 @@ def test_summary_shapes(spark, raw_sdf, office_sdf):
     assert set(a.columns) == {"Zone", "Count", "Total_Amount", "Average_Amount"}
     vc = value_counts(res.processed, "Zone").collect()
     assert sum(r["count"] for r in vc) == res.processed.count()
+
+
+def test_zone_fallback_sees_overlapping_region_codes(spark):
+    """The remarks fallback must reproduce the reference's per-code
+    re.search (process_capex.py:268-279): every code that occurs
+    ANYWHERE in the remark competes, and the smallest dict position
+    wins. A plain (non-lookahead) alternation scan consumes its match,
+    so 'NEW DELHI' at pos 0 hides the overlapping 'DELHI' at pos 4 and
+    the later-dict-order code would win — this pins the lookahead fix."""
+    import re
+
+    from capex_data_pipeline_spark.operators.joins import add_zone_region
+
+    # dict order: DELHI first, NEW DELHI second (regioncode first
+    # occurrence fixes priority); branch codes never match -> fallback
+    office = spark.createDataFrame(
+        [
+            ("B_D", "North", "Delhi NCR", "DELHI"),
+            ("B_ND", "Capital", "New Delhi", "NEW DELHI"),
+            ("B_G", "West", "Goa", "GOA"),
+        ],
+        "office string, zone string, region string, regioncode string",
+    )
+    remarks = [
+        "NEW DELHI office refresh",  # DELHI overlaps inside NEW DELHI -> DELHI wins
+        "shift to NEW DELHI",        # same overlap, later in the string
+        "GOA then NEW DELHI",        # GOA pos 2 vs DELHI pos 0 -> DELHI wins
+        "only GOA here",
+        "no codes at all",
+        None,
+    ]
+    df = spark.createDataFrame([(f"X{i}", r) for i, r in enumerate(remarks)],
+                               "BranchCode string, UserRemarks string")
+    got = {
+        r["BranchCode"]: (r["Zone"], r["Region"])
+        for r in add_zone_region(df, office).collect()
+    }
+
+    # reference semantics, computed independently: first dict-order code
+    # found anywhere in the remark wins
+    dim = [("DELHI", ("North", "Delhi NCR")),
+           ("NEW DELHI", ("Capital", "New Delhi")),
+           ("GOA", ("West", "Goa"))]
+    for i, rem in enumerate(remarks):
+        text = str(rem) if rem is not None else "nan"
+        want = ("Unknown", "Unknown")
+        for code, zr in dim:
+            if re.search(rf"\b{re.escape(code)}\b", text, re.IGNORECASE):
+                want = zr
+                break
+        assert got[f"X{i}"] == want, (rem, got[f"X{i}"], want)

@@ -48,7 +48,7 @@ def test_dedup_candidate_joins_are_equi_joins(spark, queries):
         "q31_minhash_lsh",
         "q33_ngram_jaccard",
         "q35_embedding_neardup",
-        "q38_simhash_pairs",
+        "q32_simhash",
     ):
         plan = _plan(queries[name](spark, SF))
         assert "CartesianProduct" not in plan, name
