@@ -101,12 +101,31 @@ def minhash_signature(
     return F.array(*comps)
 
 
+def banding_for_threshold(num_hashes: int, threshold: float) -> int:
+    """Pick the band count whose LSH S-curve midpoint ``(1/b)^(1/r)``
+    (with ``r = num_hashes / b``) sits closest to ``threshold``, among
+    divisors of ``num_hashes``. Midpoint ≈ threshold is the standard
+    operating point: pairs well above the threshold are caught with
+    probability → 1, pairs well below are rarely candidates. On a
+    near-tie, prefer the midpoint BELOW the threshold (more bands /
+    fewer rows per band) — recall at the threshold beats candidate
+    parsimony for dedup."""
+    options = []
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        midpoint = (1.0 / b) ** (1.0 / r)
+        options.append((abs(midpoint - threshold), midpoint > threshold, b))
+    return min(options)[2]
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
-    bands: int = DEFAULT_BANDS,
+    bands: int | None = DEFAULT_BANDS,
     k: int = DEFAULT_SHINGLE_K,
     threshold: float = 0.5,
 ) -> DataFrame:
@@ -114,7 +133,20 @@ def minhash_near_dups(
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b and estimate ≥
     threshold. Only (band_hash, id, signature) tuples ever shuffle.
+
+    Recall model: a pair with true Jaccard s becomes a candidate with
+    probability ``1-(1-s^r)^b`` — near the S-curve midpoint
+    ``(1/b)^(1/r)`` roughly half of pairs are surfaced, well above it
+    almost all. Pass ``bands=None`` to derive the banding from
+    ``threshold``; an explicit ``bands`` must divide ``num_hashes``
+    (leftover signature components would otherwise be silently unused).
     """
+    if bands is None:
+        bands = banding_for_threshold(num_hashes, threshold)
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}"
+        )
     rows_per_band = num_hashes // bands
 
     def seeded(i: int):
@@ -303,10 +335,9 @@ def ngram_jaccard_pairs(
     k: int = DEFAULT_SHINGLE_K,
     threshold: float = 0.5,
     num_hashes: int = DEFAULT_NUM_HASHES,
-    bands: int = DEFAULT_BANDS,
+    bands: int | None = None,
 ) -> DataFrame:
-    """EXACT word-k-gram Jaccard, computed as the re-rank stage over
-    MinHash-LSH candidate pairs.
+    """Word-k-gram Jaccard: EXACT scoring over MinHash-LSH candidates.
 
     A standalone explode-join on (block, shingle) goes quadratic on
     frequent shingles inside a big block; here candidates come from the
@@ -315,7 +346,22 @@ def ngram_jaccard_pairs(
     — both shingle arrays sit in one row, so the Jaccard is a single
     JVM ``array_intersect`` with no further shuffle fan-out. Optional
     ``block_col`` adds a same-block constraint to the candidates.
+
+    EXACT applies to the SCORE, not pair coverage: a pair with true
+    Jaccard s is surfaced with probability ``1-(1-s^r)^b`` (r rows per
+    band, b bands). By default the banding is derived from ``threshold``
+    so the S-curve midpoint ``(1/b)^(1/r)`` lands at the threshold —
+    near-threshold pairs are caught ~half the time, pairs well above it
+    almost always. Callers needing "ALL pairs ≥ threshold" must either
+    run the exact explode-join themselves or push the midpoint well
+    below their threshold via explicit ``bands``/``num_hashes``.
     """
+    if bands is None:
+        bands = banding_for_threshold(num_hashes, threshold)
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}"
+        )
     rows_per_band = num_hashes // bands
     blk = F.col(block_col) if block_col else F.lit("all")
 
@@ -430,10 +476,25 @@ def embedding_near_dups(
     """
     from capex_data_pipeline_spark.extensions.similarity import cosine
 
+    # Fail LOUDLY on a dim mismatch: zip_with pads the shorter side with
+    # nulls, the dot product goes NULL, every sign bit reads 0, and every
+    # vector lands in bucket 0 of every band — the candidate join would
+    # silently degrade to the exact all-pairs blowup this design removes,
+    # while still returning plausible-looking rows.
+    checked_v = F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"embedding_near_dups: dim={dim} but {vec_col} has length "
+                ),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
+    )
     e = df.select(
         F.col(id_col).alias("id"),
         (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
-        F.col(vec_col).alias("v"),
+        checked_v.alias("v"),
     ).repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
 
     def bucket_expr(band: int) -> F.Column:

@@ -98,11 +98,44 @@ def _ingest(raw: DataFrame) -> DataFrame:
     # inputFiles() is a cheap file-listing probe; the precise check
     # (raw.rdd.getNumPartitions()) costs a full physical planning +
     # Python-RDD conversion (~1s of driver time on a wide plan). A
-    # many-file input is already spread; few/no files (single CSV, an
-    # in-memory test frame) is what needs the exchange.
-    if len(raw.inputFiles()) < max(target // 2, 2):
+    # many-file input is already spread. Few files does NOT imply few
+    # partitions — one large multi-row-group parquet file still splits
+    # into size-based scan partitions — so for local files estimate the
+    # split count from total bytes / maxPartitionBytes before paying a
+    # full-input exchange.
+    files = raw.inputFiles()
+    threshold = max(target // 2, 2)
+    if len(files) < threshold and _estimated_splits(raw, files) < threshold:
         df = df.repartition(target, "_row_id")
     return df
+
+
+def _estimated_splits(raw: DataFrame, files: list[str]) -> int:
+    """Size-based estimate of how many scan partitions a file input yields
+    (``ceil(bytes / maxPartitionBytes)`` per file, the same arithmetic
+    FilePartition uses, ignoring openCostInBytes packing — close enough to
+    gate a repartition). Non-local URIs can't be stat'ed cheaply from the
+    driver; return 0 so they keep the conservative exchange."""
+    import os as _os
+    from urllib.parse import urlparse
+
+    if not files:
+        return 0
+    conf = raw.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+    )
+    max_bytes = int(conf.lower().removesuffix("b")) or 1
+    splits = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return 0
+        try:
+            size = _os.path.getsize(u.path or f)
+        except OSError:
+            return 0
+        splits += -(-size // max_bytes)
+    return splits
 
 
 def run_pipeline(

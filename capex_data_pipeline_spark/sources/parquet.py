@@ -27,13 +27,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    # The events table carries INT64 TIMESTAMP(NANOS) parquet columns, which
-    # Spark rejects outright unless nanosAsLong is set.  The conf is
-    # runtime-settable (non-static SQL conf), so set it here rather than at
-    # session build — consuming sessions we don't construct (e.g. an external
-    # driver harness) must work too.
+    # The events table has carried both INT64 TIMESTAMP(NANOS) and
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet columns across
+    # corpus versions. Both confs are runtime-settable (non-static SQL
+    # confs), so set them here rather than at session build — consuming
+    # sessions we don't construct (e.g. an external driver harness) must
+    # work too:
+    #  - nanosAsLong: Spark rejects TIMESTAMP(NANOS) outright otherwise.
+    #  - inferTimestampNTZ off: unadjusted micros timestamps then read as
+    #    TimestampType via a RAW int64 copy (no session-timezone math in
+    #    the decoder), i.e. the exact micros DuckDB sees. The NTZ ->
+    #    TIMESTAMP cast route would instead shift by the consuming
+    #    session's spark.sql.session.timeZone.
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer division: truncate nanos exactly like DuckDB's epoch_us

@@ -31,6 +31,12 @@ OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+# Bumped when a slot's meaning changes: v1 stored a double sum_value in
+# slot 3, v2 stores long sum_value_micros. applyInPandasWithState cannot
+# tell them apart, so resuming a v2 job from a v1 checkpoint silently
+# misreads state — start v2 jobs from a fresh checkpoint location.
+STATE_SCHEMA_VERSION = 2
+
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("days", T.ArrayType(T.StringType())),
@@ -69,12 +75,21 @@ def _update(key, pdfs: Iterator, state: GroupState) -> Iterator:
         n_events += len(pdf)
         sum_micros += int(pdf["value_micros"].sum())
     state.update((sorted(days), n_events, sum_micros))
+    # Output edge mirrors the batch oracle EXACTLY: the oracle computes
+    # ROUND(CAST(exact_decimal_sum AS DOUBLE), 2), i.e. exact value ->
+    # nearest double -> HALF_UP. Decimal.scaleb(-6) is the exact value and
+    # float() its correctly-rounded double, so the two paths agree even
+    # past 2^53 micros where a naive float accumulation (or skipping the
+    # double edge entirely) would diverge; the STATE stays exact int64.
+    from decimal import Decimal
+
+    edge_double = float(Decimal(sum_micros).scaleb(-6))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_active_days": [len(days)],
             "n_events": [n_events],
-            "sum_value": [_round_like_spark(sum_micros / 1_000_000)],
+            "sum_value": [_round_like_spark(edge_double)],
         }
     )
 

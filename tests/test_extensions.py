@@ -150,17 +150,29 @@ def test_ivf_rerank_exact_and_good_recall(emb):
         (r.query_id, r.neighbor_id)
         for r in cosine_topk(emb, queries, k=10).collect()
     }
-    approx = ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4).collect()
     all_cos = {
         (r.query_id, r.neighbor_id): r.cosine
         for r in cosine_topk(emb, queries, k=10_000).collect()
     }
-    for r in approx:
-        assert all_cos[(r.query_id, r.neighbor_id)] == r.cosine
-    recall = sum(1 for r in approx if (r.query_id, r.neighbor_id) in exact) / len(exact)
+
+    def recall_at(nprobe: int) -> float:
+        approx = ivf_topk(emb, queries, k=10, n_cells=16, nprobe=nprobe).collect()
+        for r in approx:  # re-ranked scores must be the exact cosine
+            assert all_cos[(r.query_id, r.neighbor_id)] == r.cosine
+        return sum(1 for r in approx if (r.query_id, r.neighbor_id) in exact) / len(
+            exact
+        )
+
+    r4, r16 = recall_at(4), recall_at(16)
     # probing the 4 nearest of 16 cells should recover a decent share of
     # the true top-10 (the quantizer clusters by direction)
-    assert recall >= 0.3
+    assert r4 >= 0.3
+    # probing EVERY cell scans the whole corpus: the re-rank is exact, so
+    # recall must be exactly 1.0 — a quantizer that drops vectors (cell
+    # assignment bug, lost partition) fails here
+    assert r16 == 1.0
+    # more probes can only widen the candidate set
+    assert r16 >= r4
 
 
 def test_multimodal_decode_roundtrip(spark, docs):

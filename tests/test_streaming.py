@@ -21,16 +21,30 @@ from capex_data_pipeline_spark.streaming.windows import (
 
 SF_DIR = "/root/testdata/sf0.001"
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) under nanosAsLong
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_ts_is_nanos() -> bool:
+    """The corpus has shipped events.ts as both INT64 TIMESTAMP(NANOS)
+    and TIMESTAMP(MICROS); probe the file so the stream-side schema
+    matches whatever read_table sees batch-side."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(os.path.join(SF_DIR, "events.parquet")).field("ts").type
+    return getattr(t, "unit", None) == "ns" or str(t) == "int64"
+
+
+def _events_raw_schema() -> T.StructType:
+    # nanos surface as LongType under nanosAsLong; micros as TimestampType
+    # (raw int64 copy — same micros DuckDB and the batch reader see)
+    ts_type = T.LongType() if _events_ts_is_nanos() else T.TimestampType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 @pytest.fixture(scope="module")
@@ -41,8 +55,10 @@ def events_stream_dir(tmp_path_factory):
 
 
 def _streaming_events(spark, path):
-    sdf = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sdf = spark.readStream.schema(_events_raw_schema()).parquet(path)
+    if _events_ts_is_nanos():
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
 
 
 def _run_to_memory(sdf, name, output_mode):
