@@ -84,7 +84,65 @@ class PipelineResult:
     audit: DataFrame
     cleaned: DataFrame = None  # post-rule, pre-window frame (for tests)
     audit_ordered: DataFrame = None  # audit + dict-insertion order cols
+    stage_report: DataFrame = None  # per-rule removed/remaining (lazy)
     stage_counts: dict = field(default_factory=dict)
+
+
+def build_stage_report(tagged: DataFrame) -> DataFrame:
+    """Per-rule (removed, remaining) counts — the distributed analog of
+    the reference's per-stage prints ('Removed N ... Remaining: M rows',
+    process_capex.py:294-380) and its final report (:1171-1177).
+
+    ONE hash aggregation over the lineage tags (the same persisted frame
+    every other consumer reads — no extra scan of the input), then a
+    window over the handful of rule rows; the kept bucket only feeds the
+    total. Returns (rule_order, rule_label, removed, remaining) ordered
+    by rule application."""
+    kept_marker = 1_000_000  # sorts after every real rule order
+    counts = tagged.groupBy(
+        F.coalesce(F.col("_excl_order"), F.lit(kept_marker)).alias("rule_order"),
+        F.coalesce(F.col("_excl_label"), F.lit("(kept)")).alias("rule_label"),
+    ).agg(F.count(F.lit(1)).alias("removed"))
+    # ≤ ~20 rows after the aggregation: single-partition windows are fine
+    w_total = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_cum = Window.orderBy("rule_order").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        counts.withColumn("_total", F.sum("removed").over(w_total))
+        .withColumn("_cum", F.sum("removed").over(w_cum))
+        .filter(F.col("rule_order") < kept_marker)
+        .select(
+            "rule_order",
+            "rule_label",
+            "removed",
+            (F.col("_total") - F.col("_cum")).alias("remaining"),
+        )
+        .orderBy("rule_order")
+    )
+
+
+def render_stage_report(
+    result: "PipelineResult", initial_count: int, final_count: int | None = None
+) -> str:
+    """Collect the (tiny) stage report and format it like the reference's
+    printed output (process_capex.py:1171-1177). ``final_count`` triggers
+    the full DAG if the caller hasn't already counted — pass the number
+    they already have where possible."""
+    lines = []
+    for r in result.stage_report.collect():
+        lines.append(
+            f"Removed {r.removed} rows ({r.rule_label}). "
+            f"Remaining: {r.remaining} rows"
+        )
+    if final_count is None:
+        final_count = result.processed.count()
+    lines += [
+        "",
+        "Processing completed!",
+        f"Initial records: {initial_count}",
+        f"Final records: {final_count}",
+        f"Records removed: {initial_count - final_count}",
+    ]
+    return "\n".join(lines)
 
 
 def _ingest(raw: DataFrame) -> DataFrame:
@@ -309,6 +367,7 @@ def run_pipeline(
         audit=audit,
         audit_ordered=audit_ordered,
         cleaned=cleaned,
+        stage_report=build_stage_report(df),
     )
 
 

@@ -172,3 +172,31 @@ def test_sample_raw_end_to_end(request, spark, reference_mod):
 
     assert _spark_keys(ours.processed) == _ref_keys(ref_processed)
     assert ours.processed.count() == len(ref_processed)
+
+    # Stage-count report == the reference's printed per-stage trail
+    # (BASELINE.md: 2238 -> 1626 -> 1008 -> 883 -> 729 -> 675 -> 558 ->
+    # 529 -> 528 -> 524, then W1 -> 424 and fail-open -> 787)
+    report = [(r.removed, r.remaining) for r in ours.stage_report.collect()]
+    assert report == [
+        (612, 1626),
+        (618, 1008),
+        (125, 883),
+        (154, 729),
+        (54, 675),
+        (117, 558),
+        (29, 529),
+        (1, 528),
+        (4, 524),
+    ]
+    assert ours.cleaned.count() == 524
+
+    from capex_data_pipeline_spark.plans.pipeline import render_stage_report
+
+    rendered = render_stage_report(ours, initial_count=2238, final_count=787)
+    assert rendered.endswith(
+        "Processing completed!\n"
+        "Initial records: 2238\n"
+        "Final records: 787\n"
+        "Records removed: 1451"
+    )
+    assert "Remaining: 1626 rows" in rendered
