@@ -164,6 +164,167 @@ def test_stream_dedup_suppresses_duplicates(spark, tmp_path):
     assert {r.event_id: r.n for r in out} == {1: 1, 2: 1, 3: 1}
 
 
+@pytest.fixture(scope="module")
+def events_split3_dir(spark, tmp_path_factory):
+    """The sf0.001 events corpus split into 3 parquet files by
+    event_id % 3. Each file spans the FULL time range, so with
+    maxFilesPerTrigger=1 every micro-batch after the first delivers
+    events far 'late' relative to the prior batch's max event time —
+    a replay with heavy cross-batch disorder."""
+    d = tmp_path_factory.mktemp("events_split3")
+    e = read_table(spark, SF_DIR, "events")
+    for i in range(3):
+        e.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            str(d / f"part{i}")
+        )
+    # flatten: move each part's single parquet file up into d
+    import glob
+
+    for i, f in enumerate(glob.glob(str(d / "part*" / "*.parquet"))):
+        os.rename(f, d / f"file{i}.parquet")
+        shutil.rmtree(os.path.dirname(f))
+    return str(d)
+
+
+def _streaming_events_one_file_per_batch(spark, path):
+    sdf = (
+        spark.readStream.schema(_events_raw_schema())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    if _events_ts_is_nanos():
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def test_tumbling_multibatch_replay_matches_batch(spark, events_split3_dir):
+    """3+ micro-batches with fully out-of-order cross-batch arrivals:
+    inside the watermark horizon the stream must still converge to the
+    batch answer (state survives across batches and late rows merge
+    into already-open windows)."""
+    batch = {
+        tuple(r): None
+        for r in tumbling_window_agg(read_table(spark, SF_DIR, "events")).collect()
+    }
+    stream = tumbling_window_stream(
+        _streaming_events_one_file_per_batch(spark, events_split3_dir),
+        "1 hour",
+        watermark="400 days",  # corpus spans ~1 year: nothing expires
+    )
+    q = _run_to_memory(stream, "tumbling_mb_mem", "complete")
+    assert len(q.recentProgress) >= 3  # one micro-batch per file
+    got = {
+        tuple(r): None for r in spark.sql("SELECT * FROM tumbling_mb_mem").collect()
+    }
+    assert got == batch
+
+
+def test_stream_dedup_across_micro_batches(spark, tmp_path):
+    """Duplicates split ACROSS micro-batches (not just within one) are
+    suppressed while inside the watermark horizon: the dedup state must
+    survive batch boundaries."""
+    import pandas as pd
+
+    base = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:10:00", "2024-01-01 01:00:00"]
+            ),
+            "user_id": [1, 2, 3],
+            "event_type": ["click"] * 3,
+            "value": [1.0, 2.0, 3.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    dup = base.assign(ts=base.ts + pd.Timedelta(minutes=5))  # same event_ids
+    src = tmp_path / "dup_across"
+    src.mkdir()
+    schema = None
+    for i, pdf in enumerate([base, dup, base]):  # each file -> one batch
+        sdf = spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.parquet(str(src / f"stage{i}"))
+        schema = sdf.schema
+    import glob
+
+    for i, f in enumerate(sorted(glob.glob(str(src / "stage*" / "*.parquet")))):
+        os.rename(f, src / f"file{i}.parquet")
+    stream = stream_dedup(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        watermark="1 day",
+    )
+    q = _run_to_memory(stream, "dedup_mb_mem", "append")
+    assert len(q.recentProgress) >= 3
+    out = spark.sql(
+        "SELECT event_id, count(*) n FROM dedup_mb_mem GROUP BY 1"
+    ).collect()
+    assert {r.event_id: r.n for r in out} == {1: 1, 2: 1, 3: 1}
+
+
+def test_tumbling_watermark_drops_expired_late_rows(spark, tmp_path):
+    """Empirical watermark-expiry check, pinning Spark's dual-watermark
+    semantics (SPARK-24634): in micro-batch N the LATE-EVENT filter uses
+    the watermark as of batch N's START (i.e. derived from data through
+    batch N-1), while state EVICTION uses the watermark advanced by
+    batch N itself. So a late row arriving one batch after the horizon
+    passed is still accepted (filter watermark hasn't caught up), and a
+    row arriving two batches after is dropped. Uses update mode
+    (complete mode disables late-row dropping by design)."""
+    import pandas as pd
+
+    def events_pdf(rows, start=0):
+        return pd.DataFrame(
+            {
+                "event_id": list(range(start, start + len(rows))),
+                "ts": pd.to_datetime([t for t, _ in rows]),
+                "user_id": [1] * len(rows),
+                "event_type": ["click"] * len(rows),
+                "value": [v for _, v in rows],
+                "props": ["{}"] * len(rows),
+            }
+        )
+
+    # batch 1: window 09:00 gets one event; max event time 12:00 ->
+    # watermark AFTER batch 1 = 11:00 (delay 1h)
+    b1 = events_pdf([("2024-01-01 09:30:00", 1.0), ("2024-01-01 12:00:00", 4.0)])
+    # batch 2 filters with batch 1's STARTING watermark (epoch 0): the
+    # 09:45 row is late-but-accepted; 11:30 is in-horizon regardless
+    b2 = events_pdf([("2024-01-01 09:45:00", 100.0), ("2024-01-01 11:30:00", 8.0)], 2)
+    # batch 3 filters with watermark 11:00: the 08:15 row is DROPPED
+    b3 = events_pdf([("2024-01-01 08:15:00", 1000.0)], 4)
+    src = tmp_path / "late_drop"
+    src.mkdir()
+    schema = None
+    for i, pdf in enumerate([b1, b2, b3]):
+        sdf = spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.parquet(str(src / f"stage{i}"))
+        schema = sdf.schema
+    import glob
+
+    for i, f in enumerate(sorted(glob.glob(str(src / "stage*" / "*.parquet")))):
+        os.rename(f, src / f"file{i}.parquet")
+    stream = tumbling_window_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        "1 hour",
+        watermark="1 hour",
+    )
+    q = _run_to_memory(stream, "late_drop_mem", "update")
+    assert len(q.recentProgress) >= 3
+    rows = spark.sql("SELECT * FROM late_drop_mem").collect()
+    final: dict[int, tuple] = {}
+    for r in rows:  # update mode re-emits a window on change: last wins
+        final[r.window_start_us] = (r.n_events, r.sum_value)
+    us = lambda s: int(pd.Timestamp(s).value // 1000)
+    assert final[us("2024-01-01 09:00:00")] == (2, 101.0)  # late-but-accepted
+    assert final[us("2024-01-01 11:00:00")] == (1, 8.0)
+    assert final[us("2024-01-01 12:00:00")] == (1, 4.0)
+    assert us("2024-01-01 08:00:00") not in final  # behind filter watermark
+
+
 def test_attribution_join_stream_matches_batch(spark, events_stream_dir):
     from capex_data_pipeline_spark.streaming.windows import (
         attribution_join,
