@@ -64,7 +64,7 @@ def build_audit(
                 F.col("_excl_value").alias("value"),
                 # the frame order the recording step itself iterated —
                 # splits that ran before the row's exclusion step count
-                frame_order_at(F.col("_excl_order")).alias("_step_ord"),
+                frame_order_at("_excl_order").alias("_step_ord"),
                 "_row_id",
             )
             for f in excluded_frames

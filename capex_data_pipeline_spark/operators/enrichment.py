@@ -216,9 +216,16 @@ def _explain_on(frame: DataFrame, fn_keys: DataFrame, audit: DataFrame, tag: str
         _loop_fallback_rowkey("VendorName" in frame.columns) == F.col("_rk"),
         "left",
     )
-    explained = keyed.withColumn(
-        "_reason", explain_exclusion_reason_col(F.col("_rk_label"))
-    ).select("_strict", "_ord", "_reason")
+    # persist: by_full and by_short both consume this frame, and the
+    # explain CASE is the expensive part (dozens of regexes per row) —
+    # without it the whole regex pass over the input runs TWICE per frame
+    from pyspark.storagelevel import StorageLevel
+
+    explained = (
+        keyed.withColumn("_reason", explain_exclusion_reason_col(F.col("_rk_label")))
+        .select("_strict", "_ord", "_reason")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     def first_match(on: Column, out: str) -> DataFrame:
         w = Window.partitionBy("CompositeKey").orderBy(F.asc("_ord"))

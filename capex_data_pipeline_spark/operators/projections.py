@@ -67,7 +67,15 @@ def _contains_ci(col: Column, literal: str) -> Column:
     )
 
 
-def contains_any_ci(col: Column, literals) -> Column:
+def contains_any_ci(col: "Column | str", literals) -> Column:
+    """Case-insensitive any-substring match. Pass the column NAME when
+    possible: that path builds ONE ``F.expr`` (a Column-tree OR chain
+    costs ~3 py4j round-trips per literal, and the keyword lists run in
+    every pipeline plan build)."""
+    if isinstance(col, str):
+        from capex_data_pipeline_spark.operators.rules import _contains_any_ci
+
+        return F.expr(_contains_any_ci(col, literals))
     out = F.lit(False)
     for lit in literals:
         out = out | _contains_ci(col, lit)
@@ -102,7 +110,7 @@ def apply_office_furniture_recat(df: DataFrame) -> DataFrame:
     cat = _mapped(F.upper(F.trim(F.col("AssetCategoryName").cast("string"))), _P2_TYPO_MAP)
     is_office = F.coalesce(cat.rlike(r"\bOFFICE\b.*\bEQUIP"), F.lit(False))
     is_furniture = F.coalesce(cat.rlike(r"\bFURNIT"), F.lit(False))
-    exempt = contains_any_ci(F.col("AssetItemName"), P2_ALLOWED_ITEMS)
+    exempt = contains_any_ci("AssetItemName", P2_ALLOWED_ITEMS)
     should_change = (is_office | is_furniture) & ~exempt
     return df.withColumn(
         "AssetCategoryName",
@@ -128,7 +136,7 @@ def apply_separate_plant_machinery(df: DataFrame) -> DataFrame:
 def category_type_col() -> Column:
     """P4 — Category_Type tag; reverse of the reference's assignment order
     so the *last* write wins (process_capex.py:906-909)."""
-    item = F.col("AssetItemName")
+    item = "AssetItemName"
     return (
         F.when(contains_any_ci(item, RENTAL_KEYWORDS), F.lit("Rental_Opex"))
         .when(contains_any_ci(item, SORTER_KEYWORDS), F.lit("Sorter"))
@@ -143,7 +151,7 @@ def apply_category_type(df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame,
     the *untagged* frame with their own Category_Type constant,
     process_capex.py:890-903)."""
     tagged = df.withColumn("Category_Type", category_type_col())
-    item = F.col("AssetItemName")
+    item = "AssetItemName"
     amc = df.filter(contains_any_ci(item, AMC_KEYWORDS)).withColumn(
         "Category_Type", F.lit("AMC")
     )

@@ -11,7 +11,7 @@ from capex_data_pipeline_spark.operators.projections import priority_col
 TOP_K_PER_REQUEST = 5
 
 
-def frame_order_at(step: "F.Column | None" = None) -> "F.Column":
+def frame_order_at(step_sql: str | None = None) -> "F.Column":
     """The reference frame's row order as seen at a given pipeline step.
 
     The split-filter-union stages F8/F9/F11/F12/F13 each move their
@@ -21,31 +21,27 @@ def frame_order_at(step: "F.Column | None" = None) -> "F.Column":
     recent split outermost. Encoded as one integer; ties inside resolve
     by the ingest ``_row_id`` (original file order).
 
-    ``step`` is the rule order of the observing step: split ``s``'s
-    permutation counts only when ``step > s`` (a step removing rows at
-    order ``s`` iterates the frame as it was *before* its own split).
-    ``None`` means "after all splits" — W1's view.
-    """
-    rf = F.col("RequestFunction")
-    status = F.col("CurrentStatus")
-
-    def moved_first(cond) -> "F.Column":
-        return F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
-
+    ``step_sql`` is a SQL expression for the rule order of the observing
+    step: split ``s``'s permutation counts only when ``step > s`` (a
+    step removing rows at order ``s`` iterates the frame as it was
+    *before* its own split). ``None`` means "after all splits" — W1's
+    view. Built as ONE ``F.expr`` (a Column-tree version costs dozens
+    of py4j round-trips per call, and this runs in every W1/audit plan
+    build)."""
     splits = [
-        (8, moved_first(rf == "IT"), 1),
-        (9, moved_first(status.isin("Approval in Progress", "Sent for Approval")), 2),
-        (11, moved_first(rf == "Admin"), 4),
-        (12, moved_first(rf == "Ops"), 8),
-        (13, moved_first(rf == "Ops through IT"), 16),
+        (8, "RequestFunction = 'IT'", 1),
+        (9, "CurrentStatus IN ('Approval in Progress', 'Sent for Approval')", 2),
+        (11, "RequestFunction = 'Admin'", 4),
+        (12, "RequestFunction = 'Ops'", 8),
+        (13, "RequestFunction = 'Ops through IT'", 16),
     ]
-    total = F.lit(0)
-    for order, bit, weight in splits:
-        term = bit * weight
-        if step is not None:
-            term = F.when(step > order, term).otherwise(F.lit(0))
-        total = total + term
-    return total
+    terms = []
+    for order, cond, weight in splits:
+        term = f"(CASE WHEN coalesce({cond}, false) THEN 0 ELSE {weight} END)"
+        if step_sql is not None:
+            term = f"(CASE WHEN ({step_sql}) > {order} THEN {term} ELSE 0 END)"
+        terms.append(term)
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def w1_frame_order() -> "F.Column":

@@ -84,8 +84,17 @@ class PipelineResult:
     audit: DataFrame
     cleaned: DataFrame = None  # post-rule, pre-window frame (for tests)
     audit_ordered: DataFrame = None  # audit + dict-insertion order cols
-    stage_report: DataFrame = None  # per-rule removed/remaining (lazy)
+    tagged: DataFrame = None  # the persisted lineage frame (all consumers)
     stage_counts: dict = field(default_factory=dict)
+
+    @property
+    def stage_report(self) -> DataFrame:
+        """Per-rule (removed, remaining) counts; built ON ACCESS — every
+        DataFrame operation runs the analyzer over the (large) tagged
+        plan, and most consumers never read the report, so building it
+        eagerly would tax every run_pipeline call (~1.5 s of driver
+        time) for nothing."""
+        return build_stage_report(self.tagged)
 
 
 def build_stage_report(tagged: DataFrame) -> DataFrame:
@@ -327,7 +336,7 @@ def run_pipeline(
     )
 
     # P4 extracts (may overlap; pre-P5 remarks, no composite key yet)
-    item = F.col("AssetItemName")
+    item = "AssetItemName"
     extract_base = (
         through_f13.withColumn("UserRemarks", F.col("_remarks_pre_p5"))
         .drop(*TAG_COLUMNS, *_internal, "CompositePrimaryKey")
@@ -367,7 +376,7 @@ def run_pipeline(
         audit=audit,
         audit_ordered=audit_ordered,
         cleaned=cleaned,
-        stage_report=build_stage_report(df),
+        tagged=df,
     )
 
 
@@ -412,6 +421,10 @@ def _fail_open(
         .join(audited_keys, "CompositePrimaryKey", "left_anti")
         .withColumn("ReincludedViaFailOpen", F.lit(True))
         .withColumn("FailOpenNote", F.lit("Unknown exclusion; fail-open applied"))
+        # two consumers (the early-return flag aggregate and the union):
+        # without this the whole anti-join chain over the raw keys runs
+        # twice — at 100 TB that's a second full pass over the input keys
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # the reference's early-return condition, as data: did anything get

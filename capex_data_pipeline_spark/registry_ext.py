@@ -393,15 +393,19 @@ from capex_data_pipeline_spark.oracle_capex import (
 )
 
 
-@query("q27_analytics_dims", q27_analytics_oracle_sql())
-def q27_analytics_dims(spark, sf_dir):
-    """A3 (app.py:344-365): the three per-dimension count/sum/mean
-    summaries (Zone, normalized category, request function) over the
-    REAL processed pipeline output, unioned with a dim tag. The oracle
-    recomputes them on the DuckDB restatement of the whole pipeline."""
-    from functools import reduce
+_PIPELINE_CACHE: dict = {}
 
-    from capex_data_pipeline_spark.operators.aggregates import analytics_summary
+
+def _synth_pipeline(spark, sf_dir: str, **cfg_kwargs):
+    """Build (or reuse) the full capex pipeline on the synthesized corpus.
+
+    q90/q91/q93/q27 all run the same DAG; constructing it costs ~3.5 s of
+    driver/analyzer time per call, so a correctness sweep over the
+    registry would otherwise pay it four times. The result is pure
+    (deterministic DataFrames for a given session + sf_dir + config), so
+    memoize per (application, sf_dir, config) — this also re-uses ONE
+    persisted tagged frame across the four queries instead of four
+    separate cache entries."""
     from capex_data_pipeline_spark.plans.pipeline import (
         CapexPipelineConfig,
         run_pipeline,
@@ -411,11 +415,33 @@ def q27_analytics_dims(spark, sf_dir):
         synthesize_office,
     )
 
-    res = run_pipeline(
-        synthesize_capex_raw(spark, sf_dir),
-        synthesize_office(spark, sf_dir),
-        config=CapexPipelineConfig(exact_w1_ties=False),
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        tuple(sorted(cfg_kwargs.items())),
     )
+    res = _PIPELINE_CACHE.get(key)
+    if res is None:
+        res = run_pipeline(
+            synthesize_capex_raw(spark, sf_dir),
+            synthesize_office(spark, sf_dir),
+            config=CapexPipelineConfig(**cfg_kwargs),
+        )
+        _PIPELINE_CACHE[key] = res
+    return res
+
+
+@query("q27_analytics_dims", q27_analytics_oracle_sql())
+def q27_analytics_dims(spark, sf_dir):
+    """A3 (app.py:344-365): the three per-dimension count/sum/mean
+    summaries (Zone, normalized category, request function) over the
+    REAL processed pipeline output, unioned with a dim tag. The oracle
+    recomputes them on the DuckDB restatement of the whole pipeline."""
+    from functools import reduce
+
+    from capex_data_pipeline_spark.operators.aggregates import analytics_summary
+
+    res = _synth_pipeline(spark, sf_dir, exact_w1_ties=False)
     parts = [
         analytics_summary(res.processed, d).select(
             F.lit(d).alias("dim"),
@@ -460,24 +486,13 @@ def q90_capex_pipeline(spark, sf_dir):
     is value-hash-checked, not just row-counted. Bit-level pandas tie
     parity vs the reference stays covered by
     tests/test_pipeline_differential.py."""
-    from capex_data_pipeline_spark.plans.pipeline import (
-        CapexPipelineConfig,
-        run_pipeline,
-    )
-    from capex_data_pipeline_spark.plans.synth import (
-        synthesize_capex_raw,
-        synthesize_office,
-    )
-
-    raw = synthesize_capex_raw(spark, sf_dir)
-    office = synthesize_office(spark, sf_dir)
     # native deterministic W1 ties (pure WindowGroupLimit — no Python
     # stage): the tiebreak is (priority desc, frame order, ingest order),
     # fully SQL-expressible, which is what lets q90 carry a DuckDB
     # oracle at all. Bit-level pandas-introsort tie parity vs the
     # reference remains covered by tests/test_pipeline_differential.py
     # (exact_w1_ties=True default there).
-    res = run_pipeline(raw, office, config=CapexPipelineConfig(exact_w1_ties=False))
+    res = _synth_pipeline(spark, sf_dir, exact_w1_ties=False)
     return res.processed.select(
         "RequestNo",
         "AssetItemName",
@@ -504,23 +519,10 @@ def q91_capex_audit(spark, sf_dir):
     excluded composite key with max-order rule attribution and the
     recording step's frame-order value pick. Oracle: the first-match
     tagging + attribution restated in DuckDB SQL (oracle_capex)."""
-    from capex_data_pipeline_spark.plans.pipeline import (
-        CapexPipelineConfig,
-        run_pipeline,
-    )
-    from capex_data_pipeline_spark.plans.synth import (
-        synthesize_capex_raw,
-        synthesize_office,
-    )
-
     # the audit is derived pre-W1/pre-fail-open; skip building those
     # plan branches (their execution is lazy anyway, but the plan-build
     # driver time isn't)
-    res = run_pipeline(
-        synthesize_capex_raw(spark, sf_dir),
-        synthesize_office(spark, sf_dir),
-        config=CapexPipelineConfig(fail_open=False, exact_w1_ties=False),
-    )
+    res = _synth_pipeline(spark, sf_dir, fail_open=False, exact_w1_ties=False)
     return res.audit
 
 
@@ -538,18 +540,10 @@ def q93_fn_enrichment(spark, sf_dir):
         enrich_false_negatives,
     )
     from capex_data_pipeline_spark.operators.validation import with_robust_key
-    from capex_data_pipeline_spark.plans.pipeline import (
-        CapexPipelineConfig,
-        run_pipeline,
-    )
-    from capex_data_pipeline_spark.plans.synth import (
-        synthesize_capex_raw,
-        synthesize_office,
-    )
+    from capex_data_pipeline_spark.plans.synth import synthesize_capex_raw
 
     raw = synthesize_capex_raw(spark, sf_dir)
-    office = synthesize_office(spark, sf_dir)
-    res = run_pipeline(raw, office, config=CapexPipelineConfig(exact_w1_ties=False))
+    res = _synth_pipeline(spark, sf_dir, exact_w1_ties=False)
     golden = raw.drop("VendorName")
     p_keys = with_robust_key(res.processed).select("CompositeKey").distinct()
     g_keys = with_robust_key(golden).select("CompositeKey").distinct()
