@@ -102,6 +102,33 @@ def test_ngram_jaccard_lsh_candidates_global(docs):
     assert 0.5 < pairs[(0, 2)] < 1.0
 
 
+def test_banding_derived_from_threshold():
+    from capex_data_pipeline_spark.extensions.dedup import banding_for_threshold
+
+    # S-curve midpoint (1/b)^(b/n): for n=16 the divisor midpoints are
+    # b=1 -> 1.0, b=2 -> .917, b=4 -> .707, b=8 -> .354, b=16 -> .0625
+    assert banding_for_threshold(16, 0.9) == 2
+    assert banding_for_threshold(16, 0.7) == 4
+    assert banding_for_threshold(16, 0.5) == 8  # below-threshold tie bias
+    assert banding_for_threshold(16, 0.35) == 8
+    assert banding_for_threshold(16, 0.1) == 16
+    # an explicit band count must divide num_hashes
+    with pytest.raises(ValueError, match="must divide"):
+        ngram_jaccard_pairs(None, num_hashes=16, bands=5)
+
+
+def test_ngram_jaccard_default_banding(docs):
+    # bands=None derives the banding from the threshold; at 0.1 that's
+    # one row per band (midpoint 0.0625) — maximal recall, so the known
+    # near-dup pairs must surface with their exact scores
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.1, num_hashes=16).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 < pairs[(0, 2)] < 1.0
+
+
 def test_embedding_neardup_identical_vectors(spark):
     from capex_data_pipeline_spark.extensions.dedup import embedding_near_dups
 
