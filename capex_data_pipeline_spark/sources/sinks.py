@@ -29,6 +29,33 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    num_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Bucketed parquet table (``bucketBy`` requires ``saveAsTable``).
+
+    Bucketing pre-shuffles the data ONCE at write time: two tables
+    bucketed by the same key into the same bucket count join with NO
+    exchange on either side (and no sort either, when ``sort_cols``
+    matches the join key) — at 100 TB this converts every repeated
+    fact-to-fact join on the bucket key from a full-cluster shuffle
+    into a local per-bucket merge. The same layout gives shuffle-free
+    groupBy on the bucket key. Pinned by
+    tests/test_sources.py::test_bucketed_join_has_no_exchange."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
 def csv_bytes(df: DataFrame, limit: int = 100_000) -> bytes:
     """The reference's download-link shape (app.py:117-122): materialize
     a bounded result to CSV bytes on the driver. Guarded by ``limit`` —

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from capex_data_pipeline_spark.sources.csv import (
@@ -99,3 +100,49 @@ def test_sinks_roundtrip(spark, tmp_path):
 
     data = csv_bytes(df)
     assert data.startswith(b"k\n") and data.count(b"\n") == 11
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key with the same bucket count
+    must sort-merge-join with ZERO exchanges — the write-once-shuffle,
+    join-forever-local layout the 100 TB design leans on."""
+    from capex_data_pipeline_spark.sources.parquet import read_table
+    from capex_data_pipeline_spark.sources.sinks import write_bucketed_table
+
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = read_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed_table(
+        orders, "t_orders_b", 8, ["o_orderkey"], sort_cols=["o_orderkey"],
+        path=str(tmp_path / "orders_b"),
+    )
+    write_bucketed_table(
+        lineitem, "t_lineitem_b", 8, ["l_orderkey"], sort_cols=["l_orderkey"],
+        path=str(tmp_path / "lineitem_b"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_orders_b").join(
+            spark.table("t_lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and the result is the plain join's result
+        expected = orders.join(
+            lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
