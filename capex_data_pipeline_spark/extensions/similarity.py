@@ -94,6 +94,21 @@ def srp_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def _neg_cosine_cells(vec: Column, centers: list[list[float]]) -> Column:
+    """Array of (negcos, cell) structs — array_sort gives similarity
+    descending with cell-index tie-break, matching the oracle's
+    row_number ORDER BY s DESC, cell ASC."""
+    return F.array(
+        *[
+            F.struct(
+                (-cosine(vec, F.array(*[F.lit(x) for x in c]))).alias("negcos"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -103,53 +118,76 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 3,
     seed: int = 42,
+    centers_mode: str = "kmeans",
 ) -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) index: a k-means
-    coarse quantizer partitions the corpus into cells; each query probes
-    its ``nprobe`` nearest cells and re-ranks exactly inside them.
+    """Approximate top-k via an IVF (inverted-file) index: a coarse
+    quantizer partitions the corpus into cells; each query probes its
+    ``nprobe`` nearest cells and re-ranks exactly inside them.
 
-    The index build is one ML fit on (a sample of) the corpus plus one
+    ``centers_mode``:
+
+    - ``"kmeans"`` (default): centers from a k-means fit — the
+      FAISS-style quantizer; centers are model state, so results are
+      reproducible only within one engine.
+    - ``"sample"``: centers are the ``n_cells`` corpus vectors that sort
+      first by ``md5(id)`` (a deterministic uniform sample — the
+      k-means++-style "centers from data" init without the iterations).
+      Slightly worse cell balance than k-means, but every stage
+      (center pick, cosine cell assignment, probe, re-rank) is
+      closed-form over the data, so an independent SQL engine can
+      re-derive the full result — this is what gives q37 a value-exact
+      DuckDB oracle.
+
+    The index build is one fit/sample over the corpus plus one
     assignment pass; at query time only the probed cells scan — with
     n_cells ∝ sqrt(N) and nprobe fixed, query cost is ~nprobe/n_cells of
     the corpus. Recall rises with nprobe (nprobe = n_cells ≡ exact).
     The cell id is a tiny int: the candidate join shuffles compact keys,
     and cell skew is AQE's standard skew-join case.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    corpus_v = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("nv"),
-        array_to_vector(F.col(vec_col)).alias("features"),
+    corpus_c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
     )
-    km = KMeans(k=n_cells, seed=seed, maxIter=10)
-    model = km.fit(corpus_v.select("features"))
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    if centers_mode == "sample":
+        # tiny driver collect (n_cells rows) — the centers become plan
+        # literals, exactly like the k-means branch's model centers
+        rows = (
+            corpus_c.withColumn("_h", F.md5(F.col("neighbor_id").cast("string")))
+            .orderBy("_h", "neighbor_id")
+            .limit(n_cells)
+            .collect()
+        )
+        centers = [list(map(float, r.nv)) for r in rows]
+        assigned = corpus_c.withColumn(
+            "cell",
+            F.array_sort(_neg_cosine_cells(F.col("nv"), centers))[0]["cell"],
+        )
+    elif centers_mode == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    assigned = model.transform(corpus_v).select(
-        "neighbor_id", "nv", F.col("prediction").alias("cell")
-    )
+        corpus_v = corpus_c.withColumn("features", array_to_vector(F.col("nv")))
+        km = KMeans(k=n_cells, seed=seed, maxIter=10)
+        model = km.fit(corpus_v.select("features"))
+        centers = [list(map(float, c)) for c in model.clusterCenters()]
+        assigned = model.transform(corpus_v).select(
+            "neighbor_id", "nv", F.col("prediction").alias("cell")
+        )
+    else:
+        raise ValueError(f"unknown centers_mode: {centers_mode!r}")
 
     # query → nprobe nearest centers (tiny driver-side constant set,
     # compiled into an array-sort expression)
-    center_cols = F.array(
-        *[
-            F.struct(
-                (-_dot(F.col("qv"), F.array(*[F.lit(x) for x in c]))
-                 / _norm(F.col("qv"))).alias("negsim"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centers)
-        ]
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).withColumn(
         "cell",
         F.explode(
             F.transform(
-                F.slice(F.array_sort(center_cols), 1, nprobe), lambda s: s["cell"]
+                F.slice(
+                    F.array_sort(_neg_cosine_cells(F.col("qv"), centers)), 1, nprobe
+                ),
+                lambda s: s["cell"],
             )
         ),
     )

@@ -551,36 +551,71 @@ def q93_fn_enrichment(spark, sf_dir):
     return enrich_false_negatives(fn, res.audit_ordered, raw=raw, reference=golden)
 
 
-@query("q37_ann_ivf")  # rows-only: k-means centers are model state
+_Q37_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    "    * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+@query(
+    "q37_ann_ivf",
+    f"""
+    WITH ctr AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell,
+             embedding
+      FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+    ), sim AS (
+      SELECT e.vec_id, c.cell,
+             {_Q37_COS.format(a='e.embedding', b='c.embedding')} AS s
+      FROM embeddings e, ctr c
+    ), assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell ASC) AS rn FROM sim
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell ASC) AS rn
+        FROM sim WHERE vec_id < 5
+      ) WHERE rn <= 3
+    ), cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a USING (cell)
+      WHERE a.vec_id <> p.query_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             round({_Q37_COS.format(a='eq.embedding', b='en.embedding')}, 4) AS cosine
+      FROM cand
+      JOIN embeddings eq ON eq.vec_id = query_id
+      JOIN embeddings en ON en.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
 def q37_ann_ivf(spark, sf_dir):
-    """IVF top-10 (k-means coarse quantizer, nprobe=3 of 16 cells,
-    exact re-rank inside probed cells) graded against the exact
-    baseline IN the query: one recall@10 row per query vector, so the
-    output is small, deterministic for a fixed quantizer fit, and
-    meaningful to eyeball. No SQL oracle — the k-means centers are
-    model state the oracle engine cannot re-derive; recall is
-    additionally asserted in tests/test_extensions.py."""
+    """IVF-Flat top-10 with a DETERMINISTIC quantizer: cells = the 16
+    corpus vectors sorting first by md5(vec_id) (uniform sample-from-data
+    centers — k-means init without the iterations), cosine cell
+    assignment, nprobe=3 probe, exact re-rank inside probed cells. Every
+    stage is closed-form over the data, so the oracle re-derives the
+    ENTIRE path (center pick → assignment → probe → re-rank) in DuckDB —
+    this is the value-exact cross-engine check the k-means variant
+    (model state) cannot have. The k-means quantizer remains the
+    `centers_mode="kmeans"` default in similarity.ivf_topk, with
+    recall bounds asserted in tests/test_extensions.py."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     queries = emb.filter(F.col("vec_id") < 5)
-    approx = S.ivf_topk(emb, queries, k=10, n_cells=16, nprobe=3).select(
-        "query_id", "neighbor_id"
+    return S.ivf_topk(
+        emb, queries, k=10, n_cells=16, nprobe=3, centers_mode="sample"
     )
-    exact = S.cosine_topk(emb, queries, k=10).select(
-        "query_id", F.col("neighbor_id").alias("exact_neighbor_id")
-    )
-    hits = approx.join(
-        exact,
-        (approx["query_id"] == exact["query_id"])
-        & (approx["neighbor_id"] == exact["exact_neighbor_id"]),
-        "left",
-    ).groupBy(approx["query_id"].alias("query_id")).agg(
-        F.round(
-            F.count("exact_neighbor_id") / F.lit(10.0), 2
-        ).alias("recall_at_10")
-    )
-    return hits
 
 
 @query(
