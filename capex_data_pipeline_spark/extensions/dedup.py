@@ -29,6 +29,7 @@ should cap bucket size upstream.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
 
 DEFAULT_NUM_HASHES = 16
@@ -158,6 +159,11 @@ def minhash_near_dups(
     # text num_hashes times). Repartition first: the signature projection
     # is CPU-bound, and small corpora arrive as a single parquet split —
     # spread it across the cluster before the heavy md5 work.
+    # Persisted: the band self-join consumes this twice, and Spark can't
+    # share the subplan across the two sides (higher-order-function
+    # lambda variables defeat plan canonicalization, so ReuseExchange
+    # never fires) — without the persist the shingling + num_hashes
+    # md5-min passes (the dominant cost) run TWICE over the corpus.
     sig = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
         .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
@@ -171,6 +177,7 @@ def minhash_near_dups(
                 ]
             ).alias("sig"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     banded = sig.select(
         "id",
@@ -369,6 +376,10 @@ def ngram_jaccard_pairs(
         prefix = f"{i}|"
         return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
+    # Persisted: consumed by the banded candidate join AND both exact
+    # re-rank sides; HOF lambda variables defeat plan canonicalization
+    # (no ReuseExchange), so each consumer would otherwise re-shingle
+    # the whole corpus.
     sh = (
         df.select(
             F.col(id_col).alias("id"),
@@ -377,6 +388,7 @@ def ngram_jaccard_pairs(
         )
         .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
         .select("id", "blk", _shingles_expr("_t", k).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # the band join itself shuffles only (id, blk, band, bhash) — compact
     # keys; the shingle arrays move once more, and only for candidates
@@ -408,7 +420,9 @@ def ngram_jaccard_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "blk", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    ).select(
+        "id", "blk", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash")
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # compact; self-joined below
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -526,7 +540,13 @@ def embedding_near_dups(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "blk", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    ).select(
+        "id", "blk", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted: the bucket projection (bits_per_band x bands dot
+    # products per row) is the dominant cost and the self-join below
+    # would compute it twice (HOF lambdas defeat ReuseExchange); the
+    # cached frame is compact ints
 
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
