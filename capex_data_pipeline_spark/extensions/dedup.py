@@ -279,6 +279,9 @@ def simhash_near_dups(
     n_seg = max_hamming + 1
     width = -(-60 // n_seg)  # ceil(60 / n_seg)
     blk = F.col(block_col) if block_col else F.lit("all")
+    # persisted: the pigeonhole self-join consumes this twice and HOF
+    # lambdas defeat ReuseExchange — without it the simhash aggregate
+    # (60 bit-votes per token) runs twice over the corpus
     s = (
         df.select(
             F.col(id_col).alias("id"),
@@ -287,6 +290,7 @@ def simhash_near_dups(
         )
         .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
         .select("id", "blk", simhash60("_t").alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     mask = (1 << width) - 1
     segs = s.select(
