@@ -131,3 +131,93 @@ def user_activity_batch(events: DataFrame) -> DataFrame:
             2,
         ).alias("sum_value"),
     )
+
+
+# --- transformWithState variant (Spark 4 stateful-processor API) -----------
+
+
+def _make_user_activity_processor():
+    """Build the StatefulProcessor lazily: the class only exists on
+    Spark ≥ 4.0, and constructing it at import time would break older
+    sessions importing this module."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserActivityProcessor(StatefulProcessor):
+        """Same commutative-monoid profile as ``_update`` above, on the
+        typed-state API: a ValueState holds (days, n_events,
+        sum_value_micros); int64-micros keeps the sum exact under any
+        micro-batch split, and the output edge mirrors the batch
+        oracle's decimal -> double cast (see ``_update``)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._profile = handle.getValueState("profile", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            from decimal import Decimal
+
+            days: set[str] = set()
+            n_events = 0
+            sum_micros = 0
+            if self._profile.exists():
+                prev_days, prev_n, prev_sum = self._profile.get()
+                days.update(prev_days or [])
+                n_events = prev_n or 0
+                sum_micros = prev_sum or 0
+            for pdf in rows:
+                days.update(pdf["ts"].dt.strftime("%Y-%m-%d"))
+                n_events += len(pdf)
+                sum_micros += int(pdf["value_micros"].sum())
+            self._profile.update((sorted(days), n_events, sum_micros))
+            edge_double = float(Decimal(sum_micros).scaleb(-6))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_active_days": [len(days)],
+                    "n_events": [n_events],
+                    "sum_value": [_round_like_spark(edge_double)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserActivityProcessor()
+
+
+def user_activity_tws(events: DataFrame) -> DataFrame:
+    """``user_activity_stream`` on ``transformWithStateInPandas`` (the
+    Spark 4 stateful-processor API): typed per-key state instead of one
+    opaque tuple, and room to grow timers/TTL — the forward path for
+    custom stateful operators. Requires the RocksDB state store
+    provider (`spark.sql.streaming.stateStore.providerClass`) AND the
+    ``protobuf`` package (the TWS driver worker speaks protobuf to the
+    JVM); raises ImportError eagerly when it's absent so the failure is
+    a clear message instead of a crashed streaming worker."""
+    import importlib.util
+
+    try:
+        _pb = importlib.util.find_spec("google.protobuf")
+    except ModuleNotFoundError:  # no parent 'google' package at all
+        _pb = None
+    if _pb is None:
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pyspark[connect] dependency); it is not installed in this "
+            "environment — use user_activity_stream "
+            "(applyInPandasWithState) instead, which is semantically "
+            "identical for this operator"
+        )
+    events = events.withColumn(
+        "value_micros",
+        F.expr("CAST(CAST(coalesce(value, 0.0) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"),
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_user_activity_processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -131,6 +131,64 @@ def test_stateful_user_activity_matches_batch(spark, events_stream_dir):
     assert got == batch
 
 
+def test_transform_with_state_matches_batch(spark, events_stream_dir):
+    """The transformWithStateInPandas variant (typed ValueState, Spark 4
+    stateful-processor API) produces the same final profiles as the
+    batch aggregation. Needs the RocksDB state store provider and the
+    protobuf package (the TWS driver worker's wire format) — skipped
+    where protobuf isn't installed, with the eager ImportError checked
+    instead."""
+    import importlib.util
+
+    from capex_data_pipeline_spark.streaming.stateful import (
+        user_activity_batch,
+        user_activity_tws,
+    )
+
+    try:
+        _pb = importlib.util.find_spec("google.protobuf")
+    except ModuleNotFoundError:  # no parent 'google' package at all
+        _pb = None
+    if _pb is None:
+        with pytest.raises(ImportError, match="protobuf"):
+            user_activity_tws(_streaming_events(spark, events_stream_dir))
+        pytest.skip("protobuf not installed: transformWithState cannot run here")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        batch = {
+            r.user_id: (r.n_active_days, r.n_events, r.sum_value)
+            for r in user_activity_batch(
+                read_table(spark, SF_DIR, "events")
+            ).collect()
+        }
+        stream = user_activity_tws(_streaming_events(spark, events_stream_dir))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("tws_mem")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM tws_mem").collect()
+        got = {}
+        for r in rows:  # later emissions overwrite earlier (monotone)
+            cur = got.get(r.user_id)
+            if cur is None or r.n_events >= cur[1]:
+                got[r.user_id] = (r.n_active_days, r.n_events, r.sum_value)
+        assert got == batch
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_stream_dedup_suppresses_duplicates(spark, tmp_path):
     import pandas as pd
 
