@@ -151,3 +151,42 @@ def semi_join_on_keys(df: DataFrame, keys: DataFrame, on: str) -> DataFrame:
 def anti_join_on_keys(df: DataFrame, keys: DataFrame, on: str) -> DataFrame:
     """J3/J4 building block — rows whose key does NOT appear in the set."""
     return df.join(F.broadcast(keys.select(on).distinct()), on, "left_anti")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    num_salts: int = 16,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join with key salting — the manual fix for pathological key
+    skew when neither side fits a broadcast and AQE's skew-join split
+    (which only kicks in for sort-merge joins with statistics) isn't
+    enough.
+
+    ``left`` is the LARGE, skewed side: each row gets a uniform salt in
+    [0, num_salts). ``right`` is replicated ``num_salts`` times (one
+    copy per salt), so the join key becomes (key, salt) and a hot key's
+    rows spread over ``num_salts`` reducers instead of one. Join
+    semantics are unchanged for inner/left joins — every left row still
+    meets every matching right row exactly once. Cost model: right side
+    shuffles num_salts× its size; worth it when the hot key's reducer
+    is the straggler. The salt uses a seeded rand: WHICH salt a row
+    draws is irrelevant to correctness (any value pairs with the
+    replicated right), so re-draws under task retry are harmless.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salted_join supports inner/left joins; for right/full, salt "
+            "the other side"
+        )
+    on = [on] if isinstance(on, str) else list(on)
+    salted_left = left.withColumn(
+        "_salt", F.floor(F.rand(seed) * num_salts).cast("int")
+    )
+    replicated_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)).cast("array<int>"))
+    )
+    return salted_left.join(replicated_right, on + ["_salt"], how).drop("_salt")

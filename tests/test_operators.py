@@ -189,3 +189,31 @@ def test_zone_fallback_sees_overlapping_region_codes(spark):
                 want = zr
                 break
         assert got[f"X{i}"] == want, (rem, got[f"X{i}"], want)
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Skewed inner/left joins through salted_join must produce exactly
+    the plain join's multiset of rows — salting only changes HOW rows
+    spread over reducers, never which pairs meet."""
+    from capex_data_pipeline_spark.operators.joins import salted_join
+
+    # 90%-hot key 1, plus keys absent from the right side (left-join nulls)
+    left = spark.range(0, 2000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 1 ELSE CAST(id % 7 AS BIGINT) END AS k",
+        "id AS left_id",
+    )
+    right = spark.range(0, 7).selectExpr("id AS k", "id * 100 AS right_val")
+    for how in ("inner", "left"):
+        plain = sorted(
+            tuple(r) for r in left.join(right, ["k"], how).collect()
+        )
+        salted = sorted(
+            tuple(r)
+            for r in salted_join(left, right, "k", num_salts=8, how=how).collect()
+        )
+        assert salted == plain, how
+
+    import pytest
+
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(left, right, "k", how="full")
