@@ -2,8 +2,9 @@
 text analysis, streaming windows, multimodal plumbing.
 
 Same contract as ``registry``: Spark builder + DuckDB oracle per entry.
-Oracle-less entries (LSH-ANN, mapInPandas feature extraction) get the
-driver's weaker rows-only check — noted in their docstrings.
+Every registered query carries a full value-exact oracle — including
+q37 (IVF ANN), whose deterministic sampled-centers quantizer lets the
+oracle re-derive the whole index + probe + re-rank path in SQL.
 """
 
 from __future__ import annotations
