@@ -14,6 +14,7 @@ from pyspark.sql import types as T
 from capex_data_pipeline_spark.sources.parquet import read_table
 from capex_data_pipeline_spark.streaming.windows import (
     session_window_agg,
+    sliding_window_agg,
     stream_dedup,
     tumbling_window_agg,
     tumbling_window_stream,
@@ -83,6 +84,23 @@ def test_tumbling_stream_matches_batch(spark, events_stream_dir):
     )
     _run_to_memory(stream, "tumbling_mem", "complete")
     got = {tuple(r): None for r in spark.sql("SELECT * FROM tumbling_mem").collect()}
+    assert got == batch
+
+
+def test_sliding_stream_matches_batch(spark, events_stream_dir):
+    batch = {
+        tuple(r): None
+        for r in sliding_window_agg(
+            read_table(spark, SF_DIR, "events"), "1 hour", "30 minutes"
+        ).collect()
+    }
+    stream = sliding_window_agg(
+        _streaming_events(spark, events_stream_dir).withWatermark("ts", "10 days"),
+        "1 hour",
+        "30 minutes",
+    )
+    _run_to_memory(stream, "sliding_mem", "complete")
+    got = {tuple(r): None for r in spark.sql("SELECT * FROM sliding_mem").collect()}
     assert got == batch
 
 
