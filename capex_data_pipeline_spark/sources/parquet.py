@@ -43,6 +43,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Downstream operators render timestamps to dates/strings
+    # (date_format, window boundaries); those go through the session
+    # timezone. The engine's documented contract — and what makes the
+    # naive-timestamp DuckDB oracles valid — is UTC rendering, so pin it
+    # for consuming sessions we didn't construct (get_spark already
+    # sets it; an external harness session might not).
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer division: truncate nanos exactly like DuckDB's epoch_us
