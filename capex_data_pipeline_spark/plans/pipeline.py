@@ -244,10 +244,17 @@ def run_pipeline(
     # before P5's MUM suffix: remember both before the mutations.
     df = df.withColumn("_cat_pre_p3", F.col("AssetCategoryName_2"))
 
-    # P3 separate P&M items, P4 Category_Type, P5 MUM remarks
+    # P3 separate P&M items, P4 Category_Type, P5 MUM remarks.
+    # Category_Type and the pre-P5 remarks snapshot are independent
+    # (neither reads the other's output): ONE withColumns = one analyzer
+    # pass over the wide plan instead of two.
     df = apply_separate_plant_machinery(df)
-    df = df.withColumn("Category_Type", category_type_col())
-    df = df.withColumn("_remarks_pre_p5", F.col("UserRemarks"))
+    df = df.withColumns(
+        {
+            "Category_Type": category_type_col(),
+            "_remarks_pre_p5": F.col("UserRemarks"),
+        }
+    )
     df = apply_mum_remarks(df)
 
     # pass D: F14 non-ops keywords + CCTV
@@ -270,31 +277,24 @@ def run_pipeline(
             "left",
         )
         newly_gone = F.col("_excl_order").isNull() & F.col("_in_golden").isNull()
-        df = (
-            df.withColumn(
-                "_excl_order",
-                F.when(newly_gone, F.lit(_GOLDEN_RULE_ORDER)).otherwise(
+        # all four tag updates read the PRE-update tag columns: one
+        # withColumns (one analyzer pass) is both correct and 4x cheaper
+        df = df.withColumns(
+            {
+                "_excl_order": F.when(newly_gone, F.lit(_GOLDEN_RULE_ORDER)).otherwise(
                     F.col("_excl_order")
                 ),
-            )
-            .withColumn(
-                "_excl_label",
-                F.when(newly_gone, F.lit(GOLDEN_FILTER_LABEL)).otherwise(
+                "_excl_label": F.when(newly_gone, F.lit(GOLDEN_FILTER_LABEL)).otherwise(
                     F.col("_excl_label")
                 ),
-            )
-            .withColumn(
-                "_excl_column",
-                F.when(newly_gone, F.lit("RequestNo")).otherwise(F.col("_excl_column")),
-            )
-            .withColumn(
-                "_excl_value",
-                F.when(newly_gone, F.col("RequestNo").cast("string")).otherwise(
-                    F.col("_excl_value")
+                "_excl_column": F.when(newly_gone, F.lit("RequestNo")).otherwise(
+                    F.col("_excl_column")
                 ),
-            )
-            .drop("_in_golden")
-        )
+                "_excl_value": F.when(
+                    newly_gone, F.col("RequestNo").cast("string")
+                ).otherwise(F.col("_excl_value")),
+            }
+        ).drop("_in_golden")
 
     # ── the single tagged lineage frame; everything below consumes it ──
     if config.persist_tagged:

@@ -200,3 +200,36 @@ def test_sample_raw_end_to_end(request, spark, reference_mod):
         "Records removed: 1451"
     )
     assert "Remaining: 1626 rows" in rendered
+
+
+def test_golden_filter_differential(request, spark, reference_mod, raw_pdf,
+                                    office_pdf, raw_sdf, office_sdf):
+    """F15 exercised in BOTH engines: every other diff test runs with no
+    final_data.csv (reference skip-when-missing; golden=None here), so
+    the golden-tagging branch would otherwise ship untested."""
+    import pandas as pd
+
+    golden_pdf = pd.DataFrame(
+        {"RequestNo": sorted(raw_pdf["RequestNo"].dropna().unique())[::2]}
+    )
+    monkeypatch = pytest.MonkeyPatch()
+    tmp = request.getfixturevalue("tmp_path_factory").mktemp("refrun_golden")
+    try:
+        monkeypatch.chdir(tmp)
+        office_pdf.to_csv(tmp / "office_location.csv", index=False)
+        golden_pdf.to_csv(tmp / "final_data.csv", index=False)
+        reference_mod.EXCLUSION_REASONS.clear()
+        ref_processed, *_ = reference_mod.process_capex_data(raw_pdf.copy(), None)
+    finally:
+        monkeypatch.undo()
+
+    ours = run_pipeline(
+        raw_sdf, office_sdf, golden=spark.createDataFrame(golden_pdf)
+    )
+    assert ours.processed.count() == len(ref_processed)
+    assert _spark_keys(ours.processed) == _ref_keys(ref_processed)
+    # and the golden rule shows up in the audit lineage
+    golden_rows = ours.audit.filter(
+        F.col("label") == "Post: Not in final_data RequestNos"
+    ).count()
+    assert golden_rows > 0
