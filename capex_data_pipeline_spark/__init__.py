@@ -22,4 +22,5 @@ Subpackages:
 
 __version__ = "0.1.0"
 
+from capex_data_pipeline_spark.cache import release_persisted  # noqa: F401
 from capex_data_pipeline_spark.session import get_spark  # noqa: F401

@@ -29,7 +29,7 @@ should cap bucket size upstream.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
-from pyspark.storagelevel import StorageLevel
+from capex_data_pipeline_spark.cache import persisted
 from pyspark.sql import functions as F
 
 DEFAULT_NUM_HASHES = 16
@@ -177,7 +177,7 @@ def minhash_near_dups(
                 ]
             ).alias("sig"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persisted)
     )
     banded = sig.select(
         "id",
@@ -290,7 +290,7 @@ def simhash_near_dups(
         )
         .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
         .select("id", "blk", simhash60("_t").alias("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persisted)
     )
     mask = (1 << width) - 1
     segs = s.select(
@@ -392,7 +392,7 @@ def ngram_jaccard_pairs(
         )
         .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
         .select("id", "blk", _shingles_expr("_t", k).alias("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persisted)
     )
     # the band join itself shuffles only (id, blk, band, bhash) — compact
     # keys; the shingle arrays move once more, and only for candidates
@@ -426,7 +426,7 @@ def ngram_jaccard_pairs(
         ).alias("bk"),
     ).select(
         "id", "blk", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash")
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # compact; self-joined below
+    ).transform(persisted)  # compact; self-joined below
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -546,7 +546,7 @@ def embedding_near_dups(
         ).alias("bk"),
     ).select(
         "id", "blk", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(persisted)
     # persisted: the bucket projection (bits_per_band x bands dot
     # products per row) is the dominant cost and the self-join below
     # would compute it twice (HOF lambdas defeat ReuseExchange); the

@@ -219,12 +219,12 @@ def _explain_on(frame: DataFrame, fn_keys: DataFrame, audit: DataFrame, tag: str
     # persist: by_full and by_short both consume this frame, and the
     # explain CASE is the expensive part (dozens of regexes per row) —
     # without it the whole regex pass over the input runs TWICE per frame
-    from pyspark.storagelevel import StorageLevel
+    from capex_data_pipeline_spark.cache import persisted
 
     explained = (
         keyed.withColumn("_reason", explain_exclusion_reason_col(F.col("_rk_label")))
         .select("_strict", "_ord", "_reason")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persisted)
     )
 
     def first_match(on: Column, out: str) -> DataFrame:

@@ -183,10 +183,16 @@ def salted_join(
             "the other side"
         )
     on = [on] if isinstance(on, str) else list(on)
+    # The working column must not shadow (and then silently drop) a real
+    # user column on either input.
+    salt = "_salt"
+    taken = set(left.columns) | set(right.columns)
+    while salt in taken:
+        salt = "_" + salt
     salted_left = left.withColumn(
-        "_salt", F.floor(F.rand(seed) * num_salts).cast("int")
+        salt, F.floor(F.rand(seed) * num_salts).cast("int")
     )
     replicated_right = right.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)).cast("array<int>"))
+        salt, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)).cast("array<int>"))
     )
-    return salted_left.join(replicated_right, on + ["_salt"], how).drop("_salt")
+    return salted_left.join(replicated_right, on + [salt], how).drop(salt)

@@ -90,6 +90,10 @@ def _contains_ci(name: str, literal: str) -> str:
 
 
 def _contains_any_ci(name: str, literals) -> str:
+    # Empty literal list must stay a valid (vacuously-false) SQL expression —
+    # "()" is a parse error and the Column path returns lit(False).
+    if not literals:
+        return "false"
     return "(" + " OR ".join(_contains_ci(name, lit) for lit in literals) + ")"
 
 

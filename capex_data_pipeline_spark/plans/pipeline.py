@@ -30,8 +30,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
-
+from capex_data_pipeline_spark.cache import persisted
 from capex_data_pipeline_spark.functions.keys import robust_key, strict_composite_key
 from capex_data_pipeline_spark.operators.audit import AUDIT_COLUMNS, build_audit
 from capex_data_pipeline_spark.operators.joins import add_zone_region, build_zone_maps
@@ -86,6 +85,29 @@ class PipelineResult:
     audit_ordered: DataFrame = None  # audit + dict-insertion order cols
     tagged: DataFrame = None  # the persisted lineage frame (all consumers)
     stage_counts: dict = field(default_factory=dict)
+    # the frames THIS run persisted (tagged, W1 output, fail-open
+    # add-back) — released via unpersist() below
+    persisted_frames: list = field(default_factory=list)
+
+    def unpersist(self, blocking: bool = False) -> int:
+        """Release the cached blocks this pipeline run took out.
+
+        Persists here are a structural win while the result's frames are
+        being consumed, but Spark never evicts MEMORY_AND_DISK blocks on
+        its own — a long-lived session running many pipelines must
+        release each run when done with it (or call
+        ``capex_data_pipeline_spark.cache.release_persisted()`` to drop
+        everything). The result's DataFrames remain usable afterwards;
+        their subplans simply recompute."""
+        released = 0
+        while self.persisted_frames:
+            df = self.persisted_frames.pop()
+            try:
+                df.unpersist(blocking)
+                released += 1
+            except Exception:
+                pass
+        return released
 
     @property
     def stage_report(self) -> DataFrame:
@@ -177,6 +199,35 @@ def _ingest(raw: DataFrame) -> DataFrame:
     return df
 
 
+_BYTE_SUFFIXES = {
+    "": 1,
+    "k": 1 << 10,
+    "m": 1 << 20,
+    "g": 1 << 30,
+    "t": 1 << 40,
+    "p": 1 << 50,
+}
+
+
+def _parse_byte_string(conf: str) -> int:
+    """Parse a Spark size conf the way ``JavaUtils.byteStringAs`` does:
+    a number with an optional ``k/m/g/t/p`` suffix and optional trailing
+    ``b`` (``"128m"``, ``"64MB"``, ``"134217728"``, ``"1g"``).  Sessions
+    built outside this package legitimately set
+    ``spark.sql.files.maxPartitionBytes`` in suffixed form, so a bare
+    ``int()`` would crash every read.  Unparseable values fall back to
+    Spark's 128 MiB default rather than failing the pipeline."""
+    s = conf.strip().lower().removesuffix("b")
+    mult = 1
+    if s and s[-1] in _BYTE_SUFFIXES:
+        mult = _BYTE_SUFFIXES[s[-1]]
+        s = s[:-1]
+    try:
+        return int(s) * mult
+    except ValueError:
+        return 128 * 1024 * 1024
+
+
 def _estimated_splits(raw: DataFrame, files: list[str]) -> int:
     """Size-based estimate of how many scan partitions a file input yields
     (``ceil(bytes / maxPartitionBytes)`` per file, the same arithmetic
@@ -191,7 +242,7 @@ def _estimated_splits(raw: DataFrame, files: list[str]) -> int:
     conf = raw.sparkSession.conf.get(
         "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
     )
-    max_bytes = int(conf.lower().removesuffix("b")) or 1
+    max_bytes = _parse_byte_string(conf) or 1
     splits = 0
     for f in files:
         u = urlparse(f)
@@ -297,8 +348,10 @@ def run_pipeline(
         ).drop("_in_golden")
 
     # ── the single tagged lineage frame; everything below consumes it ──
+    run_persists: list[DataFrame] = []
     if config.persist_tagged:
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df = persisted(df)
+        run_persists.append(df)
 
     _internal = ("_cat_pre_p3", "_remarks_pre_p5", "_orig_category")
     kept = df.filter(F.col("_excl_order").isNull()).drop(*TAG_COLUMNS, *_internal)
@@ -364,8 +417,11 @@ def run_pipeline(
     # the union), so persist it too.
     if config.fail_open:
         if config.persist_tagged:
-            processed = processed.persist(StorageLevel.MEMORY_AND_DISK)
-        processed = _fail_open(raw_shape, processed, office, audit, zone_maps)
+            processed = persisted(processed)
+            run_persists.append(processed)
+        processed = _fail_open(
+            raw_shape, processed, office, audit, zone_maps, _persists=run_persists
+        )
 
     return PipelineResult(
         processed=processed,
@@ -377,6 +433,7 @@ def run_pipeline(
         audit_ordered=audit_ordered,
         cleaned=cleaned,
         tagged=df,
+        persisted_frames=run_persists,
     )
 
 
@@ -386,6 +443,7 @@ def _fail_open(
     office: DataFrame,
     audit: DataFrame,
     zone_maps=None,
+    _persists: list | None = None,
 ) -> DataFrame:
     """Reinstate unexplained exclusions, then re-normalize — reproducing
     reinstate_unknown_exclusions (process_capex.py:12-56) including its
@@ -421,11 +479,13 @@ def _fail_open(
         .join(audited_keys, "CompositePrimaryKey", "left_anti")
         .withColumn("ReincludedViaFailOpen", F.lit(True))
         .withColumn("FailOpenNote", F.lit("Unknown exclusion; fail-open applied"))
-        # two consumers (the early-return flag aggregate and the union):
-        # without this the whole anti-join chain over the raw keys runs
-        # twice — at 100 TB that's a second full pass over the input keys
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # two consumers (the early-return flag aggregate and the union):
+    # without this the whole anti-join chain over the raw keys runs
+    # twice — at 100 TB that's a second full pass over the input keys
+    add_back = persisted(add_back)
+    if _persists is not None:
+        _persists.append(add_back)
 
     # the reference's early-return condition, as data: did anything get
     # re-included? (1-row broadcast; gates every side effect below)

@@ -397,6 +397,17 @@ from capex_data_pipeline_spark.oracle_capex import (
 _PIPELINE_CACHE: dict = {}
 
 
+def clear_pipeline_cache() -> int:
+    """Release the memoized pipeline results (and their persisted
+    frames). For long-lived sessions that sweep the registry more than
+    once; the next query simply rebuilds. Returns frames released."""
+    released = 0
+    while _PIPELINE_CACHE:
+        _, res = _PIPELINE_CACHE.popitem()
+        released += res.unpersist()
+    return released
+
+
 def _synth_pipeline(spark, sf_dir: str, **cfg_kwargs):
     """Build (or reuse) the full capex pipeline on the synthesized corpus.
 
@@ -544,7 +555,7 @@ def q93_fn_enrichment(spark, sf_dir):
     from capex_data_pipeline_spark.plans.synth import synthesize_capex_raw
 
     raw = synthesize_capex_raw(spark, sf_dir)
-    from pyspark.storagelevel import StorageLevel
+    from capex_data_pipeline_spark.cache import persisted
 
     res = _synth_pipeline(spark, sf_dir, exact_w1_ties=False)
     golden = raw.drop("VendorName")
@@ -554,9 +565,7 @@ def q93_fn_enrichment(spark, sf_dir):
     # (exact/short/prefix audit hits + one per explain frame); without
     # this each consumer re-runs the processed-vs-golden anti-join —
     # i.e. re-walks the W1/fail-open tail of the pipeline DAG
-    fn = g_keys.join(p_keys, "CompositeKey", "left_anti").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    fn = persisted(g_keys.join(p_keys, "CompositeKey", "left_anti"))
     return enrich_false_negatives(fn, res.audit_ordered, raw=raw, reference=golden)
 
 

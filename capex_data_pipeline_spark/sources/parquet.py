@@ -20,7 +20,9 @@ TPCH_TABLES = (
 )
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, pin_utc: bool = True
+) -> DataFrame:
     """Read one corpus table. Nanosecond parquet timestamps (which Spark
     surfaces as LongType under ``nanosAsLong``) are normalized back to
     TimestampType at microsecond precision, matching what DuckDB sees."""
@@ -48,9 +50,24 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timezone. The engine's documented contract — and what makes the
     # naive-timestamp DuckDB oracles valid — is UTC rendering, so pin it
     # for consuming sessions we didn't construct (get_spark already
-    # sets it; an external harness session might not).
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # sets it; an external harness session might not). Reassigning a
+    # session-global conf from inside a reader is a side effect the
+    # caller may not want, so it is (a) warned about and (b) opt-out via
+    # ``pin_utc=False`` for sessions that deliberately run elsewhere.
+    if pin_utc:
+        current_tz = spark.conf.get("spark.sql.session.timeZone", "")
+        if current_tz != "UTC":
+            import warnings
+
+            warnings.warn(
+                f"read_table: pinning spark.sql.session.timeZone to UTC "
+                f"(was {current_tz!r}) — the engine's timestamp-rendering "
+                f"contract is UTC; pass pin_utc=False to keep the session "
+                f"timezone (timestamp-rendering queries may then diverge "
+                f"from the documented semantics)",
+                stacklevel=2,
+            )
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer division: truncate nanos exactly like DuckDB's epoch_us
@@ -59,6 +76,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_tables(
-    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = TPCH_TABLES,
+    pin_utc: bool = True,
 ) -> dict[str, DataFrame]:
-    return {n: read_table(spark, sf_dir, n) for n in names}
+    return {n: read_table(spark, sf_dir, n, pin_utc=pin_utc) for n in names}

@@ -217,3 +217,68 @@ def test_salted_join_matches_plain_join(spark):
 
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(left, right, "k", how="full")
+
+
+def test_salted_join_plan_partitions_on_salt(spark):
+    """The mechanism, not just the algebra: the physical plan's shuffle
+    must hash-partition on (k, _salt) so the hot key's rows spread over
+    num_salts reducers — if a refactor drops _salt from the exchange the
+    operator silently stops de-skewing."""
+    from capex_data_pipeline_spark.operators.joins import salted_join
+
+    left = spark.range(0, 2000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 1 ELSE CAST(id % 7 AS BIGINT) END AS k",
+        "id AS left_id",
+    )
+    right = spark.range(0, 200).selectExpr("id AS k", "id * 100 AS right_val")
+    # salting targets the no-broadcast regime; force a shuffle join so
+    # the exchange's partitioning is observable
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            salted_join(left, right, "k", num_salts=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    exchanges = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
+    assert exchanges, plan
+    assert any("_salt" in ln for ln in exchanges), plan
+
+
+def test_salted_join_preserves_user_salt_column(spark):
+    """A real '_salt' column on either input must survive untouched —
+    the working column picks a non-colliding name instead of shadowing
+    and then dropping user data."""
+    from capex_data_pipeline_spark.operators.joins import salted_join
+
+    left = spark.range(0, 50).selectExpr(
+        "id % 5 AS k", "id AS left_id", "id * 2 AS _salt"
+    )
+    right = spark.range(0, 5).selectExpr("id AS k", "id * 100 AS right_val")
+    out = salted_join(left, right, "k", num_salts=4)
+    assert "_salt" in out.columns
+    got = {(r.left_id, r._salt) for r in out.collect()}
+    assert got == {(i, i * 2) for i in range(50)}
+
+
+def test_contains_any_ci_empty_literals_both_paths(spark):
+    """Empty literal lists must yield a valid, vacuously-false predicate
+    on BOTH the string-name (SQL expr) path and the Column path — the
+    SQL path used to emit '()', a parse error at plan build."""
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.operators.projections import contains_any_ci
+    from capex_data_pipeline_spark.operators.rules import _contains_any_ci
+
+    assert _contains_any_ci("AssetItemName", []) == "false"
+    df = spark.createDataFrame([("laptop",), (None,)], ["AssetItemName"])
+    via_name = df.select(contains_any_ci("AssetItemName", []).alias("m")).collect()
+    via_col = df.select(
+        contains_any_ci(F.col("AssetItemName"), []).alias("m")
+    ).collect()
+    assert [r.m for r in via_name] == [False, False]
+    assert [r.m for r in via_col] == [False, False]

@@ -67,3 +67,62 @@ def test_pipeline_consumers_read_the_persisted_frame(spark, raw_sdf, office_sdf)
     res = run_pipeline(raw_sdf, office_sdf, golden=None)
     plan = res.processed._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 3  # kept, audit, fail-open sides
+
+
+def test_parse_byte_string_handles_spark_suffixes():
+    """spark.sql.files.maxPartitionBytes is legitimately set in suffixed
+    form ('128m', '64MB', '1g') by externally built sessions; the split
+    estimator must parse those like JavaUtils.byteStringAs instead of
+    crashing every read (round-3 advice, medium)."""
+    from capex_data_pipeline_spark.plans.pipeline import _parse_byte_string
+
+    assert _parse_byte_string("134217728") == 128 * 1024 * 1024
+    assert _parse_byte_string("134217728b") == 128 * 1024 * 1024
+    assert _parse_byte_string("128m") == 128 * 1024 * 1024
+    assert _parse_byte_string("64MB") == 64 * 1024 * 1024
+    assert _parse_byte_string("1g") == 1 << 30
+    assert _parse_byte_string("2k") == 2048
+    assert _parse_byte_string(" 512K ") == 512 * 1024
+    assert _parse_byte_string("1t") == 1 << 40
+    # unparseable values fall back to the 128 MiB default, never raise
+    assert _parse_byte_string("garbage") == 128 * 1024 * 1024
+    assert _parse_byte_string("") == 128 * 1024 * 1024
+
+
+def test_pipeline_result_unpersist_releases_cached_blocks(spark, raw_sdf, office_sdf):
+    """Long-lived sessions must be able to release a run's persisted
+    frames (tagged lineage, W1 output, fail-open add-back); the result's
+    DataFrames stay usable afterwards (plans recompute)."""
+    from capex_data_pipeline_spark.plans.pipeline import run_pipeline
+
+    res = run_pipeline(raw_sdf, office_sdf, golden=None)
+    res.processed.count()  # materialize the caches
+    assert res.persisted_frames
+    cached_before = [
+        df for df in res.persisted_frames if df.storageLevel.useMemory
+    ]
+    assert cached_before  # the run did persist something
+    released = res.unpersist()
+    assert released == len(cached_before) or released >= 1
+    assert all(not df.storageLevel.useMemory for df in cached_before)
+    assert not res.persisted_frames  # handle is drained; idempotent
+    assert res.unpersist() == 0
+    assert res.processed.count() > 0  # frames still usable (recompute)
+
+
+def test_release_persisted_clears_tracked_frames(spark):
+    """The module-level release drains everything persisted() tracked."""
+    from capex_data_pipeline_spark.cache import (
+        persisted,
+        release_persisted,
+        tracked_count,
+    )
+
+    release_persisted()  # start clean (other tests may have tracked frames)
+    df = persisted(spark.range(100))
+    df.count()
+    assert tracked_count() >= 1
+    assert df.storageLevel.useMemory
+    assert release_persisted() >= 1
+    assert tracked_count() == 0
+    assert not df.storageLevel.useMemory

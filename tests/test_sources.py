@@ -146,3 +146,36 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_read_table_warns_before_pinning_utc(spark):
+    """read_table pins the session timezone to UTC (the engine's
+    rendering contract) but must not do so silently, and pin_utc=False
+    must leave the caller's timezone alone (round-3 advice)."""
+    import warnings
+
+    from capex_data_pipeline_spark.sources.parquet import read_table
+    from tests.conftest import TESTDATA_SF_DIR
+
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            read_table(spark, TESTDATA_SF_DIR, "region", pin_utc=False)
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Kolkata"
+        assert not [w for w in caught if "timeZone" in str(w.message)]
+
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            read_table(spark, TESTDATA_SF_DIR, "region")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert [w for w in caught if "timeZone" in str(w.message)]
+
+        # already-UTC sessions: no warning, no change
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            read_table(spark, TESTDATA_SF_DIR, "region")
+        assert not [w for w in caught if "timeZone" in str(w.message)]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
