@@ -9,12 +9,24 @@ JSON line:
 Each query is forced with a full materialization (noop write — no
 driver-side collection cost). Session startup is excluded from
 per-query times but included in nothing (value = sum of query times).
+
+Self-defense against machine drift: every query runs
+``$SPARK_GRAFT_BENCH_REPS`` times (default 3) and ``queries`` reports
+the per-query MEDIAN; ``stats`` carries {median, min, spread, runs}
+per query and ``loadavg`` records os.getloadavg() before and after.
+A single-shot bench on a noisy shared box produced a false
+round-over-round "regression" once; the medians + spread + load
+numbers make each BENCH_rN.json interpretable on its own. Engine
+memoization (the pipeline-plan cache and its persisted frames) is
+cleared between repetitions so every rep pays the full plan-build +
+execution cost — reps measure the operator, not the cache.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -43,9 +55,21 @@ HEADLINE = [
 ]
 
 
+def _reset_engine_caches() -> None:
+    """Drop engine-level memoization so each repetition re-pays the full
+    cost: the pipeline-plan cache (q90/q91/q93/q27 share one DAG build)
+    and every tracked persisted frame."""
+    from capex_data_pipeline_spark import registry_ext
+    from capex_data_pipeline_spark.cache import release_persisted
+
+    registry_ext.clear_pipeline_cache()
+    release_persisted()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
     from capex_data_pipeline_spark.registry import QUERIES
     from capex_data_pipeline_spark.session import get_spark
@@ -82,12 +106,29 @@ def main() -> None:
                 ).save()
             except Exception:
                 pass
+        _reset_engine_caches()
+
+    load_before = os.getloadavg()
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs: list[float] = []
+        for _ in range(reps):
+            _reset_engine_caches()
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        med = statistics.median(runs)
+        timings[name] = round(med, 4)
+        stats[name] = {
+            "median": round(med, 4),
+            "min": round(min(runs), 4),
+            # relative run-to-run dispersion; < 0.15 = trustworthy number
+            "spread": round((max(runs) - min(runs)) / med, 4) if med else 0.0,
+            "runs": [round(r, 4) for r in runs],
+        }
+    load_after = os.getloadavg()
 
     total = round(sum(timings.values()), 4)
     print(
@@ -98,6 +139,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "stats": stats,
+                "loadavg": {
+                    "before": [round(x, 2) for x in load_before],
+                    "after": [round(x, 2) for x in load_after],
+                },
             }
         )
     )
