@@ -3,10 +3,13 @@ columns with typed metadata.
 
 The Spark-side machinery — schemas, partition-sized Arrow batches,
 ``mapInPandas`` signatures, deterministic feature shapes — is real and
-tested. The actual media decode is STUBBED: the container has no
-image/audio libraries, so ``decode_media`` raises NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder (byte
-statistics standing in for pixels) exercises the identical plumbing.
+tested. The actual media decode is INJECTABLE: pass ``decode_media``
+any ``bytes -> (width, height, n_frames, features)`` callable (e.g. a
+Pillow wrapper) and it runs inside the Arrow batches. The container
+has no image/audio libraries, so without a decoder the call raises
+NotImplementedError; ``fake=True`` selects the built-in deterministic
+fake decoder (byte statistics standing in for pixels), which exercises
+the identical plumbing.
 
 At scale: payloads stay in executor memory one Arrow batch at a time
 (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch bytes);
@@ -76,24 +79,42 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, n_frames, feats
 
 
-def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+#: the decoder contract: payload bytes -> (width, height, n_frames,
+#: features[FEATURE_DIM]). Real decoders (Pillow/ffmpeg/soundfile) wrap
+#: into this signature; the callable must be picklable (module-level
+#: function or functools.partial), since it ships to executors.
+Decoder = "Callable[[bytes], tuple[int, int, int, list[float]]]"
+
+
+def decode_media(
+    media: DataFrame,
+    fake: bool = False,
+    decoder=None,
+) -> DataFrame:
     """Decode/feature-extract via ``mapInPandas`` (Arrow-batched; one
     Python worker per partition, vectorized within each batch).
 
-    ``fake=False`` raises NotImplementedError at executor time — the
-    container ships no media libraries; swap ``_fake_decode`` for a
-    real decoder in production images.
+    The decode step is injectable: pass ``decoder`` — any callable
+    ``bytes -> (width, height, n_frames, features)`` — and it runs
+    inside the Arrow batches with no engine changes (a user with Pillow
+    plugs in ``lambda``-free module function without forking).
+    ``fake=True`` selects the built-in deterministic ``_fake_decode``
+    (byte statistics standing in for pixels — the plumbing-test
+    instance of the same contract). With neither, the call raises
+    NotImplementedError at executor time: this container ships no media
+    libraries.
     """
+    decode = decoder if decoder is not None else (_fake_decode if fake else None)
 
     def _decode_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
+            if decode is None:
                 raise NotImplementedError(
                     "media decoding requires image/audio libraries not present "
-                    "in this environment; pass fake=True for the deterministic "
-                    "plumbing-test decoder"
+                    "in this environment; pass decoder=<callable> to inject one "
+                    "or fake=True for the deterministic plumbing-test decoder"
                 )
             out = {
                 "media_id": [],
@@ -106,7 +127,7 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
             for mid, mime, payload in zip(
                 pdf["media_id"], pdf["mime"], pdf["payload"]
             ):
-                w, h, nf, feats = _fake_decode(bytes(payload or b""))
+                w, h, nf, feats = decode(bytes(payload or b""))
                 out["media_id"].append(mid)
                 out["mime"].append(mime)
                 out["width"].append(w)

@@ -221,6 +221,36 @@ def test_multimodal_real_decode_is_stubbed(docs):
         decode_media(media, fake=False).collect()
 
 
+def test_multimodal_decoder_is_injectable(docs):
+    """The injection seam: a user-supplied bytes->tuple callable runs
+    inside the Arrow batches without touching engine code — the path a
+    user with real media libraries takes."""
+
+    def _header_decoder(payload: bytes) -> tuple[int, int, int, list[float]]:
+        # stand-in for a user's real decoder (e.g. a Pillow wrapper);
+        # nested so cloudpickle ships it by value, same contract
+        return (
+            payload[0] if payload else 0,
+            payload[-1] if payload else 0,
+            3,
+            [float(len(payload))] * 16,
+        )
+
+    media = documents_as_media(docs.select("doc_id", "text"))
+    decoded = {
+        r.media_id: r for r in decode_media(media, decoder=_header_decoder).collect()
+    }
+    for r in media.collect():
+        payload = bytes(r.payload)
+        row = decoded[r.media_id]
+        assert (row.width, row.height, row.n_frames) == (
+            payload[0],
+            payload[-1],
+            3,
+        )
+        assert row.features == [float(len(payload))] * 16
+
+
 def test_frame_sample(docs):
     media = documents_as_media(docs.select("doc_id", "text"))
     decoded = decode_media(media, fake=True)
