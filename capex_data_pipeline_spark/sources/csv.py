@@ -37,15 +37,36 @@ _CP1252_TO = "".join(c for _, c in _CP1252_FIXUP)
 
 
 def sniff_encoding(path: str, sniff_bytes: int = _SNIFF_BYTES) -> str:
-    """Pick the first encoding in the chain that decodes a file prefix."""
-    try:
-        with open(path, "rb") as fh:
-            prefix = fh.read(sniff_bytes)
-    except OSError:
+    """Pick the first encoding in the chain that decodes a file prefix.
+
+    Accepts a single file or a Spark-written output directory. For a
+    directory, a prefix of EVERY data part is sampled and the chosen
+    encoding must decode all of them — one writer produced the parts
+    with one charset, but any individual part may be ASCII-only, so
+    sniffing just the first file could pick an encoding that breaks on
+    a later part."""
+    import glob
+    import os
+
+    files = [path]
+    if os.path.isdir(path):
+        files = sorted(
+            glob.glob(os.path.join(path, "part-*"))
+            + glob.glob(os.path.join(path, "*.csv"))
+        ) or [path]
+    prefixes = []
+    for f in files:
+        try:
+            with open(f, "rb") as fh:
+                prefixes.append(fh.read(sniff_bytes))
+        except OSError:
+            continue
+    if not prefixes:
         return ENCODING_CHAIN[0]
     for enc in ENCODING_CHAIN:
         try:
-            prefix.decode(enc)
+            for prefix in prefixes:
+                prefix.decode(enc)
             return enc
         except (UnicodeDecodeError, ValueError):
             continue

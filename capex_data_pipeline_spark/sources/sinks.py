@@ -6,12 +6,50 @@ are partitioned distributed writes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
-def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True, **options
+) -> None:
     """Distributed CSV write (one file per partition). For a
-    UI-download-sized result, coalesce(1) first — never for bulk data."""
-    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+    UI-download-sized result, coalesce(1) first — never for bulk data.
+    Extra ``options`` pass through to the writer. Value-faithful by
+    default: Spark's CSV writer trims leading/trailing whitespace
+    unless told otherwise — a data sink must round-trip values
+    byte-exactly."""
+    w = (
+        df.write.mode(mode)
+        .option("header", str(header).lower())
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+    )
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.csv(path)
+
+
+def write_csv_cp1252(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
+) -> None:
+    """CSV sink producing cp1252 bytes (the reference corpus encoding,
+    app.py:117-122 + its shipped data). Spark's CSV writer whitelists
+    charsets (no cp1252), so this mirrors the reader's trick: cp1252
+    differs from latin1 only in 0x80-0x9F — translate those chars to
+    the latin1 code points whose BYTES equal the cp1252 encoding, then
+    write iso-8859-1. One JVM-side projection, fully distributed."""
+    from capex_data_pipeline_spark.sources.csv import _CP1252_FROM, _CP1252_TO
+
+    fixed = df.select(
+        *[
+            F.translate(F.col(f.name), _CP1252_TO, _CP1252_FROM).alias(f.name)
+            if isinstance(f.dataType, T.StringType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+    write_csv(fixed, path, mode=mode, header=header, encoding="iso-8859-1")
 
 
 def write_parquet(

@@ -54,5 +54,65 @@ for name, fn in qs.items():
             if a != b: print('   spark:', a, '\n   duck :', b)
     else:
         print(f"{name}: OK rows={len(srows)}")
+# --- S1/S5 contract round-trip (reference: app.py:11-60, app.py:117-122) ---
+# Write the synth capex frame as cp1252 CSV (S5), read it back through
+# the S1 encoding-fallback chain, and value-compare against DuckDB over
+# the SOURCE parquet (the synth restatement oracle_capex._RAW_CTE).
+import shutil, tempfile
+from pyspark.sql import functions as F
+from capex_data_pipeline_spark.oracle_capex import _RAW_CTE
+from capex_data_pipeline_spark.plans.synth import synthesize_capex_raw
+from capex_data_pipeline_spark.sources.csv import read_csv_with_fallback, sniff_encoding
+from capex_data_pipeline_spark.sources.sinks import write_csv_cp1252
+
+SUFFIX = " – note"  # en-dash = byte 0x96 in cp1252, invalid as UTF-8
+RT_COLS = [
+    "RequestNo", "BranchCode", "RequestFunction", "UserRemarks",
+    "CurrentStatus", "AssetCategoryName", "AssetItemName", "ItemCategory",
+    "AssetItemAmount", "VendorName", "IsSelectedVendor",
+]
+marked = (
+    synthesize_capex_raw(spark, sf)
+    # force a non-ASCII, cp1252-only byte into the data so the fallback
+    # chain is genuinely exercised (utf-8 must FAIL to decode the file)
+    .withColumn("UserRemarks", F.concat(F.col("UserRemarks"), F.lit(SUFFIX)))
+    .select(RT_COLS)
+)
+tmpdir = tempfile.mkdtemp(prefix="s1s5_")
+try:
+    out_dir = os.path.join(tmpdir, "capex_cp1252")
+    write_csv_cp1252(marked, out_dir)                            # S5
+    sniffed = sniff_encoding(out_dir)
+    back = read_csv_with_fallback(spark, out_dir, schema=marked.schema)  # S1
+    brows = back.collect()
+
+    rt_oracle = f"""
+    WITH {_RAW_CTE.strip().rstrip()}
+    SELECT RequestNo, BranchCode, RequestFunction,
+           UserRemarks || '{SUFFIX}' AS UserRemarks,
+           CurrentStatus, AssetCategoryName, AssetItemName, ItemCategory,
+           AssetItemAmount, VendorName, IsSelectedVendor
+    FROM raw
+    """
+    ores = con.execute(rt_oracle).fetchdf()
+    scols2 = sorted(back.columns)
+    ocols2 = sorted(ores.columns.tolist())
+    sset2 = sorted(tuple(norm(r[c]) for c in scols2) for r in (row.asDict() for row in brows))
+    oset2 = sorted(tuple(norm(r[c]) for c in ocols2) for r in ores.to_dict('records'))
+    ok = (
+        sniffed == "cp1252"
+        and [c.lower() for c in scols2] == [c.lower() for c in ocols2]
+        and sset2 == oset2
+    )
+    if ok:
+        print(f"s1_s5_cp1252_roundtrip: OK rows={len(brows)} sniffed={sniffed}")
+    else:
+        fails.append("s1_s5_cp1252_roundtrip")
+        print(f"s1_s5_cp1252_roundtrip: MISMATCH rows={len(brows)}/{len(ores)} sniffed={sniffed}")
+        for a, b in list(zip(sset2, oset2))[:5]:
+            if a != b: print('   spark:', a, '\n   duck :', b)
+finally:
+    shutil.rmtree(tmpdir, ignore_errors=True)
+
 print("FAILS:", fails)
 spark.stop()

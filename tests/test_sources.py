@@ -179,3 +179,40 @@ def test_read_table_warns_before_pinning_utc(spark):
         assert not [w for w in caught if "timeZone" in str(w.message)]
     finally:
         spark.conf.set("spark.sql.session.timeZone", original)
+
+
+def test_write_csv_cp1252_roundtrip(spark, tmp_path):
+    """S5 cp1252 sink -> S1 fallback read must be value-exact and emit
+    real cp1252 bytes (0x80-0x9F range). Empty string reads back as
+    null — the same conflation the reference's pandas round-trip makes
+    ('' -> NaN), and a Spark CSV reader limitation for string columns."""
+    from capex_data_pipeline_spark.sources.csv import (
+        read_csv_with_fallback,
+        sniff_encoding,
+    )
+    from capex_data_pipeline_spark.sources.sinks import write_csv_cp1252
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain ascii", 1.5),
+            (2, "dash – and € and “quotes”", 2.5),
+            (3, None, None),
+            (4, "", 0.0),
+            (5, "  leading and trailing  ", 3.5),
+        ],
+        "id long, txt string, amt double",
+    )
+    out = str(tmp_path / "cp1252_out")
+    write_csv_cp1252(df, out)
+    assert sniff_encoding(out) == "cp1252"  # directory-aware sniff
+    # the en-dash really is the single cp1252 byte 0x96
+    import glob
+
+    blob = b"".join(open(p, "rb").read() for p in glob.glob(out + "/part-*"))
+    assert b"\x96" in blob and "–".encode("utf-8") not in blob
+
+    back = read_csv_with_fallback(spark, out, schema=df.schema)
+    got = {r.id: (r.txt, r.amt) for r in back.collect()}
+    want = {r.id: (r.txt, r.amt) for r in df.collect()}
+    want[4] = (None, 0.0)  # '' -> null, reference-conflating semantics
+    assert got == want
