@@ -51,8 +51,15 @@ PERSONAL_DEVICE_WORDS: tuple[str, ...] = (
 # (process_capex.py:87-88). A "separator" is any other char.
 # Java lookbehind demands an obvious maximum length, so the bounded
 # variants below cap token length at 40 and separator runs at 20 chars —
-# far beyond anything in real remark text; parity could only diverge on
-# a >40-char unbroken token immediately preceding a phrase.
+# far beyond anything in real remark text. TESTED divergence bound
+# (tests/test_text.py::test_property_lookbehind_caps): when a token
+# > 40 chars or a separator run > 20 chars sits between a negation word
+# and the phrase (inside the 3-token window), the lookbehind cannot
+# span it and the matcher FAILS OPEN — it flags the phrase even though
+# the reference would treat it as negated. The divergence is one-sided:
+# the capped matcher never misses a flag the reference would raise
+# (tests/test_text.py::test_property_cap_divergence_is_one_sided).
+# At or below the caps, parity is exact.
 _TOKEN = "[a-zA-Z0-9']{1,40}"
 _SEP = "[^a-zA-Z0-9']{1,20}"
 

@@ -124,3 +124,48 @@ def test_against_reference(spark, reference_mod):
         assert dev_got[t] == reference_mod._any_phrase_with_negation_awareness(
             t, reference_mod._PERSONAL_DEVICE_WORDS
         ), t
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=30, max_value=60),  # intervening token length
+    st.integers(min_value=1, max_value=30),  # separator run length
+    st.sampled_from(["test", "demo", "sample"]),
+)
+def test_property_lookbehind_caps(spark, tok_len, sep_len, phrase):
+    """The documented divergence bound of the bounded Java lookbehind
+    (functions/text.py): tokens cap at 40 chars, separator runs at 20.
+    At/below the caps parity with the Python oracle is exact; above
+    them the lookbehind cannot span the oversized run and the matcher
+    fails open (flags despite the in-window negation)."""
+    sep = "-" * sep_len
+    text = f"no{sep}{'x' * tok_len}{sep}{phrase}"
+    got = _spark_flags(spark, [text])[text][0]  # is_test_demo
+    oracle = py_negation_aware_any(text, IT_NON_RELEVANT)
+    # by construction the negation is 2 tokens before the phrase
+    assert oracle is False
+    if tok_len <= 40 and sep_len <= 20:
+        assert got == oracle
+    else:
+        assert got is True  # fail-open at the cap
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=35, max_value=50),
+    st.integers(min_value=15, max_value=25),
+    st.sampled_from(["no", "not", "without", "skip"]),
+    st.integers(min_value=0, max_value=2),  # intervening in-window tokens
+)
+def test_property_cap_divergence_is_one_sided(spark, tok_len, sep_len, neg, n_mid):
+    """Above the caps the matcher may over-flag, but it must NEVER
+    under-flag: every occurrence the reference oracle flags, the capped
+    regex flags too (lookbehind failure only removes suppression)."""
+    sep = "." * sep_len
+    mid = sep.join("y" * tok_len for _ in range(n_mid))
+    text = f"{neg}{sep}{mid}{sep if mid else ''}demo and a plain test"
+    got = _spark_flags(spark, [text])[text][0]
+    oracle = py_negation_aware_any(text, IT_NON_RELEVANT)
+    assert not (oracle and not got), (text, got, oracle)
+    # the trailing "plain test" is never negated, so both must flag
+    assert got is True and oracle is True
