@@ -11,12 +11,37 @@ Streaming specifics (watermarking, output modes, state cleanup) live in
 the ``*_stream`` wrappers: the watermark bounds state (late events
 older than the bound are dropped; state for closed windows is freed),
 which is what lets these run indefinitely on an unbounded source.
+
+State store at scale: Spark's default HDFSBackedStateStoreProvider
+keeps every key's state ON-HEAP in each executor — with 100 TB of
+input, windowed/session/dedup state for a long watermark horizon will
+not fit. Production sessions running the ``*_stream`` wrappers should
+set the RocksDB provider (:func:`use_rocksdb_state_store`), which
+keeps state off-heap/on local disk with incremental checkpointing.
+The operators are provider-agnostic — the multi-batch replay tests run
+under BOTH providers (tests/test_streaming.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import SparkSession
+
+#: production state-store provider for the *_stream wrappers
+ROCKSDB_STATE_STORE = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark: SparkSession) -> None:
+    """Switch streaming state to RocksDB (off-heap, disk-backed,
+    incremental checkpoints) — required at scale; the default
+    HDFS-backed provider holds all state on the executor heap. Must be
+    set before the streaming query starts."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_STORE
+    )
 
 
 def _window_agg(df: DataFrame, window_col, group_cols: list[str]) -> DataFrame:

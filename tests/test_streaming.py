@@ -240,6 +240,43 @@ def test_stream_dedup_suppresses_duplicates(spark, tmp_path):
     assert {r.event_id: r.n for r in out} == {1: 1, 2: 1, 3: 1}
 
 
+_STATE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+
+@pytest.fixture(params=sorted(_STATE_PROVIDERS))
+def state_provider(request, spark):
+    """Run the multi-batch stateful tests under BOTH state store
+    providers: the default on-heap HDFS-backed one and RocksDB (the
+    documented production provider for the *_stream wrappers at scale,
+    streaming/windows.py::use_rocksdb_state_store)."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    if request.param == "rocksdb":
+        from capex_data_pipeline_spark.streaming.windows import (
+            use_rocksdb_state_store,
+        )
+
+        use_rocksdb_state_store(spark)
+    else:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            _STATE_PROVIDERS[request.param],
+        )
+    yield request.param
+    if prev is None:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    else:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 @pytest.fixture(scope="module")
 def events_split3_dir(spark, tmp_path_factory):
     """The sf0.001 events corpus split into 3 parquet files by
@@ -273,11 +310,14 @@ def _streaming_events_one_file_per_batch(spark, path):
     return sdf
 
 
-def test_tumbling_multibatch_replay_matches_batch(spark, events_split3_dir):
+def test_tumbling_multibatch_replay_matches_batch(
+    spark, events_split3_dir, state_provider
+):
     """3+ micro-batches with fully out-of-order cross-batch arrivals:
     inside the watermark horizon the stream must still converge to the
     batch answer (state survives across batches and late rows merge
-    into already-open windows)."""
+    into already-open windows). Parametrized over both state store
+    providers."""
     batch = {
         tuple(r): None
         for r in tumbling_window_agg(read_table(spark, SF_DIR, "events")).collect()
@@ -287,18 +327,18 @@ def test_tumbling_multibatch_replay_matches_batch(spark, events_split3_dir):
         "1 hour",
         watermark="400 days",  # corpus spans ~1 year: nothing expires
     )
-    q = _run_to_memory(stream, "tumbling_mb_mem", "complete")
+    sink = f"tumbling_mb_mem_{state_provider}"
+    q = _run_to_memory(stream, sink, "complete")
     assert len(q.recentProgress) >= 3  # one micro-batch per file
-    got = {
-        tuple(r): None for r in spark.sql("SELECT * FROM tumbling_mb_mem").collect()
-    }
+    got = {tuple(r): None for r in spark.sql(f"SELECT * FROM {sink}").collect()}
     assert got == batch
 
 
-def test_stream_dedup_across_micro_batches(spark, tmp_path):
+def test_stream_dedup_across_micro_batches(spark, tmp_path, state_provider):
     """Duplicates split ACROSS micro-batches (not just within one) are
     suppressed while inside the watermark horizon: the dedup state must
-    survive batch boundaries."""
+    survive batch boundaries. Parametrized over both state store
+    providers."""
     import pandas as pd
 
     base = pd.DataFrame(
@@ -331,15 +371,14 @@ def test_stream_dedup_across_micro_batches(spark, tmp_path):
         .parquet(str(src)),
         watermark="1 day",
     )
-    q = _run_to_memory(stream, "dedup_mb_mem", "append")
+    sink = f"dedup_mb_mem_{state_provider}"
+    q = _run_to_memory(stream, sink, "append")
     assert len(q.recentProgress) >= 3
-    out = spark.sql(
-        "SELECT event_id, count(*) n FROM dedup_mb_mem GROUP BY 1"
-    ).collect()
+    out = spark.sql(f"SELECT event_id, count(*) n FROM {sink} GROUP BY 1").collect()
     assert {r.event_id: r.n for r in out} == {1: 1, 2: 1, 3: 1}
 
 
-def test_tumbling_watermark_drops_expired_late_rows(spark, tmp_path):
+def test_tumbling_watermark_drops_expired_late_rows(spark, tmp_path, state_provider):
     """Empirical watermark-expiry check, pinning Spark's dual-watermark
     semantics (SPARK-24634): in micro-batch N the LATE-EVENT filter uses
     the watermark as of batch N's START (i.e. derived from data through
@@ -388,9 +427,10 @@ def test_tumbling_watermark_drops_expired_late_rows(spark, tmp_path):
         "1 hour",
         watermark="1 hour",
     )
-    q = _run_to_memory(stream, "late_drop_mem", "update")
+    sink = f"late_drop_mem_{state_provider}"
+    q = _run_to_memory(stream, sink, "update")
     assert len(q.recentProgress) >= 3
-    rows = spark.sql("SELECT * FROM late_drop_mem").collect()
+    rows = spark.sql(f"SELECT * FROM {sink}").collect()
     final: dict[int, tuple] = {}
     for r in rows:  # update mode re-emits a window on change: last wins
         final[r.window_start_us] = (r.n_events, r.sum_value)
