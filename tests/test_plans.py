@@ -126,3 +126,20 @@ def test_release_persisted_clears_tracked_frames(spark):
     assert release_persisted() >= 1
     assert tracked_count() == 0
     assert not df.storageLevel.useMemory
+
+
+def test_clear_pipeline_cache_releases_memoized_runs(spark):
+    """The registry memoizes one pipeline DAG per (app, sf_dir, config);
+    clear_pipeline_cache must unpersist those runs' frames and empty the
+    memo so a long-lived session can sweep the registry repeatedly
+    without accumulating cached blocks."""
+    from capex_data_pipeline_spark import registry_ext
+
+    res = registry_ext._synth_pipeline(spark, "/root/testdata/sf0.001")
+    res.processed.count()  # materialize the persisted frames
+    assert registry_ext._PIPELINE_CACHE
+    assert any(df.storageLevel.useMemory for df in res.persisted_frames)
+    released = registry_ext.clear_pipeline_cache()
+    assert released >= 1
+    assert not registry_ext._PIPELINE_CACHE
+    assert not res.persisted_frames
