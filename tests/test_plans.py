@@ -143,3 +143,18 @@ def test_clear_pipeline_cache_releases_memoized_runs(spark):
     assert released >= 1
     assert not registry_ext._PIPELINE_CACHE
     assert not res.persisted_frames
+
+
+def test_driver_contract_registry_invariants():
+    """Pin the driver-contract shape: exactly 50 registered queries (the
+    round-3 consolidation that keeps the correctness window bounded), a
+    full value-exact oracle for EVERY query (no rows-only fallbacks),
+    and every bench headline drawn from the registry."""
+    import __spark_entry__ as E
+    import bench
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    assert len(qs) == 50
+    assert set(oracles) == set(qs)
+    assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
+    assert set(bench.HEADLINE) <= set(qs)
