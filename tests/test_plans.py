@@ -158,3 +158,41 @@ def test_driver_contract_registry_invariants():
     assert set(oracles) == set(qs)
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
     assert set(bench.HEADLINE) <= set(qs)
+
+
+def test_bench_emits_one_json_line_with_stats():
+    """bench.py is driver-facing: it must print exactly ONE JSON line
+    with the contract keys plus the self-defense block (per-query
+    median/min/spread/runs and loadavg). Run as a subprocess at the
+    smallest SF with a single rep to keep it fast."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="8",
+        SPARK_GRAFT_BENCH_REPS="1",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    json_lines = [
+        ln for ln in out.stdout.splitlines() if ln.startswith("{") and ln.endswith("}")
+    ]
+    assert len(json_lines) == 1, out.stdout[-2000:]
+    d = json.loads(json_lines[0])
+    assert d["metric"] == "headline_queries_total"
+    assert d["unit"] == "sec" and d["value"] > 0
+    assert d["sf"] == 0.001
+    assert set(d["queries"]) == set(d["stats"])
+    for st in d["stats"].values():
+        assert {"median", "min", "spread", "runs"} <= set(st)
+    assert "before" in d["loadavg"] and "after" in d["loadavg"]
