@@ -19,10 +19,13 @@ exposes a per-run ``unpersist()`` over just its own frames.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 _TRACKED: list[DataFrame] = []
+_RELEASE_HOOKS: list[Callable[[], None]] = []
 
 
 def persisted(
@@ -34,15 +37,41 @@ def persisted(
     return out
 
 
+def untrack(df: DataFrame) -> None:
+    """Drop a frame from the release registry (identity match). Called
+    by the per-run release paths (``PipelineResult.unpersist``) so an
+    already-released frame neither lingers as a strong driver-side
+    reference nor gets double-released later."""
+    for i in range(len(_TRACKED) - 1, -1, -1):
+        if _TRACKED[i] is df:
+            del _TRACKED[i]
+
+
+def register_release_hook(hook: Callable[[], None]) -> None:
+    """Run ``hook`` at the START of :func:`release_persisted`. Used by
+    higher layers that memoize results built on persisted frames (the
+    pipeline-plan cache): releasing the blocks under a live memo would
+    leave it silently serving cold plans, so the memo registers its own
+    invalidation here and the two release mechanisms stay coherent."""
+    if hook not in _RELEASE_HOOKS:
+        _RELEASE_HOOKS.append(hook)
+
+
 def release_persisted(blocking: bool = False) -> int:
     """Unpersist every tracked frame; returns how many were released.
 
     Safe to call at any time: frames whose blocks were already evicted
     or whose session is gone are skipped.  Note this releases *cached
     blocks*, not results — a consumer holding one of these DataFrames
-    can still use it (the subplan simply recomputes).
+    can still use it (the subplan simply recomputes). Registered
+    release hooks (memo invalidation) run first.
     """
     released = 0
+    for hook in list(_RELEASE_HOOKS):
+        try:
+            hook()
+        except Exception:
+            pass
     while _TRACKED:
         df = _TRACKED.pop()
         try:

@@ -103,6 +103,11 @@ def _contains_ci(expr: str, literal: str) -> str:
 
 
 def _contains_any_ci(expr: str, literals) -> str:
+    # keep the empty-list edge in lockstep with rules._contains_any_ci:
+    # "()" is a parse error in DuckDB too, and the engine side compiles
+    # an empty list to a vacuously-false predicate
+    if not literals:
+        return "false"
     return "(" + " OR ".join(_contains_ci(expr, lit) for lit in literals) + ")"
 
 

@@ -99,9 +99,12 @@ class PipelineResult:
         ``capex_data_pipeline_spark.cache.release_persisted()`` to drop
         everything). The result's DataFrames remain usable afterwards;
         their subplans simply recompute."""
+        from capex_data_pipeline_spark.cache import untrack
+
         released = 0
         while self.persisted_frames:
             df = self.persisted_frames.pop()
+            untrack(df)  # no lingering strong ref / double release
             try:
                 df.unpersist(blocking)
                 released += 1

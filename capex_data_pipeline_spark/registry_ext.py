@@ -408,6 +408,13 @@ def clear_pipeline_cache() -> int:
     return released
 
 
+# a global cache.release_persisted() must not leave this memo serving
+# results whose persisted frames it just dropped — invalidate first
+from capex_data_pipeline_spark.cache import register_release_hook  # noqa: E402
+
+register_release_hook(clear_pipeline_cache)
+
+
 def _synth_pipeline(spark, sf_dir: str, **cfg_kwargs):
     """Build (or reuse) the full capex pipeline on the synthesized corpus.
 

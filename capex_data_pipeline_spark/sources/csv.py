@@ -36,37 +36,53 @@ _CP1252_FROM = "".join(chr(b) for b, _ in _CP1252_FIXUP)
 _CP1252_TO = "".join(c for _, c in _CP1252_FIXUP)
 
 
+#: driver-side sniff samples at most this many parts of a directory; a
+#: Spark output's parts share one writer charset, so a large cap only
+#: guards against pathological all-ASCII prefixes hiding the encoding
+_SNIFF_MAX_PARTS = 256
+
+
 def sniff_encoding(path: str, sniff_bytes: int = _SNIFF_BYTES) -> str:
     """Pick the first encoding in the chain that decodes a file prefix.
 
     Accepts a single file or a Spark-written output directory. For a
-    directory, a prefix of EVERY data part is sampled and the chosen
-    encoding must decode all of them — one writer produced the parts
-    with one charset, but any individual part may be ASCII-only, so
-    sniffing just the first file could pick an encoding that breaks on
-    a later part."""
+    directory, a prefix of every data part (up to ``_SNIFF_MAX_PARTS``)
+    is sampled and the chosen encoding must decode all of them — one
+    writer produced the parts with one charset, but any individual part
+    may be ASCII-only, so sniffing just the first file could pick an
+    encoding that breaks on a later part.
+
+    Prefixes cut mid-file are decoded incrementally (``final=False``):
+    a 1 MiB boundary landing inside a multibyte UTF-8 sequence must not
+    falsely reject utf-8 and mojibake the whole read."""
+    import codecs
     import glob
     import os
 
     files = [path]
     if os.path.isdir(path):
         files = sorted(
-            glob.glob(os.path.join(path, "part-*"))
-            + glob.glob(os.path.join(path, "*.csv"))
-        ) or [path]
-    prefixes = []
+            set(
+                glob.glob(os.path.join(path, "part-*"))
+                + glob.glob(os.path.join(path, "*.csv"))
+            )
+        )[:_SNIFF_MAX_PARTS] or [path]
+    prefixes = []  # (bytes, is_whole_file)
     for f in files:
         try:
             with open(f, "rb") as fh:
-                prefixes.append(fh.read(sniff_bytes))
+                data = fh.read(sniff_bytes)
+                prefixes.append((data, len(data) < sniff_bytes))
         except OSError:
             continue
     if not prefixes:
         return ENCODING_CHAIN[0]
     for enc in ENCODING_CHAIN:
         try:
-            for prefix in prefixes:
-                prefix.decode(enc)
+            for prefix, is_whole in prefixes:
+                codecs.getincrementaldecoder(enc)("strict").decode(
+                    prefix, final=is_whole
+                )
             return enc
         except (UnicodeDecodeError, ValueError):
             continue

@@ -31,16 +31,28 @@ def write_csv(
 
 
 def write_csv_cp1252(
-    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    strict: bool = True,
 ) -> None:
     """CSV sink producing cp1252 bytes (the reference corpus encoding,
     app.py:117-122 + its shipped data). Spark's CSV writer whitelists
     charsets (no cp1252), so this mirrors the reader's trick: cp1252
     differs from latin1 only in 0x80-0x9F — translate those chars to
     the latin1 code points whose BYTES equal the cp1252 encoding, then
-    write iso-8859-1. One JVM-side projection, fully distributed."""
+    write iso-8859-1. One JVM-side projection, fully distributed.
+
+    ``strict`` (default) verifies no value carries a character outside
+    the cp1252-representable set before writing, and raises — matching
+    pandas' ``to_csv(encoding='cp1252')`` UnicodeEncodeError — instead
+    of letting the JVM writer silently substitute ``?``. The check is
+    one extra pass over the string columns; pass ``strict=False`` to
+    skip it at scale when the data is known-clean."""
     from capex_data_pipeline_spark.sources.csv import _CP1252_FROM, _CP1252_TO
 
+    str_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
     fixed = df.select(
         *[
             F.translate(F.col(f.name), _CP1252_TO, _CP1252_FROM).alias(f.name)
@@ -49,6 +61,19 @@ def write_csv_cp1252(
             for f in df.schema.fields
         ]
     )
+    if strict and str_cols:
+        # post-translate, anything above U+00FF has no cp1252 byte
+        bad = None
+        for c in str_cols:
+            expr = F.coalesce(F.col(c).rlike(r"[^\x00-\xFF]"), F.lit(False))
+            bad = expr if bad is None else (bad | expr)
+        offending = fixed.filter(bad).limit(1).collect()
+        if offending:
+            raise ValueError(
+                "write_csv_cp1252: value not representable in cp1252 "
+                f"(first offending row: {offending[0].asDict()}); clean the "
+                "data or pass strict=False to write with '?' substitution"
+            )
     write_csv(fixed, path, mode=mode, header=header, encoding="iso-8859-1")
 
 

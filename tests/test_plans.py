@@ -196,3 +196,32 @@ def test_bench_emits_one_json_line_with_stats():
     for st in d["stats"].values():
         assert {"median", "min", "spread", "runs"} <= set(st)
     assert "before" in d["loadavg"] and "after" in d["loadavg"]
+
+
+def test_unpersist_untracks_from_global_registry(spark, raw_sdf, office_sdf):
+    """PipelineResult.unpersist must also drop its frames from the
+    module release registry — otherwise the per-run release path leaks
+    driver-side references and release_persisted double-releases."""
+    from capex_data_pipeline_spark.cache import release_persisted, tracked_count
+    from capex_data_pipeline_spark.plans.pipeline import run_pipeline
+
+    release_persisted()
+    res = run_pipeline(raw_sdf, office_sdf, golden=None)
+    n_run = len(res.persisted_frames)
+    assert tracked_count() >= n_run > 0
+    before = tracked_count()
+    res.unpersist()
+    assert tracked_count() == before - n_run
+
+
+def test_release_persisted_invalidates_pipeline_memo(spark):
+    """cache.release_persisted() must not leave _PIPELINE_CACHE serving
+    results whose persisted frames it just dropped (they'd silently
+    re-run the tagged subplan once per consumer)."""
+    from capex_data_pipeline_spark import registry_ext
+    from capex_data_pipeline_spark.cache import release_persisted
+
+    registry_ext._synth_pipeline(spark, "/root/testdata/sf0.001")
+    assert registry_ext._PIPELINE_CACHE
+    release_persisted()
+    assert not registry_ext._PIPELINE_CACHE

@@ -216,3 +216,31 @@ def test_write_csv_cp1252_roundtrip(spark, tmp_path):
     want = {r.id: (r.txt, r.amt) for r in df.collect()}
     want[4] = (None, 0.0)  # '' -> null, reference-conflating semantics
     assert got == want
+
+
+def test_sniff_tolerates_prefix_cut_mid_multibyte(tmp_path):
+    """A sniff prefix boundary landing inside a multibyte UTF-8 char
+    must not falsely reject utf-8 (which would mojibake the whole read
+    as cp1252)."""
+    # 'é' = 2 bytes in UTF-8; a 1-byte-short prefix cuts it in half
+    data = ("col\n" + "a" * 100).encode("utf-8") + "é".encode("utf-8")
+    p = _write(tmp_path / "cut.csv", data)
+    assert sniff_encoding(p, sniff_bytes=len(data) - 1) == "utf-8"
+    # whole-file read still validates the final char strictly: raw
+    # cp1252 bytes keep sniffing as cp1252
+    d2 = ("col\n" + "a" * 100).encode("utf-8") + b"\x96"
+    p2 = _write(tmp_path / "cp.csv", d2)
+    assert sniff_encoding(p2, sniff_bytes=len(d2) + 10) == "cp1252"
+
+
+def test_write_csv_cp1252_strict_rejects_unencodable(spark, tmp_path):
+    """Characters with no cp1252 byte must raise up front (pandas
+    to_csv(encoding='cp1252') parity) instead of silently writing '?';
+    strict=False opts into the substituting write."""
+    from capex_data_pipeline_spark.sources.sinks import write_csv_cp1252
+
+    df = spark.createDataFrame([(1, "emoji ☃ here")], "id long, txt string")
+    out = str(tmp_path / "strict_out")
+    with pytest.raises(ValueError, match="not representable in cp1252"):
+        write_csv_cp1252(df, out)
+    write_csv_cp1252(df, out, strict=False)  # substituting write succeeds
