@@ -114,6 +114,18 @@ def tumbling_window_stream(
     return tumbling_window_agg(events.withWatermark("ts", watermark), width)
 
 
+def sliding_window_stream(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sliding windows; same watermark semantics as
+    :func:`tumbling_window_stream` (each event lands in width/slide
+    windows, all bounded by the watermark)."""
+    return sliding_window_agg(events.withWatermark("ts", watermark), width, slide)
+
+
 def session_window_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

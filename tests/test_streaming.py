@@ -15,6 +15,7 @@ from capex_data_pipeline_spark.sources.parquet import read_table
 from capex_data_pipeline_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
+    sliding_window_stream,
     stream_dedup,
     tumbling_window_agg,
     tumbling_window_stream,
@@ -94,10 +95,11 @@ def test_sliding_stream_matches_batch(spark, events_stream_dir):
             read_table(spark, SF_DIR, "events"), "1 hour", "30 minutes"
         ).collect()
     }
-    stream = sliding_window_agg(
-        _streaming_events(spark, events_stream_dir).withWatermark("ts", "10 days"),
+    stream = sliding_window_stream(
+        _streaming_events(spark, events_stream_dir),
         "1 hour",
         "30 minutes",
+        watermark="10 days",
     )
     _run_to_memory(stream, "sliding_mem", "complete")
     got = {tuple(r): None for r in spark.sql("SELECT * FROM sliding_mem").collect()}
