@@ -129,6 +129,7 @@ def minhash_near_dups(
     bands: int | None = DEFAULT_BANDS,
     k: int = DEFAULT_SHINGLE_K,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH-banded candidate generation + signature-estimated Jaccard.
 
@@ -141,6 +142,16 @@ def minhash_near_dups(
     almost all. Pass ``bands=None`` to derive the banding from
     ``threshold``; an explicit ``bands`` must divide ``num_hashes``
     (leftover signature components would otherwise be silently unused).
+
+    ``max_bucket_size`` is the 100 TB armor against degenerate buckets
+    (e.g. millions of empty/boilerplate docs sharing a band hash): a
+    bucket of n docs emits ~n²/2 candidate pairs, and while AQE splits
+    the *join*, nothing shrinks that output volume. With a cap, buckets
+    larger than ``max_bucket_size`` are excluded from candidate
+    generation — an explicit recall trade (such pairs usually surface
+    via several other bands; truly degenerate buckets are near-dup
+    spam anyway). Off (None) by default so small-corpus results are
+    exhaustive and oracle-exact.
     """
     if bands is None:
         bands = banding_for_threshold(num_hashes, threshold)
@@ -199,6 +210,17 @@ def minhash_near_dups(
             )
         ).alias("bk"),
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+
+    if max_bucket_size is not None:
+        # one aggregation on the compact (band, bhash) keys; the semi
+        # join keeps only rows whose bucket is under the cap
+        ok = (
+            banded.groupBy("band", "bhash")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .drop("count")
+        )
+        banded = banded.join(ok, ["band", "bhash"], "left_semi")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -479,6 +501,7 @@ def embedding_near_dups(
     dim: int = 64,
     bands: int = 16,
     bits_per_band: int = 12,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicates via banded sign-random-projection LSH +
     exact re-rank (the same candidate scheme ``similarity.srp_lsh_topk``
@@ -491,6 +514,11 @@ def embedding_near_dups(
     1-(1-p^bits)^bands with p = 1 - arccos(c)/pi (defaults: ~99% at
     0.95). Buckets shuffle as compact (band, int) keys; vectors move
     only for candidate pairs.
+
+    ``max_bucket_size``: same 100 TB degenerate-bucket armor as
+    ``minhash_near_dups`` (e.g. millions of zero/constant vectors
+    landing in one bucket emit ~n²/2 candidates); buckets above the cap
+    are excluded from candidate generation. Off by default.
     """
     from capex_data_pipeline_spark.extensions.similarity import cosine
 
@@ -551,6 +579,15 @@ def embedding_near_dups(
     # products per row) is the dominant cost and the self-join below
     # would compute it twice (HOF lambdas defeat ReuseExchange); the
     # cached frame is compact ints
+
+    if max_bucket_size is not None:
+        ok = (
+            buckets.groupBy("blk", "band", "bucket")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .drop("count")
+        )
+        buckets = buckets.join(ok, ["blk", "band", "bucket"], "left_semi")
 
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (

@@ -261,3 +261,50 @@ def test_frame_sample(docs):
         per_doc.setdefault(r.media_id, []).append(r.frame_idx)
     for mid, frames in per_doc.items():
         assert sorted(frames) == list(range(0, n_frames[mid], 2))
+
+
+def test_minhash_bucket_cap_drops_degenerate_cluster(spark):
+    """max_bucket_size is the 100 TB armor: a degenerate cluster (many
+    identical docs -> one band bucket of size n -> ~n^2/2 candidate
+    pairs) is excluded when capped, while genuine small-bucket pairs
+    survive; with the cap off results are exhaustive."""
+    from capex_data_pipeline_spark.extensions.dedup import minhash_near_dups
+
+    boiler = [(i, "lorem ipsum dolor sit amet boilerplate page") for i in range(30)]
+    pair = [
+        (100, "a unique document about distributed query engines"),
+        (101, "a unique document about distributed query engine"),
+    ]
+    df = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+
+    uncapped = minhash_near_dups(df, threshold=0.5)
+    got_all = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    assert (100, 101) in got_all
+    assert sum(1 for a, b in got_all if a < 100 and b < 100) == 30 * 29 // 2
+
+    capped = minhash_near_dups(df, threshold=0.5, max_bucket_size=10)
+    got_capped = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got_capped  # small buckets unaffected
+    assert not [p for p in got_capped if p[0] < 100 and p[1] < 100]
+
+
+def test_embedding_bucket_cap_drops_degenerate_cluster(spark):
+    from capex_data_pipeline_spark.extensions.dedup import embedding_near_dups
+
+    dim = 8
+    # 25 identical vectors (one mega-bucket) + one distinct near-dup pair
+    mega = [(i, [1.0] * dim) for i in range(25)]
+    v = [0.9, -0.4, 0.3, 0.8, -0.2, 0.1, 0.5, -0.7]
+    v2 = [x + 0.01 for x in v]
+    df = spark.createDataFrame(
+        mega + [(100, v), (101, v2)], "vec_id long, embedding array<double>"
+    )
+    uncapped = embedding_near_dups(df, threshold=0.9, dim=dim)
+    got_all = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    assert (100, 101) in got_all
+    assert sum(1 for a, b in got_all if a < 100 and b < 100) == 25 * 24 // 2
+
+    capped = embedding_near_dups(df, threshold=0.9, dim=dim, max_bucket_size=5)
+    got_capped = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got_capped
+    assert not [p for p in got_capped if p[0] < 100 and p[1] < 100]
