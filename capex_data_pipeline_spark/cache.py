@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 _TRACKED: list[DataFrame] = []
-_RELEASE_HOOKS: list[Callable[[], None]] = []
+_RELEASE_HOOKS: list[Callable[[], "int | None"]] = []
 
 
 def persisted(
@@ -47,12 +47,14 @@ def untrack(df: DataFrame) -> None:
             del _TRACKED[i]
 
 
-def register_release_hook(hook: Callable[[], None]) -> None:
+def register_release_hook(hook: Callable[[], "int | None"]) -> None:
     """Run ``hook`` at the START of :func:`release_persisted`. Used by
     higher layers that memoize results built on persisted frames (the
     pipeline-plan cache): releasing the blocks under a live memo would
     leave it silently serving cold plans, so the memo registers its own
-    invalidation here and the two release mechanisms stay coherent."""
+    invalidation here and the two release mechanisms stay coherent.
+    A hook that releases frames itself should return how many, so the
+    release_persisted total stays accurate."""
     if hook not in _RELEASE_HOOKS:
         _RELEASE_HOOKS.append(hook)
 
@@ -69,7 +71,9 @@ def release_persisted(blocking: bool = False) -> int:
     released = 0
     for hook in list(_RELEASE_HOOKS):
         try:
-            hook()
+            n = hook()
+            if isinstance(n, int):
+                released += n
         except Exception:
             pass
     while _TRACKED:

@@ -121,6 +121,22 @@ def banding_for_threshold(num_hashes: int, threshold: float) -> int:
     return min(options)[2]
 
 
+def _cap_buckets(frame: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
+    """Exclude rows of buckets larger than ``max_bucket_size``: one
+    aggregation on the compact bucket keys + a semi join. The capped
+    frame is persisted — it feeds BOTH sides of the candidate
+    self-join, and without the persist each side would recompute the
+    projection AND the cap aggregation (HOF lambdas defeat
+    ReuseExchange; see the signature-frame persists)."""
+    ok = (
+        frame.groupBy(*keys)
+        .count()
+        .filter(F.col("count") <= max_bucket_size)
+        .drop("count")
+    )
+    return persisted(frame.join(ok, keys, "left_semi"))
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -212,15 +228,7 @@ def minhash_near_dups(
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
 
     if max_bucket_size is not None:
-        # one aggregation on the compact (band, bhash) keys; the semi
-        # join keeps only rows whose bucket is under the cap
-        ok = (
-            banded.groupBy("band", "bhash")
-            .count()
-            .filter(F.col("count") <= max_bucket_size)
-            .drop("count")
-        )
-        banded = banded.join(ok, ["band", "bhash"], "left_semi")
+        banded = _cap_buckets(banded, ["band", "bhash"], max_bucket_size)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -581,13 +589,7 @@ def embedding_near_dups(
     # cached frame is compact ints
 
     if max_bucket_size is not None:
-        ok = (
-            buckets.groupBy("blk", "band", "bucket")
-            .count()
-            .filter(F.col("count") <= max_bucket_size)
-            .drop("count")
-        )
-        buckets = buckets.join(ok, ["blk", "band", "bucket"], "left_semi")
+        buckets = _cap_buckets(buckets, ["blk", "band", "bucket"], max_bucket_size)
 
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (

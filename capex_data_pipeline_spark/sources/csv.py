@@ -71,8 +71,10 @@ def sniff_encoding(path: str, sniff_bytes: int = _SNIFF_BYTES) -> str:
     for f in files:
         try:
             with open(f, "rb") as fh:
-                data = fh.read(sniff_bytes)
-                prefixes.append((data, len(data) < sniff_bytes))
+                # read one extra byte so a file of exactly sniff_bytes is
+                # still recognized as whole (and its tail decoded strictly)
+                data = fh.read(sniff_bytes + 1)
+                prefixes.append((data, len(data) <= sniff_bytes))
         except OSError:
             continue
     if not prefixes:

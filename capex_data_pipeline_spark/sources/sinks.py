@@ -45,14 +45,45 @@ def write_csv_cp1252(
     write iso-8859-1. One JVM-side projection, fully distributed.
 
     ``strict`` (default) verifies no value carries a character outside
-    the cp1252-representable set before writing, and raises — matching
+    the cp1252-ENCODABLE set before writing, and raises — matching
     pandas' ``to_csv(encoding='cp1252')`` UnicodeEncodeError — instead
-    of letting the JVM writer silently substitute ``?``. The check is
-    one extra pass over the string columns; pass ``strict=False`` to
-    skip it at scale when the data is known-clean."""
+    of letting the JVM writer silently substitute ``?`` (or emit bytes
+    a cp1252 reader decodes as different characters). The encodable set
+    is ASCII + U+00A0..U+00FF + the 27 cp1252-only chars; notably the
+    C1 controls U+0080-U+009F are NOT encodable (cp1252 reuses those
+    bytes). Column names are checked driver-side too (the header line
+    goes through the same charset). The value check is one extra pass
+    over the string columns; pass ``strict=False`` to skip both checks
+    at scale when the data is known-clean."""
     from capex_data_pipeline_spark.sources.csv import _CP1252_FROM, _CP1252_TO
 
+    if strict:
+        for name in df.columns:
+            try:
+                name.encode("cp1252")
+            except UnicodeEncodeError as exc:
+                raise ValueError(
+                    f"write_csv_cp1252: column name {name!r} not representable "
+                    "in cp1252; rename it or pass strict=False"
+                ) from exc
+
     str_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+    if strict and str_cols:
+        # pre-translate check against the true encodable set: anything
+        # outside ASCII + U+00A0-U+00FF + the 27 cp1252-only chars (in
+        # particular C1 controls U+0080-U+009F) has no cp1252 byte
+        bad_class = "[^\\x00-\\x7F\\xA0-\\xFF" + _CP1252_TO + "]"
+        bad = None
+        for c in str_cols:
+            expr = F.coalesce(F.col(c).rlike(bad_class), F.lit(False))
+            bad = expr if bad is None else (bad | expr)
+        offending = df.filter(bad).limit(1).collect()
+        if offending:
+            raise ValueError(
+                "write_csv_cp1252: value not representable in cp1252 "
+                f"(first offending row: {offending[0].asDict()}); clean the "
+                "data or pass strict=False to write with '?' substitution"
+            )
     fixed = df.select(
         *[
             F.translate(F.col(f.name), _CP1252_TO, _CP1252_FROM).alias(f.name)
@@ -61,19 +92,6 @@ def write_csv_cp1252(
             for f in df.schema.fields
         ]
     )
-    if strict and str_cols:
-        # post-translate, anything above U+00FF has no cp1252 byte
-        bad = None
-        for c in str_cols:
-            expr = F.coalesce(F.col(c).rlike(r"[^\x00-\xFF]"), F.lit(False))
-            bad = expr if bad is None else (bad | expr)
-        offending = fixed.filter(bad).limit(1).collect()
-        if offending:
-            raise ValueError(
-                "write_csv_cp1252: value not representable in cp1252 "
-                f"(first offending row: {offending[0].asDict()}); clean the "
-                "data or pass strict=False to write with '?' substitution"
-            )
     write_csv(fixed, path, mode=mode, header=header, encoding="iso-8859-1")
 
 

@@ -220,8 +220,12 @@ def test_release_persisted_invalidates_pipeline_memo(spark):
     re-run the tagged subplan once per consumer)."""
     from capex_data_pipeline_spark import registry_ext
     from capex_data_pipeline_spark.cache import release_persisted
+    from tests.conftest import TESTDATA_SF_DIR
 
-    registry_ext._synth_pipeline(spark, "/root/testdata/sf0.001")
-    assert registry_ext._PIPELINE_CACHE
-    release_persisted()
+    res = registry_ext._synth_pipeline(spark, TESTDATA_SF_DIR)
+    res.processed.count()
+    n_frames = len(res.persisted_frames)
+    assert registry_ext._PIPELINE_CACHE and n_frames > 0
+    # hook-released frames count toward the total (return-value contract)
+    assert release_persisted() >= n_frames
     assert not registry_ext._PIPELINE_CACHE

@@ -244,3 +244,31 @@ def test_write_csv_cp1252_strict_rejects_unencodable(spark, tmp_path):
     with pytest.raises(ValueError, match="not representable in cp1252"):
         write_csv_cp1252(df, out)
     write_csv_cp1252(df, out, strict=False)  # substituting write succeeds
+
+
+def test_sniff_whole_file_exactly_sniff_bytes(tmp_path):
+    """A file whose size equals the sniff budget is a WHOLE file: its
+    trailing bytes must be decoded strictly (final=True), so a raw
+    cp1252 byte at the very end still routes to cp1252 rather than
+    being buffered as an 'incomplete' utf-8 sequence."""
+    data = ("col\n" + "a" * 10).encode("utf-8") + b"\xe2\x80"  # truncated utf-8
+    p = _write(tmp_path / "exact.csv", data)
+    assert sniff_encoding(p, sniff_bytes=len(data)) == "cp1252"
+
+
+def test_write_csv_cp1252_strict_rejects_c1_controls_and_bad_headers(spark, tmp_path):
+    """cp1252 cannot encode U+0080-U+009F (it reuses those bytes for
+    the euro/quotes block): strict mode must raise for them — pandas
+    to_csv(encoding='cp1252') parity — and for non-encodable column
+    names, which also travel through the charset via the header."""
+    from capex_data_pipeline_spark.sources.sinks import write_csv_cp1252
+
+    df = spark.createDataFrame(
+        [(1, "control \u0091 char")], "id long, txt string"
+    )
+    with pytest.raises(ValueError, match="not representable in cp1252"):
+        write_csv_cp1252(df, str(tmp_path / "c1_out"))
+
+    df2 = spark.createDataFrame([(1, "ok")], "id long, `temp_Ω` string")
+    with pytest.raises(ValueError, match="column name"):
+        write_csv_cp1252(df2, str(tmp_path / "hdr_out"))
