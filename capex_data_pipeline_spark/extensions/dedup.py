@@ -295,6 +295,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     block_col: str | None = None,
     include_sketches: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming, via the
     standard segment-split LSH (the Manku/Jain/Sarma simhash-dedup
@@ -305,6 +306,9 @@ def simhash_near_dups(
     anywhere, and the shuffle carries only (id, sketch, segment).
     Optional ``block_col`` adds a same-block constraint on top;
     ``include_sketches`` keeps both 60-bit sketches on the output rows.
+    ``max_bucket_size``: same degenerate-bucket armor as
+    ``minhash_near_dups`` — segment buckets above the cap are excluded
+    from candidate generation. Off by default.
     """
     n_seg = max_hamming + 1
     width = -(-60 // n_seg)  # ceil(60 / n_seg)
@@ -341,6 +345,8 @@ def simhash_near_dups(
             )
         ).alias("sg"),
     ).select("id", "blk", "sh", F.col("sg.seg_i").alias("seg_i"), F.col("sg.seg_v").alias("seg_v"))
+    if max_bucket_size is not None:
+        segs = _cap_buckets(segs, ["blk", "seg_i", "seg_v"], max_bucket_size)
     a, b = segs.alias("a"), segs.alias("b")
     return (
         a.join(
@@ -377,8 +383,11 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Word-k-gram Jaccard: EXACT scoring over MinHash-LSH candidates.
+    ``max_bucket_size``: same degenerate-bucket armor as
+    ``minhash_near_dups``, applied to the band buckets. Off by default.
 
     A standalone explode-join on (block, shingle) goes quadratic on
     frequent shingles inside a big block; here candidates come from the
@@ -457,6 +466,9 @@ def ngram_jaccard_pairs(
     ).select(
         "id", "blk", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash")
     ).transform(persisted)  # compact; self-joined below
+
+    if max_bucket_size is not None:
+        banded = _cap_buckets(banded, ["blk", "band", "bhash"], max_bucket_size)
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -308,3 +308,34 @@ def test_embedding_bucket_cap_drops_degenerate_cluster(spark):
     got_capped = {(r.id_a, r.id_b) for r in capped.collect()}
     assert (100, 101) in got_capped
     assert not [p for p in got_capped if p[0] < 100 and p[1] < 100]
+
+
+def test_simhash_and_ngram_bucket_caps(spark):
+    """The cap is uniform across all four candidate generators: a
+    degenerate cluster's pairs disappear under the cap while a genuine
+    near-dup pair survives, for simhash segments and ngram bands too."""
+    from capex_data_pipeline_spark.extensions.dedup import (
+        ngram_jaccard_pairs,
+        simhash_near_dups,
+    )
+
+    boiler = [(i, "lorem ipsum dolor sit amet boilerplate page") for i in range(20)]
+    pair = [
+        (100, "a unique document about distributed query engines"),
+        (101, "a unique document about distributed query engine"),
+    ]
+    df = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+
+    for fn, kwargs in (
+        (simhash_near_dups, {"max_hamming": 20}),
+        (ngram_jaccard_pairs, {"threshold": 0.3, "k": 2}),
+    ):
+        uncapped = {(r.id_a, r.id_b) for r in fn(df, **kwargs).collect()}
+        assert (100, 101) in uncapped, fn.__name__
+        assert any(a < 100 and b < 100 for a, b in uncapped), fn.__name__
+        capped = {
+            (r.id_a, r.id_b)
+            for r in fn(df, max_bucket_size=10, **kwargs).collect()
+        }
+        assert (100, 101) in capped, fn.__name__
+        assert not [p for p in capped if p[0] < 100 and p[1] < 100], fn.__name__
