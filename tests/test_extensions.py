@@ -17,9 +17,12 @@ from capex_data_pipeline_spark.extensions.dedup import (
 )
 from capex_data_pipeline_spark.extensions.multimodal import (
     _fake_decode,
+    decode_bmp,
     decode_media,
+    decode_wav,
     documents_as_media,
     frame_sample,
+    stdlib_decode,
 )
 from capex_data_pipeline_spark.extensions.similarity import cosine_topk, srp_lsh_topk
 
@@ -249,6 +252,130 @@ def test_multimodal_decoder_is_injectable(docs):
             3,
         )
         assert row.features == [float(len(payload))] * 16
+
+
+def _make_bmp(width: int, height: int, pixel_fn) -> tuple[bytes, bytes]:
+    """Independent reference BMP writer (24-bpp BI_RGB, bottom-up):
+    returns (file_bytes, padded_pixel_array) so tests can compute
+    expected features without going through the decoder under test."""
+    import struct
+
+    stride = ((width * 24 + 31) // 32) * 4
+    rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            b, g, r = pixel_fn(x, y)
+            row += bytes((b, g, r))
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    pixels = b"".join(rows)
+    data_offset = 14 + 40
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", data_offset + len(pixels), 0, 0, data_offset
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return file_header + dib + pixels, pixels
+
+
+def _make_wav(samples: list[int], n_channels: int, framerate: int) -> bytes:
+    """Independent reference WAV writer: 16-bit PCM via the stdlib
+    ``wave`` module (samples interleaved across channels)."""
+    import array
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_channels)
+        wf.setsampwidth(2)
+        wf.setframerate(framerate)
+        wf.writeframes(array.array("h", samples).tobytes())
+    return buf.getvalue()
+
+
+def _expected_feats(values, scale):
+    return [
+        round(sum(values[i::16]) / (len(values[i::16]) or 1) / scale, 6)
+        for i in range(16)
+    ]
+
+
+def test_decode_bmp_real_bytes():
+    """A genuine 24-bpp BMP byte stream — header fields and raw pixel
+    statistics asserted against the independent writer's values."""
+    payload, pixels = _make_bmp(5, 3, lambda x, y: (x * 10, y * 20, 200))
+    w, h, nf, feats = decode_bmp(payload)
+    assert (w, h, nf) == (5, 3, 1)
+    assert feats == pytest.approx(_expected_feats(pixels, 255.0), abs=1e-9)
+
+    # top-down BMPs store height negative; dimensions must normalize
+    import struct
+
+    top_down = bytearray(payload)
+    struct.pack_into("<i", top_down, 22, -3)
+    assert decode_bmp(bytes(top_down))[:2] == (5, 3)
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"PNG" + payload[3:])
+    compressed = bytearray(payload)
+    struct.pack_into("<I", compressed, 30, 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="BI_RGB"):
+        decode_bmp(bytes(compressed))
+    with pytest.raises(ValueError, match="shorter"):
+        decode_bmp(payload[:-8])
+
+
+def test_decode_wav_real_bytes():
+    """A genuine 16-bit PCM WAV written by the stdlib wave module —
+    rate/channels/frames and amplitude features asserted against the
+    construction."""
+    samples = [int(1000 * ((i % 20) - 10)) for i in range(400)]  # 2ch interleaved
+    payload = _make_wav(samples, n_channels=2, framerate=8000)
+    rate, channels, n_frames, feats = decode_wav(payload)
+    assert (rate, channels, n_frames) == (8000, 2, 200)
+    assert feats == pytest.approx(
+        _expected_feats([abs(s) for s in samples], 32768.0), abs=1e-9
+    )
+
+
+def test_stdlib_decode_dispatch():
+    bmp, _ = _make_bmp(4, 4, lambda x, y: (x, y, x + y))
+    wav = _make_wav([0, 100, -100, 200], n_channels=1, framerate=16000)
+    assert stdlib_decode(bmp)[:3] == (4, 4, 1)
+    assert stdlib_decode(wav)[:3] == (16000, 1, 4)
+    with pytest.raises(ValueError, match="unrecognized"):
+        stdlib_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+def test_stdlib_decoder_through_spark(spark):
+    """Real container bytes — BMP images and a PCM WAV — flow through
+    the decode_media mapInPandas path with stdlib_decode injected; every
+    decoded row matches the local decode of the same payload."""
+    payloads = {
+        1: _make_bmp(7, 5, lambda x, y: ((x * y) % 256, x, y))[0],
+        2: _make_bmp(3, 9, lambda x, y: (255 - x, 128, y * 7 % 256))[0],
+        3: _make_wav(list(range(-500, 500, 5)), n_channels=1, framerate=44100),
+    }
+    media = spark.createDataFrame(
+        [
+            (mid, bytearray(p), "image/bmp" if p[:2] == b"BM" else "audio/wav")
+            for mid, p in payloads.items()
+        ],
+        "media_id long, payload binary, mime string",
+    )
+    decoded = {
+        r.media_id: r
+        for r in decode_media(media, decoder=stdlib_decode).collect()
+    }
+    assert set(decoded) == set(payloads)
+    for mid, payload in payloads.items():
+        w, h, nf, feats = stdlib_decode(payload)
+        row = decoded[mid]
+        assert (row.width, row.height, row.n_frames) == (w, h, nf)
+        assert row.features == pytest.approx(feats, abs=1e-6)
 
 
 def test_frame_sample(docs):
