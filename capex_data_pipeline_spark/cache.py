@@ -19,11 +19,19 @@ exposes a per-run ``unpersist()`` over just its own frames.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
+#: guards _TRACKED / _RELEASE_HOOKS — Spark driver apps routinely call
+#: operators from multiple threads (concurrent job submission is the
+#: documented way to overlap independent actions), so registry
+#: mutations must not race. The lock is held only around list
+#: mutations, never across JVM calls (persist/unpersist).
+_LOCK = threading.RLock()
 _TRACKED: list[DataFrame] = []
 _RELEASE_HOOKS: list[Callable[[], "int | None"]] = []
 
@@ -33,7 +41,8 @@ def persisted(
 ) -> DataFrame:
     """``df.persist(level)`` + register the frame for later release."""
     out = df.persist(level)
-    _TRACKED.append(out)
+    with _LOCK:
+        _TRACKED.append(out)
     return out
 
 
@@ -42,9 +51,10 @@ def untrack(df: DataFrame) -> None:
     by the per-run release paths (``PipelineResult.unpersist``) so an
     already-released frame neither lingers as a strong driver-side
     reference nor gets double-released later."""
-    for i in range(len(_TRACKED) - 1, -1, -1):
-        if _TRACKED[i] is df:
-            del _TRACKED[i]
+    with _LOCK:
+        for i in range(len(_TRACKED) - 1, -1, -1):
+            if _TRACKED[i] is df:
+                del _TRACKED[i]
 
 
 def register_release_hook(hook: Callable[[], "int | None"]) -> None:
@@ -55,8 +65,9 @@ def register_release_hook(hook: Callable[[], "int | None"]) -> None:
     invalidation here and the two release mechanisms stay coherent.
     A hook that releases frames itself should return how many, so the
     release_persisted total stays accurate."""
-    if hook not in _RELEASE_HOOKS:
-        _RELEASE_HOOKS.append(hook)
+    with _LOCK:
+        if hook not in _RELEASE_HOOKS:
+            _RELEASE_HOOKS.append(hook)
 
 
 def release_persisted(blocking: bool = False) -> int:
@@ -69,15 +80,20 @@ def release_persisted(blocking: bool = False) -> int:
     release hooks (memo invalidation) run first.
     """
     released = 0
-    for hook in list(_RELEASE_HOOKS):
+    with _LOCK:
+        hooks = list(_RELEASE_HOOKS)
+    for hook in hooks:
         try:
             n = hook()
             if isinstance(n, int):
                 released += n
         except Exception:
             pass
-    while _TRACKED:
-        df = _TRACKED.pop()
+    while True:
+        with _LOCK:
+            if not _TRACKED:
+                break
+            df = _TRACKED.pop()
         try:
             df.unpersist(blocking)
             released += 1
@@ -87,4 +103,41 @@ def release_persisted(blocking: bool = False) -> int:
 
 
 def tracked_count() -> int:
-    return len(_TRACKED)
+    with _LOCK:
+        return len(_TRACKED)
+
+
+@contextmanager
+def scoped_persists(blocking: bool = False):
+    """Release just the frames persisted inside the ``with`` block —
+    the operator-level counterpart of ``PipelineResult.unpersist``, so
+    a long-lived service can free one dedup/enrichment computation
+    without the all-or-nothing :func:`release_persisted` (which also
+    invalidates the pipeline memo via its hook).
+
+    Yields a ``release()`` callable for early release; exit releases
+    whatever remains. Frames persisted by OTHER threads while the block
+    runs are swept too (the registry is process-global) — serialize
+    operator invocation, or use :func:`release_persisted` at a quiet
+    point, if that matters.
+    """
+    with _LOCK:
+        before = list(_TRACKED)
+
+    def release() -> int:
+        with _LOCK:
+            new = [df for df in _TRACKED if not any(df is b for b in before)]
+        n = 0
+        for df in new:
+            untrack(df)
+            try:
+                df.unpersist(blocking)
+                n += 1
+            except Exception:
+                pass
+        return n
+
+    try:
+        yield release
+    finally:
+        release()

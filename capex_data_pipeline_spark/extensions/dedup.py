@@ -121,17 +121,53 @@ def banding_for_threshold(num_hashes: int, threshold: float) -> int:
     return min(options)[2]
 
 
-def _cap_buckets(frame: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
+def _cap_buckets(
+    frame: DataFrame,
+    keys: list[str],
+    max_bucket_size: int,
+    stats_out: dict | None = None,
+) -> DataFrame:
     """Exclude rows of buckets larger than ``max_bucket_size``: one
     aggregation on the compact bucket keys + a semi join. The capped
     frame is persisted — it feeds BOTH sides of the candidate
     self-join, and without the persist each side would recompute the
     projection AND the cap aggregation (HOF lambdas defeat
-    ReuseExchange; see the signature-frame persists)."""
+    ReuseExchange; see the signature-frame persists).
+
+    No silent caps: pass ``stats_out={}`` and the call eagerly counts
+    what the cap dropped — ``excluded_buckets`` / ``excluded_rows`` are
+    written into the dict and a warning is logged when nonzero, so an
+    invisible recall trade can't masquerade as full coverage. The count
+    reuses the same bucket-size aggregation the cap needs anyway (the
+    sizes frame is persisted for the second consumer); ``stats_out=None``
+    (default) keeps the path fully lazy."""
+    sizes = frame.groupBy(*keys).count()
+    if stats_out is not None:
+        sizes = persisted(sizes)
+        row = (
+            sizes.filter(F.col("count") > max_bucket_size)
+            .agg(
+                F.count(F.lit(1)).alias("nb"),
+                F.coalesce(F.sum("count"), F.lit(0)).alias("nr"),
+            )
+            .collect()[0]
+        )
+        stats_out["excluded_buckets"] = int(row["nb"])
+        stats_out["excluded_rows"] = int(row["nr"])
+        if row["nb"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "max_bucket_size=%d excluded %d bucket(s) / %d row(s) "
+                "from candidate generation (keys=%s) — an explicit "
+                "recall trade, not full coverage",
+                max_bucket_size,
+                row["nb"],
+                row["nr"],
+                keys,
+            )
     ok = (
-        frame.groupBy(*keys)
-        .count()
-        .filter(F.col("count") <= max_bucket_size)
+        sizes.filter(F.col("count") <= max_bucket_size)
         .drop("count")
     )
     return persisted(frame.join(ok, keys, "left_semi"))
@@ -146,6 +182,7 @@ def minhash_near_dups(
     k: int = DEFAULT_SHINGLE_K,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """LSH-banded candidate generation + signature-estimated Jaccard.
 
@@ -167,7 +204,8 @@ def minhash_near_dups(
     generation — an explicit recall trade (such pairs usually surface
     via several other bands; truly degenerate buckets are near-dup
     spam anyway). Off (None) by default so small-corpus results are
-    exhaustive and oracle-exact.
+    exhaustive and oracle-exact. Pass ``cap_stats={}`` to receive the
+    excluded bucket/row counts (no-silent-caps; see ``_cap_buckets``).
     """
     if bands is None:
         bands = banding_for_threshold(num_hashes, threshold)
@@ -228,7 +266,7 @@ def minhash_near_dups(
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
 
     if max_bucket_size is not None:
-        banded = _cap_buckets(banded, ["band", "bhash"], max_bucket_size)
+        banded = _cap_buckets(banded, ["band", "bhash"], max_bucket_size, cap_stats)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -296,6 +334,7 @@ def simhash_near_dups(
     block_col: str | None = None,
     include_sketches: bool = False,
     max_bucket_size: int | None = None,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming, via the
     standard segment-split LSH (the Manku/Jain/Sarma simhash-dedup
@@ -308,7 +347,8 @@ def simhash_near_dups(
     ``include_sketches`` keeps both 60-bit sketches on the output rows.
     ``max_bucket_size``: same degenerate-bucket armor as
     ``minhash_near_dups`` — segment buckets above the cap are excluded
-    from candidate generation. Off by default.
+    from candidate generation. Off by default. Pass ``cap_stats={}`` to receive the
+    excluded bucket/row counts (no-silent-caps; see ``_cap_buckets``).
     """
     n_seg = max_hamming + 1
     width = -(-60 // n_seg)  # ceil(60 / n_seg)
@@ -346,7 +386,7 @@ def simhash_near_dups(
         ).alias("sg"),
     ).select("id", "blk", "sh", F.col("sg.seg_i").alias("seg_i"), F.col("sg.seg_v").alias("seg_v"))
     if max_bucket_size is not None:
-        segs = _cap_buckets(segs, ["blk", "seg_i", "seg_v"], max_bucket_size)
+        segs = _cap_buckets(segs, ["blk", "seg_i", "seg_v"], max_bucket_size, cap_stats)
     a, b = segs.alias("a"), segs.alias("b")
     return (
         a.join(
@@ -384,10 +424,12 @@ def ngram_jaccard_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int | None = None,
     max_bucket_size: int | None = None,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """Word-k-gram Jaccard: EXACT scoring over MinHash-LSH candidates.
     ``max_bucket_size``: same degenerate-bucket armor as
-    ``minhash_near_dups``, applied to the band buckets. Off by default.
+    ``minhash_near_dups``, applied to the band buckets. Off by default. Pass ``cap_stats={}`` to receive the
+    excluded bucket/row counts (no-silent-caps; see ``_cap_buckets``).
 
     A standalone explode-join on (block, shingle) goes quadratic on
     frequent shingles inside a big block; here candidates come from the
@@ -468,7 +510,7 @@ def ngram_jaccard_pairs(
     ).transform(persisted)  # compact; self-joined below
 
     if max_bucket_size is not None:
-        banded = _cap_buckets(banded, ["blk", "band", "bhash"], max_bucket_size)
+        banded = _cap_buckets(banded, ["blk", "band", "bhash"], max_bucket_size, cap_stats)
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -522,6 +564,7 @@ def embedding_near_dups(
     bands: int = 16,
     bits_per_band: int = 12,
     max_bucket_size: int | None = None,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """Cosine near-duplicates via banded sign-random-projection LSH +
     exact re-rank (the same candidate scheme ``similarity.srp_lsh_topk``
@@ -538,7 +581,8 @@ def embedding_near_dups(
     ``max_bucket_size``: same 100 TB degenerate-bucket armor as
     ``minhash_near_dups`` (e.g. millions of zero/constant vectors
     landing in one bucket emit ~n²/2 candidates); buckets above the cap
-    are excluded from candidate generation. Off by default.
+    are excluded from candidate generation. Off by default. Pass ``cap_stats={}`` to receive the
+    excluded bucket/row counts (no-silent-caps; see ``_cap_buckets``).
     """
     from capex_data_pipeline_spark.extensions.similarity import cosine
 
@@ -601,7 +645,7 @@ def embedding_near_dups(
     # cached frame is compact ints
 
     if max_bucket_size is not None:
-        buckets = _cap_buckets(buckets, ["blk", "band", "bucket"], max_bucket_size)
+        buckets = _cap_buckets(buckets, ["blk", "band", "bucket"], max_bucket_size, cap_stats)
 
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (

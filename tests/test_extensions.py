@@ -437,6 +437,77 @@ def test_embedding_bucket_cap_drops_degenerate_cluster(spark):
     assert not [p for p in got_capped if p[0] < 100 and p[1] < 100]
 
 
+def test_bucket_cap_reports_excluded_counts(spark, caplog):
+    """No-silent-caps: cap_stats={} surfaces exactly what the cap
+    dropped. 30 identical docs share all 4 band buckets (identical
+    signatures), so capping at 10 excludes 4 buckets x 30 rows; the
+    small genuine-pair buckets are untouched and a warning is logged."""
+    import logging
+
+    from capex_data_pipeline_spark.extensions.dedup import minhash_near_dups
+
+    boiler = [(i, "lorem ipsum dolor sit amet boilerplate page") for i in range(30)]
+    pair = [
+        (100, "a unique document about distributed query engines"),
+        (101, "a unique document about distributed query engine"),
+    ]
+    df = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+
+    stats: dict = {}
+    with caplog.at_level(logging.WARNING, "capex_data_pipeline_spark.extensions.dedup"):
+        got = {
+            (r.id_a, r.id_b)
+            for r in minhash_near_dups(
+                df, threshold=0.5, max_bucket_size=10, cap_stats=stats
+            ).collect()
+        }
+    assert (100, 101) in got
+    assert stats == {"excluded_buckets": 4, "excluded_rows": 120}
+    assert any("excluded 4 bucket(s) / 120 row(s)" in r.message for r in caplog.records)
+
+    # nothing over the cap -> zero counts, no warning
+    stats2: dict = {}
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, "capex_data_pipeline_spark.extensions.dedup"):
+        minhash_near_dups(
+            df, threshold=0.5, max_bucket_size=1000, cap_stats=stats2
+        ).collect()
+    assert stats2 == {"excluded_buckets": 0, "excluded_rows": 0}
+    assert not caplog.records
+
+
+def test_bucket_cap_stats_populated_by_all_generators(spark):
+    """Every capped generator exposes the same cap_stats out-param and
+    reports a nonzero drop on a degenerate corpus."""
+    from capex_data_pipeline_spark.extensions.dedup import (
+        embedding_near_dups,
+        minhash_near_dups,
+        ngram_jaccard_pairs,
+        simhash_near_dups,
+    )
+
+    boiler = [(i, "lorem ipsum dolor sit amet boilerplate page") for i in range(20)]
+    docs = spark.createDataFrame(
+        boiler + [(100, "a unique document about distributed query engines")],
+        "doc_id long, text string",
+    )
+    dim = 8
+    vecs = spark.createDataFrame(
+        [(i, [1.0] * dim) for i in range(20)] + [(100, [0.9, -0.4, 0.3, 0.8, -0.2, 0.1, 0.5, -0.7])],
+        "vec_id long, embedding array<double>",
+    )
+    for fn, frame, kwargs in (
+        (minhash_near_dups, docs, {"threshold": 0.5}),
+        (simhash_near_dups, docs, {"max_hamming": 3}),
+        (ngram_jaccard_pairs, docs, {"threshold": 0.3, "k": 2}),
+        (embedding_near_dups, vecs, {"threshold": 0.9, "dim": dim}),
+    ):
+        stats: dict = {}
+        fn(frame, max_bucket_size=5, cap_stats=stats, **kwargs).collect()
+        assert stats["excluded_buckets"] > 0, fn.__name__
+        assert stats["excluded_rows"] >= 20, fn.__name__
+
+
 def test_simhash_and_ngram_bucket_caps(spark):
     """The cap is uniform across all four candidate generators: a
     degenerate cluster's pairs disappear under the cap while a genuine

@@ -128,6 +128,81 @@ def test_release_persisted_clears_tracked_frames(spark):
     assert not df.storageLevel.useMemory
 
 
+def test_scoped_persists_releases_only_scope_frames(spark):
+    """scoped_persists frees one operator invocation's frames without
+    touching earlier persists or the pipeline memo — the scoped
+    counterpart to the all-or-nothing release_persisted."""
+    from capex_data_pipeline_spark.cache import (
+        persisted,
+        release_persisted,
+        scoped_persists,
+        tracked_count,
+    )
+
+    release_persisted()
+    outer = persisted(spark.range(50))
+    outer.count()
+    with scoped_persists() as release:
+        inner = persisted(spark.range(60))
+        inner.count()
+        assert tracked_count() == 2
+        assert release() == 1  # early release, returns count
+        assert not inner.storageLevel.useMemory
+        assert tracked_count() == 1
+    assert tracked_count() == 1  # exit is idempotent after early release
+    assert outer.storageLevel.useMemory  # outer frame untouched
+
+    # the common shape: rely on exit alone
+    with scoped_persists():
+        inner2 = persisted(spark.range(70))
+        inner2.count()
+    assert not inner2.storageLevel.useMemory
+    assert outer.storageLevel.useMemory and tracked_count() == 1
+    release_persisted()
+
+
+def test_cache_registry_thread_safety(spark):
+    """Concurrent persist/untrack/release from worker threads (normal
+    for Spark driver apps) must not corrupt the registry, double-release,
+    or raise."""
+    import threading
+
+    from capex_data_pipeline_spark.cache import (
+        persisted,
+        release_persisted,
+        scoped_persists,
+        tracked_count,
+        untrack,
+    )
+
+    release_persisted()
+    errors: list[Exception] = []
+
+    def worker(seed: int) -> None:
+        try:
+            for i in range(5):
+                df = persisted(spark.range(10 + seed * 7 + i))
+                df.count()
+                if i % 2:
+                    untrack(df)
+                    df.unpersist()
+            with scoped_persists():
+                persisted(spark.range(5 + seed)).count()
+        except Exception as e:  # pragma: no cover - failure diagnostics
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    # whatever remains tracked is exactly the even-i frames not yet
+    # released; the global sweep drains them all without error
+    release_persisted()
+    assert tracked_count() == 0
+
+
 def test_clear_pipeline_cache_releases_memoized_runs(spark):
     """The registry memoizes one pipeline DAG per (app, sf_dir, config);
     clear_pipeline_cache must unpersist those runs' frames and empty the
