@@ -71,10 +71,13 @@ def sniff_encoding(path: str, sniff_bytes: int = _SNIFF_BYTES) -> str:
     for f in files:
         try:
             with open(f, "rb") as fh:
-                # read one extra byte so a file of exactly sniff_bytes is
-                # still recognized as whole (and its tail decoded strictly)
+                # EOF is detected by probing one byte PAST what we keep:
+                # inferring wholeness from len(data) misclassifies a file
+                # of exactly sniff_bytes+1 as a truncated prefix, decoding
+                # its genuinely-final tail with final=False (lenient)
                 data = fh.read(sniff_bytes + 1)
-                prefixes.append((data, len(data) <= sniff_bytes))
+                probe = fh.read(1)
+                prefixes.append((data, not probe))
         except OSError:
             continue
     if not prefixes:
@@ -130,4 +133,10 @@ def read_csv_with_fallback(
                 for f in df.schema.fields
             ]
         )
+        if schema is None:
+            # header-derived column names took the same byte-preserving
+            # charset, so names carrying 0x80-0x9F bytes need the same
+            # fixup (an explicit schema already supplies correct names)
+            name_fix = str.maketrans(_CP1252_FROM, _CP1252_TO)
+            df = df.toDF(*[n.translate(name_fix) for n in df.columns])
     return df

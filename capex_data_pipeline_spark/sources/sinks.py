@@ -92,6 +92,13 @@ def write_csv_cp1252(
             for f in df.schema.fields
         ]
     )
+    # the header line travels through the same iso-8859-1 charset, so
+    # column names need the identical cp1252->latin1 fixup: a name with
+    # one of the 27 cp1252-only chars (en-dash, euro, ...) is perfectly
+    # encodable — but only after mapping it to the latin1 code point
+    # whose byte equals its cp1252 encoding
+    name_fix = str.maketrans(_CP1252_TO, _CP1252_FROM)
+    fixed = fixed.toDF(*[n.translate(name_fix) for n in fixed.columns])
     write_csv(fixed, path, mode=mode, header=header, encoding="iso-8859-1")
 
 
@@ -137,9 +144,33 @@ def write_bucketed_table(
     w.format("parquet").saveAsTable(table)
 
 
-def csv_bytes(df: DataFrame, limit: int = 100_000) -> bytes:
+def csv_bytes(
+    df: DataFrame, limit: int = 100_000, on_overflow: str = "raise"
+) -> bytes:
     """The reference's download-link shape (app.py:117-122): materialize
     a bounded result to CSV bytes on the driver. Guarded by ``limit`` —
-    this is for UI-sized frames only."""
-    pdf = df.limit(limit).toPandas()
+    this is for UI-sized frames only.
+
+    No silent caps: overflow is detected by fetching ``limit + 1`` rows
+    (one probe row, no extra count job). ``on_overflow='raise'``
+    (default) refuses to hand back a partial download as if it were the
+    whole result; ``'truncate'`` keeps the first ``limit`` rows and logs
+    a warning instead."""
+    if on_overflow not in ("raise", "truncate"):
+        raise ValueError(f"on_overflow must be 'raise' or 'truncate', got {on_overflow!r}")
+    pdf = df.limit(limit + 1).toPandas()
+    if len(pdf) > limit:
+        if on_overflow == "raise":
+            raise ValueError(
+                f"csv_bytes: result exceeds limit={limit} rows; raise the "
+                "limit, filter the frame, or pass on_overflow='truncate'"
+            )
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "csv_bytes: result exceeds limit=%d rows — truncating (explicit "
+            "on_overflow='truncate')",
+            limit,
+        )
+        pdf = pdf.iloc[:limit]
     return pdf.to_csv(index=False).encode("utf-8")

@@ -272,3 +272,175 @@ def test_write_csv_cp1252_strict_rejects_c1_controls_and_bad_headers(spark, tmp_
     df2 = spark.createDataFrame([(1, "ok")], "id long, `temp_Ω` string")
     with pytest.raises(ValueError, match="column name"):
         write_csv_cp1252(df2, str(tmp_path / "hdr_out"))
+
+
+def test_write_csv_cp1252_header_with_cp1252_only_chars(spark, tmp_path):
+    """Column names carrying the 27 cp1252-only chars (en-dash, euro)
+    are encodable — but only via the same cp1252->latin1 byte fixup the
+    values get. Strict mode must vouch for a byte-faithful header, and
+    the fallback reader must restore the exact names."""
+    from capex_data_pipeline_spark.sources.csv import (
+        read_csv_with_fallback,
+        sniff_encoding,
+    )
+    from capex_data_pipeline_spark.sources.sinks import write_csv_cp1252
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "dash – here")],
+        ["id", "budget – 2026 €"],
+    )
+    out = str(tmp_path / "hdr_cp1252_out")
+    write_csv_cp1252(df, out)
+    import glob
+
+    blob = b"".join(open(p, "rb").read() for p in sorted(glob.glob(out + "/part-*")))
+    header = blob.split(b"\n", 1)[0]
+    assert header == "id,budget – 2026 €".encode("cp1252")
+    assert b"?" not in header  # no silent JVM substitution
+    assert sniff_encoding(out) == "cp1252"
+
+    back = read_csv_with_fallback(spark, out)
+    assert back.columns == ["id", "budget – 2026 €"]
+    vals = {r["id"] for r in back.select("id").collect()}
+    assert vals == {1, 2}  # inferSchema: ids come back as ints
+
+
+def test_csv_bytes_overflow_guard(spark):
+    """csv_bytes must not hand back a silently truncated download:
+    over-limit raises by default, on_overflow='truncate' keeps limit
+    rows with a warning, and an exactly-at-limit frame passes whole."""
+    import logging
+
+    from capex_data_pipeline_spark.sources.sinks import csv_bytes
+
+    df = spark.range(10).orderBy("id")
+    with pytest.raises(ValueError, match="exceeds limit=5"):
+        csv_bytes(df, limit=5)
+
+    data = csv_bytes(df, limit=5, on_overflow="truncate")
+    lines = data.decode("utf-8").strip().splitlines()
+    assert len(lines) == 1 + 5  # header + limit rows
+
+    whole = csv_bytes(df, limit=10)  # exactly at the limit: complete
+    assert len(whole.decode("utf-8").strip().splitlines()) == 1 + 10
+
+    with pytest.raises(ValueError, match="on_overflow"):
+        csv_bytes(df, limit=5, on_overflow="warn")
+
+
+# ---- cp1252 round-trip property tests -------------------------------
+
+#: every character cp1252 can encode: ASCII, the latin1 block A0-FF,
+#: and the 27 cp1252-only chars mapped into 0x80-0x9F
+_CP1252_ONLY = "€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ"
+_ENCODABLE_ALPHABET = (
+    [chr(c) for c in range(0x20, 0x7F)]  # printable ASCII
+    + [chr(c) for c in range(0xA0, 0x100)]
+    + list(_CP1252_ONLY)
+)
+#: characters with NO cp1252 byte: C1 controls (cp1252 reuses those
+#: bytes), the 5 holes in 0x80-0x9F, BMP letters beyond FF, astral
+_UNENCODABLE_SAMPLES = (
+    [chr(c) for c in range(0x80, 0xA0)]
+    + ["Ω", "Ω", "☃", "中", "\U0001F600", "ڐ"]
+)
+
+
+def _hyp():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    return given, settings, st
+
+
+def test_cp1252_translate_tables_property():
+    """The distributed writer is F.translate + iso-8859-1 bytes and the
+    reader is the inverse; both reduce to pure string maps whose
+    invariants hold for EVERY cp1252-encodable string:
+      write: s.translate(TO->FROM).encode('latin1') == s.encode('cp1252')
+      read:  raw.decode('latin1').translate(FROM->TO) == raw.decode('cp1252')
+    """
+    from capex_data_pipeline_spark.sources.csv import _CP1252_FROM, _CP1252_TO
+
+    given, settings, st = _hyp()
+    to_latin1 = str.maketrans(_CP1252_TO, _CP1252_FROM)
+    from_latin1 = str.maketrans(_CP1252_FROM, _CP1252_TO)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=_ENCODABLE_ALPHABET, max_size=80))
+    def prop(s):
+        raw = s.translate(to_latin1).encode("latin1")
+        assert raw == s.encode("cp1252")
+        assert raw.decode("latin1").translate(from_latin1) == raw.decode("cp1252")
+        assert raw.decode("cp1252") == s  # full round-trip
+
+    prop()
+
+
+def test_cp1252_strict_class_matches_encodable_set():
+    """The strict-mode rlike class must flag EXACTLY the strings that
+    pandas' to_csv(encoding='cp1252') would refuse: mixed
+    encodable/unencodable strings classified by Python's own cp1252
+    codec, compared against the same regex the sink ships to the JVM."""
+    import re
+
+    from capex_data_pipeline_spark.sources.csv import _CP1252_TO
+
+    given, settings, st = _hyp()
+    bad_class = re.compile("[^\\x00-\\x7F\\xA0-\\xFF" + re.escape(_CP1252_TO) + "]")
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(
+            alphabet=_ENCODABLE_ALPHABET + _UNENCODABLE_SAMPLES, max_size=60
+        )
+    )
+    def prop(s):
+        try:
+            s.encode("cp1252")
+            encodable = True
+        except UnicodeEncodeError:
+            encodable = False
+        assert (bad_class.search(s) is None) == encodable
+
+    prop()
+
+
+def test_cp1252_roundtrip_property_through_spark(spark, tmp_path):
+    """End-to-end S5->S1 on a hypothesis-generated corpus over the full
+    encodable alphabet: one distributed write + fallback read must be
+    value-exact for every generated string (newlines/quotes excluded —
+    CSV framing, not encoding; '' reads as null by documented
+    conflation)."""
+    from capex_data_pipeline_spark.sources.csv import read_csv_with_fallback
+    from capex_data_pipeline_spark.sources.sinks import write_csv_cp1252
+
+    given, settings, st = _hyp()
+    cell = st.text(
+        alphabet=[c for c in _ENCODABLE_ALPHABET if c not in '\r\n"'],
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(cell, min_size=1, max_size=25, unique=True))
+    def prop(texts):
+        import shutil
+        import uuid
+
+        out = str(tmp_path / f"prop_{uuid.uuid4().hex[:10]}")
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "id long, txt string"
+        )
+        try:
+            write_csv_cp1252(df, out)
+            back = read_csv_with_fallback(
+                spark, out, schema=df.schema
+            )
+            got = {r.id: r.txt for r in back.collect()}
+            want = {i: (t if t.strip("\x00") else None) for i, t in enumerate(texts)}
+            assert got == want
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    prop()
