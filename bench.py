@@ -49,9 +49,14 @@ HEADLINE = [
     "q30_exact_dedup",
     "q31_minhash_lsh",
     "q34_cosine_topk",
+    "q36_ann_lsh",
+    "q37_ann_ivf",
+    "q39_corpus_curation",
     "q42_token_count",
     "q50_tumbling_window",
     "q52_session_window",
+    "q53_user_activity",
+    "q93_fn_enrichment",
 ]
 
 
@@ -64,6 +69,57 @@ def _reset_engine_caches() -> None:
 
     registry_ext.clear_pipeline_cache()
     release_persisted()
+
+
+def scaling_check() -> None:
+    """``bench.py --scaling``: run the flagship q90 at two scale factors
+    in one session and report the wall-clock ratio — a structural alarm
+    for accidentally quadratic stages (a future regression in the
+    fail-open or enrichment self-joins would show up as a ratio far
+    above the data-scale multiple; local single-scale benches can't see
+    that). Prints one JSON line with both times and the ratio."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    small = os.environ.get("SPARK_GRAFT_SCALING_SMALL", "/root/testdata/sf0.01")
+    large = os.environ.get("SPARK_GRAFT_SCALING_LARGE", "/root/testdata/sf0.1")
+
+    from capex_data_pipeline_spark.registry import QUERIES
+    from capex_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="capex-bench-scaling",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    q = QUERIES["q90_capex_pipeline"]
+    times = {}
+    for sf_dir in (small, large):
+        # one warm pass absorbs codegen/scan setup, then median of reps
+        runs = []
+        for i in range(reps + 1):
+            _reset_engine_caches()
+            t0 = time.perf_counter()
+            q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            if i:  # drop the warm-up run
+                runs.append(dt)
+        times[sf_dir] = round(statistics.median(runs), 4)
+    ratio = round(times[large] / times[small], 4)
+    print(
+        json.dumps(
+            {
+                "metric": "q90_scaling_ratio",
+                "small_dir": small,
+                "large_dir": large,
+                "small_sec": times[small],
+                "large_sec": times[large],
+                "value": ratio,
+                "unit": "ratio",
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+            }
+        )
+    )
+    spark.stop()
 
 
 def main() -> None:
@@ -152,4 +208,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--scaling" in sys.argv[1:]:
+        scaling_check()
+    else:
+        main()

@@ -253,6 +253,7 @@ def enrich_false_negatives(
     audit_ordered: DataFrame,
     raw: DataFrame | None = None,
     reference: DataFrame | None = None,
+    plan_boundary: bool = True,
 ) -> DataFrame:
     """Attach exclusion reasons to FN keys (process_capex.py:1406-1471).
 
@@ -264,7 +265,21 @@ def enrich_false_negatives(
     exclusion_reason, exclusion_column, exclusion_value, reason_source);
     column/value are null on the explain/unknown paths, exactly like the
     reference's string-valued reasons.
+
+    ``plan_boundary`` (default): the FN-key frame is consumed by up to
+    8 join sites here and the audit by 5, so when they arrive with a
+    deep producing plan (the full pipeline tail) that subplan is
+    embedded at EVERY site and the analyzer / optimizer / codegen walk
+    it multiplicatively — measured 45 s → 11 s end-to-end at sf0.01.
+    ``localCheckpoint()`` executes each producer once and replaces the
+    plan with the materialized partitions. Eager by design; blocks live
+    on executor-local storage, so on clusters that decommission
+    executors (dynamic allocation) pass ``plan_boundary=False`` and
+    persist + reliable-checkpoint at the call site instead.
     """
+    if plan_boundary:
+        false_negatives = false_negatives.localCheckpoint()
+        audit_ordered = audit_ordered.localCheckpoint()
     parts = F.split(F.col("CompositeKey"), r"\|", -1)
     fn = false_negatives.select(
         "CompositeKey",

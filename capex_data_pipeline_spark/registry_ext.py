@@ -562,17 +562,16 @@ def q93_fn_enrichment(spark, sf_dir):
     from capex_data_pipeline_spark.plans.synth import synthesize_capex_raw
 
     raw = synthesize_capex_raw(spark, sf_dir)
-    from capex_data_pipeline_spark.cache import persisted
-
     res = _synth_pipeline(spark, sf_dir, exact_w1_ties=False)
     golden = raw.drop("VendorName")
     p_keys = with_robust_key(res.processed).select("CompositeKey").distinct()
     g_keys = with_robust_key(golden).select("CompositeKey").distinct()
-    # persisted: the enrichment consumes the FN key set in several joins
-    # (exact/short/prefix audit hits + one per explain frame); without
-    # this each consumer re-runs the processed-vs-golden anti-join —
-    # i.e. re-walks the W1/fail-open tail of the pipeline DAG
-    fn = persisted(g_keys.join(p_keys, "CompositeKey", "left_anti"))
+    # the enrichment consumes the FN key set in several joins
+    # (exact/short/prefix audit hits + one per explain frame) and
+    # plan-boundaries it internally (localCheckpoint), so the
+    # processed-vs-golden anti-join — the W1/fail-open tail of the
+    # pipeline DAG — runs exactly once
+    fn = g_keys.join(p_keys, "CompositeKey", "left_anti")
     return enrich_false_negatives(fn, res.audit_ordered, raw=raw, reference=golden)
 
 

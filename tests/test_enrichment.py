@@ -122,3 +122,30 @@ def test_fn_enrichment_on_sample_fixture(request, spark, tmp_path_factory):
     got = _spark_fn_reasons(spark, raw_sdf, office_sdf, raw_sdf.drop("VendorName"))
     assert got == ref
     assert len(got) > 100  # the fixture yields a substantial FN set
+
+
+def test_plan_boundary_is_semantics_neutral(spark):
+    """plan_boundary=True (localCheckpoint on the FN keys + audit — the
+    driver-time fix for the multiplicative deep-plan embedding) must be
+    a pure plan transformation: identical rows either way."""
+    from capex_data_pipeline_spark import registry_ext
+    from capex_data_pipeline_spark.operators.validation import with_robust_key
+    from capex_data_pipeline_spark.plans.synth import synthesize_capex_raw
+
+    sf = "/root/testdata/sf0.001"
+    raw = synthesize_capex_raw(spark, sf)
+    res = registry_ext._synth_pipeline(spark, sf, exact_w1_ties=False)
+    golden = raw.drop("VendorName")
+    p = with_robust_key(res.processed).select("CompositeKey").distinct()
+    g = with_robust_key(golden).select("CompositeKey").distinct()
+    fn = g.join(p, "CompositeKey", "left_anti")
+
+    outs = []
+    for boundary in (True, False):
+        df = enrich_false_negatives(
+            fn, res.audit_ordered, raw=raw, reference=golden,
+            plan_boundary=boundary,
+        )
+        outs.append(sorted(tuple(r) for r in df.collect()))
+    assert outs[0] == outs[1]
+    assert outs[0]  # non-degenerate: the synth corpus yields FN keys
