@@ -82,31 +82,55 @@ def _hyperplane(seed: int, dim: int) -> list[float]:
     ]
 
 
-def srp_signature(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Bit b = sign(v · plane_b): an integer bucket id."""
-    sig = F.lit(0).cast("long")
-    for b, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(_dot(vec_col, arr) > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = sig + bit
-    return sig
+# Constant vectors (hyperplanes, IVF centers) enter plans as SQL-string
+# double literals — ONE expr parse JVM-side — instead of per-component
+# F.lit() columns: a 16-center × 64-dim quantizer would otherwise cost
+# thousands of py4j round-trips at plan-build time (measured ~4 s of
+# driver latency per ANN query). repr(float) round-trips exactly, so
+# the parsed doubles are bit-identical to the F.lit path. Same trick as
+# dedup.embedding_near_dups.bucket_expr.
 
 
-def _neg_cosine_cells(vec: Column, centers: list[list[float]]) -> Column:
+def _arr_sql(vals: list[float]) -> str:
+    return "array(" + ", ".join(f"{float(v)!r}D" for v in vals) + ")"
+
+
+def _dot_sql(vec_name: str, arr_sql: str) -> str:
+    return (
+        f"aggregate(zip_with({vec_name}, {arr_sql}, (x, y) -> x * y),"
+        f" 0D, (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(expr: str) -> str:
+    return f"sqrt(aggregate({expr}, 0D, (acc, x) -> acc + x * x))"
+
+
+def srp_signature(vec_name: str, planes: list[list[float]]) -> Column:
+    """Bit b = sign(v · plane_b): an integer bucket id. ``vec_name`` is
+    the array column's name (the planes embed as parsed SQL literals)."""
+    terms = " + ".join(
+        f"IF({_dot_sql(vec_name, _arr_sql(p))} > 0, {1 << b}, 0)"
+        for b, p in enumerate(planes)
+    )
+    return F.expr(f"cast(({terms}) as bigint)")
+
+
+def _neg_cosine_cells(vec_name: str, centers: list[list[float]]) -> Column:
     """Array of (negcos, cell) structs — array_sort gives similarity
     descending with cell-index tie-break, matching the oracle's
-    row_number ORDER BY s DESC, cell ASC."""
-    return F.array(
-        *[
-            F.struct(
-                (-cosine(vec, F.array(*[F.lit(x) for x in c]))).alias("negcos"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centers)
-        ]
+    row_number ORDER BY s DESC, cell ASC. ``vec_name`` is the array
+    column's name; centers embed as parsed SQL literals."""
+    cells = ", ".join(
+        "named_struct('negcos', -({dot} / ({nv} * {nc})), 'cell', {i})".format(
+            dot=_dot_sql(vec_name, _arr_sql(c)),
+            nv=_norm_sql(vec_name),
+            nc=_norm_sql(_arr_sql(c)),
+            i=i,
+        )
+        for i, c in enumerate(centers)
     )
+    return F.expr(f"array({cells})")
 
 
 def ivf_topk(
@@ -160,7 +184,7 @@ def ivf_topk(
         centers = [list(map(float, r.nv)) for r in rows]
         assigned = corpus_c.withColumn(
             "cell",
-            F.array_sort(_neg_cosine_cells(F.col("nv"), centers))[0]["cell"],
+            F.array_sort(_neg_cosine_cells("nv", centers))[0]["cell"],
         )
     elif centers_mode == "kmeans":
         from pyspark.ml.clustering import KMeans
@@ -185,7 +209,7 @@ def ivf_topk(
         F.explode(
             F.transform(
                 F.slice(
-                    F.array_sort(_neg_cosine_cells(F.col("qv"), centers)), 1, nprobe
+                    F.array_sort(_neg_cosine_cells("qv", centers)), 1, nprobe
                 ),
                 lambda s: s["cell"],
             )
@@ -233,7 +257,7 @@ def srp_lsh_topk(
             *[
                 F.struct(
                     F.lit(t).alias("tbl"),
-                    srp_signature(F.col(f"{idname}_v"), tables[t]).alias("bucket"),
+                    srp_signature(f"{idname}_v", tables[t]).alias("bucket"),
                 )
                 for t in range(n_tables)
             ]
