@@ -49,6 +49,7 @@ HEADLINE = [
     "q30_exact_dedup",
     "q31_minhash_lsh",
     "q34_cosine_topk",
+    "q38_dedup_clusters",
     "q36_ann_lsh",
     "q37_ann_ivf",
     "q39_corpus_curation",

@@ -540,6 +540,90 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    corpus: DataFrame | None = None,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Group near-dup PAIRS into connected components and pick keepers —
+    the step a dedup pipeline needs between candidate pairs and actual
+    row removal (pairs alone over-delete: a~b and b~c must collapse to
+    ONE cluster {a,b,c}, not two independent decisions).
+
+    Algorithm: min-label propagation (the standard distributed
+    connected-components loop — each node's label becomes the min of
+    its own and its neighbors', iterated to fixpoint; converges in
+    ``diameter(G)`` rounds, so near-dup clusters — dense/star-shaped by
+    construction — finish in a handful). Each round is one equi-join +
+    one hash aggregate on compact (id, label) pairs; the driver-side
+    loop-with-convergence-check is the standard shape for iterative
+    algorithms on Spark (GraphX's Pregel does the same internally).
+    Labels are ``localCheckpoint``-ed per round: iterative lineage
+    otherwise grows the logical plan linearly and re-analysis
+    quadratically (same lesson as the q93 plan boundary; on clusters
+    with executor decommissioning use a reliable checkpoint dir).
+
+    Returns one row per document (``corpus`` supplies the full id set so
+    singletons appear; omit it to cluster only paired docs):
+    (id_col, cluster_id = min doc id in component, cluster_size,
+    is_keeper = doc is its cluster's min). Raises after ``max_iter``
+    rounds without convergence — an unconverged labeling can split a
+    component, which silently over-keeps; no silent caps.
+    """
+    from pyspark.sql.window import Window
+
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select("u").distinct().withColumn("lbl", F.col("u")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("u").alias("v"), "lbl"), "v"
+        ).select("u", "lbl")
+        new = (
+            labels.union(nbr)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "_old"), "u")
+            .filter(F.col("lbl") != F.col("_old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise ValueError(
+            f"dedup_clusters: no fixpoint after max_iter={max_iter} rounds "
+            "(component diameter exceeds the bound); raise max_iter"
+        )
+
+    base = (
+        corpus.select(F.col(id_col).alias("u"))
+        if corpus is not None
+        else edges.select("u").distinct()
+    )
+    out = base.join(labels, "u", "left").select(
+        F.col("u").alias(id_col),
+        F.coalesce("lbl", F.col("u")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    return out.select(
+        id_col,
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
 def srp_plane_ints(band: int, bit: int, dim: int) -> list[int]:
     """Deterministic hyperplane for banded SRP: component j is
     md5(band|bit|j) truncated to 48 bits and centered — an integer that

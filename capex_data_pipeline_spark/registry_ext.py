@@ -164,6 +164,56 @@ def q31_minhash_lsh(spark, sf_dir):
     )
 
 
+@query(
+    "q38_dedup_clusters",
+    f"""
+    WITH RECURSIVE sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 8),
+               i -> list_min(list_transform({_SHINGLES}, s -> md5(i || '|' || s)))) AS sig
+      FROM documents
+    ), banded AS (
+      SELECT doc_id, sig, b,
+             md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS bhash
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) bands
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+      WHERE len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) / 8.0 >= 0.5
+    ), e2 AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, v FROM e2
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN e2 e ON r.v = e.u
+    ), lbl AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ), allc AS (
+      SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN lbl l USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_keeper
+    FROM allc
+    """,
+)
+def q38_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: q31's MinHash-LSH pairs grouped into
+    connected components by distributed min-label propagation, keeper =
+    min doc id per component, singletons included. The oracle restates
+    the identical signature math and closes the pair graph with a
+    recursive CTE (transitive reachability -> min reachable id), so the
+    whole pairs->clusters->keeper path is value-checked cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dups(docs, num_hashes=8, bands=4, threshold=0.5)
+    return D.dedup_clusters(pairs, corpus=docs)
+
+
 _SIMHASH_SQL = f"""
     CAST(list_sum(list_transform(range(0, 60), bit ->
       CASE WHEN list_sum(list_transform({_WORDS}, wd ->

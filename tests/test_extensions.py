@@ -437,6 +437,54 @@ def test_embedding_bucket_cap_drops_degenerate_cluster(spark):
     assert not [p for p in got_capped if p[0] < 100 and p[1] < 100]
 
 
+def test_dedup_clusters_connected_components(spark):
+    """Pairs (1,2),(2,3) must collapse into ONE cluster {1,2,3} (the
+    transitive case naive pair-wise deletion gets wrong), (10,11) is its
+    own cluster, and corpus docs with no pair are singleton keepers."""
+    from capex_data_pipeline_spark.extensions.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    corpus = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.is_keeper)
+        for r in dedup_clusters(pairs, corpus=corpus).collect()
+    }
+    assert got == {
+        1: (1, 3, True),
+        2: (1, 3, False),
+        3: (1, 3, False),
+        10: (10, 2, True),
+        11: (10, 2, False),
+        99: (99, 1, True),
+    }
+
+    # without a corpus: only paired docs appear
+    paired_only = {
+        r.doc_id for r in dedup_clusters(pairs).collect()
+    }
+    assert paired_only == {1, 2, 3, 10, 11}
+
+
+def test_dedup_clusters_long_chain_and_iteration_bound(spark):
+    """A chain 0-1-2-...-9 converges (diameter rounds) to one cluster;
+    an insufficient max_iter must raise, never return a split labeling
+    (unconverged labels silently over-keep)."""
+    from capex_data_pipeline_spark.extensions.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    out = dedup_clusters(chain).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert all(r.cluster_size == 10 for r in out)
+    assert sorted(r.doc_id for r in out if r.is_keeper) == [0]
+
+    with pytest.raises(ValueError, match="no fixpoint"):
+        dedup_clusters(chain, max_iter=2)
+
+
 def test_bucket_cap_reports_excluded_counts(spark, caplog):
     """No-silent-caps: cap_stats={} surfaces exactly what the cap
     dropped. 30 identical docs share all 4 band buckets (identical
