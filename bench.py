@@ -54,6 +54,7 @@ HEADLINE = [
     "q37_ann_ivf",
     "q39_corpus_curation",
     "q42_token_count",
+    "q44_doc_chunks",
     "q50_tumbling_window",
     "q52_session_window",
     "q53_user_activity",

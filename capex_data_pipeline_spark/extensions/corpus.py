@@ -1,0 +1,132 @@
+"""Corpus-preparation operators a training-data pipeline needs between
+cleaning and tokenization: deterministic chunking (long documents →
+bounded training sequences with overlap) and deterministic hash-based
+sampling (reproducible, engine-portable subsets — unlike ``df.sample``,
+whose RNG is partitioning-dependent and cannot be re-derived by another
+engine or a later run over repartitioned data).
+
+Both are pure projections/filters — zero shuffles, linear at any scale
+— and both are closed-form over the data, so DuckDB oracles re-derive
+them exactly (registry q44/q45).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: denominator for the md5-derived sampling hash: first 8 hex chars →
+#: a uniform 32-bit integer
+_HASH_SPACE = 1 << 32
+
+
+def _ws_tokens(col: Column) -> Column:
+    """Whitespace tokens; '' / null / all-space docs yield an empty
+    array (a bare split would yield [''])."""
+    t = F.trim(F.coalesce(col.cast("string"), F.lit("")))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-bounded chunks — the
+    standard shaping step before sequence packing/tokenization.
+
+    Chunk i covers whitespace tokens ``[i*stride, i*stride +
+    chunk_tokens)`` with ``stride = chunk_tokens - overlap``; the final
+    partial chunk is kept (training pipelines pad it), empty documents
+    produce no chunks. Everything is JVM-side array algebra (split +
+    sequence + posexplode + slice) — one narrow pass, no Python, no
+    shuffle; at 100 TB this is a map-only stage whose output lands
+    directly in the next scan's partitioning.
+
+    Returns (id_col, chunk_idx, chunk_tokens as n_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap={overlap} must be < chunk_tokens={chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    toks = _ws_tokens(F.col(text_col))
+    # number of chunks = ceil(max(n - overlap, 0) / stride), but at
+    # least 1 for any non-empty doc (n <= chunk_tokens → one chunk)
+    n = F.size(toks)
+    n_chunks = F.when(n == 0, F.lit(0)).otherwise(
+        F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1))
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            n_chunks.cast("int").alias("_nc"),
+        )
+        .filter(F.col("_nc") > 0)
+        .select(
+            id_col,
+            F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias(
+                "chunk_idx", "_i"
+            ),
+            "_toks",
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.slice(
+                F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_tokens
+            ).alias("_chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("_chunk").alias("n_tokens"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+def sample_hash(key: Column, seed: str = "s0") -> Column:
+    """Uniform [0, 1) hash of a key: first 8 hex chars of
+    md5(seed|key) as a 32-bit integer over 2^32. Deterministic and
+    engine-portable (md5 is md5 everywhere) — the property that makes
+    a sample re-derivable months later or by a different engine."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(seed + "|"), key.cast("string"))), 1, 8), 16, 10)
+    return h.cast("double") / F.lit(float(_HASH_SPACE))
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str,
+    seed: str = "s0",
+) -> DataFrame:
+    """Keep rows whose key hashes below ``fraction`` — a deterministic
+    Bernoulli sample. Same key + seed → same decision, independent of
+    partitioning, engine, or run; one narrow filter, no shuffle."""
+    return df.filter(sample_hash(F.col(key_col), seed) < F.lit(float(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    default_fraction: float = 0.0,
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downweight a crawl
+    source, keep all curated docs): each stratum gets its own keep
+    fraction; strata not listed keep ``default_fraction``. The
+    threshold is a CASE over the (broadcast-free, in-plan) fraction
+    map; the decision hash is the same engine-portable md5 as
+    ``hash_sample``."""
+    thr: Column = F.lit(float(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == value, F.lit(float(frac))).otherwise(thr)
+    return df.filter(sample_hash(F.col(key_col), seed) < thr)

@@ -1188,3 +1188,78 @@ def q43_fingerprint(spark, sf_dir):
     )
 
 
+@query(
+    "q44_doc_chunks",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+      FROM documents
+    ), nc AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) = 0 THEN 0
+                  ELSE greatest(CAST(ceil((len(t) - 8) / 24.0) AS INT), 1)
+             END AS n_chunks
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, t, unnest(range(0, n_chunks)) AS ci FROM nc
+    )
+    SELECT doc_id,
+           CAST(ci AS INT) AS chunk_idx,
+           CAST(len(t[ci*24+1 : ci*24+32]) AS INT) AS n_tokens,
+           array_to_string(t[ci*24+1 : ci*24+32], ' ') AS chunk_text
+    FROM ex
+    """,
+)
+def q44_doc_chunks(spark, sf_dir):
+    """Deterministic chunking: 32-token chunks with 8-token overlap
+    (stride 24), final partial chunk kept, empty docs dropped — the
+    shaping step before sequence packing. One narrow JVM pass (split +
+    sequence + posexplode + slice); the oracle re-derives every chunk
+    boundary and text with DuckDB list slicing."""
+    from capex_data_pipeline_spark.extensions import corpus as C
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return C.chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+@query(
+    "q45_stratified_sample",
+    f"""
+    SELECT doc_id, source,
+           round(CAST(('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) / 4294967296.0, 6) AS keep_hash
+    FROM documents
+    WHERE CAST(('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) / 4294967296.0
+          < CASE source WHEN 'src0' THEN 1.0
+                        WHEN 'src1' THEN 0.5
+                        ELSE 0.25 END
+    """,
+)
+def q45_stratified_sample(spark, sf_dir):
+    """Deterministic per-source sampling (keep all of src0, half of
+    src1, a quarter of the rest): the keep decision is an md5-derived
+    uniform hash of the doc id — reproducible across engines, runs and
+    repartitionings, unlike df.sample. The oracle re-derives the exact
+    kept set and hash values."""
+    from capex_data_pipeline_spark.extensions import corpus as C
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = C.stratified_hash_sample(
+        docs,
+        {"src0": 1.0, "src1": 0.5},
+        strata_col="source",
+        key_col="doc_id",
+        default_fraction=0.25,
+    )
+    return sampled.select(
+        "doc_id",
+        "source",
+        F.round(C.sample_hash(F.col("doc_id")), 6).alias("keep_hash"),
+    )
+
+

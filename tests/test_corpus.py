@@ -1,0 +1,79 @@
+"""Corpus-prep operators: deterministic chunking + hash sampling.
+Cross-engine value checks live in the q44/q45 oracles; these pin the
+boundary math and the determinism/subset properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from capex_data_pipeline_spark.extensions.corpus import (
+    chunk_documents,
+    hash_sample,
+    sample_hash,
+    stratified_hash_sample,
+)
+
+
+def test_chunk_boundaries_and_overlap(spark):
+    words = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # stride 3: ceil((10-1)/3) = 3 chunks at offsets 0, 3, 6
+    assert [(r.chunk_idx, r.n_tokens, r.chunk_text) for r in rows] == [
+        (0, 4, "w0 w1 w2 w3"),
+        (1, 4, "w3 w4 w5 w6"),
+        (2, 4, "w6 w7 w8 w9"),
+    ]
+
+
+def test_chunk_edge_cases(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "only three words"),       # shorter than a chunk -> 1 chunk
+            (2, ""),                        # empty -> no chunks
+            (3, "   "),                     # whitespace-only -> no chunks
+            (4, None),                      # null -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=8, overlap=2).collect()
+    assert [(r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_text) for r in rows] == [
+        (1, 0, 3, "only three words")
+    ]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    a = {r.k for r in hash_sample(df, 0.3, "k").collect()}
+    b = {r.k for r in hash_sample(df, 0.3, "k").collect()}
+    assert a == b  # same keys + seed -> same sample, always
+    small = {r.k for r in hash_sample(df, 0.1, "k").collect()}
+    assert small <= a  # thresholds nest: a 10% sample is inside the 30%
+    assert 0 < len(small) < len(a) < 500
+    # a different seed decorrelates
+    c = {r.k for r in hash_sample(df, 0.3, "k", seed="other").collect()}
+    assert c != a
+
+
+def test_stratified_hash_sample_fractions(spark):
+    df = spark.createDataFrame(
+        [(i, "keep_all" if i % 3 == 0 else ("half" if i % 3 == 1 else "drop"))
+         for i in range(300)],
+        "k long, s string",
+    )
+    out = stratified_hash_sample(
+        df, {"keep_all": 1.0, "half": 0.5}, strata_col="s", key_col="k",
+        default_fraction=0.0,
+    ).collect()
+    by_s: dict[str, int] = {}
+    for r in out:
+        by_s[r.s] = by_s.get(r.s, 0) + 1
+    assert by_s.get("keep_all") == 100      # fraction 1.0 keeps everything
+    assert "drop" not in by_s                # default 0.0 drops the rest
+    assert 20 <= by_s.get("half", 0) <= 80   # ~50 of 100, loose bound
