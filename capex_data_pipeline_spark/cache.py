@@ -119,7 +119,12 @@ def scoped_persists(blocking: bool = False):
     whatever remains. Frames persisted by OTHER threads while the block
     runs are swept too (the registry is process-global) — serialize
     operator invocation, or use :func:`release_persisted` at a quiet
-    point, if that matters.
+    point, if that matters. One more sharing caveat: Spark's
+    CacheManager keys cached data by CANONICALIZED PLAN, not by
+    DataFrame object — if an identical computation was persisted
+    outside the scope, both share one cache entry and the scoped
+    release drops its blocks for the outer consumer as well (which then
+    simply recomputes).
     """
     with _LOCK:
         before = list(_TRACKED)

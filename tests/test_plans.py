@@ -55,6 +55,29 @@ def test_dedup_candidate_joins_are_equi_joins(spark, queries):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_corpus_prep_operators_are_narrow(spark):
+    """Chunking and hash sampling must stay map-only: no Exchange in
+    either plan (a shuffle creeping in would turn a linear 100 TB pass
+    into a cluster-wide move)."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        chunk_documents,
+        stratified_hash_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h", "s0"), (2, "x y z", "s1")],
+        "doc_id long, text string, source string",
+    )
+    chunk_plan = _plan(chunk_documents(docs, chunk_tokens=4, overlap=1))
+    assert "Exchange" not in chunk_plan
+    sample_plan = _plan(
+        stratified_hash_sample(
+            docs, {"s0": 1.0}, strata_col="source", key_col="doc_id"
+        )
+    )
+    assert "Exchange" not in sample_plan
+
+
 def test_pipeline_consumers_read_the_persisted_frame(spark, raw_sdf, office_sdf):
     """The tagged-lineage design's core property: the fan-out consumers
     (kept rows, audit keys, fail-open raw reconstruction) all read the
@@ -179,15 +202,20 @@ def test_cache_registry_thread_safety(spark):
     errors: list[Exception] = []
 
     def worker(seed: int) -> None:
+        # range sizes are disjoint across threads AND iterations: Spark's
+        # CacheManager keys cache entries by canonicalized plan, so two
+        # threads persisting spark.range(N) with the SAME N would share
+        # (and race on) one cache entry — a test artifact, not the
+        # registry behavior under test
         try:
             for i in range(5):
-                df = persisted(spark.range(10 + seed * 7 + i))
+                df = persisted(spark.range(100 + seed * 20 + i))
                 df.count()
                 if i % 2:
                     untrack(df)
                     df.unpersist()
             with scoped_persists():
-                persisted(spark.range(5 + seed)).count()
+                persisted(spark.range(1000 + seed)).count()
         except Exception as e:  # pragma: no cover - failure diagnostics
             errors.append(e)
 
@@ -196,7 +224,7 @@ def test_cache_registry_thread_safety(spark):
         t.start()
     for t in threads:
         t.join()
-    assert not errors
+    assert not errors, [repr(e) for e in errors]
     # whatever remains tracked is exactly the even-i frames not yet
     # released; the global sweep drains them all without error
     release_persisted()
