@@ -363,18 +363,24 @@ def q34_cosine_topk(spark, sf_dir):
       JOIN embeddings ea ON ea.vec_id = id_a
       JOIN embeddings eb ON eb.vec_id = id_b
     )
-    SELECT * FROM scored WHERE cosine >= 0.9
+    SELECT * FROM scored WHERE cosine >= 0.3
     """,
 )
 def q35_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicates (≥ 0.9): banded SRP-LSH
-    candidates (16 bands x 12 md5-derived integer hyperplane sign bits
-    — bit-reproducible in any engine) + exact cosine re-rank. The
-    oracle reproduces the identical bucket math in SQL."""
+    """Embedding-cosine near-duplicates: banded SRP-LSH candidates
+    (16 bands x 12 md5-derived integer hyperplane sign bits —
+    bit-reproducible in any engine) + exact cosine re-rank. The oracle
+    reproduces the identical bucket math in SQL. Threshold 0.3: the
+    synthetic embeddings are near-orthogonal (max pairwise cosine
+    ~0.5, no true near-dups by construction), and a 0.9 gate returned
+    zero rows in every driver run — a 0-row hash match exercises
+    nothing. At 0.3 the same candidate generation + re-rank emits ~40
+    value-checked pairs per SF; the semantics under test (bucket math,
+    exact scoring, >= threshold) are unchanged."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
-    return D.embedding_near_dups(emb, threshold=0.9, dim=64)
+    return D.embedding_near_dups(emb, threshold=0.3, dim=64)
 
 
 @query(
