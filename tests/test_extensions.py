@@ -585,3 +585,61 @@ def test_simhash_and_ngram_bucket_caps(spark):
         }
         assert (100, 101) in capped, fn.__name__
         assert not [p for p in capped if p[0] < 100 and p[1] < 100], fn.__name__
+
+
+def test_dedup_clusters_matches_union_find_oracle(spark):
+    """Randomized differential check: min-label propagation on random
+    graphs must equal a classic driver-side union-find on the same
+    edges (cluster id = component min, sizes and keepers included)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from capex_data_pipeline_spark.extensions.dedup import dedup_clusters
+
+    n_nodes = 24
+
+    def union_find(edges, nodes):
+        parent = {u: u for u in nodes}
+
+        def find(u):
+            while parent[u] != u:
+                parent[u] = parent[parent[u]]
+                u = parent[u]
+            return u
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp: dict[int, list[int]] = {}
+        for u in nodes:
+            comp.setdefault(find(u), []).append(u)
+        out = {}
+        for members in comp.values():
+            cid = min(members)
+            for u in members:
+                out[u] = (cid, len(members), u == cid)
+        return out
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.sets(
+            st.tuples(
+                st.integers(0, n_nodes - 1), st.integers(0, n_nodes - 1)
+            ).filter(lambda p: p[0] < p[1]),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def prop(edge_set):
+        edges = sorted(edge_set)
+        nodes = list(range(n_nodes))
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        corpus = spark.createDataFrame([(u,) for u in nodes], "doc_id long")
+        got = {
+            r.doc_id: (r.cluster_id, r.cluster_size, r.is_keeper)
+            for r in dedup_clusters(pairs, corpus=corpus).collect()
+        }
+        assert got == union_find(edges, nodes)
+
+    prop()
