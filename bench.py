@@ -73,13 +73,19 @@ def _reset_engine_caches() -> None:
     release_persisted()
 
 
+#: queries the --scaling alarm watches: the flagship DAG and the
+#: deepest plan in the repo (whose audit/enrichment self-joins are the
+#: likeliest place for a future quadratic stage to hide)
+SCALING_QUERIES = ("q90_capex_pipeline", "q93_fn_enrichment")
+
+
 def scaling_check() -> None:
-    """``bench.py --scaling``: run the flagship q90 at two scale factors
-    in one session and report the wall-clock ratio — a structural alarm
-    for accidentally quadratic stages (a future regression in the
-    fail-open or enrichment self-joins would show up as a ratio far
+    """``bench.py --scaling``: run the scaling-watch queries at two
+    scale factors in one session and report each wall-clock ratio — a
+    structural alarm for accidentally quadratic stages (a regression in
+    the fail-open or enrichment self-joins would show up as a ratio far
     above the data-scale multiple; local single-scale benches can't see
-    that). Prints one JSON line with both times and the ratio."""
+    that). Prints one JSON line with the per-query times and ratios."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     small = os.environ.get("SPARK_GRAFT_SCALING_SMALL", "/root/testdata/sf0.01")
@@ -93,29 +99,34 @@ def scaling_check() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
     )
-    q = QUERIES["q90_capex_pipeline"]
-    times = {}
-    for sf_dir in (small, large):
-        # one warm pass absorbs codegen/scan setup, then median of reps
-        runs = []
-        for i in range(reps + 1):
-            _reset_engine_caches()
-            t0 = time.perf_counter()
-            q(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            if i:  # drop the warm-up run
-                runs.append(dt)
-        times[sf_dir] = round(statistics.median(runs), 4)
-    ratio = round(times[large] / times[small], 4)
+    out = {}
+    for name in SCALING_QUERIES:
+        q = QUERIES[name]
+        times = {}
+        for sf_dir in (small, large):
+            # one warm pass absorbs codegen/scan setup, then median of reps
+            runs = []
+            for i in range(reps + 1):
+                _reset_engine_caches()
+                t0 = time.perf_counter()
+                q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                if i:  # drop the warm-up run
+                    runs.append(dt)
+            times[sf_dir] = round(statistics.median(runs), 4)
+        out[name] = {
+            "small_sec": times[small],
+            "large_sec": times[large],
+            "ratio": round(times[large] / times[small], 4),
+        }
     print(
         json.dumps(
             {
-                "metric": "q90_scaling_ratio",
+                "metric": "scaling_ratios",
                 "small_dir": small,
                 "large_dir": large,
-                "small_sec": times[small],
-                "large_sec": times[large],
-                "value": ratio,
+                "queries": out,
+                "value": out["q90_capex_pipeline"]["ratio"],
                 "unit": "ratio",
                 "loadavg": [round(x, 2) for x in os.getloadavg()],
             }
