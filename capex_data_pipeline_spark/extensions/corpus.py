@@ -21,9 +21,14 @@ _HASH_SPACE = 1 << 32
 
 
 def _ws_tokens(col: Column) -> Column:
-    """Whitespace tokens; '' / null / all-space docs yield an empty
-    array (a bare split would yield [''])."""
-    t = F.trim(F.coalesce(col.cast("string"), F.lit("")))
+    """Whitespace tokens; '' / null / whitespace-only docs yield an
+    empty array. Leading/trailing whitespace is stripped with a regex —
+    ``trim()`` only removes ASCII spaces, so a doc ending in ``\\n``
+    (nearly every real document) would otherwise grow a phantom ''
+    token from the split."""
+    t = F.regexp_replace(
+        F.coalesce(col.cast("string"), F.lit("")), r"^\s+|\s+$", ""
+    )
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
@@ -70,9 +75,7 @@ def chunk_documents(
         .filter(F.col("_nc") > 0)
         .select(
             id_col,
-            F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias(
-                "chunk_idx", "_i"
-            ),
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_idx"),
             "_toks",
         )
         .select(
@@ -95,8 +98,12 @@ def sample_hash(key: Column, seed: str = "s0") -> Column:
     """Uniform [0, 1) hash of a key: first 8 hex chars of
     md5(seed|key) as a 32-bit integer over 2^32. Deterministic and
     engine-portable (md5 is md5 everywhere) — the property that makes
-    a sample re-derivable months later or by a different engine."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(seed + "|"), key.cast("string"))), 1, 8), 16, 10)
+    a sample re-derivable months later or by a different engine.
+    NULL keys hash as the sentinel string '<null>' so null-keyed rows
+    get a deterministic keep decision too (a bare md5(NULL) is NULL
+    and would silently drop every such row even at fraction 1.0)."""
+    key_s = F.coalesce(key.cast("string"), F.lit("<null>"))
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(seed + "|"), key_s)), 1, 8), 16, 10)
     return h.cast("double") / F.lit(float(_HASH_SPACE))
 
 

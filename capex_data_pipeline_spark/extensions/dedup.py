@@ -569,9 +569,12 @@ def dedup_clusters(
     Returns one row per document (``corpus`` supplies the full id set so
     singletons appear; omit it to cluster only paired docs):
     (id_col, cluster_id = min doc id in component, cluster_size,
-    is_keeper = doc is its cluster's min). Raises after ``max_iter``
-    rounds without convergence — an unconverged labeling can split a
-    component, which silently over-keeps; no silent caps.
+    is_keeper = doc is its cluster's min PRESENT member — so when
+    ``corpus`` is a subset of the paired ids (pairs generated before a
+    filter), every emitted cluster still has exactly one keeper rather
+    than silently none). Raises after ``max_iter`` rounds without
+    convergence — an unconverged labeling can split a component, which
+    silently over-keeps; no silent caps.
     """
     from pyspark.sql.window import Window
 
@@ -620,7 +623,9 @@ def dedup_clusters(
         id_col,
         "cluster_id",
         F.count(F.lit(1)).over(w).alias("cluster_size"),
-        (F.col(id_col) == F.col("cluster_id")).alias("is_keeper"),
+        # min over PRESENT members, not == cluster_id: if corpus lacks
+        # the component's min-id doc, the cluster must still elect one
+        (F.col(id_col) == F.min(id_col).over(w)).alias("is_keeper"),
     )
 
 

@@ -92,9 +92,10 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
 Decoder = "Callable[[bytes], tuple[int, int, int, list[float]]]"
 
 
-def _binned_means(data: bytes, scale: float = 255.0) -> list[float]:
-    """FEATURE_DIM strided-bin means over a byte sequence, normalized to
-    [0, 1] — the shared feature shape across all decoders here."""
+def _binned_means(data, scale: float = 255.0) -> list[float]:
+    """FEATURE_DIM strided-bin means over a byte/int sequence,
+    normalized to [0, 1] — the shared feature shape across all decoders
+    here."""
     feats = []
     for i in range(FEATURE_DIM):
         chunk = data[i::FEATURE_DIM]
@@ -129,6 +130,10 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, list[float]]:
         raise ValueError(f"BMP: only BI_RGB (0) supported, got {compression}")
     if width <= 0 or height == 0 or planes != 1:
         raise ValueError(f"BMP: bad dimensions {width}x{height} planes={planes}")
+    if bpp not in (1, 4, 8, 16, 24, 32):
+        # a corrupt bpp of 0 would give stride 0 and silently return
+        # zero features instead of failing the decode
+        raise ValueError(f"BMP: invalid bits-per-pixel {bpp}")
     abs_height = abs(height)  # negative height = top-down row order
     stride = ((width * bpp + 31) // 32) * 4  # rows pad to 4-byte boundary
     pixels = payload[data_offset : data_offset + stride * abs_height]
@@ -175,11 +180,7 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
         samples = list(frames)
         scale = 255.0
 
-    feats = []
-    for i in range(FEATURE_DIM):
-        chunk = samples[i::FEATURE_DIM]
-        feats.append(round(sum(chunk) / (len(chunk) or 1) / scale, 6))
-    return framerate, n_channels, n_frames, feats
+    return framerate, n_channels, n_frames, _binned_means(samples, scale)
 
 
 def stdlib_decode(payload: bytes) -> tuple[int, int, int, list[float]]:

@@ -120,12 +120,19 @@ def _neg_cosine_cells(vec_name: str, centers: list[list[float]]) -> Column:
     """Array of (negcos, cell) structs — array_sort gives similarity
     descending with cell-index tie-break, matching the oracle's
     row_number ORDER BY s DESC, cell ASC. ``vec_name`` is the array
-    column's name; centers embed as parsed SQL literals."""
+    column's name; centers embed as parsed SQL literals, and each
+    center's norm — a compile-time constant — is computed driver-side
+    and embedded as a literal too (Python's sequential sum of squares
+    performs the identical IEEE op sequence as the SQL aggregate, so
+    the double is bit-identical and the oracle still hash-matches),
+    saving one 64-element aggregate per center per row."""
+    import math
+
     cells = ", ".join(
-        "named_struct('negcos', -({dot} / ({nv} * {nc})), 'cell', {i})".format(
+        "named_struct('negcos', -({dot} / ({nv} * {nc!r}D)), 'cell', {i})".format(
             dot=_dot_sql(vec_name, _arr_sql(c)),
             nv=_norm_sql(vec_name),
-            nc=_norm_sql(_arr_sql(c)),
+            nc=math.sqrt(sum(x * x for x in c)),
             i=i,
         )
         for i, c in enumerate(centers)

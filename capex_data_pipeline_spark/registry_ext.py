@@ -1197,11 +1197,15 @@ def q43_fingerprint(spark, sf_dir):
 @query(
     "q44_doc_chunks",
     """
-    WITH toks AS (
+    WITH stripped AS (
       SELECT doc_id,
-             CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+             regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') AS ts
       FROM documents
+    ), toks AS (
+      SELECT doc_id,
+             CASE WHEN ts = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(ts, '\\s+') END AS t
+      FROM stripped
     ), nc AS (
       SELECT doc_id, t,
              CASE WHEN len(t) = 0 THEN 0
@@ -1236,10 +1240,10 @@ def q44_doc_chunks(spark, sf_dir):
     "q45_stratified_sample",
     f"""
     SELECT doc_id, source,
-           round(CAST(('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8))
+           round(CAST(('0x' || substr(md5('s0|' || coalesce(CAST(doc_id AS VARCHAR), '<null>')), 1, 8))
                       AS BIGINT) / 4294967296.0, 6) AS keep_hash
     FROM documents
-    WHERE CAST(('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8))
+    WHERE CAST(('0x' || substr(md5('s0|' || coalesce(CAST(doc_id AS VARCHAR), '<null>')), 1, 8))
                AS BIGINT) / 4294967296.0
           < CASE source WHEN 'src0' THEN 1.0
                         WHEN 'src1' THEN 0.5

@@ -77,3 +77,27 @@ def test_stratified_hash_sample_fractions(spark):
     assert by_s.get("keep_all") == 100      # fraction 1.0 keeps everything
     assert "drop" not in by_s                # default 0.0 drops the rest
     assert 20 <= by_s.get("half", 0) <= 80   # ~50 of 100, loose bound
+
+
+def test_chunk_handles_newline_whitespace(spark):
+    """trim() only strips ASCII spaces: docs ending in newlines (nearly
+    all real documents) must not grow phantom '' tokens, and docs that
+    are only tabs/newlines must produce no chunks."""
+    docs = spark.createDataFrame(
+        [(1, "hello world\n"), (2, "\n\n"), (3, "\t a\tb \n")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=8, overlap=2).collect()
+    got = {(r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_text) for r in rows}
+    assert got == {(1, 0): (2, "hello world"), (3, 0): (2, "a b")}
+
+
+def test_hash_sample_keeps_null_keys_deterministically(spark):
+    """A NULL sampling key must get a deterministic decision (sentinel
+    hash), not be silently dropped — fraction 1.0 keeps every row."""
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    assert hash_sample(df, 1.0, "k").count() == 2
+    # and the null-key decision is stable across calls
+    n1 = hash_sample(df, 0.5, "k").count()
+    n2 = hash_sample(df, 0.5, "k").count()
+    assert n1 == n2

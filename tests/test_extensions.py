@@ -643,3 +643,30 @@ def test_dedup_clusters_matches_union_find_oracle(spark):
         assert got == union_find(edges, nodes)
 
     prop()
+
+
+def test_dedup_clusters_keeper_when_corpus_lacks_min_member(spark):
+    """If the component's min-id doc is absent from the corpus (pairs
+    generated before a filter), the cluster must still elect exactly
+    one keeper — the min PRESENT member — not silently none."""
+    from capex_data_pipeline_spark.extensions.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(5, 7), (7, 9)], "id_a long, id_b long")
+    corpus = spark.createDataFrame([(7,), (9,)], "doc_id long")  # 5 missing
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.is_keeper)
+        for r in dedup_clusters(pairs, corpus=corpus).collect()
+    }
+    assert got == {7: (5, 2, True), 9: (5, 2, False)}
+
+
+def test_decode_bmp_rejects_invalid_bpp():
+    """A corrupt bits-per-pixel of 0 must raise, not silently return
+    zero features (stride would be 0 and every check would pass)."""
+    import struct
+
+    payload, _ = _make_bmp(4, 4, lambda x, y: (x, y, 0))
+    corrupt = bytearray(payload)
+    struct.pack_into("<H", corrupt, 28, 0)
+    with pytest.raises(ValueError, match="bits-per-pixel"):
+        decode_bmp(bytes(corrupt))
