@@ -94,6 +94,56 @@ def chunk_documents(
     )
 
 
+def pack_chunks(
+    chunks: DataFrame,
+    seq_len: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign chunks to fixed-capacity training sequences ("packs") —
+    the concat-then-split packing used in LLM pretraining: within each
+    shard, chunks are laid out in deterministic (doc, chunk) order and
+    a chunk joins the pack holding its FIRST token, i.e. ``pack_id =
+    floor((cumsum - n_tokens) / seq_len)``.
+
+    Sharding makes this scale: a single global ordering would funnel
+    100 TB through one window partition, so chunks are first routed to
+    ``n_shards`` deterministic shards by an md5 hash of the doc id
+    (engine-portable — the same hash a DuckDB oracle derives; Spark's
+    ``hash()`` is not) and packed within each shard. One shuffle on the
+    shard key, one window, no Python. All chunks of a doc share a shard,
+    so packs keep overlapping chunks adjacent.
+
+    Returns the input plus (shard, pack_id, pack_pos) where pack_pos is
+    the chunk's starting token offset within its pack (a chunk longer
+    than the remaining capacity spills into the next pack's range —
+    the consumer pads or truncates, exactly as concat-then-split
+    training pipelines do).
+    """
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % n_shards
+    ).alias("shard")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc(), F.col(idx_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    start = cum - F.col(token_col)  # first-token offset in the shard layout
+    return chunks.select("*", shard).select(
+        "*",
+        F.floor(start / F.lit(seq_len)).alias("pack_id"),
+        (start % F.lit(seq_len)).alias("pack_pos"),
+    )
+
+
 def sample_hash(key: Column, seed: str = "s0") -> Column:
     """Uniform [0, 1) hash of a key: first 8 hex chars of
     md5(seed|key) as a 32-bit integer over 2^32. Deterministic and

@@ -1237,6 +1237,61 @@ def q44_doc_chunks(spark, sf_dir):
 
 
 @query(
+    "q46_pack_chunks",
+    """
+    WITH stripped AS (
+      SELECT doc_id,
+             regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') AS ts
+      FROM documents
+    ), toks AS (
+      SELECT doc_id,
+             CASE WHEN ts = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(ts, '\\s+') END AS t
+      FROM stripped
+    ), nc AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) = 0 THEN 0
+                  ELSE greatest(CAST(ceil((len(t) - 8) / 24.0) AS INT), 1)
+             END AS n_chunks
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, t, unnest(range(0, n_chunks)) AS ci FROM nc
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(ci AS INT) AS chunk_idx,
+             CAST(len(t[ci*24+1 : ci*24+32]) AS INT) AS n_tokens,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 8 AS BIGINT) AS shard
+      FROM ex
+    ), packed AS (
+      SELECT doc_id, chunk_idx, n_tokens, shard,
+             SUM(n_tokens) OVER (PARTITION BY shard
+                                 ORDER BY doc_id ASC, chunk_idx ASC
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+      FROM chunks
+    )
+    SELECT doc_id, chunk_idx, n_tokens, shard,
+           CAST(floor(start / 64.0) AS BIGINT) AS pack_id,
+           CAST(start % 64 AS BIGINT) AS pack_pos
+    FROM packed
+    """,
+)
+def q46_pack_chunks(spark, sf_dir):
+    """Sequence packing over q44's chunks: concat-then-split layout per
+    md5-derived shard (8 shards, seq_len 64) — chunk joins the pack of
+    its first token, window cumsum per shard, no Python and exactly one
+    shuffle. The oracle re-derives chunking, shard routing, and the
+    cumulative layout with the identical window."""
+    from capex_data_pipeline_spark.extensions import corpus as C
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    chunks = C.chunk_documents(docs, chunk_tokens=32, overlap=8).drop("chunk_text")
+    return C.pack_chunks(chunks, seq_len=64, n_shards=8)
+
+
+@query(
     "q45_stratified_sample",
     f"""
     SELECT doc_id, source,

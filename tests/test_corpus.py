@@ -101,3 +101,45 @@ def test_hash_sample_keeps_null_keys_deterministically(spark):
     n1 = hash_sample(df, 0.5, "k").count()
     n2 = hash_sample(df, 0.5, "k").count()
     assert n1 == n2
+
+
+def test_pack_chunks_layout(spark):
+    """Concat-then-split semantics within one shard: pack_id = bin of
+    the chunk's first token, pack_pos = offset inside that pack, laid
+    out in (doc, chunk) order."""
+    from capex_data_pipeline_spark.extensions.corpus import pack_chunks
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 10), (2, 0, 10), (2, 1, 3)],
+        "doc_id long, chunk_idx int, n_tokens int",
+    )
+    out = {
+        (r.doc_id, r.chunk_idx): (r.shard, r.pack_id, r.pack_pos)
+        for r in pack_chunks(chunks, seq_len=16, n_shards=1).collect()
+    }
+    # single shard: cumulative starts 0, 10, 20, 30 over capacity 16
+    assert out == {
+        (1, 0): (0, 0, 0),
+        (1, 1): (0, 0, 10),
+        (2, 0): (0, 1, 4),
+        (2, 1): (0, 1, 14),
+    }
+
+
+def test_pack_chunks_shard_cohesion(spark):
+    """All chunks of a doc land in one md5-derived shard, and the
+    shard routing is deterministic across calls."""
+    from capex_data_pipeline_spark.extensions.corpus import pack_chunks
+
+    chunks = spark.createDataFrame(
+        [(d, i, 5) for d in range(30) for i in range(3)],
+        "doc_id long, chunk_idx int, n_tokens int",
+    )
+    rows = pack_chunks(chunks, seq_len=64, n_shards=4).collect()
+    by_doc: dict[int, set] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.shard)
+    assert all(len(s) == 1 for s in by_doc.values())
+    assert len({next(iter(s)) for s in by_doc.values()}) > 1  # really shards
+    rows2 = pack_chunks(chunks, seq_len=64, n_shards=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
