@@ -144,6 +144,60 @@ def pack_chunks(
     )
 
 
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/test decontamination: flag corpus documents sharing word
+    ``k``-gram shingles with a benchmark/eval set — the standard gate
+    before shipping a training corpus (a doc that quotes the test set
+    inflates eval scores).
+
+    Shape chosen for 100 TB: the benchmark side is SMALL by definition
+    (eval sets), so its distinct shingle set broadcasts and the corpus
+    pays one narrow projection + one broadcast semi-join per shingle —
+    no shuffle of corpus text, no quadratic explode-join. Shingles
+    compare as md5 digests (compact, engine-portable).
+
+    Returns (id_col, n_shingles, n_overlapping, contaminated) for every
+    corpus doc; ``contaminated`` = overlap ≥ ``min_overlap``.
+    """
+    from capex_data_pipeline_spark.extensions.dedup import _shingles_expr
+
+    bench_shingles = (
+        benchmark.select(
+            F.explode(_shingles_expr(text_col, k)).alias("_sh")
+        )
+        .select(F.md5("_sh").alias("_shash"))
+        .distinct()
+    )
+    corp = corpus.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.transform(_shingles_expr(text_col, k), lambda s: F.md5(s))
+        ).alias("_shash"),
+    )
+    hits = (
+        corp.join(F.broadcast(bench_shingles), "_shash", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlapping"))
+    )
+    totals = corpus.select(
+        F.col(id_col),
+        F.size(_shingles_expr(text_col, k)).alias("n_shingles"),
+    )
+    return totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce("n_overlapping", F.lit(0)).cast("long").alias("n_overlapping"),
+        (F.coalesce("n_overlapping", F.lit(0)) >= min_overlap).alias("contaminated"),
+    )
+
+
 def sample_hash(key: Column, seed: str = "s0") -> Column:
     """Uniform [0, 1) hash of a key: first 8 hex chars of
     md5(seed|key) as a 32-bit integer over 2^32. Deterministic and

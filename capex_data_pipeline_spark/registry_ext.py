@@ -1292,6 +1292,47 @@ def q46_pack_chunks(spark, sf_dir):
 
 
 @query(
+    "q47_contamination",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT md5(s) AS shash
+      FROM (SELECT unnest({_SHINGLES}) AS s
+            FROM documents WHERE source = 'src0')
+    ), corpus AS (
+      SELECT doc_id, {_SHINGLES} AS shs
+      FROM documents WHERE source <> 'src0'
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_overlapping
+      FROM (SELECT doc_id, unnest(shs) AS s FROM corpus) c
+      WHERE md5(s) IN (SELECT shash FROM bench)
+      GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(len(c.shs) AS INT) AS n_shingles,
+           coalesce(h.n_overlapping, 0) AS n_overlapping,
+           coalesce(h.n_overlapping, 0) >= 5 AS contaminated
+    FROM corpus c LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q47_contamination(spark, sf_dir):
+    """Train/test decontamination: docs outside src0 checked for word
+    3-gram overlap against the src0 'benchmark' set — distinct
+    benchmark shingles broadcast (eval sets are small by definition),
+    corpus pays one narrow projection + broadcast semi-join, no text
+    shuffle. contaminated = >= 5 shared shingles. Oracle restates the
+    shingle membership count in SQL."""
+    from capex_data_pipeline_spark.extensions import corpus as C
+
+    docs = _t(spark, sf_dir, "documents")
+    return C.contamination_check(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        k=3,
+        min_overlap=5,
+    )
+
+
+@query(
     "q45_stratified_sample",
     f"""
     SELECT doc_id, source,

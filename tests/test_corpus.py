@@ -143,3 +143,45 @@ def test_pack_chunks_shard_cohesion(spark):
     assert len({next(iter(s)) for s in by_doc.values()}) > 1  # really shards
     rows2 = pack_chunks(chunks, seq_len=64, n_shards=4).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_contamination_check_flags_quoting_docs(spark):
+    """A corpus doc quoting >= min_overlap benchmark 3-grams is flagged;
+    clean docs report zero overlap; counts are exact."""
+    from capex_data_pipeline_spark.extensions.corpus import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "he said the quick brown fox jumps high today"),  # quotes 3
+            (2, "completely unrelated text about spark engines"),
+            (3, "the quick brown fox jumps over the lazy dog verbatim"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_overlapping, r.contaminated)
+        for r in contamination_check(corpus, bench, k=3, min_overlap=3).collect()
+    }
+    # doc 1 shares exactly: 'the quick brown', 'quick brown fox',
+    # 'brown fox jumps'
+    assert got[1] == (3, True)
+    assert got[2] == (0, False)
+    assert got[3][0] >= 6 and got[3][1]  # near-verbatim quote
+    assert set(got) == {1, 2, 3}
+
+
+def test_contamination_join_broadcasts(spark):
+    """The benchmark shingle set must broadcast: the corpus side never
+    shuffles for the membership check."""
+    from capex_data_pipeline_spark.extensions.corpus import contamination_check
+
+    bench = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    corpus = spark.createDataFrame([(2, "a b c e")], "doc_id long, text string")
+    plan = contamination_check(
+        corpus, bench
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
