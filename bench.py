@@ -126,7 +126,7 @@ def scaling_check() -> None:
                 "small_dir": small,
                 "large_dir": large,
                 "queries": out,
-                "value": out["q90_capex_pipeline"]["ratio"],
+                "value": out[SCALING_QUERIES[0]]["ratio"],
                 "unit": "ratio",
                 "loadavg": [round(x, 2) for x in os.getloadavg()],
             }

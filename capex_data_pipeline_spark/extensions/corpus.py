@@ -48,7 +48,7 @@ def chunk_documents(
     chunk_tokens)`` with ``stride = chunk_tokens - overlap``; the final
     partial chunk is kept (training pipelines pad it), empty documents
     produce no chunks. Everything is JVM-side array algebra (split +
-    sequence + posexplode + slice) — one narrow pass, no Python, no
+    sequence + explode + slice) — one narrow pass, no Python, no
     shuffle; at 100 TB this is a map-only stage whose output lands
     directly in the next scan's partitioning.
 
@@ -159,42 +159,48 @@ def contamination_check(
 
     Shape chosen for 100 TB: the benchmark side is SMALL by definition
     (eval sets), so its distinct shingle set broadcasts and the corpus
-    pays one narrow projection + one broadcast semi-join per shingle —
-    no shuffle of corpus text, no quadratic explode-join. Shingles
-    compare as md5 digests (compact, engine-portable).
+    pays ONE scan — shingle-hash projection, broadcast left join with a
+    hit marker, one hash aggregate producing both counts. No shuffle of
+    corpus text, no second pass, no quadratic explode-join. Shingles
+    compare as md5 digests (compact, engine-portable). The degenerate
+    whole-text shingle '' that empty/whitespace/punctuation-only docs
+    produce is dropped on BOTH sides — otherwise one empty benchmark
+    row would mark every empty corpus doc contaminated despite sharing
+    no content (such docs report n_shingles = 0).
 
     Returns (id_col, n_shingles, n_overlapping, contaminated) for every
     corpus doc; ``contaminated`` = overlap ≥ ``min_overlap``.
     """
     from capex_data_pipeline_spark.extensions.dedup import _shingles_expr
 
+    def shingles() -> Column:
+        return F.filter(_shingles_expr(text_col, k), lambda s: s != "")
+
     bench_shingles = (
-        benchmark.select(
-            F.explode(_shingles_expr(text_col, k)).alias("_sh")
-        )
+        benchmark.select(F.explode(shingles()).alias("_sh"))
         .select(F.md5("_sh").alias("_shash"))
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     corp = corpus.select(
         F.col(id_col),
         F.explode_outer(
-            F.transform(_shingles_expr(text_col, k), lambda s: F.md5(s))
+            F.transform(shingles(), lambda s: F.md5(s))
         ).alias("_shash"),
     )
-    hits = (
-        corp.join(F.broadcast(bench_shingles), "_shash", "left_semi")
+    return (
+        corp.join(F.broadcast(bench_shingles), "_shash", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlapping"))
-    )
-    totals = corpus.select(
-        F.col(id_col),
-        F.size(_shingles_expr(text_col, k)).alias("n_shingles"),
-    )
-    return totals.join(hits, id_col, "left").select(
-        id_col,
-        "n_shingles",
-        F.coalesce("n_overlapping", F.lit(0)).cast("long").alias("n_overlapping"),
-        (F.coalesce("n_overlapping", F.lit(0)) >= min_overlap).alias("contaminated"),
+        .agg(
+            F.count("_shash").alias("n_shingles"),
+            F.count("_hit").alias("n_overlapping"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_overlapping",
+            (F.col("n_overlapping") >= min_overlap).alias("contaminated"),
+        )
     )
 
 

@@ -78,11 +78,7 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     width = 16 + (n % 64)
     height = 16 + ((n // 64) % 64)
     n_frames = 1 + (n % 4)
-    feats = []
-    for i in range(FEATURE_DIM):
-        chunk = payload[i::FEATURE_DIM]
-        feats.append(round(sum(chunk) / (len(chunk) or 1) / 255.0, 6))
-    return width, height, n_frames, feats
+    return width, height, n_frames, _binned_means(payload)
 
 
 #: the decoder contract: payload bytes -> (width, height, n_frames,

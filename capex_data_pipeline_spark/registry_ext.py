@@ -1296,31 +1296,32 @@ def q46_pack_chunks(spark, sf_dir):
     f"""
     WITH bench AS (
       SELECT DISTINCT md5(s) AS shash
-      FROM (SELECT unnest({_SHINGLES}) AS s
+      FROM (SELECT unnest(list_filter({_SHINGLES}, x -> x <> '')) AS s
             FROM documents WHERE source = 'src0')
     ), corpus AS (
-      SELECT doc_id, {_SHINGLES} AS shs
+      SELECT doc_id, list_filter({_SHINGLES}, x -> x <> '') AS shs
       FROM documents WHERE source <> 'src0'
-    ), hits AS (
-      SELECT doc_id, count(*) AS n_overlapping
-      FROM (SELECT doc_id, unnest(shs) AS s FROM corpus) c
-      WHERE md5(s) IN (SELECT shash FROM bench)
-      GROUP BY doc_id
+    ), ex AS (
+      SELECT doc_id, unnest(shs) AS s FROM corpus
     )
     SELECT c.doc_id,
-           CAST(len(c.shs) AS INT) AS n_shingles,
-           coalesce(h.n_overlapping, 0) AS n_overlapping,
-           coalesce(h.n_overlapping, 0) >= 5 AS contaminated
-    FROM corpus c LEFT JOIN hits h USING (doc_id)
+           count(e.s) AS n_shingles,
+           count(CASE WHEN md5(e.s) IN (SELECT shash FROM bench)
+                      THEN 1 END) AS n_overlapping,
+           count(CASE WHEN md5(e.s) IN (SELECT shash FROM bench)
+                      THEN 1 END) >= 5 AS contaminated
+    FROM corpus c LEFT JOIN ex e USING (doc_id)
+    GROUP BY c.doc_id
     """,
 )
 def q47_contamination(spark, sf_dir):
     """Train/test decontamination: docs outside src0 checked for word
     3-gram overlap against the src0 'benchmark' set — distinct
     benchmark shingles broadcast (eval sets are small by definition),
-    corpus pays one narrow projection + broadcast semi-join, no text
-    shuffle. contaminated = >= 5 shared shingles. Oracle restates the
-    shingle membership count in SQL."""
+    corpus pays ONE scan: shingle projection + broadcast hit-marker
+    join + one hash aggregate, no text shuffle. contaminated = >= 5
+    shared shingles. Oracle restates the shingle membership count in
+    SQL."""
     from capex_data_pipeline_spark.extensions import corpus as C
 
     docs = _t(spark, sf_dir, "documents")

@@ -185,3 +185,28 @@ def test_contamination_join_broadcasts(spark):
         corpus, bench
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_ignores_degenerate_empty_shingle(spark):
+    """An empty/whitespace/punctuation-only benchmark row must not mark
+    empty corpus docs contaminated (the k-gram helper yields a
+    whole-text '' shingle for sub-k docs, which both sides drop), and
+    zero-token docs report n_shingles = 0."""
+    from capex_data_pipeline_spark.extensions.corpus import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, ""), (101, "!!! ???"), (102, "real benchmark content here")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "real benchmark content here now")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_overlapping, r.contaminated)
+        for r in contamination_check(corpus, bench, k=3, min_overlap=1).collect()
+    }
+    assert got[1] == (0, 0, False)
+    assert got[2] == (0, 0, False)
+    assert got[3] == (0, 0, False)
+    assert got[4][1] >= 2 and got[4][2]  # genuine shared 3-grams still flag
