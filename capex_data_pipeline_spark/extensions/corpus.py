@@ -122,6 +122,13 @@ def pack_chunks(
     the consumer pads or truncates, exactly as concat-then-split
     training pipelines do).
     """
+    clash = {"shard", "pack_id", "pack_pos"} & set(chunks.columns)
+    if clash:
+        raise ValueError(
+            f"pack_chunks: input already carries output column(s) "
+            f"{sorted(clash)} — drop or rename them before repacking "
+            "(the select would otherwise produce ambiguous references)"
+        )
     shard = (
         F.conv(
             F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10

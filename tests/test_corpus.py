@@ -210,3 +210,21 @@ def test_contamination_ignores_degenerate_empty_shingle(spark):
     assert got[2] == (0, 0, False)
     assert got[3] == (0, 0, False)
     assert got[4][1] >= 2 and got[4][2]  # genuine shared 3-grams still flag
+
+
+def test_pack_chunks_rejects_reserved_output_columns(spark):
+    """Repacking pack_chunks output without dropping its columns would
+    silently produce ambiguous references; the contract errors early."""
+    from capex_data_pipeline_spark.extensions.corpus import pack_chunks
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 10)], "doc_id long, chunk_idx int, n_tokens int"
+    )
+    packed = pack_chunks(chunks, seq_len=16, n_shards=1)
+    with pytest.raises(ValueError, match="already carries"):
+        pack_chunks(packed, seq_len=32, n_shards=1)
+    # the documented path: drop the layout columns, then repack freely
+    repacked = pack_chunks(
+        packed.drop("shard", "pack_id", "pack_pos"), seq_len=32, n_shards=1
+    )
+    assert repacked.count() == 1
