@@ -236,6 +236,37 @@ def hash_sample(
     return df.filter(sample_hash(F.col(key_col), seed) < F.lit(float(fraction)))
 
 
+def group_sample(
+    df: DataFrame,
+    n: int,
+    group_col: str,
+    key_col: str,
+    seed: str = "s0",
+) -> DataFrame:
+    """Exactly-n-per-group deterministic sample (a reservoir sample
+    whose 'random' order is the engine-portable md5 hash): rank rows
+    within each group by ``sample_hash(key)`` (key as tie-break) and
+    keep the ``n`` smallest. Groups with fewer than ``n`` rows keep
+    everything. The common corpus-building shape — a balanced subset
+    per source/language — with the same re-derivability guarantee as
+    ``hash_sample``: same keys + seed → same subset, on any engine, at
+    any partitioning.
+
+    One shuffle on the group key; ``row_number <= n`` plans as
+    WindowGroupLimit, so each map task forwards at most n rows per
+    group into the exchange."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash(F.col(key_col), seed).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     fractions: dict[str, float],

@@ -1334,6 +1334,32 @@ def q47_contamination(spark, sf_dir):
 
 
 @query(
+    "q48_group_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5('s0|' || coalesce(CAST(doc_id AS VARCHAR), '<null>')), 1, 8))
+                        AS BIGINT) / 4294967296.0 ASC,
+                        doc_id ASC) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= 10
+    """,
+)
+def q48_group_sample(spark, sf_dir):
+    """Exactly-10-per-source deterministic sample: rows ranked within
+    each source by the md5 sampling hash (WindowGroupLimit plan — each
+    map task forwards at most 10 rows per group into the exchange).
+    The oracle re-derives the hash order and rank in SQL."""
+    from capex_data_pipeline_spark.extensions import corpus as C
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return C.group_sample(docs, n=10, group_col="source", key_col="doc_id")
+
+
+@query(
     "q45_stratified_sample",
     f"""
     SELECT doc_id, source,

@@ -228,3 +228,30 @@ def test_pack_chunks_rejects_reserved_output_columns(spark):
         packed.drop("shard", "pack_id", "pack_pos"), seq_len=32, n_shards=1
     )
     assert repacked.count() == 1
+
+
+def test_group_sample_exact_n_and_deterministic(spark):
+    """Exactly n per group (whole group when smaller), deterministic
+    across calls, and n-nesting: the 3-sample is inside the 5-sample."""
+    from capex_data_pipeline_spark.extensions.corpus import group_sample
+
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(2)],
+        "k long, g string",
+    )
+    s5 = {(r.k, r.g) for r in group_sample(df, 5, "g", "k").collect()}
+    assert sum(1 for _, g in s5 if g == "big") == 5
+    assert sum(1 for _, g in s5 if g == "small") == 2  # whole small group
+    s5b = {(r.k, r.g) for r in group_sample(df, 5, "g", "k").collect()}
+    assert s5 == s5b
+    s3 = {(r.k, r.g) for r in group_sample(df, 3, "g", "k").collect()}
+    assert s3 <= s5  # ranks nest
+
+
+def test_group_sample_plans_window_group_limit(spark):
+    """row_number <= n must push into the shuffle as WindowGroupLimit."""
+    from capex_data_pipeline_spark.extensions.corpus import group_sample
+
+    df = spark.createDataFrame([(1, "a")], "k long, g string")
+    plan = group_sample(df, 5, "g", "k")._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
