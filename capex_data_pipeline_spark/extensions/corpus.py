@@ -255,6 +255,11 @@ def group_sample(
     One shuffle on the group key; ``row_number <= n`` plans as
     WindowGroupLimit, so each map task forwards at most n rows per
     group into the exchange."""
+    if "_rn" in df.columns:
+        raise ValueError(
+            "group_sample: input carries a '_rn' column, which the rank "
+            "projection uses internally — drop or rename it first"
+        )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(group_col).orderBy(
