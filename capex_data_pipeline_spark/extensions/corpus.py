@@ -151,6 +151,46 @@ def pack_chunks(
     )
 
 
+def term_stats(
+    corpus: DataFrame,
+    min_doc_freq: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary statistics over the corpus — the inverted-index-lite
+    summary tokenizer/vocab builders start from: for every normalized
+    word term, its document frequency and collection frequency.
+
+    One explode + one hash aggregate; the shuffle key is the term
+    string (compact, naturally high-cardinality so it spreads evenly —
+    stopword terms are the hot keys and AQE's skew handling covers
+    them). ``min_doc_freq`` prunes the hapax tail AFTER aggregation
+    (the standard vocab cutoff), which also bounds the result size.
+
+    Returns (term, doc_freq, collection_freq) — distinct-doc count and
+    total occurrence count per term.
+    """
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    words = corpus.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.filter(
+                F.split(normalized_text(F.col(text_col)), " "),
+                lambda s: s != "",
+            )
+        ).alias("term"),
+    )
+    return (
+        words.groupBy("term")
+        .agg(
+            F.countDistinct("_doc").alias("doc_freq"),
+            F.count(F.lit(1)).alias("collection_freq"),
+        )
+        .filter(F.col("doc_freq") >= min_doc_freq)
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1292,6 +1292,32 @@ def q46_pack_chunks(spark, sf_dir):
 
 
 @query(
+    "q49_term_stats",
+    f"""
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter({_WORDS}, w -> w <> '')) AS term
+      FROM documents
+    )
+    SELECT term,
+           count(DISTINCT doc_id) AS doc_freq,
+           count(*) AS collection_freq
+    FROM words
+    GROUP BY term
+    HAVING count(DISTINCT doc_id) >= 3
+    """,
+)
+def q49_term_stats(spark, sf_dir):
+    """Vocabulary statistics (inverted-index-lite): per normalized word
+    term, distinct-doc frequency and collection frequency, pruned at
+    doc_freq >= 3 — one explode + one hash aggregate on compact term
+    keys. The oracle restates the tokenization and both counts."""
+    from capex_data_pipeline_spark.extensions import corpus as C
+
+    docs = _t(spark, sf_dir, "documents")
+    return C.term_stats(docs, min_doc_freq=3)
+
+
+@query(
     "q47_contamination",
     f"""
     WITH bench AS (

@@ -255,3 +255,28 @@ def test_group_sample_plans_window_group_limit(spark):
     df = spark.createDataFrame([(1, "a")], "k long, g string")
     plan = group_sample(df, 5, "g", "k")._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_term_stats_counts(spark):
+    """doc_freq counts distinct docs, collection_freq total occurrences,
+    normalization lowercases and strips punctuation, min_doc_freq
+    prunes the tail."""
+    from capex_data_pipeline_spark.extensions.corpus import term_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Spark spark SPARK! engine"),
+            (2, "spark engine engine"),
+            (3, "unrelated words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.term: (r.doc_freq, r.collection_freq)
+        for r in term_stats(docs).collect()
+    }
+    assert got["spark"] == (2, 4)
+    assert got["engine"] == (2, 3)
+    assert got["unrelated"] == (1, 1)
+    pruned = {r.term for r in term_stats(docs, min_doc_freq=2).collect()}
+    assert pruned == {"spark", "engine"}

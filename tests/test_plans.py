@@ -249,16 +249,16 @@ def test_clear_pipeline_cache_releases_memoized_runs(spark):
 
 
 def test_driver_contract_registry_invariants():
-    """Pin the driver-contract shape: exactly 56 registered queries
+    """Pin the driver-contract shape: exactly 57 registered queries
     (bounded at 50 by the round-3 consolidation; round 5 added
-    q38_dedup_clusters, q44-q48 chunk/sample/pack/decontaminate/group-sample), a full
+    q38_dedup_clusters, q44-q49 corpus-prep family), a full
     value-exact oracle for EVERY query (no rows-only fallbacks), and
     every bench headline drawn from the registry."""
     import __spark_entry__ as E
     import bench
 
     qs, oracles = E.queries(), E.oracle_sql()
-    assert len(qs) == 56
+    assert len(qs) == 57
     assert set(oracles) == set(qs)
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
     assert set(bench.HEADLINE) <= set(qs)
