@@ -1,0 +1,277 @@
+"""Corpus-cleaning + curation queries (round 6): PII redaction,
+repetition metrics, line-level boilerplate filtering, domain stats.
+
+Same contract as ``registry``: Spark builder + full DuckDB oracle per
+entry.  The synthetic corpus carries no emails/URLs/newlines, so each
+query first AUGMENTS the text with deterministic PII/URL/line material
+derived from ``doc_id`` — the identical construction is restated in the
+oracle, so the detectors are exercised on real matches (non-degenerate
+evidence) while staying value-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from capex_data_pipeline_spark.registry import _t, query
+from capex_data_pipeline_spark.extensions import cleaning as CL
+
+
+def _pii_augmented(docs):
+    """text + deterministic PII spans: email on doc_id%3, phone on %5,
+    IPv4 on %7, card-shaped id run on %11 (≈58% of docs carry ≥1)."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call +91-998-877-66"),
+                    F.lpad((F.col("doc_id") % 90 + 10).cast("string"), 2, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".17 up"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" acct 4111 1111 1111 1111 ok")
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+
+
+_PII_AUG_SQL = """
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' call +91-998-877-66' || lpad(CAST(doc_id % 90 + 10 AS VARCHAR), 2, '0') ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17 up' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' acct 4111 1111 1111 1111 ok' ELSE '' END AS t
+  FROM documents
+"""
+
+# the four PII regexes, verbatim (RE2- and Java-compatible, no
+# lookarounds — see extensions/cleaning.py docstring)
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PHONE = r"\+[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3}[- .]?[0-9]{2,4}\b"
+_IDRUN = r"\b[0-9]{4}([- ][0-9]{4}){2,3}\b"
+
+
+@query(
+    "q63_pii_redaction",
+    f"""
+    WITH aug AS ({_PII_AUG_SQL})
+    SELECT doc_id,
+      len(regexp_extract_all(t, '{_EMAIL}')) AS n_email,
+      len(regexp_extract_all(t, '{_IPV4}')) AS n_ipv4,
+      len(regexp_extract_all(t, '{_PHONE}')) AS n_phone,
+      len(regexp_extract_all(t, '{_IDRUN}')) AS n_id_run,
+      md5(
+       regexp_replace(
+        regexp_replace(
+         regexp_replace(
+          regexp_replace(t, '{_EMAIL}', '<EMAIL>', 'g'),
+          '{_IPV4}', '<IP>', 'g'),
+         '{_PHONE}', '<PHONE>', 'g'),
+        '{_IDRUN}', '<ID>', 'g')
+      ) AS redacted_md5
+    FROM aug
+    """,
+)
+def q63_pii_redaction(spark, sf_dir):
+    """PII audit + redaction over the (deterministically augmented)
+    corpus: per-class match counts and the md5 of the fully redacted
+    text — one map-only projection, chained regexp_replace in the
+    documented PII_PATTERNS order. The oracle replays the same regexes
+    and order in DuckDB (both engines are RE2/Java leftmost-greedy on
+    this lookaround-free pattern family)."""
+    aug = _pii_augmented(_t(spark, sf_dir, "documents"))
+    stats = CL.pii_stats(F.col("t"))
+    return aug.select(
+        "doc_id",
+        *[v.alias(k) for k, v in stats.items()],
+        F.md5(CL.redact_pii(F.col("t"))).alias("redacted_md5"),
+    )
+
+
+def _line_augmented(docs):
+    """Even doc_ids gain a 4-line boilerplate block (a duplicated
+    'menu' line, a too-short line, a unique line) so line-level
+    dedup/filtering and duplicate-line metrics have real work."""
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    "\nrepeat line alpha beta\nrepeat line alpha beta\nhi\nuniq line "
+                ),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+
+
+_LINE_AUG_SQL = """
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0
+      THEN text || chr(10) || 'repeat line alpha beta' || chr(10) ||
+           'repeat line alpha beta' || chr(10) || 'hi' || chr(10) ||
+           'uniq line ' || CAST(doc_id AS VARCHAR)
+      ELSE text END AS t
+  FROM documents
+"""
+
+
+@query(
+    "q64_repetition_metrics",
+    f"""
+    WITH aug AS ({_LINE_AUG_SQL}),
+    base AS (
+      SELECT doc_id,
+        list_filter(string_split(regexp_replace(lower(coalesce(t,'')), '[^a-z0-9]+', ' ', 'g'), ' '), s -> s != '') AS words,
+        list_filter(list_transform(string_split(coalesce(t,''), chr(10)), l -> trim(l)), l -> l != '') AS lines
+      FROM aug
+    ), g AS (
+      SELECT doc_id, 'w' AS kind, unnest(words) AS gram FROM base
+      UNION ALL
+      SELECT doc_id, 'b', unnest(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])) FROM base
+      UNION ALL
+      SELECT doc_id, 'l', unnest(lines) FROM base
+    ), pg AS (
+      SELECT doc_id, kind, gram, count(*) AS n FROM g GROUP BY 1,2,3
+    ), agg AS (
+      SELECT doc_id,
+        sum(CASE WHEN kind='w' THEN n ELSE 0 END) AS nw,
+        max(CASE WHEN kind='w' THEN n END) AS topw,
+        sum(CASE WHEN kind='b' THEN n ELSE 0 END) AS nb,
+        max(CASE WHEN kind='b' THEN n END) AS topb,
+        sum(CASE WHEN kind='l' THEN n ELSE 0 END) AS nl,
+        sum(CASE WHEN kind='l' AND n > 1 THEN n ELSE 0 END) AS dupl,
+        sum(CASE WHEN kind='l' THEN length(gram)*n ELSE 0 END) AS lchars,
+        sum(CASE WHEN kind='l' AND n > 1 THEN length(gram)*n ELSE 0 END) AS duplchars
+      FROM pg GROUP BY 1
+    )
+    SELECT d.doc_id,
+      coalesce(round(CASE WHEN nw > 0 THEN topw / CAST(nw AS DOUBLE) ELSE 0 END, 6), 0.0) AS top_word_frac,
+      coalesce(round(CASE WHEN nb > 0 THEN topb / CAST(nb AS DOUBLE) ELSE 0 END, 6), 0.0) AS top_bigram_frac,
+      coalesce(round(CASE WHEN nl > 0 THEN dupl / CAST(nl AS DOUBLE) ELSE 0 END, 6), 0.0) AS dup_line_frac,
+      coalesce(round(CASE WHEN nl > 0 THEN duplchars / CAST(lchars AS DOUBLE) ELSE 0 END, 6), 0.0) AS dup_line_char_frac
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def q64_repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition signals (top-word / top-bigram fraction,
+    duplicate-line row+char fractions) per document. Distributed as one
+    tagged-gram explode + two hash aggregations on compact (doc, gram)
+    keys — no per-row quadratic fold. Oracle re-derives every fraction
+    in SQL."""
+    aug = _line_augmented(_t(spark, sf_dir, "documents"))
+    return CL.repetition_metrics(aug, text_col="t", id_col="doc_id")
+
+
+@query(
+    "q65_line_filter",
+    f"""
+    WITH aug AS ({_LINE_AUG_SQL}),
+    base AS (
+      SELECT doc_id, string_split(coalesce(t, ''), chr(10)) AS lines FROM aug
+    ), kept AS (
+      SELECT doc_id, lines,
+        list_filter(lines, l -> len(list_filter(regexp_split_to_array(trim(l), '\\s+'), w -> w != '')) >= 3) AS k
+      FROM base
+    ), dd AS (
+      SELECT doc_id, lines,
+        list_filter(list_transform(range(1, len(k)+1), i -> CASE WHEN list_position(k, k[i]) = i THEN k[i] END), x -> x IS NOT NULL) AS k2
+      FROM kept
+    )
+    SELECT doc_id, md5(array_to_string(k2, chr(10))) AS cleaned_md5,
+           len(lines) AS n_lines, len(k2) AS n_kept
+    FROM dd
+    """,
+)
+def q65_line_filter(spark, sf_dir):
+    """C4-style line-level boilerplate filter: keep lines with ≥3
+    words, drop repeated lines keeping the first occurrence, re-join.
+    Pure higher-order array functions (map-only at any scale); the
+    oracle re-derives first-occurrence dedup via list_position. Output
+    compares the cleaned text by md5 plus kept/total line counts."""
+    aug = _line_augmented(_t(spark, sf_dir, "documents"))
+    s = CL.clean_lines(F.col("t"), min_words=3, dedup_lines=True)
+    return aug.select(
+        "doc_id",
+        F.md5(s["cleaned"]).alias("cleaned_md5"),
+        s["n_lines"].alias("n_lines"),
+        s["n_kept"].alias("n_kept"),
+    )
+
+
+@query(
+    "q66_domain_stats",
+    """
+    WITH aug AS (
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 2 = 0 THEN ' see https://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR) || ' ok' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0 THEN ' ref http://Mirror' || CAST(doc_id % 5 AS VARCHAR) || '.Example.org.' ELSE '' END AS t
+      FROM documents
+    ), u AS (
+      SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\\s<>"'']+[^\\s<>"''.,;:!?)]')) AS url FROM aug
+    ), d AS (
+      SELECT doc_id, regexp_replace(lower(regexp_extract(url, 'https?://([^/\\s:]+)', 1)), '^www\\.', '') AS domain FROM u
+    )
+    SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+    FROM d GROUP BY 1
+    """,
+)
+def q66_domain_stats(spark, sf_dir):
+    """Per-domain URL statistics (mention count + distinct citing
+    docs) — the grouping key for domain blocklists and per-domain
+    caps. URL extraction/host-normalization are map-side projections;
+    the aggregate shuffles on the compact domain string. URLs are
+    injected deterministically (www-prefixed and mixed-case hosts,
+    trailing sentence punctuation) so extraction, case-folding, www-
+    stripping and punctuation trimming all do real work."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" see https://www.site"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.com/p/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" ok"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" ref http://Mirror"),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".Example.org."),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return CL.domain_stats(aug, text_col="t", id_col="doc_id")

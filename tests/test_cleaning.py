@@ -1,0 +1,167 @@
+"""Corpus-cleaning operators: PII redaction, URL/domain extraction,
+line filtering, repetition metrics (extensions/cleaning.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from capex_data_pipeline_spark.extensions import cleaning as CL
+
+
+def _one(spark, text):
+    return spark.createDataFrame([(0, text)], "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- PII
+
+
+def test_pii_stats_counts_each_class(spark):
+    text = (
+        "mail a@b.com and c.d+e@f.co.uk, ip 10.0.0.1, "
+        "call +91-998-877-6655, card 4111 1111 1111 1111."
+    )
+    row = (
+        _one(spark, text)
+        .select(*[v.alias(k) for k, v in CL.pii_stats(F.col("text")).items()])
+        .first()
+    )
+    assert (row.n_email, row.n_ipv4, row.n_phone, row.n_id_run) == (2, 1, 1, 1)
+
+
+def test_redact_pii_replaces_in_documented_order(spark):
+    text = "a@b.com 10.0.0.1 +1-555-123-4567 4111 1111 1111 1111"
+    out = _one(spark, text).select(CL.redact_pii(F.col("text")).alias("r")).first().r
+    assert out == "<EMAIL> <IP> <PHONE> <ID>"
+
+
+def test_redact_pii_no_matches_is_identity_and_null_is_empty(spark):
+    assert (
+        _one(spark, "clean text only").select(CL.redact_pii(F.col("text")).alias("r")).first().r
+        == "clean text only"
+    )
+    assert _one(spark, None).select(CL.redact_pii(F.col("text")).alias("r")).first().r == ""
+
+
+def test_phone_requires_plus_prefix_so_bare_runs_stay(spark):
+    # a bare 10-digit run is NOT phone-shaped here (avoids swallowing ids)
+    row = (
+        _one(spark, "ref 555-123-4567 vs +1-555-123-4567")
+        .select(CL.pii_stats(F.col("text"))["n_phone"].alias("n"))
+        .first()
+    )
+    assert row.n == 1
+
+
+# ---------------------------------------------------------------- URLs
+
+
+def test_extract_urls_trims_trailing_sentence_punct(spark):
+    text = "see https://www.Example.com/a/b. or (http://x.org/p)!"
+    urls = _one(spark, text).select(CL.extract_urls(F.col("text")).alias("u")).first().u
+    assert urls == ["https://www.Example.com/a/b", "http://x.org/p"]
+
+
+def test_url_host_lowercases_and_strips_www(spark):
+    hosts = (
+        _one(spark, "x")
+        .select(
+            CL.url_host(F.lit("https://www.Example.com/a")).alias("a"),
+            CL.url_host(F.lit("http://Sub.Site.org:8080/p")).alias("b"),
+        )
+        .first()
+    )
+    assert (hosts.a, hosts.b) == ("example.com", "sub.site.org")
+
+
+def test_domain_stats_counts_urls_and_distinct_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a https://a.com/x b https://a.com/y"),
+            (2, "c https://www.a.com/z d http://b.org/w"),
+            (3, "no urls here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.domain: (r.n_urls, r.n_docs) for r in CL.domain_stats(df).collect()}
+    assert rows == {"a.com": (3, 2), "b.org": (1, 1)}
+
+
+# ---------------------------------------------------------------- lines
+
+
+def _clean(spark, text, **kw):
+    s = CL.clean_lines(F.col("text"), **kw)
+    return (
+        _one(spark, text)
+        .select(s["cleaned"].alias("c"), s["n_lines"].alias("nl"), s["n_kept"].alias("nk"))
+        .first()
+    )
+
+
+def test_clean_lines_min_words_and_first_occurrence_dedup(spark):
+    text = "one two three\nshort\nzz top line\none two three\nlast full line"
+    r = _clean(spark, text, min_words=3, dedup_lines=True)
+    # 'short' dropped (<3 words); duplicate 'one two three' keeps FIRST slot
+    assert r.c == "one two three\nzz top line\nlast full line"
+    assert (r.nl, r.nk) == (5, 3)
+
+
+def test_clean_lines_terminal_punct_policy(spark):
+    text = "a proper sentence.\nno terminal punct\nanother good one!"
+    r = _clean(spark, text, min_words=2, require_terminal_punct=True)
+    assert r.c == "a proper sentence.\nanother good one!"
+
+
+def test_clean_lines_empty_and_null(spark):
+    r = _clean(spark, "", min_words=1)
+    assert (r.c, r.nk) == ("", 0)
+    r = _clean(spark, None, min_words=1)
+    assert (r.c, r.nk) == ("", 0)
+
+
+def test_clean_lines_no_dedup_keeps_repeats(spark):
+    text = "menu item here\nmenu item here"
+    r = _clean(spark, text, min_words=3, dedup_lines=False)
+    assert r.c == "menu item here\nmenu item here"
+
+
+# ------------------------------------------------------- repetition
+
+
+def _metrics(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r.doc_id: r for r in CL.repetition_metrics(df).collect()}
+
+
+def test_repetition_metrics_hand_computed(spark):
+    m = _metrics(spark, [(1, "a b a b a")])
+    r = m[1]
+    # words: a×3 b×2 → top 3/5; bigrams: "a b"×2 "b a"×2 → top 2/4
+    assert r.top_word_frac == pytest.approx(0.6)
+    assert r.top_bigram_frac == pytest.approx(0.5)
+    # one line, count 1 → no duplicate lines
+    assert r.dup_line_frac == 0.0 and r.dup_line_char_frac == 0.0
+
+
+def test_repetition_metrics_duplicate_lines(spark):
+    m = _metrics(spark, [(1, "dup line\ndup line\nunique longer line")])
+    r = m[1]
+    # 3 non-empty lines, 2 are the duplicated one
+    assert r.dup_line_frac == pytest.approx(2 / 3)
+    dup_chars = 2 * len("dup line")
+    total = dup_chars + len("unique longer line")
+    assert r.dup_line_char_frac == pytest.approx(round(dup_chars / total, 6))
+
+
+def test_repetition_metrics_empty_docs_survive_with_zeros(spark):
+    m = _metrics(spark, [(1, ""), (2, None), (3, "word")])
+    assert m[1].top_word_frac == 0.0 and m[2].top_bigram_frac == 0.0
+    # single word: top_word 1/1, no bigrams
+    assert m[3].top_word_frac == 1.0 and m[3].top_bigram_frac == 0.0
+
+
+def test_repetition_metrics_case_and_punct_normalized(spark):
+    # "The the, THE." normalizes to the×3
+    m = _metrics(spark, [(1, "The the, THE.")])
+    assert m[1].top_word_frac == 1.0
