@@ -275,3 +275,60 @@ def q66_domain_stats(spark, sf_dir):
         ).alias("t"),
     )
     return CL.domain_stats(aug, text_col="t", id_col="doc_id")
+
+
+# ------------------------------------------------------- semantic dedup
+
+_COS_DUCK = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    "    * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+@query(
+    "q67_semantic_dedup",
+    f"""
+    WITH ctr AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell,
+             embedding
+      FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+    ), sim AS (
+      SELECT e.vec_id, c.cell, {_COS_DUCK.format(a='e.embedding', b='c.embedding')} AS s
+      FROM embeddings e, ctr c
+    ), assigned AS (
+      SELECT vec_id, cell AS cluster, round(s, 6) AS centroid_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell ASC) rn FROM sim
+      ) WHERE rn = 1
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster
+                                   ORDER BY centroid_sim ASC, vec_id ASC) AS rk
+      FROM assigned
+    ), rem AS (
+      SELECT DISTINCT b.vec_id
+      FROM ranked a JOIN ranked b ON a.cluster = b.cluster AND a.rk < b.rk
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE round({_COS_DUCK.format(a='ea.embedding', b='eb.embedding')}, 6) >= 0.3
+    )
+    SELECT r.vec_id, r.cluster, r.centroid_sim, (rem.vec_id IS NOT NULL) AS removed
+    FROM ranked r LEFT JOIN rem ON rem.vec_id = r.vec_id
+    """,
+)
+def q67_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (extensions/semdedup.py):
+    deterministic md5-sampled 16-center quantizer, cosine cluster
+    assignment, within-cluster pair compare, removal of every vector
+    >= threshold-similar to a better-ranked (lower centroid
+    similarity) cluster mate. Threshold 0.3 for the same reason as
+    q35: the synthetic embeddings are near-orthogonal (max pairwise
+    cosine ~0.48), so a paper-typical 0.9 gate removes nothing and a
+    0-row decision exercises nothing - at 0.3 the identical machinery
+    marks ~126 removals per SF, all value-checked. The oracle
+    re-derives center pick -> assignment -> keeper rank -> pair
+    compare -> removal set in SQL."""
+    from capex_data_pipeline_spark.extensions.semdedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_clusters=16, threshold=0.3, centers_mode="sample")

@@ -165,3 +165,118 @@ def test_repetition_metrics_case_and_punct_normalized(spark):
     # "The the, THE." normalizes to the×3
     m = _metrics(spark, [(1, "The the, THE.")])
     assert m[1].top_word_frac == 1.0
+
+
+# ------------------------------------------------- semantic dedup
+
+
+def _semdedup_reference(vecs, n_clusters, threshold):
+    """Plain-Python restatement of the SemDeDup rule for differential
+    testing: md5-sampled centers, cosine assignment, keeper rank by
+    (centroid_sim asc, id asc), remove on sim >= threshold to any
+    better-ranked cluster mate."""
+    import hashlib
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    ids = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    centers = [vecs[i] for i in ids[:n_clusters]]
+    assigned = {}
+    for i, v in vecs.items():
+        sims = [(-cos(v, c), ci) for ci, c in enumerate(centers)]
+        negcos, cell = min(sims)
+        assigned[i] = (cell, round(-negcos, 6))
+    removed = set()
+    for cl in set(c for c, _ in assigned.values()):
+        members = sorted(
+            (i for i in vecs if assigned[i][0] == cl),
+            key=lambda i: (assigned[i][1], i),
+        )
+        for bi, b in enumerate(members):
+            for a in members[:bi]:
+                if round(cos(vecs[a], vecs[b]), 6) >= threshold:
+                    removed.add(b)
+                    break
+    return assigned, removed
+
+
+def _run_semdedup(spark, vecs, **kw):
+    from capex_data_pipeline_spark.extensions.semdedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    return {r.vec_id: r for r in semantic_dedup(df, **kw).collect()}
+
+
+def test_semantic_dedup_marks_planted_duplicates(spark):
+    # 0/1 nearly parallel (dup pair), 2 orthogonal, 3 anti-parallel
+    vecs = {
+        0: [1.0, 0.0, 0.0],
+        1: [0.995, 0.1, 0.0],
+        2: [0.0, 1.0, 0.0],
+        3: [-1.0, 0.0, 0.0],
+    }
+    out = _run_semdedup(spark, vecs, n_clusters=1, threshold=0.9)
+    assigned, removed = _semdedup_reference(vecs, 1, 0.9)
+    assert {i for i, r in out.items() if r.removed} == removed
+    # exactly one of the planted pair is removed, the others survive
+    assert len({0, 1} & removed) == 1 and not {2, 3} & removed
+
+
+def test_semantic_dedup_pseudo_greedy_chain(spark):
+    import math
+
+    # a chain a~b, b~c with cos(a,c) below threshold: the pseudo-greedy
+    # rule removes everything ranked after a similar predecessor
+    ang = [0.0, 0.25, 0.5]  # radians; cos(0, 0.25)=0.969, cos(0, 0.5)=0.878
+    vecs = {i: [math.cos(t), math.sin(t)] for i, t in enumerate(ang)}
+    out = _run_semdedup(spark, vecs, n_clusters=1, threshold=0.9)
+    assigned, removed = _semdedup_reference(vecs, 1, 0.9)
+    assert {i for i, r in out.items() if r.removed} == removed
+    assert 1 <= len(removed) <= 2  # at least the middle's neighbor goes
+
+
+def test_semantic_dedup_matches_python_reference_on_random(spark):
+    import random
+
+    rng = random.Random(7)
+    vecs = {
+        i: [rng.gauss(0, 1) for _ in range(8)] for i in range(60)
+    }
+    out = _run_semdedup(spark, vecs, n_clusters=4, threshold=0.6)
+    assigned, removed = _semdedup_reference(
+        {i: [float(f32(x)) for x in v] for i, v in vecs.items()}, 4, 0.6
+    )
+    assert {i for i, r in out.items() if r.removed} == removed
+    for i, r in out.items():
+        assert (r.cluster, r.centroid_sim) == assigned[i]
+
+
+def f32(x):
+    """Round-trip through float32 (the array<float> column narrows the
+    test vectors exactly as parquet would)."""
+    import struct
+
+    return struct.unpack("f", struct.pack("f", x))[0]
+
+
+def test_semantic_dedup_kmeans_mode_runs(spark):
+    import random
+
+    rng = random.Random(3)
+    vecs = {i: [rng.gauss(0, 1) for _ in range(4)] for i in range(40)}
+    out = _run_semdedup(spark, vecs, n_clusters=3, threshold=0.95, centers_mode="kmeans")
+    assert len(out) == 40
+    assert all(0 <= r.cluster < 3 for r in out.values())
+
+
+def test_semantic_dedup_unknown_mode_raises(spark):
+    with pytest.raises(ValueError, match="centers_mode"):
+        _run_semdedup(spark, {0: [1.0, 0.0]}, n_clusters=1, centers_mode="bogus")
