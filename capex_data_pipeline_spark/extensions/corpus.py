@@ -330,3 +330,113 @@ def stratified_hash_sample(
     for value, frac in sorted(fractions.items()):
         thr = F.when(F.col(strata_col) == value, F.lit(float(frac))).otherwise(thr)
     return df.filter(sample_hash(F.col(key_col), seed) < thr)
+
+
+def tfidf_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` most characteristic terms per document by tf-idf —
+    the classic relevance/keyword-extraction signal corpus curation
+    uses for topic balancing and near-boilerplate spotting.
+
+    ``weight = tf * (ln((N + 1) / (df + 1)) + 1)`` (the smoothed
+    sklearn-style idf, public formula): ``tf`` is the raw in-document
+    count of the normalized word, ``df`` its distinct-document
+    frequency, ``N`` the corpus document count.
+
+    Scale shape: one explode → hash-aggregate per ``(doc, term)``
+    (compact keys), a second aggregate per term for ``df`` (reusing
+    the exploded frame), a join back on the term string — vocab-sized,
+    so AQE broadcasts it when small and sort-merges when not — and a
+    per-doc WindowGroupLimit for the top-k. ``N`` rides along as a
+    1-row broadcast, not a driver-side collect. Weights are rounded to
+    6 decimals before ranking so the order is engine-stable (term
+    string as tie-break).
+    """
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+    from pyspark.sql.window import Window
+
+    words = corpus.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.filter(
+                F.split(normalized_text(F.col(text_col)), " "),
+                lambda s: s != "",
+            )
+        ).alias("term"),
+    )
+    tf = words.groupBy("_doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = corpus.select(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)) + 1.0
+    )
+    weighted = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("_doc").alias(id_col),
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * idf, 6).alias("weight"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("weight"), F.asc("term")
+    )
+    return (
+        weighted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    budget: int = 100,
+    seed: str = "s0",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing: sample each group so the
+    OUTPUT mixture follows ``p_i^alpha`` (renormalized) over the input
+    group shares ``p_i`` — the standard multilingual/multi-source
+    rebalancing rule (alpha < 1 up-samples rare groups, alpha = 1 is
+    proportional, alpha = 0 is uniform). ``budget`` is the target
+    output row count; a group whose target exceeds its size keeps
+    everything (no replication), exactly like the epoch-capped variant
+    training pipelines use.
+
+    The per-group keep fraction is ``min(1, budget * w_i / c_i)`` with
+    ``w_i = c_i^alpha / Σ c_j^alpha``; the keep decision is the
+    engine-portable md5 ``sample_hash`` — deterministic and
+    re-derivable, like every sampler here. One aggregate over the
+    group key (tiny result), a broadcast join back, one filter — no
+    extra shuffle of the data itself.
+
+    Returns the kept rows plus ``keep_frac`` (rounded to 6 decimals).
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_c"))
+    total_w = counts.select(
+        F.sum(F.pow(F.col("_c").cast("double"), F.lit(float(alpha)))).alias("_tw")
+    )
+    fracs = counts.crossJoin(F.broadcast(total_w)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget))
+            * F.pow(F.col("_c").cast("double"), F.lit(float(alpha)))
+            / F.col("_tw")
+            / F.col("_c"),
+        ).alias("_frac"),
+    )
+    return (
+        df.join(F.broadcast(fracs), group_col)
+        .filter(sample_hash(F.col(key_col), seed) < F.col("_frac"))
+        .withColumn("keep_frac", F.round(F.col("_frac"), 6))
+        .drop("_frac")
+    )

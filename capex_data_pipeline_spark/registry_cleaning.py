@@ -332,3 +332,63 @@ def q67_semantic_dedup(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, n_clusters=16, threshold=0.3, centers_mode="sample")
+
+
+# ------------------------------------------- tf-idf + mixture sampling
+
+
+@query(
+    "q68_tfidf_topk",
+    r"""
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')), ' '), s -> s != '')) AS term
+      FROM documents
+    ), tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1,2),
+    dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    wt AS (
+      SELECT doc_id, term, tf, df,
+             round(tf * (ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1), 6) AS weight
+      FROM tf JOIN dfr USING (term), n
+    )
+    SELECT doc_id, term, tf, df, weight, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY weight DESC, term ASC) AS rank FROM wt
+    ) WHERE rank <= 5
+    """,
+)
+def q68_tfidf_topk(spark, sf_dir):
+    """Top-5 characteristic terms per document by smoothed tf-idf
+    (corpus.tfidf_topk): explode + (doc, term) hash aggregate, vocab
+    df aggregate, join back on the term key, WindowGroupLimit top-k.
+    N rides along as a 1-row broadcast; weights rank on the rounded
+    value with term tie-break, so the oracle's row_number re-derives
+    the identical order."""
+    from capex_data_pipeline_spark.extensions import corpus as C
+
+    return C.tfidf_topk(_t(spark, sf_dir, "documents"), k=5)
+
+
+@query(
+    "q69_mixture_sample",
+    r"""
+    WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+    t AS (SELECT sum(power(c, 0.5)) AS tw FROM c),
+    f AS (SELECT lang, least(1.0, 100 * power(c, 0.5) / tw / c) AS frac FROM c, t)
+    SELECT d.doc_id, d.lang, round(f.frac, 6) AS keep_frac
+    FROM documents d JOIN f USING (lang)
+    WHERE CAST(('0x' || substr(md5('s0|' || coalesce(CAST(doc_id AS VARCHAR), '<null>')), 1, 8)) AS BIGINT) / 4294967296.0 < f.frac
+    """,
+)
+def q69_mixture_sample(spark, sf_dir):
+    """Temperature-based mixture rebalancing (corpus.mixture_sample,
+    alpha=0.5, budget=100) over the naturally skewed lang distribution
+    (en is ~2.7x de in the corpus): per-group keep fraction
+    min(1, budget * c^alpha / sum(c^alpha) / c), keep decision by the
+    engine-portable md5 sample_hash. The oracle re-derives fractions
+    and the exact kept set."""
+    from capex_data_pipeline_spark.extensions import corpus as C
+
+    docs = _t(spark, sf_dir, "documents")
+    samp = C.mixture_sample(docs, group_col="lang", key_col="doc_id", alpha=0.5, budget=100)
+    return samp.select("doc_id", "lang", "keep_frac")

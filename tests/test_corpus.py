@@ -280,3 +280,68 @@ def test_term_stats_counts(spark):
     assert got["unrelated"] == (1, 1)
     pruned = {r.term for r in term_stats(docs, min_doc_freq=2).collect()}
     assert pruned == {"spark", "engine"}
+
+
+# ---------------------------------------------------- tf-idf + mixture
+
+
+def test_tfidf_topk_hand_computed(spark):
+    import math
+
+    from capex_data_pipeline_spark.extensions.corpus import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date")],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.term): r for r in tfidf_topk(docs, k=2).collect()}
+    # apple: tf=2 in doc1, df=1; idf = ln(4/2)+1
+    r = rows[(1, "apple")]
+    assert (r.tf, r.df) == (2, 1)
+    assert r.weight == round(2 * (math.log(4 / 2) + 1), 6)
+    assert r.rank == 1
+    # banana in doc1: tf=1, df=2 → lower weight, rank 2
+    assert rows[(1, "banana")].rank == 2
+
+
+def test_tfidf_topk_k_bounds_and_tie_break(spark):
+    from capex_data_pipeline_spark.extensions.corpus import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "x y z w v u t s")], "doc_id long, text string"
+    )
+    rows = tfidf_topk(docs, k=3).collect()
+    # all terms tie on weight → alphabetical order decides
+    assert [r.term for r in sorted(rows, key=lambda r: r.rank)] == ["s", "t", "u"]
+    assert len(rows) == 3
+
+
+def test_mixture_sample_rebalances_and_is_deterministic(spark):
+    from capex_data_pipeline_spark.extensions.corpus import mixture_sample
+
+    rows = [(i, "big" if i < 800 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = mixture_sample(df, group_col="grp", key_col="doc_id", alpha=0.5, budget=200)
+    counts = {r.grp: r.cnt for r in out.groupBy("grp").agg(F.count("*").alias("cnt")).collect()}
+    # alpha=0.5 targets sqrt-proportional shares: 800/200 input (4:1)
+    # becomes sqrt(800):sqrt(200) = 2:1 in expectation
+    assert counts["big"] / counts["small"] == pytest.approx(2.0, rel=0.35)
+    # deterministic: second run keeps the identical set
+    again = mixture_sample(df, group_col="grp", key_col="doc_id", alpha=0.5, budget=200)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_mixture_sample_small_group_keeps_everything(spark):
+    from capex_data_pipeline_spark.extensions.corpus import mixture_sample
+
+    rows = [(i, "big" if i < 500 else "tiny") for i in range(505)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = mixture_sample(df, group_col="grp", key_col="doc_id", alpha=0.0, budget=400)
+    counts = {r.grp: r.cnt for r in out.groupBy("grp").agg(F.count("*").alias("cnt")).collect()}
+    # alpha=0 → uniform target 200 per group; 'tiny' has only 5 rows →
+    # fraction capped at 1.0, all kept
+    assert counts["tiny"] == 5
+    kept_frac = {r.grp: r.keep_frac for r in out.select("grp", "keep_frac").distinct().collect()}
+    assert kept_frac["tiny"] == 1.0
