@@ -440,3 +440,151 @@ def mixture_sample(
         .withColumn("keep_frac", F.round(F.col("_frac"), 6))
         .drop("_frac")
     )
+
+
+def unigram_logprob_score(
+    corpus: DataFrame,
+    smoothing_k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Language-model likelihood quality score — the CCNet-style
+    perplexity filter in its closed-form unigram variant: score each
+    document by the mean negative log-probability of its tokens under
+    an add-k-smoothed unigram model fit on the corpus itself.  Low
+    scores = head-of-distribution text, high scores = rare/garbled
+    tokens; thresholding (or bucketing into head/middle/tail like
+    CCNet) is the caller's policy.
+
+    ``p(term) = (cf + k) / (T + k * (V + 1))`` with ``cf`` the corpus
+    collection frequency, ``T`` total tokens, ``V`` vocab size (the
+    ``+1`` reserves unseen-token mass, so the same model can score
+    held-out text).
+
+    Scale shape: two passes over the exploded words — one aggregate
+    per term (the model: vocab-sized, compact keys), one per
+    ``(doc, term)`` then per doc (the scoring) — joined on the term
+    string; model scalars (T, V) ride along as a 1-row broadcast.
+    Re-exploding beats persisting the exploded frame at 100 TB (it is
+    larger than the corpus itself and streams straight out of the
+    column scan).
+
+    Returns ``(id_col, n_tokens, avg_nll)`` for non-empty documents
+    (empty docs have no tokens to score and are excluded, as in CCNet).
+    """
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    def words_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(
+                F.filter(
+                    F.split(normalized_text(F.col(text_col)), " "),
+                    lambda s: s != "",
+                )
+            ).alias("term"),
+        )
+
+    model = words_of(corpus).groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    scalars = model.select(
+        F.sum("cf").alias("_T"), F.count(F.lit(1)).alias("_V")
+    )
+    k = float(smoothing_k)
+    nll = -F.log(
+        (F.col("cf") + F.lit(k))
+        / (F.col("_T") + F.lit(k) * (F.col("_V") + 1)).cast("double")
+    )
+    return (
+        words_of(corpus)
+        .groupBy("_doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(model, "term")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("_doc")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * nll) / F.sum("tf").cast("double"), 6
+            ).alias("avg_nll"),
+        )
+        .select(F.col("_doc").alias(id_col), "n_tokens", "avg_nll")
+    )
+
+
+def importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    smoothing_k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection signal (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling", public):
+    score every corpus document by the mean per-token log-likelihood
+    ratio between a TARGET-domain unigram model and the corpus ("raw")
+    model.  High scores = looks like the target domain; selection
+    (top-m, or Gumbel-perturbed resampling) is the caller's policy —
+    the weight is the operator.
+
+    Both models are add-k-smoothed over the UNION vocabulary, so every
+    corpus token has non-zero probability under the target model and
+    the ratio is always finite.
+
+    Scale shape: the target set is small by definition (a domain
+    exemplar corpus) — its model aggregate is cheap; the corpus pays
+    the same two-pass explode/aggregate as
+    :func:`unigram_logprob_score`, with the per-term log-ratio joined
+    in on the compact term key.
+
+    Returns ``(id_col, n_tokens, avg_loglift)`` for non-empty corpus
+    documents; ``avg_loglift = mean_t[ln p_target(t) - ln p_raw(t)]``.
+    """
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    def words_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(
+                F.filter(
+                    F.split(normalized_text(F.col(text_col)), " "),
+                    lambda s: s != "",
+                )
+            ).alias("term"),
+        )
+
+    raw = words_of(corpus).groupBy("term").agg(F.count(F.lit(1)).alias("cf_raw"))
+    tgt = words_of(target).groupBy("term").agg(F.count(F.lit(1)).alias("cf_tgt"))
+    # union vocabulary: every term either model saw
+    vocab = raw.join(tgt, "term", "full").select(
+        "term",
+        F.coalesce(F.col("cf_raw"), F.lit(0)).alias("cf_raw"),
+        F.coalesce(F.col("cf_tgt"), F.lit(0)).alias("cf_tgt"),
+    )
+    scalars = vocab.select(
+        F.sum("cf_raw").alias("_Tr"),
+        F.sum("cf_tgt").alias("_Tt"),
+        F.count(F.lit(1)).alias("_V"),
+    )
+    k = float(smoothing_k)
+    loglift = F.log(
+        (F.col("cf_tgt") + F.lit(k))
+        / (F.col("_Tt") + F.lit(k) * (F.col("_V") + 1)).cast("double")
+    ) - F.log(
+        (F.col("cf_raw") + F.lit(k))
+        / (F.col("_Tr") + F.lit(k) * (F.col("_V") + 1)).cast("double")
+    )
+    return (
+        words_of(corpus)
+        .groupBy("_doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(vocab, "term")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("_doc")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * loglift) / F.sum("tf").cast("double"), 6
+            ).alias("avg_loglift"),
+        )
+        .select(F.col("_doc").alias(id_col), "n_tokens", "avg_loglift")
+    )

@@ -392,3 +392,72 @@ def q69_mixture_sample(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     samp = C.mixture_sample(docs, group_col="lang", key_col="doc_id", alpha=0.5, budget=100)
     return samp.select("doc_id", "lang", "keep_frac")
+
+
+# ----------------------------------------- LM-likelihood + DSIR weights
+
+_WORDS_DUCK = (
+    "list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')),"
+    " '[^a-z0-9]+', ' ', 'g')), ' '), s -> s != '')"
+)
+
+
+@query(
+    "q70_unigram_logprob",
+    f"""
+    WITH w AS (SELECT doc_id, unnest({_WORDS_DUCK}) AS term FROM documents),
+    model AS (SELECT term, count(*) AS cf FROM w GROUP BY 1),
+    s AS (SELECT sum(cf) AS T, count(*) AS V FROM model),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1,2)
+    SELECT doc_id, sum(tf) AS n_tokens,
+      round(sum(tf * -ln((cf + 0.5) / CAST(T + 0.5 * (V + 1) AS DOUBLE)))
+            / CAST(sum(tf) AS DOUBLE), 6) AS avg_nll
+    FROM tf JOIN model USING (term), s
+    GROUP BY doc_id
+    """,
+)
+def q70_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM-likelihood quality score, closed-form unigram
+    variant (corpus.unigram_logprob_score): mean negative log-prob of
+    each document's tokens under an add-0.5-smoothed unigram model fit
+    on the corpus itself. Two explode passes (model + scoring) joined
+    on the compact term key; T/V ride along as a 1-row broadcast. The
+    oracle re-derives model and scores in SQL."""
+    from capex_data_pipeline_spark.extensions import corpus as C
+
+    return C.unigram_logprob_score(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q71_importance_weights",
+    f"""
+    WITH w AS (SELECT doc_id, unnest({_WORDS_DUCK}) AS term FROM documents),
+    wt AS (SELECT doc_id, unnest({_WORDS_DUCK}) AS term FROM documents WHERE lang = 'en'),
+    raw AS (SELECT term, count(*) AS cf_raw FROM w GROUP BY 1),
+    tgt AS (SELECT term, count(*) AS cf_tgt FROM wt GROUP BY 1),
+    vocab AS (
+      SELECT coalesce(raw.term, tgt.term) AS term,
+             coalesce(cf_raw, 0) AS cf_raw, coalesce(cf_tgt, 0) AS cf_tgt
+      FROM raw FULL JOIN tgt ON raw.term = tgt.term
+    ),
+    s AS (SELECT sum(cf_raw) AS Tr, sum(cf_tgt) AS Tt, count(*) AS V FROM vocab),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1,2)
+    SELECT doc_id, sum(tf) AS n_tokens,
+      round(sum(tf * (ln((cf_tgt + 0.5) / CAST(Tt + 0.5 * (V + 1) AS DOUBLE))
+                   - ln((cf_raw + 0.5) / CAST(Tr + 0.5 * (V + 1) AS DOUBLE))))
+            / CAST(sum(tf) AS DOUBLE), 6) AS avg_loglift
+    FROM tf JOIN vocab USING (term), s
+    GROUP BY doc_id
+    """,
+)
+def q71_importance_weights(spark, sf_dir):
+    """DSIR-style importance weights (corpus.importance_weights): mean
+    per-token log-likelihood ratio between a target-domain unigram
+    model (here: the lang='en' slice as the domain exemplar) and the
+    raw corpus model, add-0.5-smoothed over the union vocabulary so
+    the ratio is always finite. High avg_loglift = looks like the
+    target domain. The oracle re-derives both models and the ratio."""
+    from capex_data_pipeline_spark.extensions import corpus as C
+
+    docs = _t(spark, sf_dir, "documents")
+    return C.importance_weights(docs, docs.filter(F.col("lang") == "en"))

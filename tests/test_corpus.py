@@ -345,3 +345,74 @@ def test_mixture_sample_small_group_keeps_everything(spark):
     assert counts["tiny"] == 5
     kept_frac = {r.grp: r.keep_frac for r in out.select("grp", "keep_frac").distinct().collect()}
     assert kept_frac["tiny"] == 1.0
+
+
+# ------------------------------------- LM likelihood + DSIR weights
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from capex_data_pipeline_spark.extensions.corpus import unigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # model: a×2 b×2 c×1, T=5, V=3 → denom = 5 + 0.5*4 = 7
+    rows = {r.doc_id: r for r in unigram_logprob_score(docs).collect()}
+    p = {"a": 2.5 / 7, "b": 2.5 / 7, "c": 1.5 / 7}
+    exp1 = -(2 * math.log(p["a"]) + math.log(p["b"])) / 3
+    exp2 = -(math.log(p["b"]) + math.log(p["c"])) / 2
+    assert rows[1].avg_nll == pytest.approx(round(exp1, 6))
+    assert rows[2].avg_nll == pytest.approx(round(exp2, 6))
+    assert (rows[1].n_tokens, rows[2].n_tokens) == (3, 2)
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark):
+    from capex_data_pipeline_spark.extensions.corpus import unigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(i, "common words here") for i in range(9)] + [(9, "zzyzx qwfp")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.avg_nll for r in unigram_logprob_score(docs).collect()}
+    assert rows[9] > rows[0]  # hapax-only doc is most surprising
+
+
+def test_unigram_logprob_excludes_empty_docs(spark):
+    from capex_data_pipeline_spark.extensions.corpus import unigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(1, "some text"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    assert [r.doc_id for r in unigram_logprob_score(docs).collect()] == [1]
+
+
+def test_importance_weights_favor_target_like_docs(spark):
+    from capex_data_pipeline_spark.extensions.corpus import importance_weights
+
+    corpus = spark.createDataFrame(
+        [(1, "finance stocks bonds"), (2, "cats dogs pets"),
+         (3, "finance bonds yield"), (4, "random words here")],
+        "doc_id long, text string",
+    )
+    target = corpus.filter("doc_id IN (1, 3)")  # the 'finance' domain
+    rows = {r.doc_id: r.avg_loglift for r in importance_weights(corpus, target).collect()}
+    # finance docs look like the target; pet/random docs do not
+    assert rows[1] > rows[2] and rows[3] > rows[4]
+    assert rows[1] > 0 > rows[2]
+
+
+def test_importance_weights_cover_all_corpus_tokens(spark):
+    from capex_data_pipeline_spark.extensions.corpus import importance_weights
+
+    corpus = spark.createDataFrame(
+        [(1, "only corpus words"), (2, "target style text")],
+        "doc_id long, text string",
+    )
+    target = corpus.filter("doc_id = 2")
+    rows = importance_weights(corpus, target).collect()
+    # doc 1's tokens never appear in the target — smoothing keeps the
+    # ratio finite and every doc scored
+    assert sorted(r.doc_id for r in rows) == [1, 2]
+    assert all(r.avg_loglift is not None for r in rows)
