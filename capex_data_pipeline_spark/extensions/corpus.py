@@ -485,7 +485,14 @@ def unigram_logprob_score(
             ).alias("term"),
         )
 
-    model = words_of(corpus).groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    from capex_data_pipeline_spark.cache import persisted
+
+    # vocab-sized with two consumers (scalar aggregate + scoring join)
+    # — persisted per the SCALE.md ledger rule; without it the whole
+    # model explode+aggregate runs twice (a third corpus scan)
+    model = persisted(
+        words_of(corpus).groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    )
     scalars = model.select(
         F.sum("cf").alias("_T"), F.count(F.lit(1)).alias("_V")
     )
@@ -552,13 +559,20 @@ def importance_weights(
             ).alias("term"),
         )
 
+    from capex_data_pipeline_spark.cache import persisted
+
     raw = words_of(corpus).groupBy("term").agg(F.count(F.lit(1)).alias("cf_raw"))
     tgt = words_of(target).groupBy("term").agg(F.count(F.lit(1)).alias("cf_tgt"))
-    # union vocabulary: every term either model saw
-    vocab = raw.join(tgt, "term", "full").select(
-        "term",
-        F.coalesce(F.col("cf_raw"), F.lit(0)).alias("cf_raw"),
-        F.coalesce(F.col("cf_tgt"), F.lit(0)).alias("cf_tgt"),
+    # union vocabulary: every term either model saw; vocab-sized with
+    # two consumers (scalar aggregate + scoring join) — persisted per
+    # the SCALE.md ledger rule, saving a full re-derivation of both
+    # models (two extra corpus/target scans)
+    vocab = persisted(
+        raw.join(tgt, "term", "full").select(
+            "term",
+            F.coalesce(F.col("cf_raw"), F.lit(0)).alias("cf_raw"),
+            F.coalesce(F.col("cf_tgt"), F.lit(0)).alias("cf_tgt"),
+        )
     )
     scalars = vocab.select(
         F.sum("cf_raw").alias("_Tr"),
