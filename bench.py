@@ -59,6 +59,13 @@ HEADLINE = [
     "q52_session_window",
     "q53_user_activity",
     "q93_fn_enrichment",
+    # round-6 corpus-curation additions: the repetition explode+agg,
+    # semantic dedup's cluster self-join, tf-idf's two-level aggregate
+    # + vocab join, and the LM-likelihood two-pass score
+    "q64_repetition_metrics",
+    "q67_semantic_dedup",
+    "q68_tfidf_topk",
+    "q70_unigram_logprob",
 ]
 
 
