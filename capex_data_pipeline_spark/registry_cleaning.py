@@ -461,3 +461,90 @@ def q71_importance_weights(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return C.importance_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+# --------------------------------- semi-structured + profile analytics
+
+
+@query(
+    "q72_json_props_stats",
+    r"""
+    WITH aug AS (
+      SELECT event_type,
+             CASE WHEN event_id % 9 = 0 THEN replace(props, ':', ';') ELSE props END AS props
+      FROM events
+    ), p AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN CAST(json_extract(props, '$.k') AS INT) END AS k
+      FROM aug
+    )
+    SELECT event_type, count(*) AS n, count(k) AS n_parsed,
+           sum(k) AS sum_k, round(avg(k), 4) AS avg_k, max(k) AS max_k
+    FROM p GROUP BY 1
+    """,
+)
+def q72_json_props_stats(spark, sf_dir):
+    """Schema-on-read over the semi-structured events.props JSON
+    column: from_json with an explicit schema (PERMISSIVE null on
+    malformed input), then per-event-type aggregates including the
+    parse success count. Every ninth event's props is deterministically
+    corrupted (':' -> ';', invalid JSON in any parser - Spark's Jackson
+    accepts trailing garbage, so an append-corruption would not
+    exercise the path) so the malformed-tolerance path does real work
+    (the oracle gates on json_valid, DuckDB's PERMISSIVE equivalent).
+    All JVM-native: one projection + one hash aggregate on the tiny
+    event_type key."""
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    aug = ev.select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 9 == 0, F.replace(F.col("props"), F.lit(":"), F.lit(";"))
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    parsed = aug.select(
+        "event_type", F.from_json(F.col("props"), "k INT")["k"].alias("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("k").alias("n_parsed"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@query(
+    "q73_length_percentiles",
+    r"""
+    SELECT lang, count(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def q73_length_percentiles(spark, sf_dir):
+    """Corpus profile: exact interpolated length percentiles per
+    language (Spark's percentile == DuckDB's quantile_cont, both
+    linear interpolation) plus min/max — the distribution summary a
+    curation pass reads before choosing chunking and filter
+    thresholds. For 100 TB the same query swaps percentile for
+    percentile_approx (t-digest, single-pass mergeable sketch) — the
+    exact form is the oracle-checkable one."""
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
