@@ -548,3 +548,39 @@ def q73_length_percentiles(spark, sf_dir):
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# ------------------------------------------------------- as-of join
+
+
+@query(
+    "q74_asof_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts, value AS purchase_value
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, value AS click_value
+          FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+           c.click_value AS click_value_asof, c.ts AS ts_asof
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q74_asof_join(spark, sf_dir):
+    """Backward-inclusive as-of join (extensions/asof.py): every
+    purchase event gets the latest same-user click at-or-before it —
+    the point-in-time lookup Spark lacks as a primitive, composed as
+    union + one running last(ignore nulls) window (one shuffle on the
+    key, linear state, no range-join row explosion). The oracle is
+    DuckDB's NATIVE ASOF LEFT JOIN — an independent engine's built-in
+    implementation of the same semantics, nulls and all."""
+    from capex_data_pipeline_spark.extensions.asof import asof_join
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    return asof_join(purchases, clicks, on="user_id", time_col="ts")

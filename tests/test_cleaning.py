@@ -280,3 +280,59 @@ def test_semantic_dedup_kmeans_mode_runs(spark):
 def test_semantic_dedup_unknown_mode_raises(spark):
     with pytest.raises(ValueError, match="centers_mode"):
         _run_semdedup(spark, {0: [1.0, 0.0]}, n_clusters=1, centers_mode="bogus")
+
+
+# ---------------------------------------------------- as-of join
+
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 20.0), (2, 150, 30.0), (3, 50, 40.0)],
+        "k long, t long, lv double",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 1.0), (1, 100, 2.0), (1, 180, 3.0), (2, 149, 4.0), (2, 151, 5.0)],
+        "k long, t long, rv double",
+    )
+    return left, right
+
+
+def test_asof_join_backward_inclusive(spark):
+    from capex_data_pipeline_spark.extensions.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    out = {(r.k, r.t): (r.rv_asof, r.t_asof)
+           for r in asof_join(left, right, on="k", time_col="t").collect()}
+    assert out[(1, 100)] == (2.0, 100)   # equal time matches (inclusive)
+    assert out[(1, 200)] == (3.0, 180)   # latest preceding, not first
+    assert out[(2, 150)] == (4.0, 149)   # 151 is in the future → skipped
+    assert out[(3, 50)] == (None, None)  # no right rows for key 3
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    from capex_data_pipeline_spark.extensions.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    out = {(r.k, r.t): r.rv_asof
+           for r in asof_join(left, right, on="k", time_col="t",
+                              tolerance_seconds=5).collect()}
+    assert out[(1, 100)] == 2.0    # exact-time match is 0 old
+    assert out[(1, 200)] is None   # 180 is 20 > 5 stale
+    assert out[(2, 150)] == 4.0    # 1 old
+
+
+def test_asof_join_rejects_output_column_clash(spark):
+    from capex_data_pipeline_spark.extensions.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    with pytest.raises(ValueError, match="rv_asof"):
+        asof_join(left.withColumn("rv_asof", F.lit(0)), right, on="k", time_col="t")
+
+
+def test_asof_join_explicit_value_cols_subset(spark):
+    from capex_data_pipeline_spark.extensions.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    right2 = right.withColumn("extra", F.lit("x"))
+    out = asof_join(left, right2, on="k", time_col="t", value_cols=["rv"])
+    assert "extra_asof" not in out.columns and "rv_asof" in out.columns
