@@ -760,3 +760,138 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def _banded_minhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    k: int,
+    persist: bool = False,
+) -> DataFrame:
+    """(id, sig, band, bhash) rows — the signature + banding projection
+    shared by the self-join and incremental near-dup paths.  Same math
+    as ``minhash_near_dups`` (md5-seeded shingle minima, per-band md5
+    of the signature slice).  ``persist`` only when the caller consumes
+    the frame more than once (the self-join case)."""
+    rows_per_band = num_hashes // bands
+
+    def seeded(i: int):
+        prefix = f"{i}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    sig = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+        .withColumn("_sh", _shingles_expr("_t", k))
+        .select(
+            "id",
+            F.array(
+                *[
+                    F.array_min(F.transform(F.col("_sh"), seeded(i)))
+                    for i in range(num_hashes)
+                ]
+            ).alias("sig"),
+        )
+    )
+    if persist:
+        sig = persisted(sig)
+    return sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(
+                                    F.col("sig"), b * rows_per_band + 1, rows_per_band
+                                ),
+                                "|",
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "id", "sig", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash")
+    )
+
+
+def minhash_near_dups_incremental(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int | None = DEFAULT_BANDS,
+    k: int = DEFAULT_SHINGLE_K,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    cap_stats: dict | None = None,
+) -> DataFrame:
+    """Incremental near-dedup: find near-duplicates of a NEW batch
+    against an EXISTING corpus index — the daily-crawl shape, where
+    re-self-joining the whole corpus per increment would redo ~all the
+    work for a sliver of new pairs.
+
+    Candidates come from a BIPARTITE band join (new × index) instead of
+    the self-join: cost scales with the new batch's bucket collisions,
+    not the index size, and the index side's (band, bhash, sig) rows
+    are exactly what ``_banded_minhash`` computes — in a real pipeline
+    they are computed once at ingest and stored as the persistent
+    index; re-deriving them here from the index corpus keeps the
+    operator closed-form (and the oracle exact).  Same signature math
+    and S-curve recall as ``minhash_near_dups``.
+
+    Returns (new_id, index_id, est_jaccard) with estimate ≥ threshold.
+    New-vs-new duplicates are NOT reported (run ``minhash_near_dups``
+    on the batch for those); an id in both frames never pairs with
+    itself.  ``max_bucket_size`` caps INDEX-side buckets (degenerate
+    buckets live in the accumulated index; ``cap_stats`` reports drops,
+    no-silent-caps).
+    """
+    if bands is None:
+        bands = banding_for_threshold(num_hashes, threshold)
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+
+    nb = _banded_minhash(new_docs, text_col, id_col, num_hashes, bands, k)
+    ib = _banded_minhash(index_docs, text_col, id_col, num_hashes, bands, k)
+    if max_bucket_size is not None:
+        ib = _cap_buckets(ib, ["band", "bhash"], max_bucket_size, cap_stats)
+
+    pairs = (
+        nb.alias("n")
+        .join(
+            ib.alias("i"),
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bhash") == F.col("i.bhash"))
+            & (F.col("n.id") != F.col("i.id")),
+        )
+        .select(
+            F.col("n.id").alias("new_id"),
+            F.col("i.id").alias("index_id"),
+            F.col("n.sig").alias("sig_a"),
+            F.col("i.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return pairs.select(
+        "new_id", "index_id", F.round(est, 4).alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= threshold)

@@ -584,3 +584,56 @@ def q74_asof_join(spark, sf_dir):
         "user_id", "ts", F.col("value").alias("click_value")
     )
     return asof_join(purchases, clicks, on="user_id", time_col="ts")
+
+
+# --------------------------------------------- incremental near-dedup
+
+_NORM_D = "trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g'))"
+_WORDS_D = f"string_split({_NORM_D}, ' ')"
+_SHINGLES_D = f"""
+  list_distinct(CASE WHEN len({_WORDS_D}) < 3
+    THEN [array_to_string({_WORDS_D}, ' ')]
+    ELSE list_transform(range(1, len({_WORDS_D}) - 1),
+                        i -> array_to_string(({_WORDS_D})[i:i+2], ' '))
+  END)
+"""
+
+
+@query(
+    "q75_incremental_neardup",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 8),
+               i -> list_min(list_transform({_SHINGLES_D}, s -> md5(i || '|' || s)))) AS sig
+      FROM documents
+    ), banded AS (
+      SELECT doc_id, sig, b,
+             md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS bhash
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) bands
+    )
+    SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id,
+           round(len(list_filter(range(1, 9), j -> n.sig[j] = i.sig[j])) / 8.0, 4)
+             AS est_jaccard
+    FROM banded n JOIN banded i
+      ON n.b = i.b AND n.bhash = i.bhash AND n.doc_id <> i.doc_id
+    WHERE n.doc_id % 10 = 0 AND i.doc_id % 10 <> 0
+      AND len(list_filter(range(1, 9), j -> n.sig[j] = i.sig[j])) / 8.0 >= 0.5
+    """,
+)
+def q75_incremental_neardup(spark, sf_dir):
+    """Incremental near-dedup (dedup.minhash_near_dups_incremental):
+    the 'today's batch vs accumulated index' shape — docs with
+    doc_id % 10 = 0 play the new batch, the rest the index. Bipartite
+    band join instead of a corpus self-join, so cost scales with the
+    batch, not the index. Identical signature math to q31; the oracle
+    re-derives both sides' signatures and the bipartite candidate
+    join in SQL."""
+    from capex_data_pipeline_spark.extensions import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    index = docs.filter(F.col("doc_id") % 10 != 0)
+    return DD.minhash_near_dups_incremental(
+        new, index, num_hashes=8, bands=4, threshold=0.5
+    )

@@ -670,3 +670,76 @@ def test_decode_bmp_rejects_invalid_bpp():
     struct.pack_into("<H", corrupt, 28, 0)
     with pytest.raises(ValueError, match="bits-per-pixel"):
         decode_bmp(bytes(corrupt))
+
+
+# ------------------------------------------- incremental near-dedup
+
+
+def test_incremental_neardup_finds_index_matches_only(spark):
+    from capex_data_pipeline_spark.extensions.dedup import (
+        minhash_near_dups,
+        minhash_near_dups_incremental,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    index = spark.createDataFrame(
+        [(1, base), (2, "completely different content about spark shuffles")],
+        "doc_id long, text string",
+    )
+    # new batch: 10 is a near-dup of index doc 1; 11/12 are near-dups
+    # of each other but of nothing in the index
+    new = spark.createDataFrame(
+        [
+            (10, base + " ok"),
+            (11, "unrelated novel text payload alpha beta gamma delta"),
+            (12, "unrelated novel text payload alpha beta gamma epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.new_id, r.index_id)
+        for r in minhash_near_dups_incremental(
+            new, index, num_hashes=8, bands=4, threshold=0.5
+        ).collect()
+    }
+    assert (10, 1) in pairs
+    # new-vs-new pairs are NOT the incremental operator's job ...
+    assert not any(a in (11, 12) and b in (11, 12) for a, b in pairs)
+    # ... but the batch self-join finds them
+    self_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dups(
+            new, num_hashes=8, bands=4, threshold=0.5
+        ).collect()
+    }
+    assert (11, 12) in self_pairs
+
+
+def test_incremental_neardup_shared_id_never_self_pairs(spark):
+    from capex_data_pipeline_spark.extensions.dedup import (
+        minhash_near_dups_incremental,
+    )
+
+    doc = [(5, "same text appears in both frames word for word exactly")]
+    new = spark.createDataFrame(doc, "doc_id long, text string")
+    index = spark.createDataFrame(doc, "doc_id long, text string")
+    assert minhash_near_dups_incremental(new, index).count() == 0
+
+
+def test_incremental_neardup_index_bucket_cap_reports_drops(spark):
+    from capex_data_pipeline_spark.extensions.dedup import (
+        minhash_near_dups_incremental,
+    )
+
+    same = "identical boilerplate text shared by every index document here"
+    index = spark.createDataFrame(
+        [(i, same) for i in range(1, 7)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(100, same)], "doc_id long, text string")
+    stats = {}
+    out = minhash_near_dups_incremental(
+        new, index, num_hashes=8, bands=4, threshold=0.5,
+        max_bucket_size=2, cap_stats=stats,
+    )
+    assert out.count() == 0  # the whole degenerate bucket was excluded
+    assert stats["excluded_rows"] > 0 and stats["excluded_buckets"] > 0
