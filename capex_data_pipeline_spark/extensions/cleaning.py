@@ -257,3 +257,126 @@ def repetition_metrics(
         frac(F.col("_dl.rows"), F.col("_nl")).alias("dup_line_frac"),
         frac(F.col("_dl.chars"), F.col("_lchars")).alias("dup_line_char_frac"),
     )
+
+
+# --- cross-document line dedup (RefinedWeb-style) ----------------------
+
+
+def crossdoc_line_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_line_chars: int = 8,
+) -> DataFrame:
+    """Corpus-level boilerplate removal: a line (trimmed, exact match)
+    that appears in ``min_docs``+ DISTINCT documents is boilerplate
+    (nav bars, cookie banners, footers) and is removed from every
+    document carrying it.  Lines shorter than ``min_line_chars`` are
+    exempt — short fragments ("Home", "") collide by chance and
+    removing them mangles prose.  This is the cross-document line
+    dedup of RefinedWeb/C4 lineage — unlike :func:`clean_lines` (a
+    per-document projection) it requires corpus-wide state.
+
+    Returns one row per document: ``cleaned`` (surviving lines joined
+    with newlines, original order), ``n_lines``, ``n_removed``.
+
+    Scale shape: posexplode lines → aggregate distinct-doc counts on
+    the line string (two-level partial agg; the shuffle key is the
+    line itself, high-cardinality) → broadcast-UNfriendly join back on
+    the same key (plain shuffle equi-join; boilerplate table ≪ line
+    table) → regroup per document via sort_array(collect_list(struct)).
+    Three shuffles total, each on compact keys, linear end to end —
+    never materializes a pairwise comparison.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(F.split(_text(F.col(text_col)), r"\n")).alias(
+            "_pos", "_line"
+        ),
+    ).select("_doc", "_pos", "_line", F.trim(F.col("_line")).alias("_key"))
+    eligible = F.length(F.col("_key")) >= min_line_chars
+    boiler = (
+        lines.filter(eligible)
+        .groupBy("_key")
+        .agg(F.countDistinct("_doc").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_key", F.lit(True).alias("_boiler"))
+    )
+    tagged = lines.join(boiler, "_key", "left").select(
+        "_doc",
+        "_pos",
+        "_line",
+        (F.col("_boiler").isNotNull() & eligible).alias("_rm"),
+    )
+    return (
+        tagged.groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("_rm").cast("int")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_rm"),
+                                F.struct(F.col("_pos"), F.col("_line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("_line"),
+                ),
+                "\n",
+            ).alias("cleaned"),
+        )
+        .select(F.col("_doc").alias(id_col), "cleaned", "n_lines", "n_removed")
+    )
+
+
+# --- unicode normalization (NFC/NFD/NFKC/NFKD) -------------------------
+
+
+def normalize_unicode(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode-normalize the text column — the canonicalization pass a
+    training pipeline runs before ANY hashing/dedup step, because
+    byte-distinct but canonically-equal sequences (``e`` + COMBINING
+    ACUTE vs precomposed ``é``) otherwise defeat exact AND near dedup.
+
+    Spark SQL has no normalization builtin, so this is the documented
+    slow-path done right: a scalar Arrow-batched pandas UDF over
+    ``unicodedata.normalize`` — map-only, no shuffle, vectorized
+    transfer; the interpreter cost is one .map per batch.  Returns
+    ``(id, text_norm, changed, n_chars_before, n_chars_after)`` —
+    ``changed`` is the audit signal (fraction of docs not already in
+    the target form).
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"normalize_unicode: unknown form {form!r}")
+    import pandas as pd  # noqa: F401 (signature contract)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):  # pd.Series -> pd.Series (hints omitted: local scope)
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    txt = _text(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        txt.alias("_orig"),
+        _norm(txt).alias("text_norm"),
+    ).select(
+        id_col,
+        "text_norm",
+        (F.col("text_norm") != F.col("_orig")).alias("changed"),
+        F.length("_orig").alias("n_chars_before"),
+        F.length("text_norm").alias("n_chars_after"),
+    )

@@ -1,0 +1,209 @@
+"""Time-series relational operators Spark lacks as primitives: a
+bounded interval ("range") join and grid resampling with forward fill.
+
+``range_join`` — for every left row, all right rows of the same key
+whose time falls in ``[left_t + lower, left_t + upper]`` seconds.  The
+naive formulation (equi-join on key + theta filter on time) makes
+Spark shuffle *every* same-key pair before filtering — O(n_k · m_k)
+per key, which is exactly what explodes on hot keys at 100 TB.  This
+operator instead quantizes time into bins of width ``upper - lower``:
+each right row lands in exactly one ``(key, bin)`` bucket, each left
+row's window overlaps at most TWO adjacent bins, so the left side is
+exploded to ≤ 2 rows and the join becomes a plain equi-join on the
+compound ``(key, bin)`` key with an exact range filter after.  Pair
+work collapses from all same-key pairs to only near-in-time pairs, and
+the compound key also spreads one hot key's traffic across its time
+bins (a free partial skew fix; AQE handles the rest).  This is the
+standard bucketed interval-join construction (cf. Spark's own
+stream-stream interval join, which bounds state the same way).
+
+``resample_ffill`` — per key, aggregate onto a fixed step grid between
+the key's first and last observation and carry the last observed value
+forward into empty cells (gap filling).  Grid generation is
+``sequence()`` + ``explode`` (distributed, no driver loop); the fill is
+ONE ``last(ignore nulls)`` running window per key.  Cost is linear in
+emitted grid cells: step × span define the expansion, so callers
+choose the densification they can afford; a ``max_span_steps`` guard
+refuses accidental million-cell keys (no silent explosion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_EPOCH = "_ts_epoch"
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    lower: float = -3600.0,
+    upper: float = 0.0,
+    suffix: str = "_r",
+    how: str = "inner",
+) -> DataFrame:
+    """Binned interval join: left rows × same-``on`` right rows with
+    ``right_time - left_time`` in ``[lower, upper]`` seconds (both
+    inclusive).  ``how`` is ``'inner'`` or ``'left'`` (left keeps
+    matchless rows with null right columns).
+
+    Right columns other than ``on`` come back suffixed.  The bin width
+    is ``upper - lower`` so each left window spans at most 2 bins; the
+    underlying join is an equi-join on ``(on, bin)``.
+    """
+    if upper <= lower:
+        raise ValueError(f"range_join: need upper > lower, got [{lower}, {upper}]")
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join: how must be 'inner' or 'left', not {how!r}")
+    width = float(upper - lower)
+
+    r_vals = [c for c in right.columns if c != on]
+    clash = [f"{c}{suffix}" for c in r_vals if f"{c}{suffix}" in left.columns]
+    if clash:
+        raise ValueError(
+            f"range_join: left already carries output column(s) {clash} — "
+            "rename them or pass a different suffix"
+        )
+
+    lt = F.col(left_time).cast("timestamp").cast("double")
+    rt = F.col(right_time).cast("timestamp").cast("double")
+
+    # each right row sits in exactly one bin of its own time
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.floor(rt / width).alias("_bin"),
+        rt.alias("_rt"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in r_vals],
+    )
+    # each left row probes every bin its [lt+lower, lt+upper] window
+    # touches — ≤ 2 consecutive bins by construction; a right row is in
+    # exactly one bin, so no (left, right) pair can meet twice and no
+    # post-join dedup is needed
+    base = left.select("*", F.monotonically_increasing_id().alias("_lid"))
+    if how == "left":
+        # the row id feeds BOTH the probe side and the anti-join side;
+        # persist so both branches observe one materialization (ids are
+        # stable per partition layout, not across recomputations)
+        from capex_data_pipeline_spark.cache import persisted
+
+        base = persisted(base)
+    l = base.select(
+        "*",
+        lt.alias("_lt"),
+        F.explode(
+            F.sequence(
+                F.floor((lt + F.lit(lower)) / width),
+                F.floor((lt + F.lit(upper)) / width),
+            )
+        ).alias("_bin"),
+    )
+    exact = (F.col("_rt") >= F.col("_lt") + F.lit(lower)) & (
+        F.col("_rt") <= F.col("_lt") + F.lit(upper)
+    )
+    matched = (
+        l.join(r, (l[on] == r["_k"]) & (l["_bin"] == r["_bin"]), "inner")
+        .filter(exact)
+        .select(*left.columns, "_lid", *[f"{c}{suffix}" for c in r_vals])
+    )
+    if how == "inner":
+        return matched.drop("_lid")
+    # left join = inner matches + anti-joined matchless left rows with
+    # null right columns (the row id keeps duplicate left rows distinct)
+    matchless = base.join(
+        matched.select("_lid"), "_lid", "left_anti"
+    ).select(
+        *left.columns,
+        "_lid",
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+            for c in r_vals
+        ],
+    )
+    return matched.unionByName(matchless).drop("_lid")
+
+
+def resample_ffill(
+    df: DataFrame,
+    on: str,
+    time_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 3600,
+    max_span_steps: int = 1_000_000,
+) -> DataFrame:
+    """Per-``on`` fixed-grid resample + forward fill.
+
+    Emits one row per ``(on, cell)`` for every ``step_seconds`` cell
+    from the key's first observation's cell to its last, with:
+
+    - ``n_obs``   — observations landing in the cell (0 for gaps)
+    - ``value_last`` — last observation in the cell by (time, value)
+      order, carried FORWARD into empty cells (never null: the first
+      grid cell always contains the key's first observation)
+    - ``filled`` — true where the cell had no observation
+
+    Keys whose span exceeds ``max_span_steps`` cells raise (no silent
+    row explosion; widen the step or raise the guard deliberately).
+    """
+    ep = F.col(time_col).cast("timestamp").cast("double")
+    cell = (F.floor(ep / step_seconds) * step_seconds).cast("long")
+    # max_by(value, (epoch, value)) — deterministic under time ties
+    per_cell = (
+        df.select(
+            F.col(on).alias("_k"),
+            cell.alias("_cell"),
+            ep.alias("_ep"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("_k", "_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.expr("max_by(_v, struct(_ep, _v))").alias("_cell_last"),
+        )
+    )
+    # three consumers (guard action, grid spans, final join) — persist
+    # once so the raw-scan + aggregation runs a single time
+    from capex_data_pipeline_spark.cache import persisted
+
+    per_cell = persisted(per_cell)
+    spans = per_cell.groupBy("_k").agg(
+        F.min("_cell").alias("_c0"), F.max("_cell").alias("_c1")
+    )
+    guard = spans.filter(
+        (F.col("_c1") - F.col("_c0")) / step_seconds >= max_span_steps
+    )
+    offending = guard.limit(1).collect()
+    if offending:
+        row = offending[0]
+        raise ValueError(
+            f"resample_ffill: key {row['_k']!r} spans more than "
+            f"{max_span_steps} steps of {step_seconds}s — raise "
+            "max_span_steps explicitly if this densification is intended"
+        )
+    grid = spans.select(
+        "_k",
+        F.explode(
+            F.sequence(F.col("_c0"), F.col("_c1"), F.lit(step_seconds))
+        ).alias("_cell"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_cell")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per_cell, ["_k", "_cell"], "left")
+        .select(
+            F.col("_k").alias(on),
+            F.timestamp_seconds(F.col("_cell")).alias("cell_ts"),
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+            F.last(F.col("_cell_last"), ignorenulls=True)
+            .over(w)
+            .alias("value_last"),
+            F.col("n_obs").isNull().alias("filled"),
+        )
+    )

@@ -29,21 +29,25 @@ for name, fn in qs.items():
     if name not in os_:
         print(f"{name}: NO-ORACLE rows={len(srows)}")
         continue
-    ores = con.execute(os_[name]).fetchdf()
-    ocols = sorted(ores.columns.tolist())
+    # native fetch (NOT fetchdf): DuckDB returns None for SQL NULL, so
+    # nullable doubles/timestamps don't get coerced to NaN/NaT by pandas
+    ocur = con.execute(os_[name])
+    onames = [d[0] for d in ocur.description]
+    orows = ocur.fetchall()
+    ocols = sorted(onames)
     ok_schema = [c.lower() for c in scols] == [c.lower() for c in ocols]
     # order-insensitive value compare
     def norm(v):
-        import math, datetime
+        import math, datetime, decimal
         if v is None: return 'NULL'
+        if isinstance(v, decimal.Decimal): v = float(v)
         if isinstance(v, float):
             if math.isnan(v): return 'NaN'
             return f"{v:.6g}"
         if isinstance(v, (datetime.date, datetime.datetime)): return str(v)
         return str(v)
     sset = sorted(tuple(norm(r[c]) for c in scols) for r in (row.asDict() for row in srows))
-    import pandas as pd
-    odicts = ores.to_dict('records')
+    odicts = [dict(zip(onames, r)) for r in orows]
     oset = sorted(tuple(norm(r[c2]) for c2 in ocols) for r in odicts)
     ok_vals = sset == oset
     status = 'OK' if (ok_schema and ok_vals and len(srows) == len(odicts)) else 'MISMATCH'
