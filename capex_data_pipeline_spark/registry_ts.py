@@ -1,0 +1,222 @@
+"""Round-7 driver queries: cross-document line dedup, binned range
+join, grid resample + forward fill, and unicode normalization.
+
+Same contract as ``registry``: every entry pairs the Spark operator
+with a full DuckDB oracle restating the semantics independently
+(including any deterministic augmentation of the synthetic corpus, so
+the operators are exercised on non-degenerate inputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from capex_data_pipeline_spark.registry import _t, query
+from capex_data_pipeline_spark.registry_cleaning import (
+    _LINE_AUG_SQL,
+    _line_augmented,
+)
+
+# ------------------------------------------- cross-document line dedup
+
+
+@query(
+    "q76_crossdoc_lines",
+    f"""
+    WITH aug AS ({_LINE_AUG_SQL}),
+    ex AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(string_split(t, chr(10))) + 1),
+               i -> {{'pos': i, 'line': string_split(t, chr(10))[i]}})) AS e
+      FROM aug
+    ), lines AS (
+      SELECT doc_id, e.pos AS pos, e.line AS line, trim(e.line) AS key FROM ex
+    ), boiler AS (
+      SELECT key FROM lines WHERE len(key) >= 8
+      GROUP BY key HAVING count(DISTINCT doc_id) >= 2
+    ), tagged AS (
+      SELECT l.doc_id, l.pos, l.line,
+             (b.key IS NOT NULL AND len(l.key) >= 8) AS rm
+      FROM lines l LEFT JOIN boiler b ON l.key = b.key
+    )
+    SELECT doc_id,
+           md5(coalesce(string_agg(CASE WHEN NOT rm THEN line END,
+                                   chr(10) ORDER BY pos), '')) AS cleaned_md5,
+           count(*) AS n_lines,
+           sum(CASE WHEN rm THEN 1 ELSE 0 END) AS n_removed
+    FROM tagged GROUP BY doc_id
+    """,
+)
+def q76_crossdoc_lines(spark, sf_dir):
+    """RefinedWeb-style corpus-level boilerplate removal
+    (cleaning.crossdoc_line_stats): a trimmed line appearing in 2+
+    DISTINCT documents is removed from all of them (lines under 8
+    chars exempt). The augmentation plants the same 2-line boilerplate
+    block in every even doc, so the operator removes real cross-doc
+    duplicates while per-doc unique lines survive. Cleaned text is
+    compared by md5 to keep the frame compact."""
+    from capex_data_pipeline_spark.extensions.cleaning import crossdoc_line_stats
+
+    aug = _line_augmented(_t(spark, sf_dir, "documents"))
+    out = crossdoc_line_stats(aug, text_col="t", min_docs=2, min_line_chars=8)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("cleaned")).alias("cleaned_md5"),
+        "n_lines",
+        "n_removed",
+    )
+
+
+# --------------------------------------------------- binned range join
+
+
+@query(
+    "q77_range_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, count(*) AS n_clicks,
+           round(sum(c.value), 4) AS click_value_sum
+    FROM p JOIN c ON p.user_id = c.user_id
+     AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+     AND epoch_us(c.ts) <= epoch_us(p.ts)
+    GROUP BY 1, 2
+    """,
+)
+def q77_range_join(spark, sf_dir):
+    """Bounded interval join (extensions/timeseries.range_join): for
+    every purchase, all same-user clicks in the preceding hour,
+    aggregated to a per-purchase count + value sum. The operator
+    quantizes time into window-width bins so the plan is a plain
+    equi-join on (user, bin) with <=2 probe rows per purchase — never
+    the all-same-user-pairs theta join the naive formulation shuffles.
+    The oracle IS that naive formulation, in DuckDB."""
+    from capex_data_pipeline_spark.extensions.timeseries import range_join
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = range_join(
+        purchases, clicks, on="user_id", lower=-3600, upper=0, suffix="_c"
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("value_c"), 4).alias("click_value_sum"),
+    )
+
+
+# ------------------------------------------- grid resample + gap fill
+
+
+@query(
+    "q79_resample_ffill",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / 1000000.0 / 21600) * 21600 AS BIGINT)
+               AS cell,
+             ts, value
+      FROM events
+    ), pc AS (
+      SELECT user_id, cell, count(*) AS n_obs,
+             (list(value ORDER BY epoch_us(ts) DESC, value DESC))[1]
+               AS cell_last
+      FROM e GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, min(cell) AS c0, max(cell) AS c1 FROM pc GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(range(c0, c1 + 1, 21600)) AS cell FROM spans
+    ), j AS (
+      SELECT g.user_id, g.cell, coalesce(pc.n_obs, 0) AS n_obs,
+             pc.cell_last, pc.n_obs IS NULL AS filled
+      FROM grid g LEFT JOIN pc ON g.user_id = pc.user_id AND g.cell = pc.cell
+    )
+    SELECT user_id, cell AS cell_s, n_obs,
+           round(last_value(cell_last IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY cell), 4) AS value_last,
+           filled
+    FROM j
+    """,
+)
+def q79_resample_ffill(spark, sf_dir):
+    """Fixed-grid resample + forward fill
+    (extensions/timeseries.resample_ffill): every user's event stream
+    densified onto a 6-hour grid between their first and last
+    observation, empty cells carrying the last observed value forward
+    — the gap-filling pass feature pipelines run before windowed
+    training-feature extraction. Grid emission is sequence()+explode
+    (distributed); the fill is one running last(ignore nulls) window;
+    a span guard refuses accidental million-cell keys."""
+    from capex_data_pipeline_spark.extensions.timeseries import resample_ffill
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    out = resample_ffill(
+        ev, on="user_id", time_col="ts", value_col="value", step_seconds=21600
+    )
+    return out.select(
+        "user_id",
+        F.col("cell_ts").cast("long").alias("cell_s"),
+        "n_obs",
+        F.round("value_last", 4).alias("value_last"),
+        "filled",
+    )
+
+
+# ---------------------------------------------- unicode normalization
+
+#: decomposed marker planted on every 3rd doc: 'e' + COMBINING ACUTE —
+#: byte-distinct from precomposed é but canonically equal after NFC
+_DECOMPOSED = " cafe\u0301 creme\u0300"
+
+
+@query(
+    "q80_unicode_normalize",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+        text || CASE WHEN doc_id % 3 = 0
+          THEN ' cafe' || chr(769) || ' creme' || chr(768) ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(nfc_normalize(t)) AS norm_md5,
+           (nfc_normalize(t) != t) AS changed,
+           len(t) AS n_chars_before,
+           len(nfc_normalize(t)) AS n_chars_after
+    FROM aug
+    """,
+)
+def q80_unicode_normalize(spark, sf_dir):
+    """Unicode NFC canonicalization (cleaning.normalize_unicode, the
+    documented Arrow-pandas-UDF slow path — Spark SQL has no
+    normalization builtin): every 3rd doc gains a decomposed
+    e+COMBINING-ACUTE sequence, the operator recomposes it, and the
+    oracle replays it with DuckDB's independent nfc_normalize. md5 of
+    the normalized text pins byte-exact output; changed/char-count
+    columns pin the audit signals."""
+    from capex_data_pipeline_spark.extensions.cleaning import normalize_unicode
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_DECOMPOSED)).otherwise(
+                F.lit("")
+            ),
+        ).alias("t"),
+    )
+    out = normalize_unicode(docs, text_col="t")
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text_norm")).alias("norm_md5"),
+        "changed",
+        "n_chars_before",
+        "n_chars_after",
+    )

@@ -251,14 +251,14 @@ def test_clear_pipeline_cache_releases_memoized_runs(spark):
 def test_driver_contract_registry_invariants():
     """Pin the driver-contract shape: exactly 70 registered queries
     (50 at the round-3 consolidation; q38 + q44-q49 corpus-prep, then
-    q63-q75 cleaning/curation/as-of/incremental families), a full
+    q63-q80 cleaning/curation/temporal/unicode families), a full
     value-exact oracle for EVERY query (no rows-only fallbacks), and
     every bench headline drawn from the registry."""
     import __spark_entry__ as E
     import bench
 
     qs, oracles = E.queries(), E.oracle_sql()
-    assert len(qs) == 70
+    assert len(qs) == 74
     assert set(oracles) == set(qs)
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
     assert set(bench.HEADLINE) <= set(qs)
