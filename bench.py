@@ -66,6 +66,11 @@ HEADLINE = [
     "q67_semantic_dedup",
     "q68_tfidf_topk",
     "q70_unigram_logprob",
+    # round-7 temporal/corpus additions: the cross-document line dedup
+    # (3-shuffle explode+agg+regroup) and the grid resample (sequence
+    # explode + running-fill window over 100k events)
+    "q76_crossdoc_lines",
+    "q79_resample_ffill",
 ]
 
 

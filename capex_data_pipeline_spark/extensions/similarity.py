@@ -179,33 +179,14 @@ def ivf_topk(
     corpus_c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
     )
-    if centers_mode == "sample":
-        # tiny driver collect (n_cells rows) — the centers become plan
-        # literals, exactly like the k-means branch's model centers
-        rows = (
-            corpus_c.withColumn("_h", F.md5(F.col("neighbor_id").cast("string")))
-            .orderBy("_h", "neighbor_id")
-            .limit(n_cells)
-            .collect()
-        )
-        centers = [list(map(float, r.nv)) for r in rows]
-        assigned = corpus_c.withColumn(
-            "cell",
-            F.array_sort(_neg_cosine_cells("nv", centers))[0]["cell"],
-        )
-    elif centers_mode == "kmeans":
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        corpus_v = corpus_c.withColumn("features", array_to_vector(F.col("nv")))
-        km = KMeans(k=n_cells, seed=seed, maxIter=10)
-        model = km.fit(corpus_v.select("features"))
-        centers = [list(map(float, c)) for c in model.clusterCenters()]
-        assigned = model.transform(corpus_v).select(
-            "neighbor_id", "nv", F.col("prediction").alias("cell")
-        )
-    else:
-        raise ValueError(f"unknown centers_mode: {centers_mode!r}")
+    assigned, centers = assign_cells(
+        corpus_c,
+        id_col="neighbor_id",
+        vec_col="nv",
+        n_cells=n_cells,
+        centers_mode=centers_mode,
+        seed=seed,
+    )
 
     # query → nprobe nearest centers (tiny driver-side constant set,
     # compiled into an array-sort expression)
@@ -292,3 +273,93 @@ def srp_lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+def assign_cells(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    centers_mode: str = "sample",
+    seed: int = 42,
+) -> "tuple[DataFrame, list[list[float]]]":
+    """Coarse quantization: assign every vector to its nearest-of-
+    ``n_cells`` center by cosine, returning ``(corpus + 'cell' column,
+    centers)``.  The shared front half of IVF search (:func:`ivf_topk`)
+    and cluster-balanced sampling (:func:`cluster_sample`).
+
+    ``centers_mode='sample'`` picks the ``n_cells`` corpus vectors
+    sorting first by ``md5(id)`` — a deterministic uniform sample, so
+    the whole assignment is closed-form re-derivable by an independent
+    engine; ``'kmeans'`` fits the FAISS-style quantizer (better balance,
+    model state).  Either way the centers become plan literals: the
+    assignment pass is map-only, no shuffle.
+    """
+    if centers_mode == "sample":
+        # tiny driver collect (n_cells rows) — the centers become plan
+        # literals, exactly like the k-means branch's model centers
+        rows = (
+            corpus.select(id_col, vec_col)
+            .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+            .orderBy("_h", id_col)
+            .limit(n_cells)
+            .collect()
+        )
+        centers = [list(map(float, r[vec_col])) for r in rows]
+        assigned = corpus.withColumn(
+            "cell",
+            F.array_sort(_neg_cosine_cells(vec_col, centers))[0]["cell"],
+        )
+    elif centers_mode == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        corpus_v = corpus.withColumn("features", array_to_vector(F.col(vec_col)))
+        km = KMeans(k=n_cells, seed=seed, maxIter=10)
+        model = km.fit(corpus_v.select("features"))
+        centers = [list(map(float, c)) for c in model.clusterCenters()]
+        assigned = model.transform(corpus_v).select(
+            *corpus.columns, F.col("prediction").alias("cell")
+        )
+    else:
+        raise ValueError(f"unknown centers_mode: {centers_mode!r}")
+    return assigned, centers
+
+
+def cluster_sample(
+    corpus: DataFrame,
+    n_per_cell: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    centers_mode: str = "sample",
+    seed: int = 42,
+    hash_seed: str = "s0",
+) -> DataFrame:
+    """Diversity (cluster-balanced) sampling: quantize the embedding
+    space into ``n_cells`` and keep exactly ``n_per_cell`` vectors per
+    cell, ranked by the engine-portable md5 sampling hash — the SSL-
+    style curation pass that flattens dense regions of embedding space
+    instead of sampling them proportionally.  Composition: one map-only
+    cell assignment (:func:`assign_cells`, centers as plan literals) +
+    one WindowGroupLimit per-cell rank (:func:`corpus.group_sample`) —
+    a single shuffle on the tiny cell key.
+
+    Returns ``(id, cell)`` rows of the kept sample.
+    """
+    from capex_data_pipeline_spark.extensions.corpus import group_sample
+
+    assigned, _ = assign_cells(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        centers_mode=centers_mode,
+        seed=seed,
+    )
+    return group_sample(
+        assigned.select(id_col, "cell"),
+        n=n_per_cell,
+        group_col="cell",
+        key_col=id_col,
+        seed=hash_seed,
+    )

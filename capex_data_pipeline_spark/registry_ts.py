@@ -220,3 +220,62 @@ def q80_unicode_normalize(spark, sf_dir):
         "n_chars_before",
         "n_chars_after",
     )
+
+
+# ------------------------------------- cluster-balanced (diversity) sample
+
+_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    "    * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+_SAMPLE_HASH = (
+    "CAST(('0x' || substr(md5('s0|' || coalesce(CAST({k} AS VARCHAR), '<null>')), 1, 8))"
+    " AS BIGINT) / 4294967296.0"
+)
+
+
+@query(
+    "q78_cluster_sample",
+    f"""
+    WITH ctr AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell,
+             embedding
+      FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+    ), sim AS (
+      SELECT e.vec_id, c.cell,
+             {_COS.format(a='e.embedding', b='c.embedding')} AS s
+      FROM embeddings e, ctr c
+    ), assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell ASC) AS rn FROM sim
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, cell FROM (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY cell
+               ORDER BY {_SAMPLE_HASH.format(k='vec_id')} ASC, vec_id ASC) AS rn
+      FROM assigned
+    ) WHERE rn <= 10
+    """,
+)
+def q78_cluster_sample(spark, sf_dir):
+    """Cluster-balanced diversity sampling
+    (similarity.cluster_sample): quantize the embedding space into 16
+    deterministic cells (md5-sampled centers — same closed-form
+    quantizer as q37) and keep exactly 10 vectors per cell by the
+    engine-portable md5 sampling hash — flattening dense regions
+    instead of sampling them proportionally. One map-only assignment
+    (centers as plan literals) + one WindowGroupLimit rank on the tiny
+    cell key; the oracle re-derives center pick → assignment → per-cell
+    rank entirely in DuckDB."""
+    from capex_data_pipeline_spark.extensions.similarity import cluster_sample
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    return cluster_sample(
+        emb, n_per_cell=10, n_cells=16, centers_mode="sample"
+    )

@@ -743,3 +743,40 @@ def test_incremental_neardup_index_bucket_cap_reports_drops(spark):
     )
     assert out.count() == 0  # the whole degenerate bucket was excluded
     assert stats["excluded_rows"] > 0 and stats["excluded_buckets"] > 0
+
+
+def test_cluster_sample_balanced_and_deterministic(spark):
+    """cluster_sample keeps exactly n per cell (cells with fewer keep
+    all), is deterministic across invocations, and assigns two planted
+    well-separated clusters to different cells."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.extensions.similarity import (
+        assign_cells,
+        cluster_sample,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    # two orthogonal directions, 30 vectors each with small jitter
+    for i in range(30):
+        rows.append((i, [1.0 + rng.uniform(-0.05, 0.05), rng.uniform(-0.05, 0.05)]))
+        rows.append((100 + i, [rng.uniform(-0.05, 0.05), 1.0 + rng.uniform(-0.05, 0.05)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out1 = sorted(tuple(r) for r in cluster_sample(emb, n_per_cell=5, n_cells=2).collect())
+    out2 = sorted(tuple(r) for r in cluster_sample(emb, n_per_cell=5, n_cells=2).collect())
+    assert out1 == out2  # deterministic
+    from collections import Counter
+
+    per_cell = Counter(c for _, c in out1)
+    assert all(v == 5 for v in per_cell.values()) and len(per_cell) == 2
+
+    assigned, centers = assign_cells(emb, n_cells=2)
+    assert len(centers) == 2
+    cells = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    g0 = {cells[i] for i in range(30)}
+    g1 = {cells[100 + i] for i in range(30)}
+    assert len(g0) == 1 and len(g1) == 1 and g0 != g1  # separated clusters
