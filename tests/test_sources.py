@@ -444,3 +444,24 @@ def test_cp1252_roundtrip_property_through_spark(spark, tmp_path):
             shutil.rmtree(out, ignore_errors=True)
 
     prop()
+
+
+def test_partitioned_write_prunes_partitions_in_plan(spark, tmp_path):
+    """Partition pruning must be visible IN THE PLAN, not inferred from
+    counts: reading back a partitioned layout with an equality filter
+    on the partition column shows it as a PartitionFilter on the scan
+    (no data-column filter is involved at all)."""
+    from capex_data_pipeline_spark.sources.sinks import write_parquet
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    write_parquet(
+        df.withColumn("bucket", (df.k % 4).cast("int")),
+        str(tmp_path / "pq_parts"),
+        partition_by=["bucket"],
+    )
+    back = spark.read.parquet(str(tmp_path / "pq_parts")).filter("bucket = 2")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan_lines, plan
+    assert "bucket" in scan_lines[0]
+    assert back.count() == 25

@@ -90,3 +90,26 @@ def test_embedding_near_dups(spark):
         (r.id_a, r.id_b) for r in embedding_near_dups(df, threshold=0.95, dim=3).collect()
     }
     assert (0, 3) in global_pairs
+
+
+def test_sketch_swaps_stay_within_documented_error(spark):
+    """q73 documents percentile -> percentile_approx and A4 documents
+    countDistinct -> approx_count_distinct as the 100 TB swaps (single-
+    pass mergeable sketches). Pin that the swapped estimators actually
+    land near the exact answers on the corpus, so the documented claim
+    stays true as data or Spark versions move."""
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    row = docs.agg(
+        F.expr("percentile(n_chars, 0.9)").alias("p90_exact"),
+        F.expr("percentile_approx(n_chars, 0.9, 10000)").alias("p90_sketch"),
+        F.countDistinct("text").alias("nd_exact"),
+        F.expr("approx_count_distinct(text, 0.02)").alias("nd_sketch"),
+    ).collect()[0]
+    # t-digest at accuracy 10000 on 500 rows: within 2% of exact
+    assert abs(row["p90_sketch"] - row["p90_exact"]) <= 0.02 * row["p90_exact"]
+    # HLL++ at rsd 2%: within 3 x rsd of the exact distinct count
+    assert abs(row["nd_sketch"] - row["nd_exact"]) <= 0.06 * row["nd_exact"]
