@@ -146,8 +146,9 @@ def resample_ffill(
       grid cell always contains the key's first observation)
     - ``filled`` — true where the cell had no observation
 
-    Keys whose span exceeds ``max_span_steps`` cells raise (no silent
-    row explosion; widen the step or raise the guard deliberately).
+    Keys whose span exceeds ``max_span_steps`` cells raise at
+    execution time, from inside the plan (no silent row explosion;
+    widen the step or raise the guard deliberately).
     """
     ep = F.col(time_col).cast("timestamp").cast("double")
     cell = (F.floor(ep / step_seconds) * step_seconds).cast("long")
@@ -165,29 +166,33 @@ def resample_ffill(
             F.expr("max_by(_v, struct(_ep, _v))").alias("_cell_last"),
         )
     )
-    # three consumers (guard action, grid spans, final join) — persist
-    # once so the raw-scan + aggregation runs a single time
-    from capex_data_pipeline_spark.cache import persisted
-
-    per_cell = persisted(per_cell)
+    # per_cell feeds both the spans aggregate and the final join; in
+    # one plan Spark reuses the aggregation's exchange (ReusedExchange)
+    # — no persist, no extra materialization pass
     spans = per_cell.groupBy("_k").agg(
         F.min("_cell").alias("_c0"), F.max("_cell").alias("_c1")
     )
-    guard = spans.filter(
-        (F.col("_c1") - F.col("_c0")) / step_seconds >= max_span_steps
-    )
-    offending = guard.limit(1).collect()
-    if offending:
-        row = offending[0]
-        raise ValueError(
-            f"resample_ffill: key {row['_k']!r} spans more than "
-            f"{max_span_steps} steps of {step_seconds}s — raise "
-            "max_span_steps explicitly if this densification is intended"
-        )
+    # lazy span guard: error at execution time from inside the plan (no
+    # driver-side probe job — at 100 TB an eager guard would force a
+    # full materialization before the real query starts)
+    c1_checked = F.when(
+        (F.col("_c1") - F.col("_c0")) / step_seconds >= max_span_steps,
+        F.raise_error(
+            F.concat(
+                F.lit("resample_ffill: key "),
+                F.col("_k").cast("string"),
+                F.lit(
+                    f" spans more than {max_span_steps} steps of "
+                    f"{step_seconds}s — raise max_span_steps explicitly "
+                    "if this densification is intended"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_c1"))
     grid = spans.select(
         "_k",
         F.explode(
-            F.sequence(F.col("_c0"), F.col("_c1"), F.lit(step_seconds))
+            F.sequence(F.col("_c0"), c1_checked, F.lit(step_seconds))
         ).alias("_cell"),
     )
     w = (

@@ -151,8 +151,9 @@ def test_resample_ffill_span_guard(spark):
         [("a", _ts("2024-01-01 00:00:00"), 1.0), ("a", _ts("2024-03-01 00:00:00"), 2.0)],
         "k string, ts timestamp, value double",
     )
-    with pytest.raises(ValueError, match="spans more than"):
-        resample_ffill(df, on="k", step_seconds=3600, max_span_steps=100)
+    out = resample_ffill(df, on="k", step_seconds=3600, max_span_steps=100)
+    with pytest.raises(Exception, match="spans more than"):
+        out.collect()  # lazy guard: fires at execution, inside the plan
 
 
 def test_crossdoc_line_stats_removes_shared_boilerplate(spark):
