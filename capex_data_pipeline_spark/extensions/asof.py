@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: "str | list[str]",
     time_col: str = "ts",
     value_cols: list[str] | None = None,
     tolerance_seconds: float | None = None,
@@ -42,13 +42,15 @@ def asof_join(
 
     Returns every ``left`` row plus, for each right value column ``v``,
     ``v{suffix}`` from the latest right row with the same ``on`` key
-    and right ``time_col`` <= left ``time_col``, plus
+    (one column or a compound-key list) and right ``time_col`` <=
+    left ``time_col``, plus
     ``{time_col}{suffix}`` (the matched right time; all null when no
     right row precedes the left row or the match is older than
     ``tolerance_seconds``).
     """
+    keys = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
-        value_cols = [c for c in right.columns if c not in (on, time_col)]
+        value_cols = [c for c in right.columns if c not in (*keys, time_col)]
     clash = [f"{c}{suffix}" for c in value_cols + [time_col] if f"{c}{suffix}" in left.columns]
     if clash:
         raise ValueError(
@@ -59,7 +61,7 @@ def asof_join(
     lcols = left.columns
     # side tag orders right before left at equal times → inclusive match
     r = right.select(
-        F.col(on),
+        *[F.col(k) for k in keys],
         F.col(time_col).alias("_t"),
         F.lit(0).alias("_side"),
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
@@ -67,7 +69,7 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
     )
     l = left.select(
-        F.col(on),
+        *[F.col(k) for k in keys],
         F.col(time_col).alias("_t"),
         F.lit(1).alias("_side"),
         *[
@@ -78,7 +80,7 @@ def asof_join(
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
     )
     w = (
-        Window.partitionBy(on)
+        Window.partitionBy(*keys)
         .orderBy(F.col("_t").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -101,8 +103,8 @@ def asof_join(
         fresh = F.lit(True)
     keep = F.col(f"_m_{time_col}").isNotNull() & fresh
     return out.select(
-        *[F.col(f"_l_{c}").alias(c) for c in lcols if c != on],
-        F.col(on),
+        *[F.col(f"_l_{c}").alias(c) for c in lcols if c not in keys],
+        *[F.col(k) for k in keys],
         *[
             F.when(keep, F.col(f"_m_{c}")).alias(f"{c}{suffix}")
             for c in value_cols + [time_col]

@@ -602,3 +602,58 @@ def importance_weights(
         )
         .select(F.col("_doc").alias(id_col), "n_tokens", "avg_loglift")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str,
+    group_col: str | None = None,
+    seed: str = "s0",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis exponential-keys scheme ("A-ES"): each row gets
+    rank key ``-ln(u) / w`` with ``u = sample_hash(key)`` and keeps the
+    ``n`` SMALLEST, which is distributionally identical to drawing n
+    items one-by-one with probability proportional to weight.  The
+    corpus-curation shape "keep 1M documents, preferring high quality
+    scores" — with the same engine-portability guarantee as
+    ``hash_sample``: u comes from md5, so the same keys + weights +
+    seed reproduce the same subset on any engine, at any partitioning.
+
+    Non-positive or null weights are excluded (zero weight = never
+    sampled; matching the limit of the scheme).  With ``group_col``
+    the selection is per group (one WindowGroupLimit shuffle on the
+    group key); otherwise global top-n — a ``sortWithinPartitions`` +
+    per-partition head would also work, but n is assumed
+    driver-reasonable, so a plain ``orderBy().limit()`` (TakeOrdered,
+    no full sort materialization) is used.
+
+    Returns the input rows plus ``_es_key`` (the rank key, useful for
+    auditing the draw).
+    """
+    if "_es_key" in df.columns:
+        raise ValueError(
+            "weighted_sample: input carries an '_es_key' column, which "
+            "the rank projection uses internally — drop or rename it"
+        )
+    w = F.col(weight_col).cast("double")
+    u = sample_hash(F.col(key_col), seed)
+    # u in [0,1): shift by 2^-33 so ln(0) can't occur (u=0 would mean
+    # "certain winner"; the shift keeps it an overwhelming favorite
+    # without the infinity)
+    es = -F.log(u + F.lit(2.0 ** -33)) / w
+    ranked = df.filter(w > 0).withColumn("_es_key", es)
+    if group_col is None:
+        return ranked.orderBy(F.col("_es_key").asc(), F.col(key_col).asc()).limit(n)
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("_es_key").asc(), F.col(key_col).asc()
+    )
+    return (
+        ranked.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

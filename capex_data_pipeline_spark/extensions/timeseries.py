@@ -39,7 +39,7 @@ _EPOCH = "_ts_epoch"
 def range_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: "str | list[str]",
     left_time: str = "ts",
     right_time: str = "ts",
     lower: float = -3600.0,
@@ -49,20 +49,22 @@ def range_join(
 ) -> DataFrame:
     """Binned interval join: left rows × same-``on`` right rows with
     ``right_time - left_time`` in ``[lower, upper]`` seconds (both
-    inclusive).  ``how`` is ``'inner'`` or ``'left'`` (left keeps
-    matchless rows with null right columns).
+    inclusive).  ``on`` is one key column or a list (compound key);
+    ``how`` is ``'inner'`` or ``'left'`` (left keeps matchless rows
+    with null right columns).
 
     Right columns other than ``on`` come back suffixed.  The bin width
     is ``upper - lower`` so each left window spans at most 2 bins; the
-    underlying join is an equi-join on ``(on, bin)``.
+    underlying join is an equi-join on ``(on..., bin)``.
     """
     if upper <= lower:
         raise ValueError(f"range_join: need upper > lower, got [{lower}, {upper}]")
     if how not in ("inner", "left"):
         raise ValueError(f"range_join: how must be 'inner' or 'left', not {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
     width = float(upper - lower)
 
-    r_vals = [c for c in right.columns if c != on]
+    r_vals = [c for c in right.columns if c not in keys]
     clash = [f"{c}{suffix}" for c in r_vals if f"{c}{suffix}" in left.columns]
     if clash:
         raise ValueError(
@@ -75,7 +77,7 @@ def range_join(
 
     # each right row sits in exactly one bin of its own time
     r = right.select(
-        F.col(on).alias("_k"),
+        *[F.col(k).alias(f"_k{i}") for i, k in enumerate(keys)],
         F.floor(rt / width).alias("_bin"),
         rt.alias("_rt"),
         *[F.col(c).alias(f"{c}{suffix}") for c in r_vals],
@@ -105,8 +107,11 @@ def range_join(
     exact = (F.col("_rt") >= F.col("_lt") + F.lit(lower)) & (
         F.col("_rt") <= F.col("_lt") + F.lit(upper)
     )
+    cond = l["_bin"] == r["_bin"]
+    for i, k in enumerate(keys):
+        cond = cond & (l[k] == r[f"_k{i}"])
     matched = (
-        l.join(r, (l[on] == r["_k"]) & (l["_bin"] == r["_bin"]), "inner")
+        l.join(r, cond, "inner")
         .filter(exact)
         .select(*left.columns, "_lid", *[f"{c}{suffix}" for c in r_vals])
     )

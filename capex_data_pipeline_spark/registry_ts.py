@@ -279,3 +279,38 @@ def q78_cluster_sample(spark, sf_dir):
     return cluster_sample(
         emb, n_per_cell=10, n_cells=16, centers_mode="sample"
     )
+
+
+# ------------------------------------ weighted sampling (A-ES scheme)
+
+
+@query(
+    "q81_weighted_sample",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY -ln({_SAMPLE_HASH.format(k='doc_id')} + 1.1641532182693481e-10)
+                        / n_chars ASC,
+                        doc_id ASC) AS rn
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 30
+    """,
+)
+def q81_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (corpus.weighted_sample, Efraimidis-Spirakis exponential keys):
+    30 documents per language drawn with probability proportional to
+    length — the 'prefer high-quality docs' curation draw, reproducible
+    on any engine because u comes from md5. One WindowGroupLimit
+    shuffle on the group key; the oracle re-derives the exponential
+    rank keys and per-group selection in DuckDB (u shifted by 2^-33 on
+    both sides so u=0 stays finite)."""
+    from capex_data_pipeline_spark.extensions.corpus import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(
+        docs, n=30, weight_col="n_chars", key_col="doc_id", group_col="lang"
+    ).select("doc_id", "lang", "n_chars")

@@ -416,3 +416,41 @@ def test_importance_weights_cover_all_corpus_tokens(spark):
     # ratio finite and every doc scored
     assert sorted(r.doc_id for r in rows) == [1, 2]
     assert all(r.avg_loglift is not None for r in rows)
+
+
+def test_weighted_sample_properties(spark):
+    """A-ES weighted sampling: exact-n per draw, determinism,
+    zero/negative/null weights excluded, and heavy weights win far
+    more often than light ones (statistical sanity on one fixed
+    seed-keyed draw over many keys)."""
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.extensions.corpus import weighted_sample
+
+    rows = [(i, "heavy" if i % 2 == 0 else "light", 100.0 if i % 2 == 0 else 1.0)
+            for i in range(400)]
+    rows += [(1000, "zero", 0.0), (1001, "neg", -5.0), (1002, "null", None)]
+    df = spark.createDataFrame(rows, "k long, cls string, w double")
+
+    out1 = weighted_sample(df, n=50, weight_col="w", key_col="k")
+    out2 = weighted_sample(df, n=50, weight_col="w", key_col="k")
+    ids1 = sorted(r["k"] for r in out1.collect())
+    ids2 = sorted(r["k"] for r in out2.collect())
+    assert ids1 == ids2 and len(ids1) == 50          # deterministic, exact n
+    assert not {1000, 1001, 1002} & set(ids1)        # non-positive excluded
+    n_heavy = sum(1 for i in ids1 if i % 2 == 0)
+    assert n_heavy >= 40  # 100:1 weights → heavy dominates the draw
+
+    # grouped: exactly n per group, small groups keep everything
+    g = weighted_sample(
+        df.filter("w > 0"), n=10, weight_col="w", key_col="k", group_col="cls"
+    )
+    from collections import Counter
+
+    per = Counter(r["cls"] for r in g.collect())
+    assert per == {"heavy": 10, "light": 10}
+
+    with pytest.raises(ValueError, match="_es_key"):
+        weighted_sample(
+            df.withColumn("_es_key", F.lit(1.0)), n=5, weight_col="w", key_col="k"
+        )

@@ -209,3 +209,52 @@ def test_normalize_unicode_nfc(spark):
     assert out[4]["text_norm"] == "" and out[4]["changed"] is False
     with pytest.raises(ValueError, match="unknown form"):
         normalize_unicode(docs, form="NFX")
+
+
+def test_range_join_compound_key(spark):
+    """Compound-key range join matches the naive theta join on both
+    key columns."""
+    left = spark.createDataFrame(
+        [
+            (1, "u1", "a", _ts("2024-01-01 10:00:00")),
+            (2, "u1", "b", _ts("2024-01-01 10:00:00")),
+        ],
+        "lid long, user string, site string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", "a", _ts("2024-01-01 09:30:00"), 1.0),
+            ("u1", "b", _ts("2024-01-01 09:40:00"), 2.0),
+            ("u1", "a", _ts("2024-01-01 08:00:00"), 3.0),  # outside window
+            ("u2", "a", _ts("2024-01-01 09:45:00"), 4.0),  # wrong user
+        ],
+        "user string, site string, ts timestamp, rval double",
+    )
+    got = sorted(
+        tuple(r)
+        for r in range_join(
+            left, right, on=["user", "site"], lower=-3600, upper=0
+        )
+        .select("lid", "rval_r")
+        .collect()
+    )
+    assert got == [(1, 1.0), (2, 2.0)]
+
+
+def test_asof_join_compound_key(spark):
+    from capex_data_pipeline_spark.extensions.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", "a", _ts("2024-01-01 10:00:00"))],
+        "lid long, user string, site string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", "a", _ts("2024-01-01 09:00:00"), 1.0),
+            ("u1", "b", _ts("2024-01-01 09:59:00"), 2.0),  # wrong site, newer
+        ],
+        "user string, site string, ts timestamp, rv double",
+    )
+    rows = asof_join(left, right, on=["user", "site"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["rv_asof"] == 1.0  # site-b row must not leak in
