@@ -1,0 +1,164 @@
+"""Event-analytics operators over big event streams: gap-based
+sessionization (assigning session ids to ROWS, the batch complement of
+the aggregate-producing session window in streaming/windows.py),
+robust per-key outlier scoring, and cohort retention.
+
+Scale shapes:
+
+- ``sessionize`` — one window over ``(key) ORDER BY ts``: ``lag`` to
+  detect gaps, running ``sum`` of gap flags to number sessions.  One
+  shuffle on the key, linear state, no self-join (the naive
+  formulation joins events to session boundaries).
+- ``robust_zscore`` — modified z-score ``0.6745·(x−median)/MAD``:
+  outlier scoring that a single corrupt reading cannot poison (mean/
+  stddev break down at one bad point; median/MAD have a 50 %
+  breakdown).  Two aggregation passes over compact keys (medians are
+  exact interpolated percentiles; at 100 TB swap
+  ``percentile_approx`` — same plan shape, documented like q73) and
+  one broadcast-friendly join back of the tiny per-key stats frame.
+- ``cohort_retention`` — the first-seen-period frame is an aggregate
+  (one row per key), joined back to events and re-aggregated onto
+  ``(cohort, period_offset)``: two shuffles on compact keys; the
+  classic retention triangle at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(
+    df: DataFrame,
+    on: str = "user_id",
+    time_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Assign a per-key session id to every row: a new session starts
+    when the gap to the key's previous event exceeds ``gap_seconds``.
+
+    Adds ``session_id`` (0-based per key, ordered by time) and
+    ``is_session_start``.  Ties on ``time_col`` within a key stay in
+    one session (gap 0); pass ``tiebreak_col`` (a unique id) to make
+    WHICH tied row carries ``is_session_start`` deterministic.  One
+    window, one shuffle on the key.
+    """
+    ep = F.col(time_col).cast("timestamp").cast("double")
+    order = [ep.asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(on).orderBy(*order)
+    gap = ep - F.lag(ep).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > F.lit(float(gap_seconds))), 1
+    ).otherwise(0)
+    run = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.select(
+        "*",
+        new_sess.alias("_ns"),
+    ).select(
+        *df.columns,
+        (F.sum("_ns").over(run) - 1).cast("long").alias("session_id"),
+        (F.col("_ns") == 1).alias("is_session_start"),
+    )
+
+
+def robust_zscore(
+    df: DataFrame,
+    on: str = "user_id",
+    value_col: str = "value",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Per-key modified z-score outlier flags (Iglewicz-Hoaglin):
+    ``0.6745 · (x − median) / MAD`` with MAD = median absolute
+    deviation.  Returns the input plus ``mzscore`` (null when the
+    key's MAD is 0 — a degenerate constant-valued key, where no point
+    is an outlier) and ``is_outlier``.
+
+    Two exact-percentile aggregations + one join back of the per-key
+    stats (tiny vs the event table; broadcast when it fits).
+    """
+    med = df.groupBy(on).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    dev = (
+        df.join(med, on)
+        .select(
+            F.col(on).alias("_k"),
+            F.abs(F.col(value_col) - F.col("_med")).alias("_ad"),
+        )
+        .groupBy("_k")
+        .agg(F.expr("percentile(_ad, 0.5)").alias("_mad"))
+        .withColumnRenamed("_k", on)
+    )
+    stats = med.join(dev, on)
+    z = F.lit(0.6745) * (F.col(value_col) - F.col("_med")) / F.col("_mad")
+    return (
+        df.join(stats, on)
+        .select(
+            *df.columns,
+            F.when(F.col("_mad") > 0, z).alias("mzscore"),
+        )
+        .select(
+            "*",
+            (F.abs(F.col("mzscore")) > F.lit(float(threshold))).alias(
+                "is_outlier"
+            ),
+        )
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    on: str = "user_id",
+    time_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Retention triangle: group keys into cohorts by their FIRST
+    active period, then count how many of each cohort's keys are
+    active 0, 1, 2, … periods later.
+
+    ``period`` is any ``date_trunc`` unit (``'week'``, ``'month'``,
+    ``'day'``).  Returns ``(cohort, period_offset, n_active,
+    cohort_size, retention)`` — retention = n_active / cohort_size.
+    Offsets are calendar-period differences (weeks = 7-day diffs of
+    the truncated dates).
+    """
+    per = F.date_trunc(period, F.col(time_col)).cast("date")
+    activity = df.select(F.col(on).alias("_k"), per.alias("_p")).distinct()
+    first = activity.groupBy("_k").agg(F.min("_p").alias("_cohort"))
+    div = {"day": 1, "week": 7}.get(period)
+    joined = activity.join(first, "_k")
+    if div is not None:
+        off = (F.datediff(F.col("_p"), F.col("_cohort")) / div).cast("long")
+    elif period == "month":
+        off = (
+            (F.year("_p") - F.year("_cohort")) * 12
+            + (F.month("_p") - F.month("_cohort"))
+        ).cast("long")
+    else:
+        raise ValueError(f"cohort_retention: unsupported period {period!r}")
+    counts = (
+        joined.select("_k", "_cohort", off.alias("period_offset"))
+        .groupBy("_cohort", "period_offset")
+        .agg(F.countDistinct("_k").alias("n_active"))
+    )
+    sizes = first.groupBy("_cohort").agg(F.countDistinct("_k").alias("cohort_size"))
+    return (
+        counts.join(sizes, "_cohort")
+        .select(
+            F.col("_cohort").alias("cohort"),
+            "period_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )

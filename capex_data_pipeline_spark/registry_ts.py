@@ -314,3 +314,109 @@ def q81_weighted_sample(spark, sf_dir):
     return weighted_sample(
         docs, n=30, weight_col="n_chars", key_col="doc_id", group_col="lang"
     ).select("doc_id", "lang", "n_chars")
+
+
+# ----------------------------------------------- event analytics family
+
+
+@query(
+    "q82_sessionize",
+    """
+    WITH o AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) - 1 AS session_id,
+           ns = 1 AS is_session_start
+    FROM o
+    """,
+)
+def q82_sessionize(spark, sf_dir):
+    """Gap-based sessionization (analytics.sessionize): a 30-minute
+    silence starts a new session; every event gets its key's 0-based
+    session id. ONE window over (user ORDER BY ts, event_id) — lag for
+    gap detection + running sum for numbering — instead of the naive
+    events-to-boundaries self-join. The batch complement of q52's
+    aggregate-producing native session window."""
+    from capex_data_pipeline_spark.extensions.analytics import sessionize
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    return sessionize(
+        ev, on="user_id", gap_seconds=1800, tiebreak_col="event_id"
+    ).select("event_id", "user_id", "session_id", "is_session_start")
+
+
+@query(
+    "q83_robust_zscore",
+    """
+    WITH med AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS m FROM events GROUP BY 1
+    ), mad AS (
+      SELECT e.user_id, quantile_cont(abs(e.value - med.m), 0.5) AS d
+      FROM events e JOIN med USING (user_id) GROUP BY 1
+    )
+    SELECT e.event_id, e.user_id,
+           CASE WHEN mad.d > 0
+                THEN round(0.6745 * (e.value - med.m) / mad.d, 4) END AS mzscore,
+           CASE WHEN mad.d > 0
+                THEN abs(0.6745 * (e.value - med.m) / mad.d) > 3.5 END AS is_outlier
+    FROM events e JOIN med USING (user_id) JOIN mad USING (user_id)
+    """,
+)
+def q83_robust_zscore(spark, sf_dir):
+    """Per-user modified z-score outliers (analytics.robust_zscore,
+    Iglewicz-Hoaglin 0.6745·(x−median)/MAD): robust to the corrupt
+    readings that poison mean/stddev. Two exact-percentile aggregations
+    over the compact user key + one stats join back (percentile ==
+    quantile_cont, the parity q73 established; percentile_approx is the
+    documented 100 TB swap)."""
+    from capex_data_pipeline_spark.extensions.analytics import robust_zscore
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    out = robust_zscore(ev, on="user_id", value_col="value", threshold=3.5)
+    return out.select(
+        "event_id", "user_id", F.round("mzscore", 4).alias("mzscore"), "is_outlier"
+    )
+
+
+@query(
+    "q84_cohort_retention",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS p
+      FROM events
+    ), first AS (
+      SELECT user_id, min(p) AS cohort FROM act GROUP BY 1
+    ), counts AS (
+      SELECT f.cohort, (a.p - f.cohort) / 7 AS period_offset,
+             count(DISTINCT a.user_id) AS n_active
+      FROM act a JOIN first f USING (user_id)
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT cohort, count(DISTINCT user_id) AS cohort_size
+      FROM first GROUP BY 1
+    )
+    SELECT c.cohort, c.period_offset, c.n_active, s.cohort_size,
+           round(c.n_active / s.cohort_size::DOUBLE, 6) AS retention
+    FROM counts c JOIN sizes s USING (cohort)
+    """,
+)
+def q84_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle (analytics.cohort_retention):
+    users grouped by first-active ISO week, activity counted at each
+    week offset, retention = active/cohort_size. Distinct-activity
+    projection + two aggregations + one tiny-frame join — two shuffles
+    on compact keys; both engines truncate weeks to ISO Monday."""
+    from capex_data_pipeline_spark.extensions.analytics import cohort_retention
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    return cohort_retention(ev, on="user_id", period="week")

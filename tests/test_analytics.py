@@ -1,0 +1,110 @@
+"""Unit tests for extensions/analytics.py: sessionize, robust_zscore,
+cohort_retention — hand-computed small cases pinning the semantics the
+q82/q83/q84 oracles check at corpus scale."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from capex_data_pipeline_spark.extensions.analytics import (
+    cohort_retention,
+    robust_zscore,
+    sessionize,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_sessionize_gap_numbering(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01 10:00:00")),
+            (2, "u1", _ts("2024-01-01 10:29:00")),  # 29 min → same session
+            (3, "u1", _ts("2024-01-01 10:59:00")),  # exactly 30 min → SAME (> only)
+            (4, "u1", _ts("2024-01-01 12:00:00")),  # 61 min → new session
+            (5, "u2", _ts("2024-01-01 10:00:00")),  # other key restarts at 0
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    out = {
+        r["event_id"]: (r["session_id"], r["is_session_start"])
+        for r in sessionize(df, gap_seconds=1800, tiebreak_col="event_id").collect()
+    }
+    assert out == {
+        1: (0, True),
+        2: (0, False),
+        3: (0, False),
+        4: (1, True),
+        5: (0, True),
+    }
+
+
+def test_sessionize_tie_determinism(spark):
+    # two events at the key's min ts: the tiebreak column decides which
+    # carries is_session_start — deterministically
+    df = spark.createDataFrame(
+        [(2, "u", _ts("2024-01-01 10:00:00")), (1, "u", _ts("2024-01-01 10:00:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    out = {
+        r["event_id"]: r["is_session_start"]
+        for r in sessionize(df, tiebreak_col="event_id").collect()
+    }
+    assert out == {1: True, 2: False}
+
+
+def test_robust_zscore_hand_computed(spark):
+    # values 1..5 + outlier 100 for u1: median 4.5? no — [1,2,3,4,5,100]
+    # median = 3.5, deviations [2.5,1.5,0.5,0.5,1.5,96.5], MAD = 1.5
+    rows = [(i, "u1", float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 100])]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, value double")
+    out = {r["event_id"]: r for r in robust_zscore(df, threshold=3.5).collect()}
+    z100 = 0.6745 * (100 - 3.5) / 1.5
+    assert out[5]["mzscore"] == pytest.approx(z100)
+    assert out[5]["is_outlier"] is True
+    assert out[0]["mzscore"] == pytest.approx(0.6745 * (1 - 3.5) / 1.5)
+    assert all(not out[i]["is_outlier"] for i in range(5))
+
+
+def test_robust_zscore_degenerate_mad_is_null(spark):
+    # constant key: MAD = 0 → mzscore/is_outlier null, never infinity
+    df = spark.createDataFrame(
+        [(1, "u", 7.0), (2, "u", 7.0), (3, "u", 7.0)],
+        "event_id long, user_id string, value double",
+    )
+    rows = robust_zscore(df).collect()
+    assert all(r["mzscore"] is None and r["is_outlier"] is None for r in rows)
+
+
+def test_cohort_retention_triangle(spark):
+    # u1 first week W0, active W0+W2; u2 first W0, active W0 only;
+    # u3 first W2, active W2. Mondays: 2024-01-01 and 2024-01-15.
+    df = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 10:00:00")),
+            ("u1", _ts("2024-01-02 10:00:00")),  # same week, distinct'd
+            ("u1", _ts("2024-01-16 10:00:00")),  # week +2
+            ("u2", _ts("2024-01-03 10:00:00")),
+            ("u3", _ts("2024-01-17 10:00:00")),
+        ],
+        "user_id string, ts timestamp",
+    )
+    out = {
+        (str(r["cohort"]), r["period_offset"]): (
+            r["n_active"],
+            r["cohort_size"],
+            r["retention"],
+        )
+        for r in cohort_retention(df, period="week").collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): (2, 2, 1.0),
+        ("2024-01-01", 2): (1, 2, 0.5),
+        ("2024-01-15", 0): (1, 1, 1.0),
+    }
+    with pytest.raises(ValueError, match="unsupported period"):
+        cohort_retention(df, period="fortnight")
