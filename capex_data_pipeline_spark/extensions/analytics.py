@@ -162,3 +162,59 @@ def cohort_retention(
             ).alias("retention"),
         )
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    on: str = "user_id",
+    time_col: str = "ts",
+    event_col: str = "event_type",
+    within_seconds: float | None = None,
+) -> DataFrame:
+    """Ordered conversion funnel: for every key, the earliest
+    occurrence of ``steps[0]``, then for each later step the earliest
+    matching event AT-OR-AFTER the previous step's matched time
+    (optionally within ``within_seconds`` of step 1).  Returns one row
+    per key that reached step 1: ``t1..tk`` (matched times, null once
+    the chain breaks) and ``max_step`` (consecutive steps reached).
+
+    k−1 small aggregate+join rounds on the compact key — each round
+    filters one step's events, joins the (one-row-per-key) frontier,
+    and takes a min.  No per-key event lists are ever materialized
+    (the collect_list formulation caps at executor memory on hot keys;
+    this one never does).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel: need at least 2 steps")
+    ep = F.col(time_col).cast("timestamp").cast("double")
+    ev = df.select(
+        F.col(on).alias("_k"), F.col(event_col).alias("_e"), ep.alias("_t")
+    )
+    res = (
+        ev.filter(F.col("_e") == steps[0])
+        .groupBy("_k")
+        .agg(F.min("_t").alias("t1"))
+    )
+    for i in range(1, len(steps)):
+        prev, cur = f"t{i}", f"t{i + 1}"
+        cand = ev.filter(F.col("_e") == steps[i]).join(
+            res.select("_k", "t1", prev), "_k"
+        )
+        cond = F.col("_t") >= F.col(prev)
+        if within_seconds is not None:
+            cond = cond & (F.col("_t") <= F.col("t1") + F.lit(float(within_seconds)))
+        ti = (
+            cand.filter(cond)
+            .groupBy("_k")
+            .agg(F.min("_t").alias(cur))
+        )
+        res = res.join(ti, "_k", "left")
+    reached = sum(
+        (F.col(f"t{i + 1}").isNotNull()).cast("int") for i in range(len(steps))
+    )
+    return res.select(
+        F.col("_k").alias(on),
+        *[f"t{i + 1}" for i in range(len(steps))],
+        reached.alias("max_step"),
+    )

@@ -420,3 +420,71 @@ def q84_cohort_retention(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     return cohort_retention(ev, on="user_id", period="week")
+
+
+@query(
+    "q85_funnel",
+    """
+    WITH e AS (
+      SELECT user_id AS k, event_type AS e, epoch_us(ts) / 1000000.0 AS t
+      FROM events
+    ), s1 AS (
+      SELECT k, min(t) AS t1 FROM e WHERE e = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.k, s1.t1, min(e.t) AS t2
+      FROM e JOIN s1 ON e.k = s1.k
+      WHERE e.e = 'click' AND e.t >= s1.t1 AND e.t <= s1.t1 + 86400
+      GROUP BY e.k, s1.t1
+    ), s3 AS (
+      SELECT e.k, min(e.t) AS t3
+      FROM e JOIN s2 ON e.k = s2.k
+      WHERE e.e = 'purchase' AND e.t >= s2.t2 AND e.t <= s2.t1 + 86400
+      GROUP BY e.k
+    )
+    SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS n_reached
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    """,
+)
+def q85_funnel(spark, sf_dir):
+    """Ordered conversion funnel (analytics.funnel): earliest view,
+    then earliest click at-or-after it, then earliest purchase
+    at-or-after that — all within 24 h of the first view. k−1 compact
+    aggregate+join rounds per step (never a per-key event list, which
+    caps at executor memory on hot keys). The query reports the
+    no-null summary triangle: users reaching each step."""
+    from capex_data_pipeline_spark.extensions.analytics import funnel
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    per_key = funnel(
+        ev, ["view", "click", "purchase"], within_seconds=86400.0
+    )
+    counts = per_key.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("step"),
+                    F.lit("view").alias("step_name"),
+                    F.col("n1").alias("n_reached"),
+                ),
+                F.struct(
+                    F.lit(2).alias("step"),
+                    F.lit("click").alias("step_name"),
+                    F.col("n2").alias("n_reached"),
+                ),
+                F.struct(
+                    F.lit(3).alias("step"),
+                    F.lit("purchase").alias("step_name"),
+                    F.col("n3").alias("n_reached"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.step", "s.step_name", "s.n_reached")

@@ -108,3 +108,38 @@ def test_cohort_retention_triangle(spark):
     }
     with pytest.raises(ValueError, match="unsupported period"):
         cohort_retention(df, period="fortnight")
+
+
+def test_funnel_ordered_chain(spark):
+    from capex_data_pipeline_spark.extensions.analytics import funnel
+
+    rows = [
+        # u1: full ordered funnel
+        ("u1", "view", _ts("2024-01-01 10:00:00")),
+        ("u1", "click", _ts("2024-01-01 10:05:00")),
+        ("u1", "purchase", _ts("2024-01-01 10:10:00")),
+        # u2: click BEFORE first view → chain breaks at step 2
+        ("u2", "click", _ts("2024-01-01 09:00:00")),
+        ("u2", "view", _ts("2024-01-01 10:00:00")),
+        ("u2", "purchase", _ts("2024-01-01 11:00:00")),
+        # u3: never viewed → not in output
+        ("u3", "click", _ts("2024-01-01 10:00:00")),
+        # u4: purchase outside the within-window
+        ("u4", "view", _ts("2024-01-01 10:00:00")),
+        ("u4", "click", _ts("2024-01-01 10:05:00")),
+        ("u4", "purchase", _ts("2024-01-03 10:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    out = {
+        r["user_id"]: r
+        for r in funnel(
+            df, ["view", "click", "purchase"], within_seconds=86400.0
+        ).collect()
+    }
+    assert set(out) == {"u1", "u2", "u4"}
+    assert out["u1"]["max_step"] == 3
+    assert out["u2"]["max_step"] == 1 and out["u2"]["t2"] is None
+    assert out["u4"]["max_step"] == 2 and out["u4"]["t3"] is None
+
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel(df, ["view"])
