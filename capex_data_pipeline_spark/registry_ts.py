@@ -488,3 +488,47 @@ def q85_funnel(spark, sf_dir):
             )
         ).alias("s")
     ).select("s.step", "s.step_name", "s.n_reached")
+
+
+# --------------------------------------------- JSONL source round-trip
+
+
+@query(
+    "q86_jsonl_roundtrip",
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 4) AS value_sum,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def q86_jsonl_roundtrip(spark, sf_dir):
+    """JSONL sink -> source round-trip under the driver's value gate
+    (sources/jsonl.py): events written as JSON-lines, read back with
+    an EXPLICIT schema (never inference at scale) in PERMISSIVE mode
+    with corrupt-record capture declared, then aggregated. The oracle
+    aggregates the source parquet directly — value equality proves the
+    round-trip lost nothing. Doubles survive exactly: Spark writes
+    shortest-round-trip representations and reads them back to the
+    same IEEE value."""
+    import os
+    import tempfile
+
+    from capex_data_pipeline_spark.sources.jsonl import read_jsonl, write_jsonl
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"capex_q86_jsonl_{os.path.basename(sf_dir)}"
+    )
+    write_jsonl(ev, path)
+    back = read_jsonl(
+        spark, path, "event_id long, user_id long, event_type string, value double"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -465,3 +465,69 @@ def test_partitioned_write_prunes_partitions_in_plan(spark, tmp_path):
     assert scan_lines, plan
     assert "bucket" in scan_lines[0]
     assert back.count() == 25
+
+
+def test_jsonl_roundtrip_and_corrupt_capture(spark, tmp_path):
+    """JSONL sink → source round-trip is value-faithful with an
+    explicit schema; a hand-planted undecodable line lands in
+    _corrupt_record with data columns null (PERMISSIVE), is dropped
+    under DROPMALFORMED, and fails under FAILFAST."""
+    import pytest
+
+    from capex_data_pipeline_spark.sources.jsonl import (
+        infer_jsonl_schema,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", None), (3, None, -2.0)],
+        "id long, name string, score double",
+    )
+    out = str(tmp_path / "jl")
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out, "id long, name string, score double")
+    assert sorted(
+        (r["id"], r["name"], r["score"]) for r in back.collect()
+    ) == [(1, "alpha", 1.5), (2, "beta", None), (3, None, -2.0)]
+    assert "_corrupt_record" in back.columns
+
+    # plant a corrupt line alongside valid ones
+    bad_dir = tmp_path / "jl_bad"
+    bad_dir.mkdir()
+    (bad_dir / "part-0.json").write_text(
+        '{"id": 10, "name": "ok", "score": 1.0}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 11, "name": "also ok", "score": 2.0}\n'
+    )
+    schema = "id long, name string, score double"
+    got = read_jsonl(spark, str(bad_dir), schema).collect()
+    corrupt = [r for r in got if r["_corrupt_record"] is not None]
+    assert len(got) == 3 and len(corrupt) == 1
+    assert corrupt[0]["_corrupt_record"] == "THIS IS NOT JSON"
+    assert corrupt[0]["id"] is None
+
+    dropped = read_jsonl(
+        spark, str(bad_dir), schema, mode="DROPMALFORMED", capture_corrupt=False
+    )
+    assert sorted(r["id"] for r in dropped.collect()) == [10, 11]
+
+    with pytest.raises(Exception):
+        read_jsonl(
+            spark, str(bad_dir), schema, mode="FAILFAST", capture_corrupt=False
+        ).collect()
+
+    # inference helper agrees on the happy-path fields
+    inferred = infer_jsonl_schema(spark, out)
+    assert {"id", "name", "score"} <= set(inferred.fieldNames())
+
+    # gzip + partitioned write round-trips too
+    out2 = str(tmp_path / "jl_gz")
+    write_jsonl(
+        df.withColumn("b", (df.id % 2).cast("int")),
+        out2,
+        compression="gzip",
+        partition_by=["b"],
+    )
+    back2 = read_jsonl(spark, out2, "id long, name string, score double, b int")
+    assert back2.count() == 3
