@@ -657,3 +657,74 @@ def weighted_sample(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def bigram_pmi(
+    corpus: DataFrame,
+    min_pair_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    normalized-word pairs, ``pmi = log2(p(ab) / (p(a)·p(b)))`` with
+    probabilities from corpus-wide counts — the signal that separates
+    real phrases ("new york") from chance adjacency, used for
+    tokenizer merges and phrase-aware indexing.
+
+    Plan shape: one words-array projection feeds BOTH the unigram and
+    bigram explode+aggregate (compact term keys; stopword hot keys are
+    AQE's case); the vocab-sized unigram frame joins the pair frame
+    twice (left word, right word) and is persisted for those two
+    consumers; corpus totals ride along as a 1-row broadcast.
+    ``min_pair_count`` prunes the noise tail where PMI estimates
+    explode (the standard collocation cutoff).
+
+    Returns (w1, w2, pair_count, pmi) for pairs with
+    ``pair_count >= min_pair_count``.
+    """
+    from capex_data_pipeline_spark.cache import persisted
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    base = corpus.select(
+        F.filter(
+            F.split(normalized_text(F.col(text_col)), " "), lambda s: s != ""
+        ).alias("_w")
+    )
+    uni = (
+        base.select(F.explode("_w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uni = persisted(uni)
+    pairs_all = (
+        base.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_w) < 2 THEN array() ELSE transform("
+                    "sequence(1, size(_w) - 1), i -> struct(_w[i-1] AS w1, _w[i] AS w2)) END"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    # totals must come from the UNPRUNED counts (probabilities are over
+    # the whole corpus, not the surviving pairs); pairs_all feeds both
+    # the total and the pruned join → persist (distinct-bigram-sized)
+    pairs_all = persisted(pairs_all)
+    pairs = pairs_all.filter(F.col("pair_count") >= min_pair_count)
+    totals = uni.agg(F.sum("c").alias("_T")).crossJoin(
+        pairs_all.agg(F.sum("pair_count").alias("_B"))
+    )
+    u1 = uni.select(F.col("t").alias("w1"), F.col("c").alias("_c1"))
+    u2 = uni.select(F.col("t").alias("w2"), F.col("c").alias("_c2"))
+    pmi = F.log2(
+        (F.col("pair_count") / F.col("_B"))
+        / ((F.col("_c1") / F.col("_T")) * (F.col("_c2") / F.col("_T")))
+    )
+    return (
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "pair_count", pmi.alias("pmi"))
+    )

@@ -364,7 +364,7 @@ def q82_sessionize(spark, sf_dir):
     )
     SELECT e.event_id, e.user_id,
            CASE WHEN mad.d > 0
-                THEN round(0.6745 * (e.value - med.m) / mad.d, 4) END AS mzscore,
+                THEN round(0.6745 * (e.value - med.m) / mad.d, 4) + 0.0 END AS mzscore,
            CASE WHEN mad.d > 0
                 THEN abs(0.6745 * (e.value - med.m) / mad.d) > 3.5 END AS is_outlier
     FROM events e JOIN med USING (user_id) JOIN mad USING (user_id)
@@ -382,8 +382,13 @@ def q83_robust_zscore(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     out = robust_zscore(ev, on="user_id", value_col="value", threshold=3.5)
+    # + 0.0 collapses IEEE negative zero (engines can round a near-zero
+    # score to -0.0 vs +0.0)
     return out.select(
-        "event_id", "user_id", F.round("mzscore", 4).alias("mzscore"), "is_outlier"
+        "event_id",
+        "user_id",
+        (F.round("mzscore", 4) + F.lit(0.0)).alias("mzscore"),
+        "is_outlier",
     )
 
 
@@ -531,4 +536,58 @@ def q86_jsonl_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("value_sum"),
         F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ------------------------------------------------ bigram PMI collocations
+
+_WORDS_TS = (
+    "list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')),"
+    " '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"
+)
+
+
+@query(
+    "q87_bigram_pmi",
+    f"""
+    WITH w AS (SELECT {_WORDS_TS} AS ws FROM documents),
+    uc AS (
+      SELECT t, count(*) AS c FROM (SELECT unnest(ws) AS t FROM w) GROUP BY 1
+    ), pc AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS pair_count
+      FROM (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                 i -> {{'w1': ws[i], 'w2': ws[i+1]}})) AS p
+        FROM w WHERE len(ws) >= 2
+      ) GROUP BY 1, 2
+    ), tot AS (
+      SELECT (SELECT sum(c) FROM uc) AS t_total,
+             (SELECT sum(pair_count) FROM pc) AS b_total
+    )
+    SELECT pc.w1, pc.w2, pc.pair_count,
+           round(log2((pc.pair_count::DOUBLE / tot.b_total)
+                 / ((c1.c::DOUBLE / tot.t_total) * (c2.c::DOUBLE / tot.t_total))),
+                 4) + 0.0 AS pmi
+    FROM pc, tot
+    JOIN uc c1 ON pc.w1 = c1.t
+    JOIN uc c2 ON pc.w2 = c2.t
+    WHERE pc.pair_count >= 5
+    """,
+)
+def q87_bigram_pmi(spark, sf_dir):
+    """Collocation mining (corpus.bigram_pmi): PMI of adjacent
+    normalized-word pairs from corpus-wide counts, pruned at
+    pair_count >= 5 — totals taken over the UNPRUNED distributions.
+    One words projection feeds both explode+aggregates; the persisted
+    vocab-sized unigram frame joins the pair frame twice; totals ride
+    as a 1-row broadcast. The oracle re-derives unigram/bigram
+    distributions and the log-ratio in DuckDB."""
+    from capex_data_pipeline_spark.extensions.corpus import bigram_pmi
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_pmi(docs, min_pair_count=5)
+    # + 0.0 collapses IEEE negative zero (a true-PMI ~0 can round to
+    # -0.0 on one engine and +0.0 on the other)
+    return out.select(
+        "w1", "w2", "pair_count", (F.round("pmi", 4) + F.lit(0.0)).alias("pmi")
     )

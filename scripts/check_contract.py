@@ -43,6 +43,7 @@ for name, fn in qs.items():
         if isinstance(v, decimal.Decimal): v = float(v)
         if isinstance(v, float):
             if math.isnan(v): return 'NaN'
+            if v == 0: v = 0.0  # collapse IEEE -0.0
             return f"{v:.6g}"
         if isinstance(v, (datetime.date, datetime.datetime)): return str(v)
         return str(v)

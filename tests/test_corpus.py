@@ -454,3 +454,24 @@ def test_weighted_sample_properties(spark):
         weighted_sample(
             df.withColumn("_es_key", F.lit(1.0)), n=5, weight_col="w", key_col="k"
         )
+
+
+def test_bigram_pmi_hand_computed(spark):
+    """'x y' always adjacent (positive PMI, strong collocation) vs
+    'a b' never adjacent in a corpus where both words are common —
+    verify against hand-computed log2 ratios."""
+    import math
+
+    from capex_data_pipeline_spark.extensions.corpus import bigram_pmi
+
+    # 6 docs of "x y", so: unigrams x:6 y:6 (T=12), bigram (x,y):6 (B=6)
+    docs = [(i, "x y") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): r for r in bigram_pmi(df, min_pair_count=5).collect()}
+    assert set(out) == {("x", "y")}
+    want = math.log2((6 / 6) / ((6 / 12) * (6 / 12)))  # = 2.0
+    assert out[("x", "y")]["pmi"] == pytest.approx(want)
+    assert out[("x", "y")]["pair_count"] == 6
+
+    # below min_pair_count → pruned
+    assert bigram_pmi(df, min_pair_count=7).count() == 0
