@@ -218,3 +218,37 @@ def funnel(
         *[f"t{i + 1}" for i in range(len(steps))],
         reached.alias("max_step"),
     )
+
+
+def rolling_window(
+    df: DataFrame,
+    on: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    window_seconds: float = 3600.0,
+) -> DataFrame:
+    """Per-key trailing time-window aggregates for EVERY row: count,
+    sum and max of ``value_col`` over ``[t − window_seconds, t]``.
+
+    A RANGE-framed window (``rangeBetween`` over the epoch ordering),
+    not a self-join: one shuffle on the key, each partition keeps a
+    sliding frame pointer — O(n) per key instead of the O(n·w) pair
+    join. Rows sharing a timestamp are RANGE-frame peers: they all see
+    the same trailing aggregate (deterministic under ties by
+    construction — SQL semantics in every engine).
+    """
+    # RANGE offsets must be integral: order by epoch MICROS (long) so
+    # sub-second timestamps keep exact interval semantics (unix_micros,
+    # not a double round-trip — that can truncate an ulp at boundaries)
+    ep_us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ep_us.asc())
+        .rangeBetween(-int(window_seconds * 1_000_000), 0)
+    )
+    return df.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("rolling_n"),
+        F.sum(value_col).over(w).alias("rolling_sum"),
+        F.max(value_col).over(w).alias("rolling_max"),
+    )

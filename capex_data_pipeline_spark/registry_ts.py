@@ -591,3 +591,39 @@ def q87_bigram_pmi(spark, sf_dir):
     return out.select(
         "w1", "w2", "pair_count", (F.round("pmi", 4) + F.lit(0.0)).alias("pmi")
     )
+
+
+# ------------------------------------------ trailing time-range window
+
+
+@query(
+    "q88_rolling_window",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w AS rolling_n,
+           round(sum(value) OVER w, 4) AS rolling_sum,
+           round(max(value) OVER w, 4) AS rolling_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q88_rolling_window(spark, sf_dir):
+    """Trailing 1-hour per-user aggregates on every event
+    (analytics.rolling_window): a RANGE-framed window over the epoch
+    ordering — one shuffle + an O(n) sliding frame per key, never the
+    O(n·w) self-join. Timestamp peers share the frame in both engines
+    (SQL RANGE semantics), so the oracle is DuckDB's native
+    RANGE BETWEEN INTERVAL window."""
+    from capex_data_pipeline_spark.extensions.analytics import rolling_window
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    out = rolling_window(ev, window_seconds=3600.0)
+    return out.select(
+        "event_id",
+        "user_id",
+        "rolling_n",
+        F.round("rolling_sum", 4).alias("rolling_sum"),
+        F.round("rolling_max", 4).alias("rolling_max"),
+    )

@@ -143,3 +143,27 @@ def test_funnel_ordered_chain(spark):
 
     with pytest.raises(ValueError, match="at least 2"):
         funnel(df, ["view"])
+
+
+def test_rolling_window_trailing_aggregates(spark):
+    from capex_data_pipeline_spark.extensions.analytics import rolling_window
+
+    df = spark.createDataFrame(
+        [
+            (1, "u", _ts("2024-01-01 10:00:00"), 1.0),
+            (2, "u", _ts("2024-01-01 10:30:00"), 2.0),
+            (3, "u", _ts("2024-01-01 11:00:00"), 4.0),   # 10:00 still in [t-1h, t]
+            (4, "u", _ts("2024-01-01 12:30:00"), 8.0),   # everything expired
+            (5, "u", _ts("2024-01-01 12:30:00"), 16.0),  # timestamp peer of 4
+        ],
+        "event_id long, user_id string, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: (r["rolling_n"], r["rolling_sum"], r["rolling_max"])
+        for r in rolling_window(df, window_seconds=3600.0).collect()
+    }
+    assert out[1] == (1, 1.0, 1.0)
+    assert out[2] == (2, 3.0, 2.0)
+    assert out[3] == (3, 7.0, 4.0)       # inclusive lower bound
+    assert out[4] == (2, 24.0, 16.0)     # RANGE peers share the frame
+    assert out[5] == (2, 24.0, 16.0)
