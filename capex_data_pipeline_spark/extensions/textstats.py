@@ -124,3 +124,48 @@ def rolling_fingerprint_expr(text_col: str, window: int = 8) -> Column:
           i -> md5(array_join(slice({words}, i, {window}), ' '))))
         """
     )
+
+
+def hashed_linear_score(
+    col: Column,
+    weights_milli: "list[int]",
+    n_buckets: int | None = None,
+) -> "dict[str, Column]":
+    """Hashed bag-of-words linear model scoring — the fastText-style
+    quality-classifier inference pattern (DCLM et al.) expressed as
+    pure columnar compute: each normalized word hashes into one of
+    ``len(weights_milli)`` buckets (md5 → first 8 hex → mod), the
+    model is a LITERAL weight array compiled into the plan, and the
+    document score is the sum of its words' bucket weights.
+
+    Weights are INTEGER milli-units, so the score is an exact BIGINT —
+    no cross-engine float-summation drift, and the whole scoring pass
+    is one map-only projection + one aggregate (no Python, no UDF; at
+    100 TB the model rides inside whole-stage codegen).  Real trained
+    weights quantize to milli-units with negligible loss.
+
+    Returns columns: ``score_milli`` (long), ``n_terms`` (int).
+    """
+    n = n_buckets or len(weights_milli)
+    if n != len(weights_milli):
+        raise ValueError("n_buckets must equal len(weights_milli)")
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    words = F.filter(F.split(normalized_text(col), " "), lambda s: s != "")
+    arr = F.array(*[F.lit(int(w)) for w in weights_milli])
+    # transform(word -> weight[bucket(word)]) then fold-sum: all HOFs
+    per_word = F.transform(
+        words,
+        lambda w: F.element_at(
+            arr,
+            (F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long") % n + 1).cast(
+                "int"
+            ),
+        ),
+    )
+    return {
+        "score_milli": F.aggregate(
+            per_word, F.lit(0).cast("long"), lambda a, x: a + x
+        ),
+        "n_terms": F.size(words),
+    }

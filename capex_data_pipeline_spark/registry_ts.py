@@ -627,3 +627,48 @@ def q88_rolling_window(spark, sf_dir):
         F.round("rolling_sum", 4).alias("rolling_sum"),
         F.round("rolling_max", 4).alias("rolling_max"),
     )
+
+
+# --------------------------------- hashed linear classifier scoring
+
+#: deterministic 64-bucket integer-milli weight vector (the "model")
+_W89 = [((i * 2654435761) % 1001) - 500 for i in range(64)]
+
+
+@query(
+    "q89_linear_classifier",
+    f"""
+    WITH wts AS (SELECT {list(_W89)}::BIGINT[] AS a),
+    w AS (SELECT doc_id, list_filter({_WORDS_TS}, x -> x <> '') AS ws
+          FROM documents)
+    SELECT w.doc_id,
+           coalesce(list_sum(list_transform(w.ws,
+             wd -> wts.a[(CAST(('0x' || substr(md5(wd), 1, 8)) AS BIGINT) % 64) + 1]
+           )), 0) AS score_milli,
+           len(w.ws) AS n_terms,
+           coalesce(list_sum(list_transform(w.ws,
+             wd -> wts.a[(CAST(('0x' || substr(md5(wd), 1, 8)) AS BIGINT) % 64) + 1]
+           )), 0) > 0 AS keep
+    FROM w, wts
+    """,
+)
+def q89_linear_classifier(spark, sf_dir):
+    """Hashed bag-of-words linear classifier inference
+    (textstats.hashed_linear_score) — the fastText/DCLM quality-scoring
+    pattern as pure columnar compute: words md5-hash into 64 buckets,
+    the weight vector is a plan literal in integer milli-units, the
+    document score an exact BIGINT sum (zero cross-engine float
+    drift). Map-only, whole-stage codegen, no UDF; the oracle replays
+    hash, bucket lookup, and sum in DuckDB."""
+    from capex_data_pipeline_spark.extensions.textstats import (
+        hashed_linear_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = hashed_linear_score(F.col("text"), _W89)
+    return docs.select(
+        "doc_id",
+        cols["score_milli"].alias("score_milli"),
+        cols["n_terms"].alias("n_terms"),
+        (cols["score_milli"] > 0).alias("keep"),
+    )

@@ -113,3 +113,40 @@ def test_sketch_swaps_stay_within_documented_error(spark):
     assert abs(row["p90_sketch"] - row["p90_exact"]) <= 0.02 * row["p90_exact"]
     # HLL++ at rsd 2%: within 3 x rsd of the exact distinct count
     assert abs(row["nd_sketch"] - row["nd_exact"]) <= 0.06 * row["nd_exact"]
+
+
+def test_hashed_linear_score_exact_and_map_only(spark):
+    """Hand-compute the hashed-bucket score for a 2-word doc and pin
+    that the whole scoring pass is map-only (no Exchange)."""
+    import hashlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.extensions.textstats import (
+        hashed_linear_score,
+    )
+
+    w = [((i * 7) % 21) - 10 for i in range(16)]
+
+    def bucket(word):
+        return int(hashlib.md5(word.encode()).hexdigest()[:8], 16) % 16
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    cols = hashed_linear_score(F.col("text"), w)
+    out = df.select(
+        "doc_id",
+        cols["score_milli"].alias("s"),
+        cols["n_terms"].alias("n"),
+    )
+    got = {r["doc_id"]: (r["s"], r["n"]) for r in out.collect()}
+    assert got[1] == (w[bucket("alpha")] + w[bucket("beta")], 2)
+    assert got[2] == (0, 0) and got[3] == (0, 0)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # model scoring is a pure projection
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        hashed_linear_score(F.col("text"), w, n_buckets=8)
