@@ -67,10 +67,14 @@ HEADLINE = [
     "q68_tfidf_topk",
     "q70_unigram_logprob",
     # round-7 temporal/corpus additions: the cross-document line dedup
-    # (3-shuffle explode+agg+regroup) and the grid resample (sequence
-    # explode + running-fill window over 100k events)
+    # (3-shuffle explode+agg+regroup), the grid resample (sequence
+    # explode + running-fill window over 100k events), the two-pass
+    # exact-percentile robust z-score, and the bigram-PMI double
+    # explode+aggregate with its twice-joined vocab frame
     "q76_crossdoc_lines",
     "q79_resample_ffill",
+    "q83_robust_zscore",
+    "q87_bigram_pmi",
 ]
 
 

@@ -147,6 +147,7 @@ def attribution_join(
     left_type: str = "view",
     right_type: str = "purchase",
     horizon: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Event-to-event interval join ("attribution": every ``right_type``
     event paired with the same user's ``left_type`` events in the
@@ -175,6 +176,7 @@ def attribution_join(
         (F.col("l_user") == F.col("r_user"))
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
+        how,
     )
     return joined.select(
         F.col("l_user").alias("user_id"),
@@ -209,4 +211,30 @@ def attribution_join_stream(
         left_type,
         right_type,
         horizon,
+    )
+
+
+def attribution_join_outer_stream(
+    left: DataFrame,
+    right: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: matched pairs emit as
+    they join; a matchless left row emits with null right columns only
+    once the watermark proves no future right row can fall inside its
+    horizon (event_time + horizon < watermark).  The streaming
+    semantics inner joins never exercise: null emission is
+    WATERMARK-DRIVEN, so rows still inside the horizon at shutdown are
+    withheld, not emitted null — the correctness property
+    tests/test_streaming.py pins against the batch left join."""
+    return attribution_join(
+        left.withWatermark("ts", watermark),
+        right.withWatermark("ts", watermark),
+        left_type,
+        right_type,
+        horizon,
+        how="left_outer",
     )

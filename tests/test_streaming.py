@@ -461,3 +461,92 @@ def test_attribution_join_stream_matches_batch(spark, events_stream_dir):
         tuple(r) for r in spark.sql("SELECT * FROM attribution_mem").collect()
     )
     assert got == batch
+
+
+@pytest.fixture(scope="module")
+def events_chrono3_dir(spark, tmp_path_factory):
+    """events split into 3 parquet files by TIME TERCILE, written in
+    chronological order — so a maxFilesPerTrigger=1 replay advances
+    the watermark batch over batch (the shape outer joins need to
+    emit their null side)."""
+    d = tmp_path_factory.mktemp("events_chrono3")
+    e = read_table(spark, SF_DIR, "events")
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = e.withColumn("_ep", ep)
+    t1, t2 = e.approxQuantile("_ep", [1 / 3, 2 / 3], 0.001)
+    parts = [
+        e.filter(F.col("_ep") < t1).drop("_ep"),
+        e.filter((F.col("_ep") >= t1) & (F.col("_ep") < t2)).drop("_ep"),
+        e.filter(F.col("_ep") >= t2).drop("_ep"),
+    ]
+    import glob
+    import time as _time
+
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(str(d / f"part{i}"))
+        f = glob.glob(str(d / f"part{i}" / "*.parquet"))[0]
+        os.rename(f, d / f"file{i}.parquet")
+        shutil.rmtree(str(d / f"part{i}"))
+        _time.sleep(1.1)  # distinct mtimes → deterministic batch order
+    return str(d)
+
+
+def test_attribution_outer_stream_null_emission_is_watermark_driven(
+    spark, events_chrono3_dir
+):
+    """LEFT OUTER stream-stream interval join: matched pairs equal the
+    batch inner join exactly; null-side rows emit ONLY for left rows
+    whose horizon the watermark has provably passed — pinned with a
+    safety band around the final watermark (batch-exact null parity is
+    not defined at shutdown: rows still inside the horizon are
+    withheld, which is the correctness property)."""
+    import datetime as _dt
+
+    from capex_data_pipeline_spark.streaming.windows import (
+        attribution_join,
+        attribution_join_outer_stream,
+    )
+
+    e = read_table(spark, SF_DIR, "events")
+    horizon_s, wm_s = 3600.0, 7200.0
+    inner = {
+        tuple(r)
+        for r in attribution_join(e, e).collect()
+    }
+    batch_outer = attribution_join(e, e, how="left_outer").collect()
+    batch_nulls = {
+        tuple(r): r["l_ts_us"] for r in batch_outer if r["r_event_id"] is None
+    }
+
+    stream = attribution_join_outer_stream(
+        _streaming_events_one_file_per_batch(spark, events_chrono3_dir),
+        _streaming_events_one_file_per_batch(spark, events_chrono3_dir),
+        watermark="2 hours",
+    )
+    _run_to_memory(stream, "attr_outer_mem", "append")
+    got = spark.sql("SELECT * FROM attr_outer_mem").collect()
+    got_matched = {tuple(r) for r in got if r["r_event_id"] is not None}
+    got_nulls = {tuple(r) for r in got if r["r_event_id"] is None}
+
+    # matched pairs: exact batch parity
+    assert got_matched == inner
+    # every emitted null row is a true batch null row
+    assert got_nulls <= set(batch_nulls)
+    # and every null row safely below the second-batch watermark emitted
+    files = sorted(
+        __import__("glob").glob(os.path.join(events_chrono3_dir, "*.parquet"))
+    )[:2]
+    wm2_us = (
+        spark.read.parquet(*files)
+        .select(F.max(F.unix_micros(F.col("ts").cast("timestamp"))))
+        .collect()[0][0]
+        - int(wm_s * 1_000_000)
+    )
+    margin_us = 600 * 1_000_000
+    must = {
+        k
+        for k, l_us in batch_nulls.items()
+        if l_us + horizon_s * 1_000_000 < wm2_us - margin_us
+    }
+    assert must <= got_nulls
+    assert must  # the band is non-degenerate: it demands real emissions
