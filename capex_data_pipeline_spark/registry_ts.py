@@ -672,3 +672,44 @@ def q89_linear_classifier(spark, sf_dir):
         cols["n_terms"].alias("n_terms"),
         (cols["score_milli"] > 0).alias("keep"),
     )
+
+
+# --------------------------------------------------- unpivot / melt
+
+
+@query(
+    "q26_unpivot_melt",
+    """
+    WITH m AS (
+      SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+    )
+    SELECT l_returnflag, measure, round(sum(v), 2) AS total, count(*) AS n
+    FROM m GROUP BY 1, 2
+    """,
+)
+def q26_unpivot_melt(spark, sf_dir):
+    """Wide-to-long reshaping with the native unpivot (melt) operator —
+    the inverse of q09's pivot and the missing half of the reshape
+    surface. Unpivot is a zero-shuffle projection (each row fans out
+    to one row per measure map-side); the aggregate then shuffles on
+    the compact (flag, measure) key. The oracle restates the melt as
+    UNION ALL branches."""
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    )
+    return melted.groupBy("l_returnflag", "measure").agg(
+        F.round(F.sum("v"), 2).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )

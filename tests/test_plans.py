@@ -258,7 +258,7 @@ def test_driver_contract_registry_invariants():
     import bench
 
     qs, oracles = E.queries(), E.oracle_sql()
-    assert len(qs) == 84
+    assert len(qs) == 85
     assert set(oracles) == set(qs)
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
     assert set(bench.HEADLINE) <= set(qs)
@@ -333,3 +333,29 @@ def test_release_persisted_invalidates_pipeline_memo(spark):
     # hook-released frames count toward the total (return-value contract)
     assert release_persisted() >= n_frames
     assert not registry_ext._PIPELINE_CACHE
+
+
+def test_round7_query_plans_stay_narrow(spark, queries):
+    """Plan pins for the round-7 families: no cartesian blowups
+    anywhere; the single-window operators carry exactly one exchange;
+    classifier scoring carries none beyond the scan."""
+    for name in (
+        "q76_crossdoc_lines",
+        "q77_range_join",
+        "q79_resample_ffill",
+        "q82_sessionize",
+        "q83_robust_zscore",
+        "q84_cohort_retention",
+        "q85_funnel",
+        "q87_bigram_pmi",
+        "q88_rolling_window",
+    ):
+        plan = _plan(queries[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        # 1-row broadcast totals (q87) legitimately use BroadcastNestedLoopJoin;
+        # everything else must not
+        if name != "q87_bigram_pmi":
+            assert "BroadcastNestedLoopJoin" not in plan, name
+    for name in ("q82_sessionize", "q88_rolling_window"):
+        plan = _plan(queries[name](spark, SF))
+        assert plan.count("Exchange") == 1, (name, plan.count("Exchange"))
