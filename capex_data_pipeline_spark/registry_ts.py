@@ -713,3 +713,66 @@ def q26_unpivot_melt(spark, sf_dir):
         F.round(F.sum("v"), 2).alias("total"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ------------------------------------------ fuzzy entity matching
+
+_TRIGRAM_NORM = (
+    "trim(regexp_replace(lower(coalesce(p_name, '')), '[^a-z0-9]+', ' ', 'g'))"
+)
+_TRIGRAMS = f"""
+  CASE WHEN len({_TRIGRAM_NORM}) < 3 THEN [{_TRIGRAM_NORM}]
+       ELSE list_distinct(list_transform(range(1, len({_TRIGRAM_NORM}) - 1),
+                          i -> {_TRIGRAM_NORM}[i:i+2]))
+  END
+"""
+
+
+@query(
+    "q18_fuzzy_match",
+    f"""
+    WITH g AS (SELECT p_partkey AS id, unnest({_TRIGRAMS}) AS gm FROM part),
+    n AS (SELECT id, count(*) AS ng FROM g GROUP BY 1),
+    shared AS (
+      SELECT a.id AS p1, b.id AS p2, count(*) AS sh
+      FROM g a JOIN g b ON a.gm = b.gm AND a.id <> b.id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT s.p1, s.p2,
+             s.sh::DOUBLE / (n1.ng + n2.ng - s.sh) AS j
+      FROM shared s JOIN n n1 ON s.p1 = n1.id JOIN n n2 ON s.p2 = n2.id
+    )
+    SELECT p1, p2, round(j, 4) AS jaccard FROM (
+      SELECT p1, p2, j,
+             row_number() OVER (PARTITION BY p1 ORDER BY j DESC, p2 ASC) AS rn
+      FROM scored WHERE j >= 0.5
+    ) WHERE rn = 1
+    """,
+)
+def q18_fuzzy_match(spark, sf_dir):
+    """Entity resolution without keys (matching.fuzzy_join): every
+    part's BEST trigram-Jaccard match among other parts (threshold
+    0.5, ties to the smallest key). Candidates come from an equi-join
+    ON THE TRIGRAM and Jaccard from join counts alone — the all-pairs
+    similarity matrix never exists. Jaccard values are exact small-int
+    rationals, so cross-engine ordering is exact. Top-1 selection is
+    a WindowGroupLimit rank."""
+    from pyspark.sql.window import Window
+
+    from capex_data_pipeline_spark.extensions.matching import fuzzy_join
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    part = read_table(spark, sf_dir, "part")
+    l = part.select(F.col("p_partkey").alias("p1"), "p_name")
+    r = part.select(F.col("p_partkey").alias("p2"), "p_name")
+    cand = fuzzy_join(
+        l, r, "p1", "p_name", "p2", "p_name", threshold=0.5
+    ).filter(F.col("p1") != F.col("p2"))
+    w = Window.partitionBy("p1").orderBy(
+        F.col("jaccard").desc(), F.col("p2").asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("p1", "p2", F.round("jaccard", 4).alias("jaccard"))
+    )

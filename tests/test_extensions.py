@@ -780,3 +780,43 @@ def test_cluster_sample_balanced_and_deterministic(spark):
     g0 = {cells[i] for i in range(30)}
     g1 = {cells[100 + i] for i in range(30)}
     assert len(g0) == 1 and len(g1) == 1 and g0 != g1  # separated clusters
+
+
+def test_fuzzy_join_trigram_jaccard(spark):
+    """Hand-computed trigram Jaccard: 'kitten' vs 'kitsen', plus
+    exact-match short strings and a stop-gram-prune recall check."""
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.extensions.matching import (
+        char_trigrams,
+        fuzzy_join,
+    )
+
+    # trigram sets: kitten -> {kit,itt,tte,ten}, kitsen -> {kit,its,tse,sen}
+    # shared = {kit} -> J = 1/(4+4-1) = 1/7
+    left = spark.createDataFrame([(1, "kitten"), (2, "ab")], "lid long, name string")
+    right = spark.createDataFrame(
+        [(10, "kitsen"), (20, "ab"), (30, "zzzz")], "rid long, name string"
+    )
+    out = {
+        (r["lid"], r["rid"]): r["jaccard"]
+        for r in fuzzy_join(
+            left, right, "lid", "name", "rid", "name", threshold=0.1
+        ).collect()
+    }
+    assert out[(1, 10)] == pytest.approx(1 / 7)
+    assert out[(2, 20)] == 1.0  # short strings match as single grams
+    assert (1, 30) not in out and (2, 10) not in out
+
+    grams = left.select(char_trigrams(F.col("name")).alias("g")).collect()
+    assert sorted(grams[0]["g"]) == ["itt", "kit", "ten", "tte"]
+
+    # stop-gram prune: exact jaccard preserved for surviving pairs
+    pruned = {
+        (r["lid"], r["rid"]): r["jaccard"]
+        for r in fuzzy_join(
+            left, right, "lid", "name", "rid", "name",
+            threshold=0.1, max_gram_freq=100,
+        ).collect()
+    }
+    assert pruned == out
