@@ -252,3 +252,42 @@ def rolling_window(
         F.sum(value_col).over(w).alias("rolling_sum"),
         F.max(value_col).over(w).alias("rolling_max"),
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    on: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) builder: collapse a change
+    log into validity intervals — one row per observed state with
+    ``valid_from`` / ``valid_to`` (null = current) and ``is_current``.
+    Consecutive duplicate values merge into one interval.
+
+    One window per key ordered by time: ``lag`` drops no-change rows,
+    ``lead`` closes each interval at the next change's time.  Two
+    passes over the same partitioning (Catalyst runs them in one
+    shuffle), linear state — the warehouse-standard dimension-history
+    build at any scale.
+    """
+    order = [F.col(time_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(on).orderBy(*order)
+    changed = (
+        ~F.col(value_col).eqNullSafe(F.lag(value_col).over(w))
+    ) | F.lag(time_col).over(w).isNull()
+    cols = [on, time_col, value_col] + (
+        [tiebreak_col] if tiebreak_col and tiebreak_col not in (on, time_col, value_col) else []
+    )
+    marked = df.select(*cols).withColumn("_chg", changed)
+    keep = marked.filter(F.col("_chg")).drop("_chg")
+    w2 = Window.partitionBy(on).orderBy(F.col(time_col).asc())
+    return keep.select(
+        F.col(on),
+        F.col(value_col).alias("state"),
+        F.col(time_col).alias("valid_from"),
+        F.lead(time_col).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

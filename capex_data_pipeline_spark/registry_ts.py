@@ -776,3 +776,84 @@ def q18_fuzzy_match(spark, sf_dir):
         .filter(F.col("_rn") == 1)
         .select("p1", "p2", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+# ------------------------------------------- SCD2 dimension history
+
+
+@query(
+    "q08_scd2",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER w AS prev_t, lag(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), chg AS (
+      SELECT user_id, ts, event_type FROM o
+      WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_t
+    )
+    SELECT user_id, event_type AS state,
+           epoch_us(ts) AS valid_from_us,
+           coalesce(epoch_us(lead(ts) OVER w2), -1) AS valid_to_us,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM chg
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def q08_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type-2 history
+    (analytics.scd2_intervals): each user's event-type change log
+    collapsed into validity intervals (consecutive duplicates merged,
+    open current interval). One keyed window: lag drops no-change
+    rows, lead closes intervals — the warehouse dimension-history
+    build. valid_to is the -1 sentinel for the open interval (keeps
+    the compared frame free of nullable timestamps)."""
+    from capex_data_pipeline_spark.extensions.analytics import scd2_intervals
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    out = scd2_intervals(
+        ev, on="user_id", value_col="event_type", tiebreak_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        "state",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias(
+            "valid_from_us"
+        ),
+        F.coalesce(
+            F.unix_micros(F.col("valid_to").cast("timestamp")), F.lit(-1)
+        ).alias("valid_to_us"),
+        "is_current",
+    )
+
+
+# --------------------------------------------------------- CUBE
+
+
+@query(
+    "q13_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           2 * grouping(l_returnflag) + grouping(l_linestatus) AS gid,
+           count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q13_cube(spark, sf_dir):
+    """CUBE grouping sets (completing the q28 ROLLUP surface): all
+    2^k aggregation granularities in ONE pass — Spark expands the
+    grouping sets map-side and shares a single shuffle, the
+    at-scale alternative to unioning 4 separate GROUP BYs.
+    grouping() bits disambiguate subtotal rows from null data."""
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        (
+            F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+        ).alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )

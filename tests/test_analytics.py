@@ -167,3 +167,36 @@ def test_rolling_window_trailing_aggregates(spark):
     assert out[3] == (3, 7.0, 4.0)       # inclusive lower bound
     assert out[4] == (2, 24.0, 16.0)     # RANGE peers share the frame
     assert out[5] == (2, 24.0, 16.0)
+
+
+def test_scd2_intervals_merges_and_closes(spark):
+    from capex_data_pipeline_spark.extensions.analytics import scd2_intervals
+
+    df = spark.createDataFrame(
+        [
+            (1, "u", _ts("2024-01-01 10:00:00"), "A"),
+            (2, "u", _ts("2024-01-01 11:00:00"), "A"),  # no change → merged
+            (3, "u", _ts("2024-01-01 12:00:00"), "B"),
+            (4, "u", _ts("2024-01-01 13:00:00"), "A"),  # back to A → NEW interval
+            (5, "v", _ts("2024-01-01 09:00:00"), "X"),
+        ],
+        "event_id long, user_id string, ts timestamp, state string",
+    )
+    out = sorted(
+        (
+            r["user_id"],
+            r["state"],
+            r["valid_from"].isoformat(),
+            r["valid_to"].isoformat() if r["valid_to"] else None,
+            r["is_current"],
+        )
+        for r in scd2_intervals(
+            df, value_col="state", tiebreak_col="event_id"
+        ).collect()
+    )
+    assert out == [
+        ("u", "A", "2024-01-01T10:00:00", "2024-01-01T12:00:00", False),
+        ("u", "A", "2024-01-01T13:00:00", None, True),
+        ("u", "B", "2024-01-01T12:00:00", "2024-01-01T13:00:00", False),
+        ("v", "X", "2024-01-01T09:00:00", None, True),
+    ]
