@@ -349,6 +349,10 @@ def test_round7_query_plans_stay_narrow(spark, queries):
         "q85_funnel",
         "q87_bigram_pmi",
         "q88_rolling_window",
+        "q18_fuzzy_match",
+        "q08_scd2",
+        "q13_cube",
+        "q26_unpivot_melt",
     ):
         plan = _plan(queries[name](spark, SF))
         assert "CartesianProduct" not in plan, name

@@ -258,3 +258,125 @@ def test_asof_join_compound_key(spark):
     rows = asof_join(left, right, on=["user", "site"]).collect()
     assert len(rows) == 1
     assert rows[0]["rv_asof"] == 1.0  # site-b row must not leak in
+
+
+def test_range_join_differential_random(spark):
+    """Seeded-random differential: range_join (binned) vs the naive
+    theta join over 3 window shapes on dense random event data —
+    including windows that straddle many bins and exact-boundary
+    collisions (integer-second times)."""
+    import random
+
+    rng = random.Random(20260814)
+    users = [f"u{i}" for i in range(12)]
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, rng.choice(users), base + dt.timedelta(seconds=rng.randrange(0, 7200)))
+        for i in range(250)
+    ]
+    rrows = [
+        (rng.choice(users), base + dt.timedelta(seconds=rng.randrange(0, 7200)),
+         float(i))
+        for i in range(250)
+    ]
+    left = spark.createDataFrame(lrows, "lid long, user string, ts timestamp")
+    right = spark.createDataFrame(rrows, "user string, ts timestamp, rval double")
+    for lo, hi in ((-600, 0), (-1800, 1800), (30, 90)):
+        got = sorted(
+            tuple(r)
+            for r in range_join(left, right, on="user", lower=lo, upper=hi)
+            .select("lid", "rval_r")
+            .collect()
+        )
+        want = sorted(tuple(r) for r in _naive(left, right, lo, hi).collect())
+        assert got == want, (lo, hi, len(got), len(want))
+
+
+def test_crossdoc_line_stats_differential_random(spark):
+    """Seeded-random differential vs a pure-Python reference: random
+    docs assembled from a small line pool (guaranteed cross-doc
+    collisions), random short/empty lines mixed in."""
+    import random
+
+    rng = random.Random(7)
+    pool = [f"shared line number {i} with words" for i in range(12)]
+    docs = []
+    for d in range(60):
+        lines = [
+            rng.choice(
+                [rng.choice(pool), f"uniq {d}-{i} content line", "hi", ""]
+            )
+            for i in range(rng.randrange(1, 8))
+        ]
+        docs.append((d, "\n".join(lines)))
+
+    MIN_DOCS, MIN_CHARS = 2, 8
+    # python reference
+    from collections import defaultdict
+
+    line_docs = defaultdict(set)
+    for d, text in docs:
+        for ln in text.split("\n"):
+            key = ln.strip()
+            if len(key) >= MIN_CHARS:
+                line_docs[key].add(d)
+    boiler = {k for k, v in line_docs.items() if len(v) >= MIN_DOCS}
+    want = {}
+    for d, text in docs:
+        kept, removed = [], 0
+        for ln in text.split("\n"):
+            if ln.strip() in boiler and len(ln.strip()) >= MIN_CHARS:
+                removed += 1
+            else:
+                kept.append(ln)
+        want[d] = ("\n".join(kept), len(text.split("\n")), removed)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["cleaned"], r["n_lines"], r["n_removed"])
+        for r in crossdoc_line_stats(
+            df, min_docs=MIN_DOCS, min_line_chars=MIN_CHARS
+        ).collect()
+    }
+    assert got == want
+
+
+def test_sessionize_differential_random(spark):
+    """Seeded-random differential vs a pure-Python sessionizer."""
+    import random
+
+    from capex_data_pipeline_spark.extensions.analytics import sessionize
+
+    rng = random.Random(99)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, f"u{rng.randrange(8)}",
+         base + dt.timedelta(seconds=rng.randrange(0, 36000)))
+        for i in range(400)
+    ]
+    GAP = 900
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for i, u, t in rows:
+        per[u].append((t, i))
+    want = {}
+    for u, evs in per.items():
+        evs.sort()
+        sid, prev = -1, None
+        for t, i in evs:
+            if prev is None or (t - prev).total_seconds() > GAP:
+                sid += 1
+                want[i] = (sid, True)
+            else:
+                want[i] = (sid, False)
+            prev = t
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp")
+    got = {
+        r["event_id"]: (r["session_id"], r["is_session_start"])
+        for r in sessionize(
+            df, gap_seconds=GAP, tiebreak_col="event_id"
+        ).collect()
+    }
+    # ties at identical (user, ts): python sorts by (t, i) = same tiebreak
+    assert got == want
