@@ -857,3 +857,51 @@ def q13_cube(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("qty"),
     )
+
+
+# ------------------------------------- map-style per-key aggregation
+
+
+@query(
+    "q17_type_count_map",
+    """
+    WITH c AS (
+      SELECT user_id, event_type AS t, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           string_agg(t || ':' || cnt, ',' ORDER BY t) AS type_counts,
+           count(*) AS n_types,
+           (list(t ORDER BY cnt DESC, t ASC))[1] AS top_type
+    FROM c GROUP BY user_id
+    """,
+)
+def q17_type_count_map(spark, sf_dir):
+    """Per-key map-style aggregation: each user's event-type histogram
+    as a canonical sorted 'type:count' string (the comparable
+    serialization of a map<string,long> column — map columns
+    themselves have no cross-engine ordering), plus the dominant type
+    (max count, ties alphabetical via sort on (-cnt, type)). Two
+    compact-key hash aggregations."""
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return c.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("t"), F.col("cnt")))),
+                lambda x: F.concat_ws(":", x["t"], x["cnt"].cast("string")),
+            ),
+            ",",
+        ).alias("type_counts"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.element_at(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("cnt")).alias("nc"), F.col("t")))
+            ),
+            1,
+        )["t"].alias("top_type"),
+    )
