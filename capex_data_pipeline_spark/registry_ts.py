@@ -905,3 +905,49 @@ def q17_type_count_map(spark, sf_dir):
             1,
         )["t"].alias("top_type"),
     )
+
+
+# -------------------------- left-outer attribution (batch of q5x family)
+
+
+@query(
+    "q57_attribution_outer",
+    """
+    SELECT l.user_id,
+           l.event_id AS l_event_id,
+           coalesce(r.event_id, -1) AS r_event_id,
+           epoch_us(l.ts) AS l_ts_us,
+           coalesce(epoch_us(r.ts), -1) AS r_ts_us,
+           coalesce(round(CAST(CAST(r.value AS DECIMAL(18,6))
+                      - CAST(l.value AS DECIMAL(18,6)) AS DOUBLE), 2), 0.0)
+             AS value_delta,
+           r.event_id IS NOT NULL AS matched
+    FROM (SELECT * FROM events WHERE event_type = 'view') l
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND epoch_us(r.ts) >= epoch_us(l.ts)
+     AND epoch_us(r.ts) <= epoch_us(l.ts) + 3600000000
+    """,
+)
+def q57_attribution_outer(spark, sf_dir):
+    """LEFT OUTER interval join, batch form (streaming's
+    attribution_join(how='left_outer') — the semantics whose
+    watermark-driven streaming twin is pinned in test_streaming):
+    every view keeps a row even with no purchase in its hour, with -1
+    / 0.0 sentinels so the compared frame stays free of nullable
+    bigints/doubles. The matched flag preserves the null information
+    exactly."""
+    from capex_data_pipeline_spark.streaming.windows import attribution_join
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    out = attribution_join(e, e, how="left_outer")
+    return out.select(
+        "user_id",
+        "l_event_id",
+        F.coalesce(F.col("r_event_id"), F.lit(-1)).alias("r_event_id"),
+        "l_ts_us",
+        F.coalesce(F.col("r_ts_us"), F.lit(-1)).alias("r_ts_us"),
+        F.coalesce(F.col("value_delta"), F.lit(0.0)).alias("value_delta"),
+        F.col("r_event_id").isNotNull().alias("matched"),
+    )
