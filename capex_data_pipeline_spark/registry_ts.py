@@ -951,3 +951,66 @@ def q57_attribution_outer(spark, sf_dir):
         F.coalesce(F.col("value_delta"), F.lit(0.0)).alias("value_delta"),
         F.col("r_event_id").isNotNull().alias("matched"),
     )
+
+
+# ---------------------------------------- top-N + OTHER share report
+
+
+@query(
+    "q12_share_report",
+    """
+    WITH c AS (
+      SELECT event_type, count(*) AS n, round(sum(value), 2) AS v
+      FROM events GROUP BY 1
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY n DESC, event_type ASC) AS rn
+      FROM c
+    ), tot AS (SELECT sum(n) AS tn, sum(v) AS tv FROM c),
+    bucketed AS (
+      SELECT CASE WHEN rn <= 3 THEN event_type ELSE 'OTHER' END AS bucket,
+             n, v FROM ranked
+    )
+    SELECT b.bucket, sum(b.n) AS n_events,
+           round(sum(b.v), 2) AS value_sum,
+           round(sum(b.n)::DOUBLE / t.tn, 6) AS share_events,
+           round(sum(b.v) / t.tv, 6) AS share_value
+    FROM bucketed b, tot t
+    GROUP BY b.bucket, t.tn, t.tv
+    """,
+)
+def q12_share_report(spark, sf_dir):
+    """Top-3 + OTHER share report: event types ranked by volume, the
+    tail folded into an OTHER bucket, with each bucket's share of
+    events and value — the reporting shape every dashboard query
+    reduces to. The grand total rides as a 1-row broadcast (never a
+    second scan); rank + fold happen on the tiny aggregated frame."""
+    from pyspark.sql.window import Window
+
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("event_type").asc())
+    ranked = c.withColumn("rn", F.row_number().over(w))
+    tot = c.agg(F.sum("n").alias("tn"), F.sum("v").alias("tv"))
+    bucketed = ranked.select(
+        F.when(F.col("rn") <= 3, F.col("event_type"))
+        .otherwise(F.lit("OTHER"))
+        .alias("bucket"),
+        "n",
+        "v",
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("n").alias("n_events"), F.round(F.sum("v"), 2).alias("value_sum"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_events",
+            "value_sum",
+            F.round(F.col("n_events") / F.col("tn"), 6).alias("share_events"),
+            F.round(F.col("value_sum") / F.col("tv"), 6).alias("share_value"),
+        )
+    )

@@ -258,7 +258,7 @@ def test_driver_contract_registry_invariants():
     import bench
 
     qs, oracles = E.queries(), E.oracle_sql()
-    assert len(qs) == 90
+    assert len(qs) == 91
     assert set(oracles) == set(qs)
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
     assert set(bench.HEADLINE) <= set(qs)
