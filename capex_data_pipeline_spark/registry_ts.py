@@ -1014,3 +1014,49 @@ def q12_share_report(spark, sf_dir):
             F.round(F.col("value_sum") / F.col("tv"), 6).alias("share_value"),
         )
     )
+
+
+# ------------------------------- correlated subqueries via the SQL API
+
+
+@query(
+    "q29_correlated_subquery",
+    """
+    SELECT o.o_custkey, count(*) AS n_big_orders,
+           round(sum(o.o_totalprice), 2) AS big_total
+    FROM orders o
+    WHERE o.o_totalprice > (
+            SELECT 1.5 * avg(i.o_totalprice) FROM orders i
+            WHERE i.o_custkey = o.o_custkey)
+      AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 30)
+    GROUP BY 1
+    """,
+)
+def q29_correlated_subquery(spark, sf_dir):
+    """SQL-API surface: a correlated scalar subquery (orders 50% above
+    the customer's own average) plus a correlated EXISTS (any line with
+    quantity >= 30), written as plain SQL over registered views.
+    Catalyst DECORRELATES both into aggregate + joins (no per-row
+    subquery execution — the plan contains ordinary joins, pinned in
+    test_plans); DuckDB runs the same text verbatim, so the oracle is
+    the query itself."""
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_custkey, count(*) AS n_big_orders,
+               round(sum(o.o_totalprice), 2) AS big_total
+        FROM orders o
+        WHERE o.o_totalprice > (
+                SELECT 1.5 * avg(i.o_totalprice) FROM orders i
+                WHERE i.o_custkey = o.o_custkey)
+          AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 30)
+        GROUP BY 1
+        """
+    )

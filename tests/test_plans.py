@@ -258,7 +258,7 @@ def test_driver_contract_registry_invariants():
     import bench
 
     qs, oracles = E.queries(), E.oracle_sql()
-    assert len(qs) == 91
+    assert len(qs) == 92
     assert set(oracles) == set(qs)
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
     assert set(bench.HEADLINE) <= set(qs)
@@ -363,3 +363,13 @@ def test_round7_query_plans_stay_narrow(spark, queries):
     for name in ("q82_sessionize", "q88_rolling_window"):
         plan = _plan(queries[name](spark, SF))
         assert plan.count("Exchange") == 1, (name, plan.count("Exchange"))
+
+
+def test_correlated_subqueries_are_decorrelated(spark, queries):
+    """q29's correlated scalar + EXISTS subqueries must decorrelate
+    into joins: the executed plan contains no Subquery nodes and no
+    cartesian/nested-loop fallbacks."""
+    plan = _plan(queries["q29_correlated_subquery"](spark, SF))
+    assert "Subquery" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
