@@ -45,14 +45,17 @@ def sessionize(
     WHICH tied row carries ``is_session_start`` deterministic.  One
     window, one shuffle on the key.
     """
-    ep = F.col(time_col).cast("timestamp").cast("double")
+    # integer microseconds: a double-seconds gap can exceed the
+    # threshold by an ulp at exactly gap_seconds and split the session
+    ep = F.unix_micros(F.col(time_col).cast("timestamp"))
+    gap_us = int(round(gap_seconds * 1_000_000))
     order = [ep.asc()] + (
         [F.col(tiebreak_col).asc()] if tiebreak_col else []
     )
     w = Window.partitionBy(on).orderBy(*order)
     gap = ep - F.lag(ep).over(w)
     new_sess = F.when(
-        gap.isNull() | (gap > F.lit(float(gap_seconds))), 1
+        gap.isNull() | (gap > F.lit(gap_us)), 1
     ).otherwise(0)
     run = (
         Window.partitionBy(on)
@@ -147,9 +150,11 @@ def cohort_retention(
     counts = (
         joined.select("_k", "_cohort", off.alias("period_offset"))
         .groupBy("_cohort", "period_offset")
-        .agg(F.countDistinct("_k").alias("n_active"))
+        # rows are already distinct per (key, cohort, offset): activity
+        # is .distinct() and the offset is a function of (_p, _cohort)
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )
-    sizes = first.groupBy("_cohort").agg(F.countDistinct("_k").alias("cohort_size"))
+    sizes = first.groupBy("_cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
     return (
         counts.join(sizes, "_cohort")
         .select(

@@ -95,8 +95,13 @@ def fuzzy_join(
     # semi-restricted join only when pruning removed grams)
     if max_gram_freq is not None:
         pairs = shared.select("_lid", "_rid")
+        # restrict BOTH sides to candidate ids before re-joining on the
+        # gram — without this the re-rank would regenerate every
+        # hot-gram pair the prune exists to avoid
+        l_cand = l.join(pairs.select("_lid").distinct(), "_lid", "left_semi")
+        r_cand = r.join(pairs.select("_rid").distinct(), "_rid", "left_semi")
         shared = (
-            l.join(r, "_g")
+            l_cand.join(r_cand, "_g")
             .join(pairs, ["_lid", "_rid"], "left_semi")
             .groupBy("_lid", "_rid")
             .agg(F.count(F.lit(1)).alias("_shared"))

@@ -62,7 +62,11 @@ def range_join(
     if how not in ("inner", "left"):
         raise ValueError(f"range_join: how must be 'inner' or 'left', not {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
-    width = float(upper - lower)
+    # integer-microsecond internals: double-seconds epochs can slip an
+    # ulp at exact window boundaries vs integer-time engines
+    lower_us = int(round(lower * 1_000_000))
+    upper_us = int(round(upper * 1_000_000))
+    width = upper_us - lower_us
 
     r_vals = [c for c in right.columns if c not in keys]
     clash = [f"{c}{suffix}" for c in r_vals if f"{c}{suffix}" in left.columns]
@@ -72,13 +76,13 @@ def range_join(
             "rename them or pass a different suffix"
         )
 
-    lt = F.col(left_time).cast("timestamp").cast("double")
-    rt = F.col(right_time).cast("timestamp").cast("double")
+    lt = F.unix_micros(F.col(left_time).cast("timestamp"))
+    rt = F.unix_micros(F.col(right_time).cast("timestamp"))
 
     # each right row sits in exactly one bin of its own time
     r = right.select(
         *[F.col(k).alias(f"_k{i}") for i, k in enumerate(keys)],
-        F.floor(rt / width).alias("_bin"),
+        F.floor(rt / F.lit(float(width))).cast("long").alias("_bin"),
         rt.alias("_rt"),
         *[F.col(c).alias(f"{c}{suffix}") for c in r_vals],
     )
@@ -99,13 +103,13 @@ def range_join(
         lt.alias("_lt"),
         F.explode(
             F.sequence(
-                F.floor((lt + F.lit(lower)) / width),
-                F.floor((lt + F.lit(upper)) / width),
+                F.floor((lt + F.lit(lower_us)) / F.lit(float(width))).cast("long"),
+                F.floor((lt + F.lit(upper_us)) / F.lit(float(width))).cast("long"),
             )
         ).alias("_bin"),
     )
-    exact = (F.col("_rt") >= F.col("_lt") + F.lit(lower)) & (
-        F.col("_rt") <= F.col("_lt") + F.lit(upper)
+    exact = (F.col("_rt") >= F.col("_lt") + F.lit(lower_us)) & (
+        F.col("_rt") <= F.col("_lt") + F.lit(upper_us)
     )
     cond = l["_bin"] == r["_bin"]
     for i, k in enumerate(keys):

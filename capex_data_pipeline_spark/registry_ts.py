@@ -1019,9 +1019,9 @@ def q12_share_report(spark, sf_dir):
 # ------------------------------- correlated subqueries via the SQL API
 
 
-@query(
-    "q29_correlated_subquery",
-    """
+#: one definition, run verbatim by BOTH engines — the whole point of
+#: the q29 check; a drifting copy would compare two different queries
+_Q29_SQL = """
     SELECT o.o_custkey, count(*) AS n_big_orders,
            round(sum(o.o_totalprice), 2) AS big_total
     FROM orders o
@@ -1032,8 +1032,10 @@ def q12_share_report(spark, sf_dir):
             SELECT 1 FROM lineitem l
             WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 30)
     GROUP BY 1
-    """,
-)
+    """
+
+
+@query("q29_correlated_subquery", _Q29_SQL)
 def q29_correlated_subquery(spark, sf_dir):
     """SQL-API surface: a correlated scalar subquery (orders 50% above
     the customer's own average) plus a correlated EXISTS (any line with
@@ -1046,17 +1048,4 @@ def q29_correlated_subquery(spark, sf_dir):
 
     read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(
-        """
-        SELECT o.o_custkey, count(*) AS n_big_orders,
-               round(sum(o.o_totalprice), 2) AS big_total
-        FROM orders o
-        WHERE o.o_totalprice > (
-                SELECT 1.5 * avg(i.o_totalprice) FROM orders i
-                WHERE i.o_custkey = o.o_custkey)
-          AND EXISTS (
-                SELECT 1 FROM lineitem l
-                WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 30)
-        GROUP BY 1
-        """
-    )
+    return spark.sql(_Q29_SQL)

@@ -45,7 +45,11 @@ def read_jsonl(
         schema = T.StructType.fromDDL(schema)
     if mode == "PERMISSIVE" and capture_corrupt:
         if CORRUPT_COL not in schema.fieldNames():
-            schema = schema.add(T.StructField(CORRUPT_COL, T.StringType(), True))
+            # copy: StructType.add MUTATES in place — never the caller's object
+            schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+            )
     reader = (
         spark.read.schema(schema)
         .option("mode", mode)
