@@ -34,9 +34,10 @@ IPV4_REGEX = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 #: international-ish phone numbers: +CC then 8-14 digits with
 #: separators (the leading + keeps this from swallowing bare ids)
 PHONE_REGEX = r"\+[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3}[- .]?[0-9]{2,4}\b"
-#: long digit runs (card/account-shaped): 13-19 digits, optional
-#: single separators
-ID_RUN_REGEX = r"\b[0-9]{4}([- ][0-9]{4}){2,3}\b"
+#: long digit runs (card/account-shaped): 4-digit groups with single
+#: separators (12 or 16 digits), OR a bare 13-19 digit run — the
+#: unseparated card/account format most common in scraped text
+ID_RUN_REGEX = r"\b(?:[0-9]{4}([- ][0-9]{4}){2,3}|[0-9]{13,19})\b"
 
 #: redaction order matters — emails contain dots that IPV4 could
 #: otherwise nibble, and phone/id runs overlap; this order is part of

@@ -369,6 +369,11 @@ def tfidf_topk(
         ).alias("term"),
     )
     tf = words.groupBy("_doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # two consumers (df_ aggregate + scoring join) and the words HOF
+    # lambda defeats ReuseExchange — persist per the cache ledger rule
+    from capex_data_pipeline_spark.cache import persisted
+
+    tf = persisted(tf)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = corpus.select(F.count(F.lit(1)).alias("n_docs"))
     idf = (
@@ -420,12 +425,17 @@ def mixture_sample(
 
     Returns the kept rows plus ``keep_frac`` (rounded to 6 decimals).
     """
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_c"))
+    # NULL groups are a real group: key the aggregate and the join on a
+    # sentinel-coalesced copy, or null-keyed rows silently vanish in the
+    # equi-join while still absorbing budget mass in the normalization
+    gk = F.coalesce(F.col(group_col).cast("string"), F.lit("<null>"))
+    tagged = df.withColumn("_gk", gk)
+    counts = tagged.groupBy("_gk").agg(F.count(F.lit(1)).alias("_c"))
     total_w = counts.select(
         F.sum(F.pow(F.col("_c").cast("double"), F.lit(float(alpha)))).alias("_tw")
     )
     fracs = counts.crossJoin(F.broadcast(total_w)).select(
-        group_col,
+        "_gk",
         F.least(
             F.lit(1.0),
             F.lit(float(budget))
@@ -435,10 +445,10 @@ def mixture_sample(
         ).alias("_frac"),
     )
     return (
-        df.join(F.broadcast(fracs), group_col)
+        tagged.join(F.broadcast(fracs), "_gk")
         .filter(sample_hash(F.col(key_col), seed) < F.col("_frac"))
         .withColumn("keep_frac", F.round(F.col("_frac"), 6))
-        .drop("_frac")
+        .drop("_frac", "_gk")
     )
 
 
@@ -633,10 +643,13 @@ def weighted_sample(
     Returns the input rows plus ``_es_key`` (the rank key, useful for
     auditing the draw).
     """
-    if "_es_key" in df.columns:
+    reserved = {"_es_key"} | ({"_rn"} if group_col is not None else set())
+    clash = reserved & set(df.columns)
+    if clash:
         raise ValueError(
-            "weighted_sample: input carries an '_es_key' column, which "
-            "the rank projection uses internally — drop or rename it"
+            f"weighted_sample: input carries reserved column(s) "
+            f"{sorted(clash)}, which the rank projection uses internally "
+            "— drop or rename them"
         )
     w = F.col(weight_col).cast("double")
     u = sample_hash(F.col(key_col), seed)

@@ -207,11 +207,14 @@ def ivf_topk(
     cand = assigned.join(F.broadcast(q), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
+    # no dedup needed: each corpus vector lives in exactly ONE cell and
+    # a query's nprobe cells are distinct, so a (query, neighbor) pair
+    # occurs at most once (srp_lsh_topk, with multiple tables, differs)
     scored = cand.select(
         "query_id",
         "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("cosine"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

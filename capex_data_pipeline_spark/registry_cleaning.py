@@ -50,6 +50,9 @@ def _pii_augmented(docs):
             F.when(
                 F.col("doc_id") % 11 == 0, F.lit(" acct 4111 1111 1111 1111 ok")
             ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit(" card 4111111111111111 end")
+            ).otherwise(F.lit("")),
         ).alias("t"),
     )
 
@@ -60,7 +63,8 @@ _PII_AUG_SQL = """
     || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
     || CASE WHEN doc_id % 5 = 0 THEN ' call +91-998-877-66' || lpad(CAST(doc_id % 90 + 10 AS VARCHAR), 2, '0') ELSE '' END
     || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17 up' ELSE '' END
-    || CASE WHEN doc_id % 11 = 0 THEN ' acct 4111 1111 1111 1111 ok' ELSE '' END AS t
+    || CASE WHEN doc_id % 11 = 0 THEN ' acct 4111 1111 1111 1111 ok' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' card 4111111111111111 end' ELSE '' END AS t
   FROM documents
 """
 
@@ -69,7 +73,7 @@ _PII_AUG_SQL = """
 _EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 _PHONE = r"\+[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3}[- .]?[0-9]{2,4}\b"
-_IDRUN = r"\b[0-9]{4}([- ][0-9]{4}){2,3}\b"
+_IDRUN = r"\b(?:[0-9]{4}([- ][0-9]{4}){2,3}|[0-9]{13,19})\b"
 
 
 @query(

@@ -336,3 +336,49 @@ def test_asof_join_explicit_value_cols_subset(spark):
     right2 = right.withColumn("extra", F.lit("x"))
     out = asof_join(left, right2, on="k", time_col="t", value_cols=["rv"])
     assert "extra_asof" not in out.columns and "rv_asof" in out.columns
+
+
+def test_id_run_matches_bare_and_separated(spark):
+    """ID_RUN covers both documented shapes: 4-digit separated groups
+    (12/16 digits) AND bare 13-19 digit runs; 20+ digit runs and
+    12-digit bare runs stay unmatched."""
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.extensions.cleaning import pii_stats, redact_pii
+
+    rows = [
+        (1, "pay 4111 1111 1111 1111 now"),   # separated 16
+        (2, "pay 4111111111111111 now"),      # bare 16
+        (3, "id 1234567890123 ok"),           # bare 13 (min)
+        (4, "n 123456789012 x"),              # bare 12 → no match
+        (5, "n 123456789012345678901 x"),     # 21 digits → no match
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    out = {
+        r["i"]: (r["n_id_run"], r["red"])
+        for r in df.select(
+            "i",
+            pii_stats(F.col("t"))["n_id_run"].alias("n_id_run"),
+            redact_pii(F.col("t")).alias("red"),
+        ).collect()
+    }
+    assert out[1] == (1, "pay <ID> now")
+    assert out[2] == (1, "pay <ID> now")
+    assert out[3] == (1, "id <ID> ok")
+    assert out[4][0] == 0 and out[5][0] == 0
+
+
+def test_mixture_sample_null_group_is_sampled(spark):
+    """NULL group values are a real group: they receive a fraction and
+    can appear in the output (previously silently dropped)."""
+    from capex_data_pipeline_spark.extensions.corpus import mixture_sample
+
+    rows = [(i, "en" if i % 2 == 0 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_sample(df, group_col="lang", key_col="doc_id", budget=120)
+    got = out.collect()
+    langs = {r["lang"] for r in got}
+    assert None in langs and "en" in langs
+    # both groups have 100 rows -> equal fractions; null side non-empty
+    n_null = sum(1 for r in got if r["lang"] is None)
+    assert n_null > 20
