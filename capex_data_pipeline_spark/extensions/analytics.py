@@ -296,3 +296,68 @@ def scd2_intervals(
         F.col(time_col).alias("valid_from"),
         F.lead(time_col).over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def distribution_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    category_col: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Categorical distribution drift between two corpus slices via
+    the Population Stability Index (PSI, public credit-scoring /
+    ML-monitoring formula): per category,
+    ``contrib = (q − p) · ln(q / p)`` where ``p``/``q`` are the
+    add-``smoothing`` shares of the category in the baseline/current
+    slice; ``Σ contrib`` is the PSI (≳0.2 is the conventional
+    "shifted" alarm). The drift gate a training-data pipeline runs
+    between crawl snapshots — a silent source/language mix shift is a
+    data bug upstream filters can't see.
+
+    Smoothed shares use the UNION category set size ``K``:
+    ``p = (c_b + s) / (T_b + s·K)`` — so a category present in only
+    one slice contributes a finite, bounded term instead of ±∞.
+
+    Scale shape: the two inputs are tag-unioned so ONE hash aggregate
+    on the category key produces both count columns (one scan each
+    side, one shuffle of compact keys); totals and ``K`` come from a
+    second aggregate over that tiny frame and ride along as a 1-row
+    broadcast. NULL categories are a real category (sentinel-coalesced,
+    like mixture_sample).
+
+    Returns one row per union category: (category, n_base, n_curr,
+    p_base, p_curr, psi_contrib), shares and contributions rounded to
+    6 decimals.
+    """
+    from capex_data_pipeline_spark.cache import persisted
+
+    s = float(smoothing)
+    if s <= 0:
+        raise ValueError("distribution_drift: smoothing must be > 0")
+    gk = F.coalesce(F.col(category_col).cast("string"), F.lit("<null>"))
+    tagged = baseline.select(gk.alias("category"), F.lit(0).alias("_t")).unionByName(
+        current.select(gk.alias("category"), F.lit(1).alias("_t"))
+    )
+    counts = tagged.groupBy("category").agg(
+        F.sum(F.when(F.col("_t") == 0, 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(F.col("_t") == 1, 1).otherwise(0)).alias("n_curr"),
+    )
+    # two consumers (totals aggregate + final projection) — ledger rule
+    counts = persisted(counts)
+    totals = counts.agg(
+        F.sum("n_base").alias("_tb"),
+        F.sum("n_curr").alias("_tc"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    p = (F.col("n_base") + s) / (F.col("_tb") + s * F.col("_k"))
+    q = (F.col("n_curr") + s) / (F.col("_tc") + s * F.col("_k"))
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "category",
+        "n_base",
+        "n_curr",
+        F.round(p, 6).alias("p_base"),
+        F.round(q, 6).alias("p_curr"),
+        # + 0.0 collapses IEEE -0.0 (p == q rounds to -0.0 on one
+        # engine and +0.0 on the other, like q87's pmi)
+        (F.round((q - p) * F.log(q / p), 6) + F.lit(0.0)).alias("psi_contrib"),
+    )

@@ -741,3 +741,96 @@ def bigram_pmi(
         .crossJoin(F.broadcast(totals))
         .select("w1", "w2", "pair_count", pmi.alias("pmi"))
     )
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval: rank documents against a bag-of-words query by
+    the Okapi BM25 score (Robertson/Sparck Jones, public formula) —
+    the standard lexical-retrieval half of corpus search and of
+    retrieval-augmented dataset curation (e.g. finding the training
+    documents most relevant to an eval prompt).
+
+    ``score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) /
+    (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl))`` with the BM25+-style
+    non-negative ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))``.
+
+    Scale shape: document length is a map-only array-size projection
+    (no explode needed for dl/avgdl); the exploded words frame is
+    filtered to the query terms BEFORE any shuffle, so the (doc, term)
+    aggregate and everything downstream operate on a
+    query-vocabulary-sized slice of the corpus, not the corpus itself.
+    ``N``/``avgdl`` ride along as a 1-row broadcast; ``df`` per query
+    term is a ≤|query|-row broadcast. The global top-k is
+    ``orderBy(...).limit(k)`` — Spark's TakeOrdered, a per-partition
+    heap + driver merge, never a full sort. Scores are rounded to 6
+    decimals before ranking (engine-stable order, ``id_col`` ASC
+    tie-break); ``rank`` is assigned AFTER the limit, on k rows.
+
+    Returns (id_col, n_matched_terms, score, rank), rank 1..k.
+    """
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+    from pyspark.sql.window import Window
+
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    qterms = sorted({t.lower() for t in query_terms})
+
+    toks = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "), lambda s: s != ""
+    )
+    base = corpus.select(F.col(id_col).alias("_doc"), toks.alias("_w"))
+    # dl/avgdl/N: map-only size projection + 1-row aggregate broadcast
+    dl = base.select("_doc", F.size("_w").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    # query-term occurrences only — the corpus-sized explode is pruned
+    # to |query| terms before the (doc, term) shuffle
+    hits = base.select(
+        "_doc", F.explode("_w").alias("term")
+    ).filter(F.col("term").isin(qterms))
+    tf = hits.groupBy("_doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # two consumers (df aggregate + scoring) — persist per the ledger rule
+    from capex_data_pipeline_spark.cache import persisted
+
+    tf = persisted(tf)
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b))
+        + F.lit(float(b)) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "_doc")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_terms"),
+            F.round(
+                F.sum(idf * F.col("tf") * F.lit(float(k1) + 1.0) / denom), 6
+            ).alias("score"),
+        )
+    )
+    topk = (
+        scored.orderBy(F.desc("score"), F.asc("_doc"))
+        .limit(k)
+        .withColumnRenamed("_doc", id_col)
+    )
+    # rank over k rows only (post-limit), single tiny partition is fine
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "n_matched_terms", "score", "rank"
+    )

@@ -169,3 +169,52 @@ def hashed_linear_score(
         ),
         "n_terms": F.size(words),
     }
+
+
+def char_entropy(col: Column) -> dict[str, Column]:
+    """Shannon entropy of the normalized character distribution — the
+    classic gibberish/boilerplate detector (natural language sits
+    around 2.5–3.2 nats over [a-z0-9 ]; near-0 means a repeated-char
+    artifact, near-ln(37) means noise/random bytes).
+
+    Entropy via the closed form ``H = ln(N) − (Σ c·ln c) / N`` over
+    per-character counts ``c`` — computed entirely with array HOFs
+    (split → distinct → per-char count → aggregate), so the operator
+    is MAP-ONLY: no explode, no (doc, char) shuffle. The inner
+    count-per-distinct-char pass is O(|alphabet|·N) per document with
+    |alphabet| ≤ 37 after normalization — a constant factor, vs the
+    explode formulation shuffling one row per character of the corpus.
+
+    Returns ``n_chars_norm`` (normalized-character count),
+    ``n_distinct_chars``, and ``entropy_nats`` (rounded to 6; NULL for
+    documents whose normalized text is empty — entropy is undefined).
+    """
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    chars = F.filter(
+        F.split(normalized_text(col), ""), lambda c: c != ""
+    )
+    n = F.size(chars)
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda d: F.size(F.filter(chars, lambda c: c == d)),
+    )
+    sum_clnc = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
+    )
+    entropy = F.when(
+        n > 0,
+        F.round(
+            F.log(n.cast("double")) - sum_clnc / n.cast("double"), 6
+        )
+        # + 0.0 collapses IEEE -0.0 (single-distinct-char docs hit
+        # ln(n) - (n·ln n)/n exactly; one engine may round to -0.0)
+        + F.lit(0.0),
+    )
+    return {
+        "n_chars_norm": n.cast("bigint"),
+        "n_distinct_chars": F.size(F.array_distinct(chars)).cast("bigint"),
+        "entropy_nats": entropy,
+    }

@@ -720,3 +720,4 @@ def q54_running_analytics(spark, sf_dir):
 from capex_data_pipeline_spark import registry_ext  # noqa: E402,F401  isort:skip
 from capex_data_pipeline_spark import registry_cleaning  # noqa: E402,F401  isort:skip
 from capex_data_pipeline_spark import registry_ts  # noqa: E402,F401  isort:skip
+from capex_data_pipeline_spark import registry_search  # noqa: E402,F401  isort:skip

@@ -1,0 +1,165 @@
+"""Round-8 driver queries: lexical retrieval (BM25), categorical
+distribution drift (PSI), and character-entropy quality scoring.
+
+Same contract as ``registry``: every entry pairs the Spark operator
+with a full DuckDB oracle restating the semantics independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from capex_data_pipeline_spark.registry import _t, query
+
+#: normalized word-token list, DuckDB side (identical normalization to
+#: extensions.dedup.normalized_text)
+_WORDS_SRCH = (
+    "list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')),"
+    " '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"
+)
+
+# ---------------------------------------------------- BM25 retrieval
+
+#: the fixed bag-of-words query q95 ranks against (terms exist in the
+#: synthetic corpus vocabulary at every SF)
+_Q95_TERMS = ["hash", "join", "spark"]
+
+
+@query(
+    "q95_bm25_topk",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SRCH} AS ws FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM w),
+    dl AS (SELECT doc_id, len(ws) AS dl FROM w),
+    hits AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM hits
+      WHERE term IN ('hash', 'join', 'spark') GROUP BY 1, 2
+    ),
+    dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, count(*) AS n_matched_terms,
+             round(sum(
+               ln(1 + (stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             ), 6) AS score
+      FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id), stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_matched_terms, score,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def q95_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 retrieval for a 3-term query
+    (corpus.bm25_topk, k1=1.2, b=0.75): doc lengths from a map-only
+    array-size projection, the exploded words pruned to the query
+    vocabulary BEFORE the (doc, term) shuffle, df/N/avgdl as tiny
+    broadcasts, global top-k via TakeOrdered. The oracle re-derives
+    lengths, df, the saturation formula, and the ranked cut in SQL."""
+    from capex_data_pipeline_spark.extensions.corpus import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, _Q95_TERMS, k=10)
+
+
+# ---------------------------------------- distribution drift (PSI)
+
+
+@query(
+    "q96_distribution_drift",
+    """
+    WITH tagged AS (
+      SELECT coalesce(CAST(source AS VARCHAR), '<null>') AS category,
+             CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS t
+      FROM documents
+    ),
+    counts AS (
+      SELECT category,
+             sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS n_base,
+             sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS n_curr
+      FROM tagged GROUP BY 1
+    ),
+    totals AS (
+      SELECT sum(n_base) AS tb, sum(n_curr) AS tc, count(*) AS k
+      FROM counts
+    )
+    SELECT category, n_base, n_curr,
+           round((n_base + 0.5) / (tb + 0.5 * k), 6) AS p_base,
+           round((n_curr + 0.5) / (tc + 0.5 * k), 6) AS p_curr,
+           round(((n_curr + 0.5) / (tc + 0.5 * k)
+                  - (n_base + 0.5) / (tb + 0.5 * k))
+                 * ln(((n_curr + 0.5) / (tc + 0.5 * k))
+                      / ((n_base + 0.5) / (tb + 0.5 * k))), 6) + 0.0
+             AS psi_contrib
+    FROM counts, totals
+    """,
+)
+def q96_distribution_drift(spark, sf_dir):
+    """PSI drift between the even-doc_id and odd-doc_id halves of the
+    corpus over the source mix (analytics.distribution_drift,
+    smoothing 0.5): tag-union → one hash aggregate on the category
+    key, totals/K as a 1-row broadcast, per-category contributions.
+    The halves share the generator distribution so the PSI is ≈0 —
+    the value-exact oracle still checks every share and contribution."""
+    from capex_data_pipeline_spark.extensions.analytics import (
+        distribution_drift,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    curr = docs.filter(F.col("doc_id") % 2 == 1)
+    return distribution_drift(base, curr, "source", smoothing=0.5)
+
+
+# ------------------------------------------ character-entropy quality
+
+
+@query(
+    "q97_char_entropy",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(coalesce(text, '')),
+                                 '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, string_split(t, '') AS cs FROM norm
+    ),
+    cnt AS (
+      SELECT doc_id, len(cs) AS n,
+             list_transform(list_distinct(cs),
+               d -> len(list_filter(cs, c -> c = d))) AS counts
+      FROM ch
+    )
+    SELECT doc_id, n AS n_chars_norm,
+           len(counts) AS n_distinct_chars,
+           CASE WHEN n > 0 THEN
+             round(ln(CAST(n AS DOUBLE))
+                   - list_sum(list_transform(counts,
+                       c -> c * ln(CAST(c AS DOUBLE)))) / n, 6) + 0.0
+           END AS entropy_nats
+    FROM cnt
+    """,
+)
+def q97_char_entropy(spark, sf_dir):
+    """Shannon character entropy per document
+    (textstats.char_entropy): closed-form ``ln N − (Σ c·ln c)/N`` over
+    normalized-character counts, computed with array HOFs only —
+    map-only, zero shuffle (the explode formulation would shuffle one
+    row per character of the corpus). NULL for empty normalized text.
+    The oracle replays the per-char counts and the closed form with
+    DuckDB list functions."""
+    from capex_data_pipeline_spark.extensions.textstats import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = char_entropy(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cols["n_chars_norm"].alias("n_chars_norm"),
+        cols["n_distinct_chars"].alias("n_distinct_chars"),
+        cols["entropy_nats"].alias("entropy_nats"),
+    )

@@ -200,3 +200,70 @@ def test_scd2_intervals_merges_and_closes(spark):
         ("u", "B", "2024-01-01T12:00:00", "2024-01-01T13:00:00", False),
         ("v", "X", "2024-01-01T09:00:00", None, True),
     ]
+
+
+# ------------------------------------------------- distribution drift
+
+
+def test_distribution_drift_hand_computed(spark):
+    import math
+
+    from capex_data_pipeline_spark.extensions.analytics import (
+        distribution_drift,
+    )
+
+    base = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "cat string"
+    )
+    curr = spark.createDataFrame(
+        [("a",), ("b",), ("b",), ("c",)], "cat string"
+    )
+    got = {
+        r.category: r
+        for r in distribution_drift(base, curr, "cat", smoothing=0.5).collect()
+    }
+    s, k, tb, tc = 0.5, 3, 3, 4
+    for cat, (nb, nc) in {"a": (2, 1), "b": (1, 2), "c": (0, 1)}.items():
+        p = (nb + s) / (tb + s * k)
+        q = (nc + s) / (tc + s * k)
+        r = got[cat]
+        assert (r.n_base, r.n_curr) == (nb, nc)
+        assert r.p_base == pytest.approx(round(p, 6), abs=1e-9)
+        assert r.p_curr == pytest.approx(round(q, 6), abs=1e-9)
+        assert r.psi_contrib == pytest.approx(
+            (q - p) * math.log(q / p), abs=2e-6
+        )
+
+
+def test_distribution_drift_identical_slices_near_zero(spark):
+    from capex_data_pipeline_spark.extensions.analytics import (
+        distribution_drift,
+    )
+
+    df = spark.createDataFrame([("x",)] * 5 + [("y",)] * 3, "cat string")
+    rows = distribution_drift(df, df, "cat").collect()
+    assert all(r.psi_contrib == 0.0 for r in rows)
+    # -0.0 must have been collapsed (cross-engine hash stability)
+    assert all(str(r.psi_contrib) != "-0.0" for r in rows)
+
+
+def test_distribution_drift_null_category_is_real(spark):
+    from capex_data_pipeline_spark.extensions.analytics import (
+        distribution_drift,
+    )
+
+    base = spark.createDataFrame([("a",), (None,)], "cat string")
+    curr = spark.createDataFrame([(None,), (None,)], "cat string")
+    got = {r.category: r for r in distribution_drift(base, curr, "cat").collect()}
+    assert got["<null>"].n_base == 1 and got["<null>"].n_curr == 2
+    assert got["a"].n_curr == 0
+
+
+def test_distribution_drift_bad_smoothing_raises(spark):
+    from capex_data_pipeline_spark.extensions.analytics import (
+        distribution_drift,
+    )
+
+    df = spark.createDataFrame([("a",)], "cat string")
+    with pytest.raises(ValueError):
+        distribution_drift(df, df, "cat", smoothing=0.0)

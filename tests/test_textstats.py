@@ -3,6 +3,7 @@ value equality is covered by the q40-q43 oracles)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from capex_data_pipeline_spark.extensions.dedup import embedding_near_dups
@@ -150,3 +151,55 @@ def test_hashed_linear_score_exact_and_map_only(spark):
 
     with pytest.raises(ValueError, match="n_buckets"):
         hashed_linear_score(F.col("text"), w, n_buckets=8)
+
+
+# --------------------------------------------------- character entropy
+
+
+def _entropy_cols(spark, texts):
+    from capex_data_pipeline_spark.extensions.textstats import char_entropy
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cols = char_entropy(F.col("text"))
+    return {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            cols["n_chars_norm"].alias("n"),
+            cols["n_distinct_chars"].alias("d"),
+            cols["entropy_nats"].alias("h"),
+        ).collect()
+    }
+
+
+def test_char_entropy_uniform_and_degenerate(spark):
+    import math
+
+    got = _entropy_cols(spark, ["abcd", "aaaa", "", "?!,."])
+    assert got[0].h == pytest.approx(math.log(4), abs=2e-6)
+    assert got[0].n == 4 and got[0].d == 4
+    # single-symbol text: zero entropy, and not IEEE -0.0
+    assert got[1].h == 0.0 and str(got[1].h) != "-0.0"
+    # empty + punctuation-only normalize to '' -> entropy undefined
+    assert got[2].h is None and got[2].n == 0
+    assert got[3].h is None and got[3].n == 0
+
+
+def test_char_entropy_hand_computed_mixed(spark):
+    import math
+
+    # "A.b!" normalizes to "a b": counts {a:1, ' ':1, b:1} -> ln(3)
+    # "aab" -> {a:2, b:1}: ln(3) - (2 ln 2)/3
+    got = _entropy_cols(spark, ["A.b!", "aab"])
+    assert got[0].n == 3 and got[0].d == 3
+    assert got[0].h == pytest.approx(math.log(3), abs=2e-6)
+    assert got[1].h == pytest.approx(
+        math.log(3) - (2 * math.log(2)) / 3, abs=2e-6
+    )
+
+
+def test_char_entropy_null_text(spark):
+    got = _entropy_cols(spark, [None])
+    assert got[0].h is None and got[0].n == 0 and got[0].d == 0
