@@ -75,6 +75,12 @@ HEADLINE = [
     "q79_resample_ffill",
     "q83_robust_zscore",
     "q87_bigram_pmi",
+    # round-8 additions: BM25 (pruned explode + tiny-broadcast scoring
+    # + TakeOrdered), the map-only char-entropy HOF pass over the full
+    # corpus, and the stream-static broadcast enrich over 100k events
+    "q95_bm25_topk",
+    "q97_char_entropy",
+    "q58_static_enrich",
 ]
 
 

@@ -163,3 +163,39 @@ def q97_char_entropy(spark, sf_dir):
         cols["n_distinct_chars"].alias("n_distinct_chars"),
         cols["entropy_nats"].alias("entropy_nats"),
     )
+
+
+# -------------------------------------- stream-static enrichment join
+
+
+@query(
+    "q58_static_enrich",
+    """
+    SELECT e.event_id, e.user_id, e.event_type,
+           round(e.value, 4) AS value,
+           c.c_mktsegment AS mktsegment,
+           c.c_mktsegment IS NOT NULL AS enriched
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q58_static_enrich(spark, sf_dir):
+    """Stream-static enrichment join, batch analog
+    (streaming.windows.static_enrich): events LEFT-joined to the
+    broadcast customer dimension on user_id — the stateless streaming
+    join (no watermark; the static side re-broadcasts per micro-batch).
+    tests/test_streaming.py pins stream == batch for the identical
+    plan on a readStream source. The stream side is never shuffled."""
+    from capex_data_pipeline_spark.sources.parquet import read_table
+    from capex_data_pipeline_spark.streaming.windows import static_enrich
+
+    ev = read_table(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    out = static_enrich(ev, cust, "user_id", "c_custkey", how="left")
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_mktsegment").isNotNull().alias("enriched"),
+    )

@@ -238,3 +238,41 @@ def attribution_join_outer_stream(
         horizon,
         how="left_outer",
     )
+
+
+def static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    attributes to an event stream — the most common production
+    streaming join (sessions → user profile, clicks → campaign, event
+    → device registry), and stateless: unlike stream-stream joins it
+    needs no watermark, because the static side is re-read and
+    broadcast fresh on EVERY micro-batch (which is also how dimension
+    updates between batches become visible).
+
+    Batch mode is the oracle semantics; the identical plan runs on a
+    ``readStream`` source. Spark supports stream-static ``inner`` and
+    ``left_outer`` with the stream on the left — a matchless event
+    emits immediately with null dimension columns (no watermark delay;
+    there is no future static row to wait for).
+
+    Scale: the dimension side is broadcast explicitly — at 100 TB of
+    stream the one thing this join must never do is shuffle the
+    stream; a dimension too large to broadcast belongs in a
+    pre-bucketed table co-partitioned with the stream sink instead.
+
+    Returns the events columns plus the dim columns (minus the
+    duplicate join key).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"static_enrich: how={how!r}; stream-static supports inner "
+            "and left_outer with the stream on the left"
+        )
+    cond = events[stream_key] == dim[dim_key]
+    return events.join(F.broadcast(dim), cond, how).drop(dim[dim_key])

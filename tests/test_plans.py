@@ -249,16 +249,17 @@ def test_clear_pipeline_cache_releases_memoized_runs(spark):
 
 
 def test_driver_contract_registry_invariants():
-    """Pin the driver-contract shape: exactly 70 registered queries
-    (50 at the round-3 consolidation; q38 + q44-q49 corpus-prep, then
-    q63-q80 cleaning/curation/temporal/unicode families), a full
+    """Pin the driver-contract shape: exactly 96 registered queries
+    (50 at the round-3 consolidation; q38 + q44-q49 corpus-prep, the
+    q63-q89 cleaning/curation/temporal/analytics families, and the
+    round-8 q58/q95-q97 retrieval/drift/entropy additions), a full
     value-exact oracle for EVERY query (no rows-only fallbacks), and
     every bench headline drawn from the registry."""
     import __spark_entry__ as E
     import bench
 
     qs, oracles = E.queries(), E.oracle_sql()
-    assert len(qs) == 92
+    assert len(qs) == 96
     assert set(oracles) == set(qs)
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
     assert set(bench.HEADLINE) <= set(qs)
@@ -373,3 +374,21 @@ def test_correlated_subqueries_are_decorrelated(spark, queries):
     assert "Subquery" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round8_query_plans(spark, queries):
+    """Round-8 family pins: the stream-static enrich broadcasts the
+    dimension (the stream side must never shuffle); char entropy is
+    map-only (zero exchanges beyond the scan); BM25 and drift carry no
+    cartesian/nested-loop joins beyond 1-row broadcast totals."""
+    plan = _plan(queries["q58_static_enrich"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange" not in plan.split("BroadcastExchange")[0], (
+        "stream side shuffled before the broadcast join"
+    )
+    plan = _plan(queries["q97_char_entropy"](spark, SF))
+    assert "Exchange" not in plan, "char entropy must stay map-only"
+    for name in ("q95_bm25_topk", "q96_distribution_drift"):
+        plan = _plan(queries[name](spark, SF))
+        assert "CartesianProduct" not in plan, name

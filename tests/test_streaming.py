@@ -550,3 +550,44 @@ def test_attribution_outer_stream_null_emission_is_watermark_driven(
     }
     assert must <= got_nulls
     assert must  # the band is non-degenerate: it demands real emissions
+
+
+# ------------------------------------------- stream-static enrichment
+
+
+def test_static_enrich_stream_matches_batch(spark, events_stream_dir):
+    from capex_data_pipeline_spark.streaming.windows import static_enrich
+
+    cust = read_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    batch = sorted(
+        (r.event_id, r.user_id, r.c_mktsegment)
+        for r in static_enrich(
+            read_table(spark, SF_DIR, "events"), cust, "user_id", "c_custkey"
+        ).collect()
+    )
+    stream = static_enrich(
+        _streaming_events(spark, events_stream_dir),
+        cust,
+        "user_id",
+        "c_custkey",
+    ).select("event_id", "user_id", "c_mktsegment")
+    _run_to_memory(stream, "static_enrich_mem", "append")
+    got = sorted(
+        (r.event_id, r.user_id, r.c_mktsegment)
+        for r in spark.sql("SELECT * FROM static_enrich_mem").collect()
+    )
+    assert got == batch
+    # every event emits exactly once (stateless left join, no watermark
+    # withholding): row count equals the source row count
+    assert len(got) == read_table(spark, SF_DIR, "events").count()
+
+
+def test_static_enrich_rejects_unsupported_mode(spark):
+    from capex_data_pipeline_spark.streaming.windows import static_enrich
+
+    ev = spark.createDataFrame([(1, 2)], "event_id long, user_id long")
+    dim = spark.createDataFrame([(2, "x")], "c_custkey long, c_mktsegment string")
+    with pytest.raises(ValueError):
+        static_enrich(ev, dim, "user_id", "c_custkey", how="right")
