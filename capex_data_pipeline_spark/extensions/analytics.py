@@ -332,7 +332,10 @@ def distribution_drift(
     from capex_data_pipeline_spark.cache import persisted
 
     s = float(smoothing)
-    if s <= 0:
+    # not (s > 0) rather than s <= 0: NaN passes the latter and would
+    # silently turn every share/contribution into NaN (and a PSI > 0.2
+    # alarm comparison into False)
+    if not (s > 0):
         raise ValueError("distribution_drift: smoothing must be > 0")
     gk = F.coalesce(F.col(category_col).cast("string"), F.lit("<null>"))
     tagged = baseline.select(gk.alias("category"), F.lit(0).alias("_t")).unionByName(

@@ -762,11 +762,17 @@ def bm25_topk(
     (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl))`` with the BM25+-style
     non-negative ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))``.
 
-    Scale shape: document length is a map-only array-size projection
-    (no explode needed for dl/avgdl); the exploded words frame is
-    filtered to the query terms BEFORE any shuffle, so the (doc, term)
-    aggregate and everything downstream operate on a
-    query-vocabulary-sized slice of the corpus, not the corpus itself.
+    Query terms go through the SAME normalization as corpus tokens
+    (lowercase, non-alphanumerics to spaces, re-split) — a hyphenated
+    or punctuated query term matches its normalized word sequence
+    instead of silently matching nothing.
+
+    Scale shape: the exploded words frame is filtered to the query
+    terms BEFORE any shuffle, and document length rides THROUGH the
+    explode (constant per doc, recovered with ``first`` in the
+    (doc, term) aggregate) — so the corpus is tokenized exactly twice
+    (a map-only size projection for N/avgdl, and the pruned explode)
+    and nothing corpus-sized is ever joined downstream of the prune.
     ``N``/``avgdl`` ride along as a 1-row broadcast; ``df`` per query
     term is a ≤|query|-row broadcast. The global top-k is
     ``orderBy(...).limit(k)`` — Spark's TakeOrdered, a per-partition
@@ -776,29 +782,44 @@ def bm25_topk(
 
     Returns (id_col, n_matched_terms, score, rank), rank 1..k.
     """
+    import re
+
     from capex_data_pipeline_spark.extensions.dedup import normalized_text
     from pyspark.sql.window import Window
 
-    if not query_terms:
-        raise ValueError("bm25_topk: query_terms must be non-empty")
-    qterms = sorted({t.lower() for t in query_terms})
+    # normalize query terms exactly like corpus tokens (a term like
+    # "Hash-Join" becomes the two tokens "hash", "join")
+    qterms = sorted(
+        {
+            w
+            for t in query_terms
+            for w in re.sub(r"[^a-z0-9]+", " ", str(t).lower()).split()
+        }
+    )
+    if not qterms:
+        raise ValueError(
+            "bm25_topk: query_terms must contain at least one "
+            "alphanumeric term after normalization"
+        )
 
     toks = F.filter(
         F.split(normalized_text(F.col(text_col)), " "), lambda s: s != ""
     )
     base = corpus.select(F.col(id_col).alias("_doc"), toks.alias("_w"))
-    # dl/avgdl/N: map-only size projection + 1-row aggregate broadcast
-    dl = base.select("_doc", F.size("_w").alias("dl"))
-    stats = dl.agg(
+    # N/avgdl: map-only size projection + 1-row aggregate broadcast
+    stats = base.select(F.size("_w").alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
     # query-term occurrences only — the corpus-sized explode is pruned
-    # to |query| terms before the (doc, term) shuffle
+    # to |query| terms before the (doc, term) shuffle; dl tags along
+    # (constant per doc) so no corpus-sized frame joins back later
     hits = base.select(
-        "_doc", F.explode("_w").alias("term")
+        "_doc", F.size("_w").alias("dl"), F.explode("_w").alias("term")
     ).filter(F.col("term").isin(qterms))
-    tf = hits.groupBy("_doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = hits.groupBy("_doc", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
     # two consumers (df aggregate + scoring) — persist per the ledger rule
     from capex_data_pipeline_spark.cache import persisted
 
@@ -814,7 +835,6 @@ def bm25_topk(
     )
     scored = (
         tf.join(F.broadcast(df_), "term")
-        .join(dl, "_doc")
         .crossJoin(F.broadcast(stats))
         .groupBy("_doc")
         .agg(

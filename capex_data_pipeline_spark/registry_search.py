@@ -127,7 +127,11 @@ def q96_distribution_drift(spark, sf_dir):
       FROM documents
     ),
     ch AS (
-      SELECT doc_id, string_split(t, '') AS cs FROM norm
+      -- list_filter mirrors the Spark side's c != '' filter: DuckDB
+      -- string_split('', '') returns [''] (length 1), which would make
+      -- empty-normalized docs report n=1 instead of (0, 0, NULL)
+      SELECT doc_id, list_filter(string_split(t, ''), c -> c <> '') AS cs
+      FROM norm
     ),
     cnt AS (
       SELECT doc_id, len(cs) AS n,

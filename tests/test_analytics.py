@@ -267,3 +267,13 @@ def test_distribution_drift_bad_smoothing_raises(spark):
     df = spark.createDataFrame([("a",)], "cat string")
     with pytest.raises(ValueError):
         distribution_drift(df, df, "cat", smoothing=0.0)
+
+
+def test_distribution_drift_nan_smoothing_raises(spark):
+    from capex_data_pipeline_spark.extensions.analytics import (
+        distribution_drift,
+    )
+
+    df = spark.createDataFrame([("a",)], "cat string")
+    with pytest.raises(ValueError):
+        distribution_drift(df, df, "cat", smoothing=float("nan"))

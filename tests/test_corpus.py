@@ -555,3 +555,19 @@ def test_bm25_empty_query_raises(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bm25_topk(docs, [])
+
+
+def test_bm25_normalizes_query_terms(spark):
+    from capex_data_pipeline_spark.extensions.corpus import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "hash join nested loop"), (2, "sort merge")],
+        "doc_id long, text string",
+    )
+    # "Hash-Join" must match via its normalized tokens, not vanish
+    rows = bm25_topk(docs, ["Hash-Join"], k=5).collect()
+    assert [r.doc_id for r in rows] == [1]
+    assert rows[0].n_matched_terms == 2
+    # terms that normalize to nothing raise instead of silently matching 0
+    with pytest.raises(ValueError):
+        bm25_topk(docs, ["?!", "--"])
