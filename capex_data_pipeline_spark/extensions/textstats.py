@@ -171,50 +171,172 @@ def hashed_linear_score(
     }
 
 
-def char_entropy(col: Column) -> dict[str, Column]:
+def char_entropy_struct(col: Column) -> Column:
     """Shannon entropy of the normalized character distribution — the
     classic gibberish/boilerplate detector (natural language sits
     around 2.5–3.2 nats over [a-z0-9 ]; near-0 means a repeated-char
     artifact, near-ln(37) means noise/random bytes).
 
     Entropy via the closed form ``H = ln(N) − (Σ c·ln c) / N`` over
-    per-character counts ``c`` — computed entirely with array HOFs
-    (split → distinct → per-char count → aggregate), so the operator
-    is MAP-ONLY: no explode, no (doc, char) shuffle. The inner
-    count-per-distinct-char pass is O(|alphabet|·N) per document with
-    |alphabet| ≤ 37 after normalization — a constant factor, vs the
-    explode formulation shuffling one row per character of the corpus.
+    per-character counts ``c``, computed as ONE left fold over the
+    SORTED character array (run-length accumulation): every character
+    is visited once, MAP-ONLY, no explode, no (doc, char) shuffle.
+    All three outputs are built INSIDE the fold's finish lambda so the
+    aggregate appears exactly once in the plan — consumers should
+    project this struct and extract fields in a SECOND select (as the
+    q97 registry query does): extracting fields from the expression
+    directly re-evaluates the fold once per field. This shape matters:
+    per-distinct-char ``filter`` copies, 37 ``translate`` scans, and
+    per-field fold duplication each benched 2-50× slower on the corpus
+    (interpreted lambda evaluation is ~1 µs/char; paying it more than
+    once per character is the whole cost).
 
-    Returns ``n_chars_norm`` (normalized-character count),
-    ``n_distinct_chars``, and ``entropy_nats`` (rounded to 6; NULL for
-    documents whose normalized text is empty — entropy is undefined).
+    Returns struct(n_chars_norm, n_distinct_chars, entropy_nats) —
+    entropy rounded to 6, NULL for documents whose normalized text is
+    empty (entropy is undefined).
     """
     from capex_data_pipeline_spark.extensions.dedup import normalized_text
 
-    chars = F.filter(
-        F.split(normalized_text(col), ""), lambda c: c != ""
+    chars = F.array_sort(
+        F.filter(F.split(normalized_text(col), ""), lambda c: c != "")
     )
     n = F.size(chars)
-    counts = F.transform(
-        F.array_distinct(chars),
-        lambda d: F.size(F.filter(chars, lambda c: c == d)),
+
+    def _clnc(run: Column) -> Column:
+        return F.when(
+            run > 0, run.cast("double") * F.log(run.cast("double"))
+        ).otherwise(F.lit(0.0))
+
+    def _flush_d(s: Column) -> Column:
+        return s["d"] + F.when(
+            s["run"] > 0, F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("acc"),
+        F.lit(0).cast("long").alias("d"),
     )
-    sum_clnc = F.aggregate(
-        counts,
-        F.lit(0.0),
-        lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
-    )
-    entropy = F.when(
-        n > 0,
-        F.round(
-            F.log(n.cast("double")) - sum_clnc / n.cast("double"), 6
+
+    def _step(s: Column, c: Column) -> Column:
+        extend = (c == s["prev"]) & (s["run"] > 0)
+        return F.when(
+            extend,
+            F.struct(
+                c.alias("prev"),
+                (s["run"] + F.lit(1).cast("long")).alias("run"),
+                s["acc"].alias("acc"),
+                s["d"].alias("d"),
+            ),
+        ).otherwise(
+            F.struct(
+                c.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                (s["acc"] + _clnc(s["run"])).alias("acc"),
+                _flush_d(s).alias("d"),
+            )
         )
-        # + 0.0 collapses IEEE -0.0 (single-distinct-char docs hit
-        # ln(n) - (n·ln n)/n exactly; one engine may round to -0.0)
-        + F.lit(0.0),
-    )
+
+    def _finish(s: Column) -> Column:
+        sum_clnc = s["acc"] + _clnc(s["run"])
+        entropy = F.when(
+            n > 0,
+            F.round(
+                F.log(n.cast("double")) - sum_clnc / n.cast("double"), 6
+            )
+            # + 0.0 collapses IEEE -0.0 (single-distinct-char docs hit
+            # ln(n) - (n·ln n)/n exactly; one engine may round to -0.0)
+            + F.lit(0.0),
+        )
+        return F.struct(
+            n.cast("bigint").alias("n_chars_norm"),
+            _flush_d(s).cast("bigint").alias("n_distinct_chars"),
+            entropy.alias("entropy_nats"),
+        )
+
+    return F.aggregate(chars, zero, _step, _finish)
+
+
+def char_entropy(col: Column) -> dict[str, Column]:
+    """Dict-of-columns view of :func:`char_entropy_struct` (same
+    contract as the other textstats helpers). Selecting more than one
+    field through THIS api re-evaluates the fold per field — consumers
+    wanting all three should project the struct once and extract in a
+    second select."""
+    st = char_entropy_struct(col)
     return {
-        "n_chars_norm": n.cast("bigint"),
-        "n_distinct_chars": F.size(F.array_distinct(chars)).cast("bigint"),
-        "entropy_nats": entropy,
+        "n_chars_norm": st["n_chars_norm"],
+        "n_distinct_chars": st["n_distinct_chars"],
+        "entropy_nats": st["entropy_nats"],
     }
+
+
+def add_char_entropy(df: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """Arrow fast path for character entropy: appends ``n_chars_norm``,
+    ``n_distinct_chars``, ``entropy_nats`` (same contract as
+    :func:`char_entropy_struct`) using a vectorized pandas UDF over the
+    JVM-normalized text.
+
+    This is the one textstats operator where the UDF beats the native
+    expression — measured 9× on the corpus (0.38 s vs 3.2 s at sf0.1):
+    per-CHARACTER work pushes Catalyst into interpreted lambda
+    evaluation (~1.5 µs/char after falling out of codegen on the wide
+    expression), while numpy's bincount does the same histogram at
+    ~ns/char with one Arrow batch transfer of the already-normalized
+    (pure-ASCII) strings. Normalization itself stays JVM-side. The
+    plan remains MAP-ONLY (ArrowEvalPython, no Exchange); semantics
+    are pinned equal to the native fold in tests/test_textstats.py.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import DataFrame  # noqa: F401  (typing only)
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    schema = StructType(
+        [
+            StructField("n_chars_norm", LongType()),
+            StructField("n_distinct_chars", LongType()),
+            StructField("entropy_nats", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _ent(s):  # pd.Series -> pd.DataFrame (hints omitted: local scope)
+        ns, ds, hs = [], [], []
+        for txt in s:
+            # normalized text is pure [a-z0-9 ] — ASCII by construction
+            b = txt.encode("ascii", "ignore") if txt else b""
+            arr = np.frombuffer(b, dtype=np.uint8)
+            n = arr.size
+            if n == 0:
+                ns.append(0)
+                ds.append(0)
+                hs.append(None)
+                continue
+            cnt = np.bincount(arr)
+            cnt = cnt[cnt > 0]
+            h = np.log(n) - float((cnt * np.log(cnt)).sum()) / n
+            ns.append(int(n))
+            ds.append(int(cnt.size))
+            # +0.0 collapses IEEE -0.0, like the native fold
+            hs.append(round(h, 6) + 0.0)
+        return pd.DataFrame(
+            {"n_chars_norm": ns, "n_distinct_chars": ds, "entropy_nats": hs}
+        )
+
+    staged = df.withColumn("_ce_norm", normalized_text(F.col(text_col)))
+    return (
+        staged.withColumn("_ce", _ent(F.col("_ce_norm")))
+        .withColumn("n_chars_norm", F.col("_ce.n_chars_norm"))
+        .withColumn("n_distinct_chars", F.col("_ce.n_distinct_chars"))
+        .withColumn("entropy_nats", F.col("_ce.entropy_nats"))
+        .drop("_ce", "_ce_norm")
+    )

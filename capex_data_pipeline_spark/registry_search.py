@@ -151,21 +151,23 @@ def q96_distribution_drift(spark, sf_dir):
 )
 def q97_char_entropy(spark, sf_dir):
     """Shannon character entropy per document
-    (textstats.char_entropy): closed-form ``ln N − (Σ c·ln c)/N`` over
-    normalized-character counts, computed with array HOFs only —
-    map-only, zero shuffle (the explode formulation would shuffle one
-    row per character of the corpus). NULL for empty normalized text.
-    The oracle replays the per-char counts and the closed form with
-    DuckDB list functions."""
-    from capex_data_pipeline_spark.extensions.textstats import char_entropy
+    (textstats.add_char_entropy, the Arrow fast path): closed-form
+    ``ln N − (Σ c·ln c)/N`` over normalized-character counts, JVM-side
+    normalization + vectorized numpy histogram — map-only, zero
+    shuffle (ArrowEvalPython, plan-pinned no-Exchange; the explode
+    formulation would shuffle one row per character of the corpus,
+    and the native fold pays ~µs/char in interpreted lambdas —
+    measured 9× slower). NULL for empty normalized text; pinned equal
+    to the native char_entropy_struct fold in tests. The oracle
+    replays the per-char counts and the closed form with DuckDB list
+    functions."""
+    from capex_data_pipeline_spark.extensions.textstats import (
+        add_char_entropy,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    cols = char_entropy(F.col("text"))
-    return docs.select(
-        "doc_id",
-        cols["n_chars_norm"].alias("n_chars_norm"),
-        cols["n_distinct_chars"].alias("n_distinct_chars"),
-        cols["entropy_nats"].alias("entropy_nats"),
+    return add_char_entropy(docs, "text").select(
+        "doc_id", "n_chars_norm", "n_distinct_chars", "entropy_nats"
     )
 
 
@@ -202,4 +204,72 @@ def q58_static_enrich(spark, sf_dir):
         F.round("value", 4).alias("value"),
         F.col("c_mktsegment").alias("mktsegment"),
         F.col("c_mktsegment").isNotNull().alias("enriched"),
+    )
+
+
+# --------------------------------------- data-quality expectations
+
+
+@query(
+    "q98_quality_report",
+    """
+    WITH base AS (
+      SELECT count(*) AS n,
+        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+        sum(CASE WHEN o_totalprice IS NOT NULL
+                 AND (o_totalprice < 0 OR o_totalprice > 100000)
+            THEN 1 ELSE 0 END) AS v_rng,
+        sum(CASE WHEN o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('O', 'F')
+            THEN 1 ELSE 0 END) AS v_acc,
+        count(*) - count(DISTINCT o_orderkey) AS v_uk,
+        count(*) - count(DISTINCT o_custkey) AS v_uc
+      FROM orders
+    ),
+    rep AS (
+      SELECT 'not_null(o_custkey)' AS rule, 'not_null' AS kind,
+             n AS n_rows, v_nn AS n_violations FROM base
+      UNION ALL
+      SELECT 'in_range(o_totalprice,0.0,100000.0)', 'in_range', n, v_rng
+      FROM base
+      UNION ALL
+      SELECT 'accepted_values(o_orderstatus)', 'accepted_values', n, v_acc
+      FROM base
+      UNION ALL
+      SELECT 'unique(o_orderkey)', 'unique', n, v_uk FROM base
+      UNION ALL
+      SELECT 'unique(o_custkey)', 'unique', n, v_uc FROM base
+    )
+    SELECT rule, kind, n_rows, n_violations,
+           round(n_violations / CAST(n_rows AS DOUBLE), 6) AS violation_frac,
+           n_violations = 0 AS passed
+    FROM rep
+    """,
+)
+def q98_quality_report(spark, sf_dir):
+    """Declarative data-quality gate (quality.quality_report): five
+    expectations over orders — all three row-level rules share ONE
+    hash aggregate (single scan), each uniqueness rule adds one
+    aggregation on its key. The rule mix is chosen so both outcomes
+    are exercised: the range/accepted/unique(custkey) rules FAIL with
+    exact violation counts, the others pass. The oracle restates
+    every conditional sum and distinct count in SQL."""
+    from capex_data_pipeline_spark.extensions.quality import (
+        accepted_values,
+        in_range,
+        not_null,
+        quality_report,
+        unique,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return quality_report(
+        orders,
+        [
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0, 100000),
+            accepted_values("o_orderstatus", ["O", "F"]),
+            unique("o_orderkey"),
+            unique("o_custkey"),
+        ],
     )

@@ -1,0 +1,107 @@
+"""Data-quality expectations: exact violation counts, single-scan plan
+for row-level rules, and the gate helper. Cross-engine values are
+covered by the q98 oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from capex_data_pipeline_spark.extensions.quality import (
+    accepted_values,
+    assert_passed,
+    in_range,
+    not_null,
+    quality_report,
+    unique,
+)
+
+
+@pytest.fixture()
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "a"),
+            (2, 150.0, "b"),  # out of range
+            (2, None, "zz"),  # duplicate id, not-accepted value
+            (None, -5.0, None),  # null id, out of range, null value
+        ],
+        "id long, amount double, status string",
+    )
+
+
+def test_quality_report_exact_counts(frame):
+    rep = {
+        r.rule: r
+        for r in quality_report(
+            frame,
+            [
+                not_null("id"),
+                in_range("amount", 0, 100),
+                accepted_values("status", ["a", "b"]),
+                unique("id"),
+            ],
+        ).collect()
+    }
+    assert rep["not_null(id)"].n_violations == 1
+    # NULL amount is NOT an in_range violation (three-valued logic)
+    assert rep["in_range(amount,0.0,100.0)"].n_violations == 2
+    # NULL status is NOT an accepted_values violation
+    assert rep["accepted_values(status)"].n_violations == 1
+    # ids: 1, 2, 2, NULL -> 4 rows, 3 distinct key tuples (NULL counts)
+    assert rep["unique(id)"].n_violations == 1
+    assert all(r.n_rows == 4 for r in rep.values())
+    assert rep["not_null(id)"].violation_frac == 0.25
+    assert not rep["unique(id)"].passed
+
+
+def test_quality_report_passes_clean_frame(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    rep = quality_report(df, [not_null("id"), unique("id")])
+    assert all(r.passed for r in rep.collect())
+    assert_passed(rep)  # must not raise
+
+
+def test_quality_report_empty_input_passes(spark):
+    df = spark.createDataFrame([], "id long, s string")
+    rows = quality_report(df, [not_null("id"), unique("id", "s")]).collect()
+    assert all(r.passed and r.n_violations == 0 for r in rows)
+    assert all(r.violation_frac == 0.0 for r in rows)
+
+
+def test_quality_report_null_key_components_count(spark):
+    # two identical NULL-containing tuples ARE duplicates of each other
+    df = spark.createDataFrame(
+        [(None, "x"), (None, "x"), (None, "y")], "a string, b string"
+    )
+    (row,) = quality_report(df, [unique("a", "b")]).collect()
+    assert row.n_violations == 1
+
+
+def test_assert_passed_raises_with_detail(frame):
+    rep = quality_report(frame, [not_null("id")])
+    with pytest.raises(ValueError, match=r"not_null\(id\): 1/4"):
+        assert_passed(rep)
+
+
+def test_quality_report_validates_rules(frame):
+    with pytest.raises(ValueError):
+        quality_report(frame, [])
+    with pytest.raises(ValueError):
+        quality_report(
+            frame, [not_null("id", name="r"), unique("id", name="r")]
+        )
+
+
+def test_row_rules_share_one_scan(frame):
+    """All row-level rules compile into ONE aggregate over ONE scan."""
+    plan = (
+        quality_report(
+            frame,
+            [not_null("id"), in_range("amount", 0, 100),
+             accepted_values("status", ["a"])],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ") <= 1, plan

@@ -203,3 +203,52 @@ def test_char_entropy_hand_computed_mixed(spark):
 def test_char_entropy_null_text(spark):
     got = _entropy_cols(spark, [None])
     assert got[0].h is None and got[0].n == 0 and got[0].d == 0
+
+
+def test_char_entropy_arrow_matches_native_fold(spark):
+    """The Arrow fast path (add_char_entropy) and the native fold
+    (char_entropy_struct) are the same operator: pin equality on a
+    corpus covering empty/null/punct-only/repeated/mixed docs plus the
+    real sf0.001 documents table."""
+    from capex_data_pipeline_spark.extensions.textstats import (
+        add_char_entropy,
+        char_entropy_struct,
+    )
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    synth = spark.createDataFrame(
+        [
+            (0, None),
+            (1, ""),
+            (2, "?!,."),
+            (3, "aaaa"),
+            (4, "A.b!"),
+            (5, "The quick brown fox 123 -- jumps!"),
+        ],
+        "doc_id long, text string",
+    )
+    real = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    for df in (synth, real):
+        native = {
+            r.doc_id: (r.n_chars_norm, r.n_distinct_chars, r.entropy_nats)
+            for r in df.select(
+                "doc_id", char_entropy_struct(F.col("text")).alias("_e")
+            ).select("doc_id", "_e.n_chars_norm", "_e.n_distinct_chars",
+                     "_e.entropy_nats").collect()
+        }
+        arrow = {
+            r.doc_id: (r.n_chars_norm, r.n_distinct_chars, r.entropy_nats)
+            for r in add_char_entropy(df, "text")
+            .select("doc_id", "n_chars_norm", "n_distinct_chars",
+                    "entropy_nats")
+            .collect()
+        }
+        assert set(native) == set(arrow)
+        for d in native:
+            assert native[d][:2] == arrow[d][:2], d
+            a, b = native[d][2], arrow[d][2]
+            assert (a is None) == (b is None), d
+            if a is not None:
+                assert a == pytest.approx(b, abs=2e-6), d
