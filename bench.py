@@ -81,6 +81,9 @@ HEADLINE = [
     "q95_bm25_topk",
     "q97_char_entropy",
     "q58_static_enrich",
+    # iterative integer PageRank: 3 chained join+agg rounds over the
+    # persisted degree-annotated edge list — the deepest new plan
+    "q99_pagerank",
 ]
 
 

@@ -273,3 +273,66 @@ def q98_quality_report(spark, sf_dir):
             unique("o_custkey"),
         ],
     )
+
+
+# ------------------------------------------------ PageRank (iterative)
+
+#: one PageRank round in DuckDB SQL (exact integer micro-units)
+_PR_ITER = """
+  SELECT verts.v AS v,
+         CAST(150000 + (850 * coalesce(sum(c.contrib), 0)) // 1000
+              AS BIGINT) AS r
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS dst, r.r // d.deg AS contrib
+    FROM edges e JOIN {prev} r ON e.src = r.v JOIN deg d ON e.src = d.src
+  ) c ON c.dst = verts.v
+  GROUP BY verts.v
+"""
+
+
+@query(
+    "q99_pagerank",
+    f"""
+    WITH dir AS (
+      SELECT DISTINCT 'c' || o.o_custkey AS a, 's' || l.l_suppkey AS b
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM dir
+      UNION
+      SELECT b AS src, a AS dst FROM dir
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    verts AS (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges),
+    r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM verts),
+    i1 AS ({_PR_ITER.format(prev='r0')}),
+    i2 AS ({_PR_ITER.format(prev='i1')}),
+    i3 AS ({_PR_ITER.format(prev='i2')})
+    SELECT v AS vertex, r AS rank_micro FROM i3
+    """,
+)
+def q99_pagerank(spark, sf_dir):
+    """Integer-exact PageRank, 3 rounds (graph.pagerank) over the
+    bidirectional customer↔supplier trade graph (vertex ids namespaced
+    'c…'/'s…' — the raw key ranges overlap). Ranks are BIGINT
+    micro-units with floor division, so the oracle's 3 unrolled CTE
+    rounds reproduce every rank bit-for-bit — float PageRank could
+    never hash-match across engines. Per round: one src equi-join +
+    one dst hash aggregate on the persisted degree-annotated edge
+    list."""
+    from capex_data_pipeline_spark.extensions.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dir_ = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = dir_.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(dir_.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    return pagerank(edges, iterations=3)

@@ -820,3 +820,57 @@ def test_fuzzy_join_trigram_jaccard(spark):
         ).collect()
     }
     assert pruned == out
+
+
+# ------------------------------------------------------- PageRank
+
+
+def test_pagerank_hand_computed_exact(spark):
+    from capex_data_pipeline_spark.extensions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], "src string, dst string"
+    )
+    # r0 = 1_000_000 each; deg a=2, b=1; c dangling
+    # i1: a <- b's 1_000_000 -> 150000 + 850000 = 1_000_000
+    #     b, c <- a's 500_000 each -> 150000 + 425000 = 575_000
+    # i2: a <- b's 575_000 -> 150000 + (850*575000) div 1000 = 638_750
+    #     b, c unchanged (a still contributes 500_000)
+    got = {
+        r.vertex: r.rank_micro
+        for r in pagerank(edges, iterations=2).collect()
+    }
+    assert got == {"a": 638_750, "b": 575_000, "c": 575_000}
+
+
+def test_pagerank_deterministic_and_validates(spark):
+    import pytest
+
+    from capex_data_pipeline_spark.extensions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 7) for i in range(20) if i % 7 != (i * 3) % 7],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, pagerank(edges, iterations=3).collect()))
+    b = sorted(map(tuple, pagerank(edges, iterations=3).collect()))
+    assert a == b  # integer arithmetic: bit-identical across runs
+    with pytest.raises(ValueError):
+        pagerank(edges, iterations=0)
+
+
+def test_pagerank_plan_boundary_kicks_in(spark):
+    from capex_data_pipeline_spark.extensions.graph import pagerank
+
+    edges = spark.createDataFrame([("x", "y")], "src string, dst string")
+    # explicit boundary: still correct, same values as unboundaried
+    a = sorted(
+        map(tuple, pagerank(edges, iterations=5).collect())
+    )  # auto boundary (>4)
+    b = sorted(
+        map(
+            tuple,
+            pagerank(edges, iterations=5, plan_boundary=False).collect(),
+        )
+    )
+    assert a == b
