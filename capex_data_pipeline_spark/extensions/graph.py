@@ -59,15 +59,22 @@ def pagerank(
     if plan_boundary is None:
         plan_boundary = iterations > 4
 
+    from pyspark.sql.window import Window
+
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
-    # degree-annotated edges: reused by every round
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edeg = persisted(e.join(deg, "src"))
+    # degree-annotated edges in ONE pass over e (window count per src —
+    # the aggregate-then-self-join shape would evaluate e's producer
+    # twice); persisted, reused by every round AND by the vertex set
+    edeg = persisted(
+        e.withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+    )
     verts = persisted(
-        e.select(F.col("src").alias("v"))
-        .unionByName(e.select(F.col("dst").alias("v")))
+        edeg.select(F.col("src").alias("v"))
+        .unionByName(edeg.select(F.col("dst").alias("v")))
         .distinct()
     )
 

@@ -69,6 +69,15 @@ def accepted_values(
     )
 
 
+def custom(name: str, predicate_sql: str, column: str = "") -> Rule:
+    """Violation = rows where ``predicate_sql`` (a SQL boolean
+    expression over the frame's columns, e.g. ``"amount < 0 AND
+    status = 'paid'"``) evaluates TRUE. SQL strings — not Column
+    objects — keep the rule declarative, serializable, and
+    engine-portable like the rest of the registry."""
+    return Rule(name, "custom", (column,), (predicate_sql,))
+
+
 def unique(*columns: str, name: str | None = None) -> Rule:
     """Violation count = rows carrying a duplicated key tuple (i.e.
     ``n_rows − n_distinct_keys`` counts the EXTRA rows; a key seen 3×
@@ -85,6 +94,9 @@ def _violation_expr(rule: Rule) -> Column:
         return c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi)))
     if rule.kind == "accepted_values":
         return c.isNotNull() & ~c.isin(list(rule.params))
+    if rule.kind == "custom":
+        # NULL predicate results are not violations (3VL, like in_range)
+        return F.coalesce(F.expr(rule.params[0]), F.lit(False))
     raise ValueError(f"unknown row-level rule kind: {rule.kind}")
 
 

@@ -2,9 +2,12 @@
 counting, document fingerprinting.
 
 Everything is a native column expression (regex counts, higher-order
-functions) — one projection over the corpus, no shuffle, no Python.
-Each operator is deliberately expressible in plain SQL so the DuckDB
-oracle can replay it exactly.
+functions) — one projection over the corpus, no shuffle, no Python —
+except :func:`add_char_entropy`, the one measured case where an Arrow
+pandas UDF beats the native expression (per-character work; the
+native twin :func:`char_entropy_struct` remains). Each operator is
+deliberately expressible in plain SQL so the DuckDB oracle can replay
+it exactly.
 """
 
 from __future__ import annotations
@@ -197,10 +200,12 @@ def char_entropy_struct(col: Column) -> Column:
     """
     from capex_data_pipeline_spark.extensions.dedup import normalized_text
 
-    chars = F.array_sort(
-        F.filter(F.split(normalized_text(col), ""), lambda c: c != "")
-    )
-    n = F.size(chars)
+    unsorted = F.filter(F.split(normalized_text(col), ""), lambda c: c != "")
+    chars = F.array_sort(unsorted)
+    # size of the PRE-sort array: size is sort-invariant, and n is
+    # referenced four times in _finish — each copy would otherwise
+    # embed a redundant O(L log L) sort in the interpreted expression
+    n = F.size(unsorted)
 
     def _clnc(run: Column) -> Column:
         return F.when(
@@ -288,6 +293,8 @@ def add_char_entropy(df: "DataFrame", text_col: str = "text") -> "DataFrame":
     plan remains MAP-ONLY (ArrowEvalPython, no Exchange); semantics
     are pinned equal to the native fold in tests/test_textstats.py.
     """
+    import math
+
     import numpy as np
     import pandas as pd
     from pyspark.sql import DataFrame  # noqa: F401  (typing only)
@@ -326,12 +333,22 @@ def add_char_entropy(df: "DataFrame", text_col: str = "text") -> "DataFrame":
             h = np.log(n) - float((cnt * np.log(cnt)).sum()) / n
             ns.append(int(n))
             ds.append(int(cnt.size))
-            # +0.0 collapses IEEE -0.0, like the native fold
-            hs.append(round(h, 6) + 0.0)
+            # round HALF-UP like F.round/DuckDB (Python round() is
+            # banker's and diverges at exact 1e-6 midpoints); entropy
+            # is >= 0 so floor(x*1e6 + 0.5) is half-up. +0.0 collapses
+            # IEEE -0.0, like the native fold
+            hs.append(math.floor(h * 1e6 + 0.5) / 1e6 + 0.0)
         return pd.DataFrame(
             {"n_chars_norm": ns, "n_distinct_chars": ds, "entropy_nats": hs}
         )
 
+    out_cols = ("n_chars_norm", "n_distinct_chars", "entropy_nats")
+    clash = set(df.columns) & (set(out_cols) | {"_ce_norm", "_ce"})
+    if clash:
+        raise ValueError(
+            f"add_char_entropy: input already has column(s) {sorted(clash)}"
+            " — rename them first (withColumn would silently overwrite)"
+        )
     staged = df.withColumn("_ce_norm", normalized_text(F.col(text_col)))
     return (
         staged.withColumn("_ce", _ent(F.col("_ce_norm")))

@@ -105,3 +105,20 @@ def test_row_rules_share_one_scan(frame):
         .toString()
     )
     assert plan.count("Scan ") <= 1, plan
+
+
+def test_custom_rule_counts_predicate_hits(spark):
+    from capex_data_pipeline_spark.extensions.quality import (
+        custom,
+        quality_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "paid"), (2, -5.0, "paid"), (3, -1.0, "void"), (4, None, "paid")],
+        "id long, amount double, status string",
+    )
+    (row,) = quality_report(
+        df, [custom("neg_paid", "amount < 0 AND status = 'paid'")]
+    ).collect()
+    # NULL amount -> NULL predicate -> not a violation (3VL)
+    assert row.n_violations == 1 and row.kind == "custom"
