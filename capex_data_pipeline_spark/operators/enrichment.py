@@ -278,8 +278,20 @@ def enrich_false_negatives(
     persist + reliable-checkpoint at the call site instead.
     """
     if plan_boundary:
-        false_negatives = false_negatives.localCheckpoint()
-        audit_ordered = audit_ordered.localCheckpoint()
+        # the two eager checkpoints are independent jobs over the same
+        # persisted pipeline intermediates — submit them from two
+        # driver threads so their stages interleave (Spark job
+        # submission is thread-safe; concurrent materialization of a
+        # shared cached partition serializes per-partition in the
+        # BlockManager). Sequential submission left the cluster idle
+        # during each job's single-partition tail stages.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fn_fut = ex.submit(false_negatives.localCheckpoint)
+            au_fut = ex.submit(audit_ordered.localCheckpoint)
+            false_negatives = fn_fut.result()
+            audit_ordered = au_fut.result()
     parts = F.split(F.col("CompositeKey"), r"\|", -1)
     fn = false_negatives.select(
         "CompositeKey",
