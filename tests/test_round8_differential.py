@@ -1,0 +1,205 @@
+"""Seeded random-differential tests for the round-8 operators: each
+Spark result is compared against a small plain-Python reference on
+randomized inputs (the q95-q99 oracles pin fixed corpora; these pin
+the semantics across input shapes the fixtures don't reach)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+VOCAB = ["hash", "join", "scan", "sort", "merge", "row", "batch", "x1", "y2"]
+
+
+def _rand_docs(rng, n):
+    out = []
+    for i in range(n):
+        kind = rng.random()
+        if kind < 0.08:
+            out.append((i, None))
+        elif kind < 0.16:
+            out.append((i, rng.choice(["", "  ", "?!.,", "\n\t"])))
+        else:
+            words = [rng.choice(VOCAB) for _ in range(rng.randint(1, 30))]
+            out.append((i, " ".join(words)))
+    return out
+
+
+def test_bm25_differential_random(spark):
+    from capex_data_pipeline_spark.extensions.corpus import bm25_topk
+    from tests.test_corpus import _bm25_ref
+
+    rng = random.Random(20260814)
+    rows = _rand_docs(rng, 60)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["hash", "sort", "x1"]
+    # k large enough to keep every matching doc: compare the FULL set
+    got = {
+        r.doc_id: (r.n_matched_terms, r.score)
+        for r in bm25_topk(docs, terms, k=1000).collect()
+    }
+    corpus = {
+        i: (t.split() if t else []) for i, t in rows
+    }
+    want = _bm25_ref(corpus, terms)
+    assert set(got) == set(want)
+    for d, (m, s) in want.items():
+        assert got[d][0] == m, d
+        assert got[d][1] == pytest.approx(s, abs=2e-6), d
+
+
+def test_distribution_drift_differential_random(spark):
+    from capex_data_pipeline_spark.extensions.analytics import (
+        distribution_drift,
+    )
+
+    rng = random.Random(7)
+    cats = ["a", "b", "c", "d", None]
+    base = [(rng.choice(cats),) for _ in range(80)]
+    curr = [(rng.choice(cats[:3]),) for _ in range(50)]  # shifted mix
+    bdf = spark.createDataFrame(base, "cat string")
+    cdf = spark.createDataFrame(curr, "cat string")
+    got = {
+        r.category: (r.n_base, r.n_curr, r.p_base, r.p_curr, r.psi_contrib)
+        for r in distribution_drift(bdf, cdf, "cat", smoothing=0.5).collect()
+    }
+
+    def counts(rows):
+        d = {}
+        for (c,) in rows:
+            k = c if c is not None else "<null>"
+            d[k] = d.get(k, 0) + 1
+        return d
+
+    nb, nc = counts(base), counts(curr)
+    union = set(nb) | set(nc)
+    k, tb, tc = len(union), len(base), len(curr)
+    assert set(got) == union
+    total_psi = 0.0
+    for cat in union:
+        p = (nb.get(cat, 0) + 0.5) / (tb + 0.5 * k)
+        q = (nc.get(cat, 0) + 0.5) / (tc + 0.5 * k)
+        contrib = (q - p) * math.log(q / p)
+        total_psi += contrib
+        assert got[cat][0] == nb.get(cat, 0) and got[cat][1] == nc.get(cat, 0)
+        assert got[cat][4] == pytest.approx(contrib, abs=2e-6), cat
+    # the shifted mix must actually register as drift
+    assert total_psi > 0.01
+
+
+def test_char_entropy_differential_random(spark):
+    from capex_data_pipeline_spark.extensions.textstats import (
+        add_char_entropy,
+    )
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(60):
+        n = rng.randint(0, 40)
+        rows.append(
+            (i, "".join(rng.choice("abC1 .!?xyz\n") for _ in range(n)))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chars_norm, r.n_distinct_chars, r.entropy_nats)
+        for r in add_char_entropy(df, "text").collect()
+    }
+
+    def ref(text):
+        import re
+
+        norm = re.sub(r"[^a-z0-9]+", " ", (text or "").lower()).strip()
+        if not norm:
+            return (0, 0, None)
+        cnt = {}
+        for ch in norm:
+            cnt[ch] = cnt.get(ch, 0) + 1
+        n = len(norm)
+        h = math.log(n) - sum(c * math.log(c) for c in cnt.values()) / n
+        return (n, len(cnt), h)
+
+    for i, text in rows:
+        n, d, h = ref(text)
+        assert got[i][0] == n and got[i][1] == d, i
+        if h is None:
+            assert got[i][2] is None, i
+        else:
+            assert got[i][2] == pytest.approx(h, abs=2e-6), i
+
+
+def test_pagerank_differential_random(spark):
+    from capex_data_pipeline_spark.extensions.graph import pagerank
+
+    rng = random.Random(41)
+    edges = {(rng.randint(0, 19), rng.randint(0, 19)) for _ in range(60)}
+    edges = [(a, b) for a, b in edges]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.vertex: r.rank_micro for r in pagerank(df, iterations=4).collect()
+    }
+
+    # exact integer reference
+    verts = sorted({v for e in edges for v in e})
+    out_deg = {}
+    for a, _ in edges:
+        out_deg[a] = out_deg.get(a, 0) + 1
+    r = {v: 1_000_000 for v in verts}
+    for _ in range(4):
+        s = {v: 0 for v in verts}
+        for a, b in edges:
+            s[b] += r[a] // out_deg[a]
+        r = {v: 150_000 + (850 * s[v]) // 1000 for v in verts}
+    assert got == r
+
+
+def test_quality_report_differential_random(spark):
+    from capex_data_pipeline_spark.extensions.quality import (
+        accepted_values,
+        custom,
+        in_range,
+        not_null,
+        quality_report,
+        unique,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (
+            rng.choice([None, rng.randint(0, 9)]),
+            rng.choice([None, rng.uniform(-50, 150)]),
+            rng.choice([None, "a", "b", "zz"]),
+        )
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, amount double, status string")
+    got = {
+        r.rule: r.n_violations
+        for r in quality_report(
+            df,
+            [
+                not_null("id"),
+                in_range("amount", 0, 100),
+                accepted_values("status", ["a", "b"]),
+                unique("id"),
+                unique("id", "status"),
+                custom("big_a", "amount > 120 AND status = 'a'"),
+            ],
+        ).collect()
+    }
+    assert got["not_null(id)"] == sum(1 for r in rows if r[0] is None)
+    assert got["in_range(amount,0.0,100.0)"] == sum(
+        1 for r in rows if r[1] is not None and not (0 <= r[1] <= 100)
+    )
+    assert got["accepted_values(status)"] == sum(
+        1 for r in rows if r[2] is not None and r[2] not in ("a", "b")
+    )
+    assert got["unique(id)"] == len(rows) - len({r[0] for r in rows})
+    assert got["unique(id,status)"] == len(rows) - len(
+        {(r[0], r[2]) for r in rows}
+    )
+    assert got["big_a"] == sum(
+        1 for r in rows if r[1] is not None and r[1] > 120 and r[2] == "a"
+    )
