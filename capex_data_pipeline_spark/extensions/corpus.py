@@ -854,3 +854,52 @@ def bm25_topk(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         id_col, "n_matched_terms", "score", "rank"
     )
+
+
+def bpe_pair_counts(
+    corpus: DataFrame,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """First-round BPE merge statistics: frequency of each adjacent
+    SYMBOL pair across the corpus, the quantity a byte-pair-encoding
+    tokenizer trainer maximizes when picking its next merge (Sennrich
+    et al., public algorithm). This implements the initial round
+    (symbols = characters); subsequent rounds re-run it over re-split
+    words after applying the chosen merge.
+
+    The scale trick is the classic one: pair counting runs over the
+    DISTINCT-WORD vocabulary weighted by word frequency — the corpus
+    is touched once to build the (word, freq) table (one explode +
+    hash aggregate on the word key), and the char-pair explode runs
+    over the vocab-sized frame only. A corpus of 10^12 tokens with a
+    10^6-word vocabulary pays the quadratic-ish char work on 10^6
+    rows, not 10^12.
+
+    Returns (s1, s2, pair_count) for pairs with
+    ``pair_count >= min_count``, pair_count = Σ freq(word) over words
+    containing the adjacent pair (counted per occurrence in the word).
+    """
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    words = corpus.select(
+        F.explode(
+            F.filter(
+                F.split(normalized_text(F.col(text_col)), " "),
+                lambda s: s != "",
+            )
+        ).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = F.expr(
+        "CASE WHEN length(w) < 2 THEN array() ELSE transform("
+        "sequence(1, length(w) - 1), "
+        "i -> struct(substring(w, i, 1) AS s1, substring(w, i + 1, 1) AS s2)"
+        ") END"
+    )
+    return (
+        vocab.select("freq", F.explode(pairs).alias("p"))
+        .groupBy("p.s1", "p.s2")
+        .agg(F.sum("freq").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )

@@ -366,3 +366,49 @@ def cluster_sample(
         key_col=id_col,
         seed=hash_seed,
     )
+
+
+def group_centroids(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Element-wise mean vector per group — the centroid primitive
+    behind class prototypes, topic vectors, per-source embedding
+    drift, and k-means-style assignment (the IVF quantizer here uses
+    the same math internally; this exposes it as a public operator).
+
+    Scale shape: ``posexplode`` to (group, dim, value) rows — compact
+    keys, one hash aggregate computing the per-dimension mean with
+    map-side partial aggregation (the naive ``collect_list``-of-vectors
+    per group caps at executor memory on hot groups; this never
+    materializes a group's vectors together) — then one
+    vocabulary-sized regroup reassembles each centroid as a
+    dim-ordered array. Two shuffles on (group, dim)-bounded
+    cardinality however many input rows there are.
+
+    Means are rounded to ``decimals`` for engine-stable values. NULL
+    vectors are skipped; groups whose vectors are all NULL produce no
+    row. Returns (group_col, n_vectors, centroid).
+    """
+    exploded = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("_dim", "_v"),
+    )
+    per_dim = exploded.groupBy(group_col, "_dim").agg(
+        F.round(F.avg("_v"), decimals).alias("_m"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        per_dim.groupBy(group_col)
+        .agg(
+            F.max("_n").alias("n_vectors"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_dim"), F.col("_m")))
+                ),
+                lambda s: s["_m"],
+            ).alias("centroid"),
+        )
+    )

@@ -1,5 +1,8 @@
 """Round-8 driver queries: lexical retrieval (BM25), categorical
-distribution drift (PSI), and character-entropy quality scoring.
+distribution drift (PSI), character-entropy quality scoring,
+stream-static enrichment, data-quality expectations, integer-exact
+PageRank, BPE merge-pair statistics, and per-group embedding
+centroids.
 
 Same contract as ``registry``: every entry pairs the Spark operator
 with a full DuckDB oracle restating the semantics independently.
@@ -336,3 +339,79 @@ def q99_pagerank(spark, sf_dir):
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(dir_.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     return pagerank(edges, iterations=3)
+
+
+# --------------------------------------- BPE merge-pair statistics
+
+
+@query(
+    "q100_bpe_pairs",
+    f"""
+    WITH w AS (
+      SELECT unnest({_WORDS_SRCH}) AS w FROM documents
+    ),
+    vocab AS (SELECT w, count(*) AS freq FROM w GROUP BY 1),
+    p AS (
+      SELECT freq, unnest(list_transform(range(1, length(w)),
+               i -> {{'s1': substring(w, i, 1), 's2': substring(w, i + 1, 1)}}))
+             AS pr
+      FROM vocab WHERE length(w) >= 2
+    )
+    SELECT pr.s1 AS s1, pr.s2 AS s2, sum(freq) AS pair_count
+    FROM p GROUP BY 1, 2 HAVING sum(freq) >= 5
+    """,
+)
+def q100_bpe_pairs(spark, sf_dir):
+    """First-round BPE merge statistics (corpus.bpe_pair_counts,
+    min_count=5): adjacent character-pair frequencies, the quantity a
+    BPE tokenizer trainer maximizes per merge. The corpus is scanned
+    once for the (word, freq) vocabulary; the char-pair explode runs
+    over the VOCAB-sized frame weighted by freq — never over the
+    corpus. The oracle re-derives vocabulary, pair explode, and
+    weighted counts."""
+    from capex_data_pipeline_spark.extensions.corpus import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+# ------------------------------------------- per-group centroids
+
+
+@query(
+    "q101_group_centroids",
+    """
+    WITH ex AS (
+      SELECT label,
+             unnest(list_transform(range(1, len(embedding) + 1),
+               i -> {'dim': i - 1, 'v': embedding[i]})) AS e
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    pd AS (
+      SELECT label, e.dim AS dim, round(avg(e.v), 6) AS m, count(*) AS n
+      FROM ex GROUP BY 1, 2
+    )
+    SELECT pd.label AS label, mx.n_vectors AS n_vectors,
+           pd.dim AS dim, pd.m AS centroid_val
+    FROM pd JOIN (
+      SELECT label, max(n) AS n_vectors FROM pd GROUP BY 1
+    ) mx USING (label)
+    """,
+)
+def q101_group_centroids(spark, sf_dir):
+    """Per-label embedding centroids (similarity.group_centroids):
+    posexplode to (group, dim, value) with map-side partial means —
+    never a collect_list of whole vectors per group — then a
+    vocabulary-sized regroup into dim-ordered arrays. The driver
+    contract flattens the centroid back to one row per dimension so
+    the cross-engine compare operates on scalars."""
+    from capex_data_pipeline_spark.extensions.similarity import (
+        group_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = group_centroids(emb, "label", "embedding")
+    return cents.select(
+        "label",
+        "n_vectors",
+        F.posexplode("centroid").alias("dim", "centroid_val"),
+    )

@@ -571,3 +571,24 @@ def test_bm25_normalizes_query_terms(spark):
     # terms that normalize to nothing raise instead of silently matching 0
     with pytest.raises(ValueError):
         bm25_topk(docs, ["?!", "--"])
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    from capex_data_pipeline_spark.extensions.corpus import bpe_pair_counts
+
+    # vocab: "ab" x3 (docs), "abc" x1, "z" x1 (no pairs)
+    docs = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "AB! z")], "doc_id long, text string"
+    )
+    got = {
+        (r.s1, r.s2): r.pair_count
+        for r in bpe_pair_counts(docs).collect()
+    }
+    # ab: freq 3 -> (a,b)+3 ; abc: freq 1 -> (a,b)+1, (b,c)+1
+    assert got == {("a", "b"): 4, ("b", "c"): 1}
+    # min_count prunes
+    got2 = {
+        (r.s1, r.s2): r.pair_count
+        for r in bpe_pair_counts(docs, min_count=2).collect()
+    }
+    assert got2 == {("a", "b"): 4}

@@ -874,3 +874,25 @@ def test_pagerank_plan_boundary_kicks_in(spark):
         )
     )
     assert a == b
+
+
+def test_group_centroids_hand_computed(spark):
+    from capex_data_pipeline_spark.extensions.similarity import (
+        group_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 2.0], "a"),
+            (2, [3.0, 2.0, 4.0], "a"),
+            (3, [10.0, 10.0, 10.0], "b"),
+            (4, None, "b"),  # NULL vector skipped
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    got = {
+        r.label: (r.n_vectors, r.centroid)
+        for r in group_centroids(df, "label").collect()
+    }
+    assert got["a"] == (2, [2.0, 1.0, 3.0])
+    assert got["b"] == (1, [10.0, 10.0, 10.0])
