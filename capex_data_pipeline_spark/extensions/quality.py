@@ -69,13 +69,13 @@ def accepted_values(
     )
 
 
-def custom(name: str, predicate_sql: str, column: str = "") -> Rule:
+def custom(name: str, predicate_sql: str) -> Rule:
     """Violation = rows where ``predicate_sql`` (a SQL boolean
     expression over the frame's columns, e.g. ``"amount < 0 AND
     status = 'paid'"``) evaluates TRUE. SQL strings — not Column
     objects — keep the rule declarative, serializable, and
     engine-portable like the rest of the registry."""
-    return Rule(name, "custom", (column,), (predicate_sql,))
+    return Rule(name, "custom", ("",), (predicate_sql,))
 
 
 def unique(*columns: str, name: str | None = None) -> Rule:

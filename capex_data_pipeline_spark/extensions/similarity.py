@@ -388,16 +388,23 @@ def group_centroids(
     dim-ordered array. Two shuffles on (group, dim)-bounded
     cardinality however many input rows there are.
 
-    Means are rounded to ``decimals`` for engine-stable values. NULL
-    vectors are skipped; groups whose vectors are all NULL produce no
-    row. Returns (group_col, n_vectors, centroid).
+    Means are rounded to ``decimals`` for engine-stable values, with
+    the repo's ``+ 0.0`` collapse of IEEE -0.0 (a zero-centered
+    dimension averaging to a tiny negative rounds to -0.0 on one
+    engine and +0.0 on the other). NULL and EMPTY vectors are skipped
+    (``n_vectors`` counts contributing vectors, assuming the uniform
+    dimensionality an embedding column has by contract); groups whose
+    vectors are all NULL/empty produce no row.
+    Returns (group_col, n_vectors, centroid).
     """
-    exploded = embeddings.filter(F.col(vec_col).isNotNull()).select(
+    exploded = embeddings.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    ).select(
         F.col(group_col),
         F.posexplode(F.col(vec_col)).alias("_dim", "_v"),
     )
     per_dim = exploded.groupBy(group_col, "_dim").agg(
-        F.round(F.avg("_v"), decimals).alias("_m"),
+        (F.round(F.avg("_v"), decimals) + F.lit(0.0)).alias("_m"),
         F.count(F.lit(1)).alias("_n"),
     )
     return (

@@ -75,9 +75,12 @@ def q95_bm25_topk(spark, sf_dir):
     "q96_distribution_drift",
     """
     WITH tagged AS (
+      -- WHERE restates the Spark side's two filters exactly: NULL
+      -- doc_id matches neither slice, and both engines give doc_id % 2
+      -- the dividend's sign, so a negative id (% 2 = -1) is dropped too
       SELECT coalesce(CAST(source AS VARCHAR), '<null>') AS category,
              CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS t
-      FROM documents
+      FROM documents WHERE doc_id % 2 = 0 OR doc_id % 2 = 1
     ),
     counts AS (
       SELECT category,
@@ -225,8 +228,11 @@ def q58_static_enrich(spark, sf_dir):
         sum(CASE WHEN o_orderstatus IS NOT NULL
                  AND o_orderstatus NOT IN ('O', 'F')
             THEN 1 ELSE 0 END) AS v_acc,
-        count(*) - count(DISTINCT o_orderkey) AS v_uk,
-        count(*) - count(DISTINCT o_custkey) AS v_uc
+        -- struct-wrapped DISTINCT restates the null-safe semantics
+        -- (count(DISTINCT col) would skip NULL keys; the engine counts
+        -- them via a never-NULL struct)
+        count(*) - count(DISTINCT {'k': o_orderkey}) AS v_uk,
+        count(*) - count(DISTINCT {'k': o_custkey}) AS v_uc
       FROM orders
     ),
     rep AS (
@@ -384,10 +390,11 @@ def q100_bpe_pairs(spark, sf_dir):
       SELECT label,
              unnest(list_transform(range(1, len(embedding) + 1),
                i -> {'dim': i - 1, 'v': embedding[i]})) AS e
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
     ),
     pd AS (
-      SELECT label, e.dim AS dim, round(avg(e.v), 6) AS m, count(*) AS n
+      SELECT label, e.dim AS dim, round(avg(e.v), 6) + 0.0 AS m,
+             count(*) AS n
       FROM ex GROUP BY 1, 2
     )
     SELECT pd.label AS label, mx.n_vectors AS n_vectors,

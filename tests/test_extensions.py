@@ -896,3 +896,24 @@ def test_group_centroids_hand_computed(spark):
     }
     assert got["a"] == (2, [2.0, 1.0, 3.0])
     assert got["b"] == (1, [10.0, 10.0, 10.0])
+
+
+def test_group_centroids_skips_empty_vectors_and_collapses_neg_zero(spark):
+    from capex_data_pipeline_spark.extensions.similarity import (
+        group_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [-1e-9, 1.0], "a"),
+            (2, [1e-9, 1.0], "a"),
+            (3, [], "a"),     # empty vector skipped, not counted
+            (4, [], "b"),     # all-empty group vanishes
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    got = {r.label: r for r in group_centroids(df, "label").collect()}
+    assert set(got) == {"a"}
+    assert got["a"].n_vectors == 2
+    assert got["a"].centroid == [0.0, 1.0]
+    assert str(got["a"].centroid[0]) != "-0.0"

@@ -41,8 +41,11 @@ def test_bm25_differential_random(spark):
         r.doc_id: (r.n_matched_terms, r.score)
         for r in bm25_topk(docs, terms, k=1000).collect()
     }
+    import re
+
     corpus = {
-        i: (t.split() if t else []) for i, t in rows
+        i: re.sub(r"[^a-z0-9]+", " ", (t or "").lower()).split()
+        for i, t in rows
     }
     want = _bm25_ref(corpus, terms)
     assert set(got) == set(want)
