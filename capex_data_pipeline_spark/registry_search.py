@@ -422,3 +422,35 @@ def q101_group_centroids(spark, sf_dir):
         "n_vectors",
         F.posexplode("centroid").alias("dim", "centroid_val"),
     )
+
+
+# ------------------------------------------ windowed heavy hitters
+
+
+@query(
+    "q59_windowed_topk",
+    """
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000
+               AS window_start_us,
+             event_type, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start_us, event_type, n_events, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY window_start_us
+        ORDER BY n_events DESC, event_type ASC) AS rank
+      FROM c
+    ) WHERE rank <= 3
+    """,
+)
+def q59_windowed_topk(spark, sf_dir):
+    """Per-hour heavy hitters (streaming.windows.windowed_topk, k=3):
+    tumbling count aggregate on the compact (window, type) key +
+    WindowGroupLimit top-k with deterministic type tie-break. The
+    streaming form is the count stage in update mode (rank applied at
+    read time); the oracle re-derives hour buckets via epoch floor."""
+    from capex_data_pipeline_spark.sources.parquet import read_table
+    from capex_data_pipeline_spark.streaming.windows import windowed_topk
+
+    return windowed_topk(read_table(spark, sf_dir, "events"), "1 hour", k=3)

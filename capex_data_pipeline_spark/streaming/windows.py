@@ -276,3 +276,45 @@ def static_enrich(
         )
     cond = events[stream_key] == dim[dim_key]
     return events.join(F.broadcast(dim), cond, how).drop(dim[dim_key])
+
+
+def windowed_topk(
+    events: DataFrame,
+    width: str = "1 hour",
+    k: int = 3,
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Per-window heavy hitters: the top-``k`` ``group_col`` values by
+    event count inside each tumbling window — the "what dominated each
+    hour" report behind dashboard leaderboards and hot-key detection.
+
+    Batch shape: the tumbling count aggregate (one shuffle on the
+    compact (window, group) key) + a per-window WindowGroupLimit rank
+    (top-k applied map-side before the rank exchange). Deterministic:
+    ties break on the group value ascending.
+
+    Streaming: ranking is not incrementally emittable under append
+    mode (a late event can reorder a window's leaderboard), so the
+    streaming form of this report is the COUNT stage —
+    ``tumbling_window_stream`` in update mode, with the rank applied
+    at read time on the (window, group)-sized sink; the stream==batch
+    parity of that count stage is what tests/test_streaming.py pins.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        events.groupBy(F.window(F.col("ts"), width).alias("w"), group_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            group_col,
+            "n_events",
+        )
+    )
+    w = Window.partitionBy("window_start_us").orderBy(
+        F.desc("n_events"), F.asc(group_col)
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
