@@ -84,6 +84,9 @@ HEADLINE = [
     # iterative integer PageRank: 3 chained join+agg rounds over the
     # persisted degree-annotated edge list — the deepest new plan
     "q99_pagerank",
+    "q59_windowed_topk",
+    "q100_bpe_pairs",
+    "q101_group_centroids",
 ]
 
 
