@@ -28,11 +28,12 @@ def _rand_docs(rng, n):
     return out
 
 
-def test_bm25_differential_random(spark):
+@pytest.mark.parametrize("seed", [20260814, 3, 77])
+def test_bm25_differential_random(spark, seed):
     from capex_data_pipeline_spark.extensions.corpus import bm25_topk
     from tests.test_corpus import _bm25_ref
 
-    rng = random.Random(20260814)
+    rng = random.Random(seed)
     rows = _rand_docs(rng, 60)
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     terms = ["hash", "sort", "x1"]
@@ -133,10 +134,11 @@ def test_char_entropy_differential_random(spark):
             assert got[i][2] == pytest.approx(h, abs=2e-6), i
 
 
-def test_pagerank_differential_random(spark):
+@pytest.mark.parametrize("seed", [41, 8, 123])
+def test_pagerank_differential_random(spark, seed):
     from capex_data_pipeline_spark.extensions.graph import pagerank
 
-    rng = random.Random(41)
+    rng = random.Random(seed)
     edges = {(rng.randint(0, 19), rng.randint(0, 19)) for _ in range(60)}
     edges = [(a, b) for a, b in edges]
     df = spark.createDataFrame(edges, "src long, dst long")
