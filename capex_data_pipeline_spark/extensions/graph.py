@@ -24,6 +24,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     plan_boundary: bool | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """PageRank in exact integer micro-units (simplified damped
     variant, public formula): starting from ``r0 = 1.0`` per vertex,
@@ -50,6 +51,12 @@ def pagerank(
     on a dynamic-allocation cluster use a reliable checkpoint dir or a
     staging write instead).
 
+    ``assume_distinct=True`` skips the defensive edge ``distinct()``
+    (a full shuffle of the edge list) when the caller guarantees no
+    duplicate (src, dst) pairs — duplicate edges would double-count
+    contributions, so only set it when the input is constructed
+    distinct (as the q99 registry builder is).
+
     Returns (vertex, rank_micro) — rank in micro-units, BIGINT.
     """
     from capex_data_pipeline_spark.cache import persisted
@@ -63,7 +70,9 @@ def pagerank(
 
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    )
+    if not assume_distinct:
+        e = e.distinct()
     # degree-annotated edges in ONE pass over e (window count per src —
     # the aggregate-then-self-join shape would evaluate e's producer
     # twice); persisted, reused by every round AND by the vertex set

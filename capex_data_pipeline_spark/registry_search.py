@@ -344,7 +344,10 @@ def q99_pagerank(spark, sf_dir):
     edges = dir_.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(dir_.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    return pagerank(edges, iterations=3)
+    # both directions of a distinct pair set are disjoint ('c…' vs
+    # 's…' prefixes), so the union is already duplicate-free — skip the
+    # operator's defensive distinct (one full edge-list shuffle)
+    return pagerank(edges, iterations=3, assume_distinct=True)
 
 
 # --------------------------------------- BPE merge-pair statistics
