@@ -189,3 +189,84 @@ def assert_passed(report: DataFrame) -> None:
             f"{r.rule}: {r.n_violations}/{r.n_rows}" for r in failed
         )
         raise ValueError(f"quality gate failed — {detail}")
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Exact per-column profile in ONE aggregate pass: row count, NULL
+    count, and null-safe distinct count for every listed column.
+    Integer-exact, so snapshot comparisons are engine-portable.
+
+    The multi-distinct aggregate plans as Spark's Expand (k columns →
+    k-way map-side row amplification, still a single scan + one
+    partial-aggregate tree); at extreme column counts or 100 TB inputs
+    swap ``approx_count_distinct`` — same plan shape minus the Expand,
+    documented like the q73 percentile swap.
+
+    Returns (column, n_rows, n_null, n_distinct) — ``n_distinct``
+    counts NULL as a value (never-NULL struct, like ``unique``).
+    """
+    if not columns:
+        raise ValueError("profile_columns: columns must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(columns):
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn{i}")
+        )
+        aggs.append(
+            F.count_distinct(F.struct(F.col(c))).alias(f"_nd{i}")
+        )
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.coalesce(F.col(f"_nn{i}"), F.lit(0)).alias("n_null"),
+                F.col(f"_nd{i}").alias("n_distinct"),
+            )
+            for i, c in enumerate(columns)
+        ]
+    )
+    return wide.select(F.col("_n"), F.explode(rows).alias("p")).select(
+        F.col("p.column").alias("column"),
+        F.col("_n").alias("n_rows"),
+        F.col("p.n_null").alias("n_null"),
+        F.col("p.n_distinct").alias("n_distinct"),
+    )
+
+
+def snapshot_drift(
+    baseline: DataFrame, current: DataFrame, columns: list[str]
+) -> DataFrame:
+    """Schema/content drift between two snapshots of the same table —
+    the data-contract monitor a pipeline runs between ingests: per
+    column, row/NULL/distinct counts on both sides plus the null-rate
+    shift. Catches the silent upstream regressions row-level
+    expectations can't (a column going 0.1% → 40% NULL, a distinct
+    blow-up from an id format change).
+
+    Two single-scan profiles (:func:`profile_columns`) joined on the
+    column name — column-count-sized frames however large the inputs.
+    All counts exact; ``null_frac_delta`` rounded to 6 with the -0.0
+    collapse.
+
+    Returns (column, n_rows_base, n_rows_curr, n_null_base,
+    n_null_curr, n_distinct_base, n_distinct_curr, null_frac_delta).
+    """
+    b = profile_columns(baseline, columns)
+    c = profile_columns(current, columns)
+    bf = F.col("b.n_null") / F.greatest(F.col("b.n_rows"), F.lit(1))
+    cf = F.col("c.n_null") / F.greatest(F.col("c.n_rows"), F.lit(1))
+    return (
+        b.alias("b")
+        .join(c.alias("c"), F.col("b.column") == F.col("c.column"))
+        .select(
+            F.col("b.column").alias("column"),
+            F.col("b.n_rows").alias("n_rows_base"),
+            F.col("c.n_rows").alias("n_rows_curr"),
+            F.col("b.n_null").alias("n_null_base"),
+            F.col("c.n_null").alias("n_null_curr"),
+            F.col("b.n_distinct").alias("n_distinct_base"),
+            F.col("c.n_distinct").alias("n_distinct_curr"),
+            (F.round(cf - bf, 6) + F.lit(0.0)).alias("null_frac_delta"),
+        )
+    )

@@ -457,3 +457,65 @@ def q59_windowed_topk(spark, sf_dir):
     from capex_data_pipeline_spark.streaming.windows import windowed_topk
 
     return windowed_topk(read_table(spark, sf_dir, "events"), "1 hour", k=3)
+
+
+# ------------------------------------------ snapshot profile drift
+
+
+@query(
+    "q102_snapshot_drift",
+    """
+    WITH b AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+    c AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
+    pb AS (
+      SELECT 'o_custkey' AS col, count(*) AS n,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn,
+             count(DISTINCT {'k': o_custkey}) AS nd FROM b
+      UNION ALL
+      SELECT 'o_orderstatus', count(*),
+             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT {'k': o_orderstatus}) FROM b
+      UNION ALL
+      SELECT 'o_totalprice', count(*),
+             sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT {'k': o_totalprice}) FROM b
+    ),
+    pc AS (
+      SELECT 'o_custkey' AS col, count(*) AS n,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn,
+             count(DISTINCT {'k': o_custkey}) AS nd FROM c
+      UNION ALL
+      SELECT 'o_orderstatus', count(*),
+             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT {'k': o_orderstatus}) FROM c
+      UNION ALL
+      SELECT 'o_totalprice', count(*),
+             sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT {'k': o_totalprice}) FROM c
+    )
+    SELECT pb.col AS column, pb.n AS n_rows_base, pc.n AS n_rows_curr,
+           pb.nn AS n_null_base, pc.nn AS n_null_curr,
+           pb.nd AS n_distinct_base, pc.nd AS n_distinct_curr,
+           round(pc.nn / CAST(greatest(pc.n, 1) AS DOUBLE)
+                 - pb.nn / CAST(greatest(pb.n, 1) AS DOUBLE), 6) + 0.0
+             AS null_frac_delta
+    FROM pb JOIN pc ON pb.col = pc.col
+    """,
+)
+def q102_snapshot_drift(spark, sf_dir):
+    """Schema/content drift between two snapshots
+    (quality.snapshot_drift over the even/odd o_orderkey halves of
+    orders, 3 columns): one single-scan profile per side (the
+    multi-distinct aggregate plans as Expand — k-way map-side
+    amplification, still one scan), joined on the column name into a
+    column-count-sized report. All counts exact integers; the
+    null-rate delta is round-6 with the -0.0 collapse."""
+    from capex_data_pipeline_spark.extensions.quality import snapshot_drift
+
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice"]
+    return snapshot_drift(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+        cols,
+    )

@@ -249,7 +249,7 @@ def test_clear_pipeline_cache_releases_memoized_runs(spark):
 
 
 def test_driver_contract_registry_invariants():
-    """Pin the driver-contract shape: exactly 101 registered queries
+    """Pin the driver-contract shape: exactly 102 registered queries
     (50 at the round-3 consolidation; q38 + q44-q49 corpus-prep, the
     q63-q89 cleaning/curation/temporal/analytics families, and the
     round-8 q58/q59/q95-q101 retrieval/drift/entropy/quality/graph/tokenizer additions), a full
@@ -259,7 +259,7 @@ def test_driver_contract_registry_invariants():
     import bench
 
     qs, oracles = E.queries(), E.oracle_sql()
-    assert len(qs) == 101
+    assert len(qs) == 102
     assert set(oracles) == set(qs)
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
     assert set(bench.HEADLINE) <= set(qs)
@@ -389,6 +389,21 @@ def test_round8_query_plans(spark, queries):
     )
     plan = _plan(queries["q97_char_entropy"](spark, SF))
     assert "Exchange" not in plan, "char entropy must stay map-only"
-    for name in ("q95_bm25_topk", "q96_distribution_drift"):
+    for name in (
+        "q95_bm25_topk",
+        "q96_distribution_drift",
+        "q98_quality_report",
+        "q99_pagerank",
+        "q100_bpe_pairs",
+        "q101_group_centroids",
+        "q102_snapshot_drift",
+        "q59_windowed_topk",
+    ):
         plan = _plan(queries[name](spark, SF))
         assert "CartesianProduct" not in plan, name
+    # q59's top-k must push into the shuffle like q14
+    assert "WindowGroupLimit" in _plan(queries["q59_windowed_topk"](spark, SF))
+    # q99 must not re-shuffle the caller-distinct edge list: exactly one
+    # Exchange on the src key feeds the degree window pre-persist
+    plan = _plan(queries["q99_pagerank"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -122,3 +122,31 @@ def test_custom_rule_counts_predicate_hits(spark):
     ).collect()
     # NULL amount -> NULL predicate -> not a violation (3VL)
     assert row.n_violations == 1 and row.kind == "custom"
+
+
+def test_profile_columns_and_snapshot_drift(spark):
+    from capex_data_pipeline_spark.extensions.quality import (
+        profile_columns,
+        snapshot_drift,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (None, "b")], "id long, s string"
+    )
+    curr = spark.createDataFrame(
+        [(1, None), (None, None), (None, "b"), (4, "c")],
+        "id long, s string",
+    )
+    prof = {r.column: r for r in profile_columns(base, ["id", "s"]).collect()}
+    assert prof["id"].n_rows == 3 and prof["id"].n_null == 1
+    assert prof["id"].n_distinct == 3  # {1, 2, NULL} — NULL counts
+    assert prof["s"].n_distinct == 2
+
+    drift = {
+        r.column: r for r in snapshot_drift(base, curr, ["id", "s"]).collect()
+    }
+    assert drift["s"].n_null_base == 0 and drift["s"].n_null_curr == 2
+    assert drift["s"].null_frac_delta == pytest.approx(0.5, abs=1e-9)
+    assert drift["id"].n_distinct_curr == 3  # {1, NULL, 4}
+    with pytest.raises(ValueError):
+        profile_columns(base, [])
