@@ -75,12 +75,16 @@ def q95_bm25_topk(spark, sf_dir):
     "q96_distribution_drift",
     """
     WITH tagged AS (
-      -- WHERE restates the Spark side's two filters exactly: NULL
-      -- doc_id matches neither slice, and both engines give doc_id % 2
-      -- the dividend's sign, so a negative id (% 2 = -1) is dropped too
+      -- baseline = the whole corpus; current = three sources only, so
+      -- the drift is REAL (large positive PSI) and the other 17
+      -- categories exercise the one-sided union-K smoothing path
       SELECT coalesce(CAST(source AS VARCHAR), '<null>') AS category,
-             CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS t
-      FROM documents WHERE doc_id % 2 = 0 OR doc_id % 2 = 1
+             0 AS t
+      FROM documents
+      UNION ALL
+      SELECT coalesce(CAST(source AS VARCHAR), '<null>') AS category,
+             1 AS t
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')
     ),
     counts AS (
       SELECT category,
@@ -104,20 +108,20 @@ def q95_bm25_topk(spark, sf_dir):
     """,
 )
 def q96_distribution_drift(spark, sf_dir):
-    """PSI drift between the even-doc_id and odd-doc_id halves of the
-    corpus over the source mix (analytics.distribution_drift,
-    smoothing 0.5): tag-union → one hash aggregate on the category
-    key, totals/K as a 1-row broadcast, per-category contributions.
-    The halves share the generator distribution so the PSI is ≈0 —
-    the value-exact oracle still checks every share and contribution."""
+    """PSI drift over the source mix (analytics.distribution_drift,
+    smoothing 0.5): baseline = the whole corpus, current = a
+    three-source subset — a genuinely shifted mixture, so the query
+    exercises large positive contributions AND the one-sided
+    categories (present only in baseline) whose finite psi terms
+    exist only because of the union-K smoothing. Tag-union → one hash
+    aggregate on the category key, totals/K as a 1-row broadcast."""
     from capex_data_pipeline_spark.extensions.analytics import (
         distribution_drift,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    base = docs.filter(F.col("doc_id") % 2 == 0)
-    curr = docs.filter(F.col("doc_id") % 2 == 1)
-    return distribution_drift(base, curr, "source", smoothing=0.5)
+    curr = docs.filter(F.col("source").isin("src0", "src1", "src2"))
+    return distribution_drift(docs, curr, "source", smoothing=0.5)
 
 
 # ------------------------------------------ character-entropy quality
