@@ -470,7 +470,17 @@ def q59_windowed_topk(spark, sf_dir):
     "q102_snapshot_drift",
     """
     WITH b AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
-    c AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
+    -- the current snapshot deterministically degrades two columns
+    -- (status 'P' -> NULL, every 7th custkey -> NULL) so the NULL
+    -- counting and null_frac_delta paths carry real non-zero values
+    -- (the synthetic corpus itself has no NULLs anywhere)
+    c AS (
+      SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey END
+               AS o_custkey,
+             nullif(o_orderstatus, 'P') AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
     pb AS (
       SELECT 'o_custkey' AS col, count(*) AS n,
              sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn,
@@ -508,8 +518,10 @@ def q59_windowed_topk(spark, sf_dir):
 )
 def q102_snapshot_drift(spark, sf_dir):
     """Schema/content drift between two snapshots
-    (quality.snapshot_drift over the even/odd o_orderkey halves of
-    orders, 3 columns): one single-scan profile per side (the
+    (quality.snapshot_drift, even/odd o_orderkey halves of orders with
+    the current side deterministically degraded — status 'P' and every
+    7th custkey nulled — so NULL counts and the null-rate delta are
+    non-zero): one single-scan profile per side (the
     multi-distinct aggregate plans as Expand — k-way map-side
     amplification, still one scan), joined on the column name into a
     column-count-sized report. All counts exact integers; the
@@ -518,8 +530,14 @@ def q102_snapshot_drift(spark, sf_dir):
 
     orders = _t(spark, sf_dir, "orders")
     cols = ["o_custkey", "o_orderstatus", "o_totalprice"]
-    return snapshot_drift(
-        orders.filter(F.col("o_orderkey") % 2 == 0),
-        orders.filter(F.col("o_orderkey") % 2 == 1),
-        cols,
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    # degrade the current snapshot deterministically so the NULL paths
+    # report real values (the corpus itself is NULL-free)
+    curr = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.when(F.col("o_custkey") % 7 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("o_orderstatus"),
+        "o_totalprice",
     )
+    return snapshot_drift(base, curr, cols)
