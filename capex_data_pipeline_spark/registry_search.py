@@ -191,7 +191,12 @@ def q97_char_entropy(spark, sf_dir):
            round(e.value, 4) AS value,
            c.c_mktsegment AS mktsegment,
            c.c_mktsegment IS NOT NULL AS enriched
-    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    FROM events e LEFT JOIN (
+      -- even-key dimension subset: every customer key 0-149 covers all
+      -- event user_ids 0-14, which would leave the left join's
+      -- null-emission path unexercised; odd user_ids now genuinely miss
+      SELECT * FROM customer WHERE c_custkey % 2 = 0
+    ) c ON e.user_id = c.c_custkey
     """,
 )
 def q58_static_enrich(spark, sf_dir):
@@ -205,7 +210,13 @@ def q58_static_enrich(spark, sf_dir):
     from capex_data_pipeline_spark.streaming.windows import static_enrich
 
     ev = read_table(spark, sf_dir, "events")
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # even-key subset: odd user_ids miss, so matched AND matchless
+    # emission paths both carry rows (the full dim covers every event)
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", "c_mktsegment")
+    )
     out = static_enrich(ev, cust, "user_id", "c_custkey", how="left")
     return out.select(
         "event_id",
