@@ -207,6 +207,11 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     """
     if not columns:
         raise ValueError("profile_columns: columns must be non-empty")
+    if len(set(columns)) != len(columns):
+        # a duplicated name would silently fan out snapshot_drift's
+        # column-name join (2x2 rows per duplicate) — fail fast like
+        # quality_report's duplicate-rule-name guard
+        raise ValueError("profile_columns: column names must be unique")
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, c in enumerate(columns):
         aggs.append(

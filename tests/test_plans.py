@@ -252,7 +252,7 @@ def test_driver_contract_registry_invariants():
     """Pin the driver-contract shape: exactly 102 registered queries
     (50 at the round-3 consolidation; q38 + q44-q49 corpus-prep, the
     q63-q89 cleaning/curation/temporal/analytics families, and the
-    round-8 q58/q59/q95-q101 retrieval/drift/entropy/quality/graph/tokenizer additions), a full
+    round-8 q58/q59/q95-q102 retrieval/drift/entropy/quality/graph/tokenizer additions), a full
     value-exact oracle for EVERY query (no rows-only fallbacks), and
     every bench headline drawn from the registry."""
     import __spark_entry__ as E
@@ -403,7 +403,14 @@ def test_round8_query_plans(spark, queries):
         assert "CartesianProduct" not in plan, name
     # q59's top-k must push into the shuffle like q14
     assert "WindowGroupLimit" in _plan(queries["q59_windowed_topk"](spark, SF))
-    # q99 must not re-shuffle the caller-distinct edge list: exactly one
-    # Exchange on the src key feeds the degree window pre-persist
+    # q99 must not re-shuffle the caller-distinct edge list: with
+    # assume_distinct the operator adds NO distinct aggregate on
+    # (src, dst) — the only pair-keyed aggregates are the builder's
+    # upstream d.distinct() on (a, b). Reverting assume_distinct (or
+    # reintroducing the defensive distinct) surfaces as a
+    # HashAggregate keyed on src.
     plan = _plan(queries["q99_pagerank"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate(keys=[src#" not in plan, (
+        "pagerank re-added the defensive edge distinct for q99"
+    )

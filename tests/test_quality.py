@@ -150,3 +150,11 @@ def test_profile_columns_and_snapshot_drift(spark):
     assert drift["id"].n_distinct_curr == 3  # {1, NULL, 4}
     with pytest.raises(ValueError):
         profile_columns(base, [])
+
+
+def test_profile_columns_rejects_duplicates(spark):
+    from capex_data_pipeline_spark.extensions.quality import profile_columns
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="unique"):
+        profile_columns(df, ["id", "id"])

@@ -616,18 +616,13 @@ def test_windowed_topk_batch_and_stream_counts(spark, events_stream_dir):
         counts = [r.n_events for r in sorted(rows, key=lambda x: x.rank)]
         assert counts == sorted(counts, reverse=True)
 
+    from capex_data_pipeline_spark.streaming.windows import (
+        tumbling_window_agg,
+    )
+
     batch_counts = {
         (r.window_start_us, r.event_type): r.n_events
-        for r in ev.groupBy(
-            F.window(F.col("ts"), "1 hour").alias("w"), "event_type"
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            F.unix_micros(F.col("w.start")).alias("window_start_us"),
-            "event_type",
-            "n_events",
-        )
-        .collect()
+        for r in tumbling_window_agg(ev, "1 hour").collect()
     }
     stream = tumbling_window_stream(
         _streaming_events(spark, events_stream_dir), "1 hour",
