@@ -364,3 +364,72 @@ def distribution_drift(
         # engine and +0.0 on the other, like q87's pmi)
         (F.round((q - p) * F.log(q / p), 6) + F.lit(0.0)).alias("psi_contrib"),
     )
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str = "version",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changelog to a snapshot — the MERGE/upsert batch
+    maintenance every incremental pipeline needs (nightly corpus
+    refresh, dimension sync from a change feed): ``changes`` carries
+    the snapshot's columns plus ``version_col`` (monotone per key) and
+    ``op_col`` ('U' upsert / 'D' delete). The result is the snapshot
+    with each key overridden by its LATEST change; keys whose latest
+    change is a delete are dropped; untouched snapshot rows pass
+    through.
+
+    Scale shape: tag-union (snapshot rides as version NULL, sorted
+    below every real version) + ONE keyed window keeping the
+    highest-version row per key — one shuffle on the key, identical
+    to the W3 dedup-keep-first plan, never a join of snapshot against
+    changes per operation type. Deterministic: ties on (key, version)
+    break toward the changelog row, then by ``op_col`` descending
+    ('U' > 'D' — an upsert and delete claiming the same version is a
+    feed defect; prefer keeping data and let quality_report-style
+    gates flag the duplicate version upstream).
+
+    Returns the snapshot schema (key + payload columns, no op/version).
+    """
+    from pyspark.sql.window import Window
+
+    payload = [c for c in snapshot.columns if c not in key_cols]
+    extra = set(changes.columns) - set(snapshot.columns) - {
+        version_col,
+        op_col,
+    }
+    if extra:
+        raise ValueError(
+            f"apply_changelog: changes carry unknown column(s) "
+            f"{sorted(extra)}"
+        )
+    snap = snapshot.select(
+        *key_cols,
+        *payload,
+        F.lit(None).cast(
+            changes.schema[version_col].dataType
+        ).alias("_ver"),
+        F.lit(0).alias("_is_change"),
+        F.lit("U").alias("_op"),
+    )
+    chg = changes.select(
+        *key_cols,
+        *payload,
+        F.col(version_col).alias("_ver"),
+        F.lit(1).alias("_is_change"),
+        F.col(op_col).alias("_op"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("_ver").desc_nulls_last(),
+        F.col("_is_change").desc(),
+        F.col("_op").desc(),
+    )
+    return (
+        snap.unionByName(chg)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("_op") != "D"))
+        .select(*key_cols, *payload)
+    )

@@ -552,3 +552,63 @@ def q102_snapshot_drift(spark, sf_dir):
         "o_totalprice",
     )
     return snapshot_drift(base, curr, cols)
+
+
+# ----------------------------------------------- CDC changelog apply
+
+
+@query(
+    "q103_cdc_apply",
+    """
+    WITH snap AS (
+      SELECT o_orderkey // 2 AS k, o_orderstatus AS status,
+             o_totalprice AS price,
+             CAST(NULL AS BIGINT) AS ver, 0 AS is_chg, 'U' AS op
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    chg AS (
+      SELECT o_orderkey // 2 AS k, o_orderstatus AS status,
+             o_totalprice * 2 AS price,
+             o_orderkey AS ver, 1 AS is_chg,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    u AS (SELECT * FROM snap UNION ALL SELECT * FROM chg),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY k ORDER BY ver DESC NULLS LAST, is_chg DESC, op DESC
+      ) AS rn FROM u
+    )
+    SELECT k, status, price FROM r WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q103_cdc_apply(spark, sf_dir):
+    """CDC MERGE/upsert maintenance (analytics.apply_changelog):
+    snapshot = even-o_orderkey orders keyed by o_orderkey div 2,
+    changelog = the odd rows targeting the same keys (price doubled —
+    exact in binary doubles, so no cross-engine rounding boundary —
+    every 5th op a delete, version = o_orderkey). Tag-union +
+    ONE keyed window keeping the highest-version row (snapshot rides
+    as version NULL below every real version) — never a per-op-type
+    join. Upserts, deletes, AND untouched pass-through rows all carry
+    rows here; the oracle replays the union + ranked merge."""
+    from capex_data_pipeline_spark.extensions.analytics import (
+        apply_changelog,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    snap = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        (F.col("o_orderkey") / 2).cast("long").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    chg = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.floor(F.col("o_orderkey") / 2).cast("long").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice") * 2).alias("price"),
+        F.col("o_orderkey").alias("version"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return apply_changelog(snap, chg, ["k"])

@@ -277,3 +277,47 @@ def test_distribution_drift_nan_smoothing_raises(spark):
     df = spark.createDataFrame([("a",)], "cat string")
     with pytest.raises(ValueError):
         distribution_drift(df, df, "cat", smoothing=float("nan"))
+
+
+# --------------------------------------------------- CDC changelog
+
+
+def test_apply_changelog_semantics(spark):
+    from capex_data_pipeline_spark.extensions.analytics import (
+        apply_changelog,
+    )
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    chg = spark.createDataFrame(
+        [
+            (1, "a2", 10, "U"),   # overridden by version 20 below
+            (1, "a3", 20, "U"),   # latest upsert wins
+            (2, "x", 5, "D"),     # delete key 2
+            (4, "new", 1, "U"),   # insert unseen key
+        ],
+        "k long, v string, version long, op string",
+    )
+    got = {r.k: r.v for r in apply_changelog(snap, chg, ["k"]).collect()}
+    assert got == {1: "a3", 3: "c", 4: "new"}
+
+
+def test_apply_changelog_delete_then_reinsert_and_validation(spark):
+    from capex_data_pipeline_spark.extensions.analytics import (
+        apply_changelog,
+    )
+
+    snap = spark.createDataFrame([(1, "a")], "k long, v string")
+    chg = spark.createDataFrame(
+        [(1, "x", 1, "D"), (1, "back", 2, "U")],
+        "k long, v string, version long, op string",
+    )
+    got = {r.k: r.v for r in apply_changelog(snap, chg, ["k"]).collect()}
+    assert got == {1: "back"}  # later upsert revives the deleted key
+    bad = spark.createDataFrame(
+        [(1, "x", "zz", 1, "U")],
+        "k long, v string, rogue string, version long, op string",
+    )
+    with pytest.raises(ValueError, match="rogue"):
+        apply_changelog(snap, bad, ["k"])

@@ -249,17 +249,17 @@ def test_clear_pipeline_cache_releases_memoized_runs(spark):
 
 
 def test_driver_contract_registry_invariants():
-    """Pin the driver-contract shape: exactly 102 registered queries
+    """Pin the driver-contract shape: exactly 103 registered queries
     (50 at the round-3 consolidation; q38 + q44-q49 corpus-prep, the
     q63-q89 cleaning/curation/temporal/analytics families, and the
-    round-8 q58/q59/q95-q102 retrieval/drift/entropy/quality/graph/tokenizer additions), a full
+    round-8 q58/q59/q95-q103 retrieval/drift/entropy/quality/graph/tokenizer additions), a full
     value-exact oracle for EVERY query (no rows-only fallbacks), and
     every bench headline drawn from the registry."""
     import __spark_entry__ as E
     import bench
 
     qs, oracles = E.queries(), E.oracle_sql()
-    assert len(qs) == 102
+    assert len(qs) == 103
     assert set(oracles) == set(qs)
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
     assert set(bench.HEADLINE) <= set(qs)
@@ -397,6 +397,7 @@ def test_round8_query_plans(spark, queries):
         "q100_bpe_pairs",
         "q101_group_centroids",
         "q102_snapshot_drift",
+        "q103_cdc_apply",
         "q59_windowed_topk",
     ):
         plan = _plan(queries[name](spark, SF))
