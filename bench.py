@@ -87,6 +87,10 @@ HEADLINE = [
     "q59_windowed_topk",
     "q100_bpe_pairs",
     "q101_group_centroids",
+    # single-scan multi-distinct profile (Expand) and the window-merge
+    # CDC maintenance over 150k orders rows
+    "q102_snapshot_drift",
+    "q103_cdc_apply",
 ]
 
 

@@ -208,3 +208,43 @@ def test_quality_report_differential_random(spark):
     assert got["big_a"] == sum(
         1 for r in rows if r[1] is not None and r[1] > 120 and r[2] == "a"
     )
+
+
+@pytest.mark.parametrize("seed", [11, 202])
+def test_apply_changelog_differential_random(spark, seed):
+    from capex_data_pipeline_spark.extensions.analytics import (
+        apply_changelog,
+    )
+
+    rng = random.Random(seed)
+    snap_rows = [(k, f"s{k}") for k in range(30) if rng.random() < 0.7]
+    chg_rows = []
+    versions = list(range(1, 60))
+    rng.shuffle(versions)
+    for i in range(40):
+        chg_rows.append(
+            (
+                rng.randint(0, 39),          # keys beyond snapshot too
+                f"c{i}",
+                versions[i],                  # unique versions
+                "D" if rng.random() < 0.25 else "U",
+            )
+        )
+    snap = spark.createDataFrame(snap_rows, "k long, v string")
+    chg = spark.createDataFrame(chg_rows, "k long, v string, version long, op string")
+    got = {r.k: r.v for r in apply_changelog(snap, chg, ["k"]).collect()}
+
+    # dict replay: latest change per key wins; D drops; else snapshot
+    latest = {}
+    for k, v, ver, op in chg_rows:
+        if k not in latest or ver > latest[k][0]:
+            latest[k] = (ver, v, op)
+    want = {}
+    for k, v in snap_rows:
+        want[k] = v
+    for k, (ver, v, op) in latest.items():
+        if op == "D":
+            want.pop(k, None)
+        else:
+            want[k] = v
+    assert got == want
