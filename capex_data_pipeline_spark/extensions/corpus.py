@@ -903,3 +903,99 @@ def bpe_pair_counts(
         .agg(F.sum("freq").alias("pair_count"))
         .filter(F.col("pair_count") >= min_count)
     )
+
+
+def assign_split(
+    df: DataFrame,
+    group_col: str,
+    splits: list[tuple[str, float]],
+    seed: str = "s0",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split decision
+    hashes the GROUP key (domain, source document, user...), so every
+    row of one group lands in the same split and correlated rows —
+    chunks of one document, near-dups within one crawl domain — never
+    straddle the train/test boundary. Splitting on the row id instead
+    is the classic eval-contamination bug this operator exists to
+    prevent.
+
+    ``splits`` is an ordered list of (name, fraction); fractions must
+    be positive and sum to 1.0 (the last split absorbs the remainder
+    of the hash space, so coverage is total by construction). The
+    decision is the engine-portable md5 ``sample_hash`` of the group
+    key: same groups + seed → same assignment, on any engine, at any
+    partitioning, months later. Map-only — no shuffle, no join, no
+    state; NULL groups hash as the '<null>' sentinel (one
+    deterministic split, not a dropped row).
+    """
+    if len(splits) < 2:
+        raise ValueError("assign_split: need at least 2 splits")
+    names = [n for n, _ in splits]
+    if len(set(names)) != len(names):
+        raise ValueError("assign_split: split names must be unique")
+    fracs = [f for _, f in splits]
+    if any(f <= 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(
+            "assign_split: fractions must be positive and sum to 1.0"
+        )
+    if split_col in df.columns:
+        raise ValueError(
+            f"assign_split: input already carries a {split_col!r} column"
+        )
+    u = sample_hash(F.col(group_col), seed)
+    expr: Column = F.lit(names[-1])
+    bounds: list[tuple[str, float]] = []
+    cum = 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        bounds.append((name, cum))
+    for name, bound in reversed(bounds):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def split_leakage_report(
+    df: DataFrame, split_col: str, fingerprint_col: str
+) -> DataFrame:
+    """Cross-split exact-duplicate audit — the check run AFTER
+    :func:`assign_split` (or any external split) to attest the
+    boundary is clean: a fingerprint (e.g. ``md5`` of normalized
+    text) that appears in more than one split is train→test leakage
+    no group-wise assignment can prevent when the duplicate crosses
+    group boundaries.
+
+    All shuffles are on compact keys: one fingerprint-key aggregate
+    finds multi-split fingerprints, a semi-join tags the leaked rows,
+    and two split-key aggregates produce the per-split report —
+    split-count-sized output however large the corpus. NULL
+    fingerprints never count as leaked (no identity to attest); they
+    still count in ``n_rows``.
+
+    Returns (split, n_rows, n_leaked_rows) ordered by split, counts
+    as BIGINT.
+    """
+    leaked_fps = (
+        df.groupBy(fingerprint_col)
+        .agg(F.count_distinct(F.col(split_col)).alias("_ns"))
+        .filter(F.col("_ns") > 1)
+        .select(fingerprint_col)
+    )
+    leaked_rows = (
+        df.join(leaked_fps, on=fingerprint_col, how="left_semi")
+        .groupBy(split_col)
+        .agg(F.count(F.lit(1)).alias("n_leaked_rows"))
+    )
+    return (
+        df.groupBy(split_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .join(leaked_rows, on=split_col, how="left")
+        .select(
+            F.col(split_col).alias("split"),
+            F.col("n_rows"),
+            F.coalesce(F.col("n_leaked_rows"), F.lit(0).cast("long")).alias(
+                "n_leaked_rows"
+            ),
+        )
+        .orderBy("split")
+    )

@@ -275,3 +275,63 @@ def snapshot_drift(
             (F.round(cf - bf, 6) + F.lit(0.0)).alias("null_frac_delta"),
         )
     )
+
+
+def numeric_histogram(
+    df: DataFrame, value_col: str, nbins: int
+) -> DataFrame:
+    """Equi-width histogram of a numeric column — the distribution
+    profile behind data validation and drift dashboards (a step up
+    from :func:`profile_columns`'s scalar counts). Two aggregate
+    passes, both single-scan and fully distributed: a 1-row min/max
+    pre-pass broadcast back onto the rows (never a driver-side
+    ``collect``), then one hash aggregate on the bucket index —
+    ``nbins`` output rows however large the input.
+
+    Bucket math is plain IEEE-double arithmetic
+    (``floor((v - lo) / width)`` with the top edge folded into the
+    last bucket), so the same rows produce the same histogram on any
+    engine or partitioning. NULL values are excluded; a degenerate
+    column (``min == max``) lands every row in bucket 0. Bucket edges
+    are rounded to 6 decimals for the cross-engine compare, with the
+    IEEE ``-0.0`` collapse.
+
+    Returns (bucket, bucket_lo, bucket_hi, n_rows) ordered by bucket.
+    Empty buckets are absent (sparse form) — a reporting layer can
+    densify against ``sequence(0, nbins-1)`` if it needs zero rows.
+    """
+    if nbins < 1:
+        raise ValueError("numeric_histogram: nbins must be >= 1")
+    v = F.col(value_col).cast("double")
+    vals = df.filter(v.isNotNull()).select(v.alias("_v"))
+    stats = vals.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(nbins))
+    bucket = (
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("_v") - F.col("_lo")) / width),
+                F.lit(nbins - 1),
+            )
+        )
+        .cast("int")
+    )
+    return (
+        vals.crossJoin(F.broadcast(stats))
+        .select(bucket.alias("bucket"), "_lo", "_hi")
+        .groupBy("bucket", "_lo", "_hi")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bucket",
+            (
+                F.round(F.col("_lo") + F.col("bucket") * width, 6)
+                + F.lit(0.0)
+            ).alias("bucket_lo"),
+            (
+                F.round(F.col("_lo") + (F.col("bucket") + 1) * width, 6)
+                + F.lit(0.0)
+            ).alias("bucket_hi"),
+            "n_rows",
+        )
+        .orderBy("bucket")
+    )

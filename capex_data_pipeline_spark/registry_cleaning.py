@@ -646,3 +646,67 @@ def q75_incremental_neardup(spark, sf_dir):
     return DD.minhash_near_dups_incremental(
         new, index, num_hashes=8, bands=4, threshold=0.5
     )
+
+
+@query(
+    "q104_split_leakage",
+    """
+    WITH aug AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 17 = 0
+                  THEN 'shared boilerplate block ' || CAST(doc_id % 5 AS VARCHAR)
+                  ELSE text END AS t
+      FROM documents
+    ), sp AS (
+      SELECT md5(t) AS fingerprint,
+             CASE WHEN h < 0.8 THEN 'train'
+                  WHEN h < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT *,
+              CAST(('0x' || substr(md5('s0|' || coalesce(CAST(source AS VARCHAR), '<null>')), 1, 8))
+                   AS BIGINT) / 4294967296.0 AS h
+            FROM aug)
+    ), leaked AS (
+      SELECT fingerprint FROM sp GROUP BY fingerprint
+      HAVING count(DISTINCT split) > 1
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE fingerprint IN (SELECT fingerprint FROM leaked))
+                AS BIGINT) AS n_leaked_rows
+    FROM sp GROUP BY split ORDER BY split
+    """,
+)
+def q104_split_leakage(spark, sf_dir):
+    """Leakage-safe corpus split + cross-split duplicate audit: assign
+    train/val/test by the md5 hash of the SOURCE (so correlated docs
+    of one domain never straddle the boundary), then count exact
+    duplicates whose fingerprint still crosses splits — the
+    train-test contamination a group-wise split cannot prevent when
+    the duplicate itself crosses groups. The corpus has no natural
+    cross-source duplicate, so doc_id % 17 texts are rewritten to one
+    of five shared boilerplate blocks (restated in the oracle) —
+    every split AND both leaked/clean paths carry rows. The oracle
+    re-derives the hash assignment, the multi-split fingerprint set,
+    and the per-split counts."""
+    from capex_data_pipeline_spark.extensions import corpus as C
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "t",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(
+                F.lit("shared boilerplate block "),
+                (F.col("doc_id") % 5).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    sp = C.assign_split(
+        aug, "source", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+    return C.split_leakage_report(
+        sp.withColumn("fingerprint", F.md5(F.col("t"))),
+        "split",
+        "fingerprint",
+    )

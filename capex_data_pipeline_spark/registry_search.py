@@ -612,3 +612,35 @@ def q103_cdc_apply(spark, sf_dir):
         .alias("op"),
     )
     return apply_changelog(snap, chg, ["k"])
+
+
+@query(
+    "q105_numeric_histogram",
+    """
+    WITH vals AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), st AS (SELECT min(v) AS lo, max(v) AS hi FROM vals),
+    b AS (
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE CAST(least(floor((v - lo) / ((hi - lo) / 8.0)), 7) AS INT)
+             END AS bucket,
+             lo, hi
+      FROM vals, st
+    )
+    SELECT bucket,
+           round(lo + bucket * ((hi - lo) / 8.0), 6) + 0.0 AS bucket_lo,
+           round(lo + (bucket + 1) * ((hi - lo) / 8.0), 6) + 0.0 AS bucket_hi,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM b GROUP BY bucket, lo, hi ORDER BY bucket
+    """,
+)
+def q105_numeric_histogram(spark, sf_dir):
+    """Equi-width 8-bucket histogram of order totals: a 1-row min/max
+    pre-pass broadcast onto the rows, then one hash aggregate on the
+    bucket index — the distribution profile behind validation
+    dashboards, all-IEEE-double bucket math so both engines derive
+    identical bucket boundaries and counts."""
+    from capex_data_pipeline_spark.extensions.quality import numeric_histogram
+
+    return numeric_histogram(_t(spark, sf_dir, "orders"), "o_totalprice", 8)

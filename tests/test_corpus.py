@@ -592,3 +592,62 @@ def test_bpe_pair_counts_hand_computed(spark):
         for r in bpe_pair_counts(docs, min_count=2).collect()
     }
     assert got2 == {("a", "b"): 4}
+
+
+def test_assign_split_group_coherent_and_total(spark):
+    """Every row of one group lands in the same split (the leakage-
+    safety property), coverage is total, the assignment is
+    deterministic across calls, and bad fraction specs are rejected."""
+    from capex_data_pipeline_spark.extensions.corpus import assign_split
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 7}") for i in range(70)], "id long, grp string"
+    )
+    out = assign_split(df, "grp", [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    rows = out.collect()
+    assert len(rows) == 70
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_grp.values())  # group-coherent
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    again = {
+        (r.id, r.split)
+        for r in assign_split(
+            df, "grp", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+        ).collect()
+    }
+    assert again == {(r.id, r.split) for r in rows}  # deterministic
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        assign_split(df, "grp", [("a", 0.8), ("b", 0.1)])
+    with pytest.raises(ValueError, match="at least 2"):
+        assign_split(df, "grp", [("a", 1.0)])
+    with pytest.raises(ValueError, match="unique"):
+        assign_split(df, "grp", [("a", 0.5), ("a", 0.5)])
+    with pytest.raises(ValueError, match="carries"):
+        assign_split(out, "grp", [("a", 0.5), ("b", 0.5)])
+
+
+def test_split_leakage_report_hand_built(spark):
+    """Hand-built leakage: fingerprint 'x' spans train+test (both
+    sides' rows flagged), 'y' stays within train (clean), NULL
+    fingerprints count in n_rows but never as leaked."""
+    from capex_data_pipeline_spark.extensions.corpus import split_leakage_report
+
+    df = spark.createDataFrame(
+        [
+            ("train", "x"),
+            ("train", "x"),
+            ("test", "x"),
+            ("train", "y"),
+            ("train", "y"),
+            ("val", "z"),
+            ("val", None),
+            ("test", None),
+        ],
+        "split string, fp string",
+    )
+    rep = {r.split: r for r in split_leakage_report(df, "split", "fp").collect()}
+    assert rep["train"].n_rows == 4 and rep["train"].n_leaked_rows == 2
+    assert rep["test"].n_rows == 2 and rep["test"].n_leaked_rows == 1
+    assert rep["val"].n_rows == 2 and rep["val"].n_leaked_rows == 0

@@ -249,17 +249,18 @@ def test_clear_pipeline_cache_releases_memoized_runs(spark):
 
 
 def test_driver_contract_registry_invariants():
-    """Pin the driver-contract shape: exactly 103 registered queries
+    """Pin the driver-contract shape: exactly 105 registered queries
     (50 at the round-3 consolidation; q38 + q44-q49 corpus-prep, the
-    q63-q89 cleaning/curation/temporal/analytics families, and the
-    round-8 q58/q59/q95-q103 retrieval/drift/entropy/quality/graph/tokenizer additions), a full
+    q63-q89 cleaning/curation/temporal/analytics families, the
+    round-8 q58/q59/q95-q103 retrieval/drift/entropy/quality/graph/tokenizer additions,
+    and the q104 split-leakage / q105 histogram profiling pair), a full
     value-exact oracle for EVERY query (no rows-only fallbacks), and
     every bench headline drawn from the registry."""
     import __spark_entry__ as E
     import bench
 
     qs, oracles = E.queries(), E.oracle_sql()
-    assert len(qs) == 103
+    assert len(qs) == 105
     assert set(oracles) == set(qs)
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
     assert set(bench.HEADLINE) <= set(qs)
@@ -415,3 +416,16 @@ def test_round8_query_plans(spark, queries):
     assert "HashAggregate(keys=[src#" not in plan, (
         "pagerank re-added the defensive edge distinct for q99"
     )
+
+
+def test_profiling_split_query_plans_stay_narrow(spark, queries):
+    """q104/q105 plan pins: the split-leakage audit is all equi-joins
+    on compact keys (fingerprint/split) — no cartesian, no nested
+    loop; the histogram's ONLY nested-loop join is the intended 1-row
+    min/max stats broadcast (same pattern as q87's totals)."""
+    plan = _plan(queries["q104_split_leakage"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    plan = _plan(queries["q105_numeric_histogram"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1

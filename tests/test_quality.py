@@ -158,3 +158,34 @@ def test_profile_columns_rejects_duplicates(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="unique"):
         profile_columns(df, ["id", "id"])
+
+
+def test_numeric_histogram_hand_computed(spark):
+    """Hand-built 4-bucket histogram over [0, 8]: width 2, the top
+    edge (8.0) folds into the last bucket, NULLs excluded, empty
+    buckets absent."""
+    from capex_data_pipeline_spark.extensions.quality import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.9,), (2.0,), (7.9,), (8.0,), (None,)], "v double"
+    )
+    rows = {r.bucket: r for r in numeric_histogram(df, "v", 4).collect()}
+    assert set(rows) == {0, 1, 3}  # bucket 2 ([4,6)) is empty -> absent
+    assert rows[0].n_rows == 2 and (rows[0].bucket_lo, rows[0].bucket_hi) == (0.0, 2.0)
+    assert rows[1].n_rows == 1 and (rows[1].bucket_lo, rows[1].bucket_hi) == (2.0, 4.0)
+    # 7.9 plus the max value 8.0 both land in the last bucket
+    assert rows[3].n_rows == 2 and (rows[3].bucket_lo, rows[3].bucket_hi) == (6.0, 8.0)
+
+
+def test_numeric_histogram_degenerate_and_guard(spark):
+    """min == max puts every row in bucket 0 with zero-width edges;
+    nbins < 1 is rejected."""
+    from capex_data_pipeline_spark.extensions.quality import numeric_histogram
+
+    df = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "v double")
+    rows = numeric_histogram(df, "v", 4).collect()
+    assert len(rows) == 1
+    assert (rows[0].bucket, rows[0].n_rows) == (0, 3)
+    assert rows[0].bucket_lo == 5.0 and rows[0].bucket_hi == 5.0
+    with pytest.raises(ValueError, match="nbins"):
+        numeric_histogram(df, "v", 0)
