@@ -248,3 +248,83 @@ def test_apply_changelog_differential_random(spark, seed):
         else:
             want[k] = v
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [20260814, 11])
+def test_numeric_histogram_differential_random(spark, seed):
+    """Histogram vs a plain-Python reference on random doubles with
+    NULLs: identical bucket indices, edges (to 6 dp) and counts."""
+    from capex_data_pipeline_spark.extensions.quality import numeric_histogram
+
+    rng = random.Random(seed)
+    vals = [
+        None if rng.random() < 0.1 else rng.uniform(-50, 150)
+        for _ in range(200)
+    ]
+    nbins = rng.choice([3, 7, 16])
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        r.bucket: (r.bucket_lo, r.bucket_hi, r.n_rows)
+        for r in numeric_histogram(df, "v", nbins).collect()
+    }
+
+    present = [v for v in vals if v is not None]
+    lo, hi = min(present), max(present)
+    width = (hi - lo) / nbins
+    ref: dict[int, int] = {}
+    for v in present:
+        b = 0 if hi == lo else min(int(math.floor((v - lo) / width)), nbins - 1)
+        ref[b] = ref.get(b, 0) + 1
+    assert set(got) == set(ref)
+    for b, n in ref.items():
+        blo, bhi, bn = got[b]
+        assert bn == n
+        assert blo == round(lo + b * width, 6) + 0.0
+        assert bhi == round(lo + (b + 1) * width, 6) + 0.0
+
+
+@pytest.mark.parametrize("seed", [20260814, 5])
+def test_split_leakage_differential_random(spark, seed):
+    """assign_split + split_leakage_report vs a plain-Python replay of
+    the md5 hash assignment and the multi-split fingerprint audit on a
+    random corpus with planted cross-group duplicates."""
+    import hashlib
+
+    from capex_data_pipeline_spark.extensions.corpus import (
+        assign_split,
+        split_leakage_report,
+    )
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(150):
+        grp = f"g{rng.randint(0, 24)}" if rng.random() > 0.05 else None
+        # ~25% duplicates drawn from a tiny shared pool, rest unique
+        fp = f"dup{rng.randint(0, 5)}" if rng.random() < 0.25 else f"u{i}"
+        rows.append((i, grp, fp))
+    df = spark.createDataFrame(rows, "id long, grp string, fp string")
+    splits = [("train", 0.7), ("val", 0.2), ("test", 0.1)]
+    got = {
+        r.split: (r.n_rows, r.n_leaked_rows)
+        for r in split_leakage_report(
+            assign_split(df, "grp", splits), "split", "fp"
+        ).collect()
+    }
+
+    def ref_split(grp):
+        key = "<null>" if grp is None else grp
+        h = int(hashlib.md5(f"s0|{key}".encode()).hexdigest()[:8], 16) / 2**32
+        return "train" if h < 0.7 else ("val" if h < 0.9 else "test")
+
+    assigned = [(ref_split(g), fp) for _, g, fp in rows]
+    multi = {
+        fp
+        for fp in {f for _, f in assigned}
+        if len({s for s, f in assigned if f == fp}) > 1
+    }
+    ref: dict[str, list[int]] = {}
+    for s, fp in assigned:
+        ref.setdefault(s, [0, 0])
+        ref[s][0] += 1
+        ref[s][1] += 1 if fp in multi else 0
+    assert got == {s: tuple(v) for s, v in ref.items()}
