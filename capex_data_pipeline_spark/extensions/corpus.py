@@ -966,36 +966,39 @@ def split_leakage_report(
     group boundaries.
 
     All shuffles are on compact keys: one fingerprint-key aggregate
-    finds multi-split fingerprints, a semi-join tags the leaked rows,
-    and two split-key aggregates produce the per-split report —
-    split-count-sized output however large the corpus. NULL
-    fingerprints never count as leaked (no identity to attest); they
-    still count in ``n_rows``.
+    finds multi-split fingerprints (a distinct, so the join back
+    cannot fan out), a left join tags each row, and ONE split-key
+    aggregate produces the report — split-count-sized output however
+    large the corpus. NULL fingerprints never count as leaked (no
+    identity to attest) but still count in ``n_rows``; a NULL split
+    value is reported as its own row like any other (tag-before-
+    aggregate, so no join key ever has to match NULL).
 
     Returns (split, n_rows, n_leaked_rows) ordered by split, counts
     as BIGINT.
     """
     leaked_fps = (
         df.groupBy(fingerprint_col)
-        .agg(F.count_distinct(F.col(split_col)).alias("_ns"))
+        .agg(
+            # never-NULL struct so a NULL split still counts as one
+            # distinct side of a leak (profile_columns pattern)
+            F.count_distinct(F.struct(F.col(split_col))).alias("_ns")
+        )
         .filter(F.col("_ns") > 1)
-        .select(fingerprint_col)
-    )
-    leaked_rows = (
-        df.join(leaked_fps, on=fingerprint_col, how="left_semi")
-        .groupBy(split_col)
-        .agg(F.count(F.lit(1)).alias("n_leaked_rows"))
+        .select(fingerprint_col, F.lit(1).alias("_leak"))
     )
     return (
-        df.groupBy(split_col)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .join(leaked_rows, on=split_col, how="left")
+        df.select(split_col, fingerprint_col)
+        .join(leaked_fps, on=fingerprint_col, how="left")
+        .groupBy(split_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.coalesce(F.col("_leak"), F.lit(0)))
+            .cast("long")
+            .alias("n_leaked_rows"),
+        )
         .select(
-            F.col(split_col).alias("split"),
-            F.col("n_rows"),
-            F.coalesce(F.col("n_leaked_rows"), F.lit(0).cast("long")).alias(
-                "n_leaked_rows"
-            ),
+            F.col(split_col).alias("split"), "n_rows", "n_leaked_rows"
         )
         .orderBy("split")
     )

@@ -651,3 +651,22 @@ def test_split_leakage_report_hand_built(spark):
     assert rep["train"].n_rows == 4 and rep["train"].n_leaked_rows == 2
     assert rep["test"].n_rows == 2 and rep["test"].n_leaked_rows == 1
     assert rep["val"].n_rows == 2 and rep["val"].n_leaked_rows == 0
+
+
+def test_split_leakage_report_null_split_row(spark):
+    """A NULL split value is reported as its own row with a correct
+    leaked count (tag-before-aggregate — no join key has to match
+    NULL), and a NULL-split <-> named-split duplicate counts as a
+    leak on both sides."""
+    from capex_data_pipeline_spark.extensions.corpus import split_leakage_report
+
+    df = spark.createDataFrame(
+        [(None, "x"), ("train", "x"), (None, "solo")],
+        "split string, fp string",
+    )
+    rep = {
+        r.split: (r.n_rows, r.n_leaked_rows)
+        for r in split_leakage_report(df, "split", "fp").collect()
+    }
+    assert rep[None] == (2, 1)
+    assert rep["train"] == (1, 1)
