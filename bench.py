@@ -91,6 +91,10 @@ HEADLINE = [
     # CDC maintenance over 150k orders rows
     "q102_snapshot_drift",
     "q103_cdc_apply",
+    # round-5 final pair: the fingerprint-audit split report and the
+    # two-pass (1-row stats broadcast + bucket agg) histogram
+    "q104_split_leakage",
+    "q105_numeric_histogram",
 ]
 
 
