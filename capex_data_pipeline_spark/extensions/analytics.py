@@ -390,7 +390,12 @@ def apply_changelog(
     break toward the changelog row, then by ``op_col`` descending
     ('U' > 'D' — an upsert and delete claiming the same version is a
     feed defect; prefer keeping data and let quality_report-style
-    gates flag the duplicate version upstream).
+    gates flag the duplicate version upstream), then by a payload
+    hash descending — so even a feed that violates the expected
+    unique-(key, version) precondition (duplicate snapshot rows for
+    one key, or duplicate (key, version, op) change rows) yields one
+    engine/partitioning-deterministic winner instead of whichever row
+    the shuffle happened to order first.
 
     Returns the snapshot schema (key + payload columns, no op/version).
     """
@@ -422,10 +427,18 @@ def apply_changelog(
         F.lit(1).alias("_is_change"),
         F.col(op_col).alias("_op"),
     )
+    # final tie-break: a deterministic payload hash (xxhash64 over the
+    # payload columns plus a literal, so zero-payload frames still get
+    # a constant) — identical duplicate rows tie harmlessly (same
+    # payload → same output), differing ones pick a stable winner
+    payload_hash = F.xxhash64(
+        F.lit("apply_changelog"), *[F.col(c) for c in payload]
+    )
     w = Window.partitionBy(*key_cols).orderBy(
         F.col("_ver").desc_nulls_last(),
         F.col("_is_change").desc(),
         F.col("_op").desc(),
+        payload_hash.desc(),
     )
     return (
         snap.unionByName(chg)

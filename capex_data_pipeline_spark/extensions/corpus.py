@@ -12,6 +12,8 @@ them exactly (registry q44/q45).
 
 from __future__ import annotations
 
+import decimal
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -905,6 +907,17 @@ def bpe_pair_counts(
     )
 
 
+def _cumulative_bound(fracs: list[float]) -> float:
+    """Cumulative split bound with ONE rounding step: recover each
+    fraction's decimal intent (``repr`` round-trips the shortest
+    decimal, 0.7 → Decimal('0.7')), sum exactly in Decimal, round to
+    float once. Repeated float addition — and even ``math.fsum``,
+    whose exact 0.7+0.2 lands on the round-half-even midpoint — gives
+    0.8999999999999999, one ulp under the 0.9 an external replay
+    writes as a literal; this returns exactly ``float('0.9')``."""
+    return float(sum(decimal.Decimal(repr(f)) for f in fracs))
+
+
 def assign_split(
     df: DataFrame,
     group_col: str,
@@ -945,11 +958,10 @@ def assign_split(
         )
     u = sample_hash(F.col(group_col), seed)
     expr: Column = F.lit(names[-1])
-    bounds: list[tuple[str, float]] = []
-    cum = 0.0
-    for name, frac in splits[:-1]:
-        cum += frac
-        bounds.append((name, cum))
+    bounds: list[tuple[str, float]] = [
+        (name, _cumulative_bound(fracs[: i + 1]))
+        for i, (name, _) in enumerate(splits[:-1])
+    ]
     for name, bound in reversed(bounds):
         expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)

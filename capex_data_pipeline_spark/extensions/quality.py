@@ -82,6 +82,8 @@ def unique(*columns: str, name: str | None = None) -> Rule:
     """Violation count = rows carrying a duplicated key tuple (i.e.
     ``n_rows − n_distinct_keys`` counts the EXTRA rows; a key seen 3×
     contributes 2). NULL key components participate like values."""
+    if not columns:
+        raise ValueError("unique: need at least one column")
     return Rule(name or f"unique({','.join(columns)})", "unique", tuple(columns))
 
 

@@ -321,3 +321,38 @@ def test_apply_changelog_delete_then_reinsert_and_validation(spark):
     )
     with pytest.raises(ValueError, match="rogue"):
         apply_changelog(snap, bad, ["k"])
+
+def test_apply_changelog_duplicate_rows_deterministic(spark):
+    """Duplicate (key, version, op) change rows tie on every ordering
+    column except the payload hash — the winner must be the same on
+    every run/partitioning (ADVICE r5: arbitrary row_number winner)."""
+    from capex_data_pipeline_spark.extensions.analytics import (
+        apply_changelog,
+    )
+
+    snap = spark.createDataFrame([(9, "z")], "k long, v string")
+    chg = spark.createDataFrame(
+        [(1, "p", 7, "U"), (1, "q", 7, "U")],
+        "k long, v string, version long, op string",
+    )
+    outs = set()
+    for n_parts in (1, 2, 7):
+        got = {
+            r.k: r.v
+            for r in apply_changelog(
+                snap, chg.repartition(n_parts), ["k"]
+            ).collect()
+        }
+        assert got[9] == "z"
+        outs.add(got[1])
+    assert len(outs) == 1  # same winner at every partitioning
+
+    # identical duplicate snapshot rows collapse harmlessly
+    dup_snap = spark.createDataFrame(
+        [(5, "s"), (5, "s")], "k long, v string"
+    )
+    empty_chg = spark.createDataFrame(
+        [], "k long, v string, version long, op string"
+    )
+    got = apply_changelog(dup_snap, empty_chg, ["k"]).collect()
+    assert [(r.k, r.v) for r in got] == [(5, "s")]

@@ -670,3 +670,26 @@ def test_split_leakage_report_null_split_row(spark):
     }
     assert rep[None] == (2, 1)
     assert rep["train"] == (1, 1)
+
+def test_assign_split_bounds_exact_to_stated_fractions(spark):
+    """fsum bounds: the 0.7/0.2/0.1 boundary sits at exactly 0.9, so
+    an external replay writing the literal 0.9 agrees to the last ulp
+    (ADVICE r5: repeated addition gave 0.8999999999999999)."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        _cumulative_bound,
+        assign_split,
+    )
+
+    assert _cumulative_bound([0.7, 0.2]) == 0.9
+    assert 0.7 + 0.2 != 0.9  # the defect the helper exists to avoid
+    assert _cumulative_bound([0.1] * 7) == 0.7
+    df = spark.range(200).select(
+        F.concat(F.lit("g"), F.col("id")).alias("g")
+    )
+    out = assign_split(
+        df, "g", [("train", 0.7), ("val", 0.2), ("test", 0.1)]
+    )
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == 200

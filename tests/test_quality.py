@@ -189,3 +189,9 @@ def test_numeric_histogram_degenerate_and_guard(spark):
     assert rows[0].bucket_lo == 5.0 and rows[0].bucket_hi == 5.0
     with pytest.raises(ValueError, match="nbins"):
         numeric_histogram(df, "v", 0)
+
+def test_unique_rejects_zero_columns():
+    from capex_data_pipeline_spark.extensions.quality import unique
+
+    with pytest.raises(ValueError, match="at least one column"):
+        unique()
