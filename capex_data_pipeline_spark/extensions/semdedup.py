@@ -53,6 +53,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     centers_mode: str = "sample",
     seed: int = 42,
+    max_cluster_size: int | None = None,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """Mark semantic near-duplicates for removal.
 
@@ -64,6 +66,16 @@ def semantic_dedup(
     keeper survives per duplicate pair, and a pseudo-greedy chain
     (a≈b, b≈c, a≉c) keeps only the best-ranked member, matching the
     usual SemDeDup implementation shape.
+
+    ``max_cluster_size`` (opt-in) excludes clusters larger than the
+    cap from the pair join — the within-cluster join is quadratic in
+    cluster size, and a badly-balanced quantizer (e.g. ``"sample"``
+    centers on clustered data) can regenerate the n² candidate blowup
+    in one hot cluster. Excluded clusters' vectors pass through with
+    ``removed = false`` (no comparisons, no dedup — an explicit
+    recall trade, same contract as ``dedup._cap_buckets``); pass
+    ``cap_stats={}`` to have ``excluded_buckets`` / ``excluded_rows``
+    eagerly counted into the dict and a warning logged when nonzero.
     """
     vecs = embs.select(
         F.col(id_col).alias("_id"),
@@ -103,13 +115,21 @@ def semantic_dedup(
     )
     ranked = persisted(assigned.withColumn("_rk", F.row_number().over(w)))
 
-    a = ranked.select(
+    pair_src = ranked
+    if max_cluster_size is not None:
+        from capex_data_pipeline_spark.extensions.dedup import _cap_buckets
+
+        pair_src = _cap_buckets(
+            ranked, ["cluster"], max_cluster_size, cap_stats
+        )
+
+    a = pair_src.select(
         F.col("cluster"),
         F.col("_id").alias("_aid"),
         F.col("_v").alias("_av"),
         F.col("_rk").alias("_ark"),
     )
-    b = ranked.select(
+    b = pair_src.select(
         F.col("cluster"),
         F.col("_id").alias("_bid"),
         F.col("_v").alias("_bv"),

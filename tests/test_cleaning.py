@@ -282,6 +282,48 @@ def test_semantic_dedup_unknown_mode_raises(spark):
         _run_semdedup(spark, {0: [1.0, 0.0]}, n_clusters=1, centers_mode="bogus")
 
 
+def test_semantic_dedup_max_cluster_size_cap(spark):
+    """A deliberately degenerate quantizer (n_clusters=1 puts every
+    vector in one hot cluster) with the cap below the cluster size:
+    the pair join must be skipped for that cluster — every row passes
+    through removed=false — and cap_stats reports the exact excluded
+    bucket/row counts (VERDICT r5's promised-but-missing parameter)."""
+    vecs = {
+        0: [1.0, 0.0, 0.0],
+        1: [0.995, 0.1, 0.0],   # near-dup of 0 — removed WITHOUT the cap
+        2: [0.0, 1.0, 0.0],
+        3: [-1.0, 0.0, 0.0],
+    }
+    # uncapped baseline: the planted pair loses one member
+    base = _run_semdedup(spark, vecs, n_clusters=1, threshold=0.9)
+    assert sum(r.removed for r in base.values()) == 1
+
+    stats = {}
+    out = _run_semdedup(
+        spark, vecs, n_clusters=1, threshold=0.9,
+        max_cluster_size=3, cap_stats=stats,
+    )
+    assert len(out) == 4  # every vector still present in the output
+    assert not any(r.removed for r in out.values())
+    assert stats == {"excluded_buckets": 1, "excluded_rows": 4}
+    # assignment columns unaffected by the cap
+    for i in vecs:
+        assert (out[i].cluster, out[i].centroid_sim) == (
+            base[i].cluster, base[i].centroid_sim,
+        )
+
+    # cap ABOVE the cluster size is a no-op with zeroed stats
+    stats2 = {}
+    same = _run_semdedup(
+        spark, vecs, n_clusters=1, threshold=0.9,
+        max_cluster_size=10, cap_stats=stats2,
+    )
+    assert {i for i, r in same.items() if r.removed} == {
+        i for i, r in base.items() if r.removed
+    }
+    assert stats2 == {"excluded_buckets": 0, "excluded_rows": 0}
+
+
 # ---------------------------------------------------- as-of join
 
 
