@@ -895,3 +895,120 @@ def minhash_near_dups_incremental(
     return pairs.select(
         "new_id", "index_id", F.round(est, 4).alias("est_jaccard")
     ).filter(F.col("est_jaccard") >= threshold)
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_text: bool = True,
+) -> DataFrame:
+    """Substring-level duplicated-span detection — the suffix-array
+    modality of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", public), re-expressed in the engine's
+    compact-key shingle shape instead of a monolithic suffix array:
+
+    1. every document emits its POSITIONAL word ``k``-shingles (unlike
+       ``_shingles_expr`` these are not distinct — position matters),
+       fingerprinted to a 32-hex md5 so nothing wider than
+       (id, pos, digest) ever shuffles;
+    2. one hash aggregate finds shingles present in ≥ ``min_docs``
+       DISTINCT documents (cross-document duplication — within-doc
+       repetition alone does not qualify);
+    3. per document, maximal runs of consecutive duplicated shingle
+       positions merge into spans via ONE keyed window
+       (gaps-and-islands: ``pos - row_number()`` is constant within a
+       run) — a maximal duplicated span of length L ≥ k has all its
+       L-k+1 shingles duplicated, so it surfaces as one island.
+
+    ``k`` is therefore the minimum duplicated-span length in tokens
+    (Lee et al. use 50; the default here is test-sized). Approximation
+    vs a true suffix array: adjacent shingles duplicated against
+    DIFFERENT partner documents chain into one reported span — the
+    standard recall-safe over-merge of the shingle formulation.
+
+    Tokens are :func:`normalized_text` words, so span offsets index
+    the normalized token stream (0-based). Returns one row per
+    maximal span: (id_col, span_start, span_len[, span_text]);
+    ``with_text=False`` skips the second document scan that slices
+    the span text back out of the token arrays.
+
+    Scale shape: the positional-shingle frame is corpus-token-sized
+    but every row is compact; the duplicated-shingle set is found by
+    one digest-keyed aggregate and applied with a semi join; the
+    islands window shuffles ONLY duplicated positions (tiny unless
+    the corpus is pathologically duplicated). No pairwise joins
+    anywhere — the cross-doc evidence is the aggregate, never an
+    all-pairs comparison.
+    """
+    if k < 2:
+        raise ValueError(f"duplicated_spans: k={k} must be >= 2")
+    if min_docs < 2:
+        raise ValueError(
+            f"duplicated_spans: min_docs={min_docs} must be >= 2 "
+            "(1 would mark every position of every document)"
+        )
+    from pyspark.sql.window import Window
+
+    words = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "),
+        lambda s: s != "",
+    )
+    toks = docs.select(F.col(id_col).alias("_id"), words.alias("_tk"))
+    sh = (
+        toks.filter(F.size("_tk") >= k)
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.lit(0), F.size("_tk") - k)
+            ).alias("pos"),
+            "_tk",
+        )
+        .select(
+            "_id",
+            "pos",
+            F.md5(
+                F.array_join(F.slice("_tk", F.col("pos") + 1, k), " ")
+            ).alias("_h"),
+        )
+    )
+    dup = (
+        sh.groupBy("_h")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    d = sh.join(dup, "_h", "left_semi")
+    isl = d.withColumn(
+        "_isl",
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("_id").orderBy("pos")
+        ),
+    )
+    spans = isl.groupBy("_id", "_isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(k) - F.min("pos")).alias("span_len"),
+    )
+    if not with_text:
+        return spans.select(
+            F.col("_id").alias(id_col),
+            F.col("span_start").cast("long"),
+            F.col("span_len").cast("long"),
+        )
+    return (
+        spans.join(toks, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("span_start").cast("long"),
+            F.col("span_len").cast("long"),
+            F.array_join(
+                F.slice(
+                    "_tk", F.col("span_start") + 1, F.col("span_len")
+                ),
+                " ",
+            ).alias("span_text"),
+        )
+    )

@@ -710,3 +710,81 @@ def q104_split_leakage(spark, sf_dir):
         "split",
         "fingerprint",
     )
+
+
+_SPAN_TAIL = (
+    " shared disclaimer all rights reserved by the example corpus authors"
+)
+_SPAN_FOOT = (
+    " standard footer generated for span dedup evaluation purposes only"
+)
+
+
+@query(
+    "q106_duplicated_spans",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 13 = 0
+                   THEN text || ' shared disclaimer all rights reserved by the example corpus authors'
+                   ELSE text END)
+             || (CASE WHEN doc_id % 29 = 0
+                      THEN ' standard footer generated for span dedup evaluation purposes only'
+                      ELSE '' END) AS text
+      FROM documents
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')), ' '),
+                         w -> w <> '') AS tk
+      FROM aug
+    ), sh AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             md5(array_to_string(tk[pos+1 : pos+6], ' ')) AS h
+      FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - 5)) AS pos
+            FROM toks WHERE len(tk) >= 6)
+    ), dup AS (
+      SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM sh WHERE h IN (SELECT h FROM dup)
+    ), spans AS (
+      SELECT doc_id, min(pos) AS span_start,
+             max(pos) + 6 - min(pos) AS span_len
+      FROM isl GROUP BY doc_id, g
+    )
+    SELECT s.doc_id,
+           CAST(s.span_start AS BIGINT) AS span_start,
+           CAST(s.span_len AS BIGINT) AS span_len,
+           array_to_string(t.tk[s.span_start+1 : s.span_start+s.span_len], ' ') AS span_text
+    FROM spans s JOIN toks t USING (doc_id)
+    """,
+)
+def q106_duplicated_spans(spark, sf_dir):
+    """Substring-level duplicated-span dedup (Lee et al. suffix-array
+    modality, shingle-fingerprint formulation): maximal runs of word
+    6-shingles shared by >= 2 distinct documents, merged per document
+    into (span_start, span_len, span_text) over the normalized token
+    stream. The synthetic corpus has no natural long cross-doc spans,
+    so doc_id % 13 docs get a shared 10-token disclaimer appended and
+    doc_id % 29 docs a shared 9-token footer (restated in the
+    oracle) — planted spans of both kinds plus their chance chains
+    exercise islands longer than one shingle. The oracle re-derives
+    positional shingles, the duplicated set, the gaps-and-islands
+    merge, and the text slice in SQL."""
+    from capex_data_pipeline_spark.extensions.dedup import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.col("text"), F.lit(_SPAN_TAIL)),
+            ).otherwise(F.col("text")),
+            F.when(
+                F.col("doc_id") % 29 == 0, F.lit(_SPAN_FOOT)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return duplicated_spans(aug, k=6)

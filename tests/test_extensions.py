@@ -917,3 +917,162 @@ def test_group_centroids_skips_empty_vectors_and_collapses_neg_zero(spark):
     assert got["a"].n_vectors == 2
     assert got["a"].centroid == [0.0, 1.0]
     assert str(got["a"].centroid[0]) != "-0.0"
+
+
+# ------------------------------------------- duplicated spans (Lee et al.)
+
+
+def _py_duplicated_spans(texts: dict, k: int, min_docs: int = 2):
+    """Plain-Python replay of the shingle-formulation span dedup."""
+    import re
+    from collections import defaultdict
+
+    toks = {
+        i: [
+            w
+            for w in re.sub(r"[^a-z0-9]+", " ", (t or "").lower()).split()
+        ]
+        for i, t in texts.items()
+    }
+    owners = defaultdict(set)
+    positions = defaultdict(list)
+    for i, tk in toks.items():
+        for p in range(len(tk) - k + 1):
+            sh = " ".join(tk[p : p + k])
+            owners[sh].add(i)
+            positions[i].append((p, sh))
+    spans = set()
+    for i, ps in positions.items():
+        dup = sorted(p for p, sh in ps if len(owners[sh]) >= min_docs)
+        run_start = None
+        prev = None
+        for p in dup + [None]:
+            if run_start is not None and (p is None or p != prev + 1):
+                spans.add(
+                    (
+                        i,
+                        run_start,
+                        prev + k - run_start,
+                        " ".join(toks[i][run_start : prev + k]),
+                    )
+                )
+                run_start = None
+            if p is not None and run_start is None:
+                run_start = p
+            prev = p
+    return spans
+
+
+def test_duplicated_spans_planted(spark):
+    from capex_data_pipeline_spark.extensions.dedup import duplicated_spans
+
+    boiler = "the quick brown fox jumps over the lazy dog again"  # 10 toks
+    texts = {
+        1: f"alpha beta {boiler} gamma delta",
+        2: f"unrelated start here {boiler} and a different tail entirely",
+        3: "totally different text with no overlap at all whatsoever ok",
+        4: boiler,
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_len, r.span_text)
+        for r in duplicated_spans(df, k=5).collect()
+    }
+    assert got == {
+        (1, 2, 10, boiler),
+        (2, 3, 10, boiler),
+        (4, 0, 10, boiler),
+    }
+    assert got == _py_duplicated_spans(texts, k=5)
+    # with_text=False skips the slice columns but keeps the geometry
+    lite = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicated_spans(df, k=5, with_text=False).collect()
+    }
+    assert lite == {(d, s, l) for d, s, l, _ in got}
+
+
+def test_duplicated_spans_islands_merge_and_cross_doc_only(spark):
+    """Overlapping shingles duplicated against DIFFERENT partner docs
+    chain into one maximal span (the documented over-merge of the
+    shingle formulation); two shared fragments merely ADJACENT in one
+    doc stay separate spans (the junction shingles are unique); a
+    fragment repeated only WITHIN one doc is not duplicated (min_docs
+    counts distinct documents)."""
+    from capex_data_pipeline_spark.extensions.dedup import duplicated_spans
+
+    a = "one two three four five"
+    b = "six seven eight nine ten"
+    rep = "ha hb hc hd he"
+    texts = {
+        1: f"{a} {b}",           # fragments adjacent → junction unique
+        2: f"lead in words {a} tail",
+        3: f"{b} trailing filler words",
+        4: f"{rep} mid {rep}",    # internal repeat only → no span
+        # chained island: 5 holds "p q r s t u"; 6 shares its first
+        # 5-shingle, 7 its second — positions 0 and 1 are consecutive,
+        # so doc 5 reports ONE 6-token span no single partner shares
+        5: "p q r s t u",
+        6: "xx p q r s t",
+        7: "q r s t u yy",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_len, r.span_text)
+        for r in duplicated_spans(df, k=5).collect()
+    }
+    assert got == _py_duplicated_spans(texts, k=5)
+    # adjacency without shared junction shingles → two separate spans
+    assert (1, 0, 5, a) in got and (1, 5, 5, b) in got
+    assert not any(d == 1 and l == 10 for d, _, l, _ in got)
+    # different-partner chaining → one merged maximal span
+    assert (5, 0, 6, "p q r s t u") in got
+    assert not any(d == 4 for d, *_ in got)       # within-doc repeat
+
+
+def test_duplicated_spans_random_differential(spark):
+    import random
+
+    from capex_data_pipeline_spark.extensions.dedup import duplicated_spans
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    frags = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 9)))
+        for _ in range(6)
+    ]
+    texts = {}
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        if rng.random() < 0.5:
+            pos = rng.randint(0, len(words))
+            words[pos:pos] = rng.choice(frags).split()
+        texts[i] = " ".join(words)
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    for k in (3, 4):
+        got = {
+            (r.doc_id, r.span_start, r.span_len, r.span_text)
+            for r in duplicated_spans(df, k=k).collect()
+        }
+        assert got == _py_duplicated_spans(texts, k=k)
+
+
+def test_duplicated_spans_guards(spark):
+    from capex_data_pipeline_spark.extensions.dedup import duplicated_spans
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k=1"):
+        duplicated_spans(df, k=1)
+    with pytest.raises(ValueError, match="min_docs=1"):
+        duplicated_spans(df, k=3, min_docs=1)
+    # short/empty/null docs produce no shingles and no spans
+    df2 = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    assert duplicated_spans(df2, k=3).count() == 0

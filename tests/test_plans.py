@@ -249,18 +249,19 @@ def test_clear_pipeline_cache_releases_memoized_runs(spark):
 
 
 def test_driver_contract_registry_invariants():
-    """Pin the driver-contract shape: exactly 105 registered queries
+    """Pin the driver-contract shape: exactly 106 registered queries
     (50 at the round-3 consolidation; q38 + q44-q49 corpus-prep, the
     q63-q89 cleaning/curation/temporal/analytics families, the
     round-8 q58/q59/q95-q103 retrieval/drift/entropy/quality/graph/tokenizer additions,
-    and the q104 split-leakage / q105 histogram profiling pair), a full
+    the q104 split-leakage / q105 histogram profiling pair, and the
+    round-6 q106 duplicated-span dedup), a full
     value-exact oracle for EVERY query (no rows-only fallbacks), and
     every bench headline drawn from the registry."""
     import __spark_entry__ as E
     import bench
 
     qs, oracles = E.queries(), E.oracle_sql()
-    assert len(qs) == 105
+    assert len(qs) == 106
     assert set(oracles) == set(qs)
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
     assert set(bench.HEADLINE) <= set(qs)
