@@ -1014,3 +1014,102 @@ def split_leakage_report(
         )
         .orderBy("split")
     )
+
+
+def bpe_encode_word(word: str, ranks: dict) -> list[str]:
+    """Reference BPE encode for one word (Sennrich et al., public):
+    repeatedly merge the leftmost occurrence of the lowest-rank pair
+    until none applies. Merging one occurrence at a time is equivalent
+    to the merge-all-occurrences formulation: the symbol a merge
+    creates can only appear in LATER-rank pairs, so the current pair
+    stays minimal until exhausted and occurrences resolve left to
+    right either way."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best_i = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    corpus: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merges table to encode documents — the
+    completion of the tokenization story next to
+    :func:`bpe_pair_counts` (which computes the statistics a trainer
+    picks merges from). ``merges`` is the ORDERED merge list; earlier
+    entries have priority (lower rank), exactly the merges.txt
+    contract of the public BPE implementations.
+
+    Scale shape (the same vocab-frame trick as the trainer): the
+    corpus is touched once to build the positional word frame and
+    once more for the distinct-word vocabulary; the per-word merge
+    loop — genuinely iterative and data-dependent, inexpressible as a
+    fixed Catalyst plan — runs in ONE Arrow-batched pandas UDF over
+    the VOCAB frame only (10^12 corpus tokens with a 10^6-word vocab
+    pay the Python loop on 10^6 rows), and the encodings join back to
+    the positional frame on the compact word key. Per-doc assembly is
+    one hash aggregate with an in-group sort — no window, no
+    driver-side anything.
+
+    Tokens are :func:`dedup.normalized_text` words (symbols are
+    therefore [a-z0-9] and never contain the ' ' join delimiter).
+    Returns one row per input document: (id_col, n_bpe_tokens,
+    bpe_text) where bpe_text is the space-joined symbol stream of the
+    whole document in word order; documents with no tokens encode to
+    (0, ''). A DuckDB oracle replays the merge loop exactly via a
+    recursive CTE (registry q107).
+    """
+    if not merges:
+        raise ValueError("bpe_encode: merges must be non-empty")
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    if len(ranks) != len(merges):
+        raise ValueError("bpe_encode: duplicate merge pairs")
+
+    @F.pandas_udf("array<string>")
+    def _encode(words):  # pd.Series -> pd.Series (hints omitted: local scope)
+        return words.map(lambda w: bpe_encode_word(w, ranks))
+
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    toks = corpus.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode_outer(
+            F.filter(
+                F.split(normalized_text(F.col(text_col)), " "),
+                lambda s: s != "",
+            )
+        ).alias("_pos", "_w"),
+    )
+    vocab = (
+        toks.filter(F.col("_w").isNotNull())
+        .select("_w")
+        .distinct()
+        .select("_w", _encode(F.col("_w")).alias("_enc"))
+    )
+    # collect_list skips NULL entries, so the posexplode_outer marker
+    # row of an empty/NULL doc leaves an empty _ordered array → (0, '')
+    entry = F.when(
+        F.col("_w").isNotNull(), F.struct(F.col("_pos"), F.col("_enc"))
+    )
+    flat = F.flatten(F.transform(F.col("_ordered"), lambda x: x["_enc"]))
+    return (
+        toks.join(vocab, "_w", "left")
+        .groupBy("_doc")
+        .agg(F.array_sort(F.collect_list(entry)).alias("_ordered"))
+        .select(
+            F.col("_doc").alias(id_col),
+            F.size(flat).cast("long").alias("n_bpe_tokens"),
+            F.array_join(flat, " ").alias("bpe_text"),
+        )
+    )

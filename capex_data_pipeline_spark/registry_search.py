@@ -644,3 +644,72 @@ def q105_numeric_histogram(spark, sf_dir):
     from capex_data_pipeline_spark.extensions.quality import numeric_histogram
 
     return numeric_histogram(_t(spark, sf_dir, "orders"), "o_totalprice", 8)
+
+
+# ------------------------------------------- BPE apply / encode
+
+#: ordered merges for q107, chosen to chain on the corpus vocabulary
+#: (window → 'w i ndow' via ow→dow→ndow, stream → 'str e a m' via
+#: st→str) and to exercise rank priority (e r beats t h inside 'ther')
+_BPE_MERGES = [
+    ("e", "r"), ("t", "h"), ("th", "e"), ("o", "w"), ("d", "ow"),
+    ("n", "dow"), ("i", "n"), ("s", "t"), ("a", "r"), ("st", "r"),
+]
+_BPE_ML = "[" + ", ".join(f"'{a} {b}'" for a, b in _BPE_MERGES) + "]"
+#: leftmost lowest-rank applicable merge position in `syms`, or NULL
+_BPE_BEST = (
+    "(list_sort(list_filter(list_transform(range(1, len(syms)), "
+    f"i -> {{'r': list_position({_BPE_ML}, syms[i] || ' ' || syms[i+1]), 'i': i}}), "
+    "s -> s.r IS NOT NULL AND s.r > 0)))[1].i"
+)
+
+
+@query(
+    "q107_bpe_encode",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_WORDS_SRCH} AS ws FROM documents
+    ),
+    words AS (
+      SELECT doc_id, pos, ws[pos] AS w
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos
+            FROM toks)
+    ),
+    vocab AS (SELECT DISTINCT w FROM words),
+    enc AS (
+      SELECT w, list_transform(range(1, length(w) + 1), i -> w[i:i]) AS syms
+      FROM vocab
+      UNION ALL
+      SELECT w, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms
+      FROM (SELECT w, syms, {_BPE_BEST} AS bi FROM enc)
+      WHERE bi IS NOT NULL
+    ),
+    final AS (SELECT w, syms FROM enc WHERE {_BPE_BEST} IS NULL),
+    agg AS (
+      SELECT wo.doc_id,
+             CAST(sum(len(f.syms)) AS BIGINT) AS n,
+             string_agg(array_to_string(f.syms, ' '), ' ' ORDER BY wo.pos) AS t
+      FROM words wo JOIN final f USING (w)
+      GROUP BY wo.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_bpe_tokens,
+           coalesce(a.t, '') AS bpe_text
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q107_bpe_encode(spark, sf_dir):
+    """BPE apply/encode (corpus.bpe_encode): encode every document's
+    normalized token stream with a 10-entry ordered merges table —
+    the trained-tokenizer application step beside q100's trainer
+    statistics. The per-word merge loop runs in one Arrow UDF over
+    the DISTINCT-WORD vocabulary only (the vocab-frame trick: corpus
+    touched twice, Python pays vocab rows); encodings join back on
+    the compact word key and assemble per doc in one hash aggregate.
+    The oracle replays the merge loop EXACTLY via a recursive CTE
+    that merges the leftmost lowest-rank pair per step — provably
+    equivalent to the merge-all-occurrences formulation because a
+    merge's output symbol only appears in later-rank pairs."""
+    from capex_data_pipeline_spark.extensions.corpus import bpe_encode
+
+    return bpe_encode(_t(spark, sf_dir, "documents"), _BPE_MERGES)

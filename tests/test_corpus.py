@@ -693,3 +693,74 @@ def test_assign_split_bounds_exact_to_stated_fractions(spark):
               out.groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert set(counts) <= {"train", "val", "test"}
     assert sum(counts.values()) == 200
+
+# ------------------------------------------------- BPE apply / encode
+
+
+def _bpe_merge_all_reference(word, merges):
+    """Independent replay of the textbook formulation: walk merges in
+    rank order, each applied to ALL its occurrences left-to-right —
+    validates bpe_encode_word's leftmost-lowest-rank loop against the
+    other public algorithm shape."""
+    syms = list(word)
+    for a, b in merges:
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_word_matches_merge_all_formulation():
+    import random
+
+    from capex_data_pipeline_spark.extensions.corpus import bpe_encode_word
+
+    rng = random.Random(5)
+    # random merge table grown over a tiny alphabet so merges chain
+    alphabet = list("abcd")
+    merges, grown = [], list(alphabet)
+    for _ in range(12):
+        a, b = rng.choice(grown), rng.choice(grown)
+        if (a, b) not in merges:
+            merges.append((a, b))
+            grown.append(a + b)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for _ in range(300):
+        w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        assert bpe_encode_word(w, ranks) == _bpe_merge_all_reference(w, merges)
+
+
+def test_bpe_encode_end_to_end(spark):
+    from capex_data_pipeline_spark.extensions.corpus import bpe_encode
+
+    merges = [("t", "h"), ("th", "e"), ("e", "r"), ("h", "e")]
+    df = spark.createDataFrame(
+        [(1, "the there her"), (2, ""), (3, None), (4, "Xy, THE!")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bpe_tokens, r.bpe_text)
+        for r in bpe_encode(df, merges).collect()
+    }
+    # 'the'→[the]; 'there'→[the,r,e]; 'her'→(e,r) outranks (h,e)→[h,er]
+    assert got[1] == (6, "the the r e h er")
+    assert got[2] == (0, "")          # empty doc still present
+    assert got[3] == (0, "")          # NULL doc still present
+    assert got[4] == (3, "x y the")   # normalization feeds the encoder
+
+
+def test_bpe_encode_guards(spark):
+    from capex_data_pipeline_spark.extensions.corpus import bpe_encode
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        bpe_encode(df, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        bpe_encode(df, [("a", "b"), ("a", "b")])
