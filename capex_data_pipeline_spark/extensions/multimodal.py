@@ -5,13 +5,15 @@ The Spark-side machinery — schemas, partition-sized Arrow batches,
 ``mapInPandas`` signatures, deterministic feature shapes — is real and
 tested. The actual media decode is INJECTABLE: pass ``decode_media``
 any ``bytes -> (width, height, n_frames, features)`` callable (e.g. a
-Pillow wrapper) and it runs inside the Arrow batches. Two REAL
+Pillow wrapper) and it runs inside the Arrow batches. Three REAL
 stdlib-only decoders ship here and need no external libraries:
 :func:`decode_bmp` (uncompressed BMP via ``struct`` header parse +
-raw pixel statistics) and :func:`decode_wav` (PCM WAV via the ``wave``
-module), dispatched by magic bytes in :func:`stdlib_decode` — tested
-end-to-end on genuine container bytes through ``mapInPandas``. For
-compressed formats (JPEG/PNG/MP4) the container ships no codec
+raw pixel statistics), :func:`decode_png` (non-interlaced PNG:
+``zlib``-inflated IDAT + full five-filter scanline reconstruction)
+and :func:`decode_wav` (PCM WAV via the ``wave`` module), dispatched
+by magic bytes in :func:`stdlib_decode` — tested end-to-end on
+genuine container bytes through ``mapInPandas``. For the remaining
+compressed formats (JPEG/MP4) the container ships no codec
 libraries, so without a decoder the call raises NotImplementedError;
 ``fake=True`` selects the built-in deterministic fake decoder (byte
 statistics standing in for pixels), which exercises the identical
@@ -138,6 +140,97 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, list[float]]:
     return width, abs_height, 1, _binned_means(pixels)
 
 
+def decode_png(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Stdlib-only decoder for non-interlaced PNG images: ``struct``
+    chunk walk + ``zlib``-inflated IDAT + per-scanline unfilter
+    (filters 0-4: None/Sub/Up/Average/Paeth, the full spec set) — a
+    genuine compressed-format decode with no external codec library.
+
+    Supports bit depth 8 and 16 for gray / RGB / gray+alpha / RGBA
+    (color types 0/2/4/6) and bit depth 1/2/4/8 for palette (type 3);
+    features are FEATURE_DIM strided-bin means over the reconstructed
+    (post-unfilter) scanline bytes, /255. Interlaced (Adam7) images,
+    bad magic, truncated chunks, or a corrupt inflate all raise
+    ValueError — never a silent wrong answer.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("PNG: bad magic")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError(f"PNG: truncated {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None:
+        raise ValueError("PNG: missing IHDR")
+    if not idat:
+        raise ValueError("PNG: missing IDAT")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if width <= 0 or height <= 0:
+        raise ValueError(f"PNG: bad dimensions {width}x{height}")
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG: unknown compression/filter method")
+    if interlace != 0:
+        raise ValueError("PNG: interlaced (Adam7) images not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"PNG: unknown color type {color}")
+    ok_depths = (1, 2, 4, 8) if color == 3 else (8, 16)
+    if depth not in ok_depths:
+        raise ValueError(f"PNG: bit depth {depth} unsupported for color type {color}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG: IDAT inflate failed: {e}") from e
+    stride = (width * channels * depth + 7) // 8  # filtered bytes per row
+    bpp = max(1, channels * depth // 8)  # filter offset unit
+    if len(raw) < (stride + 1) * height:
+        raise ValueError("PNG: inflated data shorter than scanlines")
+    recon = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG: unknown filter type {ftype} on row {y}")
+        recon += line
+        prev = line
+    return width, height, 1, _binned_means(recon)
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
     """Stdlib-only decoder for PCM WAV audio via the ``wave`` module.
 
@@ -188,11 +281,13 @@ def stdlib_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     """
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     raise ValueError(
         f"unrecognized container (magic {payload[:4]!r}); "
-        "stdlib_decode handles BMP and PCM WAV"
+        "stdlib_decode handles BMP, PNG, and PCM WAV"
     )
 
 

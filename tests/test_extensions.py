@@ -341,13 +341,130 @@ def test_decode_wav_real_bytes():
     )
 
 
+def _make_png(width, height, pixel_rows, color=2, depth=8, filters=None,
+              interlace=0, palette=None):
+    """Independent reference PNG writer: struct chunks + zlib IDAT,
+    with the FORWARD filter applied per row (the inverse of what the
+    decoder under test reconstructs). ``pixel_rows`` is a list of raw
+    scanline byte sequences (already packed for the depth)."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bpp = max(1, channels * depth // 8)
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytearray(len(pixel_rows[0]))
+    for y, row in enumerate(pixel_rows):
+        row = bytearray(row)
+        ft = filters[y]
+        out = bytearray(row)
+        if ft == 1:
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                out[i] = (row[i] - a) & 0xFF
+        elif ft == 2:
+            for i in range(len(row)):
+                out[i] = (row[i] - prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                out[i] = (row[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[i] = (row[i] - pred) & 0xFF
+        raw += bytes([ft]) + out
+        prev = row
+
+    def chunk(ctype, data):
+        c = struct.pack(">I", len(data)) + ctype + data
+        return c + struct.pack(">I", zlib.crc32(ctype + data))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, interlace)
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += chunk(b"PLTE", palette)
+    png += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    png += chunk(b"IEND", b"")
+    return png
+
+
+def test_decode_png_all_filters():
+    """Genuine PNG bytes, one row per filter type (None/Sub/Up/Average/
+    Paeth) — the decoder must invert the forward filtering applied by
+    the independent writer and reproduce the ORIGINAL pixel bytes'
+    statistics."""
+    from capex_data_pipeline_spark.extensions.multimodal import decode_png
+
+    width, height = 6, 5
+    rows = [
+        bytes((x * 7 + y * 31 + c * 13) % 256 for x in range(width) for c in range(3))
+        for y in range(height)
+    ]
+    payload = _make_png(width, height, rows, color=2, filters=[0, 1, 2, 3, 4])
+    w, h, nf, feats = decode_png(payload)
+    assert (w, h, nf) == (width, height, 1)
+    assert feats == pytest.approx(_expected_feats(b"".join(rows), 255.0), abs=1e-9)
+
+
+def test_decode_png_gray_and_rgba_and_palette():
+    from capex_data_pipeline_spark.extensions.multimodal import decode_png
+
+    gray = [bytes((x * y) % 256 for x in range(9)) for y in range(4)]
+    p = _make_png(9, 4, gray, color=0, filters=[4, 4, 4, 4])
+    assert decode_png(p)[:2] == (9, 4)
+    assert decode_png(p)[3] == pytest.approx(
+        _expected_feats(b"".join(gray), 255.0), abs=1e-9
+    )
+
+    rgba = [bytes((x + c) % 256 for x in range(3) for c in range(4))
+            for _ in range(2)]
+    p = _make_png(3, 2, rgba, color=6, filters=[1, 2])
+    assert decode_png(p)[:2] == (3, 2)
+
+    # 4-bit palette: 5 px/row pack into 3 bytes (stride math)
+    pal_rows = [bytes([0x01, 0x23, 0x40]), bytes([0xab, 0xcd, 0xe0])]
+    p = _make_png(5, 2, pal_rows, color=3, depth=4,
+                  palette=bytes(range(48)), filters=[0, 2])
+    assert decode_png(p)[:2] == (5, 2)
+    assert decode_png(p)[3] == pytest.approx(
+        _expected_feats(b"".join(pal_rows), 255.0), abs=1e-9
+    )
+
+
+def test_decode_png_rejects_bad_inputs():
+    from capex_data_pipeline_spark.extensions.multimodal import decode_png
+
+    rows = [bytes(range(12)) for _ in range(2)]
+    good = _make_png(4, 2, rows, color=2)
+    with pytest.raises(ValueError, match="magic"):
+        decode_png(b"XXXX" + good[4:])
+    with pytest.raises(ValueError, match="interlaced|Adam7"):
+        decode_png(_make_png(4, 2, rows, color=2, interlace=1))
+    with pytest.raises(ValueError, match="inflate"):
+        decode_png(good[:-30] + b"\x00" * 30)  # corrupt the IDAT tail
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_png(b"\x89PNG\r\n\x1a\n")
+
+
 def test_stdlib_decode_dispatch():
     bmp, _ = _make_bmp(4, 4, lambda x, y: (x, y, x + y))
     wav = _make_wav([0, 100, -100, 200], n_channels=1, framerate=16000)
+    png = _make_png(4, 2, [bytes(range(12)) for _ in range(2)], color=2)
     assert stdlib_decode(bmp)[:3] == (4, 4, 1)
     assert stdlib_decode(wav)[:3] == (16000, 1, 4)
-    with pytest.raises(ValueError, match="unrecognized"):
+    assert stdlib_decode(png)[:3] == (4, 2, 1)
+    # PNG magic now routes to the real decoder, which rejects garbage
+    with pytest.raises(ValueError, match="PNG"):
         stdlib_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="unrecognized"):
+        stdlib_decode(b"\x00GIF" + b"\x00" * 64)
 
 
 def test_stdlib_decoder_through_spark(spark):
@@ -358,6 +475,13 @@ def test_stdlib_decoder_through_spark(spark):
         1: _make_bmp(7, 5, lambda x, y: ((x * y) % 256, x, y))[0],
         2: _make_bmp(3, 9, lambda x, y: (255 - x, 128, y * 7 % 256))[0],
         3: _make_wav(list(range(-500, 500, 5)), n_channels=1, framerate=44100),
+        4: _make_png(
+            8,
+            3,
+            [bytes((x * 11 + y) % 256 for x in range(24)) for y in range(3)],
+            color=2,
+            filters=[0, 2, 4],
+        ),
     }
     media = spark.createDataFrame(
         [
