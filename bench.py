@@ -95,6 +95,20 @@ HEADLINE = [
     # two-pass (1-row stats broadcast + bucket agg) histogram
     "q104_split_leakage",
     "q105_numeric_histogram",
+    # round-6: the previously un-benched expensive joins (the plans
+    # most likely to regress silently): trigram-blocked fuzzy entity
+    # match, as-of point-in-time lookup, incremental batch-vs-index
+    # near-dedup, binned range join, and the sequence-window funnel
+    "q18_fuzzy_match",
+    "q74_asof_join",
+    "q75_incremental_neardup",
+    "q77_range_join",
+    "q85_funnel",
+    # round-6 new operators: positional-shingle duplicated-span dedup
+    # (corpus-token-sized explode + digest agg + islands window) and
+    # BPE encode (vocab-frame Arrow UDF + word-key join-back)
+    "q106_duplicated_spans",
+    "q107_bpe_encode",
 ]
 
 
@@ -164,6 +178,205 @@ def scaling_check() -> None:
                 "queries": out,
                 "value": out[SCALING_QUERIES[0]]["ratio"],
                 "unit": "ratio",
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+            }
+        )
+    )
+    spark.stop()
+
+
+def stress() -> None:
+    """``bench.py --stress``: volume-stress the LSH/dedup paths with a
+    synthetically inflated corpus — the bucket-cap machinery and skew
+    handling are plan-pinned but sf0.1 is the on-disk corpus ceiling,
+    so this mode manufactures the adversarial shape: a
+    ``SPARK_GRAFT_STRESS_FACTOR``× near-dup explosion on 20% of
+    documents (copies share the full original text and differ by a
+    2-token suffix) plus a degenerate boilerplate cluster (every
+    97th doc rewritten to one identical short string — the hot-bucket
+    case the caps exist for). Runs minhash / ngram-jaccard /
+    clustering / semantic-dedup capped AND uncapped and prints one
+    JSON line with wall-clock, candidate counts, and cap stats, so
+    candidate growth is measured rather than asserted."""
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_STRESS_SF_DIR", "/root/testdata/sf0.01"
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = int(os.environ.get("SPARK_GRAFT_STRESS_FACTOR", "50"))
+
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.extensions.dedup import (
+        dedup_clusters,
+        minhash_near_dups,
+        ngram_jaccard_pairs,
+    )
+    from capex_data_pipeline_spark.extensions.semdedup import semantic_dedup
+    from capex_data_pipeline_spark.session import get_spark
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    spark = get_spark(
+        app_name="capex-stress",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    inflated = (
+        docs.select(
+            "doc_id",
+            # the boilerplate cluster: identical text across ~9% of
+            # docs — inflation drives its bucket well past the cap, so
+            # capped vs uncapped shows the n² candidate cut directly
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit("boilerplate empty page")
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.when(F.col("doc_id") % 5 == 0, F.lit(m)).otherwise(
+                        F.lit(1)
+                    ),
+                )
+            ).alias("_c"),
+        )
+        .select(
+            (F.col("doc_id") * 1000 + F.col("_c")).alias("doc_id"),
+            F.concat(
+                F.col("text"),
+                F.lit(" variant "),
+                (F.col("_c") % 7).cast("string"),
+            ).alias("text"),
+        )
+        .persist()
+    )
+    n_docs = inflated.count()
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    inflated_embs = (
+        embs.select(
+            "vec_id",
+            "embedding",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.when(F.col("vec_id") % 5 == 0, F.lit(m)).otherwise(
+                        F.lit(1)
+                    ),
+                )
+            ).alias("_c"),
+        )
+        .select(
+            (F.col("vec_id") * 1000 + F.col("_c")).alias("vec_id"),
+            # copies get a tiny deterministic first-dim jitter: still
+            # ~identical (cosine ≈ 1), so they pile into one cluster
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(
+                    i == 0, x + F.col("_c").cast("float") * 1e-4
+                ).otherwise(x),
+            ).alias("embedding"),
+        )
+        .persist()
+    )
+    n_vecs = inflated_embs.count()
+
+    def timed(label, fn):
+        _reset_engine_caches()
+        t0 = time.perf_counter()
+        value = fn()
+        out[label] = {"sec": round(time.perf_counter() - t0, 4), **value}
+
+    out: dict[str, dict] = {}
+    cap = 4 * m  # well above honest buckets, below the degenerate ones
+    timed(
+        "minhash_uncapped",
+        lambda: {"pairs": minhash_near_dups(inflated, threshold=0.5).count()},
+    )
+    st: dict = {}
+    timed(
+        "minhash_capped",
+        lambda: {
+            "pairs": minhash_near_dups(
+                inflated, threshold=0.5, max_bucket_size=cap, cap_stats=st
+            ).count(),
+            "cap_stats": dict(st),
+        },
+    )
+    st2: dict = {}
+    timed(
+        "ngram_jaccard_capped",
+        lambda: {
+            "pairs": ngram_jaccard_pairs(
+                inflated, threshold=0.5, max_bucket_size=cap, cap_stats=st2
+            ).count(),
+            "cap_stats": dict(st2),
+        },
+    )
+    timed(
+        "cluster_capped_pairs",
+        lambda: {
+            "clusters": dedup_clusters(
+                minhash_near_dups(
+                    inflated, threshold=0.5, max_bucket_size=cap
+                )
+            )
+            .select("cluster_id")
+            .distinct()
+            .count()
+        },
+    )
+    timed(
+        "semdedup_uncapped",
+        lambda: {
+            "removed": semantic_dedup(inflated_embs, n_clusters=16)
+            .filter(F.col("removed"))
+            .count()
+        },
+    )
+    # the correct scale path: n_clusters ∝ √N (the FAISS sizing rule
+    # the docstring prescribes) keeps per-cluster pair work bounded
+    # WITHOUT the cap — recorded beside the two 16-cluster runs so the
+    # sizing rule is measured, not just asserted
+    timed(
+        "semdedup_sqrtN_clusters",
+        lambda: {
+            "n_clusters": int(n_vecs**0.5),
+            "removed": semantic_dedup(
+                inflated_embs, n_clusters=int(n_vecs**0.5)
+            )
+            .filter(F.col("removed"))
+            .count(),
+        },
+    )
+    st3: dict = {}
+    timed(
+        "semdedup_capped",
+        lambda: {
+            "removed": semantic_dedup(
+                inflated_embs,
+                n_clusters=16,
+                max_cluster_size=cap,
+                cap_stats=st3,
+            )
+            .filter(F.col("removed"))
+            .count(),
+            "cap_stats": dict(st3),
+        },
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "stress_dedup",
+                "value": round(sum(v["sec"] for v in out.values()), 4),
+                "unit": "sec",
+                "sf_dir": sf_dir,
+                "factor": m,
+                "n_docs": n_docs,
+                "n_vecs": n_vecs,
+                "cap": cap,
+                "runs": out,
                 "loadavg": [round(x, 2) for x in os.getloadavg()],
             }
         )
@@ -259,5 +472,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv[1:]:
         scaling_check()
+    elif "--stress" in sys.argv[1:]:
+        stress()
     else:
         main()

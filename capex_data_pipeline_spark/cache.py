@@ -19,7 +19,9 @@ exposes a per-run ``unpersist()`` over just its own frames.
 
 from __future__ import annotations
 
+import os
 import threading
+import uuid
 from collections.abc import Callable
 from contextlib import contextmanager
 
@@ -105,6 +107,83 @@ def release_persisted(blocking: bool = False) -> int:
 def tracked_count() -> int:
     with _LOCK:
         return len(_TRACKED)
+
+
+#: staging paths written by plan_boundary(mode='staging'), for
+#: clear_staging() best-effort local cleanup
+_STAGED_PATHS: list[str] = []
+
+
+def plan_boundary(
+    df: DataFrame,
+    *,
+    mode: str | None = None,
+    staging_dir: str | None = None,
+    eager: bool = False,
+    label: str = "boundary",
+) -> DataFrame:
+    """Cut the logical plan: return a DataFrame with ``df``'s data but
+    a trivial producing plan, so downstream consumers stop re-walking
+    (and the analyzer stops re-embedding) a deep upstream DAG.
+
+    Two modes:
+
+    - ``'local'`` (default): ``localCheckpoint(eager=...)`` — blocks
+      live on executor-local storage. Fast, but blocks are LOST when
+      an executor is decommissioned (dynamic allocation, spot kills);
+      on such clusters use staging.
+    - ``'staging'``: write the frame to a parquet staging table under
+      ``staging_dir`` (or ``$SPARK_GRAFT_STAGING_DIR``) and read it
+      back — the write is durable on the shared filesystem (HDFS/S3/
+      DBFS), survives executor loss, and the read-back plan is a
+      plain pruned scan. Always eager (the write runs now). Parquet
+      round-trips every type the engine uses; staged files persist
+      until :func:`clear_staging` (best-effort, local paths only) or
+      external lifecycle rules remove them.
+
+    ``mode=None`` resolves from ``$SPARK_GRAFT_BOUNDARY`` (default
+    ``'local'``) so a cluster deployment can flip every internal
+    boundary to staging without touching call sites.
+    """
+    mode = mode or os.environ.get("SPARK_GRAFT_BOUNDARY", "local")
+    if mode == "local":
+        return df.localCheckpoint(eager=eager)
+    if mode != "staging":
+        raise ValueError(
+            f"plan_boundary: unknown mode {mode!r} (use 'local' or 'staging')"
+        )
+    staging_dir = staging_dir or os.environ.get("SPARK_GRAFT_STAGING_DIR")
+    if not staging_dir:
+        raise ValueError(
+            "plan_boundary: mode='staging' needs staging_dir= or "
+            "$SPARK_GRAFT_STAGING_DIR (a shared filesystem path on "
+            "real clusters)"
+        )
+    path = staging_dir.rstrip("/") + f"/{label}-{uuid.uuid4().hex}"
+    df.write.mode("error").parquet(path)
+    with _LOCK:
+        _STAGED_PATHS.append(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def clear_staging() -> int:
+    """Best-effort removal of local staging paths written by
+    :func:`plan_boundary` (returns how many were deleted). Paths on
+    non-local filesystems are left to external lifecycle rules — the
+    list is simply dropped."""
+    import shutil
+
+    with _LOCK:
+        paths, _STAGED_PATHS[:] = list(_STAGED_PATHS), []
+    n = 0
+    for p in paths:
+        try:
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+                n += 1
+        except OSError:
+            pass
+    return n
 
 
 @contextmanager

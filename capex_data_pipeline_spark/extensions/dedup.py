@@ -547,6 +547,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    boundary: str | None = None,
 ) -> DataFrame:
     """Group near-dup PAIRS into connected components and pick keepers —
     the step a dedup pipeline needs between candidate pairs and actual
@@ -561,10 +562,12 @@ def dedup_clusters(
     one hash aggregate on compact (id, label) pairs; the driver-side
     loop-with-convergence-check is the standard shape for iterative
     algorithms on Spark (GraphX's Pregel does the same internally).
-    Labels are ``localCheckpoint``-ed per round: iterative lineage
-    otherwise grows the logical plan linearly and re-analysis
-    quadratically (same lesson as the q93 plan boundary; on clusters
-    with executor decommissioning use a reliable checkpoint dir).
+    Labels get a plan boundary per round: iterative lineage otherwise
+    grows the logical plan linearly and re-analysis quadratically
+    (same lesson as the q93 plan boundary). ``boundary`` selects the
+    cut per :func:`cache.plan_boundary` — default localCheckpoint;
+    pass ``'staging'`` on clusters with executor decommissioning,
+    where executor-local checkpoint blocks are lost.
 
     Returns one row per document (``corpus`` supplies the full id set so
     singletons appear; omit it to cluster only paired docs):
@@ -578,22 +581,30 @@ def dedup_clusters(
     """
     from pyspark.sql.window import Window
 
+    from capex_data_pipeline_spark.cache import plan_boundary as _boundary
+
+    def _cut(df, label):
+        return _boundary(df, mode=boundary, eager=True, label=label)
+
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    edges = (
+    edges = _cut(
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        "cc-edges",
     )
-    labels = edges.select("u").distinct().withColumn("lbl", F.col("u")).localCheckpoint()
+    labels = _cut(
+        edges.select("u").distinct().withColumn("lbl", F.col("u")),
+        "cc-labels",
+    )
     for _ in range(max_iter):
         nbr = edges.join(
             labels.select(F.col("u").alias("v"), "lbl"), "v"
         ).select("u", "lbl")
-        new = (
+        new = _cut(
             labels.union(nbr)
             .groupBy("u")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
+            .agg(F.min("lbl").alias("lbl")),
+            "cc-labels",
         )
         changed = (
             new.join(labels.withColumnRenamed("lbl", "_old"), "u")

@@ -23,7 +23,7 @@ def pagerank(
     iterations: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
-    plan_boundary: bool | None = None,
+    plan_boundary: bool | str | None = None,
     assume_distinct: bool = False,
 ) -> DataFrame:
     """PageRank in exact integer micro-units (simplified damped
@@ -45,11 +45,13 @@ def pagerank(
     sink-only vertices keep the 0.15 base. The degree-annotated edge
     list and the vertex set are persisted once and reused by every
     round (the ledger rule: ``iterations``+1 consumers). Plans deepen
-    linearly with rounds, so ``plan_boundary`` localCheckpoints each
-    round's rank frame; default on when ``iterations > 4`` (the q93
-    rule: many-consumer deep tails pay analyzer cost multiplicatively;
-    on a dynamic-allocation cluster use a reliable checkpoint dir or a
-    staging write instead).
+    linearly with rounds, so ``plan_boundary`` cuts each round's rank
+    frame via :func:`cache.plan_boundary`; default on when
+    ``iterations > 4`` (the q93 rule: many-consumer deep tails pay
+    analyzer cost multiplicatively). Pass ``plan_boundary='staging'``
+    (or set ``$SPARK_GRAFT_BOUNDARY=staging`` with a staging dir) on
+    dynamic-allocation clusters, where localCheckpoint blocks die with
+    their executor; ``True``/``'local'`` selects localCheckpoint.
 
     ``assume_distinct=True`` skips the defensive edge ``distinct()``
     (a full shuffle of the edge list) when the caller guarantees no
@@ -60,11 +62,13 @@ def pagerank(
     Returns (vertex, rank_micro) — rank in micro-units, BIGINT.
     """
     from capex_data_pipeline_spark.cache import persisted
+    from capex_data_pipeline_spark.cache import plan_boundary as _boundary
 
     if iterations < 1:
         raise ValueError("pagerank: iterations must be >= 1")
     if plan_boundary is None:
         plan_boundary = iterations > 4
+    boundary_mode = plan_boundary if isinstance(plan_boundary, str) else None
 
     from pyspark.sql.window import Window
 
@@ -106,7 +110,9 @@ def pagerank(
             ).alias("r"),
         )
         if plan_boundary:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = _boundary(
+                ranks, mode=boundary_mode, eager=False, label="pagerank"
+            )
     return ranks.select(
         F.col("v").alias("vertex"), F.col("r").alias("rank_micro")
     )

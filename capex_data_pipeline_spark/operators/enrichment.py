@@ -253,7 +253,7 @@ def enrich_false_negatives(
     audit_ordered: DataFrame,
     raw: DataFrame | None = None,
     reference: DataFrame | None = None,
-    plan_boundary: bool = True,
+    plan_boundary: bool | str = True,
 ) -> DataFrame:
     """Attach exclusion reasons to FN keys (process_capex.py:1406-1471).
 
@@ -271,15 +271,18 @@ def enrich_false_negatives(
     deep producing plan (the full pipeline tail) that subplan is
     embedded at EVERY site and the analyzer / optimizer / codegen walk
     it multiplicatively — measured 45 s → 11 s end-to-end at sf0.01.
-    ``localCheckpoint()`` executes each producer once and replaces the
-    plan with the materialized partitions. Eager by design; blocks live
-    on executor-local storage, so on clusters that decommission
-    executors (dynamic allocation) pass ``plan_boundary=False`` and
-    persist + reliable-checkpoint at the call site instead.
+    The boundary executes each producer once and replaces the plan
+    with materialized data. ``True``/``'local'`` uses
+    ``localCheckpoint()`` (eager by design; blocks live on
+    executor-local storage and die with a decommissioned executor);
+    on dynamic-allocation clusters pass ``plan_boundary='staging'``
+    (with ``$SPARK_GRAFT_STAGING_DIR`` or ``$SPARK_GRAFT_BOUNDARY``
+    configured — see :func:`cache.plan_boundary`) to stage through a
+    durable parquet table instead; ``False`` disables the cut.
     """
     if plan_boundary:
-        # the two eager checkpoints are independent jobs over the same
-        # persisted pipeline intermediates — submit them from two
+        # the two eager boundary cuts are independent jobs over the
+        # same persisted pipeline intermediates — submit them from two
         # driver threads so their stages interleave (Spark job
         # submission is thread-safe; concurrent materialization of a
         # shared cached partition serializes per-partition in the
@@ -287,9 +290,16 @@ def enrich_false_negatives(
         # during each job's single-partition tail stages.
         from concurrent.futures import ThreadPoolExecutor
 
+        from capex_data_pipeline_spark.cache import plan_boundary as _boundary
+
+        mode = plan_boundary if isinstance(plan_boundary, str) else None
+
+        def _cut(df, label):
+            return _boundary(df, mode=mode, eager=True, label=label)
+
         with ThreadPoolExecutor(max_workers=2) as ex:
-            fn_fut = ex.submit(false_negatives.localCheckpoint)
-            au_fut = ex.submit(audit_ordered.localCheckpoint)
+            fn_fut = ex.submit(_cut, false_negatives, "fn-keys")
+            au_fut = ex.submit(_cut, audit_ordered, "fn-audit")
             false_negatives = fn_fut.result()
             audit_ordered = au_fut.result()
     parts = F.split(F.col("CompositeKey"), r"\|", -1)

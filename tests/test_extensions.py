@@ -1200,3 +1200,82 @@ def test_duplicated_spans_guards(spark):
         [(1, "a b"), (2, None), (3, "")], "doc_id long, text string"
     )
     assert duplicated_spans(df2, k=3).count() == 0
+
+
+# ------------------------------------------- staging plan boundary
+
+
+def test_plan_boundary_modes(spark, tmp_path):
+    from capex_data_pipeline_spark.cache import clear_staging, plan_boundary
+
+    df = spark.range(10).withColumn("x", F.col("id") * 2)
+    local = plan_boundary(df, mode="local", eager=True)
+    staged = plan_boundary(
+        df, mode="staging", staging_dir=str(tmp_path), label="t"
+    )
+    assert sorted(r.x for r in local.collect()) == sorted(
+        r.x for r in staged.collect()
+    )
+    # staged plan is a plain scan of the staging table
+    assert "Scan parquet" in staged._jdf.queryExecution().executedPlan().toString() \
+        or "FileScan" in staged._jdf.queryExecution().toString()
+    with pytest.raises(ValueError, match="unknown mode"):
+        plan_boundary(df, mode="bogus")
+    with pytest.raises(ValueError, match="staging_dir"):
+        plan_boundary(df, mode="staging", staging_dir=None)
+    assert clear_staging() >= 1  # local temp dirs are removable
+
+
+def test_pagerank_staging_boundary_identical(spark, tmp_path, monkeypatch):
+    from capex_data_pipeline_spark.extensions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 1)],
+        "src long, dst long",
+    )
+    base = {
+        (r.vertex, r.rank_micro)
+        for r in pagerank(edges, iterations=6, plan_boundary=True).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_STAGING_DIR", str(tmp_path))
+    staged = {
+        (r.vertex, r.rank_micro)
+        for r in pagerank(
+            edges, iterations=6, plan_boundary="staging"
+        ).collect()
+    }
+    assert staged == base
+    # env flip reaches the same path without touching the call site
+    monkeypatch.setenv("SPARK_GRAFT_BOUNDARY", "staging")
+    flipped = {
+        (r.vertex, r.rank_micro)
+        for r in pagerank(edges, iterations=6, plan_boundary=True).collect()
+    }
+    assert flipped == base
+
+    from capex_data_pipeline_spark.cache import clear_staging
+
+    clear_staging()
+
+
+def test_dedup_clusters_staging_boundary_identical(spark, tmp_path, monkeypatch):
+    from capex_data_pipeline_spark.extensions.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    base = {
+        (r.doc_id, r.cluster_id, r.cluster_size, r.is_keeper)
+        for r in dedup_clusters(pairs).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_STAGING_DIR", str(tmp_path))
+    staged = {
+        (r.doc_id, r.cluster_id, r.cluster_size, r.is_keeper)
+        for r in dedup_clusters(pairs, boundary="staging").collect()
+    }
+    assert staged == base
+
+    from capex_data_pipeline_spark.cache import clear_staging
+
+    clear_staging()

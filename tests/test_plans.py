@@ -430,3 +430,19 @@ def test_profiling_split_query_plans_stay_narrow(spark, queries):
     plan = _plan(queries["q105_numeric_histogram"](spark, SF))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_round6_span_and_bpe_plans(spark, queries):
+    """q106/q107 plan pins: the span dedup's joins are all equi-joins
+    on compact keys (md5 digest / doc id) — no cartesian or nested
+    loop anywhere — and the duplicated-shingle set applies as a
+    LeftSemi; the BPE encode crosses into Python exactly ONCE
+    (ArrowEvalPython over the vocab frame), never per-document."""
+    plan = _plan(queries["q106_duplicated_spans"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    plan = _plan(queries["q107_bpe_encode"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("ArrowEvalPython") == 1
