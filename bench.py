@@ -109,6 +109,7 @@ HEADLINE = [
     # BPE encode (vocab-frame Arrow UDF + word-key join-back)
     "q106_duplicated_spans",
     "q107_bpe_encode",
+    "q108_span_dedup_removal",
 ]
 
 

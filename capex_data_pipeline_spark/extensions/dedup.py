@@ -1023,3 +1023,89 @@ def duplicated_spans(
             ).alias("span_text"),
         )
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The removal half of the Lee et al. span-dedup modality: keep
+    exactly ONE occurrence of every duplicated span (the canonical
+    keeper = lowest (doc id, span_start) among occurrences of that
+    exact span text) and cut every other occurrence out of its
+    document's normalized token stream. :func:`duplicated_spans`
+    finds; this fixes.
+
+    Because per-document spans are MAXIMAL islands they never overlap
+    within a doc, so cuts compose by simple position filtering. The
+    cleaned text is the normalized token stream minus cut spans —
+    span dedup operates on normalized tokens by construction, so the
+    output stays in that space (one more reason the normalization is
+    the engine-wide :func:`normalized_text`).
+
+    Scale shape: the spans frame (duplicated-span-sized, tiny vs the
+    corpus) gets one keeper window on the span-text key; the cut list
+    aggregates per doc and joins the token frame on the doc id — ONE
+    corpus-keyed join — and the cut itself is a map-side higher-order
+    filter over each doc's token array (cut lists are per-doc small).
+    Docs without cuts pass through unchanged via the left join.
+
+    Returns one row per input document: (id_col, cleaned_text,
+    n_removed_tokens) — empty/NULL docs yield ('', 0).
+    """
+    spans = duplicated_spans(
+        docs, k=k, min_docs=min_docs, text_col=text_col, id_col=id_col
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("span_text").orderBy(
+        F.asc(id_col), F.asc("span_start")
+    )
+    cuts = (
+        spans.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)  # every non-canonical occurrence
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("span_start").alias("s"),
+                        F.col("span_len").alias("l"),
+                    )
+                )
+            ).alias("_cuts")
+        )
+    )
+    words = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "),
+        lambda s: s != "",
+    )
+    toks = docs.select(F.col(id_col), words.alias("_tk"))
+    cuts_or_empty = F.coalesce(
+        F.col("_cuts"),
+        F.array().cast("array<struct<s:bigint,l:bigint>>"),
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("_tk"), lambda x, i: F.struct(x.alias("t"), i.alias("i"))
+        ),
+        lambda s: ~F.exists(
+            cuts_or_empty,
+            lambda c: (s["i"] >= c["s"]) & (s["i"] < c["s"] + c["l"]),
+        ),
+    )
+    return (
+        toks.join(cuts, id_col, "left")
+        .select(
+            id_col,
+            F.array_join(
+                F.transform(kept, lambda s: s["t"]), " "
+            ).alias("cleaned_text"),
+            (F.size("_tk") - F.size(kept))
+            .cast("long")
+            .alias("n_removed_tokens"),
+        )
+    )

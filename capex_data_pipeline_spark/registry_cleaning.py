@@ -788,3 +788,96 @@ def q106_duplicated_spans(spark, sf_dir):
         ).alias("text"),
     )
     return duplicated_spans(aug, k=6)
+
+
+@query(
+    "q108_span_dedup_removal",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 13 = 0
+                   THEN text || ' shared disclaimer all rights reserved by the example corpus authors'
+                   ELSE text END)
+             || (CASE WHEN doc_id % 29 = 0
+                      THEN ' standard footer generated for span dedup evaluation purposes only'
+                      ELSE '' END) AS text
+      FROM documents
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')), ' '),
+                         w -> w <> '') AS tk
+      FROM aug
+    ), sh AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             md5(array_to_string(tk[pos+1 : pos+6], ' ')) AS h
+      FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - 5)) AS pos
+            FROM toks WHERE len(tk) >= 6)
+    ), dup AS (
+      SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM sh WHERE h IN (SELECT h FROM dup)
+    ), spans0 AS (
+      SELECT doc_id, min(pos) AS span_start,
+             max(pos) + 6 - min(pos) AS span_len
+      FROM isl GROUP BY doc_id, g
+    ), spans AS (
+      SELECT s.doc_id, s.span_start, s.span_len,
+             array_to_string(t.tk[s.span_start+1 : s.span_start+s.span_len], ' ') AS span_text
+      FROM spans0 s JOIN toks t USING (doc_id)
+    ), cuts AS (
+      SELECT doc_id, span_start, span_len
+      FROM (SELECT *, row_number() OVER (PARTITION BY span_text
+                        ORDER BY doc_id, span_start) AS rk
+            FROM spans)
+      WHERE rk > 1
+    ), tokrows AS (
+      SELECT doc_id, pos, tk[pos] AS tok
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS pos
+            FROM toks)
+    ), kept AS (
+      SELECT t.* FROM tokrows t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cuts c
+        WHERE c.doc_id = t.doc_id
+          AND t.pos - 1 >= c.span_start
+          AND t.pos - 1 < c.span_start + c.span_len)
+    ), agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct,
+             count(*) AS nk
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.ct, '') AS cleaned_text,
+           CAST(len(t.tk) - coalesce(a.nk, 0) AS BIGINT) AS n_removed_tokens
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q108_span_dedup_removal(spark, sf_dir):
+    """The removal half of span dedup (dedup.remove_duplicated_spans):
+    keep ONE canonical occurrence of every duplicated span (lowest
+    (doc_id, span_start) per exact span text) and cut every other
+    occurrence from its document's normalized token stream — q106
+    finds, this fixes. Same planted disclaimer/footer augmentation as
+    q106. The oracle replays spans, keeper election, and the
+    position-filtered reassembly independently (NOT EXISTS over cut
+    ranges + ordered string_agg)."""
+    from capex_data_pipeline_spark.extensions.dedup import (
+        remove_duplicated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.col("text"), F.lit(_SPAN_TAIL)),
+            ).otherwise(F.col("text")),
+            F.when(
+                F.col("doc_id") % 29 == 0, F.lit(_SPAN_FOOT)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return remove_duplicated_spans(aug, k=6)

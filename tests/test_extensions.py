@@ -1279,3 +1279,40 @@ def test_dedup_clusters_staging_boundary_identical(spark, tmp_path, monkeypatch)
     from capex_data_pipeline_spark.cache import clear_staging
 
     clear_staging()
+
+
+def test_remove_duplicated_spans(spark):
+    """Keeper election + cut semantics: the lowest (doc_id, start)
+    occurrence of each exact span survives; all others are removed;
+    docs without duplicated spans pass through with 0 removed."""
+    from capex_data_pipeline_spark.extensions.dedup import (
+        remove_duplicated_spans,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma delta"),
+            (2, f"unrelated start here {boiler} and a different tail entirely"),
+            (3, "totally different text with no overlap at all whatsoever ok"),
+            (4, boiler),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_removed_tokens)
+        for r in remove_duplicated_spans(df, k=5).collect()
+    }
+    assert got[1] == (f"alpha beta {boiler} gamma delta", 0)  # keeper
+    assert got[2] == ("unrelated start here and a different tail entirely", 10)
+    assert got[3][1] == 0
+    assert got[4] == ("", 10)  # the whole doc was the duplicated span
+    assert got[5] == ("", 0)   # NULL doc: present, untouched
+    # one-pass removal leaves no cross-doc duplicated span of >= k
+    cleaned = spark.createDataFrame(
+        [(i, t) for i, (t, _) in got.items()], "doc_id long, text string"
+    )
+    from capex_data_pipeline_spark.extensions.dedup import duplicated_spans
+
+    assert duplicated_spans(cleaned, k=5).count() == 0

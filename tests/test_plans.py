@@ -254,14 +254,15 @@ def test_driver_contract_registry_invariants():
     q63-q89 cleaning/curation/temporal/analytics families, the
     round-8 q58/q59/q95-q103 retrieval/drift/entropy/quality/graph/tokenizer additions,
     the q104 split-leakage / q105 histogram profiling pair, and the
-    round-6 q106 duplicated-span dedup / q107 BPE encode), a full
+    round-6 q106/q108 duplicated-span find+removal / q107 BPE
+    encode), a full
     value-exact oracle for EVERY query (no rows-only fallbacks), and
     every bench headline drawn from the registry."""
     import __spark_entry__ as E
     import bench
 
     qs, oracles = E.queries(), E.oracle_sql()
-    assert len(qs) == 107
+    assert len(qs) == 108
     assert set(oracles) == set(qs)
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
     assert set(bench.HEADLINE) <= set(qs)
@@ -442,6 +443,9 @@ def test_round6_span_and_bpe_plans(spark, queries):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan
+    plan = _plan(queries["q108_span_dedup_removal"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     plan = _plan(queries["q107_bpe_encode"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
