@@ -110,6 +110,7 @@ HEADLINE = [
     "q106_duplicated_spans",
     "q107_bpe_encode",
     "q108_span_dedup_removal",
+    "q109_bpe_train",
 ]
 
 

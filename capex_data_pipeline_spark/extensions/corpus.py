@@ -1113,3 +1113,104 @@ def bpe_encode(
             F.array_join(flat, " ").alias("bpe_text"),
         )
     )
+
+
+def bpe_train(
+    corpus: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn a BPE merges table from the corpus — the trainer between
+    :func:`bpe_pair_counts` (one round of statistics) and
+    :func:`bpe_encode` (application): per round, count adjacent
+    symbol pairs over the vocab frame weighted by word frequency,
+    pick the most frequent pair (ties: count DESC, s1 ASC, s2 ASC —
+    deterministic and engine-replayable), and merge its non-overlapping
+    occurrences left-to-right in every vocab word (Sennrich et al.,
+    public algorithm).
+
+    Scale shape: the corpus is touched ONCE for the (word, freq)
+    vocabulary; every training round runs over the vocab-sized frame
+    (pair explode + hash aggregate + a 1-ROW collect for the argmax —
+    bounded by construction, like the IVF center pick), and the merge
+    application is a map-side higher-order fold over each word's
+    symbol array. Round lineage is cut with
+    :func:`cache.plan_boundary` so plans stay shallow at any
+    ``n_merges``. Stops early when no pair remains.
+
+    Returns the learned table as a DataFrame (rank, s1, s2,
+    pair_count) — by definition tokenizer-sized, suitable to feed
+    straight into :func:`bpe_encode` as
+    ``[(r.s1, r.s2) for r in ...collect()]``.
+    """
+    if n_merges < 1:
+        raise ValueError("bpe_train: n_merges must be >= 1")
+    from capex_data_pipeline_spark.cache import plan_boundary as _boundary
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    spark = corpus.sparkSession
+    words = corpus.select(
+        F.explode(
+            F.filter(
+                F.split(normalized_text(F.col(text_col)), " "),
+                lambda s: s != "",
+            )
+        ).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("syms"),
+        )
+    )
+    vocab = _boundary(vocab, eager=True, label="bpe-train")
+
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS s1, "
+                        "element_at(syms, i + 1) AS s2))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.s1", "p.s2")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.desc("cnt"), F.asc("s1"), F.asc("s2")
+        ).limit(1).collect()
+        if not best:
+            break
+        s1, s2, cnt = best[0]["s1"], best[0]["s2"], int(best[0]["cnt"])
+        merges.append((r, s1, s2, cnt))
+        # left-to-right non-overlapping merge as a fold: append, or
+        # replace the accumulator's tail when it ends with (s1) and
+        # the element is s2. try_element_at: NULL (falsy) on empty acc.
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == F.lit(s1))
+                & (x == F.lit(s2)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(s1 + s2)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = _boundary(
+            vocab.withColumn("syms", merged), eager=True, label="bpe-train"
+        )
+    return spark.createDataFrame(
+        merges, "rank int, s1 string, s2 string, pair_count long"
+    )

@@ -713,3 +713,78 @@ def q107_bpe_encode(spark, sf_dir):
     from capex_data_pipeline_spark.extensions.corpus import bpe_encode
 
     return bpe_encode(_t(spark, sf_dir, "documents"), _BPE_MERGES)
+
+
+# ------------------------------------------- BPE trainer
+
+_BPE_TRAIN_ROUNDS = 8
+
+
+def _bpe_train_round_sql(r: int) -> str:
+    """One training round of the q109 oracle: pair counts over round
+    r-1's vocab state, deterministic argmax (count DESC, s1, s2), and
+    a recursive leftmost-merge application producing round r's state.
+    Re-deriving the exact trainer in SQL is what makes the learned
+    merges value-checkable rather than trust-me."""
+    prev = f"v{r - 1}"
+    bi = (
+        "(list_filter(list_transform(range(1, len(syms)), "
+        "i -> {'i': i, 'm': syms[i] = s1 AND syms[i+1] = s2}), "
+        "x -> x.m))[1].i"
+    )
+    return f"""
+p{r} AS (
+  SELECT syms[i] AS s1, syms[i+1] AS s2, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM {prev})
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT {r} AS rank, s1, s2, cnt FROM p{r}
+         ORDER BY cnt DESC, s1, s2 LIMIT 1),
+a{r} AS (
+  SELECT w, freq, syms, s1, s2 FROM {prev}, b{r}
+  UNION ALL
+  SELECT w, freq,
+         syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms,
+         s1, s2
+  FROM (SELECT w, freq, syms, s1, s2, {bi} AS bi FROM a{r})
+  WHERE bi IS NOT NULL
+),
+v{r} AS (
+  SELECT w, freq, syms
+  FROM (SELECT *, {bi} AS bi FROM a{r}) WHERE bi IS NULL
+)"""
+
+
+_BPE_TRAIN_SQL = (
+    f"""
+    WITH RECURSIVE w AS (SELECT unnest({_WORDS_SRCH}) AS w FROM documents),
+    vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY 1),
+    v0 AS (SELECT w, freq,
+                  list_transform(range(1, length(w) + 1), i -> w[i:i]) AS syms
+           FROM vocab)"""
+    + "".join("," + _bpe_train_round_sql(r) for r in range(1, _BPE_TRAIN_ROUNDS + 1))
+    + """
+    SELECT rank, s1, s2, cnt AS pair_count FROM ("""
+    + " UNION ALL ".join(
+        f"SELECT * FROM b{r}" for r in range(1, _BPE_TRAIN_ROUNDS + 1)
+    )
+    + ") ORDER BY rank"
+)
+
+
+@query("q109_bpe_train", _BPE_TRAIN_SQL)
+def q109_bpe_train(spark, sf_dir):
+    """BPE trainer (corpus.bpe_train, 8 merges): per round, adjacent
+    symbol-pair counts over the frequency-weighted vocab frame, a
+    deterministic argmax (count DESC, s1, s2 — engine-replayable),
+    and a left-to-right non-overlapping merge fold over each word's
+    symbols. Completes the tokenizer lifecycle: q100 statistics →
+    q109 training → q107 application. The oracle re-derives all 8
+    rounds with chained CTEs whose apply step is the q107-style
+    recursive leftmost merge — the learned table is value-checked,
+    not trusted."""
+    from capex_data_pipeline_spark.extensions.corpus import bpe_train
+
+    return bpe_train(
+        _t(spark, sf_dir, "documents"), n_merges=_BPE_TRAIN_ROUNDS
+    )

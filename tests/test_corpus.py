@@ -764,3 +764,74 @@ def test_bpe_encode_guards(spark):
         bpe_encode(df, [])
     with pytest.raises(ValueError, match="duplicate"):
         bpe_encode(df, [("a", "b"), ("a", "b")])
+
+
+def _py_bpe_train(freqs: dict, n_merges: int):
+    """Independent plain-Python BPE trainer (Sennrich formulation)."""
+    from collections import Counter
+
+    sy = {w: list(w) for w in freqs}
+    merges = []
+    for r in range(1, n_merges + 1):
+        c = Counter()
+        for w, f in freqs.items():
+            s = sy[w]
+            for i in range(len(s) - 1):
+                c[(s[i], s[i + 1])] += f
+        if not c:
+            break
+        (a, b), cnt = sorted(
+            c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        merges.append((r, a, b, cnt))
+        for w in sy:
+            s, out, i = sy[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            sy[w] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    import random
+
+    from capex_data_pipeline_spark.extensions.corpus import bpe_train
+
+    rng = random.Random(9)
+    vocab = {}
+    for _ in range(40):
+        w = "".join(rng.choice("abcde") for _ in range(rng.randint(1, 8)))
+        vocab[w] = vocab.get(w, 0) + rng.randint(1, 9)
+    text = " ".join(w for w, f in sorted(vocab.items()) for _ in range(f))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [
+        (r.rank, r.s1, r.s2, r.pair_count)
+        for r in bpe_train(df, n_merges=10).collect()
+    ]
+    assert got == _py_bpe_train(vocab, 10)
+
+
+def test_bpe_train_feeds_encode_and_guards(spark):
+    from capex_data_pipeline_spark.extensions.corpus import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the the the the the there there her her her then")],
+        "doc_id long, text string",
+    )
+    learned = bpe_train(df, n_merges=4).collect()
+    assert [(r.s1, r.s2) for r in learned] == [
+        ("h", "e"), ("t", "he"), ("he", "r"), ("r", "e"),
+    ]
+    enc = bpe_encode(df, [(r.s1, r.s2) for r in learned]).collect()[0]
+    # 'the'→the, 'there'→the+re, 'her'→her, 'then'→the+n
+    assert enc.bpe_text.split(" ").count("the") == 8
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train(df, n_merges=0)
