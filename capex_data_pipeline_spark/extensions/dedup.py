@@ -944,7 +944,10 @@ def duplicated_spans(
     the normalized token stream (0-based). Returns one row per
     maximal span: (id_col, span_start, span_len[, span_text]);
     ``with_text=False`` skips the second document scan that slices
-    the span text back out of the token arrays.
+    the span text back out of the token arrays and instead carries
+    ``_span_fp`` — an md5 over the island's ordered shingle digests,
+    a corpus-scan-free content identity (equal iff the span text is
+    equal, md5 collisions aside).
 
     Scale shape: the positional-shingle frame is corpus-token-sized
     but every row is compact; the duplicated-shingle set is found by
@@ -999,15 +1002,32 @@ def duplicated_spans(
             Window.partitionBy("_id").orderBy("pos")
         ),
     )
+    # span_fp: md5 over the island's ordered shingle digests — a
+    # content identity computable WITHOUT re-reading the corpus (two
+    # spans share every shingle hash at matching offsets iff their
+    # text is identical, md5 collisions aside). remove_duplicated_spans
+    # elects keepers on it, saving the span-text slice scan.
     spans = isl.groupBy("_id", "_isl").agg(
         F.min("pos").alias("span_start"),
         (F.max("pos") + F.lit(k) - F.min("pos")).alias("span_len"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "_h"))
+                    ),
+                    lambda s: s["_h"],
+                ),
+                "|",
+            )
+        ).alias("_span_fp"),
     )
     if not with_text:
         return spans.select(
             F.col("_id").alias(id_col),
             F.col("span_start").cast("long"),
             F.col("span_len").cast("long"),
+            "_span_fp",
         )
     return (
         spans.join(toks, "_id")
@@ -1047,21 +1067,29 @@ def remove_duplicated_spans(
     the engine-wide :func:`normalized_text`).
 
     Scale shape: the spans frame (duplicated-span-sized, tiny vs the
-    corpus) gets one keeper window on the span-text key; the cut list
-    aggregates per doc and joins the token frame on the doc id — ONE
-    corpus-keyed join — and the cut itself is a map-side higher-order
-    filter over each doc's token array (cut lists are per-doc small).
-    Docs without cuts pass through unchanged via the left join.
+    corpus) gets one keeper window keyed on the span's shingle-digest
+    fingerprint (``_span_fp`` — content identity WITHOUT the
+    span-text slice scan, so the corpus is read exactly TWICE: the
+    shingle pass and the final cut join); the cut list aggregates per
+    doc and joins the token frame on the doc id — ONE corpus-keyed
+    join — and the cut itself is a map-side higher-order filter over
+    each doc's token array (cut lists are per-doc small). Docs
+    without cuts pass through unchanged via the left join.
 
     Returns one row per input document: (id_col, cleaned_text,
     n_removed_tokens) — empty/NULL docs yield ('', 0).
     """
     spans = duplicated_spans(
-        docs, k=k, min_docs=min_docs, text_col=text_col, id_col=id_col
+        docs,
+        k=k,
+        min_docs=min_docs,
+        text_col=text_col,
+        id_col=id_col,
+        with_text=False,
     )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("span_text").orderBy(
+    w = Window.partitionBy("_span_fp").orderBy(
         F.asc(id_col), F.asc("span_start")
     )
     cuts = (
