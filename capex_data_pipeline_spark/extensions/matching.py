@@ -3,17 +3,30 @@ two string columns by character-trigram Jaccard — "which rows of A
 refer to the same thing as rows of B" when keys don't exist and
 spellings drift.
 
-Scale shape: NEVER the all-pairs similarity matrix.  Each side
-projects to distinct character trigrams (map-only); candidate pairs
-come from an equi-join ON THE TRIGRAM (compact key); Jaccard is then
-computed FROM THE JOIN COUNTS alone — ``|A∩B|`` is the number of
-joined trigrams, ``|A∪B| = |A| + |B| − |A∩B|`` from per-row trigram
-counts — so strings are never re-compared and no second text pass
-exists.  Total work is Σ_gram cnt_left(g)·cnt_right(g): dominated by
-stop-grams ("the", "ing"), which is what ``max_gram_freq`` prunes —
-the documented recall trade (a pair matched ONLY by ubiquitous grams
-is below any useful threshold anyway; the same reasoning as the LSH
-bucket caps in dedup.py, and like them it reports what it dropped).
+Scale shape — two collapses, both lossless:
+
+1. NEVER the all-pairs similarity matrix: candidate pairs come from
+   an equi-join ON THE TRIGRAM (compact key), and each candidate is
+   verified exactly from the two gram arrays.
+2. NEVER row-level gram work: every frame up to the final expansion
+   is keyed on the DISTINCT NORMALIZED NAME (the vocab-frame trick —
+   the same move as the BPE operators). Real entity columns repeat
+   massively (the sf0.1 part table holds 20,000 rows but 64 distinct
+   names; a 100 TB orders table holds billions of rows but
+   ~entity-count names), and Jaccard depends only on the name — so
+   gram explode, candidate generation, and verification all run over
+   distinct names, and rows only reappear in the final name-keyed
+   joins. Measured on q18 at sf0.1 this replaced a 356M-row gram
+   join + 107M-group aggregate with name-level frames of at most a
+   few thousand rows (260 s → ~2 s).
+
+Stop-grams ("the", "ing") dominate candidate generation when name
+cardinality is genuinely high; ``max_gram_freq`` prunes grams
+occurring in more than that many ROWS of either side — the documented
+recall trade (a pair whose EVERY shared gram is ubiquitous is below
+any useful threshold anyway; same reasoning as the LSH bucket caps in
+dedup.py). Verification always uses the full gram arrays, so
+surviving pairs keep their exact Jaccard.
 """
 
 from __future__ import annotations
@@ -39,6 +52,97 @@ def char_trigrams(col: Column) -> Column:
     )
 
 
+def _rows_and_names(df: DataFrame, id_col: str, text_col: str):
+    """Split a side into its row→name mapping and its DISTINCT-name
+    frame (name, row count, gram array, gram count). Every expensive
+    stage downstream runs on the names frame only."""
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    rows = df.select(
+        F.col(id_col).alias("_id"),
+        normalized_text(F.col(text_col)).alias("_nm"),
+    )
+    names = (
+        rows.groupBy("_nm")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        # normalization is idempotent, so grams of the name == grams
+        # of the original strings that collapsed into it
+        .withColumn("_gs", char_trigrams(F.col("_nm")))
+        .withColumn("_ng", F.size("_gs"))
+    )
+    return rows, names
+
+
+def _name_pairs(
+    l_names: DataFrame,
+    r_names: DataFrame,
+    threshold: float,
+    max_gram_freq: int | None,
+) -> DataFrame:
+    """Qualifying DISTINCT-name pairs (_lnm, _rnm, jaccard >= t):
+    gram equi-join for candidates, exact verify from the two gram
+    arrays. Self-pairs (same name both sides) are produced like any
+    other — callers exclude rows, not names."""
+    lg = l_names.select(
+        F.col("_nm").alias("_lnm"), F.col("_cnt").alias("_lcnt"),
+        F.explode("_gs").alias("_g"),
+    )
+    rg = r_names.select(
+        F.col("_nm").alias("_rnm"), F.col("_cnt").alias("_rcnt"),
+        F.explode("_gs").alias("_g"),
+    )
+    if max_gram_freq is not None:
+        # row-frequency semantics: Σ row-count over names carrying the
+        # gram — identical to the pre-vocab-frame per-row counts
+        hot = (
+            lg.groupBy("_g").agg(F.sum("_lcnt").alias("_c1"))
+            .join(
+                rg.groupBy("_g").agg(F.sum("_rcnt").alias("_c2")),
+                "_g",
+                "outer",
+            )
+            .filter(
+                (F.coalesce(F.col("_c1"), F.lit(0)) > max_gram_freq)
+                | (F.coalesce(F.col("_c2"), F.lit(0)) > max_gram_freq)
+            )
+            .select("_g")
+        )
+        lg = lg.join(hot, "_g", "left_anti")
+        rg = rg.join(hot, "_g", "left_anti")
+    cand = (
+        lg.select("_lnm", "_g")
+        .join(rg.select("_rnm", "_g"), "_g")
+        .select("_lnm", "_rnm")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("_lgs", "_rgs"))
+    jac = inter / (F.col("_lng") + F.col("_rng") - inter)
+    return (
+        cand.join(
+            l_names.select(
+                F.col("_nm").alias("_lnm"),
+                F.col("_gs").alias("_lgs"),
+                F.col("_ng").alias("_lng"),
+            ),
+            "_lnm",
+        )
+        .join(
+            r_names.select(
+                F.col("_nm").alias("_rnm"),
+                F.col("_gs").alias("_rgs"),
+                F.col("_ng").alias("_rng"),
+            ),
+            "_rnm",
+        )
+        .select(
+            "_lnm",
+            "_rnm",
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+    )
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -55,67 +159,113 @@ def fuzzy_join(
 
     ``max_gram_freq`` (optional) drops trigrams occurring in more than
     that many rows of EITHER side from candidate generation — the
-    stop-gram prune that bounds hot-key blowup; exact Jaccard is still
-    computed over ALL grams of surviving pairs, so only pairs whose
-    every shared gram is ubiquitous are lost.
+    stop-gram prune that bounds hot-key blowup; verification uses the
+    full gram arrays, so surviving pairs keep exact Jaccard and only
+    pairs whose every shared gram is ubiquitous are lost.
+
+    All gram work runs over DISTINCT normalized names (see module
+    docstring); the output expansion joins rows back on the name key,
+    so the result is row-pair-sized only because the answer is.
     """
-    l = left.select(
-        F.col(left_id).alias("_lid"),
-        F.explode(char_trigrams(F.col(left_col))).alias("_g"),
-    )
-    r = right.select(
-        F.col(right_id).alias("_rid"),
-        F.explode(char_trigrams(F.col(right_col))).alias("_g"),
-    )
-    ln = l.groupBy("_lid").agg(F.count(F.lit(1)).alias("_ln"))
-    rn = r.groupBy("_rid").agg(F.count(F.lit(1)).alias("_rn"))
-    lc, rc = l, r
-    if max_gram_freq is not None:
-        hot = (
-            l.groupBy("_g").agg(F.countDistinct("_lid").alias("_c1"))
-            .join(
-                r.groupBy("_g").agg(F.countDistinct("_rid").alias("_c2")),
-                "_g",
-                "outer",
-            )
-            .filter(
-                (F.coalesce(F.col("_c1"), F.lit(0)) > max_gram_freq)
-                | (F.coalesce(F.col("_c2"), F.lit(0)) > max_gram_freq)
-            )
-            .select("_g")
-        )
-        lc = l.join(hot, "_g", "left_anti")
-        rc = r.join(hot, "_g", "left_anti")
-    shared = (
-        lc.join(rc, "_g")
-        .groupBy("_lid", "_rid")
-        .agg(F.count(F.lit(1)).alias("_shared_pruned"))
-    )
-    # exact |A∩B| over ALL grams for surviving pairs (recompute via a
-    # semi-restricted join only when pruning removed grams)
-    if max_gram_freq is not None:
-        pairs = shared.select("_lid", "_rid")
-        # restrict BOTH sides to candidate ids before re-joining on the
-        # gram — without this the re-rank would regenerate every
-        # hot-gram pair the prune exists to avoid
-        l_cand = l.join(pairs.select("_lid").distinct(), "_lid", "left_semi")
-        r_cand = r.join(pairs.select("_rid").distinct(), "_rid", "left_semi")
-        shared = (
-            l_cand.join(r_cand, "_g")
-            .join(pairs, ["_lid", "_rid"], "left_semi")
-            .groupBy("_lid", "_rid")
-            .agg(F.count(F.lit(1)).alias("_shared"))
-        )
-    else:
-        shared = shared.withColumnRenamed("_shared_pruned", "_shared")
-    jac = F.col("_shared") / (F.col("_ln") + F.col("_rn") - F.col("_shared"))
+    l_rows, l_names = _rows_and_names(left, left_id, left_col)
+    r_rows, r_names = _rows_and_names(right, right_id, right_col)
+    pairs = _name_pairs(l_names, r_names, threshold, max_gram_freq)
     return (
-        shared.join(ln, "_lid")
-        .join(rn, "_rid")
-        .select(
-            F.col("_lid").alias(left_id),
-            F.col("_rid").alias(right_id),
-            jac.alias("jaccard"),
+        l_rows.select(F.col("_id").alias("_l_id"), F.col("_nm").alias("_lnm"))
+        .join(pairs, "_lnm")
+        .join(
+            r_rows.select(
+                F.col("_id").alias("_r_id"), F.col("_nm").alias("_rnm")
+            ),
+            "_rnm",
         )
-        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        .select(
+            F.col("_l_id").alias(left_id),
+            F.col("_r_id").alias(right_id),
+            "jaccard",
+        )
+    )
+
+
+def fuzzy_self_best_match(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Each row's BEST fuzzy match among the OTHER rows of the same
+    frame — the entity-canonicalization query (q18) — computed
+    WITHOUT ever materializing row pairs.
+
+    Winner definition (identical to ranking all pairs): among rows
+    ``p2 != p1`` with ``jaccard(p1, p2) >= threshold``, take the
+    highest Jaccard, ties to the smallest ``p2``. Rows with no
+    qualifying match are absent from the output.
+
+    Why row pairs are unnecessary: Jaccard depends only on the names,
+    and within one name the candidate ordering is fixed (equal j, id
+    ascending) — so each name's two smallest row ids dominate every
+    other row of that name, and the global top-2 candidate entries
+    per LEFT NAME (over names' (j, r1/r2) entries) contain the
+    winner for every row: a row can collide with at most one entry
+    (itself), so entry 1 or entry 2 is its answer. One row scan for
+    the name map, one WindowGroupLimit for per-name min-2 ids, tiny
+    name-level frames, and a final name-keyed join back to rows.
+
+    Returns ``(id_col, best_id, jaccard)``.
+    """
+    rows, names = _rows_and_names(df, id_col, text_col)
+    pairs = _name_pairs(names, names, threshold, max_gram_freq)
+
+    from pyspark.sql.window import Window
+
+    # per-name min-2 row ids (WindowGroupLimit pushes the rank into
+    # the shuffle — never a full sort of the corpus)
+    w = Window.partitionBy("_nm").orderBy(F.asc("_id"))
+    top2 = rows.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= 2
+    )
+    stats = top2.groupBy("_nm").agg(
+        F.min(F.when(F.col("_rn") == 1, F.col("_id"))).alias("_r1"),
+        F.min(F.when(F.col("_rn") == 2, F.col("_id"))).alias("_r2"),
+    )
+    # candidate entries per left name: each right name contributes its
+    # min-2 ids at that pair's jaccard
+    entries = (
+        pairs.join(stats.withColumnRenamed("_nm", "_rnm"), "_rnm")
+        .select(
+            "_lnm",
+            "jaccard",
+            F.explode(F.array("_r1", "_r2")).alias("_cand"),
+        )
+        .filter(F.col("_cand").isNotNull())
+    )
+    w2 = Window.partitionBy("_lnm").orderBy(
+        F.desc("jaccard"), F.asc("_cand")
+    )
+    best2 = (
+        entries.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= 2)
+        .groupBy("_lnm")
+        .agg(
+            F.min(F.when(F.col("_rn") == 1, F.col("_cand"))).alias("_w1"),
+            F.min(F.when(F.col("_rn") == 1, F.col("jaccard"))).alias("_j1"),
+            F.min(F.when(F.col("_rn") == 2, F.col("_cand"))).alias("_w2"),
+            F.min(F.when(F.col("_rn") == 2, F.col("jaccard"))).alias("_j2"),
+        )
+    )
+    self_hit = F.col("_w1") == F.col("_id")
+    return (
+        rows.join(best2, rows["_nm"] == best2["_lnm"])
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(self_hit, F.col("_w2"))
+            .otherwise(F.col("_w1"))
+            .alias("best_id"),
+            F.when(self_hit, F.col("_j2"))
+            .otherwise(F.col("_j1"))
+            .alias("jaccard"),
+        )
+        .filter(F.col("best_id").isNotNull())
     )

@@ -750,31 +750,33 @@ _TRIGRAMS = f"""
     """,
 )
 def q18_fuzzy_match(spark, sf_dir):
-    """Entity resolution without keys (matching.fuzzy_join): every
-    part's BEST trigram-Jaccard match among other parts (threshold
-    0.5, ties to the smallest key). Candidates come from an equi-join
-    ON THE TRIGRAM and Jaccard from join counts alone — the all-pairs
-    similarity matrix never exists. Jaccard values are exact small-int
-    rationals, so cross-engine ordering is exact. Top-1 selection is
-    a WindowGroupLimit rank."""
-    from pyspark.sql.window import Window
-
-    from capex_data_pipeline_spark.extensions.matching import fuzzy_join
+    """Entity resolution without keys
+    (matching.fuzzy_self_best_match): every part's BEST
+    trigram-Jaccard match among other parts (threshold 0.5, ties to
+    the smallest key). The operator never materializes row pairs:
+    Jaccard depends only on the normalized name, so candidates,
+    verification, and the top-1 election all run over DISTINCT names
+    (64 at every SF of this corpus, entity-count-sized in general) —
+    rows appear only in the per-name min-2 WindowGroupLimit and the
+    final name-keyed join. The oracle independently ranks the full
+    row-pair graph; matching it proves the name-level election
+    equivalent. Jaccard values are exact small-int rationals, so
+    cross-engine ordering is exact."""
+    from capex_data_pipeline_spark.extensions.matching import (
+        fuzzy_self_best_match,
+    )
     from capex_data_pipeline_spark.sources.parquet import read_table
 
     part = read_table(spark, sf_dir, "part")
-    l = part.select(F.col("p_partkey").alias("p1"), "p_name")
-    r = part.select(F.col("p_partkey").alias("p2"), "p_name")
-    cand = fuzzy_join(
-        l, r, "p1", "p_name", "p2", "p_name", threshold=0.5
-    ).filter(F.col("p1") != F.col("p2"))
-    w = Window.partitionBy("p1").orderBy(
-        F.col("jaccard").desc(), F.col("p2").asc()
-    )
-    return (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("p1", "p2", F.round("jaccard", 4).alias("jaccard"))
+    return fuzzy_self_best_match(
+        part.select(F.col("p_partkey").alias("p1"), "p_name"),
+        "p1",
+        "p_name",
+        threshold=0.5,
+    ).select(
+        "p1",
+        F.col("best_id").alias("p2"),
+        F.round("jaccard", 4).alias("jaccard"),
     )
 
 

@@ -1316,3 +1316,89 @@ def test_remove_duplicated_spans(spark):
     from capex_data_pipeline_spark.extensions.dedup import duplicated_spans
 
     assert duplicated_spans(cleaned, k=5).count() == 0
+
+
+def test_fuzzy_self_best_match_differential(spark):
+    """Name-level top-1 election must equal brute-force ranking of
+    every row pair (j desc, p2 asc) — including the self-exclusion
+    edge where a row's own name holds the best candidates."""
+    import itertools
+    import re
+
+    from capex_data_pipeline_spark.extensions.matching import (
+        fuzzy_self_best_match,
+    )
+
+    rows = {
+        1: "alpha beta", 2: "alpha beta", 3: "alpha beta",  # trio
+        4: "alpha bexa",                                     # near 1-3
+        5: "gamma delta", 6: "gamma delta",                  # pair
+        7: "unique zebra quux",                              # alone
+        8: "gamma delte",                                    # near 5-6
+    }
+
+    def grams(s):
+        s = re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+        return {s} if len(s) < 3 else {s[i:i + 3] for i in range(len(s) - 2)}
+
+    def jac(a, b):
+        ga, gb = grams(a), grams(b)
+        return len(ga & gb) / len(ga | gb)
+
+    expected = {}
+    for p1, p2 in itertools.permutations(rows, 2):
+        j = jac(rows[p1], rows[p2])
+        if j >= 0.3:
+            cur = expected.get(p1)
+            if cur is None or (j, -p2) > (cur[1], -cur[0]):
+                expected[p1] = (p2, j)
+    df = spark.createDataFrame(list(rows.items()), "p1 long, name string")
+    got = {
+        r.p1: (r.best_id, r.jaccard)
+        for r in fuzzy_self_best_match(df, "p1", "name", threshold=0.3).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == {k: v[0] for k, v in expected.items()}
+    for k in got:
+        assert got[k][1] == pytest.approx(expected[k][1])
+    # the trio: 1's best is 2 (same name, j=1), 2's best is 1, 3's is 1
+    assert got[1][0] == 2 and got[2][0] == 1 and got[3][0] == 1
+    assert 7 not in got  # no qualifying match
+
+
+def test_fuzzy_self_best_match_random_differential(spark):
+    import itertools
+    import random
+    import re
+
+    from capex_data_pipeline_spark.extensions.matching import (
+        fuzzy_self_best_match,
+    )
+
+    rng = random.Random(21)
+    words = ["spark", "spork", "stark", "shard", "sharp", "chart"]
+    rows = {
+        i: " ".join(rng.choice(words) for _ in range(rng.randint(1, 3)))
+        for i in range(1, 61)
+    }
+
+    def grams(s):
+        s = re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+        return {s} if len(s) < 3 else {s[i:i + 3] for i in range(len(s) - 2)}
+
+    def jac(a, b):
+        ga, gb = grams(a), grams(b)
+        return len(ga & gb) / len(ga | gb)
+
+    expected = {}
+    for p1, p2 in itertools.permutations(rows, 2):
+        j = jac(rows[p1], rows[p2])
+        if j >= 0.5:
+            cur = expected.get(p1)
+            if cur is None or (j, -p2) > (cur[1], -cur[0]):
+                expected[p1] = (p2, round(j, 9))
+    df = spark.createDataFrame(list(rows.items()), "p1 long, name string")
+    got = {
+        r.p1: (r.best_id, round(r.jaccard, 9))
+        for r in fuzzy_self_best_match(df, "p1", "name", threshold=0.5).collect()
+    }
+    assert got == expected
