@@ -125,10 +125,17 @@ def _reset_engine_caches() -> None:
     release_persisted()
 
 
-#: queries the --scaling alarm watches: the flagship DAG and the
-#: deepest plan in the repo (whose audit/enrichment self-joins are the
-#: likeliest place for a future quadratic stage to hide)
-SCALING_QUERIES = ("q90_capex_pipeline", "q93_fn_enrichment")
+#: queries the --scaling alarm watches: the flagship DAG, the deepest
+#: plan in the repo (whose audit/enrichment self-joins are the
+#: likeliest place for a future quadratic stage to hide), and the
+#: round-6 corpus-shingle operators (whose duplicated-shingle
+#: aggregates would be where a new superlinear term appears)
+SCALING_QUERIES = (
+    "q90_capex_pipeline",
+    "q93_fn_enrichment",
+    "q106_duplicated_spans",
+    "q107_bpe_encode",
+)
 
 
 def scaling_check() -> None:
