@@ -111,6 +111,7 @@ HEADLINE = [
     "q107_bpe_encode",
     "q108_span_dedup_removal",
     "q109_bpe_train",
+    "q110_url_canonical",
 ]
 
 

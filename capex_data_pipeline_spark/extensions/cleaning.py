@@ -381,3 +381,72 @@ def normalize_unicode(
         F.length("_orig").alias("n_chars_before"),
         F.length("text_norm").alias("n_chars_after"),
     )
+
+
+#: query-param names treated as tracking noise by canonical_url —
+#: dropped before the canonical key is formed (C4/CCNet-style URL
+#: dedup keys do the same; extend per deployment)
+TRACKING_PARAM_RE = (
+    "^(utm_[a-z0-9]+|gclid|fbclid|ref|igshid|mc_cid|mc_eid)$"
+)
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical URL key for URL-level dedup and per-page grouping —
+    the normalization step before "one document per URL" curation
+    (C4 keeps one page per URL; CCNet groups by it):
+
+    - fragment removed; scheme and host lowercased; leading ``www.``
+      stripped from the host;
+    - default ports dropped (http:80 / https:443), others kept;
+    - trailing ``/`` runs stripped from the path;
+    - tracking query params removed (``TRACKING_PARAM_RE``), the
+      rest SORTED lexicographically (param order never distinguishes
+      pages), ``?`` dropped when nothing survives.
+
+    Pure native expressions (regex + array ops) — map-only at any
+    scale, and restated verbatim by the q110 oracle. Assumes
+    ``scheme://`` URLs (the extract_urls contract).
+    """
+    u = F.regexp_replace(col.cast("string"), "#.*", "")
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    pathq = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    query = F.when(
+        F.instr(pathq, "?") > 0,
+        F.substring(pathq, F.length(path) + 2, F.lit(1 << 30)),
+    ).otherwise(F.lit(""))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)),
+        r"^www\.",
+        "",
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    clean_path = F.regexp_replace(path, r"/+$", "")
+    name_of = lambda p: F.lower(F.regexp_extract(p, "^([^=]*)", 1))
+    q2 = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "")
+                & ~name_of(p).rlike(TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        clean_path,
+        F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit("")),
+    )

@@ -881,3 +881,96 @@ def q108_span_dedup_removal(spark, sf_dir):
         ).alias("text"),
     )
     return remove_duplicated_spans(aug, k=6)
+
+
+@query(
+    "q110_url_canonical",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'https://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM:443/path/' || CAST(doc_id % 5 AS VARCHAR) || '/'
+          WHEN 1 THEN 'https://www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com/path/' || CAST(doc_id % 5 AS VARCHAR) || '?utm_source=x&b=2&a=1'
+          WHEN 2 THEN 'https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com/path/' || CAST(doc_id % 5 AS VARCHAR) || '?a=1&b=2#frag'
+          ELSE 'http://www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com:80/path/' || CAST(doc_id % 5 AS VARCHAR) || '?b=2&a=1&gclid=zz'
+        END AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, url, sch,
+        regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), '^www\\.', '') AS host2,
+        regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        regexp_extract(pathq, '^([^?]*)', 1) AS path,
+        CASE WHEN strpos(pathq, '?') > 0
+             THEN substring(pathq, length(regexp_extract(pathq, '^([^?]*)', 1)) + 2)
+             ELSE '' END AS query
+      FROM (
+        SELECT doc_id, url,
+          lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS sch,
+          regexp_extract(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^([^/?]*)', 1) AS hostport,
+          substring(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''),
+                    length(regexp_extract(regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^([^/?]*)', 1)) + 1) AS pathq
+        FROM (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u FROM aug)
+      )
+    ), canon AS (
+      SELECT doc_id, url,
+        sch || '://' || host2
+        || (CASE WHEN port <> '' AND NOT ((sch = 'http' AND port = '80') OR (sch = 'https' AND port = '443'))
+                 THEN ':' || port ELSE '' END)
+        || regexp_replace(path, '/+$', '')
+        || (CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END) AS canonical_url
+      FROM (
+        SELECT *,
+          array_to_string(list_sort(list_filter(string_split(query, '&'),
+            p -> p <> '' AND NOT regexp_matches(lower(regexp_extract(p, '^([^=]*)', 1)),
+                   '^(utm_[a-z0-9]+|gclid|fbclid|ref|igshid|mc_cid|mc_eid)$'))), '&') AS q2
+        FROM parts
+      )
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+    FROM canon GROUP BY 1
+    """,
+)
+def q110_url_canonical(spark, sf_dir):
+    """URL canonicalization + URL-level grouping
+    (cleaning.canonical_url): lowercase scheme/host, strip www. /
+    default ports / fragments / trailing slashes / tracking params,
+    sort surviving query params — the canonical key C4-style "one
+    page per URL" dedup groups by. The corpus carries no URLs, so
+    each doc gets one of four messy variants (mixed-case host +
+    explicit :443, utm-tagged, fragment-tagged, http :80 +
+    gclid) derived from doc_id; variants of the same page collapse
+    to one canonical key. Map-only normalization + one compact-key
+    aggregate; the oracle restates every rule verbatim."""
+    from capex_data_pipeline_spark.extensions.cleaning import canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 7).cast("string")
+    m = (F.col("doc_id") % 5).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://WWW.Example"), k, F.lit(".COM:443/path/"), m, F.lit("/")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("https://www.example"), k, F.lit(".com/path/"), m, F.lit("?utm_source=x&b=2&a=1")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://example"), k, F.lit(".com/path/"), m, F.lit("?a=1&b=2#frag")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://www.example"), k, F.lit(".com:80/path/"), m, F.lit("?b=2&a=1&gclid=zz")),
+        )
+    )
+    aug = docs.select("doc_id", url.alias("url"))
+    return (
+        aug.select("url", canonical_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("url").alias("n_variants"),
+        )
+    )

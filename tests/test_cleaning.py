@@ -424,3 +424,33 @@ def test_mixture_sample_null_group_is_sampled(spark):
     # both groups have 100 rows -> equal fractions; null side non-empty
     n_null = sum(1 for r in got if r["lang"] is None)
     assert n_null > 20
+
+
+def test_canonical_url_rules(spark):
+    """Every canonicalization rule, hand-checked: case, www, default
+    vs explicit ports, fragments, trailing slashes, tracking-param
+    removal, query sorting, bare-host and no-query forms."""
+    from capex_data_pipeline_spark.extensions.cleaning import canonical_url
+
+    cases = {
+        "https://WWW.Example.COM:443/path/2/": "https://example.com/path/2",
+        "https://www.example.com/path/2?utm_source=x&b=2&a=1":
+            "https://example.com/path/2?a=1&b=2",
+        "https://example.com/path/2?a=1&b=2#frag":
+            "https://example.com/path/2?a=1&b=2",
+        "http://www.example.com:80/path/2?b=2&a=1&gclid=zz":
+            "http://example.com/path/2?a=1&b=2",
+        "https://example.com:8443/Other?z=9":
+            "https://example.com:8443/Other?z=9",  # non-default port kept
+        "https://example.com": "https://example.com",
+        "http://example.com/a//?utm_campaign=x&fbclid=1":
+            "http://example.com/a",  # all params tracking → no '?'
+        "HTTPS://example.com/A?ref=h&Z=1&a=2":
+            "https://example.com/A?Z=1&a=2",  # ASCII sort: Z < a
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r.url: r.c
+        for r in df.select("url", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    assert got == cases
