@@ -223,8 +223,10 @@ def stress() -> None:
 
     from capex_data_pipeline_spark.extensions.dedup import (
         dedup_clusters,
+        duplicated_spans,
         minhash_near_dups,
         ngram_jaccard_pairs,
+        remove_duplicated_spans,
     )
     from capex_data_pipeline_spark.extensions.semdedup import semantic_dedup
     from capex_data_pipeline_spark.session import get_spark
@@ -348,6 +350,18 @@ def stress() -> None:
             "removed": semantic_dedup(inflated_embs, n_clusters=16)
             .filter(F.col("removed"))
             .count()
+        },
+    )
+    timed(
+        "duplicated_spans",
+        lambda: {
+            "spans": duplicated_spans(inflated, k=6).count()
+        },
+    )
+    timed(
+        "span_removal",
+        lambda: {
+            "docs": remove_duplicated_spans(inflated, k=6).count()
         },
     )
     # the correct scale path: n_clusters ∝ √N (the FAISS sizing rule
