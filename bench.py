@@ -112,6 +112,7 @@ HEADLINE = [
     "q108_span_dedup_removal",
     "q109_bpe_train",
     "q110_url_canonical",
+    "q111_repeated_spans",
     # round-6 full-registry sweep additions: the two most expensive
     # queries that were still outside the headline set (broadcast
     # shingle decontamination; 60-bit simhash segment join)

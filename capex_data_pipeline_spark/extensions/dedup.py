@@ -1137,3 +1137,90 @@ def remove_duplicated_spans(
             .alias("n_removed_tokens"),
         )
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_text: bool = True,
+) -> DataFrame:
+    """WITHIN-document repeated-span detection — the self-repetition
+    half of the Lee et al. modality (:func:`duplicated_spans` is the
+    cross-document half; a suffix array surfaces both): maximal runs
+    of word ``k``-shingles that occur at least ``min_occurrences``
+    times inside the SAME document. This localizes what
+    ``cleaning.repetition_metrics`` only scores — the positions of
+    boilerplate loops, stuttering generations, and copy-paste runs.
+
+    Scale shape: the positional-shingle frame gets its per-(doc,
+    shingle) occurrence count from ONE window on the compact (id,
+    digest) key — no join-back at all — and the islands window then
+    shuffles only self-repeated positions. Map-only otherwise; same
+    over-merge caveat as the cross-doc operator (adjacent positions
+    repeated via different shingles chain into one span).
+
+    Returns one row per maximal span: (id_col, span_start, span_len
+    [, span_text]) over the normalized token stream, 0-based.
+    """
+    if k < 2:
+        raise ValueError(f"repeated_spans: k={k} must be >= 2")
+    if min_occurrences < 2:
+        raise ValueError(
+            f"repeated_spans: min_occurrences={min_occurrences} must be "
+            ">= 2 (1 would mark every position)"
+        )
+    from pyspark.sql.window import Window
+
+    words = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "),
+        lambda s: s != "",
+    )
+    toks = docs.select(F.col(id_col).alias("_id"), words.alias("_tk"))
+    sh = (
+        toks.filter(F.size("_tk") >= k)
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.lit(0), F.size("_tk") - k)
+            ).alias("pos"),
+            "_tk",
+        )
+        .select(
+            "_id",
+            "pos",
+            F.md5(
+                F.array_join(F.slice("_tk", F.col("pos") + 1, k), " ")
+            ).alias("_h"),
+        )
+    )
+    d = sh.withColumn(
+        "_cnt",
+        F.count(F.lit(1)).over(Window.partitionBy("_id", "_h")),
+    ).filter(F.col("_cnt") >= min_occurrences)
+    isl = d.withColumn(
+        "_isl",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("_id").orderBy("pos")),
+    )
+    spans = isl.groupBy("_id", "_isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(k) - F.min("pos")).alias("span_len"),
+    )
+    if not with_text:
+        return spans.select(
+            F.col("_id").alias(id_col),
+            F.col("span_start").cast("long"),
+            F.col("span_len").cast("long"),
+        )
+    return spans.join(toks, "_id").select(
+        F.col("_id").alias(id_col),
+        F.col("span_start").cast("long"),
+        F.col("span_len").cast("long"),
+        F.array_join(
+            F.slice("_tk", F.col("span_start") + 1, F.col("span_len")),
+            " ",
+        ).alias("span_text"),
+    )

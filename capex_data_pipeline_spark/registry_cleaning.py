@@ -974,3 +974,67 @@ def q110_url_canonical(spark, sf_dir):
             F.count_distinct("url").alias("n_variants"),
         )
     )
+
+
+@query(
+    "q111_repeated_spans",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0 THEN text || ' ' || text
+                  ELSE text END AS text
+      FROM documents
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')), ' '),
+                         w -> w <> '') AS tk
+      FROM aug
+    ), sh AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             md5(array_to_string(tk[pos+1 : pos+5], ' ')) AS h
+      FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - 4)) AS pos
+            FROM toks WHERE len(tk) >= 5)
+    ), d AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY doc_id, h) AS c
+        FROM sh)
+      WHERE c >= 2
+    ), isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM d
+    ), spans AS (
+      SELECT doc_id, min(pos) AS span_start,
+             max(pos) + 5 - min(pos) AS span_len
+      FROM isl GROUP BY doc_id, g
+    )
+    SELECT s.doc_id,
+           CAST(s.span_start AS BIGINT) AS span_start,
+           CAST(s.span_len AS BIGINT) AS span_len,
+           array_to_string(t.tk[s.span_start+1 : s.span_start+s.span_len], ' ') AS span_text
+    FROM spans s JOIN toks t USING (doc_id)
+    """,
+)
+def q111_repeated_spans(spark, sf_dir):
+    """Within-document repeated-span localization
+    (dedup.repeated_spans, k=5): maximal runs of word 5-shingles
+    occurring >= 2 times inside the same document — the
+    self-repetition half of the span-dedup modality (q106 is the
+    cross-document half), localizing what repetition_metrics only
+    scores. Every 9th doc is doubled (text || text) so guaranteed
+    full-document self-repeats exist alongside the corpus's natural
+    word-loop repeats. Per-(doc, shingle) counts come from ONE window
+    on the compact digest key — no join-back; the oracle replays the
+    window, the islands merge, and the slice."""
+    from capex_data_pipeline_spark.extensions.dedup import repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return repeated_spans(aug, k=5)

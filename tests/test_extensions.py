@@ -1402,3 +1402,29 @@ def test_fuzzy_self_best_match_random_differential(spark):
         for r in fuzzy_self_best_match(df, "p1", "name", threshold=0.5).collect()
     }
     assert got == expected
+
+
+def test_repeated_spans_within_doc(spark):
+    from capex_data_pipeline_spark.extensions.dedup import repeated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma one two three four one two three four delta"),
+            (2, "all words different here nothing repeats at all today friend"),
+            (3, "x y z x y z x y z"),  # overlapping triple repeat
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_len, r.span_text)
+        for r in repeated_spans(df, k=3).collect()
+    }
+    # doc 1: both occurrences localized, NOT merged (positions 3-4, 7-8)
+    assert (1, 3, 4, "one two three four") in got
+    assert (1, 7, 4, "one two three four") in got
+    # doc 3: every 3-shingle repeats → one maximal whole-doc span
+    assert (3, 0, 9, "x y z x y z x y z") in got
+    assert not any(d == 2 for d, *_ in got)
+    with pytest.raises(ValueError, match="min_occurrences=1"):
+        repeated_spans(df, k=3, min_occurrences=1)

@@ -255,14 +255,15 @@ def test_driver_contract_registry_invariants():
     round-8 q58/q59/q95-q103 retrieval/drift/entropy/quality/graph/tokenizer additions,
     the q104 split-leakage / q105 histogram profiling pair, and the
     round-6 q106/q108 duplicated-span find+removal / q107+q109 BPE
-    encode / q110 URL canonicalization), a full
+    encode / q110 URL canonicalization / q111
+    within-doc repeated spans), a full
     value-exact oracle for EVERY query (no rows-only fallbacks), and
     every bench headline drawn from the registry."""
     import __spark_entry__ as E
     import bench
 
     qs, oracles = E.queries(), E.oracle_sql()
-    assert len(qs) == 110
+    assert len(qs) == 111
     assert set(oracles) == set(qs)
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
     assert set(bench.HEADLINE) <= set(qs)
