@@ -116,3 +116,175 @@ def pagerank(
     return ranks.select(
         F.col("v").alias("vertex"), F.col("r").alias("rank_micro")
     )
+
+
+def _canonical_edges(
+    edges: DataFrame, src_col: str, dst_col: str, assume_canonical: bool
+) -> DataFrame:
+    """Undirected edge set as canonical (a < b) pairs: self-loops and
+    nulls dropped, both orientations collapsed, duplicates removed.
+    ``assume_canonical=True`` skips the distinct (a full edge-list
+    shuffle) when the caller already built the set canonical — e.g. a
+    groupBy(a, b) producer is distinct by construction."""
+    e = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+    ).where(
+        F.col("a").isNotNull()
+        & F.col("b").isNotNull()
+        & (F.col("a") != F.col("b"))
+    )
+    return e if assume_canonical else e.distinct()
+
+
+def _undirected_degrees(und: DataFrame) -> DataFrame:
+    """(v, d) vertex degrees of a canonical undirected edge list — one
+    union + one hash aggregate on the vertex key."""
+    return (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    assume_canonical: bool = False,
+) -> DataFrame:
+    """Exact per-vertex triangle counts by degree-ordered orientation
+    (the classic MapReduce triangle algorithm of Suri–Vassilvitskii /
+    Cohen, public): orient every undirected edge from its lower
+    (degree, id) endpoint to the higher, enumerate wedges at each
+    source, and close them against the oriented edge list.
+
+    Why this survives scale: after orientation every vertex's
+    out-degree is O(sqrt(m)) regardless of how skewed the raw degree
+    distribution is — the celebrity vertex that would make a naive
+    neighbor self-join quadratic becomes the *target* of its edges,
+    never the wedge pivot. Total wedge count is O(m^1.5) worst case,
+    the provable lower bound for exact counting. All three steps are
+    equi-joins / hash aggregates on compact vertex keys; the oriented
+    edge list is persisted once and consumed three times (both wedge
+    sides + the closing probe).
+
+    Ties in degree break by vertex id, so the orientation is a total
+    order and each triangle is counted exactly once, at its minimum
+    (degree, id) corner.
+
+    Returns (vertex, n_triangles) for vertices in >= 1 triangle.
+    """
+    from capex_data_pipeline_spark.cache import persisted
+
+    und = _canonical_edges(edges, src_col, dst_col, assume_canonical)
+    deg = _undirected_degrees(und)
+    ann = und.join(
+        deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = persisted(
+        ann.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("wd"),
+        )
+    )
+    lo = oriented.select("u", F.col("w").alias("v"), F.col("wd").alias("vd"))
+    hi = oriented.select("u", F.col("w").alias("x"), F.col("wd").alias("xd"))
+    wedges = lo.join(hi, "u").where(
+        (F.col("vd") < F.col("xd"))
+        | ((F.col("vd") == F.col("xd")) & (F.col("v") < F.col("x")))
+    )
+    closing = oriented.select(F.col("u").alias("v"), F.col("w").alias("x"))
+    tris = wedges.join(closing, ["v", "x"])
+    return (
+        tris.select(F.explode(F.array("u", "v", "x")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    until_fixpoint: bool = False,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    assume_canonical: bool = False,
+    plan_boundary: bool | str | None = None,
+) -> DataFrame:
+    """k-core by iterative peeling: repeatedly delete vertices with
+    degree < k (and their edges); what survives is the k-core — the
+    standard cohesion filter for graph-shaped corpora (drop weakly
+    connected crawl domains / citation islands before link analysis).
+
+    Two stopping modes:
+
+    - ``rounds=R``: exactly R peel rounds — deterministic work,
+      engine-portable (an external replay can unroll R rounds; the
+      registered query's DuckDB oracle does exactly that). If the
+      peel converges earlier, extra rounds are no-ops on the data.
+    - ``until_fixpoint=True``: peel until an edge-count action shows
+      no change (one tiny driver count per round). The true k-core;
+      rounds are data-dependent, so this path is differential-tested
+      rather than SQL-oracled.
+
+    Per round: ONE degree aggregate on the vertex key + ONE semi join
+    per endpoint against the surviving-vertex set — all compact keys,
+    never materializes neighbor lists. Plans deepen linearly with
+    rounds, so each round's edge frame is cut with
+    :func:`cache.plan_boundary` (same policy as :func:`pagerank`:
+    default on past 4 rounds, ``'staging'`` for dynamic-allocation
+    clusters).
+
+    Returns (vertex, core_deg): surviving vertices with their degree
+    inside the peeled subgraph.
+    """
+    from capex_data_pipeline_spark.cache import plan_boundary as _boundary
+
+    if (rounds is None) == (not until_fixpoint):
+        raise ValueError(
+            "kcore_peel: pass exactly one of rounds= or until_fixpoint=True"
+        )
+    if rounds is not None and rounds < 1:
+        raise ValueError("kcore_peel: rounds must be >= 1")
+    if k < 1:
+        raise ValueError("kcore_peel: k must be >= 1")
+    n_rounds = rounds if rounds is not None else 0
+    if plan_boundary is None:
+        plan_boundary = until_fixpoint or n_rounds > 4
+    boundary_mode = plan_boundary if isinstance(plan_boundary, str) else None
+
+    e = _canonical_edges(edges, src_col, dst_col, assume_canonical)
+    prev_count: int | None = None
+    i = 0
+    while True:
+        if until_fixpoint:
+            n = e.count()
+            if n == prev_count:
+                break
+            prev_count = n
+        elif i >= n_rounds:
+            break
+        i += 1
+        alive = (
+            _undirected_degrees(e)
+            .where(F.col("d") >= k)
+            .select("v")
+        )
+        e = (
+            e.join(alive.select(F.col("v").alias("a")), "a", "left_semi")
+            .join(alive.select(F.col("v").alias("b")), "b", "left_semi")
+            .select("a", "b")
+        )
+        if plan_boundary:
+            e = _boundary(e, mode=boundary_mode, eager=False, label="kcore")
+    return (
+        _undirected_degrees(e)
+        .select(F.col("v").alias("vertex"), F.col("d").alias("core_deg"))
+    )

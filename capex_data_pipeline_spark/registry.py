@@ -721,3 +721,4 @@ from capex_data_pipeline_spark import registry_ext  # noqa: E402,F401  isort:ski
 from capex_data_pipeline_spark import registry_cleaning  # noqa: E402,F401  isort:skip
 from capex_data_pipeline_spark import registry_ts  # noqa: E402,F401  isort:skip
 from capex_data_pipeline_spark import registry_search  # noqa: E402,F401  isort:skip
+from capex_data_pipeline_spark import registry_graph  # noqa: E402,F401  isort:skip

@@ -1,0 +1,159 @@
+"""Round-6 graph-analytics driver queries: exact triangle counting by
+degree-ordered orientation (q112) and bounded k-core peeling (q113),
+both over a thresholded part co-purchase graph derived from lineitem.
+
+Same contract as ``registry``: every entry pairs the Spark operator
+with a full DuckDB oracle restating the semantics independently.
+
+The shared graph: two parts are connected when they appear in the
+same order at least ``MIN_SUPPORT`` times (count of distinct shared
+orders). The within-order pair fanout is bounded by order size (a
+handful of lineitems), so the edge builder never goes quadratic in a
+hot key — it is the item-item co-occurrence projection every
+recommender / market-basket pipeline starts from.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from capex_data_pipeline_spark.registry import _t, query
+
+#: minimum distinct co-occurring orders for a co-purchase edge
+MIN_SUPPORT = 2
+
+#: the co-purchase edge list, DuckDB side (canonical a < b, distinct
+#: by construction of the GROUP BY)
+_COPURCH = f"""
+  SELECT least(x.l_partkey, y.l_partkey) AS a,
+         greatest(x.l_partkey, y.l_partkey) AS b
+  FROM lineitem x
+  JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+  GROUP BY 1, 2
+  HAVING count(DISTINCT x.l_orderkey) >= {MIN_SUPPORT}
+"""
+
+
+def _copurchase_edges(spark, sf_dir):
+    """Canonical (a < b) co-purchase edges with >= MIN_SUPPORT distinct
+    shared orders — distinct by construction (groupBy on the pair)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") != F.col("y.l_partkey")),
+        )
+        .select(
+            F.least(F.col("x.l_partkey"), F.col("y.l_partkey")).alias("a"),
+            F.greatest(F.col("x.l_partkey"), F.col("y.l_partkey")).alias("b"),
+            F.col("x.l_orderkey").alias("ok"),
+        )
+        .groupBy("a", "b")
+        .agg(F.countDistinct("ok").alias("sup"))
+        .where(F.col("sup") >= MIN_SUPPORT)
+        .select("a", "b")
+    )
+
+
+# ------------------------------------------------ triangle counting
+
+
+@query(
+    "q112_triangle_count",
+    f"""
+    WITH pairs AS ({_COPURCH}),
+    tri AS (
+      SELECT p.a AS u, p.b AS v, q.b AS w
+      FROM pairs p
+      JOIN pairs q ON p.a = q.a AND p.b < q.b
+      JOIN pairs r ON r.a = p.b AND r.b = q.b
+    )
+    SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([u, v, w]) AS vertex FROM tri)
+    GROUP BY vertex
+    ORDER BY vertex
+    """,
+)
+def q112_triangle_count(spark, sf_dir):
+    """Exact per-vertex triangle counts on the co-purchase graph
+    (graph.triangle_counts, degree-ordered orientation — wedge pivots
+    have O(sqrt m) out-degree, so the O(m^1.5) bound holds under any
+    degree skew). The oracle enumerates each triangle once the
+    lexicographic way (a < b < c over canonical edges) — a different
+    enumeration order than the Spark operator's (degree, id)
+    orientation, which makes the per-vertex count match a real
+    cross-check rather than a restatement."""
+    from capex_data_pipeline_spark.extensions.graph import triangle_counts
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return triangle_counts(
+        edges, src_col="a", dst_col="b", assume_canonical=True
+    )
+
+
+# ------------------------------------------------ bounded k-core
+
+#: k for the registered peel
+_KCORE_K = 3
+#: peel rounds — fixpoint at the driver's sf0.01 gate takes 10 rounds
+#: (measured); extra rounds are data no-ops, so the bound is safe at
+#: smaller SFs too
+_KCORE_ROUNDS = 10
+
+#: one peel round in DuckDB SQL: keep edges whose BOTH endpoints have
+#: degree >= k in the previous round's subgraph
+_KCORE_ITER = f"""
+  SELECT e.a, e.b FROM {{prev}} e
+  WHERE e.a IN (SELECT v FROM (
+          SELECT v, count(*) AS d FROM (
+            SELECT a AS v FROM {{prev}} UNION ALL SELECT b AS v FROM {{prev}}
+          ) GROUP BY v) WHERE d >= {_KCORE_K})
+    AND e.b IN (SELECT v FROM (
+          SELECT v, count(*) AS d FROM (
+            SELECT a AS v FROM {{prev}} UNION ALL SELECT b AS v FROM {{prev}}
+          ) GROUP BY v) WHERE d >= {_KCORE_K})
+"""
+
+
+def _kcore_sql() -> str:
+    # AS MATERIALIZED: each round references the previous one 3×, so
+    # inlined CTEs would expand 3^rounds-fold (and DuckDB would open
+    # the base parquet thousands of times — observed as an fd blowup)
+    ctes = [f"e0 AS MATERIALIZED ({_COPURCH})"]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            f"e{i} AS MATERIALIZED ({_KCORE_ITER.format(prev=f'e{i - 1}')})"
+        )
+    last = f"e{_KCORE_ROUNDS}"
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT v AS vertex, CAST(count(*) AS BIGINT) AS core_deg
+    FROM (SELECT a AS v FROM {last} UNION ALL SELECT b AS v FROM {last})
+    GROUP BY v
+    ORDER BY v
+    """
+
+
+@query("q113_kcore", _kcore_sql())
+def q113_kcore(spark, sf_dir):
+    """Bounded 3-core peel of the co-purchase graph, 10 rounds
+    (graph.kcore_peel): repeatedly delete vertices with degree < 3.
+    10 rounds reaches the true fixpoint at the sf0.01 gate (measured;
+    the ``until_fixpoint`` mode is differential-tested separately —
+    data-dependent round counts can't be SQL-unrolled). The oracle
+    unrolls all 10 rounds as chained CTEs, so every intermediate
+    degree cut is replayed exactly."""
+    from capex_data_pipeline_spark.extensions.graph import kcore_peel
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return kcore_peel(
+        edges,
+        k=_KCORE_K,
+        rounds=_KCORE_ROUNDS,
+        src_col="a",
+        dst_col="b",
+        assume_canonical=True,
+    )
