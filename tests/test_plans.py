@@ -5,6 +5,8 @@ all-pairs nested loop) fails CI instead of failing at 100 TB."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -249,21 +251,29 @@ def test_clear_pipeline_cache_releases_memoized_runs(spark):
 
 
 def test_driver_contract_registry_invariants():
-    """Pin the driver-contract shape: exactly 106 registered queries
+    """Pin the driver-contract shape: exactly 113 registered queries
     (50 at the round-3 consolidation; q38 + q44-q49 corpus-prep, the
     q63-q89 cleaning/curation/temporal/analytics families, the
     round-8 q58/q59/q95-q103 retrieval/drift/entropy/quality/graph/tokenizer additions,
-    the q104 split-leakage / q105 histogram profiling pair, and the
+    the q104 split-leakage / q105 histogram profiling pair, the
     round-6 q106/q108 duplicated-span find+removal / q107+q109 BPE
-    encode / q110 URL canonicalization / q111
-    within-doc repeated spans), a full
+    encode / q110 URL canonicalization / q111 within-doc repeated
+    spans, and the round-6/7 graph family q112 triangle counting /
+    q113 k-core peel), a full
     value-exact oracle for EVERY query (no rows-only fallbacks), and
     every bench headline drawn from the registry."""
     import __spark_entry__ as E
     import bench
 
     qs, oracles = E.queries(), E.oracle_sql()
-    assert len(qs) == 111
+    assert len(qs) == 113
+    # drift lint: registered names must be a contiguous q1..qN block, so
+    # an added/removed query fails HERE with the offending number, not
+    # just a bare count mismatch
+    nums = sorted(int(re.match(r"q(\d+)", n).group(1)) for n in qs)
+    assert nums == list(range(1, len(qs) + 1)), (
+        f"query numbering drifted: missing/dup numbers in {nums[-5:]}"
+    )
     assert set(oracles) == set(qs)
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
     assert set(bench.HEADLINE) <= set(qs)
