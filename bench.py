@@ -118,6 +118,13 @@ HEADLINE = [
     # shingle decontamination; 60-bit simhash segment join)
     "q47_contamination",
     "q32_simhash",
+    # round-7 graph family: degree-ordered triangle enumeration (the
+    # one deliberately superlinear plan in the repo, O(m^1.5)), the
+    # 10-round k-core peel, and 12-round min-label connected
+    # components — all over the thresholded co-purchase edge list
+    "q112_triangle_count",
+    "q113_kcore",
+    "q114_connected_components",
 ]
 
 
@@ -209,8 +216,8 @@ def stress() -> None:
     ``SPARK_GRAFT_STRESS_FACTOR``× near-dup explosion on 20% of
     documents (copies share the full original text and differ by a
     2-token suffix) plus a degenerate boilerplate cluster (every
-    97th doc rewritten to one identical short string — the hot-bucket
-    case the caps exist for). Runs minhash / ngram-jaccard /
+    11th doc — ~9% of the corpus — rewritten to one identical short
+    string, the hot-bucket case the caps exist for). Runs minhash / ngram-jaccard /
     clustering / semantic-dedup capped AND uncapped and prints one
     JSON line with wall-clock, candidate counts, and cap stats, so
     candidate growth is measured rather than asserted."""

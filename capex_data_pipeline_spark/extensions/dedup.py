@@ -1059,8 +1059,18 @@ def remove_duplicated_spans(
     document's normalized token stream. :func:`duplicated_spans`
     finds; this fixes.
 
-    Because per-document spans are MAXIMAL islands they never overlap
-    within a doc, so cuts compose by simple position filtering. The
+    Per-document spans are MAXIMAL islands of duplicated shingle
+    START positions, so within a doc no two spans share a shingle
+    start — cuts therefore compose by simple position filtering on
+    token index. Note the islands are disjoint in shingle starts,
+    NOT necessarily in token ranges: two islands whose start
+    positions are separated by a gap of 1..k-1 overlap in their last/
+    first k-1 tokens, so cutting a non-canonical span can remove
+    tokens that also belong to a kept canonical occurrence nearby
+    (eroding up to k-1 of its edge tokens). The engine and the q108
+    oracle implement identical semantics here — the "keep exactly ONE
+    occurrence" contract is exact for spans ≥ k tokens apart and
+    edge-approximate for near-adjacent ones. The
     cleaned text is the normalized token stream minus cut spans —
     span dedup operates on normalized tokens by construction, so the
     output stays in that space (one more reason the normalization is

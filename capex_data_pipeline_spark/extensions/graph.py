@@ -208,6 +208,115 @@ def triangle_counts(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int | None = None,
+    until_fixpoint: bool = False,
+    max_iter: int = 50,
+    plan_boundary: bool | str | None = None,
+    assume_canonical: bool = False,
+) -> DataFrame:
+    """Connected components of an undirected edge list by min-label
+    propagation — the public graph-operator form of the loop proven
+    inside ``dedup.dedup_clusters`` (each vertex's label becomes the
+    min of its own and its neighbors', iterated; converges in
+    ``diameter(G)`` rounds). Self-loops, duplicate edges, and either
+    orientation are tolerated (canonicalized up front; skip with
+    ``assume_canonical=True`` when the producer is already a distinct
+    a<b frame, e.g. a groupBy(a, b) edge builder).
+
+    Two stopping modes (same contract as :func:`kcore_peel`):
+
+    - ``rounds=R``: exactly R propagation rounds — deterministic,
+      engine-portable (an external replay can unroll R rounds; the
+      registered query's DuckDB oracle does exactly that). The result
+      is the true component labeling iff R >= diameter; extra rounds
+      are data no-ops.
+    - ``until_fixpoint=True``: iterate until a changed-label count
+      reaches zero (one tiny driver count per round). The true
+      components for any graph; raises after ``max_iter`` rounds
+      without convergence rather than silently returning a split
+      labeling (no silent caps). Differential-tested against a
+      driver-side union-find replay in ``tests/test_graph.py``.
+
+    Per round: ONE equi-join of the symmetric edge list to the label
+    frame + ONE hash aggregate on the vertex key — compact (id, label)
+    pairs only, neighbor lists never materialize. The symmetric edge
+    frame is persisted once (``rounds``+1 consumers). Plans deepen
+    linearly with rounds, so each round's label frame is cut via
+    :func:`cache.plan_boundary` (default on past 4 rounds or in
+    fixpoint mode; ``'staging'`` for dynamic-allocation clusters).
+
+    Returns (vertex, component) with component = min vertex id in the
+    (R-round-reachable) component.
+    """
+    from capex_data_pipeline_spark.cache import persisted
+    from capex_data_pipeline_spark.cache import plan_boundary as _boundary
+
+    if (rounds is None) == (not until_fixpoint):
+        raise ValueError(
+            "connected_components: pass exactly one of rounds= or "
+            "until_fixpoint=True"
+        )
+    if rounds is not None and rounds < 1:
+        raise ValueError("connected_components: rounds must be >= 1")
+    if plan_boundary is None:
+        plan_boundary = until_fixpoint or (rounds or 0) > 4
+    boundary_mode = plan_boundary if isinstance(plan_boundary, str) else None
+
+    und = _canonical_edges(edges, src_col, dst_col, assume_canonical)
+    # symmetric orientation so one equi-join sees both neighbor sides;
+    # isolated self-loop-only vertices were dropped by canonicalization
+    # (a self-loop adds no connectivity), matching dedup_clusters
+    sym = persisted(
+        und.unionAll(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+    )
+    labels = sym.select(F.col("a").alias("v")).distinct().withColumn(
+        "lbl", F.col("v")
+    )
+    if plan_boundary:
+        labels = _boundary(labels, mode=boundary_mode, eager=False, label="cc")
+    i = 0
+    while True:
+        if not until_fixpoint and i >= rounds:
+            break
+        i += 1
+        nbr = sym.join(
+            labels.withColumnRenamed("v", "b").select("b", "lbl"), "b"
+        ).select(F.col("a").alias("v"), "lbl")
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        if plan_boundary:
+            new = _boundary(new, mode=boundary_mode, eager=False, label="cc")
+        if until_fixpoint:
+            changed = (
+                new.join(labels.withColumnRenamed("lbl", "_old"), "v")
+                .where(F.col("lbl") != F.col("_old"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+            if i >= max_iter:
+                raise ValueError(
+                    f"connected_components: no fixpoint after max_iter="
+                    f"{max_iter} rounds (component diameter exceeds the "
+                    "bound); raise max_iter"
+                )
+        else:
+            labels = new
+    return labels.select(
+        F.col("v").alias("vertex"), F.col("lbl").alias("component")
+    )
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int,

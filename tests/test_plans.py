@@ -251,7 +251,7 @@ def test_clear_pipeline_cache_releases_memoized_runs(spark):
 
 
 def test_driver_contract_registry_invariants():
-    """Pin the driver-contract shape: exactly 113 registered queries
+    """Pin the driver-contract shape: exactly 114 registered queries
     (50 at the round-3 consolidation; q38 + q44-q49 corpus-prep, the
     q63-q89 cleaning/curation/temporal/analytics families, the
     round-8 q58/q59/q95-q103 retrieval/drift/entropy/quality/graph/tokenizer additions,
@@ -259,14 +259,14 @@ def test_driver_contract_registry_invariants():
     round-6 q106/q108 duplicated-span find+removal / q107+q109 BPE
     encode / q110 URL canonicalization / q111 within-doc repeated
     spans, and the round-6/7 graph family q112 triangle counting /
-    q113 k-core peel), a full
+    q113 k-core peel / q114 connected components), a full
     value-exact oracle for EVERY query (no rows-only fallbacks), and
     every bench headline drawn from the registry."""
     import __spark_entry__ as E
     import bench
 
     qs, oracles = E.queries(), E.oracle_sql()
-    assert len(qs) == 113
+    assert len(qs) == 114
     # drift lint: registered names must be a contiguous q1..qN block, so
     # an added/removed query fails HERE with the offending number, not
     # just a bare count mismatch
