@@ -421,6 +421,147 @@ def stress() -> None:
     spark.stop()
 
 
+def stress_graph() -> None:
+    """``bench.py --stress-graph``: adversarial-skew stress for the
+    graph family (q112/q113/q114) on a synthetic celebrity-vertex
+    graph far beyond the sf corpora: vertices 1..N-1 in a path, one
+    hub (vertex 0) adjacent to every 5th vertex (20% of vertices —
+    the degree skew that makes a naive neighbor-list self-join
+    quadratic), and a cyclic chord chain over the hub's neighbors so
+    every chord closes exactly one triangle through the hub.
+
+    The shape makes the key numbers *checkable in closed form*:
+    expected triangles == number of chords; the 3-core == hub + its
+    spoke set; the graph is one component with diameter <= ~4, so
+    CC's fixpoint arrives in a handful of rounds. The output records
+    ``naive_hub_wedges`` (C(hub_deg, 2) — the pair volume the naive
+    algorithm would emit at the hub alone) next to
+    ``oriented_wedges`` (the realized wedge volume after
+    degree-ordered orientation, measured from the same degree
+    frames) — the O(m^1.5)-vs-quadratic gap measured rather than
+    asserted. All constructed edges are canonical (a < b) and
+    distinct by construction, matching the q112-q114 registry path
+    (assume_canonical=True)."""
+    n = int(os.environ.get("SPARK_GRAFT_STRESS_GRAPH_N", "500000"))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.extensions.graph import (
+        _undirected_degrees,
+        connected_components,
+        kcore_peel,
+        triangle_counts,
+    )
+    from capex_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="capex-stress-graph",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spokes_ids = spark.range(5, n, 5)  # the hub's 20% neighbor set
+    spokes = spokes_ids.select(
+        F.lit(0).cast("long").alias("a"), F.col("id").alias("b")
+    )
+    path = spark.range(1, n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    # cyclic chord chain over the spoke set: (5,10),(10,15),...,(max,5)
+    last_spoke = ((n - 1) // 5) * 5
+    chords = (
+        spark.range(5, last_spoke, 5)
+        .select(F.col("id").alias("a"), (F.col("id") + 5).alias("b"))
+        .unionByName(
+            spark.range(1).select(
+                F.lit(5).cast("long").alias("a"),
+                F.lit(last_spoke).cast("long").alias("b"),
+            )
+        )
+    )
+    edges = spokes.unionByName(path).unionByName(chords).persist()
+    m = edges.count()
+    n_spokes = spokes_ids.count()
+    n_chords = n_spokes  # cyclic chain: one chord per spoke
+    hub_deg = n_spokes
+
+    # measured wedge volumes from the SAME (degree, id) orientation
+    # the operator uses: naive = sum C(deg, 2); oriented = sum over
+    # wedge pivots C(outdeg, 2)
+    deg = _undirected_degrees(edges)
+    naive_wedges = deg.select(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("w")
+    ).collect()[0]["w"]
+    ann = edges.join(
+        deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    outdeg = (
+        ann.select(F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    oriented_stats = outdeg.select(
+        F.sum(F.expr("c * (c - 1) div 2")).alias("w"),
+        F.max("c").alias("max_outdeg"),
+    ).collect()[0]
+
+    out: dict[str, dict] = {}
+
+    def timed(label, fn):
+        _reset_engine_caches()
+        t0 = time.perf_counter()
+        value = fn()
+        out[label] = {"sec": round(time.perf_counter() - t0, 4), **value}
+
+    def _tri():
+        res = triangle_counts(edges, src_col="a", dst_col="b",
+                              assume_canonical=True)
+        total = res.select(
+            (F.sum("n_triangles") / 3).cast("long").alias("t")
+        ).collect()[0]["t"]
+        return {"triangles": total, "expected": n_chords,
+                "exact": bool(total == n_chords)}
+
+    def _kcore():
+        res = kcore_peel(edges, k=3, until_fixpoint=True, src_col="a",
+                         dst_col="b", assume_canonical=True)
+        survivors = res.count()
+        return {"core_vertices": survivors, "expected": n_spokes + 1,
+                "exact": bool(survivors == n_spokes + 1)}
+
+    def _cc():
+        res = connected_components(edges, until_fixpoint=True, src_col="a",
+                                   dst_col="b", assume_canonical=True)
+        comps = res.select("component").distinct().count()
+        return {"components": comps, "expected": 1,
+                "exact": bool(comps == 1)}
+
+    timed("triangle_counts", _tri)
+    timed("kcore_k3_fixpoint", _kcore)
+    timed("cc_fixpoint", _cc)
+    print(
+        json.dumps(
+            {
+                "metric": "stress_graph",
+                "value": round(sum(v["sec"] for v in out.values()), 4),
+                "unit": "sec",
+                "n_vertices": n,
+                "n_edges": m,
+                "hub_degree": hub_deg,
+                "naive_hub_wedges": hub_deg * (hub_deg - 1) // 2,
+                "naive_wedges_total": int(naive_wedges),
+                "oriented_wedges_total": int(oriented_stats["w"]),
+                "max_oriented_outdeg": int(oriented_stats["max_outdeg"]),
+                "runs": out,
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -509,6 +650,8 @@ def main() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv[1:]:
         scaling_check()
+    elif "--stress-graph" in sys.argv[1:]:
+        stress_graph()
     elif "--stress" in sys.argv[1:]:
         stress()
     else:
