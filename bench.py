@@ -125,6 +125,8 @@ HEADLINE = [
     "q112_triangle_count",
     "q113_kcore",
     "q114_connected_components",
+    "q115_kmeans",
+    "q116_label_propagation",
 ]
 
 

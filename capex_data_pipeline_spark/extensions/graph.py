@@ -397,3 +397,117 @@ def kcore_peel(
         _undirected_degrees(e)
         .select(F.col("v").alias("vertex"), F.col("d").alias("core_deg"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int | None = None,
+    until_fixpoint: bool = False,
+    max_iter: int = 30,
+    plan_boundary: bool | str | None = None,
+    assume_canonical: bool = False,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007, made deterministic): every vertex starts labeled with
+    its own id; each round it adopts the label that is MOST FREQUENT
+    among its neighbors, ties broken by the smallest label — a fully
+    deterministic, engine-replayable update rule (the classic
+    formulation breaks ties randomly; random ties are not oracle-able
+    and not reproducible across partitionings either).
+
+    Two stopping modes (same contract as :func:`kcore_peel` /
+    :func:`connected_components`):
+
+    - ``rounds=R``: exactly R synchronous rounds — deterministic and
+      engine-portable (the registered query's DuckDB oracle unrolls R
+      rounds in MATERIALIZED CTEs).
+    - ``until_fixpoint=True``: iterate until no label changes (one
+      tiny driver count per round), raising after ``max_iter`` rounds
+      rather than silently returning (no silent caps). NOTE:
+      synchronous LPA can 2-cycle on bipartite-ish structure (labels
+      swap sides forever) — that surfaces as the loud ``max_iter``
+      raise, and bounded ``rounds=`` mode is the documented fallback.
+
+    Per round: ONE equi-join of the symmetric edge list to the label
+    frame + TWO hash aggregates on compact keys — (v, lbl) neighbor
+    counts, then the per-vertex argmax as ``min(struct(-count,
+    lbl))``, which keeps the argmax inside a map-side-combining
+    aggregate instead of paying a window sort-shuffle. Neighbor lists
+    never materialize. The symmetric frame is persisted once; each
+    round's label frame is cut via :func:`cache.plan_boundary`
+    (default on past 4 rounds or in fixpoint mode; ``'staging'`` for
+    dynamic-allocation clusters).
+
+    Returns (vertex, community). Vertices keep their own id as the
+    community only if no neighbor label ever beats it — isolated
+    vertices don't appear (an edge list carries no isolated vertices).
+    """
+    from capex_data_pipeline_spark.cache import persisted
+    from capex_data_pipeline_spark.cache import plan_boundary as _boundary
+
+    if (rounds is None) == (not until_fixpoint):
+        raise ValueError(
+            "label_propagation: pass exactly one of rounds= or "
+            "until_fixpoint=True"
+        )
+    if rounds is not None and rounds < 1:
+        raise ValueError("label_propagation: rounds must be >= 1")
+    if plan_boundary is None:
+        plan_boundary = until_fixpoint or (rounds or 0) > 4
+    boundary_mode = plan_boundary if isinstance(plan_boundary, str) else None
+
+    und = _canonical_edges(edges, src_col, dst_col, assume_canonical)
+    sym = persisted(
+        und.unionAll(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+    )
+    labels = sym.select(F.col("a").alias("v")).distinct().withColumn(
+        "lbl", F.col("v")
+    )
+    if plan_boundary:
+        labels = _boundary(labels, mode=boundary_mode, eager=False, label="lpa")
+    i = 0
+    while True:
+        if not until_fixpoint and i >= rounds:
+            break
+        i += 1
+        nbr = sym.join(
+            labels.withColumnRenamed("v", "b").select("b", "lbl"), "b"
+        ).select(F.col("a").alias("v"), "lbl")
+        cnt = nbr.groupBy("v", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        new = (
+            cnt.groupBy("v")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("lbl").alias("l")
+                    )
+                ).alias("m")
+            )
+            .select("v", F.col("m.l").alias("lbl"))
+        )
+        if plan_boundary:
+            new = _boundary(new, mode=boundary_mode, eager=False, label="lpa")
+        if until_fixpoint:
+            changed = (
+                new.join(labels.withColumnRenamed("lbl", "_old"), "v")
+                .where(F.col("lbl") != F.col("_old"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+            if i >= max_iter:
+                raise ValueError(
+                    f"label_propagation: no fixpoint after max_iter="
+                    f"{max_iter} rounds (synchronous LPA can 2-cycle on "
+                    "bipartite structure); use bounded rounds= instead"
+                )
+        else:
+            labels = new
+    return labels.select(
+        F.col("v").alias("vertex"), F.col("lbl").alias("community")
+    )

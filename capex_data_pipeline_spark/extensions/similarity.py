@@ -419,3 +419,119 @@ def group_centroids(
             ).alias("centroid"),
         )
     )
+
+
+def _sqdist_cells(
+    vec_name: str, centers: list[list[float]], decimals: int = 6
+) -> Column:
+    """Array of (dist, cluster) structs over plan-literal centers —
+    ``array_sort`` gives nearest-first with cluster-index tie-break,
+    matching an oracle's ``row_number ORDER BY dist, cluster``.
+
+    The squared-Euclidean fold runs in index order (``zip_with`` +
+    sequential ``aggregate`` seeded with ``0D`` — IEEE ``0 + x == x``,
+    so the op sequence is bit-identical to DuckDB's
+    ``list_reduce(list_transform(...))`` first-element-seeded fold),
+    and ``round(…, decimals)`` is applied BEFORE the argmin on both
+    engines, so near-ties resolve by the shared cluster-index
+    tie-break rather than last-ulp summation noise."""
+    cells = ", ".join(
+        "named_struct('dist', round(aggregate(zip_with({v}, {c},"
+        " (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x),"
+        " {d}), 'cluster', {i})".format(
+            v=vec_name, c=_arr_sql(c), d=decimals, i=i
+        )
+        for i, c in enumerate(centers)
+    )
+    return F.expr(f"array({cells})")
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    rounds: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Engine-portable Lloyd's k-means: deterministic init (the ``k``
+    vectors sorting first by ``md5(id)`` — the same closed-form sample
+    :func:`assign_cells` uses), then ``rounds`` full Lloyd iterations
+    (nearest-center assignment by squared Euclidean distance, then
+    per-cluster per-dimension means as the new centers), returning the
+    final assignment ``(id_col, cluster, dist)`` under the centers
+    after the last update.
+
+    Unlike ``pyspark.ml.clustering.KMeans`` (random init, model
+    state), every stage here is closed-form over the data, so an
+    independent SQL engine can re-derive the full result value-exact —
+    the same property that gives IVF search (q37) its oracle. The
+    cross-engine determinism levers: distances round to ``decimals``
+    BEFORE the argmin (cluster-index tie-break), centroid means round
+    to ``decimals`` with the repo's ``+ 0.0`` IEEE -0.0 collapse, and
+    the rounded centers feed forward, so per-round rounding re-anchors
+    both engines instead of letting ulp noise compound.
+
+    Scale shape: the model state (k × dim doubles) lives driver-side
+    and is compiled into each round's plan as literals — the k-means
+    scale model every distributed implementation uses (MLlib, FAISS) —
+    so per round the data pays ONE map-only assignment pass plus ONE
+    hash aggregate on (cluster, dim) keys (k·dim cells, map-side
+    partial aggregation; never a collect_list of member vectors). The
+    input projection is persisted once and reused by every round's
+    job. Empty clusters keep their previous center (deterministic, and
+    what sample-init k-means implementations conventionally do).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    from capex_data_pipeline_spark.cache import persisted
+
+    pts = persisted(
+        df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        ).filter(F.col("_v").isNotNull() & (F.size("_v") > 0))
+    )
+    # init: tiny driver collect (k rows) — centers become plan literals
+    rows = (
+        pts.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(
+            f"k={k} but only {len(rows)} non-empty vectors to seed from"
+        )
+    centers = [list(map(float, r["_v"])) for r in rows]
+
+    for _ in range(rounds):
+        assigned = pts.withColumn(
+            "cluster",
+            F.array_sort(_sqdist_cells("_v", centers, decimals))[0][
+                "cluster"
+            ],
+        )
+        per_dim = (
+            assigned.select("cluster", F.posexplode("_v").alias("_dim", "_x"))
+            .groupBy("cluster", "_dim")
+            .agg((F.round(F.avg("_x"), decimals) + F.lit(0.0)).alias("_m"))
+        )
+        # k*dim rows (the model) — the only driver traffic per round
+        got: dict[int, dict[int, float]] = {}
+        for r in per_dim.collect():
+            got.setdefault(r["cluster"], {})[r["_dim"]] = r["_m"]
+        centers = [
+            [got[i][d] for d in range(len(centers[i]))]
+            if i in got
+            else centers[i]
+            for i in range(k)
+        ]
+
+    best = F.array_sort(_sqdist_cells("_v", centers, decimals))[0]
+    return pts.withColumn("_best", best).select(
+        F.col(id_col),
+        F.col("_best")["cluster"].alias("cluster"),
+        F.col("_best")["dist"].alias("dist"),
+    )

@@ -222,3 +222,69 @@ def q113_kcore(spark, sf_dir):
         dst_col="b",
         assume_canonical=True,
     )
+
+
+# ------------------------------------------------ label propagation
+
+#: synchronous LPA rounds for the registered query — communities on
+#: the co-purchase graph stabilize within a handful of rounds; a fixed
+#: bound keeps the update engine-portable (both engines replay the
+#: identical deterministic rule, converged or not)
+_LPA_ROUNDS = 4
+
+#: one synchronous LPA round in DuckDB SQL: each vertex adopts the
+#: most frequent label among its neighbors' previous-round labels,
+#: ties to the smallest label
+_LPA_ITER = """
+  SELECT v, lbl FROM (
+    SELECT v, lbl,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+    FROM (
+      SELECT e.a AS v, l.lbl, count(*) AS c
+      FROM sym e JOIN {prev} l ON l.v = e.b
+      GROUP BY 1, 2
+    )
+  ) WHERE rn = 1
+"""
+
+
+def _lpa_sql() -> str:
+    # AS MATERIALIZED: the same CTE-expansion guard as q113/q114
+    ctes = [
+        f"e0 AS MATERIALIZED ({_COPURCH})",
+        "sym AS MATERIALIZED (SELECT a, b FROM e0"
+        " UNION ALL SELECT b AS a, a AS b FROM e0)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS lbl FROM sym)",
+    ]
+    for i in range(1, _LPA_ROUNDS + 1):
+        ctes.append(
+            f"l{i} AS MATERIALIZED ({_LPA_ITER.format(prev=f'l{i - 1}')})"
+        )
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT v AS vertex, lbl AS community FROM l{_LPA_ROUNDS}
+    ORDER BY vertex
+    """
+
+
+@query("q116_label_propagation", _lpa_sql())
+def q116_label_propagation(spark, sf_dir):
+    """Community detection on the co-purchase graph: 4 synchronous
+    label-propagation rounds (graph.label_propagation — Raghavan et
+    al. 2007 with a deterministic most-frequent-then-smallest-label
+    rule instead of random tie-breaks, which makes the update
+    engine-replayable). Per round one compact-key neighbor join and
+    two map-side-combining aggregates — the argmax is min(struct(-c,
+    lbl)), never a window sort. The oracle unrolls all 4 rounds as
+    materialized CTEs with the row_number restatement of the same
+    tie-break."""
+    from capex_data_pipeline_spark.extensions.graph import label_propagation
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return label_propagation(
+        edges,
+        rounds=_LPA_ROUNDS,
+        src_col="a",
+        dst_col="b",
+        assume_canonical=True,
+    )

@@ -788,3 +788,101 @@ def q109_bpe_train(spark, sf_dir):
     return bpe_train(
         _t(spark, sf_dir, "documents"), n_merges=_BPE_TRAIN_ROUNDS
     )
+
+
+# ------------------------------------------------ Lloyd's k-means
+
+#: registered k-means shape — small enough that the oracle's unrolled
+#: rounds stay readable, large enough that assignments actually move
+#: (round-over-round reassignments observed at every SF)
+_KM_K = 8
+_KM_ROUNDS = 4
+
+#: one assignment step in DuckDB SQL against centers CTE {c}: nearest
+#: cluster by squared Euclidean distance, rounded to 6 decimals BEFORE
+#: the argmin (cluster-index tie-break) — the same pre-argmin rounding
+#: the engine applies, so near-ties resolve identically. The distance
+#: fold is list_reduce over an index-ordered list_transform: the
+#: first-element-seeded sequential fold performs the identical IEEE op
+#: sequence as the engine's 0D-seeded aggregate (0 + x == x).
+_KM_ASSIGN = """
+  SELECT vec_id, cluster, dist FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
+             AS rn
+    FROM (
+      SELECT p.vec_id, c.cluster,
+             round(list_reduce(
+               list_transform(range(1, len(p.v) + 1),
+                              i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i])),
+               (acc, x) -> acc + x), 6) AS dist
+      FROM pts p, {c} c
+    )
+  ) WHERE rn = 1
+"""
+
+#: one center-update step: per-cluster per-dim mean of members
+#: (round(…, 6) + 0.0 — the repo's IEEE -0.0 collapse), reassembled
+#: dim-ordered; empty clusters keep their previous center
+_KM_UPDATE = """
+  SELECT pc.cluster, coalesce(nw.v, pc.v) AS v
+  FROM {prev} pc LEFT JOIN (
+    SELECT cluster, list(m ORDER BY dim) AS v FROM (
+      SELECT a.cluster, e.dim AS dim, round(avg(e.x), 6) + 0.0 AS m
+      FROM {a} a JOIN (
+        SELECT vec_id,
+               unnest(list_transform(range(1, len(v) + 1),
+                                     i -> {{'dim': i - 1, 'x': v[i]}})) AS e
+        FROM pts
+      ) ex USING (vec_id)
+      GROUP BY 1, 2
+    ) GROUP BY 1
+  ) nw USING (cluster)
+"""
+
+
+def _kmeans_sql() -> str:
+    # AS MATERIALIZED: each round's update references both the
+    # assignment and the previous centers — the same CTE-expansion
+    # guard as q113/q114
+    ctes = [
+        """pts AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+    )""",
+        f"""c0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT)
+               AS cluster, v
+      FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+            FROM pts ORDER BY h, vec_id LIMIT {_KM_K})
+    )""",
+    ]
+    for r in range(1, _KM_ROUNDS + 1):
+        ctes.append(
+            f"a{r} AS MATERIALIZED ({_KM_ASSIGN.format(c=f'c{r - 1}')})"
+        )
+        ctes.append(
+            f"c{r} AS MATERIALIZED "
+            f"({_KM_UPDATE.format(prev=f'c{r - 1}', a=f'a{r}')})"
+        )
+    final = _KM_ASSIGN.format(c=f"c{_KM_ROUNDS}")
+    return f"WITH {', '.join(ctes)} {final}"
+
+
+@query("q115_kmeans", _kmeans_sql())
+def q115_kmeans(spark, sf_dir):
+    """Engine-portable Lloyd's k-means (similarity.kmeans_lloyd, k=8,
+    4 rounds): deterministic md5-sample init, per-round map-only
+    nearest-center assignment against plan-literal centers + ONE
+    (cluster, dim) hash aggregate for the update — the k×dim model
+    rides the driver like every distributed k-means (MLlib, FAISS),
+    the data never shuffles on anything wider than (cluster, dim).
+    Unlike the pyspark.ml quantizer inside q37's default mode, every
+    stage is closed-form over the data, so the oracle re-derives init,
+    all 4 assignment/update rounds, and the final assignment
+    value-exact in unrolled MATERIALIZED CTEs."""
+    from capex_data_pipeline_spark.extensions.similarity import kmeans_lloyd
+
+    return kmeans_lloyd(
+        _t(spark, sf_dir, "embeddings"), k=_KM_K, rounds=_KM_ROUNDS
+    )

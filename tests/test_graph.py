@@ -371,3 +371,162 @@ def test_cc_max_iter_raises_loudly(spark):
         connected_components(
             _edges_df(spark, pairs), until_fixpoint=True, max_iter=3
         )
+
+
+# ------------------------------------------------ label_propagation
+
+
+def _py_lpa(pairs, rounds=None, fixpoint=False, max_iter=30):
+    """Driver-side replay of the deterministic synchronous LPA rule:
+    most frequent neighbor label, ties to smallest label."""
+    from collections import Counter, defaultdict
+
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    adj = defaultdict(list)
+    for a, b in und:
+        adj[a].append(b)
+        adj[b].append(a)
+    lbl = {v: v for v in adj}
+    i = 0
+    while True:
+        if not fixpoint and i >= rounds:
+            return lbl
+        i += 1
+        new = {}
+        for v, ns in adj.items():
+            cnt = Counter(lbl[n] for n in ns)
+            new[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if fixpoint:
+            if new == lbl:
+                return new
+            if i >= max_iter:
+                raise ValueError("no fixpoint")
+        lbl = new
+
+
+def _lpa_rows(df):
+    return sorted((r["vertex"], r["community"]) for r in df.collect())
+
+
+def test_lpa_triangle_hand_computed(spark):
+    """K3 hand trace: round 1 gives {1:2, 2:1, 3:1}; round 2 collapses
+    to all-1 (most frequent neighbor label), which is the fixpoint."""
+    from capex_data_pipeline_spark.extensions.graph import label_propagation
+
+    df = _edges_df(spark, [(1, 2), (1, 3), (2, 3)])
+    assert _lpa_rows(label_propagation(df, rounds=1)) == [
+        (1, 2), (2, 1), (3, 1),
+    ]
+    assert _lpa_rows(label_propagation(df, rounds=2)) == [
+        (1, 1), (2, 1), (3, 1),
+    ]
+    assert _lpa_rows(
+        label_propagation(df, until_fixpoint=True)
+    ) == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_lpa_two_components_stay_separate(spark):
+    """Disconnected K3s never share labels."""
+    from capex_data_pipeline_spark.extensions.graph import label_propagation
+
+    df = _edges_df(
+        spark, [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12)]
+    )
+    got = dict(_lpa_rows(label_propagation(df, rounds=4)))
+    assert {got[1], got[2], got[3]} & {got[10], got[11], got[12]} == set()
+
+
+def test_lpa_differential_random(spark):
+    """Random graphs vs the driver-side replay at several round
+    counts — exact label-for-label equality."""
+    from capex_data_pipeline_spark.extensions.graph import label_propagation
+
+    rng = random.Random(13)
+    pairs = sorted(
+        {
+            (a, b)
+            for a, b in itertools.combinations(range(25), 2)
+            if rng.random() < 0.15
+        }
+    )
+    df = _edges_df(spark, pairs)
+    for rounds in (1, 3, 5):
+        exp = sorted(_py_lpa(pairs, rounds=rounds).items())
+        got = _lpa_rows(label_propagation(df, rounds=rounds))
+        assert got == exp, f"mismatch at rounds={rounds}"
+
+
+def test_lpa_bipartite_oscillation_raises_loudly(spark):
+    """A single edge 2-cycles under synchronous LPA (labels swap sides
+    forever): until_fixpoint must raise at max_iter, not return a
+    silently unconverged labeling."""
+    from capex_data_pipeline_spark.extensions.graph import label_propagation
+
+    df = _edges_df(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="max_iter"):
+        label_propagation(df, until_fixpoint=True, max_iter=4)
+
+
+def test_lpa_canonicalization_hygiene(spark):
+    """Duplicate/reversed edges and self-loops must not skew the
+    neighbor-label frequencies."""
+    from capex_data_pipeline_spark.extensions.graph import label_propagation
+
+    clean = [(1, 2), (1, 3), (2, 3)]
+    messy = clean + [(b, a) for a, b in clean] + [(2, 2), (3, 1)]
+    assert _lpa_rows(
+        label_propagation(_edges_df(spark, messy), rounds=2)
+    ) == _lpa_rows(label_propagation(_edges_df(spark, clean), rounds=2))
+
+
+def test_lpa_boundary_modes_agree(spark, tmp_path):
+    """plan_boundary off / localCheckpoint / parquet staging produce
+    identical labelings (same policy test as kcore/cc)."""
+    from capex_data_pipeline_spark.extensions.graph import label_propagation
+
+    rng = random.Random(5)
+    pairs = sorted(
+        {
+            (a, b)
+            for a, b in itertools.combinations(range(24), 2)
+            if rng.random() < 0.14
+        }
+    )
+    df = _edges_df(spark, pairs)
+    base = _lpa_rows(
+        label_propagation(df, rounds=3, assume_canonical=True, plan_boundary=False)
+    )
+    local = _lpa_rows(
+        label_propagation(df, rounds=3, assume_canonical=True, plan_boundary=True)
+    )
+    import os
+
+    import capex_data_pipeline_spark.cache as cache
+
+    old = os.environ.get("SPARK_GRAFT_STAGING_DIR")
+    os.environ["SPARK_GRAFT_STAGING_DIR"] = str(tmp_path)
+    try:
+        staged = _lpa_rows(
+            label_propagation(
+                df, rounds=3, assume_canonical=True, plan_boundary="staging"
+            )
+        )
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_STAGING_DIR", None)
+        else:
+            os.environ["SPARK_GRAFT_STAGING_DIR"] = old
+        cache.clear_staging()
+    assert base == local == staged
+
+
+def test_lpa_argument_validation(spark):
+    from capex_data_pipeline_spark.extensions.graph import label_propagation
+
+    df = _edges_df(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="exactly one of"):
+        label_propagation(df)
+    with pytest.raises(ValueError, match="exactly one of"):
+        label_propagation(df, rounds=2, until_fixpoint=True)
+    with pytest.raises(ValueError, match="rounds"):
+        label_propagation(df, rounds=0)

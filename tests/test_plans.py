@@ -258,15 +258,16 @@ def test_driver_contract_registry_invariants():
     the q104 split-leakage / q105 histogram profiling pair, the
     round-6 q106/q108 duplicated-span find+removal / q107+q109 BPE
     encode / q110 URL canonicalization / q111 within-doc repeated
-    spans, and the round-6/7 graph family q112 triangle counting /
-    q113 k-core peel / q114 connected components), a full
+    spans, the round-6/7 graph family q112 triangle counting /
+    q113 k-core peel / q114 connected components / q116 label
+    propagation, and the round-7 q115 engine-portable k-means), a full
     value-exact oracle for EVERY query (no rows-only fallbacks), and
     every bench headline drawn from the registry."""
     import __spark_entry__ as E
     import bench
 
     qs, oracles = E.queries(), E.oracle_sql()
-    assert len(qs) == 114
+    assert len(qs) == 116
     # drift lint: registered names must be a contiguous q1..qN block, so
     # an added/removed query fails HERE with the offending number, not
     # just a bare count mismatch
