@@ -127,6 +127,13 @@ HEADLINE = [
     "q114_connected_components",
     "q115_kmeans",
     "q116_label_propagation",
+    # round-7 ML trio: 4-round power-iteration PCA (per round one
+    # map-only projection + one 64-group aggregate), the trigram-LM
+    # count collection, and the constant-broadcast Bloom
+    # decontamination pass
+    "q117_pca_projection",
+    "q118_trigram_lm",
+    "q119_bloom_contamination",
 ]
 
 

@@ -1214,3 +1214,174 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "rank int, s1 string, s2 string, pair_count long"
     )
+
+
+def trigram_lm_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    min_context: int = 5,
+    topk: int = 3,
+    decimals: int = 6,
+) -> DataFrame:
+    """Trigram language model with add-α smoothing: count every word
+    trigram across the corpus, derive context counts as Σ_w3 of the
+    trigram counts (so conditional probabilities sum to 1 over the
+    vocabulary), and return the ``topk`` most likely next words per
+    context that occurs at least ``min_context`` times —
+    P(w3 | w1 w2) = (c(w1w2w3) + α) / (c(w1w2) + α·V).
+
+    This is the KenLM-style count-collection pass every n-gram LM /
+    perplexity-filtering pipeline starts from (CCNet scores documents
+    with exactly such a model). Scale shape: trigrams are built
+    map-side from each document's token array (no self-join, no
+    window over token rows), then ONE hash aggregate on compact
+    (w1, w2, w3) string keys with map-side partial counts; context
+    counts and the top-k window both run on the already-tiny counts
+    frame. Vocabulary size V is one distinct-count aggregate.
+
+    Returns (w1, w2, w3, tri_count, ctx_count, prob, rank).
+    """
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    words = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "),
+        lambda w: w != "",
+    )
+    toks = df.select(words.alias("_ws"))
+    tris = toks.select(
+        F.explode(
+            F.when(
+                F.size("_ws") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_ws") - 2),
+                    lambda i: F.struct(
+                        F.element_at("_ws", i).alias("w1"),
+                        F.element_at("_ws", i + 1).alias("w2"),
+                        F.element_at("_ws", i + 2).alias("w3"),
+                    ),
+                ),
+            ).otherwise(F.array().cast(
+                "array<struct<w1:string,w2:string,w3:string>>"
+            ))
+        ).alias("_t")
+    ).select("_t.w1", "_t.w2", "_t.w3")
+    c3 = tris.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("tri_count")
+    )
+    c2 = c3.groupBy("w1", "w2").agg(F.sum("tri_count").alias("ctx_count"))
+    vocab = toks.select(F.explode("_ws").alias("_w")).agg(
+        F.countDistinct("_w").alias("_v")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("w1", "w2").orderBy(
+        F.desc("tri_count"), F.asc("w3")
+    )
+    return (
+        c3.join(c2, ["w1", "w2"])
+        .filter(F.col("ctx_count") >= min_context)
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "prob",
+            F.round(
+                (F.col("tri_count") + F.lit(alpha))
+                / (F.col("ctx_count") + F.lit(alpha) * F.col("_v")),
+                decimals,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "w1", "w2", "w3", "tri_count", "ctx_count", "prob", "rank"
+        )
+    )
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    m_bits: int = 1 << 18,
+    n_hashes: int = 3,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter train/test decontamination: the scale path for
+    when the benchmark's exact shingle-digest set is too large to
+    broadcast (`contamination_check`'s shape) — membership is tested
+    against a fixed-size Bloom bitset instead: a corpus shingle is
+    flagged iff ALL ``n_hashes`` of its hash positions are set by some
+    benchmark shingle. False positives are the standard Bloom
+    trade-off ((1 - e^(-k·B/m))^k); false negatives are impossible, so
+    a clean verdict is trustworthy — exactly the guarantee a
+    decontamination gate needs.
+
+    Hashing is engine-portable md5 (position_j = md5(j + '|' +
+    shingle) mod m over the first 15 hex chars), so an independent
+    engine reproduces the filter — including its false positives —
+    bit-for-bit. The bitset is materialized as its ≤ min(m_bits,
+    n_hashes·B) distinct set positions and broadcast; at 100 TB you'd
+    pack the same positions into an m-bit array rider (32 KiB at the
+    default m=2^18), but either representation caps the broadcast at a
+    CONSTANT independent of benchmark text size — the property the
+    exact digest set lacks. The corpus pays ONE scan: shingle →
+    n_hashes positions map-side, broadcast position join, two compact
+    hash aggregates.
+
+    Returns (id_col, n_shingles, n_flagged, contaminated).
+    """
+    from capex_data_pipeline_spark.extensions.dedup import _shingles_expr
+
+    def shingles() -> Column:
+        return F.filter(_shingles_expr(text_col, k), lambda s: s != "")
+
+    def positions(s: Column) -> Column:
+        return F.transform(
+            F.array(*[F.lit(str(j)) for j in range(n_hashes)]),
+            lambda j: F.conv(
+                F.substring(F.md5(F.concat(j, F.lit("|"), s)), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % m_bits,
+        )
+
+    bench_pos = (
+        benchmark.select(F.explode(shingles()).alias("_s"))
+        .distinct()
+        .select(F.explode(positions(F.col("_s"))).alias("_p"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corp = corpus.select(
+        F.col(id_col), F.explode_outer(shingles()).alias("_s")
+    )
+    per_pos = corp.select(
+        id_col,
+        "_s",
+        F.explode_outer(
+            F.when(F.col("_s").isNotNull(), positions(F.col("_s")))
+        ).alias("_p"),
+    )
+    per_shingle = (
+        per_pos.join(F.broadcast(bench_pos), "_p", "left")
+        .groupBy(id_col, "_s")
+        .agg(F.sum("_hit").alias("_nh"))
+    )
+    return (
+        per_shingle.groupBy(id_col)
+        .agg(
+            F.count("_s").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_nh") == n_hashes, 1).otherwise(0)
+            ).alias("n_flagged"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_flagged",
+            (F.col("n_flagged") >= min_overlap).alias("contaminated"),
+        )
+    )

@@ -1,0 +1,280 @@
+"""Unit + differential tests for the round-7 ML-adjacent operators:
+PCA power iteration (extensions/linalg.py), the trigram language
+model, and Bloom-filter decontamination (extensions/corpus.py).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from capex_data_pipeline_spark.extensions.corpus import (
+    bloom_contamination,
+    contamination_check,
+    trigram_lm_topk,
+)
+from capex_data_pipeline_spark.extensions.linalg import pca_power_projection
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _vecs_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+# ------------------------------------------------ PCA power iteration
+
+
+def _py_pca_scores(vecs, rounds):
+    """Exact (unrounded) numpy-free replay of power iteration; the
+    engine rounds to 6 decimals per step, so comparisons use a loose
+    per-round-compounding tolerance."""
+    n, d = len(vecs), len(vecs[0])
+    mu = [sum(v[j] for v in vecs) / n for j in range(d)]
+    x = [[v[j] - mu[j] for j in range(d)] for v in vecs]
+    v = [1.0 / math.sqrt(d)] * d
+    for _ in range(rounds):
+        s = [sum(xi[j] * v[j] for j in range(d)) for xi in x]
+        t = [sum(s[i] * x[i][j] for i in range(n)) / n for j in range(d)]
+        norm = math.sqrt(sum(tj * tj for tj in t))
+        if norm > 0:
+            v = [tj / norm for tj in t]
+    return [sum(xi[j] * v[j] for j in range(d)) for xi in x]
+
+
+def test_pca_matches_python_replay(spark):
+    rng = random.Random(7)
+    # anisotropic cloud: dominant variance along dim 0
+    vecs = [
+        [rng.gauss(0, 10)] + [rng.gauss(0, 0.5) for _ in range(3)]
+        for _ in range(60)
+    ]
+    got = {
+        r["vec_id"]: r["score"]
+        for r in pca_power_projection(
+            _vecs_df(spark, vecs), rounds=4
+        ).collect()
+    }
+    want = _py_pca_scores(vecs, rounds=4)
+    assert len(got) == 60
+    for i, w in enumerate(want):
+        assert abs(got[i] - w) < 1e-3, (i, got[i], w)
+
+
+def test_pca_recovers_dominant_axis(spark):
+    rng = random.Random(3)
+    vecs = [
+        [rng.gauss(0, 20), rng.gauss(0, 0.1), rng.gauss(0, 0.1)]
+        for _ in range(50)
+    ]
+    out = pca_power_projection(_vecs_df(spark, vecs), rounds=5).collect()
+    mu0 = sum(v[0] for v in vecs) / len(vecs)
+    # |score| must track |x0 - mu0| (up to global sign): the rank
+    # correlation of the orderings is essentially perfect
+    by_score = sorted(out, key=lambda r: r["score"])
+    coord = [vecs[r["vec_id"]][0] - mu0 for r in by_score]
+    assert coord == sorted(coord) or coord == sorted(coord, reverse=True)
+
+
+def test_pca_degenerate_identical_vectors_all_zero(spark):
+    vecs = [[1.0, 2.0, 3.0]] * 10
+    out = pca_power_projection(_vecs_df(spark, vecs), rounds=3).collect()
+    assert len(out) == 10
+    assert all(r["score"] == 0.0 for r in out)
+
+
+def test_pca_filters_to_min_length_and_rounds_zero(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [3.0, 0.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = pca_power_projection(df, rounds=0).collect()
+    # vec 2 (length 3 > min length 2) is filtered; scores under v0
+    assert sorted(r["vec_id"] for r in out) == [0, 1]
+    v0 = round(1.0 / math.sqrt(2), 6)
+    got = {r["vec_id"]: r["score"] for r in out}
+    # mu over the SIZE-FILTERED frame = (2, 0)
+    assert abs(got[0] - round(-1.0 * v0, 6)) < 1e-9
+    assert abs(got[1] - round(1.0 * v0, 6)) < 1e-9
+
+
+def test_pca_rejects_negative_rounds_and_empty(spark):
+    with pytest.raises(ValueError):
+        pca_power_projection(_vecs_df(spark, [[1.0]]), rounds=-1)
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        pca_power_projection(empty, rounds=1)
+
+
+# ------------------------------------------------ trigram LM
+
+
+def _py_trigram(texts, alpha, min_context, topk):
+    import re
+
+    docs = [
+        [w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if w]
+        for t in texts
+    ]
+    c3: dict[tuple, int] = {}
+    vocab = set()
+    for ws in docs:
+        vocab.update(ws)
+        for i in range(len(ws) - 2):
+            c3[(ws[i], ws[i + 1], ws[i + 2])] = (
+                c3.get((ws[i], ws[i + 1], ws[i + 2]), 0) + 1
+            )
+    c2: dict[tuple, int] = {}
+    for (w1, w2, _), c in c3.items():
+        c2[(w1, w2)] = c2.get((w1, w2), 0) + c
+    out = {}
+    for (w1, w2), cc in c2.items():
+        if cc < min_context:
+            continue
+        nxt = sorted(
+            ((w3, c) for (a, b, w3), c in c3.items() if (a, b) == (w1, w2)),
+            key=lambda x: (-x[1], x[0]),
+        )[:topk]
+        for rank, (w3, c) in enumerate(nxt, 1):
+            prob = (c + alpha) / (cc + alpha * len(vocab))
+            out[(w1, w2, w3)] = (c, cc, prob, rank)
+    return out
+
+
+def test_trigram_lm_matches_python_replay(spark):
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on the hat",
+        "the cat ran on the mat",
+        "the dog sat on the mat",
+        "a cat sat on a mat",
+    ]
+    got = {
+        (r["w1"], r["w2"], r["w3"]): (
+            r["tri_count"],
+            r["ctx_count"],
+            r["prob"],
+            r["rank"],
+        )
+        for r in trigram_lm_topk(
+            _docs_df(spark, texts), min_context=2, topk=2
+        ).collect()
+    }
+    want = _py_trigram(texts, alpha=0.5, min_context=2, topk=2)
+    assert set(got) == set(want)
+    for k, (c, cc, p, rank) in want.items():
+        gc, gcc, gp, grank = got[k]
+        assert (gc, gcc, grank) == (c, cc, rank), k
+        assert abs(gp - p) < 1e-6, k
+
+
+def test_trigram_lm_short_docs_and_threshold(spark):
+    texts = ["one two", "x", "", "a b c"]
+    out = trigram_lm_topk(
+        _docs_df(spark, texts), min_context=2, topk=3
+    ).collect()
+    # only one trigram total (a,b,c) with ctx_count 1 < 2 -> empty
+    assert out == []
+    out1 = trigram_lm_topk(
+        _docs_df(spark, texts), min_context=1, topk=3
+    ).collect()
+    assert [(r["w1"], r["w2"], r["w3"], r["rank"]) for r in out1] == [
+        ("a", "b", "c", 1)
+    ]
+
+
+def test_trigram_lm_tie_breaks_alphabetically(spark):
+    texts = ["s t a", "s t b"] * 3
+    out = trigram_lm_topk(
+        _docs_df(spark, texts), min_context=1, topk=2
+    ).collect()
+    ranked = sorted(
+        ((r["rank"], r["w3"]) for r in out if (r["w1"], r["w2"]) == ("s", "t"))
+    )
+    assert ranked == [(1, "a"), (2, "b")]
+
+
+# ------------------------------------------------ Bloom decontamination
+
+
+def test_bloom_no_false_negatives_and_matches_exact_at_large_m(spark):
+    bench = _docs_df(spark, ["alpha beta gamma delta epsilon zeta"])
+    texts = [
+        "alpha beta gamma delta epsilon zeta",  # fully contaminated
+        "alpha beta gamma nothing else here at all",  # partial overlap
+        "completely unrelated words in this document body",
+        "",
+    ]
+    corpus = _docs_df(spark, texts)
+    exact = {
+        r["doc_id"]: r
+        for r in contamination_check(
+            corpus, bench, k=3, min_overlap=1
+        ).collect()
+    }
+    bloom = {
+        r["doc_id"]: r
+        for r in bloom_contamination(
+            corpus, bench, k=3, m_bits=1 << 22, n_hashes=3, min_overlap=1
+        ).collect()
+    }
+    assert set(bloom) == set(exact)
+    for i in exact:
+        # never a false negative
+        if exact[i]["contaminated"]:
+            assert bloom[i]["contaminated"], i
+        # at m=2^22 with a handful of shingles, collisions are
+        # overwhelmingly improbable: counts agree exactly
+        assert bloom[i]["n_flagged"] == exact[i]["n_overlapping"], i
+        assert bloom[i]["n_shingles"] == exact[i]["n_shingles"], i
+
+
+def test_bloom_tiny_m_superset_of_exact(spark):
+    rng = random.Random(11)
+    words = [f"w{j}" for j in range(40)]
+    mk = lambda: " ".join(rng.choice(words) for _ in range(12))
+    bench = _docs_df(spark, [mk() for _ in range(5)])
+    corpus = _docs_df(spark, [mk() for _ in range(30)])
+    exact = {
+        r["doc_id"]: r["n_overlapping"]
+        for r in contamination_check(
+            corpus, bench, k=3, min_overlap=1
+        ).collect()
+    }
+    # m=64 bits: heavy collisions -> false positives, never negatives
+    bloom = {
+        r["doc_id"]: r["n_flagged"]
+        for r in bloom_contamination(
+            corpus, bench, k=3, m_bits=64, n_hashes=3, min_overlap=1
+        ).collect()
+    }
+    assert set(bloom) == set(exact)
+    for i in exact:
+        assert bloom[i] >= exact[i], i
+
+
+def test_bloom_empty_doc_reports_zero(spark):
+    bench = _docs_df(spark, ["a b c d e"])
+    corpus = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "a b c d e")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bloom_contamination(
+            corpus, bench, k=3, m_bits=1 << 20, n_hashes=3, min_overlap=1
+        ).collect()
+    }
+    assert out[0]["n_shingles"] == 0 and not out[0]["contaminated"]
+    assert out[1]["n_shingles"] == 0 and not out[1]["contaminated"]
+    assert out[2]["contaminated"]
