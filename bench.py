@@ -134,6 +134,10 @@ HEADLINE = [
     "q117_pca_projection",
     "q118_trigram_lm",
     "q119_bloom_contamination",
+    # round-7 continued: the map-only HTML extraction regex chain and
+    # the PQ encode+ADC pass (4 codebook fits + one shuffle-free scan)
+    "q120_html_extract",
+    "q121_pq_ann",
 ]
 
 

@@ -450,3 +450,88 @@ def canonical_url(col: Column) -> Column:
         clean_path,
         F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit("")),
     )
+
+
+# --- HTML main-text extraction (trafilatura/jusText-lite) --------------
+
+#: entity decode order matters: named/numeric entities first, &amp;
+#: LAST so '&amp;lt;' decodes to '&lt;' (one level), never to '<'
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+#: block-level closers (and <br>) that become newlines so paragraph
+#: structure survives tag stripping
+_HTML_BLOCK_RE = (
+    r"(?i)<br\s*/?>|</(p|div|h[1-6]|li|tr|ul|ol|table|blockquote)>"
+)
+
+
+def decode_entities(col: Column) -> Column:
+    """Single-level HTML entity decode of the common named/numeric
+    entities (plain string replaces — map-only, engine-portable)."""
+    c = col
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return c
+
+
+def html_to_text(col: Column) -> Column:
+    """Extract readable main text from an HTML column: drop comments
+    and <script>/<style> blocks, convert block-tag closers to
+    newlines, strip remaining tags, decode entities, and collapse
+    whitespace. Pure native regex/replace expressions — MAP-ONLY,
+    whole-stage codegen, no Python. Every pattern is RE2-compatible
+    (no lookarounds/backreferences) so a DuckDB oracle replays the
+    chain byte-for-byte (registry q120).
+
+    This is the extraction step of every web-corpus pipeline (C4,
+    RefinedWeb, Dolma run trafilatura-class extractors); boilerplate
+    line removal afterwards is `clean_lines`, link-graph feed is
+    `extract_href_links`.
+    """
+    c = F.coalesce(col.cast("string"), F.lit(""))
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, _HTML_BLOCK_RE, "\n")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    c = decode_entities(c)
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r"\s*\n\s*", "\n")
+    # trim() strips only spaces (Spark and DuckDB alike) — newlines
+    # from trailing block closers need the regex form
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def extract_href_links(col: Column) -> Column:
+    """All href link targets of an HTML column (entity-decoded, in
+    document order, duplicates kept) — the edge-list feed for the
+    graph family (host-level PageRank over a crawl is exactly
+    pagerank() over these, grouped by url_host)."""
+    raw = F.regexp_extract_all(
+        F.coalesce(col.cast("string"), F.lit("")),
+        F.lit(r"""(?i)href\s*=\s*["']([^"']*)["']"""),
+        1,
+    )
+    return F.transform(raw, decode_entities)
+
+
+def extract_html_docs(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document HTML extraction report: main text, link count, and
+    the first link (NULL when linkless). One map-only projection."""
+    links = extract_href_links(F.col(html_col))
+    return df.select(
+        F.col(id_col),
+        html_to_text(F.col(html_col)).alias("main_text"),
+        F.size(links).cast("int").alias("n_links"),
+        # try_: ANSI mode throws on element_at past the end (linkless)
+        F.try_element_at(links, F.lit(1)).alias("first_link"),
+    )

@@ -493,7 +493,32 @@ def kmeans_lloyd(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
         ).filter(F.col("_v").isNotNull() & (F.size("_v") > 0))
     )
-    # init: tiny driver collect (k rows) — centers become plan literals
+    centers = _lloyd_fit(pts, k, rounds, id_col=id_col, decimals=decimals)
+    best = F.array_sort(_sqdist_cells("_v", centers, decimals))[0]
+    return pts.withColumn("_best", best).select(
+        F.col(id_col),
+        F.col("_best")["cluster"].alias("cluster"),
+        F.col("_best")["dist"].alias("dist"),
+    )
+
+
+def _lloyd_fit(
+    pts: DataFrame,
+    k: int,
+    rounds: int,
+    id_col: str = "vec_id",
+    decimals: int = 6,
+) -> list[list[float]]:
+    """Fit Lloyd's k-means on a pre-projected ``(id_col, _v)`` frame
+    and return the final centers (the driver-side model). Extracted
+    from ``kmeans_lloyd`` so product quantization can fit one codebook
+    per subspace against sliced views of ONE persisted input.
+
+    Init: the ``k`` vectors sorting first by ``md5(id)`` — closed-form
+    and engine-replayable. Per round: map-only assignment against
+    plan-literal centers + one (cluster, dim) aggregate; k·dim rows of
+    driver traffic. Empty clusters keep their previous center.
+    """
     rows = (
         pts.withColumn("_h", F.md5(F.col(id_col).cast("string")))
         .orderBy("_h", id_col)
@@ -528,10 +553,131 @@ def kmeans_lloyd(
             else centers[i]
             for i in range(k)
         ]
+    return centers
 
-    best = F.array_sort(_sqdist_cells("_v", centers, decimals))[0]
-    return pts.withColumn("_best", best).select(
+
+def pq_ann_topk(
+    df: DataFrame,
+    n_subspaces: int = 4,
+    k_codes: int = 4,
+    rounds: int = 2,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011 shape): split each
+    vector into ``n_subspaces`` contiguous subvectors, fit one
+    ``k_codes``-center Lloyd codebook per subspace (via `_lloyd_fit`
+    over sliced views of ONE persisted projection), encode every
+    vector as its per-subspace nearest-center code, and rank against a
+    deterministic probe (the lowest-``id_col`` vector) by asymmetric
+    distance (ADC): the probe-to-center distance of each row's code,
+    summed across subspaces.
+
+    Why this is THE memory-bound ANN shape at 100 TB: each vector
+    compresses to n_subspaces small ints (8 bytes here vs 512 for raw
+    d=64 doubles), the ADC lookup table is n_subspaces × k_codes plan
+    literals (constant-folded JVM-side — zero per-row distance
+    arithmetic in the scan), and the encode+score pass is MAP-ONLY
+    over the persisted projection followed by a TakeOrdered — no
+    shuffle at all after the tiny codebook fits. Recall loss vs exact
+    search is the PQ trade-off; q34 (brute-force cosine) is the exact
+    baseline, q36/q37 the LSH/IVF alternatives.
+
+    All model values are engine-rounded (the `kmeans_lloyd`
+    convention), so an independent SQL engine re-derives codebooks,
+    codes, LUT, and the final ranking value-exact.
+
+    Returns the ``topk`` rows ``(id_col, codes, adc_dist)`` nearest
+    the probe (total order: adc_dist, then id).
+    """
+    if n_subspaces < 1:
+        raise ValueError(f"n_subspaces must be >= 1, got {n_subspaces}")
+    from capex_data_pipeline_spark.cache import persisted
+
+    pts = persisted(
+        df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        ).filter(F.col("_v").isNotNull() & (F.size("_v") > 0))
+    )
+    d_row = pts.agg(F.min(F.size("_v")).alias("d")).collect()
+    if not d_row or d_row[0]["d"] is None:
+        raise ValueError("pq_ann_topk: no non-empty vectors")
+    d = int(d_row[0]["d"])
+    if d % n_subspaces != 0:
+        raise ValueError(
+            f"dim {d} not divisible into {n_subspaces} subspaces"
+        )
+    dsub = d // n_subspaces
+    pts = pts.filter(F.size("_v") == d)
+
+    # deterministic probe: the lowest-id vector (1-row driver traffic)
+    q = list(
+        map(
+            float,
+            pts.orderBy(id_col).limit(1).collect()[0]["_v"],
+        )
+    )
+
+    codebooks = [
+        _lloyd_fit(
+            pts.select(
+                F.col(id_col),
+                F.slice("_v", s * dsub + 1, dsub).alias("_v"),
+            ),
+            k_codes,
+            rounds,
+            id_col=id_col,
+            decimals=decimals,
+        )
+        for s in range(n_subspaces)
+    ]
+
+    # single map-only encode + ADC pass: codes from row slices, probe
+    # distances from the constant-folded (subspace, code) LUT
+    enc = pts.select(
         F.col(id_col),
-        F.col("_best")["cluster"].alias("cluster"),
-        F.col("_best")["dist"].alias("dist"),
+        *[
+            F.slice("_v", s * dsub + 1, dsub).alias(f"_v{s}")
+            for s in range(n_subspaces)
+        ],
+    )
+    codes = [
+        F.array_sort(_sqdist_cells(f"_v{s}", codebooks[s], decimals))[0][
+            "cluster"
+        ]
+        for s in range(n_subspaces)
+    ]
+    luts = [
+        F.expr(
+            "array("
+            + ", ".join(
+                "round(aggregate(zip_with({q}, {c}, (x, y) ->"
+                " (x - y) * (x - y)), 0D, (acc, x) -> acc + x),"
+                " {dec})".format(
+                    q=_arr_sql(q[s * dsub : (s + 1) * dsub]),
+                    c=_arr_sql(c),
+                    dec=decimals,
+                )
+                for c in codebooks[s]
+            )
+            + ")"
+        )
+        for s in range(n_subspaces)
+    ]
+    dist_terms = [
+        F.element_at(luts[s], codes[s] + 1) for s in range(n_subspaces)
+    ]
+    total = dist_terms[0]
+    for t in dist_terms[1:]:
+        total = total + t
+    return (
+        enc.select(
+            F.col(id_col),
+            F.array(*codes).alias("codes"),
+            F.round(total, decimals).alias("adc_dist"),
+        )
+        .orderBy("adc_dist", id_col)
+        .limit(topk)
     )

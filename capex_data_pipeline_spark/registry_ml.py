@@ -243,3 +243,296 @@ def q119_bloom_contamination(spark, sf_dir):
         n_hashes=_BLOOM_K,
         min_overlap=_BLOOM_MIN_OVERLAP,
     )
+
+# ------------------------------------------------ q120: HTML extraction
+
+#: the deterministic HTML wrapper both engines synthesize around each
+#: document row — exercises every extraction rule (script with a bare
+#: '<' inside, style, comments, block closers, entities incl. the
+#: double-encoded &amp;lt;, absolute + relative hrefs with encoded
+#: query separators)
+_HTML_PARTS = [
+    ("lit", "<html><head><title>Doc "),
+    ("col", "CAST(doc_id AS VARCHAR)"),
+    (
+        "lit",
+        '</title><script type="text/javascript">var x = 1 < 2;'
+        "</script><style>body { color: red; }</style></head>"
+        "<body><!-- synthetic wrapper -->\n<h1>",
+    ),
+    ("col", "upper(source)"),
+    ("lit", "</h1>\n<p>"),
+    ("col", "coalesce(text, '')"),
+    (
+        "lit",
+        " &amp; more &lt;41&gt; &amp;lt;keep&amp;gt;</p>"
+        "<ul><li>lang: ",
+    ),
+    ("col", "coalesce(lang, '?')"),
+    (
+        "lit",
+        "</li><li>&quot;quoted&quot; &#39;q&#39;&nbsp;sp</li></ul>"
+        '<a href="https://example.com/',
+    ),
+    ("col", "source"),
+    ("lit", "/"),
+    ("col", "CAST(doc_id AS VARCHAR)"),
+    ("lit", '?a=1&amp;utm_source=x">x</a> <a href=' + "'" + "/rel/"),
+    ("col", "CAST(doc_id AS VARCHAR)"),
+    ("lit", "'>rel</a></body></html>"),
+]
+
+
+def _html_sql_expr() -> str:
+    parts = []
+    for kind, v in _HTML_PARTS:
+        if kind == "lit":
+            esc = v.replace("'", "''").replace("\n", "' || chr(10) || '")
+            parts.append(f"'{esc}'")
+        else:
+            parts.append(v)
+    return " || ".join(parts)
+
+
+def _html_spark_col():
+    cols = []
+    for kind, v in _HTML_PARTS:
+        if kind == "lit":
+            cols.append(F.lit(v))
+        elif v == "CAST(doc_id AS VARCHAR)":
+            cols.append(F.col("doc_id").cast("string"))
+        elif v == "upper(source)":
+            cols.append(F.upper(F.col("source")))
+        elif v == "coalesce(text, '')":
+            cols.append(F.coalesce(F.col("text"), F.lit("")))
+        elif v == "coalesce(lang, '?')":
+            cols.append(F.coalesce(F.col("lang"), F.lit("?")))
+        elif v == "source":
+            cols.append(F.col("source"))
+        else:  # pragma: no cover
+            raise AssertionError(v)
+    return F.concat(*cols)
+
+
+#: DuckDB replay of cleaning.html_to_text on expression {c} — same
+#: regex chain, 'g'lobal flags (DuckDB replaces first-match only by
+#: default, Spark always replaces all)
+def _html_to_text_sql(c: str) -> str:
+    c = f"regexp_replace({c}, '(?s)<!--.*?-->', ' ', 'g')"
+    c = f"regexp_replace({c}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    c = f"regexp_replace({c}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    c = (
+        f"regexp_replace({c}, "
+        "'(?i)<br\\s*/?>|</(p|div|h[1-6]|li|tr|ul|ol|table|blockquote)>', "
+        "chr(10), 'g')"
+    )
+    c = f"regexp_replace({c}, '<[^>]+>', ' ', 'g')"
+    for ent, rep in [
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ]:
+        c = f"replace({c}, '{ent}', '{rep}')"
+    c = f"regexp_replace({c}, '[ \\t]+', ' ', 'g')"
+    c = f"regexp_replace({c}, '\\s*\\n\\s*', chr(10), 'g')"
+    return f"regexp_replace({c}, '^\\s+|\\s+$', '', 'g')"
+
+
+_HREF_RE_SQL = "'(?i)href\\s*=\\s*[\"'']([^\"'']*)[\"'']'"
+
+
+def _q120_sql() -> str:
+    links = (
+        "list_transform("
+        f"regexp_extract_all(html, {_HREF_RE_SQL}, 1), "
+        "u -> replace(replace(replace(replace(replace(replace(u,"
+        " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''),"
+        " '&nbsp;', ' '), '&amp;', '&'))"
+    )
+    return f"""
+    WITH pages AS MATERIALIZED (
+      SELECT doc_id, {_html_sql_expr()} AS html FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, {_html_to_text_sql('html')} AS main_text,
+             {links} AS links
+      FROM pages
+    )
+    SELECT doc_id, main_text,
+           CAST(len(links) AS INT) AS n_links, links[1] AS first_link
+    FROM ex
+    """
+
+
+@query("q120_html_extract", _q120_sql())
+def q120_html_extract(spark, sf_dir):
+    """HTML main-text + link extraction (cleaning.html_to_text /
+    extract_href_links) over a deterministic HTML wrapper both engines
+    synthesize around each document row — the extraction step of every
+    web-corpus pipeline (C4/RefinedWeb/Dolma), as pure native
+    regex/replace projections: MAP-ONLY, whole-stage codegen, zero
+    Python, every pattern RE2-compatible so the oracle replays the
+    chain byte-for-byte (script/style/comment stripping, block-closer
+    newlines, single-level entity decode, href harvesting). Unit tests
+    on real handwritten HTML live in test_ml; this query pins
+    cross-engine byte parity of the full rule chain."""
+    from capex_data_pipeline_spark.extensions.cleaning import (
+        extract_html_docs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id", _html_spark_col().alias("html")
+    )
+    return extract_html_docs(pages)
+
+# ------------------------------------------------ q121: PQ ANN
+
+_PQ_SUB = 4
+_PQ_K = 4
+_PQ_ROUNDS = 2
+_PQ_TOPK = 10
+
+#: squared-distance fold between row vector {a} and center vector {b}
+#: (first-element-seeded list_reduce == the engine's 0D-seeded
+#: aggregate), rounded pre-argmin
+_PQ_DIST = (
+    "round(list_reduce(list_transform(range(1, len({a}) + 1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])),"
+    " (acc, x) -> acc + x), 6)"
+)
+
+
+def _pq_assign(p: str, c: str) -> str:
+    dist = _PQ_DIST.format(a="p.v", b="c.v")
+    return f"""
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
+             AS rn
+    FROM (SELECT p.vec_id, c.cluster, {dist} AS dist FROM {p} p, {c} c)
+  ) WHERE rn = 1
+"""
+
+
+def _pq_update(p: str, prev: str, a: str) -> str:
+    return f"""
+  SELECT pc.cluster, coalesce(nw.v, pc.v) AS v
+  FROM {prev} pc LEFT JOIN (
+    SELECT cluster, list(m ORDER BY dim) AS v FROM (
+      SELECT a.cluster, e.dim AS dim, round(avg(e.x), 6) + 0.0 AS m
+      FROM {a} a JOIN (
+        SELECT vec_id,
+               unnest(list_transform(range(1, len(v) + 1),
+                                     i -> {{'dim': i - 1, 'x': v[i]}})) AS e
+        FROM {p}
+      ) ex USING (vec_id)
+      GROUP BY 1, 2
+    ) GROUP BY 1
+  ) nw USING (cluster)
+"""
+
+
+def _pq_sql() -> str:
+    ctes = [
+        """pts0 AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+    )""",
+        "dd AS (SELECT min(len(v)) AS d FROM pts0)",
+        """pts AS MATERIALIZED (
+      SELECT p.vec_id, p.v FROM pts0 p, dd WHERE len(p.v) = dd.d
+    )""",
+        "qv AS (SELECT v FROM pts ORDER BY vec_id LIMIT 1)",
+    ]
+    for s in range(_PQ_SUB):
+        lo = f"(({s} * (dd.d // {_PQ_SUB})) + 1)"
+        hi = f"(({s} + 1) * (dd.d // {_PQ_SUB}))"
+        ctes.append(
+            f"""p{s} AS MATERIALIZED (
+      SELECT vec_id, v[{lo}:{hi}] AS v FROM pts, dd
+    )"""
+        )
+        ctes.append(
+            f"""c{s}_0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT)
+               AS cluster, v
+      FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+            FROM p{s} ORDER BY h, vec_id LIMIT {_PQ_K})
+    )"""
+        )
+        for r in range(1, _PQ_ROUNDS + 1):
+            ctes.append(
+                f"a{s}_{r} AS MATERIALIZED "
+                f"({_pq_assign(f'p{s}', f'c{s}_{r - 1}')})"
+            )
+            ctes.append(
+                f"c{s}_{r} AS MATERIALIZED "
+                f"({_pq_update(f'p{s}', f'c{s}_{r - 1}', f'a{s}_{r}')})"
+            )
+        ctes.append(
+            f"enc{s} AS MATERIALIZED "
+            f"({_pq_assign(f'p{s}', f'c{s}_{_PQ_ROUNDS}')})"
+        )
+        ctes.append(
+            f"qs{s} AS (SELECT v[{lo}:{hi}] AS v FROM qv, dd)"
+        )
+        qdist = _PQ_DIST.format(a="q.v", b="c.v")
+        ctes.append(
+            f"""lut{s} AS (
+      SELECT c.cluster, {qdist} AS qd FROM c{s}_{_PQ_ROUNDS} c, qs{s} q
+    )"""
+        )
+    joins = " ".join(
+        f"JOIN enc{s} e{s} USING (vec_id)" for s in range(1, _PQ_SUB)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.cluster = e{s}.cluster"
+        for s in range(_PQ_SUB)
+    )
+    code_word = " || '-' || ".join(
+        f"CAST(e{s}.cluster AS VARCHAR)" for s in range(_PQ_SUB)
+    )
+    dist_sum = " + ".join(f"l{s}.qd" for s in range(_PQ_SUB))
+    return (
+        f"WITH {', '.join(ctes)} "
+        f"SELECT e0.vec_id, {code_word} AS codes, "
+        f"round({dist_sum}, 6) AS adc_dist "
+        f"FROM enc0 e0 {joins} {lut_joins} "
+        f"ORDER BY adc_dist, e0.vec_id LIMIT {_PQ_TOPK}"
+    )
+
+
+@query("q121_pq_ann", _pq_sql())
+def q121_pq_ann(spark, sf_dir):
+    """Product-quantization ANN (similarity.pq_ann_topk — Jégou et al.
+    2011): 4 subspace codebooks fit by the q115 k-means machinery over
+    sliced views of ONE persisted projection, every vector compressed
+    to 4 small codes, and the lowest-id probe ranked by asymmetric
+    distance from a constant-folded (subspace, code) lookup table —
+    the encode+score pass is MAP-ONLY + TakeOrdered, zero shuffles
+    after the tiny fits. The memory-bound ANN shape at 100 TB (8-byte
+    codes vs 512-byte raw vectors). The oracle re-derives all 4
+    codebooks (init + 2 unrolled Lloyd rounds each), the codes, the
+    LUT, and the final ranking value-exact. Codes surface as a
+    '-'-joined string (cross-engine array hashing is avoided
+    repo-wide, the q101 convention)."""
+    from capex_data_pipeline_spark.extensions.similarity import pq_ann_topk
+
+    out = pq_ann_topk(
+        _t(spark, sf_dir, "embeddings"),
+        n_subspaces=_PQ_SUB,
+        k_codes=_PQ_K,
+        rounds=_PQ_ROUNDS,
+        topk=_PQ_TOPK,
+    )
+    return out.select(
+        "vec_id",
+        F.concat_ws("-", F.col("codes").cast("array<string>")).alias(
+            "codes"
+        ),
+        "adc_dist",
+    )

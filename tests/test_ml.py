@@ -278,3 +278,244 @@ def test_bloom_empty_doc_reports_zero(spark):
     assert out[0]["n_shingles"] == 0 and not out[0]["contaminated"]
     assert out[1]["n_shingles"] == 0 and not out[1]["contaminated"]
     assert out[2]["contaminated"]
+
+
+# ------------------------------------------------ HTML extraction
+
+
+def _html_df(spark, pages):
+    return spark.createDataFrame(
+        [(i, h) for i, h in enumerate(pages)], "doc_id long, html string"
+    )
+
+
+def test_html_to_text_real_page(spark):
+    from capex_data_pipeline_spark.extensions.cleaning import (
+        extract_html_docs,
+    )
+
+    page = (
+        "<html><head><title>My Title</title>"
+        "<script>if (a < b) { alert('</div> trap'); }</script>"
+        "<style>p { margin: 0; }</style></head>"
+        "<body><!-- nav boilerplate -->"
+        "<h1>Header</h1>"
+        "<p>First&nbsp;para with &lt;tags&gt; &amp; entities.</p>"
+        "<div>Second<br>line</div>"
+        "<ul><li>item one</li><li>item two</li></ul>"
+        '<a href="https://a.example/x?p=1&amp;q=2">link one</a>'
+        "<A HREF='https://b.example/y'>link two</A>"
+        "</body></html>"
+    )
+    out = extract_html_docs(_html_df(spark, [page])).collect()[0]
+    assert out["main_text"] == (
+        "My Title Header\n"
+        "First para with <tags> & entities.\n"
+        "Second\n"
+        "line\n"
+        "item one\n"
+        "item two\n"
+        "link one link two"
+    )
+    assert out["n_links"] == 2
+    # href entity separators decode, and case-insensitive HREF matches
+    assert out["first_link"] == "https://a.example/x?p=1&q=2"
+
+
+def test_html_single_level_entity_decode(spark):
+    from capex_data_pipeline_spark.extensions.cleaning import html_to_text
+
+    df = _html_df(spark, ["<p>&amp;lt;keep&amp;gt; &amp;amp;</p>"])
+    out = df.select(html_to_text(df["html"]).alias("t")).collect()[0]["t"]
+    # double-encoded entities decode exactly ONE level
+    assert out == "&lt;keep&gt; &amp;"
+
+
+def test_html_null_and_empty(spark):
+    from capex_data_pipeline_spark.extensions.cleaning import (
+        extract_html_docs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "plain text, no tags")],
+        "doc_id long, html string",
+    )
+    rows = {r["doc_id"]: r for r in extract_html_docs(df).collect()}
+    assert rows[0]["main_text"] == "" and rows[0]["n_links"] == 0
+    assert rows[0]["first_link"] is None
+    assert rows[1]["main_text"] == ""
+    assert rows[2]["main_text"] == "plain text, no tags"
+
+
+def test_html_extraction_is_map_only(spark):
+    from capex_data_pipeline_spark.extensions.cleaning import (
+        extract_html_docs,
+    )
+
+    plan = (
+        extract_html_docs(_html_df(spark, ["<p>x</p>"]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # native exprs only, no UDF
+
+
+# ------------------------------------------------ product quantization
+
+
+def test_pq_ann_separable_blobs_perfect_recall(spark):
+    from capex_data_pipeline_spark.extensions.similarity import pq_ann_topk
+
+    rng = random.Random(5)
+    # two well-separated blobs in 8 dims; probe (vec 0) is in blob A:
+    # the 10 nearest by ADC must all be blob-A members
+    blob_a = [
+        [rng.gauss(0, 0.1) for _ in range(8)] for _ in range(15)
+    ]
+    blob_b = [
+        [rng.gauss(50, 0.1) for _ in range(8)] for _ in range(15)
+    ]
+    out = pq_ann_topk(
+        _vecs_df(spark, blob_a + blob_b),
+        n_subspaces=4,
+        k_codes=2,
+        rounds=3,
+        topk=10,
+    ).collect()
+    assert len(out) == 10
+    assert all(r["vec_id"] < 15 for r in out), out
+    # probe itself ranks first at distance 0 to its own codes' centers
+    assert out[0]["adc_dist"] <= out[-1]["adc_dist"]
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    from capex_data_pipeline_spark.extensions.similarity import pq_ann_topk
+
+    rng = random.Random(9)
+    vecs = [[rng.uniform(-1, 1) for _ in range(12)] for _ in range(40)]
+    df = _vecs_df(spark, vecs)
+    a = pq_ann_topk(df, n_subspaces=3, k_codes=4, rounds=2, topk=5).collect()
+    b = pq_ann_topk(df, n_subspaces=3, k_codes=4, rounds=2, topk=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    for r in a:
+        assert len(r["codes"]) == 3
+        assert all(0 <= c < 4 for c in r["codes"])
+        assert r["adc_dist"] >= 0.0
+
+
+def test_pq_guards(spark):
+    from capex_data_pipeline_spark.extensions.similarity import pq_ann_topk
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_ann_topk(_vecs_df(spark, [[1.0, 2.0, 3.0]] * 8), n_subspaces=2)
+    with pytest.raises(ValueError, match="n_subspaces"):
+        pq_ann_topk(_vecs_df(spark, [[1.0, 2.0]] * 8), n_subspaces=0)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no non-empty"):
+        pq_ann_topk(empty)
+
+
+def test_pq_adc_matches_python_replay(spark):
+    """Full-pipeline differential: python replay of fit/encode/ADC
+    with the same rounding conventions must reproduce the engine's
+    top-k exactly."""
+    from capex_data_pipeline_spark.extensions.similarity import pq_ann_topk
+    import hashlib
+
+    rng = random.Random(21)
+    vecs = [[rng.uniform(-2, 2) for _ in range(6)] for _ in range(25)]
+    n_sub, k, rounds, topk = 2, 3, 2, 8
+    out = pq_ann_topk(
+        _vecs_df(spark, vecs),
+        n_subspaces=n_sub,
+        k_codes=k,
+        rounds=rounds,
+        topk=topk,
+    ).collect()
+
+    dsub = 6 // n_sub
+
+    def rnd(x):
+        # Spark's HALF_UP at 6 decimals; values here are nowhere near
+        # half-way ties, so float round matches
+        return round(x, 6)
+
+    def fit(slices):
+        order = sorted(
+            range(len(slices)),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )
+        centers = [list(slices[i]) for i in order[:k]]
+        for _ in range(rounds):
+            assign = [
+                min(
+                    range(k),
+                    key=lambda c: (
+                        rnd(
+                            sum(
+                                (slices[i][j] - centers[c][j]) ** 2
+                                for j in range(dsub)
+                            )
+                        ),
+                        c,
+                    ),
+                )
+                for i in range(len(slices))
+            ]
+            for c in range(k):
+                members = [i for i in range(len(slices)) if assign[i] == c]
+                if members:
+                    centers[c] = [
+                        rnd(
+                            sum(slices[i][j] for i in members)
+                            / len(members)
+                        )
+                        + 0.0
+                        for j in range(dsub)
+                    ]
+        return centers
+
+    probe = vecs[0]
+    books, codes, luts = [], [], []
+    for s in range(n_sub):
+        sl = [v[s * dsub : (s + 1) * dsub] for v in vecs]
+        cb = fit(sl)
+        books.append(cb)
+        codes.append(
+            [
+                min(
+                    range(k),
+                    key=lambda c: (
+                        rnd(
+                            sum(
+                                (sl[i][j] - cb[c][j]) ** 2
+                                for j in range(dsub)
+                            )
+                        ),
+                        c,
+                    ),
+                )
+                for i in range(len(sl))
+            ]
+        )
+        q = probe[s * dsub : (s + 1) * dsub]
+        luts.append(
+            [
+                rnd(sum((q[j] - cb[c][j]) ** 2 for j in range(dsub)))
+                for c in range(k)
+            ]
+        )
+    want = sorted(
+        (
+            (
+                rnd(sum(luts[s][codes[s][i]] for s in range(n_sub))),
+                i,
+                [codes[s][i] for s in range(n_sub)],
+            )
+            for i in range(len(vecs))
+        )
+    )[:topk]
+    got = [(r["adc_dist"], r["vec_id"], list(r["codes"])) for r in out]
+    assert got == [(d, i, c) for d, i, c in want]
