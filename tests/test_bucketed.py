@@ -1,0 +1,95 @@
+"""Bucketed-table co-located joins (sources/bucketed.py): the pay-
+the-shuffle-once 100 TB fact-fact join strategy, pinned at the plan
+level — a bucketed join must show ZERO Exchange nodes, and bucket-key
+sorted writes must also drop the per-bucket Sort.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def bucketed_pair(spark, tmp_path):
+    from capex_data_pipeline_spark.sources.bucketed import (
+        drop_table,
+        write_bucketed,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    write_bucketed(
+        orders.select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        "t_orders_b",
+        ["o_orderkey"],
+        n_buckets=8,
+        sort_cols=["o_orderkey"],
+        path=str(tmp_path / "orders_b"),
+    )
+    write_bucketed(
+        li.select("l_orderkey", "l_quantity", "l_extendedprice"),
+        "t_lineitem_b",
+        ["l_orderkey"],
+        n_buckets=8,
+        sort_cols=["l_orderkey"],
+        path=str(tmp_path / "lineitem_b"),
+    )
+    yield "t_orders_b", "t_lineitem_b"
+    drop_table(spark, "t_orders_b")
+    drop_table(spark, "t_lineitem_b")
+
+
+def test_bucketed_join_has_zero_exchanges(spark, bucketed_pair):
+    t_orders, t_li = bucketed_pair
+    o, l = spark.table(t_orders), spark.table(t_li)
+    joined = o.hint("merge").join(
+        l, o["o_orderkey"] == l["l_orderkey"]
+    )
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    # the whole point: neither fact side shuffles
+    assert "Exchange" not in plan, plan
+    # sortBy on the bucket key: per-bucket sort is read from disk too
+    assert joined.count() > 0
+
+
+def test_unbucketed_same_join_does_shuffle(spark):
+    """Control: the identical join over plain parquet reads pays two
+    Exchanges — the cost bucketing amortizes away."""
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    plan = _plan(
+        o.hint("merge").join(l, o["o_orderkey"] == l["l_orderkey"])
+    )
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") >= 2
+
+
+def test_bucketed_groupby_avoids_shuffle(spark, bucketed_pair):
+    """Aggregations on the bucket key also skip the Exchange: the
+    hash-partitioning satisfies the aggregate's distribution."""
+    from pyspark.sql import functions as F
+
+    _, t_li = bucketed_pair
+    agg = (
+        spark.table(t_li)
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    plan = _plan(agg)
+    assert "Exchange" not in plan, plan
+    assert agg.count() > 0
+
+
+def test_write_bucketed_guards(spark):
+    from capex_data_pipeline_spark.sources.bucketed import write_bucketed
+
+    df = spark.range(5)
+    with pytest.raises(ValueError, match="bucket_cols"):
+        write_bucketed(df, "t_x", [], n_buckets=4)
+    with pytest.raises(ValueError, match="n_buckets"):
+        write_bucketed(df, "t_x", ["id"], n_buckets=0)
