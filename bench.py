@@ -138,6 +138,10 @@ HEADLINE = [
     # the PQ encode+ADC pass (4 codebook fits + one shuffle-free scan)
     "q120_html_extract",
     "q121_pq_ann",
+    # round-7 corpus diagnostics: vocab-frame Zipf/coverage and the
+    # TakeOrdered stride-schedule interleave
+    "q122_term_zipf",
+    "q123_mixture_schedule",
 ]
 
 

@@ -1385,3 +1385,140 @@ def bloom_contamination(
             (F.col("n_flagged") >= min_overlap).alias("contaminated"),
         )
     )
+
+
+def term_zipf_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    topk: int = 20,
+    decimals: int = 6,
+) -> DataFrame:
+    """Tokenizer-diagnostic term statistics: the ``topk`` most frequent
+    words with their rank, frequency, CUMULATIVE token-coverage share
+    (what fraction of all corpus tokens the top-r words absorb — the
+    curve that sizes a vocabulary), and the corpus's fitted Zipf slope
+    (OLS of log10 freq on log10 rank over the top-k frame; natural
+    text sits near -1, synthetic/TEMPLATED corpora flatten — a cheap
+    generated-text detector).
+
+    Scale shape: ONE hash aggregate on compact word keys builds the
+    vocabulary frame; ranks, the coverage window, and the regression
+    all run on the vocab/topk frames (vocabulary-sized, never
+    corpus-sized). Total token count rides along as a 1-row broadcast.
+
+    Returns (rank, term, freq, cum_share, zipf_slope) — slope repeated
+    per row (single-frame contract-friendly output).
+    """
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+    from pyspark.sql.window import Window
+
+    words = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "), lambda w: w != ""
+    )
+    vocab = (
+        df.select(F.explode(words).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = vocab.agg(F.sum("freq").alias("_tot"))
+    ranked = (
+        vocab.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("freq"), F.asc("_w"))
+            ),
+        )
+        .filter(F.col("rank") <= topk)
+    )
+    cum = F.sum("freq").over(
+        Window.orderBy("rank").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    topf = ranked.crossJoin(F.broadcast(total)).select(
+        "rank",
+        F.col("_w").alias("term"),
+        "freq",
+        F.round(cum / F.col("_tot"), decimals).alias("cum_share"),
+        F.log10(F.col("rank").cast("double")).alias("_lx"),
+        F.log10(F.col("freq").cast("double")).alias("_ly"),
+    )
+    slope = topf.agg(
+        F.round(
+            F.covar_pop("_ly", "_lx") / F.var_pop("_lx"), decimals
+        ).alias("zipf_slope")
+    )
+    return topf.crossJoin(F.broadcast(slope)).select(
+        "rank", "term", "freq", "cum_share", "zipf_slope"
+    )
+
+
+def mixture_schedule(
+    df: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 0.1,
+    steps: int = 100,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "s0",
+    decimals: int = 6,
+) -> DataFrame:
+    """Deterministic training-order interleave (stride scheduling):
+    given per-source mixture weights, emit the first ``steps`` docs of
+    the global training stream in which source s receives a share ∝
+    ``weights[s]`` of every prefix — the data-ORDER half of corpus
+    mixing (``mixture_sample`` decides how much of each source
+    survives; this decides WHEN each surviving doc is seen, the
+    schedule Dolma/olmo-style training configs pin).
+
+    Within a source, docs are ordered by the engine-portable md5
+    ``sample_hash`` (a deterministic shuffle); doc k of source s runs
+    at virtual time (k - 0.5) / w_s, and the global stream is the
+    merge of all sources by virtual time — classic stride scheduling,
+    so shares converge to the weights in every prefix, not just in
+    expectation.
+
+    Scale shape: the per-source rank is one window on the (source)
+    key; the ``steps``-row prefix is a TakeOrdered (no global sort);
+    the final step numbering is a window over the already-limited
+    ``steps``-row frame. Deterministic, re-derivable, engine-portable.
+
+    Returns (step, source, doc key, vtime).
+    """
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+    for s, w in weights.items():
+        if w <= 0:
+            raise ValueError(f"weight for {s!r} must be > 0, got {w}")
+    if default_weight <= 0:
+        raise ValueError(f"default_weight must be > 0: {default_weight}")
+    from pyspark.sql.window import Window
+
+    gk = F.coalesce(F.col(group_col).cast("string"), F.lit("<null>"))
+    w_expr = F.lit(float(default_weight))
+    for s, w in sorted(weights.items()):
+        w_expr = F.when(gk == s, F.lit(float(w))).otherwise(w_expr)
+    rn = F.row_number().over(
+        Window.partitionBy(gk).orderBy(
+            sample_hash(F.col(key_col), seed).asc(), F.col(key_col).asc()
+        )
+    )
+    timed = df.select(
+        gk.alias("source"),
+        F.col(key_col),
+        ((rn.cast("double") - F.lit(0.5)) / w_expr).alias("_vt"),
+    )
+    prefix = timed.orderBy(
+        F.col("_vt").asc(), F.col("source").asc(), F.col(key_col).asc()
+    ).limit(steps)
+    step = F.row_number().over(
+        Window.orderBy(
+            F.col("_vt").asc(), F.col("source").asc(), F.col(key_col).asc()
+        )
+    )
+    return prefix.select(
+        step.alias("step"),
+        "source",
+        key_col,
+        F.round("_vt", decimals).alias("vtime"),
+    )

@@ -536,3 +536,115 @@ def q121_pq_ann(spark, sf_dir):
         ),
         "adc_dist",
     )
+
+# ------------------------------------------------ q122: Zipf / coverage
+
+_ZIPF_TOPK = 20
+
+
+@query(
+    "q122_term_zipf",
+    f"""
+    WITH vocab AS MATERIALIZED (
+      SELECT w AS term, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_WORDS_ML}) AS w FROM documents)
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(freq) AS t FROM vocab),
+    ranked AS (
+      SELECT term, freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, term ASC) AS INT)
+               AS rank
+      FROM vocab
+      QUALIFY rank <= {_ZIPF_TOPK}
+    ),
+    topf AS (
+      SELECT rank, term, freq,
+             round(sum(freq) OVER (ORDER BY rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   / (SELECT t FROM tot), 6) AS cum_share,
+             log10(CAST(rank AS DOUBLE)) AS lx,
+             log10(CAST(freq AS DOUBLE)) AS ly
+      FROM ranked
+    ),
+    slope AS (
+      SELECT round(covar_pop(ly, lx) / var_pop(lx), 6) AS zipf_slope
+      FROM topf
+    )
+    SELECT rank, term, freq, cum_share, zipf_slope FROM topf, slope
+    """,
+)
+def q122_term_zipf(spark, sf_dir):
+    """Term Zipf/coverage diagnostics (corpus.term_zipf_stats): top-20
+    words with rank, frequency, cumulative token-coverage share (the
+    vocabulary-sizing curve), and the OLS Zipf slope over log-log
+    rank/frequency (natural text ≈ -1; templated corpora flatten — a
+    cheap generated-text detector). ONE compact-key hash aggregate
+    builds the vocab; every window/regression runs vocab-sized. The
+    oracle restates ranks, the coverage window, and the closed-form
+    covar_pop/var_pop slope."""
+    from capex_data_pipeline_spark.extensions.corpus import term_zipf_stats
+
+    return term_zipf_stats(
+        _t(spark, sf_dir, "documents"), topk=_ZIPF_TOPK
+    )
+
+
+# ------------------------------------------------ q123: mixture schedule
+
+_MIX_WEIGHTS = {"src0": 0.6, "src1": 0.3}
+_MIX_DEFAULT = 0.1
+_MIX_STEPS = 100
+
+_MIX_HASH = (
+    "CAST(('0x' || substr(md5('s0|' || coalesce(CAST(doc_id AS VARCHAR),"
+    " '<null>')), 1, 8)) AS BIGINT) / 4294967296.0"
+)
+
+
+@query(
+    "q123_mixture_schedule",
+    f"""
+    WITH ranked AS (
+      SELECT coalesce(CAST(source AS VARCHAR), '<null>') AS source, doc_id,
+             row_number() OVER (
+               PARTITION BY coalesce(CAST(source AS VARCHAR), '<null>')
+               ORDER BY {_MIX_HASH} ASC, doc_id ASC) AS rn
+      FROM documents
+    ),
+    timed AS (
+      SELECT source, doc_id,
+             (CAST(rn AS DOUBLE) - 0.5)
+             / (CASE source
+                  WHEN 'src0' THEN CAST(0.6 AS DOUBLE)
+                  WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+                  ELSE CAST(0.1 AS DOUBLE) END) AS vt
+      FROM ranked
+    ),
+    pref AS (
+      SELECT * FROM timed ORDER BY vt, source, doc_id LIMIT {_MIX_STEPS}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY vt, source, doc_id) AS INT)
+             AS step,
+           source, doc_id, round(vt, 6) AS vtime
+    FROM pref
+    """,
+)
+def q123_mixture_schedule(spark, sf_dir):
+    """Deterministic training-order interleave
+    (corpus.mixture_schedule, stride scheduling): source shares
+    converge to the {{src0: 0.6, src1: 0.3, else: 0.1}} weights in
+    EVERY prefix of the stream, not just in expectation — the
+    data-order half of corpus mixing (q69's mixture_sample is the
+    how-much half). Per-source md5-hash shuffle rank, virtual time
+    (k-0.5)/w, TakeOrdered prefix (no global sort), step numbering on
+    the steps-row frame. The oracle replays ranks, virtual times, and
+    the merged order."""
+    from capex_data_pipeline_spark.extensions.corpus import mixture_schedule
+
+    return mixture_schedule(
+        _t(spark, sf_dir, "documents"),
+        weights=_MIX_WEIGHTS,
+        default_weight=_MIX_DEFAULT,
+        steps=_MIX_STEPS,
+    )

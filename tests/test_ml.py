@@ -519,3 +519,90 @@ def test_pq_adc_matches_python_replay(spark):
     )[:topk]
     got = [(r["adc_dist"], r["vec_id"], list(r["codes"])) for r in out]
     assert got == [(d, i, c) for d, i, c in want]
+
+
+# ------------------------------------------------ Zipf / coverage
+
+
+def test_zipf_exact_power_law_slope(spark):
+    from capex_data_pipeline_spark.extensions.corpus import term_zipf_stats
+
+    # freq(r) = 12/r exactly: a 10, b 5... build freqs 12, 6, 4, 3 so
+    # log10(f) = log10(12) - log10(r) and the OLS slope is exactly -1
+    words = ["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3
+    out = term_zipf_stats(
+        _docs_df(spark, [" ".join(words)]), topk=4
+    ).collect()
+    got = {r["rank"]: r for r in out}
+    assert [got[r]["term"] for r in (1, 2, 3, 4)] == ["a", "b", "c", "d"]
+    assert [got[r]["freq"] for r in (1, 2, 3, 4)] == [12, 6, 4, 3]
+    total = 25
+    assert got[1]["cum_share"] == round(12 / total, 6)
+    assert got[4]["cum_share"] == 1.0
+    assert abs(got[1]["zipf_slope"] - (-1.0)) < 1e-6
+
+
+def test_zipf_tie_breaks_term_asc(spark):
+    from capex_data_pipeline_spark.extensions.corpus import term_zipf_stats
+
+    out = term_zipf_stats(
+        _docs_df(spark, ["z y x", "z y x"]), topk=3
+    ).collect()
+    assert [(r["rank"], r["term"]) for r in sorted(out)] == [
+        (1, "x"),
+        (2, "y"),
+        (3, "z"),
+    ]
+
+
+# ------------------------------------------------ mixture schedule
+
+
+def test_mixture_schedule_prefix_shares(spark):
+    from capex_data_pipeline_spark.extensions.corpus import mixture_schedule
+
+    rows = [(i, "A") for i in range(60)] + [
+        (i, "B") for i in range(60, 80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_schedule(
+        df, weights={"A": 0.75, "B": 0.25}, steps=40
+    ).collect()
+    assert [r["step"] for r in out] == list(range(1, 41))
+    # stride property: every prefix of 4k steps holds 3k A and k B
+    for k in (4, 8, 20, 40):
+        srcs = [r["source"] for r in out[:k]]
+        assert srcs.count("A") == 3 * k // 4, (k, srcs)
+        assert srcs.count("B") == k // 4
+    # vtime is nondecreasing along the stream
+    vts = [r["vtime"] for r in out]
+    assert vts == sorted(vts)
+
+
+def test_mixture_schedule_deterministic_and_null_source(spark):
+    from capex_data_pipeline_spark.extensions.corpus import mixture_schedule
+
+    df = spark.createDataFrame(
+        [(0, "A"), (1, None), (2, "A"), (3, None)],
+        "doc_id long, source string",
+    )
+    a = mixture_schedule(
+        df, weights={"A": 0.5}, default_weight=0.5, steps=4
+    ).collect()
+    b = mixture_schedule(
+        df, weights={"A": 0.5}, default_weight=0.5, steps=4
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert {r["source"] for r in a} == {"A", "<null>"}
+
+
+def test_mixture_schedule_guards(spark):
+    from capex_data_pipeline_spark.extensions.corpus import mixture_schedule
+
+    df = spark.createDataFrame([(0, "A")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="steps"):
+        mixture_schedule(df, weights={"A": 1.0}, steps=0)
+    with pytest.raises(ValueError, match="weight"):
+        mixture_schedule(df, weights={"A": 0.0})
+    with pytest.raises(ValueError, match="default_weight"):
+        mixture_schedule(df, weights={"A": 1.0}, default_weight=-1)
