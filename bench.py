@@ -142,6 +142,8 @@ HEADLINE = [
     # TakeOrdered stride-schedule interleave
     "q122_term_zipf",
     "q123_mixture_schedule",
+    # round-7: href harvest -> host normalize -> compact-key aggregate
+    "q124_link_graph",
 ]
 
 
@@ -579,6 +581,129 @@ def stress_graph() -> None:
     )
 
 
+def stress_ann() -> None:
+    """``bench.py --stress-ann``: volume-stress the embedding family
+    (q34 brute cosine / q37 IVF / q117 PCA / q121 PQ) far beyond the
+    sf corpora: every base vector is cloned ``COPIES`` times with a
+    deterministic per-copy perturbation (Murmur3-hash offsets — cheap,
+    map-side, engine-local; stress needs volume, not an oracle), and
+    each operator runs at 1/10 volume and full volume so the output
+    carries a measured 10x-step linearity ratio next to each wall —
+    the same alarm shape as ``--scaling``.
+
+    What each op must prove at volume: PQ's fit passes stay
+    vocab-of-centers-sized with a map-only encode (no shuffle grows
+    with N); IVF only scans the probed cells; PCA's per-round
+    aggregate stays d-group-sized; brute cosine is the honest linear
+    baseline the others are measured against."""
+    import time
+
+    copies = int(os.environ.get("SPARK_GRAFT_STRESS_ANN_COPIES", "200"))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    eps = 0.05
+
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.extensions.linalg import (
+        pca_power_projection,
+    )
+    from capex_data_pipeline_spark.extensions.similarity import (
+        cosine_topk,
+        ivf_topk,
+        pq_ann_topk,
+    )
+    from capex_data_pipeline_spark.session import get_spark
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    spark = get_spark(
+        app_name="capex-stress-ann",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    base = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n_base = base.count()
+    queries = base.orderBy("vec_id").limit(8)
+
+    def inflate(n_copies: int):
+        return (
+            base.select(
+                "vec_id",
+                "embedding",
+                F.explode(F.sequence(F.lit(0), F.lit(n_copies - 1))).alias(
+                    "_c"
+                ),
+            )
+            .select(
+                (F.col("vec_id") * n_copies + F.col("_c")).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: x
+                    + F.lit(eps)
+                    * (
+                        F.pmod(
+                            F.hash(F.col("vec_id"), F.col("_c"), i),
+                            F.lit(1000),
+                        ).cast("double")
+                        / 1000.0
+                    ),
+                ).alias("embedding"),
+            )
+        )
+
+    out: dict = {}
+
+    def timed(scale_label, name, fn):
+        t0 = time.time()
+        extra = fn()
+        rec = {"sec": round(time.time() - t0, 3)}
+        rec.update(extra or {})
+        out.setdefault(name, {})[scale_label] = rec
+        print(f"[stress-ann] {name}@{scale_label}: {rec}", file=sys.stderr)
+
+    scales = {"x%d" % (copies // 10): copies // 10, "x%d" % copies: copies}
+    for label, c in scales.items():
+        inf = inflate(c)
+        inf = inf.persist()
+        n = inf.count()
+        timed(label, "brute_cosine_topk", lambda: {
+            "rows": cosine_topk(inf, queries, k=10).count(), "n_vectors": n})
+        timed(label, "ivf_topk_sample", lambda: {
+            "rows": ivf_topk(inf, queries, k=10, n_cells=16, nprobe=3,
+                             centers_mode="sample").count()})
+        timed(label, "pq_ann_topk", lambda: {
+            "rows": pq_ann_topk(inf, n_subspaces=4, k_codes=4, rounds=2,
+                                topk=10).count()})
+        timed(label, "pca_2rounds", lambda: {
+            "rows": pca_power_projection(inf, rounds=2).count()})
+        inf.unpersist()
+
+    lo, hi = list(scales)[0], list(scales)[1]
+    ratios = {
+        name: round(v[hi]["sec"] / max(v[lo]["sec"], 1e-9), 2)
+        for name, v in out.items()
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "stress_ann",
+                "value": round(
+                    sum(v[hi]["sec"] for v in out.values()), 4
+                ),
+                "unit": "sec",
+                "n_base_vectors": n_base,
+                "copies": copies,
+                "scale_step_ratio_ideal": 10.0,
+                "scale_step_ratios": ratios,
+                "runs": out,
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -669,6 +794,8 @@ if __name__ == "__main__":
         scaling_check()
     elif "--stress-graph" in sys.argv[1:]:
         stress_graph()
+    elif "--stress-ann" in sys.argv[1:]:
+        stress_ann()
     elif "--stress" in sys.argv[1:]:
         stress()
     else:

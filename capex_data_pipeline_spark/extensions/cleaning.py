@@ -535,3 +535,37 @@ def extract_html_docs(
         # try_: ANSI mode throws on element_at past the end (linkless)
         F.try_element_at(links, F.lit(1)).alias("first_link"),
     )
+
+
+def html_link_edges(
+    pages: DataFrame,
+    src_col: str = "src_host",
+    html_col: str = "html",
+) -> DataFrame:
+    """Host-level link graph from crawled HTML: harvest hrefs
+    (`extract_href_links`), keep absolute http(s) targets (relative
+    links stay within ``src_col``'s own host and carry no cross-host
+    signal), normalize each target to its lowercased www-stripped host
+    (`url_host` — the same key the domain blocklist/cap operators
+    group by), and aggregate ``(src_host, dst_host)`` edge weights.
+
+    This is the web-graph build step: its output feeds `graph.pagerank`
+    (host authority), `graph.connected_components` (mirror clusters),
+    or per-host quality priors. Scale shape: extraction + host
+    normalization are map-only projections; the single aggregate
+    shuffles compact host-pair strings (high-cardinality in real
+    crawls — spreads evenly; head-of-crawl hot hosts are AQE's
+    skew-join case).
+
+    Returns (src_col, dst_host, n_links).
+    """
+    links = pages.select(
+        F.col(src_col),
+        F.explode(extract_href_links(F.col(html_col))).alias("_u"),
+    )
+    return (
+        links.filter(F.col("_u").rlike(r"^https?://"))
+        .select(src_col, url_host(F.col("_u")).alias("dst_host"))
+        .groupBy(src_col, "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )

@@ -648,3 +648,78 @@ def q123_mixture_schedule(spark, sf_dir):
         default_weight=_MIX_DEFAULT,
         steps=_MIX_STEPS,
     )
+
+# ------------------------------------------------ q124: HTML link graph
+
+
+@query(
+    "q124_link_graph",
+    """
+    WITH pages AS (
+      SELECT 'site' || CAST(doc_id % 3 AS VARCHAR) || '.org' AS src_host,
+        '<html><body><a href="https://WWW.Target'
+        || CAST(doc_id % 7 AS VARCHAR) || '.COM/p/'
+        || CAST(doc_id AS VARCHAR) || '">t</a>'
+        || CASE WHEN doc_id % 2 = 0
+                THEN '<a href=''http://mirror' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.example.net:8080/x''>m</a>'
+                ELSE '' END
+        || '<a href=''/rel/' || CAST(doc_id AS VARCHAR) || '''>rel</a>'
+        || '</body></html>' AS html
+      FROM documents
+    ),
+    links AS (
+      SELECT src_host,
+             unnest(regexp_extract_all(html,
+               '(?i)href\\s*=\\s*["'']([^"'']*)["'']', 1)) AS u
+      FROM pages
+    ),
+    hosts AS (
+      SELECT src_host,
+             regexp_replace(lower(regexp_extract(u,
+               'https?://([^/\\s:]+)', 1)), '^www\\.', '') AS dst_host
+      FROM links WHERE regexp_matches(u, '^https?://')
+    )
+    SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+    FROM hosts GROUP BY 1, 2
+    """,
+)
+def q124_link_graph(spark, sf_dir):
+    """Host-level link graph from HTML (cleaning.html_link_edges):
+    href harvest → absolute-http(s) filter → lowercased www-stripped
+    host → one compact-key aggregate — the web-graph build step whose
+    output feeds pagerank/connected-components/domain caps. Pages are
+    synthesized deterministically (mixed-case www'd hosts, a ported
+    mirror host on even docs, an always-dropped relative link) so
+    every rule does real work; the oracle replays harvest, filter,
+    normalization, and weights. No entity-encoded hrefs here: the
+    single-quoted mirror link exercises the quote-alternation the
+    q120 wrapper cannot (its SQL-side synthesis)."""
+    from capex_data_pipeline_spark.extensions.cleaning import (
+        html_link_edges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 7).cast("string")
+    m = (F.col("doc_id") % 5).cast("string")
+    pages = docs.select(
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".org"),
+        ).alias("src_host"),
+        F.concat(
+            F.lit('<html><body><a href="https://WWW.Target'), k,
+            F.lit(".COM/p/"), F.col("doc_id").cast("string"),
+            F.lit('">t</a>'),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("<a href='http://mirror"), m,
+                    F.lit(".example.net:8080/x'>m</a>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("<a href='/rel/"), F.col("doc_id").cast("string"),
+            F.lit("'>rel</a></body></html>"),
+        ).alias("html"),
+    )
+    return html_link_edges(pages)

@@ -9,6 +9,7 @@ import math
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from capex_data_pipeline_spark.extensions.corpus import (
     bloom_contamination,
@@ -606,3 +607,64 @@ def test_mixture_schedule_guards(spark):
         mixture_schedule(df, weights={"A": 0.0})
     with pytest.raises(ValueError, match="default_weight"):
         mixture_schedule(df, weights={"A": 1.0}, default_weight=-1)
+
+
+# ------------------------------------------------ HTML link graph
+
+
+def test_html_link_edges_semantics(spark):
+    from capex_data_pipeline_spark.extensions.cleaning import (
+        html_link_edges,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "a.org",
+                '<a href="https://WWW.B.COM/x">1</a>'
+                "<a href='https://b.com/y'>2</a>"
+                '<a href="/relative">r</a>'
+                '<a href="mailto:x@y.z">m</a>'
+                '<a href="http://c.net:8080/z">3</a>',
+            ),
+            ("a.org", '<a href="https://b.com/z">4</a>'),
+            ("d.org", "no links at all"),
+        ],
+        "src_host string, html string",
+    )
+    rows = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in html_link_edges(pages).collect()
+    }
+    # www-stripping + case-folding merges WWW.B.COM with b.com; the
+    # port stops the host capture; relative/mailto links drop
+    assert rows == {("a.org", "b.com"): 3, ("a.org", "c.net"): 1}
+
+
+def test_html_link_edges_feed_pagerank(spark):
+    """Composition: the edge list drops straight into graph.pagerank
+    (host authority over the crawl graph)."""
+    from capex_data_pipeline_spark.extensions.cleaning import (
+        html_link_edges,
+    )
+    from capex_data_pipeline_spark.extensions.graph import pagerank
+
+    pages = spark.createDataFrame(
+        [
+            ("a.org", '<a href="https://b.com/1">x</a>'),
+            ("b.com", '<a href="https://a.org/2">y</a>'),
+            ("c.net", '<a href="https://a.org/3">z</a>'),
+        ],
+        "src_host string, html string",
+    )
+    edges = html_link_edges(pages).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    ranks = pagerank(edges, iterations=2, src_col="src", dst_col="dst")
+    got = {r[0]: r[1] for r in ranks.collect()}
+    # c.net has no in-links: it bottoms out at the damping floor while
+    # the a<->b cycle holds the rest of the mass (their relative order
+    # oscillates round-to-round in a 2-cycle — that's PageRank, not a
+    # bug)
+    assert set(got) == {"a.org", "b.com", "c.net"}
+    assert got["c.net"] < got["a.org"] and got["c.net"] < got["b.com"]
