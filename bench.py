@@ -144,6 +144,10 @@ HEADLINE = [
     "q123_mixture_schedule",
     # round-7: href harvest -> host normalize -> compact-key aggregate
     "q124_link_graph",
+    # round-7 sketch family: the whole token stream collapsing onto
+    # 3x1024 CMS cells, and the 64-register HLL max aggregate
+    "q125_cms_heavy_hitters",
+    "q126_hll_cardinality",
 ]
 
 

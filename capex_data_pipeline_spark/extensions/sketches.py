@@ -1,0 +1,186 @@
+"""Probabilistic sketches with engine-portable determinism: count-min
+frequency estimation and HyperLogLog cardinality estimation.
+
+Together with `corpus.bloom_contamination` these complete the
+constant-memory sketch toolkit a 100 TB pipeline leans on: membership
+(Bloom), frequency (CMS), and cardinality (HLL) — each summarizing an
+unbounded stream/corpus into a FIXED-size state that fits a broadcast
+or a driver, with one-pass map-side updates and compact-key
+aggregates.
+
+Every hash here is md5-derived (the repo convention), so an
+independent SQL engine reproduces the sketch — including its
+collision/estimation errors — bit-for-bit; the HLL register sums are
+exact powers of two whose partial sums never round (exponent spread +
+count < 53 bits), so even the float arithmetic is order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _md5_mod(prefix: Column, s: Column, m: int) -> Column:
+    """60-bit md5 prefix of (prefix|s) mod m — the shared position
+    hash (`corpus.bloom_contamination` uses the same shape)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(prefix, F.lit("|"), s)), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % m
+    )
+
+
+def cms_top_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 3,
+    width: int = 1024,
+    topk: int = 20,
+) -> DataFrame:
+    """Count-min sketch over the corpus word stream, read back for the
+    ``topk`` true-heaviest words: every token increments ``depth``
+    counters (row j at column md5(j|word) mod ``width``), and a word's
+    estimate is the MIN of its ``depth`` counters. The one-sided CMS
+    guarantee — est ≥ true always, est ≤ true + εN w.h.p. — surfaces
+    directly in the output as ``overestimate``.
+
+    Scale shape: the sketch state is depth×width counters TOTAL
+    (3 KiB-ish) regardless of corpus size — ONE hash aggregate whose
+    map-side partials collapse onto those cells, so almost nothing
+    crosses the wire; the candidate read-back joins ``topk × depth``
+    rows against the cell frame. (The candidate list comes from the
+    exact vocab frame here — batch context; a streaming deployment
+    keeps a heavy-hitter heap beside the sketch instead.)
+
+    Returns (word, true_count, est_count, overestimate).
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1: {depth}/{width}")
+    from capex_data_pipeline_spark.cache import persisted
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+    from pyspark.sql.window import Window
+
+    words = persisted(
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(normalized_text(F.col(text_col)), " "),
+                    lambda w: w != "",
+                )
+            ).alias("_w")
+        )
+    )
+    rows = F.array(*[F.lit(str(j)) for j in range(depth)])
+    cells = (
+        words.select(
+            F.explode(rows).alias("_j"),
+            F.col("_w"),
+        )
+        .select("_j", _md5_mod(F.col("_j"), F.col("_w"), width).alias("_p"))
+        .groupBy("_j", "_p")
+        .agg(F.count(F.lit(1)).alias("_cell"))
+    )
+    vocab = words.groupBy("_w").agg(F.count(F.lit(1)).alias("true_count"))
+    cand = (
+        vocab.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("true_count"), F.asc("_w"))
+            ),
+        )
+        .filter(F.col("_rk") <= topk)
+        .drop("_rk")
+    )
+    probes = cand.select(
+        "_w", "true_count", F.explode(rows).alias("_j")
+    ).select(
+        "_w",
+        "true_count",
+        "_j",
+        _md5_mod(F.col("_j"), F.col("_w"), width).alias("_p"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["_j", "_p"])
+        .groupBy("_w", "true_count")
+        .agg(F.min("_cell").alias("est_count"))
+        .select(
+            F.col("_w").alias("word"),
+            "true_count",
+            "est_count",
+            (F.col("est_count") - F.col("true_count")).alias(
+                "overestimate"
+            ),
+        )
+    )
+
+
+def hll_cardinality(
+    df: DataFrame,
+    key: Column,
+    b: int = 6,
+    decimals: int = 6,
+) -> DataFrame:
+    """Raw HyperLogLog cardinality estimate (Flajolet et al. 2007,
+    without the small/large-range corrections — the estimator itself,
+    stated plainly) next to the exact distinct count: each key hashes
+    to a 52-bit md5 value; the low ``b`` bits pick one of m = 2^b
+    registers and the register keeps the maximum rank (leading-zero
+    count + 1) of the remaining 52-b bits; the estimate is
+    α_m · m² / Σ 2^(-register).
+
+    Engine-portability: rank extraction is pure INTEGER logic (binary
+    string length — no float log2 at the boundary), the register sum
+    adds exact powers of two whose partial sums never round, and α_m
+    is spelled as the same literal formula both engines fold — so the
+    estimate, error and all, reproduces bit-for-bit in SQL.
+
+    Scale shape: the sketch is m registers TOTAL — one hash aggregate
+    onto m cells (map-side partial max), one m-row finalize. The
+    exact count rides along for the error report (at 100 TB you'd
+    drop it — that's the point of the sketch).
+
+    Returns one row: (n_exact, n_estimated, rel_error).
+    """
+    if not 1 <= b <= 16:
+        raise ValueError(f"b must be in [1, 16], got {b}")
+    m = 1 << b
+    rest_bits = 52 - b
+    k = F.coalesce(key.cast("string"), F.lit("<null>"))
+    h = F.conv(F.substring(F.md5(k), 1, 13), 16, 10).cast("long")
+    bucket = h % m
+    rest = F.shiftright(h, b)  # exact integer shift, no float detour
+    # rank = leading zeros of rest in rest_bits + 1; integer logic via
+    # binary-string length (bitlen), never float log2
+    bitlen = F.length(F.conv(rest.cast("string"), 10, 2))
+    rank = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits) - bitlen + 1
+    )
+    regs = (
+        df.select(bucket.alias("_b"), rank.alias("_r"))
+        .groupBy("_b")
+        .agg(F.max("_r").alias("_mr"))
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    est = (
+        alpha
+        * F.lit(float(m * m))
+        / (
+            F.sum(F.pow(F.lit(2.0), -F.col("_mr")))
+            + (F.lit(m) - F.count(F.lit(1))).cast("double")
+        )
+    )
+    exact = df.select(F.countDistinct(k).alias("n_exact"))
+    summary = regs.agg(F.round(est, decimals).alias("n_estimated"))
+    return exact.crossJoin(summary).select(
+        "n_exact",
+        "n_estimated",
+        F.round(
+            F.abs(F.col("n_estimated") - F.col("n_exact"))
+            / F.nullif(F.col("n_exact").cast("double"), F.lit(0.0)),
+            decimals,
+        ).alias("rel_error"),
+    )

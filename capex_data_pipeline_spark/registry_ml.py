@@ -723,3 +723,129 @@ def q124_link_graph(spark, sf_dir):
         ).alias("html"),
     )
     return html_link_edges(pages)
+
+# ------------------------------------------------ q125: count-min sketch
+
+_CMS_D = 3
+_CMS_W = 1024
+_CMS_TOPK = 20
+
+_CMS_POS = (
+    "CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || w), 1, 15)) "
+    f"AS BIGINT) % {_CMS_W}"
+)
+
+
+@query(
+    "q125_cms_heavy_hitters",
+    f"""
+    WITH words AS MATERIALIZED (
+      SELECT unnest({_WORDS_ML}) AS w FROM documents
+    ),
+    hj AS (SELECT unnest(range(0, {_CMS_D})) AS j),
+    cells AS (
+      SELECT j, pos, CAST(count(*) AS BIGINT) AS cell
+      FROM (SELECT j, {_CMS_POS} AS pos FROM words, hj)
+      GROUP BY 1, 2
+    ),
+    vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS true_count
+      FROM words GROUP BY 1
+    ),
+    cand AS (
+      SELECT w, true_count FROM (
+        SELECT w, true_count,
+               row_number() OVER (ORDER BY true_count DESC, w ASC) AS rk
+        FROM vocab) WHERE rk <= {_CMS_TOPK}
+    ),
+    probes AS (
+      SELECT w, true_count, j, {_CMS_POS} AS pos FROM cand, hj
+    )
+    SELECT w AS word, true_count,
+           min(cell) AS est_count,
+           min(cell) - true_count AS overestimate
+    FROM probes JOIN cells USING (j, pos)
+    GROUP BY 1, 2
+    """,
+)
+def q125_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch frequency estimation
+    (sketches.cms_top_frequencies, 3×1024 counters): the sketch state
+    is ~3 KiB REGARDLESS of corpus size — map-side partials collapse
+    the whole token stream onto depth×width cells — and the top-20
+    read-back surfaces the one-sided CMS guarantee as an explicit
+    ``overestimate`` column (est ≥ true always). With q119's Bloom
+    and q126's HLL this completes the constant-memory sketch toolkit
+    (membership / frequency / cardinality). The oracle re-derives the
+    cells, the probes, and the min-read bit-for-bit."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        cms_top_frequencies,
+    )
+
+    return cms_top_frequencies(
+        _t(spark, sf_dir, "documents"),
+        depth=_CMS_D,
+        width=_CMS_W,
+        topk=_CMS_TOPK,
+    )
+
+
+# ------------------------------------------------ q126: HyperLogLog
+
+_HLL_B = 6
+_NORM_ML = (
+    "trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g'))"
+)
+
+
+@query(
+    "q126_hll_cardinality",
+    f"""
+    WITH keyed AS (
+      SELECT CAST(('0x' || substr(md5(coalesce({_NORM_ML}, '<null>')),
+                   1, 13)) AS BIGINT) AS h,
+             {_NORM_ML} AS k
+      FROM documents
+    ),
+    regs AS (
+      SELECT h % {1 << _HLL_B} AS b,
+             max(CASE WHEN (h >> {_HLL_B}) = 0 THEN {52 - _HLL_B + 1}
+                      ELSE {52 - _HLL_B} - length(bin(h >> {_HLL_B})) + 1
+                 END) AS mr
+      FROM keyed GROUP BY 1
+    ),
+    summary AS (
+      SELECT round(
+        (0.7213 / (1.0 + 1.079 / {float(1 << _HLL_B)}))
+        * {float((1 << _HLL_B) ** 2)}
+        / (sum(pow(2.0, -mr))
+           + CAST({1 << _HLL_B} - count(*) AS DOUBLE)), 6)
+        AS n_estimated
+      FROM regs
+    ),
+    exact AS (
+      SELECT CAST(count(DISTINCT k) AS BIGINT) AS n_exact FROM keyed
+    )
+    SELECT n_exact, n_estimated,
+           round(abs(n_estimated - n_exact)
+                 / nullif(CAST(n_exact AS DOUBLE), 0.0), 6) AS rel_error
+    FROM exact, summary
+    """,
+)
+def q126_hll_cardinality(spark, sf_dir):
+    """Raw HyperLogLog cardinality estimate over normalized document
+    texts (sketches.hll_cardinality, 64 registers) next to the exact
+    distinct count: the sketch is m registers TOTAL — one map-side-max
+    aggregate — and the estimate reproduces bit-for-bit in SQL because
+    rank extraction is integer binary-string logic (no float log2) and
+    the register sums add exact powers of two (order-independent, no
+    rounding). Spark's own approx_count_distinct is the production
+    fast path; this operator is the ENGINE-PORTABLE estimator whose
+    error the oracle can certify."""
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+    from capex_data_pipeline_spark.extensions.sketches import (
+        hll_cardinality,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return hll_cardinality(docs, normalized_text(F.col("text")), b=_HLL_B)

@@ -1,6 +1,10 @@
-"""Unit + differential tests for the round-7 ML-adjacent operators:
-PCA power iteration (extensions/linalg.py), the trigram language
-model, and Bloom-filter decontamination (extensions/corpus.py).
+"""Unit + differential tests for the round-7 operators: PCA power
+iteration (extensions/linalg.py), the trigram language model, Bloom
+decontamination, the stride mixture schedule and Zipf diagnostics
+(extensions/corpus.py), HTML extraction + the host link graph
+(extensions/cleaning.py), product-quantization ANN
+(extensions/similarity.py), and the count-min / HyperLogLog sketches
+(extensions/sketches.py).
 """
 
 from __future__ import annotations
@@ -668,3 +672,91 @@ def test_html_link_edges_feed_pagerank(spark):
     # bug)
     assert set(got) == {"a.org", "b.com", "c.net"}
     assert got["c.net"] < got["a.org"] and got["c.net"] < got["b.com"]
+
+
+# ------------------------------------------------ sketches (CMS / HLL)
+
+
+def test_cms_exact_when_wide_and_overestimates_when_narrow(spark):
+    from capex_data_pipeline_spark.extensions.sketches import (
+        cms_top_frequencies,
+    )
+
+    texts = ["alpha alpha alpha beta beta gamma"] * 5
+    wide = cms_top_frequencies(
+        _docs_df(spark, texts), depth=3, width=4096, topk=3
+    ).collect()
+    got = {r["word"]: r for r in wide}
+    assert got["alpha"]["true_count"] == 15
+    # 3 distinct words in 4096 columns: no collisions, estimates exact
+    for r in wide:
+        assert r["est_count"] == r["true_count"]
+        assert r["overestimate"] == 0
+
+    rng = random.Random(13)
+    many = [
+        " ".join(f"w{rng.randrange(500)}" for _ in range(30))
+        for _ in range(40)
+    ]
+    narrow = cms_top_frequencies(
+        _docs_df(spark, many), depth=2, width=16, topk=10
+    ).collect()
+    # one-sided guarantee: NEVER an underestimate, and 500 words in 16
+    # columns must collide somewhere in the top-10
+    assert all(r["overestimate"] >= 0 for r in narrow)
+    assert any(r["overestimate"] > 0 for r in narrow)
+
+
+def test_cms_guards(spark):
+    from capex_data_pipeline_spark.extensions.sketches import (
+        cms_top_frequencies,
+    )
+
+    with pytest.raises(ValueError, match="depth/width"):
+        cms_top_frequencies(_docs_df(spark, ["x"]), depth=0)
+
+
+def test_hll_estimate_within_expected_error(spark):
+    from capex_data_pipeline_spark.extensions.sketches import (
+        hll_cardinality,
+    )
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    out = hll_cardinality(df, F.col("k"), b=6).collect()[0]
+    assert out["n_exact"] == 2000
+    # raw HLL with m=64: typical error 1.04/sqrt(64) ~ 13%; allow 3
+    # sigma-ish — the estimate is deterministic, this pins it sane
+    assert abs(out["n_estimated"] - 2000) / 2000 < 0.4
+    assert out["rel_error"] == round(
+        abs(out["n_estimated"] - 2000) / 2000.0, 6
+    )
+
+
+def test_hll_deterministic_and_duplicate_invariant(spark):
+    from capex_data_pipeline_spark.extensions.sketches import (
+        hll_cardinality,
+    )
+
+    base = spark.range(500).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    doubled = base.union(base)  # duplicates must not move the estimate
+    a = hll_cardinality(base, F.col("k")).collect()[0]
+    b = hll_cardinality(doubled, F.col("k")).collect()[0]
+    assert a["n_estimated"] == b["n_estimated"]
+    assert a["n_exact"] == b["n_exact"] == 500
+
+
+def test_hll_guards_and_empty(spark):
+    from capex_data_pipeline_spark.extensions.sketches import (
+        hll_cardinality,
+    )
+
+    df = spark.range(1).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError, match="b must be"):
+        hll_cardinality(df, F.col("k"), b=0)
+    empty = spark.createDataFrame([], "k string")
+    row = hll_cardinality(empty, F.col("k")).collect()[0]
+    assert row["n_exact"] == 0 and row["rel_error"] is None
