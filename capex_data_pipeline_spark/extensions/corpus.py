@@ -1522,3 +1522,48 @@ def mixture_schedule(
         key_col,
         F.round("_vt", decimals).alias("vtime"),
     )
+
+
+def corpus_snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-level diff between two corpus snapshots: full outer
+    join on the document key comparing normalized-text fingerprints —
+    the incremental-pipeline primitive that decides what downstream
+    work (re-chunk, re-embed, re-dedup) a new crawl actually requires
+    (CDC q103 maintains a table from a changelog; this DERIVES the
+    changelog from two materialized versions).
+
+    Returns one row per non-identical document:
+    (id_col, status ∈ {added, removed, changed}) — unchanged docs are
+    omitted (at 100 TB they are the overwhelming majority; emitting
+    them would make the diff as big as the corpus).
+
+    Scale shape: fingerprints are md5 digests computed map-side; the
+    single full-outer join shuffles (id, 32-byte digest) pairs only,
+    never text.
+    """
+    from capex_data_pipeline_spark.extensions.dedup import text_fingerprint
+
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        text_fingerprint(F.col(text_col)).alias("_ofp"),
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        text_fingerprint(F.col(text_col)).alias("_nfp"),
+    )
+    joined = o.join(n, "_id", "full_outer")
+    return (
+        joined.withColumn(
+            "status",
+            F.when(F.col("_ofp").isNull(), F.lit("added"))
+            .when(F.col("_nfp").isNull(), F.lit("removed"))
+            .when(F.col("_ofp") != F.col("_nfp"), F.lit("changed")),
+        )
+        .filter(F.col("status").isNotNull())
+        .select(F.col("_id").alias(id_col), "status")
+    )

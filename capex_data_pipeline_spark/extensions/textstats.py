@@ -357,3 +357,46 @@ def add_char_entropy(df: "DataFrame", text_col: str = "text") -> "DataFrame":
         .withColumn("entropy_nats", F.col("_ce.entropy_nats"))
         .drop("_ce", "_ce_norm")
     )
+
+
+def percentile_calibrate(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    keep_frac: float = 0.5,
+    id_col: str = "doc_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group percentile calibration of a quality score: rank each
+    document WITHIN its group (source/dump/domain) and keep the top
+    ``keep_frac`` share per group — the FineWeb-style normalization
+    that stops a single high-scoring source from monopolizing the kept
+    set when raw score distributions differ across sources (absolute
+    thresholds select sources; per-source percentiles select
+    documents).
+
+    Determinism levers pinned for cross-engine parity: the window
+    orders by (score ASC NULLS FIRST, id ASC) — Spark defaults NULLS
+    FIRST ascending but DuckDB defaults NULLS LAST, so the oracle must
+    state it; the id tie-break makes percent_rank reproducible under
+    score ties; kept = pr ≥ 1 − keep_frac.
+
+    One window on the (group) key — single shuffle of (id, group,
+    score) triples. Returns (id_col, group_col, score_col, pct_rank,
+    kept).
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc_nulls_first(), F.col(id_col).asc()
+    )
+    pr = F.percent_rank().over(w)
+    return df.select(
+        id_col,
+        group_col,
+        score_col,
+        F.round(pr, decimals).alias("pct_rank"),
+        (F.round(pr, decimals) >= F.lit(1.0 - keep_frac)).alias("kept"),
+    )

@@ -849,3 +849,122 @@ def q126_hll_cardinality(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return hll_cardinality(docs, normalized_text(F.col("text")), b=_HLL_B)
+
+# ------------------------------------------------ q127: snapshot diff
+
+
+@query(
+    "q127_snapshot_diff",
+    f"""
+    WITH old_snap AS (
+      SELECT doc_id, md5({_NORM_ML}) AS fp
+      FROM documents WHERE doc_id % 50 <> 0
+    ),
+    new_snap AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(coalesce(
+               CASE WHEN doc_id % 11 = 0 THEN text || ' revised v2'
+                    ELSE text END, '')),
+               '[^a-z0-9]+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 37 <> 0
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp <> n.fp THEN 'changed' END AS status
+    FROM old_snap o FULL OUTER JOIN new_snap n USING (doc_id)
+    WHERE (CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp <> n.fp THEN 'changed' END) IS NOT NULL
+    """,
+)
+def q127_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff (corpus.corpus_snapshot_diff): derive the
+    added/removed/changed changelog between two corpus versions from
+    normalized-text fingerprints — ONE full-outer join shuffling only
+    (id, digest) pairs, unchanged docs (the 100 TB majority) omitted
+    by design. Snapshots are carved deterministically from documents
+    (old drops doc_id%50==0 → those appear 'added'; new drops
+    doc_id%37==0 → 'removed'; doc_id%11==0 texts gain a suffix →
+    'changed'). The oracle replays fingerprints and the outer-join
+    classification."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        corpus_snapshot_diff,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 50 != 0)
+    new = docs.filter(F.col("doc_id") % 37 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" revised v2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_snapshot_diff(old, new)
+
+
+# ------------------------------------------------ q128: percentile calibration
+
+#: DuckDB replay of the q97 per-doc char-entropy score (reused here as
+#: the continuous quality signal the calibration ranks)
+_ENTROPY_ML = f"""
+  SELECT doc_id, source,
+         CASE WHEN n > 0 THEN
+           round(ln(CAST(n AS DOUBLE))
+                 - list_sum(list_transform(counts,
+                     c -> c * ln(CAST(c AS DOUBLE)))) / n, 6) + 0.0
+         END AS entropy_nats
+  FROM (
+    SELECT doc_id, source, len(cs) AS n,
+           list_transform(list_distinct(cs),
+             d -> len(list_filter(cs, c -> c = d))) AS counts
+    FROM (SELECT doc_id, source,
+                 list_filter(string_split({_NORM_ML}, ''), c -> c <> '')
+                   AS cs
+          FROM documents)
+  )
+"""
+
+
+@query(
+    "q128_source_calibration",
+    f"""
+    WITH scored AS ({_ENTROPY_ML}),
+    ranked AS (
+      SELECT doc_id, source, entropy_nats,
+             round(percent_rank() OVER (
+               PARTITION BY source
+               ORDER BY entropy_nats ASC NULLS FIRST, doc_id ASC), 6)
+               AS pct_rank
+      FROM scored
+    )
+    SELECT doc_id, source, entropy_nats, pct_rank,
+           pct_rank >= 0.5 AS kept
+    FROM ranked
+    """,
+)
+def q128_source_calibration(spark, sf_dir):
+    """Per-source percentile quality calibration
+    (textstats.percentile_calibrate over the q97 char-entropy score):
+    the FineWeb-style normalization — rank every document within its
+    source and keep the top half per source, so differing raw score
+    distributions across sources select documents, not sources. The
+    determinism levers are explicit (NULLS FIRST ascending — Spark's
+    default, DuckDB's not — and the doc_id tie-break), which is what
+    makes percent_rank value-exact cross-engine. One window on the
+    source key; the score is the q97 Arrow fast path."""
+    from capex_data_pipeline_spark.extensions.textstats import (
+        add_char_entropy,
+        percentile_calibrate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = add_char_entropy(docs, "text").select(
+        "doc_id", "source", "entropy_nats"
+    )
+    return percentile_calibrate(
+        scored, "entropy_nats", group_col="source", keep_frac=0.5
+    )

@@ -760,3 +760,84 @@ def test_hll_guards_and_empty(spark):
     empty = spark.createDataFrame([], "k string")
     row = hll_cardinality(empty, F.col("k")).collect()[0]
     assert row["n_exact"] == 0 and row["rel_error"] is None
+
+
+# ------------------------------------------------ snapshot diff
+
+
+def test_snapshot_diff_classification(spark):
+    from capex_data_pipeline_spark.extensions.corpus import (
+        corpus_snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will be removed"),
+         (4, "Same   TEXT!")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "has changed"), (5, "brand new"),
+         (4, "same text")],  # 4: normalization-equal -> unchanged
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus_snapshot_diff(old, new).collect()
+    }
+    assert got == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_snapshot_diff_empty_sides(spark):
+    from capex_data_pipeline_spark.extensions.corpus import (
+        corpus_snapshot_diff,
+    )
+
+    docs = _docs_df(spark, ["a", "b"])
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert {
+        r["status"] for r in corpus_snapshot_diff(empty, docs).collect()
+    } == {"added"}
+    assert {
+        r["status"] for r in corpus_snapshot_diff(docs, empty).collect()
+    } == {"removed"}
+    assert corpus_snapshot_diff(docs, docs).collect() == []
+
+
+# ------------------------------------------------ percentile calibration
+
+
+def test_percentile_calibrate_semantics(spark):
+    from capex_data_pipeline_spark.extensions.textstats import (
+        percentile_calibrate,
+    )
+
+    rows = [
+        # source A: scores 1..4 -> pct_rank 0, 1/3, 2/3, 1
+        (0, "A", 1.0), (1, "A", 2.0), (2, "A", 3.0), (3, "A", 4.0),
+        # source B: all-tied scores -> rank by doc_id, NULL sorts first
+        (4, "B", 7.0), (5, "B", 7.0), (6, "B", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, s double")
+    got = {
+        r["doc_id"]: (r["pct_rank"], r["kept"])
+        for r in percentile_calibrate(
+            df, "s", group_col="source", keep_frac=0.5
+        ).collect()
+    }
+    assert got[0] == (0.0, False)
+    assert got[1] == (round(1 / 3, 6), False)
+    assert got[2] == (round(2 / 3, 6), True)
+    assert got[3] == (1.0, True)
+    # NULL score ranks lowest; tie between 4 and 5 broken by doc_id
+    assert got[6][0] == 0.0 and not got[6][1]
+    assert got[4] == (0.5, True) and got[5] == (1.0, True)
+
+
+def test_percentile_calibrate_guard(spark):
+    from capex_data_pipeline_spark.extensions.textstats import (
+        percentile_calibrate,
+    )
+
+    df = spark.createDataFrame([(0, "A", 1.0)], "doc_id long, source string, s double")
+    with pytest.raises(ValueError, match="keep_frac"):
+        percentile_calibrate(df, "s", keep_frac=0.0)
