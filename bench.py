@@ -148,6 +148,10 @@ HEADLINE = [
     # 3x1024 CMS cells, and the 64-register HLL max aggregate
     "q125_cms_heavy_hitters",
     "q126_hll_cardinality",
+    # round-7: the (id, digest) full-outer snapshot diff and the
+    # per-source percent_rank calibration over the entropy score
+    "q127_snapshot_diff",
+    "q128_source_calibration",
 ]
 
 
