@@ -152,6 +152,9 @@ HEADLINE = [
     # per-source percent_rank calibration over the entropy score
     "q127_snapshot_diff",
     "q128_source_calibration",
+    # round-7: 3 GD rounds x (map-only sigmoid pass + ONE 65-group
+    # gradient aggregate) — the training half of the q89 classifier
+    "q129_logreg_train",
 ]
 
 

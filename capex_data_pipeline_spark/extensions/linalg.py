@@ -157,3 +157,153 @@ def pca_power_projection(
         F.col(id_col),
         _fold_sum(centered_terms(v_lit, mu_lit), decimals).alias("score"),
     )
+
+
+def hashed_buckets(text: Column, n_buckets: int) -> Column:
+    """Sorted-distinct md5 feature buckets of the normalized words of
+    ``text`` — the BINARY (presence) variant of the feature hashing
+    that ``textstats.hashed_linear_score`` uses for inference, sorted
+    so downstream sequential folds visit buckets in the same order in
+    every engine (DuckDB ``list_sort(list_distinct(...))`` mirrors it
+    exactly; first-occurrence order would NOT be portable)."""
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    words = F.filter(F.split(normalized_text(text), " "), lambda s: s != "")
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(
+                words,
+                lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast(
+                    "long"
+                )
+                % n_buckets,
+            )
+        )
+    )
+
+
+def logreg_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    n_buckets: int = 64,
+    rounds: int = 3,
+    lr: float = 1.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Train a hashed bag-of-words logistic-regression quality
+    classifier by full-batch gradient descent — the TRAINING half of
+    the fastText/DCLM-style pipeline whose inference half is
+    ``textstats.hashed_linear_score`` (q89): the weights this returns
+    (integer milli-units in ``weight_milli``) plug straight into that
+    scorer.
+
+    Features are BINARY presence bits over ``n_buckets`` md5 word
+    buckets (see ``hashed_buckets``); the model is ``n_buckets``
+    weights plus a bias (feature -1). Each round is:
+
+        zᵢ = round(b + Σ_{k∈bucketsᵢ} w[k], decimals)      (map-only)
+        pᵢ = round(sigmoid(zᵢ), decimals)                  (map-only)
+        g_k = round(Σᵢ (pᵢ-yᵢ)·x_{ik} / n, decimals)       (ONE agg)
+        w ← round(w - lr·g, decimals)   (engine-side, plan literals)
+
+    Scale shape (same as ``pca_power_projection`` / k-means): the
+    corpus is tokenized ONCE into a persisted compact (id, buckets,
+    y) frame; per round the data pays one map-only scoring pass plus
+    ONE hash aggregate with ``n_buckets + 1`` groups (map-side
+    partials), and the model rides the driver as ``n_buckets + 1``
+    doubles compiled into the next round's plan — no per-row Python,
+    no weight-table join, no driver-side data. Full-batch GD (not
+    SGD) is the deterministic choice: no sample order to disagree on.
+
+    Cross-engine determinism: every model value is re-anchored to
+    ``decimals`` inside the engine each round; the per-doc weight sum
+    is a 0.0-seeded sequential fold over the SORTED bucket list
+    (DuckDB ``list_reduce`` op order); ``round(…) + 0.0`` collapses
+    -0.0. The one libm crossing is ``exp`` inside the sigmoid —
+    rounded to ``decimals`` immediately, so engines disagree only if
+    exp lands within an ulp of a 0.5·10^-decimals boundary.
+
+    Returns ``(feature, weight, weight_milli)``: ``n_buckets`` rows
+    for feature 0..n_buckets-1 plus one bias row at feature -1, with
+    ``weight_milli = round(weight·1000)`` as BIGINT.
+    """
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from capex_data_pipeline_spark.cache import persisted
+
+    spark = df.sparkSession
+    docs = persisted(
+        df.select(
+            hashed_buckets(F.col(text_col), n_buckets).alias("_bs"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+    )
+    n = docs.count()
+    if n == 0:
+        raise ValueError("logreg_train: empty corpus")
+
+    w = [0.0] * n_buckets
+    b = 0.0
+    bias_key = F.lit(-1).cast("long")
+    for _ in range(rounds):
+        w_lit = _lit_array(w)
+        # z = round(round(fold(w[k]), d) + b, d); empty docs -> b only
+        z = F.round(
+            _fold_sum(
+                F.transform(
+                    "_bs",
+                    lambda k: F.element_at(w_lit, (k + 1).cast("int")),
+                ),
+                decimals,
+            )
+            + F.lit(b),
+            decimals,
+        )
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), decimals) + F.lit(
+            0.0
+        )
+        resid = docs.select(
+            (p - F.col("_y")).alias("_r"),
+            F.concat("_bs", F.array(bias_key)).alias("_ks"),
+        )
+        g_df = (
+            resid.select("_r", F.explode("_ks").alias("_k"))
+            .groupBy("_k")
+            .agg(
+                (
+                    F.round(F.sum("_r") / F.lit(float(n)), decimals)
+                    + F.lit(0.0)
+                ).alias("_g")
+            )
+        )
+        prev = F.when(F.col("_k") == -1, F.lit(b)).otherwise(
+            F.element_at(w_lit, (F.col("_k") + 1).cast("int"))
+        )
+        new_rows = g_df.select(
+            "_k",
+            (
+                F.round(prev - F.lit(float(lr)) * F.col("_g"), decimals)
+                + F.lit(0.0)
+            ).alias("_w"),
+        ).collect()
+        for r in new_rows:  # absent buckets: g == 0, weight unchanged
+            if r["_k"] == -1:
+                b = r["_w"]
+            else:
+                w[int(r["_k"])] = r["_w"]
+
+    w_lit = _lit_array(w)
+    feats = spark.range(-1, n_buckets).select(
+        F.col("id").cast("int").alias("feature")
+    )
+    weight = F.when(F.col("feature") == -1, F.lit(b)).otherwise(
+        F.element_at(w_lit, F.col("feature") + 1)
+    )
+    return feats.select(
+        "feature",
+        (weight + F.lit(0.0)).alias("weight"),
+        F.round(weight * F.lit(1000.0), 0).cast("long").alias("weight_milli"),
+    )

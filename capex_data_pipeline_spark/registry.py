@@ -723,3 +723,4 @@ from capex_data_pipeline_spark import registry_ts  # noqa: E402,F401  isort:skip
 from capex_data_pipeline_spark import registry_search  # noqa: E402,F401  isort:skip
 from capex_data_pipeline_spark import registry_graph  # noqa: E402,F401  isort:skip
 from capex_data_pipeline_spark import registry_ml  # noqa: E402,F401  isort:skip
+from capex_data_pipeline_spark import registry_train  # noqa: E402,F401  isort:skip

@@ -841,3 +841,108 @@ def test_percentile_calibrate_guard(spark):
     df = spark.createDataFrame([(0, "A", 1.0)], "doc_id long, source string, s double")
     with pytest.raises(ValueError, match="keep_frac"):
         percentile_calibrate(df, "s", keep_frac=0.0)
+
+
+# ------------------------------------------------ logistic-regression training
+
+
+def _py_bucket(word, n=64):
+    import hashlib
+
+    return int(hashlib.md5(word.encode()).hexdigest()[:8], 16) % n
+
+
+def _py_logreg(texts, labels, rounds, n=64, lr=1.0):
+    """Exact-structure (unrounded) replay of full-batch GD over binary
+    hashed-bucket features; the engine re-anchors to 6 decimals per
+    step, so comparisons use a loose tolerance."""
+    feats = [sorted({_py_bucket(w, n) for w in t.split()}) for t in texts]
+    w, b = [0.0] * n, 0.0
+    m = len(texts)
+    for _ in range(rounds):
+        g, gb = [0.0] * n, 0.0
+        for bs, y in zip(feats, labels):
+            z = b + sum(w[k] for k in bs)
+            p = 1.0 / (1.0 + math.exp(-z))
+            r = p - y
+            gb += r
+            for k in bs:
+                g[k] += r
+        w = [wk - lr * gk / m for wk, gk in zip(w, g)]
+        b -= lr * gb / m
+    return w, b
+
+
+def test_logreg_matches_python_replay(spark):
+    from capex_data_pipeline_spark.extensions.linalg import logreg_train
+
+    rng = random.Random(11)
+    fillers = ["alpha", "beta", "gamma", "delta", "omega", "kappa"]
+    texts, labels = [], []
+    for i in range(40):
+        ws = rng.sample(fillers, 3)
+        if i % 3 == 0:
+            ws.append("zebra")
+        texts.append(" ".join(ws))
+        labels.append(1 if "zebra" in ws else 0)
+    df = spark.createDataFrame(
+        list(zip(texts, labels)), "text string, y int"
+    )
+    out = logreg_train(df, label_col="y", rounds=3).collect()
+    assert len(out) == 65
+    got = {r["feature"]: r["weight"] for r in out}
+    w, b = _py_logreg(texts, labels, rounds=3)
+    assert abs(got[-1] - b) < 1e-4
+    for k in range(64):
+        assert abs(got[k] - w[k]) < 1e-4, (k, got[k], w[k])
+    # milli quantization is round(weight * 1000)
+    for r in out:
+        assert abs(r["weight_milli"] - r["weight"] * 1000) <= 0.5 + 1e-9
+
+
+def test_logreg_learns_marker_word(spark):
+    from capex_data_pipeline_spark.extensions.linalg import logreg_train
+
+    rng = random.Random(5)
+    fillers = ["cat", "dog", "fish", "bird", "tree", "rock", "lake", "sand"]
+    rows = []
+    for i in range(80):
+        ws = rng.sample(fillers, 4)
+        y = 1 if i % 2 == 0 else 0
+        if y:
+            ws.append("excellent")
+        rows.append((" ".join(ws), y))
+    df = spark.createDataFrame(rows, "text string, y int")
+    out = {
+        r["feature"]: r["weight"]
+        for r in logreg_train(df, label_col="y", rounds=5).collect()
+    }
+    marker = _py_bucket("excellent")
+    # the marker bucket carries the largest positive weight
+    assert out[marker] > 0
+    assert out[marker] == max(v for k, v in out.items() if k >= 0)
+
+
+def test_logreg_empty_text_rounds_zero_and_guards(spark):
+    from capex_data_pipeline_spark.extensions.linalg import logreg_train
+
+    df = spark.createDataFrame(
+        [("", 1), ("cat dog", 0)], "text string, y int"
+    )
+    # empty normalized text contributes through the bias only; rounds=0
+    # returns the all-zero init
+    out = logreg_train(df, label_col="y", rounds=0).collect()
+    assert len(out) == 65
+    assert all(r["weight"] == 0.0 and r["weight_milli"] == 0 for r in out)
+    out1 = logreg_train(df, label_col="y", rounds=1).collect()
+    got = {r["feature"]: r["weight"] for r in out1}
+    # round 1 from zeros: every p = 0.5; bias gradient = (0.5-1 + 0.5-0)/2 = 0
+    assert got[-1] == 0.0
+    # cat/dog buckets see residual 0.5-0 = 0.5 over n=2 -> weight -0.25
+    assert got[_py_bucket("cat")] == pytest.approx(-0.25, abs=1e-9)
+    with pytest.raises(ValueError):
+        logreg_train(df, label_col="y", rounds=-1)
+    with pytest.raises(ValueError):
+        logreg_train(df, label_col="y", n_buckets=0)
+    with pytest.raises(ValueError):
+        logreg_train(df.filter("y = 2"), label_col="y")
