@@ -155,6 +155,8 @@ HEADLINE = [
     # round-7: 3 GD rounds x (map-only sigmoid pass + ONE 65-group
     # gradient aggregate) — the training half of the q89 classifier
     "q129_logreg_train",
+    # one tokenize pass feeds both LM counts and the scoring joins
+    "q130_trigram_perplexity",
 ]
 
 

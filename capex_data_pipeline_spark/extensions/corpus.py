@@ -1567,3 +1567,94 @@ def corpus_snapshot_diff(
         .filter(F.col("status").isNotNull())
         .select(F.col("_id").alias(id_col), "status")
     )
+
+
+def trigram_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Score every document's perplexity under the corpus's own
+    add-α-smoothed trigram language model — the CCNet / KenLM-style
+    perplexity filter (documents whose text is unlikely under a
+    reference LM are boilerplate, gibberish, or the wrong register):
+    per-trigram log-probability ln((c₃+α)/(c₂+α·V)) with counts from
+    ``trigram_lm_topk``'s collection pass, aggregated per document as
+    the mean negative log-likelihood and its exp (the perplexity).
+
+    Scale shape: the corpus is tokenized ONCE into a persisted
+    (id, w1, w2, w3) trigram frame; counts c₃ (and c₂ as its Σ_w3
+    rollup) come from ONE hash aggregate over that same frame, so the
+    model build adds no second corpus scan. Scoring is two shuffle
+    joins on compact word-triple/pair keys (observed trigrams always
+    hit — the model was counted from the same corpus, so the join is
+    inner, never a smoothing-miss lookup) plus one per-document
+    aggregate. V rides the plan as one literal.
+
+    Cross-engine determinism: avg(lp) is rounded to ``decimals``
+    before the exp, so both engines exponentiate the same value;
+    ``ln``/``exp`` are the same libm crossings q97/q129 already make.
+
+    Returns ``(id_col, n_trigrams, avg_nll, ppl)`` for every document
+    with at least one trigram (≥ 3 normalized tokens); shorter
+    documents have no defined LM score and are omitted.
+    """
+    from capex_data_pipeline_spark.cache import persisted
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    words = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "), lambda w: w != ""
+    )
+    toks = df.select(F.col(id_col), words.alias("_ws"))
+    tris = persisted(
+        toks.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size("_ws") >= 3,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_ws") - 2),
+                        lambda i: F.struct(
+                            F.element_at("_ws", i).alias("w1"),
+                            F.element_at("_ws", i + 1).alias("w2"),
+                            F.element_at("_ws", i + 2).alias("w3"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast(
+                        "array<struct<w1:string,w2:string,w3:string>>"
+                    )
+                )
+            ).alias("_t"),
+        ).select(id_col, "_t.w1", "_t.w2", "_t.w3")
+    )
+    c3 = tris.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("_c3")
+    )
+    c2 = c3.groupBy("w1", "w2").agg(F.sum("_c3").alias("_c2"))
+    v = (
+        toks.select(F.explode("_ws").alias("_w"))
+        .agg(F.countDistinct("_w").alias("_v"))
+        .collect()[0]["_v"]
+    )
+    lp = F.ln(
+        (F.col("_c3") + F.lit(alpha))
+        / (F.col("_c2") + F.lit(alpha) * F.lit(float(v)))
+    )
+    scored = (
+        tris.join(c3, ["w1", "w2", "w3"])
+        .join(c2, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            (F.round(-F.avg(lp), decimals) + F.lit(0.0)).alias("avg_nll"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_trigrams",
+        "avg_nll",
+        (F.round(F.exp("avg_nll"), decimals) + F.lit(0.0)).alias("ppl"),
+    )

@@ -130,3 +130,59 @@ def q129_logreg_train(spark, sf_dir):
         rounds=_TRAIN_ROUNDS,
         lr=1.0,
     )
+
+# --------------------------------- q130: trigram perplexity filter
+
+
+@query(
+    "q130_trigram_perplexity",
+    f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {_WORDS_TR} AS ws FROM documents
+    ),
+    tri AS MATERIALIZED (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+            FROM toks WHERE len(ws) >= 3)
+    ),
+    c3 AS (
+      SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+      FROM tri GROUP BY 1, 2, 3
+    ),
+    c2 AS (
+      SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2 FROM c3 GROUP BY 1, 2
+    ),
+    vocab AS (
+      SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+      FROM (SELECT unnest(ws) AS w FROM toks)
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_trigrams,
+             round(-avg(ln((c3.c3 + 0.5) / (c2.c2 + 0.5 * vocab.v))), 6)
+               + 0.0 AS avg_nll
+      FROM tri t
+      JOIN c3 USING (w1, w2, w3)
+      JOIN c2 USING (w1, w2), vocab
+      GROUP BY 1
+    )
+    SELECT doc_id, n_trigrams, avg_nll,
+           round(exp(avg_nll), 6) + 0.0 AS ppl
+    FROM scored
+    """,
+)
+def q130_trigram_perplexity(spark, sf_dir):
+    """CCNet/KenLM-style perplexity filtering
+    (corpus.trigram_perplexity): every document scored by mean
+    negative log-likelihood under the corpus's own add-0.5-smoothed
+    trigram LM. One tokenize pass builds a persisted (id, trigram)
+    frame that feeds BOTH the count aggregates and the scoring joins
+    (compact word-triple keys), then one per-document aggregate; V is
+    a plan literal. avg_nll is rounded before the exp so both engines
+    exponentiate identical inputs. The oracle replays counts, the
+    smoothed probability, and both aggregates in plain SQL."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        trigram_perplexity,
+    )
+
+    return trigram_perplexity(_t(spark, sf_dir, "documents"))

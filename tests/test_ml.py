@@ -946,3 +946,76 @@ def test_logreg_empty_text_rounds_zero_and_guards(spark):
         logreg_train(df, label_col="y", n_buckets=0)
     with pytest.raises(ValueError):
         logreg_train(df.filter("y = 2"), label_col="y")
+
+
+# ------------------------------------------------ trigram perplexity
+
+
+def _py_ppl(texts, alpha=0.5):
+    from collections import Counter
+
+    tok = [t.split() for t in texts]
+    tris = [
+        (i, tuple(ws[j : j + 3]))
+        for i, ws in enumerate(tok)
+        for j in range(len(ws) - 2)
+    ]
+    c3 = Counter(t for _, t in tris)
+    c2 = Counter(t[:2] for _, t in tris for _ in range(1))
+    # c2 must be the sum of c3 over w3, i.e. plain context counts
+    c2 = Counter()
+    for t, c in c3.items():
+        c2[t[:2]] += c
+    v = len({w for ws in tok for w in ws})
+    out = {}
+    for i in range(len(texts)):
+        lps = [
+            math.log((c3[t] + alpha) / (c2[t[:2]] + alpha * v))
+            for j, t in tris
+            if j == i
+        ]
+        if lps:
+            nll = -sum(lps) / len(lps)
+            out[i] = (len(lps), nll, math.exp(nll))
+    return out
+
+
+def test_trigram_perplexity_matches_python_replay(spark):
+    from capex_data_pipeline_spark.extensions.corpus import (
+        trigram_perplexity,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on the hat",
+        "the dog ran",
+        "one two",  # < 3 tokens: omitted
+        "zz zz zz zz",  # repeated-trigram degenerate
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in trigram_perplexity(_docs_df(spark, texts)).collect()
+    }
+    want = _py_ppl(texts)
+    assert set(out) == set(want) == {0, 1, 2, 4}
+    for i, (n, nll, ppl) in want.items():
+        assert out[i]["n_trigrams"] == n
+        assert out[i]["avg_nll"] == pytest.approx(nll, abs=1e-5)
+        assert out[i]["ppl"] == pytest.approx(ppl, abs=1e-4)
+
+
+def test_trigram_perplexity_flags_the_outlier(spark):
+    from capex_data_pipeline_spark.extensions.corpus import (
+        trigram_perplexity,
+    )
+
+    # 9 docs share a common phrase structure; the 10th is one-off noise
+    texts = ["the quick brown fox jumps over the lazy dog"] * 9 + [
+        "qqq www eee rrr ttt yyy"
+    ]
+    out = {
+        r["doc_id"]: r["avg_nll"]
+        for r in trigram_perplexity(_docs_df(spark, texts)).collect()
+    }
+    assert max(out, key=out.get) == 9  # the noise doc is worst
+    assert out[9] > 2 * out[0]
