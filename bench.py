@@ -157,6 +157,12 @@ HEADLINE = [
     "q129_logreg_train",
     # one tokenize pass feeds both LM counts and the scoring joins
     "q130_trigram_perplexity",
+    # round-7: map-only phrase scan, the zipped anchor harvest + one
+    # (host, anchor) aggregate, and the clusters+quality election
+    # (q38's LSH/CC composed with the entropy score + ONE window)
+    "q131_phrase_search",
+    "q132_anchor_texts",
+    "q133_cluster_canonical",
 ]
 
 

@@ -569,3 +569,63 @@ def html_link_edges(
         .groupBy(src_col, "dst_host")
         .agg(F.count(F.lit(1)).alias("n_links"))
     )
+
+
+#: one <a ...href=...>inner</a> element: group 1 = href, group 2 =
+#: inner markup. RE2-compatible (non-greedy, no lookarounds) so a
+#: DuckDB oracle replays it verbatim.
+_ANCHOR_RE = (
+    r"""(?is)<a\s[^>]*href\s*=\s*["']([^"']*)["'][^>]*>(.*?)</a>"""
+)
+
+
+def anchor_texts(
+    pages: DataFrame,
+    src_col: str = "src_host",
+    html_col: str = "html",
+) -> DataFrame:
+    """Anchor-text aggregation per target host: harvest every
+    ``<a href=...>inner</a>`` element, pair each absolute-http(s)
+    target's normalized host (`url_host`) with its cleaned anchor text
+    (nested tags stripped, entities decoded, whitespace collapsed),
+    and count (dst_host, anchor) pairs — the classic web-scale signal
+    (how OTHER pages describe a target) behind anchor-text retrieval
+    corpora, title inference, and link-spam features.
+
+    Scale shape: the href and inner-text captures come from TWO
+    ``regexp_extract_all`` passes over the same anchor regex (same
+    matches, same order — Spark extracts one group per call) zipped
+    positionally; harvest + normalization are map-only, then ONE
+    compact-key aggregate on (dst_host, anchor). Anchors that clean to
+    empty (image links, spacer anchors) are dropped.
+
+    Returns (dst_host, anchor, n) — plus ``src_col`` is consumed only
+    for the harvest; counts are global per (host, anchor).
+    """
+    c = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    hrefs = F.transform(
+        F.regexp_extract_all(c, F.lit(_ANCHOR_RE), 1), decode_entities
+    )
+
+    def _clean(t: Column) -> Column:
+        t = F.regexp_replace(t, r"<[^>]+>", " ")
+        t = decode_entities(t)
+        t = F.regexp_replace(t, r"\s+", " ")
+        return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+    inners = F.transform(
+        F.regexp_extract_all(c, F.lit(_ANCHOR_RE), 2), _clean
+    )
+    pairs = pages.select(
+        F.explode(F.arrays_zip(hrefs.alias("u"), inners.alias("t"))).alias(
+            "_p"
+        )
+    ).select(F.col("_p.u").alias("_u"), F.col("_p.t").alias("_t"))
+    return (
+        pairs.filter(
+            F.col("_u").rlike(r"^https?://") & (F.col("_t") != "")
+        )
+        .select(url_host(F.col("_u")).alias("dst_host"), F.col("_t").alias("anchor"))
+        .groupBy("dst_host", "anchor")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1658,3 +1658,60 @@ def trigram_perplexity(
         "avg_nll",
         (F.round(F.exp("avg_nll"), decimals) + F.lit(0.0)).alias("ppl"),
     )
+
+
+def phrase_match_counts(
+    df: DataFrame,
+    phrase: "list[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact consecutive-phrase search: count the occurrences of
+    ``phrase`` (a list of normalized words) in every document's token
+    stream and report each matching document with its match count and
+    the first match's 1-based token position — the positional-query
+    primitive under phrase filters, n-gram blocklists, and
+    "documents quoting X" corpus carves.
+
+    Scale shape: MAP-ONLY. The phrase is a plan literal, and the match
+    scan is one higher-order ``filter`` over each document's token
+    array (candidate start positions × k equality probes) — no
+    posexplode, no postings shuffle, no join; the whole operator is a
+    single whole-stage-codegen pass, so it scans 100 TB at I/O speed.
+    A standing inverted positional index only beats this scan when the
+    same corpus serves MANY ad-hoc phrase queries; for pipeline-style
+    single-pass filtering the scan is strictly cheaper (the index
+    build itself costs a corpus-sized shuffle).
+
+    Returns ``(id_col, n_matches, first_pos)``, matching docs only.
+    """
+    if not phrase or any(not w for w in phrase):
+        raise ValueError(f"phrase must be non-empty words, got {phrase!r}")
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    k = len(phrase)
+    words = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "), lambda w: w != ""
+    )
+    toks = df.select(F.col(id_col), words.alias("_ws"))
+
+    def _is_match(i: Column) -> Column:
+        cond = F.lit(True)
+        for j, w in enumerate(phrase):
+            cond = cond & (F.element_at("_ws", i + j) == F.lit(w))
+        return cond
+
+    starts = F.when(
+        F.size("_ws") >= k,
+        F.filter(
+            F.sequence(F.lit(1), F.size("_ws") - (k - 1)), _is_match
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        toks.select(
+            F.col(id_col),
+            F.size(starts).alias("n_matches"),
+            F.element_at(starts, 1).alias("first_pos"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )

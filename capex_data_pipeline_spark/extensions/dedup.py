@@ -1234,3 +1234,61 @@ def repeated_spans(
             " ",
         ).alias("span_text"),
     )
+
+
+def cluster_canonical(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Elect the best-quality CANONICAL document per near-dup cluster —
+    the selection step that turns clustering (``dedup_clusters``) into
+    an actual curation decision: instead of "keep the min id"
+    (arbitrary), keep the duplicate a quality signal prefers (highest
+    language-model score, entropy, length — whatever ``quality``
+    carries), the policy web-corpus pipelines apply when near-dup
+    groups mix a clean original with mangled re-crawls.
+
+    Election is deterministic: max ``score_col`` wins, NULL scores
+    sort last, ties break to the smallest ``id_col``. Scale shape: one
+    equi-join on the id key to attach scores (left join — docs missing
+    a score still compete, after every scored doc), then ONE window
+    over ``cluster_col`` (single shuffle on the cluster key; cluster
+    sizes are near-dup groups, naturally small — a degenerate giant
+    cluster is the capped-LSH pathology handled upstream).
+
+    Returns one row per cluster:
+    ``(cluster_col, canonical_doc_id, cluster_size, canonical_score)``.
+    """
+    from pyspark.sql.window import Window
+
+    scored = clusters.select(id_col, cluster_col).join(
+        quality.select(
+            F.col(id_col), F.col(score_col).alias("_score")
+        ),
+        id_col,
+        "left",
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col("_score").desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.select(
+            cluster_col,
+            F.col(id_col),
+            F.col("_score"),
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy(cluster_col))
+            .alias("cluster_size"),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            cluster_col,
+            F.col(id_col).alias("canonical_doc_id"),
+            "cluster_size",
+            F.col("_score").alias("canonical_score"),
+        )
+    )

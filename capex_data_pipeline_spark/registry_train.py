@@ -186,3 +186,250 @@ def q130_trigram_perplexity(spark, sf_dir):
     )
 
     return trigram_perplexity(_t(spark, sf_dir, "documents"))
+
+# ------------------------------------------ q131: exact phrase search
+
+#: registered phrase — two high-frequency vocab words that co-occur
+#: adjacently throughout the synthetic corpus at every SF
+_PHRASE = ("table", "value")
+
+
+@query(
+    "q131_phrase_search",
+    f"""
+    WITH toks AS (SELECT doc_id, {_WORDS_TR} AS ws FROM documents),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 2 THEN
+               list_filter(range(1, len(ws)),
+                           i -> ws[i] = '{_PHRASE[0]}'
+                                AND ws[i + 1] = '{_PHRASE[1]}')
+             ELSE [] END AS starts
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(starts) AS INT) AS n_matches,
+           CAST(starts[1] AS INT) AS first_pos
+    FROM m WHERE len(starts) > 0
+    """,
+)
+def q131_phrase_search(spark, sf_dir):
+    """Exact consecutive-phrase search (corpus.phrase_match_counts,
+    phrase "table value"): MAP-ONLY — the phrase rides the plan as
+    literals and the match scan is one higher-order filter over each
+    document's token array (no posexplode, no postings shuffle, no
+    join), so the whole operator is a single whole-stage-codegen pass
+    over the corpus. The oracle replays tokenization, the candidate
+    start-position filter, and the count/first-position read-out."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        phrase_match_counts,
+    )
+
+    return phrase_match_counts(
+        _t(spark, sf_dir, "documents"), list(_PHRASE)
+    )
+
+# ------------------------------------ q132: anchor-text aggregation
+
+#: the anchor regex, DuckDB-quoted (group 1 href, group 2 inner)
+_ANCHOR_RE_SQL = (
+    "'(?is)<a\\s[^>]*href\\s*=\\s*[\"'']([^\"'']*)[\"''][^>]*>(.*?)</a>'"
+)
+
+
+def _decode_sql(c: str) -> str:
+    for ent, rep in [
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ]:
+        c = f"replace({c}, '{ent}', '{rep}')"
+    return c
+
+
+#: deterministic page synthesis shared by the Spark query and the
+#: oracle: a www'd mixed-case target with markup + entities in its
+#: anchor, a sloppy-whitespace mirror anchor on even docs, an
+#: always-dropped relative link, and an image-only (empty-text) anchor
+_ANCHOR_PAGE_SQL = """
+      '<html><body><a href="https://WWW.Site'
+      || CAST(doc_id % 5 AS VARCHAR) || '.COM/p/'
+      || CAST(doc_id AS VARCHAR) || '">Visit <b>Site</b> &amp; Co '
+      || CAST(doc_id % 3 AS VARCHAR) || '</a>'
+      || CASE WHEN doc_id % 2 = 0
+              THEN '<a href=''http://mirror.example.net/x''>  mirror   link  </a>'
+              ELSE '' END
+      || '<a href=''/rel/x''>relative dropped</a>'
+      || '<a href="https://img.example.org/i"><img src="x"/></a>'
+      || '</body></html>'
+"""
+
+
+@query(
+    "q132_anchor_texts",
+    f"""
+    WITH pages AS (
+      SELECT {_ANCHOR_PAGE_SQL} AS html FROM documents
+    ),
+    lk AS (
+      SELECT regexp_extract_all(html, {_ANCHOR_RE_SQL}, 1) AS us,
+             regexp_extract_all(html, {_ANCHOR_RE_SQL}, 2) AS ts
+      FROM pages
+    ),
+    pr AS (
+      SELECT us[i] AS u, ts[i] AS t
+      FROM (SELECT us, ts, unnest(range(1, len(us) + 1)) AS i FROM lk)
+    ),
+    cl AS (
+      SELECT {_decode_sql('u')} AS u,
+             regexp_replace(regexp_replace(
+               {_decode_sql("regexp_replace(t, '<[^>]+>', ' ', 'g')")},
+               '\\s+', ' ', 'g'), '^\\s+|\\s+$', '', 'g') AS t
+      FROM pr
+    )
+    SELECT regexp_replace(lower(regexp_extract(u,
+             'https?://([^/\\s:]+)', 1)), '^www\\.', '') AS dst_host,
+           t AS anchor,
+           CAST(count(*) AS BIGINT) AS n
+    FROM cl
+    WHERE regexp_matches(u, '^https?://') AND t <> ''
+    GROUP BY 1, 2
+    """,
+)
+def q132_anchor_texts(spark, sf_dir):
+    """Anchor-text aggregation per target host
+    (cleaning.anchor_texts): two regexp_extract_all passes over the
+    same anchor regex (href + inner text) zipped positionally, anchor
+    cleanup (nested-tag strip, entity decode, whitespace collapse),
+    absolute-http(s) filter, host normalization, ONE compact-key
+    (host, anchor) aggregate — how other pages describe a target, the
+    signal behind anchor-text retrieval corpora and title inference.
+    Pages are synthesized deterministically so every rule does real
+    work (markup + entities inside the anchor, a sloppy-whitespace
+    mirror anchor, a dropped relative link, an empty image-only
+    anchor); the oracle replays harvest, zip, cleanup, and counts."""
+    from capex_data_pipeline_spark.extensions.cleaning import anchor_texts
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit('<html><body><a href="https://WWW.Site'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".COM/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit('">Visit <b>Site</b> &amp; Co '),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("</a>"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit(
+                    "<a href='http://mirror.example.net/x'>"
+                    "  mirror   link  </a>"
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("<a href='/rel/x'>relative dropped</a>"),
+            F.lit('<a href="https://img.example.org/i"><img src="x"/></a>'),
+            F.lit("</body></html>"),
+        ).alias("html"),
+        F.lit("crawler").alias("src_host"),
+    )
+    return anchor_texts(pages)
+
+# ------------------------ q133: canonical doc election per dedup cluster
+
+
+def _q133_sql() -> str:
+    from capex_data_pipeline_spark.registry_ext import _SHINGLES
+
+    return f"""
+    WITH RECURSIVE sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 8),
+               i -> list_min(list_transform({_SHINGLES}, s -> md5(i || '|' || s)))) AS sig
+      FROM documents
+    ), banded AS (
+      SELECT doc_id, sig, b,
+             md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS bhash
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) bands
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+      WHERE len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) / 8.0 >= 0.5
+    ), e2 AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, v FROM e2
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN e2 e ON r.v = e.u
+    ), lbl AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ), allc AS (
+      SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN lbl l USING (doc_id)
+    ), norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(coalesce(text, '')),
+                                 '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id, len(cs) AS n,
+             list_transform(list_distinct(cs),
+               d -> len(list_filter(cs, c -> c = d))) AS counts
+      FROM (SELECT doc_id,
+                   list_filter(string_split(t, ''), c -> c <> '') AS cs
+            FROM norm)
+    ), q AS (
+      SELECT doc_id,
+             CASE WHEN n > 0 THEN
+               round(ln(CAST(n AS DOUBLE))
+                     - list_sum(list_transform(counts,
+                         c -> c * ln(CAST(c AS DOUBLE)))) / n, 6) + 0.0
+             END AS score
+      FROM cnt
+    ), ranked AS (
+      SELECT c.cluster_id, c.doc_id, q.score,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY q.score DESC NULLS LAST, c.doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+      FROM allc c LEFT JOIN q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS canonical_doc_id, cluster_size,
+           score AS canonical_score
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query("q133_cluster_canonical", _q133_sql())
+def q133_cluster_canonical(spark, sf_dir):
+    """Best-quality canonical document per near-dup cluster
+    (dedup.cluster_canonical over q38's MinHash-LSH clusters with
+    q97's char-entropy quality signal): the selection policy that
+    turns clustering into a curation decision — keep the duplicate the
+    quality score prefers, not an arbitrary min-id. One left join to
+    attach scores plus ONE cluster-key window (deterministic: max
+    score, NULLs last, ties to min id). The oracle composes the
+    proven q38 signature/recursive-CC replay with q97's closed-form
+    entropy and re-runs the election in SQL."""
+    from capex_data_pipeline_spark.extensions import dedup as D
+    from capex_data_pipeline_spark.extensions.dedup import (
+        cluster_canonical,
+    )
+    from capex_data_pipeline_spark.extensions.textstats import (
+        add_char_entropy,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dups(docs, num_hashes=8, bands=4, threshold=0.5)
+    clusters = D.dedup_clusters(pairs, corpus=docs)
+    quality = add_char_entropy(docs, "text").select(
+        "doc_id", F.col("entropy_nats").alias("score")
+    )
+    return cluster_canonical(clusters, quality)

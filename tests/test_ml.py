@@ -1019,3 +1019,163 @@ def test_trigram_perplexity_flags_the_outlier(spark):
     }
     assert max(out, key=out.get) == 9  # the noise doc is worst
     assert out[9] > 2 * out[0]
+
+
+# ------------------------------------------------ exact phrase search
+
+
+def test_phrase_search_semantics(spark):
+    from capex_data_pipeline_spark.extensions.corpus import (
+        phrase_match_counts,
+    )
+
+    texts = [
+        "the cat sat on the cat mat",  # "the cat" twice, first at 1
+        "The CAT, sat!",  # normalization: still matches at 1
+        "cat the nothing here",  # reversed order: no match
+        "the",  # shorter than the phrase
+        "a a a a",  # overlap probe for the next assert
+    ]
+    out = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_match_counts(
+            _docs_df(spark, texts), ["the", "cat"]
+        ).collect()
+    }
+    assert out == {0: (2, 1), 1: (1, 1)}
+    # overlapping occurrences all count: "a a" in "a a a a" -> 3
+    out2 = phrase_match_counts(
+        _docs_df(spark, texts), ["a", "a"]
+    ).collect()
+    assert {(r["doc_id"], r["n_matches"]) for r in out2} == {(4, 3)}
+    # 3-word phrase
+    out3 = phrase_match_counts(
+        _docs_df(spark, texts), ["sat", "on", "the"]
+    ).collect()
+    assert [(r["doc_id"], r["n_matches"], r["first_pos"]) for r in out3] == [
+        (0, 1, 3)
+    ]
+    with pytest.raises(ValueError):
+        phrase_match_counts(_docs_df(spark, texts), [])
+    with pytest.raises(ValueError):
+        phrase_match_counts(_docs_df(spark, texts), ["ok", ""])
+
+
+def test_phrase_search_is_map_only(spark):
+    from capex_data_pipeline_spark.extensions.corpus import (
+        phrase_match_counts,
+    )
+
+    df = _docs_df(spark, ["x y z"])
+    plan = (
+        phrase_match_counts(df, ["x", "y"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+# ------------------------------------------------ anchor-text aggregation
+
+
+def test_anchor_texts_semantics(spark):
+    from capex_data_pipeline_spark.extensions.cleaning import anchor_texts
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "a.org",
+                '<a href="https://WWW.Wiki.ORG/x">The  <i>Free</i>'
+                " &amp; Open<br/>Encyclopedia</a>"
+                "<a href='/local'>relative</a>"
+                '<a href="https://img.cdn.net/1"><img src="p.png"/></a>',
+            ),
+            (
+                "b.org",
+                '<A HREF="https://wiki.org/y">The Free & Open'
+                " Encyclopedia</A>"
+                '<a href="ftp://old.net/z">ftp dropped</a>',
+            ),
+            ("c.org", None),
+        ],
+        "src_host string, html string",
+    )
+    out = {
+        (r["dst_host"], r["anchor"]): r["n"]
+        for r in anchor_texts(pages).collect()
+    }
+    # both pages' anchors clean to the SAME text and host -> n=2
+    assert out == {("wiki.org", "The Free & Open Encyclopedia"): 2}
+
+
+def test_anchor_texts_href_entity_decode_and_multi(spark):
+    from capex_data_pipeline_spark.extensions.cleaning import anchor_texts
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "s",
+                '<a href="https://t.com/?a=1&amp;b=2">one</a>'
+                '<a href="https://t.com/p">two</a>'
+                '<a href="https://t.com/q">two</a>',
+            )
+        ],
+        "src_host string, html string",
+    )
+    out = {
+        (r["dst_host"], r["anchor"]): r["n"]
+        for r in anchor_texts(pages).collect()
+    }
+    assert out == {("t.com", "one"): 1, ("t.com", "two"): 2}
+
+
+# ------------------------------------------------ canonical-per-cluster
+
+
+def test_cluster_canonical_election(spark):
+    from capex_data_pipeline_spark.extensions.dedup import (
+        cluster_canonical,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id long, cluster_id long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, None), (6, 0.1)],
+        "doc_id long, score double",
+    )
+    out = {
+        r["cluster_id"]: (
+            r["canonical_doc_id"],
+            r["cluster_size"],
+            r["canonical_score"],
+        )
+        for r in cluster_canonical(clusters, quality).collect()
+    }
+    # cluster 1: tie 2 vs 3 at 0.9 -> min id 2 wins
+    # cluster 4: singleton with NULL score -> still elected
+    # cluster 5: doc 5 has NO quality row (NULL, sorts last); 6 wins
+    assert out == {1: (2, 3, 0.9), 4: (4, 1, None), 5: (6, 2, 0.1)}
+
+
+def test_cluster_canonical_single_shuffle_plan(spark):
+    from capex_data_pipeline_spark.extensions.dedup import (
+        cluster_canonical,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1)], "doc_id long, cluster_id long"
+    )
+    quality = spark.createDataFrame([(1, 0.5)], "doc_id long, score double")
+    plan = (
+        cluster_canonical(clusters, quality)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both windows share the one cluster_id partitioning: exactly one
+    # exchange on the cluster key (plus the tiny join's exchanges)
+    assert plan.count("Exchange hashpartitioning(cluster_id") == 1
