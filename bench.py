@@ -163,6 +163,10 @@ HEADLINE = [
     "q131_phrase_search",
     "q132_anchor_texts",
     "q133_cluster_canonical",
+    # round-7: the zero-corpus-shuffle temperature resample and the
+    # frontier-expansion BFS over the co-purchase graph
+    "q134_temperature_resample",
+    "q135_bfs_hops",
 ]
 
 

@@ -1673,15 +1673,23 @@ def phrase_match_counts(
     primitive under phrase filters, n-gram blocklists, and
     "documents quoting X" corpus carves.
 
-    Scale shape: MAP-ONLY. The phrase is a plan literal, and the match
-    scan is one higher-order ``filter`` over each document's token
-    array (candidate start positions × k equality probes) — no
-    posexplode, no postings shuffle, no join; the whole operator is a
-    single whole-stage-codegen pass, so it scans 100 TB at I/O speed.
-    A standing inverted positional index only beats this scan when the
-    same corpus serves MANY ad-hoc phrase queries; for pipeline-style
-    single-pass filtering the scan is strictly cheaper (the index
-    build itself costs a corpus-sized shuffle).
+    Scale shape: MAP-ONLY, two tiers. Tier 1 is a NATIVE
+    whole-stage-codegen substring prefilter: the normalized text is
+    single-space-joined tokens, so space-padded containment of
+    ``' w1 w2 ... wk '`` is EXACTLY token-adjacent phrase presence —
+    the corpus-wide pass stays JVM string matching, no interpreted
+    lambdas. Tier 2 runs the positional higher-order ``filter``
+    (candidate start positions × k equality probes) only on the
+    matching documents, to produce counts and positions — its
+    interpreted-lambda cost (~µs/position, the q97 lesson) is paid on
+    matches only, and its expression is materialized ONCE per doc in
+    a first select (field extraction in a second select — extracting
+    from the expression directly would re-run the filter per output
+    column). No posexplode, no postings shuffle, no join. A standing
+    inverted positional index only beats this when the same corpus
+    serves MANY ad-hoc phrase queries; for pipeline-style single-pass
+    filtering the scan is strictly cheaper (the index build itself
+    costs a corpus-sized shuffle).
 
     Returns ``(id_col, n_matches, first_pos)``, matching docs only.
     """
@@ -1690,10 +1698,13 @@ def phrase_match_counts(
     from capex_data_pipeline_spark.extensions.dedup import normalized_text
 
     k = len(phrase)
-    words = F.filter(
-        F.split(normalized_text(F.col(text_col)), " "), lambda w: w != ""
+    needle = " " + " ".join(phrase) + " "
+    cand = df.select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("_nt")
+    ).filter(
+        F.concat(F.lit(" "), F.col("_nt"), F.lit(" ")).contains(needle)
     )
-    toks = df.select(F.col(id_col), words.alias("_ws"))
+    words = F.filter(F.split(F.col("_nt"), " "), lambda w: w != "")
 
     def _is_match(i: Column) -> Column:
         cond = F.lit(True)
@@ -1701,17 +1712,74 @@ def phrase_match_counts(
             cond = cond & (F.element_at("_ws", i + j) == F.lit(w))
         return cond
 
-    starts = F.when(
-        F.size("_ws") >= k,
-        F.filter(
-            F.sequence(F.lit(1), F.size("_ws") - (k - 1)), _is_match
-        ),
-    ).otherwise(F.array().cast("array<int>"))
+    starts = F.filter(
+        F.sequence(F.lit(1), F.size("_ws") - (k - 1)), _is_match
+    )
     return (
-        toks.select(
+        cand.select(F.col(id_col), words.alias("_ws"))
+        .filter(F.size("_ws") >= k)
+        .select(F.col(id_col), starts.alias("_st"))
+        .select(
             F.col(id_col),
-            F.size(starts).alias("n_matches"),
-            F.element_at(starts, 1).alias("first_pos"),
+            F.size("_st").alias("n_matches"),
+            F.element_at("_st", 1).alias("first_pos"),
         )
         .filter(F.col("n_matches") > 0)
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    temperature: float,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "s0",
+    decimals: int = 6,
+) -> DataFrame:
+    """Temperature-based mixture resampling: downsample each source so
+    the corpus's source distribution moves from its natural shares
+    ``s_i`` toward ``s_i^(1/T)`` (normalized) — T=1 keeps the natural
+    mix, T→∞ approaches uniform. This is THE standard multilingual /
+    multi-source training-mixture flattening rule (mT5, XLM-R, the
+    Pile all reweight by exactly this exponent), expressed as
+    filtering: per-source keep-rate ``r_i ∝ s_i^(1/T − 1)`` scaled so
+    the most-upweighted source keeps everything (pure filtering can
+    only downsample; upsampling is epoch repetition, out of scope).
+
+    Scale shape: ONE tiny per-source count aggregate, rates derived on
+    that sources-sized frame (1-row total and max broadcasts), then a
+    broadcast join back and the deterministic ``sample_hash`` filter —
+    the corpus itself pays one scan and zero shuffles. Every rate is
+    rounded engine-side to ``decimals`` so an independent engine
+    re-derives the exact same keep set. Rows with NULL ``source_col``
+    are dropped (no mixture lane to belong to).
+
+    Returns the kept rows with their source's ``rate`` appended.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    expo = 1.0 / float(temperature) - 1.0
+    cnt = df.filter(F.col(source_col).isNotNull()).groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    tot = cnt.agg(F.sum("_n").alias("_t"))
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        (
+            F.round(
+                F.pow(F.round(F.col("_n") / F.col("_t"), decimals), expo),
+                decimals,
+            )
+            + F.lit(0.0)
+        ).alias("_w"),
+    )
+    mx = w.agg(F.max("_w").alias("_mw"))
+    rates = w.crossJoin(F.broadcast(mx)).select(
+        source_col,
+        (F.round(F.col("_w") / F.col("_mw"), decimals) + F.lit(0.0)).alias(
+            "rate"
+        ),
+    )
+    return df.join(F.broadcast(rates), source_col).filter(
+        sample_hash(F.col(key_col), seed) < F.col("rate")
     )

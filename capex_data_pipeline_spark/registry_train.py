@@ -433,3 +433,130 @@ def q133_cluster_canonical(spark, sf_dir):
         "doc_id", F.col("entropy_nats").alias("score")
     )
     return cluster_canonical(clusters, quality)
+
+# -------------------------- q134: temperature mixture resampling
+
+
+#: the synthetic sources are perfectly uniform (T-resampling would be
+#: a no-op), so the registered query groups them into a skewed 3-lane
+#: mixture first — 70% web / 20% books / 10% code — the realistic
+#: shape the flattening rule exists for
+_LANE_SQL = """
+      CASE WHEN CAST(substr(source, 4) AS INT) < 14 THEN 'web'
+           WHEN CAST(substr(source, 4) AS INT) < 18 THEN 'books'
+           ELSE 'code' END
+"""
+
+
+@query(
+    "q134_temperature_resample",
+    f"""
+    WITH lanes AS (
+      SELECT doc_id, {_LANE_SQL} AS lane FROM documents
+      WHERE source IS NOT NULL
+    ),
+    cnt AS (
+      SELECT lane, CAST(count(*) AS DOUBLE) AS n FROM lanes GROUP BY 1
+    ),
+    w AS (
+      SELECT lane,
+             round(pow(round(n / (SELECT sum(n) FROM cnt), 6), -0.5), 6)
+               + 0.0 AS w
+      FROM cnt
+    ),
+    r AS (
+      SELECT lane,
+             round(w / (SELECT max(w) FROM w), 6) + 0.0 AS rate
+      FROM w
+    )
+    SELECT d.doc_id, d.lane, r.rate
+    FROM lanes d JOIN r USING (lane)
+    WHERE CAST(('0x' || substr(md5('s0|' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) / 4294967296.0 < r.rate
+    """,
+)
+def q134_temperature_resample(spark, sf_dir):
+    """Temperature-based mixture resampling at T=2
+    (corpus.temperature_resample): per-lane keep-rates
+    ∝ share^(1/T−1) scaled to max 1 — the mT5/XLM-R mixture-flattening
+    rule as deterministic filtering, over a skewed 3-lane mixture
+    (70/20/10) derived from the uniform synthetic sources so the rule
+    does real work. ONE tiny lane-count aggregate + 1-row total/max
+    broadcasts derive the rates; the corpus pays one scan through a
+    broadcast join and the md5 sample_hash filter (zero corpus
+    shuffles). Rates are engine-rounded so the oracle re-derives the
+    exact keep set: it replays counts, the pow reweight, the max
+    normalization, and the hash filter."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        temperature_resample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    srcnum = F.substring("source", 4, 10).cast("int")
+    lanes = docs.select(
+        "doc_id",
+        F.when(srcnum < 14, F.lit("web"))
+        .when(srcnum < 18, F.lit("books"))
+        .otherwise(F.lit("code"))
+        .alias("lane"),
+    )
+    return temperature_resample(lanes, temperature=2.0, source_col="lane")
+
+# ----------------------------- q135: multi-source BFS hop distance
+
+_BFS_ROUNDS = 4
+_BFS_SEEDS = (1, 2)
+
+
+def _bfs_sql() -> str:
+    from capex_data_pipeline_spark.registry_graph import _COPURCH
+
+    seeds = ", ".join(str(s) for s in _BFS_SEEDS)
+    ctes = [
+        f"pairs AS MATERIALIZED ({_COPURCH})",
+        """sym AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM pairs
+      UNION ALL SELECT b AS u, a AS v FROM pairs
+    )""",
+        f"d0 AS (SELECT CAST(unnest([{seeds}]) AS BIGINT) AS vertex,"
+        " CAST(0 AS INT) AS hops)",
+        "f0 AS (SELECT vertex FROM d0)",
+    ]
+    for r in range(1, _BFS_ROUNDS + 1):
+        ctes.append(f"""f{r} AS MATERIALIZED (
+      SELECT DISTINCT s.v AS vertex
+      FROM f{r - 1} f JOIN sym s ON s.u = f.vertex
+      WHERE s.v NOT IN (SELECT vertex FROM d{r - 1})
+    )""")
+        ctes.append(f"""d{r} AS MATERIALIZED (
+      SELECT * FROM d{r - 1}
+      UNION ALL SELECT vertex, CAST({r} AS INT) FROM f{r}
+    )""")
+    return f"WITH {', '.join(ctes)} SELECT * FROM d{_BFS_ROUNDS}"
+
+
+@query("q135_bfs_hops", _bfs_sql())
+def q135_bfs_hops(spark, sf_dir):
+    """Multi-source BFS hop distance on the co-purchase graph
+    (graph.bfs_hops, seeds = parts {1, 2}, 4 rounds): frontier
+    expansion — each round joins only the PREVIOUS frontier to the
+    symmetric edge frame then anti-joins the visited set, so total
+    work is O(m) across all rounds (each edge crossed at most twice),
+    not O(m·rounds); BFS's first-visit-is-shortest property needs no
+    per-vertex min bookkeeping. The crawl-depth / blast-radius /
+    k-hop-neighborhood primitive. The oracle unrolls all 4
+    frontier/visited rounds as materialized CTEs."""
+    from capex_data_pipeline_spark.extensions.graph import bfs_hops
+    from capex_data_pipeline_spark.registry_graph import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return bfs_hops(
+        edges,
+        sources=list(_BFS_SEEDS),
+        rounds=_BFS_ROUNDS,
+        src_col="a",
+        dst_col="b",
+        assume_canonical=True,
+    )

@@ -530,3 +530,79 @@ def test_lpa_argument_validation(spark):
         label_propagation(df, rounds=2, until_fixpoint=True)
     with pytest.raises(ValueError, match="rounds"):
         label_propagation(df, rounds=0)
+
+
+# ------------------------------------------------ multi-source BFS hops
+
+
+def _py_bfs(pairs, sources, rounds):
+    adj = {}
+    for a, b in pairs:
+        if a is None or b is None or a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in sources}
+    frontier = set(sources)
+    for r in range(1, rounds + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = r
+                    nxt.add(v)
+        frontier = nxt
+    return dist
+
+
+def test_bfs_hops_hand_graph(spark):
+    from capex_data_pipeline_spark.extensions.graph import bfs_hops
+
+    # path 1-2-3-4-5 plus star 10-{11,12}, seed at 1 and 10
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12)]
+    out = {
+        r["vertex"]: r["hops"]
+        for r in bfs_hops(
+            _edges_df(spark, pairs), sources=[1, 10], rounds=2
+        ).collect()
+    }
+    assert out == {1: 0, 10: 0, 2: 1, 11: 1, 12: 1, 3: 2}
+    # vertex 4, 5 beyond 2 hops: absent (bounded-reachability contract)
+
+
+def test_bfs_hops_min_distance_and_replay(spark):
+    from capex_data_pipeline_spark.extensions.graph import bfs_hops
+
+    rng = random.Random(17)
+    verts = list(range(40))
+    pairs = [
+        (rng.choice(verts), rng.choice(verts)) for _ in range(120)
+    ]
+    srcs = [0, 7]
+    for rounds in (0, 1, 3):
+        got = {
+            r["vertex"]: r["hops"]
+            for r in bfs_hops(
+                _edges_df(spark, pairs), sources=srcs, rounds=rounds
+            ).collect()
+        }
+        assert got == _py_bfs(pairs, srcs, rounds), rounds
+
+
+def test_bfs_hops_isolated_seed_dupes_and_guards(spark):
+    from capex_data_pipeline_spark.extensions.graph import bfs_hops
+
+    pairs = [(1, 2)]
+    # seed 99 touches no edge: still reported at hops 0; duplicate
+    # seeds collapse
+    out = {
+        r["vertex"]: r["hops"]
+        for r in bfs_hops(
+            _edges_df(spark, pairs), sources=[99, 99, 1], rounds=1
+        ).collect()
+    }
+    assert out == {1: 0, 99: 0, 2: 1}
+    with pytest.raises(ValueError):
+        bfs_hops(_edges_df(spark, pairs), sources=[], rounds=1)
+    with pytest.raises(ValueError):
+        bfs_hops(_edges_df(spark, pairs), sources=[1], rounds=-1)

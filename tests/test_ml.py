@@ -1179,3 +1179,57 @@ def test_cluster_canonical_single_shuffle_plan(spark):
     # both windows share the one cluster_id partitioning: exactly one
     # exchange on the cluster key (plus the tiny join's exchanges)
     assert plan.count("Exchange hashpartitioning(cluster_id") == 1
+
+
+# ------------------------------------------------ temperature resampling
+
+
+def test_temperature_resample_semantics(spark):
+    import hashlib
+
+    from capex_data_pipeline_spark.extensions.corpus import (
+        temperature_resample,
+    )
+
+    # 80/20 skew: web 80 docs, code 20 docs
+    rows = [(i, "web") for i in range(80)] + [
+        (i, "code") for i in range(80, 100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # T=1: natural mix preserved -> every rate 1.0, nothing dropped
+    out1 = temperature_resample(df, 1.0).collect()
+    assert len(out1) == 100
+    assert all(r["rate"] == 1.0 for r in out1)
+    # T=2: r_web = (0.8^-0.5)/(0.2^-0.5) = 0.5, r_code = 1.0
+    out2 = temperature_resample(df, 2.0).collect()
+    rates = {r["source"]: r["rate"] for r in out2}
+    assert rates["code"] == 1.0
+    assert rates["web"] == pytest.approx(0.5, abs=1e-6)
+    # the kept set is exactly the md5 hash filter's replay
+    def u(k):
+        return (
+            int(
+                hashlib.md5(f"s0|{k}".encode()).hexdigest()[:8], 16
+            )
+            / 2**32
+        )
+
+    kept = {r["doc_id"] for r in out2}
+    want = {i for i in range(80) if u(i) < rates["web"]} | set(
+        range(80, 100)
+    )
+    assert kept == want
+
+
+def test_temperature_resample_null_source_and_guard(spark):
+    from capex_data_pipeline_spark.extensions.corpus import (
+        temperature_resample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "doc_id long, source string"
+    )
+    out = temperature_resample(df, 1.0).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 3]  # NULL lane dropped
+    with pytest.raises(ValueError):
+        temperature_resample(df, 0.0)
