@@ -167,6 +167,10 @@ HEADLINE = [
     # frontier-expansion BFS over the co-purchase graph
     "q134_temperature_resample",
     "q135_bfs_hops",
+    # round-7: broadcast-query different-label mining and the
+    # vocab-sized c-TF-IDF report
+    "q136_hard_negatives",
+    "q137_class_tfidf",
 ]
 
 

@@ -1783,3 +1783,69 @@ def temperature_resample(
     return df.join(F.broadcast(rates), source_col).filter(
         sample_hash(F.col(key_col), seed) < F.col("rate")
     )
+
+
+def class_tfidf_topk(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    topk: int = 5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic c-TF-IDF formula): the terms
+    that make each GROUP distinctive — treat every group (source,
+    cluster, topic) as one concatenated pseudo-document, weight each
+    term by its in-group frequency times ``ln(1 + A / f_t)`` where
+    ``f_t`` is the term's corpus-wide frequency and ``A`` the average
+    per-group token count, and keep the ``topk`` highest-scoring terms
+    per group. The standard "label this cluster / characterize this
+    source" diagnostic over a curated corpus.
+
+    Scale shape: ONE explode + hash aggregate on compact
+    (group, term) keys builds the per-group counts; corpus-wide term
+    frequencies and the A scalar derive from THAT frame (vocab-sized,
+    no second corpus scan); one vocab-key join and a per-group top-k
+    window finish on frames proportional to the vocabulary, not the
+    corpus. Ties break term-ascending; NULL groups are dropped.
+
+    Returns (group_col, term, tf, score, rank).
+    """
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+    from pyspark.sql.window import Window
+
+    words = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "), lambda w: w != ""
+    )
+    gt = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(F.col(group_col), F.explode(words).alias("term"))
+        .groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ft = gt.groupBy("term").agg(F.sum("tf").alias("_ft"))
+    a = gt.groupBy(group_col).agg(F.sum("tf").alias("_gn")).agg(
+        (F.round(F.avg("_gn"), decimals) + F.lit(0.0)).alias("_a")
+    )
+    scored = (
+        gt.join(ft, "term")
+        .crossJoin(F.broadcast(a))
+        .select(
+            group_col,
+            "term",
+            "tf",
+            (
+                F.round(
+                    F.col("tf")
+                    * F.ln(F.lit(1.0) + F.col("_a") / F.col("_ft")),
+                    decimals,
+                )
+                + F.lit(0.0)
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= topk
+    )

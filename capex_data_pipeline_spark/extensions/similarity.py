@@ -681,3 +681,55 @@ def pq_ann_topk(
         .orderBy("adc_dist", id_col)
         .limit(topk)
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every query
+    vector, the ``k`` most-similar corpus vectors with a DIFFERENT
+    label — the examples a bi-encoder most confuses, which is exactly
+    what dense-retrieval / embedding training pipelines (DPR, ANCE,
+    Contriever-style) mine between epochs.
+
+    Same scale shape as :func:`cosine_topk` (the query batch
+    broadcasts, the corpus pays one scored scan, per-query top-k via
+    WindowGroupLimit) with the label-inequality predicate folded into
+    the broadcast join, so same-label candidates are dropped BEFORE
+    the window. Rows with a NULL label on either side yield no pairs
+    (the inequality is SQL-unknown) — unlabeled data can't be mined
+    for negatives. Ties break by neighbor id.
+
+    Returns (query_id, neighbor_id, neighbor_label, cosine, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("_ql"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("_ql") != F.col("neighbor_label")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -560,3 +560,92 @@ def q135_bfs_hops(spark, sf_dir):
         dst_col="b",
         assume_canonical=True,
     )
+
+# ------------------------------ q136: hard-negative mining (contrastive)
+
+
+@query(
+    "q136_hard_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+             round(list_dot_product(q.qv, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))),
+                   4) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id AND e.label <> q.ql
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC)
+                AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q136_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (similarity.hard_negatives, queries =
+    vec_id < 5, k=5): the most-similar DIFFERENT-label vectors per
+    query — the between-epoch mining step of DPR/ANCE-style
+    contrastive embedding training. Same broadcast-query/one-scan/
+    WindowGroupLimit shape as q34 with the label-inequality predicate
+    folded into the join so same-label candidates die before the
+    window. Vectors cast float→double pre-arithmetic for IEEE parity;
+    the oracle replays scoring, the label filter, and the ranking."""
+    from capex_data_pipeline_spark.extensions.similarity import (
+        hard_negatives,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+    )
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+# --------------------------- q137: c-TF-IDF per-source keyword report
+
+
+@query(
+    "q137_class_tfidf",
+    f"""
+    WITH gt AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT source, unnest({_WORDS_TR}) AS term
+            FROM documents WHERE source IS NOT NULL)
+      GROUP BY 1, 2
+    ),
+    ft AS (SELECT term, sum(tf) AS ft FROM gt GROUP BY 1),
+    a AS (
+      SELECT round(avg(gn), 6) + 0.0 AS a
+      FROM (SELECT sum(tf) AS gn FROM gt GROUP BY source)
+    ),
+    scored AS (
+      SELECT gt.source, gt.term, gt.tf,
+             round(gt.tf * ln(1.0 + a.a / ft.ft), 6) + 0.0 AS score
+      FROM gt JOIN ft USING (term), a
+    )
+    SELECT source, term, tf, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY source
+                     ORDER BY score DESC, term ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q137_class_tfidf(spark, sf_dir):
+    """Per-source distinctive-term report via class-based TF-IDF
+    (corpus.class_tfidf_topk, BERTopic's c-TF-IDF): each source
+    scored as one pseudo-document, term weight = tf · ln(1 + A/f_t).
+    ONE corpus explode+aggregate on compact (source, term) keys;
+    corpus-wide frequencies, the A scalar, the join, and the top-5
+    window all run vocab-sized. The oracle replays counts, the
+    formula, and the ranking."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        class_tfidf_topk,
+    )
+
+    return class_tfidf_topk(_t(spark, sf_dir, "documents"), topk=5)

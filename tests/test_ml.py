@@ -1233,3 +1233,89 @@ def test_temperature_resample_null_source_and_guard(spark):
     assert sorted(r["doc_id"] for r in out) == [1, 3]  # NULL lane dropped
     with pytest.raises(ValueError):
         temperature_resample(df, 0.0)
+
+
+# ------------------------------------------------ hard-negative mining
+
+
+def test_hard_negatives_semantics(spark):
+    from capex_data_pipeline_spark.extensions.similarity import (
+        hard_negatives,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.99, 0.14], "a"),   # same label: never a negative
+        (2, [0.9, 0.44], "b"),    # closest different-label
+        (3, [0.0, 1.0], "b"),
+        (4, [0.5, 0.5], None),    # NULL label: excluded entirely
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label string"
+    )
+    out = hard_negatives(df, df.filter("vec_id = 0"), k=2).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in out]
+    assert got == [(2, 1), (3, 2)]
+    assert all(r["neighbor_label"] == "b" for r in out)
+    # a NULL-label query mines nothing
+    assert hard_negatives(df, df.filter("vec_id = 4"), k=2).count() == 0
+
+
+# ------------------------------------------------ c-TF-IDF keywords
+
+
+def test_class_tfidf_distinctive_terms(spark):
+    import math as _m
+
+    from capex_data_pipeline_spark.extensions.corpus import (
+        class_tfidf_topk,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("web", "the page the site the page"),
+            ("web", "the site the page"),
+            ("code", "def foo the def bar def"),
+            (None, "ignored row"),
+        ],
+        "source string, text string",
+    )
+    out = class_tfidf_topk(df, topk=2).collect()
+    # full Python replay of counts + formula + ranking
+    from collections import Counter
+
+    gt = Counter()
+    for src, text in [
+        ("web", "the page the site the page"),
+        ("web", "the site the page"),
+        ("code", "def foo the def bar def"),
+    ]:
+        for t in text.split():
+            gt[(src, t)] += 1
+    ft = Counter()
+    for (_, t), c in gt.items():
+        ft[t] += c
+    gn = Counter()
+    for (s, _), c in gt.items():
+        gn[s] += c
+    a = round(sum(gn.values()) / len(gn), 6)
+    scores = {
+        (s, t): round(c * _m.log(1.0 + a / ft[t]), 6)
+        for (s, t), c in gt.items()
+    }
+    want = {}
+    for s in gn:
+        ranked = sorted(
+            ((t, sc) for (s2, t), sc in scores.items() if s2 == s),
+            key=lambda x: (-x[1], x[0]),
+        )[:2]
+        for rk, (t, sc) in enumerate(ranked, 1):
+            want[(s, rk)] = (t, sc)
+    got = {(r["source"], r["rank"]): (r["term"], r["score"]) for r in out}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], (k, got[k], want[k])
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-9)
+    # 'def' is code's most distinctive term (group-specific beats the
+    # globally common 'the' there)
+    assert got[("code", 1)][0] == "def"
