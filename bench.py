@@ -171,6 +171,9 @@ HEADLINE = [
     # vocab-sized c-TF-IDF report
     "q136_hard_negatives",
     "q137_class_tfidf",
+    # round-7: the 5-way left-join backoff scorer (train-slice counts
+    # vs full-corpus trigram frame)
+    "q138_backoff_perplexity",
 ]
 
 

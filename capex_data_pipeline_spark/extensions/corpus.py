@@ -1849,3 +1849,157 @@ def class_tfidf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= topk
     )
+
+
+def backoff_perplexity(
+    corpus: DataFrame,
+    train: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backoff: float = 0.4,
+    alpha: float = 0.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Cross-corpus perplexity with stupid backoff (Brants et al.
+    2007): a trigram LM counted on ``train`` (the clean reference
+    slice — CCNet uses Wikipedia) scores EVERY document of ``corpus``,
+    so unseen n-grams are the norm, not the exception:
+
+        S(w3|w1,w2) = c123/c12             if the trigram was seen
+                    = b · S(w3|w2)          else
+        S(w3|w2)    = c23/c2               if the bigram was seen
+                    = b · S(w3)             else
+        S(w3)       = (c3+α)/(N+α·V)        (smoothed unigram — always
+                                             positive, OOV included)
+
+    This closes q130's scores-itself caveat (there every trigram hits
+    its own counts); here the backoff chain and the OOV floor do real
+    work on every out-of-slice document.
+
+    Scale shape: the train slice pays one tokenize pass into trigram/
+    bigram/unigram count frames (compact word-key aggregates); the
+    corpus pays one tokenize pass into a trigram frame that LEFT-joins
+    the three count frames on compact keys, then one per-document
+    aggregate. N and V ride the plan as literals. avg_nll is rounded
+    before the exp (q130's determinism discipline); the per-trigram
+    branch is exact CASE logic, no float comparisons.
+
+    Returns ``(id_col, n_trigrams, n_hit3, avg_nll, ppl)`` for corpus
+    documents with ≥ 1 trigram — ``n_hit3`` (trigrams found in the
+    train LM) makes the backoff rate auditable per document.
+    """
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    def _words(frame: DataFrame, with_id: bool) -> DataFrame:
+        ws = F.filter(
+            F.split(normalized_text(F.col(text_col)), " "),
+            lambda w: w != "",
+        )
+        cols = ([F.col(id_col)] if with_id else []) + [ws.alias("_ws")]
+        return frame.select(*cols)
+
+    def _tris(toks: DataFrame, with_id: bool) -> DataFrame:
+        t = toks.select(
+            *([id_col] if with_id else []),
+            F.explode(
+                F.when(
+                    F.size("_ws") >= 3,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_ws") - 2),
+                        lambda i: F.struct(
+                            F.element_at("_ws", i).alias("w1"),
+                            F.element_at("_ws", i + 1).alias("w2"),
+                            F.element_at("_ws", i + 2).alias("w3"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast(
+                        "array<struct<w1:string,w2:string,w3:string>>"
+                    )
+                )
+            ).alias("_t"),
+        )
+        return t.select(
+            *([id_col] if with_id else []), "_t.w1", "_t.w2", "_t.w3"
+        )
+
+    ttoks = _words(train, with_id=False)
+    ttri = _tris(ttoks, with_id=False)
+    c123 = ttri.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("_c123")
+    )
+    c12 = c123.groupBy("w1", "w2").agg(F.sum("_c123").alias("_c12"))
+    uni = ttoks.select(F.explode("_ws").alias("_w"))
+    c1 = uni.groupBy("_w").agg(F.count(F.lit(1)).alias("_c1"))
+    # bigram counts over the train TOKEN stream (not trigram contexts:
+    # the backoff bigram model is its own count space)
+    big = ttoks.select(
+        F.explode(
+            F.when(
+                F.size("_ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_ws", i).alias("wa"),
+                        F.element_at("_ws", i + 1).alias("wb"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<wa:string,wb:string>>")
+            )
+        ).alias("_b")
+    ).select("_b.wa", "_b.wb")
+    c23 = big.groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("_c23"))
+    c2 = c1.select(F.col("_w").alias("wa"), F.col("_c1").alias("_c2"))
+
+    nv = uni.agg(
+        F.count(F.lit(1)).alias("_n"), F.countDistinct("_w").alias("_v")
+    ).collect()[0]
+    n_tok, v = float(nv["_n"]), float(nv["_v"])
+    if n_tok == 0:
+        raise ValueError("backoff_perplexity: empty train slice")
+
+    ctri = _tris(_words(corpus, with_id=True), with_id=True)
+    joined = (
+        ctri.join(c123, ["w1", "w2", "w3"], "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(
+            c23,
+            (F.col("w2") == F.col("wa")) & (F.col("w3") == F.col("wb")),
+            "left",
+        )
+        .drop("wa", "wb")
+        .join(
+            c2.select(F.col("wa").alias("w2"), "_c2"), ["w2"], "left"
+        )
+        .join(
+            c1.select(F.col("_w").alias("w3"), "_c1"), ["w3"], "left"
+        )
+    )
+    b = float(backoff)
+    s1 = (F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(alpha)) / F.lit(
+        n_tok + alpha * v
+    )
+    s2 = F.when(
+        F.col("_c23").isNotNull(), F.col("_c23") / F.col("_c2")
+    ).otherwise(F.lit(b) * s1)
+    s3 = F.when(
+        F.col("_c123").isNotNull(), F.col("_c123") / F.col("_c12")
+    ).otherwise(F.lit(b) * s2)
+    scored = joined.select(
+        id_col,
+        F.ln(s3).alias("_lp"),
+        F.col("_c123").isNotNull().cast("int").alias("_hit3"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum("_hit3").alias("n_hit3"),
+        (F.round(-F.avg("_lp"), decimals) + F.lit(0.0)).alias("avg_nll"),
+    )
+    return agg.select(
+        id_col,
+        "n_trigrams",
+        "n_hit3",
+        "avg_nll",
+        (F.round(F.exp("avg_nll"), decimals) + F.lit(0.0)).alias("ppl"),
+    )

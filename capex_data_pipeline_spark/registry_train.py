@@ -649,3 +649,94 @@ def q137_class_tfidf(spark, sf_dir):
     )
 
     return class_tfidf_topk(_t(spark, sf_dir, "documents"), topk=5)
+
+# ------------------ q138: cross-corpus stupid-backoff perplexity
+
+#: deterministic md5 train-slice rate (the "clean reference corpus")
+_LM_SLICE = 0.3
+
+
+@query(
+    "q138_backoff_perplexity",
+    f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {_WORDS_TR} AS ws FROM documents
+    ),
+    tr AS MATERIALIZED (
+      SELECT ws FROM toks
+      WHERE CAST(('0x' || substr(md5('lm|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) / 4294967296.0 < {_LM_SLICE}
+    ),
+    ttri AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+      FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i
+            FROM tr WHERE len(ws) >= 3)
+    ),
+    c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM ttri GROUP BY 1, 2, 3),
+    c12 AS (SELECT w1, w2, sum(c123) AS c12 FROM c123 GROUP BY 1, 2),
+    tbig AS (
+      SELECT ws[i] AS wa, ws[i + 1] AS wb
+      FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+            FROM tr WHERE len(ws) >= 2)
+    ),
+    c23 AS (SELECT wa, wb, count(*) AS c23 FROM tbig GROUP BY 1, 2),
+    uni AS (SELECT unnest(ws) AS w FROM tr),
+    c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
+    nv AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                  CAST(count(DISTINCT w) AS DOUBLE) AS v FROM uni),
+    ctri AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+            FROM toks WHERE len(ws) >= 3)
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             ln(CASE WHEN c123.c123 IS NOT NULL
+                     THEN CAST(c123.c123 AS DOUBLE) / c12.c12
+                     ELSE 0.4 * (CASE WHEN c23.c23 IS NOT NULL
+                                      THEN CAST(c23.c23 AS DOUBLE) / c2g.c1
+                                      ELSE 0.4 * ((coalesce(c1g.c1, 0) + 0.5)
+                                                  / (nv.n + 0.5 * nv.v)) END)
+                END) AS lp,
+             CASE WHEN c123.c123 IS NOT NULL THEN 1 ELSE 0 END AS hit3
+      FROM ctri t
+      LEFT JOIN c123 USING (w1, w2, w3)
+      LEFT JOIN c12 USING (w1, w2)
+      LEFT JOIN c23 ON c23.wa = t.w2 AND c23.wb = t.w3
+      LEFT JOIN c1 c2g ON c2g.w = t.w2
+      LEFT JOIN c1 c1g ON c1g.w = t.w3
+      CROSS JOIN nv
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+             CAST(sum(hit3) AS BIGINT) AS n_hit3,
+             round(-avg(lp), 6) + 0.0 AS avg_nll
+      FROM scored GROUP BY 1
+    )
+    SELECT doc_id, n_trigrams, n_hit3, avg_nll,
+           round(exp(avg_nll), 6) + 0.0 AS ppl
+    FROM agg
+    """,
+)
+def q138_backoff_perplexity(spark, sf_dir):
+    """Cross-corpus perplexity with stupid backoff
+    (corpus.backoff_perplexity): a trigram LM counted on the
+    deterministic md5 30% train slice scores EVERY document, with the
+    Brants-et-al backoff chain trigram → bigram → smoothed unigram
+    doing real work on out-of-slice text (n_hit3 audits the backoff
+    rate per doc) — the actual CCNet setup q130's scores-itself LM
+    can't exercise. Train-slice counts are compact word-key
+    aggregates; the corpus pays one tokenize pass LEFT-joined to the
+    count frames; N/V ride the plan as literals. The oracle replays
+    the slice, all four count spaces, the backoff CASE chain, and
+    both aggregates."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        backoff_perplexity,
+        sample_hash,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(
+        sample_hash(F.col("doc_id"), "lm") < F.lit(_LM_SLICE)
+    )
+    return backoff_perplexity(docs, train)

@@ -1319,3 +1319,49 @@ def test_class_tfidf_distinctive_terms(spark):
     # 'def' is code's most distinctive term (group-specific beats the
     # globally common 'the' there)
     assert got[("code", 1)][0] == "def"
+
+
+# ------------------------------------------------ backoff perplexity
+
+
+def test_backoff_perplexity_chain(spark):
+    from capex_data_pipeline_spark.extensions.corpus import (
+        backoff_perplexity,
+    )
+
+    train = _docs_df(spark, ["a b c a b c", "a b d"])
+    # corpus doc 0: trigram 'a b c' seen (c123=2, c12=3 -> 2/3)
+    # doc 1: 'a b e' unseen trigram, bigram 'b e' unseen, 'e' OOV ->
+    #        0.4 * 0.4 * (0+0.5)/(9+0.5*4)
+    # doc 2: 'c a b' seen once (c12('c a')=1 -> 1/1)
+    corpus = _docs_df(spark, ["a b c", "a b e", "c a b"])
+    out = {
+        r["doc_id"]: r
+        for r in backoff_perplexity(corpus, train).collect()
+    }
+    n, v = 9.0, 4.0  # train tokens / vocab {a,b,c,d}
+    want0 = -math.log(2.0 / 3.0)
+    want1 = -math.log(0.4 * 0.4 * (0.5 / (n + 0.5 * v)))
+    want2 = -math.log(1.0 / 1.0)
+    assert out[0]["avg_nll"] == pytest.approx(want0, abs=1e-5)
+    assert out[0]["n_hit3"] == 1
+    assert out[1]["avg_nll"] == pytest.approx(want1, abs=1e-5)
+    assert out[1]["n_hit3"] == 0
+    assert out[2]["avg_nll"] == pytest.approx(want2, abs=1e-5)
+    # seen-trigram docs score FAR better than the OOV doc
+    assert out[1]["ppl"] > 10 * out[0]["ppl"]
+
+
+def test_backoff_perplexity_bigram_level_and_guard(spark):
+    from capex_data_pipeline_spark.extensions.corpus import (
+        backoff_perplexity,
+    )
+
+    train = _docs_df(spark, ["x y z w"])
+    # 'q y z': trigram unseen, bigram 'y z' SEEN (1) / c1('y')=1 -> 0.4*1
+    corpus = _docs_df(spark, ["q y z"])
+    out = backoff_perplexity(corpus, train).collect()[0]
+    assert out["avg_nll"] == pytest.approx(-math.log(0.4), abs=1e-5)
+    assert out["n_hit3"] == 0
+    with pytest.raises(ValueError):
+        backoff_perplexity(corpus, _docs_df(spark, [""]))
