@@ -174,6 +174,10 @@ HEADLINE = [
     # round-7: the 5-way left-join backoff scorer (train-slice counts
     # vs full-corpus trigram frame)
     "q138_backoff_perplexity",
+    # round-7: the (source, first-line) template detector and the
+    # map-only indexed-HOF augmentation pass
+    "q139_boilerplate_headers",
+    "q140_word_dropout",
 ]
 
 

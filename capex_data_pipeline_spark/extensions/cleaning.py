@@ -629,3 +629,65 @@ def anchor_texts(
         .groupBy("dst_host", "anchor")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def boilerplate_headers(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_share: float = 0.2,
+    topk: int = 1,
+) -> DataFrame:
+    """Per-source boilerplate HEADER detection: the most common first
+    line of each source's documents, with its share — when a crawl
+    template prepends the same banner/navigation line to every page of
+    a site, that line dominates the source's first-line distribution
+    and should be stripped before training (the detection half of the
+    RefinedWeb-style template removal that `clean_lines` applies
+    globally). Only headers reaching ``min_share`` of the source's
+    documents are reported (a diverse source has no boilerplate
+    header and appears zero times).
+
+    Scale shape: the first line is a map-only projection (split on
+    newline, element 1, trimmed); ONE hash aggregate on compact
+    (source, line) keys; ranking and the share arithmetic run on the
+    already-tiny counts frame. Empty first lines are ignored.
+
+    Returns (group_col, header, n_docs, share, rank).
+    """
+    from pyspark.sql.window import Window
+
+    first_line = F.regexp_replace(
+        F.element_at(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", 2), 1
+        ),
+        r"^\s+|\s+$",
+        "",
+    )
+    gl = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(F.col(group_col), first_line.alias("header"))
+        .filter(F.col("header") != "")
+        .groupBy(group_col, "header")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = gl.groupBy(group_col).agg(F.sum("n_docs").alias("_tot"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("n_docs"), F.asc("header")
+    )
+    return (
+        gl.join(tot, group_col)
+        .select(
+            group_col,
+            "header",
+            "n_docs",
+            (F.round(F.col("n_docs") / F.col("_tot"), 6) + F.lit(0.0)).alias(
+                "share"
+            ),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(
+            (F.col("rank") <= topk) & (F.col("share") >= F.lit(min_share))
+        )
+    )

@@ -2003,3 +2003,66 @@ def backoff_perplexity(
         "avg_nll",
         (F.round(F.exp("avg_nll"), decimals) + F.lit(0.0)).alias("ppl"),
     )
+
+
+def word_dropout(
+    df: DataFrame,
+    p: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "s0",
+) -> DataFrame:
+    """Deterministic word-dropout augmentation: drop each normalized
+    token with probability ``p``, decided by the md5 hash of
+    ``(seed, doc id, 1-based position)`` — the denoising-objective /
+    robustness augmentation (word dropout in seq2seq denoisers, SDA)
+    with the same re-derivability contract as the sampling family:
+    same corpus + seed → the same augmented text on any engine, any
+    partitioning, any run.
+
+    Scale shape: MAP-ONLY — one indexed higher-order ``filter`` over
+    each document's token array plus an ``array_join``; no shuffle,
+    no Python. The per-token md5 runs in an interpreted lambda
+    (~µs/token, the q131 lesson), so the pass is linear with an
+    honest constant — fine for a run-once augmentation pass; it is
+    NOT placed on any per-query hot path.
+
+    Returns (id_col, text_aug, n_tokens, n_dropped).
+    """
+    if not 0.0 <= p < 1.0:
+        raise ValueError(f"p must be in [0, 1), got {p}")
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    words = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "), lambda w: w != ""
+    )
+
+    def _keep(w: Column, i: Column) -> Column:
+        u = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(seed),
+                        F.col(id_col).cast("string"),
+                        (i + 1).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double") / F.lit(float(_HASH_SPACE))
+        return u >= F.lit(float(p))
+
+    return (
+        df.select(F.col(id_col), words.alias("_ws"))
+        .select(F.col(id_col), "_ws", F.filter("_ws", _keep).alias("_kept"))
+        .select(
+            F.col(id_col),
+            F.array_join("_kept", " ").alias("text_aug"),
+            F.size("_ws").alias("n_tokens"),
+            (F.size("_ws") - F.size("_kept")).alias("n_dropped"),
+        )
+    )

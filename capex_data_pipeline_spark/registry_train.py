@@ -740,3 +740,116 @@ def q138_backoff_perplexity(spark, sf_dir):
         sample_hash(F.col("doc_id"), "lm") < F.lit(_LM_SLICE)
     )
     return backoff_perplexity(docs, train)
+
+# -------------------- q139: per-source boilerplate header detection
+
+#: the synthetic docs are single-line, so the registered query
+#: synthesizes the crawl-template situation deterministically: sources
+#: src0..src9 prepend their site banner to 60% of their pages
+#: (keyed on doc_id//20, which is independent of the source = doc_id%20
+#: assignment, so every bannered source truly mixes banner and clean); the
+#: other sources stay banner-free and must NOT be reported
+_HDR_PAGE_SQL = """
+      CASE WHEN CAST(substr(source, 4) AS INT) < 10 AND (doc_id // 20) % 5 < 3
+           THEN 'Welcome to ' || source || ' | Home | Login' || chr(10) || text
+           ELSE text END
+"""
+
+
+@query(
+    "q139_boilerplate_headers",
+    f"""
+    WITH pages AS (
+      SELECT doc_id, source, {_HDR_PAGE_SQL} AS text FROM documents
+      WHERE source IS NOT NULL
+    ),
+    fl AS (
+      SELECT source,
+             regexp_replace(split_part(coalesce(text, ''), chr(10), 1),
+                            '^\\s+|\\s+$', '', 'g') AS header
+      FROM pages
+    ),
+    gl AS (
+      SELECT source, header, CAST(count(*) AS BIGINT) AS n_docs
+      FROM fl WHERE header <> '' GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, sum(n_docs) AS tot FROM gl GROUP BY 1)
+    SELECT source, header, n_docs, share, rank FROM (
+      SELECT gl.source, gl.header, gl.n_docs,
+             round(CAST(gl.n_docs AS DOUBLE) / tot.tot, 6) + 0.0 AS share,
+             CAST(row_number() OVER (PARTITION BY gl.source
+                  ORDER BY gl.n_docs DESC, gl.header ASC) AS INT) AS rank
+      FROM gl JOIN tot USING (source)
+    ) WHERE rank <= 1 AND share >= 0.2
+    """,
+)
+def q139_boilerplate_headers(spark, sf_dir):
+    """Per-source boilerplate header detection
+    (cleaning.boilerplate_headers): the most common first line per
+    source with its share — crawl-template banners dominate a source's
+    first-line distribution and get reported for stripping; diverse
+    sources report nothing. First line is a map-only projection; ONE
+    compact (source, line) aggregate; share/rank run on the tiny
+    counts frame. Bannered pages are synthesized deterministically
+    for src0..src9 (60% of their docs) so both the detection and the
+    no-banner negative lanes do real work; the oracle replays the
+    synthesis, first-line extraction, counts, and the share gate."""
+    from capex_data_pipeline_spark.extensions.cleaning import (
+        boilerplate_headers,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    srcnum = F.substring("source", 4, 10).cast("int")
+    pages = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            (srcnum < 10) & ((F.col("doc_id") / 20).cast("long") % 5 < 3),
+            F.concat(
+                F.lit("Welcome to "),
+                F.col("source"),
+                F.lit(" | Home | Login\n"),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return boilerplate_headers(pages, min_share=0.2, topk=1)
+
+# ---------------------------- q140: word-dropout augmentation
+
+
+@query(
+    "q140_word_dropout",
+    f"""
+    WITH toks AS (SELECT doc_id, {_WORDS_TR} AS ws FROM documents),
+    kept AS (
+      SELECT doc_id, ws,
+             list_filter(ws, (w, i) ->
+               CAST(('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)
+                                     || '|' || CAST(i AS VARCHAR)), 1, 8))
+                    AS BIGINT) / 4294967296.0 >= 0.1) AS ks
+      FROM toks
+    )
+    SELECT doc_id,
+           array_to_string(ks, ' ') AS text_aug,
+           CAST(len(ws) AS INT) AS n_tokens,
+           CAST(len(ws) - len(ks) AS INT) AS n_dropped
+    FROM kept
+    """,
+)
+def q140_word_dropout(spark, sf_dir):
+    """Deterministic word-dropout augmentation at p=0.1
+    (corpus.word_dropout): each token dropped by the md5 hash of
+    (seed, doc id, 1-based position) — re-derivable augmentation, same
+    engine-portability contract as the sampling family. MAP-ONLY (one
+    indexed higher-order filter + array_join, no shuffle, no Python);
+    the oracle replays tokenization, the per-position hash decision
+    (DuckDB's 1-based lambda index == the engine's i+1), and the
+    rebuild."""
+    from capex_data_pipeline_spark.extensions.corpus import word_dropout
+
+    return word_dropout(_t(spark, sf_dir, "documents"), p=0.1)

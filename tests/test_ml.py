@@ -1365,3 +1365,80 @@ def test_backoff_perplexity_bigram_level_and_guard(spark):
     assert out["n_hit3"] == 0
     with pytest.raises(ValueError):
         backoff_perplexity(corpus, _docs_df(spark, [""]))
+
+
+# ------------------------------------------------ boilerplate headers
+
+
+def test_boilerplate_headers_detection(spark):
+    from capex_data_pipeline_spark.extensions.cleaning import (
+        boilerplate_headers,
+    )
+
+    banner = "Welcome | Home"
+    rows = (
+        [(i, "s1", f"{banner}\nbody {i}") for i in range(6)]
+        + [(i, "s1", f"unique first {i}\nbody") for i in range(6, 10)]
+        + [(i, "s2", f"all different {i}") for i in range(10)]
+        + [(20, "s3", "   \nonly whitespace first line")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = boilerplate_headers(df, min_share=0.2).collect()
+    # s1: banner on 6/10 docs -> reported; s2 diverse -> nothing;
+    # s3's first line is whitespace-only -> ignored entirely
+    assert [(r["source"], r["header"], r["n_docs"], r["share"]) for r in out] == [
+        ("s1", banner, 6, 0.6)
+    ]
+
+
+def test_boilerplate_headers_min_share_gate(spark):
+    from capex_data_pipeline_spark.extensions.cleaning import (
+        boilerplate_headers,
+    )
+
+    rows = [(i, "s", f"hdr\nx") for i in range(2)] + [
+        (i, "s", f"u{i}\nx") for i in range(2, 20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    assert boilerplate_headers(df, min_share=0.2).count() == 0
+    got = boilerplate_headers(df, min_share=0.05).collect()
+    assert got[0]["header"] == "hdr" and got[0]["share"] == 0.1
+
+
+# ------------------------------------------------ word dropout
+
+
+def test_word_dropout_replay_and_determinism(spark):
+    import hashlib
+
+    from capex_data_pipeline_spark.extensions.corpus import word_dropout
+
+    texts = ["the quick brown fox jumps over the lazy dog"] * 3 + [""]
+    df = _docs_df(spark, texts)
+    out = {r["doc_id"]: r for r in word_dropout(df, p=0.3).collect()}
+
+    def keep(doc_id, i):
+        u = (
+            int(
+                hashlib.md5(f"s0|{doc_id}|{i}".encode()).hexdigest()[:8],
+                16,
+            )
+            / 2**32
+        )
+        return u >= 0.3
+
+    for d in range(3):
+        ws = texts[d].split()
+        want = " ".join(w for i, w in enumerate(ws, 1) if keep(d, i))
+        assert out[d]["text_aug"] == want
+        assert out[d]["n_tokens"] == 9
+        assert out[d]["n_dropped"] == 9 - len(want.split())
+    # same text, different doc ids -> different masks (position+id keyed)
+    assert len({out[d]["text_aug"] for d in range(3)}) > 1
+    # empty doc: zero counts, empty augmentation
+    assert out[3]["text_aug"] == "" and out[3]["n_tokens"] == 0
+    # p = 0 keeps everything
+    full = word_dropout(df, p=0.0).collect()
+    assert all(r["n_dropped"] == 0 for r in full)
+    with pytest.raises(ValueError):
+        word_dropout(df, p=1.0)
