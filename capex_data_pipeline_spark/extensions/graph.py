@@ -543,8 +543,13 @@ def bfs_hops(
     external SQL replay unrolls one CTE per round — the registered
     oracle does exactly that); vertices farther than ``rounds`` hops
     are absent from the result, the bounded-reachability contract.
-    Plan boundary policy matches the other iterative graph ops
-    (default on past 4 rounds).
+    Plan boundary default is ON past 2 rounds — stricter than the
+    other iterative graph ops because each round references BOTH the
+    frontier and the visited set, so an unboundaried round embeds the
+    previous round's plan twice (2^rounds re-execution of the frontier
+    joins; measured at sf0.1/4 rounds: single-shot 17.2 s → 15.2 s —
+    the shared co-purchase edge build dominates that number — and
+    1.7 s once the persisted symmetric edge frame is warm).
 
     Returns (vertex, hops), hops in [0, rounds].
     """
@@ -556,7 +561,7 @@ def bfs_hops(
     if not sources:
         raise ValueError("bfs_hops: sources must be non-empty")
     if plan_boundary is None:
-        plan_boundary = rounds > 4
+        plan_boundary = rounds > 2
     boundary_mode = plan_boundary if isinstance(plan_boundary, str) else None
 
     spark = edges.sparkSession

@@ -1,5 +1,11 @@
-"""Round-7 model-training and retrieval-composition driver queries:
-hashed logistic-regression training (q129) and friends.
+"""Round-7 model-training / curation-composition driver queries:
+hashed logistic-regression training (q129), trigram perplexity
+(q130), phrase search (q131), anchor-text aggregation (q132),
+canonical-per-cluster election (q133), temperature mixture
+resampling (q134), multi-source BFS hops (q135), hard-negative
+mining (q136), c-TF-IDF source keywords (q137), stupid-backoff
+cross-corpus perplexity (q138), boilerplate-header detection (q139),
+and word-dropout augmentation (q140).
 
 Same contract as ``registry``: every entry pairs the Spark operator
 with a full DuckDB oracle restating the semantics independently —

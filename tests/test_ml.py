@@ -1442,3 +1442,52 @@ def test_word_dropout_replay_and_determinism(spark):
     assert all(r["n_dropped"] == 0 for r in full)
     with pytest.raises(ValueError):
         word_dropout(df, p=1.0)
+
+
+# ------------------------------------------------ round-7 plan pins
+
+
+def test_temperature_resample_broadcasts_rates(spark):
+    """The corpus side must flow through a BroadcastHashJoin (rates are
+    a sources-sized frame) — never a SortMergeJoin shuffle of the
+    corpus."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        temperature_resample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3)) for i in range(30)],
+        "doc_id long, source string",
+    )
+    plan = (
+        temperature_resample(df, 2.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hard_negatives_broadcasts_queries_and_group_limits(spark):
+    """The query batch broadcasts (BroadcastNestedLoopJoin is expected:
+    the label-inequality predicate is non-equi BY DESIGN, and the
+    broadcast side is the tiny query batch) and the per-query top-k
+    applies map-side (WindowGroupLimit)."""
+    from capex_data_pipeline_spark.extensions.similarity import (
+        hard_negatives,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], "l" + str(i % 2)) for i in range(20)],
+        "vec_id long, embedding array<double>, label string",
+    )
+    plan = (
+        hard_negatives(df, df.filter("vec_id < 2"), k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
