@@ -178,6 +178,8 @@ HEADLINE = [
     # map-only indexed-HOF augmentation pass
     "q139_boilerplate_headers",
     "q140_word_dropout",
+    # round-7: two exact rankers + the candidates-sized fusion
+    "q141_rrf_fusion",
 ]
 
 

@@ -733,3 +733,57 @@ def hard_negatives(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    k: int = 60,
+    topk: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N per-query
+    rankings: ``score(d) = Σ_r 1/(k + rank_r(d))`` over every ranking
+    that returned ``d`` — THE standard hybrid-retrieval combiner
+    (BM25 + dense, multiple ANN probes, ensemble rerankers) because it
+    needs no score calibration, only ranks.
+
+    Scale shape: a union of the (already small — top-k per query)
+    ranking frames, ONE hash aggregate on (query, doc), and one
+    per-query top-k window — everything downstream of the rankers is
+    proportional to Σ candidates, never the corpus. Per-candidate
+    reciprocal terms are exact IEEE (sum order over a handful of
+    rankers is commutative-safe at the 6-decimal rounding applied);
+    final ties break doc-ascending.
+
+    Returns (query_col, doc_col, n_rankers, rrf_score, fused_rank).
+    """
+    if not rankings or len(rankings) < 2:
+        raise ValueError("rrf_fuse: need at least two rankings")
+    if k < 1:
+        raise ValueError(f"rrf_fuse: k must be >= 1, got {k}")
+    parts = [
+        r.select(
+            F.col(query_col),
+            F.col(doc_col),
+            (
+                F.lit(1.0)
+                / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+            ).alias("_t"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(query_col, doc_col).agg(
+        F.count(F.lit(1)).alias("n_rankers"),
+        (F.round(F.sum("_t"), 6) + F.lit(0.0)).alias("rrf_score"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_score"), F.asc(doc_col)
+    )
+    return fused.withColumn("fused_rank", F.row_number().over(w)).filter(
+        F.col("fused_rank") <= topk
+    )

@@ -859,3 +859,96 @@ def q140_word_dropout(spark, sf_dir):
     from capex_data_pipeline_spark.extensions.corpus import word_dropout
 
     return word_dropout(_t(spark, sf_dir, "documents"), p=0.1)
+
+# ------------------------- q141: reciprocal-rank fusion (hybrid search)
+
+
+@query(
+    "q141_rrf_fusion",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    cosr AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(q.qv, e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[]))),
+                       4) DESC, e.vec_id ASC) AS rank
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id
+      ) WHERE rank <= 10
+    ),
+    dotr AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(q.qv, e.embedding::DOUBLE[]), 4)
+                 DESC, e.vec_id ASC) AS rank
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id
+      ) WHERE rank <= 10
+    ),
+    u AS (
+      SELECT query_id, neighbor_id, 1.0 / (60.0 + rank) AS t FROM cosr
+      UNION ALL
+      SELECT query_id, neighbor_id, 1.0 / (60.0 + rank) AS t FROM dotr
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id,
+             CAST(count(*) AS BIGINT) AS n_rankers,
+             round(sum(t), 6) + 0.0 AS rrf_score
+      FROM u GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, n_rankers, rrf_score, fused_rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY rrf_score DESC, neighbor_id ASC) AS INT)
+                AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= 10
+    """,
+)
+def q141_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (similarity.rrf_fuse, Cormack et al.
+    2009, k=60): the calibration-free hybrid-retrieval combiner, fusing
+    two independent rankings of the same query batch (exact cosine
+    top-10 and exact dot-product top-10 — the normalized vs
+    magnitude-sensitive views genuinely disagree on ranking). Work
+    downstream of the rankers is Σ-candidates-sized: one union, ONE
+    (query, doc) aggregate, one per-query window. The oracle replays
+    both rankings, the reciprocal terms, and the fused ranking."""
+    from capex_data_pipeline_spark.extensions.similarity import (
+        _dot,
+        cosine_topk,
+        rrf_fuse,
+    )
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    cos = cosine_topk(emb, queries, k=10)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    dot = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("cv")), 4).alias("dot"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    return rrf_fuse([cos, dot], k=60, topk=10)

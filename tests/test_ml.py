@@ -1491,3 +1491,32 @@ def test_hard_negatives_broadcasts_queries_and_group_limits(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------ reciprocal-rank fusion
+
+
+def test_rrf_fuse_semantics(spark):
+    from capex_data_pipeline_spark.extensions.similarity import rrf_fuse
+
+    def rk(rows):
+        return spark.createDataFrame(
+            rows, "query_id long, neighbor_id long, rank int"
+        )
+
+    # doc 10 is rank 1 in A only; doc 11 is rank 2 in BOTH -> doc 11
+    # fuses higher: 2/(60+2) > 1/(60+1) + 0
+    a = rk([(0, 10, 1), (0, 11, 2), (0, 12, 3)])
+    b = rk([(0, 11, 2), (0, 13, 1)])
+    out = rrf_fuse([a, b], k=60, topk=10).collect()
+    got = {r["neighbor_id"]: r for r in out}
+    assert got[11]["fused_rank"] == 1 and got[11]["n_rankers"] == 2
+    assert got[11]["rrf_score"] == pytest.approx(2 / 62, abs=1e-6)
+    assert got[10]["rrf_score"] == pytest.approx(1 / 61, abs=1e-6)
+    # equal scores tie-break doc-ascending: 10 and 13 both 1/61
+    assert got[13]["rrf_score"] == got[10]["rrf_score"]
+    assert got[10]["fused_rank"] < got[13]["fused_rank"]
+    with pytest.raises(ValueError):
+        rrf_fuse([a])
+    with pytest.raises(ValueError):
+        rrf_fuse([a, b], k=0)
