@@ -180,6 +180,8 @@ HEADLINE = [
     "q140_word_dropout",
     # round-7: two exact rankers + the candidates-sized fusion
     "q141_rrf_fusion",
+    # round-7: q33's banded candidates re-ranked by the asymmetric score
+    "q142_shingle_containment",
 ]
 
 

@@ -425,8 +425,23 @@ def ngram_jaccard_pairs(
     bands: int | None = None,
     max_bucket_size: int | None = None,
     cap_stats: dict | None = None,
+    measure: str = "jaccard",
 ) -> DataFrame:
     """Word-k-gram Jaccard: EXACT scoring over MinHash-LSH candidates.
+
+    ``measure`` selects the exact score computed on candidate pairs:
+    ``'jaccard'`` (|A∩B|/|A∪B|, the near-dup default) or
+    ``'containment'`` (|A∩B|/min(|A|,|B|) — 1.0 when the smaller
+    document's shingles are fully inside the larger: trimmed
+    re-posts, quote-with-commentary, header-stripped copies that
+    Jaccard under-scores because the union is large). NOTE the recall
+    contract is unchanged: candidates still come from the
+    Jaccard-tuned LSH S-curve, so an extreme small-inside-huge pair
+    with high containment but near-zero Jaccard is unlikely to be
+    CANDIDATED at all — for that regime use the span-level machinery
+    (``duplicated_spans``), which finds shared substrings regardless
+    of document size ratio. The output score column is named after
+    the measure.
     ``max_bucket_size``: same degenerate-bucket armor as
     ``minhash_near_dups``, applied to the band buckets. Off by default. Pass ``cap_stats={}`` to receive the
     excluded bucket/row counts (no-silent-caps; see ``_cap_buckets``).
@@ -527,16 +542,23 @@ def ngram_jaccard_pairs(
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    if measure == "jaccard":
+        denom = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    elif measure == "containment":
+        denom = F.least(F.size("sh_a"), F.size("sh_b"))
+    else:
+        raise ValueError(
+            f"measure must be 'jaccard' or 'containment', got {measure!r}"
+        )
     return (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(inter / union.cast("double"), 4).alias("jaccard"),
+            F.round(inter / denom.cast("double"), 4).alias(measure),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col(measure) >= threshold)
     )
 
 

@@ -952,3 +952,60 @@ def q141_rrf_fusion(spark, sf_dir):
         .filter(F.col("rank") <= 10)
     )
     return rrf_fuse([cos, dot], k=60, topk=10)
+
+# -------------------- q142: shingle containment over LSH candidates
+
+
+def _q142_sql() -> str:
+    from capex_data_pipeline_spark.registry_ext import _SHINGLES
+
+    return f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 8),
+               i -> list_min(list_transform(sh, s -> md5(i || '|' || s)))) AS sig
+      FROM sh
+    ), banded AS (
+      SELECT doc_id, b,
+             md5(array_to_string(sig[b+1 : b+1], '|')) AS bhash
+      FROM sig, (SELECT unnest(range(0, 8)) AS b) bands
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT id_a, id_b,
+             round(len(list_intersect(sa.sh, sb.sh))
+                   / CAST(least(len(sa.sh), len(sb.sh)) AS DOUBLE),
+                   4) AS containment
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+    )
+    SELECT * FROM scored WHERE containment >= 0.5
+    """
+
+
+@query("q142_shingle_containment", _q142_sql())
+def q142_shingle_containment(spark, sf_dir):
+    """EXACT shingle containment |A∩B|/min(|A|,|B|) over the q33
+    MinHash-LSH candidate pairs (dedup.ngram_jaccard_pairs with
+    measure='containment'): scores 1.0 when the smaller document's
+    shingles sit fully inside the larger — trimmed re-posts and
+    quote-with-commentary that symmetric Jaccard under-scores. Same
+    banded candidate shape as q33 (no all-pairs join; the recall
+    contract is the Jaccard S-curve — extreme small-inside-huge pairs
+    belong to the span-level q106 machinery, stated in the
+    docstring). The oracle replays signatures, banding, candidates,
+    and the containment score."""
+    from capex_data_pipeline_spark.extensions import dedup as D
+
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.5,
+        num_hashes=8,
+        bands=8,
+        measure="containment",
+    )

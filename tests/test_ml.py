@@ -1520,3 +1520,38 @@ def test_rrf_fuse_semantics(spark):
         rrf_fuse([a])
     with pytest.raises(ValueError):
         rrf_fuse([a, b], k=0)
+
+
+# ------------------------------------------------ shingle containment
+
+
+def test_containment_measure_vs_jaccard(spark):
+    from capex_data_pipeline_spark.extensions.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [
+        base,                                   # 0: the container
+        "alpha beta gamma delta epsilon",        # 1: strict prefix of 0
+        "totally different words here now ok",   # 2: unrelated
+    ]
+    df = _docs_df(spark, texts)
+    kw = dict(k=3, num_hashes=8, bands=8)
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.5, measure="containment", **kw
+        ).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.01, **kw).collect()
+    }
+    # doc 1's 3 shingles are all inside doc 0's 8 -> containment 1.0,
+    # while Jaccard is only 3/8
+    assert cont[(0, 1)] == 1.0
+    assert jac[(0, 1)] == pytest.approx(3 / 8, abs=1e-4)
+    assert (0, 2) not in cont and (1, 2) not in cont
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(df, measure="dice")
