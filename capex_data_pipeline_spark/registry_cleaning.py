@@ -134,15 +134,11 @@ def _line_augmented(docs):
     )
 
 
-_LINE_AUG_SQL = """
-  SELECT doc_id,
-    CASE WHEN doc_id % 2 = 0
-      THEN text || chr(10) || 'repeat line alpha beta' || chr(10) ||
-           'repeat line alpha beta' || chr(10) || 'hi' || chr(10) ||
-           'uniq line ' || CAST(doc_id AS VARCHAR)
-      ELSE text END AS t
-  FROM documents
-"""
+# canonical definition in the LEAF oracle_frags module (shared with
+# registry_ts without a cross-registry import cycle)
+from capex_data_pipeline_spark.oracle_frags import (  # noqa: E402
+    LINE_AUG_SQL as _LINE_AUG_SQL,
+)
 
 
 @query(

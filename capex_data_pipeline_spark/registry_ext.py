@@ -26,18 +26,14 @@ from capex_data_pipeline_spark.streaming.windows import (
     tumbling_window_agg,
 )
 
-# DuckDB fragment: normalized text (matches dedup.normalized_text)
-_NORM = "trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g'))"
-# DuckDB fragment: word array of normalized text
-_WORDS = f"string_split({_NORM}, ' ')"
-# DuckDB fragment: distinct word 3-shingles (matches dedup._shingles_expr)
-_SHINGLES = f"""
-  list_distinct(CASE WHEN len({_WORDS}) < 3
-    THEN [array_to_string({_WORDS}, ' ')]
-    ELSE list_transform(range(1, len({_WORDS}) - 1),
-                        i -> array_to_string(({_WORDS})[i:i+2], ' '))
-  END)
-"""
+# DuckDB fragments: canonical definitions live in the LEAF module
+# oracle_frags (importable by ANY registry module without a cycle);
+# re-exported here under the historical names
+from capex_data_pipeline_spark.oracle_frags import (  # noqa: E402
+    NORM_SQL as _NORM,
+    SHINGLES_SQL as _SHINGLES,
+    WORDS_SQL as _WORDS,
+)
 
 
 # =========================================================================

@@ -19,20 +19,13 @@ from pyspark.sql import functions as F
 
 from capex_data_pipeline_spark.registry import _t, query
 
-#: minimum distinct co-occurring orders for a co-purchase edge
-MIN_SUPPORT = 2
-
-#: the co-purchase edge list, DuckDB side (canonical a < b, distinct
-#: by construction of the GROUP BY)
-_COPURCH = f"""
-  SELECT least(x.l_partkey, y.l_partkey) AS a,
-         greatest(x.l_partkey, y.l_partkey) AS b
-  FROM lineitem x
-  JOIN lineitem y
-    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
-  GROUP BY 1, 2
-  HAVING count(DISTINCT x.l_orderkey) >= {MIN_SUPPORT}
-"""
+#: canonical definitions live in the LEAF module oracle_frags
+#: (importable by any registry module without a cycle); re-exported
+#: here under the historical names
+from capex_data_pipeline_spark.oracle_frags import (  # noqa: E402
+    COPURCHASE_MIN_SUPPORT as MIN_SUPPORT,
+    COPURCHASE_SQL as _COPURCH,
+)
 
 
 def _copurchase_edges(spark, sf_dir):

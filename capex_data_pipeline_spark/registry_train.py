@@ -348,7 +348,9 @@ def q132_anchor_texts(spark, sf_dir):
 
 
 def _q133_sql() -> str:
-    from capex_data_pipeline_spark.registry_ext import _SHINGLES
+    from capex_data_pipeline_spark.oracle_frags import (
+        SHINGLES_SQL as _SHINGLES,
+    )
 
     return f"""
     WITH RECURSIVE sig AS (
@@ -517,7 +519,9 @@ _BFS_SEEDS = (1, 2)
 
 
 def _bfs_sql() -> str:
-    from capex_data_pipeline_spark.registry_graph import _COPURCH
+    from capex_data_pipeline_spark.oracle_frags import (
+        COPURCHASE_SQL as _COPURCH,
+    )
 
     seeds = ", ".join(str(s) for s in _BFS_SEEDS)
     ctes = [
@@ -957,7 +961,9 @@ def q141_rrf_fusion(spark, sf_dir):
 
 
 def _q142_sql() -> str:
-    from capex_data_pipeline_spark.registry_ext import _SHINGLES
+    from capex_data_pipeline_spark.oracle_frags import (
+        SHINGLES_SQL as _SHINGLES,
+    )
 
     return f"""
     WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),

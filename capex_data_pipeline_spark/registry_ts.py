@@ -11,11 +11,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from capex_data_pipeline_spark.registry import _t, query
-from capex_data_pipeline_spark.registry_cleaning import (
-    _LINE_AUG_SQL,
-    _line_augmented,
+from capex_data_pipeline_spark.oracle_frags import (
+    LINE_AUG_SQL as _LINE_AUG_SQL,
 )
+from capex_data_pipeline_spark.registry import _t, query
 
 # ------------------------------------------- cross-document line dedup
 
@@ -56,6 +55,10 @@ def q76_crossdoc_lines(spark, sf_dir):
     duplicates while per-doc unique lines survive. Cleaned text is
     compared by md5 to keep the frame compact."""
     from capex_data_pipeline_spark.extensions.cleaning import crossdoc_line_stats
+
+    from capex_data_pipeline_spark.registry_cleaning import (
+        _line_augmented,
+    )
 
     aug = _line_augmented(_t(spark, sf_dir, "documents"))
     out = crossdoc_line_stats(aug, text_col="t", min_docs=2, min_line_chars=8)

@@ -464,3 +464,39 @@ def test_round6_span_and_bpe_plans(spark, queries):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_registry_modules_import_directly_without_cycles():
+    """Every registry module must be importable FIRST (not only via
+    registry.py's tail imports): a sibling-registry import at module
+    scope creates a partial-initialization cycle that poisons QUERIES
+    for the rest of the process (the q133/q135/q142 oracle builders
+    once pulled _SHINGLES/_COPURCH from sibling registries at import
+    time; shared fragments now live in the leaf oracle_frags module).
+    Run in a subprocess so this test cannot be masked by modules
+    already imported by earlier tests."""
+    import subprocess
+    import sys
+
+    mods = [
+        "registry_ext",
+        "registry_cleaning",
+        "registry_ts",
+        "registry_search",
+        "registry_graph",
+        "registry_ml",
+        "registry_train",
+    ]
+    for m in mods:
+        code = (
+            f"from capex_data_pipeline_spark import {m}; "
+            "from capex_data_pipeline_spark.registry import QUERIES; "
+            "assert len(QUERIES) >= 142, len(QUERIES)"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, (m, r.stderr[-800:])
