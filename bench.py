@@ -701,7 +701,16 @@ def stress_ann() -> None:
         out.setdefault(name, {})[scale_label] = rec
         print(f"[stress-ann] {name}@{scale_label}: {rec}", file=sys.stderr)
 
-    scales = {"x%d" % (copies // 10): copies // 10, "x%d" % copies: copies}
+    # clamp the low scale to >= 1 (copies < 10 would yield 0 → a
+    # descending F.sequence and colliding scale labels); require two
+    # DISTINCT scales so the hi/lo ratio below stays meaningful
+    lo_copies = max(1, copies // 10)
+    if lo_copies == copies:
+        raise SystemExit(
+            f"SPARK_GRAFT_STRESS_ANN_COPIES={copies} too small: need "
+            "copies >= 10 for two distinct scale points"
+        )
+    scales = {"x%d" % lo_copies: lo_copies, "x%d" % copies: copies}
     for label, c in scales.items():
         inf = inflate(c)
         inf = inf.persist()

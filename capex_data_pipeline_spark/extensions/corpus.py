@@ -1421,14 +1421,18 @@ def term_zipf_stats(
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     total = vocab.agg(F.sum("freq").alias("_tot"))
+    # top-k candidate pick as TakeOrderedAndProject (per-partition heap
+    # + driver merge), NOT a global row_number over the full vocabulary
+    # — same shape as bm25_topk; rank over the <=topk survivors only
     ranked = (
-        vocab.withColumn(
+        vocab.orderBy(F.desc("freq"), F.asc("_w"))
+        .limit(topk)
+        .withColumn(
             "rank",
             F.row_number().over(
                 Window.orderBy(F.desc("freq"), F.asc("_w"))
             ),
         )
-        .filter(F.col("rank") <= topk)
     )
     cum = F.sum("freq").over(
         Window.orderBy("rank").rowsBetween(

@@ -62,7 +62,6 @@ def cms_top_frequencies(
         raise ValueError(f"depth/width must be >= 1: {depth}/{width}")
     from capex_data_pipeline_spark.cache import persisted
     from capex_data_pipeline_spark.extensions.dedup import normalized_text
-    from pyspark.sql.window import Window
 
     words = persisted(
         df.select(
@@ -85,16 +84,9 @@ def cms_top_frequencies(
         .agg(F.count(F.lit(1)).alias("_cell"))
     )
     vocab = words.groupBy("_w").agg(F.count(F.lit(1)).alias("true_count"))
-    cand = (
-        vocab.withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.orderBy(F.desc("true_count"), F.asc("_w"))
-            ),
-        )
-        .filter(F.col("_rk") <= topk)
-        .drop("_rk")
-    )
+    # top-k candidate pick as TakeOrderedAndProject (per-partition heap
+    # + driver merge), NOT a global row_number over the full vocabulary
+    cand = vocab.orderBy(F.desc("true_count"), F.asc("_w")).limit(topk)
     probes = cand.select(
         "_w", "true_count", F.explode(rows).alias("_j")
     ).select(

@@ -988,24 +988,32 @@ def q12_share_report(spark, sf_dir):
     tail folded into an OTHER bucket, with each bucket's share of
     events and value — the reporting shape every dashboard query
     reduces to. The grand total rides as a 1-row broadcast (never a
-    second scan); rank + fold happen on the tiny aggregated frame."""
-    from pyspark.sql.window import Window
-
+    second scan); the top-3 pick is TakeOrderedAndProject (per-partition
+    heap, no single-partition sort of the distinct-type frame — the
+    ordering `n desc, event_type asc` is total, so limit(3) selects the
+    same winners row_number would), and the fold is a broadcast join of
+    the 3-row winner frame."""
     from capex_data_pipeline_spark.sources.parquet import read_table
 
     ev = read_table(spark, sf_dir, "events")
     c = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v")
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("event_type").asc())
-    ranked = c.withColumn("rn", F.row_number().over(w))
+    top3 = (
+        c.orderBy(F.col("n").desc(), F.col("event_type").asc())
+        .limit(3)
+        .select("event_type", F.lit(True).alias("_top"))
+    )
     tot = c.agg(F.sum("n").alias("tn"), F.sum("v").alias("tv"))
-    bucketed = ranked.select(
-        F.when(F.col("rn") <= 3, F.col("event_type"))
-        .otherwise(F.lit("OTHER"))
-        .alias("bucket"),
-        "n",
-        "v",
+    bucketed = (
+        c.join(F.broadcast(top3), "event_type", "left")
+        .select(
+            F.when(F.col("_top"), F.col("event_type"))
+            .otherwise(F.lit("OTHER"))
+            .alias("bucket"),
+            "n",
+            "v",
+        )
     )
     return (
         bucketed.groupBy("bucket")

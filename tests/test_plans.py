@@ -500,3 +500,105 @@ def test_registry_modules_import_directly_without_cycles():
             cwd="/root/repo",
         )
         assert r.returncode == 0, (m, r.stderr[-800:])
+
+
+def test_no_unbounded_global_windows_anywhere_in_registry(spark, queries):
+    """Registry-wide lint (round-8): NO query may rank an unbounded
+    frame through an unpartitioned window (Window.orderBy with no
+    partitionBy) — that moves ALL rows to a single partition. A global
+    window is allowed only above a bounding node (TakeOrdered /
+    GlobalLimit / keyless aggregate / local relation): the bm25_topk
+    convention. This is the pin that caught (and now guards against)
+    the q122/q125/q12 full-vocabulary row_number defect."""
+    from capex_data_pipeline_spark.planlint import unbounded_global_windows
+
+    offenders = {}
+    for name, fn in queries.items():
+        plan = _plan(fn(spark, SF))
+        bad = unbounded_global_windows(plan)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
+def test_topk_candidate_picks_use_take_ordered(spark, queries):
+    """The fixed sites plan their top-k candidate pick as
+    TakeOrderedAndProject (per-partition heap + driver merge), not a
+    single-partition sort of the full vocabulary."""
+    for name in ("q122_term_zipf", "q125_cms_heavy_hitters",
+                 "q12_share_report", "q95_bm25_topk"):
+        plan = _plan(queries[name](spark, SF))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_planlint_parser_classifies_window_nodes():
+    """Unit coverage for the lint itself: unpartitioned-over-unbounded
+    flags; bounded or partitioned shapes don't."""
+    from capex_data_pipeline_spark.planlint import unbounded_global_windows
+
+    unb = (
+        "+- Window [row_number() windowspecdefinition(id#0L ASC NULLS "
+        "FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS r#4], [id#0L ASC NULLS FIRST]\n"
+        "   +- Sort [id#0L ASC NULLS FIRST], false, 0\n"
+        "      +- Exchange SinglePartition\n"
+        "         +- Range (0, 10, step=1, splits=32)"
+    )
+    assert len(unbounded_global_windows(unb)) == 1
+    # same window above a limit: allowed (bm25_topk shape)
+    bounded = unb.replace("Exchange SinglePartition", "GlobalLimit 5")
+    assert unbounded_global_windows(bounded) == []
+    take = unb.replace(
+        "Exchange SinglePartition",
+        "TakeOrderedAndProject(limit=20, orderBy=[id#0L ASC], output=[id#0L])",
+    )
+    assert unbounded_global_windows(take) == []
+    # partitioned window with empty ORDER spec prints two groups too —
+    # must not flag (second group is bare attributes, no sort direction)
+    part = (
+        "+- Window [count(1) windowspecdefinition(g#1L, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$())) AS c#2L], [g#1L]\n"
+        "   +- Exchange hashpartitioning(g#1L, 8)"
+    )
+    assert unbounded_global_windows(part) == []
+    # fully partitioned three-group shape: never flags
+    part3 = (
+        "+- Window [row_number() windowspecdefinition(g#1L, id#0L ASC "
+        "NULLS FIRST, specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), currentrow$())) AS r#2], [g#1L], "
+        "[id#0L ASC NULLS FIRST]\n"
+        "   +- Exchange hashpartitioning(g#1L, 8)"
+    )
+    assert unbounded_global_windows(part3) == []
+    # keyless (1-row) aggregate below the window: bounded
+    agg = unb.replace(
+        "Exchange SinglePartition",
+        "HashAggregate(keys=[], functions=[sum(x#1L)])",
+    )
+    assert unbounded_global_windows(agg) == []
+
+
+def test_doc_query_counts_match_registry():
+    """Doc-drift lint (extends the r6 numbering lint to prose): any
+    "all N"/"N registered queries" claim in the living docs (README,
+    COVERAGE) where N is registry-scale (>= 50) must equal the actual
+    registry size — a stale count in docs is the same defect class as
+    the r6 test-pin bug (README said "all 141" after q142 landed)."""
+    import pathlib
+
+    import __spark_entry__ as E
+
+    n = len(E.queries())
+    claim = re.compile(
+        r"\ball\s+(\d{2,})\b|\b(\d{2,})\s+registered quer", re.I
+    )
+    for doc in ("README.md", "COVERAGE.md"):
+        text = pathlib.Path("/root/repo", doc).read_text()
+        for i, line in enumerate(text.splitlines(), 1):
+            for m in claim.finditer(line):
+                num = int(m.group(1) or m.group(2))
+                if num >= 50:
+                    assert num == n, (
+                        f"{doc}:{i} claims {num} queries; registry has {n}"
+                    )
