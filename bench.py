@@ -182,6 +182,8 @@ HEADLINE = [
     "q141_rrf_fusion",
     # round-7: q33's banded candidates re-ranked by the asymmetric score
     "q142_shingle_containment",
+    # round-8: sqrt(N)-cell IVF via the build/query split (arrow assign)
+    "q143_ivf_sqrt",
 ]
 
 
@@ -648,6 +650,8 @@ def stress_ann() -> None:
     )
     from capex_data_pipeline_spark.extensions.similarity import (
         cosine_topk,
+        ivf_build,
+        ivf_query,
         ivf_topk,
         pq_ann_topk,
     )
@@ -720,6 +724,23 @@ def stress_ann() -> None:
         timed(label, "ivf_topk_sample", lambda: {
             "rows": ivf_topk(inf, queries, k=10, n_cells=16, nprobe=3,
                              centers_mode="sample").count()})
+        # sqrt(N)-sized build/query split (the r7 finding's fix): the
+        # assignment is paid ONCE, then each query batch scans only
+        # ~nprobe/sqrt(N) of the corpus — query2 shows the amortized
+        # per-batch cost a real deployment pays
+        built = {}
+        timed(label, "ivf_sqrt_build", lambda: (
+            built.update(zip(("assigned", "centers"),
+                             ivf_build(inf, centers_mode="sample",
+                                       assign="arrow"))),
+            {"n_cells": len(built["centers"])})[-1])
+        timed(label, "ivf_sqrt_query", lambda: {
+            "rows": ivf_query(built["assigned"], built["centers"],
+                              queries, k=10, nprobe=8).count()})
+        timed(label, "ivf_sqrt_query2", lambda: {
+            "rows": ivf_query(built["assigned"], built["centers"],
+                              queries, k=10, nprobe=8).count()})
+        built["assigned"].unpersist()
         timed(label, "pq_ann_topk", lambda: {
             "rows": pq_ann_topk(inf, n_subspaces=4, k_codes=4, rounds=2,
                                 topk=10).count()})

@@ -1015,3 +1015,92 @@ def q142_shingle_containment(spark, sf_dir):
         bands=8,
         measure="containment",
     )
+
+
+# ------------------- q143: sqrt(N)-sized IVF ANN (build/query split)
+
+_Q143_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    "    * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+@query(
+    "q143_ivf_sqrt",
+    f"""
+    WITH nc AS (
+      SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS n
+      FROM embeddings
+    ), ctr AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+               AS cell,
+             embedding
+      FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id
+      LIMIT (SELECT n FROM nc)
+    ), sim AS (
+      SELECT e.vec_id, c.cell,
+             {_Q143_COS.format(a='e.embedding', b='c.embedding')} AS s
+      FROM embeddings e, ctr c
+    ), assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell ASC) AS rn
+        FROM sim
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell ASC) AS rn
+        FROM sim WHERE vec_id < 5
+      ) WHERE rn <= 8
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a USING (cell)
+      WHERE a.vec_id <> p.query_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             round({_Q143_COS.format(a='eq.embedding', b='en.embedding')}, 4)
+               AS cosine
+      FROM cand
+      JOIN embeddings eq ON eq.vec_id = query_id
+      JOIN embeddings en ON en.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC)
+                AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q143_ivf_sqrt(spark, sf_dir):
+    """sqrt(N)-sized IVF ANN through the PRODUCTION build/query split
+    (similarity.ivf_build + ivf_query): ceil(sqrt(N)) cells — the IVF
+    operating point where per-query cell-scan cost and probe cost
+    balance, fixing the r7 stress finding that FIXED 16 cells is
+    slower than brute force at 400k vectors — deterministic
+    sample-from-data centers (md5 pick), cell assignment as ONE
+    Arrow-batched numpy matmul per batch (the scale path: BLAS, no
+    10^5-literal plan), nprobe=8 probe, exact cosine re-rank inside
+    probed cells only. Assignment tie-break (stable argmax = lowest
+    cell) matches the oracle's ORDER BY s DESC, cell ASC; the oracle
+    re-derives sqrt sizing, center pick, assignment, probes, and
+    re-rank closed-form. Recall on structureless synthetic vectors is
+    ~nprobe/n_cells by construction (documented; real embedding
+    corpora cluster, which is the premise of IVF) — correctness here
+    is value-exactness of the approximate result, and the recall
+    bound vs brute force is asserted in tests/test_ml.py."""
+    from capex_data_pipeline_spark.extensions.similarity import (
+        ivf_build,
+        ivf_query,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    assigned, centers = ivf_build(
+        emb, centers_mode="sample", assign="arrow", materialize=False
+    )
+    return ivf_query(assigned, centers, queries, k=10, nprobe=8)

@@ -1555,3 +1555,135 @@ def test_containment_measure_vs_jaccard(spark):
     assert (0, 2) not in cont and (1, 2) not in cont
     with pytest.raises(ValueError):
         ngram_jaccard_pairs(df, measure="dice")
+
+
+# ------------------------------- sqrt(N)-sized IVF build/query split
+
+
+def _rand_vecs(n, d=8, seed=7):
+    rng = random.Random(seed)
+    return [[rng.uniform(-1, 1) for _ in range(d)] for _ in range(n)]
+
+
+def test_ivf_build_sqrt_sizing(spark):
+    from capex_data_pipeline_spark.extensions.similarity import ivf_build
+
+    vecs = _vecs_df(spark, _rand_vecs(500))
+    assigned, centers = ivf_build(vecs, materialize=False)
+    assert len(centers) == max(16, math.ceil(math.sqrt(500)))  # 23
+    assert assigned.storageLevel.useMemory  # the index IS persisted
+    # every vector gets exactly one valid cell
+    cells = assigned.select("cell").distinct().collect()
+    assert all(0 <= r["cell"] < len(centers) for r in cells)
+    assert assigned.count() == 500
+    assigned.unpersist()
+
+
+def test_ivf_arrow_vs_expr_assignment_parity(spark):
+    """The Arrow (numpy matmul) and Catalyst-expression quantizers must
+    assign every vector to the SAME cell — same centers, same cosine
+    argmax, same lowest-index tie-break."""
+    from capex_data_pipeline_spark.extensions.similarity import ivf_build
+
+    vecs = _vecs_df(spark, _rand_vecs(300, seed=11))
+    a_arrow, c1 = ivf_build(vecs, assign="arrow", materialize=False)
+    a_expr, c2 = ivf_build(vecs, assign="expr", materialize=False)
+    assert c1 == c2
+    d1 = dict(
+        (r["vec_id"], r["cell"])
+        for r in a_arrow.select("vec_id", "cell").collect()
+    )
+    d2 = dict(
+        (r["vec_id"], r["cell"])
+        for r in a_expr.select("vec_id", "cell").collect()
+    )
+    assert d1 == d2
+    a_arrow.unpersist()
+    a_expr.unpersist()
+
+
+def test_ivf_query_matches_brute_inside_probed_cells(spark):
+    """ivf_query's result must equal brute-force top-k restricted to
+    the probed cells' members (the IVF contract: exact re-rank, the
+    only approximation is the candidate set)."""
+    from capex_data_pipeline_spark.extensions.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_query,
+    )
+
+    vecs = _vecs_df(spark, _rand_vecs(400, seed=3))
+    queries = vecs.filter(F.col("vec_id") < 3)
+    assigned, centers = ivf_build(vecs, n_cells=16, materialize=False)
+    got = ivf_query(assigned, centers, queries, k=5, nprobe=16)
+    exact = cosine_topk(vecs, queries, k=5)
+    g = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in got.collect()
+    )
+    e = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in exact.collect()
+    )
+    # nprobe == n_cells probes every cell -> identical to brute force
+    assert g == e
+    assigned.unpersist()
+
+
+def test_ivf_build_reused_across_query_batches(spark):
+    """The build/query split's point: ONE assignment serves many query
+    batches. The persisted index frame is queried twice without
+    rebuilding (results stay consistent and the frame stays cached)."""
+    from capex_data_pipeline_spark.extensions.similarity import (
+        ivf_build,
+        ivf_query,
+    )
+
+    vecs = _vecs_df(spark, _rand_vecs(400, seed=5))
+    assigned, centers = ivf_build(vecs)
+    b1 = vecs.filter(F.col("vec_id") < 2)
+    b2 = vecs.filter((F.col("vec_id") >= 2) & (F.col("vec_id") < 4))
+    r1 = ivf_query(assigned, centers, b1, k=5, nprobe=4).collect()
+    r2 = ivf_query(assigned, centers, b2, k=5, nprobe=4).collect()
+    assert {r["query_id"] for r in r1} == {0, 1}
+    assert {r["query_id"] for r in r2} == {2, 3}
+    assert assigned.storageLevel.useMemory
+    assigned.unpersist()
+
+
+def test_ivf_query_plan_is_broadcast_equi_join(spark):
+    """The candidate join is an equi-join on the int cell key with the
+    query batch broadcast — never a cartesian/nested-loop."""
+    from capex_data_pipeline_spark.extensions.similarity import (
+        ivf_build,
+        ivf_query,
+    )
+
+    vecs = _vecs_df(spark, _rand_vecs(200, seed=9))
+    queries = vecs.filter(F.col("vec_id") < 2)
+    assigned, centers = ivf_build(vecs, n_cells=16, materialize=False)
+    plan = (
+        ivf_query(assigned, centers, queries, k=5, nprobe=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assigned.unpersist()
+
+
+def test_ivf_invalid_modes_raise(spark):
+    from capex_data_pipeline_spark.extensions.similarity import (
+        ivf_build,
+        ivf_query,
+    )
+
+    vecs = _vecs_df(spark, _rand_vecs(50))
+    with pytest.raises(ValueError, match="assign"):
+        ivf_build(vecs, n_cells=4, assign="bogus")
+    assigned, centers = ivf_build(vecs, n_cells=4, materialize=False)
+    with pytest.raises(ValueError, match="probe"):
+        ivf_query(assigned, centers, vecs.limit(1), probe="bogus")
+    assigned.unpersist()
