@@ -184,6 +184,8 @@ HEADLINE = [
     "q142_shingle_containment",
     # round-8: sqrt(N)-cell IVF via the build/query split (arrow assign)
     "q143_ivf_sqrt",
+    # round-8: dHash fingerprints + the shared pigeonhole candidate join
+    "q144_image_neardup",
 ]
 
 

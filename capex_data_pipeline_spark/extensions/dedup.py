@@ -350,8 +350,6 @@ def simhash_near_dups(
     from candidate generation. Off by default. Pass ``cap_stats={}`` to receive the
     excluded bucket/row counts (no-silent-caps; see ``_cap_buckets``).
     """
-    n_seg = max_hamming + 1
-    width = -(-60 // n_seg)  # ceil(60 / n_seg)
     blk = F.col(block_col) if block_col else F.lit("all")
     # persisted: the pigeonhole self-join consumes this twice and HOF
     # lambdas defeat ReuseExchange — without it the simhash aggregate
@@ -366,6 +364,38 @@ def simhash_near_dups(
         .select("id", "blk", simhash60("_t").alias("sh"))
         .transform(persisted)
     )
+    return _pigeonhole_pairs(
+        s,
+        n_bits=60,
+        max_hamming=max_hamming,
+        include_sketches=include_sketches,
+        sketch_names=("simhash_a", "simhash_b"),
+        max_bucket_size=max_bucket_size,
+        cap_stats=cap_stats,
+    )
+
+
+def _pigeonhole_pairs(
+    s: DataFrame,
+    n_bits: int,
+    max_hamming: int,
+    include_sketches: bool = False,
+    sketch_names: "tuple[str, str]" = ("hash_a", "hash_b"),
+    max_bucket_size: int | None = None,
+    cap_stats: dict | None = None,
+) -> DataFrame:
+    """Shared segment-split (pigeonhole) candidate join over an
+    ``(id, blk, sh)`` frame of ``n_bits``-bit sketches: the sketch
+    splits into ``max_hamming + 1`` segments, any pair within hamming
+    distance ``max_hamming`` agrees exactly on >= 1 segment, candidates
+    are an equi-join on (block, segment index, segment value). Used by
+    text simhash (:func:`simhash_near_dups`, 60-bit) and perceptual
+    image hashes (:func:`hamming_near_dups`, up to 64-bit — segment
+    extraction uses the LOGICAL shift, so two's-complement 64-bit
+    hashes work; for non-negative <=60-bit sketches it is identical to
+    the arithmetic shift the simhash path always used)."""
+    n_seg = max_hamming + 1
+    width = -(-n_bits // n_seg)  # ceil(n_bits / n_seg)
     mask = (1 << width) - 1
     segs = s.select(
         "id",
@@ -376,7 +406,7 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(i).alias("seg_i"),
-                        F.shiftright(F.col("sh"), i * width)
+                        F.shiftrightunsigned(F.col("sh"), i * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("seg_v"),
                     )
@@ -401,8 +431,8 @@ def simhash_near_dups(
             F.col("b.id").alias("id_b"),
             *(
                 [
-                    F.col("a.sh").alias("simhash_a"),
-                    F.col("b.sh").alias("simhash_b"),
+                    F.col("a.sh").alias(sketch_names[0]),
+                    F.col("b.sh").alias(sketch_names[1]),
                 ]
                 if include_sketches
                 else []
@@ -411,6 +441,43 @@ def simhash_near_dups(
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def hamming_near_dups(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    n_bits: int = 64,
+    max_hamming: int = 3,
+    block_col: str | None = None,
+    include_sketches: bool = False,
+    max_bucket_size: int | None = None,
+    cap_stats: dict | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs over a PRECOMPUTED ``n_bits``-bit hash
+    column (perceptual image hashes — dHash/aHash from
+    ``multimodal.image_hashes`` — or any other hamming-space sketch):
+    the same segment-split pigeonhole candidate join as
+    :func:`simhash_near_dups`, without the text sketching front half.
+    Returns (id_a, id_b, hamming) pairs with hamming <= max_hamming;
+    equi-join on compact (segment, value) keys — never all-pairs, so
+    a 10^10-image corpus shuffles only (id, 8-byte hash, segment).
+    ``max_bucket_size``/``cap_stats``: the standard degenerate-bucket
+    armor (a solid-color-image bucket at web scale is the hot key)."""
+    blk = F.col(block_col) if block_col else F.lit("all")
+    s = df.select(
+        F.col(id_col).alias("id"),
+        blk.alias("blk"),
+        F.col(hash_col).cast("long").alias("sh"),
+    ).transform(persisted)
+    return _pigeonhole_pairs(
+        s,
+        n_bits=n_bits,
+        max_hamming=max_hamming,
+        include_sketches=include_sketches,
+        max_bucket_size=max_bucket_size,
+        cap_stats=cap_stats,
     )
 
 

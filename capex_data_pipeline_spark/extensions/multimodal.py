@@ -103,16 +103,11 @@ def _binned_means(data, scale: float = 255.0) -> list[float]:
     return feats
 
 
-def decode_bmp(payload: bytes) -> tuple[int, int, int, list[float]]:
-    """Stdlib-only decoder for uncompressed (BI_RGB) BMP images.
-
-    Parses the 14-byte file header ('BM' magic + pixel-data offset) and
-    the BITMAPINFOHEADER DIB block (width / height / bpp / compression)
-    with ``struct``, then reads the raw padded pixel rows. Features are
-    FEATURE_DIM strided-bin means over the pixel bytes, /255. This is a
-    genuine container decode — wrong magic, truncated headers,
-    compressed data, or short pixel arrays all raise ValueError.
-    """
+def _bmp_raw(payload: bytes) -> tuple[int, int, int, int, bytes, bool]:
+    """Shared BMP decode front half: header/DIB parse + raw padded
+    pixel rows. Returns (width, abs_height, bpp, stride, pixels,
+    top_down) — consumed by :func:`decode_bmp` (binned-mean features)
+    and :func:`gray_pixels` (2-D grayscale grid)."""
     import struct
 
     if len(payload) < 54:
@@ -139,22 +134,28 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, list[float]]:
     pixels = payload[data_offset : data_offset + stride * abs_height]
     if len(pixels) < stride * abs_height:
         raise ValueError("BMP: pixel array shorter than stride * height")
+    return width, abs_height, bpp, stride, pixels, height < 0
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Stdlib-only decoder for uncompressed (BI_RGB) BMP images.
+
+    Parses the 14-byte file header ('BM' magic + pixel-data offset) and
+    the BITMAPINFOHEADER DIB block (width / height / bpp / compression)
+    with ``struct``, then reads the raw padded pixel rows. Features are
+    FEATURE_DIM strided-bin means over the pixel bytes, /255. This is a
+    genuine container decode — wrong magic, truncated headers,
+    compressed data, or short pixel arrays all raise ValueError.
+    """
+    width, abs_height, _bpp, _stride, pixels, _td = _bmp_raw(payload)
     return width, abs_height, 1, _binned_means(pixels)
 
 
-def decode_png(payload: bytes) -> tuple[int, int, int, list[float]]:
-    """Stdlib-only decoder for non-interlaced PNG images: ``struct``
-    chunk walk + ``zlib``-inflated IDAT + per-scanline unfilter
-    (filters 0-4: None/Sub/Up/Average/Paeth, the full spec set) — a
-    genuine compressed-format decode with no external codec library.
-
-    Supports bit depth 8 and 16 for gray / RGB / gray+alpha / RGBA
-    (color types 0/2/4/6) and bit depth 1/2/4/8 for palette (type 3);
-    features are FEATURE_DIM strided-bin means over the reconstructed
-    (post-unfilter) scanline bytes, /255. Interlaced (Adam7) images,
-    bad magic, truncated chunks, or a corrupt inflate all raise
-    ValueError — never a silent wrong answer.
-    """
+def _png_recon(payload: bytes) -> tuple[int, int, int, int, int, bytearray]:
+    """Shared PNG decode front half: chunk walk + inflate + unfilter.
+    Returns (width, height, depth, color_type, channels, recon bytes)
+    — consumed by :func:`decode_png` (binned-mean features) and
+    :func:`gray_pixels` (2-D grayscale grid for perceptual hashing)."""
     import struct
     import zlib
 
@@ -230,6 +231,23 @@ def decode_png(payload: bytes) -> tuple[int, int, int, list[float]]:
             raise ValueError(f"PNG: unknown filter type {ftype} on row {y}")
         recon += line
         prev = line
+    return width, height, depth, color, channels, recon
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Stdlib-only decoder for non-interlaced PNG images: ``struct``
+    chunk walk + ``zlib``-inflated IDAT + per-scanline unfilter
+    (filters 0-4: None/Sub/Up/Average/Paeth, the full spec set) — a
+    genuine compressed-format decode with no external codec library.
+
+    Supports bit depth 8 and 16 for gray / RGB / gray+alpha / RGBA
+    (color types 0/2/4/6) and bit depth 1/2/4/8 for palette (type 3);
+    features are FEATURE_DIM strided-bin means over the reconstructed
+    (post-unfilter) scanline bytes, /255. Interlaced (Adam7) images,
+    bad magic, truncated chunks, or a corrupt inflate all raise
+    ValueError — never a silent wrong answer.
+    """
+    width, height, _depth, _color, _channels, recon = _png_recon(payload)
     return width, height, 1, _binned_means(recon)
 
 
@@ -666,3 +684,201 @@ def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("pos", "frame_idx"),
     ).select("media_id", "frame_idx")
+
+
+# =====================================================================
+# Perceptual image hashing + near-duplicate detection
+# =====================================================================
+
+
+def gray_pixels(payload: bytes):
+    """Container-sniffing grayscale-pixel extraction: BMP / PNG /
+    baseline JPEG payload bytes -> (height, width) float64 numpy grid
+    of 0-255 luminance values (channel mean — the hash only needs a
+    stable monotone gray, not colorimetric luma). The pixel-grid
+    counterpart of :func:`stdlib_decode`'s feature vectors, feeding
+    :func:`dhash_bits` / :func:`ahash_bits`. Palette BMP/PNG variants
+    raise ValueError (no palette table parse) — never a silent wrong
+    grid.
+    """
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        width, h, bpp, stride, pixels, top_down = _bmp_raw(payload)
+        rows = np.frombuffer(
+            pixels[: stride * h], dtype=np.uint8
+        ).reshape(h, stride)
+        if bpp == 24 or bpp == 32:
+            ch = bpp // 8
+            px = rows[:, : width * ch].reshape(h, width, ch)
+            g = px[:, :, :3].mean(axis=2)  # BGR(A); mean is channel-symmetric
+        elif bpp == 8:
+            raise ValueError("BMP: 8-bit palette images unsupported for gray")
+        else:
+            raise ValueError(f"BMP: {bpp}bpp unsupported for gray")
+        if not top_down:
+            g = g[::-1]  # BMP default is bottom-up row order
+        return g.astype(np.float64)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        width, height, depth, color, channels, recon = _png_recon(payload)
+        if color == 3:
+            raise ValueError("PNG: palette images unsupported for gray")
+        arr = np.frombuffer(bytes(recon), dtype=np.uint8)
+        if depth == 16:
+            # big-endian 16-bit samples: the high byte IS the 8-bit value
+            arr = arr.reshape(height, width, channels, 2)[:, :, :, 0]
+        else:
+            arr = arr.reshape(height, width, channels)
+        gray_ch = min(channels, 3)  # drop alpha; gray/gray+alpha use ch 0
+        g = arr[:, :, :gray_ch].astype(np.float64)
+        return g[:, :, 0] if channels <= 2 else g.mean(axis=2)
+    if payload[:2] == b"\xff\xd8":
+        img = _jpeg_pixels(payload)
+        g = img.astype("float64")
+        return g[:, :, 0] if g.shape[2] == 1 else g.mean(axis=2)
+    raise ValueError(
+        f"unrecognized image container (magic {payload[:4]!r}); "
+        "gray_pixels handles BMP, PNG, and baseline JPEG"
+    )
+
+
+def _resize_area(g, out_h: int, out_w: int):
+    """Deterministic box (area-average) resize: output cell (i, j) is
+    the mean of the input block [i·h//H, (i+1)·h//H) × [j·w//W,
+    (j+1)·w//W) (clamped to >= 1 pixel when upscaling) — integer block
+    boundaries, so the same grid always produces the same floats."""
+    import numpy as np
+
+    h, w = g.shape
+    ys = [(i * h) // out_h for i in range(out_h + 1)]
+    xs = [(j * w) // out_w for j in range(out_w + 1)]
+    out = np.empty((out_h, out_w), dtype=np.float64)
+    for i in range(out_h):
+        y0, y1 = ys[i], max(ys[i] + 1, ys[i + 1])
+        for j in range(out_w):
+            x0, x1 = xs[j], max(xs[j] + 1, xs[j + 1])
+            out[i, j] = g[y0:y1, x0:x1].mean()
+    return out
+
+
+def _pack_bits(bits: "list[int]") -> int:
+    """Pack bit values (index b set if bits[b]) into a SIGNED 64-bit
+    int (two's complement for bit 63) — the LongType a DataFrame
+    column carries."""
+    v = 0
+    for b, on in enumerate(bits):
+        if on:
+            v |= 1 << b
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def dhash_bits(gray, n_bits: int = 64) -> int:
+    """Difference hash (dHash — Krawetz 2013, public algorithm): box-
+    resize the grayscale grid to 8 rows × 9 columns, then bit
+    b = r·8+c is set iff cell (r, c) < cell (r, c+1) — a 64-bit
+    gradient-direction sketch invariant to scale and uniform
+    brightness/contrast changes. ``n_bits < 64`` keeps the FIRST
+    n_bits comparisons in row-major order (n_bits=60 is the
+    engine-portable BIGINT-safe variant sharing simhash60's
+    convention; its oracle replay is exact integer logic). An input
+    already exactly 8×9 skips through the resize unchanged (1×1
+    boxes), which is what makes the q144 char-grid oracle
+    value-exact."""
+    g = _resize_area(gray, 8, 9)
+    return _pack_bits(
+        [g[b // 8][b % 8] < g[b // 8][b % 8 + 1] for b in range(n_bits)]
+    )
+
+
+def ahash_bits(gray, n_bits: int = 64) -> int:
+    """Average hash (aHash): box-resize to 8×8, bit b = r·8+c set iff
+    cell (r, c) >= the 64-cell mean. Coarser than dHash (global
+    threshold vs local gradients) but cheaper to reason about; same
+    packing/n_bits contract as :func:`dhash_bits`."""
+    g = _resize_area(gray, 8, 8)
+    m = g.mean()
+    return _pack_bits([g[b // 8][b % 8] >= m for b in range(n_bits)])
+
+
+def char_grid_pixelizer(payload: bytes):
+    """Deterministic text-as-image stand-in (the hashing counterpart
+    of :func:`_fake_decode`): the payload's utf-8 text becomes an
+    8×9 'grayscale' grid of code points (row-major, 0 past the end).
+    Every step is exact integer logic replayable in SQL
+    (ascii(substr(text, pos, 1))), giving the registered image-near-
+    dup query a value-exact DuckDB oracle; a real deployment swaps
+    in :func:`gray_pixels` with zero engine changes."""
+    import numpy as np
+
+    text = payload.decode("utf-8")
+    g = np.zeros((8, 9), dtype=np.float64)
+    for r in range(8):
+        for c in range(9):
+            pos = r * 9 + c
+            if pos < len(text):
+                g[r, c] = float(ord(text[pos]))
+    return g
+
+
+def image_hashes(
+    media: DataFrame,
+    pixelizer=None,
+    kind: str = "dhash",
+    n_bits: int = 64,
+) -> DataFrame:
+    """Perceptual hash per media row: (media_id, phash) via
+    ``mapInPandas`` (Arrow-batched — same crossing as
+    :func:`decode_media`; the hash math is numpy over the pixelizer's
+    grid). ``pixelizer`` is the injectable bytes -> (h, w) gray-grid
+    seam (default :func:`gray_pixels` — real BMP/PNG/JPEG decode);
+    ``kind`` picks dHash (default) or aHash."""
+    if kind not in ("dhash", "ahash"):
+        raise ValueError(f"unknown hash kind: {kind!r}")
+    px = pixelizer if pixelizer is not None else gray_pixels
+    hasher = dhash_bits if kind == "dhash" else ahash_bits
+
+    def _hash_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                hashes.append(hasher(px(bytes(payload or b"")), n_bits))
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    return media.mapInPandas(_hash_batches, schema="media_id long, phash long")
+
+
+def image_near_dups(
+    media: DataFrame,
+    pixelizer=None,
+    kind: str = "dhash",
+    n_bits: int = 64,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+    cap_stats: dict | None = None,
+) -> DataFrame:
+    """Image near-duplicate pairs — the multimodal half of the LLM
+    dedup story: perceptual fingerprints (:func:`image_hashes`) fed
+    through the SAME segment-split pigeonhole candidate join the text
+    simhash path uses (``dedup.hamming_near_dups``). Returns
+    (id_a, id_b, hamming) with hamming <= max_hamming; candidate
+    generation is an equi-join on compact (segment, value) keys —
+    one mapInPandas scan to hash, then only (id, 8-byte hash,
+    segment) shuffles, never pixels and never all-pairs.
+    ``max_bucket_size``: at web scale the solid-color/blank-image
+    hash bucket is the degenerate hot key — cap it loudly (pass
+    ``cap_stats={}``), same armor as the text families."""
+    from capex_data_pipeline_spark.extensions.dedup import hamming_near_dups
+
+    hashes = image_hashes(media, pixelizer=pixelizer, kind=kind, n_bits=n_bits)
+    return hamming_near_dups(
+        hashes,
+        hash_col="phash",
+        id_col="media_id",
+        n_bits=n_bits,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+        cap_stats=cap_stats,
+    )

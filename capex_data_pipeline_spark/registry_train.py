@@ -1104,3 +1104,73 @@ def q143_ivf_sqrt(spark, sf_dir):
         emb, centers_mode="sample", assign="arrow", materialize=False
     )
     return ivf_query(assigned, centers, queries, k=10, nprobe=8)
+
+
+# ------------- q144: perceptual-hash image near-dup (multimodal dedup)
+
+
+@query(
+    "q144_image_neardup",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(0, 72), i ->
+               CASE WHEN length(text) > i
+                    THEN ascii(substr(text, CAST(i + 1 AS INTEGER), 1))
+                    ELSE 0 END) AS px
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN px[CAST(b // 8 AS INTEGER) * 9
+                            + CAST(b % 8 AS INTEGER) + 1]
+                         < px[CAST(b // 8 AS INTEGER) * 9
+                              + CAST(b % 8 AS INTEGER) + 2]
+                    THEN (1::BIGINT << CAST(b AS INTEGER))
+                    ELSE 0::BIGINT END))::BIGINT AS sh
+      FROM g
+    ), segs AS (
+      SELECT doc_id, sh, seg_i, (sh >> (seg_i * 15)) & 32767 AS seg_v
+      FROM h, unnest([0, 1, 2, 3]) AS t(seg_i)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.sh, b.sh)) AS hamming
+      FROM segs a JOIN segs b
+        ON a.seg_i = b.seg_i AND a.seg_v = b.seg_v
+           AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+    """,
+)
+def q144_image_neardup(spark, sf_dir):
+    """Perceptual-hash image near-duplicate pairs — the multimodal
+    half of the LLM dedup story (multimodal.image_near_dups): dHash
+    fingerprints (Krawetz 2013: 8×9 gray grid, bit = left<right
+    gradient) computed in ONE Arrow-batched mapInPandas pass, then the
+    SAME segment-split pigeonhole candidate join the text simhash
+    family uses (dedup.hamming_near_dups / _pigeonhole_pairs:
+    4 segments of a 60-bit hash guarantee any pair within hamming 3
+    shares a segment — equi-join on compact keys, never all-pairs,
+    pixels never shuffle). The registered instance feeds the hash the
+    deterministic char-grid pixelizer (code points as 'pixels', grid
+    exactly 8×9 so the box resize is the identity and every step is
+    exact integer logic) — which is what lets the oracle replay grid
+    → hash → segments → pairs value-exactly in SQL; production swaps
+    in multimodal.gray_pixels (REAL stdlib BMP/PNG/baseline-JPEG
+    decode → area resize → dHash/aHash, unit-tested on genuine
+    container bytes in tests/test_multimodal-family suites) with zero
+    engine changes."""
+    from capex_data_pipeline_spark.extensions.multimodal import (
+        char_grid_pixelizer,
+        documents_as_media,
+        image_near_dups,
+    )
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return image_near_dups(
+        media,
+        pixelizer=char_grid_pixelizer,
+        kind="dhash",
+        n_bits=60,
+        max_hamming=3,
+    )
