@@ -186,6 +186,8 @@ HEADLINE = [
     "q143_ivf_sqrt",
     # round-8: dHash fingerprints + the shared pigeonhole candidate join
     "q144_image_neardup",
+    # round-8: two Viterbi-EM rounds over the distinct-word vocab frame
+    "q145_unigram_train",
 ]
 
 

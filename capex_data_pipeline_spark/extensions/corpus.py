@@ -2070,3 +2070,192 @@ def word_dropout(
             (F.size("_ws") - F.size("_kept")).alias("n_dropped"),
         )
     )
+
+
+# =====================================================================
+# Unigram-LM (SentencePiece-style) tokenizer training
+# =====================================================================
+
+
+def unigram_best_segmentation(
+    word: str, costs: "dict[str, float]", max_piece_len: int = 4
+) -> "str | None":
+    """Min-cost segmentation of one word under a unigram piece model
+    (cost = -ln p, so min cost == max likelihood): forward DP over
+    end positions; state = (accumulated cost, '|'-prefixed piece
+    path). Ties break on the SMALLER path string (binary compare) —
+    the same (cost, path) ordering the q145 oracle's enumerate-all-
+    segmentations + min replays, and the two agree exactly: equal
+    float costs compose exactly under addition of identical piece
+    costs, and two prefixes covering the same characters first differ
+    at a '|' vs letter position, which an identical suffix cannot
+    flip. Returns None when the word is not coverable (cannot happen
+    while all its single chars are in ``costs``)."""
+    best: "dict[int, tuple[float, str]]" = {0: (0.0, "")}
+    for pos in range(1, len(word) + 1):
+        cands = []
+        for plen in range(1, min(max_piece_len, pos) + 1):
+            prev = best.get(pos - plen)
+            if prev is None:
+                continue
+            cost = costs.get(word[pos - plen : pos])
+            if cost is None:
+                continue
+            cands.append((prev[0] + cost, prev[1] + "|" + word[pos - plen : pos]))
+        if cands:
+            best[pos] = min(cands)
+    state = best.get(len(word))
+    return state[1] if state else None
+
+
+def unigram_train(
+    corpus: DataFrame,
+    vocab_size: int = 24,
+    rounds: int = 2,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+    seed_size: int = 100_000,
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Unigram-LM tokenizer trainer (the SentencePiece family — Kudo
+    2018 — in its deterministic Viterbi-EM form): seed the piece
+    vocabulary with every substring of length <= ``max_piece_len``
+    over the DISTINCT-word frame (counts frequency-weighted over all
+    occurrence positions), then run ``rounds`` hard-EM iterations —
+    E-step: min-cost (max-likelihood) segmentation of each distinct
+    word under the current piece costs; M-step: re-estimate piece
+    probabilities from the frequency-weighted piece counts along
+    those best paths (pieces used by no best path drop out, exactly
+    as in SentencePiece's EM) — and finally prune to the
+    ``vocab_size`` highest-count pieces, ALWAYS retaining single
+    characters (the coverage guarantee: every word stays
+    segmentable). Returns (rank, piece, count, prob) with prob
+    renormalized over the kept vocabulary.
+
+    Scale shape — the bpe_train vocab-frame economics
+    (extensions/corpus.py bpe_train): the corpus is tokenized ONCE
+    into a distinct-(word, freq) frame and every EM round runs over
+    that frame, never the corpus; the seed substring explode is
+    native (flatten/transform HOFs) with a TakeOrdered prune to
+    ``seed_size`` (plus all single chars) before anything crosses to
+    Python; each E-step is ONE Arrow-batched pandas UDF pass over
+    distinct words with the piece-cost map in the closure (model
+    state is vocab-sized — the k-means-centers pattern, collected
+    once per round, ~16 bytes/piece at the SentencePiece-default 1M
+    seed); each M-step is one compact-key hash aggregate. Words
+    longer than ``max_word_len`` are excluded from training (the
+    SentencePiece corpus-filter analog; they are still segmentable by
+    the trained model via single-char coverage).
+
+    Engine-portability: piece costs are round(-ln(count/total),
+    ``decimals``) — quantized model state, the logreg convention —
+    and the q145 oracle replays seed, both EM rounds, the prune, and
+    the renormalization in unrolled CTEs (the E-step as a recursive
+    enumerate-all-segmentations CTE + min over (cost, path)).
+    """
+    import math
+
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1: {rounds}")
+    if max_piece_len < 1 or vocab_size < 1:
+        raise ValueError("max_piece_len and vocab_size must be >= 1")
+
+    words = (
+        corpus.select(
+            F.explode(
+                F.filter(
+                    F.split(normalized_text(F.col(text_col)), " "),
+                    lambda w: w != "",
+                )
+            ).alias("word")
+        )
+        .filter(F.length("word") <= max_word_len)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    from capex_data_pipeline_spark.cache import persisted
+
+    words = persisted(words)
+
+    # --- seed: all substrings up to max_piece_len, freq-weighted over
+    # occurrence positions, native HOF explode
+    subs = F.filter(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.length("word") - 1),
+                lambda s: F.transform(
+                    F.sequence(F.lit(1), F.lit(max_piece_len)),
+                    lambda l: F.when(
+                        s + l <= F.length("word"),
+                        F.col("word").substr(s + 1, l),
+                    ),
+                ),
+            )
+        ),
+        lambda x: x.isNotNull(),
+    )
+    seed_counts = (
+        words.select(F.explode(subs).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    seed_top = seed_counts.orderBy(
+        F.desc("cnt"), F.asc("piece")
+    ).limit(seed_size)
+    seed_singles = seed_counts.filter(F.length("piece") == 1)
+    seed = seed_top.union(seed_singles).dropDuplicates(["piece"])
+
+    def _costs(rows) -> "dict[str, float]":
+        total = sum(r["cnt"] for r in rows)
+        return {
+            r["piece"]: round(-math.log(r["cnt"] / total), decimals)
+            for r in rows
+        }
+
+    costs = _costs(seed.collect())
+
+    counts = None
+    for _ in range(rounds):
+        model, mplen = dict(costs), max_piece_len
+
+        @F.pandas_udf("string")
+        def _seg(ws):  # pd.Series -> pd.Series (hints omitted: local scope)
+            return ws.map(
+                lambda w: unigram_best_segmentation(w, model, mplen)
+            )
+
+        counts = (
+            words.select(_seg(F.col("word")).alias("path"), "freq")
+            .select(
+                F.explode(
+                    F.split(F.expr("substring(path, 2)"), r"\|")
+                ).alias("piece"),
+                "freq",
+            )
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        costs = _costs(counts.collect())
+
+    # --- prune: top vocab_size by (count desc, piece asc), single
+    # chars always kept; renormalize over the survivors
+    top = counts.orderBy(F.desc("cnt"), F.asc("piece")).limit(vocab_size)
+    singles = counts.filter(F.length("piece") == 1)
+    kept = top.union(singles).dropDuplicates(["piece"])
+    total_kept = kept.agg(F.sum("cnt").alias("_tot"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("piece"))
+    return (
+        kept.crossJoin(F.broadcast(total_kept))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "piece",
+            F.col("cnt").alias("count"),
+            F.round(F.col("cnt") / F.col("_tot"), decimals).alias("prob"),
+        )
+    )

@@ -1174,3 +1174,142 @@ def q144_image_neardup(spark, sf_dir):
         n_bits=60,
         max_hamming=3,
     )
+
+
+# -------- q145: unigram-LM (SentencePiece-style) tokenizer training
+
+_Q145_NORM = (
+    "trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g'))"
+)
+
+
+def _q145_seg_cte(name: str, pieces: str, rname: str) -> str:
+    """One Viterbi-EM E-step as a recursive CTE: enumerate every
+    segmentation of every distinct word over the current piece table
+    (each recursion step extends a partial path by one matching
+    piece); the consumer picks min (cost, path) per word. Unique
+    ``rname`` per round — two recursive CTEs sharing an inner name
+    bind wrong (discovered empirically: the chain silently yields 0
+    rows)."""
+    return f"""
+    {name} AS (
+      SELECT * FROM (
+        WITH RECURSIVE {rname}(word, pos, cost, path) AS (
+          SELECT word, 0, 0.0::DOUBLE, '' FROM w
+          UNION ALL
+          SELECT {rname}.word, {rname}.pos + length(p.piece),
+                 {rname}.cost + p.cost, {rname}.path || '|' || p.piece
+          FROM {rname} JOIN {pieces} p
+            ON substr({rname}.word, {rname}.pos + 1, length(p.piece))
+               = p.piece
+          WHERE {rname}.pos < length({rname}.word)
+        ) SELECT * FROM {rname}
+      ) s
+    )"""
+
+
+@query(
+    "q145_unigram_train",
+    f"""
+    WITH w AS (
+      SELECT word, count(*)::BIGINT AS freq FROM (
+        SELECT unnest(string_split({_Q145_NORM}, ' ')) AS word
+        FROM documents
+      ) WHERE word <> '' AND length(word) <= 16
+      GROUP BY word
+    ),
+    seed AS (
+      SELECT piece, sum(freq)::BIGINT AS cnt FROM (
+        SELECT substr(w.word, s.s + 1, l.l) AS piece, w.freq
+        FROM w
+        CROSS JOIN LATERAL (SELECT unnest(range(0, length(w.word))) AS s) s
+        CROSS JOIN LATERAL (SELECT unnest(range(1, 5)) AS l) l
+        WHERE s.s + l.l <= length(w.word)
+      ) GROUP BY 1
+    ),
+    seed_top AS (
+      SELECT piece, cnt FROM seed ORDER BY cnt DESC, piece LIMIT 100000
+    ),
+    seed_kept AS (
+      SELECT DISTINCT piece, cnt FROM (
+        SELECT * FROM seed_top
+        UNION ALL SELECT piece, cnt FROM seed WHERE length(piece) = 1)
+    ),
+    p0 AS (
+      SELECT piece, round(-ln(cnt / t.tot), 6)::DOUBLE AS cost
+      FROM seed_kept, (SELECT sum(cnt)::DOUBLE AS tot FROM seed_kept) t
+    ),
+    {_q145_seg_cte('seg1', 'p0', 'r1')},
+    best1 AS (
+      SELECT word, path FROM (
+        SELECT word, path,
+               row_number() OVER (PARTITION BY word
+                                  ORDER BY cost, path) AS rn
+        FROM seg1 WHERE pos = length(word)
+      ) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT piece, sum(freq)::BIGINT AS cnt FROM (
+        SELECT unnest(string_split(substr(b.path, 2), '|')) AS piece,
+               w.freq
+        FROM best1 b JOIN w USING (word)
+      ) GROUP BY 1
+    ),
+    p1 AS (
+      SELECT piece, round(-ln(cnt / t.tot), 6)::DOUBLE AS cost
+      FROM c1, (SELECT sum(cnt)::DOUBLE AS tot FROM c1) t
+    ),
+    {_q145_seg_cte('seg2', 'p1', 'r2')},
+    best2 AS (
+      SELECT word, path FROM (
+        SELECT word, path,
+               row_number() OVER (PARTITION BY word
+                                  ORDER BY cost, path) AS rn
+        FROM seg2 WHERE pos = length(word)
+      ) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT piece, sum(freq)::BIGINT AS cnt FROM (
+        SELECT unnest(string_split(substr(b.path, 2), '|')) AS piece,
+               w.freq
+        FROM best2 b JOIN w USING (word)
+      ) GROUP BY 1
+    ),
+    topv AS (SELECT piece, cnt FROM c2 ORDER BY cnt DESC, piece LIMIT 24),
+    kept AS (
+      SELECT DISTINCT piece, cnt FROM (
+        SELECT * FROM topv
+        UNION ALL SELECT * FROM c2 WHERE length(piece) = 1)
+    )
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT)
+             AS rank,
+           piece, cnt AS count,
+           round(cnt / t.tot, 6) AS prob
+    FROM kept, (SELECT sum(cnt)::DOUBLE AS tot FROM kept) t
+    """,
+)
+def q145_unigram_train(spark, sf_dir):
+    """Unigram-LM tokenizer trainer (corpus.unigram_train — the
+    SentencePiece family, Kudo 2018, deterministic Viterbi-EM): seed
+    vocabulary = all substrings <= 4 chars over the distinct-word
+    frame (native HOF explode + TakeOrdered prune), two hard-EM
+    rounds (E-step: min-cost segmentation of each distinct word, ONE
+    Arrow UDF pass with the quantized piece-cost model in the
+    closure; M-step: one compact-key aggregate), prune to the top-24
+    pieces with single-char coverage always retained, renormalize.
+    Complements the BPE trainer (q109) — the two mainstream subword
+    tokenizer families. The oracle replays seed, BOTH EM rounds (each
+    E-step as a recursive enumerate-all-segmentations CTE + min over
+    (cost, path) — exactly the DP's tie-break, see
+    unigram_best_segmentation's docstring for why they agree), the
+    prune, and the renormalization; value-exact at sf0.001/0.01."""
+    from capex_data_pipeline_spark.extensions.corpus import unigram_train
+
+    return unigram_train(
+        _t(spark, sf_dir, "documents"),
+        vocab_size=24,
+        rounds=2,
+        max_piece_len=4,
+        max_word_len=16,
+        seed_size=100_000,
+    )

@@ -835,3 +835,143 @@ def test_bpe_train_feeds_encode_and_guards(spark):
     assert enc.bpe_text.split(" ").count("the") == 8
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train(df, n_merges=0)
+
+
+# ------------------------- unigram-LM (SentencePiece-style) training
+
+
+def _unigram_reference(texts, vocab_size=8, rounds=2, max_piece_len=4):
+    """Independent enumeration-based Viterbi-EM reference: NO dynamic
+    programming — every segmentation of every word is enumerated and
+    the min over (cost, '|'-joined path) picked, exactly mirroring the
+    q145 oracle's recursive CTE. Returns {piece: (count, prob)} plus
+    the rank order."""
+    import math
+    import re
+
+    words: dict = {}
+    for t in texts:
+        for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split():
+            if w and len(w) <= 16:
+                words[w] = words.get(w, 0) + 1
+
+    def all_segs(word, pieces):
+        if word == "":
+            return [(0.0, "")]
+        out = []
+        for plen in range(1, min(max_piece_len, len(word)) + 1):
+            head = word[:plen]
+            if head not in pieces:
+                continue
+            for c, p in all_segs(word[plen:], pieces):
+                out.append((pieces[head] + c, "|" + head + p))
+        return out
+
+    seed: dict = {}
+    for w, f in words.items():
+        for s in range(len(w)):
+            for l in range(1, max_piece_len + 1):
+                if s + l <= len(w):
+                    seed[w[s : s + l]] = seed.get(w[s : s + l], 0) + f
+    tot = sum(seed.values())
+    costs = {p: round(-math.log(c / tot), 6) for p, c in seed.items()}
+    counts = None
+    for _ in range(rounds):
+        counts = {}
+        for w, f in words.items():
+            _, path = min(all_segs(w, costs))
+            for piece in path[1:].split("|"):
+                counts[piece] = counts.get(piece, 0) + f
+        ctot = sum(counts.values())
+        costs = {p: round(-math.log(c / ctot), 6) for p, c in counts.items()}
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept = dict(ranked[:vocab_size])
+    kept.update({p: c for p, c in counts.items() if len(p) == 1})
+    ktot = sum(kept.values())
+    return {
+        p: (i + 1, c, round(c / ktot, 6))
+        for i, (p, c) in enumerate(
+            sorted(kept.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+
+
+def test_unigram_best_segmentation_picks_min_cost():
+    from capex_data_pipeline_spark.extensions.corpus import (
+        unigram_best_segmentation,
+    )
+
+    costs = {"a": 1.0, "b": 1.0, "ab": 1.5, "abc": 10.0, "c": 1.0}
+    # 'ab'+'c' (2.5) beats 'a'+'b'+'c' (3.0) and 'abc' (10.0)
+    assert unigram_best_segmentation("abc", costs) == "|ab|c"
+    # uncoverable word -> None
+    assert unigram_best_segmentation("xyz", costs) is None
+    assert unigram_best_segmentation("", costs) == ""
+
+
+def test_unigram_best_segmentation_tie_breaks_on_path_string():
+    from capex_data_pipeline_spark.extensions.corpus import (
+        unigram_best_segmentation,
+    )
+
+    # '|a|a' vs '|aa': equal cost 2.0; byte-compare picks '|aa'
+    # ('a' (0x61) < '|' (0x7c) at position 2)
+    costs = {"a": 1.0, "aa": 2.0}
+    assert unigram_best_segmentation("aa", costs) == "|aa"
+
+
+def test_unigram_train_differential_vs_enumeration_reference(spark):
+    from capex_data_pipeline_spark.extensions.corpus import unigram_train
+
+    texts = [
+        "spark spark sparkle parking sparse park",
+        "remark marker marking spark park parse",
+        "sparse sparkle remark marker spark!",
+    ] * 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["piece"]: (r["rank"], r["count"], r["prob"])
+        for r in unigram_train(docs, vocab_size=8, rounds=2).collect()
+    }
+    assert got == _unigram_reference(texts, vocab_size=8, rounds=2)
+
+
+def test_unigram_train_learns_repeated_subwords(spark):
+    from capex_data_pipeline_spark.extensions.corpus import unigram_train
+
+    docs = spark.createDataFrame(
+        [(i, "tokenization tokenizer tokenize untoken") for i in range(5)],
+        "doc_id long, text string",
+    )
+    pieces = {
+        r["piece"] for r in unigram_train(docs, vocab_size=6).collect()
+    }
+    assert "toke" in pieces  # the shared 4-gram dominates the model
+
+
+def test_unigram_train_single_char_coverage_survives_prune(spark):
+    from capex_data_pipeline_spark.extensions.corpus import unigram_train
+
+    # the rare word 'q' is covered only by its single-char piece;
+    # vocab_size=1 keeps just the dominant 'aaaa', but the coverage
+    # rule retains every single-char piece used by a best path
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aaaa aaaa q")], "doc_id long, text string"
+    )
+    rows = unigram_train(docs, vocab_size=1, rounds=1).collect()
+    pieces = {r["piece"] for r in rows}
+    assert pieces == {"aaaa", "q"}
+    # probabilities renormalize over the kept set
+    assert abs(sum(r["prob"] for r in rows) - 1.0) < 1e-4
+
+
+def test_unigram_train_guards(spark):
+    from capex_data_pipeline_spark.extensions.corpus import unigram_train
+
+    docs = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="rounds"):
+        unigram_train(docs, rounds=0)
+    with pytest.raises(ValueError, match="max_piece_len"):
+        unigram_train(docs, max_piece_len=0)
