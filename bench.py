@@ -512,6 +512,7 @@ def stress_graph() -> None:
 
     from capex_data_pipeline_spark.extensions.graph import (
         _undirected_degrees,
+        bfs_hops,
         connected_components,
         kcore_peel,
         triangle_counts,
@@ -602,9 +603,28 @@ def stress_graph() -> None:
         return {"components": comps, "expected": 1,
                 "exact": bool(comps == 1)}
 
+    def _bfs():
+        # closed form from the hub seed: hop 1 = the spoke set; hops
+        # 2 and 3 = the spokes' path-neighbors at distance 1 and 2
+        # (values mod 5 = ±1 / ±2 — disjoint from spokes and from
+        # each other, both in path range at the default N)
+        res = bfs_hops(edges, sources=[0], rounds=3, src_col="a",
+                       dst_col="b", assume_canonical=True)
+        hist = {
+            int(r["hops"]): int(r["cnt"])
+            for r in res.groupBy("hops")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        expected = {0: 1, 1: n_spokes, 2: 2 * n_spokes, 3: 2 * n_spokes}
+        return {"hops_histogram": {str(k): v for k, v in hist.items()},
+                "expected": {str(k): v for k, v in expected.items()},
+                "exact": bool(hist == expected)}
+
     timed("triangle_counts", _tri)
     timed("kcore_k3_fixpoint", _kcore)
     timed("cc_fixpoint", _cc)
+    timed("bfs_3hops_from_hub", _bfs)
     print(
         json.dumps(
             {

@@ -1140,6 +1140,7 @@ def remove_duplicated_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    protect_kept: bool = False,
 ) -> DataFrame:
     """The removal half of the Lee et al. span-dedup modality: keep
     exactly ONE occurrence of every duplicated span (the canonical
@@ -1159,7 +1160,13 @@ def remove_duplicated_spans(
     (eroding up to k-1 of its edge tokens). The engine and the q108
     oracle implement identical semantics here — the "keep exactly ONE
     occurrence" contract is exact for spans ≥ k tokens apart and
-    edge-approximate for near-adjacent ones. The
+    edge-approximate for near-adjacent ones. ``protect_kept=True``
+    opts into the STRONGER contract (the merge-overlapping-islands
+    semantics): every cut range is trimmed against the token ranges
+    of the SAME document's canonical (kept) spans, so a kept
+    occurrence always survives byte-intact — at the price of leaving
+    up to k-1 duplicated edge tokens per near-adjacent cut in the
+    text (the reverse trade of the default; pick per pipeline). The
     cleaned text is the normalized token stream minus cut spans —
     span dedup operates on normalized tokens by construction, so the
     output stays in that space (one more reason the normalization is
@@ -1191,11 +1198,14 @@ def remove_duplicated_spans(
     w = Window.partitionBy("_span_fp").orderBy(
         F.asc(id_col), F.asc("span_start")
     )
-    cuts = (
-        spans.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") > 1)  # every non-canonical occurrence
-        .groupBy(id_col)
-        .agg(
+    ranked = spans.withColumn("_rk", F.row_number().over(w))
+    if protect_kept:
+        # two consumers (cut list + keep list) of the expensive
+        # shingle-pass-derived frame — persist so it runs once
+        ranked = persisted(ranked)
+
+    def _ranges(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy(id_col).agg(
             F.array_sort(
                 F.collect_list(
                     F.struct(
@@ -1203,27 +1213,41 @@ def remove_duplicated_spans(
                         F.col("span_len").alias("l"),
                     )
                 )
-            ).alias("_cuts")
+            ).alias(name)
         )
-    )
+
+    cuts = _ranges(ranked.filter(F.col("_rk") > 1), "_cuts")
     words = F.filter(
         F.split(normalized_text(F.col(text_col)), " "),
         lambda s: s != "",
     )
     toks = docs.select(F.col(id_col), words.alias("_tk"))
-    cuts_or_empty = F.coalesce(
-        F.col("_cuts"),
-        F.array().cast("array<struct<s:bigint,l:bigint>>"),
-    )
-    kept = F.filter(
-        F.transform(
-            F.col("_tk"), lambda x, i: F.struct(x.alias("t"), i.alias("i"))
-        ),
-        lambda s: ~F.exists(
-            cuts_or_empty,
+
+    def _covered(ranges: Column, s: Column) -> Column:
+        return F.exists(
+            ranges,
             lambda c: (s["i"] >= c["s"]) & (s["i"] < c["s"] + c["l"]),
-        ),
+        )
+
+    _empty_ranges = F.array().cast("array<struct<s:bigint,l:bigint>>")
+    cuts_or_empty = F.coalesce(F.col("_cuts"), _empty_ranges)
+    indexed = F.transform(
+        F.col("_tk"), lambda x, i: F.struct(x.alias("t"), i.alias("i"))
     )
+    if protect_kept:
+        keeps_or_empty = F.coalesce(F.col("_keeps"), _empty_ranges)
+        kept = F.filter(
+            indexed,
+            lambda s: ~_covered(cuts_or_empty, s)
+            | _covered(keeps_or_empty, s),
+        )
+        toks = toks.join(
+            _ranges(ranked.filter(F.col("_rk") == 1), "_keeps"),
+            id_col,
+            "left",
+        )
+    else:
+        kept = F.filter(indexed, lambda s: ~_covered(cuts_or_empty, s))
     return (
         toks.join(cuts, id_col, "left")
         .select(

@@ -1428,3 +1428,71 @@ def test_repeated_spans_within_doc(spark):
     assert not any(d == 2 for d, *_ in got)
     with pytest.raises(ValueError, match="min_occurrences=1"):
         repeated_spans(df, k=3, min_occurrences=1)
+
+
+def test_remove_duplicated_spans_protect_kept_keeps_occurrence_intact(spark):
+    """Near-adjacent islands (start gap < k) overlap in token ranges:
+    by default, cutting a non-canonical span erodes up to k-1 edge
+    tokens of a kept canonical occurrence in the same doc;
+    protect_kept=True trims cuts against the doc's kept spans so the
+    canonical occurrence survives intact."""
+    from capex_data_pipeline_spark.extensions.dedup import (
+        remove_duplicated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # doc 1: island "alpha beta gamma" [0,3) is CANONICAL
+            # (lowest (doc,start) among its occurrences) and island
+            # "gamma delta epsilon" [2,5) is NON-canonical (doc 0
+            # holds it earlier) — the two share token 2 ('gamma')
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma pad1 pad2"),
+            (0, "zpad gamma delta epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    default = {
+        r["doc_id"]: (r["cleaned_text"], r["n_removed_tokens"])
+        for r in remove_duplicated_spans(df, k=3).collect()
+    }
+    # default semantics: the cut [2,5) erodes the kept span's 'gamma'
+    assert default[1] == ("alpha beta", 3)
+    assert default[2] == ("pad1 pad2", 3)
+    assert default[0] == ("zpad gamma delta epsilon", 0)
+
+    protected = {
+        r["doc_id"]: (r["cleaned_text"], r["n_removed_tokens"])
+        for r in remove_duplicated_spans(df, k=3, protect_kept=True).collect()
+    }
+    # stronger contract: the canonical occurrence survives byte-intact
+    assert protected[1] == ("alpha beta gamma", 2)
+    assert protected[2] == ("pad1 pad2", 3)  # no kept span in doc 2
+    assert protected[0] == ("zpad gamma delta epsilon", 0)
+
+
+def test_remove_duplicated_spans_protect_kept_noop_when_disjoint(spark):
+    """When islands are >= k starts apart (no token-range overlap),
+    protect_kept changes nothing — both modes implement the same
+    exact contract."""
+    from capex_data_pipeline_spark.extensions.dedup import (
+        remove_duplicated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four mid1 mid2 mid3 five six seven eight"),
+            (2, "one two three four tail1 tail2 tail3 tail4"),
+            (3, "head1 head2 five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        (r["doc_id"], r["cleaned_text"], r["n_removed_tokens"])
+        for r in remove_duplicated_spans(df, k=3).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["cleaned_text"], r["n_removed_tokens"])
+        for r in remove_duplicated_spans(df, k=3, protect_kept=True).collect()
+    )
+    assert a == b
