@@ -112,6 +112,7 @@ def tracked_count() -> int:
 #: staging paths written by plan_boundary(mode='staging'), for
 #: clear_staging() best-effort local cleanup
 _STAGED_PATHS: list[str] = []
+_STAGED_TABLES: list[str] = []
 
 
 def plan_boundary(
@@ -121,6 +122,8 @@ def plan_boundary(
     staging_dir: str | None = None,
     eager: bool = False,
     label: str = "boundary",
+    bucket_by: "list[str] | None" = None,
+    n_buckets: int = 32,
 ) -> DataFrame:
     """Cut the logical plan: return a DataFrame with ``df``'s data but
     a trivial producing plan, so downstream consumers stop re-walking
@@ -144,9 +147,25 @@ def plan_boundary(
     ``mode=None`` resolves from ``$SPARK_GRAFT_BOUNDARY`` (default
     ``'local'``) so a cluster deployment can flip every internal
     boundary to staging without touching call sites.
+
+    ``bucket_by`` (staging mode only): write the staged frame as a
+    BUCKETED table on the given key (``sources.bucketed`` machinery,
+    per-bucket sorted on the same key) instead of plain parquet. The
+    read-back scan then reports hash partitioning on that key, so an
+    iterative operator's round-over-round self-joins and aggregates
+    on the key run with ZERO Exchange after the boundary — the
+    boundary pays the one shuffle the later rounds would each have
+    paid (pinned in tests/test_bucketed.py). Size ``n_buckets`` like
+    shuffle partitions: one bucket of the frame per executor-memory
+    unit at target scale.
     """
     mode = mode or os.environ.get("SPARK_GRAFT_BOUNDARY", "local")
     if mode == "local":
+        if bucket_by:
+            raise ValueError(
+                "plan_boundary: bucket_by requires mode='staging' "
+                "(localCheckpoint blocks carry no bucketing metadata)"
+            )
         return df.localCheckpoint(eager=eager)
     if mode != "staging":
         raise ValueError(
@@ -159,7 +178,25 @@ def plan_boundary(
             "$SPARK_GRAFT_STAGING_DIR (a shared filesystem path on "
             "real clusters)"
         )
-    path = staging_dir.rstrip("/") + f"/{label}-{uuid.uuid4().hex}"
+    suffix = uuid.uuid4().hex
+    path = staging_dir.rstrip("/") + f"/{label}-{suffix}"
+    if bucket_by:
+        from capex_data_pipeline_spark.sources.bucketed import write_bucketed
+
+        table = f"staging_{label}_{suffix}"
+        write_bucketed(
+            df,
+            table,
+            bucket_cols=list(bucket_by),
+            n_buckets=n_buckets,
+            sort_cols=list(bucket_by),
+            path=path,
+            mode="error",
+        )
+        with _LOCK:
+            _STAGED_PATHS.append(path)
+            _STAGED_TABLES.append(table)
+        return df.sparkSession.table(table)
     df.write.mode("error").parquet(path)
     with _LOCK:
         _STAGED_PATHS.append(path)
@@ -168,13 +205,26 @@ def plan_boundary(
 
 def clear_staging() -> int:
     """Best-effort removal of local staging paths written by
-    :func:`plan_boundary` (returns how many were deleted). Paths on
-    non-local filesystems are left to external lifecycle rules — the
-    list is simply dropped."""
+    :func:`plan_boundary` (returns how many were deleted), plus
+    dropping any bucketed staging tables it registered in the session
+    catalog (external tables — the data files are covered by the path
+    removal). Paths on non-local filesystems are left to external
+    lifecycle rules — the list is simply dropped."""
     import shutil
 
     with _LOCK:
         paths, _STAGED_PATHS[:] = list(_STAGED_PATHS), []
+        tables, _STAGED_TABLES[:] = list(_STAGED_TABLES), []
+    if tables:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            for t in tables:
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+                except Exception:  # noqa: BLE001 - cleanup is best-effort
+                    pass
     n = 0
     for p in paths:
         try:
