@@ -188,6 +188,8 @@ HEADLINE = [
     "q144_image_neardup",
     # round-8: two Viterbi-EM rounds over the distinct-word vocab frame
     "q145_unigram_train",
+    # round-8: the trained model applied corpus-wide (vocab-frame decode)
+    "q146_unigram_encode",
 ]
 
 

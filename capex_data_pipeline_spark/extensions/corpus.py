@@ -2259,3 +2259,81 @@ def unigram_train(
             F.round(F.col("cnt") / F.col("_tot"), decimals).alias("prob"),
         )
     )
+
+
+def unigram_encode(
+    corpus: DataFrame,
+    pieces: "dict[str, float]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: "int | None" = None,
+    unk: str = "<unk>",
+) -> DataFrame:
+    """Apply a trained unigram-LM piece model to encode documents —
+    the application step beside :func:`unigram_train`, mirroring the
+    BPE pair (:func:`bpe_train` / :func:`bpe_encode`). ``pieces``
+    maps piece -> cost (-ln probability, quantized — exactly the
+    model :func:`unigram_train`'s output induces via
+    ``round(-ln(prob), decimals)``); each word encodes to its
+    min-cost (max-likelihood) segmentation under the model
+    (:func:`unigram_best_segmentation` — Viterbi decode, the
+    SentencePiece inference algorithm). Words the model cannot cover
+    (a character outside the kept single-char set — impossible for
+    the training corpus itself, possible for unseen text) encode to
+    the single ``unk`` piece.
+
+    Scale shape — identical to :func:`bpe_encode`'s vocab-frame
+    trick: the corpus builds one positional word frame + one distinct
+    vocabulary; the Viterbi DP runs in ONE Arrow-batched pandas UDF
+    over the VOCAB frame with the model in the closure; encodings
+    join back on the compact word key; per-doc assembly is one hash
+    aggregate with an in-group sort.
+
+    Returns (id_col, n_pieces, piece_text) — piece_text is the
+    space-joined piece stream in word order; empty/NULL docs yield
+    (0, '').
+    """
+    if not pieces:
+        raise ValueError("unigram_encode: pieces must be non-empty")
+    model = dict(pieces)
+    mplen = max_piece_len or max(len(p) for p in model)
+
+    @F.pandas_udf("array<string>")
+    def _encode(words):  # pd.Series -> pd.Series (hints omitted: local scope)
+        def seg(w):
+            path = unigram_best_segmentation(w, model, mplen)
+            return path[1:].split("|") if path else [unk]
+
+        return words.map(seg)
+
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    toks = corpus.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode_outer(
+            F.filter(
+                F.split(normalized_text(F.col(text_col)), " "),
+                lambda s: s != "",
+            )
+        ).alias("_pos", "_w"),
+    )
+    vocab = (
+        toks.filter(F.col("_w").isNotNull())
+        .select("_w")
+        .distinct()
+        .select("_w", _encode(F.col("_w")).alias("_enc"))
+    )
+    entry = F.when(
+        F.col("_w").isNotNull(), F.struct(F.col("_pos"), F.col("_enc"))
+    )
+    flat = F.flatten(F.transform(F.col("_ordered"), lambda x: x["_enc"]))
+    return (
+        toks.join(vocab, "_w", "left")
+        .groupBy("_doc")
+        .agg(F.array_sort(F.collect_list(entry)).alias("_ordered"))
+        .select(
+            F.col("_doc").alias(id_col),
+            F.size(flat).cast("long").alias("n_pieces"),
+            F.array_join(flat, " ").alias("piece_text"),
+        )
+    )

@@ -1208,10 +1208,11 @@ def _q145_seg_cte(name: str, pieces: str, rname: str) -> str:
     )"""
 
 
-@query(
-    "q145_unigram_train",
-    f"""
-    WITH w AS (
+#: the q145 training chain (CTEs w -> seed -> p0 -> EM rounds -> kept),
+#: shared verbatim by the q146 encode oracle so the two queries replay
+#: the SAME model
+_Q145_CHAIN = f"""
+w AS (
       SELECT word, count(*)::BIGINT AS freq FROM (
         SELECT unnest(string_split({_Q145_NORM}, ' ')) AS word
         FROM documents
@@ -1281,6 +1282,13 @@ def _q145_seg_cte(name: str, pieces: str, rname: str) -> str:
         SELECT * FROM topv
         UNION ALL SELECT * FROM c2 WHERE length(piece) = 1)
     )
+"""
+
+
+@query(
+    "q145_unigram_train",
+    f"""
+    WITH {_Q145_CHAIN}
     SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT)
              AS rank,
            piece, cnt AS count,
@@ -1313,3 +1321,100 @@ def q145_unigram_train(spark, sf_dir):
         max_word_len=16,
         seed_size=100_000,
     )
+
+
+# ---------------- q146: unigram-LM encode (apply the trained model)
+
+
+@query(
+    "q146_unigram_encode",
+    f"""
+    WITH {_Q145_CHAIN},
+    model AS (
+      SELECT piece, round(-ln(round(cnt / t.tot, 6)), 6)::DOUBLE AS cost
+      FROM kept, (SELECT sum(cnt)::DOUBLE AS tot FROM kept) t
+    ),
+    toks AS (
+      SELECT doc_id, string_split({_Q145_NORM}, ' ') AS ws FROM documents
+    ),
+    dwords AS (
+      SELECT doc_id, pos, ws[pos] AS word
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos
+            FROM toks)
+      WHERE ws[pos] <> ''
+    ),
+    ew AS (SELECT DISTINCT word FROM dwords),
+    seg3 AS (
+      SELECT * FROM (
+        WITH RECURSIVE r3(word, pos, cost, path) AS (
+          SELECT word, 0, 0.0::DOUBLE, '' FROM ew
+          UNION ALL
+          SELECT r3.word, r3.pos + length(p.piece),
+                 r3.cost + p.cost, r3.path || '|' || p.piece
+          FROM r3 JOIN model p
+            ON substr(r3.word, r3.pos + 1, length(p.piece)) = p.piece
+          WHERE r3.pos < length(r3.word)
+        ) SELECT * FROM r3
+      ) s
+    ),
+    best3 AS (
+      SELECT word, path FROM (
+        SELECT word, path,
+               row_number() OVER (PARTITION BY word
+                                  ORDER BY cost, path) AS rn
+        FROM seg3 WHERE pos = length(word)
+      ) WHERE rn = 1
+    ),
+    encw AS (
+      SELECT d.doc_id, d.pos,
+             coalesce(replace(substr(b.path, 2), '|', ' '), '<unk>')
+               AS ptxt,
+             CAST(coalesce(len(string_split(substr(b.path, 2), '|')), 1)
+                  AS BIGINT) AS n
+      FROM dwords d LEFT JOIN best3 b USING (word)
+    ),
+    agg AS (
+      SELECT doc_id, sum(n)::BIGINT AS n,
+             string_agg(ptxt, ' ' ORDER BY pos) AS t
+      FROM encw GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_pieces,
+           coalesce(a.t, '') AS piece_text
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q146_unigram_encode(spark, sf_dir):
+    """Unigram-LM encode (corpus.unigram_encode): Viterbi-decode every
+    document's token stream under the q145-trained piece model — the
+    application step that completes the unigram tokenizer family,
+    mirroring BPE's q109 (train) / q107 (encode) pair. The model is
+    the q145 output re-expressed as costs (round(-ln(prob), 6) —
+    quantized doubles both engines fold identically); the per-word
+    Viterbi DP runs in ONE Arrow UDF over the distinct-word vocab
+    (bpe_encode's economics), encodings join back on the compact word
+    key, per-doc assembly is one hash aggregate. Words the model
+    can't cover encode to '<unk>' (none in the self-corpus —
+    single-char coverage — but the oracle's LEFT join + coalesce
+    replays the rule). The oracle shares the q145 training chain
+    VERBATIM (_Q145_CHAIN) then replays decode + assembly."""
+    import math
+
+    from capex_data_pipeline_spark.extensions.corpus import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model_rows = unigram_train(
+        docs,
+        vocab_size=24,
+        rounds=2,
+        max_piece_len=4,
+        max_word_len=16,
+        seed_size=100_000,
+    ).collect()
+    costs = {
+        r["piece"]: round(-math.log(r["prob"]), 6) for r in model_rows
+    }
+    return unigram_encode(docs, costs, max_piece_len=4)

@@ -975,3 +975,48 @@ def test_unigram_train_guards(spark):
         unigram_train(docs, rounds=0)
     with pytest.raises(ValueError, match="max_piece_len"):
         unigram_train(docs, max_piece_len=0)
+
+
+def test_unigram_encode_roundtrip_with_trained_model(spark):
+    """Encoding the training corpus under its own trained model covers
+    every word (single-char coverage -> no '<unk>') and reassembles in
+    word order."""
+    import math
+
+    from capex_data_pipeline_spark.extensions.corpus import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "tokenize tokenizer"), (1, "tokenize again"), (2, None)],
+        "doc_id long, text string",
+    )
+    model = {
+        r["piece"]: round(-math.log(r["prob"]), 6)
+        for r in unigram_train(docs, vocab_size=8, rounds=2).collect()
+    }
+    out = {
+        r["doc_id"]: (r["n_pieces"], r["piece_text"])
+        for r in unigram_encode(docs, model).collect()
+    }
+    assert out[2] == (0, "")  # NULL doc
+    for n, txt in (out[0], out[1]):
+        assert n >= 2 and "<unk>" not in txt
+        # pieces re-concatenate to the normalized text
+    assert out[0][1].replace(" ", "") == "tokenizetokenizer"
+    assert out[1][1].replace(" ", "") == "tokenizeagain"
+
+
+def test_unigram_encode_unk_fallback_and_guard(spark):
+    from capex_data_pipeline_spark.extensions.corpus import unigram_encode
+
+    docs = spark.createDataFrame(
+        [(0, "ab zz")], "doc_id long, text string"
+    )
+    out = unigram_encode(docs, {"a": 1.0, "b": 1.0}).collect()[0]
+    # 'ab' -> a b; 'zz' uncoverable -> single '<unk>' piece
+    assert out["piece_text"] == "a b <unk>"
+    assert out["n_pieces"] == 3
+    with pytest.raises(ValueError, match="non-empty"):
+        unigram_encode(docs, {})
