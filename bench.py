@@ -190,6 +190,8 @@ HEADLINE = [
     "q145_unigram_train",
     # round-8: the trained model applied corpus-wide (vocab-frame decode)
     "q146_unigram_encode",
+    # round-8: IVF-vs-brute recall eval (two rankers + eval-sized joins)
+    "q147_ann_recall",
 ]
 
 

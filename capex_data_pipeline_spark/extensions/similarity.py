@@ -983,3 +983,56 @@ def rrf_fuse(
     return fused.withColumn("fused_rank", F.row_number().over(w)).filter(
         F.col("fused_rank") <= topk
     )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against the
+    exact baseline — the eval loop every production ANN deployment
+    runs beside its index (tune nprobe/bands until recall holds, then
+    monitor for drift as the corpus grows). Both inputs use the
+    engine's ranking contract (query_col, id_col, rank) —
+    :func:`cosine_topk` / :func:`ivf_query` / :func:`srp_lsh_topk` /
+    :func:`pq_ann_topk` outputs plug in directly.
+
+    recall = |approx∩exact| / |exact| over each side's rank <= k rows
+    (the denominator is the EXACT list's size, which can be < k for
+    tiny corpora — self-matches excluded upstream). Queries missing
+    from ``approx`` entirely (e.g. probing only empty cells) still
+    report a row with recall 0.0 — silent query dropout is the
+    failure mode an eval must surface, so the query universe comes
+    from ``exact``.
+
+    Scale shape: both inputs are top-k frames (queries × k rows —
+    eval-sized, not corpus-sized); one left-semi-style join on the
+    compact (query, neighbor) key and one per-query aggregate.
+    Returns (query_col, n_exact, n_hits, recall).
+    """
+    a = approx.filter(F.col("rank") <= k).select(
+        F.col(query_col).alias("_q"), F.col(id_col).alias("_n")
+    )
+    e = exact.filter(F.col("rank") <= k).select(
+        F.col(query_col).alias("_q"), F.col(id_col).alias("_n")
+    )
+    hits = e.join(a, ["_q", "_n"], "left_semi")
+    per_exact = e.groupBy("_q").agg(F.count(F.lit(1)).alias("n_exact"))
+    per_hit = hits.groupBy("_q").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        per_exact.join(per_hit, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.col("n_exact"),
+                decimals,
+            ).alias("recall"),
+        )
+    )

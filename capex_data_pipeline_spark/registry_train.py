@@ -1026,10 +1026,11 @@ _Q143_COS = (
 )
 
 
-@query(
-    "q143_ivf_sqrt",
-    f"""
-    WITH nc AS (
+#: the q143 IVF chain (sqrt sizing -> centers -> assignment ->
+#: probes -> exact re-rank "scored"), shared by the q147 recall
+#: oracle so eval and index replay the SAME approximation
+_Q143_CHAIN = f"""
+nc AS (
       SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS n
       FROM embeddings
     ), ctr AS (
@@ -1066,6 +1067,13 @@ _Q143_COS = (
       JOIN embeddings eq ON eq.vec_id = query_id
       JOIN embeddings en ON en.vec_id = neighbor_id
     )
+"""
+
+
+@query(
+    "q143_ivf_sqrt",
+    f"""
+    WITH {_Q143_CHAIN}
     SELECT query_id, neighbor_id, cosine, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id ASC)
@@ -1418,3 +1426,74 @@ def q146_unigram_encode(spark, sf_dir):
         r["piece"]: round(-math.log(r["prob"]), 6) for r in model_rows
     }
     return unigram_encode(docs, costs, max_piece_len=4)
+
+
+# ----------------- q147: ANN recall@k evaluation (IVF vs brute force)
+
+
+@query(
+    "q147_ann_recall",
+    f"""
+    WITH {_Q143_CHAIN},
+    ivfr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round({_Q143_COS.format(a='q.embedding', b='e.embedding')},
+                       4) DESC, e.vec_id ASC) AS rank
+        FROM embeddings e,
+             (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+        WHERE e.vec_id <> q.vec_id
+      ) WHERE rank <= 10
+    ),
+    hits AS (
+      SELECT b.query_id, count(*)::BIGINT AS n_hits
+      FROM brute b JOIN ivfr i USING (query_id, neighbor_id)
+      GROUP BY 1
+    ),
+    pe AS (
+      SELECT query_id, count(*)::BIGINT AS n_exact FROM brute GROUP BY 1
+    )
+    SELECT pe.query_id, pe.n_exact,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / pe.n_exact, 6) AS recall
+    FROM pe LEFT JOIN hits h USING (query_id)
+    """,
+)
+def q147_ann_recall(spark, sf_dir):
+    """ANN recall@10 evaluation (similarity.ann_recall): the q143
+    sqrt(N)-IVF result scored per-query against the exact brute-force
+    baseline — the eval loop a production ANN deployment runs beside
+    its index (tune nprobe until recall holds, monitor for drift as
+    the corpus grows). Queries the index drops entirely still report
+    recall 0.0 (the query universe comes from the exact side — silent
+    dropout is the failure mode an eval must surface). Both inputs
+    are top-k frames, so everything here is eval-sized: one semi-join
+    on the compact (query, neighbor) key + two per-query aggregates.
+    The oracle replays the ENTIRE IVF approximation (shared
+    _Q143_CHAIN), the brute ranking, and the recall arithmetic —
+    value-exact, so the reported recall is provably the truth, not a
+    self-graded number."""
+    from capex_data_pipeline_spark.extensions.similarity import (
+        ann_recall,
+        cosine_topk,
+        ivf_build,
+        ivf_query,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    assigned, centers = ivf_build(
+        emb, centers_mode="sample", assign="arrow", materialize=False
+    )
+    approx = ivf_query(assigned, centers, queries, k=10, nprobe=8)
+    return ann_recall(approx, cosine_topk(emb, queries, k=10), k=10)

@@ -1687,3 +1687,66 @@ def test_ivf_invalid_modes_raise(spark):
     with pytest.raises(ValueError, match="probe"):
         ivf_query(assigned, centers, vecs.limit(1), probe="bogus")
     assigned.unpersist()
+
+
+def test_ann_recall_exact_and_dropout(spark):
+    """recall arithmetic: full overlap -> 1.0; partial -> hits/n_exact;
+    a query absent from the approx side still reports 0.0."""
+    from capex_data_pipeline_spark.extensions.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2),
+         (3, 30, 1)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 99, 3),   # 2 of 3
+         (2, 20, 1), (2, 21, 2)],              # 2 of 2; query 3 dropped
+        "query_id long, neighbor_id long, rank int",
+    )
+    got = {
+        r["query_id"]: (r["n_exact"], r["n_hits"], r["recall"])
+        for r in ann_recall(approx, exact, k=10).collect()
+    }
+    assert got == {
+        1: (3, 2, round(2 / 3, 6)),
+        2: (2, 2, 1.0),
+        3: (1, 0, 0.0),
+    }
+
+
+def test_ann_recall_respects_k_cutoff(spark):
+    """Rows beyond rank k on either side are ignored."""
+    from capex_data_pipeline_spark.extensions.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 12, 1), (1, 10, 2), (1, 11, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    got = ann_recall(approx, exact, k=2).collect()[0]
+    # exact@2 = {10, 11}; approx@2 = {12, 10} -> 1 hit of 2
+    assert (got["n_exact"], got["n_hits"], got["recall"]) == (2, 1, 0.5)
+
+
+def test_ann_recall_ivf_full_probe_is_perfect(spark):
+    """nprobe == n_cells makes IVF exhaustive -> recall 1.0 everywhere
+    (the end-to-end identity the q147 eval is built on)."""
+    from capex_data_pipeline_spark.extensions.similarity import (
+        ann_recall,
+        cosine_topk,
+        ivf_build,
+        ivf_query,
+    )
+
+    vecs = _vecs_df(spark, _rand_vecs(200, seed=13))
+    queries = vecs.filter(F.col("vec_id") < 3)
+    assigned, centers = ivf_build(vecs, n_cells=8, materialize=False)
+    approx = ivf_query(assigned, centers, queries, k=5, nprobe=8)
+    res = ann_recall(approx, cosine_topk(vecs, queries, k=5), k=5).collect()
+    assert all(r["recall"] == 1.0 for r in res)
+    assigned.unpersist()
