@@ -192,6 +192,8 @@ HEADLINE = [
     "q146_unigram_encode",
     # round-8: IVF-vs-brute recall eval (two rankers + eval-sized joins)
     "q147_ann_recall",
+    # round-8: perceptual pairs closed into clusters (CC + keeper window)
+    "q148_image_clusters",
 ]
 
 

@@ -1117,10 +1117,11 @@ def q143_ivf_sqrt(spark, sf_dir):
 # ------------- q144: perceptual-hash image near-dup (multimodal dedup)
 
 
-@query(
-    "q144_image_neardup",
-    """
-    WITH g AS (
+#: the q144 perceptual-hash chain (char-grid -> 60-bit dHash ->
+#: pigeonhole segments -> candidate pairs with hamming), shared by
+#: the q148 clustering oracle
+_Q144_CHAIN = """
+g AS (
       SELECT doc_id,
              list_transform(range(0, 72), i ->
                CASE WHEN length(text) > i
@@ -1147,6 +1148,13 @@ def q143_ivf_sqrt(spark, sf_dir):
         ON a.seg_i = b.seg_i AND a.seg_v = b.seg_v
            AND a.doc_id < b.doc_id
     )
+"""
+
+
+@query(
+    "q144_image_neardup",
+    f"""
+    WITH {_Q144_CHAIN}
     SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
     """,
 )
@@ -1497,3 +1505,70 @@ def q147_ann_recall(spark, sf_dir):
     )
     approx = ivf_query(assigned, centers, queries, k=10, nprobe=8)
     return ann_recall(approx, cosine_topk(emb, queries, k=10), k=10)
+
+
+# ------------ q148: image near-dup clustering + canonical election
+
+
+@query(
+    "q148_image_clusters",
+    f"""
+    WITH RECURSIVE {_Q144_CHAIN},
+    pairs AS (
+      SELECT id_a, id_b FROM cand WHERE hamming <= 3
+    ),
+    e2 AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM e2
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN e2 e ON r.v = e.u
+    ),
+    lbl AS (
+      SELECT u AS media_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ),
+    allc AS (
+      SELECT d.doc_id AS media_id,
+             coalesce(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN lbl l ON l.media_id = d.doc_id
+    )
+    SELECT media_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           media_id = cluster_id AS is_keeper
+    FROM allc
+    """,
+)
+def q148_image_clusters(spark, sf_dir):
+    """Image near-dup CLUSTERING — q144's perceptual-hash pairs closed
+    into connected components with a canonical keeper per cluster
+    (dedup.dedup_clusters: min-label propagation, O(diameter) rounds
+    of compact (id, label) join+agg, plan boundary per round) — the
+    same pairs->clusters->keeper completion the text families have
+    (q38/q133), now for the multimodal column: a~b and b~c collapse
+    to ONE cluster so near-dup image groups delete all-but-one, never
+    over- or under-delete. Singletons appear via the corpus id frame.
+    The oracle shares q144's hash chain verbatim (_Q144_CHAIN) and
+    closes the graph with transitive reachability -> min reachable
+    id, exactly the q38 pattern."""
+    from capex_data_pipeline_spark.extensions.dedup import dedup_clusters
+    from capex_data_pipeline_spark.extensions.multimodal import (
+        char_grid_pixelizer,
+        documents_as_media,
+        image_near_dups,
+    )
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    pairs = image_near_dups(
+        media,
+        pixelizer=char_grid_pixelizer,
+        kind="dhash",
+        n_bits=60,
+        max_hamming=3,
+    )
+    return dedup_clusters(
+        pairs, corpus=media.select("media_id"), id_col="media_id"
+    )

@@ -1020,3 +1020,39 @@ def test_unigram_encode_unk_fallback_and_guard(spark):
     assert out["n_pieces"] == 3
     with pytest.raises(ValueError, match="non-empty"):
         unigram_encode(docs, {})
+
+
+def test_unigram_segmentation_properties_hypothesis():
+    """Property check over random words and random piece models: the
+    DP's path always reconstructs the word exactly, never costs more
+    than the all-single-chars fallback, and is deterministic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from capex_data_pipeline_spark.extensions.corpus import (
+        unigram_best_segmentation,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        word=st.text(alphabet="abcd", min_size=1, max_size=12),
+        extra=st.dictionaries(
+            st.text(alphabet="abcd", min_size=2, max_size=4),
+            st.floats(0.1, 10.0, allow_nan=False),
+            max_size=8,
+        ),
+        char_cost=st.floats(0.5, 5.0, allow_nan=False),
+    )
+    def check(word, extra, char_cost):
+        costs = {c: char_cost for c in "abcd"}
+        costs.update(extra)
+        path = unigram_best_segmentation(word, costs, max_piece_len=4)
+        assert path is not None
+        pieces = path[1:].split("|")
+        assert "".join(pieces) == word  # reconstruction
+        total = sum(costs[p] for p in pieces)
+        fallback = sum(costs[c] for c in word)
+        assert total <= fallback + 1e-9  # never worse than single chars
+        assert path == unigram_best_segmentation(word, costs, 4)
+
+    check()

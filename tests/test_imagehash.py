@@ -234,3 +234,24 @@ def test_char_grid_q144_shape_matches_text_dups(spark):
         ).collect()
     }
     assert got == {(1, 2, 0)}
+
+
+def test_image_cluster_composition(spark):
+    """Pairs -> connected components -> canonical keeper, over media:
+    the two scaled copies cluster together with the lower id as
+    keeper; the distinct image is a singleton."""
+    from capex_data_pipeline_spark.extensions.dedup import dedup_clusters
+
+    media = _bmp_media_df(spark)
+    pairs = image_near_dups(media, max_hamming=3)
+    got = {
+        r["media_id"]: (r["cluster_id"], r["cluster_size"], r["is_keeper"])
+        for r in dedup_clusters(
+            pairs, corpus=media.select("media_id"), id_col="media_id"
+        ).collect()
+    }
+    assert got == {
+        1: (1, 2, True),
+        2: (1, 2, False),
+        3: (3, 1, True),
+    }
