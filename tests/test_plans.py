@@ -594,11 +594,16 @@ def test_doc_query_counts_match_registry():
         r"\ball\s+(\d{2,})\b|\b(\d{2,})\s+registered quer", re.I
     )
     for doc in ("README.md", "COVERAGE.md"):
-        text = pathlib.Path("/root/repo", doc).read_text()
-        for i, line in enumerate(text.splitlines(), 1):
-            for m in claim.finditer(line):
-                num = int(m.group(1) or m.group(2))
-                if num >= 50:
-                    assert num == n, (
-                        f"{doc}:{i} claims {num} queries; registry has {n}"
-                    )
+        # normalize whitespace FIRST: a line-wrapped "(all\n143" must
+        # not evade the lint (it did once — this is the fix's pin)
+        text = " ".join(
+            pathlib.Path("/root/repo", doc).read_text().split()
+        )
+        for m in claim.finditer(text):
+            num = int(m.group(1) or m.group(2))
+            if num >= 50:
+                assert num == n, (
+                    f"{doc} claims {num} queries near "
+                    f"{text[max(0, m.start() - 40):m.end() + 20]!r}; "
+                    f"registry has {n}"
+                )
