@@ -2218,7 +2218,7 @@ def unigram_train(
     costs = _costs(seed.collect())
 
     counts = None
-    for _ in range(rounds):
+    for rnd in range(rounds):
         model, mplen = dict(costs), max_piece_len
 
         @F.pandas_udf("string")
@@ -2238,6 +2238,11 @@ def unigram_train(
             .groupBy("piece")
             .agg(F.sum("freq").alias("cnt"))
         )
+        if rnd == rounds - 1:
+            # the final counts frame feeds the collect AND the three
+            # prune consumers (top / singles / total) — persist so the
+            # last E-step UDF pass runs once, not four times
+            counts = persisted(counts)
         costs = _costs(counts.collect())
 
     # --- prune: top vocab_size by (count desc, piece asc), single
