@@ -194,6 +194,8 @@ HEADLINE = [
     "q147_ann_recall",
     # round-8: perceptual pairs closed into clusters (CC + keeper window)
     "q148_image_clusters",
+    # round-8: Morton key = 1-row stats broadcast + map-only bit math
+    "q149_zorder_key",
 ]
 
 

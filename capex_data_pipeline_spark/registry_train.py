@@ -1572,3 +1572,57 @@ def q148_image_clusters(spark, sf_dir):
     return dedup_clusters(
         pairs, corpus=media.select("media_id"), id_col="media_id"
     )
+
+
+# ----------------- q149: Z-order (Morton) clustering key for layout
+
+
+@query(
+    "q149_zorder_key",
+    """
+    WITH st AS (
+      SELECT min(o_totalprice::DOUBLE) AS minp, max(o_totalprice::DOUBLE) AS maxp,
+             min(o_custkey::DOUBLE) AS minc, max(o_custkey::DOUBLE) AS maxc
+      FROM orders
+    ),
+    sc AS (
+      SELECT o.o_orderkey,
+             greatest(0, least(CAST(floor(
+               (o.o_totalprice::DOUBLE - st.minp)
+               / (CASE WHEN st.maxp > st.minp THEN st.maxp - st.minp
+                       ELSE 1.0 END) * 255.0) AS BIGINT), 255)) AS xi,
+             greatest(0, least(CAST(floor(
+               (o.o_custkey::DOUBLE - st.minc)
+               / (CASE WHEN st.maxc > st.minc THEN st.maxc - st.minc
+                       ELSE 1.0 END) * 255.0) AS BIGINT), 255)) AS yi
+      FROM orders o, st
+    )
+    SELECT o_orderkey,
+           CAST(list_sum(list_transform(range(0, 8), b ->
+             (((xi >> CAST(b AS INTEGER)) & 1)
+                << CAST(b * 2 AS INTEGER))
+             + (((yi >> CAST(b AS INTEGER)) & 1)
+                << CAST(b * 2 + 1 AS INTEGER)))) AS BIGINT) AS zvalue
+    FROM sc
+    """,
+)
+def q149_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key (layout.zorder_values — the
+    public Delta OPTIMIZE ZORDER BY idea): each column min-max-scales
+    to an 8-bit integer grid (ONE stats aggregate broadcast as a
+    1-row frame — the q105 histogram pattern) and the bits interleave
+    into a single BIGINT sort key, so range-partitioning on it keeps
+    files rectangular in BOTH dimensions and min/max file stats prune
+    on EITHER column's predicate — the layout lever that decides
+    selective-scan cost at 100 TB. Everything after the stats row is
+    map-only integer shift/mask arithmetic, which is why the oracle
+    replays z-values bit-for-bit; the repartition/sort half
+    (layout.zorder_repartition) is pinned by the quantitative
+    locality test in tests/test_layout.py rather than an oracle
+    (partitioning is physical, not a value)."""
+    from capex_data_pipeline_spark.extensions.layout import zorder_values
+
+    orders = _t(spark, sf_dir, "orders")
+    return zorder_values(
+        orders, ["o_totalprice", "o_custkey"], bits=8
+    ).select("o_orderkey", "zvalue")
