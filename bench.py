@@ -196,6 +196,8 @@ HEADLINE = [
     "q148_image_clusters",
     # round-8: Morton key = 1-row stats broadcast + map-only bit math
     "q149_zorder_key",
+    # round-8: basket self-join pair counts + TakeOrdered lift ranking
+    "q150_association_rules",
 ]
 
 

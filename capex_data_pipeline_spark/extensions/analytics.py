@@ -446,3 +446,100 @@ def apply_changelog(
         .filter((F.col("_rn") == 1) & (F.col("_op") != "D"))
         .select(*key_cols, *payload)
     )
+
+
+def association_rules(
+    baskets: "DataFrame",
+    basket_col: str = "basket_id",
+    item_col: str = "item_id",
+    min_support: int = 2,
+    topk: int = 20,
+    decimals: int = 6,
+) -> "DataFrame":
+    """Pairwise association-rule mining (the Apriori k=2 workhorse —
+    Agrawal & Srikant 1994, public algorithm) over a (basket, item)
+    fact table: for every item pair co-occurring in >= ``min_support``
+    baskets, both directional confidences P(b|a) / P(a|b) and the
+    symmetric lift P(a,b) / (P(a)·P(b)), reported for the ``topk``
+    pairs by lift. Market-basket analytics, co-occurrence feature
+    mining, and "users who bought X" candidates all reduce to this.
+
+    Scale shape: the pair counting is the proven co-purchase
+    equi-join (one self-join ON the basket key over DISTINCT
+    (basket, item) rows — output bounded by Σ C(basket_size, 2), per-
+    basket quadratic but basket sizes are small and bounded; hot-key
+    skew is AQE's standard case); item supports and the basket count
+    are compact-key aggregates of the same deduped frame; the
+    min_support filter cuts the pair frame BEFORE the metric math and
+    the top-k pick is TakeOrdered (per-partition heap — never a
+    global sort). All metrics are exact integer ratios rounded to
+    ``decimals``, so an independent engine replays them value-exact
+    (q150).
+
+    Returns (item_a, item_b, pair_support, support_a, support_b,
+    confidence_ab, confidence_ba, lift, rank) with item_a < item_b,
+    ranked by (lift desc, item_a, item_b).
+    """
+    from pyspark.sql.window import Window
+
+    from capex_data_pipeline_spark.cache import persisted
+
+    if min_support < 1 or topk < 1:
+        raise ValueError("min_support and topk must be >= 1")
+    bi = persisted(
+        baskets.select(
+            F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+        ).distinct()
+    )
+    n_baskets = bi.select("_b").distinct().count()
+    item_sup = bi.groupBy("_i").agg(F.count(F.lit(1)).alias("sup"))
+    pairs = (
+        bi.alias("x")
+        .join(
+            bi.alias("y"),
+            (F.col("x._b") == F.col("y._b"))
+            & (F.col("x._i") < F.col("y._i")),
+        )
+        .groupBy(
+            F.col("x._i").alias("item_a"), F.col("y._i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_support"))
+        .filter(F.col("pair_support") >= min_support)
+    )
+    scored = (
+        pairs.join(
+            item_sup.select(
+                F.col("_i").alias("item_a"), F.col("sup").alias("support_a")
+            ),
+            "item_a",
+        )
+        .join(
+            item_sup.select(
+                F.col("_i").alias("item_b"), F.col("sup").alias("support_b")
+            ),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "pair_support",
+            "support_a",
+            "support_b",
+            F.round(F.col("pair_support") / F.col("support_a"), decimals)
+            .alias("confidence_ab"),
+            F.round(F.col("pair_support") / F.col("support_b"), decimals)
+            .alias("confidence_ba"),
+            F.round(
+                F.col("pair_support")
+                * F.lit(float(n_baskets))
+                / (F.col("support_a") * F.col("support_b")),
+                decimals,
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("lift"), F.asc("item_a"), F.asc("item_b")
+    ).limit(topk)
+    # rank over <= topk rows only (post-limit) — the TakeOrdered shape
+    w = Window.orderBy(F.desc("lift"), F.asc("item_a"), F.asc("item_b"))
+    return top.withColumn("rank", F.row_number().over(w))

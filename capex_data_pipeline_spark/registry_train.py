@@ -1626,3 +1626,67 @@ def q149_zorder_key(spark, sf_dir):
     return zorder_values(
         orders, ["o_totalprice", "o_custkey"], bits=8
     ).select("o_orderkey", "zvalue")
+
+
+# ----------- q150: pairwise association rules over order baskets
+
+
+@query(
+    "q150_association_rules",
+    """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    nb AS (SELECT count(DISTINCT b)::DOUBLE AS n FROM bi),
+    sup AS (SELECT i, count(*)::BIGINT AS sup FROM bi GROUP BY 1),
+    pairs AS (
+      SELECT x.i AS item_a, y.i AS item_b, count(*)::BIGINT AS pair_support
+      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    scored AS (
+      SELECT p.item_a, p.item_b, p.pair_support,
+             sa.sup AS support_a, sb.sup AS support_b,
+             round(p.pair_support / sa.sup, 6) AS confidence_ab,
+             round(p.pair_support / sb.sup, 6) AS confidence_ba,
+             round(p.pair_support * nb.n / (sa.sup * sb.sup), 6) AS lift
+      FROM pairs p
+      JOIN sup sa ON sa.i = p.item_a
+      JOIN sup sb ON sb.i = p.item_b
+      CROSS JOIN nb
+    ),
+    top AS (
+      SELECT * FROM scored
+      ORDER BY lift DESC, item_a, item_b LIMIT 20
+    )
+    SELECT item_a, item_b, pair_support, support_a, support_b,
+           confidence_ab, confidence_ba, lift,
+           CAST(row_number() OVER (ORDER BY lift DESC, item_a, item_b)
+                AS INT) AS rank
+    FROM top
+    """,
+)
+def q150_association_rules(spark, sf_dir):
+    """Pairwise association rules (analytics.association_rules —
+    Apriori k=2, Agrawal & Srikant 1994): support / directional
+    confidence / lift for every part pair co-ordered >= 2 times, top
+    20 by lift. Pair counting is the proven co-purchase equi-join on
+    the order key over the deduped (order, part) frame (per-basket
+    quadratic with small bounded baskets; hot-order skew is AQE's
+    standard case); supports are compact-key aggregates; the top-k
+    pick is TakeOrdered with ranking over the survivors only. All
+    metrics are integer ratios rounded to 6, replayed value-exact by
+    the oracle."""
+    from capex_data_pipeline_spark.extensions.analytics import (
+        association_rules,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return association_rules(
+        li,
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_support=2,
+        topk=20,
+    )

@@ -356,3 +356,63 @@ def test_apply_changelog_duplicate_rows_deterministic(spark):
     )
     got = apply_changelog(dup_snap, empty_chg, ["k"]).collect()
     assert [(r.k, r.v) for r in got] == [(5, "s")]
+
+
+def test_association_rules_hand_computed(spark):
+    """Exact metrics on a 4-basket toy: {a,b} in 2 baskets, a alone in
+    one more, c co-occurs once (below min_support)."""
+    from capex_data_pipeline_spark.extensions.analytics import (
+        association_rules,
+    )
+
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"),
+        (4, "c"), (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, "basket_id long, item_id string")
+    got = association_rules(
+        df, min_support=2, topk=10
+    ).collect()
+    assert len(got) == 1  # only (a, b) reaches support 2
+    r = got[0]
+    assert (r["item_a"], r["item_b"], r["pair_support"]) == ("a", "b", 2)
+    assert (r["support_a"], r["support_b"]) == (3, 3)
+    assert r["confidence_ab"] == round(2 / 3, 6)
+    assert r["confidence_ba"] == round(2 / 3, 6)
+    assert r["lift"] == round(2 * 4 / (3 * 3), 6)  # 0.888889
+    assert r["rank"] == 1
+
+
+def test_association_rules_dedups_repeated_items(spark):
+    """An item listed twice in one basket counts once (DISTINCT frame)."""
+    from capex_data_pipeline_spark.extensions.analytics import (
+        association_rules,
+    )
+
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "basket_id long, item_id string")
+    r = association_rules(df, min_support=2, topk=5).collect()[0]
+    assert r["pair_support"] == 2 and r["support_a"] == 2
+    assert r["lift"] == round(2 * 2 / (2 * 2), 6) == 1.0
+
+
+def test_association_rules_plan_and_guards(spark):
+    from capex_data_pipeline_spark.extensions.analytics import (
+        association_rules,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "basket_id long, item_id string"
+    )
+    plan = (
+        association_rules(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError, match=">= 1"):
+        association_rules(df, min_support=0)
