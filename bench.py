@@ -198,6 +198,8 @@ HEADLINE = [
     "q149_zorder_key",
     # round-8: basket self-join pair counts + TakeOrdered lift ranking
     "q150_association_rules",
+    # round-8: entropy scoring + 1-row quantile broadcast + map-only fold
+    "q151_curriculum_buckets",
 ]
 
 

@@ -400,3 +400,53 @@ def percentile_calibrate(
         F.round(pr, decimals).alias("pct_rank"),
         (F.round(pr, decimals) >= F.lit(1.0 - keep_frac)).alias("kept"),
     )
+
+
+def curriculum_buckets(
+    df: "DataFrame",
+    score_col: str,
+    n_buckets: int = 4,
+    id_col: str = "doc_id",
+    decimals: int = 6,
+) -> "DataFrame":
+    """Quality-curriculum bucketing: split the corpus into
+    ``n_buckets`` tiers by EXACT score percentiles — the ordering
+    primitive behind curriculum training schedules (feed easy/clean
+    tiers first), quality-stratified sampling, and tiered retention
+    policies. Bucket b holds scores in (q_{b/n}, q_{(b+1)/n}]
+    (strictly-greater against each threshold, so ties at a threshold
+    fall to the LOWER bucket — deterministic and engine-replayable);
+    NULL scores get a NULL bucket (unscoreable docs are a policy
+    decision, not silently tier 0).
+
+    Scale shape: ONE exact-percentile aggregate produces the n-1
+    thresholds as a 1-row broadcast (the q105 stats pattern — never a
+    global sort or ntile's single-partition window); the bucket
+    assignment is a map-only fold over the threshold array. At 100 TB
+    swap ``percentile`` for ``percentile_approx`` — same plan shape,
+    the documented q73 trade.
+
+    Returns (id_col, score_col, bucket) with bucket in [0, n_buckets).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    probs = ", ".join(
+        f"{i / n_buckets!r}D" for i in range(1, n_buckets)
+    )
+    th = df.agg(
+        F.expr(f"percentile({score_col}, array({probs}))").alias("_th")
+    )
+    bucket = F.aggregate(
+        F.col("_th"),
+        F.lit(0),
+        lambda acc, t: acc
+        + F.when(F.col(score_col) > t, 1).otherwise(0),
+    )
+    return (
+        df.crossJoin(F.broadcast(th))
+        .select(
+            id_col,
+            score_col,
+            F.when(F.col(score_col).isNotNull(), bucket).alias("bucket"),
+        )
+    )

@@ -1690,3 +1690,68 @@ def q150_association_rules(spark, sf_dir):
         min_support=2,
         topk=20,
     )
+
+
+# ------------- q151: quality-curriculum bucketing by exact quartiles
+
+
+@query(
+    "q151_curriculum_buckets",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(coalesce(text, '')),
+                                 '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, list_filter(string_split(t, ''), c -> c <> '') AS cs
+      FROM norm
+    ),
+    cnt AS (
+      SELECT doc_id, len(cs) AS n,
+             list_transform(list_distinct(cs),
+               d -> len(list_filter(cs, c -> c = d))) AS counts
+      FROM ch
+    ),
+    scores AS (
+      SELECT doc_id,
+             CASE WHEN n > 0 THEN
+               round(ln(CAST(n AS DOUBLE))
+                     - list_sum(list_transform(counts,
+                         c -> c * ln(CAST(c AS DOUBLE)))) / n, 6) + 0.0
+             END AS entropy_nats
+      FROM cnt
+    ),
+    th AS (
+      SELECT quantile_cont(entropy_nats, [0.25, 0.5, 0.75]) AS t
+      FROM scores
+    )
+    SELECT s.doc_id, s.entropy_nats,
+           CASE WHEN s.entropy_nats IS NOT NULL THEN
+             CAST(len(list_filter(th.t, x -> s.entropy_nats > x)) AS INT)
+           END AS bucket
+    FROM scores s, th
+    """,
+)
+def q151_curriculum_buckets(spark, sf_dir):
+    """Quality-curriculum bucketing (textstats.curriculum_buckets):
+    the corpus split into quartile tiers of the q97 character-entropy
+    quality score — the ordering primitive behind curriculum training
+    schedules and quality-stratified sampling. ONE exact-percentile
+    aggregate yields the 3 thresholds as a 1-row broadcast (never
+    ntile's single-partition global window — the q122/q125 defect
+    class this round purged); assignment is a map-only fold; ties at
+    a threshold fall to the lower bucket; NULL scores keep a NULL
+    bucket. Oracle replays entropy (the q97 chain), quantile_cont
+    thresholds (the interpolation definition Spark's percentile
+    shares — the q83 precedent), and the strictly-greater fold."""
+    from capex_data_pipeline_spark.extensions.textstats import (
+        add_char_entropy,
+        curriculum_buckets,
+    )
+
+    scored = add_char_entropy(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "entropy_nats"
+    )
+    return curriculum_buckets(scored, "entropy_nats", n_buckets=4)

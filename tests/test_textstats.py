@@ -252,3 +252,63 @@ def test_char_entropy_arrow_matches_native_fold(spark):
             assert (a is None) == (b is None), d
             if a is not None:
                 assert a == pytest.approx(b, abs=2e-6), d
+
+
+def test_curriculum_buckets_quartiles_and_ties(spark):
+    """Exact quartile thresholds over 1..8: q25/50/75 = 2.75/4.5/6.25;
+    strictly-greater fold puts values at/below a threshold in the
+    lower bucket; NULL scores keep a NULL bucket."""
+    from capex_data_pipeline_spark.extensions.textstats import (
+        curriculum_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 9)] + [(99, None)],
+        "doc_id long, s double",
+    )
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in curriculum_buckets(df, "s", n_buckets=4).collect()
+    }
+    assert got == {
+        1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3, 99: None
+    }
+
+
+def test_curriculum_buckets_equal_scores_single_bucket(spark):
+    """A constant score column: all thresholds equal the score, the
+    strict > fold sends everything to bucket 0."""
+    from capex_data_pipeline_spark.extensions.textstats import (
+        curriculum_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(6)], "doc_id long, s double"
+    )
+    rows = curriculum_buckets(df, "s", n_buckets=3).collect()
+    assert {r["bucket"] for r in rows} == {0}
+
+
+def test_curriculum_buckets_plan_and_guard(spark):
+    """No global sort / single-partition window: the thresholds are
+    one keyless aggregate broadcast back (BroadcastNestedLoopJoin of
+    a 1-row frame, the q105 pattern)."""
+    from capex_data_pipeline_spark.extensions.textstats import (
+        curriculum_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "doc_id long, s double"
+    )
+    plan = (
+        curriculum_buckets(df, "s")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n_buckets"):
+        curriculum_buckets(df, "s", n_buckets=1)
