@@ -200,6 +200,8 @@ HEADLINE = [
     "q150_association_rules",
     # round-8: entropy scoring + 1-row quantile broadcast + map-only fold
     "q151_curriculum_buckets",
+    # round-8: LSH clusters -> md5 cluster-key split + straddle proof
+    "q152_cluster_split",
 ]
 
 

@@ -1405,3 +1405,48 @@ def cluster_canonical(
             F.col("_score").alias("canonical_score"),
         )
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    splits: "list[tuple[str, float]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    seed: str = "s0",
+) -> DataFrame:
+    """Near-dup-safe train/val/test assignment — the PREVENTION
+    counterpart of the q104 leakage AUDIT: split decisions hash the
+    NEAR-DUP CLUSTER id (MinHash-LSH pairs closed into connected
+    components, :func:`dedup_clusters`), so no near-duplicate pair
+    can straddle the train/test boundary BY CONSTRUCTION — the
+    contamination a plain group/source-hash split misses whenever a
+    near-dup crosses groups (mirrors, syndication, re-posts: exactly
+    the duplicates a web corpus has).
+
+    Composition of proven parts: q31's banded candidate join → q38's
+    min-label clustering (O(diameter) compact-key rounds) → the
+    engine-portable md5 ``assign_split`` keyed on the cluster id
+    (map-only once the cluster frame exists). Singleton docs are
+    their own cluster, so coverage is total.
+
+    Returns (id_col, cluster_id, split) — one row per input doc.
+    """
+    from capex_data_pipeline_spark.extensions.corpus import assign_split
+
+    pairs = minhash_near_dups(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    )
+    clusters = dedup_clusters(pairs, corpus=docs, id_col=id_col).select(
+        id_col, "cluster_id"
+    )
+    return assign_split(
+        clusters, group_col="cluster_id", splits=splits, seed=seed
+    ).select(id_col, "cluster_id", "split")

@@ -1755,3 +1755,105 @@ def q151_curriculum_buckets(spark, sf_dir):
         "doc_id", "entropy_nats"
     )
     return curriculum_buckets(scored, "entropy_nats", n_buckets=4)
+
+
+# ------- q152: near-dup-safe corpus split (cluster-keyed assignment)
+
+from capex_data_pipeline_spark.oracle_frags import SHINGLES_SQL as _Q152_SH
+
+
+@query(
+    "q152_cluster_split",
+    f"""
+    WITH RECURSIVE sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 8),
+               i -> list_min(list_transform({_Q152_SH},
+                                            s -> md5(i || '|' || s)))) AS sig
+      FROM documents
+    ), banded AS (
+      SELECT doc_id, sig, b,
+             md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS bhash
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) bands
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+      WHERE len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) / 8.0
+            >= 0.5
+    ), e2 AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, v FROM e2
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN e2 e ON r.v = e.u
+    ), lbl AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ), allc AS (
+      SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN lbl l USING (doc_id)
+    ), sp AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN h < 0.8 THEN 'train'
+                  WHEN h < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT *,
+              CAST(('0x' || substr(md5('s0|' || CAST(cluster_id AS VARCHAR)),
+                                   1, 8)) AS BIGINT) / 4294967296.0 AS h
+            FROM allc)
+    ), per AS (
+      SELECT split, count(*)::BIGINT AS n_docs,
+             count(DISTINCT cluster_id)::BIGINT AS n_clusters
+      FROM sp GROUP BY 1
+    ), strad AS (
+      SELECT count(*)::BIGINT AS n
+      FROM pairs p
+      JOIN sp a ON a.doc_id = p.id_a
+      JOIN sp b ON b.doc_id = p.id_b
+      WHERE a.split <> b.split
+    )
+    SELECT per.split, per.n_docs, per.n_clusters,
+           strad.n AS n_straddling_pairs
+    FROM per, strad
+    """,
+)
+def q152_cluster_split(spark, sf_dir):
+    """Near-dup-safe train/val/test split (dedup.cluster_safe_split):
+    assignment hashes the MinHash-LSH CLUSTER id, so near-duplicate
+    pairs cannot straddle the boundary by construction — the
+    prevention counterpart to q104's leakage audit (which catches
+    exactly the cross-group duplicates a source-keyed split lets
+    through). Output: per-split doc/cluster counts plus the global
+    straddling-near-dup-pair count, which the construction forces to
+    0 — and the oracle PROVES it at 0 by replaying signatures →
+    banding → clustering → the md5 split → the straddle join
+    value-exactly, rather than trusting the property."""
+    from capex_data_pipeline_spark.extensions.dedup import (
+        cluster_safe_split,
+        minhash_near_dups,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sp = cluster_safe_split(
+        docs, [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+    from capex_data_pipeline_spark.cache import persisted
+
+    sp = persisted(sp)
+    pairs = minhash_near_dups(docs, num_hashes=8, bands=4, threshold=0.5)
+    a = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_sa"))
+    b = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_sb"))
+    strad = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("_sa") != F.col("_sb"))
+        .agg(F.count(F.lit(1)).alias("n_straddling_pairs"))
+    )
+    per = sp.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+    )
+    return per.crossJoin(F.broadcast(strad))

@@ -454,3 +454,68 @@ def test_canonical_url_rules(spark):
         for r in df.select("url", canonical_url(F.col("url")).alias("c")).collect()
     }
     assert got == cases
+
+
+# ------------------- near-dup-safe (cluster-keyed) train/val/test split
+
+
+def test_cluster_safe_split_no_straddling_pairs(spark):
+    """The construction guarantee: near-dup pairs NEVER straddle the
+    split boundary (every member of a cluster shares the cluster-id
+    hash), while a doc-id-keyed split on the same corpus does let
+    pairs straddle."""
+    from capex_data_pipeline_spark.extensions.corpus import assign_split
+    from capex_data_pipeline_spark.extensions.dedup import (
+        cluster_safe_split,
+        minhash_near_dups,
+    )
+
+    dup = "the same long duplicated document body repeated verbatim here"
+    docs = spark.createDataFrame(
+        [(i, dup) for i in range(40)]
+        + [(100 + i, f"unique doc {i} about topic {i * 7} entirely") for i in range(20)],
+        "doc_id long, text string",
+    )
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    sp = cluster_safe_split(docs, splits)
+    rows = sp.collect()
+    assert len(rows) == 60
+    by_id = {r["doc_id"]: r["split"] for r in rows}
+    # all 40 near-dups share one cluster -> one split
+    assert len({by_id[i] for i in range(40)}) == 1
+    pairs = minhash_near_dups(docs, num_hashes=8, bands=4, threshold=0.5)
+    strad = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("id_a"),
+                      F.col("split").alias("_sa")), "id_a")
+        .join(sp.select(F.col("doc_id").alias("id_b"),
+                        F.col("split").alias("_sb")), "id_b")
+        .filter(F.col("_sa") != F.col("_sb"))
+        .count()
+    )
+    assert strad == 0
+    # the naive doc-id split DOES straddle this corpus (the bug the
+    # operator exists to prevent)
+    naive = assign_split(docs.select("doc_id"), "doc_id", splits)
+    nstrad = (
+        pairs.join(naive.select(F.col("doc_id").alias("id_a"),
+                                F.col("split").alias("_sa")), "id_a")
+        .join(naive.select(F.col("doc_id").alias("id_b"),
+                           F.col("split").alias("_sb")), "id_b")
+        .filter(F.col("_sa") != F.col("_sb"))
+        .count()
+    )
+    assert nstrad > 0
+
+
+def test_cluster_safe_split_covers_singletons(spark):
+    from capex_data_pipeline_spark.extensions.dedup import cluster_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"singleton document number {i} with its own words {i*3}")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    rows = cluster_safe_split(docs, [("train", 0.5), ("test", 0.5)]).collect()
+    assert len(rows) == 10  # total coverage
+    assert all(r["cluster_id"] == r["doc_id"] for r in rows)  # own cluster
