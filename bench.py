@@ -202,6 +202,8 @@ HEADLINE = [
     "q151_curriculum_buckets",
     # round-8: LSH clusters -> md5 cluster-key split + straddle proof
     "q152_cluster_split",
+    # round-8: groups x 64 register cells instead of every (group, key)
+    "q153_hll_by_group",
 ]
 
 

@@ -1857,3 +1857,62 @@ def q152_cluster_split(spark, sf_dir):
         F.count_distinct("cluster_id").alias("n_clusters"),
     )
     return per.crossJoin(F.broadcast(strad))
+
+
+# ---------- q153: per-group HLL distinct counts (sketch GROUP BY)
+
+
+@query(
+    "q153_hll_by_group",
+    """
+    WITH keyed AS (
+      SELECT event_type AS g,
+             CAST(('0x' || substr(md5(coalesce(CAST(user_id AS VARCHAR),
+                                               '<null>')), 1, 13))
+                  AS BIGINT) AS h,
+             coalesce(CAST(user_id AS VARCHAR), '<null>') AS k
+      FROM events
+    ),
+    regs AS (
+      SELECT g, h % 64 AS b,
+             max(CASE WHEN (h >> 6) = 0 THEN 47
+                      ELSE 46 - length(bin(h >> 6)) + 1 END) AS mr
+      FROM keyed GROUP BY 1, 2
+    ),
+    summary AS (
+      SELECT g,
+             round((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+                   / (sum(pow(2.0, -mr))
+                      + CAST(64 - count(*) AS DOUBLE)), 6) AS n_estimated
+      FROM regs GROUP BY g
+    ),
+    exact AS (
+      SELECT g, CAST(count(DISTINCT k) AS BIGINT) AS n_exact
+      FROM keyed GROUP BY g
+    )
+    SELECT e.g AS event_type, e.n_exact, s.n_estimated,
+           round(abs(s.n_estimated - e.n_exact)
+                 / nullif(CAST(e.n_exact AS DOUBLE), 0.0), 6) AS rel_error
+    FROM exact e JOIN summary s USING (g)
+    """,
+)
+def q153_hll_by_group(spark, sf_dir):
+    """Per-group HyperLogLog distinct counts
+    (sketches.hll_cardinality_by, 64 registers/group): distinct users
+    per event type as a sketch aggregate — the standard fix for the
+    shuffle-heavy COUNT(DISTINCT) GROUP BY, whose exact form moves
+    every (group, key) pair while the sketch moves at most groups × m
+    register cells with map-side partial max. The estimator is the
+    q126 engine-portable HLL (integer binary-string rank, exact
+    power-of-two register sums), so the oracle certifies every
+    per-group estimate AND its error bit-for-bit. The exact count
+    rides along per group for the report (dropped at 100 TB — it is
+    the cost the sketch removes)."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        hll_cardinality_by,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_cardinality_by(
+        ev, "event_type", F.col("user_id"), b=6
+    ).withColumnRenamed("_g", "event_type")

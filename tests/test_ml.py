@@ -1750,3 +1750,46 @@ def test_ann_recall_ivf_full_probe_is_perfect(spark):
     res = ann_recall(approx, cosine_topk(vecs, queries, k=5), k=5).collect()
     assert all(r["recall"] == 1.0 for r in res)
     assigned.unpersist()
+
+
+def test_hll_cardinality_by_group_matches_global(spark):
+    """The grouped sketch reduces to the global one per group: run the
+    global estimator on each group's slice and compare estimates."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        hll_cardinality,
+        hll_cardinality_by,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, f"user{i % 40}") for i in range(500)],
+        "g int, u string",
+    )
+    grouped = {
+        r["g"]: (r["n_exact"], r["n_estimated"])
+        for r in hll_cardinality_by(df, "g", F.col("u"), b=5).collect()
+    }
+    for g in (0, 1, 2):
+        exact, est = grouped[g]
+        glob = hll_cardinality(
+            df.filter(F.col("g") == g), F.col("u"), b=5
+        ).collect()[0]
+        assert (glob["n_exact"], glob["n_estimated"]) == (exact, est)
+    # small-cardinality groups: raw HLL (no corrections) still lands
+    # within a loose band
+    for g, (exact, est) in grouped.items():
+        assert 0.5 * exact <= est <= 2.0 * exact
+
+
+def test_hll_cardinality_by_null_group_and_guard(spark):
+    from capex_data_pipeline_spark.extensions.sketches import (
+        hll_cardinality_by,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), ("x", "a")], "g string, u string"
+    )
+    rows = {r["g"]: r["n_exact"] for r in
+            hll_cardinality_by(df, "g", F.col("u")).collect()}
+    assert rows == {None: 2, "x": 1}
+    with pytest.raises(ValueError, match="b must"):
+        hll_cardinality_by(df, "g", F.col("u"), b=0)
