@@ -634,3 +634,56 @@ def test_windowed_topk_batch_and_stream_counts(spark, events_stream_dir):
         for r in spark.sql("SELECT * FROM topk_counts_mem").collect()
     }
     assert got == batch_counts
+
+
+def test_incremental_neardup_stream_matches_batch(spark, tmp_path):
+    """The daily-crawl dedup shape runs UNCHANGED as a stream: the new
+    batch arrives via readStream, the accumulated index is the static
+    side, and the bipartite band join + stateful pair dedup produce
+    exactly the batch result — the same-function-both-modes contract
+    the window family already pins."""
+    from capex_data_pipeline_spark.extensions.dedup import (
+        minhash_near_dups_incremental,
+    )
+
+    dup = "a long enough shared document body that minhash will match"
+    index_rows = [
+        (1, dup),
+        (2, "existing index content about something else entirely"),
+        (3, dup + " with a tiny suffix change"),
+    ]
+    new_rows = [
+        (100, dup),                                  # dups 1 (and ~3)
+        (101, "fresh unrelated text with new words"),
+    ]
+    index = spark.createDataFrame(index_rows, "doc_id long, text string")
+    batch_new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    expected = sorted(
+        (r["new_id"], r["index_id"], r["est_jaccard"])
+        for r in minhash_near_dups_incremental(
+            batch_new, index, num_hashes=8, bands=4, threshold=0.5
+        ).collect()
+    )
+    assert expected, "fixture must produce at least one pair"
+
+    d = tmp_path / "newdocs"
+    batch_new.coalesce(1).write.parquet(str(d))
+    stream_new = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(str(d))
+    out = minhash_near_dups_incremental(
+        stream_new, index, num_hashes=8, bands=4, threshold=0.5
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("inc_neardup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["new_id"], r["index_id"], r["est_jaccard"])
+        for r in spark.sql("SELECT * FROM inc_neardup_stream").collect()
+    )
+    assert got == expected
