@@ -204,6 +204,8 @@ HEADLINE = [
     "q152_cluster_split",
     # round-8: groups x 64 register cells instead of every (group, key)
     "q153_hll_by_group",
+    # round-8: integer-exact trapezoid AUC over a keyless-agg bin array
+    "q154_binned_roc",
 ]
 
 

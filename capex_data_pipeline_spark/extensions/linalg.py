@@ -307,3 +307,125 @@ def logreg_train(
         (weight + F.lit(0.0)).alias("weight"),
         F.round(weight * F.lit(1000.0), 0).cast("long").alias("weight_milli"),
     )
+
+
+def binned_roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 64,
+    decimals: int = 6,
+) -> DataFrame:
+    """Binned ROC curve + AUC — the evaluation step that closes the
+    in-engine classifier loop (train q129 → score q89 → calibrate
+    q128 → EVALUATE): scores quantize onto a ``bins``-cell equal-width
+    grid (1-row min/max broadcast, the q105 stats pattern), each
+    occupied bin becomes one ROC operating point (threshold sweep from
+    high score down), and AUC is the trapezoid over the curve.
+
+    Exact-AUC-at-scale footnote, stated honestly: rank-based AUC needs
+    a GLOBAL sort of every score (the single-partition window this
+    engine lints against) or an O(P·N) pair join; the binned form is
+    the standard scale answer — its AUC converges to the exact one as
+    ``bins`` grows and IS exact whenever scores are already discrete
+    at bin resolution.
+
+    Engine-portable by construction: cumulative TP/FP are INTEGER
+    slice-sums over the (bounded, keyless-aggregated) bin array and
+    the trapezoid numerator Σ (cfp_i−cfp_{i−1})·(ctp_i+ctp_{i−1}) is
+    exact integer arithmetic — ONE final division makes the float, so
+    the oracle replays AUC value-exactly, not approximately.
+
+    NULL scores are excluded (no operating point); needs at least one
+    positive AND one negative label, else AUC is NULL. Returns one
+    row per occupied bin, high-score bins first: (bin, n_pos, n_neg,
+    tpr, fpr, auc) with auc repeated (single-frame contract).
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    scored = df.filter(F.col(score_col).isNotNull()).select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    stats = scored.agg(
+        F.min("_s").alias("_lo"), F.max("_s").alias("_hi")
+    )
+    top = bins - 1
+    span = F.when(
+        F.col("_hi") > F.col("_lo"), F.col("_hi") - F.col("_lo")
+    ).otherwise(F.lit(1.0))
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor(
+                (F.col("_s") - F.col("_lo")) / span * F.lit(float(bins))
+            ).cast("int"),
+            F.lit(top),
+        ),
+    )
+    per_bin = (
+        scored.crossJoin(F.broadcast(stats))
+        .select(b.alias("bin"), "_y")
+        .groupBy("bin")
+        .agg(
+            F.sum("_y").cast("long").alias("n_pos"),
+            F.sum(1 - F.col("_y")).cast("long").alias("n_neg"),
+        )
+    )
+    # keyless aggregate -> ONE row carrying the (bounded) bin array:
+    # the lint-sanctioned way to run a cumulative over it
+    one = per_bin.agg(
+        F.reverse(
+            F.array_sort(
+                F.collect_list(F.struct("bin", "n_pos", "n_neg"))
+            )
+        ).alias("_a"),
+        F.sum("n_pos").alias("_P"),
+        F.sum("n_neg").alias("_N"),
+    )
+
+    def _cum(field: str, upto: Column) -> Column:
+        return F.aggregate(
+            F.slice(F.col("_a"), F.lit(1), upto),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x[field],
+        )
+
+    n = F.size("_a")
+    auc_numer = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: (_cum("n_neg", i) - _cum("n_neg", i - 1))
+            * (_cum("n_pos", i) + _cum("n_pos", i - 1)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    auc = F.when(
+        (F.col("_P") > 0) & (F.col("_N") > 0),
+        F.round(
+            auc_numer.cast("double")
+            / (F.lit(2.0) * F.col("_P") * F.col("_N")),
+            decimals,
+        ),
+    )
+    summary = one.select("_a", "_P", "_N", auc.alias("auc"))
+    ex = summary.select(
+        "_a", "_P", "_N", "auc", F.posexplode("_a").alias("_i", "_row")
+    )
+    cum_tp = _cum("n_pos", F.col("_i") + 1)
+    cum_fp = _cum("n_neg", F.col("_i") + 1)
+    return ex.select(
+        F.col("_row.bin").alias("bin"),
+        F.col("_row.n_pos").alias("n_pos"),
+        F.col("_row.n_neg").alias("n_neg"),
+        F.when(
+            F.col("_P") > 0,
+            F.round(cum_tp.cast("double") / F.col("_P"), decimals),
+        ).alias("tpr"),
+        F.when(
+            F.col("_N") > 0,
+            F.round(cum_fp.cast("double") / F.col("_N"), decimals),
+        ).alias("fpr"),
+        "auc",
+    )

@@ -1916,3 +1916,107 @@ def q153_hll_by_group(spark, sf_dir):
     return hll_cardinality_by(
         ev, "event_type", F.col("user_id"), b=6
     ).withColumnRenamed("_g", "event_type")
+
+
+# -------------- q154: binned ROC / AUC classifier evaluation
+
+
+@query(
+    "q154_binned_roc",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(coalesce(text, '')),
+                                 '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, t,
+             list_filter(string_split(t, ''), c -> c <> '') AS cs
+      FROM norm
+    ),
+    cnt AS (
+      SELECT doc_id, t, len(cs) AS n,
+             list_transform(list_distinct(cs),
+               d -> len(list_filter(cs, c -> c = d))) AS counts
+      FROM ch
+    ),
+    sc AS (
+      SELECT round(ln(CAST(n AS DOUBLE))
+                   - list_sum(list_transform(counts,
+                       c -> c * ln(CAST(c AS DOUBLE)))) / n, 6) + 0.0
+               AS s,
+             CAST(list_contains(string_split(t, ' '), 'spark') AS INT)
+               AS y
+      FROM cnt WHERE n > 0
+    ),
+    st AS (SELECT min(s) AS lo, max(s) AS hi FROM sc),
+    binned AS (
+      SELECT greatest(0, least(CAST(floor(
+               (s - st.lo)
+               / (CASE WHEN st.hi > st.lo THEN st.hi - st.lo
+                       ELSE 1.0 END) * 64.0) AS INTEGER), 63)) AS bin,
+             y
+      FROM sc, st
+    ),
+    per AS (
+      SELECT bin, sum(y)::BIGINT AS n_pos,
+             sum(1 - y)::BIGINT AS n_neg
+      FROM binned GROUP BY 1
+    ),
+    curve AS (
+      SELECT bin, n_pos, n_neg,
+             sum(n_pos) OVER w AS ctp,
+             sum(n_neg) OVER w AS cfp
+      FROM per
+      WINDOW w AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (
+      SELECT sum(n_pos)::BIGINT AS p, sum(n_neg)::BIGINT AS nn
+      FROM per
+    ),
+    numer AS (
+      -- trapezoid numerator in pure integers:
+      -- (cfp_i - cfp_{i-1}) = n_neg_i; (ctp_i + ctp_{i-1}) = 2*ctp_i - n_pos_i
+      SELECT sum(n_neg * (2 * ctp - n_pos))::BIGINT AS m FROM curve
+    )
+    SELECT c.bin, c.n_pos, c.n_neg,
+           CASE WHEN t.p > 0
+                THEN round(CAST(c.ctp AS DOUBLE) / t.p, 6) END AS tpr,
+           CASE WHEN t.nn > 0
+                THEN round(CAST(c.cfp AS DOUBLE) / t.nn, 6) END AS fpr,
+           CASE WHEN t.p > 0 AND t.nn > 0
+                THEN round(CAST(m.m AS DOUBLE) / (2.0 * t.p * t.nn), 6)
+           END AS auc
+    FROM curve c, tot t, numer m
+    """,
+)
+def q154_binned_roc(spark, sf_dir):
+    """Binned ROC curve + AUC (linalg.binned_roc_auc, 64 bins): the
+    evaluation step closing the in-engine classifier loop (train q129
+    → score q89 → calibrate q128 → EVALUATE). Scored pair here: the
+    q97 character-entropy score against the q129 label ("doc mentions
+    'spark'") — a deliberately weak predictor, so the curve exercises
+    interleaved bins rather than a degenerate step. Rank-based exact
+    AUC needs a global sort (the single-partition window this engine
+    lints against) or an O(P·N) pair join; the binned sweep is the
+    standard scale answer, and its cumulative TP/FP and trapezoid
+    numerator are EXACT INTEGER arithmetic over a keyless-aggregated
+    bounded bin array — one final division makes the float, so the
+    oracle replays AUC value-exactly (its window formulation
+    Σ n_neg·(2·ctp − n_pos) is the same integer algebra)."""
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+    from capex_data_pipeline_spark.extensions.linalg import binned_roc_auc
+    from capex_data_pipeline_spark.extensions.textstats import (
+        add_char_entropy,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(normalized_text(F.col("text")), " "), lambda s: s != ""
+    )
+    scored = add_char_entropy(docs).select(
+        F.col("entropy_nats").alias("s"),
+        F.array_contains(words, "spark").cast("int").alias("y"),
+    )
+    return binned_roc_auc(scored, "s", "y", bins=64)

@@ -1793,3 +1793,58 @@ def test_hll_cardinality_by_null_group_and_guard(spark):
     assert rows == {None: 2, "x": 1}
     with pytest.raises(ValueError, match="b must"):
         hll_cardinality_by(df, "g", F.col("u"), b=0)
+
+
+def test_binned_roc_auc_separable_random_anti(spark):
+    from capex_data_pipeline_spark.extensions.linalg import binned_roc_auc
+
+    sep = spark.createDataFrame(
+        [(float(i), 1 if i >= 50 else 0) for i in range(100)],
+        "s double, y int",
+    )
+    rows = binned_roc_auc(sep, "s", "y", bins=16).collect()
+    assert rows[0]["auc"] == 1.0
+    # rows come high-score-first; curve passes through (0,0)-ish corner
+    assert rows[0]["fpr"] == 0.0 and rows[-1]["tpr"] == 1.0
+    anti = spark.createDataFrame(
+        [(float(i), 0 if i >= 50 else 1) for i in range(100)],
+        "s double, y int",
+    )
+    assert binned_roc_auc(anti, "s", "y", bins=16).collect()[0]["auc"] == 0.0
+
+
+def test_binned_roc_auc_matches_exact_rank_auc(spark):
+    """With scores already discrete at bin resolution, the binned AUC
+    IS the exact Mann-Whitney AUC (ties at a score split half-half via
+    the trapezoid) — compare against an independent O(P*N) Python
+    computation."""
+    import random
+
+    from capex_data_pipeline_spark.extensions.linalg import binned_roc_auc
+
+    rng = random.Random(7)
+    data = [(float(rng.randint(0, 15)), rng.randint(0, 1)) for _ in range(300)]
+    pos = [s for s, y in data if y == 1]
+    neg = [s for s, y in data if y == 0]
+    wins = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    )
+    exact = round(wins / (len(pos) * len(neg)), 6)
+    got = binned_roc_auc(
+        spark.createDataFrame(data, "s double, y int"), "s", "y", bins=16
+    ).collect()[0]["auc"]
+    assert got == exact
+
+
+def test_binned_roc_auc_degenerate_and_guards(spark):
+    from capex_data_pipeline_spark.extensions.linalg import binned_roc_auc
+
+    # single class -> AUC NULL; NULL scores excluded
+    one_class = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (None, 0)], "s double, y int"
+    )
+    rows = binned_roc_auc(one_class, "s", "y", bins=4).collect()
+    assert all(r["auc"] is None for r in rows)
+    assert sum(r["n_pos"] + r["n_neg"] for r in rows) == 2  # NULL dropped
+    with pytest.raises(ValueError, match="bins"):
+        binned_roc_auc(one_class, "s", "y", bins=1)
