@@ -206,6 +206,8 @@ HEADLINE = [
     "q153_hll_by_group",
     # round-8: integer-exact trapezoid AUC over a keyless-agg bin array
     "q154_binned_roc",
+    # round-8: two fixed sketches + a depth*width cell join, never the join
+    "q155_join_size_estimate",
 ]
 
 

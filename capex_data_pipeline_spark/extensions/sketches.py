@@ -245,3 +245,83 @@ def hll_cardinality_by(
             decimals,
         ).alias("rel_error"),
     )
+
+
+def cms_join_size(
+    df_a: DataFrame,
+    key_a: Column,
+    df_b: DataFrame,
+    key_b: Column,
+    depth: int = 3,
+    width: int = 1024,
+    decimals: int = 6,
+) -> DataFrame:
+    """Join-size estimation via the count-min inner product (Cormode &
+    Muthukrishnan 2005): |A ⋈ B| on a key = Σ_k cnt_A(k)·cnt_B(k), and
+    the MIN over depth rows of the sketch-cell inner products
+    upper-bounds it within εN_A·N_B w.h.p. — the constant-memory
+    pre-flight check a planner (or a cautious engineer) runs BEFORE an
+    expensive join: a self-join estimate exploding past the input size
+    is the skew alarm that says salt/cap first (exactly the q112
+    co-purchase situation; pass the same frame twice for the
+    self-join-size / second-frequency-moment form).
+
+    Scale shape: each side collapses onto depth×width integer cells
+    (ONE hash aggregate each, map-side partials); the cell frames join
+    on the compact (row, position) key — at most depth·width rows move
+    anywhere. The exact join size rides along for the error report
+    (computed from per-key counts, NOT by materializing the join — at
+    100 TB drop it; it is the cost the sketch avoids).
+
+    Engine-portable md5 cells (the CMS convention here), integer
+    products/sums — the estimate, the exact size, and the
+    overestimate replay bit-for-bit in SQL. NULL keys are excluded on
+    both sides (SQL join semantics: NULL matches nothing).
+
+    Returns one row: (exact_join_rows, est_join_rows, overestimate).
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1: {depth}/{width}")
+
+    def _cells(df: DataFrame, key: Column, side: str) -> DataFrame:
+        rows = F.array(*[F.lit(str(j)) for j in range(depth)])
+        return (
+            df.select(key.cast("string").alias("_k"))
+            .filter(F.col("_k").isNotNull())
+            .select(F.explode(rows).alias("_j"), "_k")
+            .select("_j", _md5_mod(F.col("_j"), F.col("_k"), width).alias("_p"))
+            .groupBy("_j", "_p")
+            .agg(F.count(F.lit(1)).alias(f"c_{side}"))
+        )
+
+    inner = (
+        _cells(df_a, key_a, "a")
+        .join(_cells(df_b, key_b, "b"), ["_j", "_p"])
+        .groupBy("_j")
+        .agg(F.sum(F.col("c_a") * F.col("c_b")).alias("_ip"))
+        .agg(F.min("_ip").alias("est_join_rows"))
+    )
+    ca = (
+        df_a.select(key_a.cast("string").alias("_k"))
+        .filter(F.col("_k").isNotNull())
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    cb = (
+        df_b.select(key_b.cast("string").alias("_k"))
+        .filter(F.col("_k").isNotNull())
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    exact = ca.join(cb, "_k").agg(
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias(
+            "exact_join_rows"
+        )
+    )
+    return exact.crossJoin(F.broadcast(inner)).select(
+        "exact_join_rows",
+        "est_join_rows",
+        (F.col("est_join_rows") - F.col("exact_join_rows")).alias(
+            "overestimate"
+        ),
+    )

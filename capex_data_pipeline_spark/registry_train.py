@@ -2020,3 +2020,59 @@ def q154_binned_roc(spark, sf_dir):
         F.array_contains(words, "spark").cast("int").alias("y"),
     )
     return binned_roc_auc(scored, "s", "y", bins=64)
+
+
+# --------- q155: CMS inner-product join-size estimate (skew pre-flight)
+
+
+@query(
+    "q155_join_size_estimate",
+    """
+    WITH keys AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+      WHERE l_partkey IS NOT NULL
+    ),
+    cells AS (
+      SELECT j.j AS j,
+             CAST(('0x' || substr(md5(j.j || '|' || k), 1, 15)) AS BIGINT)
+               % 1024 AS p,
+             count(*)::BIGINT AS c
+      FROM keys, (SELECT CAST(unnest([0, 1, 2]) AS VARCHAR) AS j) j
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT min(ip)::BIGINT AS est_join_rows FROM (
+        SELECT j, sum(c * c)::BIGINT AS ip FROM cells GROUP BY j
+      )
+    ),
+    exact AS (
+      SELECT coalesce(sum(n * n), 0)::BIGINT AS exact_join_rows FROM (
+        SELECT k, count(*)::BIGINT AS n FROM keys GROUP BY k
+      )
+    )
+    SELECT exact_join_rows, est_join_rows,
+           est_join_rows - exact_join_rows AS overestimate
+    FROM exact, est
+    """,
+)
+def q155_join_size_estimate(spark, sf_dir):
+    """Join-size estimation via the CMS inner product
+    (sketches.cms_join_size, Cormode & Muthukrishnan 2005): the
+    SELF-join size of lineitem on l_partkey — Σ cnt(k)², the second
+    frequency moment — estimated from two 3×1024 sketches whose
+    inner products min over rows. This is the constant-memory
+    pre-flight a planner runs BEFORE an expensive join: an estimate
+    exploding past the input size is the skew alarm that says
+    salt/cap first — exactly the check that guards the q112
+    co-purchase self-join family. Each side is ONE hash aggregate
+    onto fixed cells; the cell join moves at most depth×width rows;
+    the exact count rides along from per-key counts (never by
+    materializing the join). Integer products/sums end-to-end, so
+    the oracle replays estimate, exact size, and the one-sided
+    overestimate bit-for-bit."""
+    from capex_data_pipeline_spark.extensions.sketches import cms_join_size
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cms_join_size(
+        li, F.col("l_partkey"), li, F.col("l_partkey"), depth=3, width=1024
+    )

@@ -1848,3 +1848,48 @@ def test_binned_roc_auc_degenerate_and_guards(spark):
     assert sum(r["n_pos"] + r["n_neg"] for r in rows) == 2  # NULL dropped
     with pytest.raises(ValueError, match="bins"):
         binned_roc_auc(one_class, "s", "y", bins=1)
+
+
+def test_cms_join_size_exact_on_sparse_keys(spark):
+    """Few distinct keys vs a wide sketch: no cell collisions, so the
+    estimate equals the exact join size (and never undershoots)."""
+    from capex_data_pipeline_spark.extensions.sketches import cms_join_size
+
+    a = spark.createDataFrame(
+        [(k,) for k in ["x"] * 3 + ["y"] * 2 + ["z"]], "k string"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in ["x"] * 4 + ["y"] * 1 + ["w"] * 5], "k string"
+    )
+    r = cms_join_size(a, F.col("k"), b, F.col("k"), depth=3, width=1024).collect()[0]
+    assert r["exact_join_rows"] == 3 * 4 + 2 * 1  # 14
+    assert r["est_join_rows"] == 14 and r["overestimate"] == 0
+
+
+def test_cms_join_size_one_sided_and_nulls(spark):
+    """Collisions only ever ADD (CMS is one-sided); NULL keys match
+    nothing on either side; disjoint keys estimate ~0."""
+    from capex_data_pipeline_spark.extensions.sketches import cms_join_size
+
+    a = spark.createDataFrame(
+        [(str(i),) for i in range(300)] + [(None,)], "k string"
+    )
+    b = spark.createDataFrame([(str(i),) for i in range(300)], "k string")
+    tight = cms_join_size(a, F.col("k"), b, F.col("k"), depth=3, width=4096).collect()[0]
+    assert tight["exact_join_rows"] == 300
+    assert tight["overestimate"] >= 0  # never undershoots
+    # a deliberately tiny sketch overestimates but stays one-sided
+    loose = cms_join_size(a, F.col("k"), b, F.col("k"), depth=3, width=8).collect()[0]
+    assert loose["est_join_rows"] >= 300
+    disjoint = cms_join_size(
+        a,
+        F.col("k"),
+        spark.createDataFrame([("zzz%d" % i,) for i in range(50)], "k string"),
+        F.col("k"),
+        depth=3,
+        width=4096,
+    ).collect()[0]
+    assert disjoint["exact_join_rows"] == 0
+    assert disjoint["est_join_rows"] >= 0
+    with pytest.raises(ValueError, match="depth"):
+        cms_join_size(a, F.col("k"), b, F.col("k"), depth=0)

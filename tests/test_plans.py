@@ -262,14 +262,14 @@ def test_driver_contract_registry_invariants():
     q113 k-core peel / q114 connected components / q116 label
     propagation, the round-7 q115 engine-portable k-means, and the
     round-7 ML trio q117 PCA power iteration / q118 trigram LM /
-    q119 Bloom decontamination, q120 HTML extraction, q121 PQ ANN, q122 Zipf diagnostics, q123 mixture schedule, q124 link graph, q125 count-min sketch, q126 HyperLogLog, q127 snapshot diff, q128 source calibration, the round-7 q129 logistic-regression trainer, q130 trigram perplexity filtering, q131 phrase search, q132 anchor-text aggregation, q133 canonical-per-cluster election, q134 temperature mixture resampling, q135 multi-source BFS hops, q136 hard-negative mining, q137 c-TF-IDF source keywords, q138 stupid-backoff cross-corpus perplexity, q139 boilerplate-header detection, q140 word-dropout augmentation, q141 reciprocal-rank fusion, q142 shingle containment, the round-8 q143 sqrt(N)-sized IVF build/query split, q144 perceptual-hash image near-dup, q145 unigram-LM tokenizer training, q146 unigram encode, q147 ANN recall evaluation, q148 image near-dup clustering, q149 Z-order clustering keys, q150 association rules, q151 curriculum bucketing, q152 near-dup-safe cluster splits, q153 per-group HLL, and q154 binned ROC/AUC), a full
+    q119 Bloom decontamination, q120 HTML extraction, q121 PQ ANN, q122 Zipf diagnostics, q123 mixture schedule, q124 link graph, q125 count-min sketch, q126 HyperLogLog, q127 snapshot diff, q128 source calibration, the round-7 q129 logistic-regression trainer, q130 trigram perplexity filtering, q131 phrase search, q132 anchor-text aggregation, q133 canonical-per-cluster election, q134 temperature mixture resampling, q135 multi-source BFS hops, q136 hard-negative mining, q137 c-TF-IDF source keywords, q138 stupid-backoff cross-corpus perplexity, q139 boilerplate-header detection, q140 word-dropout augmentation, q141 reciprocal-rank fusion, q142 shingle containment, the round-8 q143 sqrt(N)-sized IVF build/query split, q144 perceptual-hash image near-dup, q145 unigram-LM tokenizer training, q146 unigram encode, q147 ANN recall evaluation, q148 image near-dup clustering, q149 Z-order clustering keys, q150 association rules, q151 curriculum bucketing, q152 near-dup-safe cluster splits, q153 per-group HLL, q154 binned ROC/AUC, and q155 CMS join-size estimation), a full
     value-exact oracle for EVERY query (no rows-only fallbacks), and
     every bench headline drawn from the registry."""
     import __spark_entry__ as E
     import bench
 
     qs, oracles = E.queries(), E.oracle_sql()
-    assert len(qs) == 154
+    assert len(qs) == 155
     # drift lint: registered names must be a contiguous q1..qN block, so
     # an added/removed query fails HERE with the offending number, not
     # just a bare count mismatch
