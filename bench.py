@@ -816,6 +816,106 @@ def stress_ann() -> None:
     )
 
 
+def stress_image() -> None:
+    """``bench.py --stress-image``: adversarial volume stress for the
+    perceptual-hash image family (q144/q148): documents become media
+    payloads, ``SPARK_GRAFT_STRESS_IMG_FACTOR``x copies on 20% of rows
+    (copies share the EXACT payload -> identical dHash, the true
+    near-dup groups) plus a degenerate boilerplate cluster (every 11th
+    doc -> one identical payload corpus-wide — the solid-color/blank
+    hash bucket that is the web-scale hot key). Measures the hash
+    pass, then the pigeonhole pairing capped AND uncapped, printing
+    wall-clock + candidate counts + cap stats — candidate growth
+    measured, not asserted (the --stress convention)."""
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_STRESS_SF_DIR", "/root/testdata/sf0.01"
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = int(os.environ.get("SPARK_GRAFT_STRESS_IMG_FACTOR", "50"))
+
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.extensions.multimodal import (
+        char_grid_pixelizer,
+        documents_as_media,
+        image_hashes,
+        image_near_dups,
+    )
+    from capex_data_pipeline_spark.session import get_spark
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    spark = get_spark(
+        app_name="capex-stress-image",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    inflated = (
+        docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit("blank page")
+            ).otherwise(F.col("text")).alias("text"),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.when(F.col("doc_id") % 5 == 0, F.lit(m)).otherwise(
+                        F.lit(1)
+                    ),
+                )
+            ).alias("_c"),
+        )
+        .select(
+            (F.col("doc_id") * 1000 + F.col("_c")).alias("doc_id"),
+            # exact copies: same payload -> same hash (dHash is the
+            # content identity here; scale-invariance is unit-tested)
+            F.col("text"),
+        )
+        .persist()
+    )
+    n_rows = inflated.count()
+    media = documents_as_media(inflated)
+
+    out: dict[str, dict] = {}
+
+    def timed(label, fn):
+        _reset_engine_caches()
+        t0 = time.perf_counter()
+        value = fn()
+        out[label] = {"sec": round(time.perf_counter() - t0, 4), **value}
+
+    timed("image_hashes", lambda: {
+        "rows": image_hashes(
+            media, pixelizer=char_grid_pixelizer, n_bits=60
+        ).count()})
+    timed("pairs_uncapped", lambda: {
+        "pairs": image_near_dups(
+            media, pixelizer=char_grid_pixelizer, n_bits=60, max_hamming=3
+        ).count()})
+    cap = 4 * m
+    stats: dict = {}
+    timed("pairs_capped", lambda: {
+        "pairs": image_near_dups(
+            media, pixelizer=char_grid_pixelizer, n_bits=60, max_hamming=3,
+            max_bucket_size=cap, cap_stats=stats
+        ).count(), **stats})
+    print(
+        json.dumps(
+            {
+                "metric": "stress_image",
+                "value": round(sum(v["sec"] for v in out.values()), 4),
+                "unit": "sec",
+                "n_media_rows": n_rows,
+                "copy_factor": m,
+                "max_bucket_size": cap,
+                "runs": out,
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+            }
+        )
+    )
+
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -906,6 +1006,8 @@ if __name__ == "__main__":
         scaling_check()
     elif "--stress-graph" in sys.argv[1:]:
         stress_graph()
+    elif "--stress-image" in sys.argv[1:]:
+        stress_image()
     elif "--stress-ann" in sys.argv[1:]:
         stress_ann()
     elif "--stress" in sys.argv[1:]:
