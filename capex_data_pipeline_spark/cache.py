@@ -181,9 +181,14 @@ def plan_boundary(
     suffix = uuid.uuid4().hex
     path = staging_dir.rstrip("/") + f"/{label}-{suffix}"
     if bucket_by:
+        import re
+
         from capex_data_pipeline_spark.sources.bucketed import write_bucketed
 
-        table = f"staging_{label}_{suffix}"
+        # labels are caller-supplied and often hyphenated ('bpe-train');
+        # sanitize so saveAsTable / DROP TABLE parse
+        safe_label = re.sub(r"[^A-Za-z0-9_]", "_", label)
+        table = f"staging_{safe_label}_{suffix}"
         write_bucketed(
             df,
             table,
@@ -222,7 +227,7 @@ def clear_staging() -> int:
         if spark is not None:
             for t in tables:
                 try:
-                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+                    spark.sql(f"DROP TABLE IF EXISTS `{t}`")
                 except Exception:  # noqa: BLE001 - cleanup is best-effort
                     pass
     n = 0

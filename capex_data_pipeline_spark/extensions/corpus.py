@@ -2246,9 +2246,21 @@ def unigram_train(
         costs = _costs(counts.collect())
 
     # --- prune: top vocab_size by (count desc, piece asc), single
-    # chars always kept; renormalize over the survivors
+    # chars always kept; renormalize over the survivors.  The singles
+    # come from the SEED frame (every single char the corpus
+    # contains), not the final EM counts: a char always covered by a
+    # multi-char piece on every best path drops out of the EM counts,
+    # and if that piece then misses the top-vocab_size cut the
+    # coverage guarantee would break (unigram_encode would emit <unk>
+    # for words seen in training).  Count = EM count when the char
+    # survived EM, else its seed count — so outputs are unchanged
+    # wherever the bug didn't bite.
     top = counts.orderBy(F.desc("cnt"), F.asc("piece")).limit(vocab_size)
-    singles = counts.filter(F.length("piece") == 1)
+    singles = (
+        seed_singles.select("piece", F.col("cnt").alias("_seed_cnt"))
+        .join(counts, "piece", "left")
+        .select("piece", F.coalesce("cnt", "_seed_cnt").alias("cnt"))
+    )
     kept = top.union(singles).dropDuplicates(["piece"])
     total_kept = kept.agg(F.sum("cnt").alias("_tot"))
     from pyspark.sql.window import Window

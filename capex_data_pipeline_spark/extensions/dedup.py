@@ -396,24 +396,29 @@ def _pigeonhole_pairs(
     the arithmetic shift the simhash path always used)."""
     n_seg = max_hamming + 1
     width = -(-n_bits // n_seg)  # ceil(n_bits / n_seg)
-    mask = (1 << width) - 1
+    if width >= 64:
+        # only reachable as max_hamming=0 with 64-bit hashes: the mask
+        # (1 << 64) - 1 would overflow LongType at plan build.  The
+        # single segment IS the whole sketch — join on sh directly.
+        seg_structs = [
+            F.struct(F.lit(0).alias("seg_i"), F.col("sh").alias("seg_v"))
+        ]
+    else:
+        mask = (1 << width) - 1
+        seg_structs = [
+            F.struct(
+                F.lit(i).alias("seg_i"),
+                F.shiftrightunsigned(F.col("sh"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("seg_v"),
+            )
+            for i in range(n_seg)
+        ]
     segs = s.select(
         "id",
         "blk",
         "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("seg_i"),
-                        F.shiftrightunsigned(F.col("sh"), i * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("seg_v"),
-                    )
-                    for i in range(n_seg)
-                ]
-            )
-        ).alias("sg"),
+        F.explode(F.array(*seg_structs)).alias("sg"),
     ).select("id", "blk", "sh", F.col("sg.seg_i").alias("seg_i"), F.col("sg.seg_v").alias("seg_v"))
     if max_bucket_size is not None:
         segs = _cap_buckets(segs, ["blk", "seg_i", "seg_v"], max_bucket_size, cap_stats)

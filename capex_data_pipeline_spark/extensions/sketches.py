@@ -294,12 +294,23 @@ def cms_join_size(
             .agg(F.count(F.lit(1)).alias(f"c_{side}"))
         )
 
+    # the min must range over ALL depth rows: a row whose cells share
+    # no positions has true inner product 0 (not "no vote") — without
+    # it the estimate loosens, and fully disjoint key sets would
+    # return NULL instead of 0 (the inner join is empty)
+    all_rows = df_a.sparkSession.range(depth).select(
+        F.col("id").cast("string").alias("_j")
+    )
     inner = (
-        _cells(df_a, key_a, "a")
-        .join(_cells(df_b, key_b, "b"), ["_j", "_p"])
-        .groupBy("_j")
-        .agg(F.sum(F.col("c_a") * F.col("c_b")).alias("_ip"))
-        .agg(F.min("_ip").alias("est_join_rows"))
+        all_rows.join(
+            _cells(df_a, key_a, "a")
+            .join(_cells(df_b, key_b, "b"), ["_j", "_p"])
+            .groupBy("_j")
+            .agg(F.sum(F.col("c_a") * F.col("c_b")).alias("_ip")),
+            "_j",
+            "left",
+        )
+        .agg(F.min(F.coalesce("_ip", F.lit(0))).alias("est_join_rows"))
     )
     ca = (
         df_a.select(key_a.cast("string").alias("_k"))

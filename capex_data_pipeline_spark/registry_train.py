@@ -1294,9 +1294,15 @@ w AS (
     ),
     topv AS (SELECT piece, cnt FROM c2 ORDER BY cnt DESC, piece LIMIT 24),
     kept AS (
+      -- coverage singles come from the SEED frame (all corpus single
+      -- chars), EM count when present else seed count — mirrors
+      -- unigram_train's prune exactly
       SELECT DISTINCT piece, cnt FROM (
         SELECT * FROM topv
-        UNION ALL SELECT * FROM c2 WHERE length(piece) = 1)
+        UNION ALL
+        SELECT s.piece, coalesce(c.cnt, s.cnt) AS cnt
+        FROM seed s LEFT JOIN c2 c USING (piece)
+        WHERE length(s.piece) = 1)
     )
 """
 
@@ -1893,7 +1899,9 @@ def q152_cluster_split(spark, sf_dir):
     SELECT e.g AS event_type, e.n_exact, s.n_estimated,
            round(abs(s.n_estimated - e.n_exact)
                  / nullif(CAST(e.n_exact AS DOUBLE), 0.0), 6) AS rel_error
-    FROM exact e JOIN summary s USING (g)
+    -- null-safe join: the engine keeps a NULL group (eqNullSafe);
+    -- USING (g) would silently drop it
+    FROM exact e JOIN summary s ON e.g IS NOT DISTINCT FROM s.g
     """,
 )
 def q153_hll_by_group(spark, sf_dir):

@@ -155,3 +155,30 @@ def test_plan_boundary_bucket_by_requires_staging(spark):
 
     with pytest.raises(ValueError, match="staging"):
         plan_boundary(spark.range(5), mode="local", bucket_by=["id"])
+
+
+def test_staging_bucketed_hyphenated_label_sanitized(spark, tmp_path):
+    """Regression (r9): callers pass hyphenated labels ('bpe-train');
+    the staging table name must sanitize them or saveAsTable and the
+    DROP in clear_staging fail with a parse error."""
+    from capex_data_pipeline_spark.cache import clear_staging, plan_boundary
+
+    df = spark.range(100).selectExpr("id % 7 AS k", "id AS v")
+    staged = plan_boundary(
+        df,
+        mode="staging",
+        staging_dir=str(tmp_path / "stage"),
+        label="bpe-train.r9",
+        bucket_by=["k"],
+        n_buckets=4,
+    )
+    assert staged.count() == 100
+    assert any(
+        t.name.startswith("staging_bpe_train_r9")
+        for t in spark.catalog.listTables()
+    )
+    assert clear_staging() >= 1
+    assert not any(
+        t.name.startswith("staging_bpe_train_r9")
+        for t in spark.catalog.listTables()
+    )

@@ -886,7 +886,11 @@ def _unigram_reference(texts, vocab_size=8, rounds=2, max_piece_len=4):
         costs = {p: round(-math.log(c / ctot), 6) for p, c in counts.items()}
     ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
     kept = dict(ranked[:vocab_size])
-    kept.update({p: c for p, c in counts.items() if len(p) == 1})
+    # coverage singles from the SEED frame (EM count when present,
+    # else seed count) — the r9 prune semantics
+    kept.update(
+        {p: counts.get(p, c) for p, c in seed.items() if len(p) == 1}
+    )
     ktot = sum(kept.values())
     return {
         p: (i + 1, c, round(c / ktot, 6))
@@ -956,15 +960,46 @@ def test_unigram_train_single_char_coverage_survives_prune(spark):
 
     # the rare word 'q' is covered only by its single-char piece;
     # vocab_size=1 keeps just the dominant 'aaaa', but the coverage
-    # rule retains every single-char piece used by a best path
+    # rule retains EVERY corpus single char (seed-frame singles, the
+    # SentencePiece guarantee) — including 'a', whose occurrences are
+    # all absorbed by the 'aaaa' piece on the best paths
     docs = spark.createDataFrame(
         [(0, "aaaa aaaa aaaa aaaa q")], "doc_id long, text string"
     )
     rows = unigram_train(docs, vocab_size=1, rounds=1).collect()
     pieces = {r["piece"] for r in rows}
-    assert pieces == {"aaaa", "q"}
+    assert pieces == {"aaaa", "a", "q"}
     # probabilities renormalize over the kept set
     assert abs(sum(r["prob"] for r in rows) - 1.0) < 1e-4
+
+
+def test_unigram_train_coverage_when_covering_piece_is_pruned(spark):
+    """Regression (r9): a char covered by a multi-char piece on every
+    best path drops out of the EM counts; if that piece then misses
+    the top-vocab_size cut, the old prune (singles from EM counts)
+    lost the char and unigram_encode emitted <unk> for a TRAINING
+    word.  Singles now come from the seed frame, so 'a'/'x' survive
+    with their seed counts and "ax" stays segmentable."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "ax")] + [(i, "bb") for i in range(1, 40)],
+        "doc_id long, text string",
+    )
+    model = unigram_train(docs, vocab_size=1, rounds=2)
+    rows = model.collect()
+    pieces = {r["piece"]: r["count"] for r in rows}
+    # top-1 is 'b' (EM count 78); 'a' and 'x' re-added from the seed
+    assert set(pieces) == {"b", "a", "x"}
+    assert pieces["a"] == 1 and pieces["x"] == 1
+    enc = unigram_encode(
+        docs, {r["piece"]: 1.0 for r in rows}, max_piece_len=4
+    )
+    texts = {r["doc_id"]: r["piece_text"] for r in enc.collect()}
+    assert texts[0] == "a x"  # not '<unk>'
 
 
 def test_unigram_train_guards(spark):

@@ -144,6 +144,30 @@ def test_hamming_near_dups_two_complement_64bit(spark):
     assert got == {(1, 2, 2)}
 
 
+def test_hamming_near_dups_exact_match_64bit(spark):
+    """Regression (r9): max_hamming=0 with n_bits=64 made the segment
+    width 64, whose mask (1<<64)-1 overflows LongType at plan build.
+    The single segment is now a direct equality join on the sketch."""
+    from capex_data_pipeline_spark.extensions.dedup import hamming_near_dups
+
+    neg = (1 << 63) | 0xCAFE
+    rows = [
+        (1, neg - (1 << 64)),
+        (2, neg - (1 << 64)),    # identical -> pairs at hamming 0
+        (3, (neg ^ 1) - (1 << 64)),  # hamming 1 -> excluded
+        (4, 42),
+        (5, 42),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_dups(
+            df, "phash", id_col="media_id", n_bits=64, max_hamming=0
+        ).collect()
+    }
+    assert got == {(1, 2, 0), (4, 5, 0)}
+
+
 def test_simhash_near_dups_unchanged_by_refactor(spark):
     """The shared pigeonhole extraction must not change text simhash
     results: identical texts pair at hamming 0."""

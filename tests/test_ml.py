@@ -1893,3 +1893,21 @@ def test_cms_join_size_one_sided_and_nulls(spark):
     assert disjoint["est_join_rows"] >= 0
     with pytest.raises(ValueError, match="depth"):
         cms_join_size(a, F.col("k"), b, F.col("k"), depth=0)
+
+
+def test_cms_join_size_zero_match_depth_row_votes_zero(spark):
+    """Regression (r9): a depth row whose cells share NO positions has
+    true inner product 0 and must participate in the min — with fully
+    disjoint key sets and a wide sketch the estimate is exactly 0,
+    never NULL (the old inner join silently dropped empty rows)."""
+    from capex_data_pipeline_spark.extensions.sketches import cms_join_size
+
+    a = spark.createDataFrame([("a1",), ("a2",)], "k string")
+    b = spark.createDataFrame([("b1",), ("b2",)], "k string")
+    # width >> keys: w.h.p. at least one depth row has no colliding
+    # cell; with 2 keys/side on width=65536 ALL rows are empty unless
+    # an md5 collision lands both sides' cells together
+    r = cms_join_size(a, F.col("k"), b, F.col("k"), depth=3, width=65536).collect()[0]
+    assert r["exact_join_rows"] == 0
+    assert r["est_join_rows"] == 0
+    assert r["overestimate"] == 0
