@@ -998,6 +998,24 @@ def main() -> None:
             }
         )
     )
+    # compact summary LAST: the driver's BENCH_rN.json keeps only the
+    # tail of stdout, and the full line above buries the total under
+    # per-query stats — this one keeps every round's artifact
+    # self-interpreting (total + slowest-10) no matter the truncation
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    print(
+        json.dumps(
+            {
+                "summary": "tail",
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "slowest": {k: v for k, v in slowest},
+            }
+        )
+    )
     spark.stop()
 
 

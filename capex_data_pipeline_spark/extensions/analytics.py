@@ -491,7 +491,10 @@ def association_rules(
             F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
         ).distinct()
     )
-    n_baskets = bi.select("_b").distinct().count()
+    # basket total as a broadcast 1-row frame (the repo convention) —
+    # NOT a driver-side .count(): the operator stays lazy, no job runs
+    # until a consumer acts
+    n_baskets = bi.agg(F.countDistinct("_b").alias("_nb"))
     item_sup = bi.groupBy("_i").agg(F.count(F.lit(1)).alias("sup"))
     pairs = (
         bi.alias("x")
@@ -519,6 +522,7 @@ def association_rules(
             ),
             "item_b",
         )
+        .crossJoin(F.broadcast(n_baskets))
         .select(
             "item_a",
             "item_b",
@@ -531,7 +535,7 @@ def association_rules(
             .alias("confidence_ba"),
             F.round(
                 F.col("pair_support")
-                * F.lit(float(n_baskets))
+                * F.col("_nb").cast("double")
                 / (F.col("support_a") * F.col("support_b")),
                 decimals,
             ).alias("lift"),

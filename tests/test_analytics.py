@@ -416,3 +416,31 @@ def test_association_rules_plan_and_guards(spark):
     assert "TakeOrderedAndProject" in plan
     with pytest.raises(ValueError, match=">= 1"):
         association_rules(df, min_support=0)
+
+
+def test_association_rules_builds_lazily(spark, monkeypatch):
+    """Regression (r9): the basket total used to be an eager
+    driver-side distinct().count() inside operator CONSTRUCTION; it is
+    now a broadcast 1-row aggregate, so building the frame triggers no
+    Spark action at all."""
+    from pyspark.sql import DataFrame
+
+    from capex_data_pipeline_spark.extensions.analytics import (
+        association_rules,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b")],
+        "basket_id long, item_id string",
+    )
+
+    def _boom(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("eager action during operator build")
+
+    for action in ("count", "collect", "toPandas", "take", "first"):
+        monkeypatch.setattr(DataFrame, action, _boom)
+    out = association_rules(df, min_support=2, topk=5)  # must not raise
+    monkeypatch.undo()
+    r = out.collect()[0]
+    assert (r["item_a"], r["item_b"], r["pair_support"]) == ("a", "b", 2)
+    assert r["lift"] == 1.0  # pair 2 × baskets 2 / (sup_a 2 × sup_b 2)
