@@ -208,6 +208,7 @@ HEADLINE = [
     "q154_binned_roc",
     # round-8: two fixed sketches + a depth*width cell join, never the join
     "q155_join_size_estimate",
+    "q156_guarded_join",
 ]
 
 
@@ -816,6 +817,162 @@ def stress_ann() -> None:
     )
 
 
+def stress_join() -> None:
+    """``bench.py --stress-join``: measured evidence for the guarded
+    join (q156) under celebrity-key inflation — the blowup the q155
+    CMS pre-flight exists to catch. The most frequent lineitem
+    partkey is inflated ``SPARK_GRAFT_STRESS_JOIN_FACTOR``x (default
+    200), turning the self-join's hottest key into tens of millions
+    of pairs that land in ONE task unguarded. Runs the aggregate-
+    after-join three ways — plain, guarded/salted, and guarded/cap —
+    and prints one JSON line with wall-clock, the pre-flight
+    estimate, hot-key count, and row-equality between plain and
+    salted (value-identity measured, not asserted)."""
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_STRESS_SF_DIR", "/root/testdata/sf0.01"
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = int(os.environ.get("SPARK_GRAFT_STRESS_JOIN_FACTOR", "200"))
+
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.extensions.sketches import guarded_join
+    from capex_data_pipeline_spark.session import get_spark
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    spark = get_spark(
+        app_name="capex-stress-join",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber"
+    )
+    hot_key = (
+        li.groupBy("l_partkey")
+        .count()
+        .orderBy(F.desc("count"), F.asc("l_partkey"))
+        .limit(1)
+        .collect()[0]["l_partkey"]
+    )
+    inflated = (
+        li.select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.when(F.col("l_partkey") == hot_key, F.lit(m)).otherwise(
+                        F.lit(1)
+                    ),
+                )
+            ).alias("_c"),
+        )
+        .select(
+            "l_partkey",
+            (F.col("l_orderkey") * 1000 + F.col("_c")).alias("rid"),
+        )
+        .localCheckpoint()  # freeze the inflation; time the joins only
+    )
+    a = inflated.select("l_partkey", F.col("rid").alias("rid_a"))
+    b = inflated.select("l_partkey", F.col("rid").alias("rid_b"))
+
+    def agg(j):
+        return j.groupBy(
+            (F.col("l_partkey") % 100).cast("long").alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("pairs"))
+
+    def run(df):
+        t0 = time.perf_counter()
+        n = df.agg(F.coalesce(F.sum("pairs"), F.lit(0)).alias("n")).collect()[
+            0
+        ]["n"]
+        return round(time.perf_counter() - t0, 3), int(n)
+
+    # measure under the 100 TB condition: neither side broadcastable
+    # (local sf0.01 would broadcast the whole small side and no skew
+    # exists to fix) and AQE's own skew splitter off, so the plain
+    # number shows the straggler the salt removes; the AQE-on plain
+    # run rides along as context — at real scale AQE skew-join is the
+    # built-in mitigation for SMJ, while guarded_join adds the
+    # PRE-flight decision plus the cap/error modes AQE cannot express
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+        )
+    }
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        t_plain, n_plain = run(agg(a.join(b, "l_partkey")))
+    finally:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    t_plain_aqe, _ = run(agg(a.join(b, "l_partkey")))
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+
+    salt_stats: dict = {}
+    t_salt, n_salt_rows = run(
+        agg(
+            guarded_join(
+                a,
+                b,
+                "l_partkey",
+                est_threshold=1_000_000,
+                n_salt=int(cpus),
+                hot_key_rows=1000,
+                stats_out=salt_stats,
+            )
+        )
+    )
+
+    for k, v in saved.items():
+        conf.set(k, v)
+
+    cap_stats: dict = {}
+    t_cap, n_cap = run(
+        agg(
+            guarded_join(
+                a,
+                b,
+                "l_partkey",
+                est_threshold=1_000_000,
+                over_strategy="cap",
+                max_rows_per_key=200,
+                stats_out=cap_stats,
+            )
+        )
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "stress_join",
+                "sf_dir": sf_dir,
+                "inflation_factor": m,
+                "hot_partkey": int(hot_key),
+                "plain_shuffle_noskewfix": {"sec": t_plain, "pairs": n_plain},
+                "plain_aqe_skewjoin": {"sec": t_plain_aqe},
+                "salted": {
+                    "sec": t_salt,
+                    "pairs": n_salt_rows,
+                    "equal_to_plain": n_salt_rows == n_plain,
+                    "stats": salt_stats,
+                },
+                "capped": {
+                    "sec": t_cap,
+                    "pairs": n_cap,
+                    "stats": cap_stats,
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
 def stress_image() -> None:
     """``bench.py --stress-image``: adversarial volume stress for the
     perceptual-hash image family (q144/q148): documents become media
@@ -1026,6 +1183,8 @@ if __name__ == "__main__":
         stress_graph()
     elif "--stress-image" in sys.argv[1:]:
         stress_image()
+    elif "--stress-join" in sys.argv[1:]:
+        stress_join()
     elif "--stress-ann" in sys.argv[1:]:
         stress_ann()
     elif "--stress" in sys.argv[1:]:

@@ -247,6 +247,57 @@ def hll_cardinality_by(
     )
 
 
+def _cms_cells(
+    df: DataFrame, key: Column, side: str, depth: int, width: int
+) -> DataFrame:
+    """Collapse one join side onto its depth×width CMS cells: ONE hash
+    aggregate (map-side partials) over the key column."""
+    rows = F.array(*[F.lit(str(j)) for j in range(depth)])
+    return (
+        df.select(key.cast("string").alias("_k"))
+        .filter(F.col("_k").isNotNull())
+        .select(F.explode(rows).alias("_j"), "_k")
+        .select("_j", _md5_mod(F.col("_j"), F.col("_k"), width).alias("_p"))
+        .groupBy("_j", "_p")
+        .agg(F.count(F.lit(1)).alias(f"c_{side}"))
+    )
+
+
+def cms_join_estimate(
+    df_a: DataFrame,
+    key_a: Column,
+    df_b: DataFrame,
+    key_b: Column,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """The sketch-only half of :func:`cms_join_size`: a 1-row frame
+    ``(est_join_rows)`` upper-bounding |A ⋈ B| via the count-min inner
+    product, WITHOUT the exact per-key count (which shuffles every
+    key and is exactly the cost a pre-flight must avoid at 100 TB).
+    :func:`guarded_join` runs this before committing to a strategy."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1: {depth}/{width}")
+    # the min must range over ALL depth rows: a row whose cells share
+    # no positions has true inner product 0 (not "no vote") — without
+    # it the estimate loosens, and fully disjoint key sets would
+    # return NULL instead of 0 (the inner join is empty)
+    all_rows = df_a.sparkSession.range(depth).select(
+        F.col("id").cast("string").alias("_j")
+    )
+    return (
+        all_rows.join(
+            _cms_cells(df_a, key_a, "a", depth, width)
+            .join(_cms_cells(df_b, key_b, "b", depth, width), ["_j", "_p"])
+            .groupBy("_j")
+            .agg(F.sum(F.col("c_a") * F.col("c_b")).alias("_ip")),
+            "_j",
+            "left",
+        )
+        .agg(F.min(F.coalesce("_ip", F.lit(0))).alias("est_join_rows"))
+    )
+
+
 def cms_join_size(
     df_a: DataFrame,
     key_a: Column,
@@ -282,36 +333,7 @@ def cms_join_size(
     """
     if depth < 1 or width < 1:
         raise ValueError(f"depth/width must be >= 1: {depth}/{width}")
-
-    def _cells(df: DataFrame, key: Column, side: str) -> DataFrame:
-        rows = F.array(*[F.lit(str(j)) for j in range(depth)])
-        return (
-            df.select(key.cast("string").alias("_k"))
-            .filter(F.col("_k").isNotNull())
-            .select(F.explode(rows).alias("_j"), "_k")
-            .select("_j", _md5_mod(F.col("_j"), F.col("_k"), width).alias("_p"))
-            .groupBy("_j", "_p")
-            .agg(F.count(F.lit(1)).alias(f"c_{side}"))
-        )
-
-    # the min must range over ALL depth rows: a row whose cells share
-    # no positions has true inner product 0 (not "no vote") — without
-    # it the estimate loosens, and fully disjoint key sets would
-    # return NULL instead of 0 (the inner join is empty)
-    all_rows = df_a.sparkSession.range(depth).select(
-        F.col("id").cast("string").alias("_j")
-    )
-    inner = (
-        all_rows.join(
-            _cells(df_a, key_a, "a")
-            .join(_cells(df_b, key_b, "b"), ["_j", "_p"])
-            .groupBy("_j")
-            .agg(F.sum(F.col("c_a") * F.col("c_b")).alias("_ip")),
-            "_j",
-            "left",
-        )
-        .agg(F.min(F.coalesce("_ip", F.lit(0))).alias("est_join_rows"))
-    )
+    inner = cms_join_estimate(df_a, key_a, df_b, key_b, depth, width)
     ca = (
         df_a.select(key_a.cast("string").alias("_k"))
         .filter(F.col("_k").isNotNull())
@@ -336,3 +358,183 @@ def cms_join_size(
             "overestimate"
         ),
     )
+
+
+def guarded_join(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    on: "str | list[str]",
+    est_threshold: int,
+    over_strategy: str = "salt",
+    n_salt: int = 16,
+    hot_key_rows: int = 1000,
+    max_rows_per_key: "int | None" = None,
+    depth: int = 3,
+    width: int = 1024,
+    stats_out: "dict | None" = None,
+) -> DataFrame:
+    """Skew-guarded inner equi-join: run the constant-memory CMS
+    join-size pre-flight (:func:`cms_join_estimate`) FIRST, and only
+    commit to a join strategy once the estimate is known — the
+    "measure before you shuffle" armor the dedup family applies to
+    its candidate buckets (``_cap_buckets``), applied to a general
+    equi-join. The reference's co-purchase self-join family (q112) is
+    the motivating shape: a celebrity key turns |A ⋈ B| quadratic,
+    and the task that owns that key becomes the straggler that stalls
+    a 1000-executor stage.
+
+    Decision (recorded in ``stats_out``):
+
+    - estimate <= ``est_threshold``: plain join — Catalyst/AQE handle
+      the physical strategy.
+    - over threshold, ``over_strategy='salt'``: value-IDENTICAL
+      output, different physical distribution. Keys whose per-side
+      row count exceeds ``hot_key_rows`` (one compact-key aggregate
+      per side — the same aggregate a shuffle would do anyway, tiny
+      next to the join it guards) are split out; the hot slice of A
+      gets a deterministic content-hash salt (xxhash64 over the full
+      row, so retries recompute the same value — rand() salting can
+      lose/duplicate rows on partial stage retry), the hot slice of B
+      replicates ``n_salt``× and the join runs on (key, salt), so the
+      celebrity key's pairs spread over ``n_salt`` tasks instead of
+      one. The cold slices join plain; the union is the exact plain-
+      join result in every row (pinned by test + the q156 oracle).
+      Identical FULL rows share a salt — salting splits a hot key
+      whose rows differ anywhere; a corpus of bit-identical duplicate
+      rows should pre-aggregate instead.
+    - over threshold, ``over_strategy='cap'``: loud recall trade —
+      each side keeps at most ``max_rows_per_key`` rows per key
+      (deterministic md5-of-row pick, so the kept set is stable
+      across engines and retries), the drop counts are written into
+      ``stats_out`` and logged (the `_cap_buckets` convention: no
+      silent caps).
+    - over threshold, ``over_strategy='error'``: raise — the caller
+      wants the pre-flight as a hard gate.
+
+    The pre-flight is an eager constant-size job (two depth×width
+    sketches + a broadcast min) — the one action this operator runs
+    before returning; everything after stays lazy.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if over_strategy not in ("salt", "cap", "error"):
+        raise ValueError(f"unknown over_strategy: {over_strategy!r}")
+    if est_threshold < 0 or n_salt < 1 or hot_key_rows < 1:
+        raise ValueError("est_threshold/n_salt/hot_key_rows must be >= 0/1/1")
+    if over_strategy == "cap" and (max_rows_per_key or 0) < 1:
+        raise ValueError("over_strategy='cap' needs max_rows_per_key >= 1")
+
+    key_expr = lambda df: (  # noqa: E731 - local one-liner
+        F.concat_ws("\x1f", *[df[k].cast("string") for k in keys])
+    )
+    est = int(
+        cms_join_estimate(
+            df_a, key_expr(df_a), df_b, key_expr(df_b), depth, width
+        ).collect()[0]["est_join_rows"]
+    )
+    if stats_out is not None:
+        stats_out["est_join_rows"] = est
+        stats_out["est_threshold"] = est_threshold
+
+    out_cols = keys + [
+        c for c in df_a.columns if c not in keys
+    ] + [c for c in df_b.columns if c not in keys]
+
+    if est <= est_threshold:
+        if stats_out is not None:
+            stats_out["strategy"] = "plain"
+        return df_a.join(df_b, keys).select(*out_cols)
+
+    if over_strategy == "error":
+        raise ValueError(
+            f"guarded_join: estimated join size {est} exceeds "
+            f"threshold {est_threshold} (over_strategy='error')"
+        )
+
+    if over_strategy == "cap":
+        import logging
+
+        from capex_data_pipeline_spark.cache import persisted
+        from pyspark.sql.window import Window
+
+        def _cap(df: DataFrame, side: str) -> DataFrame:
+            w = Window.partitionBy(*keys).orderBy(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f", *[F.col(c).cast("string") for c in df.columns]
+                    )
+                )
+            )
+            capped = persisted(
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= max_rows_per_key)
+                .drop("_rn")
+            )
+            if stats_out is not None:
+                total = df.count()
+                kept = capped.count()
+                stats_out[f"dropped_rows_{side}"] = total - kept
+                if total != kept:
+                    logging.getLogger(__name__).warning(
+                        "guarded_join cap=%d dropped %d/%d rows on side "
+                        "%s — an explicit recall trade, not full coverage",
+                        max_rows_per_key,
+                        total - kept,
+                        total,
+                        side,
+                    )
+            return capped
+
+        if stats_out is not None:
+            stats_out["strategy"] = "cap"
+        return _cap(df_a, "a").join(_cap(df_b, "b"), keys).select(*out_cols)
+
+    # --- salt: split hot keys out, spread their pairs over n_salt tasks
+    from capex_data_pipeline_spark.cache import persisted
+
+    hot_a = df_a.groupBy(*keys).count().filter(F.col("count") > hot_key_rows)
+    hot_b = df_b.groupBy(*keys).count().filter(F.col("count") > hot_key_rows)
+    hot = persisted(
+        hot_a.select(*keys).union(hot_b.select(*keys)).distinct()
+    )
+    a_cold = df_a.join(F.broadcast(hot), keys, "left_anti")
+    b_cold = df_b.join(F.broadcast(hot), keys, "left_anti")
+    a_hot = df_a.join(F.broadcast(hot), keys, "left_semi")
+    b_hot = df_b.join(F.broadcast(hot), keys, "left_semi")
+
+    salt_a = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df_a.columns]), F.lit(n_salt)
+    ).alias("_salt")
+    a_salted = a_hot.select("*", salt_a)
+    b_replicated = b_hot.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<long>")
+        ).alias("_salt"),
+    )
+    # EXPLICIT user repartition on (keys, salt), both sides: AQE sizes
+    # post-shuffle partitions by shuffle INPUT bytes, and the exact
+    # case this operator guards — modest inputs, quadratic output —
+    # looks tiny to it, so AQE would coalesce the hot join back onto
+    # ONE task and silently undo the salt (measured: the salted join
+    # ran single-task until this pin). A user-specified repartition
+    # count is exempt from AQE coalescing; width = max(n_salt,
+    # session shuffle partitions) so several hot keys spread across
+    # the full stage width, never fewer than n_salt tasks.
+    n_part = max(
+        n_salt,
+        int(df_a.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+    )
+    part_cols = [F.col(k) for k in keys] + [F.col("_salt")]
+    hot_joined = (
+        a_salted.repartition(n_part, *part_cols)
+        .join(
+            b_replicated.repartition(n_part, *part_cols),
+            keys + ["_salt"],
+        )
+        .select(*out_cols)
+    )
+    cold_joined = a_cold.join(b_cold, keys).select(*out_cols)
+    if stats_out is not None:
+        stats_out["strategy"] = "salt"
+        stats_out["hot_keys"] = hot.count()
+    return cold_joined.unionByName(hot_joined)

@@ -2084,3 +2084,49 @@ def q155_join_size_estimate(spark, sf_dir):
     return cms_join_size(
         li, F.col("l_partkey"), li, F.col("l_partkey"), depth=3, width=1024
     )
+
+
+# ---------- q156: guarded join (CMS pre-flight -> salted hot keys)
+
+
+@query(
+    "q156_guarded_join",
+    """
+    SELECT (a.l_partkey % 100)::BIGINT AS bucket,
+           count(*)::BIGINT AS pairs,
+           count(DISTINCT a.l_orderkey)::BIGINT AS orders
+    FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey
+    GROUP BY 1
+    """,
+)
+def q156_guarded_join(spark, sf_dir):
+    """Skew-guarded self-join (sketches.guarded_join): the operator
+    that CONSUMES the q155 pre-flight. The lineitem-on-l_partkey
+    self-join (the q112 co-purchase shape) runs behind a CMS
+    join-size estimate; over the (deliberately zero) threshold the
+    hot keys — every partkey with > 8 rows here, so the salted path
+    carries real volume — are split out, content-hash salted on one
+    side and replicated n_salt=8x on the other, and joined on
+    (key, salt) so a celebrity key's pairs spread over 8 tasks
+    instead of one straggler; cold keys join plain and the union is
+    value-IDENTICAL to the plain join. The oracle is therefore the
+    PLAIN SQL join + aggregate — passing proves the salted physical
+    plan changes nothing about the result. Pair/order counts land per
+    partkey bucket to keep the certified frame compact."""
+    from capex_data_pipeline_spark.extensions.sketches import guarded_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select("l_partkey", F.col("l_orderkey").alias("order_a"))
+    b = li.select("l_partkey", F.col("l_orderkey").alias("order_b"))
+    joined = guarded_join(
+        a, b, "l_partkey", est_threshold=0, n_salt=8, hot_key_rows=8
+    )
+    return (
+        joined.groupBy(
+            (F.col("l_partkey") % 100).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.countDistinct("order_a").alias("orders"),
+        )
+    )

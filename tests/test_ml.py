@@ -1911,3 +1911,82 @@ def test_cms_join_size_zero_match_depth_row_votes_zero(spark):
     assert r["exact_join_rows"] == 0
     assert r["est_join_rows"] == 0
     assert r["overestimate"] == 0
+
+
+def test_guarded_join_plain_under_threshold(spark):
+    from capex_data_pipeline_spark.extensions.sketches import guarded_join
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k long, va string"
+    )
+    b = spark.createDataFrame([(1, 10), (2, 20)], "k long, vb long")
+    stats = {}
+    out = guarded_join(a, b, "k", est_threshold=100, stats_out=stats)
+    assert stats["strategy"] == "plain"
+    assert stats["est_join_rows"] <= 100
+    got = {(r["k"], r["va"], r["vb"]) for r in out.collect()}
+    assert got == {(1, "x", 10), (2, "y", 20)}
+
+
+def test_guarded_join_salt_is_value_identical(spark):
+    """Over threshold the hot key's pairs are salted across n_salt
+    buckets — every output row of the plain join appears exactly once
+    (value-identical, different physical distribution)."""
+    from collections import Counter
+
+    from capex_data_pipeline_spark.extensions.sketches import guarded_join
+
+    # one celebrity key (0) with 60 rows/side, 20 cold keys
+    rows_a = [(0, i) for i in range(60)] + [(k, 1000 + k) for k in range(1, 21)]
+    rows_b = [(0, -i) for i in range(60)] + [(k, 2000 + k) for k in range(1, 21)]
+    a = spark.createDataFrame(rows_a, "k long, va long")
+    b = spark.createDataFrame(rows_b, "k long, vb long")
+    stats = {}
+    out = guarded_join(
+        a, b, "k", est_threshold=10, n_salt=4, hot_key_rows=30,
+        stats_out=stats,
+    )
+    assert stats["strategy"] == "salt"
+    assert stats["hot_keys"] == 1
+    assert stats["est_join_rows"] >= 3600  # CMS never undershoots
+    got = Counter((r["k"], r["va"], r["vb"]) for r in out.collect())
+    want = Counter(
+        (ka, va, vb)
+        for ka, va in rows_a
+        for kb, vb in rows_b
+        if ka == kb
+    )
+    assert got == want  # exactly once each, no loss, no duplication
+
+
+def test_guarded_join_cap_is_loud(spark, caplog):
+    import logging
+
+    from capex_data_pipeline_spark.extensions.sketches import guarded_join
+
+    a = spark.createDataFrame([(0, i) for i in range(50)], "k long, va long")
+    b = spark.createDataFrame([(0, i) for i in range(50)], "k long, vb long")
+    stats = {}
+    with caplog.at_level(logging.WARNING):
+        out = guarded_join(
+            a, b, "k", est_threshold=10, over_strategy="cap",
+            max_rows_per_key=5, stats_out=stats,
+        )
+        n = out.count()
+    assert stats["strategy"] == "cap"
+    assert n == 25  # 5 x 5 after the per-side cap
+    assert stats["dropped_rows_a"] == 45 and stats["dropped_rows_b"] == 45
+    assert any("recall trade" in r.message for r in caplog.records)
+
+
+def test_guarded_join_error_strategy_and_guards(spark):
+    from capex_data_pipeline_spark.extensions.sketches import guarded_join
+
+    a = spark.createDataFrame([(0, i) for i in range(50)], "k long, v long")
+    with pytest.raises(ValueError, match="exceeds"):
+        guarded_join(a, a.withColumnRenamed("v", "w"), "k",
+                     est_threshold=10, over_strategy="error")
+    with pytest.raises(ValueError, match="over_strategy"):
+        guarded_join(a, a, "k", est_threshold=10, over_strategy="wat")
+    with pytest.raises(ValueError, match="max_rows_per_key"):
+        guarded_join(a, a, "k", est_threshold=10, over_strategy="cap")

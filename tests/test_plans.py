@@ -269,7 +269,7 @@ def test_driver_contract_registry_invariants():
     import bench
 
     qs, oracles = E.queries(), E.oracle_sql()
-    assert len(qs) == 155
+    assert len(qs) == 156
     # drift lint: registered names must be a contiguous q1..qN block, so
     # an added/removed query fails HERE with the offending number, not
     # just a bare count mismatch
@@ -309,7 +309,10 @@ def test_bench_emits_one_json_line_with_stats():
     json_lines = [
         ln for ln in out.stdout.splitlines() if ln.startswith("{") and ln.endswith("}")
     ]
-    assert len(json_lines) == 1, out.stdout[-2000:]
+    # r9 contract: the full stats line, then a compact tail summary
+    # LAST (the driver keeps only the end of stdout — the tail line
+    # keeps every BENCH_rN artifact self-interpreting)
+    assert len(json_lines) == 2, out.stdout[-2000:]
     d = json.loads(json_lines[0])
     assert d["metric"] == "headline_queries_total"
     assert d["unit"] == "sec" and d["value"] > 0
@@ -318,6 +321,12 @@ def test_bench_emits_one_json_line_with_stats():
     for st in d["stats"].values():
         assert {"median", "min", "spread", "runs"} <= set(st)
     assert "before" in d["loadavg"] and "after" in d["loadavg"]
+    tail = json.loads(json_lines[1])
+    assert tail["summary"] == "tail"
+    assert tail["value"] == d["value"]
+    assert tail["n_queries"] == len(d["queries"])
+    assert 0 < len(tail["slowest"]) <= 10
+    assert all(q in d["queries"] for q in tail["slowest"])
 
 
 def test_unpersist_untracks_from_global_registry(spark, raw_sdf, office_sdf):
