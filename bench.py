@@ -209,6 +209,8 @@ HEADLINE = [
     # round-8: two fixed sketches + a depth*width cell join, never the join
     "q155_join_size_estimate",
     "q156_guarded_join",
+    "q157_ddsketch_quantiles",
+    "q158_image_hash_agreement",
 ]
 
 
@@ -793,17 +795,50 @@ def stress_ann() -> None:
             "rows": pca_power_projection(inf, rounds=2).count()})
         inf.unpersist()
 
+    # --- nprobe operating curve (r9): recall@10 vs query cost at the
+    # low scale, so the IVF default is justified by data, not vibes —
+    # the exact brute top-k is the baseline, ann_recall the judge
+    from capex_data_pipeline_spark.extensions.similarity import ann_recall
+
+    inf = inflate(lo_copies).persist()
+    inf.count()
+    exact10 = cosine_topk(inf, queries, k=10).persist()
+    exact10.count()
+    assigned, centers = ivf_build(inf, centers_mode="sample", assign="arrow")
+    sweep: dict = {}
+    for nprobe in (1, 2, 4, 8, 16):
+        t0 = time.time()
+        approx = ivf_query(assigned, centers, queries, k=10, nprobe=nprobe)
+        mean_recall = (
+            ann_recall(approx, exact10, k=10)
+            .agg(F.round(F.avg("recall"), 4).alias("r"))
+            .collect()[0]["r"]
+        )
+        sweep[f"nprobe={nprobe}"] = {
+            "sec": round(time.time() - t0, 3),
+            "mean_recall@10": float(mean_recall),
+        }
+        print(
+            f"[stress-ann] sweep nprobe={nprobe}: {sweep[f'nprobe={nprobe}']}",
+            file=sys.stderr,
+        )
+    out["nprobe_sweep"] = {"n_cells": len(centers), "curve": sweep}
+    assigned.unpersist()
+    exact10.unpersist()
+    inf.unpersist()
+
     lo, hi = list(scales)[0], list(scales)[1]
     ratios = {
         name: round(v[hi]["sec"] / max(v[lo]["sec"], 1e-9), 2)
         for name, v in out.items()
+        if hi in v and lo in v
     }
     print(
         json.dumps(
             {
                 "metric": "stress_ann",
                 "value": round(
-                    sum(v[hi]["sec"] for v in out.values()), 4
+                    sum(v[hi]["sec"] for v in out.values() if hi in v), 4
                 ),
                 "unit": "sec",
                 "n_base_vectors": n_base,
@@ -1056,6 +1091,26 @@ def stress_image() -> None:
             media, pixelizer=char_grid_pixelizer, n_bits=60, max_hamming=3,
             max_bucket_size=cap, cap_stats=stats
         ).count(), **stats})
+    # r9: the dHash-vs-aHash audit (q158) at adversarial volume — one
+    # decode pass for both hashes, then agreement per dHash distance;
+    # a healthy decode path keeps ahash_within/n_pairs high and
+    # stable run-over-run (drift here = broken decoder, not recall)
+    from capex_data_pipeline_spark.extensions.multimodal import (
+        image_hash_agreement,
+    )
+
+    timed("hash_agreement", lambda: {
+        "per_distance": {
+            str(r["dhash_hamming"]): {
+                "n_pairs": r["n_pairs"],
+                "ahash_within": r["ahash_within"],
+                "mean_ahash_hamming": r["mean_ahash_hamming"],
+            }
+            for r in image_hash_agreement(
+                media, pixelizer=char_grid_pixelizer, n_bits=60,
+                max_hamming=3,
+            ).collect()
+        }})
     print(
         json.dumps(
             {

@@ -882,3 +882,104 @@ def image_near_dups(
         max_bucket_size=max_bucket_size,
         cap_stats=cap_stats,
     )
+
+
+def image_hashes_multi(
+    media: DataFrame,
+    pixelizer=None,
+    n_bits: int = 64,
+) -> DataFrame:
+    """Both perceptual-hash families per media row in ONE decode pass:
+    (media_id, dhash, ahash) via ``mapInPandas``. The point at scale:
+    decode (the expensive step — real image IO) runs once and feeds
+    every hash the pipeline wants, instead of once per
+    :func:`image_hashes` call."""
+    px = pixelizer if pixelizer is not None else gray_pixels
+
+    def _hash_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, dhs, ahs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                g = px(bytes(payload or b""))
+                ids.append(mid)
+                dhs.append(dhash_bits(g, n_bits))
+                ahs.append(ahash_bits(g, n_bits))
+            yield pd.DataFrame(
+                {"media_id": ids, "dhash": dhs, "ahash": ahs}
+            )
+
+    return media.mapInPandas(
+        _hash_batches, schema="media_id long, dhash long, ahash long"
+    )
+
+
+def image_hash_agreement(
+    media: DataFrame,
+    pixelizer=None,
+    n_bits: int = 64,
+    max_hamming: int = 3,
+    decimals: int = 6,
+) -> DataFrame:
+    """dHash-vs-aHash disagreement audit over the dHash near-dup
+    candidate pairs — the cheap cross-check a production multimodal
+    pipeline runs to catch decoder/resize drift: the two families
+    measure different things (local gradients vs global threshold),
+    so a sudden divergence between them on the SAME pairs flags a
+    broken decode path long before a human looks at recall. For every
+    dHash pair within ``max_hamming`` (the q144 pigeonhole
+    candidates), the aHash hamming of the same pair is aggregated per
+    dHash distance.
+
+    Scale shape: ONE decode+hash pass (:func:`image_hashes_multi` —
+    pixels never shuffle, only 2×8-byte hashes), the proven pigeonhole
+    equi-join for candidates, then two compact hash joins on the pair
+    ids and one ``max_hamming+1``-group aggregate.
+
+    Returns (dhash_hamming, n_pairs, ahash_within, mean_ahash_hamming,
+    max_ahash_hamming) — ``ahash_within`` counts pairs whose aHash
+    distance also lands <= ``max_hamming``.
+    """
+    from capex_data_pipeline_spark.cache import persisted
+    from capex_data_pipeline_spark.extensions.dedup import hamming_near_dups
+
+    hashes = persisted(
+        image_hashes_multi(media, pixelizer=pixelizer, n_bits=n_bits)
+    )
+    pairs = hamming_near_dups(
+        hashes.select("media_id", F.col("dhash").alias("phash")),
+        hash_col="phash",
+        id_col="media_id",
+        n_bits=n_bits,
+        max_hamming=max_hamming,
+    )
+    ah = hashes.select("media_id", "ahash")
+    both = (
+        pairs.join(
+            ah.select(
+                F.col("media_id").alias("id_a"), F.col("ahash").alias("_ah_a")
+            ),
+            "id_a",
+        )
+        .join(
+            ah.select(
+                F.col("media_id").alias("id_b"), F.col("ahash").alias("_ah_b")
+            ),
+            "id_b",
+        )
+        .select(
+            F.col("hamming").alias("dhash_hamming"),
+            F.bit_count(
+                F.col("_ah_a").bitwiseXOR(F.col("_ah_b"))
+            ).alias("_ah_ham"),
+        )
+    )
+    return both.groupBy("dhash_hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(F.col("_ah_ham") <= max_hamming, 1).otherwise(0)
+        ).cast("long").alias("ahash_within"),
+        F.round(F.avg("_ah_ham"), decimals).alias("mean_ahash_hamming"),
+        F.max("_ah_ham").cast("long").alias("max_ahash_hamming"),
+    )

@@ -2130,3 +2130,152 @@ def q156_guarded_join(spark, sf_dir):
             F.countDistinct("order_a").alias("orders"),
         )
     )
+
+
+# ------- q157: DDSketch per-group quantiles (mergeable, no sampling)
+
+
+@query(
+    "q157_ddsketch_quantiles",
+    """
+    WITH vals AS (
+      SELECT l_returnflag AS g, l_extendedprice::DOUBLE AS v
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    cells AS (
+      SELECT g,
+             ceil(ln(v) / ln((1.0 + 0.01) / (1.0 - 0.01)))::BIGINT AS i,
+             count(*)::BIGINT AS c
+      FROM vals GROUP BY 1, 2
+    ),
+    tot AS (SELECT g, sum(c)::BIGINT AS n FROM cells GROUP BY g),
+    cum AS (
+      SELECT g, i, sum(c) OVER (PARTITION BY g ORDER BY i) AS cum
+      FROM cells
+    ),
+    qs AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS q),
+    pick AS (
+      SELECT t.g, q.q, t.n, min(c.i) AS pick
+      FROM tot t CROSS JOIN qs q
+      JOIN cum c ON c.g = t.g AND c.cum > floor(q.q * (t.n - 1))
+      GROUP BY 1, 2, 3
+    ),
+    est AS (
+      SELECT g, q, n,
+             round(2.0 * pow((1.0 + 0.01) / (1.0 - 0.01), pick)
+                   / ((1.0 + 0.01) / (1.0 - 0.01) + 1.0), 6) AS est_q
+      FROM pick
+    ),
+    ex AS (
+      SELECT g, 0.5::DOUBLE AS q,
+             round(quantile_cont(v, 0.5), 6) AS exact_q
+      FROM vals GROUP BY g
+      UNION ALL
+      SELECT g, 0.95::DOUBLE, round(quantile_cont(v, 0.95), 6)
+      FROM vals GROUP BY g
+      UNION ALL
+      SELECT g, 0.99::DOUBLE, round(quantile_cont(v, 0.99), 6)
+      FROM vals GROUP BY g
+    )
+    SELECT e.g AS l_returnflag, e.q, e.n, e.est_q, x.exact_q,
+           round(abs(e.est_q - x.exact_q) / x.exact_q, 6) AS rel_error
+    FROM est e JOIN ex x ON e.g = x.g AND e.q = x.q
+    """,
+)
+def q157_ddsketch_quantiles(spark, sf_dir):
+    """Mergeable per-group quantile sketch
+    (sketches.ddsketch_quantiles_by — DDSketch, Masson/Lee/Rim VLDB
+    2019): p50/p95/p99 of l_extendedprice per l_returnflag from a
+    log-bucketed histogram with relative-error guarantee alpha=0.01.
+    The 100 TB replacement for exact per-group percentiles (q73's
+    shuffle-every-value shape): bucket counts are an algebraic
+    aggregate — map-side partials collapse onto groups × ~920 integer
+    cells, shards merge by addition — and the quantile read is a
+    min-aggregate over the cumulated cells, never a sort. NO sampling
+    or compactor randomness (unlike KLL/GK), so the sketch is a pure
+    function of the value multiset and the oracle replays bucket
+    assignment, ranks, midpoint estimates, exact interpolated
+    quantiles, and the per-row relative error value-exact. Measured
+    rel_error <= 0.01 for every (group, q) — the alpha guarantee
+    observed, not asserted."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        ddsketch_quantiles_by,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ddsketch_quantiles_by(
+        li, "l_returnflag", F.col("l_extendedprice"), alpha=0.01
+    )
+
+
+# ------ q158: dHash vs aHash agreement audit (decoder-drift check)
+
+
+@query(
+    "q158_image_hash_agreement",
+    f"""
+    WITH {_Q144_CHAIN},
+    acell AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), b ->
+               CASE WHEN CAST(b % 8 AS INTEGER) < 7
+                    THEN px[CAST(b // 8 AS INTEGER) * 9
+                            + CAST(b % 8 AS INTEGER) + 1]::DOUBLE
+                    ELSE (px[CAST(b // 8 AS INTEGER) * 9 + 8]
+                          + px[CAST(b // 8 AS INTEGER) * 9 + 9]) / 2.0
+               END) AS cells
+      FROM g
+    ),
+    ahh AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN cells[CAST(b + 1 AS INTEGER)]
+                         >= list_sum(cells) / 64.0
+                    THEN (1::BIGINT << CAST(b AS INTEGER))
+                    ELSE 0::BIGINT END))::BIGINT AS ah
+      FROM acell
+    ),
+    agg AS (
+      SELECT c.hamming AS dhash_hamming,
+             bit_count(xor(aa.ah, ab.ah)) AS ah_ham
+      FROM cand c
+      JOIN ahh aa ON aa.doc_id = c.id_a
+      JOIN ahh ab ON ab.doc_id = c.id_b
+      WHERE c.hamming <= 3
+    )
+    SELECT dhash_hamming, count(*)::BIGINT AS n_pairs,
+           sum(CASE WHEN ah_ham <= 3 THEN 1 ELSE 0 END)::BIGINT
+             AS ahash_within,
+           round(avg(ah_ham), 6) AS mean_ahash_hamming,
+           max(ah_ham)::BIGINT AS max_ahash_hamming
+    FROM agg GROUP BY 1
+    """,
+)
+def q158_image_hash_agreement(spark, sf_dir):
+    """dHash-vs-aHash disagreement audit
+    (multimodal.image_hash_agreement): for every dHash near-dup pair
+    (q144's pigeonhole candidates, hamming <= 3), the aHash distance
+    of the SAME pair, aggregated per dHash distance — the cheap
+    cross-check a production multimodal pipeline runs to catch
+    decoder/resize drift (the two families measure different things:
+    local gradients vs global threshold; sudden divergence on the
+    same pairs flags a broken decode path before recall drops). ONE
+    decode pass computes both hashes (image_hashes_multi — pixels
+    never shuffle, only two 8-byte hashes per row); the aHash's
+    8x9 -> 8x8 box resize averages exactly two integer columns into
+    col 7, so every cell and the 64-cell mean are exact dyadic
+    rationals and the oracle replays grid -> both hashes -> pairs ->
+    per-distance stats value-exact."""
+    from capex_data_pipeline_spark.extensions.multimodal import (
+        char_grid_pixelizer,
+        documents_as_media,
+        image_hash_agreement,
+    )
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return image_hash_agreement(
+        media,
+        pixelizer=char_grid_pixelizer,
+        n_bits=60,
+        max_hamming=3,
+    )

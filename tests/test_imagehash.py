@@ -279,3 +279,69 @@ def test_image_cluster_composition(spark):
         2: (1, 2, False),
         3: (3, 1, True),
     }
+
+
+def test_image_hashes_multi_matches_single_passes(spark):
+    """One decode pass, both families: the (dhash, ahash) columns must
+    equal the per-kind image_hashes outputs exactly."""
+    from capex_data_pipeline_spark.extensions.multimodal import (
+        char_grid_pixelizer,
+        documents_as_media,
+        image_hashes,
+        image_hashes_multi,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+         (2, "completely different content right here ok then"),
+         (3, "")],
+        "doc_id long, text string",
+    )
+    media = documents_as_media(docs)
+    multi = {
+        r["media_id"]: (r["dhash"], r["ahash"])
+        for r in image_hashes_multi(
+            media, pixelizer=char_grid_pixelizer, n_bits=60
+        ).collect()
+    }
+    dh = {
+        r["media_id"]: r["phash"]
+        for r in image_hashes(
+            media, pixelizer=char_grid_pixelizer, kind="dhash", n_bits=60
+        ).collect()
+    }
+    ah = {
+        r["media_id"]: r["phash"]
+        for r in image_hashes(
+            media, pixelizer=char_grid_pixelizer, kind="ahash", n_bits=60
+        ).collect()
+    }
+    assert multi == {k: (dh[k], ah[k]) for k in dh}
+
+
+def test_image_hash_agreement_identical_payloads(spark):
+    """Identical payloads agree at distance 0 in BOTH families —
+    ahash_within == n_pairs and mean aHash hamming 0."""
+    from capex_data_pipeline_spark.extensions.multimodal import (
+        char_grid_pixelizer,
+        documents_as_media,
+        image_hash_agreement,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the same page content every time") for i in range(4)]
+        + [(99, "something else entirely different")],
+        "doc_id long, text string",
+    )
+    out = image_hash_agreement(
+        documents_as_media(docs),
+        pixelizer=char_grid_pixelizer,
+        n_bits=60,
+        max_hamming=3,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["dhash_hamming"] == 0 and r["n_pairs"] == 6  # C(4,2)
+    assert r["ahash_within"] == 6
+    assert r["mean_ahash_hamming"] == 0.0
+    assert r["max_ahash_hamming"] == 0

@@ -1990,3 +1990,76 @@ def test_guarded_join_error_strategy_and_guards(spark):
         guarded_join(a, a, "k", est_threshold=10, over_strategy="wat")
     with pytest.raises(ValueError, match="max_rows_per_key"):
         guarded_join(a, a, "k", est_threshold=10, over_strategy="cap")
+
+
+def test_ddsketch_quantiles_within_alpha(spark):
+    """The DDSketch guarantee observed: every estimate within relative
+    error alpha of the RANK ITEM (the value at 0-indexed rank
+    floor(q*(n-1)) — what the sketch targets; the reported exact_q is
+    the interpolated quantile, which can sit up to a data-gap away on
+    coarse discrete data like the squares in group b)."""
+    import math as _m
+
+    from capex_data_pipeline_spark.extensions.sketches import (
+        ddsketch_quantiles_by,
+    )
+
+    groups = {
+        "a": [float(i) for i in range(1, 1001)],
+        "b": [float(i * i) for i in range(1, 201)],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = ddsketch_quantiles_by(
+        df, "g", F.col("v"), alpha=0.02, quantiles=(0.1, 0.5, 0.9, 0.99)
+    ).collect()
+    assert len(out) == 8
+    for r in out:
+        vs = sorted(groups[r["g"]])
+        item = vs[_m.floor(r["q"] * (len(vs) - 1))]
+        assert abs(r["est_q"] - item) / item <= 0.02 + 1e-9, (r, item)
+        assert r["n"] == len(vs)
+    # on dense data the interpolated exact is also within ~alpha
+    assert all(r["rel_error"] <= 0.021 for r in out if r["g"] == "a")
+
+
+def test_ddsketch_quantiles_excludes_nonpositive_and_guards(spark):
+    from capex_data_pipeline_spark.extensions.sketches import (
+        ddsketch_quantiles_by,
+    )
+
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 0.0), ("a", None), ("a", 10.0), ("a", 10.0)],
+        "g string, v double",
+    )
+    out = ddsketch_quantiles_by(df, "g", F.col("v"), quantiles=(0.5,)).collect()
+    assert len(out) == 1 and out[0]["n"] == 2  # only the positive rows
+    with pytest.raises(ValueError, match="alpha"):
+        ddsketch_quantiles_by(df, "g", F.col("v"), alpha=0.0)
+    with pytest.raises(ValueError, match="quantiles"):
+        ddsketch_quantiles_by(df, "g", F.col("v"), quantiles=(1.5,))
+
+
+def test_ddsketch_cells_merge_by_addition(spark):
+    """Mergeability measured: the sketch built from a pre-sharded
+    union equals the sketch of the whole frame (bucket counts are an
+    algebraic sum — there is no compactor state to reconcile)."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        ddsketch_quantiles_by,
+    )
+
+    whole = spark.createDataFrame(
+        [("a", float(i % 97 + 1)) for i in range(500)], "g string, v double"
+    )
+    shard1 = whole.filter(F.col("v") <= 50)
+    shard2 = whole.filter(F.col("v") > 50)
+    merged = shard1.unionByName(shard2)
+    got_whole = {
+        (r["g"], r["q"]): (r["n"], r["est_q"])
+        for r in ddsketch_quantiles_by(whole, "g", F.col("v")).collect()
+    }
+    got_merged = {
+        (r["g"], r["q"]): (r["n"], r["est_q"])
+        for r in ddsketch_quantiles_by(merged, "g", F.col("v")).collect()
+    }
+    assert got_whole == got_merged

@@ -687,3 +687,110 @@ def test_incremental_neardup_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM inc_neardup_stream").collect()
     )
     assert got == expected
+
+
+def test_incremental_neardup_true_stream_matches_batch(spark, tmp_path):
+    """Round-9 close of the q75 loop: the incremental near-dedup runs
+    under a REAL Structured Streaming query (file source, one file per
+    micro-batch via maxFilesPerTrigger, foreachBatch), maintaining the
+    growing corpus index exactly as a daily-crawl deployment would —
+    and the union of per-batch pair outputs is BIT-identical to the
+    same operator replayed batch-by-batch, and set-identical to the
+    cross-batch slice of the full-corpus self-join."""
+    import time
+
+    from capex_data_pipeline_spark.extensions.dedup import (
+        minhash_near_dups,
+        minhash_near_dups_incremental,
+    )
+
+    batches = [
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "an entirely different first document about spark plans"),
+        ],
+        [
+            (3, "the quick brown fox jumps over the lazy dog tonight"),
+            (4, "nothing like the others at all whatsoever in here"),
+        ],
+        [
+            (5, "the quick brown fox jumps over the lazy dog today"),
+            (6, "an entirely different first document about spark joins"),
+        ],
+    ]
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    src.mkdir()
+    # one parquet file per micro-batch; mtime spacing pins file-source
+    # processing order (mod time, then path)
+    for i, rows in enumerate(batches):
+        p = str(src / f"batch_{i}.parquet")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        t = time.time() + i * 10
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "pairs")
+
+    def handle(batch_df, _epoch):
+        b = batch_df.localCheckpoint()
+        try:
+            idx = b.sparkSession.read.parquet(index_dir)
+            has_index = True
+        except Exception:  # first batch: no index yet
+            has_index = False
+        if has_index:
+            minhash_near_dups_incremental(b, idx).write.mode(
+                "append"
+            ).parquet(out_dir)
+        b.write.mode("append").parquet(index_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .writeStream.foreachBatch(handle)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["new_id"], r["index_id"], r["est_jaccard"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    # reference 1: the identical operator replayed batch-by-batch
+    want = set()
+    for i in range(1, len(batches)):
+        new = spark.createDataFrame(batches[i], schema)
+        idx = spark.createDataFrame(
+            [r for b in batches[:i] for r in b], schema
+        )
+        want |= {
+            (r["new_id"], r["index_id"], r["est_jaccard"])
+            for r in minhash_near_dups_incremental(new, idx).collect()
+        }
+    assert got == want
+    assert got  # the corpus contains real cross-batch near-dups
+
+    # reference 2: the cross-batch slice of the full self-join —
+    # orientation-normalized (incremental reports (newer, older))
+    full = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    batch_of = {
+        doc_id: i for i, b in enumerate(batches) for doc_id, _ in b
+    }
+    self_pairs = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+        for r in minhash_near_dups(full).collect()
+        if batch_of[r["id_a"]] != batch_of[r["id_b"]]
+    }
+    assert {(a, b) for a, b, _ in got} == self_pairs
