@@ -211,6 +211,8 @@ HEADLINE = [
     "q156_guarded_join",
     "q157_ddsketch_quantiles",
     "q158_image_hash_agreement",
+    "q159_bloom_filtered_join",
+    "q160_source_overlap",
 ]
 
 

@@ -1455,3 +1455,120 @@ def cluster_safe_split(
     return assign_split(
         clusters, group_col="cluster_id", splits=splits, seed=seed
     ).select(id_col, "cluster_id", "split")
+
+
+def source_overlap_minhash(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    k: int = DEFAULT_SHINGLE_K,
+    decimals: int = 6,
+) -> DataFrame:
+    """Dataset-pair overlap audit via per-SOURCE MinHash signatures:
+    estimated Jaccard similarity of the shingle SETS of every source
+    pair — "how much of dump A is inside dump B", the audit a corpus
+    curator runs across crawl snapshots / vendor drops before
+    deciding what to dedup against what (doc-level near-dup, q31,
+    answers a different question: WHICH documents collide).
+
+    Scale shape: the signature is an ALGEBRAIC aggregate — per
+    (source, seed) min of md5(seed|shingle) over the source's
+    distinct shingles, map-side partial min, sources × num_hashes
+    cells total — so the estimate costs one scan regardless of corpus
+    size and signatures from different days merge by min. The exact
+    Jaccard rides along from the distinct (source, shingle) frame
+    (the shuffle the sketch avoids at 100 TB — drop it there; the
+    estimate's error is bounded by 1/sqrt(num_hashes)).
+
+    Returns (source_a, source_b, n_a, n_b, exact_jaccard,
+    est_jaccard, abs_error) for every source pair, source_a <
+    source_b; zero-overlap pairs report 0.0, not absence.
+    """
+    from capex_data_pipeline_spark.cache import persisted
+
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1: {num_hashes}")
+    sh = persisted(
+        docs.select(
+            F.col(source_col).alias("_src"),
+            F.explode(_shingles_expr(text_col, k)).alias("_s"),
+        )
+        .filter(F.col("_s") != "")
+        .distinct()
+    )
+    seeds = F.array(*[F.lit(str(j)) for j in range(num_hashes)])
+    sig = (
+        sh.select("_src", F.explode(seeds).alias("_j"), "_s")
+        .select(
+            "_src",
+            "_j",
+            F.md5(F.concat(F.col("_j"), F.lit("|"), F.col("_s"))).alias("_h"),
+        )
+        .groupBy("_src", "_j")
+        .agg(F.min("_h").alias("_mh"))
+    )
+    est = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a._j") == F.col("b._j"))
+            & (F.col("a._src") < F.col("b._src")),
+        )
+        .groupBy(
+            F.col("a._src").alias("source_a"),
+            F.col("b._src").alias("source_b"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("a._mh") == F.col("b._mh"), 1).otherwise(0)
+                )
+                / F.lit(float(num_hashes)),
+                decimals,
+            ).alias("est_jaccard")
+        )
+    )
+    sizes = sh.groupBy("_src").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x._s") == F.col("y._s"))
+            & (F.col("x._src") < F.col("y._src")),
+        )
+        .groupBy(
+            F.col("x._src").alias("source_a"),
+            F.col("y._src").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    exact = F.round(
+        F.coalesce(F.col("_i"), F.lit(0))
+        / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("_i"), F.lit(0))).cast(
+            "double"
+        ),
+        decimals,
+    )
+    return (
+        est.join(
+            sizes.select(F.col("_src").alias("source_a"), F.col("n").alias("n_a")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("_src").alias("source_b"), F.col("n").alias("n_b")),
+            "source_b",
+        )
+        .join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            exact.alias("exact_jaccard"),
+            "est_jaccard",
+            F.round(F.abs(F.col("est_jaccard") - exact), decimals).alias(
+                "abs_error"
+            ),
+        )
+    )

@@ -651,3 +651,112 @@ def ddsketch_quantiles_by(
             decimals,
         ).alias("rel_error"),
     )
+
+
+def bloom_filtered_join(
+    df_big: DataFrame,
+    df_small: DataFrame,
+    on: "str | list[str]",
+    m_bits: int = 1 << 18,
+    n_hashes: int = 3,
+    stats_out: "dict | None" = None,
+) -> DataFrame:
+    """Bloom-pruned inner equi-join — the selectivity armor beside
+    :func:`guarded_join`'s skew armor: when the small side matches
+    only a sliver of the big side's keys, the plain join still
+    shuffles EVERY big-side row to its reducer before dropping the
+    misses. Here the small side's distinct keys are folded into an
+    ``m_bits``-bit Bloom bitset, packed into ``m_bits/64`` longs
+    (32 KiB at the default 2^18 — the constant-size "array rider"
+    `corpus.bloom_contamination`'s docstring promises), broadcast as a
+    one-row frame, and the big side is filtered MAP-SIDE — inside the
+    scan's whole-stage codegen, before any exchange — so only
+    survivors shuffle. False negatives are impossible (a matching row
+    always passes), so the output is value-IDENTICAL to the plain
+    join — exactly what the q159 oracle certifies; false positives
+    ((1 - e^(-kB/m))^k) just ride the shuffle and fall out of the
+    join as they would have anyway.
+
+    Spark's own runtime row-level filters cover the simplest cases;
+    this operator makes the mechanism explicit, engine-portable
+    (md5 positions), measurable (``stats_out`` reports pruned-row
+    counts — the shuffle bytes saved), and composable with frames a
+    runtime filter cannot see through (checkpoint boundaries, unions,
+    Python-built plans).
+
+    The bitset build is the one eager step (two compact distinct
+    aggregates + a bounded collect of <= m_bits/64 words); pass
+    ``stats_out={}`` for eager prune accounting, else the filtered
+    plan stays lazy. Returns the joined frame (key cols + big cols +
+    small cols, the `guarded_join` layout).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two >= 64: {m_bits}")
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1: {n_hashes}")
+
+    def key_expr(df: DataFrame):
+        return F.concat_ws("\x1f", *[df[k].cast("string") for k in keys])
+
+    # fold the small side's distinct keys into set bit positions, then
+    # pack 64 positions per word DISTRIBUTEDLY (one compact aggregate)
+    # and collect only the <= m_bits/64 nonzero words
+    pos = (
+        df_small.select(key_expr(df_small).alias("_k"))
+        .distinct()
+        .select(
+            F.explode(
+                F.transform(
+                    F.array(*[F.lit(str(j)) for j in range(n_hashes)]),
+                    lambda j: _md5_mod(j, F.col("_k"), m_bits),
+                )
+            ).alias("_p")
+        )
+        .distinct()
+    )
+    words_rows = (
+        pos.groupBy((F.col("_p") / 64).cast("long").alias("_w"))
+        .agg(
+            F.expr(
+                "sum(shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT)))"
+            ).alias("_bits")
+        )
+        .collect()
+    )
+    n_words = m_bits // 64
+    words = [0] * n_words
+    for r in words_rows:
+        words[int(r["_w"])] = int(r["_bits"])
+    words = [w - (1 << 64) if w >= 1 << 63 else w for w in words]
+    if stats_out is not None:
+        stats_out["bloom_set_bits"] = sum(bin(w & ((1 << 64) - 1)).count("1") for w in words)
+        stats_out["m_bits"] = m_bits
+
+    spark = df_big.sparkSession
+    bitset = spark.createDataFrame([(words,)], "_bloom array<long>")
+
+    big_keyed = df_big.crossJoin(F.broadcast(bitset))
+    probe = F.transform(
+        F.array(*[F.lit(str(j)) for j in range(n_hashes)]),
+        lambda j: _md5_mod(j, key_expr(df_big), m_bits),
+    )
+    member = F.forall(
+        probe,
+        lambda p: F.bit_get(
+            F.element_at(F.col("_bloom"), (p / 64).cast("int") + 1),
+            p % 64,
+        )
+        == 1,
+    )
+    survivors = big_keyed.filter(member).drop("_bloom")
+    if stats_out is not None:
+        total = df_big.count()
+        kept = survivors.count()
+        stats_out["big_rows"] = total
+        stats_out["kept_rows"] = kept
+        stats_out["pruned_rows"] = total - kept
+    out_cols = keys + [
+        c for c in df_big.columns if c not in keys
+    ] + [c for c in df_small.columns if c not in keys]
+    return survivors.join(df_small, keys).select(*out_cols)

@@ -2279,3 +2279,136 @@ def q158_image_hash_agreement(spark, sf_dir):
         n_bits=60,
         max_hamming=3,
     )
+
+
+# -------- q159: Bloom-pruned join (map-side runtime filter, explicit)
+
+
+@query(
+    "q159_bloom_filtered_join",
+    """
+    SELECT o.o_orderstatus, l.l_returnflag,
+           count(*)::BIGINT AS n_lines,
+           round(sum(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l
+    JOIN (SELECT o_orderkey, o_orderstatus FROM orders
+          WHERE o_orderpriority = '1-URGENT') o
+      ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q159_bloom_filtered_join(spark, sf_dir):
+    """Bloom-pruned fact-to-dimension join
+    (sketches.bloom_filtered_join — the selectivity armor beside
+    q156's skew armor): lineitem joined to URGENT orders (~18% of
+    keys) through an explicit 2^18-bit Bloom bitset built from the
+    small side's keys, packed into 4096 longs (32 KiB), broadcast as
+    a one-row frame, and probed MAP-SIDE inside the scan's codegen —
+    only surviving fact rows shuffle. False negatives are impossible,
+    so the output is value-IDENTICAL to the plain join, which is
+    exactly what this oracle (the PLAIN SQL join + aggregate)
+    certifies; md5 positions make the bitset — false positives and
+    all — engine-reproducible. Spark's runtime row-level filters
+    cover the simple cases; the explicit operator survives plan
+    boundaries (checkpoints, unions, Python-built frames) and reports
+    measurable prune counts (stats_out; asserted in test_ml)."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        bloom_filtered_join,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus")
+    )
+    joined = bloom_filtered_join(li, urgent, "l_orderkey")
+    return joined.groupBy("o_orderstatus", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+# ----- q160: source-pair corpus overlap via per-source MinHash
+
+
+@query(
+    "q160_source_overlap",
+    """
+    WITH sh AS (
+      SELECT DISTINCT source, s FROM (
+        SELECT source,
+               unnest(list_distinct(
+                 CASE WHEN len(string_split(trim(regexp_replace(lower(
+                          coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')), ' ')) < 3
+                      THEN [trim(regexp_replace(lower(coalesce(text, '')),
+                                 '[^a-z0-9]+', ' ', 'g'))]
+                      ELSE list_transform(
+                        range(1, len(string_split(trim(regexp_replace(lower(
+                          coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')), ' ')) - 1),
+                        i -> array_to_string(
+                          (string_split(trim(regexp_replace(lower(
+                             coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')), ' '))[i:i+2],
+                          ' '))
+                 END)) AS s
+        FROM documents)
+      WHERE s <> ''
+    ),
+    sig AS (
+      SELECT source, j, min(md5(j || '|' || s)) AS mh
+      FROM sh, (SELECT CAST(unnest(range(0, 16)) AS VARCHAR) AS j) seeds
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             round(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                   / CAST(16 AS DOUBLE), 6) AS est_jaccard
+      FROM sig a JOIN sig b ON a.j = b.j AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT source, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*)::BIGINT AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT e.source_a, e.source_b, za.n AS n_a, zb.n AS n_b,
+           round(coalesce(i.i, 0)
+                 / (za.n + zb.n - coalesce(i.i, 0))::DOUBLE, 6)
+             AS exact_jaccard,
+           e.est_jaccard,
+           round(abs(e.est_jaccard
+                     - round(coalesce(i.i, 0)
+                             / (za.n + zb.n - coalesce(i.i, 0))::DOUBLE,
+                             6)), 6) AS abs_error
+    FROM est e
+    JOIN sizes za ON za.source = e.source_a
+    JOIN sizes zb ON zb.source = e.source_b
+    LEFT JOIN inter i
+      ON i.source_a = e.source_a AND i.source_b = e.source_b
+    """,
+)
+def q160_source_overlap(spark, sf_dir):
+    """Dataset-pair overlap audit (dedup.source_overlap_minhash):
+    estimated Jaccard of the word-3-shingle SETS of every source
+    pair, from per-source MinHash signatures — "how much of dump A is
+    inside dump B", the audit a curator runs across crawl snapshots /
+    vendor drops before deciding what to dedup against what. The
+    signature is an ALGEBRAIC aggregate (per (source, seed) min of
+    md5(seed|shingle) — map-side partial min, sources × 16 cells
+    total; day-over-day signatures merge by min), so the estimate
+    costs one scan regardless of corpus size; the exact Jaccard rides
+    along from the distinct (source, shingle) frame for the error
+    report (the 100 TB cost the sketch avoids). Oracle replays
+    shingling, all 16 seeded minima, the match-count estimate, the
+    exact set arithmetic, and the absolute error value-exact."""
+    from capex_data_pipeline_spark.extensions.dedup import (
+        source_overlap_minhash,
+    )
+
+    return source_overlap_minhash(
+        _t(spark, sf_dir, "documents"), num_hashes=16, k=3
+    )

@@ -1496,3 +1496,54 @@ def test_remove_duplicated_spans_protect_kept_noop_when_disjoint(spark):
         for r in remove_duplicated_spans(df, k=3, protect_kept=True).collect()
     )
     assert a == b
+
+
+def test_source_overlap_minhash_hand_computed(spark):
+    """Identical corpora estimate 1.0; disjoint corpora 0.0; the exact
+    Jaccard is the set arithmetic on distinct shingles."""
+    from capex_data_pipeline_spark.extensions.dedup import (
+        source_overlap_minhash,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "A"),
+            (2, "alpha beta gamma delta epsilon", "B"),  # same as A
+            (3, "zero one two three four five", "C"),    # disjoint
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap_minhash(docs, num_hashes=8).collect()
+    }
+    assert set(rows) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = rows[("A", "B")]
+    assert ab["exact_jaccard"] == 1.0 and ab["est_jaccard"] == 1.0
+    assert ab["abs_error"] == 0.0 and ab["n_a"] == ab["n_b"] == 3
+    ac = rows[("A", "C")]
+    assert ac["exact_jaccard"] == 0.0 and ac["est_jaccard"] == 0.0
+
+
+def test_source_overlap_minhash_partial_overlap(spark):
+    """A 50%-overlap pair: exact Jaccard is exact; the 1/sqrt(H)
+    estimate lands within a loose band and the error column is
+    honest (|est - exact|)."""
+    from capex_data_pipeline_spark.extensions.dedup import (
+        source_overlap_minhash,
+    )
+
+    # A: shingles from w1..w12; B: w7..w18 -> overlap 6-of-18ish words;
+    # shingle-level overlap computed exactly by the operator itself
+    a_text = " ".join(f"w{i}" for i in range(1, 13))
+    b_text = " ".join(f"w{i}" for i in range(7, 19))
+    docs = spark.createDataFrame(
+        [(1, a_text, "A"), (2, b_text, "B")],
+        "doc_id long, text string, source string",
+    )
+    r = source_overlap_minhash(docs, num_hashes=64).collect()[0]
+    # 10 + 10 distinct 3-shingles, 4 shared ("w7 w8 w9".."w10 w11 w12")
+    assert (r["n_a"], r["n_b"]) == (10, 10)
+    assert r["exact_jaccard"] == round(4 / 16, 6)
+    assert abs(r["est_jaccard"] - r["exact_jaccard"]) == r["abs_error"]
+    assert r["abs_error"] <= 0.25  # 2/sqrt(64) band

@@ -2063,3 +2063,66 @@ def test_ddsketch_cells_merge_by_addition(spark):
         for r in ddsketch_quantiles_by(merged, "g", F.col("v")).collect()
     }
     assert got_whole == got_merged
+
+
+def test_bloom_filtered_join_value_identical_and_prunes(spark):
+    """No false negatives: the Bloom-pruned join equals the plain join
+    row-for-row (duplicates preserved), while pruning most of the big
+    side map-side when the small side is selective."""
+    from collections import Counter
+
+    from capex_data_pipeline_spark.extensions.sketches import (
+        bloom_filtered_join,
+    )
+
+    big = spark.createDataFrame(
+        [(i % 500, i) for i in range(3000)], "k long, v long"
+    )
+    small = spark.createDataFrame(
+        [(k, f"s{k}") for k in range(0, 500, 25)], "k long, tag string"
+    )  # 20 of 500 keys
+    stats = {}
+    out = bloom_filtered_join(big, small, "k", stats_out=stats)
+    got = Counter((r["k"], r["v"], r["tag"]) for r in out.collect())
+    want = Counter(
+        (k, v, f"s{k}") for k, v in [(i % 500, i) for i in range(3000)]
+        if k % 25 == 0
+    )
+    assert got == want
+    assert stats["kept_rows"] >= 120  # the 120 true matches always pass
+    assert stats["pruned_rows"] >= 2400  # ~96% of rows never shuffle
+    assert stats["bloom_set_bits"] <= 3 * 20
+
+
+def test_bloom_filtered_join_prune_is_pre_exchange(spark):
+    """The membership test must sit under the scan, before any
+    Exchange: the physical plan's first Exchange ancestors a Filter
+    containing the bitset probe (no join/shuffle to test membership)."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        bloom_filtered_join,
+    )
+
+    big = spark.createDataFrame([(i, i) for i in range(100)], "k long, v long")
+    small = spark.createDataFrame([(1, "x")], "k long, t string")
+    plan = (
+        bloom_filtered_join(big, small, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # membership is an expression filter (forall over md5 positions),
+    # not a membership JOIN: exactly the two join inputs, one join
+    assert plan.count("Join") <= 2  # the final join (+AQE reprint slack)
+    assert "forall" in plan or "exists" in plan
+
+
+def test_bloom_filtered_join_guards(spark):
+    from capex_data_pipeline_spark.extensions.sketches import (
+        bloom_filtered_join,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_filtered_join(df, df, "k", m_bits=100)
+    with pytest.raises(ValueError, match="n_hashes"):
+        bloom_filtered_join(df, df, "k", n_hashes=0)
