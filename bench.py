@@ -213,6 +213,7 @@ HEADLINE = [
     "q158_image_hash_agreement",
     "q159_bloom_filtered_join",
     "q160_source_overlap",
+    "q161_jaccard_join",
 ]
 
 

@@ -1572,3 +1572,117 @@ def source_overlap_minhash(
             ),
         )
     )
+
+
+def jaccard_similarity_join(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin family — Xiao, Wang, Lin & Yu, WWW 2008/TODS 2011, public
+    algorithm): every pair of documents whose distinct-word-set
+    Jaccard is >= ``threshold``, with NO recall loss — the exact
+    sibling of the MinHash-LSH family (q31 trades recall for cost via
+    the S-curve; this operator's candidate set PROVABLY contains
+    every qualifying pair). The filter: order each doc's tokens by
+    ascending global frequency (rarest first, ties by token), take
+    the first ``n - ceil(t·n) + 1`` tokens as the prefix; two sets
+    with Jaccard >= t MUST share a prefix token, so candidates are an
+    equi-join on prefix tokens only.
+
+    Scale shape: candidate cost scales with prefix-token collisions —
+    and prefixes hold each doc's RAREST tokens, so hot tokens (stop
+    words) are systematically excluded from the join key; the
+    verify step re-joins the two token arrays and computes the exact
+    intersection/union natively (array_intersect — no Python). The
+    global frequency frame is vocab-sized; everything else shuffles
+    compact (token, id) pairs. The oracle certifies completeness
+    directly: it enumerates candidates from ANY shared token (a
+    strictly larger candidate set) and must produce the same pairs.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
+    to ``decimals``; empty-token docs never pair.
+    """
+    import math as _math
+
+    from capex_data_pipeline_spark.cache import persisted
+
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.split(normalized_text(F.col(text_col)), " "),
+                    lambda w: w != "",
+                )
+            )
+        ).alias("ts"),
+    ).filter(F.size("ts") > 0)
+    freq = (
+        toks.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    # rarest-first ordering: sort structs (df, tok) ascending, then a
+    # prefix of length n - ceil(t*n) + 1; sets with Jaccard >= t must
+    # share a prefix token under ANY consistent global order
+    ordered = persisted(
+        toks.select("id", F.explode("ts").alias("tok"))
+        .join(freq, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("df"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ).alias("ts")
+        )
+        .withColumn(
+            # prefix length n - ceil(t·n) + 1; the 1e-9 guards the
+            # IEEE product overshooting an exact integer (5 × 0.6 =
+            # 3.0000000000000004 → ceil 4 would SHORTEN the prefix and
+            # break completeness — a longer prefix is always safe,
+            # a shorter one silently drops qualifying pairs)
+            "_plen",
+            F.size("ts")
+            - F.ceil(
+                F.size("ts") * F.lit(float(threshold)) - F.lit(1e-9)
+            ).cast("int")
+            + 1,
+        )
+    )
+    prefix = ordered.select(
+        "id", F.explode(F.slice("ts", 1, F.col("_plen"))).alias("tok")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = ordered.select("id", "ts")
+    return (
+        cands.join(sets.select(F.col("id").alias("id_a"), F.col("ts").alias("_ta")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("ts").alias("_tb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("_ta", "_tb"))
+                / F.size(F.array_union("_ta", "_tb")).cast("double"),
+                decimals,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -2412,3 +2412,61 @@ def q160_source_overlap(spark, sf_dir):
     return source_overlap_minhash(
         _t(spark, sf_dir, "documents"), num_hashes=16, k=3
     )
+
+
+# ---- q161: exact set-similarity self-join (PPJoin prefix filter)
+
+
+@query(
+    "q161_jaccard_join",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_filter(
+               string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                            '[^a-z0-9]+', ' ', 'g')), ' '),
+               w -> w <> ''))) AS ts
+      FROM documents
+    ),
+    ne AS (SELECT doc_id, ts FROM toks WHERE len(ts) > 0),
+    tok AS (SELECT doc_id, unnest(ts) AS tok FROM ne),
+    -- candidates from ANY shared token: a strict SUPERSET of the
+    -- engine's prefix-filter candidates, so equality of the final
+    -- pair sets certifies the prefix filter lost nothing
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+      FROM tok a JOIN tok b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT x.id_a, x.id_b,
+             round(x.i / (len(a.ts) + len(b.ts) - x.i)::DOUBLE, 6)
+               AS jaccard
+      FROM inter x
+      JOIN ne a ON a.doc_id = x.id_a
+      JOIN ne b ON b.doc_id = x.id_b
+    ) WHERE jaccard >= 0.6
+    """,
+)
+def q161_jaccard_join(spark, sf_dir):
+    """EXACT set-similarity self-join via prefix filtering
+    (dedup.jaccard_similarity_join — the PPJoin family, Xiao/Wang/
+    Lin/Yu WWW 2008): every document pair with distinct-word-set
+    Jaccard >= 0.6, ZERO recall loss — the exact sibling of the
+    MinHash-LSH family (q31 trades recall via the S-curve; this
+    candidate set provably contains every qualifying pair because two
+    sets with J >= t must share a token in their rarest-first
+    prefixes of length n - ceil(t*n) + 1). Candidate cost scales with
+    prefix-token collisions, and prefixes hold the RAREST tokens, so
+    stop words never become join keys. The oracle enumerates
+    candidates from ANY shared token — a strict superset — and the
+    pair sets must match, which certifies completeness on the corpus
+    rather than asserting it."""
+    from capex_data_pipeline_spark.extensions.dedup import (
+        jaccard_similarity_join,
+    )
+
+    return jaccard_similarity_join(
+        _t(spark, sf_dir, "documents"), threshold=0.6
+    )

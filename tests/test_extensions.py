@@ -1547,3 +1547,69 @@ def test_source_overlap_minhash_partial_overlap(spark):
     assert r["exact_jaccard"] == round(4 / 16, 6)
     assert abs(r["est_jaccard"] - r["exact_jaccard"]) == r["abs_error"]
     assert r["abs_error"] <= 0.25  # 2/sqrt(64) band
+
+
+def test_jaccard_join_equals_brute_force_random(spark):
+    """Prefix-filter completeness, differentially: on a randomized
+    small-vocab corpus (dense overlaps, integer-product prefix
+    lengths included) the operator's pairs equal the all-pairs brute
+    force exactly — candidates lost to an off-by-one prefix would
+    show here."""
+    import itertools
+    import random
+
+    from capex_data_pipeline_spark.extensions.dedup import (
+        jaccard_similarity_join,
+    )
+
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(30)]
+    base = [
+        rng.sample(vocab, rng.choice([4, 5, 8, 10])) for _ in range(30)
+    ]
+    # 30 random docs + 30 near-copies (drop or swap one token) so the
+    # corpus is dense in >= 0.6 pairs
+    docs = [(i, " ".join(ts)) for i, ts in enumerate(base)]
+    for i, ts in enumerate(base):
+        mutated = list(ts)
+        if rng.random() < 0.5 and len(mutated) > 3:
+            mutated.pop(rng.randrange(len(mutated)))
+        else:
+            mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+        docs.append((100 + i, " ".join(mutated)))
+    t = 0.6
+    sets = {i: set(txt.split()) for i, txt in docs}
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = round(
+            len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 6
+        )
+        if j >= t:
+            want.add((a, b, j))
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_similarity_join(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            threshold=t,
+        ).collect()
+    }
+    assert got == want
+    assert want  # the corpus has qualifying pairs
+
+
+def test_jaccard_join_guards_and_empty_docs(spark):
+    from capex_data_pipeline_spark.extensions.dedup import (
+        jaccard_similarity_join,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_similarity_join(docs, threshold=0.9).collect()
+    }
+    assert got == {(1, 2, 1.0)}  # empty/NULL docs never pair
+    with pytest.raises(ValueError, match="threshold"):
+        jaccard_similarity_join(docs, threshold=0.0)
