@@ -214,6 +214,8 @@ HEADLINE = [
     "q159_bloom_filtered_join",
     "q160_source_overlap",
     "q161_jaccard_join",
+    "q162_key_skew_profile",
+    "q163_tokenizer_fertility",
 ]
 
 

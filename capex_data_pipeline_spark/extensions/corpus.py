@@ -2354,3 +2354,84 @@ def unigram_encode(
             F.array_join(flat, " ").alias("piece_text"),
         )
     )
+
+
+def tokenizer_fertility(
+    corpus: DataFrame,
+    pieces: "dict[str, float]",
+    by: str = "source",
+    text_col: str = "text",
+    max_piece_len: "int | None" = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Tokenizer fertility report per group — the eval every LLM data
+    team runs on a candidate tokenizer before committing a corpus to
+    it: pieces-per-word (fertility — lower is cheaper to train on),
+    chars-per-piece (compression), and the <unk> word count (coverage
+    holes), per ``by`` group (source, language, ...). ``pieces`` maps
+    piece -> cost, exactly :func:`unigram_train`'s output re-expressed
+    (the q146 convention); a BPE vocab works through its own encode
+    path — this report is about the MODEL, so it takes the model as
+    data.
+
+    Scale shape — the vocab-frame economics shared by every encoder
+    here: the corpus contributes one (group, word) occurrence frame;
+    the Viterbi DP runs ONCE per DISTINCT word in an Arrow-batched
+    UDF with the piece-cost map in the closure; per-word piece counts
+    join back on the compact word key; the report is one small-group
+    aggregate. Uncoverable words count as ONE piece (the unk token),
+    mirroring :func:`unigram_encode`.
+
+    Returns (``by``, n_words, n_pieces, fertility, unk_words,
+    chars_per_piece).
+    """
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    if not pieces:
+        raise ValueError("tokenizer_fertility: pieces must be non-empty")
+    model = dict(pieces)
+    mplen = max_piece_len or max(len(p) for p in model)
+
+    @F.pandas_udf("long")
+    def _np(words):  # pd.Series -> pd.Series (hints omitted: local scope)
+        def f(w):
+            p = unigram_best_segmentation(w, model, mplen)
+            return -1 if p is None else p.count("|")
+
+        return words.map(f)
+
+    occ = corpus.select(
+        F.col(by).alias("_g"),
+        F.explode(
+            F.filter(
+                F.split(normalized_text(F.col(text_col)), " "),
+                lambda w: w != "",
+            )
+        ).alias("_w"),
+    )
+    vocab = occ.select("_w").distinct().select("_w", _np(F.col("_w")).alias("_n"))
+    per_word = occ.join(vocab, "_w")
+    n_pieces = F.sum(F.when(F.col("_n") == -1, 1).otherwise(F.col("_n")))
+    return (
+        per_word.groupBy(F.col("_g").alias(by))
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            n_pieces.alias("n_pieces"),
+            F.sum(F.when(F.col("_n") == -1, 1).otherwise(0))
+            .cast("long")
+            .alias("unk_words"),
+            F.sum(F.length("_w")).alias("_chars"),
+        )
+        .select(
+            by,
+            "n_words",
+            "n_pieces",
+            F.round(
+                F.col("n_pieces") / F.col("n_words").cast("double"), decimals
+            ).alias("fertility"),
+            "unk_words",
+            F.round(
+                F.col("_chars") / F.col("n_pieces").cast("double"), decimals
+            ).alias("chars_per_piece"),
+        )
+    )

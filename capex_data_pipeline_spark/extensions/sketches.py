@@ -760,3 +760,65 @@ def bloom_filtered_join(
         c for c in df_big.columns if c not in keys
     ] + [c for c in df_small.columns if c not in keys]
     return survivors.join(df_small, keys).select(*out_cols)
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key: Column,
+    topk: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """One-row skew profile of a prospective join/aggregation key —
+    the diagnostic that decides BETWEEN the join armors (q155
+    estimates the output size, this names the culprit): row count,
+    distinct keys, the heaviest key's row count and share, the
+    combined share of the ``topk`` heaviest keys, the Herfindahl
+    index Σ share² (an ALGEBRAIC aggregate — sum of squared counts /
+    n², map-side partials), and its reciprocal, the "effective number
+    of keys" — the statistic that says a billion-key column behaves
+    like 12 keys. max_key_share is also the fraction of the stage one
+    task would own under hash partitioning — the straggler bound.
+
+    Scale shape: one compact-key count aggregate; the top share is a
+    TakeOrdered pick (never a global sort/window — the repo's
+    planlint rule); everything else is algebraic. NULL keys count as
+    a key (they hash somewhere and skew like anything else).
+
+    Returns one row: (n_rows, n_keys, max_key_rows, max_key_share,
+    topk_share, hhi, effective_keys).
+    """
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1: {topk}")
+    counts = df.groupBy(key.alias("_k")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    totals = counts.agg(
+        F.sum("_c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("_c").alias("max_key_rows"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_ss"),
+    )
+    top = (
+        counts.orderBy(F.desc("_c"), F.asc(F.col("_k").cast("string")))
+        .limit(topk)
+        .agg(F.sum("_c").alias("_top"))
+    )
+    return totals.crossJoin(F.broadcast(top)).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.round(
+            F.col("max_key_rows") / F.col("n_rows").cast("double"), decimals
+        ).alias("max_key_share"),
+        F.round(
+            F.col("_top") / F.col("n_rows").cast("double"), decimals
+        ).alias("topk_share"),
+        F.round(
+            F.col("_ss") / (F.col("n_rows") * F.col("n_rows")).cast("double"),
+            decimals,
+        ).alias("hhi"),
+        F.round(
+            (F.col("n_rows") * F.col("n_rows")).cast("double") / F.col("_ss"),
+            decimals,
+        ).alias("effective_keys"),
+    )

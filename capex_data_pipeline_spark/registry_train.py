@@ -2470,3 +2470,140 @@ def q161_jaccard_join(spark, sf_dir):
     return jaccard_similarity_join(
         _t(spark, sf_dir, "documents"), threshold=0.6
     )
+
+
+# --------- q162: join-key skew profile (the straggler diagnostic)
+
+
+@query(
+    "q162_key_skew_profile",
+    """
+    WITH c AS (
+      SELECT l_partkey AS k, count(*)::BIGINT AS c
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (
+      SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+             max(c)::BIGINT AS max_key_rows, sum(c * c)::BIGINT AS ss
+      FROM c
+    ),
+    tp AS (
+      SELECT sum(c)::BIGINT AS topc FROM (
+        SELECT c FROM c ORDER BY c DESC, CAST(k AS VARCHAR) LIMIT 10)
+    )
+    SELECT n_rows, n_keys, max_key_rows,
+           round(max_key_rows / n_rows::DOUBLE, 6) AS max_key_share,
+           round(topc / n_rows::DOUBLE, 6) AS topk_share,
+           round(ss / (n_rows * n_rows)::DOUBLE, 6) AS hhi,
+           round((n_rows * n_rows)::DOUBLE / ss, 6) AS effective_keys
+    FROM t, tp
+    """,
+)
+def q162_key_skew_profile(spark, sf_dir):
+    """Join-key skew profile (sketches.key_skew_profile) of the
+    co-purchase key l_partkey — the diagnostic that decides BETWEEN
+    the join armors: q155 estimates how big the join gets, this names
+    the culprit. max_key_share is the fraction of the stage ONE task
+    owns under hash partitioning (the straggler bound that picks
+    q156's salt), topk_share says whether capping ten keys fixes it,
+    and the Herfindahl index's reciprocal is the effective number of
+    keys — the statistic that says a million-key column behaves like
+    twelve. All-integer aggregates (one compact-key count, one
+    TakeOrdered pick, algebraic sum of squares — exact while
+    n_rows x max_key_rows < 2^63) so every ratio replays bit-for-bit."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        key_skew_profile,
+    )
+
+    return key_skew_profile(
+        _t(spark, sf_dir, "lineitem"), F.col("l_partkey"), topk=10
+    )
+
+
+# ------ q163: tokenizer fertility per source (the tokenizer eval)
+
+
+@query(
+    "q163_tokenizer_fertility",
+    f"""
+    WITH {_Q145_CHAIN},
+    model AS (
+      SELECT piece, round(-ln(round(cnt / t.tot, 6)), 6)::DOUBLE AS cost
+      FROM kept, (SELECT sum(cnt)::DOUBLE AS tot FROM kept) t
+    ),
+    occ AS (
+      SELECT source, w AS word FROM (
+        SELECT source, unnest(string_split({_Q145_NORM}, ' ')) AS w
+        FROM documents)
+      WHERE w <> ''
+    ),
+    ew AS (SELECT DISTINCT word FROM occ),
+    seg4 AS (
+      SELECT * FROM (
+        WITH RECURSIVE r4(word, pos, cost, path) AS (
+          SELECT word, 0, 0.0::DOUBLE, '' FROM ew
+          UNION ALL
+          SELECT r4.word, r4.pos + length(p.piece),
+                 r4.cost + p.cost, r4.path || '|' || p.piece
+          FROM r4 JOIN model p
+            ON substr(r4.word, r4.pos + 1, length(p.piece)) = p.piece
+          WHERE r4.pos < length(r4.word)
+        ) SELECT * FROM r4
+      ) s
+    ),
+    best4 AS (
+      SELECT word, path FROM (
+        SELECT word, path,
+               row_number() OVER (PARTITION BY word
+                                  ORDER BY cost, path) AS rn
+        FROM seg4 WHERE pos = length(word)
+      ) WHERE rn = 1
+    ),
+    pw AS (
+      SELECT o.source, o.word,
+             CASE WHEN b.word IS NULL THEN -1
+                  ELSE len(string_split(substr(b.path, 2), '|')) END AS n
+      FROM occ o LEFT JOIN best4 b USING (word)
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_words,
+           sum(CASE WHEN n = -1 THEN 1 ELSE n END)::BIGINT AS n_pieces,
+           round(sum(CASE WHEN n = -1 THEN 1 ELSE n END)
+                 / count(*)::DOUBLE, 6) AS fertility,
+           sum(CASE WHEN n = -1 THEN 1 ELSE 0 END)::BIGINT AS unk_words,
+           round(sum(length(word))
+                 / sum(CASE WHEN n = -1 THEN 1 ELSE n END)::DOUBLE, 6)
+             AS chars_per_piece
+    FROM pw GROUP BY source
+    """,
+)
+def q163_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per source (corpus.tokenizer_fertility):
+    pieces-per-word, chars-per-piece, and <unk> coverage holes for
+    the q145-trained unigram model, per source — the eval a data team
+    runs before committing a corpus to a tokenizer (fertility decides
+    training cost; a source whose fertility spikes is the one the
+    vocab under-serves). Vocab-frame economics end-to-end: the
+    Viterbi DP runs once per DISTINCT word (one Arrow UDF pass, model
+    in the closure), occurrence counts join back on the compact word
+    key, the report is one 20-group aggregate. The oracle shares the
+    q145 training chain VERBATIM, replays the decode as the same
+    recursive enumerate-all CTE (inner name r4 — distinct from the
+    chain's r1/r2 and q146's r3, the DuckDB silent-collision rule),
+    and certifies every ratio."""
+    import math
+
+    from capex_data_pipeline_spark.extensions.corpus import (
+        tokenizer_fertility,
+        unigram_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model_rows = unigram_train(
+        docs, vocab_size=24, rounds=2, max_piece_len=4,
+        max_word_len=16, seed_size=100_000,
+    ).collect()
+    pieces = {
+        r["piece"]: round(-math.log(r["prob"]), 6) for r in model_rows
+    }
+    return tokenizer_fertility(docs, pieces, by="source", max_piece_len=4)

@@ -1091,3 +1091,29 @@ def test_unigram_segmentation_properties_hypothesis():
         assert path == unigram_best_segmentation(word, costs, 4)
 
     check()
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    """Model {ab, a, b, c}: 'abab' -> 2 pieces, 'abc' -> 2 ('ab'+'c'
+    beats 'a'+'b'+'c' on cost), 'zz' -> uncoverable -> 1 unk piece."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        tokenizer_fertility,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab abc", "s1"), (2, "zz abab", "s2")],
+        "doc_id long, text string, source string",
+    )
+    pieces = {"ab": 1.0, "a": 2.0, "b": 2.0, "c": 2.0}
+    rows = {
+        r["source"]: r
+        for r in tokenizer_fertility(docs, pieces, by="source").collect()
+    }
+    s1 = rows["s1"]  # abab (2 pieces) + abc (2 pieces)
+    assert (s1["n_words"], s1["n_pieces"], s1["unk_words"]) == (2, 4, 0)
+    assert s1["fertility"] == 2.0
+    assert s1["chars_per_piece"] == round(7 / 4, 6)
+    s2 = rows["s2"]  # zz -> unk (1 piece), abab -> 2
+    assert (s2["n_words"], s2["n_pieces"], s2["unk_words"]) == (2, 3, 1)
+    with pytest.raises(ValueError, match="non-empty"):
+        tokenizer_fertility(docs, {})

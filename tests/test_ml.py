@@ -2126,3 +2126,34 @@ def test_bloom_filtered_join_guards(spark):
         bloom_filtered_join(df, df, "k", m_bits=100)
     with pytest.raises(ValueError, match="n_hashes"):
         bloom_filtered_join(df, df, "k", n_hashes=0)
+
+
+def test_key_skew_profile_hand_computed(spark):
+    from capex_data_pipeline_spark.extensions.sketches import (
+        key_skew_profile,
+    )
+
+    # key 'hot' x 8, 'b' x 1, 'c' x 1 -> n=10, keys=3, max=8
+    df = spark.createDataFrame(
+        [("hot",)] * 8 + [("b",), ("c",)], "k string"
+    )
+    r = key_skew_profile(df, F.col("k"), topk=2).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_key_rows"]) == (10, 3, 8)
+    assert r["max_key_share"] == 0.8
+    assert r["topk_share"] == 0.9  # hot + one of the singletons
+    assert r["hhi"] == round(66 / 100, 6)  # (64 + 1 + 1) / 100
+    assert r["effective_keys"] == round(100 / 66, 6)
+
+
+def test_key_skew_profile_null_keys_and_guards(spark):
+    from capex_data_pipeline_spark.extensions.sketches import (
+        key_skew_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(None,), (None,), ("a",)], "k string"
+    )
+    r = key_skew_profile(df, F.col("k")).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_key_rows"]) == (3, 2, 2)
+    with pytest.raises(ValueError, match="topk"):
+        key_skew_profile(df, F.col("k"), topk=0)
