@@ -216,6 +216,7 @@ HEADLINE = [
     "q161_jaccard_join",
     "q162_key_skew_profile",
     "q163_tokenizer_fertility",
+    "q164_bloom_anti_join",
 ]
 
 

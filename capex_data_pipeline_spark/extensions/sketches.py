@@ -653,6 +653,73 @@ def ddsketch_quantiles_by(
     )
 
 
+def _bloom_build(
+    df: DataFrame, keys: "list[str]", m_bits: int, n_hashes: int
+) -> "tuple[DataFrame, int]":
+    """Fold a frame's distinct join keys into an ``m_bits``-bit Bloom
+    bitset packed into m_bits/64 longs: the positions aggregate runs
+    DISTRIBUTEDLY (one compact aggregate), only nonzero words are
+    collected, and the result returns as a broadcastable one-row
+    frame (``_bloom array<long>``) plus the set-bit count."""
+
+    def key_expr(d: DataFrame):
+        return F.concat_ws("\x1f", *[d[k].cast("string") for k in keys])
+
+    pos = (
+        df.select(key_expr(df).alias("_k"))
+        .distinct()
+        .select(
+            F.explode(
+                F.transform(
+                    F.array(*[F.lit(str(j)) for j in range(n_hashes)]),
+                    lambda j: _md5_mod(j, F.col("_k"), m_bits),
+                )
+            ).alias("_p")
+        )
+        .distinct()
+    )
+    words_rows = (
+        pos.groupBy((F.col("_p") / 64).cast("long").alias("_w"))
+        .agg(
+            F.expr(
+                "sum(shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT)))"
+            ).alias("_bits")
+        )
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in words_rows:
+        words[int(r["_w"])] = int(r["_bits"])
+    words = [w - (1 << 64) if w >= 1 << 63 else w for w in words]
+    set_bits = sum(bin(w & ((1 << 64) - 1)).count("1") for w in words)
+    bitset = df.sparkSession.createDataFrame([(words,)], "_bloom array<long>")
+    return bitset, set_bits
+
+
+def _bloom_member(
+    df: DataFrame, keys: "list[str]", m_bits: int, n_hashes: int
+) -> Column:
+    """Membership predicate against the ``_bloom`` column attached by
+    a broadcast crossJoin of :func:`_bloom_build`'s frame — pure
+    JVM expressions (md5 positions + bit_get), codegen-friendly."""
+    probe = F.transform(
+        F.array(*[F.lit(str(j)) for j in range(n_hashes)]),
+        lambda j: _md5_mod(
+            j,
+            F.concat_ws("\x1f", *[df[k].cast("string") for k in keys]),
+            m_bits,
+        ),
+    )
+    return F.forall(
+        probe,
+        lambda p: F.bit_get(
+            F.element_at(F.col("_bloom"), (p / 64).cast("int") + 1),
+            p % 64,
+        )
+        == 1,
+    )
+
+
 def bloom_filtered_join(
     df_big: DataFrame,
     df_small: DataFrame,
@@ -696,59 +763,12 @@ def bloom_filtered_join(
     if n_hashes < 1:
         raise ValueError(f"n_hashes must be >= 1: {n_hashes}")
 
-    def key_expr(df: DataFrame):
-        return F.concat_ws("\x1f", *[df[k].cast("string") for k in keys])
-
-    # fold the small side's distinct keys into set bit positions, then
-    # pack 64 positions per word DISTRIBUTEDLY (one compact aggregate)
-    # and collect only the <= m_bits/64 nonzero words
-    pos = (
-        df_small.select(key_expr(df_small).alias("_k"))
-        .distinct()
-        .select(
-            F.explode(
-                F.transform(
-                    F.array(*[F.lit(str(j)) for j in range(n_hashes)]),
-                    lambda j: _md5_mod(j, F.col("_k"), m_bits),
-                )
-            ).alias("_p")
-        )
-        .distinct()
-    )
-    words_rows = (
-        pos.groupBy((F.col("_p") / 64).cast("long").alias("_w"))
-        .agg(
-            F.expr(
-                "sum(shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT)))"
-            ).alias("_bits")
-        )
-        .collect()
-    )
-    n_words = m_bits // 64
-    words = [0] * n_words
-    for r in words_rows:
-        words[int(r["_w"])] = int(r["_bits"])
-    words = [w - (1 << 64) if w >= 1 << 63 else w for w in words]
+    bitset, set_bits = _bloom_build(df_small, keys, m_bits, n_hashes)
     if stats_out is not None:
-        stats_out["bloom_set_bits"] = sum(bin(w & ((1 << 64) - 1)).count("1") for w in words)
+        stats_out["bloom_set_bits"] = set_bits
         stats_out["m_bits"] = m_bits
-
-    spark = df_big.sparkSession
-    bitset = spark.createDataFrame([(words,)], "_bloom array<long>")
-
     big_keyed = df_big.crossJoin(F.broadcast(bitset))
-    probe = F.transform(
-        F.array(*[F.lit(str(j)) for j in range(n_hashes)]),
-        lambda j: _md5_mod(j, key_expr(df_big), m_bits),
-    )
-    member = F.forall(
-        probe,
-        lambda p: F.bit_get(
-            F.element_at(F.col("_bloom"), (p / 64).cast("int") + 1),
-            p % 64,
-        )
-        == 1,
-    )
+    member = _bloom_member(df_big, keys, m_bits, n_hashes)
     survivors = big_keyed.filter(member).drop("_bloom")
     if stats_out is not None:
         total = df_big.count()
@@ -822,3 +842,54 @@ def key_skew_profile(
             decimals,
         ).alias("effective_keys"),
     )
+
+
+def bloom_filtered_anti_join(
+    df_new: DataFrame,
+    df_index: DataFrame,
+    on: "str | list[str]",
+    m_bits: int = 1 << 18,
+    n_hashes: int = 3,
+    stats_out: "dict | None" = None,
+) -> DataFrame:
+    """Bloom-short-circuited LEFT ANTI join — the incremental-ingest
+    "what's new" detector: rows of ``df_new`` whose key does NOT
+    appear in ``df_index``. The Bloom direction flips relative to
+    :func:`bloom_filtered_join`: a row that FAILS the membership test
+    is DEFINITELY new (no false negatives) and short-circuits past
+    the join entirely — map-side, no shuffle; only Bloom-POSITIVE
+    rows (true matches + the (1-e^(-kB/m))^k false positives) take
+    the exact left_anti join that settles them. The union is
+    value-IDENTICAL to the plain anti join — the q164 oracle's NOT
+    EXISTS certifies it. On a daily-crawl pipeline where yesterday's
+    index dwarfs today's batch and most of the batch IS new, the
+    anti-join shuffle shrinks to the duplicate sliver.
+
+    Same engine-portable bitset as the join variant (32 KiB broadcast
+    at the default 2^18 bits); ``stats_out`` reports how much
+    short-circuited. Returns ``df_new``'s rows/columns unchanged.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two >= 64: {m_bits}")
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1: {n_hashes}")
+
+    bitset, set_bits = _bloom_build(df_index, keys, m_bits, n_hashes)
+    if stats_out is not None:
+        stats_out["bloom_set_bits"] = set_bits
+        stats_out["m_bits"] = m_bits
+    keyed = df_new.crossJoin(F.broadcast(bitset))
+    member = _bloom_member(df_new, keys, m_bits, n_hashes)
+    definitely_new = keyed.filter(~member).drop("_bloom")
+    maybe_dup = keyed.filter(member).drop("_bloom")
+    settled = maybe_dup.join(
+        df_index.select(*keys).distinct(), keys, "left_anti"
+    )
+    if stats_out is not None:
+        total = df_new.count()
+        short = definitely_new.count()
+        stats_out["new_rows"] = total
+        stats_out["short_circuited"] = short
+        stats_out["joined_rows"] = total - short
+    return definitely_new.unionByName(settled).select(*df_new.columns)

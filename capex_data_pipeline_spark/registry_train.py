@@ -2607,3 +2607,53 @@ def q163_tokenizer_fertility(spark, sf_dir):
         r["piece"]: round(-math.log(r["prob"]), 6) for r in model_rows
     }
     return tokenizer_fertility(docs, pieces, by="source", max_piece_len=4)
+
+
+# ------ q164: Bloom-short-circuited anti join (the "what's new" path)
+
+
+@query(
+    "q164_bloom_anti_join",
+    """
+    SELECT o.o_orderstatus,
+           count(*)::BIGINT AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_value
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    GROUP BY 1
+    """,
+)
+def q164_bloom_anti_join(spark, sf_dir):
+    """Bloom-short-circuited anti join
+    (sketches.bloom_filtered_anti_join): orders with NO returned line
+    (the "what's new / what's clean" incremental-ingest shape — rows
+    absent from an index). The Bloom direction flips vs q159: a row
+    FAILING the membership test is DEFINITELY absent (no false
+    negatives) and bypasses the join map-side; only Bloom-positive
+    rows — true matches plus bounded false positives — pay the exact
+    left_anti join that settles them. Value-identical to the plain
+    anti join by construction, which is exactly what this NOT EXISTS
+    oracle certifies. The aggregate keeps the certified frame
+    compact (status buckets + order counts + summed value)."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        bloom_filtered_anti_join,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    clean = bloom_filtered_anti_join(orders, returned, "l_orderkey")
+    return clean.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )

@@ -2157,3 +2157,47 @@ def test_key_skew_profile_null_keys_and_guards(spark):
     assert (r["n_rows"], r["n_keys"], r["max_key_rows"]) == (3, 2, 2)
     with pytest.raises(ValueError, match="topk"):
         key_skew_profile(df, F.col("k"), topk=0)
+
+
+def test_bloom_anti_join_value_identical_and_short_circuits(spark):
+    """The Bloom-short-circuited anti join equals the plain left_anti
+    row-for-row; most definitely-absent rows bypass the join."""
+    from collections import Counter
+
+    from capex_data_pipeline_spark.extensions.sketches import (
+        bloom_filtered_anti_join,
+    )
+
+    new = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1000)], "k long, v string"
+    )
+    index = spark.createDataFrame(
+        [(k,) for k in range(0, 1000, 20)], "k long"
+    )  # 50 of 1000 keys are known
+    stats = {}
+    out = bloom_filtered_anti_join(new, index, "k", stats_out=stats)
+    got = Counter((r["k"], r["v"]) for r in out.collect())
+    want = Counter((i, f"v{i}") for i in range(1000) if i % 20 != 0)
+    assert got == want
+    assert stats["new_rows"] == 1000
+    # 950 truly-new rows minus bounded false positives short-circuit
+    assert stats["short_circuited"] >= 900
+    assert stats["joined_rows"] <= 100
+
+
+def test_bloom_anti_join_duplicate_new_rows_preserved(spark):
+    """left_anti semantics: duplicates on the new side survive with
+    their multiplicity; index-side duplicates don't matter."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        bloom_filtered_anti_join,
+    )
+
+    new = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k long, v string"
+    )
+    index = spark.createDataFrame([(2,), (2,)], "k long")
+    got = sorted(
+        (r["k"], r["v"])
+        for r in bloom_filtered_anti_join(new, index, "k").collect()
+    )
+    assert got == [(1, "a"), (1, "b")]
