@@ -217,6 +217,7 @@ HEADLINE = [
     "q162_key_skew_profile",
     "q163_tokenizer_fertility",
     "q164_bloom_anti_join",
+    "q165_range_partition_plan",
 ]
 
 

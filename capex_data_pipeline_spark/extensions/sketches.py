@@ -893,3 +893,96 @@ def bloom_filtered_anti_join(
         stats_out["short_circuited"] = short
         stats_out["joined_rows"] = total - short
     return definitely_new.unionByName(settled).select(*df_new.columns)
+
+
+def range_partition_planner(
+    df: DataFrame,
+    value: Column,
+    n_bins: int = 8,
+    alpha: float = 0.01,
+    decimals: int = 6,
+) -> DataFrame:
+    """Balanced range-partition boundaries from the DDSketch — the
+    constant-memory version of what Spark's RangePartitioner does by
+    reservoir-sampling every partition: equi-depth cut points at
+    ranks q = 1/n..(n-1)/n come straight from the log-bucketed
+    histogram (:func:`ddsketch_quantiles_by`'s machinery, one
+    algebraic aggregate), and the plan is validated by counting the
+    ACTUAL rows landing in each bin (one map-side CASE pass — the
+    broadcast boundary list is n_bins-1 doubles). A bin whose share
+    strays far from 1/n is the sketch telling you the column has
+    atoms (a single value heavier than a bin, which NO boundary
+    placement can split — the honest limit of range partitioning).
+
+    The boundary read is the one eager step (sketch-sized collect);
+    positive values only (the DDSketch domain). Returns one row per
+    bin: (bin, lo, hi, n_rows, share) — lo/hi are (boundary[i-1],
+    boundary[i]] edges with NULL at the open ends, share rounded to
+    ``decimals``.
+    """
+    import math
+
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2: {n_bins}")
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1): {alpha}")
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    v = value.cast("double")
+    vals = df.select(v.alias("_v")).filter(F.col("_v") > 0)
+    cells = (
+        vals.groupBy(
+            F.ceil(F.log(F.col("_v")) / F.log(F.lit(gamma))).alias("_i")
+        )
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    cells.sort(key=lambda r: r["_i"])
+    n = sum(r["_c"] for r in cells)
+    if n == 0:
+        raise ValueError("range_partition_planner: no positive values")
+    bounds: "list[float]" = []
+    cum, ci = 0, 0
+    for b in range(1, n_bins):
+        rank = math.floor(b / n_bins * (n - 1))
+        while ci < len(cells) and cum + cells[ci]["_c"] <= rank:
+            cum += cells[ci]["_c"]
+            ci += 1
+        idx = cells[min(ci, len(cells) - 1)]["_i"]
+        bounds.append(
+            round(2.0 * gamma**idx / (gamma + 1.0), decimals)
+        )
+    # first-match CASE chain: bin i iff v <= bounds[i] and no earlier
+    # boundary matched — duplicate boundaries (atoms heavier than a
+    # bin) simply yield empty middle bins, which is the report's
+    # point, not an error
+    bin_expr = None
+    for i, b in enumerate(bounds):
+        cond = F.col("_v") <= F.lit(b)
+        bin_expr = F.when(cond, F.lit(i)) if bin_expr is None else bin_expr.when(cond, F.lit(i))
+    bin_expr = bin_expr.otherwise(F.lit(len(bounds)))
+    counts = (
+        vals.select(bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    spark = df.sparkSession
+    edges = spark.createDataFrame(
+        [
+            (
+                i,
+                bounds[i - 1] if i > 0 else None,
+                bounds[i] if i < len(bounds) else None,
+            )
+            for i in range(n_bins)
+        ],
+        "bin int, lo double, hi double",
+    )
+    return edges.join(counts, "bin", "left").select(
+        "bin",
+        "lo",
+        "hi",
+        F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+        F.round(
+            F.coalesce(F.col("n_rows"), F.lit(0)) / F.lit(float(n)), decimals
+        ).alias("share"),
+    )

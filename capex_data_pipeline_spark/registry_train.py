@@ -2657,3 +2657,73 @@ def q164_bloom_anti_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_value"),
     )
+
+
+# ---- q165: sketch-driven range-partition boundary planner
+
+
+@query(
+    "q165_range_partition_plan",
+    """
+    WITH vals AS (
+      SELECT l_extendedprice::DOUBLE AS v FROM lineitem
+      WHERE l_extendedprice > 0
+    ),
+    cells AS (
+      SELECT ceil(ln(v) / ln((1.0 + 0.01) / (1.0 - 0.01)))::BIGINT AS i,
+             count(*)::BIGINT AS c
+      FROM vals GROUP BY 1
+    ),
+    tot AS (SELECT sum(c)::BIGINT AS n FROM cells),
+    cum AS (SELECT i, sum(c) OVER (ORDER BY i) AS cum FROM cells),
+    bs AS (SELECT unnest(range(1, 8)) AS b),
+    pick AS (
+      SELECT b.b, min(c.i) AS i
+      FROM bs b CROSS JOIN tot t
+      JOIN cum c ON c.cum > floor(b.b / CAST(8 AS DOUBLE) * (t.n - 1))
+      GROUP BY b.b
+    ),
+    bounds AS (
+      SELECT b, round(2.0 * pow((1.0 + 0.01) / (1.0 - 0.01), i)
+                      / ((1.0 + 0.01) / (1.0 - 0.01) + 1.0), 6) AS bound
+      FROM pick
+    ),
+    bins AS (
+      SELECT (SELECT count(*) FROM bounds WHERE bound < v)::INT AS bin
+      FROM vals
+    ),
+    counts AS (SELECT bin, count(*)::BIGINT AS n_rows FROM bins GROUP BY 1),
+    edges AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS bin)
+    SELECT e.bin, lo.bound AS lo, hi.bound AS hi,
+           coalesce(c.n_rows, 0)::BIGINT AS n_rows,
+           round(coalesce(c.n_rows, 0) / t.n::DOUBLE, 6) AS share
+    FROM edges e
+    CROSS JOIN tot t
+    LEFT JOIN bounds lo ON lo.b = e.bin
+    LEFT JOIN bounds hi ON hi.b = e.bin + 1
+    LEFT JOIN counts c ON c.bin = e.bin
+    """,
+)
+def q165_range_partition_plan(spark, sf_dir):
+    """Sketch-driven range-partition planner
+    (sketches.range_partition_planner): 8 balanced range bins over
+    l_extendedprice, boundaries read from the DDSketch's log-bucketed
+    histogram at ranks 1/8..7/8 — the constant-memory version of what
+    Spark's RangePartitioner does by reservoir-sampling every
+    partition (one algebraic cell aggregate instead; the boundary
+    read is a sketch-sized collect). The plan is then VALIDATED by
+    counting the actual rows per bin in one map-side CASE pass —
+    share ~= 1/8 per bin is the balance the boundaries promise, and a
+    bin that strays is the column telling you it has atoms no
+    boundary can split. The oracle replays cells, cumulative ranks,
+    boundary midpoints, per-row binning, and shares value-exact."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        range_partition_planner,
+    )
+
+    return range_partition_planner(
+        _t(spark, sf_dir, "lineitem"),
+        F.col("l_extendedprice"),
+        n_bins=8,
+        alpha=0.01,
+    )

@@ -2201,3 +2201,62 @@ def test_bloom_anti_join_duplicate_new_rows_preserved(spark):
         for r in bloom_filtered_anti_join(new, index, "k").collect()
     )
     assert got == [(1, "a"), (1, "b")]
+
+
+def test_range_partition_planner_balances_uniform(spark):
+    """On a smooth column every bin's share lands near 1/n (within the
+    sketch's alpha plus bucket granularity); edges are open-ended."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        range_partition_planner,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 10001)], "v double"
+    )
+    rows = sorted(
+        range_partition_planner(df, F.col("v"), n_bins=4, alpha=0.01).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert [r["bin"] for r in rows] == [0, 1, 2, 3]
+    assert rows[0]["lo"] is None and rows[-1]["hi"] is None
+    assert sum(r["n_rows"] for r in rows) == 10000
+    for r in rows:
+        assert abs(r["share"] - 0.25) < 0.04, r
+    # boundaries are increasing
+    his = [r["hi"] for r in rows[:-1]]
+    assert his == sorted(his)
+
+
+def test_range_partition_planner_atom_yields_empty_bin(spark):
+    """A single value holding >half the rows cannot be split: adjacent
+    boundaries collapse onto it and a middle bin comes back EMPTY —
+    the report surfaces the limit instead of hiding it."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        range_partition_planner,
+    )
+
+    df = spark.createDataFrame(
+        [(42.0,)] * 800 + [(float(i),) for i in range(100, 300)],
+        "v double",
+    )
+    rows = sorted(
+        range_partition_planner(df, F.col("v"), n_bins=4).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert sum(r["n_rows"] for r in rows) == 1000
+    assert any(r["n_rows"] == 0 for r in rows[1:-1])  # collapsed bin
+    assert max(r["n_rows"] for r in rows) >= 800      # the atom's bin
+
+
+def test_range_partition_planner_guards(spark):
+    from capex_data_pipeline_spark.extensions.sketches import (
+        range_partition_planner,
+    )
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="n_bins"):
+        range_partition_planner(df, F.col("v"), n_bins=1)
+    with pytest.raises(ValueError, match="no positive"):
+        range_partition_planner(
+            spark.createDataFrame([(-1.0,)], "v double"), F.col("v")
+        )
