@@ -218,6 +218,7 @@ HEADLINE = [
     "q163_tokenizer_fertility",
     "q164_bloom_anti_join",
     "q165_range_partition_plan",
+    "q166_hll_overlap",
 ]
 
 

@@ -986,3 +986,96 @@ def range_partition_planner(
             F.coalesce(F.col("n_rows"), F.lit(0)) / F.lit(float(n)), decimals
         ).alias("share"),
     )
+
+
+def hll_overlap(
+    df: DataFrame,
+    group_col: str,
+    key: Column,
+    b: int = 6,
+    decimals: int = 6,
+) -> DataFrame:
+    """Cross-segment overlap from MERGED HyperLogLog registers — the
+    query that exists because HLL sketches merge: per-group registers
+    (the q153 state) combine by per-bucket MAX into exactly the
+    registers the global stream would have produced, so
+    |union| is estimated WITHOUT rescanning, and the inclusion-
+    exclusion gap Σ per-group estimates − merged estimate measures
+    how much the segments share (audience overlap, cross-source user
+    duplication). This is the operational payoff of sketch
+    mergeability at 100 TB: per-day/per-source registers are tiny
+    (groups × m cells), keep them, and any union/overlap question
+    later costs a register max — never a rescan.
+
+    Same engine-portable estimator as :func:`hll_cardinality` (md5
+    52-bit hash, integer binary-string rank, exact power-of-two
+    register sums). The exact distinct counts ride along for the
+    error report. Returns ONE row: (n_groups, sum_group_est,
+    merged_est, overlap_est, sum_group_exact, union_exact,
+    overlap_exact).
+    """
+    if not 1 <= b <= 16:
+        raise ValueError(f"b must be in [1, 16], got {b}")
+    m = 1 << b
+    rest_bits = 52 - b
+    k = F.coalesce(key.cast("string"), F.lit("<null>"))
+    h = F.conv(F.substring(F.md5(k), 1, 13), 16, 10).cast("long")
+    rest = F.shiftright(h, b)
+    bitlen = F.length(F.conv(rest.cast("string"), 10, 2))
+    rank = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits) - bitlen + 1
+    )
+    from capex_data_pipeline_spark.cache import persisted
+
+    regs = persisted(
+        df.select(
+            F.col(group_col).alias("_g"),
+            (h % m).alias("_b"),
+            rank.alias("_r"),
+        )
+        .groupBy("_g", "_b")
+        .agg(F.max("_r").alias("_mr"))
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    est = (
+        alpha
+        * F.lit(float(m * m))
+        / (
+            F.sum(F.pow(F.lit(2.0), -F.col("_mr")))
+            + (F.lit(m) - F.count(F.lit(1))).cast("double")
+        )
+    )
+    per_group = regs.groupBy("_g").agg(F.round(est, decimals).alias("_e"))
+    summed = per_group.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.round(F.sum("_e"), decimals).alias("sum_group_est"),
+    )
+    # the merge: per-bucket MAX across groups == the global registers
+    merged = (
+        regs.groupBy("_b")
+        .agg(F.max("_mr").alias("_mr"))
+        .agg(F.round(est, decimals).alias("merged_est"))
+    )
+    exact_g = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.countDistinct(k).alias("_ne")
+    )
+    exact_sum = exact_g.agg(F.sum("_ne").alias("sum_group_exact"))
+    exact_union = df.agg(F.countDistinct(k).alias("union_exact"))
+    return (
+        summed.crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(exact_sum))
+        .crossJoin(F.broadcast(exact_union))
+        .select(
+            "n_groups",
+            "sum_group_est",
+            "merged_est",
+            F.round(
+                F.col("sum_group_est") - F.col("merged_est"), decimals
+            ).alias("overlap_est"),
+            "sum_group_exact",
+            "union_exact",
+            (F.col("sum_group_exact") - F.col("union_exact")).alias(
+                "overlap_exact"
+            ),
+        )
+    )

@@ -2727,3 +2727,71 @@ def q165_range_partition_plan(spark, sf_dir):
         n_bins=8,
         alpha=0.01,
     )
+
+
+# ------ q166: HLL register merge -> union + cross-segment overlap
+
+
+@query(
+    "q166_hll_overlap",
+    """
+    WITH keyed AS (
+      SELECT event_type AS g,
+             CAST(('0x' || substr(md5(coalesce(CAST(user_id AS VARCHAR),
+                                               '<null>')), 1, 13))
+                  AS BIGINT) AS h,
+             coalesce(CAST(user_id AS VARCHAR), '<null>') AS k
+      FROM events
+    ),
+    regs AS (
+      SELECT g, h % 64 AS b,
+             max(CASE WHEN (h >> 6) = 0 THEN 47
+                      ELSE 46 - length(bin(h >> 6)) + 1 END) AS mr
+      FROM keyed GROUP BY 1, 2
+    ),
+    per_group AS (
+      SELECT g, round((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+                      / (sum(pow(2.0, -mr))
+                         + CAST(64 - count(*) AS DOUBLE)), 6) AS e
+      FROM regs GROUP BY g
+    ),
+    summed AS (
+      SELECT count(*)::BIGINT AS n_groups,
+             round(sum(e), 6) AS sum_group_est
+      FROM per_group
+    ),
+    merged AS (
+      SELECT round((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+                   / (sum(pow(2.0, -mr))
+                      + CAST(64 - count(*) AS DOUBLE)), 6) AS merged_est
+      FROM (SELECT b, max(mr) AS mr FROM regs GROUP BY b)
+    ),
+    es AS (
+      SELECT sum(ne)::BIGINT AS sum_group_exact FROM (
+        SELECT g, count(DISTINCT k) AS ne FROM keyed GROUP BY g)
+    ),
+    eu AS (SELECT count(DISTINCT k)::BIGINT AS union_exact FROM keyed)
+    SELECT s.n_groups, s.sum_group_est, m.merged_est,
+           round(s.sum_group_est - m.merged_est, 6) AS overlap_est,
+           es.sum_group_exact, eu.union_exact,
+           (es.sum_group_exact - eu.union_exact)::BIGINT AS overlap_exact
+    FROM summed s, merged m, es, eu
+    """,
+)
+def q166_hll_overlap(spark, sf_dir):
+    """Cross-segment overlap from MERGED HLL registers
+    (sketches.hll_overlap): per-event-type user registers (the q153
+    state) combine by per-bucket MAX into exactly the registers the
+    global stream would have produced, so |union of segments| is
+    estimated WITHOUT rescanning and the inclusion-exclusion gap
+    Σ per-segment estimates − merged estimate measures shared users
+    across event types. This is the operational payoff of sketch
+    mergeability: keep per-day/per-source registers (groups × 64
+    cells), answer any later union/overlap question with a register
+    max — never a rescan. Exact distinct counts ride along; the
+    oracle replays per-group registers, the merge, both estimates,
+    and both overlap figures value-exact."""
+    from capex_data_pipeline_spark.extensions.sketches import hll_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_overlap(ev, "event_type", F.col("user_id"), b=6)

@@ -2260,3 +2260,31 @@ def test_range_partition_planner_guards(spark):
         range_partition_planner(
             spark.createDataFrame([(-1.0,)], "v double"), F.col("v")
         )
+
+
+def test_hll_overlap_merge_equals_global_sketch(spark):
+    """The register merge is exact by construction: merged_est equals
+    the global single-stream HLL estimate, and the exact columns obey
+    inclusion-exclusion."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        hll_cardinality,
+        hll_overlap,
+    )
+
+    rows = (
+        [("a", u) for u in range(300)]
+        + [("b", u) for u in range(200, 500)]   # 100 shared with a
+        + [("c", u) for u in range(1000, 1100)]  # disjoint
+    )
+    df = spark.createDataFrame(rows, "g string, u long")
+    r = hll_overlap(df, "g", F.col("u"), b=6).collect()[0]
+    glob = hll_cardinality(df, F.col("u"), b=6).collect()[0]
+    assert r["n_groups"] == 3
+    assert r["merged_est"] == glob["n_estimated"]  # merge == rescan
+    assert r["sum_group_exact"] == 700
+    assert r["union_exact"] == 600
+    assert r["overlap_exact"] == 100
+    # the estimate tracks the truth within HLL-at-b=6 noise (~13%/group)
+    assert abs(r["overlap_est"] - 100) < 0.5 * 700
+    with pytest.raises(ValueError, match="b must"):
+        hll_overlap(df, "g", F.col("u"), b=0)
