@@ -219,6 +219,7 @@ HEADLINE = [
     "q164_bloom_anti_join",
     "q165_range_partition_plan",
     "q166_hll_overlap",
+    "q167_build_postings",
 ]
 
 

@@ -2435,3 +2435,85 @@ def tokenizer_fertility(
             ).alias("chars_per_piece"),
         )
     )
+
+
+def build_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    topk: int = 200,
+) -> DataFrame:
+    """Inverted-index (postings) construction — the index-build
+    workload behind q95's BM25 and q131's phrase search, materialized
+    as the artifact a search system actually stores: per term, the
+    doc-sorted postings list with within-doc positions, DELTA-encoded
+    on the doc axis (the standard index compression: sorted doc ids
+    become small gaps; at 100 TB the gap stream is what you
+    varint-pack). The certified output keeps the frame compact — per
+    term: document frequency, collection frequency, the encoded
+    postings byte length, and an md5 DIGEST of the full encoded
+    stream, which pins every doc id, every gap, and every position
+    without hauling the postings through the compare.
+
+    Scale shape: one tokenize pass (map-only posexplode), one
+    (term, doc) aggregate with an in-group position sort, one
+    per-term aggregate whose in-group sort is by doc id (grouped
+    sorts, never global — the W1 convention), and a TakeOrdered pick
+    of the ``topk`` heaviest terms. Postings lists of degenerate hot
+    terms are per-term arrays; a production build would shard a
+    term's postings past a size cap — stop-word terms here are
+    exactly the heavy rows the topk pick surfaces first.
+
+    Returns (term, df, cf, n_bytes, digest), the ``topk`` terms by
+    (df desc, term asc).
+    """
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1: {topk}")
+    toks = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(
+            F.filter(
+                F.split(normalized_text(F.col(text_col)), " "),
+                lambda w: w != "",
+            )
+        ).alias("_pos", "_term"),
+    )
+    per_doc = toks.groupBy("_term", "_doc").agg(
+        F.count(F.lit(1)).alias("_cf_d"),
+        F.array_join(
+            F.array_sort(F.collect_list("_pos")), ","
+        ).alias("_ps"),
+    )
+    per_term = per_doc.groupBy("_term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("_cf_d").alias("cf"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_doc"), F.col("_ps")))
+        ).alias("_post"),
+    )
+    encoded = per_term.withColumn(
+        "_enc",
+        F.expr(
+            """
+            array_join(
+              transform(_post, (p, i) ->
+                concat(CAST(p._doc - IF(i = 0, 0, _post[i - 1]._doc)
+                            AS STRING),
+                       ':', p._ps)),
+              ';')
+            """
+        ),
+    )
+    return (
+        encoded.select(
+            F.col("_term").alias("term"),
+            "df",
+            "cf",
+            F.length("_enc").cast("long").alias("n_bytes"),
+            F.md5("_enc").alias("digest"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(topk)
+    )

@@ -2795,3 +2795,61 @@ def q166_hll_overlap(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return hll_overlap(ev, "event_type", F.col("user_id"), b=6)
+
+
+# ----- q167: inverted-index construction (delta-encoded postings)
+
+
+@query(
+    "q167_build_postings",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(
+               coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')), ' '),
+               w -> w <> '') AS ws
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, ws[pos] AS term, pos - 1 AS pos0
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos
+            FROM toks)
+    ),
+    pdt AS (
+      SELECT term, doc_id, count(*)::BIGINT AS cf_d,
+             string_agg(pos0, ',' ORDER BY pos0) AS ps
+      FROM tok GROUP BY 1, 2
+    ),
+    enc AS (
+      SELECT term, doc_id, cf_d,
+             (doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term
+                                                  ORDER BY doc_id), 0))
+               || ':' || ps AS e
+      FROM pdt
+    ),
+    stats AS (
+      SELECT term, count(*)::BIGINT AS df, sum(cf_d)::BIGINT AS cf,
+             length(string_agg(e, ';' ORDER BY doc_id))::BIGINT AS n_bytes,
+             md5(string_agg(e, ';' ORDER BY doc_id)) AS digest
+      FROM enc GROUP BY term
+    )
+    SELECT term, df, cf, n_bytes, digest
+    FROM stats ORDER BY df DESC, term LIMIT 200
+    """,
+)
+def q167_build_postings(spark, sf_dir):
+    """Inverted-index construction (corpus.build_postings): per-term
+    doc-sorted postings with within-doc positions, delta-encoded on
+    the doc axis — the artifact behind q95's BM25 scoring and q131's
+    phrase search, materialized the way a search system stores it
+    (sorted doc ids become small gaps; the gap stream is what gets
+    varint-packed at scale). The certified frame stays compact: df,
+    cf, encoded byte length, and an md5 digest that pins EVERY doc
+    id, gap, and position of the top-200 terms without hauling the
+    postings through the compare. One tokenize pass, grouped
+    (term, doc) and per-term aggregates with in-group sorts (never
+    global), TakeOrdered pick. The oracle rebuilds the encoding with
+    a per-term lag window and string_agg ordered by doc."""
+    from capex_data_pipeline_spark.extensions.corpus import build_postings
+
+    return build_postings(_t(spark, sf_dir, "documents"), topk=200)

@@ -1117,3 +1117,33 @@ def test_tokenizer_fertility_hand_computed(spark):
     assert (s2["n_words"], s2["n_pieces"], s2["unk_words"]) == (2, 3, 1)
     with pytest.raises(ValueError, match="non-empty"):
         tokenizer_fertility(docs, {})
+
+
+def test_build_postings_hand_computed(spark):
+    """Digest pins the full delta-encoded stream: docs sorted, gaps on
+    the doc axis, 0-based positions sorted within doc."""
+    import hashlib
+
+    from capex_data_pipeline_spark.extensions.corpus import build_postings
+
+    docs = spark.createDataFrame(
+        [
+            (3, "b a b"),      # 'b' at pos 0,2; 'a' at 1
+            (10, "a a"),       # 'a' at 0,1
+            (1, "c"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["term"]: r for r in build_postings(docs, topk=10).collect()}
+    a = rows["a"]
+    assert (a["df"], a["cf"]) == (2, 3)
+    # doc-sorted: (3, "1") then (10, "0,1"); deltas 3-0=3, 10-3=7
+    enc_a = "3:1;7:0,1"
+    assert a["n_bytes"] == len(enc_a)
+    assert a["digest"] == hashlib.md5(enc_a.encode()).hexdigest()
+    b = rows["b"]
+    assert (b["df"], b["cf"]) == (1, 2)
+    assert b["digest"] == hashlib.md5(b"3:0,2").hexdigest()
+    assert rows["c"]["digest"] == hashlib.md5(b"1:0").hexdigest()
+    with pytest.raises(ValueError, match="topk"):
+        build_postings(docs, topk=0)
