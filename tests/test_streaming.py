@@ -794,3 +794,88 @@ def test_incremental_neardup_true_stream_matches_batch(spark, tmp_path):
         if batch_of[r["id_a"]] != batch_of[r["id_b"]]
     }
     assert {(a, b) for a, b, _ in got} == self_pairs
+
+
+def test_hll_registers_maintained_under_true_stream(spark, tmp_path):
+    """Sketch mergeability under a REAL streaming query: foreachBatch
+    folds each micro-batch's HLL registers into a persistent register
+    store by per-bucket MAX (the q166 merge), and the final registers
+    are BIT-identical to the batch registers over the whole stream —
+    so the streaming estimate equals the batch estimate exactly."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    batches = [
+        [(u,) for u in range(0, 400)],
+        [(u,) for u in range(300, 700)],   # overlaps batch 1
+        [(u,) for u in range(650, 1000)],
+    ]
+    schema = "user_id long"
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        p = str(src / f"b{i}.parquet")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        t = time.time() + i * 10
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    b = 6
+    m = 1 << b
+    rest_bits = 52 - b
+
+    def registers(df):
+        k = F.coalesce(F.col("user_id").cast("string"), F.lit("<null>"))
+        h = F.conv(F.substring(F.md5(k), 1, 13), 16, 10).cast("long")
+        rest = F.shiftright(h, b)
+        bitlen = F.length(F.conv(rest.cast("string"), 10, 2))
+        rank = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+            F.lit(rest_bits) - bitlen + 1
+        )
+        return (
+            df.select((h % m).alias("bucket"), rank.alias("r"))
+            .groupBy("bucket")
+            .agg(F.max("r").alias("r"))
+        )
+
+    store = str(tmp_path / "registers")
+
+    def handle(batch_df, _epoch):
+        nb = registers(batch_df.localCheckpoint())
+        try:
+            prev = nb.sparkSession.read.parquet(store)
+            merged = (
+                prev.unionByName(nb)
+                .groupBy("bucket")
+                .agg(F.max("r").alias("r"))
+            )
+        except Exception:
+            merged = nb
+        # rewrite the (<= 64-row) store atomically-enough for a test
+        merged.localCheckpoint().write.mode("overwrite").parquet(store)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["bucket"], r["r"])
+        for r in spark.read.parquet(store).collect()
+    }
+    whole = spark.createDataFrame(
+        [r for rows in batches for r in rows], schema
+    )
+    want = {(r["bucket"], r["r"]) for r in registers(whole).collect()}
+    assert got == want  # register-exact: streaming == batch
+    assert len(got) <= m
