@@ -220,6 +220,7 @@ HEADLINE = [
     "q165_range_partition_plan",
     "q166_hll_overlap",
     "q167_build_postings",
+    "q168_winsorized_stats",
 ]
 
 

@@ -1083,3 +1083,114 @@ def hll_overlap(
             ),
         )
     )
+
+
+def winsorized_stats_by(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    alpha: float = 0.01,
+    decimals: int = 6,
+) -> DataFrame:
+    """Winsorized per-group statistics with DDSketch-derived cut
+    points: values are CLAMPED (not dropped) at the per-group
+    p_lo/p_hi quantile estimates before averaging — the standard
+    robust-mean treatment for heavy-tailed metrics (latency, price,
+    doc length) where a handful of outliers move the raw mean by
+    multiples. The cut points come from the same log-bucketed
+    histogram as :func:`ddsketch_quantiles_by` (one algebraic cell
+    aggregate; no per-group sort), so at 100 TB the whole operator is
+    two passes: sketch, then a map-side clamp + mean with the
+    groups-sized boundary frame broadcast.
+
+    Positive values only (the DDSketch domain). Returns per group:
+    (``group_col``, n, lo_cut, hi_cut, n_clamped_lo, n_clamped_hi,
+    raw_mean, winsorized_mean), means rounded to ``decimals``.
+    """
+    from capex_data_pipeline_spark.cache import persisted
+    from pyspark.sql.window import Window
+
+    if not 0 <= p_lo < p_hi <= 1:
+        raise ValueError(f"need 0 <= p_lo < p_hi <= 1: {p_lo}/{p_hi}")
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1): {alpha}")
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    v = value.cast("double")
+    vals = persisted(
+        df.select(F.col(group_col).alias("_g"), v.alias("_v")).filter(
+            F.col("_v") > 0
+        )
+    )
+    cells = persisted(
+        vals.groupBy(
+            "_g",
+            F.ceil(F.log(F.col("_v")) / F.log(F.lit(gamma))).alias("_i"),
+        ).agg(F.count(F.lit(1)).alias("_c"))
+    )
+    totals = cells.groupBy("_g").agg(F.sum("_c").alias("_n"))
+    wcum = (
+        Window.partitionBy("_g")
+        .orderBy("_i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.withColumn("_cum", F.sum("_c").over(wcum))
+    qf = totals.select(
+        "_g",
+        F.explode(
+            F.array(F.lit(float(p_lo)), F.lit(float(p_hi)))
+        ).alias("q"),
+        "_n",
+    )
+    picks = (
+        qf.join(cum, "_g")
+        .filter(F.col("_cum") > F.floor(F.col("q") * (F.col("_n") - 1)))
+        .groupBy("_g", "q")
+        .agg(F.min("_i").alias("_pick"))
+        .select(
+            "_g",
+            "q",
+            F.round(
+                F.lit(2.0)
+                * F.pow(F.lit(gamma), F.col("_pick"))
+                / F.lit(gamma + 1.0),
+                decimals,
+            ).alias("_cut"),
+        )
+    )
+    cuts = (
+        picks.groupBy("_g").agg(
+            F.min(F.when(F.col("q") == float(p_lo), F.col("_cut"))).alias(
+                "lo_cut"
+            ),
+            F.min(F.when(F.col("q") == float(p_hi), F.col("_cut"))).alias(
+                "hi_cut"
+            ),
+        )
+    )
+    clamped = vals.join(F.broadcast(cuts), "_g").select(
+        "_g",
+        "_v",
+        "lo_cut",
+        "hi_cut",
+        F.least(F.greatest(F.col("_v"), F.col("lo_cut")), F.col("hi_cut")).alias(
+            "_w"
+        ),
+    )
+    return (
+        clamped.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lo_cut").alias("lo_cut"),
+            F.min("hi_cut").alias("hi_cut"),
+            F.sum(F.when(F.col("_v") < F.col("lo_cut"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_lo"),
+            F.sum(F.when(F.col("_v") > F.col("hi_cut"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_hi"),
+            F.round(F.avg("_v"), decimals).alias("raw_mean"),
+            F.round(F.avg("_w"), decimals).alias("winsorized_mean"),
+        )
+    )

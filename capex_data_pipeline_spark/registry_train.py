@@ -2855,3 +2855,76 @@ def q167_build_postings(spark, sf_dir):
     from capex_data_pipeline_spark.extensions.corpus import build_postings
 
     return build_postings(_t(spark, sf_dir, "documents"), topk=200)
+
+
+# ---- q168: winsorized robust stats (sketch cut points, clamped mean)
+
+
+@query(
+    "q168_winsorized_stats",
+    """
+    WITH vals AS (
+      SELECT event_type AS g, value::DOUBLE AS v FROM events
+      WHERE value > 0
+    ),
+    cells AS (
+      SELECT g, ceil(ln(v) / ln((1.0 + 0.01) / (1.0 - 0.01)))::BIGINT AS i,
+             count(*)::BIGINT AS c
+      FROM vals GROUP BY 1, 2
+    ),
+    tot AS (SELECT g, sum(c)::BIGINT AS n FROM cells GROUP BY g),
+    cum AS (
+      SELECT g, i, sum(c) OVER (PARTITION BY g ORDER BY i) AS cum
+      FROM cells
+    ),
+    qs AS (SELECT unnest([0.05::DOUBLE, 0.95::DOUBLE]) AS q),
+    picks AS (
+      SELECT t.g, q.q, min(c.i) AS i
+      FROM tot t CROSS JOIN qs q
+      JOIN cum c ON c.g = t.g AND c.cum > floor(q.q * (t.n - 1))
+      GROUP BY 1, 2
+    ),
+    cutv AS (
+      SELECT g, q,
+             round(2.0 * pow((1.0 + 0.01) / (1.0 - 0.01), i)
+                   / ((1.0 + 0.01) / (1.0 - 0.01) + 1.0), 6) AS cut
+      FROM picks
+    ),
+    cuts AS (
+      SELECT g,
+             min(CASE WHEN q = 0.05 THEN cut END) AS lo_cut,
+             min(CASE WHEN q = 0.95 THEN cut END) AS hi_cut
+      FROM cutv GROUP BY g
+    )
+    SELECT v.g AS event_type, count(*)::BIGINT AS n,
+           min(c.lo_cut) AS lo_cut, min(c.hi_cut) AS hi_cut,
+           sum(CASE WHEN v.v < c.lo_cut THEN 1 ELSE 0 END)::BIGINT
+             AS n_clamped_lo,
+           sum(CASE WHEN v.v > c.hi_cut THEN 1 ELSE 0 END)::BIGINT
+             AS n_clamped_hi,
+           round(avg(v.v), 6) AS raw_mean,
+           round(avg(least(greatest(v.v, c.lo_cut), c.hi_cut)), 6)
+             AS winsorized_mean
+    FROM vals v JOIN cuts c USING (g)
+    GROUP BY 1
+    """,
+)
+def q168_winsorized_stats(spark, sf_dir):
+    """Winsorized per-event-type value statistics
+    (sketches.winsorized_stats_by): values clamped — not dropped — at
+    the per-group DDSketch p05/p95 estimates before averaging, the
+    standard robust-mean treatment for heavy-tailed metrics where a
+    handful of outliers move the raw mean by multiples (raw_mean
+    rides along so the delta is visible). Two passes total at any
+    scale: one algebraic cell aggregate for the cut points (no
+    per-group sort), then a map-side clamp + mean with the
+    groups-sized boundary frame broadcast. The oracle replays cells,
+    ranks, cut midpoints, clamp counts, and both means value-exact."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        winsorized_stats_by,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return winsorized_stats_by(
+        ev, "event_type", F.col("value"), p_lo=0.05, p_hi=0.95, alpha=0.01
+    )

@@ -2288,3 +2288,24 @@ def test_hll_overlap_merge_equals_global_sketch(spark):
     assert abs(r["overlap_est"] - 100) < 0.5 * 700
     with pytest.raises(ValueError, match="b must"):
         hll_overlap(df, "g", F.col("u"), b=0)
+
+
+def test_winsorized_stats_tames_outliers(spark):
+    """A group with a huge outlier: the winsorized mean sits near the
+    bulk while the raw mean is dragged; clamp counts are honest."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        winsorized_stats_by,
+    )
+
+    rows = [("a", float(v)) for v in range(100, 200)] + [("a", 1e7)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = winsorized_stats_by(
+        df, "g", F.col("v"), p_lo=0.05, p_hi=0.95
+    ).collect()[0]
+    assert r["n"] == 101
+    assert r["raw_mean"] > 99000          # outlier drags the raw mean
+    assert r["winsorized_mean"] < 250     # clamped mean stays in the bulk
+    assert r["n_clamped_hi"] >= 1         # the outlier was clamped
+    assert r["lo_cut"] < r["hi_cut"]
+    with pytest.raises(ValueError, match="p_lo"):
+        winsorized_stats_by(df, "g", F.col("v"), p_lo=0.9, p_hi=0.5)
