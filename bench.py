@@ -221,6 +221,7 @@ HEADLINE = [
     "q166_hll_overlap",
     "q167_build_postings",
     "q168_winsorized_stats",
+    "q169_rendezvous_shards",
 ]
 
 

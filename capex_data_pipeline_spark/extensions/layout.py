@@ -117,3 +117,95 @@ def zorder_repartition(
         "zvalue"
     )
     return out if keep_key else out.drop("zvalue")
+
+
+def rendezvous_shards(
+    df: DataFrame,
+    key: Column,
+    n_shards: int = 16,
+    n_shards_after: "int | None" = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard routing with a
+    reshard-stability report — Thaler & Ravishankar 1998, the public
+    consistent-routing algorithm: a key routes to the shard s
+    maximizing hash(s|key), so when the fleet grows from n to n+1
+    shards only the keys the NEW shard wins move (≈ 1/(n+1) of them),
+    while mod-routing would reshuffle nearly everything. That
+    stability is what keeps caches, stateful services, and bucketed
+    storage warm through a resize — the report quantifies it instead
+    of asserting it.
+
+    Scale shape: the argmax is an explode of the key frame ×
+    ``n_shards`` candidate weights (compact (key, shard, weight)
+    rows) + one max-struct aggregate per key — map-side partials,
+    no window, no sort; the per-shard rollup is an
+    ``n_shards``-group aggregate. md5 weights, so an independent
+    engine reproduces every routing decision bit-for-bit.
+
+    Returns one row per BEFORE-shard: (shard, n_keys, share,
+    n_moved, moved_frac) where n_moved counts the shard's keys that
+    route elsewhere under ``n_shards_after`` (default n_shards + 1).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    after = n_shards_after if n_shards_after is not None else n_shards + 1
+    if after < 1:
+        raise ValueError(f"n_shards_after must be >= 1: {after}")
+
+    keys = df.select(key.cast("string").alias("_k")).filter(
+        F.col("_k").isNotNull()
+    ).distinct()
+    m = max(n_shards, after)
+    cand = keys.select(
+        "_k",
+        F.explode(
+            F.array(*[F.lit(s) for s in range(m)])
+        ).alias("_s"),
+    ).select(
+        "_k",
+        "_s",
+        F.md5(
+            F.concat(F.col("_s").cast("string"), F.lit("|"), F.col("_k"))
+        ).alias("_w"),
+    )
+
+    def argmax(limit: int, out: str) -> DataFrame:
+        return (
+            cand.filter(F.col("_s") < limit)
+            .groupBy("_k")
+            .agg(F.max(F.struct(F.col("_w"), F.col("_s"))).alias("_m"))
+            .select("_k", F.col("_m._s").alias(out))
+        )
+
+    from capex_data_pipeline_spark.cache import persisted
+
+    routed = persisted(
+        argmax(n_shards, "shard").join(argmax(after, "shard_after"), "_k")
+    )
+    # key total as a broadcast 1-row frame (the lazy-build convention —
+    # no driver action until a consumer acts)
+    total = routed.agg(F.count(F.lit(1)).alias("_tot"))
+    return (
+        routed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(
+                F.when(F.col("shard") != F.col("shard_after"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            "n_keys",
+            F.round(
+                F.col("n_keys") / F.col("_tot").cast("double"), decimals
+            ).alias("share"),
+            "n_moved",
+            F.round(
+                F.col("n_moved") / F.col("n_keys").cast("double"), decimals
+            ).alias("moved_frac"),
+        )
+    )

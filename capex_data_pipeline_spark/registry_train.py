@@ -2928,3 +2928,66 @@ def q168_winsorized_stats(spark, sf_dir):
     return winsorized_stats_by(
         ev, "event_type", F.col("value"), p_lo=0.05, p_hi=0.95, alpha=0.01
     )
+
+
+# --- q169: rendezvous sharding + reshard-stability report (HRW)
+
+
+@query(
+    "q169_rendezvous_shards",
+    """
+    WITH keys AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    cand AS (
+      SELECT k, s.s AS s, md5(s.s || '|' || k) AS w
+      FROM keys, (SELECT unnest(range(0, 17)) AS s) s
+    ),
+    before AS (
+      SELECT k, s AS shard FROM (
+        SELECT k, s, row_number() OVER (PARTITION BY k
+                                        ORDER BY w DESC, s DESC) AS rn
+        FROM cand WHERE s < 16) WHERE rn = 1
+    ),
+    after AS (
+      SELECT k, s AS shard_after FROM (
+        SELECT k, s, row_number() OVER (PARTITION BY k
+                                        ORDER BY w DESC, s DESC) AS rn
+        FROM cand) WHERE rn = 1
+    ),
+    routed AS (SELECT b.k, b.shard, a.shard_after
+               FROM before b JOIN after a USING (k)),
+    tot AS (SELECT count(*)::BIGINT AS t FROM routed)
+    SELECT r.shard, count(*)::BIGINT AS n_keys,
+           round(count(*) / t.t::DOUBLE, 6) AS share,
+           sum(CASE WHEN r.shard <> r.shard_after THEN 1 ELSE 0 END)::BIGINT
+             AS n_moved,
+           round(sum(CASE WHEN r.shard <> r.shard_after THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS moved_frac
+    FROM routed r CROSS JOIN tot t
+    GROUP BY r.shard, t.t
+    """,
+)
+def q169_rendezvous_shards(spark, sf_dir):
+    """Rendezvous (highest-random-weight) shard routing
+    (layout.rendezvous_shards — Thaler & Ravishankar 1998): route
+    every distinct user to the shard maximizing md5(shard|key), then
+    QUANTIFY the consistent-routing property by re-routing under 17
+    shards — only the keys the new shard wins move (expected
+    moved_frac ≈ 1/17 per shard), where mod-routing would reshuffle
+    ~16/17 of everything. The stability that keeps caches, stateful
+    services, and bucketed storage warm through a fleet resize,
+    measured per shard instead of asserted. Argmax = one max-struct
+    aggregate over the exploded (key, shard, weight) frame — map-side
+    partials, no window, no sort; md5 weights make every routing
+    decision engine-reproducible (the oracle's row_number tie-break
+    (w DESC, s DESC) matches max(struct(w, s)) exactly)."""
+    from capex_data_pipeline_spark.extensions.layout import (
+        rendezvous_shards,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return rendezvous_shards(
+        ev, F.col("user_id"), n_shards=16, n_shards_after=17
+    )

@@ -117,3 +117,52 @@ def test_zorder_locality_beats_single_column_sort(spark):
     # z-order keeps squarish tiles: total ≈ parts * (n/sqrt(parts)).
     assert x_ext > 0.8 * parts * (n - 1)
     assert z_ext < 0.5 * x_ext, (z_ext, x_ext)
+
+
+def test_rendezvous_shards_matches_brute_force_and_hrw_property(spark):
+    """Engine routing equals the plain-Python HRW argmax for every
+    key, and a key moves under 16 -> 17 shards IFF the new shard wins
+    it (the consistent-routing property, checked key-by-key)."""
+    import hashlib
+
+    from capex_data_pipeline_spark.extensions.layout import (
+        rendezvous_shards,
+    )
+
+    keys = [f"user{i}" for i in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+
+    def hrw(key, n):
+        return max(
+            range(n),
+            key=lambda s: (
+                hashlib.md5(f"{s}|{key}".encode()).hexdigest(),
+                s,
+            ),
+        )
+
+    want_before = {k: hrw(k, 16) for k in keys}
+    want_after = {k: hrw(k, 17) for k in keys}
+    rows = rendezvous_shards(df, F.col("k"), 16, 17).collect()
+    got_counts = {r["shard"]: (r["n_keys"], r["n_moved"]) for r in rows}
+    from collections import Counter
+
+    exp_counts = Counter(want_before.values())
+    exp_moved = Counter(
+        want_before[k]
+        for k in keys
+        if want_before[k] != want_after[k]
+    )
+    assert {s: c[0] for s, c in got_counts.items()} == dict(exp_counts)
+    assert {s: c[1] for s, c in got_counts.items() if c[1]} == dict(exp_moved)
+    # every mover went to the NEW shard — nothing reshuffles internally
+    assert all(
+        want_after[k] == 16
+        for k in keys
+        if want_before[k] != want_after[k]
+    )
+    # ~1/17 of keys move (loose band)
+    n_moved = sum(c[1] for c in got_counts.values())
+    assert 5 <= n_moved <= 80
+    with pytest.raises(ValueError, match="n_shards"):
+        rendezvous_shards(df, F.col("k"), 0)
