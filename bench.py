@@ -951,32 +951,35 @@ def stress_join() -> None:
             "spark.sql.adaptive.skewJoin.enabled",
         )
     }
-    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-    try:
-        t_plain, n_plain = run(agg(a.join(b, "l_partkey")))
-    finally:
-        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    t_plain_aqe, _ = run(agg(a.join(b, "l_partkey")))
-    conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-
+    # ONE try/finally around every measured run: if any of them
+    # throws, the session must still get its broadcast threshold and
+    # skew-join setting back (a leaked autoBroadcastJoinThreshold=-1
+    # silently de-optimizes everything bench runs afterwards)
     salt_stats: dict = {}
-    t_salt, n_salt_rows = run(
-        agg(
-            guarded_join(
-                a,
-                b,
-                "l_partkey",
-                est_threshold=1_000_000,
-                n_salt=int(cpus),
-                hot_key_rows=1000,
-                stats_out=salt_stats,
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        t_plain, n_plain = run(agg(a.join(b, "l_partkey")))
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        t_plain_aqe, _ = run(agg(a.join(b, "l_partkey")))
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+
+        t_salt, n_salt_rows = run(
+            agg(
+                guarded_join(
+                    a,
+                    b,
+                    "l_partkey",
+                    est_threshold=1_000_000,
+                    n_salt=int(cpus),
+                    hot_key_rows=1000,
+                    stats_out=salt_stats,
+                )
             )
         )
-    )
-
-    for k, v in saved.items():
-        conf.set(k, v)
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
 
     cap_stats: dict = {}
     t_cap, n_cap = run(
@@ -1204,41 +1207,56 @@ def main() -> None:
     load_after = os.getloadavg()
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "reps": reps,
-                "stats": stats,
-                "loadavg": {
-                    "before": [round(x, 2) for x in load_before],
-                    "after": [round(x, 2) for x in load_after],
-                },
-            }
-        )
+    full_line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "reps": reps,
+            "stats": stats,
+            "loadavg": {
+                "before": [round(x, 2) for x in load_before],
+                "after": [round(x, 2) for x in load_after],
+            },
+        }
     )
+    print(full_line)
     # compact summary LAST: the driver's BENCH_rN.json keeps only the
     # tail of stdout, and the full line above buries the total under
     # per-query stats — this one keeps every round's artifact
     # self-interpreting (total + slowest-10) no matter the truncation
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
-    print(
-        json.dumps(
-            {
-                "summary": "tail",
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "slowest": {k: v for k, v in slowest},
-            }
-        )
+    tail_line = json.dumps(
+        {
+            "summary": "tail",
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "slowest": {k: v for k, v in slowest},
+        }
     )
+    print(tail_line)
+
+    # optional preview artifact: BENCH previews are JSONL (one JSON
+    # object per line — concatenated bare objects broke plain
+    # json.load on the r09 artifact), and the writer re-reads and
+    # parses every line before returning so a malformed artifact can
+    # never be committed silently
+    preview = os.environ.get("SPARK_GRAFT_BENCH_PREVIEW", "")
+    if preview:
+        if not preview.endswith(".jsonl"):
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_PREVIEW must end in .jsonl: {preview}"
+            )
+        with open(preview, "w") as f:
+            f.write(full_line + "\n" + tail_line + "\n")
+        with open(preview) as f:
+            parsed = [json.loads(line) for line in f if line.strip()]
+        assert len(parsed) == 2, f"preview must hold 2 JSONL lines: {preview}"
     spark.stop()
 
 

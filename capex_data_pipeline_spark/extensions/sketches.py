@@ -360,6 +360,41 @@ def cms_join_size(
     )
 
 
+def _check_join_columns(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    keys: "list[str]",
+    reserved: "tuple[str, ...]" = (),
+) -> None:
+    """Fail FAST on the two column layouts the armored joins cannot
+    produce sane output for: overlapping non-key columns (the final
+    ``select(*out_cols)`` would only surface them later as an opaque
+    AMBIGUOUS_REFERENCE), and caller columns that collide with the
+    operator's internal working names (``_salt``/``_bloom``) or with
+    derived-frame names (a key literally named ``count`` collides with
+    ``groupBy(keys).count()``'s output in the hot-key split)."""
+    overlap = sorted(
+        (set(df_a.columns) & set(df_b.columns)) - set(keys)
+    )
+    if overlap:
+        raise ValueError(
+            f"non-key columns must be disjoint across the two sides; "
+            f"rename or drop before joining: {overlap}"
+        )
+    hit = sorted(
+        set(reserved) & (set(df_a.columns) | set(df_b.columns))
+    )
+    if hit:
+        raise ValueError(
+            f"column names reserved for internal use: {hit}"
+        )
+    if "count" in keys:
+        raise ValueError(
+            "a join key named 'count' collides with the hot-key "
+            "split's groupBy().count() frame; alias it first"
+        )
+
+
 def guarded_join(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -422,10 +457,21 @@ def guarded_join(
         raise ValueError("est_threshold/n_salt/hot_key_rows must be >= 0/1/1")
     if over_strategy == "cap" and (max_rows_per_key or 0) < 1:
         raise ValueError("over_strategy='cap' needs max_rows_per_key >= 1")
+    _check_join_columns(df_a, df_b, keys, reserved=("_salt",))
 
-    key_expr = lambda df: (  # noqa: E731 - local one-liner
-        F.concat_ws("\x1f", *[df[k].cast("string") for k in keys])
-    )
+    # NULL-propagating composite key: concat_ws silently DROPS null
+    # components, so NULL-keyed rows (which the inner join can never
+    # match) and partial-null keys like ('a', NULL) vs ('a', '') would
+    # land in the sketches and inflate est_join_rows — the sketch's
+    # isNotNull filter can only drop them if the composite goes NULL
+    # whenever any component is NULL (SQL join semantics).
+    def key_expr(df: DataFrame) -> Column:
+        any_null = df[keys[0]].isNull()
+        for k in keys[1:]:
+            any_null = any_null | df[k].isNull()
+        return F.when(any_null, F.lit(None)).otherwise(
+            F.concat_ws("\x1f", *[df[k].cast("string") for k in keys])
+        )
     est = int(
         cms_join_estimate(
             df_a, key_expr(df_a), df_b, key_expr(df_b), depth, width
@@ -646,8 +692,14 @@ def ddsketch_quantiles_by(
         "n",
         "est_q",
         "exact_q",
+        # denominator floored at one rounding ulp (10^-decimals): a
+        # legal tiny positive exact quantile (< 0.5·10^-decimals)
+        # rounds exact_q to 0.0 and a bare division would emit a
+        # NULL/inf rel_error row; the floor keeps the ratio finite and
+        # is engine-replayable because exact_q is already quantized
         F.round(
-            F.abs(F.col("est_q") - F.col("exact_q")) / F.col("exact_q"),
+            F.abs(F.col("est_q") - F.col("exact_q"))
+            / F.greatest(F.col("exact_q"), F.lit(10.0 ** -decimals)),
             decimals,
         ).alias("rel_error"),
     )
@@ -766,6 +818,7 @@ def bloom_filtered_join(
         raise ValueError(f"m_bits must be a power of two >= 64: {m_bits}")
     if n_hashes < 1:
         raise ValueError(f"n_hashes must be >= 1: {n_hashes}")
+    _check_join_columns(df_big, df_small, keys, reserved=("_bloom",))
 
     bitset, set_bits = _bloom_build(df_small, keys, m_bits, n_hashes)
     if stats_out is not None:
@@ -823,7 +876,12 @@ def key_skew_profile(
         F.sum(F.col("_c") * F.col("_c")).alias("_ss"),
     )
     top = (
-        counts.orderBy(F.desc("_c"), F.asc(F.col("_k").cast("string")))
+        # tie-break NULLS LAST to match ANSI/DuckDB default ascending
+        # order (Spark's plain asc sorts NULL first): a NULL key tying
+        # on count at the topk boundary must resolve identically
+        counts.orderBy(
+            F.desc("_c"), F.col("_k").cast("string").asc_nulls_last()
+        )
         .limit(topk)
         .agg(F.sum("_c").alias("_top"))
     )
@@ -878,6 +936,8 @@ def bloom_filtered_anti_join(
         raise ValueError(f"m_bits must be a power of two >= 64: {m_bits}")
     if n_hashes < 1:
         raise ValueError(f"n_hashes must be >= 1: {n_hashes}")
+    if "_bloom" in df_new.columns:
+        raise ValueError("column name reserved for internal use: ['_bloom']")
 
     bitset, set_bits = _bloom_build(df_index, keys, m_bits, n_hashes)
     if stats_out is not None:

@@ -2178,7 +2178,8 @@ def q156_guarded_join(spark, sf_dir):
       FROM vals GROUP BY g
     )
     SELECT e.g AS l_returnflag, e.q, e.n, e.est_q, x.exact_q,
-           round(abs(e.est_q - x.exact_q) / x.exact_q, 6) AS rel_error
+           round(abs(e.est_q - x.exact_q) / greatest(x.exact_q, 1e-6), 6)
+             AS rel_error
     FROM est e JOIN ex x ON e.g = x.g AND e.q = x.q
     """,
 )

@@ -2309,3 +2309,118 @@ def test_winsorized_stats_tames_outliers(spark):
     assert r["lo_cut"] < r["hi_cut"]
     with pytest.raises(ValueError, match="p_lo"):
         winsorized_stats_by(df, "g", F.col("v"), p_lo=0.9, p_hi=0.5)
+
+
+def test_guarded_join_null_keys_excluded_from_preflight(spark):
+    """NULL-keyed rows can never match an inner join, so they must not
+    vote in the CMS pre-flight either: before the NULL-propagating key
+    fix, concat_ws silently dropped the NULL component, both sides'
+    NULL rows landed in the sketches as the same key, and the
+    estimate could cross the threshold (or raise under 'error') for a
+    join whose real output is tiny."""
+    from capex_data_pipeline_spark.extensions.sketches import guarded_join
+
+    rows_a = [(None, i) for i in range(200)] + [(1, 0), (2, 0)]
+    rows_b = [(None, -i) for i in range(200)] + [(1, 1), (2, 1)]
+    a = spark.createDataFrame(rows_a, "k long, va long")
+    b = spark.createDataFrame(rows_b, "k long, vb long")
+    stats = {}
+    # 200x200 phantom NULL pairs would blow through this threshold and
+    # raise; the real join is 2 rows
+    out = guarded_join(
+        a, b, "k", est_threshold=100, over_strategy="error",
+        stats_out=stats,
+    )
+    assert stats["strategy"] == "plain"
+    assert stats["est_join_rows"] <= 100
+    assert {(r["k"], r["va"], r["vb"]) for r in out.collect()} == {
+        (1, 0, 1), (2, 0, 1)
+    }
+
+
+def test_guarded_join_multikey_partial_null_not_sketched(spark):
+    """('a', NULL) vs ('a', '') must not cross-match in the sketches:
+    any NULL component nulls the composite key and the row leaves the
+    pre-flight (it can never match the inner join)."""
+    from capex_data_pipeline_spark.extensions.sketches import guarded_join
+
+    rows_a = [("a", None, i) for i in range(100)] + [("a", "x", 0)]
+    rows_b = [("a", "", -i) for i in range(100)] + [("a", "x", 1)]
+    a = spark.createDataFrame(rows_a, "k1 string, k2 string, va long")
+    b = spark.createDataFrame(rows_b, "k1 string, k2 string, vb long")
+    stats = {}
+    out = guarded_join(
+        a, b, ["k1", "k2"], est_threshold=50, over_strategy="error",
+        stats_out=stats,
+    )
+    assert stats["est_join_rows"] <= 50
+    assert out.count() == 1
+
+
+def test_armored_joins_reject_colliding_columns(spark):
+    """Overlapping non-key columns and reserved internal names fail
+    FAST with a clear ValueError instead of surfacing later as an
+    opaque AMBIGUOUS_REFERENCE (or silently corrupting the salt)."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        bloom_filtered_anti_join,
+        bloom_filtered_join,
+        guarded_join,
+    )
+
+    a = spark.createDataFrame([(1, 2)], "k long, v long")
+    b = spark.createDataFrame([(1, 3)], "k long, v long")
+    with pytest.raises(ValueError, match="disjoint"):
+        guarded_join(a, b, "k", est_threshold=100)
+    with pytest.raises(ValueError, match="disjoint"):
+        bloom_filtered_join(a, b, "k")
+    salted = spark.createDataFrame([(1, 2)], "k long, _salt long")
+    with pytest.raises(ValueError, match="reserved"):
+        guarded_join(salted, b.withColumnRenamed("v", "w"), "k",
+                     est_threshold=100)
+    bloomed = spark.createDataFrame([(1, 2)], "k long, _bloom long")
+    with pytest.raises(ValueError, match="reserved"):
+        bloom_filtered_join(bloomed, b.withColumnRenamed("v", "w"), "k")
+    with pytest.raises(ValueError, match="reserved"):
+        bloom_filtered_anti_join(bloomed, b, "k")
+    c = spark.createDataFrame([(1, 2)], "count long, v long")
+    with pytest.raises(ValueError, match="count"):
+        guarded_join(c, c.withColumnRenamed("v", "w"), "count",
+                     est_threshold=100)
+
+
+def test_key_skew_profile_null_tie_breaks_nulls_last(spark):
+    """A NULL key tying on count at the topk boundary resolves NULLS
+    LAST (the ANSI/DuckDB ascending default the q162 oracle uses) —
+    before the fix Spark's plain asc put NULL FIRST and topk_share
+    diverged from the oracle."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        key_skew_profile,
+    )
+
+    rows = [(None,)] * 5 + [("a",)] * 5 + [("b",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_profile(df, F.col("k"), topk=1).collect()[0]
+    # 'a' wins the tie over NULL; NULL still counts as a key elsewhere
+    assert r["n_keys"] == 3 and r["n_rows"] == 11
+    assert r["topk_share"] == round(5 / 11, 6)
+
+
+def test_ddsketch_tiny_exact_quantile_keeps_rel_error_finite(spark):
+    """Legal tiny positive values round exact_q to 0.0 at the default
+    6 decimals; the floored denominator keeps rel_error a finite
+    number instead of NULL/inf."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        ddsketch_quantiles_by,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1e-9), ("a", 2e-9), ("a", 3e-9)], "g string, v double"
+    )
+    out = ddsketch_quantiles_by(df, "g", F.col("v"), quantiles=(0.5,)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["exact_q"] == 0.0
+    assert r["rel_error"] is not None
+    import math as _m
+
+    assert _m.isfinite(r["rel_error"])
