@@ -222,6 +222,7 @@ HEADLINE = [
     "q167_build_postings",
     "q168_winsorized_stats",
     "q169_rendezvous_shards",
+    "q170_jaccard_dup_summary",
 ]
 
 
@@ -457,6 +458,25 @@ def stress() -> None:
             .count()
         },
     )
+    # PPJoin +P: measure what the length/positional filters buy on the
+    # inflated corpus — candidate counts with and without, same final
+    # semantics (exact-preserving filters, pinned by unit diff test)
+    def _ppjoin_counts():
+        from capex_data_pipeline_spark.extensions.dedup import (
+            _ppjoin_candidates,
+            _ppjoin_ordered,
+        )
+
+        ordered = _ppjoin_ordered(inflated, 0.6, "text", "doc_id")
+        raw = _ppjoin_candidates(ordered, 0.6, positional=False).count()
+        filt = _ppjoin_candidates(ordered, 0.6, positional=True).count()
+        return {
+            "cand_raw": raw,
+            "cand_filtered": filt,
+            "reduction": round(1 - filt / max(raw, 1), 4),
+        }
+
+    timed("ppjoin_positional_filter", _ppjoin_counts)
     timed(
         "duplicated_spans",
         lambda: {

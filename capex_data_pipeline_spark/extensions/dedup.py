@@ -1574,40 +1574,17 @@ def source_overlap_minhash(
     )
 
 
-def jaccard_similarity_join(
+def _ppjoin_ordered(
     docs: DataFrame,
-    threshold: float = 0.6,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    decimals: int = 6,
+    threshold: float,
+    text_col: str,
+    id_col: str,
 ) -> DataFrame:
-    """EXACT set-similarity self-join via prefix filtering (the
-    PPJoin family — Xiao, Wang, Lin & Yu, WWW 2008/TODS 2011, public
-    algorithm): every pair of documents whose distinct-word-set
-    Jaccard is >= ``threshold``, with NO recall loss — the exact
-    sibling of the MinHash-LSH family (q31 trades recall for cost via
-    the S-curve; this operator's candidate set PROVABLY contains
-    every qualifying pair). The filter: order each doc's tokens by
-    ascending global frequency (rarest first, ties by token), take
-    the first ``n - ceil(t·n) + 1`` tokens as the prefix; two sets
-    with Jaccard >= t MUST share a prefix token, so candidates are an
-    equi-join on prefix tokens only.
-
-    Scale shape: candidate cost scales with prefix-token collisions —
-    and prefixes hold each doc's RAREST tokens, so hot tokens (stop
-    words) are systematically excluded from the join key; the
-    verify step re-joins the two token arrays and computes the exact
-    intersection/union natively (array_intersect — no Python). The
-    global frequency frame is vocab-sized; everything else shuffles
-    compact (token, id) pairs. The oracle certifies completeness
-    directly: it enumerates candidates from ANY shared token (a
-    strictly larger candidate set) and must produce the same pairs.
-
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
-    to ``decimals``; empty-token docs never pair.
-    """
-    import math as _math
-
+    """Tokenize + rarest-first ordering + prefix length for the PPJoin
+    family: returns a persisted (id, ts, _plen) frame where ``ts`` is
+    the doc's distinct tokens sorted by ascending global document
+    frequency (ties by token) and ``_plen`` is the prefix length
+    ``n - ceil(t·n) + 1``."""
     from capex_data_pipeline_spark.cache import persisted
 
     if not 0 < threshold <= 1:
@@ -1632,7 +1609,7 @@ def jaccard_similarity_join(
     # rarest-first ordering: sort structs (df, tok) ascending, then a
     # prefix of length n - ceil(t*n) + 1; sets with Jaccard >= t must
     # share a prefix token under ANY consistent global order
-    ordered = persisted(
+    return persisted(
         toks.select("id", F.explode("ts").alias("tok"))
         .join(freq, "tok")
         .groupBy("id")
@@ -1658,19 +1635,107 @@ def jaccard_similarity_join(
             + 1,
         )
     )
-    prefix = ordered.select(
-        "id", F.explode(F.slice("ts", 1, F.col("_plen"))).alias("tok")
+
+
+def _ppjoin_candidates(
+    ordered: DataFrame,
+    threshold: float,
+    positional: bool = True,
+) -> DataFrame:
+    """Candidate pairs for the PPJoin prefix filter, optionally with
+    the length + positional filters (the "+P" of Xiao et al. 2008).
+
+    Both extra filters are sound PER MATCHED TOKEN, so filtering
+    before the pair-level dropDuplicates keeps every qualifying pair
+    (a pair survives if ANY shared prefix token passes):
+
+    - length: Jaccard <= min(n_a,n_b)/max(n_a,n_b), so a qualifying
+      pair needs min >= t·max.
+    - positional: Jaccard >= t  ⇔  overlap >= α = ⌈t·(n_a+n_b)/(1+t)⌉.
+      For a shared token at 1-based positions (i, j) of the two
+      rarest-first orderings, common tokens ordered BEFORE it number
+      at most min(i-1, j-1) (a common token sorts before position i
+      in BOTH lists under the shared total order), and common tokens
+      at-or-after it number at most 1 + min(n_a-i, n_b-j); so
+      overlap <= min(i-1,j-1) + 1 + min(n_a-i, n_b-j). If that upper
+      bound is < α for a given shared token, the token cannot witness
+      a qualifying pair. Both ceil guards carry the 1e-9 IEEE-overshoot
+      protection (loosening is safe, tightening drops pairs).
+    """
+    pre = ordered.select(
+        "id",
+        F.size("ts").alias("n"),
+        F.posexplode(F.slice("ts", 1, F.col("_plen"))).alias("p", "tok"),
     )
-    cands = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.id") < F.col("b.id")),
+    a, b = pre.alias("a"), pre.alias("b")
+    cond = (F.col("a.tok") == F.col("b.tok")) & (
+        F.col("a.id") < F.col("b.id")
+    )
+    if positional:
+        na, nb = F.col("a.n"), F.col("b.n")
+        # length filter: min(n) >= t*max(n) (1e-9-guarded downward)
+        cond = cond & (
+            F.least(na, nb).cast("double")
+            >= F.greatest(na, nb) * F.lit(float(threshold)) - F.lit(1e-9)
         )
+        # positional filter: overlap upper bound at this token >= alpha
+        alpha = F.ceil(
+            (na + nb) * F.lit(float(threshold) / (1.0 + float(threshold)))
+            - F.lit(1e-9)
+        )
+        pa, pb = F.col("a.p"), F.col("b.p")  # 0-based: i-1 = pa
+        ubound = (
+            F.least(pa, pb)
+            + F.lit(1)
+            + F.least(na - pa - F.lit(1), nb - pb - F.lit(1))
+        )
+        cond = cond & (ubound >= alpha)
+    return (
+        a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def jaccard_similarity_join(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin family — Xiao, Wang, Lin & Yu, WWW 2008/TODS 2011, public
+    algorithm): every pair of documents whose distinct-word-set
+    Jaccard is >= ``threshold``, with NO recall loss — the exact
+    sibling of the MinHash-LSH family (q31 trades recall for cost via
+    the S-curve; this operator's candidate set PROVABLY contains
+    every qualifying pair). The filter: order each doc's tokens by
+    ascending global frequency (rarest first, ties by token), take
+    the first ``n - ceil(t·n) + 1`` tokens as the prefix; two sets
+    with Jaccard >= t MUST share a prefix token, so candidates are an
+    equi-join on prefix tokens only. On top of the prefix filter sit
+    the LENGTH filter (min size >= t·max size) and the POSITIONAL
+    filter (per-token overlap upper bound >= ⌈t(n_a+n_b)/(1+t)⌉ —
+    see :func:`_ppjoin_candidates` for the soundness argument), both
+    exact-preserving; ``bench.py --stress`` measures the candidate
+    reduction they buy.
+
+    Scale shape: candidate cost scales with prefix-token collisions —
+    and prefixes hold each doc's RAREST tokens, so hot tokens (stop
+    words) are systematically excluded from the join key; the
+    verify step re-joins the two token arrays and computes the exact
+    intersection/union natively (array_intersect — no Python). The
+    global frequency frame is vocab-sized; everything else shuffles
+    compact (token, id) pairs. The oracle certifies completeness
+    directly: it enumerates candidates from ANY shared token (a
+    strictly larger candidate set) and must produce the same pairs.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
+    to ``decimals``; empty-token docs never pair.
+    """
+    ordered = _ppjoin_ordered(docs, threshold, text_col, id_col)
+    cands = _ppjoin_candidates(ordered, threshold)
     sets = ordered.select("id", "ts")
     return (
         cands.join(sets.select(F.col("id").alias("id_a"), F.col("ts").alias("_ta")), "id_a")
@@ -1685,4 +1750,54 @@ def jaccard_similarity_join(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_dup_summary(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Compact CERTIFIED form of the exact set-similarity join: one
+    row per document instead of one per qualifying pair. At 100 TB
+    the pair set of :func:`jaccard_similarity_join` is output-bound
+    on template-heavy corpora (7.1M pairs at sf0.1 already); what a
+    dedup pipeline actually consumes downstream is per-document — how
+    duplicated is this doc (``dup_degree`` = number of qualifying
+    partners) and which component does it belong to (``cluster_id``/
+    ``cluster_size``/``is_keeper`` via the same min-label-propagation
+    machinery as :func:`dedup_clusters`). The pair frame still exists
+    as an intermediate, but it is aggregated engine-side down to
+    |docs| rows — nothing pair-shaped is ever materialized to the
+    caller, which is the difference between shipping O(dups²) and
+    O(docs) off the cluster.
+
+    Returns (id_col, dup_degree, cluster_id, cluster_size, is_keeper);
+    docs with no qualifying partner appear with dup_degree=0 and a
+    singleton cluster.
+    """
+    from capex_data_pipeline_spark.cache import persisted
+
+    pairs = persisted(
+        jaccard_similarity_join(
+            docs, threshold=threshold, text_col=text_col, id_col=id_col
+        ).select("id_a", "id_b")
+    )
+    deg = (
+        pairs.select(F.col("id_a").alias("_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("_id")))
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    clusters = dedup_clusters(pairs, corpus=docs, id_col=id_col)
+    return (
+        clusters.join(deg, clusters[id_col] == deg["_id"], "left")
+        .select(
+            id_col,
+            F.coalesce("_deg", F.lit(0)).cast("long").alias("dup_degree"),
+            "cluster_id",
+            "cluster_size",
+            "is_keeper",
+        )
     )

@@ -2992,3 +2992,87 @@ def q169_rendezvous_shards(spark, sf_dir):
     return rendezvous_shards(
         ev, F.col("user_id"), n_shards=16, n_shards_after=17
     )
+
+
+# --- q170: per-doc certified summary of the exact similarity join
+
+
+@query(
+    "q170_jaccard_dup_summary",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_filter(
+               string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                            '[^a-z0-9]+', ' ', 'g')), ' '),
+               w -> w <> ''))) AS ts
+      FROM documents
+    ),
+    ne AS (SELECT doc_id, ts FROM toks WHERE len(ts) > 0),
+    tok AS (SELECT doc_id, unnest(ts) AS tok FROM ne),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+      FROM tok a JOIN tok b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT x.id_a, x.id_b,
+               x.i / (len(a.ts) + len(b.ts) - x.i)::DOUBLE AS j
+        FROM inter x
+        JOIN ne a ON a.doc_id = x.id_a
+        JOIN ne b ON b.doc_id = x.id_b
+      ) WHERE j >= 0.6
+    ),
+    e2 AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach5(u, v) AS (
+      SELECT u, v FROM e2
+      UNION
+      SELECT r.u, e.v FROM reach5 r JOIN e2 e ON r.v = e.u
+    ),
+    lbl AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach5 GROUP BY u
+    ),
+    deg AS (SELECT u AS doc_id, count(*)::BIGINT AS dup_degree
+            FROM e2 GROUP BY u),
+    allc AS (
+      SELECT d.doc_id,
+             coalesce(g.dup_degree, 0)::BIGINT AS dup_degree,
+             coalesce(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d
+      LEFT JOIN lbl l USING (doc_id)
+      LEFT JOIN deg g USING (doc_id)
+    )
+    SELECT doc_id, dup_degree, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = min(doc_id) OVER (PARTITION BY cluster_id) AS is_keeper
+    FROM allc
+    """,
+)
+def q170_jaccard_dup_summary(spark, sf_dir):
+    """Compact CERTIFIED form of q161 (dedup.jaccard_dup_summary):
+    per-document dup_degree (number of exact-Jaccard>=0.6 partners)
+    plus connected-component cluster id/size/keeper via the same
+    min-label propagation as q38 — so a 100 TB run ships O(docs) rows
+    off the cluster instead of q161's O(dups^2) pair set (7.1M pairs
+    at sf0.1 already). The pair frame stays an engine-side
+    intermediate: degree is one union+hash-aggregate, clustering is
+    O(diameter) rounds on compact (id, label) pairs. The oracle
+    re-derives the pair set from ANY-shared-token candidates (strict
+    superset — the q161 completeness certificate carries over) and
+    closes the graph with a recursive reachability CTE exactly like
+    q38, so degree, component labels, sizes, and keeper election are
+    all value-checked cross-engine."""
+    from capex_data_pipeline_spark.extensions.dedup import (
+        jaccard_dup_summary,
+    )
+
+    return jaccard_dup_summary(
+        _t(spark, sf_dir, "documents"), threshold=0.6
+    )

@@ -1613,3 +1613,78 @@ def test_jaccard_join_guards_and_empty_docs(spark):
     assert got == {(1, 2, 1.0)}  # empty/NULL docs never pair
     with pytest.raises(ValueError, match="threshold"):
         jaccard_similarity_join(docs, threshold=0.0)
+
+
+def test_ppjoin_positional_filter_prunes_but_loses_nothing(spark):
+    """The +P length/positional filters must produce a candidate
+    SUBSET (strictly fewer on a length-diverse corpus) while the
+    final pair set is identical — pruning is allowed, recall loss is
+    not."""
+    import random
+
+    from capex_data_pipeline_spark.extensions.dedup import (
+        _ppjoin_candidates,
+        _ppjoin_ordered,
+    )
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = [
+        (i, " ".join(rng.sample(vocab, rng.choice([3, 4, 8, 12, 16]))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    ordered = _ppjoin_ordered(df, 0.6, "text", "doc_id")
+    raw = {
+        (r["id_a"], r["id_b"])
+        for r in _ppjoin_candidates(ordered, 0.6, positional=False).collect()
+    }
+    filt = {
+        (r["id_a"], r["id_b"])
+        for r in _ppjoin_candidates(ordered, 0.6, positional=True).collect()
+    }
+    assert filt <= raw
+    assert len(filt) < len(raw)  # the filters actually prune here
+    # no recall loss: every qualifying pair is still a candidate
+    sets = {i: set(t.split()) for i, t in docs}
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a < b and sets[a] and sets[b]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= 0.6:
+                    assert (a, b) in filt
+
+
+def test_jaccard_dup_summary_matches_hand_built(spark):
+    """dup_degree / cluster_id / cluster_size / is_keeper vs a
+    hand-built graph: {1,2,3} is a near-dup triangle-ish component
+    (1~2, 2~3 but 1~3 only via transitivity), 4 is a singleton, 5 is
+    empty text."""
+    from capex_data_pipeline_spark.extensions.dedup import (
+        jaccard_dup_summary,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d f"),      # J(1,2)=4/6=0.667
+            (3, "a b c d f g"),    # J(2,3)=5/6=0.833, J(1,3)=4/7=0.571
+            (4, "x y z"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in jaccard_dup_summary(docs, threshold=0.6).collect()
+    }
+    assert {
+        i: (r["dup_degree"], r["cluster_id"], r["cluster_size"], r["is_keeper"])
+        for i, r in rows.items()
+    } == {
+        1: (1, 1, 3, True),
+        2: (2, 1, 3, False),
+        3: (1, 1, 3, False),
+        4: (0, 4, 1, True),
+        5: (0, 5, 1, True),
+    }
