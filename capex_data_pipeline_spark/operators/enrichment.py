@@ -74,17 +74,13 @@ def _first_occurrence_not_negated(text_lower: Column, word: str) -> Column:
     return (plain > 0) & (plain == nonneg)
 
 
-def explain_exclusion_reason_col(rowkey_label: Column | None = None) -> Column:
-    """``explain_exclusion_reason`` (process_capex.py:385-499) as one
-    first-match CASE over raw-row columns — including its quirks: the
-    reduced category map, no CCTV/STOOL branch in 3a, first-occurrence
-    negation for device words, and the in-loop audit fallback that fires
-    after the 'Personal' keyword check but before 'Individual'
-    (:481-497 — the try block is indented inside the keyword loop).
-
-    ``rowkey_label`` is the audit label for the row's own un-stripped
-    robust key (the in-loop fallback's lookup); pass None to skip it.
-    """
+def _explain_branches() -> "tuple[list, list]":
+    """The ordered (condition, value) branch lists of the explain CASE,
+    split at the in-loop audit-fallback slot: ``pre`` holds every branch
+    evaluated BEFORE the fallback (through the first NON_OPS keyword),
+    ``post`` the keywords after it. Split out so the expensive regex
+    conditions can be evaluated ONCE per row and reused by several
+    label variants (see :func:`_explain_on_pair`)."""
     cs = _val("CurrentStatus")
     isv = _val("IsSelectedVendor")
     rf = _val("RequestFunction")
@@ -130,45 +126,106 @@ def explain_exclusion_reason_col(rowkey_label: Column | None = None) -> Column:
     def kw_hit(kw: str) -> Column:
         return combined2.contains(kw.lower())
 
-    reason = F.when(F.lower(cs) == "rejected", F.lit("Rejected status"))
-    reason = reason.when(isv == "-", F.lit("IsSelectedVendor is '-'"))
-    reason = reason.when(
-        F.lower(rf).isin(*_UNWANTED_FUNCTIONS),
-        F.concat(F.lit("Removed RequestFunction '"), rf, F.lit("'")),
-    )
-    reason = reason.when(
-        fire | fan | aircond | ac_word,
-        F.lit("Excluded equipment: Air Conditioner/Fan/Fire Extinguisher"),
-    )
-    reason = reason.when(
-        ~ac2.isin("COMPUTER", "PLANT & MACHINERY", "LEASEHOLD"),
-        F.concat(
-            F.lit("Asset category excluded after normalization ('"), ac2, F.lit("')")
+    pre = [
+        (F.lower(cs) == "rejected", F.lit("Rejected status")),
+        (isv == "-", F.lit("IsSelectedVendor is '-'")),
+        (
+            F.lower(rf).isin(*_UNWANTED_FUNCTIONS),
+            F.concat(F.lit("Removed RequestFunction '"), rf, F.lit("'")),
         ),
-    )
-    reason = reason.when(ds_word, F.lit("UserRemarks mention 'DS'"))
-    reason = reason.when(dark, F.lit("UserRemarks mention 'dark store'"))
-    reason = reason.when(counter, F.lit("UserRemarks mention 'counter'"))
-    reason = reason.when(
-        device,
-        F.lit("Mention of personal computing device (laptop/macbook/tablet/phone)"),
-    )
+        (
+            fire | fan | aircond | ac_word,
+            F.lit("Excluded equipment: Air Conditioner/Fan/Fire Extinguisher"),
+        ),
+        (
+            ~ac2.isin("COMPUTER", "PLANT & MACHINERY", "LEASEHOLD"),
+            F.concat(
+                F.lit("Asset category excluded after normalization ('"),
+                ac2,
+                F.lit("')"),
+            ),
+        ),
+        (ds_word, F.lit("UserRemarks mention 'DS'")),
+        (dark, F.lit("UserRemarks mention 'dark store'")),
+        (counter, F.lit("UserRemarks mention 'counter'")),
+        (
+            device,
+            F.lit(
+                "Mention of personal computing device (laptop/macbook/tablet/phone)"
+            ),
+        ),
+    ]
     for func in ("IT", "Admin", "Ops", "Ops through IT"):
-        reason = reason.when(
-            (rf == func) & nonrel, F.lit(f"{func} non-relevant by UserRemarks")
+        pre.append(
+            ((rf == func) & nonrel, F.lit(f"{func} non-relevant by UserRemarks"))
         )
-    reason = reason.when(
-        cs == "Approval in Progress", F.lit("Status 'Approval in Progress' removed")
+    pre.append(
+        (
+            cs == "Approval in Progress",
+            F.lit("Status 'Approval in Progress' removed"),
+        )
     )
-    # 18) keyword loop with the in-loop audit fallback after 'Personal'
-    reason = reason.when(
-        kw_hit(_NON_OPS_KEYWORDS[0]),
-        F.lit(f"Non-Ops equipment keyword: '{_NON_OPS_KEYWORDS[0]}'"),
+    # 18) keyword loop — the in-loop audit fallback slot sits after the
+    # FIRST keyword ('Personal') and before the rest (:481-497)
+    pre.append(
+        (
+            kw_hit(_NON_OPS_KEYWORDS[0]),
+            F.lit(f"Non-Ops equipment keyword: '{_NON_OPS_KEYWORDS[0]}'"),
+        )
     )
+    post = [
+        (kw_hit(kw), F.lit(f"Non-Ops equipment keyword: '{kw}'"))
+        for kw in _NON_OPS_KEYWORDS[1:]
+    ]
+    return pre, post
+
+
+def _branch_index(branches: list) -> Column:
+    """Fold ordered (condition, value) branches into ONE first-match
+    integer index (1-based; 0 = no branch matched). The expensive regex
+    conditions are evaluated exactly once per row to produce this
+    single column — values are reattached later from the index (see
+    :func:`_branch_value`), which lets a plan barrier (persist) sit
+    between the regex pass and multiple consumers."""
+    out = None
+    for i, (cond, _val_) in enumerate(branches, start=1):
+        piece = F.lit(i)
+        out = F.when(cond, piece) if out is None else out.when(cond, piece)
+    return out.otherwise(F.lit(0))
+
+
+def _branch_value(branches: list, idx: Column) -> Column:
+    """The value of branch ``idx`` (NULL for idx=0) — a cheap
+    integer-keyed chain; the only column-dependent values reference
+    RequestFunction / AssetCategoryName, which callers must keep
+    through the barrier."""
+    out = None
+    for i, (_cond, val) in enumerate(branches, start=1):
+        out = (
+            F.when(idx == i, val) if out is None else out.when(idx == i, val)
+        )
+    return out
+
+
+def explain_exclusion_reason_col(rowkey_label: Column | None = None) -> Column:
+    """``explain_exclusion_reason`` (process_capex.py:385-499) as one
+    first-match CASE over raw-row columns — including its quirks: the
+    reduced category map, no CCTV/STOOL branch in 3a, first-occurrence
+    negation for device words, and the in-loop audit fallback that fires
+    after the 'Personal' keyword check but before 'Individual'
+    (:481-497 — the try block is indented inside the keyword loop).
+
+    ``rowkey_label`` is the audit label for the row's own un-stripped
+    robust key (the in-loop fallback's lookup); pass None to skip it.
+    """
+    pre_b, post_b = _explain_branches()
+    reason = None
+    for cond, val in pre_b:
+        reason = F.when(cond, val) if reason is None else reason.when(cond, val)
     if rowkey_label is not None:
         reason = reason.when(rowkey_label.isNotNull(), rowkey_label)
-    for kw in _NON_OPS_KEYWORDS[1:]:
-        reason = reason.when(kw_hit(kw), F.lit(f"Non-Ops equipment keyword: '{kw}'"))
+    for cond, val in post_b:
+        reason = reason.when(cond, val)
     return reason.otherwise(F.lit("Unknown"))
 
 
@@ -248,12 +305,118 @@ def _explain_on(frame: DataFrame, fn_keys: DataFrame, audit: DataFrame, tag: str
     )
 
 
+def _explain_on_pair(
+    frame: DataFrame, fn_keys: DataFrame, audit: DataFrame
+) -> DataFrame:
+    """Both explain fallbacks — the strict-keyed 'raw' variant and the
+    vendor-less robust-keyed 'ref' variant — from ONE physical pass
+    over ``frame`` (which must carry VendorName). Valid only when the
+    reference frame is the raw frame minus its VendorName column
+    (same rows, same order): then the 'ref' variant's key and in-loop
+    fallback label are pure column functions of the raw rows, so the
+    expensive regex CASE (dozens of patterns per row — the dominant
+    cost of q93 at sf0.1) runs once instead of once per frame. The
+    (pre, post) split keeps the per-variant fallback label OUTSIDE the
+    shared pass (see :func:`explain_exclusion_parts_col`)."""
+    from capex_data_pipeline_spark.cache import persisted
+    from capex_data_pipeline_spark.functions.keys import robust_key
+
+    strict = strict_composite_key(
+        F.col("RequestNo"), F.col("AssetItemName"), F.col("VendorName")
+    )
+    short = robust_key(F.col("RequestNo"), F.col("AssetItemName"), F.lit(""))
+    pre_b, post_b = _explain_branches()
+    # ONE regex pass per row — and one per SESSION: the staged
+    # projection reduces every condition to two first-match indices
+    # and is PERSISTED. Its plan depends only on ``frame`` (the audit
+    # label joins happen AFTER the barrier), so (a) the persist is a
+    # canonical-plan cache hit on repeat invocations — the regex cost
+    # is paid once per session, not once per query call — and (b) the
+    # barrier stops Catalyst from inlining (and re-evaluating) the
+    # regex chains into each downstream reason variant. The raw key
+    # components travel along for the post-barrier label joins; the
+    # RequestFunction / AssetCategoryName columns feed the two
+    # dynamic branch VALUES.
+    staged = frame.select(
+        strict.alias("_strict_raw"),
+        short.alias("_strict_ref"),
+        F.monotonically_increasing_id().alias("_ord"),
+        "RequestNo",
+        "AssetItemName",
+        "VendorName",
+        "RequestFunction",
+        "AssetCategoryName",
+        _branch_index(pre_b).alias("_pre_i"),
+        _branch_index(post_b).alias("_post_i"),
+    ).transform(persisted)
+    keyed = staged
+    for tag, has_vendor in (("raw", True), ("ref", False)):
+        keyed = keyed.join(
+            audit.select(
+                F.col("CompositeKey").alias(f"_rk_{tag}"),
+                F.col("label").alias(f"_rk_label_{tag}"),
+            ),
+            _loop_fallback_rowkey(has_vendor) == F.col(f"_rk_{tag}"),
+            "left",
+        )
+    pre_val = _branch_value(pre_b, F.col("_pre_i"))
+    post_val = _branch_value(post_b, F.col("_post_i"))
+
+    def _reason(label: Column) -> Column:
+        return (
+            F.when(F.col("_pre_i") > 0, pre_val)
+            .when(label.isNotNull(), label)
+            .when(F.col("_post_i") > 0, post_val)
+            .otherwise(F.lit("Unknown"))
+        )
+
+    # per-call persist: four first_match consumers below would each
+    # re-run the two label joins otherwise (the session-shared regex
+    # work is already behind the staged barrier)
+    explained = keyed.select(
+        "_strict_raw",
+        "_strict_ref",
+        "_ord",
+        _reason(F.col("_rk_label_raw")).alias("_reason_raw"),
+        _reason(F.col("_rk_label_ref")).alias("_reason_ref"),
+    ).transform(persisted)
+
+    def first_match(on: Column, reason_col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("CompositeKey").orderBy(F.asc("_ord"))
+        return (
+            fn_keys.join(explained, on, "inner")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("CompositeKey", F.col(reason_col).alias(out))
+        )
+
+    out = fn_keys.select("CompositeKey")
+    for tag in ("raw", "ref"):
+        sk = f"_strict_{tag}"
+        rc = f"_reason_{tag}"
+        out = out.join(
+            first_match(F.col("CompositeKey") == F.col(sk), rc, f"_f_{tag}"),
+            "CompositeKey",
+            "left",
+        ).join(
+            first_match(F.col("_short_ck") == F.col(sk), rc, f"_s2_{tag}"),
+            "CompositeKey",
+            "left",
+        )
+    return out.select(
+        "CompositeKey",
+        F.coalesce("_f_raw", "_s2_raw").alias("_expl_raw"),
+        F.coalesce("_f_ref", "_s2_ref").alias("_expl_ref"),
+    )
+
+
 def enrich_false_negatives(
     false_negatives: DataFrame,
     audit_ordered: DataFrame,
     raw: DataFrame | None = None,
     reference: DataFrame | None = None,
     plan_boundary: bool | str = True,
+    shared_reference: bool = False,
 ) -> DataFrame:
     """Attach exclusion reasons to FN keys (process_capex.py:1406-1471).
 
@@ -279,6 +442,12 @@ def enrich_false_negatives(
     (with ``$SPARK_GRAFT_STAGING_DIR`` or ``$SPARK_GRAFT_BOUNDARY``
     configured — see :func:`cache.plan_boundary`) to stage through a
     durable parquet table instead; ``False`` disables the cut.
+
+    ``shared_reference``: set True ONLY when ``reference`` is ``raw``
+    minus its VendorName column (same rows, same order) — then both
+    explain fallbacks come from one shared regex pass over ``raw``
+    (:func:`_explain_on_pair`), halving the dominant cost; the result
+    is row-identical to the two-pass path (pinned by test + oracle).
     """
     if plan_boundary:
         # the two eager boundary cuts are independent jobs over the
@@ -360,14 +529,28 @@ def enrich_false_negatives(
     )
 
     expl_cols = []
-    for tag, frame in (("raw", raw), ("ref", reference)):
-        if frame is not None:
-            out = out.join(
-                _explain_on(frame, fn.select("CompositeKey", "_short_ck"), audit, tag),
-                "CompositeKey",
-                "left",
-            )
-            expl_cols.append(f"_expl_{tag}")
+    if shared_reference and raw is not None and reference is not None:
+        # caller asserts reference == raw minus VendorName (same rows,
+        # same order) — one shared regex pass computes both fallbacks
+        out = out.join(
+            _explain_on_pair(
+                raw, fn.select("CompositeKey", "_short_ck"), audit
+            ),
+            "CompositeKey",
+            "left",
+        )
+        expl_cols = ["_expl_raw", "_expl_ref"]
+    else:
+        for tag, frame in (("raw", raw), ("ref", reference)):
+            if frame is not None:
+                out = out.join(
+                    _explain_on(
+                        frame, fn.select("CompositeKey", "_short_ck"), audit, tag
+                    ),
+                    "CompositeKey",
+                    "left",
+                )
+                expl_cols.append(f"_expl_{tag}")
 
     reason = F.coalesce(
         "_x_label",

@@ -71,6 +71,13 @@ class CapexPipelineConfig:
     legacy_dates: bool = False  # reproduce the dayfirst misparse when True
     exact_w1_ties: bool = True  # replay pandas' unstable sort in W1
     persist_tagged: bool = True  # persist the lineage frame before fan-out
+    # how the two fan-out frames (tagged lineage, W1 output) are cut:
+    # None -> in-memory persist (single-process default); 'staging' ->
+    # cache.plan_boundary staging-table write — durable across memory
+    # pressure and executor decommissioning, ONE materialization per
+    # session that every family consumer (q90/q91/q93/q27) reads back
+    boundary: str | None = None
+    staging_dir: str | None = None  # None -> $SPARK_GRAFT_STAGING_DIR
 
 
 @dataclass
@@ -352,9 +359,28 @@ def run_pipeline(
 
     # ── the single tagged lineage frame; everything below consumes it ──
     run_persists: list[DataFrame] = []
+
+    def _cut(frame: DataFrame, label: str) -> DataFrame:
+        """Materialize a fan-out frame per config.boundary: in-memory
+        persist by default, or a staging-table write (durable, read
+        back by every consumer — the 100 TB shape, where memory
+        eviction or executor loss would otherwise re-run the whole
+        rule DAG per consumer)."""
+        if config.boundary:
+            from capex_data_pipeline_spark.cache import plan_boundary
+
+            return plan_boundary(
+                frame,
+                mode=config.boundary,
+                label=label,
+                staging_dir=config.staging_dir,
+            )
+        frame = persisted(frame)
+        run_persists.append(frame)
+        return frame
+
     if config.persist_tagged:
-        df = persisted(df)
-        run_persists.append(df)
+        df = _cut(df, "capex-tagged")
 
     _internal = ("_cat_pre_p3", "_remarks_pre_p5", "_orig_category")
     kept = df.filter(F.col("_excl_order").isNull()).drop(*TAG_COLUMNS, *_internal)
@@ -420,8 +446,7 @@ def run_pipeline(
     # the union), so persist it too.
     if config.fail_open:
         if config.persist_tagged:
-            processed = persisted(processed)
-            run_persists.append(processed)
+            processed = _cut(processed, "capex-w1")
         processed = _fail_open(
             raw_shape, processed, office, audit, zone_maps, _persists=run_persists
         )

@@ -149,3 +149,65 @@ def test_plan_boundary_is_semantics_neutral(spark):
         outs.append(sorted(tuple(r) for r in df.collect()))
     assert outs[0] == outs[1]
     assert outs[0]  # non-degenerate: the synth corpus yields FN keys
+
+
+def test_shared_reference_explain_equals_two_pass(spark, raw_sdf, office_sdf):
+    """shared_reference=True (one regex pass over raw computing both
+    explain fallbacks) must be row-identical to the generic two-pass
+    path when reference == raw minus VendorName — the contract the
+    q93 call site relies on."""
+    res = run_pipeline(raw_sdf, office_sdf)
+    golden = raw_sdf.drop("VendorName")
+    from capex_data_pipeline_spark.operators.validation import with_robust_key
+
+    p_keys = with_robust_key(res.processed).select("CompositeKey").distinct()
+    g_keys = with_robust_key(golden).select("CompositeKey").distinct()
+    fn = g_keys.join(p_keys, "CompositeKey", "left_anti")
+
+    def rows(shared):
+        out = enrich_false_negatives(
+            fn,
+            res.audit_ordered,
+            raw=raw_sdf,
+            reference=golden,
+            shared_reference=shared,
+        )
+        return sorted(tuple(r) for r in out.collect())
+
+    assert rows(True) == rows(False)
+
+
+def test_pipeline_staging_boundary_shares_one_materialization(
+    spark, raw_sdf, office_sdf, tmp_path
+):
+    """config.boundary='staging' writes the tagged + W1 frames ONCE as
+    staging parquet; consumers read results identical to the in-memory
+    persist run, and clear_staging removes the paths."""
+    import os
+
+    from capex_data_pipeline_spark.cache import clear_staging
+    from capex_data_pipeline_spark.plans.pipeline import CapexPipelineConfig
+
+    base = run_pipeline(raw_sdf, office_sdf)
+    staged = run_pipeline(
+        raw_sdf,
+        office_sdf,
+        config=CapexPipelineConfig(
+            boundary="staging", staging_dir=str(tmp_path / "stage")
+        ),
+    )
+
+    def key(r):
+        return tuple(str(x) for x in r)
+
+    assert sorted(map(key, staged.processed.collect())) == sorted(
+        map(key, base.processed.collect())
+    )
+    assert sorted(map(key, staged.audit.collect())) == sorted(
+        map(key, base.audit.collect())
+    )
+    names = os.listdir(tmp_path / "stage")
+    assert any(n.startswith("capex-tagged-") for n in names)
+    assert any(n.startswith("capex-w1-") for n in names)
+    assert clear_staging() >= 2
+    assert os.listdir(tmp_path / "stage") == []
