@@ -223,6 +223,8 @@ HEADLINE = [
     "q168_winsorized_stats",
     "q169_rendezvous_shards",
     "q170_jaccard_dup_summary",
+    "q171_ddsketch_signed",
+    "q172_ivfpq_ann",
 ]
 
 
@@ -854,6 +856,45 @@ def stress_ann() -> None:
             file=sys.stderr,
         )
     out["nprobe_sweep"] = {"n_cells": len(centers), "curve": sweep}
+
+    # --- IVF-PQ point on the same judge (r10): the composed operator
+    # (coarse cells -> ADC shortlist -> exact re-rank of top-`rerank`)
+    # beside plain IVF, so the recall cost of PQ compression is a
+    # measured point on the same curve, not an assertion. NOTE: these
+    # rows are END-TO-END (sample-center assignment + 4 codebook fits
+    # + encode + query + re-rank in one call) where the ivf_sqrt rows
+    # amortize the build across query batches — compare recall here,
+    # and build-vs-query cost via the ivf_sqrt_build/query split
+    from capex_data_pipeline_spark.extensions.similarity import ivfpq_topk
+
+    n_lo = inf.count()
+    for rerank in (20, 50):
+        t0 = time.time()
+        approx = ivfpq_topk(
+            inf,
+            queries,
+            k=10,
+            n_cells=int(n_lo**0.5),
+            nprobe=8,
+            n_subspaces=4,
+            k_codes=16,
+            rounds=2,
+            rerank=rerank,
+        )
+        mean_recall = (
+            ann_recall(approx, exact10, k=10)
+            .agg(F.round(F.avg("recall"), 4).alias("r"))
+            .collect()[0]["r"]
+        )
+        out[f"ivfpq_e2e_nprobe8_rerank{rerank}"] = {
+            "sec": round(time.time() - t0, 3),
+            "mean_recall@10": float(mean_recall),
+        }
+        print(
+            f"[stress-ann] ivfpq rerank={rerank}: "
+            f"{out[f'ivfpq_e2e_nprobe8_rerank{rerank}']}",
+            file=sys.stderr,
+        )
     assigned.unpersist()
     exact10.unpersist()
     inf.unpersist()

@@ -415,6 +415,203 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _lut_expr(
+    vec_name: str, centers: list[list[float]], decimals: int = 6
+) -> Column:
+    """Per-code squared-distance lookup array for ADC: entry ``c`` =
+    round(||v - centers[c]||², decimals), ordered by code index. Same
+    fold discipline as :func:`_sqdist_cells` (zip_with + 0D-seeded
+    aggregate, round before use), so an oracle replays it exactly."""
+    cells = ", ".join(
+        "round(aggregate(zip_with({v}, {c}, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (acc, x) -> acc + x), {d})".format(
+            v=vec_name, c=_arr_sql(c), d=decimals
+        )
+        for c in centers
+    )
+    return F.expr(f"array({cells})")
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 3,
+    n_subspaces: int = 4,
+    k_codes: int = 4,
+    rounds: int = 2,
+    rerank: int = 20,
+    seed: int = 42,
+    decimals: int = 6,
+) -> DataFrame:
+    """IVF-PQ composition (Jégou et al. 2011 — the shape every large
+    embedding store actually serves): the IVF coarse quantizer
+    (q37's sample-mode cells) prunes the corpus to ``nprobe`` cells
+    per query, PQ asymmetric distance (q121's codebooks) ranks the
+    survivors from per-query lookup tables, and only the top
+    ``rerank`` shortlist pays exact cosine for the final top-``k``.
+
+    Division of labor at 100 TB: IVF cuts the SCAN (≈ nprobe/n_cells
+    of the corpus per query), PQ cuts the BYTES (each candidate costs
+    n_subspaces code-int lookups against a per-query LUT of
+    n_subspaces × k_codes rounded doubles — no vector arithmetic in
+    the candidate pass), and the exact re-rank caps the recall loss
+    to what the shortlist missed. Vectors are PQ-encoded RAW (no
+    residual subtraction — FAISS's IVFPQ-without-residual variant),
+    which keeps every stage closed-form over the data: sample
+    centers, md5-seeded Lloyd codebooks, rounded LUTs, deterministic
+    tie-breaks — an independent SQL engine re-derives the entire
+    pipeline value-exact (the q37/q121 property, composed).
+
+    Plan shape: codebook fits are tiny driver-side models; corpus
+    pays ONE assignment+encode pass (map-only against plan-literal
+    centers); the candidate join is assigned ⋈ broadcast(probes) on
+    the tiny cell int; the shortlist window prunes map-side
+    (WindowGroupLimit); the exact re-rank joins the corpus against
+    TWO broadcast frames (shortlist, query vectors) — no shuffle
+    anywhere except the shortlist's compact (query, neighbor, adc)
+    rows.
+
+    Returns (query_id, neighbor_id, cosine, rank) with rank <= k —
+    directly comparable to :func:`ivf_topk` / exact cosine on q147's
+    recall judge.
+    """
+    from capex_data_pipeline_spark.cache import persisted
+
+    if rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    pts = persisted(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("nv"),
+        ).filter(F.col("nv").isNotNull() & (F.size("nv") > 0))
+    )
+    d_row = pts.agg(F.min(F.size("nv")).alias("d")).collect()
+    if not d_row or d_row[0]["d"] is None:
+        raise ValueError("ivfpq_topk: no non-empty vectors")
+    d = int(d_row[0]["d"])
+    if d % n_subspaces != 0:
+        raise ValueError(f"dim {d} not divisible into {n_subspaces} subspaces")
+    dsub = d // n_subspaces
+    pts = pts.filter(F.size("nv") == d)
+
+    # IVF: sample-mode coarse quantizer (closed-form, oracle-replayable)
+    assigned, centers = assign_cells(
+        pts,
+        id_col="neighbor_id",
+        vec_col="nv",
+        n_cells=n_cells,
+        centers_mode="sample",
+        seed=seed,
+    )
+
+    # PQ: one Lloyd codebook per subspace over sliced views of pts
+    codebooks = [
+        _lloyd_fit(
+            pts.select(
+                F.col("neighbor_id"),
+                F.slice("nv", s * dsub + 1, dsub).alias("_v"),
+            ),
+            k_codes,
+            rounds,
+            id_col="neighbor_id",
+            decimals=decimals,
+        )
+        for s in range(n_subspaces)
+    ]
+
+    # encode: cell + per-subspace codes in ONE map-only pass
+    enc = assigned.select(
+        "neighbor_id",
+        "cell",
+        *[
+            F.slice("nv", s * dsub + 1, dsub).alias(f"_v{s}")
+            for s in range(n_subspaces)
+        ],
+    )
+    enc = enc.select(
+        "neighbor_id",
+        "cell",
+        *[
+            F.array_sort(_sqdist_cells(f"_v{s}", codebooks[s], decimals))[0][
+                "cluster"
+            ].alias(f"_c{s}")
+            for s in range(n_subspaces)
+        ],
+    )
+
+    # queries: nprobe cells + per-query ADC lookup tables
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).filter(F.size("qv") == d)
+    for s in range(n_subspaces):
+        q = q.withColumn(f"_qs{s}", F.slice("qv", s * dsub + 1, dsub))
+    q = q.select(
+        "query_id",
+        "qv",
+        *[
+            _lut_expr(f"_qs{s}", codebooks[s], decimals).alias(f"_lut{s}")
+            for s in range(n_subspaces)
+        ],
+    )
+    probes = q.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(_neg_cosine_cells("qv", centers)), 1, nprobe
+                ),
+                lambda s: s["cell"],
+            )
+        ),
+    ).drop("qv")
+
+    cand = enc.join(F.broadcast(probes), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            sum(
+                F.element_at(F.col(f"_lut{s}"), F.col(f"_c{s}") + 1)
+                for s in range(n_subspaces)
+            ),
+            decimals,
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        adc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact re-rank of the tiny shortlist: corpus ⋈ broadcast(shortlist)
+    # ⋈ broadcast(query vectors)
+    ex = (
+        pts.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qv")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return ex.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
+
+
 def srp_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

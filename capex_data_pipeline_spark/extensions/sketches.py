@@ -705,6 +705,150 @@ def ddsketch_quantiles_by(
     )
 
 
+def ddsketch_quantiles_by_signed(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    alpha: float = 0.01,
+    quantiles: "tuple[float, ...]" = (0.5, 0.95, 0.99),
+    decimals: int = 6,
+) -> DataFrame:
+    """Signed-domain DDSketch per-group quantiles: the standard
+    mirrored construction (Masson/Lee/Rim VLDB 2019 §2.3) — a
+    POSITIVE log-bucket store, a mirrored NEGATIVE store over |v|,
+    and an exact ZERO counter — so columns that legitimately carry
+    negatives (deltas, adjustments, net changes) are handled loudly
+    instead of silently excluded by :func:`ddsketch_quantiles_by`'s
+    positive-only domain.
+
+    Every cell is (group, store, sortpos): store ∈ {-1, 0, +1} and
+    sortpos = -⌈ln|v|/ln γ⌉ for negatives / 0 / +⌈ln v/ln γ⌉ for
+    positives, chosen so lexicographic (store, sortpos) ascending IS
+    ascending value order — the quantile read stays one cumulative
+    window + a min-struct aggregate, never a sort of raw values. The
+    negative store inherits the same relative-error guarantee on |v|
+    (rel_error here is measured against max(|exact|, 1 ulp), valid on
+    BOTH tails); zeros are exact by construction. Still fully
+    algebraic/mergeable: three integer stores per group, shards merge
+    by addition. The exact interpolated quantile rides along for the
+    error report — the drop-at-100TB column, as in q157.
+
+    Returns (group_col, q, n, n_neg, n_zero, n_pos, est_q, exact_q,
+    rel_error), one row per group × quantile.
+    """
+    import math  # noqa: F401 - parity with the unsigned variant
+
+    from pyspark.sql.window import Window
+
+    from capex_data_pipeline_spark.cache import persisted
+
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1): {alpha}")
+    if not quantiles or any(not 0 <= q <= 1 for q in quantiles):
+        raise ValueError(f"quantiles must be in [0, 1]: {quantiles}")
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = F.log(F.lit(gamma))
+
+    v = value.cast("double")
+    vals = df.select(F.col(group_col).alias("_g"), v.alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    store = (
+        F.when(F.col("_v") > 0, F.lit(1))
+        .when(F.col("_v") < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    sortpos = (
+        F.when(F.col("_v") > 0, F.ceil(F.log(F.col("_v")) / lg))
+        .when(F.col("_v") < 0, -F.ceil(F.log(-F.col("_v")) / lg))
+        .otherwise(F.lit(0))
+    ).cast("long")
+    cells = persisted(
+        vals.groupBy("_g", store.alias("_s"), sortpos.alias("_sp")).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+    )
+    totals = cells.groupBy("_g").agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.when(F.col("_s") == -1, F.col("_c")).otherwise(0)).alias(
+            "n_neg"
+        ),
+        F.sum(F.when(F.col("_s") == 0, F.col("_c")).otherwise(0)).alias(
+            "n_zero"
+        ),
+        F.sum(F.when(F.col("_s") == 1, F.col("_c")).otherwise(0)).alias(
+            "n_pos"
+        ),
+    )
+    wcum = (
+        Window.partitionBy("_g")
+        .orderBy("_s", "_sp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.withColumn("_cum", F.sum("_c").over(wcum))
+    qf = totals.select(
+        "_g",
+        "_n",
+        "n_neg",
+        "n_zero",
+        "n_pos",
+        F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q"),
+    )
+    pick = (
+        qf.join(cum, "_g")
+        .filter(F.col("_cum") > F.floor(F.col("q") * (F.col("_n") - 1)))
+        .groupBy("_g", "q", "_n", "n_neg", "n_zero", "n_pos")
+        .agg(F.min(F.struct("_s", "_sp")).alias("_pk"))
+    )
+    mid = (
+        F.lit(2.0)
+        * F.pow(F.lit(gamma), F.abs(F.col("_pk._sp")))
+        / F.lit(gamma + 1.0)
+    )
+    est = pick.select(
+        "_g",
+        "q",
+        F.col("_n").alias("n"),
+        "n_neg",
+        "n_zero",
+        "n_pos",
+        F.round(
+            F.when(F.col("_pk._s") == 1, mid)
+            .when(F.col("_pk._s") == -1, -mid)
+            .otherwise(F.lit(0.0)),
+            decimals,
+        ).alias("est_q"),
+    )
+    qs_arr = F.array(*[F.lit(float(q)) for q in quantiles])
+    exact = (
+        vals.groupBy("_g")
+        .agg(F.percentile("_v", qs_arr).alias("_ex"))
+        .select("_g", F.posexplode("_ex").alias("_pos", "_exv"))
+        .select(
+            "_g",
+            qs_arr.getItem(F.col("_pos")).alias("q"),
+            F.round("_exv", decimals).alias("exact_q"),
+        )
+    )
+    return est.join(exact, ["_g", "q"]).select(
+        F.col("_g").alias(group_col),
+        "q",
+        "n",
+        "n_neg",
+        "n_zero",
+        "n_pos",
+        "est_q",
+        "exact_q",
+        # both tails: error relative to |exact|, ulp-floored as in the
+        # unsigned variant
+        F.round(
+            F.abs(F.col("est_q") - F.col("exact_q"))
+            / F.greatest(F.abs(F.col("exact_q")), F.lit(10.0 ** -decimals)),
+            decimals,
+        ).alias("rel_error"),
+    )
+
+
 def _bloom_positions(d: DataFrame, keys: "list[str]", m_bits: int, n_hashes: int):
     """n_hashes bit positions for a row's join key: seeded xxhash64
     over the RAW key columns (no string concat, no md5 — native

@@ -968,3 +968,175 @@ def q128_source_calibration(spark, sf_dir):
     return percentile_calibrate(
         scored, "entropy_nats", group_col="source", keep_frac=0.5
     )
+
+
+# --------------------------- q172: IVF-PQ composed ANN (the 100 TB shape)
+
+_IVFPQ_CELLS = 16
+_IVFPQ_NPROBE = 3
+_IVFPQ_RERANK = 20
+_IVFPQ_TOPK = 10
+
+#: cosine between two DuckDB DOUBLE[] lists (the q37 idiom, local copy
+#: to keep registries import-acyclic)
+_IVFPQ_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    "    * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+def _ivfpq_sql() -> str:
+    """q37's IVF fragments (sample centers, cosine assignment, nprobe
+    probes) composed with q121's PQ machinery (md5-seeded Lloyd
+    codebooks per subspace, rounded squared-distance folds), plus the
+    per-query LUT / ADC / shortlist / exact-re-rank tail."""
+    ctes = [
+        """pts0 AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+    )""",
+        "dd AS (SELECT min(len(v)) AS d FROM pts0)",
+        """pts AS MATERIALIZED (
+      SELECT p.vec_id, p.v FROM pts0 p, dd WHERE len(p.v) = dd.d
+    )""",
+        f"""ctr AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+               AS cell, v
+      FROM pts ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_IVFPQ_CELLS}
+    )""",
+        f"""sim AS (
+      SELECT p.vec_id, c.cell,
+             {_IVFPQ_COS.format(a='p.v', b='c.v')} AS s
+      FROM pts p, ctr c
+    )""",
+        """assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell ASC) AS rn
+        FROM sim) WHERE rn = 1
+    )""",
+        f"""probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell ASC) AS rn
+        FROM sim WHERE vec_id < 5) WHERE rn <= {_IVFPQ_NPROBE}
+    )""",
+        "qrs AS (SELECT vec_id AS query_id, v FROM pts WHERE vec_id < 5)",
+    ]
+    for s in range(_PQ_SUB):
+        lo = f"(({s} * (dd.d // {_PQ_SUB})) + 1)"
+        hi = f"(({s} + 1) * (dd.d // {_PQ_SUB}))"
+        ctes.append(
+            f"""p{s} AS MATERIALIZED (
+      SELECT vec_id, v[{lo}:{hi}] AS v FROM pts, dd
+    )"""
+        )
+        ctes.append(
+            f"""c{s}_0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT)
+               AS cluster, v
+      FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+            FROM p{s} ORDER BY h, vec_id LIMIT {_PQ_K})
+    )"""
+        )
+        for r in range(1, _PQ_ROUNDS + 1):
+            ctes.append(
+                f"a{s}_{r} AS MATERIALIZED "
+                f"({_pq_assign(f'p{s}', f'c{s}_{r - 1}')})"
+            )
+            ctes.append(
+                f"c{s}_{r} AS MATERIALIZED "
+                f"({_pq_update(f'p{s}', f'c{s}_{r - 1}', f'a{s}_{r}')})"
+            )
+        ctes.append(
+            f"enc{s} AS MATERIALIZED "
+            f"({_pq_assign(f'p{s}', f'c{s}_{_PQ_ROUNDS}')})"
+        )
+        qdist = _PQ_DIST.format(a="q.sv", b="c.v")
+        ctes.append(
+            f"""qlut{s} AS (
+      SELECT q.query_id, c.cluster, {qdist} AS qd
+      FROM c{s}_{_PQ_ROUNDS} c,
+           (SELECT query_id, v[{lo}:{hi}] AS sv FROM qrs, dd) q
+    )"""
+        )
+    enc_joins = " ".join(
+        f"JOIN enc{s} e{s} ON e{s}.vec_id = c.neighbor_id"
+        for s in range(_PQ_SUB)
+    )
+    lut_joins = " ".join(
+        f"JOIN qlut{s} l{s} ON l{s}.query_id = c.query_id"
+        f" AND l{s}.cluster = e{s}.cluster"
+        for s in range(_PQ_SUB)
+    )
+    dist_sum = " + ".join(f"l{s}.qd" for s in range(_PQ_SUB))
+    ctes.append(
+        f"""cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a USING (cell)
+      WHERE a.vec_id <> p.query_id
+    )"""
+    )
+    ctes.append(
+        f"""adc AS (
+      SELECT c.query_id, c.neighbor_id, round({dist_sum}, 6) AS adc_dist
+      FROM cand c {enc_joins} {lut_joins}
+    )"""
+    )
+    ctes.append(
+        f"""short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, neighbor_id) AS rn
+        FROM adc) WHERE rn <= {_IVFPQ_RERANK}
+    )"""
+    )
+    ctes.append(
+        f"""scored AS (
+      SELECT s.query_id, s.neighbor_id,
+             round({_IVFPQ_COS.format(a='q.v', b='p.v')}, 4) AS cosine
+      FROM short s
+      JOIN pts p ON p.vec_id = s.neighbor_id
+      JOIN qrs q ON q.query_id = s.query_id
+    )"""
+    )
+    return (
+        f"WITH {', '.join(ctes)} "
+        "SELECT query_id, neighbor_id, cosine, rank FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY query_id"
+        "           ORDER BY cosine DESC, neighbor_id ASC) AS rank"
+        "  FROM scored"
+        f") WHERE rank <= {_IVFPQ_TOPK}"
+    )
+
+
+@query("q172_ivfpq_ann", _ivfpq_sql())
+def q172_ivfpq_ann(spark, sf_dir):
+    """IVF-PQ composed ANN (similarity.ivfpq_topk — Jégou et al. 2011,
+    the shape every 100 TB embedding store actually serves): the IVF
+    coarse quantizer (q37's deterministic sample cells, nprobe=3 of
+    16) cuts the SCAN, PQ asymmetric distance (q121's md5-seeded Lloyd
+    codebooks, 4 subspaces x 4 codes) cuts the BYTES — candidates cost
+    4 integer lookups against a per-query LUT, zero vector arithmetic
+    — and only the top-20 shortlist pays exact cosine for the final
+    top-10. Vectors PQ-encode RAW (FAISS's no-residual IVFPQ variant),
+    keeping every stage closed-form: the oracle re-derives centers,
+    assignments, probes, all 4 codebooks (init + 2 unrolled Lloyd
+    rounds), codes, per-query LUTs, ADC ranks, the shortlist, and the
+    exact re-rank value-exact. Recall vs exact cosine is measured on
+    q147's judge via bench --stress-ann."""
+    from capex_data_pipeline_spark.extensions.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=_IVFPQ_TOPK,
+        n_cells=_IVFPQ_CELLS,
+        nprobe=_IVFPQ_NPROBE,
+        n_subspaces=_PQ_SUB,
+        k_codes=_PQ_K,
+        rounds=_PQ_ROUNDS,
+        rerank=_IVFPQ_RERANK,
+    )

@@ -3076,3 +3076,111 @@ def q170_jaccard_dup_summary(spark, sf_dir):
     return jaccard_dup_summary(
         _t(spark, sf_dir, "documents"), threshold=0.6
     )
+
+
+# --- q171: signed-domain DDSketch (mirrored stores + exact zeros)
+
+
+@query(
+    "q171_ddsketch_signed",
+    """
+    WITH vals AS (
+      SELECT g, v FROM (
+        SELECT event_type AS g,
+               CASE WHEN event_id % 11 = 0 THEN 0.0::DOUBLE
+                    WHEN event_id % 3 = 0 THEN -value
+                    ELSE value END AS v
+        FROM events
+      ) WHERE v IS NOT NULL
+    ),
+    cells AS (
+      SELECT g,
+             CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS s,
+             CASE WHEN v > 0
+                    THEN ceil(ln(v) / ln((1.0 + 0.01) / (1.0 - 0.01)))::BIGINT
+                  WHEN v < 0
+                    THEN -(ceil(ln(-v) / ln((1.0 + 0.01) / (1.0 - 0.01)))::BIGINT)
+                  ELSE 0 END AS sp,
+             count(*)::BIGINT AS c
+      FROM vals GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT g, sum(c)::BIGINT AS n,
+             sum(CASE WHEN s = -1 THEN c ELSE 0 END)::BIGINT AS n_neg,
+             sum(CASE WHEN s = 0 THEN c ELSE 0 END)::BIGINT AS n_zero,
+             sum(CASE WHEN s = 1 THEN c ELSE 0 END)::BIGINT AS n_pos
+      FROM cells GROUP BY g
+    ),
+    cum AS (
+      SELECT g, s, sp, sum(c) OVER (PARTITION BY g ORDER BY s, sp) AS cum
+      FROM cells
+    ),
+    qs AS (SELECT unnest([0.05::DOUBLE, 0.5::DOUBLE, 0.95::DOUBLE]) AS q),
+    pick AS (
+      SELECT g, q, n, n_neg, n_zero, n_pos, s, sp FROM (
+        SELECT t.g, q.q, t.n, t.n_neg, t.n_zero, t.n_pos, c.s, c.sp,
+               row_number() OVER (PARTITION BY t.g, q.q
+                                  ORDER BY c.s, c.sp) AS rn
+        FROM tot t CROSS JOIN qs q
+        JOIN cum c ON c.g = t.g AND c.cum > floor(q.q * (t.n - 1))
+      ) WHERE rn = 1
+    ),
+    est AS (
+      SELECT g, q, n, n_neg, n_zero, n_pos,
+             round(CASE
+               WHEN s = 1 THEN 2.0 * pow((1.0 + 0.01) / (1.0 - 0.01), abs(sp))
+                               / ((1.0 + 0.01) / (1.0 - 0.01) + 1.0)
+               WHEN s = -1 THEN -2.0 * pow((1.0 + 0.01) / (1.0 - 0.01), abs(sp))
+                                / ((1.0 + 0.01) / (1.0 - 0.01) + 1.0)
+               ELSE 0.0 END, 6) AS est_q
+      FROM pick
+    ),
+    ex AS (
+      SELECT g, 0.05::DOUBLE AS q, round(quantile_cont(v, 0.05), 6) AS exact_q
+      FROM vals GROUP BY g
+      UNION ALL
+      SELECT g, 0.5::DOUBLE, round(quantile_cont(v, 0.5), 6)
+      FROM vals GROUP BY g
+      UNION ALL
+      SELECT g, 0.95::DOUBLE, round(quantile_cont(v, 0.95), 6)
+      FROM vals GROUP BY g
+    )
+    SELECT e.g AS event_type, e.q, e.n, e.n_neg, e.n_zero, e.n_pos,
+           e.est_q, x.exact_q,
+           round(abs(e.est_q - x.exact_q) / greatest(abs(x.exact_q), 1e-6), 6)
+             AS rel_error
+    FROM est e JOIN ex x ON e.g = x.g AND e.q = x.q
+    """,
+)
+def q171_ddsketch_signed(spark, sf_dir):
+    """Signed-domain DDSketch (sketches.ddsketch_quantiles_by_signed —
+    the mirrored two-store + exact-zero-counter construction of
+    Masson/Lee/Rim VLDB 2019 §2.3): p05/p50/p95 of a deterministic
+    NET-CHANGE derivation of events.value (every 3rd event debits,
+    every 11th is an exact zero) per event_type. q157's positive-only
+    domain handled signed columns by documented exclusion; this
+    operator handles them loudly — three integer stores per group,
+    still fully algebraic/mergeable, quantile read = one cumulative
+    window over lexicographic (store, sortpos) cells + a min-struct
+    aggregate (ascending (store, sortpos) IS ascending value order by
+    construction). p05 lands in the NEGATIVE tail, so the alpha
+    guarantee is observed on both tails (max observed 0.011 at
+    alpha=0.01 — alpha plus the slack of comparing a bucket midpoint
+    against the INTERPOLATED quantile_cont; the formal guarantee is
+    against data points); n_neg/n_zero/n_pos make the store routing
+    auditable. The oracle replays store assignment,
+    mirrored bucket math, rank walk, midpoint signs, and both-tail
+    relative errors value-exact."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        ddsketch_quantiles_by_signed,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    signed = (
+        F.when(F.col("event_id") % 11 == 0, F.lit(0.0))
+        .when(F.col("event_id") % 3 == 0, -F.col("value"))
+        .otherwise(F.col("value"))
+    )
+    return ddsketch_quantiles_by_signed(
+        ev, "event_type", signed, alpha=0.01, quantiles=(0.05, 0.5, 0.95)
+    )

@@ -1688,3 +1688,64 @@ def test_jaccard_dup_summary_matches_hand_built(spark):
         4: (0, 4, 1, True),
         5: (0, 5, 1, True),
     }
+
+
+def test_ivfpq_equals_ivf_when_shortlist_covers_all_candidates(emb):
+    """With rerank >= every candidate, the ADC shortlist keeps ALL
+    IVF candidates, so the exact re-rank must reproduce sample-mode
+    ivf_topk row-for-row — PQ compression then affects only the
+    (skipped) pruning, never the answer."""
+    from capex_data_pipeline_spark.extensions.similarity import (
+        ivf_topk,
+        ivfpq_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivf = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in ivf_topk(
+            emb, queries, k=10, n_cells=16, nprobe=3, centers_mode="sample"
+        ).collect()
+    }
+    ivfpq = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in ivfpq_topk(
+            emb, queries, k=10, n_cells=16, nprobe=3, rerank=100_000
+        ).collect()
+    }
+    assert ivfpq == ivf and ivf
+
+
+def test_ivfpq_small_shortlist_recall_and_guards(emb):
+    """A tight shortlist (rerank=20) must still recover a reasonable
+    share of what plain IVF finds in the same probed cells — the PQ
+    pruning loses candidates, not correctness (surviving scores are
+    exact cosines)."""
+    from capex_data_pipeline_spark.extensions.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ivfpq_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            emb, queries, k=10, n_cells=16, nprobe=3, centers_mode="sample"
+        ).collect()
+    }
+    out = ivfpq_topk(
+        emb, queries, k=10, n_cells=16, nprobe=3, rerank=20
+    ).collect()
+    all_cos = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, queries, k=10_000).collect()
+    }
+    for r in out:  # surviving scores are exact cosines
+        assert all_cos[(r.query_id, r.neighbor_id)] == r.cosine
+    hits = sum(1 for r in out if (r.query_id, r.neighbor_id) in ivf)
+    assert hits / len(ivf) >= 0.3
+    with pytest.raises(ValueError, match="rerank"):
+        ivfpq_topk(emb, queries, k=10, rerank=5)
+    with pytest.raises(ValueError, match="subspaces"):
+        ivfpq_topk(emb, queries, n_subspaces=7)

@@ -2424,3 +2424,78 @@ def test_ddsketch_tiny_exact_quantile_keeps_rel_error_finite(spark):
     import math as _m
 
     assert _m.isfinite(r["rel_error"])
+
+
+def test_ddsketch_signed_three_stores(spark):
+    """Mirrored construction: negatives route to the mirrored store,
+    exact zeros are counted exactly, and quantile picks land on the
+    correct store with the correct sign."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        ddsketch_quantiles_by_signed,
+    )
+
+    rows = (
+        [("a", float(-v)) for v in range(1, 51)]      # 50 negatives
+        + [("a", 0.0)] * 10                            # 10 exact zeros
+        + [("a", float(v)) for v in range(1, 41)]      # 40 positives
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["q"]: r
+        for r in ddsketch_quantiles_by_signed(
+            df, "g", F.col("v"), alpha=0.01, quantiles=(0.1, 0.5, 0.9)
+        ).collect()
+    }
+    r = out[0.5]
+    assert (r["n_neg"], r["n_zero"], r["n_pos"]) == (50, 10, 40)
+    assert r["n"] == 100
+    # rank 49 (floor(0.5*99)) is the 50th ascending value = the last
+    # negative, -1: the DDSketch guarantee is vs the DATA POINT at the
+    # rank (quantile_cont interpolates -0.5 across the zero crossing,
+    # which no midpoint sketch can match — that's the documented
+    # interpolation slack, largest exactly at sign boundaries)
+    assert abs(out[0.5]["est_q"] - (-1.0)) <= 0.011
+    # p10 deep in the negative tail, p90 positive; away from the
+    # boundary the interpolated-exact comparison stays within ~alpha
+    assert out[0.1]["est_q"] < 0
+    assert out[0.9]["est_q"] > 0
+    assert out[0.1]["rel_error"] <= 0.02
+    assert out[0.9]["rel_error"] <= 0.02
+
+
+def test_ddsketch_signed_zero_only_and_guards(spark):
+    from capex_data_pipeline_spark.extensions.sketches import (
+        ddsketch_quantiles_by_signed,
+    )
+
+    df = spark.createDataFrame([("z", 0.0)] * 5, "g string, v double")
+    r = ddsketch_quantiles_by_signed(
+        df, "g", F.col("v"), quantiles=(0.5,)
+    ).collect()[0]
+    assert r["est_q"] == 0.0 and r["exact_q"] == 0.0
+    assert (r["n_neg"], r["n_zero"], r["n_pos"]) == (0, 5, 0)
+    with pytest.raises(ValueError, match="alpha"):
+        ddsketch_quantiles_by_signed(df, "g", F.col("v"), alpha=1.5)
+    with pytest.raises(ValueError, match="quantiles"):
+        ddsketch_quantiles_by_signed(df, "g", F.col("v"), quantiles=(1.5,))
+
+
+def test_ddsketch_signed_matches_unsigned_on_positive_data(spark):
+    """On an all-positive column the signed sketch must reproduce the
+    unsigned one exactly (same buckets, same picks)."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        ddsketch_quantiles_by,
+        ddsketch_quantiles_by_signed,
+    )
+
+    rows = [("g", float(v) * 1.7 + 0.3) for v in range(1, 200)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    uns = {
+        (r["q"]): (r["n"], r["est_q"], r["exact_q"])
+        for r in ddsketch_quantiles_by(df, "g", F.col("v")).collect()
+    }
+    sig = {
+        (r["q"]): (r["n"], r["est_q"], r["exact_q"])
+        for r in ddsketch_quantiles_by_signed(df, "g", F.col("v")).collect()
+    }
+    assert uns == sig
