@@ -225,6 +225,7 @@ HEADLINE = [
     "q170_jaccard_dup_summary",
     "q171_ddsketch_signed",
     "q172_ivfpq_ann",
+    "q173_guarded_anti_join",
 ]
 
 
@@ -1107,6 +1108,38 @@ def stress_join() -> None:
                 )
             )
         )
+
+        # anti-join row (r10): the "what's new" shape under the SAME
+        # hot probe key — a skewed anti join straggles exactly like
+        # the inner join (one task owns every hot-key row), and the
+        # guarded salted variant must return the identical row COUNT
+        def run_rows(df):
+            t0 = time.perf_counter()
+            n = df.count()
+            return round(time.perf_counter() - t0, 3), int(n)
+
+        idx = (
+            b.filter(F.col("l_partkey") % 2 == 0)
+            .select("l_partkey")
+            .distinct()
+            .localCheckpoint()
+        )
+        t_anti_plain, n_anti_plain = run_rows(
+            a.join(idx, "l_partkey", "left_anti")
+        )
+        anti_stats: dict = {}
+        t_anti_salt, n_anti_salt = run_rows(
+            guarded_join(
+                a,
+                idx,
+                "l_partkey",
+                est_threshold=0,
+                n_salt=int(cpus),
+                hot_key_rows=1000,
+                stats_out=anti_stats,
+                how="left_anti",
+            )
+        )
     finally:
         for k, v in saved.items():
             conf.set(k, v)
@@ -1145,6 +1178,13 @@ def stress_join() -> None:
                     "sec": t_cap,
                     "pairs": n_cap,
                     "stats": cap_stats,
+                },
+                "anti_plain": {"sec": t_anti_plain, "rows": n_anti_plain},
+                "anti_salted": {
+                    "sec": t_anti_salt,
+                    "rows": n_anti_salt,
+                    "equal_to_plain": n_anti_salt == n_anti_plain,
+                    "stats": anti_stats,
                 },
             }
         )

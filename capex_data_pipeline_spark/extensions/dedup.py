@@ -940,6 +940,7 @@ def minhash_near_dups_incremental(
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
     cap_stats: dict | None = None,
+    index_is_banded: bool = False,
 ) -> DataFrame:
     """Incremental near-dedup: find near-duplicates of a NEW batch
     against an EXISTING corpus index — the daily-crawl shape, where
@@ -961,6 +962,16 @@ def minhash_near_dups_incremental(
     itself.  ``max_bucket_size`` caps INDEX-side buckets (degenerate
     buckets live in the accumulated index; ``cap_stats`` reports drops,
     no-silent-caps).
+
+    ``index_is_banded=True`` declares ``index_docs`` to already BE the
+    banded index frame (id, band, bhash, sig) — pass
+    ``spark.table()`` over a :func:`build_neardup_index` bucketed
+    table and every probe batch joins WITHOUT re-shuffling (or
+    re-deriving) the index side: the bucketed scan is already
+    hash-partitioned on the band key, so only the (small) new batch
+    pays an Exchange. That is the steady-state daily-crawl economics;
+    the default closed-form re-derivation stays for one-shot use and
+    for the q75 oracle.
     """
     if bands is None:
         bands = banding_for_threshold(num_hashes, threshold)
@@ -968,7 +979,20 @@ def minhash_near_dups_incremental(
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
 
     nb = _banded_minhash(new_docs, text_col, id_col, num_hashes, bands, k)
-    ib = _banded_minhash(index_docs, text_col, id_col, num_hashes, bands, k)
+    if index_is_banded:
+        # index_docs IS the stored banded index (id, band, bhash, sig) —
+        # e.g. spark.table() over build_neardup_index's bucketed table,
+        # whose scan arrives hash-partitioned on the band key so the
+        # probe join needs NO index-side Exchange (pinned in
+        # tests/test_bucketed.py)
+        missing = {"id", "band", "bhash", "sig"} - set(index_docs.columns)
+        if missing:
+            raise ValueError(
+                f"index_is_banded=True but index frame lacks {sorted(missing)}"
+            )
+        ib = index_docs
+    else:
+        ib = _banded_minhash(index_docs, text_col, id_col, num_hashes, bands, k)
     if max_bucket_size is not None:
         ib = _cap_buckets(ib, ["band", "bhash"], max_bucket_size, cap_stats)
 
@@ -1000,6 +1024,45 @@ def minhash_near_dups_incremental(
     return pairs.select(
         "new_id", "index_id", F.round(est, 4).alias("est_jaccard")
     ).filter(F.col("est_jaccard") >= threshold)
+
+
+def build_neardup_index(
+    index_docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = DEFAULT_SHINGLE_K,
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> DataFrame:
+    """Persist the banded-minhash index as a parquet table BUCKETED
+    (and per-bucket sorted) on the band keys, and return the read-back
+    frame. This is the storage layout the incremental near-dedup path
+    (q75) wants at 100 TB: the index's ONE shuffle onto (band, bhash)
+    is paid at write time, after which every daily probe batch joins
+    against a scan that is already hash-partitioned on the join key —
+    zero index-side Exchange per increment, however many increments
+    run (pinned in tests/test_bucketed.py). Size ``n_buckets`` like
+    shuffle partitions: one bucket ~ one executor-memory unit of index
+    rows at target scale. Pass the returned frame (or
+    ``spark.table(table)`` in a later session) to
+    :func:`minhash_near_dups_incremental` with ``index_is_banded=True``;
+    ``num_hashes``/``bands``/``k`` must match the probe call's.
+    """
+    from capex_data_pipeline_spark.sources.sinks import write_bucketed_table
+
+    ib = _banded_minhash(index_docs, text_col, id_col, num_hashes, bands, k)
+    write_bucketed_table(
+        ib,
+        table,
+        n_buckets,
+        ["band", "bhash"],
+        sort_cols=["band", "bhash"],
+        path=path,
+    )
+    return index_docs.sparkSession.table(table)
 
 
 def duplicated_spans(

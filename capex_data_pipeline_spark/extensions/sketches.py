@@ -407,8 +407,9 @@ def guarded_join(
     depth: int = 3,
     width: int = 1024,
     stats_out: "dict | None" = None,
+    how: str = "inner",
 ) -> DataFrame:
-    """Skew-guarded inner equi-join: run the constant-memory CMS
+    """Skew-guarded equi-join: run the constant-memory CMS
     join-size pre-flight (:func:`cms_join_estimate`) FIRST, and only
     commit to a join strategy once the estimate is known — the
     "measure before you shuffle" armor the dedup family applies to
@@ -446,6 +447,20 @@ def guarded_join(
     - over threshold, ``over_strategy='error'``: raise — the caller
       wants the pre-flight as a hard gate.
 
+    ``how``: ``'inner'`` (default), ``'left_semi'``, or
+    ``'left_anti'``. Semi/anti joins never multiply output, but a hot
+    probe-side key still lands every one of its rows on ONE task — the
+    anti join that computes "what's new" against an index (q164's
+    shape) straggles exactly like the inner join, so it sits behind
+    the same pre-flight gate. The salted semi/anti variant replicates
+    only the DISTINCT hot B-side keys across salts (presence is all a
+    semi/anti join reads from B), so the B-side replication cost is
+    keys × n_salt, not rows × n_salt. ``over_strategy='cap'`` is
+    inner-only (capping per-key rows on the probe side would silently
+    change semi/anti semantics — rows, not pairs, would vanish) and
+    raises otherwise. The non-key column-overlap guard applies only to
+    ``how='inner'`` (semi/anti never surface B's columns).
+
     The pre-flight is an eager constant-size job (two depth×width
     sketches + a broadcast min) — the one action this operator runs
     before returning; everything after stays lazy.
@@ -457,7 +472,22 @@ def guarded_join(
         raise ValueError("est_threshold/n_salt/hot_key_rows must be >= 0/1/1")
     if over_strategy == "cap" and (max_rows_per_key or 0) < 1:
         raise ValueError("over_strategy='cap' needs max_rows_per_key >= 1")
-    _check_join_columns(df_a, df_b, keys, reserved=("_salt",))
+    if how not in ("inner", "left_semi", "left_anti"):
+        raise ValueError(
+            f"how must be 'inner', 'left_semi' or 'left_anti': {how!r}"
+        )
+    if how != "inner" and over_strategy == "cap":
+        raise ValueError(
+            "over_strategy='cap' applies to inner joins only: capping "
+            "probe-side rows per key would drop OUTPUT rows of a "
+            "semi/anti join, not just candidate pairs"
+        )
+    if how == "inner":
+        _check_join_columns(df_a, df_b, keys, reserved=("_salt",))
+    else:
+        _check_join_columns(
+            df_a, df_a.select(*keys), keys, reserved=("_salt",)
+        )
 
     # NULL-propagating composite key: concat_ws silently DROPS null
     # components, so NULL-keyed rows (which the inner join can never
@@ -483,12 +513,14 @@ def guarded_join(
 
     out_cols = keys + [
         c for c in df_a.columns if c not in keys
-    ] + [c for c in df_b.columns if c not in keys]
+    ] + ([c for c in df_b.columns if c not in keys] if how == "inner" else [])
 
     if est <= est_threshold:
         if stats_out is not None:
             stats_out["strategy"] = "plain"
-        return df_a.join(df_b, keys).select(*out_cols)
+        if how == "inner":
+            return df_a.join(df_b, keys).select(*out_cols)
+        return df_a.join(df_b.select(*keys), keys, how)
 
     if over_strategy == "error":
         raise ValueError(
@@ -551,7 +583,12 @@ def guarded_join(
         F.xxhash64(*[F.col(c) for c in df_a.columns]), F.lit(n_salt)
     ).alias("_salt")
     a_salted = a_hot.select("*", salt_a)
-    b_replicated = b_hot.select(
+    # semi/anti read only key PRESENCE from B: replicate the distinct
+    # hot keys (keys x n_salt rows), never the hot B rows themselves
+    b_rep_src = (
+        b_hot if how == "inner" else b_hot.select(*keys).distinct()
+    )
+    b_replicated = b_rep_src.select(
         "*",
         F.explode(
             F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<long>")
@@ -576,10 +613,16 @@ def guarded_join(
         .join(
             b_replicated.repartition(n_part, *part_cols),
             keys + ["_salt"],
+            how,
         )
         .select(*out_cols)
     )
-    cold_joined = a_cold.join(b_cold, keys).select(*out_cols)
+    if how == "inner":
+        cold_joined = a_cold.join(b_cold, keys).select(*out_cols)
+    else:
+        cold_joined = a_cold.join(
+            b_cold.select(*keys), keys, how
+        ).select(*out_cols)
     if stats_out is not None:
         stats_out["strategy"] = "salt"
         stats_out["hot_keys"] = hot.count()

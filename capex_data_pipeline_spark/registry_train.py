@@ -3184,3 +3184,54 @@ def q171_ddsketch_signed(spark, sf_dir):
     return ddsketch_quantiles_by_signed(
         ev, "event_type", signed, alpha=0.01, quantiles=(0.05, 0.5, 0.95)
     )
+
+
+# --- q173: skew-guarded ANTI join (the "what's new" path, armored)
+
+
+@query(
+    "q173_guarded_anti_join",
+    """
+    SELECT l_orderkey AS okey, l_partkey, l_quantity
+    FROM lineitem l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderstatus = 'F' AND o.o_orderkey = l.l_orderkey
+    )
+    """,
+)
+def q173_guarded_anti_join(spark, sf_dir):
+    """Skew-guarded anti join (sketches.guarded_join how='left_anti'):
+    lineitem rows whose order is NOT in the fulfilled set — q164's
+    "what's new against an index" shape routed through the q156 CMS
+    pre-flight gate, because a hot probe-side key straggles an anti
+    join exactly like an inner join (every row of the key lands on
+    ONE task; only the output multiplication differs). est_threshold=0
+    forces the salted path here so the ORACLE certifies the armored
+    variant: hot keys split out by per-side counts, the probe slice
+    salted by content hash, the index slice replicated as DISTINCT
+    KEYS x n_salt (presence is all an anti join reads from B — keys,
+    not rows, replicate), explicit repartition on (key, salt) pinning
+    the spread against AQE coalescing, cold slice anti-joins plain,
+    union == the plain anti join row-for-row. over_strategy='cap' is
+    rejected for semi/anti (it would drop OUTPUT rows, not candidate
+    pairs)."""
+    from capex_data_pipeline_spark.extensions.sketches import guarded_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_partkey", "l_quantity"
+    )
+    full = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("okey"))
+    )
+    return guarded_join(
+        li,
+        full,
+        "okey",
+        est_threshold=0,
+        n_salt=4,
+        hot_key_rows=3,
+        how="left_anti",
+    )

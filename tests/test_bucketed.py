@@ -182,3 +182,70 @@ def test_staging_bucketed_hyphenated_label_sanitized(spark, tmp_path):
         t.name.startswith("staging_bpe_train_r9")
         for t in spark.catalog.listTables()
     )
+
+
+def test_neardup_index_bucketed_probe_is_index_side_exchange_free(
+    spark, tmp_path
+):
+    """build_neardup_index writes the banded index bucketed on
+    (band, bhash); a probe batch joining it with index_is_banded=True
+    must plan with ONE FEWER hash Exchange than probing the same index
+    stored as plain parquet — the missing Exchange is exactly the
+    index side (its bucketed scan arrives pre-partitioned on the join
+    key). Results must match the closed-form incremental path
+    row-for-row."""
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.extensions.dedup import (
+        build_neardup_index,
+        minhash_near_dups_incremental,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"common text block {i % 7} with words " + "pad " * (i % 3))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1000 + i, f"common text block {i % 7} with words " + "pad " * (i % 3))
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    idx = build_neardup_index(
+        corpus, "t_neardup_idx", n_buckets=4, path=str(tmp_path / "idx")
+    )
+    # plain-parquet control: same rows, no bucketing metadata
+    idx.write.mode("overwrite").parquet(str(tmp_path / "idx_plain"))
+    plain = spark.read.parquet(str(tmp_path / "idx_plain"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bucketed_probe = minhash_near_dups_incremental(
+            new, idx, index_is_banded=True
+        )
+        plain_probe = minhash_near_dups_incremental(
+            new, plain, index_is_banded=True
+        )
+        bp = bucketed_probe._jdf.queryExecution().executedPlan().toString()
+        pp = plain_probe._jdf.queryExecution().executedPlan().toString()
+        n_b = bp.count("Exchange hashpartitioning")
+        n_p = pp.count("Exchange hashpartitioning")
+        assert n_b == n_p - 1, (n_b, n_p)
+        assert "Bucketed: true" in bp
+        # value parity with the closed-form (re-derive) path
+        want = sorted(
+            tuple(r)
+            for r in minhash_near_dups_incremental(new, corpus).collect()
+        )
+        got = sorted(tuple(r) for r in bucketed_probe.collect())
+        assert got == want and got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_neardup_idx")
+
+    # guard: index_is_banded with a wrong-shaped frame fails fast
+    import pytest
+
+    with pytest.raises(ValueError, match="index_is_banded"):
+        minhash_near_dups_incremental(new, corpus, index_is_banded=True)

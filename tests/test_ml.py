@@ -2499,3 +2499,54 @@ def test_ddsketch_signed_matches_unsigned_on_positive_data(spark):
         for r in ddsketch_quantiles_by_signed(df, "g", F.col("v")).collect()
     }
     assert uns == sig
+
+
+def test_guarded_join_semi_anti_match_plain_under_salt(spark):
+    """how='left_semi'/'left_anti' must return the plain join's exact
+    row multiset under BOTH strategies; NULL probe keys follow SQL
+    semantics (semi drops them, anti keeps them); cap is rejected."""
+    from capex_data_pipeline_spark.extensions.sketches import guarded_join
+
+    a = spark.createDataFrame(
+        [(i % 5, i) for i in range(400)]
+        + [(99, i) for i in range(250)]
+        + [(None, -1), (None, -2)],
+        "k long, va long",
+    )
+    b = spark.createDataFrame([(1,), (3,), (99,), (None,)], "k long")
+    def rows(df):
+        return sorted((tuple(r) for r in df.collect()), key=repr)
+
+    for how in ("left_semi", "left_anti"):
+        plain = rows(a.join(b, "k", how))
+        for thr in (10**9, 0):  # plain route, then forced salt route
+            st: dict = {}
+            got = rows(
+                guarded_join(
+                    a, b, "k",
+                    est_threshold=thr,
+                    n_salt=4,
+                    hot_key_rows=50,
+                    stats_out=st,
+                    how=how,
+                )
+            )
+            assert got == plain, (how, thr)
+            assert st["strategy"] == ("plain" if thr else "salt")
+    # NULL keys: anti keeps them, semi drops them
+    anti = {tuple(r) for r in guarded_join(
+        a, b, "k", est_threshold=0, hot_key_rows=50, how="left_anti"
+    ).collect()}
+    assert (None, -1) in anti and (None, -2) in anti
+    with pytest.raises(ValueError, match="cap"):
+        guarded_join(a, b, "k", est_threshold=0, over_strategy="cap",
+                     max_rows_per_key=5, how="left_semi")
+    with pytest.raises(ValueError, match="how"):
+        guarded_join(a, b, "k", est_threshold=0, how="full")
+    # semi/anti skip the non-key overlap guard (B's columns never
+    # surface) but still reject reserved names on the probe side
+    a2 = spark.createDataFrame([(1, 2)], "k long, v long")
+    b2 = spark.createDataFrame([(1, 3)], "k long, v long")
+    assert guarded_join(
+        a2, b2, "k", est_threshold=10, how="left_semi"
+    ).count() == 1
