@@ -226,6 +226,7 @@ HEADLINE = [
     "q171_ddsketch_signed",
     "q172_ivfpq_ann",
     "q173_guarded_anti_join",
+    "q174_rendezvous_weighted",
 ]
 
 

@@ -209,3 +209,128 @@ def rendezvous_shards(
             ).alias("moved_frac"),
         )
     )
+
+
+def rendezvous_shards_weighted(
+    df: DataFrame,
+    key: Column,
+    weights: "list[float]",
+    weights_after: "list[float]",
+    decimals: int = 6,
+) -> DataFrame:
+    """Capacity-weighted rendezvous routing + a fleet-change report —
+    the production form of :func:`rendezvous_shards` (real fleets are
+    never homogeneous, and shards get REMOVED, not just added). A key
+    routes to the live shard maximizing the standard weighted-HRW
+    score (Thaler & Ravishankar 1998 §4 / the logarithmic-score
+    method): ``score(s, k) = -w_s / ln(u)`` with
+    ``u = (h52 + 0.5) / 2^52`` from the 52-bit md5 prefix of
+    ``s|key`` — u is uniform in (0,1), so a shard's win probability
+    is proportional to its weight (share_s ≈ w_s / Σw), and because
+    each shard's score depends only on ITS OWN hash, any fleet change
+    leaves every surviving shard's score untouched: on removal, ONLY
+    the removed shard's keys move (each to its second choice); on a
+    weight increase, only keys the upweighted shard newly wins move.
+
+    ``weights``/``weights_after`` are per-shard capacities (index =
+    shard id); a weight of 0 marks the shard absent/removed. Scores
+    round to ``decimals`` before the argmax (the repo's argmin/argmax
+    quantization convention) and ties break by HIGHER shard id,
+    matching an oracle's ``ORDER BY score DESC, s DESC``.
+
+    Same scale shape as the unweighted form: explode keys × live
+    shards into compact (key, shard, score) rows, one max-struct
+    aggregate per key, an n_shards-group rollup — no window, no sort.
+
+    Returns one row per BEFORE-shard: (shard, weight, n_keys, share,
+    n_moved, moved_frac).
+    """
+    if not weights or any(w < 0 for w in weights):
+        raise ValueError(f"weights must be non-empty and >= 0: {weights}")
+    if not weights_after or any(w < 0 for w in weights_after):
+        raise ValueError(
+            f"weights_after must be non-empty and >= 0: {weights_after}"
+        )
+    if not any(w > 0 for w in weights) or not any(
+        w > 0 for w in weights_after
+    ):
+        raise ValueError("at least one shard must have weight > 0")
+
+    keys = (
+        df.select(key.cast("string").alias("_k"))
+        .filter(F.col("_k").isNotNull())
+        .distinct()
+    )
+    m = max(len(weights), len(weights_after))
+    w_b = F.array(*[F.lit(float(w)) for w in weights])
+    w_a = F.array(*[F.lit(float(w)) for w in weights_after])
+    h52 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("_s").cast("string"), F.lit("|"), F.col("_k"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h52.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    cand = keys.select(
+        "_k",
+        F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("_s"),
+    ).select(
+        "_k",
+        "_s",
+        F.round(-F.lit(1.0) / F.log(u), decimals).alias("_inv"),
+        F.when(F.col("_s") < len(weights), w_b[F.col("_s")])
+        .otherwise(F.lit(0.0))
+        .alias("_wb"),
+        F.when(F.col("_s") < len(weights_after), w_a[F.col("_s")])
+        .otherwise(F.lit(0.0))
+        .alias("_wa"),
+    )
+
+    def argmax(weight_col: str, out: str) -> DataFrame:
+        return (
+            cand.filter(F.col(weight_col) > 0)
+            .select(
+                "_k",
+                "_s",
+                F.round(F.col(weight_col) * F.col("_inv"), decimals).alias(
+                    "_score"
+                ),
+            )
+            .groupBy("_k")
+            .agg(F.max(F.struct(F.col("_score"), F.col("_s"))).alias("_m"))
+            .select("_k", F.col("_m._s").alias(out))
+        )
+
+    from capex_data_pipeline_spark.cache import persisted
+
+    routed = persisted(
+        argmax("_wb", "shard").join(argmax("_wa", "shard_after"), "_k")
+    )
+    total = routed.agg(F.count(F.lit(1)).alias("_tot"))
+    return (
+        routed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(
+                F.when(F.col("shard") != F.col("shard_after"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            F.round(w_b[F.col("shard")], decimals).alias("weight"),
+            "n_keys",
+            F.round(
+                F.col("n_keys") / F.col("_tot").cast("double"), decimals
+            ).alias("share"),
+            "n_moved",
+            F.round(
+                F.col("n_moved") / F.col("n_keys").cast("double"), decimals
+            ).alias("moved_frac"),
+        )
+    )

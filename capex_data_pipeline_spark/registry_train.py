@@ -3235,3 +3235,79 @@ def q173_guarded_anti_join(spark, sf_dir):
         hot_key_rows=3,
         how="left_anti",
     )
+
+
+# --- q174: weighted rendezvous + shard-removal stability report
+
+
+@query(
+    "q174_rendezvous_weighted",
+    """
+    WITH keys AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    wts AS (
+      SELECT * FROM (VALUES
+        (0, 1.0, 1.0), (1, 1.0, 1.0), (2, 1.0, 0.0), (3, 2.0, 2.0),
+        (4, 2.0, 2.0), (5, 2.0, 2.0), (6, 1.0, 1.0), (7, 1.0, 1.0)
+      ) AS t(s, wb, wa)
+    ),
+    cand AS (
+      SELECT k.k, w.s, w.wb, w.wa,
+             round(-1.0 / ln(
+               (CAST(('0x' || substr(md5(w.s || '|' || k.k), 1, 13))
+                     AS BIGINT) + 0.5) / 4503599627370496.0
+             ), 6) AS inv
+      FROM keys k CROSS JOIN wts w
+    ),
+    before AS (
+      SELECT k, s AS shard FROM (
+        SELECT k, s, row_number() OVER (PARTITION BY k
+          ORDER BY round(wb * inv, 6) DESC, s DESC) AS rn
+        FROM cand WHERE wb > 0) WHERE rn = 1
+    ),
+    after AS (
+      SELECT k, s AS shard_after FROM (
+        SELECT k, s, row_number() OVER (PARTITION BY k
+          ORDER BY round(wa * inv, 6) DESC, s DESC) AS rn
+        FROM cand WHERE wa > 0) WHERE rn = 1
+    ),
+    routed AS (SELECT b.k, b.shard, a.shard_after
+               FROM before b JOIN after a USING (k)),
+    tot AS (SELECT count(*)::BIGINT AS t FROM routed)
+    SELECT r.shard, w.wb AS weight, count(*)::BIGINT AS n_keys,
+           round(count(*) / t.t::DOUBLE, 6) AS share,
+           sum(CASE WHEN r.shard <> r.shard_after THEN 1 ELSE 0 END)::BIGINT
+             AS n_moved,
+           round(sum(CASE WHEN r.shard <> r.shard_after THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS moved_frac
+    FROM routed r CROSS JOIN tot t JOIN wts w ON w.s = r.shard
+    GROUP BY r.shard, t.t, w.wb
+    """,
+)
+def q174_rendezvous_weighted(spark, sf_dir):
+    """Capacity-weighted rendezvous routing + shard-REMOVAL stability
+    (layout.rendezvous_shards_weighted — weighted HRW via the
+    logarithmic-score method, score = -w_s/ln(u) with u uniform from
+    the 52-bit md5 prefix): users route across a HETEROGENEOUS
+    8-shard fleet (capacities 1/1/1/2/2/2/1/1 — share_s tracks
+    w_s/Σw), then shard 2 is REMOVED (weight → 0) and the report
+    measures that ONLY shard 2's keys move (moved_frac = 1.0 there,
+    0.0 everywhere else) — each evicted key lands on its second
+    choice because every surviving shard's score is a function of its
+    own hash alone. The grow case is q169; this is the other half a
+    production resize needs. Scores quantize (round 6) before the
+    argmax and ties break (score DESC, shard DESC), so the oracle
+    replays every routing decision bit-for-bit."""
+    from capex_data_pipeline_spark.extensions.layout import (
+        rendezvous_shards_weighted,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return rendezvous_shards_weighted(
+        ev,
+        F.col("user_id"),
+        weights=[1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 1.0, 1.0],
+        weights_after=[1.0, 1.0, 0.0, 2.0, 2.0, 2.0, 1.0, 1.0],
+    )

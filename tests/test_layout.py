@@ -166,3 +166,55 @@ def test_rendezvous_shards_matches_brute_force_and_hrw_property(spark):
     assert 5 <= n_moved <= 80
     with pytest.raises(ValueError, match="n_shards"):
         rendezvous_shards(df, F.col("k"), 0)
+
+
+def test_weighted_rendezvous_share_tracks_capacity(spark):
+    """On a 4000-key universe, a weight-2 shard must carry ~2x the
+    keys of a weight-1 shard (weighted-HRW's defining property),
+    within a loose band."""
+    from capex_data_pipeline_spark.extensions.layout import (
+        rendezvous_shards_weighted,
+    )
+
+    df = spark.range(4000).select(F.col("id").alias("k"))
+    rows = rendezvous_shards_weighted(
+        df, F.col("k"),
+        weights=[1.0, 1.0, 2.0, 2.0],
+        weights_after=[1.0, 1.0, 2.0, 2.0, 2.0],
+    ).collect()
+    share = {r["shard"]: r["share"] for r in rows}
+    # expected: 1/6, 1/6, 2/6, 2/6
+    assert 0.10 <= share[0] <= 0.23 and 0.10 <= share[1] <= 0.23
+    assert 0.26 <= share[2] <= 0.40 and 0.26 <= share[3] <= 0.40
+    assert {r["shard"]: r["weight"] for r in rows} == {
+        0: 1.0, 1: 1.0, 2: 2.0, 3: 2.0
+    }
+
+
+def test_weighted_rendezvous_removal_moves_only_removed_shard(spark):
+    """Shrink: zeroing one shard's weight must move exactly that
+    shard's keys (every surviving shard's score is untouched), and a
+    pure grow moves keys ONLY into the new shard."""
+    from capex_data_pipeline_spark.extensions.layout import (
+        rendezvous_shards_weighted,
+    )
+
+    df = spark.range(1500).select(F.col("id").alias("k"))
+    w = [1.0, 2.0, 1.0, 1.0, 2.0]
+    rows = rendezvous_shards_weighted(
+        df, F.col("k"), weights=w,
+        weights_after=[1.0, 2.0, 1.0, 0.0, 2.0],
+    ).collect()
+    for r in rows:
+        assert r["moved_frac"] == (1.0 if r["shard"] == 3 else 0.0), r
+    # grow by one shard: movers exist, and only departures (no
+    # reshuffle among survivors) — total moved ~ new shard's share
+    rows2 = rendezvous_shards_weighted(
+        df, F.col("k"), weights=w, weights_after=w + [2.0],
+    ).collect()
+    moved = sum(r["n_moved"] for r in rows2)
+    assert 0 < moved < 700  # ~2/9 of 1500 expected, loose band
+    with pytest.raises(ValueError, match="weights"):
+        rendezvous_shards_weighted(df, F.col("k"), [], [1.0])
+    with pytest.raises(ValueError, match="weight > 0"):
+        rendezvous_shards_weighted(df, F.col("k"), [0.0], [1.0])
