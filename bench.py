@@ -926,6 +926,159 @@ def stress_ann() -> None:
     )
 
 
+def stress_tokenizer() -> None:
+    """``bench.py --stress-tokenizer``: tokenizer economics at a
+    BELIEVABLE vocabulary. The oracled queries train at toy size
+    (q145 vocab 24, q109 32 merges) so DuckDB can replay the EM/merge
+    rounds in unrolled CTEs; this mode measures the same trainers
+    where production lives — unigram vocab up to 4k (sweep, so
+    fertility-vs-vocab is a curve, not a point) and BPE at 256 merges
+    — on the ×``SPARK_GRAFT_STRESS_FACTOR`` duplicated corpus. The
+    vocab-frame economics claim is exactly what this exercises:
+    duplication multiplies FREQUENCIES, not distinct words, so train
+    cost must track the distinct-word frame, and fertility must FALL
+    as vocab grows. Prints one JSON line with train wall-times, vocab
+    sizes, per-corpus fertility and <unk> counts."""
+    import math
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_STRESS_SF_DIR", "/root/testdata/sf0.01"
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = int(os.environ.get("SPARK_GRAFT_STRESS_FACTOR", "50"))
+
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.extensions.corpus import (
+        bpe_train,
+        tokenizer_fertility,
+        unigram_train,
+    )
+    from capex_data_pipeline_spark.session import get_spark
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    spark = get_spark(
+        app_name="capex-stress-tokenizer",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    inflated = (
+        docs.select(
+            "doc_id",
+            "source",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.when(F.col("doc_id") % 5 == 0, F.lit(m)).otherwise(
+                        F.lit(1)
+                    ),
+                )
+            ).alias("_c"),
+        )
+        .select(
+            (F.col("doc_id") * 1000 + F.col("_c")).alias("doc_id"),
+            "source",
+            # the base corpus is template-generated from a ~31-word
+            # vocabulary — useless for a 4k-vocab stress — so each doc
+            # gains 10 deterministic pseudo-words drawn from a 20k-id
+            # space (xxhash64 — engine-local is fine, stress needs
+            # volume not an oracle): a two-tier Zipf (31 hot words +
+            # a 20k-word tail), the shape real corpora have
+            F.concat(
+                F.col("text"),
+                F.lit(" variant "),
+                (F.col("_c") % 7).cast("string"),
+                F.lit(" "),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(10)),
+                        lambda i: F.concat(
+                            F.lit("w"),
+                            F.pmod(
+                                F.xxhash64(F.col("doc_id"), F.col("_c"), i),
+                                F.lit(20000),
+                            ).cast("string"),
+                        ),
+                    ),
+                    " ",
+                ),
+            ).alias("text"),
+        )
+        .persist()
+    )
+    n_docs = inflated.count()
+    n_distinct_words = (
+        inflated.select(
+            F.explode(F.split(F.lower(F.col("text")), r"[^a-z0-9]+")).alias(
+                "w"
+            )
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+        .count()
+    )
+
+    out: dict = {}
+    for vs in (512, 2048, 4096):
+        _reset_engine_caches()
+        t0 = time.perf_counter()
+        rows = unigram_train(
+            inflated,
+            vocab_size=vs,
+            rounds=2,
+            max_piece_len=4,
+            max_word_len=16,
+            seed_size=100_000,
+        ).collect()
+        t_train = round(time.perf_counter() - t0, 3)
+        costs = {r["piece"]: round(-math.log(r["prob"]), 6) for r in rows}
+        t0 = time.perf_counter()
+        fert = tokenizer_fertility(inflated, costs, by="source").collect()
+        t_fert = round(time.perf_counter() - t0, 3)
+        nw = sum(r["n_words"] for r in fert)
+        np_ = sum(r["n_pieces"] for r in fert)
+        out[f"unigram_v{vs}"] = {
+            "train_sec": t_train,
+            "n_pieces_kept": len(rows),
+            "fertility": round(np_ / max(nw, 1), 4),
+            "unk_words": int(sum(r["unk_words"] for r in fert)),
+            "fertility_sec": t_fert,
+        }
+        print(f"[stress-tokenizer] v{vs}: {out[f'unigram_v{vs}']}",
+              file=sys.stderr)
+
+    _reset_engine_caches()
+    t0 = time.perf_counter()
+    n_merges = bpe_train(inflated, n_merges=256).count()
+    out["bpe_256_merges"] = {
+        "train_sec": round(time.perf_counter() - t0, 3),
+        "merges_learned": int(n_merges),
+    }
+    inflated.unpersist()
+    print(
+        json.dumps(
+            {
+                "metric": "stress_tokenizer",
+                "value": round(
+                    sum(v.get("train_sec", 0) for v in out.values()), 3
+                ),
+                "unit": "sec",
+                "sf_dir": sf_dir,
+                "factor": m,
+                "n_docs": n_docs,
+                "n_distinct_words": n_distinct_words,
+                "runs": out,
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+            }
+        )
+    )
+    spark.stop()
+
+
 def family_bench() -> None:
     """``bench.py --family``: the reference-surface family
     (q90/q91/q27/q94/q93) the way a real session runs it — TOGETHER,
@@ -1442,6 +1595,8 @@ if __name__ == "__main__":
         stress_join()
     elif "--family" in sys.argv[1:]:
         family_bench()
+    elif "--stress-tokenizer" in sys.argv[1:]:
+        stress_tokenizer()
     elif "--stress-ann" in sys.argv[1:]:
         stress_ann()
     elif "--stress" in sys.argv[1:]:
