@@ -227,6 +227,7 @@ HEADLINE = [
     "q172_ivfpq_ann",
     "q173_guarded_anti_join",
     "q174_rendezvous_weighted",
+    "q175_global_running_sum",
 ]
 
 

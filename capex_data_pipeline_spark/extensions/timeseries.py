@@ -221,3 +221,78 @@ def resample_ffill(
             F.col("n_obs").isNull().alias("filled"),
         )
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    value: Column,
+    order_by: "list[str]",
+    bucket: Column,
+    out_col: str = "running_total",
+    cents: int = 2,
+) -> DataFrame:
+    """EXACT global running total in a total order — WITHOUT the
+    global window that planlint bans (an unpartitioned
+    ``sum() OVER (ORDER BY ...)`` funnels 100 TB through ONE task).
+    The classic two-phase prefix sum, distributed:
+
+    1. one hash aggregate collapses the frame onto per-``bucket``
+       sums (``bucket`` must be a RANGE of the total order — e.g.
+       ``date_trunc('day', ts)`` when ordering by ``(ts, id)`` — so
+       bucket order refines row order);
+    2. the bucket frame (calendar-bounded: days/hours, the
+       sketch-sized driver read of the k-means convention) is
+       cumulated driver-side into per-bucket OFFSETS and broadcast
+       back;
+    3. a window PARTITIONED BY bucket (bounded per partition by the
+       bucket's row count, never global) cumulates within buckets;
+       running = offset + within-bucket cumsum.
+
+    Determinism across engines: float cumulative sums are
+    association-sensitive (a segment-tree window sum and a sequential
+    fold can differ in the last ulp), so the value is quantized to
+    ``cents`` decimal digits and summed as INTEGERS — bit-exact under
+    any association — then divided back once at the end. NULL values
+    count as 0; ``order_by`` must be a deterministic total order
+    (include a tiebreaker id).
+
+    Returns ``df`` + (``out_col``) ordered-agnostic (attach, don't
+    sort — consumers order as needed).
+    """
+    if not order_by:
+        raise ValueError("order_by must be non-empty")
+    scale = 10 ** cents
+    q = F.coalesce(
+        F.round(value * F.lit(scale)).cast("long"), F.lit(0)
+    )
+    base = df.select("*", bucket.alias("_bk"), q.alias("_q"))
+
+    sums = base.groupBy("_bk").agg(F.sum("_q").alias("_s"))
+    rows = sorted(sums.collect(), key=lambda r: (r["_bk"] is not None, r["_bk"]))
+    running = 0
+    offsets = []
+    for r in rows:
+        offsets.append((r["_bk"], running))
+        running += int(r["_s"] or 0)
+    spark = df.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(offsets, schema=sums.select("_bk").schema.add("_off", "long"))
+    )
+
+    w = (
+        Window.partitionBy("_bk")
+        .orderBy(*[F.col(c).asc() for c in order_by])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(off, ["_bk"], "left")
+        .withColumn("_cum", F.sum("_q").over(w))
+        .withColumn(
+            out_col,
+            (
+                (F.coalesce(F.col("_off"), F.lit(0)) + F.col("_cum"))
+                / F.lit(float(scale))
+            ),
+        )
+        .drop("_bk", "_q", "_off", "_cum")
+    )

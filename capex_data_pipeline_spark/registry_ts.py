@@ -1062,3 +1062,46 @@ def q29_correlated_subquery(spark, sf_dir):
     read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_Q29_SQL)
+
+
+# --- q175: exact global running total (two-phase prefix sum)
+
+
+@query(
+    "q175_global_running_sum",
+    """
+    SELECT event_id, ts, value,
+           sum(coalesce(CAST(round(value * 100) AS BIGINT), 0))
+             OVER (ORDER BY ts, event_id) / 100.0 AS running_total
+    FROM events
+    """,
+)
+def q175_global_running_sum(spark, sf_dir):
+    """Exact GLOBAL running total over the event stream in (ts,
+    event_id) order (timeseries.global_running_sum) — the primitive a
+    naive port writes as ``sum() OVER (ORDER BY ts)``, which funnels
+    the whole table through ONE task (planlint bans exactly that
+    plan). The scalable form is the classic two-phase prefix sum: one
+    hash aggregate onto per-DAY sums, a calendar-bounded driver
+    cumulation broadcast back as offsets, and a window PARTITIONED by
+    day for the within-bucket cumsum — running = offset + local cum.
+    Values are quantized to integer cents before summing (float
+    cumulative sums are association-sensitive: a segment-tree window
+    and a sequential fold can differ in the last ulp; integer sums are
+    bit-exact under ANY association, which is what lets the oracle's
+    single global window certify the distributed two-phase plan
+    value-for-value on all 100k rows)."""
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        global_running_sum,
+    )
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value"
+    )
+    return global_running_sum(
+        ev,
+        F.col("value"),
+        order_by=["ts", "event_id"],
+        bucket=F.date_trunc("day", F.col("ts")),
+    )

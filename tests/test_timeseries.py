@@ -380,3 +380,62 @@ def test_sessionize_differential_random(spark):
     }
     # ties at identical (user, ts): python sorts by (t, i) = same tiebreak
     assert got == want
+
+
+def test_global_running_sum_matches_naive_window(spark):
+    """Two-phase prefix sum == the naive global window on every row,
+    including NULL values (count as 0), ties broken by the id, and
+    multi-bucket layouts (buckets must refine the order)."""
+    import datetime as dt
+
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        global_running_sum,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + (i // 40), 3, i % 40),
+         None if i % 17 == 0 else round(0.01 * i * (-1 if i % 5 == 0 else 1), 2))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    got = {
+        r["event_id"]: r["running_total"]
+        for r in global_running_sum(
+            df, F.col("value"), ["ts", "event_id"],
+            bucket=F.date_trunc("day", F.col("ts")),
+        ).collect()
+    }
+    # naive: sequential integer-cents fold in (ts, id) order
+    acc, want = 0, {}
+    for eid, ts, v in sorted(rows, key=lambda r: (r[1], r[0])):
+        acc += int(round(v * 100)) if v is not None else 0
+        want[eid] = acc / 100.0
+    assert got == want
+    with pytest.raises(ValueError, match="order_by"):
+        global_running_sum(df, F.col("value"), [], bucket=F.lit(1))
+
+
+def test_global_running_sum_plan_has_no_global_window(spark):
+    """The window must be PARTITIONED (by the bucket), never global —
+    the whole point of the two-phase construction."""
+    import datetime as dt
+
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        global_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1 + i % 3), float(i)) for i in range(30)],
+        "event_id long, ts timestamp, value double",
+    )
+    out = global_running_sum(
+        df, F.col("value"), ["ts", "event_id"],
+        bucket=F.date_trunc("day", F.col("ts")),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        # partition spec present: the spec must carry more than the
+        # ordering + frame (an unpartitioned window lists only those)
+        assert "_bk" in m.group(1), plan
