@@ -642,6 +642,7 @@ def dedup_clusters(
     id_b: str = "id_b",
     max_iter: int = 50,
     boundary: str | None = None,
+    broadcast_labels: "bool | None" = None,
 ) -> DataFrame:
     """Group near-dup PAIRS into connected components and pick keepers —
     the step a dedup pipeline needs between candidate pairs and actual
@@ -686,13 +687,52 @@ def dedup_clusters(
         .distinct(),
         "cc-edges",
     )
+    # ── one-time STAR CONTRACTION before the loop (the large-star idea
+    # of Kiveris et al. 2014, "Connected Components in MapReduce and
+    # Beyond" — public algorithm): map every node to h(u) = min(u,
+    # min-neighbor) in ONE aggregate over the edge frame, then re-key
+    # the edges through h. Near-dup graphs are DENSE (q170 at sf0.1:
+    # 14.2M symmetric edges over ~5k nodes), so one contraction
+    # collapses most of each component and the min-label loop below
+    # iterates over a contracted edge set orders of magnitude smaller
+    # — the loop's per-round full-edge aggregate (the measured cost,
+    # ~2 s × rounds at sf0.1) is paid ONCE here instead of per round
+    # (measured 10.1 → ~4 s end-to-end). Contraction preserves
+    # components, and the component's global-min id m has h(m) = m,
+    # so min-labels over the contracted graph are exactly the
+    # original cluster ids.
+    h = _cut(
+        edges.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("h")
+        ),
+        "cc-contract",
+    )
+    # the mapping frame is NODE-sized while edges are PAIR-sized; when
+    # the node set is modest, broadcasting makes the re-key map-only
+    # (auto below 5M nodes — the autoBroadcastJoinThreshold spirit;
+    # billion-node graphs keep the shuffle join: broadcast_labels
+    # overrides)
+    if broadcast_labels is None:
+        broadcast_labels = h.count() <= 5_000_000
+    _bc = F.broadcast if broadcast_labels else (lambda d: d)
+    e2 = _cut(
+        edges.join(_bc(h.select("u", F.col("h").alias("_hu"))), "u")
+        .join(
+            _bc(h.select(F.col("u").alias("v"), F.col("h").alias("_hv"))),
+            "v",
+        )
+        .select(F.col("_hu").alias("u"), F.col("_hv").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct(),
+        "cc-edges-contracted",
+    )
     labels = _cut(
-        edges.select("u").distinct().withColumn("lbl", F.col("u")),
+        e2.select("u").distinct().withColumn("lbl", F.col("u")),
         "cc-labels",
     )
     for _ in range(max_iter):
-        nbr = edges.join(
-            labels.select(F.col("u").alias("v"), "lbl"), "v"
+        nbr = e2.join(
+            _bc(labels.select(F.col("u").alias("v"), "lbl")), "v"
         ).select("u", "lbl")
         new = _cut(
             labels.union(nbr)
@@ -713,6 +753,11 @@ def dedup_clusters(
             f"dedup_clusters: no fixpoint after max_iter={max_iter} rounds "
             "(component diameter exceeds the bound); raise max_iter"
         )
+    # expand back: lbl(u) = lbl2(h(u)); contracted roots absent from
+    # the (possibly empty) e2 label frame keep h(u) itself
+    labels = h.join(
+        labels.select(F.col("u").alias("h"), "lbl"), "h", "left"
+    ).select("u", F.coalesce("lbl", F.col("h")).alias("lbl"))
 
     base = (
         corpus.select(F.col(id_col).alias("u"))
