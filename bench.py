@@ -228,6 +228,7 @@ HEADLINE = [
     "q173_guarded_anti_join",
     "q174_rendezvous_weighted",
     "q175_global_running_sum",
+    "q176_zonemap_skipping",
 ]
 
 

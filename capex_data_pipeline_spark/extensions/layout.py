@@ -334,3 +334,105 @@ def rendezvous_shards_weighted(
             ).alias("moved_frac"),
         )
     )
+
+
+def zonemap_skip_report(
+    df: DataFrame,
+    dim_a: str,
+    dim_b: str,
+    layout_key: Column,
+    layout_name: str,
+    pred_a: "tuple[float, float]",
+    pred_b: "tuple[float, float]",
+    n_buckets: int = 64,
+    decimals: int = 6,
+) -> DataFrame:
+    """Zone-map (file-statistics) skipping report for a LAYOUT — the
+    number that justifies paying for Z-order/sorting at all: lay the
+    table out in ``n_buckets`` equal-width ranges of ``layout_key``
+    (each bucket standing in for a parquet file / Delta data file),
+    record per-bucket min/max "file stats" for the two predicate
+    dimensions, and count how many buckets — and rows — a 2-D box
+    predicate ``pred_a × pred_b`` can PROVE irrelevant without
+    reading them (skip iff the bucket's [min,max] on EITHER dimension
+    misses the box). This is the mechanism engines actually use
+    (parquet row-group stats, Delta/Iceberg file pruning); run it for
+    several candidate layouts and the skip fractions are the measured
+    layout comparison q149's docstring argues qualitatively.
+
+    Plan shape: one 1-row key-stats aggregate (broadcast), one
+    map-only bucket assignment, ONE hash aggregate onto
+    ``n_buckets`` zone-map cells, and an n_buckets-row summary —
+    nothing scales with table width, and at 100 TB this is exactly
+    the metadata a table format maintains for free.
+
+    Returns ONE row: (layout, n_buckets, n_skipped_buckets,
+    rows_total, rows_skipped, skip_frac, rows_matching) —
+    ``rows_matching`` (true predicate hits) rides along to show
+    skipping is sound: hits only ever live in unskipped buckets.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    lo_a, hi_a = pred_a
+    lo_b, hi_b = pred_b
+    k = layout_key.cast("double")
+    base = df.select(
+        F.col(dim_a).cast("double").alias("_a"),
+        F.col(dim_b).cast("double").alias("_b"),
+        k.alias("_k"),
+    )
+    stats = base.agg(
+        F.min("_k").alias("_kmin"), F.max("_k").alias("_kmax")
+    )
+    span = F.when(
+        F.col("_kmax") > F.col("_kmin"), F.col("_kmax") - F.col("_kmin")
+    ).otherwise(F.lit(1.0))
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("_k") - F.col("_kmin")) / span * n_buckets).cast(
+                "int"
+            ),
+        ),
+    )
+    hit = (
+        (F.col("_a") >= lo_a)
+        & (F.col("_a") <= hi_a)
+        & (F.col("_b") >= lo_b)
+        & (F.col("_b") <= hi_b)
+    )
+    zones = (
+        base.crossJoin(F.broadcast(stats))
+        .select(bucket.alias("_bk"), "_a", "_b", hit.cast("long").alias("_h"))
+        .groupBy("_bk")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min("_a").alias("_mina"),
+            F.max("_a").alias("_maxa"),
+            F.min("_b").alias("_minb"),
+            F.max("_b").alias("_maxb"),
+            F.sum("_h").alias("_hits"),
+        )
+    )
+    skippable = (
+        (F.col("_maxa") < lo_a)
+        | (F.col("_mina") > hi_a)
+        | (F.col("_maxb") < lo_b)
+        | (F.col("_minb") > hi_b)
+    )
+    return zones.agg(
+        F.lit(layout_name).alias("layout"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(skippable.cast("long")).alias("n_skipped_buckets"),
+        F.sum("_n").alias("rows_total"),
+        F.sum(F.when(skippable, F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("rows_skipped"),
+        F.round(
+            F.sum(F.when(skippable, F.col("_n")).otherwise(0))
+            / F.sum("_n").cast("double"),
+            decimals,
+        ).alias("skip_frac"),
+        F.sum("_hits").cast("long").alias("rows_matching"),
+    )

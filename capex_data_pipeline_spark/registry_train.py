@@ -3311,3 +3311,123 @@ def q174_rendezvous_weighted(spark, sf_dir):
         weights=[1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 1.0, 1.0],
         weights_after=[1.0, 1.0, 0.0, 2.0, 2.0, 2.0, 1.0, 1.0],
     )
+
+
+# --- q176: zone-map skipping — the measured layout comparison
+
+
+def _q176_layout_block(name: str, key: str) -> str:
+    """One layout's bucket/zone-map/summary chain (equal-width buckets
+    over ``key``, 64 'files', per-bucket min/max stats, 2-D box skip)."""
+    return f"""
+      SELECT '{name}' AS layout, count(*)::BIGINT AS n_buckets,
+             sum(CASE WHEN skp THEN 1 ELSE 0 END)::BIGINT
+               AS n_skipped_buckets,
+             sum(n)::BIGINT AS rows_total,
+             sum(CASE WHEN skp THEN n ELSE 0 END)::BIGINT AS rows_skipped,
+             round(sum(CASE WHEN skp THEN n ELSE 0 END)
+                   / sum(n)::DOUBLE, 6) AS skip_frac,
+             sum(hits)::BIGINT AS rows_matching
+      FROM (
+        SELECT bk, count(*)::BIGINT AS n,
+               min(a) AS mina, max(a) AS maxa,
+               min(b) AS minb, max(b) AS maxb,
+               sum(h)::BIGINT AS hits,
+               (max(a) < 100000.0 OR min(a) > 400000.0
+                OR max(b) < 100.0 OR min(b) > 200.0) AS skp
+        FROM (
+          SELECT greatest(0, least(63, CAST(floor(
+                   (({key}) - st.kmin)
+                   / (CASE WHEN st.kmax > st.kmin THEN st.kmax - st.kmin
+                           ELSE 1.0 END) * 64) AS INT))) AS bk,
+                 a, b,
+                 CASE WHEN a >= 100000.0 AND a <= 400000.0
+                       AND b >= 100.0 AND b <= 200.0
+                      THEN 1 ELSE 0 END AS h
+          FROM zbase,
+               (SELECT min({key}) AS kmin, max({key}) AS kmax
+                FROM zbase) st
+        ) GROUP BY bk
+      )"""
+
+
+@query(
+    "q176_zonemap_skipping",
+    f"""
+    WITH st AS (
+      SELECT min(o_totalprice::DOUBLE) AS minp, max(o_totalprice::DOUBLE) AS maxp,
+             min(o_custkey::DOUBLE) AS minc, max(o_custkey::DOUBLE) AS maxc
+      FROM orders
+    ),
+    sc AS (
+      SELECT o.o_orderkey,
+             greatest(0, least(CAST(floor(
+               (o.o_totalprice::DOUBLE - st.minp)
+               / (CASE WHEN st.maxp > st.minp THEN st.maxp - st.minp
+                       ELSE 1.0 END) * 255.0) AS BIGINT), 255)) AS xi,
+             greatest(0, least(CAST(floor(
+               (o.o_custkey::DOUBLE - st.minc)
+               / (CASE WHEN st.maxc > st.minc THEN st.maxc - st.minc
+                       ELSE 1.0 END) * 255.0) AS BIGINT), 255)) AS yi
+      FROM orders o, st
+    ),
+    zv AS (
+      SELECT o_orderkey,
+             CAST(list_sum(list_transform(range(0, 8), bb ->
+               (((xi >> CAST(bb AS INTEGER)) & 1)
+                  << CAST(bb * 2 AS INTEGER))
+               + (((yi >> CAST(bb AS INTEGER)) & 1)
+                  << CAST(bb * 2 + 1 AS INTEGER)))) AS BIGINT) AS zvalue
+      FROM sc
+    ),
+    zbase AS (
+      SELECT o.o_orderkey::DOUBLE AS okey,
+             o.o_totalprice::DOUBLE AS a,
+             o.o_custkey::DOUBLE AS b,
+             z.zvalue::DOUBLE AS zk
+      FROM orders o JOIN zv z USING (o_orderkey)
+    )
+    {_q176_layout_block('unsorted', 'okey')}
+    UNION ALL
+    {_q176_layout_block('sort_price', 'a')}
+    UNION ALL
+    {_q176_layout_block('zorder', 'zk')}
+    """,
+)
+def q176_zonemap_skipping(spark, sf_dir):
+    """Zone-map skipping report (layout.zonemap_skip_report): lay
+    orders out three ways — insertion order, sorted by price, and
+    Z-ordered on (price, custkey) via q149's Morton key — into 64
+    equal-width 'files', record per-file min/max stats on both
+    predicate columns, and count what a 2-D box predicate (price in
+    [100k, 400k] AND custkey in [100, 200]) can PROVE skippable
+    without reading. This is the mechanism (parquet row-group stats /
+    Delta-Iceberg file pruning) that decides selective-scan cost at
+    100 TB, and the report turns q149's qualitative Z-order argument
+    into a measured comparison: insertion order skips ~nothing, the
+    single-column sort skips only the price-range complement and is
+    blind to custkey, the Z-order layout's rectangular files skip on
+    BOTH dimensions. rows_matching rides along per layout to show
+    skipping is sound (identical across layouts — hits only ever
+    live in unskipped files). One stats row + one map-only bucket
+    pass + one 64-cell zone aggregate per layout; the oracle replays
+    buckets, stats, skip decisions, and counts value-exact."""
+    from capex_data_pipeline_spark.extensions.layout import (
+        zonemap_skip_report,
+        zorder_values,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    pa, pb = (100000.0, 400000.0), (100.0, 200.0)
+
+    def rep(df, key, name):
+        return zonemap_skip_report(
+            df, "o_totalprice", "o_custkey", key, name, pa, pb, n_buckets=64
+        )
+
+    zv = zorder_values(orders, ["o_totalprice", "o_custkey"], bits=8)
+    return (
+        rep(orders, F.col("o_orderkey"), "unsorted")
+        .unionByName(rep(orders, F.col("o_totalprice"), "sort_price"))
+        .unionByName(rep(zv, F.col("zvalue"), "zorder"))
+    )

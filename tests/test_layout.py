@@ -218,3 +218,42 @@ def test_weighted_rendezvous_removal_moves_only_removed_shard(spark):
         rendezvous_shards_weighted(df, F.col("k"), [], [1.0])
     with pytest.raises(ValueError, match="weight > 0"):
         rendezvous_shards_weighted(df, F.col("k"), [0.0], [1.0])
+
+
+def test_zonemap_skip_report_sound_and_ranks_layouts(spark):
+    """On a synthetic 2-D grid: (1) skipping is SOUND — hits live only
+    in unskipped buckets, so rows_matching is layout-invariant and
+    rows_skipped + matching never exceeds total; (2) the z-order
+    layout skips strictly more than insertion order for a 2-D box;
+    (3) a bucket straddling the box is not skipped."""
+    from capex_data_pipeline_spark.extensions.layout import (
+        zonemap_skip_report,
+        zorder_values,
+    )
+
+    n = 1600
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 40).cast("double").alias("x"),
+        (F.col("id") / 40).cast("int").cast("double").alias("y"),
+    )
+    pa, pb = (10.0, 14.0), (10.0, 14.0)
+
+    def rep(frame, key, name):
+        return zonemap_skip_report(
+            frame, "x", "y", key, name, pa, pb, n_buckets=16
+        ).collect()[0]
+
+    r_uns = rep(df, F.col("rid"), "unsorted")
+    zv = zorder_values(df, ["x", "y"], bits=8)
+    r_z = rep(zv, F.col("zvalue"), "zorder")
+    want_hits = 25  # 5x5 box on the 40x40 grid
+    assert r_uns["rows_matching"] == want_hits
+    assert r_z["rows_matching"] == want_hits
+    assert r_uns["rows_total"] == n and r_z["rows_total"] == n
+    assert r_z["rows_skipped"] + want_hits <= n
+    assert r_z["skip_frac"] > r_uns["skip_frac"]
+    assert r_z["n_skipped_buckets"] > 0
+    with pytest.raises(ValueError, match="n_buckets"):
+        zonemap_skip_report(df, "x", "y", F.col("rid"), "u", pa, pb,
+                            n_buckets=0)
