@@ -305,6 +305,45 @@ def _explain_on(frame: DataFrame, fn_keys: DataFrame, audit: DataFrame, tag: str
     )
 
 
+def _explain_pair_staged(frame: DataFrame) -> DataFrame:
+    """The shared-regex staged frame of :func:`_explain_on_pair`,
+    split out so the caller can WARM it concurrently with the fn/audit
+    plan-boundary cuts (it depends only on ``frame``). The projection
+    reduces every explain condition to a SINGLE first-match index over
+    pre+post branches (one short-circuiting chain — the same lazy
+    per-row cost as the original CASE; separate pre/post indices would
+    evaluate the post keywords even for rows an early branch settled)
+    and is PERSISTED: the plan depends only on ``frame``, so repeat
+    invocations are a canonical-plan cache hit — the regex cost is
+    paid once per session — and the barrier stops Catalyst from
+    inlining the chain into each reason variant. The raw key
+    components travel along for the post-barrier label joins;
+    RequestFunction / AssetCategoryName feed the two dynamic branch
+    values. (The pre/post SPLIT survives in one index because post
+    branches only matter when no pre branch fired: an index in the
+    post range implies pre missed, so the per-variant fallback label
+    still slots between them at reassembly.)"""
+    from capex_data_pipeline_spark.cache import persisted
+    from capex_data_pipeline_spark.functions.keys import robust_key
+
+    strict = strict_composite_key(
+        F.col("RequestNo"), F.col("AssetItemName"), F.col("VendorName")
+    )
+    short = robust_key(F.col("RequestNo"), F.col("AssetItemName"), F.lit(""))
+    pre_b, post_b = _explain_branches()
+    return frame.select(
+        strict.alias("_strict_raw"),
+        short.alias("_strict_ref"),
+        F.monotonically_increasing_id().alias("_ord"),
+        "RequestNo",
+        "AssetItemName",
+        "VendorName",
+        "RequestFunction",
+        "AssetCategoryName",
+        _branch_index(pre_b + post_b).alias("_bi"),
+    ).transform(persisted)
+
+
 def _explain_on_pair(
     frame: DataFrame, fn_keys: DataFrame, audit: DataFrame
 ) -> DataFrame:
@@ -321,35 +360,26 @@ def _explain_on_pair(
     from capex_data_pipeline_spark.cache import persisted
     from capex_data_pipeline_spark.functions.keys import robust_key
 
-    strict = strict_composite_key(
-        F.col("RequestNo"), F.col("AssetItemName"), F.col("VendorName")
-    )
-    short = robust_key(F.col("RequestNo"), F.col("AssetItemName"), F.lit(""))
+    staged = _explain_pair_staged(frame)
     pre_b, post_b = _explain_branches()
-    # ONE regex pass per row — and one per SESSION: the staged
-    # projection reduces every condition to two first-match indices
-    # and is PERSISTED. Its plan depends only on ``frame`` (the audit
-    # label joins happen AFTER the barrier), so (a) the persist is a
-    # canonical-plan cache hit on repeat invocations — the regex cost
-    # is paid once per session, not once per query call — and (b) the
-    # barrier stops Catalyst from inlining (and re-evaluating) the
-    # regex chains into each downstream reason variant. The raw key
-    # components travel along for the post-barrier label joins; the
-    # RequestFunction / AssetCategoryName columns feed the two
-    # dynamic branch VALUES.
-    staged = frame.select(
-        strict.alias("_strict_raw"),
-        short.alias("_strict_ref"),
-        F.monotonically_increasing_id().alias("_ord"),
-        "RequestNo",
-        "AssetItemName",
-        "VendorName",
-        "RequestFunction",
-        "AssetCategoryName",
-        _branch_index(pre_b).alias("_pre_i"),
-        _branch_index(post_b).alias("_post_i"),
-    ).transform(persisted)
+    n_pre = len(pre_b)
     keyed = staged
+    # projection reduces every condition to a SINGLE first-match
+    # index over pre+post branches (one short-circuiting chain, the
+    # same lazy per-row cost as the original CASE — two separate
+    # pre/post indices would evaluate the post keywords even for rows
+    # an early branch already settled) and is PERSISTED. The split
+    # semantics survive because post branches only matter when no pre
+    # branch fired: an index in the post range IMPLIES pre missed, so
+    # the per-variant fallback label can still slot between them at
+    # reassembly. The plan depends only on ``frame`` (audit label
+    # joins happen AFTER the barrier), so (a) the persist is a
+    # canonical-plan cache hit on repeat invocations — the regex cost
+    # is paid once per session — and (b) the barrier stops Catalyst
+    # from inlining the regex chain into each reason variant. The raw
+    # key components travel along for the post-barrier label joins;
+    # RequestFunction / AssetCategoryName feed the two dynamic branch
+    # VALUES.
     for tag, has_vendor in (("raw", True), ("ref", False)):
         keyed = keyed.join(
             audit.select(
@@ -359,54 +389,73 @@ def _explain_on_pair(
             _loop_fallback_rowkey(has_vendor) == F.col(f"_rk_{tag}"),
             "left",
         )
-    pre_val = _branch_value(pre_b, F.col("_pre_i"))
-    post_val = _branch_value(post_b, F.col("_post_i"))
+    all_val = _branch_value(pre_b + post_b, F.col("_bi"))
 
     def _reason(label: Column) -> Column:
         return (
-            F.when(F.col("_pre_i") > 0, pre_val)
+            F.when(
+                (F.col("_bi") > 0) & (F.col("_bi") <= n_pre), all_val
+            )
             .when(label.isNotNull(), label)
-            .when(F.col("_post_i") > 0, post_val)
+            .when(F.col("_bi") > n_pre, all_val)
             .otherwise(F.lit("Unknown"))
         )
 
-    # per-call persist: four first_match consumers below would each
-    # re-run the two label joins otherwise (the session-shared regex
-    # work is already behind the staged barrier)
-    explained = keyed.select(
-        "_strict_raw",
-        "_strict_ref",
+    # MELT both sides and resolve all four (tag × key-kind) lookups in
+    # ONE join + ONE aggregate — the naive form is four independent
+    # join+window pipelines (raw/ref × full/short), each re-shuffling
+    # the 150k-row explained frame. Selection semantics preserved
+    # exactly: full-key hits beat short-key hits (kind_rank 0 < 1 —
+    # the original coalesce(full, short)), ties within a kind resolve
+    # by first frame order (_ord), and min() skipping NULLs gives the
+    # per-tag LEFT-join behavior.
+    explained_melt = keyed.select(
         "_ord",
-        _reason(F.col("_rk_label_raw")).alias("_reason_raw"),
-        _reason(F.col("_rk_label_ref")).alias("_reason_ref"),
-    ).transform(persisted)
-
-    def first_match(on: Column, reason_col: str, out: str) -> DataFrame:
-        w = Window.partitionBy("CompositeKey").orderBy(F.asc("_ord"))
-        return (
-            fn_keys.join(explained, on, "inner")
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("CompositeKey", F.col(reason_col).alias(out))
-        )
-
-    out = fn_keys.select("CompositeKey")
-    for tag in ("raw", "ref"):
-        sk = f"_strict_{tag}"
-        rc = f"_reason_{tag}"
-        out = out.join(
-            first_match(F.col("CompositeKey") == F.col(sk), rc, f"_f_{tag}"),
-            "CompositeKey",
-            "left",
-        ).join(
-            first_match(F.col("_short_ck") == F.col(sk), rc, f"_s2_{tag}"),
-            "CompositeKey",
-            "left",
-        )
-    return out.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_strict_raw").alias("_sk"),
+                    F.lit("raw").alias("_tag"),
+                    _reason(F.col("_rk_label_raw")).alias("_reason"),
+                ),
+                F.struct(
+                    F.col("_strict_ref").alias("_sk"),
+                    F.lit("ref").alias("_tag"),
+                    _reason(F.col("_rk_label_ref")).alias("_reason"),
+                ),
+            )
+        ).alias("_m"),
+    ).select("_ord", "_m._sk", "_m._tag", "_m._reason")
+    fn_melt = fn_keys.select(
         "CompositeKey",
-        F.coalesce("_f_raw", "_s2_raw").alias("_expl_raw"),
-        F.coalesce("_f_ref", "_s2_ref").alias("_expl_ref"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("CompositeKey").alias("_pk"),
+                    F.lit(0).alias("_kr"),
+                ),
+                F.struct(F.col("_short_ck").alias("_pk"), F.lit(1).alias("_kr")),
+            )
+        ).alias("_p"),
+    ).select("CompositeKey", "_p._pk", "_p._kr")
+
+    j = fn_melt.join(
+        explained_melt, F.col("_pk") == F.col("_sk"), "inner"
+    ).select(
+        "CompositeKey",
+        "_tag",
+        F.struct("_kr", "_ord", "_reason").alias("_cand"),
+    )
+    picked = j.groupBy("CompositeKey").agg(
+        F.min(F.when(F.col("_tag") == "raw", F.col("_cand"))).alias("_br"),
+        F.min(F.when(F.col("_tag") == "ref", F.col("_cand"))).alias("_bf"),
+    )
+    return fn_keys.select("CompositeKey").join(
+        picked, "CompositeKey", "left"
+    ).select(
+        "CompositeKey",
+        F.col("_br._reason").alias("_expl_raw"),
+        F.col("_bf._reason").alias("_expl_ref"),
     )
 
 
@@ -466,9 +515,16 @@ def enrich_false_negatives(
         def _cut(df, label):
             return _boundary(df, mode=mode, eager=True, label=label)
 
-        with ThreadPoolExecutor(max_workers=2) as ex:
+        with ThreadPoolExecutor(max_workers=3) as ex:
             fn_fut = ex.submit(_cut, false_negatives, "fn-keys")
             au_fut = ex.submit(_cut, audit_ordered, "fn-audit")
+            if shared_reference and raw is not None and reference is not None:
+                # warm the shared regex frame CONCURRENTLY with the two
+                # cuts: it depends only on `raw`, so there is no reason
+                # to serialize its (one-per-session) materialization
+                # behind them — _explain_on_pair below rebuilds the
+                # same plan and hits the persisted entry
+                ex.submit(lambda: _explain_pair_staged(raw).count())
             false_negatives = fn_fut.result()
             audit_ordered = au_fut.result()
     parts = F.split(F.col("CompositeKey"), r"\|", -1)
