@@ -229,6 +229,7 @@ HEADLINE = [
     "q174_rendezvous_weighted",
     "q175_global_running_sum",
     "q176_zonemap_skipping",
+    "q177_join_graph_profile",
 ]
 
 

@@ -1441,3 +1441,68 @@ def winsorized_stats_by(
             F.round(F.avg("_w"), decimals).alias("winsorized_mean"),
         )
     )
+
+
+def join_graph_profile(
+    edges: "list[tuple[str, DataFrame, Column, DataFrame, Column]]",
+    depth: int = 3,
+    width: int = 1024,
+    decimals: int = 9,
+) -> DataFrame:
+    """Sketch-driven join-graph advisor: estimate EVERY candidate join
+    edge's output size from constant-memory CMS inner products
+    (:func:`cms_join_size`) and rank the edges the way a greedy
+    left-deep planner would pick them (smallest estimated output
+    first) — the cost-based-optimizer decision, externalized, before
+    a single expensive shuffle runs. At 100 TB this is the difference
+    between discovering a fact-fact join explosion in the PLAN stage
+    (depth×width integer cells per side) and discovering it as a
+    cluster-wide straggler; the q156 guarded join consumes one edge's
+    estimate, this profiles the whole graph.
+
+    ``edges``: (edge_name, left_df, left_key, right_df, right_key).
+    Per edge everything is sketch-or-smaller: two cell aggregates, a
+    cells-sized inner product, two 1-row counts; the exact join size
+    (computed from per-key counts, never by materializing the join)
+    rides along for the error report — the drop-at-100TB column, per
+    the q155 convention.
+
+    Returns one row per edge: (edge, n_left, n_right, est_join_rows,
+    exact_join_rows, overestimate, est_selectivity, plan_rank) with
+    plan_rank 1 = join first (ties by edge name); the rank window
+    runs over the |edges|-row profile frame, never the data.
+    """
+    if not edges:
+        raise ValueError("join_graph_profile: edges must be non-empty")
+    from pyspark.sql.window import Window
+
+    parts = []
+    for name, ld, lk, rd, rk in edges:
+        sz = cms_join_size(ld, lk, rd, rk, depth, width)
+        nl = ld.agg(F.count(F.lit(1)).alias("n_left"))
+        nr = rd.agg(F.count(F.lit(1)).alias("n_right"))
+        parts.append(
+            sz.crossJoin(F.broadcast(nl))
+            .crossJoin(F.broadcast(nr))
+            .select(
+                F.lit(name).alias("edge"),
+                "n_left",
+                "n_right",
+                "est_join_rows",
+                "exact_join_rows",
+                "overestimate",
+                F.round(
+                    F.col("est_join_rows")
+                    / (
+                        F.col("n_left").cast("double")
+                        * F.col("n_right").cast("double")
+                    ),
+                    decimals,
+                ).alias("est_selectivity"),
+            )
+        )
+    prof = parts[0]
+    for p in parts[1:]:
+        prof = prof.unionByName(p)
+    w = Window.orderBy(F.asc("est_join_rows"), F.asc("edge"))
+    return prof.withColumn("plan_rank", F.row_number().over(w))

@@ -3431,3 +3431,101 @@ def q176_zonemap_skipping(spark, sf_dir):
         .unionByName(rep(orders, F.col("o_totalprice"), "sort_price"))
         .unionByName(rep(zv, F.col("zvalue"), "zorder"))
     )
+
+
+# --- q177: sketch-driven join-graph advisor (the CBO decision, external)
+
+
+def _q177_cells(t: str, k: str) -> str:
+    return (
+        "SELECT j.j AS j, CAST(('0x' || substr(md5(j.j || '|' || "
+        f"CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 AS p, "
+        "count(*)::BIGINT AS c "
+        f"FROM {t}, (SELECT CAST(unnest([0, 1, 2]) AS VARCHAR) AS j) j "
+        f"WHERE {k} IS NOT NULL GROUP BY 1, 2"
+    )
+
+
+def _q177_edge(name: str, ta: str, ka: str, tb: str, kb: str) -> str:
+    """One edge's profile row: CMS inner-product estimate (min over
+    ALL depth rows, absent rows counting 0 — the engine's LEFT-join
+    semantics), exact size from per-key count products, counts,
+    selectivity."""
+    return f"""
+    SELECT '{name}' AS edge,
+           (SELECT count(*)::BIGINT FROM {ta}) AS n_left,
+           (SELECT count(*)::BIGINT FROM {tb}) AS n_right,
+           es.est_join_rows, ex.exact_join_rows,
+           es.est_join_rows - ex.exact_join_rows AS overestimate,
+           round(es.est_join_rows / ((SELECT count(*) FROM {ta})::DOUBLE
+                 * (SELECT count(*) FROM {tb})::DOUBLE), 9)
+             AS est_selectivity
+    FROM (
+      SELECT min(coalesce(ip, 0))::BIGINT AS est_join_rows
+      FROM (SELECT CAST(x.x AS VARCHAR) AS j
+            FROM (SELECT unnest([0, 1, 2]) AS x) x) alljj
+      LEFT JOIN (
+        SELECT a.j, sum(a.c * b.c)::BIGINT AS ip
+        FROM ({_q177_cells(ta, ka)}) a
+        JOIN ({_q177_cells(tb, kb)}) b ON a.j = b.j AND a.p = b.p
+        GROUP BY a.j
+      ) ips USING (j)
+    ) es, (
+      SELECT coalesce(sum(ca.n * cb.n), 0)::BIGINT AS exact_join_rows
+      FROM (SELECT CAST({ka} AS VARCHAR) AS k, count(*)::BIGINT AS n
+            FROM {ta} WHERE {ka} IS NOT NULL GROUP BY 1) ca
+      JOIN (SELECT CAST({kb} AS VARCHAR) AS k, count(*)::BIGINT AS n
+            FROM {tb} WHERE {kb} IS NOT NULL GROUP BY 1) cb USING (k)
+    ) ex
+    """
+
+
+_Q177_EDGES = [
+    ("customer-orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("orders-lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part-lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+    ("supplier-lineitem", "supplier", "s_suppkey", "lineitem", "l_suppkey"),
+    ("nation-customer", "nation", "n_nationkey", "customer", "c_nationkey"),
+]
+
+
+@query(
+    "q177_join_graph_profile",
+    "SELECT edge, n_left, n_right, est_join_rows, exact_join_rows, "
+    "overestimate, est_selectivity, "
+    "row_number() OVER (ORDER BY est_join_rows, edge) AS plan_rank "
+    "FROM ("
+    + " UNION ALL ".join(f"({_q177_edge(*e)})" for e in _Q177_EDGES)
+    + ") profiled",
+)
+def q177_join_graph_profile(spark, sf_dir):
+    """Sketch-driven join-graph advisor (sketches.join_graph_profile):
+    every candidate join edge of the schema profiled from CMS inner
+    products — est_join_rows, exact ride-along, selectivity, and the
+    greedy left-deep plan_rank (smallest estimated output first) a
+    cost-based optimizer would derive from the same statistics. The
+    q156 guarded join consumes ONE edge's estimate as its pre-flight;
+    this externalizes the whole planning decision before any shuffle
+    runs, from depth×width integer cells per side. The oracle replays
+    all five edges' sketches (min over ALL depth rows with absent
+    rows counting zero — the engine's LEFT-join convention), exact
+    per-key count products, selectivities, and the rank."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        join_graph_profile,
+    )
+
+    t = {n: _t(spark, sf_dir, n) for n in (
+        "customer", "orders", "lineitem", "part", "supplier", "nation"
+    )}
+    return join_graph_profile([
+        ("customer-orders", t["customer"], F.col("c_custkey"),
+         t["orders"], F.col("o_custkey")),
+        ("orders-lineitem", t["orders"], F.col("o_orderkey"),
+         t["lineitem"], F.col("l_orderkey")),
+        ("part-lineitem", t["part"], F.col("p_partkey"),
+         t["lineitem"], F.col("l_partkey")),
+        ("supplier-lineitem", t["supplier"], F.col("s_suppkey"),
+         t["lineitem"], F.col("l_suppkey")),
+        ("nation-customer", t["nation"], F.col("n_nationkey"),
+         t["customer"], F.col("c_nationkey")),
+    ])

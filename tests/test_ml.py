@@ -2550,3 +2550,35 @@ def test_guarded_join_semi_anti_match_plain_under_salt(spark):
     assert guarded_join(
         a2, b2, "k", est_threshold=10, how="left_semi"
     ).count() == 1
+
+
+def test_join_graph_profile_ranks_and_one_sided(spark):
+    """Plan rank = ascending estimated output (ties by edge name); the
+    CMS estimate keeps its one-sided guarantee (est >= exact) on every
+    edge; disjoint-key edges estimate down to ~0 and rank first."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        join_graph_profile,
+    )
+
+    a = spark.createDataFrame([(i % 10,) for i in range(200)], "k long")
+    b = spark.createDataFrame([(i % 10,) for i in range(100)], "k long")
+    c = spark.createDataFrame([(1000 + i,) for i in range(50)], "k long")
+    rows = {
+        r["edge"]: r
+        for r in join_graph_profile(
+            [
+                ("a-b", a, F.col("k"), b, F.col("k")),
+                ("a-c", a, F.col("k"), c, F.col("k")),
+            ]
+        ).collect()
+    }
+    ab, ac = rows["a-b"], rows["a-c"]
+    assert ab["exact_join_rows"] == 200 * 100 // 10  # 10 keys x 20 x 10
+    assert ac["exact_join_rows"] == 0
+    for r in rows.values():  # one-sided: never underestimates
+        assert r["est_join_rows"] >= r["exact_join_rows"]
+    assert (ab["n_left"], ab["n_right"]) == (200, 100)
+    # the empty edge must rank first (smallest estimate)
+    assert ac["plan_rank"] == 1 and ab["plan_rank"] == 2
+    with pytest.raises(ValueError, match="edges"):
+        join_graph_profile([])
