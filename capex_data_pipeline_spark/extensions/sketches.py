@@ -1534,8 +1534,13 @@ def table_stats(
     """
     if not cols:
         raise ValueError("table_stats: cols must be non-empty")
+    m = 1 << b
+    rest_bits = 52 - b
+
     from capex_data_pipeline_spark.cache import persisted
 
+    # persisted: the cell aggregate and the exact-NDV ride-along both
+    # consume the melted pairs — one scan + one explode, not two
     melted = persisted(
         df.select(
             F.explode(
@@ -1551,31 +1556,86 @@ def table_stats(
             ).alias("_m")
         ).select("_m._col", "_m._v")
     )
-    counts = melted.groupBy("_col").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0))
+
+    # ONE aggregate onto cols × (m + 1) cells: NULL values route to
+    # sentinel bucket -1 so row/NULL/width counters share the same
+    # partials as the HLL registers — the melted pairs never shuffle,
+    # only the tiny cell frame does (map-side partial count/sum/max)
+    h = F.conv(F.substring(F.md5(F.col("_v")), 1, 13), 16, 10).cast("long")
+    bucket = F.when(F.col("_v").isNull(), F.lit(-1)).otherwise(h % m)
+    rest = F.shiftright(h, b)
+    bitlen = F.length(F.conv(rest.cast("string"), 10, 2))
+    rank = F.when(F.col("_v").isNull(), F.lit(None)).otherwise(
+        F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+            F.lit(rest_bits) - bitlen + 1
+        )
+    )
+    cells = (
+        melted.select(
+            "_col",
+            bucket.alias("_b"),
+            F.length("_v").alias("_len"),
+            rank.alias("_r"),
+        )
+        .groupBy("_col", "_b")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum("_len").alias("_slen"),
+            F.max("_r").alias("_mr"),
+        )
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    nonempty = F.sum(F.when(F.col("_b") >= 0, 1).otherwise(0))
+    reg_sum = F.sum(
+        F.when(F.col("_b") >= 0, F.pow(F.lit(2.0), -F.col("_mr"))).otherwise(
+            F.lit(0.0)
+        )
+    )
+    est_raw = (
+        alpha
+        * F.lit(float(m * m))
+        / (reg_sum + (F.lit(m) - nonempty).cast("double"))
+    )
+    per_col = cells.groupBy("_col").agg(
+        F.sum("_cnt").alias("n_rows"),
+        F.sum(F.when(F.col("_b") == -1, F.col("_cnt")).otherwise(0))
         .cast("long")
         .alias("n_null"),
-        F.round(F.avg(F.length("_v")), 2).alias("avg_len"),
+        F.round(
+            F.sum("_slen")
+            / F.sum(
+                F.when(F.col("_b") >= 0, F.col("_cnt")).otherwise(0)
+            ).cast("double"),
+            2,
+        ).alias("avg_len"),
+        # empty value set: no registers — estimate 0, never the raw
+        # formula's α·m²/m artifact
+        F.round(
+            F.when(nonempty > 0, est_raw).otherwise(F.lit(0.0)), decimals
+        ).alias("ndv_est"),
     )
-    hll = hll_cardinality_by(
-        melted.filter(F.col("_v").isNotNull()),
-        "_col",
-        F.col("_v"),
-        b=b,
-        decimals=decimals,
+    # the exact NDV ride-along: the one column whose maintenance cost
+    # a 100 TB deployment drops (it shuffles the distinct pairs; the
+    # sketch above is what replaces it)
+    exact = melted.filter(F.col("_v").isNotNull()).groupBy("_col").agg(
+        F.countDistinct("_v").alias("ndv_exact")
     )
-    # left join: an all-NULL column has no HLL group — it must still
-    # surface (ndv 0), not vanish from the stats table
-    return counts.join(hll, counts["_col"] == hll["_col"], "left").select(
-        counts["_col"].alias("column_name"),
+    return per_col.join(exact, "_col", "left").select(
+        F.col("_col").alias("column_name"),
         "n_rows",
         "n_null",
         F.round(
             F.col("n_null") / F.col("n_rows").cast("double"), decimals
         ).alias("null_frac"),
         "avg_len",
-        F.coalesce(F.col("n_exact"), F.lit(0)).alias("ndv_exact"),
-        F.coalesce(F.col("n_estimated"), F.lit(0.0)).alias("ndv_est"),
-        F.coalesce(F.col("rel_error"), F.lit(0.0)).alias("ndv_rel_error"),
+        F.coalesce(F.col("ndv_exact"), F.lit(0)).alias("ndv_exact"),
+        "ndv_est",
+        F.coalesce(
+            F.round(
+                F.abs(F.col("ndv_est") - F.col("ndv_exact"))
+                / F.nullif(F.col("ndv_exact").cast("double"), F.lit(0.0)),
+                decimals,
+            ),
+            F.lit(0.0),
+        ).alias("ndv_rel_error"),
     )

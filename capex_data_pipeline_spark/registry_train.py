@@ -3572,21 +3572,21 @@ def _q178_col(t: str, c: str) -> str:
 
 
 _Q178_COLS = (
-    "l_orderkey",
-    "l_partkey",
-    "l_suppkey",
-    "l_returnflag",
-    "l_quantity",
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
 )
 
 
 @query(
     "q178_table_stats",
-    " UNION ALL ".join(f"({_q178_col('lineitem', c)})" for c in _Q178_COLS),
+    " UNION ALL ".join(f"({_q178_col('orders', c)})" for c in _Q178_COLS),
 )
 def q178_table_stats(spark, sf_dir):
     """ANALYZE-TABLE-style column statistics in ONE scan
-    (sketches.table_stats): per lineitem column — row count, NULL
+    (sketches.table_stats): per orders column — row count, NULL
     count/fraction, average rendered width, and NDV as the q126/q153
     engine-portable HLL estimate with the exact NDV riding along for
     the error report. These are the statistics q177's join-graph
@@ -3598,5 +3598,5 @@ def q178_table_stats(spark, sf_dir):
     from capex_data_pipeline_spark.extensions.sketches import table_stats
 
     return table_stats(
-        _t(spark, sf_dir, "lineitem"), list(_Q178_COLS), b=6
+        _t(spark, sf_dir, "orders"), list(_Q178_COLS), b=6
     )
