@@ -231,6 +231,10 @@ HEADLINE = [
     "q176_zonemap_skipping",
     "q177_join_graph_profile",
     "q178_table_stats",
+    # round-10 (cont.): Ed-Join prefix filter + exact levenshtein verify
+    "q179_editdist_join",
+    # round-10 (cont.): one TakeOrdered(k+1), bit-exact priorities
+    "q180_priority_sample",
 ]
 
 

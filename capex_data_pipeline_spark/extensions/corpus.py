@@ -261,9 +261,18 @@ def sample_hash(key: Column, seed: str = "s0") -> Column:
     NULL keys hash as the sentinel string '<null>' so null-keyed rows
     get a deterministic keep decision too (a bare md5(NULL) is NULL
     and would silently drop every such row even at fraction 1.0)."""
+    return hash_u32(key, seed).cast("double") / F.lit(float(_HASH_SPACE))
+
+
+def hash_u32(key: Column, seed: str = "s0") -> Column:
+    """The integer form of ``sample_hash``: first 8 hex chars of
+    md5(seed|key) as a BIGINT in [0, 2^32) — exposed for operators
+    that need the raw hash (priority sampling divides by (h+1) for a
+    (0, 1] uniform). Same NULL-sentinel semantics."""
     key_s = F.coalesce(key.cast("string"), F.lit("<null>"))
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(seed + "|"), key_s)), 1, 8), 16, 10)
-    return h.cast("double") / F.lit(float(_HASH_SPACE))
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + "|"), key_s)), 1, 8), 16, 10
+    ).cast("long")
 
 
 def hash_sample(
@@ -311,6 +320,77 @@ def group_sample(
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n)
         .drop("_rn")
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    seed: str = "pr",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, size k, with unbiased
+    subset-sum estimation: priority sampling (Duffield, Lund & Thorup,
+    JACM 2007). Each row gets priority p = w / u with u uniform in
+    (0, 1]; the sample is the k largest priorities, the threshold tau
+    is the (k+1)-th, and est_weight = max(w, tau) makes any subset-sum
+    estimate unbiased (E[sum est_weight over sample ∩ S] = sum w over
+    S). The one-big-sample answer to "give me 10k docs, long docs
+    proportionally more likely, and keep totals estimable".
+
+    Determinism/portability: u = (hash_u32(key) + 1) / 2^32 — the same
+    engine-portable md5 integer as ``hash_sample``, shifted to (0, 1]
+    so the division is total. Every arithmetic step is a single IEEE
+    op ((h+1) and /2^32 are EXACT — integer below 2^53 and a
+    power-of-two divisor — and w/u is one correctly-rounded divide),
+    so priorities are bit-identical on any engine: the q180 oracle
+    reproduces them double-for-double.
+
+    Scale shape: priorities are a narrow map; the sample is ONE
+    TakeOrdered(k+1) — no global sort, no shuffle of the input, and
+    mergeable across splits (top-(k+1) of per-partition top-(k+1)s,
+    which is what TakeOrdered already does). tau attaches as a
+    broadcast one-row aggregate over the (k+1)-row frame. Rows with
+    weight <= 0 or NULL are excluded (zero-weight rows can never be
+    sampled; negative weights have no estimator semantics)."""
+    from pyspark.sql.window import Window
+
+    w = F.col(weight_col).cast("double")
+    u = (hash_u32(F.col(key_col), seed) + F.lit(1)).cast("double") / F.lit(
+        float(_HASH_SPACE)
+    )
+    scored = (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(
+            F.col(key_col),
+            w.alias("weight"),
+            (w / u).alias("priority"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("priority"), F.asc(key_col)
+    ).limit(k + 1)
+    # (k+1)-row frame: the unpartitioned window is bounded by the
+    # TakeOrdered above it (the planlint-certified pattern)
+    rn = F.row_number().over(
+        Window.orderBy(F.desc("priority"), F.asc(key_col))
+    )
+    ranked = top.withColumn("_rn", rn)
+    tau = ranked.agg(
+        F.max(F.when(F.col("_rn") == k + 1, F.col("priority"))).alias("_tau")
+    )
+    return (
+        ranked.filter(F.col("_rn") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            key_col,
+            "weight",
+            "priority",
+            F.greatest(
+                F.col("weight"), F.coalesce(F.col("_tau"), F.lit(0.0))
+            ).alias("est_weight"),
+        )
     )
 
 

@@ -269,3 +269,169 @@ def fuzzy_self_best_match(
         )
         .filter(F.col("best_id").isNotNull())
     )
+
+
+def editdist_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    k: int = 3,
+    q: int = 2,
+) -> DataFrame:
+    """Edit-distance similarity self-join: all row pairs whose
+    ``str_col`` values are within Levenshtein distance ``k`` —
+    the fuzzy-title / near-identical-prefix matcher that complements
+    the set-semantics joins (q161 Jaccard/PPJoin, q18 trigram): edit
+    distance sees character ORDER, so transposed words and small typos
+    that keep the token multiset identical still rank as distance > 0.
+
+    Returns (<id_col>_a, <id_col>_b, dist) with _a < _b, dist <= k.
+    ``str_col`` is used as given — normalize (lower/substr) upstream.
+
+    Scale shape (Ed-Join, Xiao et al. ICDE 2008, re-derived on
+    DataFrame ops — never the all-pairs matrix the oracle runs):
+
+    1. Vocab-frame economics: everything expensive runs on the
+       DISTINCT-string frame (module docstring); rows reappear only
+       in the final string-keyed joins.
+    2. Prefix filtering on POSITIONAL q-grams: one edit destroys at
+       most q of a string's q-grams, so k edits destroy at most k*q —
+       of any fixed q*k+1 grams of one side, one SURVIVES into the
+       other (position shifted by at most k). Each string therefore
+       indexes only its q*k+1 globally-RAREST grams (frequency
+       ascending, gram/pos tie-break); candidates come from the
+       prefix-gram equi-join with |pos diff| <= k and
+       |len diff| <= k. Survival needs only ONE side to own a full
+       q*k+1 prefix, so mixed short/long pairs ride this path too.
+    3. Strings too short for a full prefix (len <= q*(k+1)-1, i.e.
+       fewer than q*k+1 grams, including gram-less len < q) pair
+       among THEMSELVES via a (k+1)-wide length-bucket equi-join — a
+       bounded-domain frame (distinct strings of bounded length), no
+       broadcast assumption, no driver action.
+    4. Every candidate is verified with the exact JVM
+       ``levenshtein`` (codepoint semantics; the DuckDB oracle's is
+       byte-based, so callers keep the column ASCII — the q179
+       registry entry pins an all-ASCII corpus).
+
+    Completeness is CERTIFIED, not asserted: the q179 oracle computes
+    the length-banded all-pairs join, so pair-set equality proves the
+    prefix + short-bucket candidates lost nothing.
+    """
+    from pyspark.sql.window import Window
+
+    if q < 2 or k < 1:
+        raise ValueError("editdist_join requires q >= 2 and k >= 1")
+    prefix_len = q * k + 1
+    short_max = q * (k + 1) - 1  # fewer than prefix_len grams
+
+    rows = df.select(
+        F.col(id_col).alias("_id"), F.col(str_col).alias("_s")
+    ).filter(F.col("_s").isNotNull())
+    names = (
+        rows.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_len", F.length("_s"))
+    )
+
+    # -- positional q-grams of every string that has any (len >= q)
+    grams = names.filter(F.col("_len") >= q).select(
+        "_s",
+        "_len",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_len") - q + 1),
+                lambda i: F.col("_s").substr(i, F.lit(q)),
+            )
+        ).alias("_p0", "_g"),
+    ).withColumn("_p", F.col("_p0") + 1).drop("_p0")
+
+    # -- global rarity order; per-string prefix = q*k+1 rarest grams
+    freq = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_f"))
+    w = Window.partitionBy("_s").orderBy(
+        F.asc("_f"), F.asc("_g"), F.asc("_p")
+    )
+    prefix = (
+        grams.join(freq, "_g")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select("_s", "_len", "_g", "_p")
+    )
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand_long = (
+        a.join(
+            b,
+            (F.col("a._g") == F.col("b._g"))
+            & (F.col("a._s") < F.col("b._s"))
+            & (F.abs(F.col("a._p") - F.col("b._p")) <= k)
+            & (F.abs(F.col("a._len") - F.col("b._len")) <= k),
+        )
+        .select(F.col("a._s").alias("_s1"), F.col("b._s").alias("_s2"))
+    )
+
+    # -- short strings (< q*k+1 grams): length-bucket equi-join.
+    # Buckets are (k+1) wide, so |len diff| <= k implies bucket
+    # distance <= 1; the left side fans out to {b-1, b, b+1}.
+    shorts = names.filter(F.col("_len") <= short_max).select(
+        "_s", "_len", (F.floor(F.col("_len") / (k + 1))).alias("_b")
+    )
+    sl = shorts.select(
+        F.col("_s").alias("_s1"),
+        F.col("_len").alias("_l1"),
+        F.explode(
+            F.array(F.col("_b") - 1, F.col("_b"), F.col("_b") + 1)
+        ).alias("_b"),
+    )
+    sr = shorts.select(
+        F.col("_s").alias("_s2"), F.col("_len").alias("_l2"), "_b"
+    )
+    cand_short = (
+        sl.join(
+            sr,
+            (sl["_b"] == sr["_b"])
+            & (F.col("_s1") < F.col("_s2"))
+            & (F.abs(F.col("_l1") - F.col("_l2")) <= k),
+        )
+        .select("_s1", "_s2")
+    )
+
+    # -- exact verify on the distinct candidate pairs (JVM levenshtein)
+    vpairs = (
+        cand_long.unionByName(cand_short)
+        .distinct()
+        .withColumn("_d", F.levenshtein(F.col("_s1"), F.col("_s2")))
+        .filter(F.col("_d") <= k)
+    )
+
+    # -- expand distinct-string pairs back to row pairs
+    ra = rows.select(F.col("_id").alias("_ia"), F.col("_s").alias("_s1"))
+    rb = rows.select(F.col("_id").alias("_ib"), F.col("_s").alias("_s2"))
+    cross = vpairs.join(ra, "_s1").join(rb, "_s2")
+    same = (
+        rows.alias("x")
+        .join(
+            rows.alias("y"),
+            (F.col("x._s") == F.col("y._s"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("_ia"),
+            F.col("y._id").alias("_ib"),
+            F.lit(0).alias("_d"),
+        )
+    )
+    out_a, out_b = f"{id_col}_a", f"{id_col}_b"
+    return (
+        cross.select(
+            F.least("_ia", "_ib").alias(out_a),
+            F.greatest("_ia", "_ib").alias(out_b),
+            F.col("_d").cast("int").alias("dist"),
+        )
+        .unionByName(
+            same.select(
+                F.col("_ia").alias(out_a),
+                F.col("_ib").alias(out_b),
+                F.col("_d").cast("int").alias("dist"),
+            )
+        )
+    )

@@ -3600,3 +3600,107 @@ def q178_table_stats(spark, sf_dir):
     return table_stats(
         _t(spark, sf_dir, "orders"), list(_Q178_COLS), b=6
     )
+
+
+# ---- q179: edit-distance similarity join (Ed-Join prefix filter)
+
+
+@query(
+    "q179_editdist_join",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             lower(substr(coalesce(text, ''), 1, 40)) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.s, b.s)::INTEGER AS dist
+    FROM p a JOIN p b
+      ON a.doc_id < b.doc_id
+     AND abs(length(a.s) - length(b.s)) <= 3
+     AND levenshtein(a.s, b.s) <= 3
+    """,
+)
+def q179_editdist_join(spark, sf_dir):
+    """Edit-distance similarity self-join (matching.editdist_join):
+    every document pair whose lowercased 40-char opening is within
+    Levenshtein distance 3 — the fuzzy-prefix matcher a curator runs
+    to catch near-identical titles/boilerplate openings that token-set
+    similarity (q161) scores as EQUAL (edit distance sees character
+    order; token Jaccard does not). The engine never forms the
+    all-pairs matrix: candidates come from the Ed-Join positional
+    q-gram prefix filter (each distinct string indexes only its
+    q*k+1 = 7 globally-rarest bigrams; k edits destroy at most q*k
+    grams, so one prefix gram must survive with position shift <= k)
+    plus a bounded length-bucket path for short strings, then exact
+    JVM levenshtein verifies each candidate. The oracle IS the
+    length-banded all-pairs join, so pair-set equality certifies the
+    prefix filter lost nothing. Corpus is all-ASCII (pinned by the
+    tests), where Spark's codepoint and DuckDB's byte levenshtein
+    agree."""
+    from capex_data_pipeline_spark.extensions.matching import editdist_join
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40)
+        ).alias("s"),
+    )
+    return editdist_join(docs, "doc_id", "s", k=3, q=2).select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        "dist",
+    )
+
+
+# ---- q180: priority sampling (weighted, without replacement, unbiased)
+
+
+@query(
+    "q180_priority_sample",
+    """
+    WITH b AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+             CAST(('0x' || substr(md5('pr|' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) AS h
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    p AS (
+      SELECT doc_id, weight,
+             weight / ((h + 1) / 4294967296.0) AS priority
+      FROM b
+    ),
+    r AS (
+      SELECT doc_id, weight, priority,
+             row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+      FROM p
+    )
+    SELECT doc_id, weight, priority,
+           greatest(weight,
+                    coalesce((SELECT max(priority) FROM r WHERE rn = 65),
+                             0.0)) AS est_weight
+    FROM r WHERE rn <= 64
+    """,
+)
+def q180_priority_sample(spark, sf_dir):
+    """Weighted sampling without replacement with unbiased subset-sum
+    estimation (corpus.priority_sample; Duffield-Lund-Thorup priority
+    sampling): the 64 documents with the largest w/u priorities,
+    weighted by length, plus est_weight = max(w, tau) so any
+    post-hoc slice of the sample still estimates its true total.
+    The uniform u is the engine-portable md5 integer shifted to
+    (0, 1], and every arithmetic step is one IEEE op, so the oracle
+    reproduces each priority DOUBLE-for-double — the sample is
+    re-derivable by any engine, which is what makes it auditable.
+    One narrow map + one TakeOrdered(k+1); the input is never
+    shuffled or sorted globally."""
+    from capex_data_pipeline_spark.extensions.corpus import priority_sample
+
+    return priority_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        k=64,
+        weight_col="n_chars",
+        key_col="doc_id",
+        seed="pr",
+    )

@@ -1147,3 +1147,59 @@ def test_build_postings_hand_computed(spark):
     assert rows["c"]["digest"] == hashlib.md5(b"1:0").hexdigest()
     with pytest.raises(ValueError, match="topk"):
         build_postings(docs, topk=0)
+
+
+# ---------------------------------------------- priority sampling (q180)
+
+
+def _py_priority(key, weight, seed="pr"):
+    import hashlib
+
+    h = int(hashlib.md5(f"{seed}|{key}".encode()).hexdigest()[:8], 16)
+    return weight / ((h + 1) / 2**32)
+
+
+def test_priority_sample_matches_python_reference(spark):
+    """Sample membership, priorities, tau, and est_weight all equal an
+    independent Python replay of Duffield-Lund-Thorup priority
+    sampling over the same md5 hash."""
+    from capex_data_pipeline_spark.extensions.corpus import priority_sample
+
+    rows = [(i, float(1 + (i * 7) % 50)) for i in range(200)]
+    ref = sorted(
+        ((kid, w, _py_priority(kid, w)) for kid, w in rows),
+        key=lambda t: (-t[2], t[0]),
+    )
+    k = 10
+    tau = ref[k][2]
+    expect = {
+        kid: (w, p, max(w, tau)) for kid, w, p in ref[:k]
+    }
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = {
+        r["id"]: (r["weight"], r["priority"], r["est_weight"])
+        for r in priority_sample(df, k=k, weight_col="w", key_col="id").collect()
+    }
+    assert set(got) == set(expect)
+    for kid, (w, p, e) in expect.items():
+        gw, gp, ge = got[kid]
+        assert gw == w and gp == pytest.approx(p, rel=1e-12)
+        assert ge == pytest.approx(e, rel=1e-12)
+    # estimator floor: every est_weight >= tau (max(w, tau) >= tau)
+    assert all(ge >= tau * (1 - 1e-12) for _, _, ge in got.values())
+
+
+def test_priority_sample_small_population_and_bad_weights(spark):
+    """N <= k keeps every positive-weight row with est_weight == w
+    (tau = 0); zero/negative/NULL weights are excluded."""
+    from capex_data_pipeline_spark.extensions.corpus import priority_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.5)],
+        "id long, w double",
+    )
+    got = {
+        r["id"]: (r["weight"], r["est_weight"])
+        for r in priority_sample(df, k=10, weight_col="w", key_col="id").collect()
+    }
+    assert got == {1: (5.0, 5.0), 5: (2.5, 2.5)}

@@ -1749,3 +1749,80 @@ def test_ivfpq_small_shortlist_recall_and_guards(emb):
         ivfpq_topk(emb, queries, k=10, rerank=5)
     with pytest.raises(ValueError, match="subspaces"):
         ivfpq_topk(emb, queries, n_subspaces=7)
+
+
+# ------------------------------------------- edit-distance join (q179)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_editdist_join_differential_brute_force(spark):
+    """Pair-set AND distance equality against an all-pairs Python DP
+    over a corpus that exercises every code path: gram-less strings
+    (len < q), short strings (< q*k+1 grams), long near-dups, exact
+    duplicates under different ids, and >k outliers."""
+    import random
+
+    from capex_data_pipeline_spark.extensions.matching import editdist_join
+
+    rng = random.Random(179)
+    words = ["spark", "shuffle", "window", "stream", "vector", "table"]
+    strs = ["", "a", "ab", "abc", "abcd", "zzz"]
+    for _ in range(30):
+        s = " ".join(rng.choice(words) for _ in range(rng.randint(2, 5)))
+        strs.append(s)
+        if rng.random() < 0.6:  # planted near-dup: one edit
+            pos = rng.randrange(len(s))
+            strs.append(s[:pos] + rng.choice("xq") + s[pos + 1:])
+    rows = [(i, s) for i, s in enumerate(strs)]
+    for k, q in [(1, 2), (3, 2), (2, 3)]:
+        expect = {
+            (ia, ib): _lev(sa, sb)
+            for ia, sa in rows
+            for ib, sb in rows
+            if ia < ib and _lev(sa, sb) <= k
+        }
+        df = spark.createDataFrame(rows, "id long, s string")
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in editdist_join(df, "id", "s", k=k, q=q).collect()
+        }
+        assert got == expect, f"k={k} q={q}"
+
+
+def test_editdist_join_same_string_and_nulls(spark):
+    """Identical strings under different ids pair at dist 0 (three
+    ids -> three pairs); NULL strings never pair."""
+    from capex_data_pipeline_spark.extensions.matching import editdist_join
+
+    df = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"), (3, "same text here"),
+         (4, None), (5, None)],
+        "id long, s string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in editdist_join(df, "id", "s", k=2).collect()
+    }
+    assert got == {(1, 2): 0, (1, 3): 0, (2, 3): 0}
+
+
+def test_editdist_join_rejects_bad_params(spark):
+    from capex_data_pipeline_spark.extensions.matching import editdist_join
+
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        editdist_join(df, "id", "s", k=0)
+    with _pt.raises(ValueError):
+        editdist_join(df, "id", "s", k=1, q=1)
