@@ -235,6 +235,18 @@ HEADLINE = [
     "q179_editdist_join",
     # round-10 (cont.): one TakeOrdered(k+1), bit-exact priorities
     "q180_priority_sample",
+    # round-10 (cont.): histogram route + TakeOrdered(offset) selection
+    "q181_exact_quantiles",
+    # round-10 (cont.): strict prefix-max skyline, no dominance self-join
+    "q182_skyline",
+    # round-10 (cont.): one determinant-key aggregate per column pair
+    "q183_fd_profile",
+    # round-10 (cont.): per-partition cells merged algebraically
+    "q184_stats_incremental",
+    # round-10 (cont.): compact-key counts + WindowGroupLimit top-k
+    "q185_column_topk",
+    # round-10 (cont.): per-group DLT sample, 17-row map-task bound
+    "q186_group_priority_sample",
 ]
 
 
@@ -1474,6 +1486,88 @@ def stress_image() -> None:
 
 
 
+def stress_editjoin() -> None:
+    """``bench.py --stress-editjoin``: measure what the Ed-Join prefix
+    filter actually buys on the q179 shape — candidate pairs ADMITTED
+    vs the length-banded all-pairs matrix the oracle runs, plus the
+    verified-pair yield and end-to-end wall time, at sf0.1 (4.7k
+    distinct prefixes) and with the prefix widened to the whole
+    document head (harder: more grams per string). Evidence, not
+    folklore: the filter's value is the admitted/all-pairs ratio."""
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_STRESS_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.extensions.matching import (
+        _editdist_candidates,
+        editdist_join,
+    )
+    from capex_data_pipeline_spark.session import get_spark
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    spark = get_spark(
+        app_name="capex-stress-editjoin",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    out = {}
+    for label, width, k in [("prefix40_k3", 40, 3), ("prefix120_k3", 120, 3)]:
+        d = docs.select(
+            "doc_id",
+            F.lower(
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, width)
+            ).alias("s"),
+        )
+        names = (
+            d.groupBy(F.col("s").alias("_s"))
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .withColumn("_len", F.length("_s"))
+        )
+        lens = {
+            r["_len"]: r["_n"]
+            for r in names.groupBy("_len")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        }
+        n_distinct = sum(lens.values())
+        # length-banded all-pairs the filter replaces (closed form
+        # from the length histogram, never materialized)
+        banded = 0
+        for la, ca in lens.items():
+            for lb, cb in lens.items():
+                if abs(la - lb) <= k:
+                    banded += ca * cb if la != lb else ca * (ca - 1)
+        banded //= 2
+        cand = _editdist_candidates(names, k=k, q=2).count()
+        t0 = time.time()
+        pairs = editdist_join(d, "doc_id", "s", k=k, q=2).count()
+        sec = round(time.time() - t0, 3)
+        out[label] = {
+            "n_distinct": n_distinct,
+            "banded_all_pairs": banded,
+            "candidates": cand,
+            "admit_ratio": round(cand / banded, 6) if banded else None,
+            "verified_pairs": pairs,
+            "sec": sec,
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "stress_editjoin",
+                "value": round(sum(v["sec"] for v in out.values()), 3),
+                "unit": "sec",
+                "runs": out,
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+            }
+        )
+    )
+
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -1601,6 +1695,8 @@ if __name__ == "__main__":
         stress_image()
     elif "--stress-join" in sys.argv[1:]:
         stress_join()
+    elif "--stress-editjoin" in sys.argv[1:]:
+        stress_editjoin()
     elif "--family" in sys.argv[1:]:
         family_bench()
     elif "--stress-tokenizer" in sys.argv[1:]:

@@ -547,3 +547,80 @@ def association_rules(
     # rank over <= topk rows only (post-limit) — the TakeOrdered shape
     w = Window.orderBy(F.desc("lift"), F.asc("item_a"), F.asc("item_b"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def skyline2d(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+    bucket,
+) -> DataFrame:
+    """2-D skyline (pareto frontier): the rows NOT dominated under
+    (minimize ``min_col``, maximize ``max_col``) — row a dominates b
+    iff a.min <= b.min and a.max >= b.max with at least one strict.
+    The data-selection operator behind "earliest AND largest", "short
+    AND high-quality", "cheap AND fresh" curation cuts: the frontier
+    is what survives when no trade-off argument can save a row.
+
+    Scale shape — never the quadratic dominance self-join the oracle
+    runs. In 2-D, a row is on the skyline iff (1) its max_col equals
+    its min_col-group's maximum and (2) that maximum STRICTLY exceeds
+    every maximum at smaller min_col values — a prefix-max in
+    min_col order. The prefix-max distributes exactly like
+    ``timeseries.global_running_sum``'s prefix sum: one hash
+    aggregate onto the distinct (bucket, min_col) frame, bucket-level
+    maxima cumulated driver-side into strict-predecessor offsets
+    (calendar-bounded read) and broadcast back, and a window
+    PARTITIONED by bucket (rows unbounded preceding .. 1 preceding)
+    for the within-bucket strict prefix — no global window, no
+    single-task funnel. Rows reappear only in the final
+    (min, groupmax)-keyed join. Max is idempotent, so unlike the sum
+    no quantization is needed — results are exact data values.
+
+    ``bucket`` must be a RANGE coarsening of ``min_col`` (e.g.
+    ``F.date_trunc('month', F.col(min_col))``) so bucket order
+    refines value order. Rows with NULL in either criterion are
+    excluded (no dominance semantics for unknowns).
+    """
+    base = df.filter(
+        F.col(min_col).isNotNull() & F.col(max_col).isNotNull()
+    )
+    pm = (
+        base.select(
+            bucket.alias("_bk"),
+            F.col(min_col).alias("_m"),
+            F.col(max_col).alias("_v"),
+        )
+        .groupBy("_bk", "_m")
+        .agg(F.max("_v").alias("_gm"))
+    )
+    bmax = sorted(
+        pm.groupBy("_bk").agg(F.max("_gm").alias("_bm")).collect(),
+        key=lambda r: r["_bk"],
+    )
+    offsets, running = [], None
+    for r in bmax:
+        offsets.append((r["_bk"], running))
+        running = r["_bm"] if running is None else max(running, r["_bm"])
+    spark = df.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(
+            offsets, schema=pm.select("_bk").schema.add("_off", pm.schema["_gm"].dataType)
+        )
+    )
+    w = (
+        Window.partitionBy("_bk")
+        .orderBy(F.asc("_m"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.greatest(F.col("_off"), F.max("_gm").over(w))
+    keep = (
+        pm.join(off, ["_bk"], "left")
+        .withColumn("_bf", before)
+        .filter(F.col("_bf").isNull() | (F.col("_gm") > F.col("_bf")))
+        .select("_m", "_gm")
+    )
+    return df.join(
+        keep,
+        (F.col(min_col) == F.col("_m")) & (F.col(max_col) == F.col("_gm")),
+    ).drop("_m", "_gm")

@@ -2597,3 +2597,65 @@ def build_postings(
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(topk)
     )
+
+
+def group_priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    group_col: str,
+    seed: str = "pr",
+) -> DataFrame:
+    """:func:`priority_sample` per group: k-row weighted sample
+    WITHOUT replacement from every ``group_col`` value (source, lang,
+    domain), each with its own threshold tau_g so per-group subset
+    sums stay unbiased — the mixture-construction sampler ("2k docs
+    per source, longer docs more likely, totals still estimable").
+
+    Same bit-exact md5 priorities as the global form. The global
+    TakeOrdered becomes a window top-(k+1) per group that plans as
+    WindowGroupLimit (map tasks forward at most k+1 rows per group),
+    tau_g comes from one group-key aggregate over that (k+1)-bounded
+    frame, and the input is never globally sorted. Groups with at
+    most k positive-weight rows keep everything (tau_g = 0,
+    est_weight = w).
+
+    Returns (group_col, key_col, weight, priority, est_weight).
+    """
+    from pyspark.sql.window import Window
+
+    w = F.col(weight_col).cast("double")
+    u = (hash_u32(F.col(key_col), seed) + F.lit(1)).cast("double") / F.lit(
+        float(_HASH_SPACE)
+    )
+    scored = df.filter(w.isNotNull() & (w > 0)).select(
+        F.col(group_col),
+        F.col(key_col),
+        w.alias("weight"),
+        (w / u).alias("priority"),
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        F.desc("priority"), F.asc(key_col)
+    )
+    ranked = scored.withColumn("_rn", F.row_number().over(win)).filter(
+        F.col("_rn") <= k + 1
+    )
+    taus = ranked.groupBy(group_col).agg(
+        F.max(
+            F.when(F.col("_rn") == k + 1, F.col("priority"))
+        ).alias("_tau")
+    )
+    return (
+        ranked.filter(F.col("_rn") <= k)
+        .join(taus, group_col)
+        .select(
+            group_col,
+            key_col,
+            "weight",
+            "priority",
+            F.greatest(
+                F.col("weight"), F.coalesce(F.col("_tau"), F.lit(0.0))
+            ).alias("est_weight"),
+        )
+    )

@@ -321,8 +321,6 @@ def editdist_join(
 
     if q < 2 or k < 1:
         raise ValueError("editdist_join requires q >= 2 and k >= 1")
-    prefix_len = q * k + 1
-    short_max = q * (k + 1) - 1  # fewer than prefix_len grams
 
     rows = df.select(
         F.col(id_col).alias("_id"), F.col(str_col).alias("_s")
@@ -332,6 +330,54 @@ def editdist_join(
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .withColumn("_len", F.length("_s"))
     )
+    vpairs = _editdist_verified_pairs(names, k, q)
+
+    # -- expand distinct-string pairs back to row pairs
+    ra = rows.select(F.col("_id").alias("_ia"), F.col("_s").alias("_s1"))
+    rb = rows.select(F.col("_id").alias("_ib"), F.col("_s").alias("_s2"))
+    cross = vpairs.join(ra, "_s1").join(rb, "_s2")
+    same = (
+        rows.alias("x")
+        .join(
+            rows.alias("y"),
+            (F.col("x._s") == F.col("y._s"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("_ia"),
+            F.col("y._id").alias("_ib"),
+            F.lit(0).alias("_d"),
+        )
+    )
+    out_a, out_b = f"{id_col}_a", f"{id_col}_b"
+    return (
+        cross.select(
+            F.least("_ia", "_ib").alias(out_a),
+            F.greatest("_ia", "_ib").alias(out_b),
+            F.col("_d").cast("int").alias("dist"),
+        )
+        .unionByName(
+            same.select(
+                F.col("_ia").alias(out_a),
+                F.col("_ib").alias(out_b),
+                F.col("_d").cast("int").alias("dist"),
+            )
+        )
+    )
+
+
+def _editdist_candidates(names: DataFrame, k: int, q: int) -> DataFrame:
+    """Candidate distinct-string pairs (_s1 < _s2) from the Ed-Join
+    prefix filter + the short-string length-bucket path — everything
+    before the exact verify. Split out so ``bench.py
+    --stress-editjoin`` can measure the candidate count the filter
+    admits against the all-pairs matrix it avoids.
+
+    ``names``: one row per distinct string with ``_s`` and ``_len``."""
+    from pyspark.sql.window import Window
+
+    prefix_len = q * k + 1
+    short_max = q * (k + 1) - 1  # fewer than prefix_len grams
 
     # -- positional q-grams of every string that has any (len >= q)
     grams = names.filter(F.col("_len") >= q).select(
@@ -395,43 +441,26 @@ def editdist_join(
         .select("_s1", "_s2")
     )
 
-    # -- exact verify on the distinct candidate pairs (JVM levenshtein)
-    vpairs = (
-        cand_long.unionByName(cand_short)
-        .distinct()
-        .withColumn("_d", F.levenshtein(F.col("_s1"), F.col("_s2")))
-        .filter(F.col("_d") <= k)
-    )
+    return cand_long.unionByName(cand_short).distinct()
 
-    # -- expand distinct-string pairs back to row pairs
-    ra = rows.select(F.col("_id").alias("_ia"), F.col("_s").alias("_s1"))
-    rb = rows.select(F.col("_id").alias("_ib"), F.col("_s").alias("_s2"))
-    cross = vpairs.join(ra, "_s1").join(rb, "_s2")
-    same = (
-        rows.alias("x")
-        .join(
-            rows.alias("y"),
-            (F.col("x._s") == F.col("y._s"))
-            & (F.col("x._id") < F.col("y._id")),
-        )
-        .select(
-            F.col("x._id").alias("_ia"),
-            F.col("y._id").alias("_ib"),
-            F.lit(0).alias("_d"),
-        )
-    )
-    out_a, out_b = f"{id_col}_a", f"{id_col}_b"
-    return (
-        cross.select(
-            F.least("_ia", "_ib").alias(out_a),
-            F.greatest("_ia", "_ib").alias(out_b),
-            F.col("_d").cast("int").alias("dist"),
-        )
-        .unionByName(
-            same.select(
-                F.col("_ia").alias(out_a),
-                F.col("_ib").alias(out_b),
-                F.col("_d").cast("int").alias("dist"),
-            )
-        )
-    )
+
+def _editdist_verified_pairs(names: DataFrame, k: int, q: int) -> DataFrame:
+    """Distinct-string pairs within edit distance k: candidates from
+    :func:`_editdist_candidates`, each verified with the exact JVM
+    ``levenshtein``.
+
+    Two measured details (--stress-editjoin found both): the
+    candidate frame is persisted so Catalyst cannot push the verify
+    filter BELOW the dedup aggregate (unpersisted, the levenshtein
+    re-evaluates per pre-distinct join row — up to prefix_len² times
+    per pair — 87 s -> ~10 s on the 120-char head shape); and the
+    verify uses the 3-arg BANDED levenshtein (O(k·n) cells and early
+    abandon instead of the full n·m table; returns -1 past the
+    threshold, and the exact distance — which the band guarantees —
+    when within it)."""
+    from capex_data_pipeline_spark.cache import persisted
+
+    cand = persisted(_editdist_candidates(names, k, q))
+    return cand.withColumn(
+        "_d", F.levenshtein(F.col("_s1"), F.col("_s2"), k)
+    ).filter(F.col("_d") >= 0)

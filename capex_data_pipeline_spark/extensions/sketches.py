@@ -1535,32 +1535,43 @@ def table_stats(
     if not cols:
         raise ValueError("table_stats: cols must be non-empty")
     m = 1 << b
-    rest_bits = 52 - b
 
     from capex_data_pipeline_spark.cache import persisted
 
     # persisted: the cell aggregate and the exact-NDV ride-along both
     # consume the melted pairs — one scan + one explode, not two
-    melted = persisted(
-        df.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("_col"),
-                            F.col(c).cast("string").alias("_v"),
-                        )
-                        for c in cols
-                    ]
-                )
-            ).alias("_m")
-        ).select("_m._col", "_m._v")
-    )
+    melted = persisted(_stats_melt(df, cols))
+    cells = _stats_cells(melted, b)
+    return _stats_finalize(cells, melted, m, decimals)
 
-    # ONE aggregate onto cols × (m + 1) cells: NULL values route to
-    # sentinel bucket -1 so row/NULL/width counters share the same
-    # partials as the HLL registers — the melted pairs never shuffle,
-    # only the tiny cell frame does (map-side partial count/sum/max)
+
+def _stats_melt(df: DataFrame, cols: "list[str]", extra: "list[str]" = ()) -> DataFrame:
+    """Melt ``cols`` into compact (column, value-string) pairs — the
+    one wide-data pass every stats variant shares. ``extra`` columns
+    (e.g. an incremental partition key) ride along unmelted."""
+    return df.select(
+        *[F.col(e) for e in extra],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("_col"),
+                        F.col(c).cast("string").alias("_v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_m"),
+    ).select(*extra, "_m._col", "_m._v")
+
+
+def _stats_cells(melted: DataFrame, b: int, keys: "tuple[str, ...]" = ("_col",)) -> DataFrame:
+    """The cols × (m + 1) cell aggregate (count / summed width / max
+    HLL rank per (keys, bucket)); NULLs route to sentinel bucket -1 so
+    every counter shares one set of map-side partials."""
+    m = 1 << b
+    rest_bits = 52 - b
+
     h = F.conv(F.substring(F.md5(F.col("_v")), 1, 13), 16, 10).cast("long")
     bucket = F.when(F.col("_v").isNull(), F.lit(-1)).otherwise(h % m)
     rest = F.shiftright(h, b)
@@ -1570,20 +1581,26 @@ def table_stats(
             F.lit(rest_bits) - bitlen + 1
         )
     )
-    cells = (
+    return (
         melted.select(
-            "_col",
+            *keys,
             bucket.alias("_b"),
             F.length("_v").alias("_len"),
             rank.alias("_r"),
         )
-        .groupBy("_col", "_b")
+        .groupBy(*keys, "_b")
         .agg(
             F.count(F.lit(1)).alias("_cnt"),
             F.sum("_len").alias("_slen"),
             F.max("_r").alias("_mr"),
         )
     )
+
+
+def _stats_finalize(cells: DataFrame, melted: DataFrame, m: int, decimals: int) -> DataFrame:
+    """(_col, _b) cells + melted pairs -> the ANALYZE output row per
+    column. Separated so the incremental variant can feed MERGED
+    cells through the identical arithmetic."""
     alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
     nonempty = F.sum(F.when(F.col("_b") >= 0, 1).otherwise(0))
     reg_sum = F.sum(
@@ -1638,4 +1655,242 @@ def table_stats(
             ),
             F.lit(0.0),
         ).alias("ndv_rel_error"),
+    )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    ps: "list[float]",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """EXACT order statistics without a global sort: the classic
+    two-phase targeted selection. DDSketch (``ddsketch_quantiles``)
+    answers "p99 within 1%" in one mergeable pass; this operator is
+    its exact sibling for when the number must be the true data value
+    (SLA cut lines, regulatory percentiles, range-partition boundaries
+    that must land on real keys).
+
+    Phase 1: one aggregate for (min, max, n) — at warehouse scale this
+    is free from footer/zone-map metadata (the q176/q178 stats this
+    repo already maintains). Phase 2: one scan histograms values into
+    ``n_buckets`` equi-width buckets (a compact keyed aggregate,
+    bucket-count-sized result to the driver — the q156 pre-flight
+    precedent). The driver walks cumulative counts to find, for each
+    p, the bucket holding rank ceil(p*n) and the rank offset WITHIN
+    it. Phase 3: only the needed buckets are rescanned, each a
+    ``sort().limit(offset)`` — Catalyst plans TakeOrdered (per-
+    partition top-offset, merge on the driver), so no single task
+    ever sorts more than one bucket's offset prefix (~n/n_buckets
+    rows on non-adversarial data; pathological single-value pileups
+    land whole in one bucket, in which case offset <= that bucket's
+    count and TakeOrdered still bounds the merge at `offset`).
+
+    Rank convention is DuckDB's ``quantile_disc`` (1-based rank
+    ceil(p*n), lower value at ties), which the q181 oracle certifies.
+    Bucket routing arithmetic is engine-internal only — the returned
+    values are actual data doubles, so the oracle compare is
+    bit-exact. NULLs excluded, like every SQL quantile.
+
+    Returns one row per p: (p, rank, value).
+    """
+    import math
+
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(v.alias("_v"))
+    stats = base.agg(
+        F.min("_v").alias("lo"), F.max("_v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    spark = df.sparkSession
+    out_schema = "p double, rank bigint, value double"
+    if not stats["n"]:
+        return spark.createDataFrame([], out_schema)
+    lo, hi, n = float(stats["lo"]), float(stats["hi"]), int(stats["n"])
+    for p in ps:
+        if not (0.0 < p <= 1.0):
+            raise ValueError(f"exact_quantiles: p={p} outside (0, 1]")
+    if hi == lo:
+        return spark.createDataFrame(
+            [(float(p), int(math.ceil(p * n)), lo) for p in ps], out_schema
+        )
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col("_v") - F.lit(lo)) / F.lit(width)),
+    ).cast("int")
+    hist = {
+        r["_b"]: r["_c"]
+        for r in base.groupBy(bucket.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    }
+    # driver walk: rank -> (bucket, offset within bucket)
+    targets = []  # (p, rank, bucket, offset)
+    for p in ps:
+        r = int(math.ceil(p * n))
+        cum = 0
+        for b in sorted(hist):
+            if cum + hist[b] >= r:
+                targets.append((float(p), r, b, r - cum))
+                break
+            cum += hist[b]
+    result = None
+    for p, r, b, off in targets:
+        picked = (
+            base.filter(bucket == b)
+            .orderBy(F.asc("_v"))
+            .limit(off)
+            .agg(F.max("_v").alias("value"))
+            .select(
+                F.lit(p).alias("p"),
+                F.lit(r).cast("long").alias("rank"),
+                "value",
+            )
+        )
+        result = picked if result is None else result.unionByName(picked)
+    return result
+
+
+def table_stats_incremental(
+    df: DataFrame,
+    cols: "list[str]",
+    partition: Column,
+    b: int = 6,
+    decimals: int = 6,
+) -> DataFrame:
+    """:func:`table_stats` maintained INCREMENTALLY: the cell frame is
+    built per ``partition`` (a day, a file batch, an ingest run) and
+    then MERGED into the table-level statistics — counts and widths
+    by sum, HLL registers by max, all algebraic — before the identical
+    finalize arithmetic. This is how the q177/q178 planning statistics
+    survive 100 TB: each new partition pays one scan of ITSELF, the
+    stored per-partition cells are partitions × cols × (2^b + 1) rows,
+    and a day-over-day refresh is a cell-frame aggregate that never
+    rescans history. Output schema and values are IDENTICAL to
+    ``table_stats`` over the whole frame — the q184 oracle certifies
+    the merge path against the direct-scan arithmetic value-for-value.
+
+    (The exact-NDV ride-along column is the documented exception: true
+    distinct counts don't merge from counters, so it is recomputed
+    from the melted pairs — the cost the HLL column exists to drop.)
+    """
+    if not cols:
+        raise ValueError("table_stats_incremental: cols must be non-empty")
+    m = 1 << b
+
+    from capex_data_pipeline_spark.cache import persisted
+
+    melted = persisted(
+        _stats_melt(df.withColumn("_pt", partition), cols, extra=["_pt"])
+    )
+    # the per-partition statistics table a deployment persists ...
+    partial = _stats_cells(melted, b, keys=("_pt", "_col"))
+    # ... and the algebraic merge that replaces every rescan
+    merged = partial.groupBy("_col", "_b").agg(
+        F.sum("_cnt").alias("_cnt"),
+        F.sum("_slen").alias("_slen"),
+        F.max("_mr").alias("_mr"),
+    )
+    return _stats_finalize(merged, melted.drop("_pt"), m, decimals)
+
+
+def fd_profile(
+    df: DataFrame,
+    pairs: "list[tuple[str, str]]",
+) -> DataFrame:
+    """Functional-dependency / candidate-key profiling: for each
+    (determinant, dependent) column pair, does det -> dep hold — i.e.
+    does any determinant value map to more than one dependent value?
+    The schema-discovery sibling of :func:`table_stats`: NDV tells the
+    planner how big a key is, this tells it WHICH columns are keys /
+    denormalized copies (safe to drop from a join, safe to dedup on,
+    usable as a partition key without splitting an entity).
+
+    Exact, one hash aggregate PER PAIR on the determinant key (compact
+    keys, map-side partials; a multi-pair profile is a driver-side
+    loop over column METADATA, never over data). NULLs are values
+    here — both sides coalesce to a sentinel — because a profiler
+    that silently ignores NULL-keyed rows reports keys that aren't
+    (two NULL-det rows with different deps ARE a violation the
+    dedup-on-this-key user will hit).
+
+    Returns one row per pair: (determinant, dependent, n_keys,
+    violating_keys, max_deps_per_key, fd_holds).
+    """
+    if not pairs:
+        raise ValueError("fd_profile: pairs must be non-empty")
+
+    def _s(c: str) -> Column:
+        return F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+
+    out = None
+    for det, dep in pairs:
+        g = (
+            df.select(_s(det).alias("_k"), _s(dep).alias("_d"))
+            .groupBy("_k")
+            .agg(F.countDistinct("_d").alias("_nd"))
+        )
+        row = g.agg(
+            F.lit(det).alias("determinant"),
+            F.lit(dep).alias("dependent"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("violating_keys"),
+            F.max("_nd").alias("max_deps_per_key"),
+            (F.max("_nd") <= 1).alias("fd_holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def column_topk_values(
+    df: DataFrame,
+    cols: "list[str]",
+    k: int = 5,
+    decimals: int = 6,
+) -> DataFrame:
+    """The ``most_common_vals`` half of ANALYZE (pg_stats): per column,
+    the k most frequent values with count and frequency fraction —
+    what a planner uses for selectivity on skewed predicates, and what
+    :func:`key_skew_profile` generalizes for join keys. Completes the
+    statistics family: q178 maintains NDV/width, q183 finds keys,
+    this records the heavy values.
+
+    One melt pass (shared :func:`_stats_melt` shape) + one hash
+    aggregate on the compact (column, value) key + a per-column
+    window top-k that plans as WindowGroupLimit (each map task
+    forwards at most k rows per column into the final exchange).
+    NULL is a value here (sentinel-coalesced) — NULL frequency drives
+    selectivity exactly like any heavy value. Ties break by value
+    string ascending, pinned so the result is deterministic on any
+    engine.
+
+    Returns (column_name, value, n, frac, rank): rank 1..k.
+    """
+    from pyspark.sql.window import Window
+
+    if not cols:
+        raise ValueError("column_topk_values: cols must be non-empty")
+    melted = _stats_melt(df, cols).select(
+        "_col", F.coalesce(F.col("_v"), F.lit("<null>")).alias("_v")
+    )
+    counts = melted.groupBy("_col", "_v").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("_col").orderBy(F.desc("n"), F.asc("_v"))
+    totals = melted.groupBy("_col").agg(F.count(F.lit(1)).alias("_t"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(totals, "_col")
+        .select(
+            F.col("_col").alias("column_name"),
+            F.col("_v").alias("value"),
+            "n",
+            F.round(F.col("n") / F.col("_t").cast("double"), decimals)
+            .alias("frac"),
+            "rank",
+        )
     )

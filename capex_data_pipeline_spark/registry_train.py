@@ -3704,3 +3704,222 @@ def q180_priority_sample(spark, sf_dir):
         key_col="doc_id",
         seed="pr",
     )
+
+
+# ---- q181: exact quantiles via two-phase targeted selection
+
+
+@query(
+    "q181_exact_quantiles",
+    """
+    WITH v AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+    ),
+    n AS (SELECT count(*) AS n FROM v)
+    SELECT CAST(0.5 AS DOUBLE) AS p, CAST(ceil(0.5 * n.n) AS BIGINT) AS rank,
+           (SELECT quantile_disc(x, 0.5) FROM v) AS value FROM n
+    UNION ALL
+    SELECT CAST(0.9 AS DOUBLE), CAST(ceil(0.9 * n.n) AS BIGINT),
+           (SELECT quantile_disc(x, 0.9) FROM v) FROM n
+    UNION ALL
+    SELECT CAST(0.99 AS DOUBLE), CAST(ceil(0.99 * n.n) AS BIGINT),
+           (SELECT quantile_disc(x, 0.99) FROM v) FROM n
+    """,
+)
+def q181_exact_quantiles(spark, sf_dir):
+    """EXACT p50/p90/p99 of line-item price without a global sort
+    (sketches.exact_quantiles): equi-width histogram pass locates the
+    bucket holding rank ceil(p*n), then ONLY that bucket is rescanned
+    with a TakeOrdered(offset) — the two-phase targeted selection that
+    replaces the single-task ``ORDER BY`` funnel planlint bans. The
+    exact sibling of q157's DDSketch (use the sketch for mergeable
+    monitoring, this when the number must be a true data value: SLA
+    cut lines, range-partition boundaries). Oracle is DuckDB's
+    quantile_disc — same ceil(p*n) discrete-rank convention — so the
+    returned doubles match bit-for-bit."""
+    from capex_data_pipeline_spark.extensions.sketches import exact_quantiles
+
+    return exact_quantiles(
+        _t(spark, sf_dir, "lineitem").select("l_extendedprice"),
+        "l_extendedprice",
+        ps=[0.5, 0.9, 0.99],
+    )
+
+
+# ---- q184: incremental (merge-maintained) table statistics
+
+
+@query(
+    "q184_stats_incremental",
+    " UNION ALL ".join(f"({_q178_col('orders', c)})" for c in _Q178_COLS),
+)
+def q184_stats_incremental(spark, sf_dir):
+    """q178's planning statistics maintained the way a 100 TB
+    deployment actually runs them (sketches.table_stats_incremental):
+    per-ORDER-DATE partial cell frames — the table a daily ingest
+    persists — merged algebraically (counts by sum, widths by sum,
+    HLL registers by max) and fed through the identical finalize
+    arithmetic. The oracle is q178's direct whole-table SQL, so
+    equality CERTIFIES the merge: incremental maintenance loses
+    nothing vs a full rescan, which is the property that lets the
+    stats stay fresh without ever re-reading history."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        table_stats_incremental,
+    )
+
+    return table_stats_incremental(
+        _t(spark, sf_dir, "orders"),
+        list(_Q178_COLS),
+        partition=F.date_trunc("day", F.col("o_orderdate")),
+        b=6,
+    )
+
+
+# ---- q183: functional-dependency / candidate-key profiling
+
+
+def _q183_pair(det: str, dep: str) -> str:
+    return f"""
+    SELECT '{det}' AS determinant, '{dep}' AS dependent,
+           count(*) AS n_keys,
+           coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0)::BIGINT
+             AS violating_keys,
+           max(nd) AS max_deps_per_key,
+           max(nd) <= 1 AS fd_holds
+    FROM (
+      SELECT count(DISTINCT coalesce(CAST({dep} AS VARCHAR), '<null>')) AS nd
+      FROM orders
+      GROUP BY coalesce(CAST({det} AS VARCHAR), '<null>')
+    )
+    """
+
+
+_Q183_PAIRS = [
+    ("o_orderkey", "o_custkey"),
+    ("o_orderkey", "o_totalprice"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderdate", "o_orderpriority"),
+]
+
+
+@query(
+    "q183_fd_profile",
+    " UNION ALL ".join(f"({_q183_pair(a, b)})" for a, b in _Q183_PAIRS),
+)
+def q183_fd_profile(spark, sf_dir):
+    """Functional-dependency / candidate-key discovery over orders
+    (sketches.fd_profile): o_orderkey determines custkey and price
+    (it's the key), while custkey->status and date->priority violate
+    — with the violation count and worst fan-out per pair. Completes
+    the planning-statistics family (q177 join sizes, q178 NDV/width,
+    q184 incremental maintenance): NDV says how big, this says which
+    columns are KEYS vs denormalized copies. One exact hash aggregate
+    per pair on the determinant key; NULLs are sentinel values, so
+    reported keys are keys under dedup semantics too."""
+    from capex_data_pipeline_spark.extensions.sketches import fd_profile
+
+    return fd_profile(_t(spark, sf_dir, "orders"), _Q183_PAIRS)
+
+
+# ---- q185: per-column most-common values (the ANALYZE other half)
+
+
+def _q185_col(t: str, c: str, k: int = 4) -> str:
+    return f"""
+    SELECT '{c}' AS column_name, value, n,
+           round(n / t.total, 6) AS frac, rank
+    FROM (
+      SELECT coalesce(CAST({c} AS VARCHAR), '<null>') AS value,
+             count(*) AS n,
+             row_number() OVER (
+               ORDER BY count(*) DESC,
+                        coalesce(CAST({c} AS VARCHAR), '<null>') ASC
+             ) AS rank
+      FROM {t}
+      GROUP BY 1
+    ), (SELECT count(*)::DOUBLE AS total FROM {t}) t
+    WHERE rank <= {k}
+    """
+
+
+_Q185_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey")
+
+
+@query(
+    "q185_column_topk",
+    " UNION ALL ".join(f"({_q185_col('orders', c)})" for c in _Q185_COLS),
+)
+def q185_column_topk(spark, sf_dir):
+    """pg_stats-style most_common_vals (sketches.column_topk_values):
+    per orders column, the 4 heaviest values with exact count and
+    frequency fraction — the selectivity numbers a planner reads for
+    skewed predicates, NULL included as a first-class value. One melt
+    pass + one compact-key aggregate + a WindowGroupLimit top-k per
+    column (map tasks forward at most k rows per column). Ties pinned
+    by value ascending so the profile is engine-deterministic."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        column_topk_values,
+    )
+
+    return column_topk_values(
+        _t(spark, sf_dir, "orders"), list(_Q185_COLS), k=4
+    )
+
+
+# ---- q186: per-group priority sampling (mixture sampler)
+
+
+@query(
+    "q186_group_priority_sample",
+    """
+    WITH b AS (
+      SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+             CAST(('0x' || substr(md5('pr|' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) AS h
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    p AS (
+      SELECT source, doc_id, weight,
+             weight / ((h + 1) / 4294967296.0) AS priority
+      FROM b
+    ),
+    r AS (
+      SELECT source, doc_id, weight, priority,
+             row_number() OVER (
+               PARTITION BY source ORDER BY priority DESC, doc_id
+             ) AS rn
+      FROM p
+    ),
+    t AS (
+      SELECT source, max(CASE WHEN rn = 17 THEN priority END) AS tau
+      FROM r GROUP BY source
+    )
+    SELECT r.source, r.doc_id, r.weight, r.priority,
+           greatest(r.weight, coalesce(t.tau, 0.0)) AS est_weight
+    FROM r JOIN t ON r.source = t.source
+    WHERE r.rn <= 16
+    """,
+)
+def q186_group_priority_sample(spark, sf_dir):
+    """Per-source weighted sample (corpus.group_priority_sample): 16
+    documents from EVERY source, longer docs proportionally more
+    likely, each source carrying its own priority threshold tau so
+    per-source token totals remain unbiased under the
+    Duffield-Lund-Thorup estimator — the mixture-construction
+    sampler. WindowGroupLimit bounds every map task at 17 rows per
+    source; priorities are the same bit-exact md5 arithmetic as q180,
+    so the oracle replays the sample double-for-double."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        group_priority_sample,
+    )
+
+    return group_priority_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars"),
+        k=16,
+        weight_col="n_chars",
+        key_col="doc_id",
+        group_col="source",
+        seed="pr",
+    )

@@ -1105,3 +1105,45 @@ def q175_global_running_sum(spark, sf_dir):
         order_by=["ts", "event_id"],
         bucket=F.date_trunc("day", F.col("ts")),
     )
+
+
+# --- q182: 2-D skyline (pareto frontier) via two-phase prefix max
+
+
+@query(
+    "q182_skyline",
+    """
+    SELECT a.o_orderkey, a.o_orderdate, a.o_totalprice
+    FROM orders a
+    WHERE a.o_orderdate IS NOT NULL AND a.o_totalprice IS NOT NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM orders b
+        WHERE b.o_orderdate IS NOT NULL AND b.o_totalprice IS NOT NULL
+          AND b.o_orderdate <= a.o_orderdate
+          AND b.o_totalprice >= a.o_totalprice
+          AND (b.o_orderdate < a.o_orderdate
+               OR b.o_totalprice > a.o_totalprice)
+      )
+    """,
+)
+def q182_skyline(spark, sf_dir):
+    """Pareto frontier of the order book (analytics.skyline2d):
+    orders no other order beats on BOTH "earlier" and "larger" —
+    the 2-D skyline, i.e. the trade-off-free selection cut. The
+    engine computes it as a strict prefix-max in date order
+    distributed the q175 way (distinct-(month, date) aggregate,
+    month offsets cumulated driver-side and broadcast, within-month
+    window partitioned by month) — one compact aggregate + one
+    bounded window instead of the quadratic dominance self-join the
+    oracle certifies against (NOT EXISTS over all pairs)."""
+    from capex_data_pipeline_spark.extensions.analytics import skyline2d
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return skyline2d(
+        orders,
+        "o_orderdate",
+        "o_totalprice",
+        F.date_trunc("month", F.col("o_orderdate")),
+    )

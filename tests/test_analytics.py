@@ -444,3 +444,53 @@ def test_association_rules_builds_lazily(spark, monkeypatch):
     r = out.collect()[0]
     assert (r["item_a"], r["item_b"], r["pair_support"]) == ("a", "b", 2)
     assert r["lift"] == 1.0  # pair 2 × baskets 2 / (sup_a 2 × sup_b 2)
+
+
+# ----------------------------------------------- 2-D skyline (q182)
+
+
+def test_skyline2d_differential_brute_force(spark):
+    """Frontier equality with the quadratic dominance definition on
+    random data with planted ties (same min value, same max value,
+    and full duplicate criterion pairs)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.extensions.analytics import skyline2d
+
+    rng = random.Random(182)
+    rows = [(i, rng.randint(0, 40), round(rng.uniform(0, 100), 1))
+            for i in range(300)]
+    rows += [(1000, 5, 99.9), (1001, 5, 99.9)]  # duplicate pair
+    dominated = set()
+    for i, (ia, ma, va) in enumerate(rows):
+        for ib, mb, vb in rows:
+            if ib != ia and mb <= ma and vb >= va and (mb < ma or vb > va):
+                dominated.add(ia)
+                break
+    expect = {ia for ia, _, _ in rows} - dominated
+    df = spark.createDataFrame(rows, "id long, m int, v double")
+    got = {
+        r["id"]
+        for r in skyline2d(
+            df, "m", "v", F.floor(F.col("m") / 7)
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_skyline2d_nulls_and_single_bucket(spark):
+    """NULL-criterion rows are excluded; a constant bucket (single
+    partition of the prefix machinery) still yields the frontier."""
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.extensions.analytics import skyline2d
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 2, 20.0), (3, 3, 15.0), (4, None, 99.0),
+         (5, 2, None)],
+        "id long, m int, v double",
+    )
+    got = {r["id"] for r in skyline2d(df, "m", "v", F.lit(0)).collect()}
+    assert got == {1, 2}  # 3 dominated by 2; 4/5 excluded

@@ -1203,3 +1203,36 @@ def test_priority_sample_small_population_and_bad_weights(spark):
         for r in priority_sample(df, k=10, weight_col="w", key_col="id").collect()
     }
     assert got == {1: (5.0, 5.0), 5: (2.5, 2.5)}
+
+
+def test_group_priority_sample_per_group_reference(spark):
+    """Per-group membership, per-group tau, and est_weight against the
+    Python DLT replay; small groups keep everything with tau 0."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        group_priority_sample,
+    )
+
+    rows = [(f"g{i % 3}", i, float(1 + i % 9)) for i in range(90)]
+    rows += [("tiny", 900, 4.0), ("tiny", 901, 2.0)]
+    k = 5
+    by_group = {}
+    for g, kid, w in rows:
+        by_group.setdefault(g, []).append((kid, w, _py_priority(kid, w)))
+    expect = {}
+    for g, members in by_group.items():
+        members.sort(key=lambda t: (-t[2], t[0]))
+        tau = members[k][2] if len(members) > k else 0.0
+        for kid, w, p in members[:k]:
+            expect[(g, kid)] = (w, p, max(w, tau))
+    df = spark.createDataFrame(rows, "g string, id long, w double")
+    got = {
+        (r["g"], r["id"]): (r["weight"], r["priority"], r["est_weight"])
+        for r in group_priority_sample(
+            df, k=k, weight_col="w", key_col="id", group_col="g"
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for kk, (w, p, e) in expect.items():
+        gw, gp, ge = got[kk]
+        assert gw == w and gp == pytest.approx(p, rel=1e-12)
+        assert ge == pytest.approx(e, rel=1e-12)

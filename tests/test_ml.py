@@ -2607,3 +2607,127 @@ def test_table_stats_counts_and_ndv(spark):
     assert out["z"]["ndv_est"] == 0.0 and out["z"]["avg_len"] is None
     with pytest.raises(ValueError, match="cols"):
         table_stats(df, [])
+
+
+# ------------------------------------- exact targeted quantiles (q181)
+
+
+def test_exact_quantiles_differential(spark):
+    """Exact-rank parity with Python sorted() under the ceil(p*n)
+    discrete convention, on data with heavy duplicates (single-bucket
+    pileups) and NULLs."""
+    import math
+    import random
+
+    from capex_data_pipeline_spark.extensions.sketches import exact_quantiles
+
+    rng = random.Random(181)
+    vals = [rng.uniform(-50, 50) for _ in range(800)]
+    vals += [7.25] * 300 + [None] * 40  # pileup + nulls
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    ps = [0.01, 0.5, 0.77, 0.99, 1.0]
+    got = {
+        r["p"]: (r["rank"], r["value"])
+        for r in exact_quantiles(df, "x", ps, n_buckets=16).collect()
+    }
+    clean = sorted(v for v in vals if v is not None)
+    for p in ps:
+        r = math.ceil(p * len(clean))
+        assert got[p] == (r, clean[r - 1]), p
+
+
+def test_exact_quantiles_edges(spark):
+    """All-equal values, empty input, and p validation."""
+    import pytest as _pt
+
+    from capex_data_pipeline_spark.extensions.sketches import exact_quantiles
+
+    same = spark.createDataFrame([(3.5,)] * 9, "x double")
+    rows = exact_quantiles(same, "x", [0.5, 1.0]).collect()
+    assert {(r["p"], r["rank"], r["value"]) for r in rows} == {
+        (0.5, 5, 3.5), (1.0, 9, 3.5),
+    }
+    empty = spark.createDataFrame([], "x double")
+    assert exact_quantiles(empty, "x", [0.5]).count() == 0
+    with _pt.raises(ValueError):
+        exact_quantiles(same, "x", [0.0])
+
+
+# ------------------------------- FD profiling + incremental stats
+
+
+def test_fd_profile_hand_computed(spark):
+    """Known FDs on a tiny frame: id->v holds, g->v violates with the
+    exact violation count and fan-out; NULLs are sentinel values (two
+    NULL keys with different deps ARE a violation)."""
+    from capex_data_pipeline_spark.extensions.sketches import fd_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 10), (3, "a", 20), (4, "b", 30),
+         (None, "c", 40), (None, "c", 50)],
+        "id int, g string, v int",
+    )
+    got = {
+        (r["determinant"], r["dependent"]): (
+            r["n_keys"], r["violating_keys"], r["max_deps_per_key"],
+            r["fd_holds"],
+        )
+        for r in fd_profile(df, [("g", "v"), ("v", "g"), ("id", "v")]).collect()
+    }
+    # g: a->{10,20} violates, c->{40,50} violates; b fine
+    assert got[("g", "v")] == (3, 2, 2, False)
+    # v: every value maps to one g
+    assert got[("v", "g")] == (5, 0, 1, True)
+    # id: NULL key maps to {40, 50} -> violation
+    assert got[("id", "v")] == (5, 1, 2, False)
+
+
+def test_table_stats_incremental_equals_direct(spark):
+    """Merged per-partition cells == direct whole-table table_stats,
+    value for value (the algebraic-merge certification), on data with
+    NULLs and cross-partition duplicate values."""
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.extensions.sketches import (
+        table_stats,
+        table_stats_incremental,
+    )
+
+    rows = [(i, i % 7, ["x", "yy", None][i % 3]) for i in range(500)]
+    df = spark.createDataFrame(rows, "id int, day int, s string")
+    direct = sorted(map(tuple, table_stats(df, ["id", "s"]).collect()))
+    inc = sorted(
+        map(
+            tuple,
+            table_stats_incremental(
+                df, ["id", "s"], partition=F.col("day")
+            ).collect(),
+        )
+    )
+    assert inc == direct
+
+
+def test_column_topk_values_hand_computed(spark):
+    """Exact counts/fractions, NULL as a value, and the pinned
+    value-ascending tie-break at the k boundary."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        column_topk_values,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",), ("c",), (None,)], "s string"
+    )
+    got = [
+        (r["value"], r["n"], r["frac"], r["rank"])
+        for r in sorted(
+            column_topk_values(df, ["s"], k=3).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    # a(2) and b(2) tie -> 'a' first; then '<null>'(1) vs 'c'(1) tie
+    # -> '<null>' < 'c' by string order
+    assert got == [
+        ("a", 2, round(2 / 6, 6), 1),
+        ("b", 2, round(2 / 6, 6), 2),
+        ("<null>", 1, round(1 / 6, 6), 3),
+    ]
