@@ -247,6 +247,14 @@ HEADLINE = [
     "q185_column_topk",
     # round-10 (cont.): per-group DLT sample, 17-row map-task bound
     "q186_group_priority_sample",
+    # round-10 (cont.): grouped targeted selection, in-bucket windows
+    "q187_group_quantiles",
+    # round-10 (cont.): exact median/MAD contamination report
+    "q188_mad_outliers",
+    # round-10 (cont.): union-find on supernodes, history never shuffles
+    "q189_cc_incremental",
+    # round-10 (cont.): per-field mode/max/min election on cluster keys
+    "q190_golden_record",
 ]
 
 

@@ -1909,3 +1909,57 @@ def jaccard_dup_summary(
             "is_keeper",
         )
     )
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    mode_cols: "list[str]" = (),
+    max_cols: "list[str]" = (),
+    min_cols: "list[str]" = (),
+) -> DataFrame:
+    """Field-level SURVIVORSHIP: merge each duplicate cluster into one
+    golden record — per field, the value that survives under its rule
+    (``mode``: most frequent, NULL a value like any other, ties to the
+    smallest value string; ``max``/``min``: the extreme). The step
+    after clustering that :func:`cluster_canonical` does NOT do: the
+    canonical election keeps ONE member row; survivorship builds a
+    BETTER row than any member (the freshest price from one source,
+    the most attested name from another) — the entity-resolution
+    merge every MDM / catalog pipeline ends with.
+
+    Scale shape: one count aggregate per mode field on the compact
+    (cluster, value) key with a cluster-partitioned WindowGroupLimit
+    election, one aggregate for all max/min fields, and cluster-keyed
+    joins to assemble — never a per-cluster collect, never a row
+    explode. Mode fields return as strings (values cross a
+    CASE-insensitive union of field types; callers cast back).
+
+    Returns one row per cluster: (cluster_col, n_members,
+    <f>_mode..., <f>_max..., <f>_min...).
+    """
+    from pyspark.sql.window import Window
+
+    if not (list(mode_cols) or list(max_cols) or list(min_cols)):
+        raise ValueError("golden_record: no survivorship fields given")
+    base = df.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        *[F.max(c).alias(f"{c}_max") for c in max_cols],
+        *[F.min(c).alias(f"{c}_min") for c in min_cols],
+    )
+    out = base
+    for c in mode_cols:
+        val = F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+        w = Window.partitionBy(cluster_col).orderBy(
+            F.desc("_n"), F.asc("_v")
+        )
+        mode = (
+            df.select(cluster_col, val.alias("_v"))
+            .groupBy(cluster_col, "_v")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(cluster_col, F.col("_v").alias(f"{c}_mode"))
+        )
+        out = out.join(mode, cluster_col)
+    return out

@@ -1894,3 +1894,215 @@ def column_topk_values(
             "rank",
         )
     )
+
+
+def group_exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: "list[float]",
+    n_buckets: int = 256,
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """:func:`exact_quantiles` PER GROUP — exact p50/p99 latency per
+    service, exact length percentiles per source — without ever
+    sorting a group. Same three-phase targeted selection, vectorized
+    across groups:
+
+    1. one aggregate for per-group (min, max, n) — a group-sized
+       driver read (the house convention; guarded by ``max_groups``
+       because the group domain must be metadata-sized: services,
+       sources, event types — not user ids);
+    2. one scan histograms every row into its GROUP'S equi-width
+       bucket (per-group lo/width attach via a broadcast join on the
+       group key); the (group × bucket) cell frame comes back to the
+       driver, which locates for each (group, p) the target bucket
+       and the rank offset within it;
+    3. rows land on their (group, bucket) targets via a broadcast
+       join, and a window PARTITIONED BY (group, p) over only
+       IN-BUCKET rows (~n_g/n_buckets rows per partition, never the
+       group) picks row_number == offset.
+
+    Rank convention: ceil(p * n_g), DuckDB's quantile_disc — values
+    are true data doubles, so the oracle compare is bit-exact. NULL
+    values excluded; a NULL group is a group like any other.
+
+    Returns (group_col, p, rank, value).
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    for p in ps:
+        if not (0.0 < p <= 1.0):
+            raise ValueError(f"group_exact_quantiles: p={p} outside (0, 1]")
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("_g"), v.alias("_v")
+    )
+    stats = base.groupBy("_g").agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    srows = stats.collect()
+    spark = df.sparkSession
+    gtype = base.schema["_g"].dataType
+    out_fields = (
+        base.select("_g").schema
+        .add("p", "double").add("rank", "long").add("value", "double")
+    )
+    if not srows:
+        return spark.createDataFrame([], out_fields)
+    if len(srows) > max_groups:
+        raise ValueError(
+            f"group_exact_quantiles: {len(srows)} groups exceeds "
+            f"max_groups={max_groups} — the group domain must be "
+            "metadata-sized (use ddsketch_quantiles_by for open domains)"
+        )
+    meta = spark.createDataFrame(
+        [
+            (r["_g"], float(r["_lo"]),
+             (float(r["_hi"]) - float(r["_lo"])) / n_buckets)
+            for r in srows
+        ],
+        base.select("_g").schema.add("_lo", "double").add("_w", "double"),
+    )
+    bucket = F.when(F.col("_w") <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("_v") - F.col("_lo")) / F.col("_w")),
+        ).cast("int")
+    )
+    # null-safe group equality (<=>): a NULL group is a group
+    bucketed = (
+        base.alias("bb")
+        .join(
+            F.broadcast(meta.alias("mm")),
+            F.expr("bb._g <=> mm._g"),
+        )
+        .select(
+            F.col("bb._g").alias("_g"),
+            F.col("bb._v").alias("_v"),
+            bucket.alias("_b"),
+        )
+    )
+    hist = {}
+    for r in (
+        bucketed.groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    ):
+        hist.setdefault(r["_g"], {})[r["_b"]] = r["_c"]
+    targets = []  # (_g, _b, p, rank, offset)
+    for r in srows:
+        g, n = r["_g"], int(r["_n"])
+        cells = hist.get(g, {})
+        for p in ps:
+            rk = int(math.ceil(p * n))
+            cum = 0
+            for b in sorted(cells):
+                if cum + cells[b] >= rk:
+                    targets.append((g, b, float(p), rk, rk - cum))
+                    break
+                cum += cells[b]
+    tdf = spark.createDataFrame(
+        targets,
+        base.select("_g").schema.add("_b", "integer").add("p", "double")
+        .add("rank", "long").add("_off", "long"),
+    )
+    w = Window.partitionBy("_g", "p").orderBy(F.asc("_v"))
+    return (
+        bucketed.alias("xx")
+        .join(
+            F.broadcast(tdf.alias("tt")),
+            F.expr("xx._g <=> tt._g AND xx._b = tt._b"),
+        )
+        .select(
+            F.col("xx._g").alias("_g"),
+            F.col("xx._v").alias("_v"),
+            "tt.p", "tt.rank", "tt._off",
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == F.col("_off"))
+        .select(
+            F.col("_g").alias(group_col), "p", "rank",
+            F.col("_v").alias("value"),
+        )
+    )
+
+
+def group_mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    cutoff: float = 3.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """EXACT robust outlier report per group: median, MAD (median
+    absolute deviation, the robust sigma), and how many rows sit more
+    than ``cutoff`` MADs from their group's median — the
+    contamination report that mean/stddev z-scores get wrong the
+    moment the contamination is heavy enough to drag the mean
+    (:func:`winsorized_stats_by` is the sketch-guided cousin; this is
+    the exact instrument, for metadata-sized group domains).
+
+    Composition of :func:`group_exact_quantiles` (discrete-rank
+    medians, so every statistic is a true data value): group medians
+    (3 passes), deviations attached via a broadcast join on the group
+    key (|x - med| is one exact-rounded IEEE subtract, identical on
+    any engine), deviation medians (3 more passes over the derived
+    frame), and one final counting aggregate. No global sorts
+    anywhere; every driver read is group-sized.
+
+    Returns (group_col, n, median, mad, n_outliers, outlier_frac).
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("_g"), v.alias("_v")
+    )
+    med = group_exact_quantiles(base, "_g", "_v", ps=[0.5]).select(
+        "_g", F.col("value").alias("_med")
+    )
+    dev = (
+        base.alias("bb")
+        .join(F.broadcast(med.alias("me")), F.expr("bb._g <=> me._g"))
+        .select(
+            F.col("bb._g").alias("_g"),
+            F.col("bb._v").alias("_v"),
+            F.col("me._med").alias("_med"),
+            F.abs(F.col("bb._v") - F.col("me._med")).alias("_dev"),
+        )
+    )
+    mad = group_exact_quantiles(dev, "_g", "_dev", ps=[0.5]).select(
+        "_g", F.col("value").alias("_mad")
+    )
+    return (
+        dev.alias("dd")
+        .join(F.broadcast(mad.alias("ma")), F.expr("dd._g <=> ma._g"))
+        .select(
+            F.col("dd._g").alias("_g"), "dd._v", "dd._med", "dd._dev",
+            "ma._mad",
+        )
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("_med").alias("median"),
+            F.max("_mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("_dev") > F.lit(float(cutoff)) * F.col("_mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            "n",
+            "median",
+            "mad",
+            "n_outliers",
+            F.round(
+                F.col("n_outliers") / F.col("n").cast("double"), decimals
+            ).alias("outlier_frac"),
+        )
+    )

@@ -281,3 +281,39 @@ def q116_label_propagation(spark, sf_dir):
         dst_col="b",
         assume_canonical=True,
     )
+
+
+# ---------------------------------------- incremental components
+
+
+@query("q189_cc_incremental", _cc_sql())
+def q189_cc_incremental(spark, sf_dir):
+    """q114's component labeling maintained INCREMENTALLY
+    (graph.cc_incremental): the co-purchase edges split into a
+    "yesterday" batch (labeled from scratch) and a "today" batch
+    ((a + b) % 5 == 0, ~20%) folded in via union-find on supernodes —
+    new edges map to their endpoints' CURRENT labels, components run
+    to fixpoint on the label-level SUPER-graph (bounded by the batch,
+    not the corpus), and only merged components relabel through a
+    broadcast rename map. The oracle is the full from-scratch
+    recompute over ALL edges (q114's 12 unrolled rounds), so equality
+    CERTIFIES the incremental path: folding batches loses nothing vs
+    re-clustering history — the property that makes daily dedup
+    affordable at 100 TB."""
+    from capex_data_pipeline_spark.extensions.graph import (
+        cc_incremental,
+        connected_components,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    is_new = (F.col("a") + F.col("b")) % 5 == 0
+    old_labels = connected_components(
+        edges.filter(~is_new),
+        src_col="a",
+        dst_col="b",
+        until_fixpoint=True,
+        assume_canonical=True,
+    )
+    return cc_incremental(
+        old_labels, edges.filter(is_new), src_col="a", dst_col="b"
+    )

@@ -347,13 +347,17 @@ def q132_anchor_texts(spark, sf_dir):
 # ------------------------ q133: canonical doc election per dedup cluster
 
 
-def _q133_sql() -> str:
+def _q38_clusters_cte() -> str:
+    """The proven q38 replay (MinHash signatures -> banded LSH pairs ->
+    recursive-CTE transitive closure -> min-id labels, singletons
+    included) as a reusable CTE prefix — shared by the q133 canonical
+    election and the q190 survivorship oracles so the cluster
+    definition can never drift between them."""
     from capex_data_pipeline_spark.oracle_frags import (
         SHINGLES_SQL as _SHINGLES,
     )
 
-    return f"""
-    WITH RECURSIVE sig AS (
+    return f"""sig AS (
       SELECT doc_id,
              list_transform(range(0, 8),
                i -> list_min(list_transform({_SHINGLES}, s -> md5(i || '|' || s)))) AS sig
@@ -381,7 +385,12 @@ def _q133_sql() -> str:
     ), allc AS (
       SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
       FROM documents d LEFT JOIN lbl l USING (doc_id)
-    ), norm AS (
+    )"""
+
+
+def _q133_sql() -> str:
+    return f"""
+    WITH RECURSIVE {_q38_clusters_cte()}, norm AS (
       SELECT doc_id,
              trim(regexp_replace(lower(coalesce(text, '')),
                                  '[^a-z0-9]+', ' ', 'g')) AS t
@@ -3922,4 +3931,168 @@ def q186_group_priority_sample(spark, sf_dir):
         key_col="doc_id",
         group_col="source",
         seed="pr",
+    )
+
+
+# ---- q187: exact per-group quantiles (targeted selection, grouped)
+
+
+@query(
+    "q187_group_quantiles",
+    """
+    WITH v AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS x FROM events
+      WHERE value IS NOT NULL
+    )
+    SELECT g AS event_type, CAST(0.5 AS DOUBLE) AS p,
+           CAST(ceil(0.5 * count(*)) AS BIGINT) AS rank,
+           quantile_disc(x, 0.5) AS value
+    FROM v GROUP BY g
+    UNION ALL
+    SELECT g, CAST(0.99 AS DOUBLE), CAST(ceil(0.99 * count(*)) AS BIGINT),
+           quantile_disc(x, 0.99)
+    FROM v GROUP BY g
+    """,
+)
+def q187_group_quantiles(spark, sf_dir):
+    """EXACT p50/p99 of event value per event type
+    (sketches.group_exact_quantiles): the grouped form of q181's
+    targeted selection — per-group equi-width histograms in one scan
+    (group-keyed lo/width broadcast), driver locates each (group, p)
+    target bucket + rank offset, and a window over only IN-BUCKET rows
+    (~n_g/256 per partition, never the group) picks the value. The
+    exact complement of q157's per-group DDSketch for metadata-sized
+    group domains; values are true data doubles, certified bit-exact
+    against quantile_disc per group."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        group_exact_quantiles,
+    )
+
+    return group_exact_quantiles(
+        _t(spark, sf_dir, "events").select("event_type", "value"),
+        "event_type",
+        "value",
+        ps=[0.5, 0.99],
+    )
+
+
+# ---- q188: exact per-group MAD robust outlier report
+
+
+@query(
+    "q188_mad_outliers",
+    """
+    WITH v AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS x FROM events
+      WHERE value IS NOT NULL
+    ),
+    m AS (SELECT g, quantile_disc(x, 0.5) AS med FROM v GROUP BY g),
+    d AS (
+      SELECT v.g, v.x, m.med, abs(v.x - m.med) AS dev
+      FROM v JOIN m ON v.g IS NOT DISTINCT FROM m.g
+    ),
+    md AS (SELECT g, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY g)
+    SELECT d.g AS event_type, count(*) AS n,
+           max(d.med) AS median, max(md.mad) AS mad,
+           coalesce(sum(CASE WHEN d.dev > 3.0 * md.mad THEN 1 ELSE 0 END),
+                    0)::BIGINT AS n_outliers,
+           round(coalesce(sum(CASE WHEN d.dev > 3.0 * md.mad
+                               THEN 1 ELSE 0 END), 0)
+                 / count(*)::DOUBLE, 6) AS outlier_frac
+    FROM d JOIN md ON d.g IS NOT DISTINCT FROM md.g
+    GROUP BY d.g
+    """,
+)
+def q188_mad_outliers(spark, sf_dir):
+    """Robust contamination report per event type
+    (sketches.group_mad_outliers): EXACT median and MAD via q187's
+    grouped targeted selection, then the count of rows beyond
+    3 MADs — the outlier instrument that survives the contamination
+    it measures (a mean/stddev z-score moves WITH the outliers; the
+    median/MAD pair does not). Deviations are single IEEE subtracts,
+    so the oracle reproduces every statistic bit-for-bit, discrete
+    quantile_disc convention on both sides."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        group_mad_outliers,
+    )
+
+    return group_mad_outliers(
+        _t(spark, sf_dir, "events").select("event_type", "value"),
+        "event_type",
+        "value",
+        cutoff=3.0,
+    )
+
+
+# ---- q190: golden-record survivorship over near-dup clusters
+
+
+def _q190_sql() -> str:
+    return f"""
+    WITH RECURSIVE {_q38_clusters_cte()}, f AS (
+      SELECT a.cluster_id, d.doc_id, d.lang, d.source, d.n_chars
+      FROM allc a JOIN documents d USING (doc_id)
+    ), lm AS (
+      SELECT cluster_id, v AS lang_mode FROM (
+        SELECT cluster_id, coalesce(lang, '<null>') AS v,
+               row_number() OVER (
+                 PARTITION BY cluster_id
+                 ORDER BY count(*) DESC, coalesce(lang, '<null>') ASC
+               ) AS rn
+        FROM f GROUP BY cluster_id, coalesce(lang, '<null>')
+      ) WHERE rn = 1
+    ), sm AS (
+      SELECT cluster_id, v AS source_mode FROM (
+        SELECT cluster_id, coalesce(source, '<null>') AS v,
+               row_number() OVER (
+                 PARTITION BY cluster_id
+                 ORDER BY count(*) DESC, coalesce(source, '<null>') ASC
+               ) AS rn
+        FROM f GROUP BY cluster_id, coalesce(source, '<null>')
+      ) WHERE rn = 1
+    ), agg AS (
+      SELECT cluster_id, count(*) AS n_members,
+             max(n_chars) AS n_chars_max, min(doc_id) AS doc_id_min
+      FROM f GROUP BY cluster_id
+    )
+    SELECT agg.cluster_id, agg.n_members, agg.n_chars_max,
+           agg.doc_id_min, lm.lang_mode, sm.source_mode
+    FROM agg JOIN lm USING (cluster_id) JOIN sm USING (cluster_id)
+    """
+
+
+@query("q190_golden_record", _q190_sql())
+def q190_golden_record(spark, sf_dir):
+    """Field-level survivorship over q38's near-dup clusters
+    (dedup.golden_record): one merged record per cluster — most
+    frequent lang and source (mode, NULL-as-value, ties to smallest
+    string), longest length, smallest id — the entity-resolution
+    merge that BUILDS a better record instead of electing one member
+    (q133's job). Compact (cluster, value) aggregates + a
+    cluster-partitioned WindowGroupLimit per mode field; the oracle
+    composes the shared q38 replay with a SQL restatement of every
+    survivorship rule."""
+    from capex_data_pipeline_spark.extensions import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dups(docs, num_hashes=8, bands=4, threshold=0.5)
+    clusters = D.dedup_clusters(pairs, corpus=docs).select(
+        "doc_id", "cluster_id"
+    )
+    members = clusters.join(docs, "doc_id").select(
+        "cluster_id", "doc_id", "lang", "source", "n_chars"
+    )
+    return D.golden_record(
+        members,
+        "cluster_id",
+        mode_cols=["lang", "source"],
+        max_cols=["n_chars"],
+        min_cols=["doc_id"],
+    ).select(
+        "cluster_id",
+        "n_members",
+        "n_chars_max",
+        "doc_id_min",
+        "lang_mode",
+        "source_mode",
     )

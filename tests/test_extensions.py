@@ -1826,3 +1826,50 @@ def test_editdist_join_rejects_bad_params(spark):
         editdist_join(df, "id", "s", k=0)
     with _pt.raises(ValueError):
         editdist_join(df, "id", "s", k=1, q=1)
+
+
+# ------------------------------------- golden-record survivorship (q190)
+
+
+def test_golden_record_rules_hand_computed(spark):
+    """Every survivorship rule on one crafted cluster set: mode with a
+    tie (smallest string wins), NULL as a countable value, max/min
+    fields, and a singleton cluster."""
+    from capex_data_pipeline_spark.extensions.dedup import golden_record
+
+    rows = [
+        # cluster 1: lang mode 'en' (2 vs 1); src tie a/b -> 'a'
+        (1, 101, "en", "a", 50),
+        (1, 102, "en", "b", 70),
+        (1, 103, "de", "a", 60),
+        (1, 104, None, "b", None),  # NULL lang counts but loses 1 vs 2
+        # cluster 2: NULL lang WINS the mode (2 nulls vs 1 'fr')
+        (2, 201, None, "c", 10),
+        (2, 202, None, "c", 20),
+        (2, 203, "fr", "c", 30),
+        # singleton
+        (3, 301, "es", "d", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "cluster_id long, doc_id long, lang string, src string, n int"
+    )
+    got = {
+        r["cluster_id"]: (
+            r["n_members"], r["lang_mode"], r["src_mode"],
+            r["n_max"], r["doc_id_min"],
+        )
+        for r in golden_record(
+            df, "cluster_id",
+            mode_cols=["lang", "src"], max_cols=["n"], min_cols=["doc_id"],
+        )
+        .withColumnRenamed("n_max", "n_max")
+        .collect()
+    }
+    assert got[1] == (4, "en", "a", 70, 101)
+    assert got[2] == (3, "<null>", "c", 30, 201)
+    assert got[3] == (1, "es", "d", 5, 301)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        golden_record(df, "cluster_id")

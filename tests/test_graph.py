@@ -606,3 +606,64 @@ def test_bfs_hops_isolated_seed_dupes_and_guards(spark):
         bfs_hops(_edges_df(spark, pairs), sources=[], rounds=1)
     with pytest.raises(ValueError):
         bfs_hops(_edges_df(spark, pairs), sources=[1], rounds=-1)
+
+
+# -------------------------------------- incremental components (q189)
+
+
+def test_cc_incremental_equals_full_recompute(spark):
+    """Folding a batch of new edges into an existing labeling equals
+    the from-scratch recompute: merges via a chain through a NEW
+    vertex, intra-component no-op edges, a brand-new component, and a
+    three-way merge."""
+    from capex_data_pipeline_spark.extensions.graph import (
+        cc_incremental,
+        connected_components,
+    )
+
+    old_edges = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)]
+    new_edges = [
+        (3, 50), (50, 10),   # chain 1-comp to 10-comp via new vertex 50
+        (1, 3),              # intra-component no-op
+        (60, 61),            # brand-new component
+        (11, 20), (21, 30),  # three-way merge of 10/20/30 comps
+    ]
+    e_old = spark.createDataFrame(old_edges, "src long, dst long")
+    e_new = spark.createDataFrame(new_edges, "src long, dst long")
+    labels = connected_components(e_old, until_fixpoint=True)
+    got = {
+        r["vertex"]: r["component"]
+        for r in cc_incremental(labels, e_new).collect()
+    }
+    full = connected_components(
+        e_old.unionByName(e_new), until_fixpoint=True
+    )
+    expect = {r["vertex"]: r["component"] for r in full.collect()}
+    assert got == expect
+    # everything except 60/61 collapses into the min-id-1 component
+    assert got[50] == 1 and got[30] == 1 and got[60] == 60
+
+
+def test_cc_incremental_empty_batch_and_fresh_only(spark):
+    """An empty batch returns the labeling unchanged; a batch touching
+    only unseen vertices labels them standalone."""
+    from capex_data_pipeline_spark.extensions.graph import (
+        cc_incremental,
+        connected_components,
+    )
+
+    labels = connected_components(
+        spark.createDataFrame([(1, 2)], "src long, dst long"),
+        until_fixpoint=True,
+    )
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert {
+        r["vertex"]: r["component"]
+        for r in cc_incremental(labels, empty).collect()
+    } == {1: 1, 2: 1}
+    fresh = spark.createDataFrame([(7, 8), (8, 9)], "src long, dst long")
+    got = {
+        r["vertex"]: r["component"]
+        for r in cc_incremental(labels, fresh).collect()
+    }
+    assert got == {1: 1, 2: 1, 7: 7, 8: 7, 9: 7}

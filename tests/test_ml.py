@@ -2731,3 +2731,79 @@ def test_column_topk_values_hand_computed(spark):
         ("b", 2, round(2 / 6, 6), 2),
         ("<null>", 1, round(1 / 6, 6), 3),
     ]
+
+
+def test_group_exact_quantiles_differential(spark):
+    """Per-group exact ranks vs Python sorted() under ceil(p*n_g),
+    with a heavy-duplicate group, a tiny group, and a NULL group."""
+    import math
+    import random
+
+    from capex_data_pipeline_spark.extensions.sketches import (
+        group_exact_quantiles,
+    )
+
+    rng = random.Random(187)
+    rows = [("a", rng.uniform(-10, 10)) for _ in range(400)]
+    rows += [("b", 5.0)] * 50 + [("c", 1.25)] + [(None, float(i)) for i in range(9)]
+    rows += [("a", None)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    ps = [0.5, 0.9, 1.0]
+    got = {
+        (r["g"], r["p"]): (r["rank"], r["value"])
+        for r in group_exact_quantiles(df, "g", "x", ps, n_buckets=8).collect()
+    }
+    groups = {}
+    for g, x in rows:
+        if x is not None:
+            groups.setdefault(g, []).append(x)
+    expect = {}
+    for g, vals in groups.items():
+        vals.sort()
+        for p in ps:
+            r = math.ceil(p * len(vals))
+            expect[(g, p)] = (r, vals[r - 1])
+    assert got == expect
+
+
+def test_group_exact_quantiles_guards(spark):
+    import pytest as _pt
+
+    from capex_data_pipeline_spark.extensions.sketches import (
+        group_exact_quantiles,
+    )
+
+    df = spark.createDataFrame([(str(i), float(i)) for i in range(30)],
+                               "g string, x double")
+    with _pt.raises(ValueError, match="max_groups"):
+        group_exact_quantiles(df, "g", "x", [0.5], max_groups=10)
+    with _pt.raises(ValueError, match="outside"):
+        group_exact_quantiles(df, "g", "x", [1.5])
+    empty = spark.createDataFrame([], "g string, x double")
+    assert group_exact_quantiles(empty, "g", "x", [0.5]).count() == 0
+
+
+def test_group_mad_outliers_hand_computed(spark):
+    """Planted contamination: median/MAD ignore the outliers, the
+    report counts exactly the planted rows; an all-equal group has
+    MAD 0 and flags every deviating row."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        group_mad_outliers,
+    )
+
+    g1 = [("s", float(v)) for v in [10, 11, 12, 13, 14, 15, 16]]
+    g1 += [("s", 1000.0), ("s", -1000.0)]  # contamination
+    g2 = [("t", 7.0)] * 5 + [("t", 7.5)]
+    df = spark.createDataFrame(g1 + g2, "g string, x double")
+    got = {
+        r["g"]: (r["n"], r["median"], r["mad"], r["n_outliers"],
+                 r["outlier_frac"])
+        for r in group_mad_outliers(df, "g", "x", cutoff=3.0).collect()
+    }
+    # g1 sorted: [-1000,10..16,1000], n=9 -> rank ceil(4.5)=5 -> 13
+    # devs sorted: [0,1,1,2,2,3,3,987,1013] -> median dev = 2
+    # outliers: dev > 6 -> the two planted rows
+    assert got["s"] == (9, 13.0, 2.0, 2, round(2 / 9, 6))
+    # g2: n=6 -> rank 3 -> 7.0; devs [0,0,0,0,0,.5] -> mad 0;
+    # dev > 0 -> the 7.5 row
+    assert got["t"] == (6, 7.0, 0.0, 1, round(1 / 6, 6))
