@@ -255,6 +255,12 @@ HEADLINE = [
     "q189_cc_incremental",
     # round-10 (cont.): per-field mode/max/min election on cluster keys
     "q190_golden_record",
+    # round-10 (cont.): gaps-and-islands phrases, micropoint-exact scores
+    "q191_rake_keywords",
+    # round-10 (cont.): both scan directions over one union exchange
+    "q192_asof_nearest",
+    # round-10 (cont.): O(B) PAV stack, minimax-certified
+    "q193_isotonic_calibration",
 ]
 
 

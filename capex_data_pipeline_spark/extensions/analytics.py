@@ -624,3 +624,79 @@ def skyline2d(
         keep,
         (F.col(min_col) == F.col("_m")) & (F.col(max_col) == F.col("_gm")),
     ).drop("_m", "_gm")
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    bin_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of a binned
+    classifier score — PAV (pool-adjacent-violators): per score bin,
+    the positive rate, replaced by the isotonic fit that pools any
+    bin whose raw rate dips below its predecessor. The standard
+    post-hoc calibrator (Zadrozny & Elkan 2002) for "does score 0.8
+    actually mean 80%?", and the q154 ROC family's sibling.
+
+    Scale shape: ONE counting aggregate onto the bounded bin frame
+    (bins are metadata — 16/32/256 cells — so the driver-side PAV
+    stack walk is a sketch-sized read, the q181 histogram-walk
+    convention); the fit never touches row data again. PAV pools are
+    compared with INTEGER cross-products (pos_a·n_b vs pos_b·n_a),
+    so pooling decisions are exact; each fitted rate is one final
+    sum/sum division — meaning every output double equals the
+    corresponding range average the minimax characterization
+    fit_i = max_{j<=i} min_{k>=i} avg(pos, j..k) names, which is
+    EXACTLY what the q193 oracle computes in SQL: two genuinely
+    different algorithms (O(B) stack vs O(B^3) closed form) agreeing
+    bit-for-bit certifies the pooling logic.
+
+    NULL labels/bins are excluded. Returns one row per non-empty bin:
+    (bin_col, n, n_pos, rate_raw, rate_fit), rate_fit non-decreasing.
+    """
+    lab = F.col(label_col).cast("long")
+    base = df.filter(
+        F.col(bin_col).isNotNull() & lab.isNotNull()
+    ).select(F.col(bin_col).alias("_b"), lab.alias("_y"))
+    bins = sorted(
+        (
+            base.groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_p"))
+            .collect()
+        ),
+        key=lambda r: r["_b"],
+    )
+    spark = df.sparkSession
+    schema = (
+        base.select("_b").schema
+        .add("n", "long").add("n_pos", "long")
+        .add("rate_raw", "double").add("rate_fit", "double")
+    )
+    if not bins:
+        return spark.createDataFrame([], schema)
+    # PAV stack: blocks of (span, n, pos); violation compared integer-exact
+    blocks: "list[list]" = []
+    for r in bins:
+        blocks.append([1, int(r["_n"]), int(r["_p"])])
+        while len(blocks) >= 2:
+            s2, n2, p2 = blocks[-1]
+            s1, n1, p1 = blocks[-2]
+            if p2 * n1 < p1 * n2:  # avg(last) < avg(prev): pool
+                blocks[-2:] = [[s1 + s2, n1 + n2, p1 + p2]]
+            else:
+                break
+    rows, i = [], 0
+    for span, n, p in blocks:
+        fit = p / n  # one correctly-rounded divide, engine-portable
+        for _ in range(span):
+            r = bins[i]
+            rows.append(
+                (
+                    r["_b"], int(r["_n"]), int(r["_p"]),
+                    int(r["_p"]) / int(r["_n"]), fit,
+                )
+            )
+            i += 1
+    return spark.createDataFrame(rows, schema).withColumnRenamed(
+        "_b", bin_col
+    )

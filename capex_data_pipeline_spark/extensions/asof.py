@@ -37,17 +37,33 @@ def asof_join(
     value_cols: list[str] | None = None,
     tolerance_seconds: float | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward inclusive as-of join.
+    """As-of join, ``direction`` in {'backward', 'forward', 'nearest'}.
 
     Returns every ``left`` row plus, for each right value column ``v``,
-    ``v{suffix}`` from the latest right row with the same ``on`` key
-    (one column or a compound-key list) and right ``time_col`` <=
-    left ``time_col``, plus
+    ``v{suffix}`` from the matched right row with the same ``on`` key
+    (one column or a compound-key list): the latest right row with
+    right ``time_col`` <= left's (backward, default), the earliest
+    with right >= left (forward), or whichever of the two sits closer
+    in time (nearest; exact ties prefer backward — the
+    no-lookahead-when-avoidable convention). Plus
     ``{time_col}{suffix}`` (the matched right time; all null when no
-    right row precedes the left row or the match is older than
+    right row qualifies or the match is further than
     ``tolerance_seconds``).
+
+    All three directions are the same union trick — no join, one
+    window over the interleaved frame per direction (backward scans
+    time ascending, forward descending; the side tag makes equal
+    times inclusive either way). Nearest pays both window passes over
+    ONE union/exchange and arbitrates per row with the tolerance
+    applied to the CHOSEN match.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof_join: direction must be backward/forward/nearest, "
+            f"got {direction!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*keys, time_col)]
@@ -79,23 +95,54 @@ def asof_join(
         F.lit(None).cast(right.schema[time_col].dataType).alias(f"{time_col}{suffix}"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
     )
-    w = (
+    wb = (
         Window.partitionBy(*keys)
         .orderBy(F.col("_t").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = r.unionByName(l).select(
-        "*",
-        *[
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    union = r.unionByName(l)
+    mcols = value_cols + [time_col]
+
+    def _carry(w, tag):
+        return [
             F.last(F.col(f"{c}{suffix}"), ignorenulls=True)
             .over(w)
-            .alias(f"_m_{c}")
-            for c in value_cols + [time_col]
-        ],
-    )
+            .alias(f"_{tag}_{c}")
+            for c in mcols
+        ]
+
+    def _dist(tag):
+        return F.abs(
+            F.col("_t").cast("double")
+            - F.col(f"_{tag}_{time_col}").cast("double")
+        )
+
+    if direction == "backward":
+        carried = union.select("*", *_carry(wb, "m"))
+    elif direction == "forward":
+        carried = union.select("*", *_carry(wf, "m"))
+    else:  # nearest: both scans over the one union frame, then pick
+        both = union.select("*", *_carry(wb, "b"), *_carry(wf, "f"))
+        use_b = F.col(f"_b_{time_col}").isNotNull() & (
+            F.col(f"_f_{time_col}").isNull() | (_dist("b") <= _dist("f"))
+        )
+        carried = both.select(
+            "*",
+            *[
+                F.when(use_b, F.col(f"_b_{c}"))
+                .otherwise(F.col(f"_f_{c}"))
+                .alias(f"_m_{c}")
+                for c in mcols
+            ],
+        )
     out = carried.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
-        fresh = (
+        fresh = F.abs(
             F.col("_t").cast("double")
             - F.col(f"_m_{time_col}").cast("double")
         ) <= F.lit(float(tolerance_seconds))
@@ -107,6 +154,6 @@ def asof_join(
         *[F.col(k) for k in keys],
         *[
             F.when(keep, F.col(f"_m_{c}")).alias(f"{c}{suffix}")
-            for c in value_cols + [time_col]
+            for c in mcols
         ],
-    ).select(*lcols, *[f"{c}{suffix}" for c in value_cols + [time_col]])
+    ).select(*lcols, *[f"{c}{suffix}" for c in mcols])

@@ -450,3 +450,107 @@ def curriculum_buckets(
             F.when(F.col(score_col).isNotNull(), bucket).alias("bucket"),
         )
     )
+
+
+def rake_keywords(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_stopwords: int = 5,
+    k: int = 20,
+):
+    """RAKE keyword extraction (Rose et al. 2010), corpus-level:
+    candidate phrases are maximal stopword-free word runs; each word
+    scores degree/frequency (degree = summed length of phrases it
+    appears in — co-occurrence reach; frequency = its occurrence
+    count); a phrase scores the sum of its word scores; the corpus
+    report is the top-``k`` distinct phrases. The zero-model keyword
+    extractor a curation pipeline runs before anything learned.
+
+    The stopword list is DATA-DERIVED — the ``n_stopwords`` most
+    frequent corpus words (ties to the smaller word) — so the
+    operator is self-contained and the oracle can re-derive it.
+
+    Scale shape: one tokenize pass (positions from posexplode);
+    stopwords via TakeOrdered(n) on the compact word-count frame,
+    broadcast back as an anti-join; phrase assembly is the classic
+    gaps-and-islands (pos − per-doc rank of surviving words — the
+    window is PARTITIONED by doc, bounded by doc length); word stats
+    and phrase scores are compact-key aggregates. Determinism across
+    engines: a phrase score is a SUM of word scores, and float sums
+    are association-sensitive — so word scores are quantized to
+    integer MICROPOINTS first (floor(degree·1e6 / freq): exact-input
+    IEEE multiply + one correctly-rounded divide, and floor is safe
+    because a small-denominator rational is never within an ulp of an
+    integer it doesn't equal) and summed as BIGINTs, bit-exact under
+    any association; /1e6 back once at the end.
+
+    Returns top-k (phrase, n_words, n_occurrences, score), ordered by
+    (score desc, phrase asc).
+    """
+    from pyspark.sql.window import Window
+
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    words = (
+        docs.select(
+            F.col(id_col).alias("_doc"),
+            F.posexplode(
+                F.split(normalized_text(F.col(text_col)), " ")
+            ).alias("_p", "_w"),
+        )
+        .filter(F.col("_w") != "")
+    )
+    stop = (
+        words.groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("_w"))
+        .limit(n_stopwords)
+        .select("_w")
+    )
+    surviving = words.join(F.broadcast(stop), "_w", "left_anti")
+    rn = F.row_number().over(
+        Window.partitionBy("_doc").orderBy(F.asc("_p"))
+    )
+    runs = surviving.withColumn("_isl", F.col("_p") - rn)
+    phrases = (
+        runs.groupBy("_doc", "_isl")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_p", "_w"))),
+                lambda s: s["_w"],
+            ).alias("_ws")
+        )
+        .select(
+            "_doc",
+            "_isl",
+            F.array_join(F.col("_ws"), " ").alias("_phrase"),
+            F.size("_ws").alias("_len"),
+            F.explode("_ws").alias("_w"),
+        )
+    )
+    wstats = phrases.groupBy("_w").agg(
+        F.floor(
+            (F.sum("_len").cast("double") * F.lit(1000000.0))
+            / F.count(F.lit(1)).cast("double")
+        )
+        .cast("long")
+        .alias("_ws6")
+    )
+    occ = (
+        phrases.join(wstats, "_w")
+        .groupBy("_doc", "_isl", "_phrase", "_len")
+        .agg(F.sum("_ws6").alias("_ss"))
+    )
+    return (
+        occ.groupBy("_phrase", "_len", "_ss")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("_ss"), F.asc("_phrase"))
+        .limit(k)
+        .select(
+            F.col("_phrase").alias("phrase"),
+            F.col("_len").alias("n_words"),
+            "n_occurrences",
+            (F.col("_ss") / F.lit(1000000.0)).alias("score"),
+        )
+    )

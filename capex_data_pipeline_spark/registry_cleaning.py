@@ -1034,3 +1034,120 @@ def q111_repeated_spans(spark, sf_dir):
         ).otherwise(F.col("text")).alias("text"),
     )
     return repeated_spans(aug, k=5)
+
+
+@query(
+    "q192_asof_nearest",
+    """
+    WITH p AS (SELECT event_id, user_id, ts, value AS purchase_value
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, max(value) AS click_value
+          FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    cand AS (
+      SELECT p.event_id, c.click_value, c.ts AS cts,
+             abs(epoch_us(p.ts) - epoch_us(c.ts)) AS d,
+             CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS fwd
+      FROM p JOIN c ON p.user_id = c.user_id
+    ),
+    best AS (
+      SELECT event_id, click_value, cts,
+             row_number() OVER (PARTITION BY event_id
+                                ORDER BY d, fwd) AS rn
+      FROM cand
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+           b.click_value AS click_value_asof, b.cts AS ts_asof
+    FROM p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      ON p.event_id = b.event_id
+    """,
+)
+def q192_asof_nearest(spark, sf_dir):
+    """NEAREST as-of join (asof.asof_join(direction='nearest')): every
+    purchase matches the same-user click CLOSEST in time, either side,
+    exact ties preferring the backward (no-lookahead) match — the
+    sensor/market alignment q74's backward form can't express when
+    the reference feed ticks AROUND the event rather than before it.
+    Same union trick, both scan directions over ONE exchange, per-row
+    arbitration; right rows deduped to distinct (user, ts) so the
+    match is well-defined. The oracle is the quadratic per-user
+    argmin with the identical (distance, direction) order."""
+    from capex_data_pipeline_spark.extensions.asof import asof_join
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", time_col="ts",
+        direction="nearest",
+    )
+
+
+@query(
+    "q193_isotonic_calibration",
+    """
+    WITH s AS (
+      SELECT CAST(floor(CAST(json_extract(props, '$.k') AS INT) * 16
+                        / 100.0) AS INT) AS bin,
+             CASE WHEN value > 0 THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE json_valid(props)
+        AND json_extract(props, '$.k') IS NOT NULL
+        AND value IS NOT NULL
+    ),
+    b AS (SELECT bin, count(*) AS n, sum(y) AS pos FROM s GROUP BY bin),
+    o AS (SELECT bin, n, pos, row_number() OVER (ORDER BY bin) AS i FROM b),
+    r AS (
+      SELECT a.i AS j, c.i AS k,
+             sum(m.pos)::DOUBLE / sum(m.n)::DOUBLE AS avg
+      FROM o a JOIN o c ON a.i <= c.i
+      JOIN o m ON m.i BETWEEN a.i AND c.i
+      GROUP BY a.i, c.i
+    ),
+    mn AS (
+      SELECT r.j, i2.i AS i, min(r.avg) AS minv
+      FROM r JOIN o i2 ON r.k >= i2.i AND r.j <= i2.i
+      GROUP BY r.j, i2.i
+    ),
+    fit AS (SELECT i, max(minv) AS fit FROM mn GROUP BY i)
+    SELECT o.bin, o.n, o.pos AS n_pos,
+           o.pos::DOUBLE / o.n::DOUBLE AS rate_raw,
+           fit.fit AS rate_fit
+    FROM o JOIN fit ON o.i = fit.i
+    """,
+)
+def q193_isotonic_calibration(spark, sf_dir):
+    """Isotonic score calibration (analytics.isotonic_calibrate):
+    events binned by their JSON props score (k -> 16 bins), label =
+    positive value; PAV pools every monotonicity violation into a
+    non-decreasing calibrated rate. The engine runs the O(B) PAV
+    stack on the bounded bin frame; the ORACLE computes the O(B^3)
+    minimax characterization fit_i = max_{j<=i} min_{k>=i}
+    avg(j..k) in SQL — two different algorithms for the same
+    estimator agreeing bit-for-bit (every fitted value is one
+    sum/sum divide of the same integer range totals) is the
+    certification."""
+    from capex_data_pipeline_spark.extensions.analytics import (
+        isotonic_calibrate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    binned = (
+        ev.filter(k.isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.floor(k * 16 / F.lit(100.0)).cast("int").alias("bin"),
+            (F.col("value") > 0).cast("long").alias("y"),
+        )
+    )
+    return isotonic_calibrate(binned, "bin", "y").select(
+        "bin", "n",
+        F.col("n_pos").alias("n_pos"),
+        "rate_raw", "rate_fit",
+    )

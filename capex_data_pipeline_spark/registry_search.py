@@ -886,3 +886,84 @@ def q115_kmeans(spark, sf_dir):
     return kmeans_lloyd(
         _t(spark, sf_dir, "embeddings"), k=_KM_K, rounds=_KM_ROUNDS
     )
+
+
+# ------------------------------------------- RAKE keyword extraction
+
+
+def _q191_sql() -> str:
+    from capex_data_pipeline_spark.oracle_frags import WORDS_SQL as _W
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {_W} AS ws FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             unnest(range(1, len(ws) + 1)) AS pos,
+             unnest(ws) AS word
+      FROM tok
+    ),
+    wf AS (SELECT doc_id, pos, word FROM w WHERE word <> ''),
+    stop AS (
+      SELECT word FROM (
+        SELECT word, count(*) AS c FROM wf GROUP BY word
+      ) ORDER BY c DESC, word ASC LIMIT 5
+    ),
+    surv AS (
+      SELECT doc_id, pos, word,
+             pos - row_number() OVER (
+               PARTITION BY doc_id ORDER BY pos
+             ) AS isl
+      FROM wf WHERE word NOT IN (SELECT word FROM stop)
+    ),
+    ph AS (
+      SELECT doc_id, isl,
+             string_agg(word, ' ' ORDER BY pos) AS phrase,
+             count(*) AS plen
+      FROM surv GROUP BY doc_id, isl
+    ),
+    pw AS (
+      SELECT s.doc_id, s.isl, s.word, p.plen
+      FROM surv s JOIN ph p ON s.doc_id = p.doc_id AND s.isl = p.isl
+    ),
+    ws AS (
+      SELECT word,
+             CAST(floor(sum(plen)::DOUBLE * 1000000.0
+                        / count(*)::DOUBLE) AS BIGINT) AS ws6
+      FROM pw GROUP BY word
+    ),
+    occ AS (
+      SELECT pw.doc_id, pw.isl, p.phrase, p.plen,
+             sum(ws.ws6) AS ss
+      FROM pw JOIN ws ON pw.word = ws.word
+      JOIN ph p ON pw.doc_id = p.doc_id AND pw.isl = p.isl
+      GROUP BY pw.doc_id, pw.isl, p.phrase, p.plen
+    )
+    SELECT phrase, plen::INTEGER AS n_words,
+           count(*) AS n_occurrences,
+           ss / 1000000.0 AS score
+    FROM occ
+    GROUP BY phrase, plen, ss
+    ORDER BY ss DESC, phrase ASC
+    LIMIT 20
+    """
+
+
+@query("q191_rake_keywords", _q191_sql())
+def q191_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (textstats.rake_keywords; Rose et al.
+    2010): top-20 corpus phrases by degree/frequency word scoring over
+    stopword-free word runs, with the stopword list itself derived
+    from the corpus (top-5 words) so the whole chain is replayable.
+    Gaps-and-islands phrase assembly under doc-partitioned windows;
+    compact word/phrase-key aggregates; word scores quantized to
+    integer micropoints before the phrase sum so the score is
+    bit-exact under any association — the oracle replays tokenize,
+    stopwords, islands, both stat frames, and the ranking."""
+    from capex_data_pipeline_spark.extensions.textstats import rake_keywords
+
+    return rake_keywords(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        n_stopwords=5, k=20,
+    )

@@ -494,3 +494,78 @@ def test_skyline2d_nulls_and_single_bucket(spark):
     )
     got = {r["id"] for r in skyline2d(df, "m", "v", F.lit(0)).collect()}
     assert got == {1, 2}  # 3 dominated by 2; 4/5 excluded
+
+
+# ------------------------------------- isotonic calibration (q193)
+
+
+def test_isotonic_calibrate_pools_violations(spark):
+    """Hand-computed PAV: a dipping middle bin pools with its
+    neighbor; already-monotone bins pass through; the fit is
+    non-decreasing and preserves the weighted total."""
+    from capex_data_pipeline_spark.extensions.analytics import (
+        isotonic_calibrate,
+    )
+
+    # bins: 0 -> 1/4, 1 -> 3/4, 2 -> 1/4 (violation), 3 -> 4/4
+    rows = (
+        [(0, 1)] * 1 + [(0, 0)] * 3
+        + [(1, 1)] * 3 + [(1, 0)] * 1
+        + [(2, 1)] * 1 + [(2, 0)] * 3
+        + [(3, 1)] * 4
+    )
+    df = spark.createDataFrame(rows, "bin int, y int")
+    got = {
+        r["bin"]: (r["n"], r["n_pos"], r["rate_raw"], r["rate_fit"])
+        for r in isotonic_calibrate(df, "bin", "y").collect()
+    }
+    # bins 1+2 pool: (3+1)/(4+4) = 0.5
+    assert got[0] == (4, 1, 0.25, 0.25)
+    assert got[1] == (4, 3, 0.75, 0.5)
+    assert got[2] == (4, 1, 0.25, 0.5)
+    assert got[3] == (4, 4, 1.0, 1.0)
+
+
+def test_isotonic_calibrate_differential_random(spark):
+    """Python PAV replay on random bins: cascading pools (a low bin
+    arriving late pools backward through several blocks)."""
+    import random
+
+    from capex_data_pipeline_spark.extensions.analytics import (
+        isotonic_calibrate,
+    )
+
+    rng = random.Random(193)
+    rows = []
+    for b in range(12):
+        n = rng.randint(1, 30)
+        p = rng.randint(0, n)
+        rows += [(b, 1)] * p + [(b, 0)] * (n - p)
+    df = spark.createDataFrame(rows, "bin int, y int")
+    got = sorted(
+        (r["bin"], r["rate_fit"])
+        for r in isotonic_calibrate(df, "bin", "y").collect()
+    )
+    # reference PAV
+    agg = {}
+    for b, y in rows:
+        n, p = agg.get(b, (0, 0))
+        agg[b] = (n + 1, p + y)
+    blocks = []
+    order = sorted(agg)
+    for b in order:
+        n, p = agg[b]
+        blocks.append([1, n, p])
+        while len(blocks) >= 2 and blocks[-1][2] * blocks[-2][1] < blocks[-2][2] * blocks[-1][1]:
+            s2, n2, p2 = blocks.pop()
+            blocks[-1][0] += s2
+            blocks[-1][1] += n2
+            blocks[-1][2] += p2
+    expect, i = [], 0
+    for span, n, p in blocks:
+        for _ in range(span):
+            expect.append((order[i], p / n))
+            i += 1
+    assert got == sorted(expect)
+    fits = [f for _, f in got]
+    assert all(a <= b for a, b in zip(fits, fits[1:]))  # monotone

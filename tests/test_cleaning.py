@@ -519,3 +519,58 @@ def test_cluster_safe_split_covers_singletons(spark):
     rows = cluster_safe_split(docs, [("train", 0.5), ("test", 0.5)]).collect()
     assert len(rows) == 10  # total coverage
     assert all(r["cluster_id"] == r["doc_id"] for r in rows)  # own cluster
+
+
+def test_asof_join_forward_and_nearest(spark):
+    """Direction semantics on a hand grid: forward takes the earliest
+    at-or-after match, nearest takes the closer side with exact ties
+    preferring backward; tolerance applies to the chosen match."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from capex_data_pipeline_spark.extensions.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (1, 25.0), (2, 5.0)], "k long, t double"
+    )
+    right = spark.createDataFrame(
+        [(1, 8.0, "b8"), (1, 12.0, "f12"), (1, 40.0, "f40"),
+         (2, 90.0, "far")],
+        "k long, t double, rv string",
+    )
+    fwd = {
+        (r["k"], r["t"]): (r["rv_asof"], r["t_asof"])
+        for r in asof_join(
+            left, right, on="k", time_col="t", direction="forward"
+        ).collect()
+    }
+    # t=10 -> earliest >= 10 is 12; t=25 -> 40; k2 t=5 -> 90
+    assert fwd[(1, 10.0)] == ("f12", 12.0)
+    assert fwd[(1, 25.0)] == ("f40", 40.0)
+    assert fwd[(2, 5.0)] == ("far", 90.0)
+
+    near = {
+        (r["k"], r["t"]): (r["rv_asof"], r["t_asof"])
+        for r in asof_join(
+            left, right, on="k", time_col="t", direction="nearest"
+        ).collect()
+    }
+    # t=10: |10-8|=2 vs |12-10|=2 -> tie -> backward (8)
+    assert near[(1, 10.0)] == ("b8", 8.0)
+    # t=25: backward 12 (d=13) vs forward 40 (d=15) -> 12
+    assert near[(1, 25.0)] == ("f12", 12.0)
+    assert near[(2, 5.0)] == ("far", 90.0)
+
+    tol = {
+        (r["k"], r["t"]): r["rv_asof"]
+        for r in asof_join(
+            left, right, on="k", time_col="t",
+            direction="nearest", tolerance_seconds=13.0,
+        ).collect()
+    }
+    assert tol[(2, 5.0)] is None  # 85 away > 13
+    assert tol[(1, 25.0)] == "f12"
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", time_col="t", direction="sideways")

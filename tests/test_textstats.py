@@ -312,3 +312,51 @@ def test_curriculum_buckets_plan_and_guard(spark):
 
     with _pt.raises(ValueError, match="n_buckets"):
         curriculum_buckets(df, "s", n_buckets=1)
+
+
+# ------------------------------------------ RAKE keywords (q191)
+
+
+def test_rake_keywords_hand_computed(spark):
+    """Classic RAKE arithmetic on a crafted corpus where 'the' and 'of'
+    dominate (become data-derived stopwords) and a repeated two-word
+    phrase outscores singletons via the degree term."""
+    from capex_data_pipeline_spark.extensions.textstats import rake_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the deep learning of the deep learning"),
+            (2, "the deep learning of models"),
+            (3, "of the sky of"),
+        ],
+        "doc_id long, text string",
+    )
+    # word counts: the=4, of=4, deep=3, learning=3, models=1, sky=1
+    # stopwords (top-2): 'of' and 'the'
+    out = {
+        r["phrase"]: (r["n_words"], r["n_occurrences"], r["score"])
+        for r in rake_keywords(
+            docs, "text", "doc_id", n_stopwords=2, k=10
+        ).collect()
+    }
+    # phrases: 'deep learning' x3, 'models' x1, 'sky' x1
+    # deg(deep)=deg(learning)=6, freq=3 -> score 2.0 each
+    # 'deep learning' = 4.0; models = 1.0; sky = 1.0
+    assert out["deep learning"] == (2, 3, 4.0)
+    assert out["models"] == (1, 1, 1.0)
+    assert out["sky"] == (1, 1, 1.0)
+    assert len(out) == 3
+
+
+def test_rake_keywords_empty_and_all_stop(spark):
+    """Docs that are empty or dissolve entirely into stopwords yield
+    no phrases; k bounds the report."""
+    from capex_data_pipeline_spark.extensions.textstats import rake_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, ""), (3, None), (4, "a b a b c")],
+        "doc_id long, text string",
+    )
+    # counts: a=5, b=3, c=1 -> stopwords(top-2) = {a, b}
+    out = rake_keywords(docs, "text", "doc_id", n_stopwords=2, k=1).collect()
+    assert [(r["phrase"], r["score"]) for r in out] == [("c", 1.0)]
