@@ -261,6 +261,10 @@ HEADLINE = [
     "q192_asof_nearest",
     # round-10 (cont.): O(B) PAV stack, minimax-certified
     "q193_isotonic_calibration",
+    # round-10 (cont.): corpus x broadcast(benchmark bands), no shuffle
+    "q194_fuzzy_decontamination",
+    # round-10 (cont.): one token-sum aggregate + group-sized driver walk
+    "q195_token_budget",
 ]
 
 

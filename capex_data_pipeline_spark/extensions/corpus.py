@@ -2659,3 +2659,80 @@ def group_priority_sample(
             ).alias("est_weight"),
         )
     )
+
+
+def token_budget_allocation(
+    df: DataFrame,
+    weights: "dict[str, int]",
+    total_budget: int,
+    group_col: str = "source",
+    tokens_col: str = "tokens",
+    default_weight: int = 0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Integer token-budget allocation across sources by LARGEST
+    REMAINDER (Hamilton's method): each source's quota is
+    budget · w_s / Σw, floored; the leftover units go one each to the
+    largest fractional remainders (ties to the smaller source name).
+    The missing third of the mixture toolkit: ``mixture_sample``
+    decides what survives, ``mixture_schedule`` decides when it's
+    seen, this decides exactly HOW MANY tokens each source owes a run
+    with a fixed budget — allocations sum to the budget EXACTLY (no
+    drifting rounded shares), and ``epochs = alloc / available``
+    says how many passes over a small source that implies.
+
+    One token-sum aggregate over the data; the allocation itself is a
+    driver walk over the group-sized frame (the q181/q193
+    histogram-walk convention — the group domain is metadata).
+    Weights are INTEGERS, so every quota is a rational with
+    denominator Σw: floors and remainder comparisons are exact, and
+    the oracle reproduces the allocation bit-for-bit.
+
+    Returns (group_col, available_tokens, weight, quota_raw,
+    alloc_tokens, epochs) with sum(alloc_tokens) == total_budget.
+    """
+    import math
+
+    if total_budget < 0:
+        raise ValueError("token_budget_allocation: negative budget")
+    for name, wt in weights.items():
+        if int(wt) < 0:
+            raise ValueError(f"negative weight for {name!r}")
+    g = sorted(
+        df.groupBy(group_col)
+        .agg(F.sum(tokens_col).cast("long").alias("_avail"))
+        .collect(),
+        key=lambda r: (r[group_col] is not None, r[group_col]),
+    )
+    wsum = sum(
+        int(weights.get(r[group_col], default_weight)) for r in g
+    )
+    rows = []
+    for r in g:
+        wt = int(weights.get(r[group_col], default_weight))
+        quota = (float(total_budget) * wt / wsum) if wsum else 0.0
+        base = int(math.floor(quota))
+        rows.append(
+            [r[group_col], int(r["_avail"] or 0), wt, quota, base,
+             quota - base]
+        )
+    leftover = total_budget - sum(r[4] for r in rows) if wsum else 0
+    for r in sorted(rows, key=lambda r: (-r[5], r[0]))[:leftover]:
+        r[4] += 1
+    spark = df.sparkSession
+    schema = (
+        df.select(group_col).schema
+        .add("available_tokens", "long").add("weight", "long")
+        .add("quota_raw", "double").add("alloc_tokens", "long")
+        .add("epochs", "double")
+    )
+    return spark.createDataFrame(
+        [
+            (
+                grp, avail, wt, round(quota, decimals), alloc,
+                round(alloc / avail, decimals) if avail else None,
+            )
+            for grp, avail, wt, quota, alloc, _rem in rows
+        ],
+        schema,
+    )

@@ -1963,3 +1963,112 @@ def golden_record(
         )
         out = out.join(mode, cluster_col)
     return out
+
+
+def minhash_cross_dups(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int | None = DEFAULT_BANDS,
+    k: int = DEFAULT_SHINGLE_K,
+    threshold: float = 0.5,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """FUZZY decontamination: MinHash-LSH between TWO frames — every
+    corpus document whose signature shares a band with a benchmark
+    document, with the signature-estimated Jaccard. The near-dup
+    generalization of q47's exact-shingle contamination check: a
+    benchmark question paraphrased, truncated, or reformatted still
+    collides in band space, where exact shingle membership misses it.
+
+    Same signature/banding math as :func:`minhash_near_dups` (so the
+    oracle replays one shared definition), but the join is
+    corpus-banded x BENCHMARK-banded: the benchmark side is
+    eval-sized, so with ``broadcast_bench`` its banded frame
+    broadcasts and the corpus NEVER SHUFFLES — the flag is applied
+    map-side in one pass, the same plan shape as q47's broadcast
+    shingle set. Returns (corpus id, bench id, est_jaccard >=
+    threshold), distinct per pair.
+    """
+    if bands is None:
+        bands = banding_for_threshold(num_hashes, threshold)
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    rows_per_band = num_hashes // bands
+    bench_text_col = bench_text_col or text_col
+    bench_id_col = bench_id_col or id_col
+
+    def _banded(df: DataFrame, tcol: str, icol: str, tag: str) -> DataFrame:
+        def seeded(i: int):
+            prefix = f"{i}|"
+            return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+        sig = (
+            df.select(F.col(icol).alias(f"{tag}id"), F.col(tcol).alias("_t"))
+            .withColumn("_sh", _shingles_expr("_t", k))
+            .select(
+                f"{tag}id",
+                F.array(
+                    *[
+                        F.array_min(F.transform(F.col("_sh"), seeded(i)))
+                        for i in range(num_hashes)
+                    ]
+                ).alias(f"{tag}sig"),
+            )
+        )
+        return sig.select(
+            f"{tag}id",
+            f"{tag}sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.array_join(
+                                    F.slice(
+                                        F.col(f"{tag}sig"),
+                                        b * rows_per_band + 1,
+                                        rows_per_band,
+                                    ),
+                                    "|",
+                                )
+                            ).alias("bhash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            f"{tag}id", f"{tag}sig",
+            F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"),
+        )
+
+    c = _banded(corpus, text_col, id_col, "c_")
+    b = _banded(bench, bench_text_col, bench_id_col, "b_")
+    if broadcast_bench:
+        b = F.broadcast(b)
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("c_sig"), F.col("b_sig"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return (
+        c.join(b, ["band", "bhash"])
+        .select("c_id", "b_id", "c_sig", "b_sig")
+        .dropDuplicates(["c_id", "b_id"])
+        .select(
+            F.col("c_id").alias(id_col),
+            F.col("b_id").alias(f"bench_{bench_id_col}"),
+            F.round(est, 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )

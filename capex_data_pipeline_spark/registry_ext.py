@@ -1438,3 +1438,66 @@ def q45_stratified_sample(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "q194_fuzzy_decontamination",
+    f"""
+    WITH bench AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0
+    ), corp AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+    ), bsig AS (
+      SELECT doc_id,
+             list_transform(range(0, 8),
+               i -> list_min(list_transform({_SHINGLES}, s -> md5(i || '|' || s)))) AS sig
+      FROM bench
+    ), csig AS (
+      SELECT doc_id,
+             list_transform(range(0, 8),
+               i -> list_min(list_transform({_SHINGLES}, s -> md5(i || '|' || s)))) AS sig
+      FROM corp
+    ), bb AS (
+      SELECT doc_id, sig, b,
+             md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS bhash
+      FROM bsig, (SELECT unnest([0, 1, 2, 3]) AS b) bands
+    ), cb AS (
+      SELECT doc_id, sig, b,
+             md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS bhash
+      FROM csig, (SELECT unnest([0, 1, 2, 3]) AS b) bands
+    ), pairs AS (
+      SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_doc_id,
+                      c.sig AS sig_c, b.sig AS sig_b
+      FROM cb c JOIN bb b ON c.b = b.b AND c.bhash = b.bhash
+    )
+    SELECT doc_id, bench_doc_id,
+           round(len(list_filter(range(1, 9), i -> sig_c[i] = sig_b[i])) / 8.0, 4)
+             AS est_jaccard
+    FROM pairs
+    WHERE len(list_filter(range(1, 9), i -> sig_c[i] = sig_b[i])) / 8.0 >= 0.5
+    """,
+)
+def q194_fuzzy_decontamination(spark, sf_dir):
+    """Fuzzy train/eval decontamination (dedup.minhash_cross_dups):
+    every corpus document sharing a MinHash band with a held-out
+    benchmark slice (doc_id % 37 == 0), scored by signature-estimated
+    Jaccard — q47's exact-shingle check catches verbatim leaks, this
+    catches the paraphrased/truncated ones. Identical signature math
+    to q31, but the join is corpus x BROADCAST(benchmark bands): the
+    corpus never shuffles, the flag applies map-side in one pass —
+    the plan shape that holds when the corpus is 100 TB and the
+    benchmark is a few thousand rows."""
+    from capex_data_pipeline_spark.extensions.dedup import (
+        minhash_cross_dups,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id", "text")
+    corp = docs.filter(F.col("doc_id") % 37 != 0).select("doc_id", "text")
+    return minhash_cross_dups(
+        corp, bench, num_hashes=8, bands=4, threshold=0.5
+    ).select(
+        "doc_id",
+        F.col("bench_doc_id"),
+        "est_jaccard",
+    )

@@ -4096,3 +4096,74 @@ def q190_golden_record(spark, sf_dir):
         "lang_mode",
         "source_mode",
     )
+
+
+# ---- q195: largest-remainder token-budget allocation
+
+
+_Q195_W = {"src0": 7, "src1": 5, "src2": 5, "src3": 2, "src4": 1}
+_Q195_BUDGET = 1_000_003  # deliberately not divisible: remainders matter
+
+
+@query(
+    "q195_token_budget",
+    f"""
+    WITH t AS (
+      SELECT source, sum(CAST(floor(n_chars / 4.0) AS BIGINT)) AS avail
+      FROM documents GROUP BY source
+    ),
+    wts AS (
+      SELECT source, avail,
+             CASE source
+               WHEN 'src0' THEN 7 WHEN 'src1' THEN 5 WHEN 'src2' THEN 5
+               WHEN 'src3' THEN 2 WHEN 'src4' THEN 1 ELSE 1 END AS weight
+      FROM t
+    ),
+    q AS (
+      SELECT source, avail, weight,
+             {_Q195_BUDGET}.0 * weight / (SELECT sum(weight) FROM wts)
+               AS quota,
+             CAST(floor({_Q195_BUDGET}.0 * weight
+                        / (SELECT sum(weight) FROM wts)) AS BIGINT) AS base
+      FROM wts
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY quota - base DESC, source ASC)
+               AS rk,
+             {_Q195_BUDGET} - (SELECT sum(base) FROM q) AS leftover
+      FROM q
+    )
+    SELECT source, avail AS available_tokens, weight::BIGINT AS weight,
+           round(quota, 6) AS quota_raw,
+           base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+             AS alloc_tokens,
+           round((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                 / nullif(avail, 0)::DOUBLE, 6) AS epochs
+    FROM r
+    """,
+)
+def q195_token_budget(spark, sf_dir):
+    """Fixed-budget token allocation across sources by largest
+    remainder (corpus.token_budget_allocation; Hamilton's method):
+    ~1M tokens split 7/5/5/2/1/1... over the corpus sources, allocations
+    summing to the budget EXACTLY, with epochs = alloc/available
+    exposing which sources the mixture forces into multi-epoch
+    repetition. Completes the mixture toolkit (q69 what survives,
+    q123 when it's seen, this how much each source owes). Integer
+    weights make every quota a Σw-denominator rational, so floors and
+    remainder ranks replay exactly in the oracle. Token counts use
+    the chars/4 heuristic per document, summed in one aggregate;
+    the allocation is a group-sized driver walk."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        token_budget_allocation,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.floor(F.col("n_chars") / F.lit(4.0)).cast("long").alias("tokens"),
+    )
+    return token_budget_allocation(
+        docs, _Q195_W, _Q195_BUDGET, group_col="source",
+        tokens_col="tokens", default_weight=1,
+    )

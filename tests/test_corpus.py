@@ -1236,3 +1236,44 @@ def test_group_priority_sample_per_group_reference(spark):
         gw, gp, ge = got[kk]
         assert gw == w and gp == pytest.approx(p, rel=1e-12)
         assert ge == pytest.approx(e, rel=1e-12)
+
+
+# ------------------------------- token budget allocation (q195)
+
+
+def test_token_budget_largest_remainder(spark):
+    """Hamilton allocation: floors + remainder-ranked leftovers, sums
+    exactly to the budget; zero-weight sources get nothing; epochs
+    flags over-subscribed sources; empty-available source divides to
+    NULL."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        token_budget_allocation,
+    )
+
+    rows = (
+        [("a", 10)] * 3 + [("b", 50)] * 2 + [("c", 1)] + [("d", 0)]
+    )
+    df = spark.createDataFrame(rows, "source string, tokens long")
+    # weights a=2 b=1 c=1 (d default 0); budget 10 -> quotas 5, 2.5, 2.5
+    # floors 5,2,2 -> leftover 1 -> remainder tie 0.5/0.5 -> 'b' wins
+    got = {
+        r["source"]: (
+            r["available_tokens"], r["weight"], r["quota_raw"],
+            r["alloc_tokens"], r["epochs"],
+        )
+        for r in token_budget_allocation(
+            df, {"a": 2, "b": 1, "c": 1}, 10
+        ).collect()
+    }
+    assert got["a"] == (30, 2, 5.0, 5, round(5 / 30, 6))
+    assert got["b"] == (100, 1, 2.5, 3, round(3 / 100, 6))
+    assert got["c"] == (1, 1, 2.5, 2, 2.0)  # 2 epochs of a tiny source
+    assert got["d"] == (0, 0, 0.0, 0, None)
+    assert sum(v[3] for v in got.values()) == 10
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        token_budget_allocation(df, {"a": -1}, 10)
+    with _pt.raises(ValueError):
+        token_budget_allocation(df, {"a": 1}, -5)

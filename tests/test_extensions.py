@@ -1873,3 +1873,44 @@ def test_golden_record_rules_hand_computed(spark):
 
     with _pt.raises(ValueError):
         golden_record(df, "cluster_id")
+
+
+# ---------------------------------- fuzzy decontamination (q194)
+
+
+def test_minhash_cross_dups_flags_planted_leaks(spark):
+    """A benchmark doc copied into the corpus (verbatim and with a
+    short suffix) is flagged; unrelated corpus docs are not; the
+    benchmark side never pairs with itself; the join plan broadcasts
+    the benchmark."""
+    from capex_data_pipeline_spark.extensions.dedup import (
+        minhash_cross_dups,
+    )
+
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while the hunter waits behind the old oak tree at dawn"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text),                       # verbatim leak
+            (2, bench_text + " extra token"),      # near leak
+            (3, "completely different words about spark shuffle plans "
+                "and columnar execution engines with vectorized readers"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    out = minhash_cross_dups(
+        corpus, bench, num_hashes=8, bands=4, threshold=0.5
+    )
+    got = {
+        (r["doc_id"], r["bench_doc_id"]): r["est_jaccard"]
+        for r in out.collect()
+    }
+    assert got[(1, 100)] == 1.0
+    assert (2, 100) in got and got[(2, 100)] >= 0.5
+    assert all(c != 3 for c, _ in got)
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
