@@ -265,6 +265,8 @@ HEADLINE = [
     "q194_fuzzy_decontamination",
     # round-10 (cont.): one token-sum aggregate + group-sized driver walk
     "q195_token_budget",
+    # round-10 (cont.): pair-local band collisions, no per-config joins
+    "q196_lsh_banding_audit",
 ]
 
 
@@ -1586,6 +1588,83 @@ def stress_editjoin() -> None:
 
 
 
+def stress_inc() -> None:
+    """``bench.py --stress-inc``: measure what q189's incremental
+    fold actually buys — wall time of folding a small NEW-edge batch
+    into an existing component labeling vs re-clustering everything
+    from scratch, at sf0.1 on the co-purchase graph. The labeling is
+    persisted first (it exists by definition in the incremental
+    scenario), so the comparison isolates the per-batch cost a daily
+    dedup pays."""
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_STRESS_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.cache import persisted
+    from capex_data_pipeline_spark.extensions.graph import (
+        cc_incremental,
+        connected_components,
+    )
+    from capex_data_pipeline_spark.registry_graph import _copurchase_edges
+    from capex_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="capex-stress-inc",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    edges = persisted(_copurchase_edges(spark, sf_dir))
+    n_edges = edges.count()
+    out = {}
+    for pct, modulus in [("5pct", 20), ("1pct", 100)]:
+        is_new = (F.col("a") + F.col("b")) % modulus == 0
+        old_e = edges.filter(~is_new)
+        new_e = persisted(edges.filter(is_new))
+        n_new = new_e.count()
+        labels = persisted(
+            connected_components(
+                old_e, src_col="a", dst_col="b",
+                until_fixpoint=True, assume_canonical=True,
+            )
+        )
+        labels.count()  # materialize: the pre-existing labeling
+        t0 = time.time()
+        inc = cc_incremental(labels, new_e, src_col="a", dst_col="b")
+        n_inc = inc.count()
+        inc_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        full = connected_components(
+            edges, src_col="a", dst_col="b",
+            until_fixpoint=True, assume_canonical=True,
+        )
+        n_full = full.count()
+        full_sec = round(time.time() - t0, 3)
+        out[pct] = {
+            "n_new_edges": n_new,
+            "incremental_sec": inc_sec,
+            "full_recompute_sec": full_sec,
+            "speedup": round(full_sec / inc_sec, 2) if inc_sec else None,
+            "rows_labeled": n_inc,
+            "rows_full": n_full,
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "stress_inc_cc",
+                "value": out["1pct"]["speedup"],
+                "unit": "x_speedup",
+                "n_edges": n_edges,
+                "runs": out,
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+            }
+        )
+    )
+
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -1715,6 +1794,8 @@ if __name__ == "__main__":
         stress_join()
     elif "--stress-editjoin" in sys.argv[1:]:
         stress_editjoin()
+    elif "--stress-inc" in sys.argv[1:]:
+        stress_inc()
     elif "--family" in sys.argv[1:]:
         family_bench()
     elif "--stress-tokenizer" in sys.argv[1:]:

@@ -2072,3 +2072,141 @@ def minhash_cross_dups(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+def lsh_banding_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    k: int = DEFAULT_SHINGLE_K,
+    threshold: float = 0.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """MEASURED banding audit for the MinHash-LSH family: for every
+    legal (bands, rows-per-band) split of the signature, what recall
+    does banded candidate generation ACTUALLY achieve on this
+    corpus's true near-dup pairs, vs the S-curve prediction
+    1-(1-J^r)^b the parameter choice was made from? q31/q33/q38 pick
+    a banding and state the recall model; this operator closes the
+    loop — the audit a curator runs before trusting a threshold on a
+    NEW corpus, because the S-curve is exact per pair but the
+    portfolio recall depends on where this corpus's pair-Jaccard mass
+    actually sits.
+
+    Ground truth: ALL pairs with exact shingle-Jaccard >= threshold,
+    from the any-shared-shingle inverted-index join (complete for any
+    threshold > 0 — the same argument the q161 oracle uses). Band
+    collisions are then decided PAIR-LOCALLY from the two signatures
+    (a slice-equality EXISTS — no per-config LSH joins), so the whole
+    audit costs one candidate join + |configs| aggregates over the
+    persisted pair frame. The shared-shingle join is output-bound on
+    template-heavy corpora; a 100 TB deployment runs this audit on a
+    ``hash_sample`` slice — the estimator is a mean, so a uniform
+    pair sample is unbiased.
+
+    Determinism: predicted per-pair probabilities pass through pow()
+    (engines may differ in the last ulp), so they are quantized to
+    integer micropoints and summed as BIGINTs (the q191 convention)
+    before the single final divide.
+
+    Returns one row per config: (bands, rows_per_band, n_pairs,
+    n_collided, recall_measured, recall_predicted, curve_midpoint).
+    """
+    from capex_data_pipeline_spark.cache import persisted
+
+    def seeded(i: int):
+        prefix = f"{i}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .withColumn("_sh", _shingles_expr("_t", k))
+        .select(
+            "id",
+            "_sh",
+            F.array(
+                *[
+                    F.array_min(F.transform(F.col("_sh"), seeded(i)))
+                    for i in range(num_hashes)
+                ]
+            ).alias("sig"),
+        )
+    )
+    sh = base.select("id", F.explode("_sh").alias("_s"))
+    cand = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a._s") == F.col("b._s"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("ida"), F.col("b.id").alias("idb")
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size(F.col("sha")) + F.size(F.col("shb")) - inter
+    pairs = persisted(
+        cand.join(
+            base.select(
+                F.col("id").alias("ida"),
+                F.col("_sh").alias("sha"),
+                F.col("sig").alias("siga"),
+            ),
+            "ida",
+        )
+        .join(
+            base.select(
+                F.col("id").alias("idb"),
+                F.col("_sh").alias("shb"),
+                F.col("sig").alias("sigb"),
+            ),
+            "idb",
+        )
+        .select(
+            "ida", "idb", "siga", "sigb",
+            (inter.cast("double") / union.cast("double")).alias("j"),
+        )
+        .filter(F.col("j") >= F.lit(float(threshold)))
+    )
+    configs = [
+        (b, num_hashes // b)
+        for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0
+    ]
+    out = None
+    for b, r in configs:
+        collide = F.exists(
+            F.sequence(F.lit(0), F.lit(b - 1)),
+            lambda bb: F.slice(F.col("siga"), bb * r + 1, r)
+            == F.slice(F.col("sigb"), bb * r + 1, r),
+        )
+        pred6 = F.round(
+            (
+                F.lit(1.0)
+                - F.pow(F.lit(1.0) - F.pow(F.col("j"), F.lit(r)), F.lit(b))
+            )
+            * F.lit(1000000.0)
+        ).cast("long")
+        row = pairs.agg(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(collide.cast("long")).alias("n_collided"),
+            F.round(
+                F.sum(collide.cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                decimals,
+            ).alias("recall_measured"),
+            F.round(
+                F.sum(pred6) / (F.count(F.lit(1)) * F.lit(1000000.0)),
+                decimals,
+            ).alias("recall_predicted"),
+            F.round(
+                F.pow(F.lit(1.0 / b), F.lit(1.0 / r)), decimals
+            ).alias("curve_midpoint"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1501,3 +1501,79 @@ def q194_fuzzy_decontamination(spark, sf_dir):
         F.col("bench_doc_id"),
         "est_jaccard",
     )
+
+
+def _q196_cfg(b: int, r: int) -> str:
+    return f"""
+    SELECT {b} AS bands, {r} AS rows_per_band,
+           count(*) AS n_pairs,
+           coalesce(sum(CASE WHEN len(list_filter(range(0, {b}),
+                    bb -> siga[bb*{r}+1 : bb*{r}+{r}]
+                          = sigb[bb*{r}+1 : bb*{r}+{r}])) > 0
+                    THEN 1 ELSE 0 END), 0)::BIGINT AS n_collided,
+           round(coalesce(sum(CASE WHEN len(list_filter(range(0, {b}),
+                    bb -> siga[bb*{r}+1 : bb*{r}+{r}]
+                          = sigb[bb*{r}+1 : bb*{r}+{r}])) > 0
+                    THEN 1 ELSE 0 END), 0)
+                 / count(*)::DOUBLE, 6) AS recall_measured,
+           round(sum(CAST(round((1.0 - pow(1.0 - pow(j, {r}), {b}))
+                                * 1000000.0) AS BIGINT))
+                 / (count(*) * 1000000.0), 6) AS recall_predicted,
+           round(pow(1.0 / {b}, 1.0 / {r}), 6) AS curve_midpoint
+    FROM pairs
+    """
+
+
+@query(
+    "q196_lsh_banding_audit",
+    f"""
+    WITH sets AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 8),
+               i -> list_min(list_transform({_SHINGLES}, s -> md5(i || '|' || s)))) AS sig
+      FROM documents
+    ), ex AS (
+      SELECT s.doc_id, s.sh, g.sig
+      FROM sets s JOIN sig g USING (doc_id)
+    ), shl AS (
+      SELECT doc_id, unnest(sh) AS s FROM sets
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      FROM shl a JOIN shl b ON a.s = b.s AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT c.ida, c.idb, ea.sig AS siga, eb.sig AS sigb,
+             len(list_intersect(ea.sh, eb.sh))::DOUBLE
+               / (len(ea.sh) + len(eb.sh)
+                  - len(list_intersect(ea.sh, eb.sh)))::DOUBLE AS j
+      FROM cand c
+      JOIN ex ea ON ea.doc_id = c.ida
+      JOIN ex eb ON eb.doc_id = c.idb
+      WHERE len(list_intersect(ea.sh, eb.sh))::DOUBLE
+            / (len(ea.sh) + len(eb.sh)
+               - len(list_intersect(ea.sh, eb.sh)))::DOUBLE >= 0.5
+    )
+    {" UNION ALL ".join(f"({_q196_cfg(b, 8 // b)})" for b in (1, 2, 4, 8))}
+    """,
+)
+def q196_lsh_banding_audit(spark, sf_dir):
+    """Banding audit for the LSH family (dedup.lsh_banding_audit):
+    for every legal (bands, rows) split of the 8-component signature,
+    the MEASURED recall of banded candidate generation on this
+    corpus's TRUE >= 0.5-Jaccard pairs next to the S-curve
+    prediction — the report that justifies (or indicts) the b/r
+    choice q31/q33/q38 run with, on the corpus actually at hand.
+    Ground truth from the complete any-shared-shingle join; band
+    collisions decided pair-locally from the signatures (no
+    per-config joins); predicted probabilities micropoint-quantized
+    before averaging so the pow() paths of two engines cannot drift
+    the sum. The oracle replays sets, signatures, the candidate
+    join, and every config's measured and predicted columns."""
+    from capex_data_pipeline_spark.extensions.dedup import (
+        lsh_banding_audit,
+    )
+
+    return lsh_banding_audit(
+        _t(spark, sf_dir, "documents"), num_hashes=8, threshold=0.5
+    )

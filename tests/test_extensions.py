@@ -1914,3 +1914,77 @@ def test_minhash_cross_dups_flags_planted_leaks(spark):
     assert (2, 100) in got and got[(2, 100)] >= 0.5
     assert all(c != 3 for c, _ in got)
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+# ------------------------------------- LSH banding audit (q196)
+
+
+def test_lsh_banding_audit_python_replay(spark):
+    """Measured collisions and predicted S-curve averages replayed in
+    Python from the same md5 signature definition, on a corpus with
+    planted near-dups; every config sees the same ground-truth pair
+    count and more bands never hurt measured recall here (r=1 bands
+    collide on any equal component)."""
+    import hashlib
+
+    from capex_data_pipeline_spark.extensions.dedup import (
+        lsh_banding_audit,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = [
+        (1, base),
+        (2, base + " phi"),                      # near-dup of 1
+        (3, base.replace("alpha", "psi")),       # near-dup of 1
+        (4, "completely different text about distributed query engines "
+            "and shuffle partitioning strategies in columnar systems"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["bands"], r["rows_per_band"]): r for r in
+        lsh_banding_audit(df, num_hashes=8, threshold=0.5).collect()
+    }
+
+    def norm_words(t):
+        import re
+        return [w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if w]
+
+    def shingles(t):
+        ws = norm_words(t)
+        if len(ws) < 3:
+            return {" ".join(ws)}
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    def sig(t):
+        sh = shingles(t)
+        return [
+            min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in sh)
+            for i in range(8)
+        ]
+
+    true_pairs = []
+    for i, (ia, ta) in enumerate(docs):
+        for ib, tb in docs[i + 1:]:
+            A, B = shingles(ta), shingles(tb)
+            j = len(A & B) / len(A | B)
+            if j >= 0.5:
+                true_pairs.append((ta, tb, j))
+    assert {k: v["n_pairs"] for k, v in got.items()} == {
+        k: len(true_pairs) for k in got
+    }
+    for (b, r), row in got.items():
+        coll = sum(
+            1 for ta, tb, _ in true_pairs
+            if any(
+                sig(ta)[bb * r:(bb + 1) * r] == sig(tb)[bb * r:(bb + 1) * r]
+                for bb in range(b)
+            )
+        )
+        assert row["n_collided"] == coll, (b, r)
+        pred = sum(
+            round((1 - (1 - j ** r) ** b) * 1e6) for _, _, j in true_pairs
+        )
+        assert row["recall_predicted"] == pytest.approx(
+            round(pred / (len(true_pairs) * 1e6), 6), abs=2e-6
+        )
