@@ -267,6 +267,8 @@ HEADLINE = [
     "q195_token_budget",
     # round-10 (cont.): pair-local band collisions, no per-config joins
     "q196_lsh_banding_audit",
+    # round-10 (cont.): one algebraic sufficient-stats aggregate
+    "q197_group_trend",
 ]
 
 

@@ -700,3 +700,72 @@ def isotonic_calibrate(
     return spark.createDataFrame(rows, schema).withColumnRenamed(
         "_b", bin_col
     )
+
+
+def group_linear_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col,
+    y_col,
+    cents: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line — slope, intercept,
+    and r² of y over x for every group — in ONE mergeable aggregate:
+    the classic sufficient-statistics form (n, Σx, Σy, Σxy, Σx², Σy²),
+    which is algebraic (partials merge by +), so a 100 TB trend scan
+    is one hash aggregate with map-side combine and a day-over-day
+    refresh merges cells like q184. The "is this metric drifting per
+    service" primitive.
+
+    Exactness contract: x must be integral (hour, day index, version);
+    y is quantized to ``cents`` decimals (the q175 integer-sum trick),
+    so every sufficient statistic is an exact BIGINT and the closed
+    forms slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) etc. divide two
+    exactly-known integers — bit-identical on any engine (int64 →
+    double conversion and the divide are both correctly rounded).
+    r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²)), computed
+    with the exact integer factors cast once. Degenerate groups
+    (constant x: denominator 0) return NULL slope/intercept/r²
+    rather than ±inf. NULL x/y rows are excluded.
+
+    Returns (group_col, n, slope, intercept, r2) — slope and
+    intercept in original y units per x unit, rounded to
+    ``decimals``.
+    """
+    scale = 10 ** cents
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    xi = x.cast("long")
+    yi = F.round(y.cast("double") * F.lit(scale)).cast("long")
+    base = df.filter(xi.isNotNull() & yi.isNotNull()).select(
+        F.col(group_col).alias("_g"), xi.alias("_x"), yi.alias("_y")
+    )
+    g = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope_scaled = num.cast("double") / F.nullif(denx, F.lit(0)).cast("double")
+    # intercept (scaled units) = (Σy − slope·Σx)/n
+    intercept_scaled = (
+        F.col("sy").cast("double") - slope_scaled * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    r2 = (num.cast("double") * num.cast("double")) / F.nullif(
+        denx.cast("double") * deny.cast("double"), F.lit(0.0)
+    )
+    return g.select(
+        F.col("_g").alias(group_col),
+        "n",
+        F.round(slope_scaled / F.lit(float(scale)), decimals).alias("slope"),
+        F.round(intercept_scaled / F.lit(float(scale)), decimals).alias(
+            "intercept"
+        ),
+        F.round(r2, decimals).alias("r2"),
+    )

@@ -1147,3 +1147,58 @@ def q182_skyline(spark, sf_dir):
         "o_totalprice",
         F.date_trunc("month", F.col("o_orderdate")),
     )
+
+
+# --- q197: per-group OLS trend from exact sufficient statistics
+
+
+@query(
+    "q197_group_trend",
+    """
+    WITH b AS (
+      SELECT event_type AS g,
+             CAST(extract(hour FROM ts) AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    s AS (
+      SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM b GROUP BY g
+    )
+    SELECT g AS event_type, n,
+           round((n * sxy - sx * sy)::DOUBLE
+                 / nullif(n * sxx - sx * sx, 0)::DOUBLE / 100.0, 6)
+             AS slope,
+           round((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+                                / nullif(n * sxx - sx * sx, 0)::DOUBLE)
+                               * sx::DOUBLE)
+                 / n::DOUBLE / 100.0, 6) AS intercept,
+           round(((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE)
+                 / nullif((n * sxx - sx * sx)::DOUBLE
+                          * (n * syy - sy * sy)::DOUBLE, 0.0), 6) AS r2
+    FROM s
+    """,
+)
+def q197_group_trend(spark, sf_dir):
+    """Per-event-type OLS trend of value over hour-of-day
+    (analytics.group_linear_trend): slope, intercept, r² from the
+    sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) in ONE
+    algebraic aggregate — map-side combinable, day-over-day
+    mergeable like q184's cells, which is what a 100 TB drift scan
+    needs. y is quantized to integer cents (the q175 trick) and x is
+    integral, so every statistic is an exact BIGINT and the closed
+    forms divide exactly-known integers — the oracle reproduces
+    every double bit-for-bit. Constant-x groups return NULL rather
+    than ±inf."""
+    from capex_data_pipeline_spark.extensions.analytics import (
+        group_linear_trend,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    return group_linear_trend(
+        ev, "event_type", F.hour("ts"), F.col("value"), cents=2
+    )

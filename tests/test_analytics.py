@@ -569,3 +569,43 @@ def test_isotonic_calibrate_differential_random(spark):
     assert got == sorted(expect)
     fits = [f for _, f in got]
     assert all(a <= b for a, b in zip(fits, fits[1:]))  # monotone
+
+
+# ----------------------------------------- per-group OLS trend (q197)
+
+
+def test_group_linear_trend_differential(spark):
+    """numpy-free OLS replay on crafted data: a perfect line (r2 = 1),
+    a noisy group, a constant-x degenerate group (NULLs), and NULL
+    exclusion."""
+    from capex_data_pipeline_spark.extensions.analytics import (
+        group_linear_trend,
+    )
+
+    rows = [("lin", x, 2.5 * x + 1.0) for x in range(10)]
+    rows += [("noisy", x, [3.0, 7.0, 4.0, 9.0, 5.0][x % 5]) for x in range(20)]
+    rows += [("const", 4, 1.0), ("const", 4, 9.0)]
+    rows += [("lin", None, 5.0), ("lin", 3, None)]
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    got = {
+        r["g"]: (r["n"], r["slope"], r["intercept"], r["r2"])
+        for r in group_linear_trend(df, "g", "x", "y").collect()
+    }
+    assert got["lin"] == (10, 2.5, 1.0, 1.0)
+    assert got["const"] == (2, None, None, None)
+
+    def ols(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+        syy = sum(y * y for _, y in pts)
+        num = n * sxy - sx * sy
+        slope = num / (n * sxx - sx * sx)
+        inter = (sy - slope * sx) / n
+        r2 = num * num / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return slope, inter, r2
+    pts = [(x, round(y * 100)) for g, x, y in rows if g == "noisy"]
+    s, i, r2 = ols(pts)
+    assert got["noisy"][1] == pytest.approx(s / 100, abs=1e-6)
+    assert got["noisy"][2] == pytest.approx(i / 100, abs=1e-6)
+    assert got["noisy"][3] == pytest.approx(r2, abs=1e-6)

@@ -1988,3 +1988,24 @@ def test_lsh_banding_audit_python_replay(spark):
         assert row["recall_predicted"] == pytest.approx(
             round(pred / (len(true_pairs) * 1e6), 6), abs=2e-6
         )
+
+
+def test_q179_corpus_ascii_pin(spark):
+    """q179's oracle parity rests on DuckDB's byte-based levenshtein
+    agreeing with Spark's codepoint-based one — true exactly when the
+    compared strings are ASCII. Pin that property on the test corpus
+    (the registry query lowercases a substring of text, so text
+    itself must be ASCII)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    n = (
+        read_table(spark, sf, "documents")
+        .filter(~F.coalesce(F.col("text"), F.lit("")).rlike(r"^[\x00-\x7F]*$"))
+        .count()
+    )
+    assert n == 0
