@@ -2081,6 +2081,8 @@ def lsh_banding_audit(
     num_hashes: int = DEFAULT_NUM_HASHES,
     k: int = DEFAULT_SHINGLE_K,
     threshold: float = 0.5,
+    sample_fraction: float = 1.0,
+    sample_seed: str = "ba",
     decimals: int = 6,
 ) -> DataFrame:
     """MEASURED banding audit for the MinHash-LSH family: for every
@@ -2105,6 +2107,15 @@ def lsh_banding_audit(
     ``hash_sample`` slice — the estimator is a mean, so a uniform
     pair sample is unbiased.
 
+    ``sample_fraction`` applies the engine-portable md5
+    ``hash_sample`` to DOCUMENTS before anything else: uniform doc
+    sampling induces uniform pair sampling (each pair survives with
+    probability f²), so every recall column stays an unbiased
+    estimate while the output-bound ground-truth join shrinks ~f² —
+    this, not the full join, is the 100 TB deployment mode, and the
+    q196 oracle replays the same hash predicate so the sampled audit
+    is still value-exact.
+
     Determinism: predicted per-pair probabilities pass through pow()
     (engines may differ in the last ulp), so they are quantized to
     integer micropoints and summed as BIGINTs (the q191 convention)
@@ -2114,12 +2125,19 @@ def lsh_banding_audit(
     n_collided, recall_measured, recall_predicted, curve_midpoint).
     """
     from capex_data_pipeline_spark.cache import persisted
+    from capex_data_pipeline_spark.extensions.corpus import hash_sample
 
     def seeded(i: int):
         prefix = f"{i}|"
         return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
-    base = (
+    if sample_fraction < 1.0:
+        df = hash_sample(df, sample_fraction, id_col, seed=sample_seed)
+    # persisted: three consumers (the shingle explode and both pair-side
+    # joins) would otherwise each re-pay the shingling + num_hashes
+    # md5-min passes — the dominant cost (same lesson as
+    # minhash_near_dups' signature persist)
+    base = persisted(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
         .withColumn("_sh", _shingles_expr("_t", k))
         .select(

@@ -1527,13 +1527,17 @@ def _q196_cfg(b: int, r: int) -> str:
 @query(
     "q196_lsh_banding_audit",
     f"""
-    WITH sets AS (
-      SELECT doc_id, {_SHINGLES} AS sh FROM documents
+    WITH sampled AS (
+      SELECT * FROM documents
+      WHERE CAST(('0x' || substr(md5('ba|' || CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) / 4294967296.0 < 0.5
+    ), sets AS (
+      SELECT doc_id, {_SHINGLES} AS sh FROM sampled
     ), sig AS (
       SELECT doc_id,
              list_transform(range(0, 8),
                i -> list_min(list_transform({_SHINGLES}, s -> md5(i || '|' || s)))) AS sig
-      FROM documents
+      FROM sampled
     ), ex AS (
       SELECT s.doc_id, s.sh, g.sig
       FROM sets s JOIN sig g USING (doc_id)
@@ -1564,7 +1568,11 @@ def q196_lsh_banding_audit(spark, sf_dir):
     corpus's TRUE >= 0.5-Jaccard pairs next to the S-curve
     prediction — the report that justifies (or indicts) the b/r
     choice q31/q33/q38 run with, on the corpus actually at hand.
-    Ground truth from the complete any-shared-shingle join; band
+    Ground truth from the complete any-shared-shingle join over a
+    deterministic md5 half-sample of the corpus (uniform doc sampling
+    = uniform pair sampling, so every recall column is an unbiased
+    estimate and the output-bound join shrinks ~4x — the deployment
+    mode at scale; the oracle replays the same hash predicate); band
     collisions decided pair-locally from the signatures (no
     per-config joins); predicted probabilities micropoint-quantized
     before averaging so the pow() paths of two engines cannot drift
@@ -1575,5 +1583,6 @@ def q196_lsh_banding_audit(spark, sf_dir):
     )
 
     return lsh_banding_audit(
-        _t(spark, sf_dir, "documents"), num_hashes=8, threshold=0.5
+        _t(spark, sf_dir, "documents"), num_hashes=8, threshold=0.5,
+        sample_fraction=0.5,
     )
