@@ -1959,6 +1959,12 @@ def group_exact_quantiles(
             f"max_groups={max_groups} — the group domain must be "
             "metadata-sized (use ddsketch_quantiles_by for open domains)"
         )
+    if len(srows) * n_buckets > 5_000_000:
+        raise ValueError(
+            f"group_exact_quantiles: {len(srows)} groups x {n_buckets} "
+            "buckets exceeds the 5M-cell driver histogram budget — "
+            "lower n_buckets or the group count"
+        )
     meta = spark.createDataFrame(
         [
             (r["_g"], float(r["_lo"]),

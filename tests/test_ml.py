@@ -2807,3 +2807,21 @@ def test_group_mad_outliers_hand_computed(spark):
     # g2: n=6 -> rank 3 -> 7.0; devs [0,0,0,0,0,.5] -> mad 0;
     # dev > 0 -> the 7.5 row
     assert got["t"] == (6, 7.0, 0.0, 1, round(1 / 6, 6))
+
+
+def test_group_exact_quantiles_cells_budget_guard(spark):
+    """groups x n_buckets above the driver histogram budget raises
+    loudly instead of collecting millions of cells."""
+    import pytest as _pt
+
+    from capex_data_pipeline_spark.extensions.sketches import (
+        group_exact_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i), float(i)) for i in range(60)], "g string, x double"
+    )
+    with _pt.raises(ValueError, match="5M-cell"):
+        group_exact_quantiles(
+            df, "g", "x", [0.5], n_buckets=100_000, max_groups=100_000
+        )
