@@ -720,9 +720,14 @@ def group_linear_trend(
 
     Exactness contract: x must be integral (hour, day index, version);
     y is quantized to ``cents`` decimals (the q175 integer-sum trick),
-    so every sufficient statistic is an exact BIGINT and the closed
-    forms slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) etc. divide two
-    exactly-known integers — bit-identical on any engine (int64 →
+    so every sufficient statistic is an exact integer. The products
+    and their sums are accumulated as DECIMAL(38,0) — NOT int64 —
+    because cents-scaled y is ~1e7 for 1e5-unit values, y² is ~1e14
+    per row, and an int64 Σy² silently wraps (Spark non-ANSI long
+    sum) around ~9e4 such rows, while DuckDB promotes BIGINT sums to
+    HUGEINT. DECIMAL(38,0) matches the HUGEINT domain (<1e38), so the
+    closed forms slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) etc. divide two
+    exactly-known integers — bit-identical on any engine (decimal →
     double conversion and the divide are both correctly rounded).
     r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²)), computed
     with the exact integer factors cast once. Degenerate groups
@@ -741,17 +746,20 @@ def group_linear_trend(
     base = df.filter(xi.isNotNull() & yi.isNotNull()).select(
         F.col(group_col).alias("_g"), xi.alias("_x"), yi.alias("_y")
     )
+    xd = F.col("_x").cast("decimal(19,0)")
+    yd = F.col("_y").cast("decimal(19,0)")
     g = base.groupBy("_g").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("_x").alias("sx"),
-        F.sum("_y").alias("sy"),
-        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
-        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
-        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    nd = F.col("n").cast("decimal(38,0)")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = nd * F.col("syy") - F.col("sy") * F.col("sy")
     slope_scaled = num.cast("double") / F.nullif(denx, F.lit(0)).cast("double")
     # intercept (scaled units) = (Σy − slope·Σx)/n
     intercept_scaled = (

@@ -56,8 +56,11 @@ def asof_join(
     window over the interleaved frame per direction (backward scans
     time ascending, forward descending; the side tag makes equal
     times inclusive either way). Nearest pays both window passes over
-    ONE union/exchange and arbitrates per row with the tolerance
-    applied to the CHOSEN match.
+    ONE union/exchange and arbitrates per row among the
+    TOLERANCE-QUALIFIED candidates (pandas merge_asof semantics: if
+    the nearer side is out of tolerance but the other side is within
+    it, the in-tolerance side wins); for backward/forward the
+    tolerance nulls out a too-stale chosen match.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -127,15 +130,24 @@ def asof_join(
     elif direction == "forward":
         carried = union.select("*", *_carry(wf, "m"))
     else:  # nearest: both scans over the one union frame, then pick
+        # the nearest among TOLERANCE-QUALIFIED candidates — pandas
+        # merge_asof(nearest, tolerance) semantics: when the nearer
+        # side is out of tolerance but the opposite side is within it,
+        # the in-tolerance match wins (not NULL).
         both = union.select("*", *_carry(wb, "b"), *_carry(wf, "f"))
-        use_b = F.col(f"_b_{time_col}").isNotNull() & (
-            F.col(f"_f_{time_col}").isNull() | (_dist("b") <= _dist("f"))
-        )
+
+        def _ok(tag):
+            ok = F.col(f"_{tag}_{time_col}").isNotNull()
+            if tolerance_seconds is not None:
+                ok = ok & (_dist(tag) <= F.lit(float(tolerance_seconds)))
+            return ok
+
+        use_b = _ok("b") & (~_ok("f") | (_dist("b") <= _dist("f")))
         carried = both.select(
             "*",
             *[
                 F.when(use_b, F.col(f"_b_{c}"))
-                .otherwise(F.col(f"_f_{c}"))
+                .when(_ok("f"), F.col(f"_f_{c}"))
                 .alias(f"_m_{c}")
                 for c in mcols
             ],

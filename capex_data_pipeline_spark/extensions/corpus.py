@@ -2641,14 +2641,17 @@ def group_priority_sample(
     ranked = scored.withColumn("_rn", F.row_number().over(win)).filter(
         F.col("_rn") <= k + 1
     )
+    # NULL is a real group here (matching group_exact_quantiles /
+    # group_mad_outliers): the tau join must be null-safe, or a
+    # NULL-keyed corpus slice silently vanishes from the sample.
     taus = ranked.groupBy(group_col).agg(
         F.max(
             F.when(F.col("_rn") == k + 1, F.col("priority"))
         ).alias("_tau")
-    )
+    ).withColumnRenamed(group_col, "_tau_grp")
     return (
         ranked.filter(F.col("_rn") <= k)
-        .join(taus, group_col)
+        .join(taus, F.col(group_col).eqNullSafe(F.col("_tau_grp")))
         .select(
             group_col,
             key_col,
@@ -2717,7 +2720,12 @@ def token_budget_allocation(
              quota - base]
         )
     leftover = total_budget - sum(r[4] for r in rows) if wsum else 0
-    for r in sorted(rows, key=lambda r: (-r[5], r[0]))[:leftover]:
+    # A NULL group name must stay orderable against str names in the
+    # largest-remainder tie-break (None < any string, matching the
+    # aggregate sort above).
+    for r in sorted(
+        rows, key=lambda r: (-r[5], r[0] is not None, r[0] or "")
+    )[:leftover]:
         r[4] += 1
     spark = df.sparkSession
     schema = (

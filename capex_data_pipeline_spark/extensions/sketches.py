@@ -1678,13 +1678,17 @@ def exact_quantiles(
     bucket-count-sized result to the driver — the q156 pre-flight
     precedent). The driver walks cumulative counts to find, for each
     p, the bucket holding rank ceil(p*n) and the rank offset WITHIN
-    it. Phase 3: only the needed buckets are rescanned, each a
-    ``sort().limit(offset)`` — Catalyst plans TakeOrdered (per-
-    partition top-offset, merge on the driver), so no single task
-    ever sorts more than one bucket's offset prefix (~n/n_buckets
-    rows on non-adversarial data; pathological single-value pileups
-    land whole in one bucket, in which case offset <= that bucket's
-    count and TakeOrdered still bounds the merge at `offset`).
+    it. Phase 3 is ONE Spark job for ALL requested ps: the target
+    table (bucket, p, rank, offset) is broadcast, rows join to their
+    target buckets, and a window PARTITIONED BY p over only the
+    in-bucket rows (~n/n_buckets rows per partition, never the whole
+    frame) picks row_number == offset. This is exactly the q187
+    grouped machinery with a constant group — the implementations are
+    shared, not duplicated.
+
+    ``ps`` is validated (non-empty values all in (0, 1]) BEFORE any
+    aggregate runs; ``ps=[]`` returns an empty frame with the output
+    schema rather than scanning anything.
 
     Rank convention is DuckDB's ``quantile_disc`` (1-based rank
     ceil(p*n), lower value at ties), which the q181 oracle certifies.
@@ -1694,62 +1698,20 @@ def exact_quantiles(
 
     Returns one row per p: (p, rank, value).
     """
-    import math
-
-    v = F.col(value_col).cast("double")
-    base = df.filter(v.isNotNull()).select(v.alias("_v"))
-    stats = base.agg(
-        F.min("_v").alias("lo"), F.max("_v").alias("hi"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    spark = df.sparkSession
-    out_schema = "p double, rank bigint, value double"
-    if not stats["n"]:
-        return spark.createDataFrame([], out_schema)
-    lo, hi, n = float(stats["lo"]), float(stats["hi"]), int(stats["n"])
     for p in ps:
         if not (0.0 < p <= 1.0):
             raise ValueError(f"exact_quantiles: p={p} outside (0, 1]")
-    if hi == lo:
-        return spark.createDataFrame(
-            [(float(p), int(math.ceil(p * n)), lo) for p in ps], out_schema
-        )
-    width = (hi - lo) / n_buckets
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.floor((F.col("_v") - F.lit(lo)) / F.lit(width)),
-    ).cast("int")
-    hist = {
-        r["_b"]: r["_c"]
-        for r in base.groupBy(bucket.alias("_b"))
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .collect()
-    }
-    # driver walk: rank -> (bucket, offset within bucket)
-    targets = []  # (p, rank, bucket, offset)
-    for p in ps:
-        r = int(math.ceil(p * n))
-        cum = 0
-        for b in sorted(hist):
-            if cum + hist[b] >= r:
-                targets.append((float(p), r, b, r - cum))
-                break
-            cum += hist[b]
-    result = None
-    for p, r, b, off in targets:
-        picked = (
-            base.filter(bucket == b)
-            .orderBy(F.asc("_v"))
-            .limit(off)
-            .agg(F.max("_v").alias("value"))
-            .select(
-                F.lit(p).alias("p"),
-                F.lit(r).cast("long").alias("rank"),
-                "value",
-            )
-        )
-        result = picked if result is None else result.unionByName(picked)
-    return result
+    spark = df.sparkSession
+    out_schema = "p double, rank bigint, value double"
+    if not ps:
+        return spark.createDataFrame([], out_schema)
+    v = F.col(value_col).cast("double")
+    tagged = df.filter(v.isNotNull()).select(
+        F.lit(0).alias("_eq_g"), v.alias("_v")
+    )
+    return group_exact_quantiles(
+        tagged, "_eq_g", "_v", ps, n_buckets=n_buckets
+    ).select("p", "rank", "value")
 
 
 def table_stats_incremental(
@@ -1952,7 +1914,9 @@ def group_exact_quantiles(
         .add("p", "double").add("rank", "long").add("value", "double")
     )
     if not srows:
-        return spark.createDataFrame([], out_fields)
+        return spark.createDataFrame([], out_fields).withColumnRenamed(
+            "_g", group_col
+        )
     if len(srows) > max_groups:
         raise ValueError(
             f"group_exact_quantiles: {len(srows)} groups exceeds "
@@ -1965,6 +1929,27 @@ def group_exact_quantiles(
             "buckets exceeds the 5M-cell driver histogram budget — "
             "lower n_buckets or the group count"
         )
+    # Degenerate groups (all values equal) are answered on the driver
+    # from the stats alone — every quantile IS lo — instead of routing
+    # n_g rows into bucket 0 and windowing the whole group.
+    degenerate = [r for r in srows if float(r["_lo"]) == float(r["_hi"])]
+    normal = [r for r in srows if float(r["_lo"]) != float(r["_hi"])]
+    deg_df = None
+    if degenerate:
+        deg_df = spark.createDataFrame(
+            [
+                (r["_g"], float(p), int(math.ceil(p * int(r["_n"]))),
+                 float(r["_lo"]))
+                for r in degenerate
+                for p in ps
+            ],
+            out_fields,
+        ).withColumnRenamed("_g", group_col)
+    if not normal:
+        return deg_df if deg_df is not None else spark.createDataFrame(
+            [], out_fields
+        ).withColumnRenamed("_g", group_col)
+    srows = normal
     meta = spark.createDataFrame(
         [
             (r["_g"], float(r["_lo"]),
@@ -2016,7 +2001,7 @@ def group_exact_quantiles(
         .add("rank", "long").add("_off", "long"),
     )
     w = Window.partitionBy("_g", "p").orderBy(F.asc("_v"))
-    return (
+    picked = (
         bucketed.alias("xx")
         .join(
             F.broadcast(tdf.alias("tt")),
@@ -2034,6 +2019,7 @@ def group_exact_quantiles(
             F.col("_v").alias("value"),
         )
     )
+    return picked if deg_df is None else picked.unionByName(deg_df)
 
 
 def group_mad_outliers(

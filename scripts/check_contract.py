@@ -21,6 +21,10 @@ for t in ['region','nation','customer','supplier','part','orders','lineitem','ev
 
 qs, os_ = E.queries(), E.oracle_sql()
 print("n queries:", len(qs), "n oracles:", len(os_))
+only = set(filter(None, os.environ.get('ONLY', '').split(',')))
+if only:
+    qs = {k: v for k, v in qs.items() if any(k.startswith(p) for p in only)}
+    print("ONLY filter:", sorted(qs))
 fails = []
 for name, fn in qs.items():
     sdf = fn(spark, sf)
