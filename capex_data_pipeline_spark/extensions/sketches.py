@@ -1597,10 +1597,12 @@ def _stats_cells(melted: DataFrame, b: int, keys: "tuple[str, ...]" = ("_col",))
     )
 
 
-def _stats_finalize(cells: DataFrame, melted: DataFrame, m: int, decimals: int) -> DataFrame:
+def _stats_finalize(cells: DataFrame, melted: "DataFrame | None", m: int, decimals: int) -> DataFrame:
     """(_col, _b) cells + melted pairs -> the ANALYZE output row per
     column. Separated so the incremental variant can feed MERGED
-    cells through the identical arithmetic."""
+    cells through the identical arithmetic. ``melted=None`` omits the
+    exact-NDV ride-along columns (the persisted-state fold, which by
+    design never rescans the rows the cells were built from)."""
     alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
     nonempty = F.sum(F.when(F.col("_b") >= 0, 1).otherwise(0))
     reg_sum = F.sum(
@@ -1631,6 +1633,17 @@ def _stats_finalize(cells: DataFrame, melted: DataFrame, m: int, decimals: int) 
             F.when(nonempty > 0, est_raw).otherwise(F.lit(0.0)), decimals
         ).alias("ndv_est"),
     )
+    if melted is None:
+        return per_col.select(
+            F.col("_col").alias("column_name"),
+            "n_rows",
+            "n_null",
+            F.round(
+                F.col("n_null") / F.col("n_rows").cast("double"), decimals
+            ).alias("null_frac"),
+            "avg_len",
+            "ndv_est",
+        )
     # the exact NDV ride-along: the one column whose maintenance cost
     # a 100 TB deployment drops (it shuffles the distinct pairs; the
     # sketch above is what replaces it)

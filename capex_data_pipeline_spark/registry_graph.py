@@ -317,3 +317,50 @@ def q189_cc_incremental(spark, sf_dir):
     return cc_incremental(
         old_labels, edges.filter(is_new), src_col="a", dst_col="b"
     )
+
+
+# ------------------------------------ persisted incremental components
+
+
+@query("q198_cc_persisted_fold", _cc_sql())
+def q198_cc_persisted_fold(spark, sf_dir):
+    """q189's incremental fold with DURABLE state (state.save_cc_state
+    / state.cc_fold_persisted): yesterday's labeling is WRITTEN as a
+    parquet table bucketed on vertex, and the fold READS it back — so
+    the corpus-sized state streams from its buckets and only the
+    batch-sized side ever shuffles (the zero-state-Exchange property
+    is plan-pinned in tests/test_state.py). The oracle is unchanged
+    from q114/q189 — the full from-scratch recompute over ALL edges —
+    so equality certifies that persisting state across calls loses
+    nothing vs re-clustering history. This is the shape that makes a
+    daily 100 TB dedup affordable: the labeling's shuffle is paid once
+    at write time, and every day after costs only its batch."""
+    from capex_data_pipeline_spark.extensions.graph import (
+        connected_components,
+    )
+    from capex_data_pipeline_spark.extensions.state import (
+        cc_fold_persisted,
+        save_cc_state,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    is_new = (F.col("a") + F.col("b")) % 5 == 0
+    old_labels = connected_components(
+        edges.filter(~is_new),
+        src_col="a",
+        dst_col="b",
+        until_fixpoint=True,
+        assume_canonical=True,
+    )
+    # the "prior call": persist yesterday's labeling, bucketed on vertex
+    save_cc_state(
+        old_labels,
+        "t_state_cc_q198",
+        n_buckets=8,
+        path="/root/repo/spark-warehouse/t_state_cc_q198",
+    )
+    # today's fold: reads the PERSISTED table, never the in-memory frame
+    return cc_fold_persisted(
+        spark, "t_state_cc_q198", edges.filter(is_new),
+        src_col="a", dst_col="b",
+    )

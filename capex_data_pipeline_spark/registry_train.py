@@ -4167,3 +4167,81 @@ def q195_token_budget(spark, sf_dir):
         docs, _Q195_W, _Q195_BUDGET, group_col="source",
         tokens_col="tokens", default_weight=1,
     )
+
+
+# ---- q199: persisted-state table statistics (durable q184)
+
+
+def _q199_col(t: str, c: str) -> str:
+    """One column's SKETCH-ONLY stats row: q178's arithmetic minus the
+    exact-NDV ride-along — the shape the persisted fold serves, since
+    exact distinct counts would rescan the history the state exists
+    to retire."""
+    return f"""
+    SELECT '{c}' AS column_name,
+           (SELECT count(*)::BIGINT FROM {t}) AS n_rows,
+           (SELECT count(*)::BIGINT FROM {t} WHERE {c} IS NULL) AS n_null,
+           round((SELECT count(*) FROM {t} WHERE {c} IS NULL)
+                 / (SELECT count(*) FROM {t})::DOUBLE, 6) AS null_frac,
+           (SELECT round(avg(length(CAST({c} AS VARCHAR))), 2)
+            FROM {t} WHERE {c} IS NOT NULL) AS avg_len,
+           s.n_estimated AS ndv_est
+    FROM (
+      SELECT round((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+                   / (sum(pow(2.0, -mr))
+                      + CAST(64 - count(*) AS DOUBLE)), 6) AS n_estimated
+      FROM (
+        SELECT h % 64 AS b,
+               max(CASE WHEN (h >> 6) = 0 THEN 47
+                        ELSE 46 - length(bin(h >> 6)) + 1 END) AS mr
+        FROM (
+          SELECT CAST(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 13))
+                      AS BIGINT) AS h
+          FROM {t} WHERE {c} IS NOT NULL
+        ) GROUP BY 1
+      )
+    ) s
+    """
+
+
+@query(
+    "q199_stats_persisted_fold",
+    " UNION ALL ".join(f"({_q199_col('orders', c)})" for c in _Q178_COLS),
+)
+def q199_stats_persisted_fold(spark, sf_dir):
+    """q184's incremental statistics with DURABLE state
+    (state.save_stats_cells / state.stats_fold_persisted): history
+    (orders before 1998) is scanned ONCE into per-day cell frames and
+    PERSISTED as a parquet table bucketed on the column key; the fold
+    reads those cells back — the history-merge aggregate runs with
+    zero Exchange straight off the buckets (plan-pinned in
+    tests/test_state.py) — and folds in "today's" batch (1998 orders)
+    as fresh cells. The oracle recomputes the same sketch-only
+    statistics over the WHOLE table directly, so equality certifies
+    the durable merge: counts/widths by sum and HLL registers by max
+    lose nothing across a disk round-trip. The exact-NDV ride-along
+    is deliberately absent — the cost this state exists to drop."""
+    from capex_data_pipeline_spark.extensions.state import (
+        save_stats_cells,
+        stats_fold_persisted,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("date")
+    history = orders.filter(F.col("o_orderdate") < cutoff)
+    today = orders.filter(F.col("o_orderdate") >= cutoff)
+    # the "prior call": persist history's per-day cells, bucketed on _col
+    save_stats_cells(
+        history,
+        list(_Q178_COLS),
+        partition=F.date_trunc("day", F.col("o_orderdate")),
+        table="t_state_cells_q199",
+        b=6,
+        n_buckets=8,
+        path="/root/repo/spark-warehouse/t_state_cells_q199",
+    )
+    # today's fold: persisted history cells + the new batch's cells
+    return stats_fold_persisted(
+        spark, "t_state_cells_q199", new_df=today, cols=list(_Q178_COLS),
+        b=6,
+    )
