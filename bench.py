@@ -1693,6 +1693,15 @@ def main() -> None:
         read_table(spark, sf_dir, t).count()
 
     names = [n for n in HEADLINE if n in QUERIES]
+    # SPARK_GRAFT_BENCH_ONLY=q112,q32 — isolation re-measurement of a
+    # subset (drift triage: measure the operator without the other 140
+    # queries' memory pressure in the same JVM)
+    only = [
+        p for p in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if p
+    ]
+    if only:
+        names = [n for n in names if any(n.startswith(p) for p in only)]
 
     # warm Catalyst + whole-stage-codegen per query shape at the smallest
     # scale factor (generated code is cached by source text, so the same
