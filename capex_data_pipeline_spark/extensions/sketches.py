@@ -1443,11 +1443,34 @@ def winsorized_stats_by(
     )
 
 
+def next_pow2_width(
+    ndv: float, min_width: int = 64, max_width: int = 1 << 20
+) -> int:
+    """Smallest power of two >= ceil(ndv), clamped to
+    [min_width, max_width] — the CMS width a planner should use when
+    the key's NDV is known (q178 stats): collisions vanish once every
+    distinct key can get its own cell, so width ~ NDV collapses the
+    inner-product overestimate without paying for width the key
+    domain can't use. Integer doubling, no float log — the q200
+    oracle replays the same choice as an integer lookup."""
+    import math
+
+    target = max(1, int(math.ceil(ndv)))
+    w = min_width
+    while w < target and w < max_width:
+        w <<= 1
+    return w
+
+
 def join_graph_profile(
     edges: "list[tuple[str, DataFrame, Column, DataFrame, Column]]",
     depth: int = 3,
     width: int = 1024,
     decimals: int = 9,
+    ndv: "dict[str, float] | None" = None,
+    include_exact: bool = True,
+    min_width: int = 64,
+    max_width: int = 1 << 20,
 ) -> DataFrame:
     """Sketch-driven join-graph advisor: estimate EVERY candidate join
     edge's output size from constant-memory CMS inner products
@@ -1467,10 +1490,26 @@ def join_graph_profile(
     rides along for the error report — the drop-at-100TB column, per
     the q155 convention.
 
-    Returns one row per edge: (edge, n_left, n_right, est_join_rows,
-    exact_join_rows, overestimate, est_selectivity, plan_rank) with
-    plan_rank 1 = join first (ties by edge name); the rank window
-    runs over the |edges|-row profile frame, never the data.
+    Two modes, one function:
+
+    * classic (default): fixed ``width`` for every edge, exact join
+      size + overestimate riding along (q177 — the certified-error
+      report a small-scale validation run wants).
+    * stats-sized, sketch-only (``ndv=`` a {edge_name: NDV} dict from
+      the q178/q199 statistics, ``include_exact=False``): per-edge
+      width = next-pow2(NDV) clamped to [min_width, max_width], and
+      NOTHING exact is computed — no per-key count shuffle anywhere,
+      which is the default a 100 TB deployment should run (q200). The
+      chosen width is emitted as ``cms_width`` for observability.
+      This closes the stats -> planner loop: q178 already maintains
+      per-column NDV; feeding it here collapses the fixed-width
+      overestimate (measured in SCALE.md) at zero added scan cost.
+
+    Returns one row per edge: (edge, n_left, n_right,
+    [cms_width when ndv given,] est_join_rows, [exact_join_rows,
+    overestimate when include_exact,] est_selectivity, plan_rank)
+    with plan_rank 1 = join first (ties by edge name); the rank
+    window runs over the |edges|-row profile frame, never the data.
     """
     if not edges:
         raise ValueError("join_graph_profile: edges must be non-empty")
@@ -1478,9 +1517,27 @@ def join_graph_profile(
 
     parts = []
     for name, ld, lk, rd, rk in edges:
-        sz = cms_join_size(ld, lk, rd, rk, depth, width)
+        w_e = width
+        if ndv is not None:
+            if name not in ndv:
+                raise ValueError(
+                    f"join_graph_profile: no NDV hint for edge {name!r}"
+                )
+            w_e = next_pow2_width(ndv[name], min_width, max_width)
+        if include_exact:
+            sz = cms_join_size(ld, lk, rd, rk, depth, w_e)
+        else:
+            sz = cms_join_estimate(ld, lk, rd, rk, depth, w_e)
         nl = ld.agg(F.count(F.lit(1)).alias("n_left"))
         nr = rd.agg(F.count(F.lit(1)).alias("n_right"))
+        exact_cols = (
+            ["exact_join_rows", "overestimate"] if include_exact else []
+        )
+        width_cols = (
+            [F.lit(w_e).cast("long").alias("cms_width")]
+            if ndv is not None
+            else []
+        )
         parts.append(
             sz.crossJoin(F.broadcast(nl))
             .crossJoin(F.broadcast(nr))
@@ -1488,9 +1545,9 @@ def join_graph_profile(
                 F.lit(name).alias("edge"),
                 "n_left",
                 "n_right",
+                *width_cols,
                 "est_join_rows",
-                "exact_join_rows",
-                "overestimate",
+                *exact_cols,
                 F.round(
                     F.col("est_join_rows")
                     / (
@@ -1543,6 +1600,24 @@ def table_stats(
     melted = persisted(_stats_melt(df, cols))
     cells = _stats_cells(melted, b)
     return _stats_finalize(cells, melted, m, decimals)
+
+
+def table_stats_sketch(
+    df: DataFrame,
+    cols: "list[str]",
+    b: int = 6,
+    decimals: int = 6,
+) -> DataFrame:
+    """:func:`table_stats` without the exact-NDV ride-along — the
+    at-scale default (one melt scan, everything downstream
+    column-count-sized, NO distinct-key shuffle anywhere). q200 feeds
+    these NDV estimates into :func:`join_graph_profile`'s stats-sized
+    mode. Returns (column_name, n_rows, n_null, null_frac, avg_len,
+    ndv_est)."""
+    if not cols:
+        raise ValueError("table_stats_sketch: cols must be non-empty")
+    melted = _stats_melt(df, cols)
+    return _stats_finalize(_stats_cells(melted, b), None, 1 << b, decimals)
 
 
 def _stats_melt(df: DataFrame, cols: "list[str]", extra: "list[str]" = ()) -> DataFrame:

@@ -4245,3 +4245,154 @@ def q199_stats_persisted_fold(spark, sf_dir):
         spark, "t_state_cells_q199", new_df=today, cols=list(_Q178_COLS),
         b=6,
     )
+
+
+# ---- q200: stats-sized sketch-only join-graph advisor (q178 -> q177)
+
+
+_Q200_POWS = ", ".join(
+    f"({1 << i})" for i in range(6, 21)
+)  # 64 .. 1048576
+
+
+def _q200_ndv(t: str, c: str) -> str:
+    """The q178 HLL NDV estimate (b=6, round 6) of one key column."""
+    return f"""
+      SELECT round((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+                   / (sum(pow(2.0, -mr))
+                      + CAST(64 - count(*) AS DOUBLE)), 6)
+      FROM (
+        SELECT h % 64 AS b,
+               max(CASE WHEN (h >> 6) = 0 THEN 47
+                        ELSE 46 - length(bin(h >> 6)) + 1 END) AS mr
+        FROM (
+          SELECT CAST(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 13))
+                      AS BIGINT) AS h
+          FROM {t} WHERE {c} IS NOT NULL
+        ) GROUP BY 1
+      )
+    """
+
+
+def _q200_cells(t: str, k: str) -> str:
+    """q177's CMS cells with the modulus taken from the edge's
+    stats-sized width CTE instead of a fixed 1024."""
+    return (
+        "SELECT j.j AS j, CAST(('0x' || substr(md5(j.j || '|' || "
+        f"CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT)"
+        " % (SELECT w FROM nw) AS p, "
+        "count(*)::BIGINT AS c "
+        f"FROM {t}, (SELECT CAST(unnest([0, 1, 2]) AS VARCHAR) AS j) j "
+        f"WHERE {k} IS NOT NULL GROUP BY 1, 2"
+    )
+
+
+def _q200_edge(name: str, ta: str, ka: str, tb: str, kb: str) -> str:
+    """One edge's SKETCH-ONLY profile row: width = smallest power of
+    two >= ceil(max(NDV_a, NDV_b)) clamped to [64, 1048576] by an
+    integer lookup (no float log on either engine), then the CMS
+    inner-product estimate at that width. No exact ride-along —
+    nothing in this query shuffles per-key counts."""
+    return f"""
+    WITH nw AS (
+      SELECT (SELECT min(p)
+              FROM (VALUES {_Q200_POWS}) pw(p)
+              WHERE p >= least(1048576, greatest(
+                64, CAST(ceil(greatest(({_q200_ndv(ta, ka)}),
+                                       ({_q200_ndv(tb, kb)}))) AS BIGINT)
+              )))::BIGINT AS w
+    )
+    SELECT '{name}' AS edge,
+           (SELECT count(*)::BIGINT FROM {ta}) AS n_left,
+           (SELECT count(*)::BIGINT FROM {tb}) AS n_right,
+           (SELECT w FROM nw) AS cms_width,
+           es.est_join_rows,
+           round(es.est_join_rows / ((SELECT count(*) FROM {ta})::DOUBLE
+                 * (SELECT count(*) FROM {tb})::DOUBLE), 9)
+             AS est_selectivity
+    FROM (
+      SELECT min(coalesce(ip, 0))::BIGINT AS est_join_rows
+      FROM (SELECT CAST(x.x AS VARCHAR) AS j
+            FROM (SELECT unnest([0, 1, 2]) AS x) x) alljj
+      LEFT JOIN (
+        SELECT a.j, sum(a.c * b.c)::BIGINT AS ip
+        FROM ({_q200_cells(ta, ka)}) a
+        JOIN ({_q200_cells(tb, kb)}) b ON a.j = b.j AND a.p = b.p
+        GROUP BY a.j
+      ) ips USING (j)
+    ) es
+    """
+
+
+_Q200_KEYS = {
+    "customer": ["c_custkey", "c_nationkey"],
+    "orders": ["o_custkey", "o_orderkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "nation": ["n_nationkey"],
+}
+
+_Q200_EDGE_KEYS = {
+    "customer-orders": ("c_custkey", "o_custkey"),
+    "orders-lineitem": ("o_orderkey", "l_orderkey"),
+    "part-lineitem": ("p_partkey", "l_partkey"),
+    "supplier-lineitem": ("s_suppkey", "l_suppkey"),
+    "nation-customer": ("n_nationkey", "c_nationkey"),
+}
+
+
+@query(
+    "q200_join_graph_stats_sized",
+    "SELECT edge, n_left, n_right, cms_width, est_join_rows, "
+    "est_selectivity, "
+    "row_number() OVER (ORDER BY est_join_rows, edge) AS plan_rank "
+    "FROM ("
+    + " UNION ALL ".join(f"({_q200_edge(*e)})" for e in _Q177_EDGES)
+    + ") profiled",
+)
+def q200_join_graph_stats_sized(spark, sf_dir):
+    """q177's join-graph advisor with the stats loop CLOSED and the
+    exact ride-along GONE — the shape a 100 TB deployment runs. q178's
+    HLL NDV estimates (table_stats_sketch: one melt scan per table, no
+    distinct-key shuffle) size each edge's CMS width to
+    next-pow2(max(NDV_left, NDV_right)) clamped to [64, 2^20]
+    (sketches.next_pow2_width) — once every distinct key can get its
+    own cell, the fixed-width-1024 collision overestimate collapses
+    (measured in SCALE.md: orders-lineitem est 933k vs 60k exact at
+    width 1024 in r10) — and join_graph_profile runs sketch-only
+    (include_exact=False), so NOTHING in the plan shuffles per-key
+    counts. The oracle replays the NDV estimates, the integer
+    power-of-two width lookup, and the CMS inner products at the
+    chosen widths. q177 itself is unchanged (the certified-error
+    variant for validation runs)."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        join_graph_profile,
+        table_stats_sketch,
+    )
+
+    t = {n: _t(spark, sf_dir, n) for n in _Q200_KEYS}
+    ndv_by_col: dict[str, float] = {}
+    for tname, cols in _Q200_KEYS.items():
+        for r in table_stats_sketch(t[tname], cols).collect():
+            ndv_by_col[r["column_name"]] = float(r["ndv_est"])
+    ndv = {
+        edge: max(ndv_by_col[ka], ndv_by_col[kb])
+        for edge, (ka, kb) in _Q200_EDGE_KEYS.items()
+    }
+    return join_graph_profile(
+        [
+            ("customer-orders", t["customer"], F.col("c_custkey"),
+             t["orders"], F.col("o_custkey")),
+            ("orders-lineitem", t["orders"], F.col("o_orderkey"),
+             t["lineitem"], F.col("l_orderkey")),
+            ("part-lineitem", t["part"], F.col("p_partkey"),
+             t["lineitem"], F.col("l_partkey")),
+            ("supplier-lineitem", t["supplier"], F.col("s_suppkey"),
+             t["lineitem"], F.col("l_suppkey")),
+            ("nation-customer", t["nation"], F.col("n_nationkey"),
+             t["customer"], F.col("c_nationkey")),
+        ],
+        ndv=ndv,
+        include_exact=False,
+    )

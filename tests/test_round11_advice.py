@@ -178,3 +178,42 @@ def test_token_budget_allocation_null_group_tie(spark):
     allocs = {r["src"]: r["alloc_tokens"] for r in out}
     assert sum(allocs.values()) == 3
     assert allocs[None] == 2 and allocs["b"] == 1
+
+
+def test_next_pow2_width_integer_lookup():
+    from capex_data_pipeline_spark.extensions.sketches import next_pow2_width
+
+    assert next_pow2_width(25) == 64          # min clamp
+    assert next_pow2_width(64.0) == 64
+    assert next_pow2_width(64.2) == 128
+    assert next_pow2_width(1000.5) == 1024
+    assert next_pow2_width(10_000_000) == 1 << 20  # max clamp
+
+
+def test_join_graph_profile_stats_mode_schema_and_guard(spark):
+    from capex_data_pipeline_spark.extensions.sketches import (
+        join_graph_profile,
+    )
+
+    a = spark.createDataFrame([(i % 5,) for i in range(50)], "k long")
+    b = spark.createDataFrame([(i % 5,) for i in range(20)], "k long")
+    edges = [("ab", a, F.col("k"), b, F.col("k"))]
+    out = join_graph_profile(
+        edges, ndv={"ab": 5.0}, include_exact=False
+    )
+    assert out.columns == [
+        "edge", "n_left", "n_right", "cms_width", "est_join_rows",
+        "est_selectivity", "plan_rank",
+    ]
+    row = out.collect()[0]
+    assert row["cms_width"] == 64
+    # 5 keys, 10 x 4 per key pair product = sum 10*4*5 = 200
+    assert row["est_join_rows"] >= 200
+    with pytest.raises(ValueError, match="no NDV hint"):
+        join_graph_profile(edges, ndv={}, include_exact=False).collect()
+    # classic mode keeps the q177 schema exactly
+    classic = join_graph_profile(edges)
+    assert classic.columns == [
+        "edge", "n_left", "n_right", "est_join_rows", "exact_join_rows",
+        "overestimate", "est_selectivity", "plan_rank",
+    ]
