@@ -1667,6 +1667,78 @@ def stress_inc() -> None:
 
 
 
+def stress_golden() -> None:
+    """``bench.py --stress-golden``: measure that golden_record's
+    one-melt election makes survivorship cost FLAT in the number of
+    mode fields (r10 built one groupBy+window+join PER field; a
+    30-field merge was a 30-join plan). Synthesizes a clustered frame
+    at sf0.1 scale and times 3 vs 12 mode fields; also checks the plan
+    carries the same number of WindowGroupLimit nodes either way."""
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_STRESS_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.extensions.dedup import golden_record
+    from capex_data_pipeline_spark.session import get_spark
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    spark = get_spark(
+        app_name="capex-stress-golden",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    frame = docs.select(
+        (F.col("doc_id") % 20000).alias("cluster_id"),
+        *[
+            F.when(
+                (F.col("doc_id") * (i + 3)) % 11 == 0, F.lit(None)
+            ).otherwise(
+                ((F.col("doc_id") * (i + 7)) % 13).cast("string")
+            ).alias(f"f{i}")
+            for i in range(12)
+        ],
+    ).persist()
+    n = frame.count()
+    out = {}
+    plans = {}
+    for label, k in [("3_fields", 3), ("12_fields", 12)]:
+        cols = [f"f{i}" for i in range(k)]
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            golden_record(frame, "cluster_id", mode_cols=cols).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            runs.append(time.time() - t0)
+        out[label] = round(statistics.median(runs), 3)
+        plans[label] = (
+            golden_record(frame, "cluster_id", mode_cols=cols)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .count("WindowGroupLimit")
+        )
+    frame.unpersist()
+    print(
+        json.dumps(
+            {
+                "metric": "stress_golden_flat_fields",
+                "value": round(out["12_fields"] / out["3_fields"], 2),
+                "unit": "x_cost_12f_over_3f",
+                "n_rows": n,
+                "sec": out,
+                "window_group_limit_nodes": plans,
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+            }
+        )
+    )
+
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -1807,6 +1879,8 @@ if __name__ == "__main__":
         stress_editjoin()
     elif "--stress-inc" in sys.argv[1:]:
         stress_inc()
+    elif "--stress-golden" in sys.argv[1:]:
+        stress_golden()
     elif "--family" in sys.argv[1:]:
         family_bench()
     elif "--stress-tokenizer" in sys.argv[1:]:

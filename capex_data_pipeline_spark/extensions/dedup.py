@@ -1928,15 +1928,21 @@ def golden_record(
     the most attested name from another) — the entity-resolution
     merge every MDM / catalog pipeline ends with.
 
-    Scale shape: one count aggregate per mode field on the compact
-    (cluster, value) key with a cluster-partitioned WindowGroupLimit
-    election, one aggregate for all max/min fields, and cluster-keyed
-    joins to assemble — never a per-cluster collect, never a row
-    explode. Mode fields return as strings (values cross a
+    Scale shape: ALL mode fields are elected in ONE pass — the table
+    melts into compact (cluster, field, value-string) triples (the
+    q178 ``_stats_melt`` shape), one count aggregate + one
+    (cluster, field)-partitioned WindowGroupLimit election covers
+    every field, and one pivot over the field METADATA domain turns
+    the winners back into columns — so a 30-field survivorship costs
+    the same two shuffles as a 3-field one, not 30 joins (r10's
+    per-field loop; measured flat in ``bench.py --stress-golden``).
+    One further aggregate covers all max/min fields, and one
+    cluster-keyed join assembles the golden row. Never a per-cluster
+    collect. Mode fields return as strings (values cross a
     CASE-insensitive union of field types; callers cast back).
 
     Returns one row per cluster: (cluster_col, n_members,
-    <f>_mode..., <f>_max..., <f>_min...).
+    <f>_max..., <f>_min..., <f>_mode...).
     """
     from pyspark.sql.window import Window
 
@@ -1947,22 +1953,45 @@ def golden_record(
         *[F.max(c).alias(f"{c}_max") for c in max_cols],
         *[F.min(c).alias(f"{c}_min") for c in min_cols],
     )
-    out = base
+    if not list(mode_cols):
+        return base
+    melted = df.select(
+        F.col(cluster_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("_f"),
+                        F.coalesce(
+                            F.col(c).cast("string"), F.lit("<null>")
+                        ).alias("_v"),
+                    )
+                    for c in mode_cols
+                ]
+            )
+        ).alias("_m"),
+    ).select(
+        cluster_col,
+        F.col("_m._f").alias("_f"),
+        F.col("_m._v").alias("_v"),
+    )
+    w = Window.partitionBy(cluster_col, "_f").orderBy(
+        F.desc("_n"), F.asc("_v")
+    )
+    winners = (
+        melted.groupBy(cluster_col, "_f", "_v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    # pivot over the explicit field list: the pivot domain is operator
+    # metadata, no discovery pass over the data
+    modes = winners.groupBy(cluster_col).pivot(
+        "_f", list(mode_cols)
+    ).agg(F.first("_v"))
     for c in mode_cols:
-        val = F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
-        w = Window.partitionBy(cluster_col).orderBy(
-            F.desc("_n"), F.asc("_v")
-        )
-        mode = (
-            df.select(cluster_col, val.alias("_v"))
-            .groupBy(cluster_col, "_v")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(cluster_col, F.col("_v").alias(f"{c}_mode"))
-        )
-        out = out.join(mode, cluster_col)
-    return out
+        modes = modes.withColumnRenamed(c, f"{c}_mode")
+    return base.join(modes, cluster_col)
 
 
 def minhash_cross_dups(

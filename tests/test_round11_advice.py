@@ -217,3 +217,33 @@ def test_join_graph_profile_stats_mode_schema_and_guard(spark):
         "edge", "n_left", "n_right", "est_join_rows", "exact_join_rows",
         "overestimate", "est_selectivity", "plan_rank",
     ]
+
+
+def test_golden_record_one_election_pass_for_all_mode_fields(spark):
+    """r10 built one groupBy+window+join PER mode field; the melt
+    rewrite elects every field in one pass — the WindowGroupLimit node
+    count must not grow with the field count, and values must match
+    the per-field semantics (mode, NULL a value, ties to smallest)."""
+    from capex_data_pipeline_spark.extensions.dedup import golden_record
+
+    rows = [
+        (1, "a", "x", None), (1, "a", "y", "p"), (1, "b", "y", "p"),
+        (2, "c", None, "q"), (2, "c", None, "q"),
+    ]
+    df = spark.createDataFrame(rows, "cluster_id long, f0 string, f1 string, f2 string")
+
+    def plan_nodes(cols):
+        out = golden_record(df, "cluster_id", mode_cols=cols)
+        return out._jdf.queryExecution().executedPlan().toString().count(
+            "WindowGroupLimit"
+        )
+
+    assert plan_nodes(["f0"]) == plan_nodes(["f0", "f1", "f2"]) >= 1
+    got = {
+        r["cluster_id"]: (r["f0_mode"], r["f1_mode"], r["f2_mode"])
+        for r in golden_record(
+            df, "cluster_id", mode_cols=["f0", "f1", "f2"]
+        ).collect()
+    }
+    assert got[1] == ("a", "y", "p")
+    assert got[2] == ("c", "<null>", "q")
