@@ -4396,3 +4396,96 @@ def q200_join_graph_stats_sized(spark, sf_dir):
         ndv=ndv,
         include_exact=False,
     )
+
+
+# ---- q201: signed-domain winsorized stats (q168 over a delta column)
+
+
+@query(
+    "q201_winsorized_signed",
+    """
+    WITH vals AS (
+      SELECT event_type AS g, (value - 250.0)::DOUBLE AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+      SELECT g,
+             CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS s,
+             CASE WHEN v > 0
+                  THEN ceil(ln(v) / ln((1.0 + 0.01) / (1.0 - 0.01)))
+                  WHEN v < 0
+                  THEN -ceil(ln(-v) / ln((1.0 + 0.01) / (1.0 - 0.01)))
+                  ELSE 0 END::BIGINT AS sp,
+             count(*)::BIGINT AS c
+      FROM vals GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT g, sum(c)::BIGINT AS n FROM cells GROUP BY g),
+    cum AS (SELECT g, s, sp,
+                   sum(c) OVER (PARTITION BY g ORDER BY s, sp) AS cum
+            FROM cells),
+    qs AS (SELECT unnest([0.05::DOUBLE, 0.95::DOUBLE]) AS q),
+    picks AS (
+      SELECT g, q, s, sp FROM (
+        SELECT t.g, q.q, c.s, c.sp,
+               row_number() OVER (PARTITION BY t.g, q.q
+                                  ORDER BY c.s, c.sp) AS rn
+        FROM tot t CROSS JOIN qs q
+        JOIN cum c ON c.g = t.g AND c.cum > floor(q.q * (t.n - 1))
+      ) WHERE rn = 1
+    ),
+    cutv AS (
+      SELECT g, q,
+             round(CASE
+               WHEN s = 1 THEN 2.0 * pow((1.0 + 0.01) / (1.0 - 0.01), abs(sp))
+                               / ((1.0 + 0.01) / (1.0 - 0.01) + 1.0)
+               WHEN s = -1 THEN -2.0 * pow((1.0 + 0.01) / (1.0 - 0.01), abs(sp))
+                                / ((1.0 + 0.01) / (1.0 - 0.01) + 1.0)
+               ELSE 0.0 END, 6) AS cut
+      FROM picks
+    ),
+    cuts AS (
+      SELECT g,
+             min(CASE WHEN q = 0.05 THEN cut END) AS lo_cut,
+             min(CASE WHEN q = 0.95 THEN cut END) AS hi_cut
+      FROM cutv GROUP BY g
+    )
+    SELECT v.g AS event_type, count(*)::BIGINT AS n,
+           min(c.lo_cut) AS lo_cut, min(c.hi_cut) AS hi_cut,
+           sum(CASE WHEN v.v < c.lo_cut THEN 1 ELSE 0 END)::BIGINT
+             AS n_clamped_lo,
+           sum(CASE WHEN v.v > c.hi_cut THEN 1 ELSE 0 END)::BIGINT
+             AS n_clamped_hi,
+           round(avg(v.v), 6) AS raw_mean,
+           round(avg(least(greatest(v.v, c.lo_cut), c.hi_cut)), 6)
+             AS winsorized_mean
+    FROM vals v JOIN cuts c USING (g)
+    GROUP BY 1
+    """,
+)
+def q201_winsorized_signed(spark, sf_dir):
+    """q168's winsorized statistics on a SIGNED column — the event
+    value's delta against a 250 benchmark, which legitimately carries
+    both signs — routed through the mirrored DDSketch store
+    (sketches.winsorized_stats_by_signed, the q171 construction):
+    positive log buckets, mirrored negative buckets over |v|, exact
+    zero cell, so negative deltas participate in the sketch AND the
+    clamp instead of being silently excluded (the r10 sign gap,
+    VERDICT task #6). Cut points at p05/p95 per event type, then one
+    map-side clamp + mean with the groups-sized boundary frame
+    broadcast. The oracle replays the signed cells, the (store,
+    sortpos) cumulative read, the signed midpoints, and both means
+    value-exact. q168 itself is unchanged (positive-domain metrics
+    keep the cheaper single store)."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        winsorized_stats_by_signed,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return winsorized_stats_by_signed(
+        ev.filter(F.col("value").isNotNull()),
+        "event_type",
+        F.col("value") - F.lit(250.0),
+        p_lo=0.05,
+        p_hi=0.95,
+        alpha=0.01,
+    )
