@@ -1739,6 +1739,98 @@ def stress_golden() -> None:
 
 
 
+def stress_decon() -> None:
+    """``bench.py --stress-decon``: q194's economics measured — fuzzy
+    decontamination with the benchmark bands BROADCAST, so the corpus
+    side is map-only. Fixed 10k-doc benchmark, corpus grown x1 / x10 /
+    x50: the per-corpus-row cost must stay flat (linear total, no
+    shuffle blowup), because nothing corpus-sized ever crosses the
+    network."""
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_STRESS_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.extensions.dedup import minhash_cross_dups
+    from capex_data_pipeline_spark.session import get_spark
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    spark = get_spark(
+        app_name="capex-stress-decon",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    # 10k-doc benchmark: replicas of the corpus texts, half verbatim
+    # (contaminated) and half perturbed (must not collide)
+    n_rep_bench = max(1, (10_000 + n_docs - 1) // n_docs)
+    bench = (
+        docs.select(
+            "doc_id", "text",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(n_rep_bench)])
+            ).alias("_j"),
+        )
+        .filter((F.col("doc_id") + F.col("_j")) % 2 == 0)
+        .select(
+            (F.col("doc_id") * 100 + F.col("_j")).alias("doc_id"),
+            F.when(F.col("_j") == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" benchperturb"),
+                         F.col("_j").cast("string"))
+            ).alias("text"),
+        )
+        .persist()
+    )
+    n_bench = bench.count()
+    out = {}
+    for mult in (1, 10, 50):
+        corpus = docs.select(
+            "doc_id", "text",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(mult)])
+            ).alias("_j"),
+        ).select(
+            (F.col("doc_id") * 1000 + F.col("_j")).alias("doc_id"),
+            F.when(F.col("_j") == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" corpusvariant"),
+                         F.col("_j").cast("string"))
+            ).alias("text"),
+        )
+        n_corpus = n_docs * mult
+        t0 = time.time()
+        n_pairs = minhash_cross_dups(
+            corpus, bench, num_hashes=8, bands=4, threshold=0.5,
+            broadcast_bench=True,
+        ).count()
+        sec = round(time.time() - t0, 3)
+        out[f"x{mult}"] = {
+            "corpus_rows": n_corpus,
+            "pairs": n_pairs,
+            "sec": sec,
+            "usec_per_corpus_row": round(1e6 * sec / n_corpus, 1),
+        }
+    bench.unpersist()
+    x1, x50 = out["x1"], out["x50"]
+    print(
+        json.dumps(
+            {
+                "metric": "stress_decon_flat_corpus_cost",
+                "value": round(
+                    x50["usec_per_corpus_row"] / x1["usec_per_corpus_row"], 3
+                ),
+                "unit": "x50_per_row_cost_over_x1",
+                "n_bench": n_bench,
+                "runs": out,
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+            }
+        )
+    )
+
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -1881,6 +1973,8 @@ if __name__ == "__main__":
         stress_inc()
     elif "--stress-golden" in sys.argv[1:]:
         stress_golden()
+    elif "--stress-decon" in sys.argv[1:]:
+        stress_decon()
     elif "--family" in sys.argv[1:]:
         family_bench()
     elif "--stress-tokenizer" in sys.argv[1:]:

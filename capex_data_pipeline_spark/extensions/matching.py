@@ -309,9 +309,15 @@ def editdist_join(
        bounded-domain frame (distinct strings of bounded length), no
        broadcast assumption, no driver action.
     4. Every candidate is verified with the exact JVM
-       ``levenshtein`` (codepoint semantics; the DuckDB oracle's is
-       byte-based, so callers keep the column ASCII — the q179
-       registry entry pins an all-ASCII corpus).
+       ``levenshtein``. Semantics are CODEPOINT-based end to end
+       (``length``, the q-gram positions, and the distance all count
+       codepoints — accents, CJK, and astral-plane emoji are one unit
+       each), certified against a Python reference implementation in
+       ``tests/test_extensions.py::
+       test_editdist_join_unicode_codepoint_semantics``. The DuckDB
+       oracle's levenshtein is byte-based, so the q179 registry entry
+       pins an all-ASCII corpus; the unicode unit test covers what
+       the oracle can't.
 
     Completeness is CERTIFIED, not asserted: the q179 oracle computes
     the length-banded all-pairs join, so pair-set equality proves the

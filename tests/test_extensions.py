@@ -2009,3 +2009,50 @@ def test_q179_corpus_ascii_pin(spark):
         .count()
     )
     assert n == 0
+
+
+def test_editdist_join_unicode_codepoint_semantics(spark):
+    """The q179 oracle pins an all-ASCII corpus (DuckDB's levenshtein
+    is byte-based); this certifies the ENGINE-side semantics where the
+    oracle can't reach: Spark's levenshtein and length are
+    CODEPOINT-based — accents, CJK, and astral-plane emoji each count
+    as ONE unit — verified against a small Python reference
+    implementation (Python strings are codepoint sequences) over the
+    full all-pairs matrix (VERDICT r10 task #9)."""
+    from capex_data_pipeline_spark.extensions.matching import editdist_join
+
+    def lev(a: str, b: str) -> int:
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                            prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[n]
+
+    names = [
+        "café corner", "cafe corner", "caffé corner",   # accents
+        "naïve bayes", "naive bayes",
+        "münchen store", "munchen store", "muenchen store",
+        "日本語テキスト", "日本語テキスト!", "日本話テキスト",  # CJK
+        "data 😀 pipeline", "data 😁 pipeline", "data 😀 pipelines",
+        "😀😀😀", "😀😀",                                 # astral-plane
+    ]
+    k, q = 2, 2
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(names)], "id long, s string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in editdist_join(df, "id", "s", k=k, q=q).collect()
+    }
+    want = {
+        (i, j, lev(names[i], names[j]))
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= k
+    }
+    assert got == want

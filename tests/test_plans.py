@@ -616,3 +616,42 @@ def test_doc_query_counts_match_registry():
                     f"{text[max(0, m.start() - 40):m.end() + 20]!r}; "
                     f"registry has {n}"
                 )
+
+
+def test_q194_corpus_side_never_shuffles(spark, queries):
+    """q194's whole value is 'the corpus never shuffles': the benchmark
+    bands broadcast, so between the corpus scan and the band join
+    there must be NO shuffle Exchange — the corpus-side signature +
+    banding is map-only and the join is BroadcastHashJoin. (The
+    dropDuplicates after the join shuffles the PAIR frame, which is
+    benchmark-bounded, not corpus-sized.)"""
+    plan = _plan(queries["q194_fuzzy_decontamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        m = re.search(r"[A-Za-z*(]", line)
+        return m.start() if m is not None else len(line)
+
+    # walk up from every corpus scan (documents parquet) to its nearest
+    # Join ancestor: no shuffle Exchange may sit on that path
+    scans = [
+        i for i, ln in enumerate(lines)
+        if "Scan parquet" in ln and "documents" in ln
+    ]
+    assert scans, plan
+    checked = 0
+    for i in scans:
+        cur = depth(lines[i])
+        for j in range(i - 1, -1, -1):
+            dj = depth(lines[j])
+            if dj < cur:
+                cur = dj
+                if "Join" in lines[j]:
+                    checked += 1
+                    break
+                assert not (
+                    "Exchange" in lines[j]
+                    and "BroadcastExchange" not in lines[j]
+                ), f"corpus-side shuffle:\n{lines[j]}\nplan:\n{plan}"
+    assert checked >= 1, plan
