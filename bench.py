@@ -269,6 +269,17 @@ HEADLINE = [
     "q196_lsh_banding_audit",
     # round-10 (cont.): one algebraic sufficient-stats aggregate
     "q197_group_trend",
+    # round 11
+    "q198_cc_persisted_fold",
+    "q199_stats_persisted_fold",
+    "q200_join_graph_stats_sized",
+    "q201_winsorized_signed",
+    "q202_funnel",
+    "q203_transition_matrix",
+    "q204_equidepth_histogram",
+    "q205_woe_binning",
+    "q206_kfold_target_encoding",
+    "q207_cube_aggregate",
 ]
 
 
@@ -1774,7 +1785,6 @@ def stress_decon() -> None:
                 F.array(*[F.lit(j) for j in range(n_rep_bench)])
             ).alias("_j"),
         )
-        .filter((F.col("doc_id") + F.col("_j")) % 2 == 0)
         .select(
             (F.col("doc_id") * 100 + F.col("_j")).alias("doc_id"),
             F.when(F.col("_j") == 0, F.col("text")).otherwise(

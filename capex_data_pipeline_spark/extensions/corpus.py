@@ -2744,3 +2744,90 @@ def token_budget_allocation(
         ],
         schema,
     )
+
+
+def kfold_target_encoding(
+    df: DataFrame,
+    key_col: str,
+    cat_col: str,
+    target: Column,
+    k: int = 5,
+    cents: int = 2,
+    seed: str = "te",
+    decimals: int = 6,
+) -> DataFrame:
+    """Leakage-free K-fold target encoding — the feature-prep staple:
+    each (category, fold) cell gets the category's mean target
+    computed from the OTHER k-1 folds only, so the encoded feature a
+    fold's training rows see never contains their own labels (the
+    target-leakage failure mode naive mean encoding ships). Folds are
+    the deterministic md5 row-hash (``hash_u32(key) % k`` — replayable
+    on any engine, stable across runs); when a (category, fold) has
+    no out-of-fold rows, the cell falls back to the GLOBAL
+    out-of-fold mean for that fold (prior), never NULL.
+
+    Exactness: the target is quantized to ``cents`` decimals and
+    summed as BIGINT, so out-of-fold means are a ratio of exact
+    integers — bit-identical cross-engine (the q175/q197 convention).
+    One hash aggregate on the compact (category, fold) key, one on
+    (category), one on (fold); everything after is
+    category-domain-sized. NULL categories are a category (sentinel
+    semantics, like every encoder here); NULL keys/targets excluded.
+
+    Returns (category, fold, n_in_fold, oof_mean).
+    """
+    if k < 2:
+        raise ValueError(f"kfold_target_encoding: k must be >= 2: {k}")
+    scale = 10 ** cents
+    y = F.round(target.cast("double") * F.lit(scale)).cast("long")
+    base = df.select(
+        F.coalesce(F.col(cat_col).cast("string"), F.lit("<null>")).alias(
+            "_cat"
+        ),
+        (hash_u32(F.col(key_col), seed) % k).cast("int").alias("_fold"),
+        y.alias("_y"),
+    ).filter(F.col("_y").isNotNull() & F.col(key_col).isNotNull())
+    cell = base.groupBy("_cat", "_fold").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_s")
+    )
+    cat_tot = cell.groupBy("_cat").agg(
+        F.sum("_n").alias("_cn"), F.sum("_s").alias("_cs")
+    )
+    fold_tot = cell.groupBy("_fold").agg(
+        F.sum("_n").alias("_fn"), F.sum("_s").alias("_fs")
+    )
+    all_tot = cell.agg(
+        F.sum("_n").alias("_an"), F.sum("_s").alias("_as")
+    )
+    # full (category x fold) grid so folds with no in-fold rows still
+    # get their encoding (they need it most: all their category rows
+    # are out-of-fold)
+    spark = df.sparkSession
+    folds = spark.createDataFrame([(i,) for i in range(k)], "_fold int")
+    grid = cat_tot.select("_cat").crossJoin(F.broadcast(folds))
+    oof_n = F.col("_cn") - F.coalesce(F.col("_n"), F.lit(0))
+    oof_s = F.col("_cs") - F.coalesce(F.col("_s"), F.lit(0))
+    prior_n = F.col("_an") - F.col("_fn")
+    prior_s = F.col("_as") - F.col("_fs")
+    return (
+        grid.join(cell, ["_cat", "_fold"], "left")
+        .join(cat_tot, "_cat")
+        .join(F.broadcast(fold_tot), "_fold")
+        .crossJoin(F.broadcast(all_tot))
+        .select(
+            F.col("_cat").alias("category"),
+            F.col("_fold").alias("fold"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias(
+                "n_in_fold"
+            ),
+            F.round(
+                F.when(
+                    oof_n > 0, oof_s / oof_n.cast("double")
+                ).otherwise(
+                    prior_s / F.nullif(prior_n.cast("double"), F.lit(0.0))
+                )
+                / F.lit(float(scale)),
+                decimals,
+            ).alias("oof_mean"),
+        )
+    )

@@ -2314,3 +2314,175 @@ def group_mad_outliers(
             ).alias("outlier_frac"),
         )
     )
+
+
+def _equidepth_cuts(
+    df: DataFrame, value_col: str, n_bins: int, n_buckets: int
+) -> "list[float]":
+    """The n_bins-1 equi-depth boundaries at ranks ceil(i/n_bins * n)
+    — true data doubles from the q181 targeted selection (one
+    histogram pass + one windowed pick for ALL boundaries). A
+    (n_bins-1)-sized driver read: boundary lists are planner metadata
+    by definition (they become broadcast literals in the binning
+    CASE)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1: {n_bins}")
+    ps = [i / n_bins for i in range(1, n_bins)]
+    if not ps:
+        return []
+    rows = exact_quantiles(df, value_col, ps, n_buckets).collect()
+    return [r["value"] for r in sorted(rows, key=lambda r: r["p"])]
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 8,
+    n_buckets: int = 256,
+    decimals: int = 6,
+) -> DataFrame:
+    """EXACT equi-depth histogram — the ANALYZE histogram planners use
+    for selectivity on skewed columns, and the exact sibling of q165's
+    DDSketch-approximate range planner: boundaries land on TRUE data
+    values at ranks ceil(i/n_bins·n) (q181's targeted selection, no
+    global sort), then ONE map-side CASE pass counts rows per bin.
+    Binning convention is q165's: bin = number of boundaries strictly
+    below v, so boundary-valued rows land in the LEFT bin and heavy
+    atoms show up as an over-full bin (the column telling you no
+    boundary can split that value). Empty bins are emitted with
+    n_rows = 0.
+
+    Returns (bin 0..n_bins-1, lo, hi, n_rows, share): lo/hi are the
+    surrounding boundaries, NULL at the open ends.
+    """
+    cuts = _equidepth_cuts(df, value_col, n_bins, n_buckets)
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(v.alias("_v"))
+    bin_expr = F.lit(0)
+    for c in cuts:
+        bin_expr = bin_expr + F.when(
+            F.lit(float(c)) < F.col("_v"), 1
+        ).otherwise(0)
+    counts = base.groupBy(bin_expr.cast("int").alias("bin")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("_n"))
+    spark = df.sparkSession
+    meta = spark.createDataFrame(
+        [
+            (
+                i,
+                float(cuts[i - 1]) if i > 0 else None,
+                float(cuts[i]) if i < len(cuts) else None,
+            )
+            for i in range(n_bins)
+        ],
+        "bin int, lo double, hi double",
+    )
+    return (
+        meta.join(counts, "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "lo",
+            "hi",
+            F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("n_rows"),
+            F.round(
+                F.coalesce(F.col("_c"), F.lit(0))
+                / F.nullif(F.col("_n").cast("double"), F.lit(0.0)),
+                decimals,
+            ).alias("share"),
+        )
+    )
+
+
+def woe_binning(
+    df: DataFrame,
+    feature_col: str,
+    label: Column,
+    n_bins: int = 8,
+    n_buckets: int = 256,
+    decimals: int = 6,
+) -> DataFrame:
+    """Weight-of-evidence feature binning — the credit-scoring /
+    feature-engineering report: equi-depth bins over a numeric
+    feature (true-data boundaries, q181 machinery), and per bin the
+    positive/negative counts, WOE = ln((n_pos/total_pos) /
+    (n_neg/total_neg)), and the information-value contribution
+    (dist_pos − dist_neg)·WOE whose sum ranks the feature's
+    separating power. A bin with zero positives or negatives gets
+    NULL woe/iv_term (ln(0) — the honest answer; regularize upstream
+    if you must score it).
+
+    One boundary read + ONE map-side CASE aggregate over the data;
+    the totals attach from a broadcast 1-row frame. Rows with NULL
+    feature or NULL label are excluded (pinned; a NULL label is not
+    evidence for either class).
+
+    Returns (bin, lo, hi, n_rows, n_pos, n_neg, woe, iv_term).
+    """
+    lab = label.cast("boolean")
+    base = df.filter(
+        F.col(feature_col).isNotNull() & lab.isNotNull()
+    ).select(
+        F.col(feature_col).cast("double").alias("_v"),
+        lab.alias("_y"),
+    )
+    cuts = _equidepth_cuts(base, "_v", n_bins, n_buckets)
+    bin_expr = F.lit(0)
+    for c in cuts:
+        bin_expr = bin_expr + F.when(
+            F.lit(float(c)) < F.col("_v"), 1
+        ).otherwise(0)
+    counts = base.groupBy(bin_expr.cast("int").alias("bin")).agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("_pos"),
+    )
+    tot = base.agg(
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("_tp"),
+        F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("_tn"),
+    )
+    spark = df.sparkSession
+    meta = spark.createDataFrame(
+        [
+            (
+                i,
+                float(cuts[i - 1]) if i > 0 else None,
+                float(cuts[i]) if i < len(cuts) else None,
+            )
+            for i in range(n_bins)
+        ],
+        "bin int, lo double, hi double",
+    )
+    dp = F.col("n_pos") / F.nullif(F.col("_tp").cast("double"), F.lit(0.0))
+    dn = F.col("n_neg") / F.nullif(F.col("_tn").cast("double"), F.lit(0.0))
+    woe = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0), F.log(dp / dn)
+    )
+    return (
+        meta.join(counts, "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "lo",
+            "hi",
+            F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce(F.col("_pos"), F.lit(0)).cast("long").alias("n_pos"),
+            (
+                F.coalesce(F.col("_c"), F.lit(0))
+                - F.coalesce(F.col("_pos"), F.lit(0))
+            ).cast("long").alias("n_neg"),
+            "_tp",
+            "_tn",
+        )
+        .select(
+            "bin",
+            "lo",
+            "hi",
+            "n_rows",
+            "n_pos",
+            "n_neg",
+            F.round(woe, decimals).alias("woe"),
+            F.round((dp - dn) * woe, decimals).alias("iv_term"),
+        )
+    )

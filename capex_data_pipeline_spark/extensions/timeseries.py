@@ -296,3 +296,137 @@ def global_running_sum(
         )
         .drop("_bk", "_q", "_off", "_cum")
     )
+
+
+def funnel_report(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: "list[str]",
+    decimals: int = 6,
+) -> DataFrame:
+    """Ordered funnel conversion — the product-analytics staple: how
+    many users reach step 1, then step 2 STRICTLY AFTER their first
+    step-1 event, then step 3 after that, with per-step conversion
+    (vs the funnel top) and drop-off (vs the previous step).
+    First-touch semantics: each step's anchor is the user's EARLIEST
+    qualifying occurrence (min ts strictly after the previous anchor)
+    — the deterministic convention every funnel SQL restates, pinned
+    here so ties (same-timestamp events) never count as progress.
+
+    Scale shape: one user-keyed min-aggregate + one user-keyed join
+    per step — the step list is METADATA (3-5 entries), so the whole
+    funnel is a handful of same-key hash joins (co-partitioned by the
+    repeated user key; AQE reuses the exchange where plans align),
+    never a per-user event-sequence sort. The final conversion window
+    runs over the |steps|-row count frame, not the data.
+
+    Returns (step_idx 1-based, step, n_users, conversion, drop_off).
+    """
+    from pyspark.sql.window import Window
+
+    if not steps:
+        raise ValueError("funnel_report: steps must be non-empty")
+    base = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_e"),
+        F.col(ts_col).alias("_ts"),
+    ).filter(F.col("_u").isNotNull())
+    reached = (
+        base.filter(F.col("_e") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_ts").alias("_t"))
+    )
+    counts = None
+    for i, s in enumerate(steps):
+        if i:
+            reached = (
+                base.filter(F.col("_e") == s)
+                .join(reached.select("_u", "_t"), "_u")
+                .filter(F.col("_ts") > F.col("_t"))
+                .groupBy("_u")
+                .agg(F.min("_ts").alias("_t"))
+            )
+        row = reached.agg(
+            F.lit(i + 1).alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    w = Window.orderBy("step_idx")  # |steps|-row frame
+    top = F.first("n_users").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag("n_users").over(w)
+    return counts.select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.round(
+            F.col("n_users") / F.nullif(top.cast("double"), F.lit(0.0)),
+            decimals,
+        ).alias("conversion"),
+        F.round(
+            F.when(
+                prev.isNull(), F.lit(0.0)
+            ).otherwise(
+                F.lit(1.0)
+                - F.col("n_users")
+                / F.nullif(prev.cast("double"), F.lit(0.0))
+            ),
+            decimals,
+        ).alias("drop_off"),
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (current, next) event-type pair, the
+    transition count and conditional probability P(next | current) —
+    the session-model / next-action primitive behind "what usually
+    follows an error?". Deterministic sequencing: events order by
+    (ts, id) within user, so same-timestamp ties replay identically
+    on any engine; each user's LAST event emits no transition.
+
+    Scale shape: ONE user-partitioned lead() window (the q82
+    sessionization shape — state per task is one user's events, never
+    the corpus) + one hash aggregate on the compact type-pair key +
+    a type-keyed window for the row-conditional totals (type domain =
+    metadata). Returns (event_type, next_event_type, n, p).
+    """
+    from pyspark.sql.window import Window
+
+    seq = Window.partitionBy("_u").orderBy("_ts", "_id")
+    pairs = (
+        df.select(
+            F.col(user_col).alias("_u"),
+            F.col(type_col).alias("_e"),
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_id"),
+        )
+        .filter(F.col("_u").isNotNull())
+        .withColumn("_nx", F.lead("_e").over(seq))
+        .filter(F.col("_nx").isNotNull())
+        .groupBy(
+            F.col("_e").alias("event_type"),
+            F.col("_nx").alias("next_event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_event_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(wt).cast("double"), decimals
+        ).alias("p"),
+    )

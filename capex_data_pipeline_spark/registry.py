@@ -724,3 +724,47 @@ from capex_data_pipeline_spark import registry_search  # noqa: E402,F401  isort:
 from capex_data_pipeline_spark import registry_graph  # noqa: E402,F401  isort:skip
 from capex_data_pipeline_spark import registry_ml  # noqa: E402,F401  isort:skip
 from capex_data_pipeline_spark import registry_train  # noqa: E402,F401  isort:skip
+
+
+# =========================================================================
+# Multi-dimensional aggregates (CUBE — A2's ROLLUP completed)
+# =========================================================================
+
+
+@query(
+    "q207_cube_aggregate",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+           count(*)::BIGINT AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q207_cube_aggregate(spark, sf_dir):
+    """CUBE over (status, priority) with the grouping-id disambiguator
+    — every subtotal combination (cell, per-status, per-priority,
+    grand total) in ONE pass: Spark's Expand replicates each row once
+    per grouping set BEFORE the hash aggregate, so the whole lattice
+    costs one shuffle with map-side partials, not 4 scans (the
+    OLAP-cube shape A2's ROLLUP started; gid tells a NULL dimension
+    value apart from a NULL-because-aggregated cell). Revenue summed
+    cents-exact as BIGINT (the q175 convention), so the oracle —
+    DuckDB's GROUP BY CUBE with the standard GROUPING bitmask —
+    matches bit-for-bit, gid included."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid",
+            "revenue_cents", "n_orders",
+        )
+    )

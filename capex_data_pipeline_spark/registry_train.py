@@ -4489,3 +4489,203 @@ def q201_winsorized_signed(spark, sf_dir):
         p_hi=0.95,
         alpha=0.01,
     )
+
+
+# ---- q204: exact equi-depth histogram (the ANALYZE histogram)
+
+
+_Q204_BOUNDS = " UNION ALL ".join(
+    f"SELECT {i} AS b, (SELECT quantile_disc(x, {i / 8}) FROM v) AS bound"
+    for i in range(1, 8)
+)
+
+
+@query(
+    "q204_equidepth_histogram",
+    f"""
+    WITH v AS (
+      SELECT l_extendedprice::DOUBLE AS x FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+    ),
+    tot AS (SELECT count(*) AS n FROM v),
+    bounds AS ({_Q204_BOUNDS}),
+    bins AS (
+      SELECT (SELECT count(*) FROM bounds WHERE bound < x)::INT AS bin
+      FROM v
+    ),
+    counts AS (SELECT bin, count(*)::BIGINT AS n_rows FROM bins GROUP BY 1),
+    edges AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS bin)
+    SELECT e.bin, lo.bound AS lo, hi.bound AS hi,
+           coalesce(c.n_rows, 0)::BIGINT AS n_rows,
+           round(coalesce(c.n_rows, 0) / t.n::DOUBLE, 6) AS share
+    FROM edges e
+    CROSS JOIN tot t
+    LEFT JOIN bounds lo ON lo.b = e.bin
+    LEFT JOIN bounds hi ON hi.b = e.bin + 1
+    LEFT JOIN counts c ON c.bin = e.bin
+    """,
+)
+def q204_equidepth_histogram(spark, sf_dir):
+    """EXACT equi-depth histogram over line-item price
+    (sketches.equidepth_histogram): 8 bins whose boundaries are TRUE
+    data values at ranks ceil(i/8·n) — q181's targeted selection (one
+    histogram pass + one windowed pick for all 7 boundaries, never a
+    global sort) — then one map-side CASE pass counts rows per bin.
+    The exact sibling of q165's DDSketch range planner: q165 is the
+    constant-memory monitoring shape, this is the planner-statistics
+    shape where boundaries must land on real keys (pg_stats
+    histogram_bounds). The oracle replays quantile_disc boundaries,
+    the strict-below binning, and the shares."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        equidepth_histogram,
+    )
+
+    return equidepth_histogram(
+        _t(spark, sf_dir, "lineitem").select("l_extendedprice"),
+        "l_extendedprice",
+        n_bins=8,
+    )
+
+
+# ---- q205: weight-of-evidence feature binning
+
+
+@query(
+    "q205_woe_binning",
+    f"""
+    WITH base AS (
+      SELECT l_extendedprice::DOUBLE AS x,
+             (l_returnflag = 'R') AS y
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    ),
+    v AS (SELECT x FROM base),
+    bounds AS ({_Q204_BOUNDS}),
+    tot AS (
+      SELECT sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS tp,
+             sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS tn
+      FROM base
+    ),
+    bins AS (
+      SELECT (SELECT count(*) FROM bounds WHERE bound < x)::INT AS bin, y
+      FROM base
+    ),
+    counts AS (
+      SELECT bin, count(*)::BIGINT AS n_rows,
+             sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos
+      FROM bins GROUP BY 1
+    ),
+    edges AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS bin)
+    SELECT e.bin, lo.bound AS lo, hi.bound AS hi,
+           coalesce(c.n_rows, 0)::BIGINT AS n_rows,
+           coalesce(c.n_pos, 0)::BIGINT AS n_pos,
+           (coalesce(c.n_rows, 0) - coalesce(c.n_pos, 0))::BIGINT AS n_neg,
+           round(CASE WHEN coalesce(c.n_pos, 0) > 0
+                       AND coalesce(c.n_rows, 0) - coalesce(c.n_pos, 0) > 0
+                      THEN ln((c.n_pos / t.tp::DOUBLE)
+                              / ((c.n_rows - c.n_pos) / t.tn::DOUBLE))
+                 END, 6) AS woe,
+           round(CASE WHEN coalesce(c.n_pos, 0) > 0
+                       AND coalesce(c.n_rows, 0) - coalesce(c.n_pos, 0) > 0
+                      THEN (c.n_pos / t.tp::DOUBLE
+                            - (c.n_rows - c.n_pos) / t.tn::DOUBLE)
+                           * ln((c.n_pos / t.tp::DOUBLE)
+                                / ((c.n_rows - c.n_pos) / t.tn::DOUBLE))
+                 END, 6) AS iv_term
+    FROM edges e
+    CROSS JOIN tot t
+    LEFT JOIN bounds lo ON lo.b = e.bin
+    LEFT JOIN bounds hi ON hi.b = e.bin + 1
+    LEFT JOIN counts c ON c.bin = e.bin
+    """,
+)
+def q205_woe_binning(spark, sf_dir):
+    """Weight-of-evidence binning of line-item price against the
+    returned flag (sketches.woe_binning): exact equi-depth bins (q204
+    boundaries), per-bin positive/negative counts, WOE =
+    ln(dist_pos/dist_neg), and the information-value contribution
+    whose sum ranks the feature's separating power — the
+    feature-engineering report scorecard pipelines run before any
+    model training. Zero-class bins return NULL woe/iv (ln(0) — the
+    honest answer). One boundary read + one map-side CASE aggregate;
+    totals attach from a broadcast 1-row frame. The oracle replays
+    boundaries, counts, and both logarithmic columns."""
+    from capex_data_pipeline_spark.extensions.sketches import woe_binning
+
+    li = _t(spark, sf_dir, "lineitem")
+    return woe_binning(
+        li.select("l_extendedprice", "l_returnflag"),
+        "l_extendedprice",
+        F.col("l_returnflag") == "R",
+        n_bins=8,
+    )
+
+
+# ---- q206: leakage-free K-fold target encoding
+
+
+@query(
+    "q206_kfold_target_encoding",
+    """
+    WITH base AS (
+      SELECT coalesce(CAST(o_orderpriority AS VARCHAR), '<null>') AS cat,
+             CAST(CAST(('0x' || substr(md5('te|' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 5 AS INT) AS fold,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+    ),
+    cell AS (
+      SELECT cat, fold, count(*)::BIGINT AS n, sum(y)::BIGINT AS s
+      FROM base GROUP BY 1, 2
+    ),
+    cat_tot AS (
+      SELECT cat, sum(n)::BIGINT AS cn, sum(s)::BIGINT AS cs
+      FROM cell GROUP BY 1
+    ),
+    fold_tot AS (
+      SELECT fold, sum(n)::BIGINT AS fn, sum(s)::BIGINT AS fs
+      FROM cell GROUP BY 1
+    ),
+    all_tot AS (
+      SELECT sum(n)::BIGINT AS an, sum(s)::BIGINT AS asum FROM cell
+    ),
+    grid AS (
+      SELECT c.cat, f.f AS fold
+      FROM cat_tot c, (SELECT CAST(unnest(range(0, 5)) AS INT) AS f) f
+    )
+    SELECT g.cat AS category, g.fold AS fold,
+           coalesce(ce.n, 0)::BIGINT AS n_in_fold,
+           round(CASE WHEN ct.cn - coalesce(ce.n, 0) > 0
+                      THEN (ct.cs - coalesce(ce.s, 0))
+                           / (ct.cn - coalesce(ce.n, 0))::DOUBLE
+                      ELSE (a.asum - ft.fs)
+                           / nullif((a.an - ft.fn)::DOUBLE, 0.0)
+                 END / 100.0, 6) AS oof_mean
+    FROM grid g
+    LEFT JOIN cell ce ON ce.cat = g.cat AND ce.fold = g.fold
+    JOIN cat_tot ct ON ct.cat = g.cat
+    JOIN fold_tot ft ON ft.fold = g.fold
+    CROSS JOIN all_tot a
+    """,
+)
+def q206_kfold_target_encoding(spark, sf_dir):
+    """Leakage-free K-fold target encoding of order priority against
+    order value (corpus.kfold_target_encoding): each (priority, fold)
+    cell carries the priority's mean price computed from the OTHER 4
+    folds only — the encoded feature a fold's training rows see never
+    contains their own labels, the target-leakage failure naive mean
+    encoding ships. Deterministic md5 folds (replayable anywhere),
+    cents-exact integer sums (the q175/q197 convention), global
+    out-of-fold prior when a cell has no out-of-fold rows. Three
+    compact hash aggregates; everything after is
+    category-domain-sized. The oracle replays folds, cell algebra,
+    and the fallback arithmetic."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        kfold_target_encoding,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return kfold_target_encoding(
+        o, "o_orderkey", "o_orderpriority", F.col("o_totalprice"), k=5
+    )

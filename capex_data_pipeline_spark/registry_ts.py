@@ -1202,3 +1202,102 @@ def q197_group_trend(spark, sf_dir):
     return group_linear_trend(
         ev, "event_type", F.hour("ts"), F.col("value"), cents=2
     )
+
+
+# ---- q202: ordered funnel conversion
+
+
+@query(
+    "q202_funnel",
+    """
+    WITH t1 AS (
+      SELECT user_id AS u, min(ts) AS t FROM events
+      WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1
+    ),
+    t2 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+      JOIN t1 ON e.user_id = t1.u
+      WHERE e.event_type = 'click' AND e.ts > t1.t GROUP BY 1
+    ),
+    t3 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+      JOIN t2 ON e.user_id = t2.u
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY 1
+    ),
+    c AS (
+      SELECT 1 AS step_idx, 'view' AS step,
+             (SELECT count(*) FROM t1) AS n
+      UNION ALL
+      SELECT 2, 'click', (SELECT count(*) FROM t2)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+    )
+    SELECT step_idx, step, n::BIGINT AS n_users,
+           round(n / (first_value(n) OVER (ORDER BY step_idx))::DOUBLE, 6)
+             AS conversion,
+           round(CASE WHEN lag(n) OVER (ORDER BY step_idx) IS NULL THEN 0.0
+                      ELSE 1.0 - n / (lag(n) OVER (ORDER BY step_idx))::DOUBLE
+                 END, 6) AS drop_off
+    FROM c
+    """,
+)
+def q202_funnel(spark, sf_dir):
+    """Ordered funnel over the event stream
+    (timeseries.funnel_report): users reaching view, then click
+    strictly after their first view, then purchase strictly after
+    that first qualifying click — first-touch anchors, strict-after
+    tie semantics, per-step conversion vs the funnel top and drop-off
+    vs the previous step. One user-keyed min-aggregate + join per
+    step (the step list is metadata); the conversion window runs over
+    the 3-row count frame. The oracle restates the anchor chain as
+    three dependent CTEs and the same window arithmetic."""
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        funnel_report,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_report(
+        ev, "user_id", "event_type", "ts",
+        steps=["view", "click", "purchase"],
+    )
+
+
+# ---- q203: Markov transition matrix
+
+
+@query(
+    "q203_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT event_type AS e,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nx
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    pairs AS (
+      SELECT e, nx, count(*)::BIGINT AS n
+      FROM seq WHERE nx IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT e AS event_type, nx AS next_event_type, n,
+           round(n / (sum(n) OVER (PARTITION BY e))::DOUBLE, 6) AS p
+    FROM pairs
+    """,
+)
+def q203_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (timeseries.transition_matrix): count and
+    P(next | current) for every event-type pair, sequenced by
+    (ts, event_id) within user so same-timestamp ties replay
+    identically on any engine. One user-partitioned lead() window
+    (per-task state = one user's events), one hash aggregate on the
+    compact pair key, one metadata-domain conditional-total window.
+    The oracle restates the lead, the pair counts, and the
+    conditional normalization."""
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        transition_matrix,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(
+        ev, "user_id", "event_type", "ts", "event_id"
+    )

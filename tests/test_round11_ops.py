@@ -1,0 +1,201 @@
+"""Hand-computed unit tests for the round-11 operator batch: funnel,
+Markov transitions, equi-depth histogram, WOE binning, K-fold target
+encoding. Each pins semantics the registry oracle also certifies, plus
+the edge cases the sf-data can't hit (ties, empty bins, zero-class
+bins, single-fold categories)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_funnel_strict_after_semantics(spark):
+    from capex_data_pipeline_spark.extensions.timeseries import funnel_report
+
+    rows = [
+        # u1 completes all three in order
+        (1, "view", 1.0), (1, "click", 2.0), (1, "purchase", 3.0),
+        # u2 clicks BEFORE viewing -> click must not count
+        (2, "click", 1.0), (2, "view", 2.0),
+        # u3 clicks at the SAME ts as the first view -> strict-after: no
+        (3, "view", 5.0), (3, "click", 5.0),
+        # u4 views only
+        (4, "view", 1.0),
+        # NULL user excluded
+        (None, "view", 1.0), (None, "click", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "u long, e string, t double")
+    out = {
+        r["step_idx"]: (r["step"], r["n_users"], r["conversion"],
+                        r["drop_off"])
+        for r in funnel_report(
+            df, "u", "e", "t", steps=["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out[1] == ("view", 4, 1.0, 0.0)
+    assert out[2] == ("click", 1, 0.25, 0.75)
+    assert out[3] == ("purchase", 1, 0.25, 0.0)
+
+
+def test_transition_matrix_tiebreak_and_normalization(spark):
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        transition_matrix,
+    )
+
+    rows = [
+        (1, "a", 1.0, 10), (1, "b", 2.0, 11), (1, "c", 3.0, 12),
+        # same ts: order falls back to id -> a(20) then b(21)
+        (2, "a", 1.0, 20), (2, "b", 1.0, 21),
+        (3, "a", 1.0, 30), (3, "c", 2.0, 31),
+    ]
+    df = spark.createDataFrame(rows, "u long, e string, t double, id long")
+    got = {
+        (r["event_type"], r["next_event_type"]): (r["n"], r["p"])
+        for r in transition_matrix(df, "u", "e", "t", "id").collect()
+    }
+    # from 'a': b (u1), b (u2 via id tie-break), c (u3)
+    assert got[("a", "b")] == (2, pytest.approx(2 / 3, abs=1e-6))
+    assert got[("a", "c")] == (1, pytest.approx(1 / 3, abs=1e-6))
+    assert got[("b", "c")] == (1, 1.0)
+    assert ("c", "a") not in got  # last events emit nothing
+
+
+def test_equidepth_histogram_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.sketches import (
+        equidepth_histogram,
+    )
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {r["bin"]: r for r in
+           equidepth_histogram(df, "x", n_bins=4).collect()}
+    # cuts at ranks ceil(2), ceil(4), ceil(6) -> 2.0, 4.0, 6.0;
+    # strict-below binning puts boundary rows LEFT
+    assert (out[0]["lo"], out[0]["hi"], out[0]["n_rows"]) == (None, 2.0, 2)
+    assert (out[1]["lo"], out[1]["hi"], out[1]["n_rows"]) == (2.0, 4.0, 2)
+    assert (out[2]["lo"], out[2]["hi"], out[2]["n_rows"]) == (4.0, 6.0, 2)
+    assert (out[3]["lo"], out[3]["hi"], out[3]["n_rows"]) == (6.0, None, 2)
+    assert all(r["share"] == 0.25 for r in out.values())
+
+
+def test_equidepth_histogram_atom_pileup(spark):
+    """A heavy atom larger than a bin lands whole in one bin (strict-
+    below convention) and the neighbors report empty — the 'no
+    boundary can split this value' signal."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        equidepth_histogram,
+    )
+
+    vals = [5.0] * 9 + [1.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {r["bin"]: r["n_rows"] for r in
+           equidepth_histogram(df, "x", n_bins=2).collect()}
+    # cut at rank ceil(5) = 5.0; all nine 5.0s are NOT > cut -> bin 0
+    assert out[0] == 10 and out[1] == 0
+
+
+def test_woe_binning_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.sketches import woe_binning
+
+    # 8 rows, 2 bins; bin0 = values 1..4 (3 pos, 1 neg),
+    # bin1 = 5..8 (1 pos, 3 neg); totals 4/4
+    rows = [
+        (1.0, 1), (2.0, 1), (3.0, 1), (4.0, 0),
+        (5.0, 1), (6.0, 0), (7.0, 0), (8.0, 0),
+    ]
+    df = spark.createDataFrame(rows, "x double, y int")
+    out = {r["bin"]: r for r in woe_binning(
+        df, "x", F.col("y") == 1, n_bins=2
+    ).collect()}
+    w0 = math.log((3 / 4) / (1 / 4))
+    assert out[0]["n_pos"] == 3 and out[0]["n_neg"] == 1
+    assert out[0]["woe"] == pytest.approx(round(w0, 6), abs=1e-9)
+    assert out[0]["iv_term"] == pytest.approx(
+        round((3 / 4 - 1 / 4) * w0, 6), abs=1e-9
+    )
+    assert out[1]["woe"] == pytest.approx(round(-w0, 6), abs=1e-9)
+
+
+def test_woe_binning_zero_class_bin_is_null(spark):
+    from capex_data_pipeline_spark.extensions.sketches import woe_binning
+
+    rows = [(1.0, 1), (2.0, 1), (3.0, 1), (4.0, 1), (5.0, 0), (6.0, 1)]
+    df = spark.createDataFrame(rows, "x double, y int")
+    out = {r["bin"]: r for r in woe_binning(
+        df, "x", F.col("y") == 1, n_bins=2
+    ).collect()}
+    # bin 0 (1..3) has zero negatives -> NULL woe/iv, counts intact
+    assert out[0]["n_pos"] == 3 and out[0]["n_neg"] == 0
+    assert out[0]["woe"] is None and out[0]["iv_term"] is None
+
+
+def _py_fold(key, k, seed="te"):
+    return int(
+        hashlib.md5(f"{seed}|{key}".encode()).hexdigest()[:8], 16
+    ) % k
+
+
+def test_kfold_target_encoding_no_leakage(spark):
+    from capex_data_pipeline_spark.extensions.corpus import (
+        kfold_target_encoding,
+    )
+
+    k = 3
+    rows = [(i, "c" + str(i % 2), float(i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    got = {
+        (r["category"], r["fold"]): (r["n_in_fold"], r["oof_mean"])
+        for r in kfold_target_encoding(
+            df, "id", "cat", F.col("y"), k=k
+        ).collect()
+    }
+    # python recompute with the same md5 folds
+    for cat in ("c0", "c1"):
+        members = [(i, y) for i, c, y in rows if c == cat]
+        for f in range(k):
+            infold = [(i, y) for i, y in members if _py_fold(i, k) == f]
+            oof = [y for i, y in members if _py_fold(i, k) != f]
+            want = round(sum(round(y * 100) for y in oof)
+                         / 100.0 / len(oof), 6)
+            n, mean = got[(cat, f)]
+            assert n == len(infold)
+            assert mean == pytest.approx(want, abs=1e-9)
+
+
+def test_kfold_target_encoding_prior_fallback(spark):
+    """A category living entirely in one fold has no out-of-fold rows
+    for that fold -> the cell falls back to the GLOBAL out-of-fold
+    mean instead of NULL."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        kfold_target_encoding,
+    )
+
+    k = 3
+    # find a key whose fold is 0 and isolate category 'solo' on it
+    solo_key = next(i for i in range(1000) if _py_fold(i, k) == 0)
+    other = [
+        (i, "bulk", 10.0) for i in range(100, 160)
+    ]
+    rows = [(solo_key, "solo", 99.0)] + other
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    got = {
+        (r["category"], r["fold"]): r["oof_mean"]
+        for r in kfold_target_encoding(
+            df, "id", "cat", F.col("y"), k=k
+        ).collect()
+    }
+    # fold 0 for 'solo': no out-of-fold member -> global prior over
+    # everything outside fold 0
+    oof_all = [y for i, c, y in rows if _py_fold(i, k) != 0]
+    assert got[("solo", 0)] == pytest.approx(
+        round(sum(round(y * 100) for y in oof_all) / 100.0 / len(oof_all), 6),
+        abs=1e-9,
+    )
+    # other folds see the solo row itself
+    assert got[("solo", 1)] == pytest.approx(99.0, abs=1e-9)
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        kfold_target_encoding(df, "id", "cat", F.col("y"), k=1)
