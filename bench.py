@@ -280,6 +280,11 @@ HEADLINE = [
     "q205_woe_binning",
     "q206_kfold_target_encoding",
     "q207_cube_aggregate",
+    "q208_string_type_profile",
+    "q209_scd2_history",
+    "q210_weighted_quantiles",
+    "q211_mutual_information",
+    "q212_interval_overlap_join",
 ]
 
 

@@ -777,3 +777,75 @@ def group_linear_trend(
         ),
         F.round(r2, decimals).alias("r2"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Mutual information between two categorical columns — the
+    dependence measure behind feature selection ("does priority tell
+    you anything about status?") and redundancy pruning (MI ~ H means
+    one column is a function of the other; see q183's FD profile for
+    the exact-key version): MI = Σ_xy p(x,y)·ln(p(x,y)/(p(x)p(y))),
+    with both marginal entropies and the normalized
+    NMI = MI/√(H_a·H_b) riding along. NULL is a category (sentinel
+    semantics — a NULL-correlated column IS informative).
+
+    One hash aggregate on the compact (a, b) cell key + two marginal
+    aggregates OVER THE CELLS (never the data again) + domain-sized
+    joins; ln/× land on round(·, decimals), the q130 convention, so
+    the oracle replays the arithmetic. Returns ONE row:
+    (n, n_cells, mi, h_a, h_b, nmi).
+    """
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("<null>"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("<null>"))
+    joint = df.select(a.alias("_a"), b.alias("_b")).groupBy(
+        "_a", "_b"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    ma = joint.groupBy("_a").agg(F.sum("_n").alias("_na"))
+    mb = joint.groupBy("_b").agg(F.sum("_n").alias("_nb"))
+    tot = joint.agg(F.sum("_n").alias("_tn_all"))
+    cells = (
+        joint.join(ma, "_a")
+        .join(mb, "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    nd = F.col("_tn_all").cast("double")
+    mi_term = (F.col("_n") / nd) * F.log(
+        F.col("_n") * F.col("_tn_all")
+        / (F.col("_na").cast("double") * F.col("_nb").cast("double"))
+    )
+    mi_df = cells.agg(
+        F.sum("_n").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(mi_term).alias("_mi"),
+    )
+    ent = lambda m, nc, N: m.crossJoin(F.broadcast(tot)).agg(  # noqa: E731
+        F.sum(
+            -(F.col(nc) / F.col("_tn_all").cast("double"))
+            * F.log(F.col(nc) / F.col("_tn_all").cast("double"))
+        ).alias(N)
+    )
+    ha = ent(ma, "_na", "_ha")
+    hb = ent(mb, "_nb", "_hb")
+    return (
+        mi_df.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            "n",
+            "n_cells",
+            F.round("_mi", decimals).alias("mi"),
+            F.round("_ha", decimals).alias("h_a"),
+            F.round("_hb", decimals).alias("h_b"),
+            F.round(
+                F.col("_mi")
+                / F.nullif(
+                    F.sqrt(F.col("_ha") * F.col("_hb")), F.lit(0.0)
+                ),
+                decimals,
+            ).alias("nmi"),
+        )
+    )

@@ -691,3 +691,139 @@ def boilerplate_headers(
             (F.col("rank") <= topk) & (F.col("share") >= F.lit(min_share))
         )
     )
+
+
+def string_type_profile(
+    df: DataFrame,
+    cols: "list[str]",
+    decimals: int = 6,
+) -> DataFrame:
+    """Type-inference profiler over string columns — the
+    schema-discovery step every CSV/JSON landing zone runs: per
+    column, what fraction of values parse as integer / decimal / ISO
+    date / boolean / empty, and the type the column can SAFELY be
+    cast to (every non-null non-empty value parses). Classification
+    is REGEX-GATED, not try_cast, so the decision is engine-portable
+    byte-for-byte (try_cast semantics diverge across engines on 'inf',
+    whitespace, locale decimals; these anchored RE2-compatible
+    patterns do not — the cleaning-module convention).
+
+    One melt pass (the q178 shape: compact (column, value) pairs),
+    one hash aggregate per column — no per-column scans, no shuffle
+    wider than the pair.
+
+    Returns (column_name, n, n_null, n_empty, frac_int, frac_decimal,
+    frac_date, frac_bool, inferred_type) where inferred_type ∈
+    {'null', 'empty', 'boolean', 'bigint', 'double', 'date',
+    'string'} with fracs over NON-NULL values rounded to ``decimals``.
+    """
+    if not cols:
+        raise ValueError("string_type_profile: cols must be non-empty")
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("_col"),
+                        F.col(c).cast("string").alias("_v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_m")
+    ).select(F.col("_m._col").alias("_col"), F.col("_m._v").alias("_v"))
+    v = F.col("_v")
+    is_int = v.rlike(r"^[+-]?[0-9]+$")
+    is_dec = v.rlike(r"^[+-]?([0-9]+\.[0-9]*|\.[0-9]+|[0-9]+)$")
+    is_date = v.rlike(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+    is_bool = F.lower(v).isin("true", "false")
+    is_empty = v == ""
+
+    def cnt(cond):
+        return F.sum(F.when(v.isNotNull() & cond, 1).otherwise(0))
+
+    g = melted.groupBy("_col").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("long").alias(
+            "n_null"
+        ),
+        cnt(is_empty).cast("long").alias("n_empty"),
+        cnt(is_int).cast("long").alias("_ni"),
+        cnt(is_dec).cast("long").alias("_nd"),
+        cnt(is_date).cast("long").alias("_nda"),
+        cnt(is_bool).cast("long").alias("_nb"),
+    )
+    nn = (F.col("n") - F.col("n_null")).cast("double")
+    filled = F.col("n") - F.col("n_null") - F.col("n_empty")
+    inferred = (
+        F.when(F.col("n") == F.col("n_null"), F.lit("null"))
+        .when(filled == 0, F.lit("empty"))
+        .when(F.col("_nb") == filled, F.lit("boolean"))
+        .when(F.col("_ni") == filled, F.lit("bigint"))
+        .when(F.col("_nd") == filled, F.lit("double"))
+        .when(F.col("_nda") == filled, F.lit("date"))
+        .otherwise(F.lit("string"))
+    )
+    frac = lambda c: F.round(  # noqa: E731
+        c / F.nullif(nn, F.lit(0.0)), decimals
+    )
+    return g.select(
+        F.col("_col").alias("column_name"),
+        "n",
+        "n_null",
+        "n_empty",
+        frac(F.col("_ni")).alias("frac_int"),
+        frac(F.col("_nd")).alias("frac_decimal"),
+        frac(F.col("_nda")).alias("frac_date"),
+        frac(F.col("_nb")).alias("frac_bool"),
+        inferred.alias("inferred_type"),
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: "list[str]",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 history from a changelog — the
+    warehouse primitive q103's CDC apply stops short of: instead of
+    keeping only the latest state per key, build the validity-interval
+    history (valid_from, valid_to, is_current) with consecutive
+    IDENTICAL states COLLAPSED (a re-emitted unchanged record extends
+    the current interval, it never splits it — the dedup every SCD2
+    build needs or the history bloats with no-op rows).
+
+    Two windows over the same (key, ts[, id]) order — one lag() to
+    detect state changes, one lead() over the changed rows to close
+    intervals — so each task holds one key's changelog, never the
+    table (the q82/q203 sessionization shape). Deterministic ties via
+    ``id_col``.
+
+    Returns (key_col, *attr_cols, valid_from, valid_to, is_current);
+    valid_to is NULL on the open (current) interval.
+    """
+    from pyspark.sql.window import Window
+
+    if not attr_cols:
+        raise ValueError("scd2_history: attr_cols must be non-empty")
+    order = [F.col(ts_col).asc()] + (
+        [F.col(id_col).asc()] if id_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    state = F.struct(*[F.col(c) for c in attr_cols])
+    changed = df.withColumn("_prev", F.lag(state).over(w)).filter(
+        F.col("_prev").isNull() | ~state.eqNullSafe(F.col("_prev"))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        changed.withColumn("_to", F.lead(F.col(ts_col)).over(w2))
+        .select(
+            key_col,
+            *attr_cols,
+            F.col(ts_col).alias("valid_from"),
+            F.col("_to").alias("valid_to"),
+            F.col("_to").isNull().alias("is_current"),
+        )
+    )

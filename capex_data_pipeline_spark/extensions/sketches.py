@@ -2486,3 +2486,111 @@ def woe_binning(
             F.round((dp - dn) * woe, decimals).alias("iv_term"),
         )
     )
+
+
+def exact_weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    ps: "list[float]",
+    n_buckets: int = 1024,
+    cents: int = 2,
+) -> DataFrame:
+    """WEIGHTED exact order statistics without a global sort — the
+    token-weighted median document length, the byte-weighted p99 file
+    size: :func:`exact_quantiles` where every row counts ``weight``
+    times. Convention: the quantile is the smallest value whose
+    cumulative (value-ascending) weight reaches
+    rank_w = ceil(p · W) in cents-integer weight units (weights are
+    quantized to ``cents`` decimals and summed as BIGINT — the
+    q175/q197 exactness trick — so thresholds and comparisons are
+    integer-exact and replay bit-for-bit in SQL).
+
+    Same three-phase targeted selection as q181/q187: one (min, max,
+    ΣW) aggregate; one equi-width histogram of WEIGHT SUMS (driver
+    walk locates each p's bucket and the weight offset within it);
+    ONE final job for all ps — in-bucket rows collapse to distinct
+    values (per-value weight sums), a window cumulates only
+    ~n/n_buckets rows per p, and min(value) where the cumulative
+    reaches the offset is the answer. Rows with NULL or non-positive
+    weight are excluded (a zero-weight row cannot carry rank).
+
+    Returns one row per p: (p, wrank, value).
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    for p in ps:
+        if not (0.0 < p <= 1.0):
+            raise ValueError(
+                f"exact_weighted_quantiles: p={p} outside (0, 1]"
+            )
+    spark = df.sparkSession
+    out_schema = "p double, wrank bigint, value double"
+    if not ps:
+        return spark.createDataFrame([], out_schema)
+    scale = 10 ** cents
+    v = F.col(value_col).cast("double")
+    wq = F.round(F.col(weight_col).cast("double") * F.lit(scale)).cast(
+        "long"
+    )
+    base = (
+        df.select(v.alias("_v"), wq.alias("_w"))
+        .filter(
+            F.col("_v").isNotNull()
+            & F.col("_w").isNotNull()
+            & (F.col("_w") > 0)
+        )
+    )
+    stats = base.agg(
+        F.min("_v").alias("lo"),
+        F.max("_v").alias("hi"),
+        F.sum("_w").alias("W"),
+    ).collect()[0]
+    if stats["W"] is None:
+        return spark.createDataFrame([], out_schema)
+    lo, hi, W = float(stats["lo"]), float(stats["hi"]), int(stats["W"])
+    if hi == lo:
+        return spark.createDataFrame(
+            [(float(p), int(math.ceil(p * W)), lo) for p in ps], out_schema
+        )
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col("_v") - F.lit(lo)) / F.lit(width)),
+    ).cast("int")
+    hist = {
+        r["_b"]: r["_ws"]
+        for r in base.groupBy(bucket.alias("_b"))
+        .agg(F.sum("_w").alias("_ws"))
+        .collect()
+    }
+    targets = []  # (bucket, p, wrank, local weight offset)
+    for p in ps:
+        rank_w = int(math.ceil(p * W))
+        cum = 0
+        for b in sorted(hist):
+            if cum + hist[b] >= rank_w:
+                targets.append((b, float(p), rank_w, rank_w - cum))
+                break
+            cum += hist[b]
+    tdf = spark.createDataFrame(
+        targets, "_b int, p double, wrank long, _off long"
+    )
+    wv = (
+        Window.partitionBy("p")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.withColumn("_b", bucket)
+        .join(F.broadcast(tdf), "_b")
+        .groupBy("p", "wrank", "_off", "_v")
+        .agg(F.sum("_w").alias("_vw"))
+        .withColumn("_cum", F.sum("_vw").over(wv))
+        .filter(F.col("_cum") >= F.col("_off"))
+        .groupBy("p", "wrank")
+        .agg(F.min("_v").alias("value"))
+        .select("p", "wrank", "value")
+    )

@@ -306,10 +306,14 @@ def funnel_report(
     steps: "list[str]",
     decimals: int = 6,
 ) -> DataFrame:
-    """Ordered funnel conversion — the product-analytics staple: how
-    many users reach step 1, then step 2 STRICTLY AFTER their first
-    step-1 event, then step 3 after that, with per-step conversion
-    (vs the funnel top) and drop-off (vs the previous step).
+    """Ordered funnel conversion REPORT — the per-step aggregate
+    complement of :func:`~capex_data_pipeline_spark.extensions.
+    analytics.funnel` (q85), which returns one frontier row per KEY
+    with at-or-after tie semantics; this returns one row per STEP and
+    pins the stricter convention: how many users reach step 1, then
+    step 2 STRICTLY AFTER their first step-1 event, then step 3 after
+    that, with per-step conversion (vs the funnel top) and drop-off
+    (vs the previous step).
     First-touch semantics: each step's anchor is the user's EARLIEST
     qualifying occurrence (min ts strictly after the previous anchor)
     — the deterministic convention every funnel SQL restates, pinned
@@ -429,4 +433,98 @@ def transition_matrix(
         F.round(
             F.col("n") / F.sum("n").over(wt).cast("double"), decimals
         ).alias("p"),
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    max_bins_per_interval: int = 64,
+) -> DataFrame:
+    """Interval × interval OVERLAP join — the two-sided generalization
+    of :func:`range_join` (point × window): all same-key pairs of
+    CLOSED intervals [start, end] that overlap, with the exact overlap
+    length. Meetings × outages, sessions × incidents, validity ranges
+    × validity ranges.
+
+    The naive theta join (equi-key + overlap predicate) shuffles every
+    same-key pair before filtering — quadratic on hot keys. Here both
+    sides explode onto the fixed time grid ``bin_width`` (an interval
+    covers floor(start/w)..floor(end/w)), the join is a plain
+    equi-join on the compound (key, bin) key — only near-in-time pairs
+    ever pair, and a hot key's traffic spreads across its bins — then
+    the exact overlap predicate filters and DISTINCT collapses pairs
+    that met in several bins. Start/end are integer units (epoch
+    millis by convention); choose ``bin_width`` ~ the typical interval
+    length. A loud engine-side guard (raise_error) refuses intervals
+    covering more than ``max_bins_per_interval`` bins — the silent
+    row-explosion cap, per the resample_ffill convention.
+
+    Returns (key_col, <id>_l, <id>_r, overlap): one row per
+    overlapping (left, right) pair, overlap in the same units
+    (>= 0; 0 = they touch at one point).
+    """
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1: {bin_width}")
+
+    def _binned(df: DataFrame, tag: str) -> DataFrame:
+        s = F.col(start_col).cast("long")
+        e = F.col(end_col).cast("long")
+        nbins = (F.floor(e / bin_width) - F.floor(s / bin_width) + 1)
+        # the guard lives INSIDE the sequence's end bound so it is
+        # load-bearing — a guard on a separate projected-then-dropped
+        # column gets pruned by Catalyst and never evaluates
+        end_bin = F.when(
+            nbins > max_bins_per_interval,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "interval_overlap_join: interval covers > "
+                        f"{max_bins_per_interval} bins of width "
+                        f"{bin_width}; raise bin_width or split "
+                        "upstream (id="
+                    ),
+                    F.col(id_col).cast("string"),
+                    F.lit(")"),
+                ).cast("string")
+            ).cast("long"),
+        ).otherwise(F.floor(e / bin_width))
+        return (
+            df.filter(
+                F.col(key_col).isNotNull() & s.isNotNull() & e.isNotNull()
+                & (e >= s)
+            )
+            .select(
+                F.col(key_col).alias("_k"),
+                F.col(id_col).alias(f"_id{tag}"),
+                s.alias(f"_s{tag}"),
+                e.alias(f"_e{tag}"),
+                F.explode(
+                    F.sequence(F.floor(s / bin_width), end_bin)
+                ).alias("_bin"),
+            )
+        )
+
+    l = _binned(left, "l")
+    r = _binned(right, "r")
+    return (
+        l.join(r, ["_k", "_bin"])
+        .filter(
+            (F.col("_sl") <= F.col("_er")) & (F.col("_sr") <= F.col("_el"))
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_idl").alias(f"{id_col}_l"),
+            F.col("_idr").alias(f"{id_col}_r"),
+            (
+                F.least(F.col("_el"), F.col("_er"))
+                - F.greatest(F.col("_sl"), F.col("_sr"))
+            ).alias("overlap"),
+        )
+        .distinct()
     )

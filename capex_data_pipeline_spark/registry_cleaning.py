@@ -1151,3 +1151,150 @@ def q193_isotonic_calibration(spark, sf_dir):
         F.col("n_pos").alias("n_pos"),
         "rate_raw", "rate_fit",
     )
+
+
+# ---- q208: string type-inference profile
+
+
+_Q208_MIXED = """CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                     WHEN o_orderkey % 4 = 0 THEN 'true'
+                     WHEN o_orderkey % 4 = 1 THEN '123'
+                     WHEN o_orderkey % 4 = 2 THEN ''
+                     ELSE 'abc' END"""
+
+
+@query(
+    "q208_string_type_profile",
+    f"""
+    WITH src AS (
+      SELECT 'key_str' AS c, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+      UNION ALL
+      SELECT 'date_str', CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'status_str', o_orderstatus FROM orders
+      UNION ALL
+      SELECT 'mixed_str', {_Q208_MIXED} FROM orders
+    )
+    SELECT c AS column_name,
+           count(*)::BIGINT AS n,
+           sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           sum(CASE WHEN v = '' THEN 1 ELSE 0 END)::BIGINT AS n_empty,
+           round(sum(CASE WHEN regexp_matches(v, '^[+-]?[0-9]+$')
+                          THEN 1 ELSE 0 END)
+                 / nullif(count(v), 0)::DOUBLE, 6) AS frac_int,
+           round(sum(CASE WHEN regexp_matches(v,
+                     '^[+-]?([0-9]+\\.[0-9]*|\\.[0-9]+|[0-9]+)$')
+                          THEN 1 ELSE 0 END)
+                 / nullif(count(v), 0)::DOUBLE, 6) AS frac_decimal,
+           round(sum(CASE WHEN regexp_matches(v,
+                     '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$')
+                          THEN 1 ELSE 0 END)
+                 / nullif(count(v), 0)::DOUBLE, 6) AS frac_date,
+           round(sum(CASE WHEN lower(v) IN ('true', 'false')
+                          THEN 1 ELSE 0 END)
+                 / nullif(count(v), 0)::DOUBLE, 6) AS frac_bool,
+           CASE
+             WHEN count(v) = 0 THEN 'null'
+             WHEN sum(CASE WHEN v <> '' THEN 1 ELSE 0 END) = 0 THEN 'empty'
+             WHEN sum(CASE WHEN lower(v) IN ('true', 'false')
+                           THEN 1 ELSE 0 END)
+                  = sum(CASE WHEN v <> '' THEN 1 ELSE 0 END)
+               THEN 'boolean'
+             WHEN sum(CASE WHEN regexp_matches(v, '^[+-]?[0-9]+$')
+                           THEN 1 ELSE 0 END)
+                  = sum(CASE WHEN v <> '' THEN 1 ELSE 0 END)
+               THEN 'bigint'
+             WHEN sum(CASE WHEN regexp_matches(v,
+                           '^[+-]?([0-9]+\\.[0-9]*|\\.[0-9]+|[0-9]+)$')
+                           THEN 1 ELSE 0 END)
+                  = sum(CASE WHEN v <> '' THEN 1 ELSE 0 END)
+               THEN 'double'
+             WHEN sum(CASE WHEN regexp_matches(v,
+                           '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$')
+                           THEN 1 ELSE 0 END)
+                  = sum(CASE WHEN v <> '' THEN 1 ELSE 0 END)
+               THEN 'date'
+             ELSE 'string'
+           END AS inferred_type
+    FROM src GROUP BY c
+    """,
+)
+def q208_string_type_profile(spark, sf_dir):
+    """Type-inference profiling of string columns
+    (cleaning.string_type_profile) — the landing-zone schema-discovery
+    step: per column, the fraction of values parsing as integer /
+    decimal / ISO date / boolean, and the type the column can SAFELY
+    be cast to. Exercised on four derived orders columns: stringified
+    keys (all-int), stringified dates (all-date), status letters
+    (plain strings), and a synthesized mixed column with NULLs,
+    empties, booleans, ints and junk. Classification is anchored
+    RE2-compatible regex, NOT try_cast — identical byte semantics on
+    both engines (the cleaning-module convention) — in one melt pass
+    + one aggregate per column. The oracle restates every pattern and
+    the inference priority chain."""
+    from capex_data_pipeline_spark.extensions.cleaning import (
+        string_type_profile,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    derived = o.select(
+        k.cast("string").alias("key_str"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+        F.col("o_orderstatus").alias("status_str"),
+        F.when(k % 11 == 0, F.lit(None).cast("string"))
+        .when(k % 4 == 0, F.lit("true"))
+        .when(k % 4 == 1, F.lit("123"))
+        .when(k % 4 == 2, F.lit(""))
+        .otherwise(F.lit("abc"))
+        .alias("mixed_str"),
+    )
+    return string_type_profile(
+        derived, ["key_str", "date_str", "status_str", "mixed_str"]
+    )
+
+
+# ---- q209: SCD type-2 validity-interval history
+
+
+@query(
+    "q209_scd2_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    changed AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE prev IS NULL OR event_type IS DISTINCT FROM prev
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id)) IS NULL AS is_current
+    FROM changed
+    """,
+)
+def q209_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension TYPE 2 history from the event
+    changelog (cleaning.scd2_history): per user, validity intervals
+    of the event_type state — consecutive identical states COLLAPSED
+    (a re-emitted unchanged record extends the interval, never splits
+    it), valid_to closed by the next CHANGE, NULL + is_current on the
+    open interval. The warehouse primitive q103's CDC apply stops
+    short of (latest state vs full history). Two windows over the
+    same (user, ts, event_id) order — per-task state is one user's
+    changelog. The oracle restates the null-safe change detection and
+    the interval close."""
+    from capex_data_pipeline_spark.extensions.cleaning import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(
+        ev, "user_id", "ts", ["event_type"], id_col="event_id"
+    )

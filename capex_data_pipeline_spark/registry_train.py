@@ -4689,3 +4689,101 @@ def q206_kfold_target_encoding(spark, sf_dir):
     return kfold_target_encoding(
         o, "o_orderkey", "o_orderpriority", F.col("o_totalprice"), k=5
     )
+
+
+# ---- q210: exact weighted quantiles
+
+
+@query(
+    "q210_weighted_quantiles",
+    """
+    WITH v AS (
+      SELECT l_extendedprice::DOUBLE AS v,
+             CAST(round(l_quantity * 100) AS BIGINT) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND CAST(round(l_quantity * 100) AS BIGINT) > 0
+    ),
+    tot AS (SELECT sum(w)::BIGINT AS W FROM v),
+    dv AS (SELECT v, sum(w) AS w FROM v GROUP BY 1),
+    cum AS (SELECT v, sum(w) OVER (ORDER BY v) AS cw FROM dv)
+    SELECT p, CAST(ceil(p * t.W) AS BIGINT) AS wrank,
+           (SELECT min(v) FROM cum WHERE cw >= ceil(p * t.W)) AS value
+    FROM (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS p) ps
+    CROSS JOIN tot t
+    """,
+)
+def q210_weighted_quantiles(spark, sf_dir):
+    """EXACT quantity-weighted price quantiles
+    (sketches.exact_weighted_quantiles): the smallest price whose
+    cumulative quantity reaches ceil(p·W) — what "the median unit
+    shipped cost X" actually means, vs q181's per-ROW median. Same
+    sort-free targeted selection: weights quantized to cents-exact
+    BIGINTs, one weight-sum histogram pass, ONE final job for all ps
+    (in-bucket rows collapse to per-value weight sums before a
+    p-partitioned cumulative window). The oracle restates the
+    distinct-value cumulative weights and the ceil(p·W) threshold."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        exact_weighted_quantiles,
+    )
+
+    return exact_weighted_quantiles(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_extendedprice", "l_quantity"
+        ),
+        "l_extendedprice",
+        "l_quantity",
+        ps=[0.5, 0.9, 0.99],
+    )
+
+
+# ---- q211: mutual information between categorical columns
+
+
+@query(
+    "q211_mutual_information",
+    """
+    WITH j AS (
+      SELECT coalesce(CAST(o_orderstatus AS VARCHAR), '<null>') AS a,
+             coalesce(CAST(o_orderpriority AS VARCHAR), '<null>') AS b,
+             count(*)::BIGINT AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    ma AS (SELECT a, sum(n)::BIGINT AS na FROM j GROUP BY 1),
+    mb AS (SELECT b, sum(n)::BIGINT AS nb FROM j GROUP BY 1),
+    t AS (SELECT sum(n)::BIGINT AS N FROM j),
+    mi AS (
+      SELECT sum(j.n)::BIGINT AS n, count(*)::BIGINT AS n_cells,
+             sum((j.n / t.N::DOUBLE)
+                 * ln((j.n * t.N)::DOUBLE
+                      / (ma.na::DOUBLE * mb.nb::DOUBLE))) AS mi
+      FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t
+    ),
+    ha AS (SELECT sum(-(na / t.N::DOUBLE) * ln(na / t.N::DOUBLE)) AS h
+           FROM ma CROSS JOIN t),
+    hb AS (SELECT sum(-(nb / t.N::DOUBLE) * ln(nb / t.N::DOUBLE)) AS h
+           FROM mb CROSS JOIN t)
+    SELECT mi.n, mi.n_cells,
+           round(mi.mi, 6) AS mi,
+           round(ha.h, 6) AS h_a,
+           round(hb.h, 6) AS h_b,
+           round(mi.mi / nullif(sqrt(ha.h * hb.h), 0.0), 6) AS nmi
+    FROM mi, ha, hb
+    """,
+)
+def q211_mutual_information(spark, sf_dir):
+    """Mutual information between order status and priority
+    (analytics.mutual_information): MI, both marginal entropies, and
+    NMI — the dependence measure feature selection and redundancy
+    pruning run, the soft sibling of q183's hard FD test (fd_holds is
+    MI == H). NULL is a category (sentinel). One (a, b) cell
+    aggregate; marginals and entropies computed over the CELLS, never
+    the data again; domain-sized joins only. The oracle restates the
+    plug-in estimator cell for cell."""
+    from capex_data_pipeline_spark.extensions.analytics import (
+        mutual_information,
+    )
+
+    return mutual_information(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )

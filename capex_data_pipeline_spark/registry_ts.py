@@ -1242,12 +1242,15 @@ def q197_group_trend(spark, sf_dir):
     """,
 )
 def q202_funnel(spark, sf_dir):
-    """Ordered funnel over the event stream
-    (timeseries.funnel_report): users reaching view, then click
-    strictly after their first view, then purchase strictly after
-    that first qualifying click — first-touch anchors, strict-after
-    tie semantics, per-step conversion vs the funnel top and drop-off
-    vs the previous step. One user-keyed min-aggregate + join per
+    """Ordered funnel REPORT over the event stream
+    (timeseries.funnel_report) — the per-step aggregate complement of
+    q85's per-key frontier frame, with the STRICTER tie convention
+    pinned (q85 matches at-or-after; this requires strictly-after, so
+    same-timestamp events never count as progress): users reaching
+    view, then click strictly after their first view, then purchase
+    strictly after that first qualifying click — first-touch anchors,
+    per-step conversion vs the funnel top and drop-off vs the
+    previous step. One user-keyed min-aggregate + join per
     step (the step list is metadata); the conversion window runs over
     the 3-row count frame. The oracle restates the anchor chain as
     three dependent CTEs and the same window arithmetic."""
@@ -1300,4 +1303,60 @@ def q203_transition_matrix(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return transition_matrix(
         ev, "user_id", "event_type", "ts", "event_id"
+    )
+
+
+# ---- q212: interval overlap join
+
+
+@query(
+    "q212_interval_overlap_join",
+    """
+    WITH base AS (
+      SELECT user_id, event_id, event_type,
+             epoch_ms(ts) AS s,
+             epoch_ms(ts) + CAST(round(value * 60000) AS BIGINT) AS e
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    ),
+    l AS (SELECT * FROM base WHERE event_type = 'view'),
+    r AS (SELECT * FROM base WHERE event_type = 'purchase')
+    SELECT l.user_id,
+           l.event_id AS event_id_l,
+           r.event_id AS event_id_r,
+           (least(l.e, r.e) - greatest(l.s, r.s))::BIGINT AS overlap
+    FROM l JOIN r
+      ON l.user_id = r.user_id AND l.s <= r.e AND r.s <= l.e
+    """,
+)
+def q212_interval_overlap_join(spark, sf_dir):
+    """Interval × interval overlap join
+    (timeseries.interval_overlap_join): every (view, purchase) pair of
+    the same user whose activity intervals [ts, ts + value minutes] overlap,
+    with the exact overlap in milliseconds — the two-sided
+    generalization of q77's point-in-window range join. Both sides
+    explode onto a 30-minute grid and join on the compound (user, bin)
+    key — near-in-time pairs only, hot users spread across their bins,
+    a loud raise_error guard on intervals covering too many bins —
+    then the exact overlap predicate filters and DISTINCT collapses
+    multi-bin meetings. The oracle is the direct theta join the
+    bucketing provably equals."""
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        interval_overlap_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = F.unix_millis(F.col("ts"))
+
+    def iv(t):
+        return ev.filter(F.col("event_type") == t).select(
+            "user_id",
+            "event_id",
+            s.alias("s"),
+            (s + F.round(F.col("value") * 60000).cast("long")).alias("e"),
+        )
+
+    return interval_overlap_join(
+        iv("view"), iv("purchase"), "user_id", "event_id", "s", "e",
+        bin_width=1_800_000,
     )

@@ -199,3 +199,154 @@ def test_kfold_target_encoding_prior_fallback(spark):
     assert got[("solo", 1)] == pytest.approx(99.0, abs=1e-9)
     with pytest.raises(ValueError, match="k must be >= 2"):
         kfold_target_encoding(df, "id", "cat", F.col("y"), k=1)
+
+
+def test_string_type_profile_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.cleaning import (
+        string_type_profile,
+    )
+
+    rows = [
+        ("12", "1.5", "2024-01-02", "TRUE", None),
+        ("-3", ".5", "2024-13-40", "false", ""),
+        ("+0", "2", None, "True", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "ints string, decs string, dates string, bools string, misc string"
+    )
+    out = {r["column_name"]: r for r in
+           string_type_profile(df, df.columns).collect()}
+    assert out["ints"]["inferred_type"] == "bigint"
+    assert out["ints"]["frac_int"] == 1.0
+    # decimals include plain ints ('2' parses as decimal)
+    assert out["decs"]["inferred_type"] == "double"
+    # '2024-13-40' matches the SHAPE regex (format, not calendar) —
+    # documented: this is a shape profiler, not a validator
+    assert out["dates"]["inferred_type"] == "date"
+    assert out["dates"]["n_null"] == 1
+    assert out["bools"]["inferred_type"] == "boolean"
+    assert out["misc"]["inferred_type"] == "string"
+    assert out["misc"]["n_empty"] == 1
+
+
+def test_scd2_history_collapses_noop_rows(spark):
+    from capex_data_pipeline_spark.extensions.cleaning import scd2_history
+
+    rows = [
+        (1, "a", 1.0, 10),
+        (1, "a", 2.0, 11),   # unchanged -> extends, never splits
+        (1, "b", 3.0, 12),
+        (1, "b", 4.0, 13),
+        (1, "a", 5.0, 14),   # back to 'a' -> NEW interval
+        (2, None, 1.0, 20),  # NULL state is a state
+        (2, None, 2.0, 21),
+        (2, "x", 3.0, 22),
+    ]
+    df = spark.createDataFrame(rows, "k long, st string, t double, id long")
+    got = sorted(
+        (
+            (r["k"], r["st"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in scd2_history(
+                df, "k", "t", ["st"], id_col="id"
+            ).collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert got == [
+        (1, "a", 1.0, 3.0, False),
+        (1, "b", 3.0, 5.0, False),
+        (1, "a", 5.0, None, True),
+        (2, None, 1.0, 3.0, False),
+        (2, "x", 3.0, None, True),
+    ]
+
+
+def test_exact_weighted_quantiles_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.sketches import (
+        exact_weighted_quantiles,
+    )
+
+    # values 1..4 with weights 1, 1, 6, 2 -> W=10 (cents: 1000)
+    rows = [(1.0, 1.0), (2.0, 1.0), (3.0, 6.0), (4.0, 2.0)]
+    df = spark.createDataFrame(rows, "v double, w double")
+    got = {
+        r["p"]: (r["wrank"], r["value"])
+        for r in exact_weighted_quantiles(
+            df, "v", "w", ps=[0.2, 0.5, 0.9, 1.0], n_buckets=4
+        ).collect()
+    }
+    # cum weights (cents): 1->100, 2->200, 3->800, 4->1000
+    assert got[0.2] == (200, 2.0)
+    assert got[0.5] == (500, 3.0)
+    assert got[0.9] == (900, 4.0)
+    assert got[1.0] == (1000, 4.0)
+    # zero/negative weights carry no rank
+    df2 = spark.createDataFrame(
+        [(1.0, 0.0), (2.0, 1.0)], "v double, w double"
+    )
+    got2 = exact_weighted_quantiles(df2, "v", "w", ps=[0.5]).collect()[0]
+    assert got2["value"] == 2.0
+    with pytest.raises(ValueError, match="outside"):
+        exact_weighted_quantiles(df, "v", "w", ps=[0.0])
+
+
+def test_mutual_information_hand_cases(spark):
+    from capex_data_pipeline_spark.extensions.analytics import (
+        mutual_information,
+    )
+
+    # perfectly dependent: b == a -> MI == H, NMI == 1
+    dep = spark.createDataFrame(
+        [("x", "x")] * 2 + [("y", "y")] * 2, "a string, b string"
+    )
+    r = mutual_information(dep, "a", "b").collect()[0]
+    assert r["mi"] == pytest.approx(math.log(2), abs=1e-6)
+    assert r["nmi"] == pytest.approx(1.0, abs=1e-6)
+    # independent uniform -> MI 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv" for _ in range(3)],
+        "a string, b string",
+    )
+    r = mutual_information(ind, "a", "b").collect()[0]
+    assert r["mi"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_interval_overlap_join_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, 0, 100), (1, 11, 500, 600), (2, 12, 0, 50)],
+        "k long, id long, s long, e long",
+    )
+    right = spark.createDataFrame(
+        [(1, 20, 90, 120), (1, 21, 200, 300), (2, 22, 50, 80),
+         (3, 23, 0, 100)],
+        "k long, id long, s long, e long",
+    )
+    got = sorted(
+        (r["k"], r["id_l"], r["id_r"], r["overlap"])
+        for r in interval_overlap_join(
+            left, right, "k", "id", "s", "e", bin_width=64
+        ).collect()
+    )
+    # (10, 20): [0,100] x [90,120] -> overlap 10; (12, 22): touch at 50
+    assert got == [(1, 10, 20, 10), (2, 12, 22, 0)]
+    # pairs meeting in multiple bins appear ONCE
+    wide_l = spark.createDataFrame([(1, 1, 0, 120)], "k long, id long, s long, e long")
+    wide_r = spark.createDataFrame([(1, 2, 10, 110)], "k long, id long, s long, e long")
+    out = interval_overlap_join(
+        wide_l, wide_r, "k", "id", "s", "e", bin_width=16
+    ).collect()
+    assert len(out) == 1 and out[0]["overlap"] == 100
+    # the loud guard fires on bin explosions
+    import py4j.protocol
+
+    huge = spark.createDataFrame([(1, 1, 0, 10_000)], "k long, id long, s long, e long")
+    with pytest.raises(Exception, match="covers > |SparkRuntimeException"):
+        interval_overlap_join(
+            huge, wide_r, "k", "id", "s", "e", bin_width=16,
+            max_bins_per_interval=8,
+        ).collect()
