@@ -285,6 +285,9 @@ HEADLINE = [
     "q210_weighted_quantiles",
     "q211_mutual_information",
     "q212_interval_overlap_join",
+    "q213_session_paths",
+    "q214_embedding_diversity",
+    "q215_centroid_drift",
 ]
 
 

@@ -1233,3 +1233,128 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+def group_embedding_diversity(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """MEAN PAIRWISE COSINE similarity inside every group — the
+    embedding-diversity report a curation pipeline reads before
+    sampling ("is this source one blob of paraphrases or actually
+    varied?") — WITHOUT the pairwise join: for unit-normalized
+    vectors u, Σ_{i≠j} u_i·u_j = ‖Σu‖² − n, so the whole statistic is
+    one per-dimension sum. The identity turns the O(n²) all-pairs
+    cosine into ONE posexplode + one (group, dim) hash aggregate +
+    one group-sized reduction — the sufficient-statistics move (the
+    q197 trend convention, applied to vectors), exactly mergeable
+    across shards/days. High mean (→1) = near-duplicates the q67
+    semantic dedup should see; near 0 = diverse.
+
+    Zero-norm vectors are excluded (no direction); groups with one
+    usable vector return NULL (no pairs). Returns (group_col, n,
+    mean_pairwise_cos).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(group_col).alias("_g"), v.alias("_v"), nrm.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            "_g",
+            F.posexplode(
+                F.transform(F.col("_v"), lambda x: x / F.col("_n"))
+            ).alias("_i", "_u"),
+        )
+    )
+    dimsum = base.groupBy("_g", "_i").agg(F.sum("_u").alias("_s"))
+    ss = dimsum.groupBy("_g").agg(
+        F.sum(F.col("_s") * F.col("_s")).alias("_ss")
+    )
+    # n recovered from the dim-sum pass itself: each vector contributed
+    # exactly dim entries, so count(rows)/dim == n — but the dim isn't
+    # assumed; a plain count per group is one more cells-free aggregate
+    cnt = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(group_col).alias("_g"), nrm.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cnt.join(ss, "_g").select(
+        F.col("_g").alias(group_col),
+        "n",
+        F.round(
+            (F.col("_ss") - F.col("n"))
+            / F.nullif(
+                (F.col("n") * (F.col("n") - 1)).cast("double"), F.lit(0.0)
+            ),
+            decimals,
+        ).alias("mean_pairwise_cos"),
+    )
+
+
+def group_centroid_drift(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Embedding-distribution DRIFT per group between two corpus
+    snapshots: the cosine between each group's OLD and NEW centroid —
+    the cheap monitor that catches "this source's content moved"
+    before any model does (q101 builds the centroids; this compares
+    them across time; q96's PSI is the scalar-feature sibling). Two
+    per-dimension sum aggregates (one per snapshot, mergeable), a
+    group+dim equi-join of cells frames, one group-sized reduction —
+    nothing pairwise, nothing driver-side.
+
+    Returns (group_col, n_old, n_new, centroid_cos): cos near 1 =
+    stable; groups missing from either snapshot drop (inner join —
+    drift needs both sides).
+    """
+    def cells(df: DataFrame, tag: str) -> DataFrame:
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        return (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.col(group_col).alias("_g"), F.posexplode(v).alias("_i", "_x"))
+            .groupBy("_g", "_i")
+            .agg(
+                F.sum("_x").alias(f"_s{tag}"),
+                (F.count(F.lit(1))).alias(f"_c{tag}"),
+            )
+        )
+
+    a, b = cells(old, "a"), cells(new, "b")
+    per_dim = a.join(b, ["_g", "_i"]).select(
+        "_g",
+        (F.col("_sa") / F.col("_ca")).alias("_ma"),
+        (F.col("_sb") / F.col("_cb")).alias("_mb"),
+        F.col("_ca").alias("_na"),
+        F.col("_cb").alias("_nb"),
+    )
+    g = per_dim.groupBy("_g").agg(
+        F.max("_na").alias("n_old"),
+        F.max("_nb").alias("n_new"),
+        F.sum(F.col("_ma") * F.col("_mb")).alias("_dot"),
+        F.sum(F.col("_ma") * F.col("_ma")).alias("_qa"),
+        F.sum(F.col("_mb") * F.col("_mb")).alias("_qb"),
+    )
+    return g.select(
+        F.col("_g").alias(group_col),
+        "n_old",
+        "n_new",
+        F.round(
+            F.col("_dot")
+            / F.nullif(
+                F.sqrt(F.col("_qa")) * F.sqrt(F.col("_qb")), F.lit(0.0)
+            ),
+            decimals,
+        ).alias("centroid_cos"),
+    )

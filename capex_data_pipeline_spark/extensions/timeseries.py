@@ -528,3 +528,59 @@ def interval_overlap_join(
         )
         .distinct()
     )
+
+
+def session_paths(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_seconds: int = 1800,
+    min_sessions: int = 1,
+) -> DataFrame:
+    """Session PATH analysis — the "what do journeys actually look
+    like" report: gap-sessionize (q82's exact machinery, strict-gap
+    semantics, (ts, id) tie-break), render each session's ordered
+    event-type sequence as a '>'-joined path string, and count how
+    many sessions walk each path. Composes q82 (which rows share a
+    session) and q203 (one-step transitions) into whole-journey
+    frequencies.
+
+    The per-session collect is bounded by SESSION length (an
+    inactivity gap bounds it physically — the one place a collect_list
+    is honest at 100 TB), sorted inside the aggregate via
+    array_sort on (ts, id, type) structs, never a window re-sort.
+    Returns (path, n_sessions) for paths with >= ``min_sessions``.
+    """
+    from capex_data_pipeline_spark.extensions.analytics import sessionize
+
+    s = sessionize(
+        df.filter(F.col(user_col).isNotNull()),
+        on=user_col,
+        time_col=ts_col,
+        gap_seconds=gap_seconds,
+        tiebreak_col=id_col,
+    )
+    path = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("_t"),
+                        F.col(id_col).alias("_id"),
+                        F.col(type_col).alias("_e"),
+                    )
+                )
+            ),
+            lambda m: m["_e"],
+        ),
+        ">",
+    )
+    return (
+        s.groupBy(user_col, "session_id")
+        .agg(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .filter(F.col("n_sessions") >= min_sessions)
+    )

@@ -967,3 +967,105 @@ def q191_rake_keywords(spark, sf_dir):
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         n_stopwords=5, k=20,
     )
+
+
+# ---- q214: embedding diversity without the pairwise join
+
+
+@query(
+    "q214_embedding_diversity",
+    """
+    WITH nrm AS (
+      SELECT label, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    u AS (
+      SELECT label, i.i AS i, CAST(embedding[i.i] AS DOUBLE) / nv AS ux
+      FROM nrm, (SELECT unnest(range(1, 65)) AS i) i
+      WHERE nv > 0
+    ),
+    ds AS (SELECT label, i, sum(ux) AS s FROM u GROUP BY 1, 2),
+    ss AS (SELECT label, sum(s * s) AS ss FROM ds GROUP BY 1),
+    c AS (SELECT label, count(*)::BIGINT AS n FROM nrm
+          WHERE nv > 0 GROUP BY 1)
+    SELECT c.label, c.n,
+           round((ss.ss - c.n)
+                 / nullif((c.n * (c.n - 1))::DOUBLE, 0.0), 6)
+             AS mean_pairwise_cos
+    FROM c JOIN ss USING (label)
+    """,
+)
+def q214_embedding_diversity(spark, sf_dir):
+    """Mean pairwise cosine per label WITHOUT the pairwise join
+    (similarity.group_embedding_diversity): for unit vectors,
+    Σ_{i≠j} u_i·u_j = ‖Σu‖² − n, so the O(n²) diversity statistic
+    collapses to one posexplode + one (group, dim) hash aggregate —
+    the sufficient-statistics move applied to vectors, exactly
+    mergeable across shards. The curation signal before sampling:
+    mean near 1 = a blob of near-paraphrases (send to q67 semantic
+    dedup), near 0 = genuinely varied. The oracle replays the
+    normalization and the identity dimension for dimension."""
+    from capex_data_pipeline_spark.extensions.similarity import (
+        group_embedding_diversity,
+    )
+
+    return group_embedding_diversity(
+        _t(spark, sf_dir, "embeddings"), "label", "embedding"
+    )
+
+
+# ---- q215: per-group centroid drift between snapshots
+
+
+@query(
+    "q215_centroid_drift",
+    """
+    WITH cells AS (
+      SELECT label, (vec_id % 2) AS half, i.i AS i,
+             sum(CAST(embedding[i.i] AS DOUBLE)) AS s,
+             count(*)::BIGINT AS c
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+      WHERE embedding IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    j AS (
+      SELECT a.label, a.s / a.c AS ma, b.s / b.c AS mb,
+             a.c AS na, b.c AS nb
+      FROM cells a JOIN cells b
+        ON a.label = b.label AND a.i = b.i
+       AND a.half = 0 AND b.half = 1
+    ),
+    g AS (
+      SELECT label, max(na) AS n_old, max(nb) AS n_new,
+             sum(ma * mb) AS dt, sum(ma * ma) AS qa,
+             sum(mb * mb) AS qb
+      FROM j GROUP BY 1
+    )
+    SELECT label, n_old, n_new,
+           round(dt / nullif(sqrt(qa) * sqrt(qb), 0.0), 6)
+             AS centroid_cos
+    FROM g
+    """,
+)
+def q215_centroid_drift(spark, sf_dir):
+    """Per-label embedding centroid drift between two snapshot halves
+    (similarity.group_centroid_drift — even vec_ids play the old
+    corpus, odd the new): cosine between each group's old and new
+    centroid, the cheap content-moved monitor (q101 builds centroids,
+    q96's PSI is the scalar sibling). Two mergeable per-dimension sum
+    aggregates, a dim-cells equi-join, one group-sized reduction —
+    nothing pairwise. The oracle replays the cells and the centroid
+    cosine."""
+    from capex_data_pipeline_spark.extensions.similarity import (
+        group_centroid_drift,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return group_centroid_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        "label",
+        "embedding",
+    )

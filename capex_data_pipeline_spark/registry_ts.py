@@ -1360,3 +1360,53 @@ def q212_interval_overlap_join(spark, sf_dir):
         iv("view"), iv("purchase"), "user_id", "event_id", "s", "e",
         bin_width=1_800_000,
     )
+
+
+# ---- q213: session path analysis
+
+
+@query(
+    "q213_session_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events WHERE user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, ts, event_id,
+             sum(ns) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS sid
+      FROM seq
+    ),
+    paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT path, count(*)::BIGINT AS n_sessions FROM paths GROUP BY 1
+    """,
+)
+def q213_session_paths(spark, sf_dir):
+    """Whole-journey path frequencies (timeseries.session_paths):
+    gap-sessionize with q82's exact strict-gap machinery (30-minute
+    inactivity, (ts, event_id) tie-break), render each session's
+    ordered event types as a '>'-joined path, count sessions per
+    path — q82 says which rows share a session, q203 gives one-step
+    transitions, this gives the full journeys. The per-session
+    collect is bounded by the inactivity gap (the one honest
+    collect_list), sorted inside the aggregate. The oracle replays
+    the strict-gap flag, the running session id, and the ordered
+    string_agg."""
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        session_paths,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return session_paths(
+        ev, "user_id", "event_type", "ts", "event_id",
+        gap_seconds=1800,
+    )

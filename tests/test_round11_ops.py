@@ -350,3 +350,72 @@ def test_interval_overlap_join_hand_case(spark):
             huge, wide_r, "k", "id", "s", "e", bin_width=16,
             max_bins_per_interval=8,
         ).collect()
+
+
+def test_session_paths_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.timeseries import session_paths
+
+    rows = [
+        # u1: one session a>b, then after a 1-hour gap a second session c
+        (1, "a", "2024-01-01 10:00:00", 1),
+        (1, "b", "2024-01-01 10:10:00", 2),
+        (1, "c", "2024-01-01 11:30:00", 3),
+        # u2: same path a>b in one session
+        (2, "a", "2024-01-01 09:00:00", 4),
+        (2, "b", "2024-01-01 09:05:00", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "u long, e string, t string, id long"
+    ).select("u", "e", F.col("t").cast("timestamp").alias("t"), "id")
+    got = {
+        r["path"]: r["n_sessions"]
+        for r in session_paths(df, "u", "e", "t", "id",
+                               gap_seconds=1800).collect()
+    }
+    assert got == {"a>b": 2, "c": 1}
+
+
+def test_group_embedding_diversity_identity(spark):
+    from capex_data_pipeline_spark.extensions.similarity import (
+        group_embedding_diversity,
+    )
+
+    # group 'dup': 3 identical vectors -> mean pairwise cos 1.0
+    # group 'orth': orthogonal basis vectors -> mean pairwise cos 0.0
+    # group 'solo': one vector -> NULL (no pairs)
+    # zero vector excluded
+    rows = [
+        ("dup", [1.0, 0.0, 0.0]), ("dup", [1.0, 0.0, 0.0]),
+        ("dup", [1.0, 0.0, 0.0]),
+        ("orth", [1.0, 0.0, 0.0]), ("orth", [0.0, 2.0, 0.0]),
+        ("orth", [0.0, 0.0, 0.5]),
+        ("solo", [1.0, 1.0, 1.0]),
+        ("solo", [0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "g string, embedding array<double>")
+    out = {r["g"]: (r["n"], r["mean_pairwise_cos"])
+           for r in group_embedding_diversity(df, "g").collect()}
+    assert out["dup"] == (3, pytest.approx(1.0, abs=1e-6))
+    assert out["orth"] == (3, pytest.approx(0.0, abs=1e-9))
+    assert out["solo"][0] == 1 and out["solo"][1] is None
+
+
+def test_group_centroid_drift_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.similarity import (
+        group_centroid_drift,
+    )
+
+    old = spark.createDataFrame(
+        [("s", [1.0, 0.0]), ("s", [1.0, 0.0]), ("m", [1.0, 0.0]),
+         ("gone", [1.0, 1.0])],
+        "g string, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [("s", [2.0, 0.0]), ("m", [0.0, 3.0])],
+        "g string, embedding array<double>",
+    )
+    out = {r["g"]: (r["n_old"], r["n_new"], r["centroid_cos"])
+           for r in group_centroid_drift(old, new, "g").collect()}
+    assert out["s"] == (2, 1, pytest.approx(1.0, abs=1e-9))   # same dir
+    assert out["m"] == (1, 1, pytest.approx(0.0, abs=1e-9))   # rotated 90°
+    assert "gone" not in out  # inner join: drift needs both snapshots
