@@ -288,6 +288,9 @@ HEADLINE = [
     "q213_session_paths",
     "q214_embedding_diversity",
     "q215_centroid_drift",
+    "q216_orc_roundtrip",
+    "q217_robust_scale",
+    "q218_benford_profile",
 ]
 
 

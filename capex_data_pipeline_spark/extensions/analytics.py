@@ -849,3 +849,62 @@ def mutual_information(
             ).alias("nmi"),
         )
     )
+
+
+def robust_scale(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Median/IQR feature scaling per group — the outlier-immune
+    normalizer (sklearn's RobustScaler, distributed): scaled =
+    (x − median_g) / (p75_g − p25_g), where the quartiles are EXACT
+    discrete-rank data values from :func:`~capex_data_pipeline_spark.
+    extensions.sketches.group_exact_quantiles` (q187 machinery — no
+    per-group sort, group domain = metadata). Unlike mean/std scaling
+    (q83's cousin) a handful of corrupt readings cannot poison the
+    scale. Groups with IQR = 0 (degenerate spread) return NULL scaled
+    — the honest answer; clamp upstream if you must emit something.
+
+    One quantile pass + one broadcast join of the groups-sized stats
+    frame + a map-side transform. Returns the input columns plus
+    ``scaled`` (rounded to ``decimals``).
+    """
+    from capex_data_pipeline_spark.extensions.sketches import (
+        group_exact_quantiles,
+    )
+
+    q = group_exact_quantiles(
+        df.select(F.col(group_col).alias("_g"),
+                  F.col(value_col).cast("double").alias("_v")),
+        "_g",
+        "_v",
+        ps=[0.25, 0.5, 0.75],
+    )
+    stats = (
+        q.groupBy("_g")
+        .pivot("p", [0.25, 0.5, 0.75])
+        .agg(F.first("value"))
+        .select(
+            F.col("_g").alias("_sg"),
+            F.col("`0.25`").alias("_q1"),
+            F.col("`0.5`").alias("_med"),
+            F.col("`0.75`").alias("_q3"),
+        )
+    )
+    iqr = F.col("_q3") - F.col("_q1")
+    return (
+        df.join(
+            F.broadcast(stats),
+            F.col(group_col).eqNullSafe(F.col("_sg")),
+        )
+        .select(
+            *df.columns,
+            F.round(
+                (F.col(value_col).cast("double") - F.col("_med"))
+                / F.nullif(iqr, F.lit(0.0)),
+                decimals,
+            ).alias("scaled"),
+        )
+    )

@@ -337,3 +337,66 @@ def numeric_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+    cents: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """First-significant-digit audit against Benford's law — the
+    forensic data-quality screen for naturally-occurring amounts
+    (prices, populations, file sizes): organic multiplicative data
+    leads with digit d at frequency log10(1 + 1/d); fabricated or
+    truncated data doesn't. Digit extraction convention: the leading
+    digit of the ``cents``-quantized magnitude
+    (CAST(round(|x|·10^cents) AS BIGINT) rendered as a string), so
+    the classification is INTEGER/string arithmetic — identical on
+    any engine, no float log10 at the decade boundaries. Zero
+    magnitudes (and NULLs) are excluded; digits with no rows still
+    report (n = 0).
+
+    One map-side digit projection + one 9-cell aggregate. Returns one
+    row per digit 1..9: (digit, n, frac, benford_expected, deviation)
+    with deviation = frac − expected.
+    """
+    import math
+
+    scale = 10 ** cents
+    c = F.round(F.abs(F.col(value_col).cast("double")) * F.lit(scale)).cast(
+        "long"
+    )
+    base = df.filter(F.col(value_col).isNotNull()).select(c.alias("_c")).filter(
+        F.col("_c") > 0
+    )
+    digit = F.substring(F.col("_c").cast("string"), 1, 1).cast("int")
+    counts = base.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("_t"))
+    spark = df.sparkSession
+    digits = spark.createDataFrame(
+        [(d, round(math.log10(1 + 1 / d), decimals)) for d in range(1, 10)],
+        "digit int, benford_expected double",
+    )
+    return (
+        digits.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0))
+                / F.nullif(F.col("_t").cast("double"), F.lit(0.0)),
+                decimals,
+            ).alias("frac"),
+            "benford_expected",
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0))
+                / F.nullif(F.col("_t").cast("double"), F.lit(0.0))
+                - F.col("benford_expected"),
+                decimals,
+            ).alias("deviation"),
+        )
+    )

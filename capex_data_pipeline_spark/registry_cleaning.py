@@ -1298,3 +1298,45 @@ def q209_scd2_history(spark, sf_dir):
     return scd2_history(
         ev, "user_id", "ts", ["event_type"], id_col="event_id"
     )
+
+
+# ---- q218: Benford first-digit audit
+
+
+@query(
+    "q218_benford_profile",
+    """
+    WITH c AS (
+      SELECT CAST(round(abs(value) * 100) AS BIGINT) AS c FROM events
+      WHERE value IS NOT NULL
+        AND CAST(round(abs(value) * 100) AS BIGINT) > 0
+    ),
+    counts AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+             count(*)::BIGINT AS n
+      FROM c GROUP BY 1
+    ),
+    tot AS (SELECT count(*)::BIGINT AS t FROM c),
+    exp AS (SELECT * FROM (VALUES (1, 0.30103), (2, 0.176091), (3, 0.124939), (4, 0.09691), (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153), (9, 0.045757)) e(digit, benford_expected))
+    SELECT e.digit, coalesce(cn.n, 0)::BIGINT AS n,
+           round(coalesce(cn.n, 0) / nullif(t.t::DOUBLE, 0.0), 6) AS frac,
+           e.benford_expected,
+           round(coalesce(cn.n, 0) / nullif(t.t::DOUBLE, 0.0)
+                 - e.benford_expected, 6) AS deviation
+    FROM exp e LEFT JOIN counts cn ON cn.digit = e.digit CROSS JOIN tot t
+    """,
+)
+def q218_benford_profile(spark, sf_dir):
+    """First-significant-digit audit of event values against Benford's
+    law (quality.benford_profile): organic multiplicative amounts lead
+    with digit d at frequency log10(1 + 1/d); fabricated, truncated,
+    or unit-capped data deviates — the forensic screen auditors run
+    on amounts before trusting them. Digit extraction is INTEGER
+    arithmetic on the cents-quantized magnitude (no float log10 at
+    decade boundaries — engine-identical by construction), one
+    map-side projection + one 9-cell aggregate. The oracle carries
+    the same precomputed expected frequencies as literals, so both
+    engines compare against identical constants."""
+    from capex_data_pipeline_spark.extensions.quality import benford_profile
+
+    return benford_profile(_t(spark, sf_dir, "events"), "value")

@@ -3739,8 +3739,11 @@ def q180_priority_sample(spark, sf_dir):
 def q181_exact_quantiles(spark, sf_dir):
     """EXACT p50/p90/p99 of line-item price without a global sort
     (sketches.exact_quantiles): equi-width histogram pass locates the
-    bucket holding rank ceil(p*n), then ONLY that bucket is rescanned
-    with a TakeOrdered(offset) — the two-phase targeted selection that
+    bucket holding rank ceil(p*n), then ONE final job answers ALL ps —
+    rows join their broadcast target buckets and a p-partitioned
+    window over only in-bucket rows picks the offset row (the shared
+    q187 machinery with a constant group; r11 replaced the former
+    one-TakeOrdered-per-p tail) — the targeted selection that
     replaces the single-task ``ORDER BY`` funnel planlint bans. The
     exact sibling of q157's DDSketch (use the sketch for mergeable
     monitoring, this when the number must be a true data value: SLA

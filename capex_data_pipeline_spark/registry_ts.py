@@ -1410,3 +1410,88 @@ def q213_session_paths(spark, sf_dir):
         ev, "user_id", "event_type", "ts", "event_id",
         gap_seconds=1800,
     )
+
+
+# ---- q216: ORC sink -> source round-trip
+
+
+@query(
+    "q216_orc_roundtrip",
+    """
+    SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+           round(sum(o_totalprice), 4) AS total_value,
+           count(DISTINCT o_custkey)::BIGINT AS n_customers
+    FROM orders GROUP BY 1
+    """,
+)
+def q216_orc_roundtrip(spark, sf_dir):
+    """ORC sink -> source round-trip under the driver's value gate
+    (sources/orc.py): orders written as ORC, read back with an
+    EXPLICIT schema (the q86 JSONL convention — inference is an extra
+    full pass at scale), then aggregated. The oracle aggregates the
+    source parquet directly, so value equality proves the second
+    columnar format loses nothing — doubles, longs, and strings all
+    survive bit-for-bit. ORC gets parquet's same pushdown/pruning
+    treatment from Spark's native reader."""
+    import os
+    import tempfile
+
+    from capex_data_pipeline_spark.sources.orc import read_orc, write_orc
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"capex_q216_orc_{os.path.basename(sf_dir)}"
+    )
+    write_orc(o, path)
+    back = read_orc(
+        spark, path,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double",
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_value"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+# ---- q217: robust (median/IQR) feature scaling
+
+
+@query(
+    "q217_robust_scale",
+    """
+    WITH v AS (
+      SELECT event_id, event_type, value::DOUBLE AS value FROM events
+    ),
+    q AS (
+      SELECT event_type,
+             quantile_disc(value, 0.25) AS q1,
+             quantile_disc(value, 0.5) AS med,
+             quantile_disc(value, 0.75) AS q3
+      FROM v WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT v.event_id, v.event_type, v.value,
+           round((v.value - q.med) / nullif(q.q3 - q.q1, 0.0), 6) AS scaled
+    FROM v JOIN q USING (event_type)
+    """,
+)
+def q217_robust_scale(spark, sf_dir):
+    """Median/IQR robust scaling of event values per type
+    (analytics.robust_scale — sklearn's RobustScaler, distributed):
+    quartiles are EXACT discrete-rank data values from the q187
+    grouped targeted selection (no per-group sort), the groups-sized
+    stats frame broadcasts, and the transform is map-side. The
+    outlier-immune normalizer q83's z-score family can't be when the
+    contamination drags the mean. The oracle replays quantile_disc
+    quartiles (the pinned shared rank convention) and the transform
+    row for row."""
+    from capex_data_pipeline_spark.extensions.analytics import robust_scale
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return robust_scale(ev, "event_type", "value")

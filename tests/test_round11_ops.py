@@ -419,3 +419,47 @@ def test_group_centroid_drift_hand_case(spark):
     assert out["s"] == (2, 1, pytest.approx(1.0, abs=1e-9))   # same dir
     assert out["m"] == (1, 1, pytest.approx(0.0, abs=1e-9))   # rotated 90°
     assert "gone" not in out  # inner join: drift needs both snapshots
+
+
+def test_robust_scale_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.analytics import robust_scale
+
+    # group g: values 1..5 -> q1=2 (rank ceil(1.25)), med=3, q3=4; IQR 2
+    rows = [("g", float(i)) for i in range(1, 6)] + [("flat", 7.0)] * 3
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {(r["k"], r["v"]): r["scaled"]
+           for r in robust_scale(df, "k", "v").collect()}
+    assert out[("g", 1.0)] == pytest.approx(-1.0, abs=1e-9)
+    assert out[("g", 3.0)] == pytest.approx(0.0, abs=1e-9)
+    assert out[("g", 5.0)] == pytest.approx(1.0, abs=1e-9)
+    # degenerate spread -> NULL, never a divide-by-zero inf
+    assert out[("flat", 7.0)] is None
+
+
+def test_benford_profile_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.quality import benford_profile
+
+    # cents-quantized magnitudes: 1.0 -> 100 (digit 1), 0.25 -> 25 (2),
+    # -9.5 -> 950 (9), 0.0 excluded, NULL excluded
+    df = spark.createDataFrame(
+        [(1.0,), (0.25,), (-9.5,), (0.0,), (None,)], "x double"
+    )
+    out = {r["digit"]: r for r in benford_profile(df, "x").collect()}
+    assert len(out) == 9  # every digit reports, empty ones n=0
+    assert out[1]["n"] == 1 and out[2]["n"] == 1 and out[9]["n"] == 1
+    assert out[3]["n"] == 0
+    assert out[1]["benford_expected"] == pytest.approx(0.30103, abs=1e-5)
+    assert out[1]["frac"] == pytest.approx(round(1 / 3, 6), abs=1e-9)
+
+
+def test_orc_roundtrip_preserves_values(spark, tmp_path):
+    from capex_data_pipeline_spark.sources.orc import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, -0.25), (3, "c", None)],
+        "id long, s string, v double",
+    )
+    p = str(tmp_path / "orc")
+    write_orc(df, p)
+    back = read_orc(spark, p, "id long, s string, v double")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
