@@ -291,6 +291,9 @@ HEADLINE = [
     "q216_orc_roundtrip",
     "q217_robust_scale",
     "q218_benford_profile",
+    "q219_dedup_adjusted_size",
+    "q220_bootstrap_se",
+    "q221_ab_test_report",
 ]
 
 

@@ -908,3 +908,202 @@ def robust_scale(
             ).alias("scaled"),
         )
     )
+
+
+#: Poisson(1) inverse-CDF cumulative probabilities, k = 0..7 (tail mass
+#: beyond 8 is ~1.1e-9 — weight caps at 8). Module-level literals so the
+#: engine and every oracle compare against IDENTICAL constants.
+POISSON1_CDF = (
+    0.36787944117144233,  # k=0
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+)
+
+
+def bootstrap_mean_se(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    r: int = 32,
+    cents: int = 2,
+    seed: str = "bs",
+    decimals: int = 6,
+) -> DataFrame:
+    """Poisson-bootstrap standard error of the per-group mean in ONE
+    pass — the streaming bootstrap (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", public): resampling with
+    replacement is impossible without materializing resamples, but
+    each row's multiplicity in a bootstrap replicate is ~Poisson(1),
+    so ``r`` deterministic Poisson weights per row (md5 inverse-CDF —
+    replayable on any engine, weight capped at 8, tail mass 1e-9)
+    yield ``r`` replicate means from ONE scan + one (group, replicate)
+    aggregate. The uncertainty number a mean WITHOUT a bootstrap
+    cannot honestly ship.
+
+    Exactness: values quantized to ``cents`` and summed as BIGINT, so
+    every replicate mean is a ratio of exact integers; the SE over the
+    r-row replicate frame uses the two-pass (join the replicate mean
+    back) form — no catastrophic cancellation. The explode is a
+    map-side ×r expansion feeding immediately into map-side partial
+    aggregation: nothing r-times-data-sized ever shuffles.
+
+    Returns (group_col, n, mean, boot_se, n_replicates).
+    """
+    from capex_data_pipeline_spark.extensions.corpus import hash_u32
+
+    if r < 2:
+        raise ValueError(f"bootstrap_mean_se: r must be >= 2: {r}")
+    scale = 10 ** cents
+    x = F.round(F.col(value_col).cast("double") * F.lit(scale)).cast("long")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(key_col).cast("string").alias("_k"),
+        x.alias("_x"),
+    ).filter(F.col("_x").isNotNull() & F.col("_k").isNotNull())
+    rep = base.select(
+        "_g",
+        "_x",
+        "_k",
+        F.explode(F.array(*[F.lit(j) for j in range(r)])).alias("_j"),
+    )
+    u = hash_u32(
+        F.concat(F.col("_k"), F.lit("|"), F.col("_j").cast("string")),
+        seed,
+    ).cast("double") / F.lit(float(1 << 32))
+    w = F.lit(8)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    sums = rep.groupBy("_g", "_j").agg(
+        F.sum(w * F.col("_x")).alias("_sx"),
+        F.sum(w).alias("_sw"),
+    ).filter(F.col("_sw") > 0)
+    means = sums.select(
+        "_g", (F.col("_sx") / F.col("_sw").cast("double")).alias("_m")
+    )
+    mbar = means.groupBy("_g").agg(F.avg("_m").alias("_mb"))
+    se = (
+        means.join(mbar, "_g")
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("_r"),
+            F.sum(
+                (F.col("_m") - F.col("_mb")) * (F.col("_m") - F.col("_mb"))
+            ).alias("_ssq"),
+        )
+        .select(
+            "_g",
+            "_r",
+            F.sqrt(
+                F.col("_ssq") / (F.col("_r") - F.lit(1)).cast("double")
+            ).alias("_se"),
+        )
+    )
+    plain = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_x").alias("_tx")
+    )
+    return plain.join(se, "_g").select(
+        F.col("_g").alias(group_col),
+        "n",
+        F.round(
+            F.col("_tx") / F.col("n").cast("double") / F.lit(float(scale)),
+            decimals,
+        ).alias("mean"),
+        F.round(F.col("_se") / F.lit(float(scale)), decimals).alias(
+            "boot_se"
+        ),
+        F.col("_r").alias("n_replicates"),
+    )
+
+
+def ab_test_report(
+    df: DataFrame,
+    unit_col: str,
+    convert: Column,
+    arms: int = 2,
+    seed: str = "ab",
+    decimals: int = 6,
+) -> DataFrame:
+    """Two-arm A/B conversion report with the two-proportion z-test:
+    units are assigned to arms by the deterministic md5 hash
+    (replayable, stable across runs — the q104 split convention,
+    applied to experiments), per-UNIT conversion is computed first
+    (any converting event converts the unit — never row-weighted),
+    and the pooled two-proportion z statistic quantifies the lift.
+    The analysis every experimentation platform runs; here it is two
+    hash aggregates (unit-level collapse, then arm-level counts) and
+    one 2-row reduction. A degenerate experiment (pooled conversion
+    0 or 1 — no variance) reports NULL z_stat rather than dividing
+    by zero.
+
+    Returns one row per arm: (arm, n_units, n_converted, cvr, lift,
+    z_stat) — lift/z_stat reported on arm 1 vs arm 0 (NULL on arm 0's
+    row).
+    """
+    from capex_data_pipeline_spark.extensions.corpus import hash_u32
+
+    if arms != 2:
+        raise ValueError("ab_test_report: exactly 2 arms supported")
+    units = (
+        df.filter(F.col(unit_col).isNotNull())
+        .select(
+            F.col(unit_col).alias("_u"),
+            convert.cast("boolean").alias("_c"),
+        )
+        .groupBy("_u")
+        .agg(F.max(F.coalesce(F.col("_c"), F.lit(False))).alias("_conv"))
+        .select(
+            (hash_u32(F.col("_u"), seed) % arms).cast("int").alias("arm"),
+            "_conv",
+        )
+    )
+    per_arm = units.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(F.when(F.col("_conv"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_converted"),
+    )
+    a = per_arm.filter(F.col("arm") == 0).select(
+        F.col("n_units").alias("_n0"), F.col("n_converted").alias("_c0")
+    )
+    b = per_arm.filter(F.col("arm") == 1).select(
+        F.col("n_units").alias("_n1"), F.col("n_converted").alias("_c1")
+    )
+    stats = a.crossJoin(F.broadcast(b)).select(
+        (F.col("_c1") / F.col("_n1").cast("double")
+         - F.col("_c0") / F.col("_n0").cast("double")).alias("_lift"),
+        (
+            (F.col("_c1") / F.col("_n1").cast("double")
+             - F.col("_c0") / F.col("_n0").cast("double"))
+            / F.nullif(
+                F.sqrt(
+                    ((F.col("_c0") + F.col("_c1"))
+                     / (F.col("_n0") + F.col("_n1")).cast("double"))
+                    * (1 - (F.col("_c0") + F.col("_c1"))
+                       / (F.col("_n0") + F.col("_n1")).cast("double"))
+                    * (1 / F.col("_n0").cast("double")
+                       + 1 / F.col("_n1").cast("double"))
+                ),
+                F.lit(0.0),
+            )
+        ).alias("_z"),
+    )
+    return per_arm.crossJoin(F.broadcast(stats)).select(
+        "arm",
+        "n_units",
+        "n_converted",
+        F.round(
+            F.col("n_converted") / F.col("n_units").cast("double"), decimals
+        ).alias("cvr"),
+        F.when(F.col("arm") == 1, F.round(F.col("_lift"), decimals)).alias(
+            "lift"
+        ),
+        F.when(F.col("arm") == 1, F.round(F.col("_z"), decimals)).alias(
+            "z_stat"
+        ),
+    )

@@ -2831,3 +2831,57 @@ def kfold_target_encoding(
             ).alias("oof_mean"),
         )
     )
+
+
+def dedup_adjusted_size(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Dedup-adjusted corpus size per source — the number that matters
+    when sizing a training mixture: raw token counts OVERSTATE a
+    source exactly by its duplication, so each document's tokens are
+    down-weighted by its exact-duplicate cluster size (md5 text
+    fingerprint, the q30 convention — a doc appearing 5 times
+    contributes its tokens once, spread as 1/5 per copy, so the
+    per-source effective sizes still sum to the global deduped
+    total even when copies straddle sources). Whitespace token
+    counting via ``textstats.whitespace_token_count`` (the q42
+    convention, same regex the oracle replays).
+
+    One fingerprint aggregate + one join back + one group aggregate —
+    never a self-join. Returns (group_col, n_docs, raw_tokens,
+    effective_tokens, dup_ratio) with dup_ratio = raw/effective
+    (1.0 = no duplication).
+    """
+    from capex_data_pipeline_spark.extensions.textstats import (
+        whitespace_token_count,
+    )
+
+    toks = whitespace_token_count(F.col(text_col)).cast("long")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_fp"),
+        toks.alias("_tk"),
+    )
+    sizes = base.groupBy("_fp").agg(F.count(F.lit(1)).alias("_csz"))
+    return (
+        base.join(sizes, "_fp")
+        .groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tk").alias("raw_tokens"),
+            F.round(
+                F.sum(F.col("_tk") / F.col("_csz").cast("double")), decimals
+            ).alias("effective_tokens"),
+            F.round(
+                F.sum("_tk")
+                / F.nullif(
+                    F.sum(F.col("_tk") / F.col("_csz").cast("double")),
+                    F.lit(0.0),
+                ),
+                decimals,
+            ).alias("dup_ratio"),
+        )
+    )

@@ -4790,3 +4790,44 @@ def q211_mutual_information(spark, sf_dir):
     return mutual_information(
         _t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
     )
+
+
+# ---- q219: dedup-adjusted corpus size
+
+
+@query(
+    "q219_dedup_adjusted_size",
+    r"""
+    WITH b AS (
+      SELECT source AS g, md5(coalesce(text, '')) AS fp,
+             len(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT
+               AS tk
+      FROM documents
+    ),
+    sz AS (SELECT fp, count(*)::BIGINT AS csz FROM b GROUP BY 1)
+    SELECT b.g AS source, count(*)::BIGINT AS n_docs,
+           sum(b.tk)::BIGINT AS raw_tokens,
+           round(sum(b.tk / sz.csz::DOUBLE), 6) AS effective_tokens,
+           round(sum(b.tk)
+                 / nullif(sum(b.tk / sz.csz::DOUBLE), 0.0), 6) AS dup_ratio
+    FROM b JOIN sz USING (fp)
+    GROUP BY 1
+    """,
+)
+def q219_dedup_adjusted_size(spark, sf_dir):
+    """Dedup-adjusted corpus size per source
+    (corpus.dedup_adjusted_size): every document's whitespace tokens
+    down-weighted by its exact-duplicate cluster size (q30's md5
+    fingerprint), so a source's EFFECTIVE token count is what survives
+    dedup — the number q195's budget allocation should divide, not the
+    raw count duplication inflates. Cross-source copies split their
+    weight, so per-source effective sizes sum to the global deduped
+    total. One fingerprint aggregate + one join back + one group
+    aggregate; the oracle replays fingerprints, weights, and ratios."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        dedup_adjusted_size,
+    )
+
+    return dedup_adjusted_size(
+        _t(spark, sf_dir, "documents"), "source", "text"
+    )

@@ -99,7 +99,7 @@ def q77_range_join(spark, sf_dir):
     from capex_data_pipeline_spark.sources.parquet import read_table
 
     ev = read_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
+    purchases = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 450.0)).select(
         "event_id", "user_id", "ts"
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -1495,3 +1495,125 @@ def q217_robust_scale(spark, sf_dir):
         "event_id", "event_type", "value"
     )
     return robust_scale(ev, "event_type", "value")
+
+
+# ---- q220: one-pass Poisson-bootstrap SE of the mean
+
+
+@query(
+    "q220_bootstrap_se",
+    """
+    WITH base AS (
+      SELECT event_type AS g, CAST(event_id AS VARCHAR) AS k,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events
+      WHERE value IS NOT NULL AND event_id IS NOT NULL
+    ),
+    rep AS (
+      SELECT g, k, x, j.j AS j,
+             CAST(('0x' || substr(md5('bs|' || k || '|' || CAST(j.j AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS u
+      FROM base, (SELECT unnest(range(0, 16)) AS j) j
+    ),
+    w AS (SELECT g, j, x, CASE WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1 WHEN u < 0.9196986029286058 THEN 2 WHEN u < 0.9810118431238462 THEN 3 WHEN u < 0.9963401531726563 THEN 4 WHEN u < 0.9994058151824183 THEN 5 WHEN u < 0.9999167588507119 THEN 6 WHEN u < 0.9999897508033253 THEN 7 ELSE 8 END AS w FROM rep),
+    sums AS (
+      SELECT g, j, sum(w * x)::BIGINT AS sx, sum(w)::BIGINT AS sw
+      FROM w GROUP BY 1, 2
+      HAVING sum(w) > 0
+    ),
+    means AS (SELECT g, sx / sw::DOUBLE AS m FROM sums),
+    mbar AS (SELECT g, avg(m) AS mb FROM means GROUP BY 1),
+    se AS (
+      SELECT means.g, count(*)::BIGINT AS r_eff,
+             sqrt(sum((m - mb) * (m - mb)) / (count(*) - 1)::DOUBLE) AS se
+      FROM means JOIN mbar ON means.g = mbar.g GROUP BY 1
+    ),
+    plain AS (
+      SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS tx
+      FROM base GROUP BY 1
+    )
+    SELECT p.g AS event_type, p.n,
+           round(p.tx / p.n::DOUBLE / 100.0, 6) AS mean,
+           round(se.se / 100.0, 6) AS boot_se,
+           se.r_eff AS n_replicates
+    FROM plain p JOIN se ON p.g = se.g
+    """,
+)
+def q220_bootstrap_se(spark, sf_dir):
+    """Poisson-bootstrap standard error of the per-event-type mean
+    value (analytics.bootstrap_mean_se — the streaming bootstrap,
+    Chamandy et al.): 16 deterministic Poisson(1) weights per row
+    from the md5 inverse-CDF (identical literal cut points on both
+    engines, weight capped at 8) give 16 replicate means from ONE
+    scan + one (group, replicate) aggregate — the uncertainty number
+    a mean can't honestly ship without. Replicate means are ratios of
+    cents-exact BIGINTs; the SE uses the two-pass centered form (no
+    catastrophic cancellation). The oracle replays hashes, weights,
+    replicate means, and the SE."""
+    from capex_data_pipeline_spark.extensions.analytics import (
+        bootstrap_mean_se,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return bootstrap_mean_se(
+        ev, "event_type", "value", "event_id", r=16
+    )
+
+
+# ---- q221: A/B conversion report with the two-proportion z-test
+
+
+@query(
+    "q221_ab_test_report",
+    """
+    WITH units AS (
+      SELECT CAST(CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 2 AS INT) AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value > 450.0 THEN 1 ELSE 0 END) = 1
+               AS conv
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    per_arm AS (
+      SELECT arm, count(*)::BIGINT AS n_units,
+             sum(CASE WHEN conv THEN 1 ELSE 0 END)::BIGINT AS n_converted
+      FROM units GROUP BY 1
+    ),
+    s AS (
+      SELECT (b.n_converted / b.n_units::DOUBLE
+              - a.n_converted / a.n_units::DOUBLE) AS lift,
+             (b.n_converted / b.n_units::DOUBLE
+              - a.n_converted / a.n_units::DOUBLE)
+             / nullif(sqrt(((a.n_converted + b.n_converted)
+                     / (a.n_units + b.n_units)::DOUBLE)
+                    * (1 - (a.n_converted + b.n_converted)
+                       / (a.n_units + b.n_units)::DOUBLE)
+                    * (1 / a.n_units::DOUBLE + 1 / b.n_units::DOUBLE)), 0.0)
+               AS z
+      FROM (SELECT * FROM per_arm WHERE arm = 0) a,
+           (SELECT * FROM per_arm WHERE arm = 1) b
+    )
+    SELECT p.arm, p.n_units, p.n_converted,
+           round(p.n_converted / p.n_units::DOUBLE, 6) AS cvr,
+           CASE WHEN p.arm = 1 THEN round(s.lift, 6) END AS lift,
+           CASE WHEN p.arm = 1 THEN round(s.z, 6) END AS z_stat
+    FROM per_arm p CROSS JOIN s
+    """,
+)
+def q221_ab_test_report(spark, sf_dir):
+    """Two-arm A/B conversion report (analytics.ab_test_report): users
+    hash deterministically into arms (the q104 split convention
+    applied to experiments), conversion is per-UNIT (any high-value purchase (> 450)
+    converts the user — never row-weighted), and the pooled
+    two-proportion z statistic quantifies arm 1's lift. Two hash
+    aggregates + one 2-row reduction — the experimentation-platform
+    readout at any scale. The oracle replays the hash assignment, the
+    unit collapse, and the z arithmetic."""
+    from capex_data_pipeline_spark.extensions.analytics import (
+        ab_test_report,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return ab_test_report(
+        ev, "user_id", (F.col("event_type") == "purchase") & (F.col("value") > 450.0)
+    )

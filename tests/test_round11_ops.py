@@ -463,3 +463,76 @@ def test_orc_roundtrip_preserves_values(spark, tmp_path):
     write_orc(df, p)
     back = read_orc(spark, p, "id long, s string, v double")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_dedup_adjusted_size_cross_source_copies(spark):
+    from capex_data_pipeline_spark.extensions.corpus import (
+        dedup_adjusted_size,
+    )
+
+    rows = [
+        ("a", "one two three"),          # 3 tokens, unique
+        ("a", "dup text here"),          # 3 tokens, x3 (2 in a, 1 in b)
+        ("a", "dup text here"),
+        ("b", "dup text here"),
+        ("b", "four"),                   # 1 token, unique
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in
+           dedup_adjusted_size(df, "source", "text").collect()}
+    assert out["a"]["raw_tokens"] == 9
+    # a: 3 (unique) + 2 * 3/3 (two copies of a x3 dup) = 5
+    assert out["a"]["effective_tokens"] == pytest.approx(5.0, abs=1e-9)
+    assert out["b"]["effective_tokens"] == pytest.approx(2.0, abs=1e-9)
+    # effective sizes sum to the global deduped total (3 + 3 + 1)
+    total = sum(r["effective_tokens"] for r in out.values())
+    assert total == pytest.approx(7.0, abs=1e-9)
+
+
+def test_bootstrap_mean_se_sanity(spark):
+    from capex_data_pipeline_spark.extensions.analytics import (
+        bootstrap_mean_se,
+    )
+
+    import statistics as st
+
+    rows = [("g", i, float(i % 10)) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = bootstrap_mean_se(df, "g", "v", "id", r=16).collect()[0]
+    assert out["n"] == 400
+    assert out["mean"] == pytest.approx(4.5, abs=1e-9)
+    # SE of the mean of 400 uniform-ish values: sigma/sqrt(n) ~ 0.144;
+    # the bootstrap estimate should land in a generous neighborhood
+    sigma = st.pstdev([i % 10 for i in range(400)])
+    assert 0.3 * sigma / 20 < out["boot_se"] < 3 * sigma / 20
+    assert out["n_replicates"] == 16
+    with pytest.raises(ValueError, match="r must be"):
+        bootstrap_mean_se(df, "g", "v", "id", r=1)
+
+
+def test_ab_test_report_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.analytics import ab_test_report
+
+    # units convert iff flagged on ANY row; arms from md5(user)
+    rows = []
+    for u in range(40):
+        rows.append((u, u % 3 == 0))   # ~1/3 convert
+        rows.append((u, False))        # extra non-converting row per unit
+    df = spark.createDataFrame(rows, "u long, c boolean")
+    out = {r["arm"]: r for r in
+           ab_test_report(df, "u", F.col("c")).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["lift"] is None and out[0]["z_stat"] is None
+    n0, c0 = out[0]["n_units"], out[0]["n_converted"]
+    n1, c1 = out[1]["n_units"], out[1]["n_converted"]
+    assert n0 + n1 == 40 and c0 + c1 == 14  # 0,3,...,39 -> 14 units
+    p = (c0 + c1) / 80 * 2  # pooled
+    lift = c1 / n1 - c0 / n0
+    assert out[1]["lift"] == pytest.approx(round(lift, 6), abs=1e-9)
+    # degenerate experiment (everyone converts) -> NULL z, not an error
+    allconv = spark.createDataFrame(
+        [(u, True) for u in range(10)], "u long, c boolean"
+    )
+    deg = {r["arm"]: r for r in
+           ab_test_report(allconv, "u", F.col("c")).collect()}
+    assert deg[1]["z_stat"] is None
