@@ -1855,6 +1855,121 @@ def stress_decon() -> None:
 
 
 
+def stress_state() -> None:
+    """``bench.py --stress-state``: the persisted-fold economics of
+    q198/q199 measured — fold a small batch against state READ FROM
+    DISK (bucketed tables) vs recomputing from scratch. This is the
+    number task #1 exists for: the in-session variants (--stress-inc)
+    simulate yesterday's state; here it actually round-trips storage."""
+    import shutil
+    import tempfile
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_STRESS_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.extensions.graph import (
+        connected_components,
+    )
+    from capex_data_pipeline_spark.extensions.sketches import table_stats
+    from capex_data_pipeline_spark.extensions.state import (
+        cc_fold_persisted,
+        save_cc_state,
+        save_stats_cells,
+        stats_fold_persisted,
+    )
+    from capex_data_pipeline_spark.cache import persisted
+    from capex_data_pipeline_spark.registry_graph import _copurchase_edges
+    from capex_data_pipeline_spark.session import get_spark
+    from capex_data_pipeline_spark.sources.bucketed import drop_table
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    spark = get_spark(
+        app_name="capex-stress-state",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    tmp = tempfile.mkdtemp(prefix="capex_state_")
+    out = {}
+    try:
+        # ---- CC: persist labels for 99% of edges, fold the 1% batch
+        edges = persisted(_copurchase_edges(spark, sf_dir))
+        n_edges = edges.count()
+        is_new = (F.col("a") + F.col("b")) % 100 == 0
+        old_labels = connected_components(
+            edges.filter(~is_new), src_col="a", dst_col="b",
+            until_fixpoint=True, assume_canonical=True,
+        )
+        save_cc_state(
+            old_labels, "t_stress_cc_state", n_buckets=int(cpus),
+            path=os.path.join(tmp, "cc"),
+        )
+        new_e = persisted(edges.filter(is_new))
+        n_new = new_e.count()
+        t0 = time.time()
+        n_fold = cc_fold_persisted(
+            spark, "t_stress_cc_state", new_e, src_col="a", dst_col="b"
+        ).count()
+        fold_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        n_full = connected_components(
+            edges, src_col="a", dst_col="b",
+            until_fixpoint=True, assume_canonical=True,
+        ).count()
+        full_sec = round(time.time() - t0, 3)
+        out["cc"] = {
+            "n_edges": n_edges, "n_new_edges": n_new,
+            "fold_from_disk_sec": fold_sec,
+            "full_recompute_sec": full_sec,
+            "speedup": round(full_sec / fold_sec, 2) if fold_sec else None,
+            "rows": {"fold": n_fold, "full": n_full},
+        }
+        # ---- stats: persist lineitem history cells, fold today's batch
+        li = read_table(spark, sf_dir, "lineitem")
+        cols = ["l_orderkey", "l_extendedprice", "l_quantity"]
+        hist = li.filter(F.col("l_shipdate") < F.lit("2001-09-01"))
+        today = li.filter(F.col("l_shipdate") >= F.lit("2001-09-01"))
+        save_stats_cells(
+            hist, cols, partition=F.date_trunc("month", F.col("l_shipdate")),
+            table="t_stress_cells", n_buckets=int(cpus),
+            path=os.path.join(tmp, "cells"),
+        )
+        n_today = today.count()
+        t0 = time.time()
+        stats_fold_persisted(
+            spark, "t_stress_cells", new_df=today, cols=cols
+        ).write.format("noop").mode("overwrite").save()
+        fold_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        table_stats(li, cols).write.format("noop").mode("overwrite").save()
+        full_sec = round(time.time() - t0, 3)
+        out["stats"] = {
+            "n_rows": li.count(), "n_today": n_today,
+            "fold_from_disk_sec": fold_sec,
+            "full_rescan_sec": full_sec,
+            "speedup": round(full_sec / fold_sec, 2) if fold_sec else None,
+        }
+    finally:
+        drop_table(spark, "t_stress_cc_state")
+        drop_table(spark, "t_stress_cells")
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "stress_persisted_state_fold",
+                "value": out["cc"]["speedup"],
+                "unit": "x_speedup_cc_fold_vs_full",
+                "runs": out,
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+            }
+        )
+    )
+
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -1999,6 +2114,8 @@ if __name__ == "__main__":
         stress_golden()
     elif "--stress-decon" in sys.argv[1:]:
         stress_decon()
+    elif "--stress-state" in sys.argv[1:]:
+        stress_state()
     elif "--family" in sys.argv[1:]:
         family_bench()
     elif "--stress-tokenizer" in sys.argv[1:]:
