@@ -294,6 +294,8 @@ HEADLINE = [
     "q219_dedup_adjusted_size",
     "q220_bootstrap_se",
     "q221_ab_test_report",
+    "q222_cusum_changepoint",
+    "q223_correlation_matrix",
 ]
 
 

@@ -1107,3 +1107,84 @@ def ab_test_report(
             "z_stat"
         ),
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: "list[str]",
+    cents: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact Pearson correlation for every column pair in ONE pass —
+    the feature-redundancy screen (the numeric sibling of q211's
+    categorical mutual information, built on q197's exactness
+    contract): values quantize to ``cents`` decimals, every
+    sufficient statistic (n, Σx, Σy, Σxy, Σx², Σy²) accumulates as
+    DECIMAL(38,0) — never int64, the same overflow-proofing as
+    group_linear_trend — and corr divides exactly-known integers, so
+    the matrix replays bit-for-bit on any engine.
+
+    Each row explodes into its |cols|·(|cols|−1)/2 pair cells
+    (pairs are METADATA — 4 columns = 6 cells per row) feeding one
+    map-side-combining hash aggregate on the compact pair key. Rows
+    where either member is NULL are excluded per pair (pairwise
+    deletion, pinned). Degenerate pairs (zero variance) return NULL.
+
+    Returns one row per unordered pair: (col_a, col_b, n, corr).
+    """
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix: need at least 2 columns")
+    scale = 10 ** cents
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+
+    def q(c: str) -> Column:
+        return F.round(F.col(c).cast("double") * F.lit(scale)).cast("long")
+
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("_ca"),
+                        F.lit(b).alias("_cb"),
+                        q(a).alias("_x"),
+                        q(b).alias("_y"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("_m")
+    ).select("_m._ca", "_m._cb", "_m._x", "_m._y").filter(
+        F.col("_x").isNotNull() & F.col("_y").isNotNull()
+    )
+    xd = F.col("_x").cast("decimal(19,0)")
+    yd = F.col("_y").cast("decimal(19,0)")
+    g = melted.groupBy("_ca", "_cb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return g.select(
+        F.col("_ca").alias("col_a"),
+        F.col("_cb").alias("col_b"),
+        "n",
+        F.round(
+            num.cast("double")
+            / F.nullif(
+                F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double")),
+                F.lit(0.0),
+            ),
+            decimals,
+        ).alias("corr"),
+    )

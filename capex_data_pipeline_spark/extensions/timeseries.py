@@ -584,3 +584,88 @@ def session_paths(
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .filter(F.col("n_sessions") >= min_sessions)
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ts_col: str,
+    id_col: str,
+    cents: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """CUSUM changepoint detection per group — WHERE did the level
+    shift: the cumulative sum of deviations from the group mean,
+    CUSUM_t = Σ_{i<=t}(x_i − x̄), peaks in magnitude at the most
+    likely single changepoint (Page 1954; the mean-shift detector
+    behind every "when did this metric move" audit, the locator
+    sibling of q96's did-it-move PSI).
+
+    Exactness: computed as n·CUSUM_t = n·P_t − t·S (P_t = running
+    cents-sum, S = group cents-sum) — ALL integers, so the argmax is
+    over exact values and ties break deterministically by
+    (ts, id) ascending (min-struct, never a sort of the peak). One
+    group-partitioned running-sum window (per-task state = one
+    group), one scalar attach, one min-struct aggregate.
+
+    Returns (group_col, n, cusum_stat, changepoint_ts,
+    frac_position): cusum_stat = max_t |CUSUM_t| in original value
+    units (the peak accumulated deviation), frac_position = t/n of
+    the peak.
+    """
+    scale = 10 ** cents
+    x = F.round(F.col(value_col).cast("double") * F.lit(scale)).cast("long")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        x.alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_ts", "_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = base.select(
+        "_g",
+        "_ts",
+        "_id",
+        F.sum("_x").over(w).alias("_p"),
+        F.row_number().over(
+            Window.partitionBy("_g").orderBy("_ts", "_id")
+        ).alias("_t"),
+    )
+    tot = base.groupBy("_g").agg(
+        F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    # n·CUSUM_t = n·P_t − t·S, exact BIGINT
+    nc = F.col("_n") * F.col("_p") - F.col("_t") * F.col("_s")
+    peak = (
+        run.join(tot, "_g")
+        .select(
+            "_g",
+            "_n",
+            F.struct(
+                (-F.abs(nc)).alias("_neg"),
+                F.col("_ts").alias("_pts"),
+                F.col("_id").alias("_pid"),
+                F.col("_t").alias("_pt"),
+            ).alias("_cand"),
+        )
+        .groupBy("_g", "_n")
+        .agg(F.min("_cand").alias("_pk"))
+    )
+    return peak.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").alias("n"),
+        F.round(
+            -F.col("_pk._neg")
+            / (F.col("_n").cast("double") * F.lit(float(scale))),
+            decimals,
+        ).alias("cusum_stat"),
+        F.col("_pk._pts").alias("changepoint_ts"),
+        F.round(
+            F.col("_pk._pt") / F.col("_n").cast("double"), decimals
+        ).alias("frac_position"),
+    )

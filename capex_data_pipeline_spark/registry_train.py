@@ -4831,3 +4831,138 @@ def q219_dedup_adjusted_size(spark, sf_dir):
     return dedup_adjusted_size(
         _t(spark, sf_dir, "documents"), "source", "text"
     )
+
+
+# ---- q223: exact one-pass correlation matrix
+
+
+@query(
+    "q223_correlation_matrix",
+    """(
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+           round(num / nullif(sqrt(denx) * sqrt(deny), 0.0), 6) AS corr
+    FROM (
+      SELECT count(*)::BIGINT AS n,
+             (count(*)::HUGEINT * sum(x * y)::HUGEINT
+              - sum(x)::HUGEINT * sum(y)::HUGEINT)::DOUBLE AS num,
+             (count(*)::HUGEINT * sum(x * x)::HUGEINT
+              - sum(x)::HUGEINT * sum(x)::HUGEINT)::DOUBLE AS denx,
+             (count(*)::HUGEINT * sum(y * y)::HUGEINT
+              - sum(y)::HUGEINT * sum(y)::HUGEINT)::DOUBLE AS deny
+      FROM (
+        SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      )
+    )
+    ) UNION ALL (
+    SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, n,
+           round(num / nullif(sqrt(denx) * sqrt(deny), 0.0), 6) AS corr
+    FROM (
+      SELECT count(*)::BIGINT AS n,
+             (count(*)::HUGEINT * sum(x * y)::HUGEINT
+              - sum(x)::HUGEINT * sum(y)::HUGEINT)::DOUBLE AS num,
+             (count(*)::HUGEINT * sum(x * x)::HUGEINT
+              - sum(x)::HUGEINT * sum(x)::HUGEINT)::DOUBLE AS denx,
+             (count(*)::HUGEINT * sum(y * y)::HUGEINT
+              - sum(y)::HUGEINT * sum(y)::HUGEINT)::DOUBLE AS deny
+      FROM (
+        SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x,
+               CAST(round(l_discount * 100) AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+      )
+    )
+    ) UNION ALL (
+    SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, n,
+           round(num / nullif(sqrt(denx) * sqrt(deny), 0.0), 6) AS corr
+    FROM (
+      SELECT count(*)::BIGINT AS n,
+             (count(*)::HUGEINT * sum(x * y)::HUGEINT
+              - sum(x)::HUGEINT * sum(y)::HUGEINT)::DOUBLE AS num,
+             (count(*)::HUGEINT * sum(x * x)::HUGEINT
+              - sum(x)::HUGEINT * sum(x)::HUGEINT)::DOUBLE AS denx,
+             (count(*)::HUGEINT * sum(y * y)::HUGEINT
+              - sum(y)::HUGEINT * sum(y)::HUGEINT)::DOUBLE AS deny
+      FROM (
+        SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x,
+               CAST(round(l_tax * 100) AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_tax IS NOT NULL
+      )
+    )
+    ) UNION ALL (
+    SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, n,
+           round(num / nullif(sqrt(denx) * sqrt(deny), 0.0), 6) AS corr
+    FROM (
+      SELECT count(*)::BIGINT AS n,
+             (count(*)::HUGEINT * sum(x * y)::HUGEINT
+              - sum(x)::HUGEINT * sum(y)::HUGEINT)::DOUBLE AS num,
+             (count(*)::HUGEINT * sum(x * x)::HUGEINT
+              - sum(x)::HUGEINT * sum(x)::HUGEINT)::DOUBLE AS denx,
+             (count(*)::HUGEINT * sum(y * y)::HUGEINT
+              - sum(y)::HUGEINT * sum(y)::HUGEINT)::DOUBLE AS deny
+      FROM (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+               CAST(round(l_discount * 100) AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+      )
+    )
+    ) UNION ALL (
+    SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, n,
+           round(num / nullif(sqrt(denx) * sqrt(deny), 0.0), 6) AS corr
+    FROM (
+      SELECT count(*)::BIGINT AS n,
+             (count(*)::HUGEINT * sum(x * y)::HUGEINT
+              - sum(x)::HUGEINT * sum(y)::HUGEINT)::DOUBLE AS num,
+             (count(*)::HUGEINT * sum(x * x)::HUGEINT
+              - sum(x)::HUGEINT * sum(x)::HUGEINT)::DOUBLE AS denx,
+             (count(*)::HUGEINT * sum(y * y)::HUGEINT
+              - sum(y)::HUGEINT * sum(y)::HUGEINT)::DOUBLE AS deny
+      FROM (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+               CAST(round(l_tax * 100) AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_tax IS NOT NULL
+      )
+    )
+    ) UNION ALL (
+    SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, n,
+           round(num / nullif(sqrt(denx) * sqrt(deny), 0.0), 6) AS corr
+    FROM (
+      SELECT count(*)::BIGINT AS n,
+             (count(*)::HUGEINT * sum(x * y)::HUGEINT
+              - sum(x)::HUGEINT * sum(y)::HUGEINT)::DOUBLE AS num,
+             (count(*)::HUGEINT * sum(x * x)::HUGEINT
+              - sum(x)::HUGEINT * sum(x)::HUGEINT)::DOUBLE AS denx,
+             (count(*)::HUGEINT * sum(y * y)::HUGEINT
+              - sum(y)::HUGEINT * sum(y)::HUGEINT)::DOUBLE AS deny
+      FROM (
+        SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+               CAST(round(l_tax * 100) AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+      )
+    )
+    )""",
+)
+def q223_correlation_matrix(spark, sf_dir):
+    """Exact Pearson correlation for every lineitem numeric pair in
+    ONE pass (analytics.correlation_matrix): each row explodes into
+    its 6 pair cells (pairs are metadata) feeding one
+    map-side-combining aggregate; sufficient statistics accumulate as
+    DECIMAL(38,0) — the q197 overflow-proofing, matching DuckDB's
+    HUGEINT promotion — so corr divides exactly-known integers and
+    the matrix replays bit-for-bit. The numeric sibling of q211's
+    categorical mutual information; the feature-redundancy screen
+    before any model sees the columns."""
+    from capex_data_pipeline_spark.extensions.analytics import (
+        correlation_matrix,
+    )
+
+    return correlation_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )

@@ -1617,3 +1617,63 @@ def q221_ab_test_report(spark, sf_dir):
     return ab_test_report(
         ev, "user_id", (F.col("event_type") == "purchase") & (F.col("value") > 450.0)
     )
+
+
+# ---- q222: CUSUM changepoint detection
+
+
+@query(
+    "q222_cusum_changepoint",
+    """
+    WITH base AS (
+      SELECT event_type AS g, ts, event_id AS id,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    tt AS (
+      SELECT g, sum(x)::BIGINT AS s, count(*)::BIGINT AS n
+      FROM base GROUP BY 1
+    ),
+    run AS (
+      SELECT g, ts, id,
+             (sum(x) OVER (PARTITION BY g ORDER BY ts, id))::BIGINT AS p,
+             (row_number() OVER (PARTITION BY g ORDER BY ts, id))::BIGINT
+               AS pos
+      FROM base
+    ),
+    pick AS (
+      SELECT g, n, neg, ts, pos FROM (
+        SELECT r.g, tt.n,
+               -abs(tt.n * r.p - r.pos * tt.s) AS neg, r.ts, r.id, r.pos,
+               row_number() OVER (PARTITION BY r.g
+                                  ORDER BY -abs(tt.n * r.p - r.pos * tt.s),
+                                           r.ts, r.id) AS rn
+        FROM run r JOIN tt USING (g)
+      ) WHERE rn = 1
+    )
+    SELECT g AS event_type, n,
+           round(-neg / (n::DOUBLE * 100.0), 6) AS cusum_stat,
+           ts AS changepoint_ts,
+           round(pos / n::DOUBLE, 6) AS frac_position
+    FROM pick
+    """,
+)
+def q222_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint per event type
+    (timeseries.cusum_changepoint — Page 1954): the cumulative sum of
+    deviations from the group mean peaks in magnitude at the most
+    likely level shift — WHERE the metric moved, the locator sibling
+    of q96's did-it-move PSI. Computed as n·CUSUM_t = n·P_t − t·S over
+    cents-exact BIGINTs, so the peak argmax compares exact integers
+    and ties break deterministically by (ts, id) — one
+    group-partitioned running-sum window + one min-struct aggregate,
+    never a sort of candidates. The oracle replays the integer
+    identity, the peak pick, and both reported ratios."""
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        cusum_changepoint,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_changepoint(
+        ev, "event_type", "value", "ts", "event_id"
+    )

@@ -536,3 +536,38 @@ def test_ab_test_report_hand_case(spark):
     deg = {r["arm"]: r for r in
            ab_test_report(allconv, "u", F.col("c")).collect()}
     assert deg[1]["z_stat"] is None
+
+
+def test_cusum_changepoint_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        cusum_changepoint,
+    )
+
+    # level shift after t=4: [0,0,0,0,10,10,10,10]; mean 5 -> CUSUM
+    # peaks at t=4 with |sum(0-5)*4| = 20 (peak accumulated deviation)
+    rows = [("g", float(t), t, 0.0 if t <= 4 else 10.0)
+            for t in range(1, 9)]
+    df = spark.createDataFrame(rows, "g string, t double, id long, v double")
+    r = cusum_changepoint(df, "g", "v", "t", "id").collect()[0]
+    assert r["n"] == 8
+    assert r["cusum_stat"] == pytest.approx(20.0, abs=1e-9)
+    assert r["changepoint_ts"] == 4.0
+    assert r["frac_position"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_correlation_matrix_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.analytics import (
+        correlation_matrix,
+    )
+
+    rows = [(float(i), float(2 * i), float(-i), 7.0) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    out = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in correlation_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert out[("a", "b")] == pytest.approx(1.0, abs=1e-9)
+    assert out[("a", "c")] == pytest.approx(-1.0, abs=1e-9)
+    # constant column: zero variance -> NULL, not inf
+    assert out[("a", "d")] is None
+    assert len(out) == 6
+    with pytest.raises(ValueError, match="at least 2"):
+        correlation_matrix(df, ["a"])
