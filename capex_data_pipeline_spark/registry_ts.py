@@ -99,7 +99,7 @@ def q77_range_join(spark, sf_dir):
     from capex_data_pipeline_spark.sources.parquet import read_table
 
     ev = read_table(spark, sf_dir, "events")
-    purchases = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 450.0)).select(
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
