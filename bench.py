@@ -296,6 +296,8 @@ HEADLINE = [
     "q221_ab_test_report",
     "q222_cusum_changepoint",
     "q223_correlation_matrix",
+    "q224_chi_square",
+    "q225_gini",
 ]
 
 

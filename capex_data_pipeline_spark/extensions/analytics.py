@@ -1188,3 +1188,179 @@ def correlation_matrix(
             decimals,
         ).alias("corr"),
     )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the hypothesis-test sibling of :func:`mutual_information`
+    (MI measures HOW dependent; chi² asks IS the dependence bigger
+    than sampling noise), plus Cramér's V (the [0,1]-normalized effect
+    size a planner or drift monitor can threshold). NULL is a category
+    (sentinel semantics). Same cost shape as q211: one (a, b) cell
+    aggregate, marginals over the CELLS, domain-sized joins; expected
+    counts e = n_a·n_b/N computed per OBSERVED cell plus the
+    unobserved-cell correction Σe over missing cells added in closed
+    form (Σ_missing e = N − Σ_observed e — since Σ_all e = N exactly),
+    so sparse contingency tables are handled without materializing
+    the full grid.
+
+    Returns ONE row: (n, n_cells, dof, chi2, cramers_v).
+    """
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("<null>"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("<null>"))
+    joint = df.select(a.alias("_a"), b.alias("_b")).groupBy(
+        "_a", "_b"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    ma = joint.groupBy("_a").agg(F.sum("_n").alias("_na"))
+    mb = joint.groupBy("_b").agg(F.sum("_n").alias("_nb"))
+    tot = joint.agg(
+        F.sum("_n").alias("_tn_all"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    ka = ma.agg(F.count(F.lit(1)).alias("_ka"))
+    kb = mb.agg(F.count(F.lit(1)).alias("_kb"))
+    e = (
+        F.col("_na").cast("double")
+        * F.col("_nb").cast("double")
+        / F.col("_tn_all").cast("double")
+    )
+    cells = (
+        joint.join(ma, "_a").join(mb, "_b").crossJoin(F.broadcast(tot))
+    )
+    agg = cells.agg(
+        F.sum("_n").alias("n"),
+        F.first("n_cells").alias("n_cells"),
+        F.sum((F.col("_n") - e) * (F.col("_n") - e) / e).alias("_chi_obs"),
+        F.sum(e).alias("_e_obs"),
+    )
+    # unobserved cells contribute (0 - e)^2/e = e each; their total is
+    # N - sum(e over observed cells), exactly
+    return (
+        agg.crossJoin(F.broadcast(ka))
+        .crossJoin(F.broadcast(kb))
+        .select(
+            "n",
+            "n_cells",
+            ((F.col("_ka") - 1) * (F.col("_kb") - 1)).cast("long").alias(
+                "dof"
+            ),
+            F.round(
+                F.col("_chi_obs")
+                + (F.col("n").cast("double") - F.col("_e_obs")),
+                decimals,
+            ).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    (
+                        F.col("_chi_obs")
+                        + (F.col("n").cast("double") - F.col("_e_obs"))
+                    )
+                    / F.nullif(
+                        F.col("n").cast("double")
+                        * F.least(
+                            F.col("_ka") - 1, F.col("_kb") - 1
+                        ).cast("double"),
+                        F.lit(0.0),
+                    )
+                ),
+                decimals,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 1024,
+    cents: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """EXACT Gini concentration coefficient WITHOUT a global sort —
+    "what share of revenue sits in the top orders" as one number in
+    [0, 1): G = (2·Σ i·x_(i)) / (n·Σx) − (n+1)/n over values sorted
+    ascending. The unpartitioned rank window this naively needs is
+    exactly what planlint bans; instead the q175 two-phase prefix
+    machinery computes Σ i·x distributed: one equi-width histogram
+    pass gives per-bucket (count, sum); the driver cumulates bucket
+    COUNT offsets C_b (a n_buckets-sized read); Σ i·x =
+    Σ_b C_b·S_b (driver, exact Python ints) + Σ_b(within-bucket
+    local-rank·x) from bucket-partitioned windows — never a global
+    order. Rank ties are harmless by construction: equal values land
+    in one bucket and Σ rank·x over a tie block is order-invariant.
+
+    Values quantize to ``cents`` and every accumulator is integer
+    (DECIMAL(38,0) engine-side), so G divides exactly-known integers.
+    Requires non-negative values (the Gini domain — a loud error
+    otherwise); NULLs excluded.
+
+    Returns ONE row: (n, total, gini).
+    """
+    from pyspark.sql.window import Window
+
+    scale = 10 ** cents
+    x = F.round(F.col(value_col).cast("double") * F.lit(scale)).cast("long")
+    base = df.filter(F.col(value_col).isNotNull()).select(x.alias("_x"))
+    stats = base.agg(
+        F.min("_x").alias("lo"),
+        F.max("_x").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("s"),
+    ).collect()[0]
+    spark = df.sparkSession
+    out_schema = "n bigint, total double, gini double"
+    if not stats["n"]:
+        return spark.createDataFrame([], out_schema)
+    if int(stats["lo"]) < 0:
+        raise ValueError(
+            "gini_coefficient: negative values are outside the Gini "
+            f"domain (min={stats['lo'] / scale})"
+        )
+    lo, hi = int(stats["lo"]), int(stats["hi"])
+    n, s = int(stats["n"]), int(stats["s"])
+    if s == 0 or hi == lo:
+        # all-equal (or all-zero) values: perfect equality
+        return spark.createDataFrame(
+            [(n, round(s / scale, 4), 0.0)], out_schema
+        )
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col("_x") - F.lit(lo)) / F.lit(width)),
+    ).cast("int")
+    hist = sorted(
+        (r["_b"], int(r["_c"]), int(r["_s"]))
+        for r in base.groupBy(bucket.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"), F.sum("_x").alias("_s"))
+        .collect()
+    )
+    cross = 0  # Σ_b C_b · S_b, exact Python ints
+    c_run = 0
+    for _b, c, sb in hist:
+        cross += c_run * sb
+        c_run += c
+    local = (
+        base.select("_x", bucket.alias("_b"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_b").orderBy("_x")),
+        )
+        .agg(
+            F.sum(
+                (F.col("_rn").cast("decimal(19,0)"))
+                * F.col("_x").cast("decimal(19,0)")
+            ).cast("decimal(38,0)").alias("_lt")
+        )
+        .collect()[0]
+    )
+    t = cross + int(local["_lt"])
+    gini = round(2.0 * t / (float(n) * float(s)) - (n + 1) / float(n),
+                 decimals)
+    return spark.createDataFrame(
+        [(n, round(s / scale, 4), gini)], out_schema
+    )

@@ -4966,3 +4966,100 @@ def q223_correlation_matrix(spark, sf_dir):
         _t(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     )
+
+
+# ---- q224: chi-square test of independence
+
+
+@query(
+    "q224_chi_square",
+    """
+    WITH j AS (
+      SELECT coalesce(CAST(o_orderstatus AS VARCHAR), '<null>') AS a,
+             coalesce(CAST(o_orderpriority AS VARCHAR), '<null>') AS b,
+             count(*)::BIGINT AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    ma AS (SELECT a, sum(n)::BIGINT AS na FROM j GROUP BY 1),
+    mb AS (SELECT b, sum(n)::BIGINT AS nb FROM j GROUP BY 1),
+    t AS (SELECT sum(n)::BIGINT AS tn, count(*)::BIGINT AS n_cells FROM j),
+    ks AS (SELECT (SELECT count(*)::BIGINT FROM ma) AS ka,
+                  (SELECT count(*)::BIGINT FROM mb) AS kb),
+    obs AS (
+      SELECT sum(j.n)::BIGINT AS n, t.n_cells,
+             sum((j.n - ma.na::DOUBLE * mb.nb::DOUBLE / t.tn::DOUBLE)
+                 * (j.n - ma.na::DOUBLE * mb.nb::DOUBLE / t.tn::DOUBLE)
+                 / (ma.na::DOUBLE * mb.nb::DOUBLE / t.tn::DOUBLE))
+               AS chi_obs,
+             sum(ma.na::DOUBLE * mb.nb::DOUBLE / t.tn::DOUBLE) AS e_obs
+      FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t
+      GROUP BY t.n_cells
+    )
+    SELECT o.n, o.n_cells,
+           ((ks.ka - 1) * (ks.kb - 1))::BIGINT AS dof,
+           round(o.chi_obs + (o.n::DOUBLE - o.e_obs), 6) AS chi2,
+           round(sqrt((o.chi_obs + (o.n::DOUBLE - o.e_obs))
+                      / nullif(o.n::DOUBLE
+                               * least(ks.ka - 1, ks.kb - 1)::DOUBLE,
+                               0.0)), 6) AS cramers_v
+    FROM obs o CROSS JOIN ks
+    """,
+)
+def q224_chi_square(spark, sf_dir):
+    """Pearson chi-square independence test between order status and
+    priority (analytics.chi_square_independence) with Cramér's V —
+    the hypothesis-test sibling of q211's MI (is the dependence
+    bigger than sampling noise, and how big normalized). Sparse
+    contingency tables need no full-grid materialization: unobserved
+    cells contribute exactly e each, and Σ over them is N − Σe
+    (observed), a closed form. Same domain-sized cost shape as q211.
+    The oracle replays cells, marginals, expected counts, the
+    unobserved-cell correction, dof, and V."""
+    from capex_data_pipeline_spark.extensions.analytics import (
+        chi_square_independence,
+    )
+
+    return chi_square_independence(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+
+
+# ---- q225: exact distributed Gini coefficient
+
+
+@query(
+    "q225_gini",
+    """
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    r AS (SELECT x, row_number() OVER (ORDER BY x) AS i FROM v),
+    s AS (
+      SELECT count(*)::BIGINT AS n, sum(x)::HUGEINT AS sx,
+             sum(i::HUGEINT * x::HUGEINT)::HUGEINT AS t
+      FROM r
+    )
+    SELECT n, round(sx::DOUBLE / 100.0, 4) AS total,
+           round(2.0 * t::DOUBLE / (n::DOUBLE * sx::DOUBLE)
+                 - (n + 1) / n::DOUBLE, 6) AS gini
+    FROM s
+    """,
+)
+def q225_gini(spark, sf_dir):
+    """Exact Gini concentration of order value
+    (analytics.gini_coefficient): how unequal revenue is across
+    orders, as one [0,1) number — WITHOUT the unpartitioned rank
+    window the textbook formula implies. Σ i·x_(i) decomposes over
+    the q175 two-phase machinery: per-bucket (count, sum) histogram,
+    driver-cumulated count offsets feeding the exact cross term
+    Σ C_b·S_b in Python ints, and bucket-partitioned windows for the
+    local rank terms — rank ties are provably order-invariant inside
+    a value bucket. Cents-integer accumulators end to end, so the
+    returned number divides exactly-known integers. The oracle is the
+    naive global row_number formulation over HUGEINTs."""
+    from capex_data_pipeline_spark.extensions.analytics import (
+        gini_coefficient,
+    )
+
+    return gini_coefficient(_t(spark, sf_dir, "orders"), "o_totalprice")

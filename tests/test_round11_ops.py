@@ -571,3 +571,58 @@ def test_correlation_matrix_hand_case(spark):
     assert len(out) == 6
     with pytest.raises(ValueError, match="at least 2"):
         correlation_matrix(df, ["a"])
+
+
+def test_chi_square_independence_hand_cases(spark):
+    from capex_data_pipeline_spark.extensions.analytics import (
+        chi_square_independence,
+    )
+
+    # perfectly dependent 2x2: chi2 == n, V == 1
+    dep = spark.createDataFrame(
+        [("x", "u")] * 5 + [("y", "v")] * 5, "a string, b string"
+    )
+    r = chi_square_independence(dep, "a", "b").collect()[0]
+    assert r["dof"] == 1
+    assert r["chi2"] == pytest.approx(10.0, abs=1e-6)
+    assert r["cramers_v"] == pytest.approx(1.0, abs=1e-6)
+    # the dependent case has UNOBSERVED cells (x,v)/(y,u): their
+    # expected mass rode in via the closed-form correction
+    assert r["n_cells"] == 2
+    # independent uniform -> chi2 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv" for _ in range(3)],
+        "a string, b string",
+    )
+    r = chi_square_independence(ind, "a", "b").collect()[0]
+    assert r["chi2"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_gini_coefficient_hand_cases(spark):
+    from capex_data_pipeline_spark.extensions.analytics import (
+        gini_coefficient,
+    )
+
+    # perfect equality
+    eq = spark.createDataFrame([(5.0,)] * 10, "v double")
+    assert gini_coefficient(eq, "v").collect()[0]["gini"] == 0.0
+    # one holder owns everything among n=10: G = (n-1)/n = 0.9
+    conc = spark.createDataFrame([(0.0,)] * 9 + [(100.0,)], "v double")
+    r = gini_coefficient(conc, "v").collect()[0]
+    assert r["gini"] == pytest.approx(0.9, abs=1e-9)
+    assert r["total"] == pytest.approx(100.0)
+    # linear ladder 1..n: G = (n-1)/(3n) -> python exact check incl.
+    # tie-block invariance across buckets
+    vals = [float(i % 7 + 1) for i in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    s = sorted(int(round(v * 100)) for v in vals)
+    n, tot = len(s), sum(s)
+    t = sum((i + 1) * x for i, x in enumerate(s))
+    want = round(2.0 * t / (float(n) * float(tot)) - (n + 1) / float(n), 6)
+    assert gini_coefficient(df, "v", n_buckets=4).collect()[0][
+        "gini"
+    ] == pytest.approx(want, abs=1e-9)
+    with pytest.raises(ValueError, match="negative"):
+        gini_coefficient(
+            spark.createDataFrame([(-1.0,)], "v double"), "v"
+        )
