@@ -298,6 +298,8 @@ HEADLINE = [
     "q223_correlation_matrix",
     "q224_chi_square",
     "q225_gini",
+    "q226_sssp_bounded",
+    "q227_rolling_active_users",
 ]
 
 

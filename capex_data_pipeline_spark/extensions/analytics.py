@@ -1364,3 +1364,72 @@ def gini_coefficient(
     return spark.createDataFrame(
         [(n, round(s / scale, 4), gini)], out_schema
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 7,
+    decimals: int = 6,
+) -> DataFrame:
+    """DAU / trailing-WAU / stickiness per calendar day — the
+    engagement triple every product dashboard leads with, computed
+    EXACTLY without a per-day distinct re-scan: activity collapses to
+    distinct (user, day) pairs once, then each pair votes into the
+    ``window_days`` trailing windows it belongs to (a bounded
+    explode — x7 the DISTINCT pair frame, not the raw events) and one
+    hash aggregate counts distinct users per window end. Window ends
+    are clipped to OBSERVED days (no phantom rows after the data
+    ends); every observed day reports, with early partial windows
+    flagged by ``full_window`` rather than silently dropped.
+
+    Returns one row per observed day: (day, dau, rolling_au,
+    stickiness = dau/rolling_au, full_window).
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1: {window_days}")
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    activity = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("_u"), day.alias("_d"))
+        .distinct()
+    )
+    from capex_data_pipeline_spark.cache import persisted
+
+    activity = persisted(activity)
+    dau = activity.groupBy("_d").agg(
+        F.countDistinct("_u").alias("dau")
+    )
+    votes = activity.select(
+        "_u",
+        F.explode(
+            F.sequence(
+                F.col("_d"),
+                F.date_add(F.col("_d"), window_days - 1),
+            )
+        ).alias("_wend"),
+    )
+    # clip to observed days so trailing windows never report for days
+    # after the data ends
+    wau = (
+        votes.join(dau.select(F.col("_d").alias("_wend")), "_wend")
+        .groupBy("_wend")
+        .agg(F.countDistinct("_u").alias("rolling_au"))
+    )
+    bounds = activity.agg(F.min("_d").alias("_d0")).collect()[0]
+    d0 = bounds["_d0"]
+    return (
+        dau.join(wau, dau["_d"] == wau["_wend"])
+        .select(
+            F.col("_d").alias("day"),
+            "dau",
+            "rolling_au",
+            F.round(
+                F.col("dau") / F.col("rolling_au").cast("double"), decimals
+            ).alias("stickiness"),
+            (F.datediff(F.col("_d"), F.lit(d0)) >= window_days - 1).alias(
+                "full_window"
+            ),
+        )
+    )

@@ -688,3 +688,82 @@ def cc_incremental(
         )
     )
     return updated.unionByName(fresh_labeled)
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    sources: "list[int]",
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Hop-bounded single/multi-source SHORTEST PATHS on a weighted
+    undirected edge list (Bellman-Ford relaxation, ``rounds``
+    iterations): every vertex reachable from any seed within
+    ``rounds`` edges gets its minimum path WEIGHT using at most that
+    many hops — :func:`bfs_hops` with costs ("cheapest influence
+    path", weighted blast radius, toll-aware reachability).
+
+    Weights must be non-negative INTEGERS (cost units, cents, hop
+    fees — quantize upstream): distance sums are then exact BIGINTs,
+    min() compares exact values, and an external SQL replay unrolls
+    bit-for-bit (the bounded-round contract of the other iterative
+    graph ops). Each round relaxes ONLY edges adjacent to vertices
+    whose distance improved last round (the frontier), then
+    min-merges into the distance frame — work is frontier-adjacent
+    edges per round, not m·rounds when convergence is fast. Vertices
+    beyond ``rounds`` hops are absent (bounded-reachability
+    contract); seeds report distance 0.
+
+    Returns (vertex, dist), dist = exact integer path weight.
+    """
+    from capex_data_pipeline_spark.cache import persisted
+
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    if not sources:
+        raise ValueError("sssp_bounded: sources must be non-empty")
+    e = edges.select(
+        F.col(src_col).alias("_s"),
+        F.col(dst_col).alias("_d"),
+        F.col(weight_col).cast("long").alias("_w"),
+    ).filter(F.col("_w").isNotNull() & (F.col("_w") >= 0))
+    sym = persisted(
+        e.unionByName(
+            e.select(
+                F.col("_d").alias("_s"),
+                F.col("_s").alias("_d"),
+                "_w",
+            )
+        )
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(v), 0) for v in sources], "vertex long, dist long"
+    )
+    frontier = dist
+    for _ in range(rounds):
+        cand = (
+            frontier.join(sym, frontier["vertex"] == sym["_s"])
+            .select(
+                F.col("_d").alias("vertex"),
+                (F.col("dist") + F.col("_w")).alias("dist"),
+            )
+            .groupBy("vertex")
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = persisted(
+            dist.unionByName(cand)
+            .groupBy("vertex")
+            .agg(F.min("dist").alias("dist"))
+        )
+        # next frontier: vertices whose distance IMPROVED this round
+        # (new vertices, or a cheaper path into a known one)
+        frontier = merged.join(
+            dist.withColumnRenamed("dist", "_old"), "vertex", "left"
+        ).filter(
+            F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
+        ).select("vertex", "dist")
+        dist = merged
+    return dist

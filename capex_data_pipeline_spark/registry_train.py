@@ -5063,3 +5063,133 @@ def q225_gini(spark, sf_dir):
     )
 
     return gini_coefficient(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+# ---- q226: hop-bounded weighted shortest paths (Bellman-Ford)
+
+
+@query("q226_sssp_bounded", """WITH pairs AS MATERIALIZED (
+      SELECT least(x.l_partkey, y.l_partkey) AS a,
+             greatest(x.l_partkey, y.l_partkey) AS b,
+             count(DISTINCT x.l_orderkey)::BIGINT AS w
+      FROM lineitem x
+      JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT x.l_orderkey) >= 2
+    ), sym AS MATERIALIZED (
+      SELECT a AS u, b AS v, w FROM pairs
+      UNION ALL SELECT b AS u, a AS v, w FROM pairs
+    ), d0 AS (SELECT CAST(unnest([1, 2]) AS BIGINT) AS vertex, CAST(0 AS BIGINT) AS dist), d1 AS MATERIALIZED (
+      SELECT vertex, min(dist)::BIGINT AS dist FROM (
+        SELECT vertex, dist FROM d0
+        UNION ALL
+        SELECT s.v AS vertex, d.dist + s.w AS dist
+        FROM d0 d JOIN sym s ON s.u = d.vertex
+      ) GROUP BY 1
+    ), d2 AS MATERIALIZED (
+      SELECT vertex, min(dist)::BIGINT AS dist FROM (
+        SELECT vertex, dist FROM d1
+        UNION ALL
+        SELECT s.v AS vertex, d.dist + s.w AS dist
+        FROM d1 d JOIN sym s ON s.u = d.vertex
+      ) GROUP BY 1
+    ), d3 AS MATERIALIZED (
+      SELECT vertex, min(dist)::BIGINT AS dist FROM (
+        SELECT vertex, dist FROM d2
+        UNION ALL
+        SELECT s.v AS vertex, d.dist + s.w AS dist
+        FROM d2 d JOIN sym s ON s.u = d.vertex
+      ) GROUP BY 1
+    ), d4 AS MATERIALIZED (
+      SELECT vertex, min(dist)::BIGINT AS dist FROM (
+        SELECT vertex, dist FROM d3
+        UNION ALL
+        SELECT s.v AS vertex, d.dist + s.w AS dist
+        FROM d3 d JOIN sym s ON s.u = d.vertex
+      ) GROUP BY 1
+    ) SELECT vertex, dist FROM d4""")
+def q226_sssp_bounded(spark, sf_dir):
+    """Hop-bounded weighted shortest paths on the co-purchase graph
+    (graph.sssp_bounded — Bellman-Ford, 4 relaxation rounds, seeds =
+    parts {1, 2}, edge cost = co-purchase support): q135's BFS with
+    COSTS — the cheapest-influence-path / weighted-blast-radius
+    primitive. Integer weights make every path sum an exact BIGINT,
+    so min() relaxation replays bit-for-bit; each round relaxes only
+    edges adjacent to vertices whose distance improved (provably
+    equal to full relaxation round-for-round — a vertex improves only
+    via an improved neighbor). The oracle unrolls all 4 min-merge
+    rounds as materialized CTEs over the weighted symmetric edges."""
+    from capex_data_pipeline_spark.extensions.graph import sssp_bounded
+    from capex_data_pipeline_spark.oracle_frags import (
+        COPURCHASE_MIN_SUPPORT,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") != F.col("y.l_partkey")),
+        )
+        .select(
+            F.least(F.col("x.l_partkey"), F.col("y.l_partkey")).alias("a"),
+            F.greatest(
+                F.col("x.l_partkey"), F.col("y.l_partkey")
+            ).alias("b"),
+            F.col("x.l_orderkey").alias("ok"),
+        )
+        .groupBy("a", "b")
+        .agg(F.countDistinct("ok").alias("w"))
+        .where(F.col("w") >= COPURCHASE_MIN_SUPPORT)
+    )
+    return sssp_bounded(
+        edges, sources=[1, 2], rounds=4,
+        src_col="a", dst_col="b", weight_col="w",
+    )
+
+
+# ---- q227: rolling active users (DAU / trailing-WAU / stickiness)
+
+
+@query(
+    "q227_rolling_active_users",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    dau AS (SELECT d, count(DISTINCT u)::BIGINT AS dau FROM act GROUP BY 1),
+    votes AS (
+      SELECT u, (d + CAST(k.k AS INT)) AS wend
+      FROM act, (SELECT unnest(range(0, 7)) AS k) k
+    ),
+    wau AS (
+      SELECT v.wend, count(DISTINCT v.u)::BIGINT AS rolling_au
+      FROM votes v JOIN dau ON dau.d = v.wend
+      GROUP BY 1
+    ),
+    d0 AS (SELECT min(d) AS d0 FROM act)
+    SELECT dau.d AS day, dau.dau, wau.rolling_au,
+           round(dau.dau / wau.rolling_au::DOUBLE, 6) AS stickiness,
+           (dau.d - d0.d0) >= 6 AS full_window
+    FROM dau JOIN wau ON wau.wend = dau.d CROSS JOIN d0
+    """,
+)
+def q227_rolling_active_users(spark, sf_dir):
+    """DAU / trailing-7-day active users / stickiness per calendar day
+    (analytics.rolling_active_users): activity collapses ONCE to
+    distinct (user, day) pairs, each pair votes into the 7 trailing
+    windows it belongs to (a bounded x7 explode of the distinct-pair
+    frame, never the raw events), one hash aggregate counts distinct
+    users per window end — no per-day re-scan, no sliding window over
+    raw data. Early partial windows report flagged, not dropped. The
+    oracle replays the votes and both distinct counts."""
+    from capex_data_pipeline_spark.extensions.analytics import (
+        rolling_active_users,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_active_users(ev, "user_id", "ts", window_days=7)

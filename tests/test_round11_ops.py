@@ -626,3 +626,63 @@ def test_gini_coefficient_hand_cases(spark):
         gini_coefficient(
             spark.createDataFrame([(-1.0,)], "v double"), "v"
         )
+
+
+def test_sssp_bounded_hand_graph(spark):
+    from capex_data_pipeline_spark.extensions.graph import sssp_bounded
+
+    # 1-2 (w1), 2-3 (w1), 1-3 (w5): shortest 1->3 is via 2 (2 < 5);
+    # 3-4 (w2): dist 4 = 4; 5-6 unreachable from seed 1
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 3, 5), (3, 4, 2), (5, 6, 1)],
+        "a long, b long, w long",
+    )
+    got = {
+        r["vertex"]: r["dist"]
+        for r in sssp_bounded(
+            edges, sources=[1], rounds=4,
+            src_col="a", dst_col="b", weight_col="w",
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 4}
+    # bounded rounds: with rounds=1 vertex 3 only has the direct w5 path
+    got1 = {
+        r["vertex"]: r["dist"]
+        for r in sssp_bounded(
+            edges, sources=[1], rounds=1,
+            src_col="a", dst_col="b", weight_col="w",
+        ).collect()
+    }
+    assert got1 == {1: 0, 2: 1, 3: 5}
+    with pytest.raises(ValueError, match="sources"):
+        sssp_bounded(edges, sources=[], rounds=2,
+                     src_col="a", dst_col="b", weight_col="w")
+
+
+def test_rolling_active_users_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.analytics import (
+        rolling_active_users,
+    )
+
+    rows = [
+        (1, "2024-01-01"), (2, "2024-01-01"),
+        (1, "2024-01-02"),
+        (3, "2024-01-05"),
+        (1, "2024-01-05"), (1, "2024-01-05"),  # same-day dup collapses
+    ]
+    df = spark.createDataFrame(rows, "u long, d string").select(
+        "u", F.col("d").cast("timestamp").alias("ts")
+    )
+    out = {str(r["day"]): r for r in rolling_active_users(
+        df, "u", "ts", window_days=3
+    ).collect()}
+    # day 1: dau 2, window {d1} actives = {1,2} -> 2
+    assert (out["2024-01-01"]["dau"], out["2024-01-01"]["rolling_au"]) == (2, 2)
+    assert out["2024-01-01"]["full_window"] is False
+    # day 2: dau 1; window d-2..d2 actives {1,2} -> 2
+    assert (out["2024-01-02"]["dau"], out["2024-01-02"]["rolling_au"]) == (1, 2)
+    # day 5: dau 2 (users 1,3); window d3..d5 = only d5 activity -> 2
+    assert (out["2024-01-05"]["dau"], out["2024-01-05"]["rolling_au"]) == (2, 2)
+    assert out["2024-01-05"]["full_window"] is True
+    # days with no activity (Jan 3/4) emit no rows
+    assert set(out) == {"2024-01-01", "2024-01-02", "2024-01-05"}
