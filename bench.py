@@ -20,6 +20,23 @@ numbers make each BENCH_rN.json interpretable on its own. Engine
 memoization (the pipeline-plan cache and its persisted frames) is
 cleared between repetitions so every rep pays the full plan-build +
 execution cost — reps measure the operator, not the cache.
+
+Load gate (``SPARK_GRAFT_BENCH_LOADGATE=2.0``): a FINAL round
+artifact must be recorded on a quiet box — with the gate set, the
+bench spin-waits (up to ``SPARK_GRAFT_BENCH_LOADWAIT`` sec, default
+1800) for the 1-minute loadavg to drop below the gate before timing,
+and REFUSES to stamp a preview artifact (exit 3) if the post-run
+loadavg exceeded the gate — a contended artifact then cannot be
+committed as the round's number by accident.
+
+Headline-set curation rule: ``HEADLINE`` carries every registered
+query whose sf0.1 median exceeds ~0.5 s plus at least one
+representative per operator family; the remainder (sub-second basics
+and UI-surface analogs whose plans are strict subsets of a listed
+headliner) are excluded to keep the round artifact's wall-clock
+dominated by signal. The excluded names + this rule are emitted into
+the preview JSONL header line, so round-over-round coverage is
+auditable from the artifact alone.
 """
 
 from __future__ import annotations
@@ -2027,6 +2044,22 @@ def main() -> None:
                 pass
         _reset_engine_caches()
 
+    # loadavg gate: final artifacts must not be stamped under external
+    # box contention (see module docstring)
+    loadgate = float(os.environ.get("SPARK_GRAFT_BENCH_LOADGATE", "0") or 0)
+    if loadgate > 0:
+        max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOADWAIT", "1800"))
+        waited = 0.0
+        while os.getloadavg()[0] >= loadgate and waited < max_wait:
+            time.sleep(15)
+            waited += 15
+        if os.getloadavg()[0] >= loadgate:
+            raise SystemExit(
+                f"bench: loadavg {os.getloadavg()[0]:.2f} still >= gate "
+                f"{loadgate} after {int(waited)}s — refusing to time on a "
+                "contended box"
+            )
+
     load_before = os.getloadavg()
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
@@ -2095,11 +2128,31 @@ def main() -> None:
             raise SystemExit(
                 f"SPARK_GRAFT_BENCH_PREVIEW must end in .jsonl: {preview}"
             )
+        if loadgate > 0 and load_after[0] >= loadgate:
+            raise SystemExit(3)  # contended run: never stamp the artifact
+        # header line: the curation rule + what the headline set excludes
+        # this round, so artifact coverage is auditable without the repo
+        excluded = sorted(n for n in QUERIES if n not in set(names))
+        header_line = json.dumps(
+            {
+                "summary": "header",
+                "curation_rule": (
+                    "headline = every registered query with sf0.1 median "
+                    "> ~0.5s plus >=1 representative per operator family; "
+                    "excluded = sub-second basics and UI-surface analogs "
+                    "whose plans are subsets of a listed headliner"
+                ),
+                "n_registered": len(QUERIES),
+                "n_headline": len(names),
+                "excluded": excluded,
+                "loadgate": loadgate,
+            }
+        )
         with open(preview, "w") as f:
-            f.write(full_line + "\n" + tail_line + "\n")
+            f.write(header_line + "\n" + full_line + "\n" + tail_line + "\n")
         with open(preview) as f:
             parsed = [json.loads(line) for line in f if line.strip()]
-        assert len(parsed) == 2, f"preview must hold 2 JSONL lines: {preview}"
+        assert len(parsed) == 3, f"preview must hold 3 JSONL lines: {preview}"
     spark.stop()
 
 

@@ -1000,24 +1000,34 @@ def bootstrap_mean_se(
             "_g",
             "_r",
             F.sqrt(
-                F.col("_ssq") / (F.col("_r") - F.lit(1)).cast("double")
+                F.col("_ssq")
+                / F.nullif(
+                    (F.col("_r") - F.lit(1)).cast("double"), F.lit(0.0)
+                )
             ).alias("_se"),
         )
     )
     plain = base.groupBy("_g").agg(
         F.count(F.lit(1)).alias("n"), F.sum("_x").alias("_tx")
     )
-    return plain.join(se, "_g").select(
+    # LEFT join plain→se: a tiny group whose every replicate drew total
+    # Poisson weight 0 must still emit its exact mean (boot_se NULL),
+    # and a single-surviving-replicate group has no variance estimate —
+    # NULL, never a 0/0 NaN.
+    return plain.join(se, "_g", "left").select(
         F.col("_g").alias(group_col),
         "n",
         F.round(
             F.col("_tx") / F.col("n").cast("double") / F.lit(float(scale)),
             decimals,
         ).alias("mean"),
-        F.round(F.col("_se") / F.lit(float(scale)), decimals).alias(
-            "boot_se"
+        F.when(
+            F.col("_r") >= 2,
+            F.round(F.col("_se") / F.lit(float(scale)), decimals),
+        ).alias("boot_se"),
+        F.coalesce(F.col("_r"), F.lit(0).cast("long")).alias(
+            "n_replicates"
         ),
-        F.col("_r").alias("n_replicates"),
     )
 
 
@@ -1039,7 +1049,10 @@ def ab_test_report(
     hash aggregates (unit-level collapse, then arm-level counts) and
     one 2-row reduction. A degenerate experiment (pooled conversion
     0 or 1 — no variance) reports NULL z_stat rather than dividing
-    by zero.
+    by zero, and an experiment where one arm drew ZERO units still
+    reports BOTH arm rows (the empty arm with n_units=0 and NULL cvr,
+    lift/z NULL) — a 2-row arm grid anchors the output, so a broken
+    randomizer is visible instead of silently collapsing the report.
 
     Returns one row per arm: (arm, n_units, n_converted, cvr, lift,
     z_stat) — lift/z_stat reported on arm 1 vs arm 0 (NULL on arm 0's
@@ -1068,13 +1081,17 @@ def ab_test_report(
         .cast("long")
         .alias("n_converted"),
     )
-    a = per_arm.filter(F.col("arm") == 0).select(
-        F.col("n_units").alias("_n0"), F.col("n_converted").alias("_c0")
+    # ONE conditional aggregate (always exactly one row, even when an
+    # arm — or the whole input — is empty) replaces the two-filter
+    # inner crossJoin that vanished the populated arm's row whenever
+    # the other arm had no units.
+    wide = per_arm.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n_units"))).alias("_n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("_c0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_units"))).alias("_n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("_c1"),
     )
-    b = per_arm.filter(F.col("arm") == 1).select(
-        F.col("n_units").alias("_n1"), F.col("n_converted").alias("_c1")
-    )
-    stats = a.crossJoin(F.broadcast(b)).select(
+    stats = wide.select(
         (F.col("_c1") / F.col("_n1").cast("double")
          - F.col("_c0") / F.col("_n0").cast("double")).alias("_lift"),
         (
@@ -1093,12 +1110,26 @@ def ab_test_report(
             )
         ).alias("_z"),
     )
-    return per_arm.crossJoin(F.broadcast(stats)).select(
+    grid = df.sparkSession.range(arms).select(
+        F.col("id").cast("int").alias("arm")
+    )
+    both = grid.join(F.broadcast(per_arm), "arm", "left").select(
+        "arm",
+        F.coalesce(F.col("n_units"), F.lit(0).cast("long")).alias(
+            "n_units"
+        ),
+        F.coalesce(F.col("n_converted"), F.lit(0).cast("long")).alias(
+            "n_converted"
+        ),
+    )
+    return both.crossJoin(F.broadcast(stats)).select(
         "arm",
         "n_units",
         "n_converted",
         F.round(
-            F.col("n_converted") / F.col("n_units").cast("double"), decimals
+            F.col("n_converted")
+            / F.nullif(F.col("n_units").cast("double"), F.lit(0.0)),
+            decimals,
         ).alias("cvr"),
         F.when(F.col("arm") == 1, F.round(F.col("_lift"), decimals)).alias(
             "lift"
@@ -1299,10 +1330,20 @@ def gini_coefficient(
     Requires non-negative values (the Gini domain — a loud error
     otherwise); NULLs excluded.
 
+    Driver-read bound: the histogram collect is ``n_buckets`` rows by
+    construction; a loud guard caps ``n_buckets`` at 1,048,576 so no
+    future caller can widen the driver read silently (the q187
+    grouped-quantiles guard convention).
+
     Returns ONE row: (n, total, gini).
     """
     from pyspark.sql.window import Window
 
+    if not 2 <= n_buckets <= 1 << 20:
+        raise ValueError(
+            f"gini_coefficient: n_buckets={n_buckets} outside [2, 2^20] "
+            "— the histogram is a driver-sized read and stays bounded"
+        )
     scale = 10 ** cents
     x = F.round(F.col(value_col).cast("double") * F.lit(scale)).cast("long")
     base = df.filter(F.col(value_col).isNotNull()).select(x.alias("_x"))
@@ -1386,6 +1427,12 @@ def rolling_active_users(
 
     Returns one row per observed day: (day, dau, rolling_au,
     stickiness = dau/rolling_au, full_window).
+
+    Memory contract: the distinct-pair frame takes ONE tracked persist
+    (three consumers: dau, the window votes, and the min-day bound) —
+    a long-lived driver releases it between batches via
+    ``cache.release_persisted`` / ``cache.scoped_persists``, the same
+    contract as every other single-persist operator here.
     """
     if window_days < 1:
         raise ValueError(f"window_days must be >= 1: {window_days}")

@@ -705,6 +705,14 @@ def sssp_bounded(
     many hops — :func:`bfs_hops` with costs ("cheapest influence
     path", weighted blast radius, toll-aware reachability).
 
+    Memory contract: only the symmetric edge frame takes a TRACKED
+    persist (released by ``cache.release_persisted`` between batches,
+    like every other iterative op here); each round's merged distance
+    frame is cut with :func:`cache.plan_boundary` instead — lineage
+    truncates, the loop never pins rounds+1 cached frames for the
+    session lifetime, and the round blocks are reclaimed by Spark's
+    ContextCleaner once the next round drops its reference.
+
     Weights must be non-negative INTEGERS (cost units, cents, hop
     fees — quantize upstream): distance sums are then exact BIGINTs,
     min() compares exact values, and an external SQL replay unrolls
@@ -719,6 +727,7 @@ def sssp_bounded(
     Returns (vertex, dist), dist = exact integer path weight.
     """
     from capex_data_pipeline_spark.cache import persisted
+    from capex_data_pipeline_spark.cache import plan_boundary as _boundary
 
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
@@ -753,10 +762,12 @@ def sssp_bounded(
             .groupBy("vertex")
             .agg(F.min("dist").alias("dist"))
         )
-        merged = persisted(
+        merged = _boundary(
             dist.unionByName(cand)
             .groupBy("vertex")
-            .agg(F.min("dist").alias("dist"))
+            .agg(F.min("dist").alias("dist")),
+            eager=False,
+            label="sssp",
         )
         # next frontier: vertices whose distance IMPROVED this round
         # (new vertices, or a cheaper path into a known one)

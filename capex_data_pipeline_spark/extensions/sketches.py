@@ -1167,9 +1167,17 @@ def range_partition_planner(
     atoms (a single value heavier than a bin, which NO boundary
     placement can split — the honest limit of range partitioning).
 
-    The boundary read is the one eager step (sketch-sized collect);
-    positive values only (the DDSketch domain). Returns one row per
-    bin: (bin, lo, hi, n_rows, share) — lo/hi are (boundary[i-1],
+    The boundary read is the one eager step (a collect bounded by the
+    SKETCH's cell count — ~log_gamma(max/min) cells, ~1.4k at
+    alpha=0.01 across 12 decades — never by the data; a loud guard
+    refuses a pathological alpha that would widen it past
+    ``max_cells``). STRICTLY positive values only (the DDSketch
+    domain): any v <= 0 in the input RAISES — a planner that silently
+    planned only the positive half of a signed column (deltas, PnL)
+    would hand back wrong boundaries; route signed columns through
+    the mirrored store (:func:`ddsketch_quantiles_signed`, q171/q201)
+    or filter explicitly upstream. Returns one row per bin:
+    (bin, lo, hi, n_rows, share) — lo/hi are (boundary[i-1],
     boundary[i]] edges with NULL at the open ends, share rounded to
     ``decimals``.
     """
@@ -1180,15 +1188,39 @@ def range_partition_planner(
     if not 0 < alpha < 1:
         raise ValueError(f"alpha must be in (0, 1): {alpha}")
     gamma = (1.0 + alpha) / (1.0 - alpha)
+    max_cells = 100_000
     v = value.cast("double")
     vals = df.select(v.alias("_v")).filter(F.col("_v") > 0)
+    # nonpositive rows fold into the SAME aggregate as a NULL-index
+    # cell (no extra pass): any such cell => loud error, never a
+    # silent positive-half plan
     cells = (
-        vals.groupBy(
-            F.ceil(F.log(F.col("_v")) / F.log(F.lit(gamma))).alias("_i")
+        df.select(v.alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .groupBy(
+            F.when(
+                F.col("_v") > 0,
+                F.ceil(F.log(F.col("_v")) / F.log(F.lit(gamma))),
+            ).alias("_i")
         )
         .agg(F.count(F.lit(1)).alias("_c"))
         .collect()
     )
+    n_nonpos = sum(r["_c"] for r in cells if r["_i"] is None)
+    if n_nonpos:
+        raise ValueError(
+            f"range_partition_planner: {n_nonpos} rows with value <= 0 — "
+            "the DDSketch domain is strictly positive; use the signed "
+            "mirrored store (ddsketch_quantiles_signed / "
+            "winsorized_stats_signed) or filter explicitly"
+        )
+    cells = [r for r in cells if r["_i"] is not None]
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"range_partition_planner: {len(cells)} sketch cells exceeds "
+            f"the {max_cells} driver-read bound — alpha={alpha} is too "
+            "fine for this value range; raise alpha"
+        )
     cells.sort(key=lambda r: r["_i"])
     n = sum(r["_c"] for r in cells)
     if n == 0:

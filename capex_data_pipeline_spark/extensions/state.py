@@ -210,3 +210,245 @@ def stats_fold_persisted(
             )
         )
     return _stats_finalize(merged, None, m, decimals)
+
+
+def compact_stats_cells(
+    spark: SparkSession,
+    state_table: str,
+    older_than,
+    save_as: str,
+    n_buckets: int = 8,
+    path: str | None = None,
+) -> DataFrame:
+    """Bound the stats state's size by HORIZON, not history: cells
+    whose partition key ``_pt`` is older than ``older_than`` merge
+    into ONE consolidated NULL-partition cell per (column, bucket) —
+    counts and widths by sum, HLL registers by max, the exact algebra
+    :func:`stats_fold_persisted` applies at read time, applied once at
+    compaction time instead. Fresh cells (and any previously-compacted
+    NULL-partition cells from an earlier horizon pass — they are
+    simply "older than" everything) pass through the same aggregate,
+    so repeated compaction re-consolidates rather than multiplying
+    sentinel rows.
+
+    Without this, ``save_stats_cells(mode='append')`` grows one
+    cell-frame per ingested partition forever; after compaction the
+    state holds (1 + partitions-within-horizon) × cols × (2^b + 1)
+    rows however many years have folded in — and a later fold reads
+    compacted + fresh cells through the unchanged
+    :func:`stats_fold_persisted` (the merge is associative, so
+    pre-merging history changes WHERE sums happen, never what they
+    are; q229's oracle certifies it value-exactly).
+
+    The compaction aggregate groups on keys containing ``_col``, so
+    the bucketed scan satisfies its distribution — zero Exchange on
+    the state side, and the rewrite is written back bucketed the same
+    way. Returns the read-back compacted state frame.
+    """
+    from capex_data_pipeline_spark.sources.bucketed import write_bucketed
+
+    state = spark.table(state_table)
+    old_flag = F.col("_pt").isNull() | (F.col("_pt") < F.lit(older_than))
+    compacted = (
+        state.select(
+            F.when(old_flag, F.lit(None)).otherwise(F.col("_pt")).alias(
+                "_pt"
+            ),
+            "_col",
+            "_b",
+            "_cnt",
+            "_slen",
+            "_mr",
+        )
+        .groupBy("_pt", "_col", "_b")
+        .agg(
+            F.sum("_cnt").alias("_cnt"),
+            F.sum("_slen").alias("_slen"),
+            F.max("_mr").alias("_mr"),
+        )
+    )
+    write_bucketed(
+        compacted,
+        save_as,
+        ["_col"],
+        n_buckets=n_buckets,
+        sort_cols=["_col", "_b"],
+        path=path,
+    )
+    return spark.table(save_as)
+
+
+# ---------------------------------------------------- stats -> planner
+
+
+def join_graph_profile_persisted(
+    spark: SparkSession,
+    state_table: str,
+    edges: "list",
+    edge_keys: "dict[str, tuple[str, str]]",
+    b: int = 6,
+    depth: int = 3,
+    decimals: int = 9,
+    min_width: int = 64,
+    max_width: int = 1 << 20,
+) -> DataFrame:
+    """q200's stats-sized, sketch-only join-graph advisor with the NDV
+    side read from the PERSISTED cell state instead of re-melting
+    every table — the shape q200's docstring promised and a 100 TB
+    deployment runs: the nightly stats job maintains the cell table
+    (:func:`save_stats_cells`), and planning time pays ONE bucketed
+    state read (zero Exchange, column-count-sized output) + the CMS
+    passes, never an NDV scan of the base tables.
+
+    ``edges`` is :func:`~capex_data_pipeline_spark.extensions.
+    sketches.join_graph_profile`'s edge list; ``edge_keys`` maps each
+    edge name to its (left_key_column, right_key_column) names as they
+    appear in the state (column names must be globally unique — the
+    TPC-H prefix convention). The NDV lookup collect is bounded by the
+    state's COLUMN count (one row per column — the same driver-read
+    class as the sketch collects), then each edge's CMS width is
+    next-pow2(max(NDV_left, NDV_right)) exactly as q200 sizes it.
+
+    Returns join_graph_profile's stats-sized output: (edge, n_left,
+    n_right, cms_width, est_join_rows, est_selectivity, plan_rank).
+    """
+    from capex_data_pipeline_spark.extensions.sketches import (
+        join_graph_profile,
+    )
+
+    stats = stats_fold_persisted(spark, state_table, b=b)
+    ndv_by_col = {
+        r["column_name"]: float(r["ndv_est"]) for r in stats.collect()
+    }
+    missing = sorted(
+        {c for ks in edge_keys.values() for c in ks} - set(ndv_by_col)
+    )
+    if missing:
+        raise ValueError(
+            "join_graph_profile_persisted: state table "
+            f"{state_table!r} has no cells for columns {missing} — "
+            "save_stats_cells them first"
+        )
+    ndv = {
+        name: max(ndv_by_col[ka], ndv_by_col[kb])
+        for name, (ka, kb) in edge_keys.items()
+    }
+    return join_graph_profile(
+        edges,
+        depth=depth,
+        decimals=decimals,
+        ndv=ndv,
+        include_exact=False,
+        min_width=min_width,
+        max_width=max_width,
+    )
+
+
+# ---------------------------------------------------------------- SCD2
+
+
+def save_scd2_state(
+    dim: DataFrame,
+    key_col: str,
+    table: str,
+    n_buckets: int = 16,
+    path: str | None = None,
+) -> DataFrame:
+    """Persist an SCD2 dimension (key, *attrs, valid_from, valid_to,
+    is_current) as a parquet table bucketed (and per-bucket sorted) on
+    the dimension key — the layout :func:`scd2_fold_persisted` reads
+    with zero state-side Exchange. Returns the read-back frame."""
+    from capex_data_pipeline_spark.sources.bucketed import write_bucketed
+
+    write_bucketed(
+        dim,
+        table,
+        [key_col],
+        n_buckets=n_buckets,
+        sort_cols=[key_col],
+        path=path,
+    )
+    return dim.sparkSession.table(table)
+
+
+def scd2_fold_persisted(
+    spark: SparkSession,
+    state_table: str,
+    snapshot: DataFrame,
+    key_col: str,
+    attr_cols: "list[str]",
+    snapshot_ts,
+    save_as: str | None = None,
+    save_path: str | None = None,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Fold ONE day's snapshot into the persisted SCD2 dimension — the
+    production shape q209's from-scratch history derivation stops
+    short of: close changed rows (valid_to = snapshot day,
+    is_current = false), insert new versions (valid_from = snapshot
+    day, open interval), keep unchanged and absent keys as they are,
+    and never touch the closed history rows at all.
+
+    The one state-sized operation is the full-outer join of the
+    CURRENT rows against the snapshot on the dimension key: the state
+    streams from its buckets (zero state-side Exchange — plan-pinned
+    in tests/test_state.py), only the batch-sized snapshot shuffles,
+    and the closed-history slice unions through without any exchange.
+    Folding day snapshots in order reproduces EXACTLY the history
+    :func:`~capex_data_pipeline_spark.extensions.cleaning.
+    scd2_history` derives from the full changelog (q231's oracle
+    certifies it): same null-safe change detection, same interval
+    close, identical collapsed no-op re-emissions.
+
+    ``snapshot`` carries (key_col, *attr_cols) — one row per key at
+    ``snapshot_ts`` (a literal value matching valid_from's type).
+    ``save_as`` writes the updated dimension back bucketed, closing
+    the day-over-day loop. Returns the updated dimension frame.
+    """
+    if not attr_cols:
+        raise ValueError("scd2_fold_persisted: attr_cols must be non-empty")
+    state = spark.table(state_table)
+    cur = state.filter(F.col("is_current"))
+    hist = state.filter(~F.col("is_current"))
+    ts = F.lit(snapshot_ts)
+    # presence flags: attr values can be NULL, so each side carries a
+    # dedicated marker column the full-outer join nulls out
+    snap = snapshot.select(
+        F.col(key_col),
+        F.lit(True).alias("_in_snap"),
+        *[F.col(c).alias(f"_n_{c}") for c in attr_cols],
+    )
+    j = cur.withColumn("_in_cur", F.lit(True)).join(
+        snap, key_col, "full_outer"
+    )
+    same = F.struct(*[F.col(c) for c in attr_cols]).eqNullSafe(
+        F.struct(*[F.col(f"_n_{c}").alias(c) for c in attr_cols])
+    )
+    both = F.col("_in_cur").isNotNull() & F.col("_in_snap").isNotNull()
+    cur_only = F.col("_in_cur").isNotNull() & F.col("_in_snap").isNull()
+    snap_only = F.col("_in_cur").isNull() & F.col("_in_snap").isNotNull()
+    # surviving current rows: unchanged keys + keys absent from the
+    # snapshot keep their open interval; changed keys get CLOSED
+    kept = j.filter(cur_only | (both & same)).select(
+        key_col, *attr_cols, "valid_from", "valid_to", "is_current"
+    )
+    closed = j.filter(both & ~same).select(
+        key_col,
+        *attr_cols,
+        "valid_from",
+        ts.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = j.filter(snap_only | (both & ~same)).select(
+        key_col,
+        *[F.col(f"_n_{c}").alias(c) for c in attr_cols],
+        ts.alias("valid_from"),
+        F.lit(None).cast(dict(state.dtypes)["valid_to"]).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    out = hist.unionByName(kept).unionByName(closed).unionByName(opened)
+    if save_as:
+        return save_scd2_state(
+            out, key_col, save_as, n_buckets=n_buckets, path=save_path
+        )
+    return out

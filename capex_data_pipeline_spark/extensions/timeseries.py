@@ -463,7 +463,11 @@ def interval_overlap_join(
     millis by convention); choose ``bin_width`` ~ the typical interval
     length. A loud engine-side guard (raise_error) refuses intervals
     covering more than ``max_bins_per_interval`` bins — the silent
-    row-explosion cap, per the resample_ffill convention.
+    row-explosion cap, per the resample_ffill convention — and the
+    SAME loud convention applies to INVERTED intervals (end < start):
+    they raise rather than silently drop, since an inverted interval
+    usually means upstream corruption, not "no overlap". Null
+    key/start/end rows are the only silent drops (documented here).
 
     Returns (key_col, <id>_l, <id>_r, overlap): one row per
     overlapping (left, right) pair, overlap in the same units
@@ -480,6 +484,18 @@ def interval_overlap_join(
         # load-bearing — a guard on a separate projected-then-dropped
         # column gets pruned by Catalyst and never evaluates
         end_bin = F.when(
+            e < s,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "interval_overlap_join: inverted interval "
+                        "(end < start) — upstream corruption? (id="
+                    ),
+                    F.col(id_col).cast("string"),
+                    F.lit(")"),
+                ).cast("string")
+            ).cast("long"),
+        ).when(
             nbins > max_bins_per_interval,
             F.raise_error(
                 F.concat(
@@ -497,7 +513,6 @@ def interval_overlap_join(
         return (
             df.filter(
                 F.col(key_col).isNotNull() & s.isNotNull() & e.isNotNull()
-                & (e >= s)
             )
             .select(
                 F.col(key_col).alias("_k"),
@@ -603,7 +618,9 @@ def cusum_changepoint(
     sibling of q96's did-it-move PSI).
 
     Exactness: computed as n·CUSUM_t = n·P_t − t·S (P_t = running
-    cents-sum, S = group cents-sum) — ALL integers, so the argmax is
+    cents-sum, S = group cents-sum) — ALL integers, carried as
+    DECIMAL(38,0) (n·P_t overflows int64 at ~1e9 rows of ~1e4-cent
+    values; the q197/q223 overflow-proofing), so the argmax is
     over exact values and ties break deterministically by
     (ts, id) ascending (min-struct, never a sort of the peak). One
     group-partitioned running-sum window (per-task state = one
@@ -639,8 +656,13 @@ def cusum_changepoint(
     tot = base.groupBy("_g").agg(
         F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n")
     )
-    # n·CUSUM_t = n·P_t − t·S, exact BIGINT
-    nc = F.col("_n") * F.col("_p") - F.col("_t") * F.col("_s")
+    # n·CUSUM_t = n·P_t − t·S, exact in DECIMAL(38,0) — bigint·bigint
+    # wraps silently under non-ANSI Spark at ~1e9 rows × ~1e4 cents
+    dec = "decimal(38,0)"
+    nc = (
+        F.col("_n").cast(dec) * F.col("_p").cast(dec)
+        - F.col("_t").cast(dec) * F.col("_s").cast(dec)
+    )
     peak = (
         run.join(tot, "_g")
         .select(

@@ -282,8 +282,11 @@ def q07_semi_join(spark, sf_dir):
 # NOTE: the standalone J4 anti-join query (formerly q08) was folded into
 # q90's full-pipeline oracle, which exercises the fail-open anti-join +
 # union + dedup (process_capex.py:12-56) end-to-end with a hash-checked
-# DuckDB restatement; the registry is capped at 50 entries so every
-# registered query fits the driver's correctness window.
+# DuckDB restatement. Registry size contract: the registry is UNBOUNDED
+# (227+ entries across registry*.py); the driver's per-round correctness
+# gate samples a fixed 50-query window from it, and the FULL registry is
+# value-checked against every oracle by scripts/check_contract.py
+# (optionally subset via ONLY=q... prefixes).
 
 
 # =========================================================================
