@@ -317,6 +317,11 @@ HEADLINE = [
     "q225_gini",
     "q226_sssp_bounded",
     "q227_rolling_active_users",
+    # round 12
+    "q228_advisor_from_state",
+    "q229_stats_compacted_fold",
+    "q230_rolling_active_users_hll",
+    "q231_scd2_fold_persisted",
 ]
 
 
@@ -1992,6 +1997,119 @@ def stress_state() -> None:
     )
 
 
+def stress_advisor() -> None:
+    """``bench.py --stress-advisor``: the q228 economics separated —
+    q228's headline number includes WRITING the stats state in-query
+    (the nightly job, honest self-contained attribution, same as
+    q198's in-query setup), so it reads ~equal to q200. The number
+    that matters at 100 TB is PLANNING TIME GIVEN MAINTAINED STATE:
+    here the state is saved once (untimed), then the advisor-from-
+    state (one bucketed NDV read + 5 CMS edges) is timed against
+    q200's direct path (6 NDV melt scans + 5 CMS edges)."""
+    import shutil
+    import tempfile
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_STRESS_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.extensions.sketches import (
+        join_graph_profile,
+        table_stats_sketch,
+    )
+    from capex_data_pipeline_spark.extensions.state import (
+        join_graph_profile_persisted,
+        save_stats_cells,
+    )
+    from capex_data_pipeline_spark.registry_train import (
+        _Q200_EDGE_KEYS,
+        _Q200_KEYS,
+    )
+    from capex_data_pipeline_spark.session import get_spark
+    from capex_data_pipeline_spark.sources.bucketed import drop_table
+    from capex_data_pipeline_spark.sources.parquet import read_table
+
+    spark = get_spark(
+        app_name="capex-stress-advisor",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    tmp = tempfile.mkdtemp(prefix="capex_advisor_")
+    t = {n: read_table(spark, sf_dir, n) for n in _Q200_KEYS}
+    edges = [
+        ("customer-orders", t["customer"], F.col("c_custkey"),
+         t["orders"], F.col("o_custkey")),
+        ("orders-lineitem", t["orders"], F.col("o_orderkey"),
+         t["lineitem"], F.col("l_orderkey")),
+        ("part-lineitem", t["part"], F.col("p_partkey"),
+         t["lineitem"], F.col("l_partkey")),
+        ("supplier-lineitem", t["supplier"], F.col("s_suppkey"),
+         t["lineitem"], F.col("l_suppkey")),
+        ("nation-customer", t["nation"], F.col("n_nationkey"),
+         t["customer"], F.col("c_nationkey")),
+    ]
+    out = {}
+    try:
+        # the nightly job (untimed for the planning comparison)
+        t0 = time.time()
+        for i, (tname, cols) in enumerate(_Q200_KEYS.items()):
+            save_stats_cells(
+                t[tname], list(cols), partition=F.lit(tname),
+                table="t_stress_advisor_state", b=6, n_buckets=8,
+                path=os.path.join(tmp, "state"),
+                mode="overwrite" if i == 0 else "append",
+            )
+        out["state_build_sec"] = round(time.time() - t0, 3)
+
+        def timed(fn):
+            runs = []
+            for _ in range(reps):
+                t0 = time.time()
+                fn().write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+            return round(statistics.median(runs), 3)
+
+        out["advisor_from_state_sec"] = timed(
+            lambda: join_graph_profile_persisted(
+                spark, "t_stress_advisor_state", edges, _Q200_EDGE_KEYS
+            )
+        )
+
+        def direct():
+            ndv_by_col = {}
+            for tname, cols in _Q200_KEYS.items():
+                for r in table_stats_sketch(t[tname], list(cols)).collect():
+                    ndv_by_col[r["column_name"]] = float(r["ndv_est"])
+            ndv = {
+                e: max(ndv_by_col[ka], ndv_by_col[kb])
+                for e, (ka, kb) in _Q200_EDGE_KEYS.items()
+            }
+            return join_graph_profile(edges, ndv=ndv, include_exact=False)
+
+        out["direct_q200_sec"] = timed(direct)
+        out["speedup"] = round(
+            out["direct_q200_sec"] / out["advisor_from_state_sec"], 2
+        )
+    finally:
+        drop_table(spark, "t_stress_advisor_state")
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "stress_advisor_from_state",
+                "value": out["speedup"],
+                "unit": "x_speedup_vs_direct_ndv_scans",
+                "runs": out,
+                "sf_dir": sf_dir,
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+            }
+        )
+    )
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -2175,6 +2293,8 @@ if __name__ == "__main__":
         stress_decon()
     elif "--stress-state" in sys.argv[1:]:
         stress_state()
+    elif "--stress-advisor" in sys.argv[1:]:
+        stress_advisor()
     elif "--family" in sys.argv[1:]:
         family_bench()
     elif "--stress-tokenizer" in sys.argv[1:]:

@@ -1300,6 +1300,79 @@ def q209_scd2_history(spark, sf_dir):
     )
 
 
+# ---- q231: incremental SCD2 — today's snapshot folds into the
+# persisted dimension (q209 composed with q198-style bucketed state)
+
+
+@query(
+    "q231_scd2_fold_persisted",
+    """
+    WITH snap AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+             arg_max(event_type, event_id) AS state
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+    ),
+    ordered AS (
+      SELECT user_id, state, d,
+             lag(state) OVER (PARTITION BY user_id ORDER BY d) AS prev
+      FROM snap
+    ),
+    changed AS (
+      SELECT user_id, state, d FROM ordered
+      WHERE prev IS NULL OR state IS DISTINCT FROM prev
+    )
+    SELECT user_id, state, d AS valid_from,
+           lead(d) OVER (PARTITION BY user_id ORDER BY d) AS valid_to,
+           (lead(d) OVER (PARTITION BY user_id ORDER BY d)) IS NULL
+             AS is_current
+    FROM changed
+    """,
+)
+def q231_scd2_fold_persisted(spark, sf_dir):
+    """SCD2 maintenance as a PERSISTED FOLD (state.scd2_fold_persisted)
+    — the production shape q209's from-scratch derivation stops short
+    of: the dimension (each user's end-of-day event_type state,
+    deterministic max_by event_id within the day) lives as a parquet
+    table bucketed on the user key; folding the latest day's snapshot
+    closes changed rows (valid_to = snapshot day), inserts new
+    versions, keeps unchanged/absent keys, and never touches closed
+    history at all. The one state-sized operation — current-rows
+    full-outer snapshot join on the key — streams the state from its
+    buckets with zero Exchange (plan-pinned in tests/test_state.py);
+    the batch-sized snapshot alone shuffles. Folding in day order
+    reproduces scd2_history over the full changelog EXACTLY — this
+    oracle derives that from-scratch history, certifying the fold's
+    null-safe change detection and interval close."""
+    import datetime
+
+    from capex_data_pipeline_spark.extensions.cleaning import scd2_history
+    from capex_data_pipeline_spark.extensions.state import (
+        save_scd2_state,
+        scd2_fold_persisted,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    snap_all = ev.groupBy(
+        F.col("user_id"), day.alias("d")
+    ).agg(F.max_by("event_type", "event_id").alias("state"))
+    last_day = snap_all.agg(F.max("d")).collect()[0][0]
+    history = scd2_history(
+        snap_all.filter(F.col("d") < F.lit(last_day)), "user_id", "d",
+        ["state"],
+    ).select("user_id", "state", "valid_from", "valid_to", "is_current")
+    save_scd2_state(
+        history, "user_id", "t_scd2_state_q231", n_buckets=8,
+        path="/root/repo/spark-warehouse/t_scd2_state_q231",
+    )
+    today = snap_all.filter(F.col("d") == F.lit(last_day)).select(
+        "user_id", "state"
+    )
+    return scd2_fold_persisted(
+        spark, "t_scd2_state_q231", today, "user_id", ["state"], last_day
+    )
+
+
 # ---- q218: Benford first-digit audit
 
 

@@ -5193,3 +5193,201 @@ def q227_rolling_active_users(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return rolling_active_users(ev, "user_id", "ts", window_days=7)
+
+
+# ---- q228: join-graph advisor reading NDV from the persisted stats
+# state (q200 with its documented at-scale shape actually executed)
+
+
+@query(
+    "q228_advisor_from_state",
+    "SELECT edge, n_left, n_right, cms_width, est_join_rows, "
+    "est_selectivity, "
+    "row_number() OVER (ORDER BY est_join_rows, edge) AS plan_rank "
+    "FROM ("
+    + " UNION ALL ".join(f"({_q200_edge(*e)})" for e in _Q177_EDGES)
+    + ") profiled",
+)
+def q228_advisor_from_state(spark, sf_dir):
+    """q200's stats-sized advisor with the NDV side read from the
+    PERSISTED cell state (state.join_graph_profile_persisted) instead
+    of re-melting all six tables — the shape q200's docstring
+    documented, now executed: the "nightly stats job" persists each
+    table's key-column cells into one bucketed state table
+    (state.save_stats_cells, the q199 layout), and planning time pays
+    ONE zero-Exchange bucketed state read (column-count-sized NDV
+    lookup) + the 5 CMS edge passes — the 6 NDV melt scans are GONE
+    from the advisor (plan-pinned in tests/test_state.py; wall-time
+    drop recorded in SCALE.md). Register max-merge is lossless, so the
+    state-derived NDV estimates — and therefore the chosen widths,
+    CMS products, and plan ranks — are bit-identical to q200's
+    direct-scan oracle."""
+    from capex_data_pipeline_spark.extensions.state import (
+        join_graph_profile_persisted,
+        save_stats_cells,
+    )
+
+    t = {n: _t(spark, sf_dir, n) for n in _Q200_KEYS}
+    # the nightly stats job: per-table key-column cells appended into
+    # one shared state table (column names are globally unique)
+    for i, (tname, cols) in enumerate(_Q200_KEYS.items()):
+        save_stats_cells(
+            t[tname],
+            list(cols),
+            partition=F.lit(tname),
+            table="t_state_cells_q228",
+            b=6,
+            n_buckets=8,
+            path="/root/repo/spark-warehouse/t_state_cells_q228",
+            mode="overwrite" if i == 0 else "append",
+        )
+    return join_graph_profile_persisted(
+        spark,
+        "t_state_cells_q228",
+        [
+            ("customer-orders", t["customer"], F.col("c_custkey"),
+             t["orders"], F.col("o_custkey")),
+            ("orders-lineitem", t["orders"], F.col("o_orderkey"),
+             t["lineitem"], F.col("l_orderkey")),
+            ("part-lineitem", t["part"], F.col("p_partkey"),
+             t["lineitem"], F.col("l_partkey")),
+            ("supplier-lineitem", t["supplier"], F.col("s_suppkey"),
+             t["lineitem"], F.col("l_suppkey")),
+            ("nation-customer", t["nation"], F.col("n_nationkey"),
+             t["customer"], F.col("c_nationkey")),
+        ],
+        _Q200_EDGE_KEYS,
+    )
+
+
+# ---- q229: horizon-compacted stats state (q199 + compaction)
+
+
+@query(
+    "q229_stats_compacted_fold",
+    " UNION ALL ".join(f"({_q199_col('orders', c)})" for c in _Q178_COLS),
+)
+def q229_stats_compacted_fold(spark, sf_dir):
+    """q199's persisted stats fold with the state COMPACTED to a
+    horizon (state.compact_stats_cells): years of per-day cell frames
+    older than the horizon merge into ONE consolidated NULL-partition
+    cell per (column, bucket) — counts/widths by sum, registers by
+    max, the same associative algebra the fold applies at read time —
+    so state size is bounded by horizon, not history
+    (``append``-mode growth retired). The fold then reads compacted +
+    fresh cells through the UNCHANGED stats_fold_persisted and folds
+    in "today's" batch; the oracle recomputes whole-table sketch
+    stats directly, certifying that pre-merging history changes WHERE
+    sums happen, never what they are. Compaction's aggregate groups
+    on keys containing the bucket key: zero state-side Exchange both
+    compacting and folding (plan-pinned in tests/test_state.py)."""
+    import datetime
+
+    from capex_data_pipeline_spark.extensions.state import (
+        compact_stats_cells,
+        save_stats_cells,
+        stats_fold_persisted,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    horizon = datetime.datetime(1997, 1, 1)
+    cutoff = F.lit("1998-01-01").cast("date")
+    old = orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    mid = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < cutoff)
+    )
+    today = orders.filter(F.col("o_orderdate") >= cutoff)
+    part = F.date_trunc("day", F.col("o_orderdate"))
+    save_stats_cells(
+        old, list(_Q178_COLS), partition=part,
+        table="t_state_cells_q229_raw", b=6, n_buckets=8,
+        path="/root/repo/spark-warehouse/t_state_cells_q229_raw",
+    )
+    save_stats_cells(
+        mid, list(_Q178_COLS), partition=part,
+        table="t_state_cells_q229_raw", b=6, n_buckets=8,
+        path="/root/repo/spark-warehouse/t_state_cells_q229_raw",
+        mode="append",
+    )
+    compact_stats_cells(
+        spark, "t_state_cells_q229_raw", older_than=horizon,
+        save_as="t_state_cells_q229", n_buckets=8,
+        path="/root/repo/spark-warehouse/t_state_cells_q229",
+    )
+    return stats_fold_persisted(
+        spark, "t_state_cells_q229", new_df=today,
+        cols=list(_Q178_COLS), b=6,
+    )
+
+
+# ---- q230: rolling active users over HLL registers (q227 for open
+# user domains)
+
+
+@query(
+    "q230_rolling_active_users_hll",
+    """
+    WITH ev AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    reg AS (
+      SELECT d, h % 64 AS b,
+             max(CASE WHEN (h >> 6) = 0 THEN 47
+                      ELSE 46 - length(bin(h >> 6)) + 1 END) AS mr
+      FROM ev GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT d FROM reg),
+    votes AS (
+      SELECT r.b, r.mr, (r.d + CAST(k.k AS INT)) AS wend
+      FROM reg r, (SELECT unnest(range(0, 7)) AS k) k
+    ),
+    wreg AS (
+      SELECT v.wend, v.b, max(v.mr) AS mr
+      FROM votes v JOIN days dd ON dd.d = v.wend
+      GROUP BY 1, 2
+    ),
+    dau AS (
+      SELECT d, round((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+                      / (sum(pow(2.0, -mr))
+                         + CAST(64 - count(*) AS DOUBLE)), 6) AS dau_est
+      FROM reg GROUP BY 1
+    ),
+    wau AS (
+      SELECT wend, round((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+                         / (sum(pow(2.0, -mr))
+                            + CAST(64 - count(*) AS DOUBLE)), 6)
+               AS rolling_au_est
+      FROM wreg GROUP BY 1
+    ),
+    d0 AS (SELECT min(d) AS d0 FROM ev)
+    SELECT dau.d AS day, dau.dau_est, wau.rolling_au_est,
+           (dau.d - d0.d0) >= 6 AS full_window
+    FROM dau JOIN wau ON wau.wend = dau.d CROSS JOIN d0
+    """,
+)
+def q230_rolling_active_users_hll(spark, sf_dir):
+    """q227's rolling DAU/WAU for OPEN user domains
+    (analytics.rolling_active_users_hll): per-day 64-register HLL
+    cells replace the exact distinct counts — registers max-merge
+    across each trailing 7-day window, so a billion-user event
+    stream's engagement report costs days x 64 cells, never a
+    distinct-user shuffle, and the per-day register frame is exactly
+    what a persisted/streaming fold maintains (q184/q199 algebra;
+    stream==batch pinned in tests/test_streaming.py). The register
+    path skips even q227's distinct-pair collapse (max over raw
+    events == max over distinct users). Deterministic md5 estimator
+    replays in the oracle bit-for-bit; accuracy vs the exact q227
+    counts is asserted within the documented ~13% (b=6) band in
+    tests/test_round12_tasks.py."""
+    from capex_data_pipeline_spark.extensions.analytics import (
+        rolling_active_users_hll,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_active_users_hll(
+        ev, "user_id", "ts", window_days=7, b=6
+    )

@@ -311,3 +311,420 @@ def test_save_stats_cells_append_mode(spark, tmp_path):
         assert folded == direct
     finally:
         drop_table(spark, "t_stats_append_test")
+
+
+def test_cc_fold_three_day_chain_matches_oracle_each_day(
+    spark, cc_state, tmp_path
+):
+    """Task r12-#4a: a >=3-day chained fold — each day's persisted
+    fold equals the from-scratch connected components over all edges
+    seen so far (oracle equality at EVERY day, not just the end)."""
+    from capex_data_pipeline_spark.extensions.graph import (
+        connected_components,
+    )
+    from capex_data_pipeline_spark.extensions.state import cc_fold_persisted
+    from capex_data_pipeline_spark.sources.bucketed import drop_table
+
+    day_batches = [
+        [(2, 3)],          # day 1: bridges {1,2} and {3,4}
+        [(6, 7), (9, 10)], # day 2: extends {5,6}, new island {9,10}
+        [(4, 9), (11, 12)],# day 3: merges big comp with {9,10}; new isl
+    ]
+    seen = [(1, 2), (3, 4), (5, 6)]
+    state = cc_state
+    try:
+        for i, batch in enumerate(day_batches):
+            edges = spark.createDataFrame(batch, "src long, dst long")
+            nxt = f"t_cc_chain_day{i}"
+            out = cc_fold_persisted(
+                spark, state, edges, save_as=nxt,
+                save_path=str(tmp_path / f"chain{i}"), n_buckets=8,
+            )
+            seen += batch
+            full = {
+                (r["vertex"], r["component"])
+                for r in connected_components(
+                    spark.createDataFrame(seen, "src long, dst long"),
+                    until_fixpoint=True, assume_canonical=True,
+                ).collect()
+            }
+            got = {
+                (r["vertex"], r["component"]) for r in out.collect()
+            }
+            assert got == full, f"day {i}: {got} != {full}"
+            state = nxt
+    finally:
+        for i in range(len(day_batches)):
+            drop_table(spark, f"t_cc_chain_day{i}")
+
+
+def test_compact_stats_cells_bounds_state_and_preserves_fold(
+    spark, tmp_path
+):
+    """Task r12-#4b: compaction merges cells older than the horizon
+    into one consolidated NULL-partition cell per (column, bucket) —
+    state size becomes horizon-bounded — and a fold over compacted +
+    fresh cells equals the full from-scratch recompute value-exactly."""
+    from capex_data_pipeline_spark.extensions.sketches import table_stats
+    from capex_data_pipeline_spark.extensions.state import (
+        compact_stats_cells,
+        save_stats_cells,
+        stats_fold_persisted,
+    )
+    from capex_data_pipeline_spark.sources.bucketed import drop_table
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cols = ["o_orderstatus", "o_totalprice"]
+    part = F.date_trunc("day", F.col("o_orderdate"))
+    import datetime
+
+    try:
+        save_stats_cells(
+            orders.filter(F.col("o_orderdate") < F.lit("1996-01-01")),
+            cols, partition=part, table="t_cmp_raw", n_buckets=8,
+            path=str(tmp_path / "raw"),
+        )
+        save_stats_cells(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01"))
+            ),
+            cols, partition=part, table="t_cmp_raw", n_buckets=8,
+            path=str(tmp_path / "raw"), mode="append",
+        )
+        n_raw = spark.table("t_cmp_raw").count()
+        compact_stats_cells(
+            spark, "t_cmp_raw", older_than=datetime.datetime(1997, 1, 1),
+            save_as="t_cmp_done", n_buckets=8,
+            path=str(tmp_path / "done"),
+        )
+        compacted = spark.table("t_cmp_done")
+        n_done = compacted.count()
+        assert n_done < n_raw
+        # exactly ONE consolidated sentinel partition
+        assert compacted.filter(
+            F.col("_pt").isNull()
+        ).select("_col", "_b").distinct().count() == compacted.filter(
+            F.col("_pt").isNull()
+        ).count()
+        # fresh (within-horizon) partitions survive untouched
+        assert compacted.filter(F.col("_pt").isNotNull()).count() > 0
+        folded = {
+            r["column_name"]: (r["n_rows"], r["n_null"], r["avg_len"],
+                               r["ndv_est"])
+            for r in stats_fold_persisted(
+                spark, "t_cmp_done",
+                new_df=orders.filter(
+                    F.col("o_orderdate") >= F.lit("1998-01-01")
+                ),
+                cols=cols,
+            ).collect()
+        }
+        direct = {
+            r["column_name"]: (r["n_rows"], r["n_null"], r["avg_len"],
+                               r["ndv_est"])
+            for r in table_stats(orders, cols).collect()
+        }
+        assert folded == direct
+        # recompaction is idempotent on already-compacted state: the
+        # sentinel re-merges, never multiplies
+        compact_stats_cells(
+            spark, "t_cmp_done", older_than=datetime.datetime(1997, 6, 1),
+            save_as="t_cmp_again", n_buckets=8,
+            path=str(tmp_path / "again"),
+        )
+        again = spark.table("t_cmp_again")
+        assert again.filter(F.col("_pt").isNull()).select(
+            "_col", "_b"
+        ).distinct().count() == again.filter(F.col("_pt").isNull()).count()
+    finally:
+        for t in ("t_cmp_raw", "t_cmp_done", "t_cmp_again"):
+            drop_table(spark, t)
+
+
+def test_compaction_aggregate_and_fold_state_side_shuffle_free(
+    spark, tmp_path
+):
+    """Both the compaction aggregate and the later fold group on keys
+    containing the bucket key (_col): zero Exchange anywhere in the
+    state-sized part of either plan."""
+    from capex_data_pipeline_spark.extensions.state import (
+        save_stats_cells,
+        stats_fold_persisted,
+    )
+    from capex_data_pipeline_spark.sources.bucketed import drop_table
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    try:
+        save_stats_cells(
+            orders, ["o_orderstatus"], partition=F.date_trunc(
+                "day", F.col("o_orderdate")
+            ),
+            table="t_cmp_plan", n_buckets=8,
+            path=str(tmp_path / "plan_state"),
+        )
+        state = spark.table("t_cmp_plan")
+        compacted_plan = _plan(
+            state.select(
+                F.lit(None).cast("timestamp").alias("_pt"),
+                "_col", "_b", "_cnt", "_slen", "_mr",
+            )
+            .groupBy("_pt", "_col", "_b")
+            .agg(
+                F.sum("_cnt").alias("_cnt"),
+                F.sum("_slen").alias("_slen"),
+                F.max("_mr").alias("_mr"),
+            )
+        )
+        assert "Exchange" not in compacted_plan, compacted_plan
+        assert "Exchange" not in _plan(
+            stats_fold_persisted(spark, "t_cmp_plan")
+        )
+    finally:
+        drop_table(spark, "t_cmp_plan")
+
+
+# ---------------------------------------------------- stats -> advisor
+
+
+def test_advisor_from_state_ndv_matches_direct_sketch(spark, tmp_path):
+    """Task r12-#2: register max-merge is lossless, so NDV estimates
+    read from the persisted cell state equal table_stats_sketch's
+    direct-scan estimates bit-for-bit — and the advisor's stats-sized
+    profile is identical whichever source fed the widths."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        join_graph_profile,
+        table_stats_sketch,
+    )
+    from capex_data_pipeline_spark.extensions.state import (
+        join_graph_profile_persisted,
+        save_stats_cells,
+        stats_fold_persisted,
+    )
+    from capex_data_pipeline_spark.sources.bucketed import drop_table
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    )
+    try:
+        save_stats_cells(
+            orders, ["o_orderkey"], partition=F.lit("orders"),
+            table="t_adv_state", n_buckets=8,
+            path=str(tmp_path / "adv_state"),
+        )
+        save_stats_cells(
+            lineitem, ["l_orderkey"], partition=F.lit("lineitem"),
+            table="t_adv_state", n_buckets=8,
+            path=str(tmp_path / "adv_state"), mode="append",
+        )
+        from_state = {
+            r["column_name"]: r["ndv_est"]
+            for r in stats_fold_persisted(spark, "t_adv_state").collect()
+        }
+        direct = {
+            r["column_name"]: r["ndv_est"]
+            for r in table_stats_sketch(orders, ["o_orderkey"]).collect()
+        }
+        direct.update(
+            {
+                r["column_name"]: r["ndv_est"]
+                for r in table_stats_sketch(
+                    lineitem, ["l_orderkey"]
+                ).collect()
+            }
+        )
+        assert from_state == direct
+        edges = [
+            ("orders-lineitem", orders, F.col("o_orderkey"),
+             lineitem, F.col("l_orderkey")),
+        ]
+        got = join_graph_profile_persisted(
+            spark, "t_adv_state", edges,
+            {"orders-lineitem": ("o_orderkey", "l_orderkey")},
+        ).collect()
+        want = join_graph_profile(
+            edges,
+            ndv={"orders-lineitem": max(direct.values())},
+            include_exact=False,
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    finally:
+        drop_table(spark, "t_adv_state")
+
+
+def test_advisor_from_state_missing_column_raises(spark, tmp_path):
+    from capex_data_pipeline_spark.extensions.state import (
+        join_graph_profile_persisted,
+        save_stats_cells,
+    )
+    from capex_data_pipeline_spark.sources.bucketed import drop_table
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    try:
+        save_stats_cells(
+            orders, ["o_orderkey"], partition=F.lit("orders"),
+            table="t_adv_miss", n_buckets=8,
+            path=str(tmp_path / "adv_miss"),
+        )
+        with pytest.raises(ValueError, match="no cells for columns"):
+            join_graph_profile_persisted(
+                spark, "t_adv_miss",
+                [("e", orders, F.col("o_orderkey"), orders,
+                  F.col("o_custkey"))],
+                {"e": ("o_orderkey", "o_custkey")},
+            )
+    finally:
+        drop_table(spark, "t_adv_miss")
+
+
+# ----------------------------------------------------------------- SCD2
+
+
+@pytest.fixture()
+def scd2_changelog(spark):
+    rows = [
+        (1, "2024-01-01", "a"), (1, "2024-01-02", "a"),
+        (1, "2024-01-03", "b"),
+        (2, "2024-01-01", "x"), (2, "2024-01-03", "y"),
+        (3, "2024-01-03", "m"),                       # new key on day 3
+        (4, "2024-01-01", None), (4, "2024-01-03", "z"),  # NULL state
+    ]
+    return spark.createDataFrame(
+        rows, "u long, d string, s string"
+    ).select("u", F.col("d").cast("date").alias("d"), "s")
+
+
+def _scd2_rows(df):
+    return sorted(
+        (r["u"], str(r["s"]), str(r["valid_from"]), str(r["valid_to"]),
+         r["is_current"])
+        for r in df.collect()
+    )
+
+
+def test_scd2_fold_matches_from_scratch(spark, scd2_changelog, tmp_path):
+    """Task r12-#9: folding the last day's snapshot into the persisted
+    dimension equals scd2_history over the full changelog — unchanged
+    keys keep their open interval, changed keys close + reopen, new
+    keys insert, NULL attrs compare null-safely."""
+    import datetime
+
+    from capex_data_pipeline_spark.extensions.cleaning import scd2_history
+    from capex_data_pipeline_spark.extensions.state import (
+        save_scd2_state,
+        scd2_fold_persisted,
+    )
+    from capex_data_pipeline_spark.sources.bucketed import drop_table
+
+    ev = scd2_changelog
+    try:
+        hist = scd2_history(
+            ev.filter(F.col("d") < F.lit("2024-01-03")), "u", "d", ["s"]
+        ).select("u", "s", "valid_from", "valid_to", "is_current")
+        save_scd2_state(
+            hist, "u", "t_scd2_test", n_buckets=8,
+            path=str(tmp_path / "scd2"),
+        )
+        snap = ev.filter(F.col("d") == F.lit("2024-01-03")).select(
+            "u", "s"
+        )
+        out = scd2_fold_persisted(
+            spark, "t_scd2_test", snap, "u", ["s"],
+            datetime.date(2024, 1, 3),
+        )
+        assert _scd2_rows(out) == _scd2_rows(
+            scd2_history(ev, "u", "d", ["s"]).select(
+                "u", "s", "valid_from", "valid_to", "is_current"
+            )
+        )
+    finally:
+        drop_table(spark, "t_scd2_test")
+
+
+def test_scd2_fold_chain_day_by_day(spark, scd2_changelog, tmp_path):
+    """Folding EVERY day in order from an empty dimension reproduces
+    the from-scratch history — the full production loop."""
+    import datetime
+
+    from capex_data_pipeline_spark.extensions.cleaning import scd2_history
+    from capex_data_pipeline_spark.extensions.state import (
+        save_scd2_state,
+        scd2_fold_persisted,
+    )
+    from capex_data_pipeline_spark.sources.bucketed import drop_table
+
+    ev = scd2_changelog
+    days = sorted(
+        r["d"] for r in ev.select("d").distinct().collect()
+    )
+    empty = spark.createDataFrame(
+        [], "u long, s string, valid_from date, valid_to date, "
+            "is_current boolean"
+    )
+    state = "t_scd2_chain_0"
+    tables = [state]
+    try:
+        save_scd2_state(
+            empty, "u", state, n_buckets=8, path=str(tmp_path / "c0")
+        )
+        out = None
+        for i, d in enumerate(days):
+            snap = ev.filter(F.col("d") == F.lit(d)).select("u", "s")
+            nxt = f"t_scd2_chain_{i + 1}"
+            tables.append(nxt)
+            out = scd2_fold_persisted(
+                spark, state, snap, "u", ["s"], d,
+                save_as=nxt, save_path=str(tmp_path / f"c{i + 1}"),
+                n_buckets=8,
+            )
+            state = nxt
+        assert _scd2_rows(out) == _scd2_rows(
+            scd2_history(ev, "u", "d", ["s"]).select(
+                "u", "s", "valid_from", "valid_to", "is_current"
+            )
+        )
+    finally:
+        for t in tables:
+            drop_table(spark, t)
+
+
+def test_scd2_fold_state_side_never_shuffles(
+    spark, scd2_changelog, tmp_path
+):
+    import datetime
+
+    from capex_data_pipeline_spark.extensions.cleaning import scd2_history
+    from capex_data_pipeline_spark.extensions.state import (
+        save_scd2_state,
+        scd2_fold_persisted,
+    )
+    from capex_data_pipeline_spark.sources.bucketed import drop_table
+
+    ev = scd2_changelog
+    try:
+        hist = scd2_history(
+            ev.filter(F.col("d") < F.lit("2024-01-03")), "u", "d", ["s"]
+        ).select("u", "s", "valid_from", "valid_to", "is_current")
+        save_scd2_state(
+            hist, "u", "t_scd2_plan", n_buckets=8,
+            path=str(tmp_path / "scd2_plan"),
+        )
+        snap = ev.filter(F.col("d") == F.lit("2024-01-03")).select(
+            "u", "s"
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(
+                scd2_fold_persisted(
+                    spark, "t_scd2_plan", snap, "u", ["s"],
+                    datetime.date(2024, 1, 3),
+                )
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        n = _assert_state_scans_shuffle_free(plan, "t_scd2_plan")
+        assert n >= 2, plan  # the current-rows join + the history slice
+    finally:
+        drop_table(spark, "t_scd2_plan")

@@ -963,3 +963,87 @@ def test_stats_cells_stream_fold_matches_batch(spark, tmp_path):
     )
     want = {tuple(r) for r in table_stats_sketch(whole, cols).collect()}
     assert folded == want  # value-exact: streaming fold == batch scan
+
+
+def test_day_registers_stream_fold_matches_batch_rolling(spark, tmp_path):
+    """q230's register state streams: foreachBatch folds each
+    micro-batch's per-(day, register) cells into a persistent store by
+    MAX (analytics.day_user_registers' algebra), and finalizing the
+    streamed store through rolling_from_registers is value-identical
+    to the one-shot batch rolling_active_users_hll over the whole
+    stream — the engagement report a 100 TB event stream maintains
+    without ever re-scanning history."""
+    import datetime
+    import time
+
+    from pyspark.sql import functions as F
+
+    from capex_data_pipeline_spark.extensions.analytics import (
+        day_user_registers,
+        rolling_active_users_hll,
+        rolling_from_registers,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    batches = [
+        [(u, base + datetime.timedelta(days=u % 4)) for u in range(0, 300)],
+        [(u, base + datetime.timedelta(days=u % 5))
+         for u in range(200, 600)],
+        [(u, base + datetime.timedelta(days=2 + u % 3))
+         for u in range(550, 900)],
+    ]
+    schema = "user_id long, ts timestamp"
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        p = str(src / f"b{i}.parquet")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        t = time.time() + i * 10
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    store = str(tmp_path / "dayregs")
+
+    def handle(batch_df, _epoch):
+        nb = day_user_registers(
+            batch_df.localCheckpoint(), "user_id", "ts", b=6
+        )
+        try:
+            prev = nb.sparkSession.read.parquet(store)
+            merged = (
+                prev.unionByName(nb)
+                .groupBy("_d", "_b")
+                .agg(F.max("_mr").alias("_mr"))
+            )
+        except Exception:
+            merged = nb
+        merged.localCheckpoint().write.mode("overwrite").parquet(store)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dayregs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = rolling_from_registers(
+        spark.read.parquet(store), window_days=3, b=6
+    )
+    whole = spark.createDataFrame(
+        [r for rows in batches for r in rows], schema
+    )
+    batch = rolling_active_users_hll(
+        whole, "user_id", "ts", window_days=3, b=6
+    )
+    key = lambda r: (str(r["day"]), r["dau_est"], r["rolling_au_est"],
+                     r["full_window"])
+    assert sorted(map(key, streamed.collect())) == sorted(
+        map(key, batch.collect())
+    )
