@@ -322,6 +322,10 @@ HEADLINE = [
     "q229_stats_compacted_fold",
     "q230_rolling_active_users_hll",
     "q231_scd2_fold_persisted",
+    "q232_cohort_retention",
+    "q233_time_weighted_average",
+    "q234_ohlc_candles",
+    "q235_fk_integrity",
 ]
 
 

@@ -827,3 +827,72 @@ def scd2_history(
             F.col("_to").isNull().alias("is_current"),
         )
     )
+
+
+def referential_integrity_report(
+    edges: "list[tuple[str, DataFrame, str, DataFrame, str]]",
+    decimals: int = 6,
+) -> DataFrame:
+    """Referential-integrity audit across FK edges — the pre-join data
+    contract every warehouse load should check: for each
+    (name, child_df, fk_col, parent_df, pk_col) edge, how many child
+    rows have a non-NULL foreign key with NO matching parent
+    (orphans), plus the NULL-key count (excluded from orphans — SQL
+    join semantics — but reported, since silent NULL FKs are their own
+    smell). Scale shape per edge: orphan detection is a LEFT ANTI join
+    of the child's DISTINCT keys against the parent's key column
+    (compact keys only; the count of orphan ROWS re-joins the tiny
+    orphan-key frame broadcast back to the child's key counts), so
+    nothing wider than a key column ever shuffles and a hot parent is
+    never re-scanned per child.
+
+    Returns one row per edge: (edge, n_child, n_null_fk,
+    n_orphan_keys, n_orphan_rows, orphan_row_frac).
+    """
+    if not edges:
+        raise ValueError(
+            "referential_integrity_report: edges must be non-empty"
+        )
+    parts = []
+    for name, child, fk, parent, pk in edges:
+        key_counts = (
+            child.groupBy(F.col(fk).alias("_k"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        nonnull = key_counts.filter(F.col("_k").isNotNull())
+        orphan_keys = nonnull.join(
+            parent.select(F.col(pk).alias("_k")).distinct(),
+            "_k",
+            "left_anti",
+        )
+        stats = orphan_keys.agg(
+            F.count(F.lit(1)).alias("n_orphan_keys"),
+            F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias(
+                "n_orphan_rows"
+            ),
+        )
+        totals = key_counts.agg(
+            F.sum("_c").cast("long").alias("n_child"),
+            F.coalesce(
+                F.sum(F.when(F.col("_k").isNull(), F.col("_c"))),
+                F.lit(0),
+            ).cast("long").alias("n_null_fk"),
+        )
+        parts.append(
+            totals.crossJoin(F.broadcast(stats)).select(
+                F.lit(name).alias("edge"),
+                "n_child",
+                "n_null_fk",
+                "n_orphan_keys",
+                "n_orphan_rows",
+                F.round(
+                    F.col("n_orphan_rows")
+                    / F.nullif(F.col("n_child").cast("double"), F.lit(0.0)),
+                    decimals,
+                ).alias("orphan_row_frac"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

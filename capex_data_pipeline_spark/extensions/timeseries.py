@@ -691,3 +691,186 @@ def cusum_changepoint(
             F.col("_pk._pt") / F.col("_n").cast("double"), decimals
         ).alias("frac_position"),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+    max_offset: int = 12,
+    decimals: int = 6,
+) -> DataFrame:
+    """Cohort retention matrix — the "do users come back" triangle
+    every growth dashboard leads with: users are grouped into cohorts
+    by their FIRST activity period, and retention[cohort, k] = share
+    of the cohort active again k periods later. Scale shape: ONE
+    min-aggregate finds each user's cohort (user-key hash aggregate),
+    activity collapses to distinct (user, period) pairs, the cohort
+    label joins back on the user key, and one (cohort, offset)
+    aggregate counts distinct users — nothing wider than compact keys
+    ever shuffles, no per-cohort re-scan. ``max_offset`` bounds the
+    matrix (offsets beyond it are dropped — the report's width, not a
+    data cap).
+
+    Returns (cohort, offset, n_active, cohort_size, retention) for
+    0 <= offset <= max_offset; offset 0 is the cohort itself
+    (retention 1.0 by construction — kept as the audit row).
+    """
+    if max_offset < 0:
+        raise ValueError(f"max_offset must be >= 0: {max_offset}")
+    per = F.date_trunc(period, F.col(ts_col)).cast("date")
+    act = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("_u"), per.alias("_p"))
+        .distinct()
+    )
+    from capex_data_pipeline_spark.cache import persisted
+
+    act = persisted(act)
+    cohorts = act.groupBy("_u").agg(F.min("_p").alias("_c"))
+    sizes = cohorts.groupBy("_c").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    unit = {"week": 7, "day": 1}.get(period)
+    if unit is None:
+        raise ValueError(
+            f"cohort_retention: unsupported period {period!r} "
+            "(use 'week' or 'day' — month offsets are not fixed-width)"
+        )
+    joined = act.join(cohorts, "_u").select(
+        "_u",
+        "_c",
+        (F.datediff(F.col("_p"), F.col("_c")) / unit)
+        .cast("long")
+        .alias("offset"),
+    )
+    counts = (
+        joined.filter(F.col("offset") <= max_offset)
+        .groupBy("_c", "offset")
+        .agg(F.countDistinct("_u").alias("n_active"))
+    )
+    return counts.join(sizes, "_c").select(
+        F.col("_c").alias("cohort"),
+        "offset",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active") / F.col("cohort_size").cast("double"),
+            decimals,
+        ).alias("retention"),
+    )
+
+
+def time_weighted_average(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ts_col: str,
+    id_col: str,
+    cents: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """Time-weighted average (TWAP) per group over irregular samples —
+    the honest mean for a value that HOLDS between observations
+    (price, inventory level, sensor reading): each observation is
+    weighted by how long it was current, i.e. the time to the next
+    observation in the group. One lead() window per group (per-task
+    state = one group's samples, deterministic (ts, id) order), then
+    one aggregate of exact integer products — value quantized to
+    ``cents``, duration in milliseconds, the cents x ms products
+    summed as DECIMAL(38,0) (overflow-proof per the q197/q222
+    convention). The last observation of a group has no successor and
+    carries zero weight (the standard TWAP-to-last-tick convention,
+    documented here rather than invented at query time).
+
+    Returns (group_col, n_obs, span_ms, twap) — twap NULL for groups
+    with a single observation (zero total duration).
+    """
+    scale = 10 ** cents
+    x = F.round(F.col(value_col).cast("double") * F.lit(scale)).cast("long")
+    ms = F.unix_millis(F.col(ts_col))
+    w = Window.partitionBy("_g").orderBy("_ms", "_id")
+    base = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col(id_col).alias("_id"),
+            x.alias("_x"),
+            ms.alias("_ms"),
+        )
+        .withColumn("_next", F.lead("_ms").over(w))
+    )
+    dur = (F.col("_next") - F.col("_ms")).cast("decimal(38,0)")
+    dec = "decimal(38,0)"
+    agg = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.when(F.col("_next").isNotNull(), dur).otherwise(F.lit(0).cast(dec))).alias("_span"),
+        F.sum(
+            F.when(
+                F.col("_next").isNotNull(),
+                F.col("_x").cast(dec) * dur,
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("_wsum"),
+    )
+    # final division in DOUBLE on both engines (decimal/decimal division
+    # rescales differently than DuckDB's integer-/ -> DOUBLE); the exact
+    # integers convert to double identically (round-to-nearest)
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_obs",
+        F.col("_span").cast("long").alias("span_ms"),
+        F.round(
+            F.col("_wsum").cast("double")
+            / F.nullif(F.col("_span").cast("double"), F.lit(0.0))
+            / F.lit(float(scale)),
+            decimals,
+        ).alias("twap"),
+    )
+
+
+def ohlc_candles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ts_col: str,
+    id_col: str,
+    period: str = "day",
+    cents: int = 2,
+) -> DataFrame:
+    """OHLC candlestick aggregation per (group, period) — the
+    canonical downsampling of an observation stream: open = first
+    value in the period, close = last, high/low = extremes, plus the
+    observation count. ONE hash aggregate: open/close via
+    min_by/max_by on the deterministic (ts, id) struct order — never
+    a window re-sort of the raw stream — and values quantize to
+    ``cents`` so first/last election replays exactly on any engine.
+
+    Returns (group_col, period_start, open, high, low, close, n_obs).
+    """
+    per = F.date_trunc(period, F.col(ts_col))
+    key = F.struct(F.col(ts_col).alias("_t"), F.col(id_col).alias("_i"))
+    v = F.round(F.col(value_col).cast("double") * F.lit(10 ** cents)).cast(
+        "long"
+    ) / F.lit(float(10 ** cents))
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        per.alias("period_start"),
+        v.alias("_v"),
+        key.alias("_k"),
+    )
+    return (
+        base.groupBy("_g", "period_start")
+        .agg(
+            F.min_by("_v", "_k").alias("open"),
+            F.max("_v").alias("high"),
+            F.min("_v").alias("low"),
+            F.max_by("_v", "_k").alias("close"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .withColumnRenamed("_g", group_col)
+    )

@@ -1413,3 +1413,76 @@ def q218_benford_profile(spark, sf_dir):
     from capex_data_pipeline_spark.extensions.quality import benford_profile
 
     return benford_profile(_t(spark, sf_dir, "events"), "value")
+
+
+# ---- q235: referential-integrity (FK orphan) audit
+
+
+def _q235_edge(name: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+    SELECT '{name}' AS edge,
+           (SELECT count(*)::BIGINT FROM {child}) AS n_child,
+           (SELECT count(*)::BIGINT FROM {child} WHERE {fk} IS NULL)
+             AS n_null_fk,
+           (SELECT count(DISTINCT {fk})::BIGINT FROM {child}
+            WHERE {fk} IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = {fk}))
+             AS n_orphan_keys,
+           (SELECT count(*)::BIGINT FROM {child}
+            WHERE {fk} IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = {fk}))
+             AS n_orphan_rows,
+           round((SELECT count(*) FROM {child}
+                  WHERE {fk} IS NOT NULL
+                    AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                    WHERE p.{pk} = {fk}))
+                 / nullif((SELECT count(*) FROM {child})::DOUBLE, 0.0), 6)
+             AS orphan_row_frac
+    """
+
+
+_Q235_EDGES = [
+    ("orders-customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem-orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem-part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("customer-nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+@query(
+    "q235_fk_integrity",
+    " UNION ALL ".join(f"({_q235_edge(*e)})" for e in _Q235_EDGES),
+)
+def q235_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit across the schema's FK edges
+    (cleaning.referential_integrity_report): per edge, child rows
+    whose non-NULL foreign key has no parent (orphans) + the NULL-FK
+    count — the pre-join data contract a warehouse load checks before
+    trusting inner joins. Per edge the orphan detection is a LEFT
+    ANTI join of the child's DISTINCT keys against the parent key
+    column: compact keys only; orphan ROW counts come from re-summing
+    the child's per-key counts over the (tiny, broadcast) orphan-key
+    frame — the child table itself is scanned once and never
+    re-shuffled per edge. The oracle replays each edge with NOT
+    EXISTS. On TPC-H-shaped data every orphan count is 0 — the report
+    PROVING zero is the audit's point."""
+    from capex_data_pipeline_spark.extensions.cleaning import (
+        referential_integrity_report,
+    )
+
+    t = {
+        n: _t(spark, sf_dir, n)
+        for n in ("orders", "customer", "lineitem", "part", "nation")
+    }
+    return referential_integrity_report(
+        [
+            ("orders-customer", t["orders"], "o_custkey",
+             t["customer"], "c_custkey"),
+            ("lineitem-orders", t["lineitem"], "l_orderkey",
+             t["orders"], "o_orderkey"),
+            ("lineitem-part", t["lineitem"], "l_partkey",
+             t["part"], "p_partkey"),
+            ("customer-nation", t["customer"], "c_nationkey",
+             t["nation"], "n_nationkey"),
+        ]
+    )

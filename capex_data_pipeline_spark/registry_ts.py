@@ -1677,3 +1677,146 @@ def q222_cusum_changepoint(spark, sf_dir):
     return cusum_changepoint(
         ev, "event_type", "value", "ts", "event_id"
     )
+
+
+# ---- q232: cohort retention matrix
+
+
+@query(
+    "q232_cohort_retention",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(date_trunc('week', ts) AS DATE) AS p
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    coh AS (SELECT u, min(p) AS c FROM act GROUP BY u),
+    sizes AS (SELECT c, count(*)::BIGINT AS cohort_size FROM coh GROUP BY c),
+    j AS (
+      SELECT a.u, co.c,
+             CAST((a.p - co.c) / 7 AS BIGINT) AS "offset"
+      FROM act a JOIN coh co USING (u)
+    ),
+    counts AS (
+      SELECT c, "offset", count(DISTINCT u)::BIGINT AS n_active
+      FROM j WHERE "offset" <= 12 GROUP BY 1, 2
+    )
+    SELECT counts.c AS cohort, "offset", n_active, cohort_size,
+           round(n_active / cohort_size::DOUBLE, 6) AS retention
+    FROM counts JOIN sizes USING (c)
+    """,
+)
+def q232_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (timeseries.cohort_retention): users
+    cohorted by FIRST-activity week, retention[cohort, k] = share of
+    the cohort active k weeks later — the growth triangle. One
+    min-aggregate for cohorts, distinct (user, week) activity, a
+    user-key join-back, one (cohort, offset) distinct count: compact
+    keys only, no per-cohort re-scan. Offset 0 rides along as the
+    retention=1.0 audit row. The oracle replays cohorting, the
+    exact-multiple-of-7 offset division, and both counts."""
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        cohort_retention,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(
+        ev, "user_id", "ts", period="week", max_offset=12
+    )
+
+
+# ---- q233: time-weighted average (TWAP)
+
+
+@query(
+    "q233_time_weighted_average",
+    """
+    WITH base AS (
+      SELECT event_type AS g, event_id AS id,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             epoch_ms(ts) AS ms
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    w AS (
+      SELECT g, x, ms,
+             lead(ms) OVER (PARTITION BY g ORDER BY ms, id) AS nxt
+      FROM base
+    ),
+    agg AS (
+      SELECT g, count(*)::BIGINT AS n_obs,
+             sum(CASE WHEN nxt IS NOT NULL THEN nxt - ms ELSE 0 END)
+               ::HUGEINT AS span,
+             sum(CASE WHEN nxt IS NOT NULL
+                      THEN x::HUGEINT * (nxt - ms) ELSE 0 END) AS wsum
+      FROM w GROUP BY g
+    )
+    SELECT g AS event_type, n_obs, span::BIGINT AS span_ms,
+           round(wsum::DOUBLE / nullif(span, 0)::DOUBLE / 100.0, 6)
+             AS twap
+    FROM agg
+    """,
+)
+def q233_time_weighted_average(spark, sf_dir):
+    """Time-weighted average value per event type
+    (timeseries.time_weighted_average): each observation weighted by
+    how long it stayed current (lead() to the next same-group
+    observation) — the honest mean for a value that HOLDS between
+    irregular samples. One per-group window + one aggregate of exact
+    cents x ms integer products carried as DECIMAL(38,0) (the
+    q197/q222 overflow convention; ~1e9 rows of 1e4-cent values times
+    ms durations wrap int64). Final division in double on both
+    engines. The oracle replays the lead, the zero-weight last tick,
+    and the HUGEINT products."""
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        time_weighted_average,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_average(
+        ev, "event_type", "value", "ts", "event_id"
+    )
+
+
+# ---- q234: OHLC candlestick downsampling
+
+
+@query(
+    "q234_ohlc_candles",
+    """
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS period_start,
+           first(v ORDER BY ts, event_id) AS open,
+           max(v) AS high,
+           min(v) AS low,
+           last(v ORDER BY ts, event_id) AS close,
+           count(*)::BIGINT AS n_obs
+    FROM (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) / 100.0 AS v
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q234_ohlc_candles(spark, sf_dir):
+    """OHLC candlestick aggregation per (event_type, day)
+    (timeseries.ohlc_candles): open/close elected by min_by/max_by on
+    the deterministic (ts, event_id) struct — ONE hash aggregate,
+    never a window re-sort of the raw stream — with cents-quantized
+    values so first/last election replays exactly. The canonical
+    stream downsampling (the report q79's grid resample feeds at
+    scale). The oracle uses DuckDB's ordered first()/last()
+    aggregates over the same order."""
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        ohlc_candles,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = ohlc_candles(
+        ev, "event_type", "value", "ts", "event_id", period="day"
+    )
+    return out.select(
+        "event_type",
+        F.col("period_start").cast("date").alias("period_start"),
+        "open", "high", "low", "close", "n_obs",
+    )

@@ -1,0 +1,124 @@
+"""Unit pins for the round-12 extension operators (q232+): hand-built
+fixtures with hand-computed expectations, complementing the DuckDB
+value-exact oracles."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_cohort_retention_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        cohort_retention,
+    )
+
+    # week of 2024-01-01 (Mon): users 1,2 start; week of 01-08: user 3
+    # starts, user 1 returns; week of 01-15: user 2 returns
+    rows = [
+        (1, _ts("2024-01-02 10:00")), (2, _ts("2024-01-03 10:00")),
+        (1, _ts("2024-01-09 10:00")), (3, _ts("2024-01-10 10:00")),
+        (2, _ts("2024-01-16 10:00")),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    out = {
+        (str(r["cohort"]), r["offset"]): (
+            r["n_active"], r["cohort_size"], r["retention"]
+        )
+        for r in cohort_retention(df, "u", "ts").collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 2, 0.5)   # user 1 returned
+    assert out[("2024-01-01", 2)] == (1, 2, 0.5)   # user 2 returned
+    assert out[("2024-01-08", 0)] == (1, 1, 1.0)   # user 3's cohort
+    assert len(out) == 4
+
+
+def test_time_weighted_average_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        time_weighted_average,
+    )
+
+    # value 10 held 1000ms, value 20 held 3000ms, last tick weightless:
+    # twap = (10*1000 + 20*3000) / 4000 = 17.5
+    rows = [
+        ("g", 1, 10.0, _ts("2024-01-01 00:00:00")),
+        ("g", 2, 20.0, _ts("2024-01-01 00:00:01")),
+        ("g", 3, 99.0, _ts("2024-01-01 00:00:04")),
+        ("solo", 4, 5.0, _ts("2024-01-01 00:00:00")),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, id long, v double, ts timestamp"
+    )
+    out = {
+        r["g"]: (r["n_obs"], r["span_ms"], r["twap"])
+        for r in time_weighted_average(df, "g", "v", "ts", "id").collect()
+    }
+    assert out["g"] == (3, 4000, 17.5)
+    # single observation: zero span, NULL twap (never a 0/0)
+    assert out["solo"] == (1, 0, None)
+
+
+def test_ohlc_candles_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        ohlc_candles,
+    )
+
+    rows = [
+        ("s", 1, 10.0, _ts("2024-01-01 09:00")),
+        ("s", 2, 30.0, _ts("2024-01-01 12:00")),
+        ("s", 3, 5.0, _ts("2024-01-01 15:00")),
+        ("s", 4, 20.0, _ts("2024-01-01 17:00")),
+        ("s", 5, 7.0, _ts("2024-01-02 09:00")),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, id long, v double, ts timestamp"
+    )
+    out = {
+        str(r["period_start"])[:10]: (
+            r["open"], r["high"], r["low"], r["close"], r["n_obs"]
+        )
+        for r in ohlc_candles(df, "g", "v", "ts", "id").collect()
+    }
+    assert out["2024-01-01"] == (10.0, 30.0, 5.0, 20.0, 4)
+    assert out["2024-01-02"] == (7.0, 7.0, 7.0, 7.0, 1)
+
+
+def test_ohlc_tie_breaks_by_id(spark):
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        ohlc_candles,
+    )
+
+    t = _ts("2024-01-01 09:00")
+    df = spark.createDataFrame(
+        [("s", 2, 8.0, t), ("s", 1, 3.0, t)],
+        "g string, id long, v double, ts timestamp",
+    )
+    r = ohlc_candles(df, "g", "v", "ts", "id").collect()[0]
+    assert (r["open"], r["close"]) == (3.0, 8.0)  # id order, not value
+
+
+def test_fk_integrity_orphans_and_nulls(spark):
+    from capex_data_pipeline_spark.extensions.cleaning import (
+        referential_integrity_report,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, 99), (5, 99), (6, None)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    r = referential_integrity_report(
+        [("c-p", child, "fk", parent, "pk")]
+    ).collect()[0]
+    assert r["n_child"] == 6
+    assert r["n_null_fk"] == 1
+    assert r["n_orphan_keys"] == 1     # key 99
+    assert r["n_orphan_rows"] == 3     # rows 3,4,5
+    assert r["orphan_row_frac"] == 0.5
