@@ -326,6 +326,8 @@ HEADLINE = [
     "q233_time_weighted_average",
     "q234_ohlc_candles",
     "q235_fk_integrity",
+    "q236_mann_whitney_u",
+    "q237_ks_2samp",
 ]
 
 

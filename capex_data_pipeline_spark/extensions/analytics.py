@@ -1607,3 +1607,269 @@ def rolling_from_registers(
             ),
         )
     )
+
+
+def _value_prefix_counts(
+    pv: DataFrame, n_buckets: int = 1024
+) -> DataFrame:
+    """Shared two-phase EXACT global prefix over a per-distinct-value
+    count frame (_x, _na, _nb) WITHOUT a global sort — the q175/q225
+    machinery: equi-width buckets over [min, max], driver-cumulated
+    bucket offsets (an n_buckets-bounded read), bucket-partitioned
+    windows for the within-bucket prefix. Returns the input plus
+    ``_cum_below`` = Σ counts of strictly smaller values (exact
+    BIGINT). Rank ties are impossible by construction (one row per
+    distinct value)."""
+    from pyspark.sql.window import Window
+
+    if not 2 <= n_buckets <= 1 << 20:
+        raise ValueError(
+            f"_value_prefix_counts: n_buckets={n_buckets} outside "
+            "[2, 2^20] — the offsets read is driver-sized and stays "
+            "bounded"
+        )
+    t = (F.col("_na") + F.col("_nb")).alias("_t")
+    stats = pv.agg(
+        F.min("_x").alias("lo"), F.max("_x").alias("hi")
+    ).collect()[0]
+    lo, hi = stats["lo"], stats["hi"]
+    if lo is None:
+        return pv.withColumn("_cum_below", F.lit(0).cast("long"))
+    if hi == lo:
+        return pv.withColumn("_cum_below", F.lit(0).cast("long"))
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col("_x") - F.lit(lo)) / F.lit(width)),
+    ).cast("int")
+    withb = pv.withColumn("_bk", bucket)
+    hist = sorted(
+        (r["_bk"], int(r["_c"]))
+        for r in withb.groupBy("_bk")
+        .agg(F.sum(F.col("_na") + F.col("_nb")).alias("_c"))
+        .collect()
+    )
+    offsets, cum = [], 0
+    for bk, c in hist:
+        offsets.append((bk, cum))
+        cum += c
+    spark = pv.sparkSession
+    off = spark.createDataFrame(offsets, "_bk int, _off long")
+    w = (
+        Window.partitionBy("_bk")
+        .orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        withb.join(F.broadcast(off), "_bk")
+        .withColumn("_run", F.sum(F.col("_na") + F.col("_nb")).over(w))
+        .select(
+            "_x",
+            "_na",
+            "_nb",
+            (
+                F.col("_off")
+                + F.col("_run")
+                - (F.col("_na") + F.col("_nb"))
+            ).alias("_cum_below"),
+        )
+    )
+
+
+def _two_group_value_counts(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    cents: int,
+) -> DataFrame:
+    x = F.round(
+        F.col(value_col).cast("double") * F.lit(10 ** cents)
+    ).cast("long")
+    return (
+        df.filter(
+            F.col(group_col).isin([group_a, group_b])
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            x.alias("_x"),
+            F.when(F.col(group_col) == F.lit(group_a), 1)
+            .otherwise(0)
+            .alias("_ia"),
+        )
+        .groupBy("_x")
+        .agg(
+            F.sum("_ia").cast("long").alias("_na"),
+            F.sum(1 - F.col("_ia")).cast("long").alias("_nb"),
+        )
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    cents: int = 2,
+    n_buckets: int = 1024,
+    decimals: int = 6,
+) -> DataFrame:
+    """EXACT Mann-Whitney U rank-sum test between two groups WITHOUT a
+    global sort — "did the distribution shift" when nothing is normal
+    enough for q221's z-test: the nonparametric workhorse, computed
+    distributed. Values quantize to ``cents``; ranks come from the
+    per-distinct-value count frame + the exact two-phase prefix
+    (:func:`_value_prefix_counts` — bucket offsets cumulated on the
+    driver, within-bucket windows), tie MIDRANKS handled in integer
+    arithmetic: 2·R_A = Σ_v na_v·(2·cum_below_v + t_v + 1), all
+    DECIMAL(38,0), so U is a ratio of exactly-known integers. The
+    z statistic applies the standard tie-corrected variance
+    na·nb/12·((n+1) − Σ(t³−t)/(n(n−1))) in double at the very end.
+
+    Returns ONE row: (n_a, n_b, u_stat, z_stat) — u_stat is U for
+    ``group_a``; z NULL when a group is empty or variance is 0.
+    """
+    pv = _two_group_value_counts(
+        df, group_col, value_col, group_a, group_b, cents
+    )
+    pre = _value_prefix_counts(pv, n_buckets)
+    dec = "decimal(38,0)"
+    t = (F.col("_na") + F.col("_nb")).cast(dec)
+    r2_term = F.col("_na").cast(dec) * (
+        F.lit(2).cast(dec) * F.col("_cum_below").cast(dec)
+        + t
+        + F.lit(1).cast(dec)
+    )
+    ties = t * t * t - t
+    agg = pre.agg(
+        F.sum("_na").cast("long").alias("n_a"),
+        F.sum("_nb").cast("long").alias("n_b"),
+        F.sum(r2_term).alias("_r2"),
+        F.sum(ties).alias("_ties"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u = (
+        F.col("_r2").cast("double") - na * (na + F.lit(1.0))
+    ) / F.lit(2.0)
+    var = (
+        na
+        * nb
+        / F.lit(12.0)
+        * (
+            (n + F.lit(1.0))
+            - F.col("_ties").cast("double")
+            / F.nullif(n * (n - F.lit(1.0)), F.lit(0.0))
+        )
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(u, decimals).alias("u_stat"),
+        F.round(
+            (u - na * nb / F.lit(2.0))
+            / F.nullif(F.sqrt(var), F.lit(0.0)),
+            decimals,
+        ).alias("z_stat"),
+    )
+
+
+def ks_2samp(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    cents: int = 2,
+    n_buckets: int = 1024,
+    decimals: int = 6,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic WITHOUT a global
+    sort: D = max_v |F_A(v) − F_B(v)| over the distinct quantized
+    values, computed as an INTEGER maximization
+    max |cumA_incl·n_b − cumB_incl·n_a| (cross-multiplied, so no
+    float CDF ever compares) over the same two-phase prefix frame as
+    :func:`mann_whitney_u` — the distribution-drift number q96's PSI
+    approximates, exact. One division at the end.
+
+    Returns ONE row: (n_a, n_b, ks_stat).
+    """
+    from pyspark.sql.window import Window
+
+    pv = _two_group_value_counts(
+        df, group_col, value_col, group_a, group_b, cents
+    )
+    if not 2 <= n_buckets <= 1 << 20:
+        raise ValueError(
+            f"ks_2samp: n_buckets={n_buckets} outside [2, 2^20]"
+        )
+    # per-group exact prefixes ride the SAME machinery: cum of the
+    # combined frame splits into per-group runs by summing each side
+    stats = pv.agg(
+        F.min("_x").alias("lo"), F.max("_x").alias("hi")
+    ).collect()[0]
+    lo, hi = stats["lo"], stats["hi"]
+    spark = df.sparkSession
+    out_schema = "n_a bigint, n_b bigint, ks_stat double"
+    if lo is None:
+        return spark.createDataFrame([], out_schema)
+    if hi == lo:
+        one = pv.agg(
+            F.sum("_na").cast("long").alias("n_a"),
+            F.sum("_nb").cast("long").alias("n_b"),
+        )
+        return one.select("n_a", "n_b", F.lit(0.0).alias("ks_stat"))
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col("_x") - F.lit(lo)) / F.lit(width)),
+    ).cast("int")
+    withb = pv.withColumn("_bk", bucket)
+    hist = sorted(
+        (r["_bk"], int(r["_ca"]), int(r["_cb"]))
+        for r in withb.groupBy("_bk")
+        .agg(
+            F.sum("_na").alias("_ca"),
+            F.sum("_nb").alias("_cb"),
+        )
+        .collect()
+    )
+    offs, ca, cb = [], 0, 0
+    for bk, a, b in hist:
+        offs.append((bk, ca, cb))
+        ca += a
+        cb += b
+    off = spark.createDataFrame(offs, "_bk int, _offa long, _offb long")
+    w = (
+        Window.partitionBy("_bk")
+        .orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dec = "decimal(38,0)"
+    cells = (
+        withb.join(F.broadcast(off), "_bk")
+        .withColumn("_runa", F.sum("_na").over(w))
+        .withColumn("_runb", F.sum("_nb").over(w))
+        .select(
+            (F.col("_offa") + F.col("_runa")).cast(dec).alias("_cuma"),
+            (F.col("_offb") + F.col("_runb")).cast(dec).alias("_cumb"),
+        )
+    )
+    na, nb = ca, cb
+    gap = F.abs(
+        F.col("_cuma") * F.lit(nb).cast(dec)
+        - F.col("_cumb") * F.lit(na).cast(dec)
+    )
+    agg = cells.agg(F.max(gap).alias("_d"))
+    return agg.select(
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        F.round(
+            F.col("_d").cast("double")
+            / F.lit(float(na) * float(nb) if na and nb else None),
+            decimals,
+        ).alias("ks_stat"),
+    )

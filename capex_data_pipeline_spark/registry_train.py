@@ -5391,3 +5391,106 @@ def q230_rolling_active_users_hll(spark, sf_dir):
     return rolling_active_users_hll(
         ev, "user_id", "ts", window_days=7, b=6
     )
+
+
+# ---- q236: exact Mann-Whitney U (distributed rank-sum, no sort)
+
+
+@query(
+    "q236_mann_whitney_u",
+    """
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS x,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia
+      FROM events
+      WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+    ),
+    pv AS (
+      SELECT x, sum(ia)::BIGINT AS na, sum(1 - ia)::BIGINT AS nb
+      FROM v GROUP BY x
+    ),
+    c AS (
+      SELECT x, na, nb, na + nb AS t,
+             (sum(na + nb) OVER (ORDER BY x) - (na + nb))::HUGEINT AS cb
+      FROM pv
+    ),
+    agg AS (
+      SELECT sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b,
+             sum(na::HUGEINT * (2 * cb + t + 1)) AS r2,
+             sum((t::HUGEINT) * t * t - t) AS ties
+      FROM c
+    )
+    SELECT n_a, n_b,
+           round((r2::DOUBLE - n_a::DOUBLE * (n_a + 1.0)) / 2.0, 6)
+             AS u_stat,
+           round(
+             ((r2::DOUBLE - n_a::DOUBLE * (n_a + 1.0)) / 2.0
+              - n_a::DOUBLE * n_b / 2.0)
+             / nullif(
+                 sqrt(n_a::DOUBLE * n_b / 12.0
+                      * ((n_a + n_b + 1.0)
+                         - ties::DOUBLE
+                           / nullif((n_a + n_b)::DOUBLE
+                                    * (n_a + n_b - 1.0), 0.0))),
+                 0.0), 6) AS z_stat
+    FROM agg
+    """,
+)
+def q236_mann_whitney_u(spark, sf_dir):
+    """EXACT Mann-Whitney U rank-sum test, view-vs-purchase values
+    (analytics.mann_whitney_u): the nonparametric did-the-
+    distribution-shift test, computed WITHOUT the global rank sort
+    the textbook formula implies — per-distinct-value counts + the
+    q225 two-phase prefix (driver-cumulated bucket offsets, bucket-
+    partitioned windows) give exact tie MIDRANKS in integer
+    arithmetic: 2R_A = Σ na·(2·cum_below + t + 1) as DECIMAL(38,0).
+    The tie-corrected z applies doubles only at the end, in the same
+    expression order as the oracle."""
+    from capex_data_pipeline_spark.extensions.analytics import (
+        mann_whitney_u,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "event_type", "value", "view", "purchase")
+
+
+# ---- q237: exact two-sample Kolmogorov-Smirnov
+
+
+@query(
+    "q237_ks_2samp",
+    """
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS x,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia
+      FROM events
+      WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+    ),
+    pv AS (
+      SELECT x, sum(ia)::BIGINT AS na, sum(1 - ia)::BIGINT AS nb
+      FROM v GROUP BY x
+    ),
+    c AS (
+      SELECT x, sum(na) OVER (ORDER BY x)::HUGEINT AS cuma,
+             sum(nb) OVER (ORDER BY x)::HUGEINT AS cumb
+      FROM pv
+    ),
+    tot AS (SELECT sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b FROM pv)
+    SELECT t.n_a, t.n_b,
+           round(max(abs(c.cuma * t.n_b - c.cumb * t.n_a))::DOUBLE
+                 / (t.n_a::DOUBLE * t.n_b), 6) AS ks_stat
+    FROM c CROSS JOIN tot t GROUP BY t.n_a, t.n_b
+    """,
+)
+def q237_ks_2samp(spark, sf_dir):
+    """EXACT two-sample Kolmogorov-Smirnov statistic, view-vs-purchase
+    (analytics.ks_2samp): D = max CDF gap over the distinct quantized
+    values, maximized as the INTEGER |cumA·n_b − cumB·n_a| (cross-
+    multiplied — no float CDF ever compares) over the same two-phase
+    exact prefix machinery as q236, per-group runs cumulated from the
+    same bucket histogram. One double division at the end. The exact
+    drift number q96's PSI bins approximate."""
+    from capex_data_pipeline_spark.extensions.analytics import ks_2samp
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_2samp(ev, "event_type", "value", "view", "purchase")

@@ -122,3 +122,91 @@ def test_fk_integrity_orphans_and_nulls(spark):
     assert r["n_orphan_keys"] == 1     # key 99
     assert r["n_orphan_rows"] == 3     # rows 3,4,5
     assert r["orphan_row_frac"] == 0.5
+
+
+def _brute_mwu(a, b):
+    """Reference MWU with midranks + tie-corrected z, plain Python."""
+    import math
+    from collections import Counter
+
+    n_a, n_b = len(a), len(b)
+    all_v = sorted(a + b)
+    cnt = Counter(all_v)
+    ranks, cum = {}, 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        ranks[v] = cum + (t + 1) / 2
+        cum += t
+    r_a = sum(ranks[v] for v in a)
+    u = r_a - n_a * (n_a + 1) / 2
+    n = n_a + n_b
+    ties = sum(t**3 - t for t in cnt.values())
+    var = n_a * n_b / 12 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u - n_a * n_b / 2) / math.sqrt(var) if var > 0 else None
+    return u, z
+
+
+def _brute_ks(a, b):
+    vals = sorted(set(a + b))
+    n_a, n_b = len(a), len(b)
+    best = 0.0
+    for v in vals:
+        fa = sum(1 for x in a if x <= v) / n_a
+        fb = sum(1 for x in b if x <= v) / n_b
+        best = max(best, abs(fa - fb))
+    return best
+
+
+def test_mann_whitney_matches_python_reference(spark):
+    from capex_data_pipeline_spark.extensions.analytics import (
+        mann_whitney_u,
+    )
+
+    # deterministic pseudo-random values with heavy ties
+    a = [round(((i * 37) % 23) * 0.25, 2) for i in range(80)]
+    b = [round(((i * 41) % 29) * 0.25 + 1.0, 2) for i in range(65)]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "g", "v", "A", "B", n_buckets=8).collect()[0]
+    u, z = _brute_mwu(a, b)
+    assert r["n_a"] == 80 and r["n_b"] == 65
+    assert r["u_stat"] == round(u, 6)
+    assert abs(r["z_stat"] - z) < 1e-6
+
+
+def test_ks_2samp_matches_python_reference(spark):
+    from capex_data_pipeline_spark.extensions.analytics import ks_2samp
+
+    a = [round(((i * 37) % 23) * 0.25, 2) for i in range(80)]
+    b = [round(((i * 41) % 29) * 0.25 + 1.0, 2) for i in range(65)]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_2samp(df, "g", "v", "A", "B", n_buckets=8).collect()[0]
+    assert r["ks_stat"] == round(_brute_ks(a, b), 6)
+
+
+def test_rank_tests_degenerate_cases(spark):
+    from capex_data_pipeline_spark.extensions.analytics import (
+        ks_2samp,
+        mann_whitney_u,
+    )
+
+    # all values identical: U = na*nb/2 exactly, z NULL (zero variance),
+    # KS = 0
+    df = spark.createDataFrame(
+        [("A", 5.0)] * 10 + [("B", 5.0)] * 7, "g string, v double"
+    )
+    r = mann_whitney_u(df, "g", "v", "A", "B").collect()[0]
+    assert r["u_stat"] == 35.0
+    assert r["z_stat"] is None
+    k = ks_2samp(df, "g", "v", "A", "B").collect()[0]
+    assert k["ks_stat"] == 0.0
+    # disjoint supports: maximal separation, KS = 1, U = 0 for the
+    # lower group
+    df2 = spark.createDataFrame(
+        [("A", 1.0)] * 6 + [("B", 9.0)] * 5, "g string, v double"
+    )
+    r2 = mann_whitney_u(df2, "g", "v", "A", "B").collect()[0]
+    assert r2["u_stat"] == 0.0
+    k2 = ks_2samp(df2, "g", "v", "A", "B").collect()[0]
+    assert k2["ks_stat"] == 1.0
