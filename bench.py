@@ -328,6 +328,10 @@ HEADLINE = [
     "q235_fk_integrity",
     "q236_mann_whitney_u",
     "q237_ks_2samp",
+    "q238_anova_oneway",
+    "q239_autocorrelation",
+    "q240_behavior_entropy",
+    "q241_heartbeat_gaps",
 ]
 
 

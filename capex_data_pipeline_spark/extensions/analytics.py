@@ -1873,3 +1873,144 @@ def ks_2samp(
             decimals,
         ).alias("ks_stat"),
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    cents: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """One-way ANOVA F statistic across groups — "do the group means
+    differ more than noise explains", the k-group generalization of
+    q221's two-arm z. ONE pass of integer sufficient statistics per
+    group (n_g, Σx, Σx² in cents as DECIMAL(38,0) — the q197/q223
+    convention), then the decomposition SSB = Σ S_g²/n_g − S²/n,
+    SSW = Q − Σ S_g²/n_g.
+
+    Sufficient statistics stay exact integers (DECIMAL(38,0)); the
+    per-group S_g²/n_g terms and the F ratio are computed in DOUBLE
+    with the SAME expression order as the oracle (the q211 precedent
+    — the |groups|-term double sum varies only at the ~1e-15 relative
+    level, far inside the round-to-6 output contract), with the fold
+    over a group-domain-BOUNDED sorted array for one deterministic
+    summation order.
+
+    Returns ONE row: (k_groups, n, eta_sq, f_stat) — eta² =
+    SSB/(SSB+SSW), the effect size in [0, 1]; both ratios are
+    scale-free (round-6-stable at any data magnitude — raw SS values
+    at ~1e10 sit below double's absolute 6-decimal resolution, so
+    they are deliberately NOT emitted), with df1 = k−1, df2 = n−k;
+    f_stat NULL when k < 2, n <= k, or SSW is 0.
+    """
+    dec = "decimal(38,0)"
+    scale = 10 ** cents
+    x = F.round(F.col(value_col).cast("double") * F.lit(scale)).cast("long")
+    per_g = (
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .select(F.col(group_col).alias("_g"), x.alias("_x"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_x").cast(dec).alias("_s"),
+            F.sum(F.col("_x").cast(dec) * F.col("_x").cast(dec)).alias(
+                "_q"
+            ),
+        )
+    )
+    # one deterministic fold order for the double term sum: the
+    # group-domain-bounded (g, s, n) structs sort, then fold in that
+    # order (the behavior_entropy pattern)
+    agg = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_s").alias("_st"),
+        F.sum("_q").alias("_qt"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_g").cast("string").alias("g"),
+                        F.col("_s").cast("double").alias("s"),
+                        F.col("_n").cast("double").alias("cn"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r["s"] * r["s"] / r["cn"],
+        ).alias("_a"),
+    )
+    sc2 = F.lit(float(scale * scale))
+    k = F.col("k_groups").cast("double")
+    n = F.col("n").cast("double")
+    ssb = (
+        F.col("_a")
+        - F.col("_st").cast("double") * F.col("_st").cast("double") / n
+    ) / sc2
+    ssw = (F.col("_qt").cast("double") - F.col("_a")) / sc2
+    fstat = (ssb / (k - F.lit(1.0))) / F.nullif(
+        ssw / (n - k), F.lit(0.0)
+    )
+    return agg.select(
+        "k_groups",
+        "n",
+        F.round(
+            ssb / F.nullif(ssb + ssw, F.lit(0.0)), decimals
+        ).alias("eta_sq"),
+        F.round(
+            F.when((k >= 2) & (n > k), fstat), decimals
+        ).alias("f_stat"),
+    )
+
+
+def behavior_entropy(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    decimals: int = 6,
+    min_events: int = 1,
+) -> DataFrame:
+    """Per-user behavioral (Shannon) entropy over the event-type
+    distribution — the "is this account a bot" feature: one dominant
+    action → entropy near 0, uniform mixing → ln(k). Computed from
+    per-(user, type) counts via H = ln(n) − (Σ c·ln c)/n — one
+    compact-key aggregate then one per-user aggregate; the Σ c·ln c
+    fold runs over a type-domain-BOUNDED sorted array (collect_list
+    of the per-type counts, array_sort, F.aggregate) so the float sum
+    has ONE deterministic order on every engine and partitioning.
+
+    Returns (user_col, n_events, n_types, entropy) for users with
+    >= ``min_events`` events; entropy rounded to ``decimals``.
+    """
+    per = (
+        df.filter(
+            F.col(user_col).isNotNull() & F.col(type_col).isNotNull()
+        )
+        .groupBy(F.col(user_col).alias("_u"), F.col(type_col).alias("_t"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    folded = per.groupBy("_u").agg(
+        F.sum("_c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.col("_c").cast("double"))),
+            F.lit(0.0),
+            lambda acc, c: acc + c * F.log(c),
+        ).alias("_clc"),
+    )
+    return (
+        folded.filter(F.col("n_events") >= min_events)
+        .select(
+            F.col("_u").alias(user_col),
+            "n_events",
+            "n_types",
+            F.round(
+                F.log(F.col("n_events").cast("double"))
+                - F.col("_clc") / F.col("n_events").cast("double"),
+                decimals,
+            ).alias("entropy"),
+        )
+    )

@@ -874,3 +874,137 @@ def ohlc_candles(
         )
         .withColumnRenamed("_g", group_col)
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ts_col: str,
+    id_col: str,
+    lag: int = 1,
+    cents: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """EXACT lag-``lag`` autocorrelation per group — "does the series
+    remember itself": ACF_l = Σ(x_t−μ)(x_{t−l}−μ) / Σ(x_t−μ)², the
+    detector behind seasonality checks and residual whiteness audits.
+    Exactness contract (the q222/q225 class): values quantize to
+    ``cents``; with P = Σ x_t·x_{t−l} over the c valid pairs,
+    A = Σ x_t, B = Σ x_{t−l} over those pairs, S/Q/n the plain sums,
+    both sides of the ratio clear denominators exactly —
+    n²·num = n²P − nS·B − nS·A + cS², n·den·n = n²Q − nS² — ALL
+    integers in DECIMAL(38,0), so the single double division at the
+    end replays bit-for-bit on any engine. One lag() window per group
+    (per-task state = one group), one aggregate.
+
+    Returns (group_col, n, n_pairs, acf) — acf NULL for degenerate
+    groups (n <= lag or zero variance).
+    """
+    if lag < 1:
+        raise ValueError(f"autocorrelation: lag must be >= 1: {lag}")
+    dec = "decimal(38,0)"
+    scale = 10 ** cents
+    x = F.round(F.col(value_col).cast("double") * F.lit(scale)).cast("long")
+    w = Window.partitionBy("_g").orderBy("_ts", "_id")
+    base = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_id"),
+            x.alias("_x"),
+        )
+        .withColumn("_xl", F.lag("_x", lag).over(w))
+    )
+    xd = F.col("_x").cast(dec)
+    xld = F.col("_xl").cast(dec)
+    has = F.col("_xl").isNotNull()
+    agg = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum("_x").cast(dec).alias("_s"),
+        F.sum(xd * xd).alias("_q"),
+        F.sum(F.when(has, xd * xld)).alias("_p"),
+        F.sum(F.when(has, xd)).alias("_a"),
+        F.sum(F.when(has, xld)).alias("_b"),
+        F.sum(F.when(has, 1).otherwise(0)).cast(dec).alias("_c"),
+    )
+    n, s = F.col("_n"), F.col("_s")
+    num = (
+        n * n * F.col("_p")
+        - n * s * F.col("_b")
+        - n * s * F.col("_a")
+        + F.col("_c") * s * s
+    )
+    den = n * n * F.col("_q") - n * s * s
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n"),
+        F.coalesce(F.col("_c"), F.lit(0).cast(dec))
+        .cast("long")
+        .alias("n_pairs"),
+        F.round(
+            num.cast("double")
+            / F.nullif(den.cast("double"), F.lit(0.0)),
+            decimals,
+        ).alias("acf"),
+    )
+
+
+def heartbeat_gaps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    decimals: int = 6,
+) -> DataFrame:
+    """Heartbeat / liveness gap report per key — "where did the feed
+    go quiet": consecutive-event gaps exceeding ``gap_seconds`` are
+    outages; per key the report counts them and sizes the worst and
+    the total silence. ONE lead() window per key (per-task state =
+    one key's timeline) + one aggregate; integer microsecond
+    arithmetic throughout, so every duration is exact.
+
+    Returns (key_col, n_events, n_gaps, max_gap_sec, downtime_sec,
+    uptime_frac): uptime_frac = 1 − downtime/span (NULL for
+    single-event keys with zero span).
+    """
+    if gap_seconds < 1:
+        raise ValueError(f"gap_seconds must be >= 1: {gap_seconds}")
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy("_k").orderBy("_us")
+    base = (
+        df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(key_col).alias("_k"), us.alias("_us"))
+        .withColumn("_next", F.lead("_us").over(w))
+    )
+    d = F.col("_next") - F.col("_us")
+    thr = gap_seconds * 1_000_000
+    agg = base.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(d > thr, 1).otherwise(0)
+        ).cast("long").alias("n_gaps"),
+        F.max(F.when(d > thr, d)).alias("_maxg"),
+        F.coalesce(F.sum(F.when(d > thr, d)), F.lit(0)).alias("_down"),
+        (F.max("_us") - F.min("_us")).alias("_span"),
+    )
+    return agg.select(
+        F.col("_k").alias(key_col),
+        "n_events",
+        "n_gaps",
+        F.round(F.col("_maxg") / F.lit(1e6), decimals).alias(
+            "max_gap_sec"
+        ),
+        F.round(F.col("_down") / F.lit(1e6), decimals).alias(
+            "downtime_sec"
+        ),
+        F.round(
+            F.lit(1.0)
+            - F.col("_down")
+            / F.nullif(F.col("_span").cast("double"), F.lit(0.0)),
+            decimals,
+        ).alias("uptime_frac"),
+    )

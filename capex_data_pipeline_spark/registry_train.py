@@ -5494,3 +5494,95 @@ def q237_ks_2samp(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return ks_2samp(ev, "event_type", "value", "view", "purchase")
+
+
+# ---- q238: one-way ANOVA F across groups
+
+
+@query(
+    "q238_anova_oneway",
+    """
+    WITH g AS (
+      SELECT event_type AS g, count(*)::BIGINT AS n,
+             sum(CAST(round(value * 100) AS BIGINT))::HUGEINT AS s,
+             sum(CAST(round(value * 100) AS BIGINT)::HUGEINT
+                 * CAST(round(value * 100) AS BIGINT)) AS q
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    agg AS (
+      SELECT count(*)::BIGINT AS k_groups, sum(n)::BIGINT AS n,
+             sum(s) AS st, sum(q) AS qt,
+             sum(s::DOUBLE * s::DOUBLE / n::DOUBLE) AS a
+      FROM g
+    )
+    SELECT k_groups, n,
+           round(((a - st::DOUBLE * st::DOUBLE / n) / 10000.0)
+                 / nullif(((a - st::DOUBLE * st::DOUBLE / n) / 10000.0)
+                          + ((qt::DOUBLE - a) / 10000.0), 0.0), 6)
+             AS eta_sq,
+           round(CASE WHEN k_groups >= 2 AND n > k_groups THEN
+                   (((a - st::DOUBLE * st::DOUBLE / n) / 10000.0)
+                    / (k_groups - 1.0))
+                   / nullif(((qt::DOUBLE - a) / 10000.0)
+                            / (n::DOUBLE - k_groups), 0.0)
+                 END, 6) AS f_stat
+    FROM agg
+    """,
+)
+def q238_anova_oneway(spark, sf_dir):
+    """One-way ANOVA across event types (analytics.anova_oneway): do
+    the group mean values differ more than within-group noise
+    explains — the k-group generalization of q221's two-arm z. Integer
+    sufficient statistics per group (cents sums as DECIMAL(38,0)),
+    the Σ S_g²/n_g term folded over a group-domain-BOUNDED sorted
+    array for one deterministic double order, F and the scale-free
+    eta² effect size in matched expression order with the oracle.
+    Raw SS values are deliberately not emitted (below double's
+    absolute round-6 resolution at data magnitude)."""
+    from capex_data_pipeline_spark.extensions.analytics import (
+        anova_oneway,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return anova_oneway(ev, "event_type", "value")
+
+
+# ---- q240: behavioral entropy per user
+
+
+@query(
+    "q240_behavior_entropy",
+    """
+    WITH per AS (
+      SELECT user_id AS u, event_type AS t, count(*)::BIGINT AS c
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT u, sum(c)::BIGINT AS n_events, count(*)::BIGINT AS n_types,
+             sum(c::DOUBLE * ln(c::DOUBLE)) AS clc
+      FROM per GROUP BY u
+    )
+    SELECT u AS user_id, n_events, n_types,
+           round(ln(n_events::DOUBLE) - clc / n_events::DOUBLE, 6)
+             AS entropy
+    FROM f
+    """,
+)
+def q240_behavior_entropy(spark, sf_dir):
+    """Per-user behavioral Shannon entropy over the event-type mix
+    (analytics.behavior_entropy) — the bot/outlier feature: one
+    dominant action → ~0, uniform mixing → ln(k). One (user, type)
+    compact-key count + one per-user aggregate; H = ln(n) − Σ c·ln c
+    / n with the float fold over a type-domain-bounded SORTED array
+    (deterministic summation order; the oracle's ≤|event types|-term
+    sum agrees inside the round-6 contract)."""
+    from capex_data_pipeline_spark.extensions.analytics import (
+        behavior_entropy,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return behavior_entropy(ev, "user_id", "event_type")

@@ -1820,3 +1820,95 @@ def q234_ohlc_candles(spark, sf_dir):
         F.col("period_start").cast("date").alias("period_start"),
         "open", "high", "low", "close", "n_obs",
     )
+
+
+# ---- q239: exact lag-1 autocorrelation per group
+
+
+@query(
+    "q239_autocorrelation",
+    """
+    WITH base AS (
+      SELECT event_type AS g,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             lag(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS xl
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    agg AS (
+      SELECT g, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+             sum(x::HUGEINT * x) AS q,
+             sum(CASE WHEN xl IS NOT NULL THEN x::HUGEINT * xl END) AS p,
+             sum(CASE WHEN xl IS NOT NULL THEN x END)::HUGEINT AS a,
+             sum(CASE WHEN xl IS NOT NULL THEN xl END)::HUGEINT AS b,
+             sum(CASE WHEN xl IS NOT NULL THEN 1 ELSE 0 END)::HUGEINT AS c
+      FROM base GROUP BY g
+    )
+    SELECT g AS event_type, n::BIGINT AS n,
+           coalesce(c, 0)::BIGINT AS n_pairs,
+           round((n * n * p - n * s * b - n * s * a + c * s * s)::DOUBLE
+                 / nullif((n * n * q - n * s * s)::DOUBLE, 0.0), 6)
+             AS acf
+    FROM agg
+    """,
+)
+def q239_autocorrelation(spark, sf_dir):
+    """EXACT lag-1 autocorrelation of value per event type
+    (timeseries.autocorrelation) — does the series remember itself:
+    ACF = Σ(x_t−μ)(x_{t−1}−μ)/Σ(x_t−μ)² with both sides cleared of
+    the μ = S/n denominator exactly — n²·num = n²P − nSB − nSA + cS²
+    and n²·den = n²Q − nS², ALL integers in DECIMAL(38,0) (the
+    q222/q225 exactness class) — so the one double division replays
+    bit-for-bit. One lag window per group + one aggregate."""
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        autocorrelation,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return autocorrelation(
+        ev, "event_type", "value", "ts", "event_id", lag=1
+    )
+
+
+# ---- q241: heartbeat / liveness gap report
+
+
+@query(
+    "q241_heartbeat_gaps",
+    """
+    WITH base AS (
+      SELECT user_id AS u, epoch_us(ts) AS us,
+             lead(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS nxt
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT u AS user_id, count(*)::BIGINT AS n_events,
+           sum(CASE WHEN nxt - us > 86400000000 THEN 1 ELSE 0 END)
+             ::BIGINT AS n_gaps,
+           round(max(CASE WHEN nxt - us > 86400000000
+                          THEN nxt - us END) / 1e6, 6) AS max_gap_sec,
+           round(coalesce(sum(CASE WHEN nxt - us > 86400000000
+                                   THEN nxt - us END), 0) / 1e6, 6)
+             AS downtime_sec,
+           round(1.0 - coalesce(sum(CASE WHEN nxt - us > 86400000000
+                                         THEN nxt - us END), 0)
+                       / nullif((max(us) - min(us))::DOUBLE, 0.0), 6)
+             AS uptime_frac
+    FROM base GROUP BY u
+    """,
+)
+def q241_heartbeat_gaps(spark, sf_dir):
+    """Heartbeat / liveness gap report per user
+    (timeseries.heartbeat_gaps): consecutive-event silences longer
+    than 1 day counted and sized (worst gap, total downtime, uptime
+    fraction of the observed span) — the feed-went-quiet audit. One
+    lead window per key + one aggregate, integer microseconds
+    throughout (timestamp ties contribute zero-length gaps whatever
+    their relative order, so the report is deterministic without an
+    id tiebreak)."""
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        heartbeat_gaps,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return heartbeat_gaps(ev, "user_id", "ts", gap_seconds=86400)

@@ -210,3 +210,91 @@ def test_rank_tests_degenerate_cases(spark):
     assert r2["u_stat"] == 0.0
     k2 = ks_2samp(df2, "g", "v", "A", "B").collect()[0]
     assert k2["ks_stat"] == 1.0
+
+
+def test_anova_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.analytics import anova_oneway
+
+    # groups {1,2,3}, {4,5,6}: SSB = 13.5, SSW = 4, F = 13.5/(4/4)=13.5
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 4.0), ("b", 5.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "g", "v").collect()[0]
+    assert (r["k_groups"], r["n"]) == (2, 6)
+    assert abs(r["f_stat"] - 13.5) < 1e-6
+    assert abs(r["eta_sq"] - 13.5 / 17.5) < 1e-6
+    # identical group means: F ~ 0
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)],
+        "g string, v double",
+    )
+    assert anova_oneway(df2, "g", "v").collect()[0]["f_stat"] == 0.0
+
+
+def test_autocorrelation_hand_case(spark):
+    import math
+
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        autocorrelation,
+    )
+
+    xs = [1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0, 2.0, 3.0, 4.0]
+    rows = [("g", i, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, ts long, id long, v double")
+    r = autocorrelation(df, "g", "v", "ts", "id", lag=1).collect()[0]
+    mu = sum(xs) / len(xs)
+    num = sum((xs[i] - mu) * (xs[i - 1] - mu) for i in range(1, len(xs)))
+    den = sum((x - mu) ** 2 for x in xs)
+    assert r["n"] == 10 and r["n_pairs"] == 9
+    assert math.isclose(r["acf"], round(num / den, 6), abs_tol=2e-6)
+    # constant series: zero variance -> NULL
+    dfc = spark.createDataFrame(
+        [("g", i, i, 5.0) for i in range(5)],
+        "g string, ts long, id long, v double",
+    )
+    assert autocorrelation(dfc, "g", "v", "ts", "id").collect()[0][
+        "acf"
+    ] is None
+
+
+def test_behavior_entropy_hand_case(spark):
+    import math
+
+    from capex_data_pipeline_spark.extensions.analytics import (
+        behavior_entropy,
+    )
+
+    rows = [(1, "a")] * 4 + [(1, "b")] * 4 + [(2, "a")] * 5
+    df = spark.createDataFrame(rows, "u long, t string")
+    out = {r["u"]: r for r in behavior_entropy(df, "u", "t").collect()}
+    assert math.isclose(out[1]["entropy"], round(math.log(2), 6),
+                        abs_tol=1e-6)
+    assert out[1]["n_types"] == 2
+    assert out[2]["entropy"] == 0.0  # single action: zero entropy
+
+
+def test_heartbeat_gaps_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        heartbeat_gaps,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0),
+        (1, t0 + datetime.timedelta(seconds=10)),
+        (1, t0 + datetime.timedelta(seconds=310)),   # 300s gap
+        (1, t0 + datetime.timedelta(seconds=1000)),  # 690s gap
+        (2, t0),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    out = {
+        r["u"]: r
+        for r in heartbeat_gaps(df, "u", "ts", gap_seconds=60).collect()
+    }
+    assert out[1]["n_gaps"] == 2
+    assert out[1]["max_gap_sec"] == 690.0
+    assert out[1]["downtime_sec"] == 990.0
+    assert abs(out[1]["uptime_frac"] - (1 - 990 / 1000)) < 1e-9
+    # single event: no gaps, NULL uptime (zero span)
+    assert out[2]["n_gaps"] == 0
+    assert out[2]["uptime_frac"] is None
