@@ -332,6 +332,9 @@ HEADLINE = [
     "q239_autocorrelation",
     "q240_behavior_entropy",
     "q241_heartbeat_gaps",
+    "q242_modularity",
+    "q243_interpolated_asof",
+    "q244_stratified_split_exact",
 ]
 
 

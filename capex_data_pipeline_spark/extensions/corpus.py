@@ -2885,3 +2885,93 @@ def dedup_adjusted_size(
             ).alias("dup_ratio"),
         )
     )
+
+
+def stratified_split_exact(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    weights: "dict[str, int] | None" = None,
+    seed: str = "sp",
+) -> DataFrame:
+    """Stratified train/val/test split with EXACT per-stratum counts —
+    what :func:`stratified_hash_sample`'s independent Bernoulli
+    decisions cannot give: every stratum's split sizes hit the
+    largest-remainder (Hamilton) allocation of its row count over the
+    integer ``weights`` EXACTLY (allocations sum to n per stratum, no
+    binomial jitter), while membership stays deterministic — rows
+    rank within their stratum by the md5 sampling hash (ties by key)
+    and the rank cuts at the allocated thresholds. Adding a row moves
+    at most the boundary rows of its own stratum.
+
+    Scale shape: ONE stratum-partitioned rank window (never global),
+    plus a strata-domain-sized driver walk for the allocation (the
+    q195 largest-remainder machinery — strata are a report dimension,
+    bounded; a loud guard refuses > 100k strata) broadcast back as
+    thresholds. Tie-break for the leftover units: (remainder DESC,
+    split name ASC) — replayed verbatim by the oracle.
+
+    Returns (key_col, stratum_col, split). NULL strata form their own
+    stratum (kept, not dropped).
+    """
+    from pyspark.sql.window import Window
+
+    weights = weights or {"train": 8, "val": 1, "test": 1}
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError(
+            f"stratified_split_exact: weights must be positive: {weights}"
+        )
+    # cumulative cut order = the dict's insertion order, so
+    # {'train': 8, 'val': 1, 'test': 1} cuts train first — a
+    # caller-meaningful, deterministic order
+    order = list(weights)
+    total_w = sum(weights.values())
+    counts = (
+        df.groupBy(F.col(stratum_col).alias("_s"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    if len(counts) > 100_000:
+        raise ValueError(
+            f"stratified_split_exact: {len(counts)} strata exceeds the "
+            "100k driver-walk bound — stratify on a coarser dimension"
+        )
+    rows = []
+    for r in counts:
+        n = int(r["_n"])
+        base = {sp: n * w // total_w for sp, w in weights.items()}
+        rem = {sp: n * w % total_w for sp, w in weights.items()}
+        leftover = n - sum(base.values())
+        for sp in sorted(weights, key=lambda k: (-rem[k], k))[:leftover]:
+            base[sp] += 1
+        cums, cum = [], 0
+        for sp in order:
+            cum += base[sp]
+            cums.append(cum)
+        rows.append((r["_s"], *cums))
+    spark = df.sparkSession
+    thr = spark.createDataFrame(
+        rows,
+        ", ".join(
+            ["_s " + dict(df.dtypes)[stratum_col]]
+            + [f"_c{i} long" for i in range(len(order))]
+        ),
+    )
+    h = hash_u32(F.col(key_col), seed)
+    w = Window.partitionBy("_s").orderBy(h.asc(), F.col(key_col).asc())
+    ranked = df.select(
+        F.col(key_col), F.col(stratum_col).alias("_s")
+    ).withColumn("_rk", F.row_number().over(w))
+    split = None
+    for i, sp in enumerate(order):
+        cond = F.col("_rk") <= F.col(f"_c{i}")
+        split = (
+            F.when(cond, F.lit(sp))
+            if split is None
+            else split.when(cond, F.lit(sp))
+        )
+    return ranked.join(thr, ranked["_s"].eqNullSafe(thr["_s"])).select(
+        F.col(key_col),
+        ranked["_s"].alias(stratum_col),
+        split.alias("split"),
+    )

@@ -778,3 +778,79 @@ def sssp_bounded(
         ).select("vertex", "dist")
         dist = merged
     return dist
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    decimals: int = 6,
+) -> DataFrame:
+    """Newman modularity Q of a vertex partition — "is this community
+    structure better than random": Q = Σ_c [e_c/m − (d_c/2m)²], the
+    number that scores a clustering (q114's components, a label-
+    propagation run, an external partition) against the configuration
+    model. The per-community sum collapses algebraically to TWO
+    integer aggregates — E_int (edges whose endpoints share a label)
+    and D = Σ_c d_c² (community degree sums squared, DECIMAL(38,0))
+    — so Q = E_int/m − D/(4m²) is a ratio of exactly-known integers:
+    no per-community frame ever leaves the engine, and the two label
+    lookups are plain key joins (bucket or broadcast the labeling as
+    its size dictates).
+
+    ``edges`` are canonical undirected (a < b, deduped); ``labels``
+    is (vertex, component). Returns ONE row: (n_vertices,
+    n_communities, m_edges, e_intra, modularity); NULL modularity on
+    an empty edge set.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+    )
+    lab = labels.select(
+        F.col("vertex").alias("_v"), F.col("component").alias("_c")
+    )
+    tagged = (
+        e.join(lab.withColumnRenamed("_v", "_a").withColumnRenamed("_c", "_ca"), "_a")
+        .join(lab.withColumnRenamed("_v", "_b").withColumnRenamed("_c", "_cb"), "_b")
+    )
+    eint = tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("m_edges"),
+        F.sum(
+            F.when(F.col("_ca") == F.col("_cb"), 1).otherwise(0)
+        ).cast("long").alias("e_intra"),
+    )
+    deg = (
+        e.select(F.col("_a").alias("_v"))
+        .unionByName(e.select(F.col("_b").alias("_v")))
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    )
+    dec = "decimal(38,0)"
+    dc = (
+        deg.join(lab, "_v")
+        .groupBy("_c")
+        .agg(F.sum("_d").cast(dec).alias("_dc"))
+    )
+    dsq = dc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum(F.col("_dc") * F.col("_dc")).alias("_dsq"),
+    )
+    nv = lab.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    m = F.col("m_edges").cast("double")
+    return (
+        nv.crossJoin(F.broadcast(dsq))
+        .crossJoin(F.broadcast(eint))
+        .select(
+            "n_vertices",
+            "n_communities",
+            "m_edges",
+            "e_intra",
+            F.round(
+                F.col("e_intra") / F.nullif(m, F.lit(0.0))
+                - F.col("_dsq").cast("double")
+                / F.nullif(F.lit(4.0) * m * m, F.lit(0.0)),
+                decimals,
+            ).alias("modularity"),
+        )
+    )

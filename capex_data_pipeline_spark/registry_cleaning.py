@@ -1486,3 +1486,79 @@ def q235_fk_integrity(spark, sf_dir):
              t["nation"], "n_nationkey"),
         ]
     )
+
+
+# ---- q243: interpolated as-of join (linear between bracketing ticks)
+
+
+@query(
+    "q243_interpolated_asof",
+    """
+    WITH r AS (
+      SELECT user_id AS uk, epoch_us(ts) AS t, 0 AS side,
+             CAST(round(value * 100) AS BIGINT) AS rv,
+             epoch_us(ts) AS rt, NULL::BIGINT AS eid
+      FROM events WHERE event_type = 'view' AND value IS NOT NULL
+    ),
+    l AS (
+      SELECT user_id AS uk, epoch_us(ts) AS t, 1 AS side,
+             NULL::BIGINT AS rv, NULL::BIGINT AS rt, event_id AS eid
+      FROM events WHERE event_type = 'purchase'
+    ),
+    u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+    c AS (
+      SELECT *,
+             last_value(rv IGNORE NULLS) OVER
+               (PARTITION BY uk ORDER BY t ASC, side ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bv,
+             last_value(rt IGNORE NULLS) OVER
+               (PARTITION BY uk ORDER BY t ASC, side ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bt,
+             last_value(rv IGNORE NULLS) OVER
+               (PARTITION BY uk ORDER BY t DESC, side ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv,
+             last_value(rt IGNORE NULLS) OVER
+               (PARTITION BY uk ORDER BY t DESC, side ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ft
+      FROM u
+    )
+    SELECT uk AS user_id, eid AS event_id,
+           round(CASE
+                   WHEN bt IS NOT NULL AND ft IS NOT NULL THEN
+                     CASE WHEN ft = bt THEN bv::DOUBLE
+                          ELSE bv::DOUBLE + (fv::DOUBLE - bv::DOUBLE)
+                               * (t::DOUBLE - bt::DOUBLE)
+                               / (ft::DOUBLE - bt::DOUBLE) END
+                   WHEN bt IS NOT NULL THEN bv::DOUBLE
+                   WHEN ft IS NOT NULL THEN fv::DOUBLE
+                 END / 100.0, 6) AS value_interp,
+           bt AS t_prev_us, ft AS t_next_us
+    FROM c WHERE side = 1
+    """,
+)
+def q243_interpolated_asof(spark, sf_dir):
+    """As-of join with linear interpolation (asof.interpolated_asof):
+    each purchase gets the user's 'view' value AT its instant,
+    interpolated between the bracketing view observations (one-sided
+    probes hold the available anchor; exact-time anchors win
+    backward). Same no-join shape as q74/q192: ONE union of the
+    tagged streams, one exchange, both direction scans as windows
+    over the interleaved per-user timeline. Cents values + integer
+    microseconds make the single double interpolation expression
+    replay identically — the oracle runs the same two-directional
+    IGNORE NULLS window carry."""
+    from capex_data_pipeline_spark.extensions.asof import (
+        interpolated_asof,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = interpolated_asof(left, right, "user_id", "ts", "value")
+    return out.select(
+        "user_id", "event_id", "value_interp", "t_prev_us", "t_next_us"
+    )

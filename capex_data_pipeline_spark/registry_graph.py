@@ -148,9 +148,11 @@ _CC_ITER = """
 """
 
 
-def _cc_sql() -> str:
+def _cc_ctes() -> "list[str]":
     # AS MATERIALIZED: each round references the previous one twice
-    # (neighbor join + self union) — same CTE-expansion guard as q113
+    # (neighbor join + self union) — same CTE-expansion guard as q113.
+    # Shared by the q114 oracle and the q242 modularity oracle (which
+    # scores this exact labeling).
     ctes = [
         f"e0 AS MATERIALIZED ({_COPURCH})",
         "sym AS MATERIALIZED (SELECT a, b FROM e0"
@@ -161,8 +163,12 @@ def _cc_sql() -> str:
         ctes.append(
             f"l{i} AS MATERIALIZED ({_CC_ITER.format(prev=f'l{i - 1}')})"
         )
+    return ctes
+
+
+def _cc_sql() -> str:
     return f"""
-    WITH {', '.join(ctes)}
+    WITH {', '.join(_cc_ctes())}
     SELECT v AS vertex, lbl AS component FROM l{_CC_ROUNDS}
     ORDER BY vertex
     """
@@ -364,3 +370,59 @@ def q198_cc_persisted_fold(spark, sf_dir):
         spark, "t_state_cc_q198", edges.filter(is_new),
         src_col="a", dst_col="b",
     )
+
+
+# ---- q242: modularity of the connected-components partition
+
+
+def _q242_sql() -> str:
+    return f"""
+    WITH {', '.join(_cc_ctes())},
+    labels AS (SELECT v, lbl FROM l{_CC_ROUNDS}),
+    eint AS (
+      SELECT count(*)::BIGINT AS m_edges,
+             sum(CASE WHEN la.lbl = lb.lbl THEN 1 ELSE 0 END)::BIGINT
+               AS e_intra
+      FROM e0
+      JOIN labels la ON la.v = e0.a
+      JOIN labels lb ON lb.v = e0.b
+    ),
+    deg AS (SELECT a AS v, count(*)::BIGINT AS d FROM sym GROUP BY a),
+    dc AS (
+      SELECT l.lbl, sum(deg.d)::HUGEINT AS dc
+      FROM deg JOIN labels l ON l.v = deg.v GROUP BY l.lbl
+    )
+    SELECT (SELECT count(*) FROM labels)::BIGINT AS n_vertices,
+           (SELECT count(*) FROM dc)::BIGINT AS n_communities,
+           eint.m_edges, eint.e_intra,
+           round(eint.e_intra / nullif(eint.m_edges::DOUBLE, 0.0)
+                 - (SELECT sum(dc * dc) FROM dc)::DOUBLE
+                   / nullif(4.0 * eint.m_edges::DOUBLE
+                            * eint.m_edges::DOUBLE, 0.0), 6)
+             AS modularity
+    FROM eint
+    """
+
+
+@query("q242_modularity", _q242_sql())
+def q242_modularity(spark, sf_dir):
+    """Newman modularity of the q114 connected-components partition
+    over the co-purchase graph (graph.modularity): Q = Σ_c [e_c/m −
+    (d_c/2m)²], collapsed algebraically to TWO integer aggregates —
+    intra-community edge count and Σ_c d_c² (DECIMAL(38,0)) — so Q is
+    a ratio of exactly-known integers and no per-community frame
+    leaves the engine. Scores the clustering the dedup/link-analysis
+    family produces against the configuration model. The oracle
+    replays the full 12-round CC unroll (shared with q114's oracle)
+    plus the two aggregates."""
+    from capex_data_pipeline_spark.extensions.graph import (
+        connected_components,
+        modularity,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    labels = connected_components(
+        edges, rounds=_CC_ROUNDS, src_col="a", dst_col="b",
+        assume_canonical=True,
+    )
+    return modularity(edges, labels, src_col="a", dst_col="b")

@@ -5586,3 +5586,67 @@ def q240_behavior_entropy(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return behavior_entropy(ev, "user_id", "event_type")
+
+
+# ---- q244: stratified exact largest-remainder split
+
+
+@query(
+    "q244_stratified_split_exact",
+    """
+    WITH n AS (
+      SELECT source AS s, count(*)::BIGINT AS n FROM documents GROUP BY 1
+    ),
+    sp AS (
+      SELECT * FROM (VALUES ('train', 8, 1), ('val', 1, 2),
+                            ('test', 1, 3)) t(split, w, ord)
+    ),
+    q AS (
+      SELECT n.s, n.n, sp.split, sp.w, sp.ord,
+             (n.n * sp.w) // 10 AS base, (n.n * sp.w) % 10 AS rem,
+             sum((n.n * sp.w) // 10) OVER (PARTITION BY n.s) AS sb
+      FROM n CROSS JOIN sp
+    ),
+    a AS (
+      SELECT s, split, ord,
+             base + CASE WHEN row_number() OVER
+                           (PARTITION BY s ORDER BY rem DESC, split ASC)
+                         <= n - sb THEN 1 ELSE 0 END AS alloc
+      FROM q
+    ),
+    c AS (
+      SELECT s, split, ord,
+             sum(alloc) OVER (PARTITION BY s ORDER BY ord) AS cum
+      FROM a
+    ),
+    docs AS (
+      SELECT doc_id, source AS s,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5('sp|'
+                             || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT), doc_id) AS rk
+      FROM documents
+    )
+    SELECT d.doc_id, d.s AS source, arg_min(c.split, c.ord) AS split
+    FROM docs d JOIN c ON c.s = d.s AND d.rk <= c.cum
+    GROUP BY 1, 2
+    """,
+)
+def q244_stratified_split_exact(spark, sf_dir):
+    """Stratified train/val/test split with EXACT per-stratum counts
+    (corpus.stratified_split_exact): each source's rows split 8/1/1
+    by largest remainder — allocations sum to n exactly, none of
+    q45's Bernoulli jitter — with membership decided by the md5
+    sampling-hash rank inside the stratum (deterministic,
+    partitioning-independent; adding a row moves only its own
+    stratum's boundary). One stratum-partitioned rank window + a
+    strata-domain driver walk for the Hamilton allocation (the q195
+    machinery), leftover tie-break (remainder DESC, split ASC)
+    replayed verbatim by the oracle."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        stratified_split_exact,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_split_exact(docs, "source", "doc_id")

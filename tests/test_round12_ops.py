@@ -298,3 +298,92 @@ def test_heartbeat_gaps_hand_case(spark):
     # single event: no gaps, NULL uptime (zero span)
     assert out[2]["n_gaps"] == 0
     assert out[2]["uptime_frac"] is None
+
+
+def test_modularity_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.graph import modularity
+
+    # two triangles joined by one bridge: the classic 2-community case
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(v, 1 if v <= 3 else 4) for v in range(1, 7)],
+        "vertex long, component long",
+    )
+    r = modularity(edges, labels).collect()[0]
+    # m=7, e_intra=6, d_c = 7 each: Q = 6/7 - 2*49/(4*49) = 6/7 - 1/2
+    assert (r["n_vertices"], r["n_communities"], r["m_edges"]) == (6, 2, 7)
+    assert r["e_intra"] == 6
+    assert abs(r["modularity"] - (6 / 7 - 0.5)) < 1e-6
+    # everything in ONE community: Q = 1 - 1 = 0 exactly
+    one = spark.createDataFrame(
+        [(v, 1) for v in range(1, 7)], "vertex long, component long"
+    )
+    assert modularity(edges, one).collect()[0]["modularity"] == 0.0
+
+
+def test_interpolated_asof_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.asof import interpolated_asof
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    right = spark.createDataFrame(
+        [(1, at(0), 10.0), (1, at(100), 30.0), (2, at(50), 7.0)],
+        "u long, ts timestamp, value double",
+    )
+    left = spark.createDataFrame(
+        [
+            (1, 100, at(25)),   # between anchors: 10 + 20*0.25 = 15
+            (1, 101, at(100)),  # exact hit: 30
+            (1, 102, at(200)),  # after last: hold 30
+            (2, 103, at(10)),   # before first: hold 7
+            (3, 104, at(10)),   # no anchors: NULL
+        ],
+        "u long, eid long, ts timestamp",
+    )
+    out = {
+        r["eid"]: r["value_interp"]
+        for r in interpolated_asof(left, right, "u", "ts", "value").collect()
+    }
+    assert out[100] == 15.0
+    assert out[101] == 30.0
+    assert out[102] == 30.0
+    assert out[103] == 7.0
+    assert out[104] is None
+
+
+def test_stratified_split_exact_counts(spark):
+    from capex_data_pipeline_spark.extensions.corpus import (
+        stratified_split_exact,
+    )
+
+    rows = [(i, "a" if i < 57 else "b") for i in range(57 + 23)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    out = stratified_split_exact(df, "s", "k").collect()
+    by = {}
+    for r in out:
+        by.setdefault((r["s"], r["split"]), 0)
+        by[(r["s"], r["split"])] += 1
+    # 57 -> quotas 45.6/5.7/5.7 -> base 45/5/5, leftover 2 to the two
+    # highest remainders (.7/.7 tie -> test before val alphabetically,
+    # but train .6 < .7 loses): test+1, val+1
+    assert by[("a", "train")] == 45
+    assert by[("a", "val")] == 6
+    assert by[("a", "test")] == 6
+    # 23 -> 18.4/2.3/2.3 -> base 18/2/2, leftover 1 -> highest rem .4 train
+    assert by[("b", "train")] == 19
+    assert by[("b", "val")] == 2
+    assert by[("b", "test")] == 2
+    assert sum(by.values()) == 80
+    # determinism: re-running yields the identical assignment
+    again = {
+        (r["k"]): r["split"]
+        for r in stratified_split_exact(df, "s", "k").collect()
+    }
+    first = {r["k"]: r["split"] for r in out}
+    assert first == again
