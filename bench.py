@@ -335,6 +335,8 @@ HEADLINE = [
     "q242_modularity",
     "q243_interpolated_asof",
     "q244_stratified_split_exact",
+    "q245_personalized_pagerank",
+    "q246_proximity_search",
 ]
 
 

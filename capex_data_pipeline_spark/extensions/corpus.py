@@ -2975,3 +2975,91 @@ def stratified_split_exact(
         ranked["_s"].alias(stratum_col),
         split.alias("split"),
     )
+
+
+def proximity_match_counts(
+    df: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Proximity search — documents where ``term_a`` and ``term_b``
+    occur within ``window`` token positions (the NEAR/k operator of
+    every retrieval engine; q131's phrase search is the window=1,
+    ordered special case). Scale shape mirrors q131: MAP-ONLY, two
+    tiers — a native space-padded containment prefilter keeps the
+    corpus-wide pass in whole-stage codegen, then the positional
+    higher-order functions (per-term position lists × the pair
+    window probe) run only on documents containing BOTH terms; the
+    per-doc pair work is bounded by in-document term frequencies. No
+    posexplode, no postings shuffle, no join.
+
+    Returns (id_col, n_pairs, min_dist) for documents with at least
+    one qualifying pair; min_dist is the closest |pos_a − pos_b|.
+    """
+    if not term_a or not term_b or term_a == term_b:
+        raise ValueError(
+            f"proximity_match_counts: need two distinct non-empty "
+            f"terms, got {term_a!r}, {term_b!r}"
+        )
+    if window < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    cand = df.select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("_nt")
+    ).filter(
+        F.concat(F.lit(" "), F.col("_nt"), F.lit(" ")).contains(
+            f" {term_a} "
+        )
+        & F.concat(F.lit(" "), F.col("_nt"), F.lit(" ")).contains(
+            f" {term_b} "
+        )
+    )
+    words = F.filter(F.split(F.col("_nt"), " "), lambda w: w != "")
+
+    def _positions(term: str) -> Column:
+        return F.filter(
+            F.sequence(F.lit(1), F.size("_ws")),
+            lambda i: F.element_at("_ws", i) == F.lit(term),
+        )
+
+    pos = (
+        cand.select(F.col(id_col), words.alias("_ws"))
+        .filter(F.size("_ws") > 0)
+        .select(
+            F.col(id_col),
+            _positions(term_a).alias("_pa"),
+            _positions(term_b).alias("_pb"),
+        )
+    )
+    n_pairs = F.aggregate(
+        F.col("_pa"),
+        F.lit(0),
+        lambda acc, p: acc
+        + F.size(
+            F.filter(
+                F.col("_pb"), lambda q: F.abs(q - p) <= F.lit(window)
+            )
+        ),
+    )
+    # the doc qualifies only when >= 1 pair is inside the window, so
+    # the unfiltered all-pairs min IS the min qualifying distance
+    min_dist = F.array_min(
+        F.transform(
+            F.col("_pa"),
+            lambda p: F.array_min(
+                F.transform(F.col("_pb"), lambda q: F.abs(p - q))
+            ),
+        )
+    )
+    return (
+        pos.select(
+            F.col(id_col),
+            n_pairs.cast("long").alias("n_pairs"),
+            min_dist.cast("long").alias("min_dist"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )

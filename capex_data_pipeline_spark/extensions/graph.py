@@ -854,3 +854,93 @@ def modularity(
             ).alias("modularity"),
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: "list",
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    plan_boundary: bool | str | None = None,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Personalized PageRank in exact integer micro-units — relevance
+    FROM a seed set's point of view (related-item discovery, trust
+    propagation, seed-expansion curation), the restart-vector variant
+    of :func:`pagerank`: teleport mass returns to the SEEDS, not
+    everywhere —
+
+    ``r'(v) = 0.15·[v ∈ S]·1e6 + 0.85 · Σ_{u→v} (r(u) div deg(u))``
+
+    with ``r0 = 1e6`` on seeds, 0 elsewhere. Same BIGINT/floor-
+    division exactness contract (bit-identical across engines and
+    partitionings), same per-round shape (one src equi-join + one dst
+    aggregate over the persisted degree-annotated edge list), same
+    plan-boundary policy. Vertices unreachable from the seeds hold
+    rank 0 — the personalization, visible by construction.
+
+    Returns (vertex, rank_micro).
+    """
+    from pyspark.sql.window import Window
+
+    from capex_data_pipeline_spark.cache import persisted
+    from capex_data_pipeline_spark.cache import plan_boundary as _boundary
+
+    if iterations < 1:
+        raise ValueError("personalized_pagerank: iterations must be >= 1")
+    if not seeds:
+        raise ValueError("personalized_pagerank: seeds must be non-empty")
+    if plan_boundary is None:
+        plan_boundary = iterations > 4
+    boundary_mode = plan_boundary if isinstance(plan_boundary, str) else None
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if not assume_distinct:
+        e = e.distinct()
+    edeg = persisted(
+        e.withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+    )
+    verts = persisted(
+        edeg.select(F.col("src").alias("v"))
+        .unionByName(edeg.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    is_seed = F.col("v").isin(list(seeds))
+    base = (RANK_SCALE * 15) // 100
+    seed_base = F.when(is_seed, F.lit(base)).otherwise(F.lit(0)).cast(
+        "long"
+    )
+    ranks = verts.select(
+        "v",
+        F.when(is_seed, F.lit(RANK_SCALE))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
+    for _ in range(iterations):
+        contribs = (
+            edeg.join(ranks, edeg["src"] == ranks["v"])
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = verts.join(
+            contribs, verts["v"] == contribs["dst"], "left"
+        ).select(
+            "v",
+            (
+                seed_base + F.expr("850 * coalesce(s, 0L) div 1000")
+            ).alias("r"),
+        )
+        if plan_boundary:
+            ranks = _boundary(
+                ranks, mode=boundary_mode, eager=False, label="ppr"
+            )
+    return ranks.select(
+        F.col("v").alias("vertex"), F.col("r").alias("rank_micro")
+    )

@@ -1069,3 +1069,79 @@ def q215_centroid_drift(spark, sf_dir):
         "label",
         "embedding",
     )
+
+
+# ------------------------- q245: personalized PageRank (seed restart)
+
+#: one PPR round in DuckDB SQL — teleport mass returns to SEEDS only
+_PPR_ITER = """
+  SELECT verts.v AS v,
+         CAST(CASE WHEN verts.v IN ({seeds}) THEN 150000 ELSE 0 END
+              + (850 * coalesce(sum(c.contrib), 0)) // 1000
+              AS BIGINT) AS r
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS dst, r.r // d.deg AS contrib
+    FROM edges e JOIN {prev} r ON e.src = r.v JOIN deg d ON e.src = d.src
+  ) c ON c.dst = verts.v
+  GROUP BY verts.v
+"""
+
+_PPR_SEEDS = ("c1", "c2", "c3")
+_PPR_SEEDS_SQL = ", ".join(f"'{s}'" for s in _PPR_SEEDS)
+
+
+@query(
+    "q245_personalized_pagerank",
+    f"""
+    WITH dir AS (
+      SELECT DISTINCT 'c' || o.o_custkey AS a, 's' || l.l_suppkey AS b
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM dir
+      UNION
+      SELECT b AS src, a AS dst FROM dir
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    verts AS (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges),
+    r0 AS (
+      SELECT v, CAST(CASE WHEN v IN ({_PPR_SEEDS_SQL})
+                          THEN 1000000 ELSE 0 END AS BIGINT) AS r
+      FROM verts
+    ),
+    i1 AS ({_PPR_ITER.format(prev='r0', seeds=_PPR_SEEDS_SQL)}),
+    i2 AS ({_PPR_ITER.format(prev='i1', seeds=_PPR_SEEDS_SQL)}),
+    i3 AS ({_PPR_ITER.format(prev='i2', seeds=_PPR_SEEDS_SQL)})
+    SELECT v AS vertex, r AS rank_micro FROM i3
+    """,
+)
+def q245_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank from a 3-customer seed set over the
+    customer↔supplier trade graph (graph.personalized_pagerank) —
+    relevance from the seeds' point of view: teleport mass restarts
+    at the SEEDS only, so rank flows outward along trade edges and
+    unreachable vertices hold exact 0. Same BIGINT micro-unit /
+    floor-division exactness as q99 (bit-identical across engines);
+    the oracle unrolls all 3 rounds with the seeded restart term."""
+    from capex_data_pipeline_spark.extensions.graph import (
+        personalized_pagerank,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dir_ = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = dir_.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        dir_.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return personalized_pagerank(
+        edges, list(_PPR_SEEDS), iterations=3, assume_distinct=True
+    )

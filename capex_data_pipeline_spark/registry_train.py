@@ -5650,3 +5650,50 @@ def q244_stratified_split_exact(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return stratified_split_exact(docs, "source", "doc_id")
+
+
+# ---- q246: proximity (NEAR/k) search
+
+
+@query(
+    "q246_proximity_search",
+    f"""
+    WITH toks AS (SELECT doc_id, {_WORDS_TR} AS ws FROM documents),
+    pos AS (
+      SELECT doc_id,
+             list_filter(range(1, len(ws) + 1),
+                         i -> ws[i] = 'table') AS pa,
+             list_filter(range(1, len(ws) + 1),
+                         i -> ws[i] = 'row') AS pb
+      FROM toks
+    ),
+    scored AS (
+      SELECT doc_id,
+             coalesce(CAST(list_sum(list_transform(pa,
+               p -> len(list_filter(pb, q -> abs(q - p) <= 5))))
+               AS BIGINT), 0) AS n_pairs,
+             CAST(list_min(list_transform(pa,
+               p -> list_min(list_transform(pb, q -> abs(p - q)))))
+               AS BIGINT) AS min_dist
+      FROM pos WHERE len(pa) > 0 AND len(pb) > 0
+    )
+    SELECT doc_id, n_pairs, min_dist FROM scored WHERE n_pairs > 0
+    """,
+)
+def q246_proximity_search(spark, sf_dir):
+    """Proximity search NEAR/5 for ('table', 'row')
+    (corpus.proximity_match_counts): documents where the terms occur
+    within 5 token positions, with the qualifying pair count and the
+    closest distance — the NEAR operator of retrieval engines; q131's
+    phrase search is the ordered window=1 special case. MAP-ONLY like
+    q131: native containment prefilter keeps the corpus pass in
+    codegen; the positional higher-order pair probe runs only on
+    both-term documents. The oracle replays tokenization, position
+    lists, and the pair window arithmetic."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        proximity_match_counts,
+    )
+
+    return proximity_match_counts(
+        _t(spark, sf_dir, "documents"), "table", "row", window=5
+    )

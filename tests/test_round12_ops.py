@@ -387,3 +387,75 @@ def test_stratified_split_exact_counts(spark):
     }
     first = {r["k"]: r["split"] for r in out}
     assert first == again
+
+
+def test_personalized_pagerank_hand_properties(spark):
+    from capex_data_pipeline_spark.extensions.graph import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    # path graph 1-2-3-4 plus isolated pair 5-6 (both directions)
+    und = [(1, 2), (2, 3), (3, 4), (5, 6)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    ppr = {
+        r["vertex"]: r["rank_micro"]
+        for r in personalized_pagerank(
+            edges, [1], iterations=3, assume_distinct=True
+        ).collect()
+    }
+    # unreachable component holds EXACT zero; the reachable ranks are
+    # the hand-unrolled 3-round integer values (mass oscillates along
+    # the path at low round counts — 4 briefly outranking 3 is real)
+    assert ppr[5] == 0 and ppr[6] == 0
+    assert ppr == {
+        1: 204187, 2: 588093, 3: 54187, 4: 153531, 5: 0, 6: 0
+    }
+    # uniform-seed PPR over ALL vertices == plain pagerank? no — r0
+    # differs (pagerank starts everyone at 1e6); instead pin the
+    # round-1 hand value: r1(2) = 0 + 850*(1e6 div 1)... seed 1 has
+    # deg 1 so contrib to 2 is 1e6 -> r1(2) = 850000
+    one = {
+        r["vertex"]: r["rank_micro"]
+        for r in personalized_pagerank(
+            edges, [1], iterations=1, assume_distinct=True
+        ).collect()
+    }
+    assert one[1] == 150000
+    assert one[2] == 850000
+    assert one[3] == 0
+    # plain pagerank still reachable for contrast (same machinery)
+    pr = {
+        r["vertex"]: r["rank_micro"]
+        for r in pagerank(edges, iterations=1, assume_distinct=True).collect()
+    }
+    assert pr[5] > 0  # plain PR gives everyone base mass
+
+
+def test_proximity_match_counts_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.corpus import (
+        proximity_match_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta target"),   # dist 4 from alpha
+            (2, "alpha x x x x x x target"),        # dist 7: too far
+            (3, "target alpha target"),             # two pairs, dist 1
+            (4, "alpha only here"),                 # missing target
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_pairs"], r["min_dist"])
+        for r in proximity_match_counts(
+            docs, "alpha", "target", window=4
+        ).collect()
+    }
+    assert out[1] == (1, 4)
+    assert 2 not in out
+    assert out[3] == (2, 1)
+    assert 4 not in out and 5 not in out
