@@ -337,6 +337,7 @@ HEADLINE = [
     "q244_stratified_split_exact",
     "q245_personalized_pagerank",
     "q246_proximity_search",
+    "q247_seasonal_anomaly",
 ]
 
 

@@ -1008,3 +1008,76 @@ def heartbeat_gaps(
             decimals,
         ).alias("uptime_frac"),
     )
+
+
+def seasonal_anomaly_report(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Seasonal (day-of-week) anomaly report over daily event counts —
+    "is today's volume weird FOR A TUESDAY": each (group, day)'s
+    count compares to the exact median of its group's same-weekday
+    days, with a median-absolute-deviation band (robust: one crazy
+    day never drags its own baseline). Integer end-to-end: counts,
+    medians (lower-middle element of the sorted array — unambiguous
+    on any engine, no interpolation), MAD, and the band
+    |x − med| > k·max(MAD, 1) are all exact BIGINT arithmetic.
+
+    Scale shape: daily counts are a (group, day) aggregate; baselines
+    aggregate those counts per (group, weekday) — a DOMAIN-sized
+    frame (groups × 7) whose per-cell sorted array is bounded by the
+    days in the analysis horizon (collect_list is honest here the
+    same way q213's session collect is — physically bounded, and a
+    report over years should window its input upstream); the flag is
+    a broadcast join back. Returns one row per (group, day):
+    (group_col, day, weekday, n, med, mad, is_anomaly).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = (
+        df.filter(F.col(group_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.col(group_col).alias("_g"), day.alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("weekday", F.dayofweek("day"))
+    )
+
+    def _med(arr: Column) -> Column:
+        # lower-middle element: exact, interpolation-free
+        return F.element_at(
+            arr, F.ceil(F.size(arr) / F.lit(2.0)).cast("int")
+        )
+
+    base = daily.groupBy("_g", "weekday").agg(
+        F.array_sort(F.collect_list("n")).alias("_arr")
+    )
+    med = base.select(
+        "_g", "weekday", _med(F.col("_arr")).alias("med"), "_arr"
+    )
+    mad = med.select(
+        "_g",
+        "weekday",
+        "med",
+        _med(
+            F.array_sort(
+                F.transform(
+                    F.col("_arr"),
+                    lambda x: F.abs(x - F.col("med")),
+                )
+            )
+        ).alias("mad"),
+    )
+    return daily.join(F.broadcast(mad), ["_g", "weekday"]).select(
+        F.col("_g").alias(group_col),
+        "day",
+        "weekday",
+        "n",
+        "med",
+        "mad",
+        (
+            F.abs(F.col("n") - F.col("med"))
+            > F.lit(k) * F.greatest(F.col("mad"), F.lit(1))
+        ).alias("is_anomaly"),
+    )

@@ -1912,3 +1912,54 @@ def q241_heartbeat_gaps(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return heartbeat_gaps(ev, "user_id", "ts", gap_seconds=86400)
+
+
+# ---- q247: seasonal (day-of-week) anomaly report
+
+
+@query(
+    "q247_seasonal_anomaly",
+    """
+    WITH daily AS (
+      SELECT event_type AS g,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*)::BIGINT AS n
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    d2 AS (SELECT *, (dayofweek(day) + 1)::INT AS weekday FROM daily),
+    base AS (
+      SELECT g, weekday, list_sort(list(n)) AS arr FROM d2 GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT g, weekday,
+             arr[CAST(ceil(len(arr) / 2.0) AS INT)] AS med, arr
+      FROM base
+    ),
+    mm AS (
+      SELECT g, weekday, med,
+             (list_sort(list_transform(arr, x -> abs(x - med))))
+               [CAST(ceil(len(arr) / 2.0) AS INT)] AS mad
+      FROM m
+    )
+    SELECT d2.g AS event_type, d2.day, d2.weekday, d2.n, mm.med, mm.mad,
+           (abs(d2.n - mm.med) > 3 * greatest(mm.mad, 1)) AS is_anomaly
+    FROM d2 JOIN mm ON mm.g = d2.g AND mm.weekday = d2.weekday
+    """,
+)
+def q247_seasonal_anomaly(spark, sf_dir):
+    """Seasonal day-of-week anomaly report over daily event volumes
+    (timeseries.seasonal_anomaly_report): each (type, day)'s count
+    compares to the EXACT median of its type's same-weekday days with
+    a MAD band — robust "is today weird for a Tuesday" volume
+    monitoring, integer end-to-end (lower-middle medians, no
+    interpolation, so the flag replays exactly). Daily counts are a
+    compact-key aggregate; baselines live on the domain-sized
+    (type × 7) frame with horizon-bounded sorted arrays; the band is
+    a broadcast join back."""
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        seasonal_anomaly_report,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_anomaly_report(ev, "event_type", "ts", k=3)

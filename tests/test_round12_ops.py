@@ -459,3 +459,25 @@ def test_proximity_match_counts_hand_case(spark):
     assert 2 not in out
     assert out[3] == (2, 1)
     assert 4 not in out and 5 not in out
+
+
+def test_seasonal_anomaly_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        seasonal_anomaly_report,
+    )
+
+    # 4 Mondays with counts 10, 10, 11, 40: med=10, |40-10|=30 > 3*1
+    t0 = datetime.datetime(2024, 1, 1, 9)  # a Monday
+    rows = []
+    for w, cnt in enumerate([10, 10, 11, 40]):
+        for i in range(cnt):
+            rows.append(("g", t0 + datetime.timedelta(days=7 * w,
+                                                      seconds=i)))
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = {
+        str(r["day"]): (r["n"], r["med"], r["mad"], r["is_anomaly"])
+        for r in seasonal_anomaly_report(df, "g", "ts").collect()
+    }
+    assert out["2024-01-01"] == (10, 10, 0, False)
+    assert out["2024-01-15"] == (11, 10, 0, False)  # within 3*max(0,1)
+    assert out["2024-01-22"] == (40, 10, 0, True)
