@@ -705,13 +705,17 @@ def cohort_retention(
     every growth dashboard leads with: users are grouped into cohorts
     by their FIRST activity period, and retention[cohort, k] = share
     of the cohort active again k periods later. Scale shape: ONE
-    min-aggregate finds each user's cohort (user-key hash aggregate),
-    activity collapses to distinct (user, period) pairs, the cohort
-    label joins back on the user key, and one (cohort, offset)
-    aggregate counts distinct users — nothing wider than compact keys
-    ever shuffles, no per-cohort re-scan. ``max_offset`` bounds the
-    matrix (offsets beyond it are dropped — the report's width, not a
-    data cap).
+    user-key aggregate collapses each user to their (horizon-bounded)
+    SET of active periods — cohort is its first element, offsets are
+    a map-side array transform — so the distinct-pair frame, the
+    min-aggregate, and the cohort join-back of the textbook plan all
+    fuse into a single shuffle; the set rows are distinct per (user,
+    offset) by construction, so the (cohort, offset) count is a plain
+    count, never a countDistinct. The tiny matrix joins its sizes by
+    broadcast. ``max_offset`` bounds the matrix (offsets beyond it
+    are dropped — the report's width, not a data cap); the per-user
+    set is bounded by the analysis horizon (the q213/q247 bounded-
+    collect contract).
 
     Returns (cohort, offset, n_active, cohort_size, retention) for
     0 <= offset <= max_offset; offset 0 is the cohort itself
@@ -719,38 +723,43 @@ def cohort_retention(
     """
     if max_offset < 0:
         raise ValueError(f"max_offset must be >= 0: {max_offset}")
-    per = F.date_trunc(period, F.col(ts_col)).cast("date")
-    act = (
-        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
-        .select(F.col(user_col).alias("_u"), per.alias("_p"))
-        .distinct()
-    )
-    from capex_data_pipeline_spark.cache import persisted
-
-    act = persisted(act)
-    cohorts = act.groupBy("_u").agg(F.min("_p").alias("_c"))
-    sizes = cohorts.groupBy("_c").agg(
-        F.count(F.lit(1)).alias("cohort_size")
-    )
     unit = {"week": 7, "day": 1}.get(period)
     if unit is None:
         raise ValueError(
             f"cohort_retention: unsupported period {period!r} "
             "(use 'week' or 'day' — month offsets are not fixed-width)"
         )
-    joined = act.join(cohorts, "_u").select(
-        "_u",
-        "_c",
-        (F.datediff(F.col("_p"), F.col("_c")) / unit)
-        .cast("long")
-        .alias("offset"),
+    per = F.date_trunc(period, F.col(ts_col)).cast("date")
+    per_user = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("_u"), per.alias("_p"))
+        .groupBy("_u")
+        .agg(F.array_sort(F.collect_set("_p")).alias("_arr"))
+        .select(
+            F.element_at("_arr", 1).alias("_c"),
+            F.transform(
+                F.col("_arr"),
+                lambda p: (
+                    F.datediff(p, F.element_at("_arr", 1)) / unit
+                ).cast("long"),
+            ).alias("_offs"),
+        )
+    )
+    from capex_data_pipeline_spark.cache import persisted
+
+    per_user = persisted(per_user)
+    sizes = per_user.groupBy("_c").agg(
+        F.count(F.lit(1)).alias("cohort_size")
     )
     counts = (
-        joined.filter(F.col("offset") <= max_offset)
+        per_user.select(
+            "_c", F.explode(F.col("_offs")).alias("offset")
+        )
+        .filter(F.col("offset") <= max_offset)
         .groupBy("_c", "offset")
-        .agg(F.countDistinct("_u").alias("n_active"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )
-    return counts.join(sizes, "_c").select(
+    return counts.join(F.broadcast(sizes), "_c").select(
         F.col("_c").alias("cohort"),
         "offset",
         "n_active",
