@@ -2256,7 +2256,10 @@ def test_range_partition_planner_guards(spark):
     df = spark.createDataFrame([(1.0,)], "v double")
     with pytest.raises(ValueError, match="n_bins"):
         range_partition_planner(df, F.col("v"), n_bins=1)
-    with pytest.raises(ValueError, match="no positive"):
+    # r12: nonpositive input now raises the LOUD mixed-sign error
+    # (formerly only the all-nonpositive case errored, and mixed-sign
+    # input was silently halved — see test_round12_tasks.py)
+    with pytest.raises(ValueError, match="rows with value <= 0"):
         range_partition_planner(
             spark.createDataFrame([(-1.0,)], "v double"), F.col("v")
         )
