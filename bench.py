@@ -25,9 +25,13 @@ Load gate (``SPARK_GRAFT_BENCH_LOADGATE=2.0``): a FINAL round
 artifact must be recorded on a quiet box — with the gate set, the
 bench spin-waits (up to ``SPARK_GRAFT_BENCH_LOADWAIT`` sec, default
 1800) for the 1-minute loadavg to drop below the gate before timing,
-and REFUSES to stamp a preview artifact (exit 3) if the post-run
-loadavg exceeded the gate — a contended artifact then cannot be
-committed as the round's number by accident.
+and REFUSES to run (SystemExit) if the box never quiets — a
+contended artifact then cannot be committed as the round's number by
+accident. The gate condition is the PRE-run idle loadavg: the
+post-run figure (recorded in ``loadavg.after``) includes the bench's
+OWN 32-thread work by construction and is advisory — mid-run
+external arrivals show up as per-query ``spread`` outliers, which is
+the per-query drift signal to read.
 
 Headline-set curation rule: ``HEADLINE`` carries every registered
 query whose sf0.1 median exceeds ~0.5 s plus at least one
@@ -2262,7 +2266,9 @@ def main() -> None:
             raise SystemExit(
                 f"SPARK_GRAFT_BENCH_PREVIEW must end in .jsonl: {preview}"
             )
-        if loadgate > 0 and load_after[0] >= loadgate:
+        # gate condition = the PRE-run idle load (load_after includes
+        # the bench's own threads — see module docstring)
+        if loadgate > 0 and load_before[0] >= loadgate:
             raise SystemExit(3)  # contended run: never stamp the artifact
         # header line: the curation rule + what the headline set excludes
         # this round, so artifact coverage is auditable without the repo
