@@ -342,6 +342,8 @@ HEADLINE = [
     "q245_personalized_pagerank",
     "q246_proximity_search",
     "q247_seasonal_anomaly",
+    "q248_interval_coverage",
+    "q249_hits",
 ]
 
 

@@ -944,3 +944,92 @@ def personalized_pagerank(
     return ranks.select(
         F.col("v").alias("vertex"), F.col("r").alias("rank_micro")
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) in exact integer
+    micro-units — the bipartite-flavored importance pair PageRank
+    collapses: a good HUB points at good authorities, a good
+    AUTHORITY is pointed at by good hubs. Per round: authority =
+    sum of in-neighbor hub scores, hub = sum of out-neighbor
+    authority scores, each rescaled to micro-units by FLOOR division
+    against the round's MAX (a 1-row aggregate broadcast — the
+    integer stand-in for the L2 normalization, preserving order and
+    ratios to 1e-6) — so every score is a BIGINT and the whole
+    computation replays bit-for-bit on any engine (the q99/q245
+    exactness contract; float HITS is partial-sum-order dependent).
+
+    Per round: two src/dst equi-joins + two hash aggregates on
+    compact keys over the persisted edge list. Directed edges;
+    vertices with no in-edges hold authority 0, no out-edges hub 0.
+
+    Returns (vertex, hub_micro, auth_micro).
+    """
+    from capex_data_pipeline_spark.cache import persisted
+
+    if iterations < 1:
+        raise ValueError("hits: iterations must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if not assume_distinct:
+        e = e.distinct()
+    e = persisted(e)
+    verts = persisted(
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    hub = verts.select("v", F.lit(RANK_SCALE).cast("long").alias("h"))
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        mx = df.agg(F.max(col).alias("_mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            "v",
+            F.when(
+                F.col("_mx") > 0,
+                F.expr(f"{col} * {RANK_SCALE}L div _mx"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(col),
+        )
+
+    auth = None
+    for _ in range(iterations):
+        araw = (
+            e.join(hub, e["src"] == hub["v"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = _norm(
+            verts.join(araw, verts["v"] == araw["dst"], "left").select(
+                "v", F.coalesce(F.col("a"), F.lit(0)).alias("a")
+            ),
+            "a",
+        )
+        hraw = (
+            e.join(auth, e["dst"] == auth["v"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = _norm(
+            verts.join(hraw, verts["v"] == hraw["src"], "left").select(
+                "v", F.coalesce(F.col("h"), F.lit(0)).alias("h")
+            ),
+            "h",
+        )
+    return (
+        hub.join(auth, "v")
+        .select(
+            F.col("v").alias("vertex"),
+            F.col("h").alias("hub_micro"),
+            F.col("a").alias("auth_micro"),
+        )
+    )

@@ -1090,3 +1090,93 @@ def seasonal_anomaly_report(
             > F.lit(k) * F.greatest(F.col("mad"), F.lit(1))
         ).alias("is_anomaly"),
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Merged-interval coverage per key — how much time the UNION of
+    [start, end] intervals actually covers (machine busy time, user
+    online time, incident exposure): overlapping and touching
+    intervals merge; double-counting is the bug this operator exists
+    to remove. The classic gaps-and-islands construction: one
+    running-max window over (start, end)-ordered intervals per key
+    marks island starts (start > max(end) of everything before), a
+    running sum of the markers numbers the islands, and one aggregate
+    per (key, island) + one per key reduces to exact integer lengths
+    — per-task state is one key's intervals, never the table.
+
+    Inverted intervals (end < start) raise loudly (the q212
+    convention); NULLs drop. Integer units (epoch millis by
+    convention). Returns (key_col, n_intervals, n_islands,
+    covered, span, coverage_frac) — covered/span exact integers,
+    coverage_frac = covered/span (NULL for zero span).
+    """
+    s = F.col(start_col).cast("long")
+    e = F.col(end_col).cast("long")
+    checked = F.when(
+        e < s,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "interval_coverage: inverted interval (end < start) "
+                    "— upstream corruption? (key="
+                ),
+                F.col(key_col).cast("string"),
+                F.lit(")"),
+            ).cast("string")
+        ).cast("long"),
+    ).otherwise(e)
+    base = df.filter(
+        F.col(key_col).isNotNull() & s.isNotNull() & e.isNotNull()
+    ).select(
+        F.col(key_col).alias("_k"), s.alias("_s"), checked.alias("_e")
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = base.withColumn(
+        "_new",
+        F.when(
+            F.col("_s") > F.coalesce(
+                F.max("_e").over(w), F.lit(-(1 << 62))
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "_isl",
+        F.sum("_new").over(
+            Window.partitionBy("_k")
+            .orderBy("_s", "_e")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    islands = marked.groupBy("_k", "_isl").agg(
+        F.min("_s").alias("_is"),
+        F.max("_e").alias("_ie"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    agg = islands.groupBy("_k").agg(
+        F.sum("_n").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("_ie") - F.col("_is")).cast("long").alias("covered"),
+        (F.max("_ie") - F.min("_is")).cast("long").alias("span"),
+    )
+    return agg.select(
+        F.col("_k").alias(key_col),
+        "n_intervals",
+        "n_islands",
+        "covered",
+        "span",
+        F.round(
+            F.col("covered")
+            / F.nullif(F.col("span").cast("double"), F.lit(0.0)),
+            decimals,
+        ).alias("coverage_frac"),
+    )

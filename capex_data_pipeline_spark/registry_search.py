@@ -1145,3 +1145,79 @@ def q245_personalized_pagerank(spark, sf_dir):
     return personalized_pagerank(
         edges, list(_PPR_SEEDS), iterations=3, assume_distinct=True
     )
+
+
+# -------------------------- q249: HITS hubs & authorities (integer)
+
+_HITS_NORM = """
+  SELECT v, CAST(CASE WHEN (SELECT max({c}) FROM {raw}) > 0
+                 THEN ({c} * 1000000) // (SELECT max({c}) FROM {raw})
+                 ELSE 0 END AS BIGINT) AS {c}
+  FROM {raw}
+"""
+
+_HITS_AUTH = """
+  SELECT verts.v AS v, coalesce(sum(h.h), 0)::BIGINT AS a
+  FROM verts
+  LEFT JOIN edges e ON e.dst = verts.v
+  LEFT JOIN {hub} h ON h.v = e.src
+  GROUP BY verts.v
+"""
+
+_HITS_HUB = """
+  SELECT verts.v AS v, coalesce(sum(a.a), 0)::BIGINT AS h
+  FROM verts
+  LEFT JOIN edges e ON e.src = verts.v
+  LEFT JOIN {auth} a ON a.v = e.dst
+  GROUP BY verts.v
+"""
+
+
+@query(
+    "q249_hits",
+    f"""
+    WITH dir AS (
+      SELECT DISTINCT 'c' || o.o_custkey AS a, 's' || l.l_suppkey AS b
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (SELECT a AS src, b AS dst FROM dir),
+    verts AS (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges),
+    h0 AS (SELECT v, CAST(1000000 AS BIGINT) AS h FROM verts),
+    a1raw AS ({_HITS_AUTH.format(hub='h0')}),
+    a1 AS ({_HITS_NORM.format(c='a', raw='a1raw')}),
+    h1raw AS ({_HITS_HUB.format(auth='a1')}),
+    h1 AS ({_HITS_NORM.format(c='h', raw='h1raw')}),
+    a2raw AS ({_HITS_AUTH.format(hub='h1')}),
+    a2 AS ({_HITS_NORM.format(c='a', raw='a2raw')}),
+    h2raw AS ({_HITS_HUB.format(auth='a2')}),
+    h2 AS ({_HITS_NORM.format(c='h', raw='h2raw')})
+    SELECT h2.v AS vertex, h2.h AS hub_micro, a2.a AS auth_micro
+    FROM h2 JOIN a2 ON a2.v = h2.v
+    """,
+)
+def q249_hits(spark, sf_dir):
+    """HITS hubs & authorities, 2 rounds, over the DIRECTED customer
+    -> supplier trade graph (graph.hits): customers score as hubs
+    (they point at suppliers), suppliers as authorities — the
+    bipartite importance pair PageRank's single score collapses.
+    Exact integer micro-units with per-round max-rescaling by floor
+    division (the q99/q245 contract: bit-identical on any engine —
+    float HITS is partial-sum-order dependent); the oracle unrolls
+    both rounds, every normalization included."""
+    from capex_data_pipeline_spark.extensions.graph import hits
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return hits(edges, iterations=2, assume_distinct=True)

@@ -1963,3 +1963,68 @@ def q247_seasonal_anomaly(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return seasonal_anomaly_report(ev, "event_type", "ts", k=3)
+
+
+# ---- q248: merged-interval coverage (union length per key)
+
+
+@query(
+    "q248_interval_coverage",
+    """
+    WITH base AS (
+      SELECT user_id AS u, epoch_ms(ts) AS s,
+             epoch_ms(ts) + CAST(round(value * 60000) AS BIGINT) AS e
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    ),
+    m AS (
+      SELECT u, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY u ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -4611686018427387904)
+                  THEN 1 ELSE 0 END AS nw
+      FROM base
+    ),
+    i AS (
+      SELECT *, sum(nw) OVER (
+               PARTITION BY u ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM m
+    ),
+    isls AS (
+      SELECT u, isl, min(s) AS iss, max(e) AS ie, count(*)::BIGINT AS n
+      FROM i GROUP BY 1, 2
+    )
+    SELECT u AS user_id, sum(n)::BIGINT AS n_intervals,
+           count(*)::BIGINT AS n_islands,
+           sum(ie - iss)::BIGINT AS covered,
+           (max(ie) - min(iss))::BIGINT AS span,
+           round(sum(ie - iss)
+                 / nullif((max(ie) - min(iss))::DOUBLE, 0.0), 6)
+             AS coverage_frac
+    FROM isls GROUP BY u
+    """,
+)
+def q248_interval_coverage(spark, sf_dir):
+    """Merged-interval coverage per user
+    (timeseries.interval_coverage): the union length of each user's
+    activity intervals [ts, ts + value minutes] — overlaps merge, so
+    busy time never double-counts (the sibling of q212's overlap
+    JOIN: that finds pairs, this sizes the union). Gaps-and-islands:
+    one running-max window marks island starts, a running marker sum
+    numbers them, two aggregates reduce to exact integer lengths —
+    per-task state is one user's intervals. Inverted intervals raise
+    loudly (the q212 convention)."""
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        interval_coverage,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = F.unix_millis(F.col("ts"))
+    iv = ev.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        s.alias("s"),
+        (s + F.round(F.col("value") * 60000).cast("long")).alias("e"),
+    )
+    return interval_coverage(iv, "user_id", "s", "e")

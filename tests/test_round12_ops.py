@@ -481,3 +481,53 @@ def test_seasonal_anomaly_hand_case(spark):
     assert out["2024-01-01"] == (10, 10, 0, False)
     assert out["2024-01-15"] == (11, 10, 0, False)  # within 3*max(0,1)
     assert out["2024-01-22"] == (40, 10, 0, True)
+
+
+def test_interval_coverage_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        interval_coverage,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, 10), (1, 5, 15), (1, 15, 20),   # one island [0,20]
+            (1, 100, 110),                          # second island
+            (2, 0, 5),
+        ],
+        "k long, s long, e long",
+    )
+    out = {
+        r["k"]: r for r in interval_coverage(df, "k", "s", "e").collect()
+    }
+    assert out[1]["n_intervals"] == 4
+    assert out[1]["n_islands"] == 2       # touching intervals merge
+    assert out[1]["covered"] == 30        # 20 + 10
+    assert out[1]["span"] == 110
+    assert abs(out[1]["coverage_frac"] - 30 / 110) < 1e-6
+    assert out[2]["coverage_frac"] == 1.0
+    # inverted interval raises loudly
+    bad = spark.createDataFrame([(1, 10, 5)], "k long, s long, e long")
+    with pytest.raises(Exception, match="inverted interval"):
+        interval_coverage(bad, "k", "s", "e").collect()
+
+
+def test_hits_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.graph import hits
+
+    # star: hub 1 points at authorities 10, 11; vertex 2 points at 10
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "src long, dst long"
+    )
+    out = {
+        r["vertex"]: (r["hub_micro"], r["auth_micro"])
+        for r in hits(edges, iterations=2, assume_distinct=True).collect()
+    }
+    # authorities: 10 (in-deg 2) maxes at 1e6; 11 gets half-ish
+    assert out[10][1] == 1_000_000
+    assert 0 < out[11][1] < 1_000_000
+    # hubs: 1 (points at both) maxes; 2 below; authorities have hub 0
+    assert out[1][0] == 1_000_000
+    assert 0 < out[2][0] < 1_000_000
+    assert out[10][0] == 0 and out[11][0] == 0
+    # pure hubs hold authority 0
+    assert out[1][1] == 0 and out[2][1] == 0
