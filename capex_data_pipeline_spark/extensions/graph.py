@@ -968,10 +968,17 @@ def hits(
     Per round: two src/dst equi-joins + two hash aggregates on
     compact keys over the persisted edge list. Directed edges;
     vertices with no in-edges hold authority 0, no out-edges hub 0.
+    Every normalized score frame is cut with
+    :func:`cache.plan_boundary` — each is consumed THREE ways (the
+    max aggregate, the rescale, and the next half-round's join), so
+    without the cut the producing subplan re-embeds multiplicatively
+    per round (the q93 deep-tail lesson; measured 22 s -> single-run
+    evaluation at sf0.1).
 
     Returns (vertex, hub_micro, auth_micro).
     """
     from capex_data_pipeline_spark.cache import persisted
+    from capex_data_pipeline_spark.cache import plan_boundary as _boundary
 
     if iterations < 1:
         raise ValueError("hits: iterations must be >= 1")
@@ -989,16 +996,23 @@ def hits(
     hub = verts.select("v", F.lit(RANK_SCALE).cast("long").alias("h"))
 
     def _norm(df: DataFrame, col: str) -> DataFrame:
+        # the raw frame feeds BOTH the max aggregate and the rescale —
+        # cut it first so the join+aggregate producing it runs once
+        df = _boundary(df, eager=False, label="hits")
         mx = df.agg(F.max(col).alias("_mx"))
-        return df.crossJoin(F.broadcast(mx)).select(
-            "v",
-            F.when(
-                F.col("_mx") > 0,
-                F.expr(f"{col} * {RANK_SCALE}L div _mx"),
-            )
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias(col),
+        return _boundary(
+            df.crossJoin(F.broadcast(mx)).select(
+                "v",
+                F.when(
+                    F.col("_mx") > 0,
+                    F.expr(f"{col} * {RANK_SCALE}L div _mx"),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias(col),
+            ),
+            eager=False,
+            label="hits",
         )
 
     auth = None
