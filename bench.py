@@ -344,6 +344,7 @@ HEADLINE = [
     "q247_seasonal_anomaly",
     "q248_interval_coverage",
     "q249_hits",
+    "q250_readability_profile",
 ]
 
 

@@ -554,3 +554,92 @@ def rake_keywords(
             (F.col("_ss") / F.lit(1000000.0)).alias("score"),
         )
     )
+
+
+def readability_profile(
+    df,
+    group_col: str = "source",
+    text_col: str = "text",
+    decimals: int = 6,
+):
+    """Flesch reading-ease profile per group — the classic readability
+    signal a text-quality curriculum adds next to entropy (q97) and
+    the heuristic quality score (q41): 206.835 − 1.015·(words/
+    sentences) − 84.6·(syllables/words), with DETERMINISTIC corpus
+    heuristics declared here rather than a dictionary: words = the
+    engine's standard normalized tokens, sentences = non-empty
+    [.!?]+ segments (min 1 per non-empty doc, so headline-style docs
+    don't divide by zero), syllables = [aeiouy]+ vowel groups per
+    word (min 1 per word). All three counts are exact BIGINTs from
+    ONE map-only pass (regexp counting inside codegen, no explode, no
+    shuffle wider than the group key); the two divisions happen once
+    per GROUP on exact sums, in the same expression order as the
+    oracle.
+
+    Returns one row per group: (group_col, n_docs, words, sentences,
+    syllables, flesch) — flesch NULL for empty-text groups.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            "[^a-z0-9]+",
+            " ",
+        )
+    )
+    words = F.when(norm == "", F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))
+    ).cast("long")
+    syll = F.greatest(
+        words,
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                F.lit("[aeiouy]+"),
+                0,
+            )
+        ).cast("long"),
+    )
+    sent_raw = F.size(
+        F.filter(
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")), "[.!?]+"
+            ),
+            lambda s: F.trim(s) != "",
+        )
+    ).cast("long")
+    sents = F.when(words > 0, F.greatest(sent_raw, F.lit(1).cast("long"))).otherwise(F.lit(0).cast("long"))
+    agg = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            words.alias("_w"),
+            sents.alias("_s"),
+            syll.alias("_y"),
+        )
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_w").cast("long").alias("words"),
+            F.sum("_s").cast("long").alias("sentences"),
+            F.sum("_y").cast("long").alias("syllables"),
+        )
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("words") / F.col("sentences").cast("double"))
+        - F.lit(84.6)
+        * (F.col("syllables") / F.col("words").cast("double"))
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(
+            F.when(
+                (F.col("words") > 0) & (F.col("sentences") > 0), flesch
+            ),
+            decimals,
+        ).alias("flesch"),
+    )

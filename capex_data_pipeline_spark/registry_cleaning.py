@@ -1562,3 +1562,61 @@ def q243_interpolated_asof(spark, sf_dir):
     return out.select(
         "user_id", "event_id", "value_interp", "t_prev_us", "t_next_us"
     )
+
+
+# ---- q250: Flesch readability profile per source
+
+
+@query(
+    "q250_readability_profile",
+    """
+    WITH d AS (
+      SELECT source,
+             trim(regexp_replace(lower(coalesce(text, '')),
+                                 '[^a-z0-9]+', ' ', 'g')) AS norm,
+             lower(coalesce(text, '')) AS lo,
+             coalesce(text, '') AS raw
+      FROM documents
+    ),
+    c AS (
+      SELECT source,
+             CASE WHEN norm = '' THEN 0
+                  ELSE len(string_split(norm, ' ')) END::BIGINT AS w,
+             greatest(
+               CASE WHEN norm = '' THEN 0
+                    ELSE len(string_split(norm, ' ')) END,
+               len(regexp_extract_all(lo, '[aeiouy]+')))::BIGINT AS y,
+             CASE WHEN norm = '' THEN 0
+                  ELSE greatest(
+                    len(list_filter(string_split_regex(raw, '[.!?]+'),
+                                    s -> trim(s) <> '')), 1) END::BIGINT
+               AS s
+      FROM d
+    ),
+    agg AS (
+      SELECT source, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS words,
+             sum(s)::BIGINT AS sentences, sum(y)::BIGINT AS syllables
+      FROM c GROUP BY source
+    )
+    SELECT source, n_docs, words, sentences, syllables,
+           round(CASE WHEN words > 0 AND sentences > 0 THEN
+                   206.835 - 1.015 * (words / sentences::DOUBLE)
+                   - 84.6 * (syllables / words::DOUBLE)
+                 END, 6) AS flesch
+    FROM agg
+    """,
+)
+def q250_readability_profile(spark, sf_dir):
+    """Flesch reading-ease per source (textstats.readability_profile)
+    — the readability axis of text-quality curation beside q97's
+    entropy and q41's heuristic score, with DETERMINISTIC heuristics
+    (normalized-token words, [.!?]+ sentences with a min-1 floor per
+    non-empty doc, [aeiouy]+ vowel-group syllables floored at one per
+    word). One map-only codegen pass produces exact BIGINT counts;
+    the two divisions happen once per source on the exact sums, in
+    oracle-matched expression order."""
+    from capex_data_pipeline_spark.extensions.textstats import (
+        readability_profile,
+    )
+
+    return readability_profile(_t(spark, sf_dir, "documents"))

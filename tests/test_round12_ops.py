@@ -531,3 +531,31 @@ def test_hits_hand_case(spark):
     assert out[10][0] == 0 and out[11][0] == 0
     # pure hubs hold authority 0
     assert out[1][1] == 0 and out[2][1] == 0
+
+
+def test_readability_profile_hand_case(spark):
+    from capex_data_pipeline_spark.extensions.textstats import (
+        readability_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "The cat sat. The dog ran!"),   # 6 words, 2 sentences
+            ("a", "Hello world"),                 # 2 words, 1 (floored)
+            ("b", ""),                            # empty: all zeros
+            ("b", None),
+        ],
+        "source string, text string",
+    )
+    out = {
+        r["source"]: r for r in readability_profile(docs).collect()
+    }
+    a = out["a"]
+    assert (a["n_docs"], a["words"], a["sentences"]) == (2, 8, 3)
+    # vowel groups: the/cat/sat/the/dog/ran each 1 = 6; hello 2, world 1
+    assert a["syllables"] == 9
+    expect = 206.835 - 1.015 * (8 / 3) - 84.6 * (9 / 8)
+    assert abs(a["flesch"] - round(expect, 6)) < 1e-9
+    b = out["b"]
+    assert (b["words"], b["sentences"], b["syllables"]) == (0, 0, 0)
+    assert b["flesch"] is None
