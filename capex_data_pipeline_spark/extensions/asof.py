@@ -201,10 +201,23 @@ def interpolated_asof(
     engine.
 
     Returns every left row plus (value_interp, t_prev_us, t_next_us).
+    Left probes with a NULL ``time_col`` have no "as of" instant, so
+    all three output columns are NULL for them (r12 ADVICE: without
+    the guard a NULL probe time sorted last in the desc forward
+    window and silently picked up the EARLIEST tick's value).
     """
     keys = [on] if isinstance(on, str) else list(on)
     scale = 10 ** cents
     lcols = left.columns
+    clash = [
+        c for c in ("value_interp", "t_prev_us", "t_next_us")
+        if c in lcols
+    ]
+    if clash:
+        raise ValueError(
+            f"interpolated_asof: left side already carries output "
+            f"column(s) {clash} — drop or rename them"
+        )
     xv = F.round(F.col(value_col).cast("double") * F.lit(scale)).cast(
         "long"
     )
@@ -259,12 +272,16 @@ def interpolated_asof(
         .when(F.col("_bt").isNotNull(), bv)
         .when(F.col("_ft").isNotNull(), fv)
     )
+    # NULL-time probes carry no instant to interpolate at: null out
+    # every output column (the desc forward window would otherwise
+    # resolve them to the earliest tick — r12 ADVICE)
+    has_t = F.col("_t").isNotNull()
     return probes.select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols if c not in keys],
         *[F.col(k) for k in keys],
-        F.round(interp / F.lit(float(scale)), decimals).alias(
-            "value_interp"
-        ),
-        F.col("_bt").alias("t_prev_us"),
-        F.col("_ft").alias("t_next_us"),
+        F.when(
+            has_t, F.round(interp / F.lit(float(scale)), decimals)
+        ).alias("value_interp"),
+        F.when(has_t, F.col("_bt")).alias("t_prev_us"),
+        F.when(has_t, F.col("_ft")).alias("t_next_us"),
     ).select(*lcols, "value_interp", "t_prev_us", "t_next_us")

@@ -872,7 +872,10 @@ def referential_integrity_report(
             ),
         )
         totals = key_counts.agg(
-            F.sum("_c").cast("long").alias("n_child"),
+            # coalesce like the sibling aggregates: an EMPTY child
+            # table must report n_child=0 (the NOT-EXISTS oracle's
+            # count(*) semantics), not NULL (r12 ADVICE)
+            F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_child"),
             F.coalesce(
                 F.sum(F.when(F.col("_k").isNull(), F.col("_c"))),
                 F.lit(0),

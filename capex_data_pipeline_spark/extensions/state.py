@@ -247,6 +247,18 @@ def compact_stats_cells(
     """
     from capex_data_pipeline_spark.sources.bucketed import write_bucketed
 
+    if save_as == state_table:
+        # Spark rejects overwriting a table that the write plan is
+        # also reading from; fail EARLY and by name instead of at
+        # write time (r12 ADVICE). In-place compaction is
+        # write-to-new-table-then-swap: compact into a fresh table,
+        # then point later folds at it (or drop + rename).
+        raise ValueError(
+            "compact_stats_cells: save_as must differ from "
+            f"state_table ({state_table!r}) — Spark cannot overwrite "
+            "a table it is reading from; compact into a new table, "
+            "then swap"
+        )
     state = spark.table(state_table)
     old_flag = F.col("_pt").isNull() | (F.col("_pt") < F.lit(older_than))
     compacted = (
@@ -317,8 +329,15 @@ def join_graph_profile_persisted(
     )
 
     stats = stats_fold_persisted(spark, state_table, b=b)
+    # a NULL ndv_est (e.g. an all-NULL column's cells finalize with no
+    # registers) is as unusable as a missing column: fold those names
+    # into the same loud error rather than a bare TypeError on
+    # float(None) (r12 ADVICE)
+    rows = stats.collect()
     ndv_by_col = {
-        r["column_name"]: float(r["ndv_est"]) for r in stats.collect()
+        r["column_name"]: float(r["ndv_est"])
+        for r in rows
+        if r["ndv_est"] is not None
     }
     missing = sorted(
         {c for ks in edge_keys.values() for c in ks} - set(ndv_by_col)
@@ -326,8 +345,9 @@ def join_graph_profile_persisted(
     if missing:
         raise ValueError(
             "join_graph_profile_persisted: state table "
-            f"{state_table!r} has no cells for columns {missing} — "
-            "save_stats_cells them first"
+            f"{state_table!r} has no usable cells for columns "
+            f"{missing} (absent or NULL ndv_est) — save_stats_cells "
+            "them first"
         )
     ndv = {
         name: max(ndv_by_col[ka], ndv_by_col[kb])

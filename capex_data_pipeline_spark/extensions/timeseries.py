@@ -693,7 +693,7 @@ def cusum_changepoint(
     )
 
 
-def cohort_retention(
+def cohort_retention_matrix(
     df: DataFrame,
     user_col: str,
     ts_col: str,
@@ -720,6 +720,14 @@ def cohort_retention(
     Returns (cohort, offset, n_active, cohort_size, retention) for
     0 <= offset <= max_offset; offset 0 is the cohort itself
     (retention 1.0 by construction — kept as the audit row).
+
+    Naming: this is the single-shuffle MATRIX operator (q232);
+    :func:`~capex_data_pipeline_spark.extensions.analytics.
+    cohort_retention` (q84) is the older long-form triangle with
+    per-pair countDistinct semantics. Use this one for the dashboard
+    matrix; the analytics variant exists for the q84 oracle shape.
+    The two share a name no longer — r12 ADVICE flagged the
+    wrong-import hazard.
     """
     if max_offset < 0:
         raise ValueError(f"max_offset must be >= 0: {max_offset}")

@@ -1707,7 +1707,8 @@ def q222_cusum_changepoint(spark, sf_dir):
     """,
 )
 def q232_cohort_retention(spark, sf_dir):
-    """Cohort retention matrix (timeseries.cohort_retention): users
+    """Cohort retention matrix (timeseries.cohort_retention_matrix):
+    users
     cohorted by FIRST-activity week, retention[cohort, k] = share of
     the cohort active k weeks later — the growth triangle. One
     min-aggregate for cohorts, distinct (user, week) activity, a
@@ -1716,11 +1717,11 @@ def q232_cohort_retention(spark, sf_dir):
     retention=1.0 audit row. The oracle replays cohorting, the
     exact-multiple-of-7 offset division, and both counts."""
     from capex_data_pipeline_spark.extensions.timeseries import (
-        cohort_retention,
+        cohort_retention_matrix,
     )
 
     ev = _t(spark, sf_dir, "events")
-    return cohort_retention(
+    return cohort_retention_matrix(
         ev, "user_id", "ts", period="week", max_offset=12
     )
 

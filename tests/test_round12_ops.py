@@ -16,7 +16,7 @@ def _ts(s):
 
 def test_cohort_retention_hand_case(spark):
     from capex_data_pipeline_spark.extensions.timeseries import (
-        cohort_retention,
+        cohort_retention_matrix as cohort_retention,
     )
 
     # week of 2024-01-01 (Mon): users 1,2 start; week of 01-08: user 3

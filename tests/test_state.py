@@ -567,7 +567,7 @@ def test_advisor_from_state_missing_column_raises(spark, tmp_path):
             table="t_adv_miss", n_buckets=8,
             path=str(tmp_path / "adv_miss"),
         )
-        with pytest.raises(ValueError, match="no cells for columns"):
+        with pytest.raises(ValueError, match="no usable cells for columns"):
             join_graph_profile_persisted(
                 spark, "t_adv_miss",
                 [("e", orders, F.col("o_orderkey"), orders,
