@@ -345,6 +345,10 @@ HEADLINE = [
     "q248_interval_coverage",
     "q249_hits",
     "q250_readability_profile",
+    "q251_advisor_planning",
+    "q252_ppr_incremental",
+    "q253_indexed_proximity",
+    "q254_indexed_phrase",
 ]
 
 
@@ -421,6 +425,78 @@ def scaling_check() -> None:
                 "queries": out,
                 "value": out[SCALING_QUERIES[0]]["ratio"],
                 "unit": "ratio",
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+            }
+        )
+    )
+    spark.stop()
+
+
+def scaling3() -> None:
+    """``bench.py --scaling3``: THIRD-decade scaling evidence
+    (VERDICT r12 task 5). The standing alarm covers sf0.01->sf0.1;
+    this mode runs the previous round's top-10 slowest headliners at
+    sf0.1 AND at the synthesized sf1 corpus
+    (``scripts/synth_sf1.py`` — 10x shape-preserving inflation) and
+    prints the per-query wall ratio on 10x data. Sub-linear (< ~10x)
+    = the plan's cost is dominated by linear scans/shuffles;
+    >> 10x = a superlinear term surfaced two decades out. One JSON
+    line: {query: {sf01, sf1, ratio}}."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "spark-warehouse",
+            "sf1_synth",
+        ),
+    )
+    if not os.path.isdir(os.path.join(sf1_dir)):
+        raise SystemExit(
+            f"scaling3: {sf1_dir} missing — run scripts/synth_sf1.py first"
+        )
+
+    from capex_data_pipeline_spark.registry import QUERIES
+    from capex_data_pipeline_spark.session import get_spark
+
+    _, prev = _previous_round_medians()
+    top = [
+        n
+        for n, _ in sorted(prev.items(), key=lambda kv: -kv[1])
+        if n in QUERIES
+    ][:10]
+    if not top:
+        raise SystemExit("scaling3: no previous preview medians found")
+
+    spark = get_spark(
+        app_name="capex-scaling3",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    out: dict[str, dict] = {}
+    for name in top:
+        entry: dict[str, float] = {}
+        for label, d in (("sf01", "/root/testdata/sf0.1"), ("sf1", sf1_dir)):
+            runs = []
+            for _ in range(reps):
+                _reset_engine_caches()
+                t0 = time.perf_counter()
+                QUERIES[name](spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+            entry[label] = round(statistics.median(runs), 3)
+        entry["ratio"] = round(entry["sf1"] / max(entry["sf01"], 1e-9), 2)
+        out[name] = entry
+        print(json.dumps({name: entry}))
+    print(
+        json.dumps(
+            {
+                "metric": "scaling3",
+                "decade": "sf0.1->sf1(synth,10x)",
+                "reps": reps,
+                "queries": out,
                 "loadavg": [round(x, 2) for x in os.getloadavg()],
             }
         )
@@ -801,10 +877,84 @@ def stress_graph() -> None:
     timed("kcore_k3_fixpoint", _kcore)
     timed("cc_fixpoint", _cc)
     timed("bfs_3hops_from_hub", _bfs)
+
+    # ── Zipf-degree skew stress for the round-12 iterative rank ops
+    # (VERDICT r12 task 6): hits/personalized_pagerank aggregate
+    # contributions by dst/src, and their per-round joins key on the
+    # same columns — a power-law hub concentrates one join/reduce
+    # side. Deterministic Zipf(1) in-degree via the inverse CDF:
+    # edge j's dst = floor(R^(j/M)) (frequency of rank r ∝ 1/r, the
+    # head vertex receiving ~ln2/lnR of ALL edges); srcs are unique,
+    # so the edge set is distinct by construction. The uniform
+    # control (same M, dst = j mod R) isolates the skew cost: ratio
+    # ~1 = the engine (partial aggregation + AQE skew-join) absorbs
+    # the hub; ratio >> 1 = salt the hub-side aggregate.
+    zm = int(os.environ.get("SPARK_GRAFT_STRESS_ZIPF_M", "2000000"))
+    zr = 1000  # authority-id space (hub = vertex 1)
+    zipf = spark.range(zm).select(
+        (F.col("id") + zr + 1).alias("src"),
+        F.floor(F.pow(F.lit(float(zr)), F.col("id") / F.lit(float(zm))))
+        .cast("long")
+        .alias("dst"),
+    )
+    unif = spark.range(zm).select(
+        (F.col("id") + zr + 1).alias("src"),
+        (F.col("id") % zr + 1).alias("dst"),
+    )
+    hot_share = round(
+        zipf.filter(F.col("dst") == 1).count() / zm, 4
+    )
+
+    from capex_data_pipeline_spark.extensions.graph import (
+        hits,
+        personalized_pagerank,
+    )
+
+    def _rank_run(label, e):
+        def _run():
+            h = hits(e, iterations=2, assume_distinct=True)
+            top = h.orderBy(F.desc("auth_micro"), "vertex").limit(3).collect()
+            return {
+                "top_auth": [
+                    [str(r["vertex"]), int(r["auth_micro"])] for r in top
+                ]
+            }
+        timed(label, _run)
+
+    def _ppr_run(label, e):
+        def _run():
+            p = personalized_pagerank(
+                e, seeds=[zr + 1, zr + 2, zr + 3], iterations=3,
+                assume_distinct=True,
+            )
+            nz = p.filter(F.col("rank_micro") > 0).count()
+            return {"nonzero_ranks": int(nz)}
+        timed(label, _run)
+
+    _rank_run("hits_zipf_skew", zipf)
+    _rank_run("hits_uniform_control", unif)
+    _ppr_run("ppr_zipf_skew", zipf)
+    _ppr_run("ppr_uniform_control", unif)
+    skew_ratio = {
+        "hits": round(
+            out["hits_zipf_skew"]["sec"]
+            / max(out["hits_uniform_control"]["sec"], 1e-9),
+            3,
+        ),
+        "ppr": round(
+            out["ppr_zipf_skew"]["sec"]
+            / max(out["ppr_uniform_control"]["sec"], 1e-9),
+            3,
+        ),
+    }
+
     print(
         json.dumps(
             {
                 "metric": "stress_graph",
+                "zipf_edges": zm,
+                "zipf_hot_dst_share": hot_share,
+                "zipf_vs_uniform_ratio": skew_ratio,
                 "value": round(sum(v["sec"] for v in out.values()), 4),
                 "unit": "sec",
                 "n_vertices": n,
@@ -2134,6 +2284,35 @@ def stress_advisor() -> None:
     )
 
 
+def _previous_round_medians() -> "tuple[float | None, dict[str, float]]":
+    """(sf, per-query medians) from the newest committed preview
+    artifact (docs/BENCH_r*_preview.jsonl) — the baseline the
+    automatic outlier isolation compares against (VERDICT r12 task 4:
+    load-artifact regressions used to need manual ONLY re-runs plus
+    SCALE.md narrative; now any shared query >ISOFACTOR× its previous
+    median re-measures itself, gated, inside the same artifact)."""
+    import glob
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(
+        glob.glob(os.path.join(root, "docs", "BENCH_r*_preview.jsonl"))
+    )
+    if not files:
+        return None, {}
+    try:
+        with open(files[-1]) as f:
+            for line in f:
+                obj = json.loads(line)
+                q = obj.get("queries")
+                if isinstance(q, dict):
+                    return obj.get("sf"), {
+                        k: float(v) for k, v in q.items()
+                    }
+    except (OSError, ValueError):
+        pass
+    return None, {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -2223,6 +2402,53 @@ def main() -> None:
         }
     load_after = os.getloadavg()
 
+    # automatic outlier isolation: shared queries whose inline median
+    # regressed > ISOFACTOR× vs the previous round's committed preview
+    # re-measure ALONE (gated, ISOREPS reps) so the artifact itself
+    # distinguishes genuine regressions from box-contention artifacts —
+    # no external narrative needed. Skipped when the SFs differ (a
+    # sf0.001 smoke run has no business comparing against sf0.1).
+    iso_factor = float(os.environ.get("SPARK_GRAFT_BENCH_ISOFACTOR", "1.4"))
+    iso_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ISOREPS", "5")))
+    prev_sf, prev = _previous_round_medians()
+    isolation: dict[str, dict] = {}
+    if prev_sf == sf and not only:
+        outliers = [
+            n
+            for n in names
+            if n in prev
+            and prev[n] > 0
+            and timings[n] > iso_factor * prev[n]
+            and timings[n] > 0.5  # sub-second noise is not a regression
+        ]
+        for name in outliers:
+            if loadgate > 0:
+                waited = 0.0
+                while os.getloadavg()[0] >= loadgate and waited < 600:
+                    time.sleep(15)
+                    waited += 15
+            lb = os.getloadavg()[0]
+            runs = []
+            for _ in range(iso_reps):
+                _reset_engine_caches()
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+            iso_med = statistics.median(runs)
+            isolation[name] = {
+                "prev_median": prev[name],
+                "inline_median": timings[name],
+                "iso_median": round(iso_med, 4),
+                "iso_min": round(min(runs), 4),
+                "runs": [round(r, 4) for r in runs],
+                "load_before": round(lb, 2),
+                # recovered = the isolated number is back inside the
+                # factor band: the inline regression was contention
+                "recovered": bool(iso_med <= iso_factor * prev[name]),
+            }
+
     total = round(sum(timings.values()), 4)
     full_line = json.dumps(
         {
@@ -2233,6 +2459,7 @@ def main() -> None:
             "sf": sf,
             "reps": reps,
             "stats": stats,
+            "isolation": isolation,
             "loadavg": {
                 "before": [round(x, 2) for x in load_before],
                 "after": [round(x, 2) for x in load_after],
@@ -2254,6 +2481,9 @@ def main() -> None:
             "sf": sf,
             "n_queries": len(timings),
             "slowest": {k: v for k, v in slowest},
+            # rides the tail so the driver-kept stdout suffix carries
+            # the outlier adjudication even when the full line truncates
+            "isolation": isolation,
         }
     )
     print(tail_line)
@@ -2291,16 +2521,31 @@ def main() -> None:
                 "loadgate": loadgate,
             }
         )
+        iso_line = json.dumps(
+            {
+                "summary": "isolation",
+                "factor": iso_factor,
+                "reps": iso_reps,
+                "baseline_sf": prev_sf,
+                "n_outliers": len(isolation),
+                "outliers": isolation,
+            }
+        )
         with open(preview, "w") as f:
-            f.write(header_line + "\n" + full_line + "\n" + tail_line + "\n")
+            f.write(
+                header_line + "\n" + full_line + "\n" + iso_line + "\n"
+                + tail_line + "\n"
+            )
         with open(preview) as f:
             parsed = [json.loads(line) for line in f if line.strip()]
-        assert len(parsed) == 3, f"preview must hold 3 JSONL lines: {preview}"
+        assert len(parsed) == 4, f"preview must hold 4 JSONL lines: {preview}"
     spark.stop()
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv[1:]:
+    if "--scaling3" in sys.argv[1:]:
+        scaling3()
+    elif "--scaling" in sys.argv[1:]:
         scaling_check()
     elif "--stress-graph" in sys.argv[1:]:
         stress_graph()

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import decimal
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: denominator for the md5-derived sampling hash: first 8 hex chars →
@@ -3062,4 +3062,195 @@ def proximity_match_counts(
             min_dist.cast("long").alias("min_dist"),
         )
         .filter(F.col("n_pairs") > 0)
+    )
+
+
+# ------------------------------------------- positional inverted index
+
+
+def build_positional_index(
+    df: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+    path: "str | None" = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Build a positional inverted index over a corpus: one posting
+    row per (term, document) carrying the SORTED 1-based token
+    positions of that term, written as a parquet table BUCKETED on
+    ``term`` — the amortized shape behind every search engine.
+    :func:`proximity_match_counts` (q246) and
+    :func:`phrase_match_counts` (q131) are the correct ONE-SHOT
+    plans (a single corpus scan, no index); this is the correct
+    REPEATED-QUERY plan: the corpus-sized tokenize+posexplode
+    shuffle is paid once at build time, and each later NEAR/phrase
+    query reads only the queried terms' postings — bucket-pruned to
+    1/n_buckets of the index, never the corpus (VERDICT r12 task 1).
+
+    Scale shape: tokenization and position numbering are map-side
+    (posexplode of the normalized token array); the single shuffle
+    is the (term, doc) groupBy that assembles position lists, and
+    the bucketed write pre-hashes postings by term so query-time
+    term lookups stream from their buckets with no Exchange.
+    Positions are 1-based to match the scan operators' output
+    arithmetic exactly. The per-posting position list is bounded by
+    in-document term frequency — postings rows stay compact; raw
+    text never enters the index.
+
+    ``mode='append'`` is INDEX MAINTENANCE: tokenize/posexplode the
+    new batch only and append its postings into the existing bucketed
+    table — valid because posting rows are per (term, document) and a
+    daily batch carries NEW doc ids, so old and new postings are
+    disjoint and every term lookup still prunes to its bucket. The
+    daily indexing bill is the batch, never the corpus (the
+    q198/q231/q252 persist-and-fold economics applied to retrieval).
+    Appending an ALREADY-INDEXED doc id would duplicate its postings
+    — deduplicate upstream (q30's contract).
+
+    Returns the read-back (term, doc_id, positions) frame.
+    """
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+    from capex_data_pipeline_spark.sources.bucketed import write_bucketed
+
+    words = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "),
+        lambda w: w != "",
+    )
+    postings = (
+        df.select(F.col(id_col), words.alias("_ws"))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.col("_ws")).alias("_p0", "term"),
+        )
+        .groupBy("term", id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list((F.col("_p0") + 1).cast("long"))
+            ).alias("positions")
+        )
+    )
+    write_bucketed(
+        postings,
+        table,
+        ["term"],
+        n_buckets=n_buckets,
+        sort_cols=["term"],
+        path=path,
+        mode=mode,
+    )
+    return df.sparkSession.table(table)
+
+
+def proximity_from_index(
+    spark: SparkSession,
+    index_table: str,
+    term_a: str,
+    term_b: str,
+    window: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Indexed NEAR/k search: the same (id_col, n_pairs, min_dist)
+    result as :func:`proximity_match_counts` — documents where
+    ``term_a`` and ``term_b`` occur within ``window`` positions —
+    computed from the PERSISTED positional index instead of a corpus
+    scan. Two bucket-pruned term lookups (each reads the one bucket
+    its term hashes to) join on the document id; the pair-window
+    probe then runs the identical higher-order arithmetic on the two
+    position lists. Per-query cost is O(postings of the two terms),
+    not O(corpus) — the amortized win the one-shot scan operator's
+    docstring promises.
+    """
+    if not term_a or not term_b or term_a == term_b:
+        raise ValueError(
+            f"proximity_from_index: need two distinct non-empty "
+            f"terms, got {term_a!r}, {term_b!r}"
+        )
+    if window < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    idx = spark.table(index_table)
+    pa = idx.filter(F.col("term") == term_a).select(
+        F.col(id_col), F.col("positions").alias("_pa")
+    )
+    pb = idx.filter(F.col("term") == term_b).select(
+        F.col(id_col), F.col("positions").alias("_pb")
+    )
+    j = pa.join(pb, id_col)
+    n_pairs = F.aggregate(
+        F.col("_pa"),
+        F.lit(0),
+        lambda acc, p: acc
+        + F.size(
+            F.filter(
+                F.col("_pb"), lambda q: F.abs(q - p) <= F.lit(window)
+            )
+        ),
+    )
+    min_dist = F.array_min(
+        F.transform(
+            F.col("_pa"),
+            lambda p: F.array_min(
+                F.transform(F.col("_pb"), lambda q: F.abs(p - q))
+            ),
+        )
+    )
+    return (
+        j.select(
+            F.col(id_col),
+            n_pairs.cast("long").alias("n_pairs"),
+            min_dist.cast("long").alias("min_dist"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )
+
+
+def phrase_from_index(
+    spark: SparkSession,
+    index_table: str,
+    phrase: "list[str]",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Indexed exact-phrase search: the same (id_col, n_matches,
+    first_pos) result as :func:`phrase_match_counts` computed from
+    the positional index — a k-way postings join on the document id
+    (every side bucket-pruned to its term), then one higher-order
+    filter keeps the first term's positions ``p`` where term ``j``
+    has position ``p + j`` for all following terms. Matches the scan
+    operator's 1-based first_pos and per-document occurrence count
+    exactly; per-query cost is the k terms' postings, not the
+    corpus."""
+    if not phrase or any(not w for w in phrase):
+        raise ValueError(f"phrase must be non-empty words, got {phrase!r}")
+    if len(phrase) < 2:
+        raise ValueError(
+            "phrase_from_index: need >= 2 words (single-term lookup "
+            "is a plain postings read)"
+        )
+    idx = spark.table(index_table)
+
+    def _postings(term: str, tag: str) -> DataFrame:
+        return idx.filter(F.col("term") == term).select(
+            F.col(id_col), F.col("positions").alias(tag)
+        )
+
+    j = _postings(phrase[0], "_p0")
+    for i, w in enumerate(phrase[1:], start=1):
+        j = j.join(_postings(w, f"_p{i}"), id_col)
+
+    def _is_start(p: Column) -> Column:
+        cond = F.lit(True)
+        for i in range(1, len(phrase)):
+            cond = cond & F.array_contains(F.col(f"_p{i}"), p + i)
+        return cond
+
+    starts = F.filter(F.col("_p0"), _is_start)
+    return (
+        j.select(F.col(id_col), starts.alias("_st"))
+        .select(
+            F.col(id_col),
+            F.size("_st").alias("n_matches"),
+            F.element_at("_st", 1).alias("first_pos"),
+        )
+        .filter(F.col("n_matches") > 0)
     )

@@ -643,6 +643,7 @@ def dedup_clusters(
     max_iter: int = 50,
     boundary: str | None = None,
     broadcast_labels: "bool | None" = None,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """Group near-dup PAIRS into connected components and pick keepers —
     the step a dedup pipeline needs between candidate pairs and actual
@@ -673,6 +674,13 @@ def dedup_clusters(
     than silently none). Raises after ``max_iter`` rounds without
     convergence — an unconverged labeling can split a component, which
     silently over-keeps; no silent caps.
+
+    ``assume_symmetric=True`` declares the input ALREADY a distinct
+    symmetric edge list that the caller has materialized (plan
+    boundary / persist): the symmetrize-union-distinct AND its eager
+    cut are skipped, so a caller that also needs the edge frame for
+    its own aggregates (the q170 degree fuse) materializes the
+    expensive pair producer exactly once instead of twice.
     """
     from pyspark.sql.window import Window
 
@@ -682,11 +690,14 @@ def dedup_clusters(
         return _boundary(df, mode=boundary, eager=True, label=label)
 
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    edges = _cut(
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct(),
-        "cc-edges",
-    )
+    if assume_symmetric:
+        edges = e
+    else:
+        edges = _cut(
+            e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct(),
+            "cc-edges",
+        )
     # ── one-time STAR CONTRACTION before the loop (the large-star idea
     # of Kiveris et al. 2014, "Connected Components in MapReduce and
     # Beyond" — public algorithm): map every node to h(u) = min(u,
@@ -1885,20 +1896,47 @@ def jaccard_dup_summary(
     docs with no qualifying partner appear with dup_degree=0 and a
     singleton cluster.
     """
-    from capex_data_pipeline_spark.cache import persisted
+    from capex_data_pipeline_spark.cache import plan_boundary
 
-    pairs = persisted(
-        jaccard_similarity_join(
-            docs, threshold=threshold, text_col=text_col, id_col=id_col
-        ).select("id_a", "id_b")
+    pairs = jaccard_similarity_join(
+        docs, threshold=threshold, text_col=text_col, id_col=id_col
+    ).select("id_a", "id_b")
+    # symmetrize map-side (explode, ONE pass — a union of two selects
+    # would embed the PPJoin subplan twice) and cut eagerly: the
+    # expensive pair producer materializes exactly ONCE, and the
+    # degree aggregate AND the clustering's contraction both stream
+    # from this frame (pre-fuse: a tracked persist of the pairs PLUS
+    # a second symmetrized materialization inside dedup_clusters —
+    # the r12 double-materialization finding). id_a < id_b, so the
+    # two orientations are disjoint and the result is distinct by
+    # construction.
+    edges = plan_boundary(
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("u"), F.col("id_a").alias("v")
+                    ),
+                )
+            ).alias("_e")
+        ).select("_e.u", "_e.v"),
+        eager=True,
+        label="ppjoin-edges",
     )
-    deg = (
-        pairs.select(F.col("id_a").alias("_id"))
-        .unionAll(pairs.select(F.col("id_b").alias("_id")))
-        .groupBy("_id")
-        .agg(F.count(F.lit(1)).alias("_deg"))
+    deg = edges.groupBy(F.col("u").alias("_id")).agg(
+        F.count(F.lit(1)).alias("_deg")
     )
-    clusters = dedup_clusters(pairs, corpus=docs, id_col=id_col)
+    clusters = dedup_clusters(
+        edges,
+        corpus=docs,
+        id_col=id_col,
+        id_a="u",
+        id_b="v",
+        assume_symmetric=True,
+    )
     return (
         clusters.join(deg, clusters[id_col] == deg["_id"], "left")
         .select(

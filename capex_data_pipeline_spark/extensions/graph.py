@@ -1047,3 +1047,92 @@ def hits(
             F.col("a").alias("auth_micro"),
         )
     )
+
+
+def ppr_trajectory(
+    edges: DataFrame,
+    seeds: "list",
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Personalized-PageRank rank TRAJECTORY — the full
+    (vertex, round, rank_micro) history for rounds 0..``iterations``,
+    bit-identical per round to :func:`personalized_pagerank`'s
+    intermediate vectors. This is the state an EXACT incremental fold
+    needs (state.ppr_fold_persisted): recomputing only the affected
+    frontier at round r requires the unaffected vertices' round r−1
+    ranks, so the warm state carries every round, not just the last —
+    (iterations+1) × |V| compact rows, the price of value-exactness
+    over the approximate delta-PPR heuristics (VERDICT r12 task 3).
+
+    Same integer contract as personalized_pagerank: BIGINT
+    micro-units, floor division, one src equi-join + one dst
+    aggregate per round over the persisted degree-annotated edge
+    list.
+    """
+    from pyspark.sql.window import Window
+
+    from capex_data_pipeline_spark.cache import persisted
+    from capex_data_pipeline_spark.cache import plan_boundary as _boundary
+
+    if iterations < 1:
+        raise ValueError("ppr_trajectory: iterations must be >= 1")
+    if not seeds:
+        raise ValueError("ppr_trajectory: seeds must be non-empty")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if not assume_distinct:
+        e = e.distinct()
+    edeg = persisted(
+        e.withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+    )
+    verts = persisted(
+        edeg.select(F.col("src").alias("v"))
+        .unionByName(edeg.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    is_seed = F.col("v").isin(list(seeds))
+    base = (RANK_SCALE * 15) // 100
+    seed_base = F.when(is_seed, F.lit(base)).otherwise(F.lit(0)).cast(
+        "long"
+    )
+    ranks = verts.select(
+        "v",
+        F.when(is_seed, F.lit(RANK_SCALE))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
+    snaps = [ranks.select("v", F.lit(0).alias("round"), "r")]
+    for i in range(1, iterations + 1):
+        contribs = (
+            edeg.join(ranks, edeg["src"] == ranks["v"])
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = verts.join(
+            contribs, verts["v"] == contribs["dst"], "left"
+        ).select(
+            "v",
+            (
+                seed_base + F.expr("850 * coalesce(s, 0L) div 1000")
+            ).alias("r"),
+        )
+        # each snapshot is consumed twice (next round + the union) —
+        # cut the plan so the subplan is not re-embedded per round
+        ranks = _boundary(ranks, eager=False, label="ppr_traj")
+        snaps.append(ranks.select("v", F.lit(i).alias("round"), "r"))
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    return out.select(
+        F.col("v").alias("vertex"),
+        F.col("round").cast("int").alias("round"),
+        F.col("r").alias("rank_micro"),
+    )

@@ -1188,3 +1188,122 @@ def interval_coverage(
             decimals,
         ).alias("coverage_frac"),
     )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    churn_gap_days: int = 14,
+    decimals: int = 6,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator over an activity stream — the
+    product-limit "how long do users stay" curve (Kaplan & Meier
+    1958, public formula) with churn-as-event and right-censoring:
+    a user whose last activity is more than ``churn_gap_days``
+    before the study horizon (the corpus' max activity day) CHURNED
+    with observed lifetime last−first days; everyone else is
+    CENSORED at horizon−first days (still alive when observation
+    ended — the half the naive "average lifetime" metric silently
+    drops, biasing lifetimes down). At each event time t:
+    S(t) = Π_{t_i ≤ t} (1 − d_i / n_i) with d_i = churns at t_i and
+    n_i = users still at risk.
+
+    Scale shape: ONE user-key aggregate collapses the stream to
+    per-user (first, last) days; the horizon is a 1-row broadcast;
+    lifetimes aggregate to one row per DISTINCT DURATION (bounded by
+    the day-domain of the study window, not by users); and the
+    product-limit recursion runs as a single sorted-array fold
+    inside a global aggregate — deterministic summation order (the
+    engine's sorted-fold float rule), no unpartitioned window, no
+    per-timepoint rescan. ln terms are rounded to 12 decimals before
+    the fold so the cumulative sum replays bit-for-bit on any
+    engine.
+
+    Returns (duration_days, n_risk, n_events, n_censored, survival)
+    for event timepoints (d_i > 0), survival rounded to
+    ``decimals``.
+    """
+    if churn_gap_days < 0:
+        raise ValueError(f"churn_gap_days must be >= 0: {churn_gap_days}")
+    ev = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("_d"),
+    )
+    pu = ev.groupBy("_u").agg(
+        F.min("_d").alias("_f"), F.max("_d").alias("_l")
+    )
+    hz = pu.agg(F.max("_l").alias("_h"))
+    churned = F.datediff(F.col("_h"), F.col("_l")) > churn_gap_days
+    du = pu.crossJoin(F.broadcast(hz)).select(
+        F.when(
+            churned, F.datediff(F.col("_l"), F.col("_f"))
+        )
+        .otherwise(F.datediff(F.col("_h"), F.col("_f")))
+        .alias("_dur"),
+        churned.cast("long").alias("_e"),
+    )
+    cnt = du.groupBy("_dur").agg(
+        F.sum("_e").alias("_dd"),
+        F.sum(F.lit(1) - F.col("_e")).alias("_c"),
+    )
+    row = cnt.agg(
+        F.sort_array(
+            F.collect_list(F.struct("_dur", "_dd", "_c"))
+        ).alias("_arr"),
+        F.sum(F.col("_dd") + F.col("_c")).alias("_n"),
+    )
+
+    out_t = (
+        "array<struct<t:int,n_risk:bigint,d:bigint,c:bigint,"
+        "lns:double>>"
+    )
+
+    def _step(acc, x):
+        n_i = acc["ar"]
+        lns_new = acc["lns"] + F.round(
+            F.log(
+                (n_i - x["_dd"]).cast("double")
+                / F.nullif(n_i.cast("double"), F.lit(0.0))
+            ),
+            12,
+        )
+        emit = F.struct(
+            x["_dur"].cast("int").alias("t"),
+            n_i.alias("n_risk"),
+            x["_dd"].alias("d"),
+            x["_c"].alias("c"),
+            lns_new.alias("lns"),
+        )
+        has_event = x["_dd"] > 0
+        return F.struct(
+            (n_i - x["_dd"] - x["_c"]).alias("ar"),
+            F.when(has_event, lns_new).otherwise(acc["lns"]).alias("lns"),
+            F.when(
+                has_event, F.concat(acc["out"], F.array(emit))
+            )
+            .otherwise(acc["out"])
+            .alias("out"),
+        )
+
+    folded = row.select(
+        F.aggregate(
+            F.col("_arr"),
+            F.struct(
+                F.col("_n").alias("ar"),
+                F.lit(0.0).alias("lns"),
+                F.lit(None).cast(out_t).alias("out"),
+            ).withField("out", F.array().cast(out_t)),
+            _step,
+            lambda acc: acc["out"],
+        ).alias("_out")
+    )
+    return folded.select(F.explode("_out").alias("_r")).select(
+        F.col("_r.t").alias("duration_days"),
+        F.col("_r.n_risk").alias("n_risk"),
+        F.col("_r.d").alias("n_events"),
+        F.col("_r.c").alias("n_censored"),
+        F.round(F.exp(F.col("_r.lns")), decimals).alias("survival"),
+    )

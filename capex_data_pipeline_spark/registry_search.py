@@ -1221,3 +1221,285 @@ def q249_hits(spark, sf_dir):
         .distinct()
     )
     return hits(edges, iterations=2, assume_distinct=True)
+
+
+# --------------------------- q253/q254: positional-index retrieval
+
+#: postings derivation, DuckDB side — per-term sorted 1-based
+#: position lists, the exact content of the persisted index table
+#: (list_filter over range preserves ascending order, matching the
+#: index's array_sort)
+def _posting_sql(term: str, alias: str) -> str:
+    return f"""
+    {alias} AS (
+      SELECT doc_id,
+             list_filter(range(1, len(ws) + 1),
+                         i -> ws[i] = '{term}') AS {alias}_pos
+      FROM toks
+    ),
+    {alias}2 AS (
+      SELECT doc_id, {alias}_pos FROM {alias}
+      WHERE len({alias}_pos) > 0
+    )"""
+
+
+def _posindex(spark, sf_dir) -> str:
+    """Build-if-absent positional index over the sf_dir's documents
+    table (name encodes the SF so different scales never share
+    state). Amortization point of the indexed operators: the first
+    call in a session pays the build's corpus shuffle, every later
+    NEAR/phrase query pays only its terms' bucket-pruned postings."""
+    import os
+
+    from capex_data_pipeline_spark.extensions.corpus import (
+        build_positional_index,
+    )
+
+    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    table = f"t_posindex_{base}"
+    if not spark.catalog.tableExists(table):
+        build_positional_index(
+            _t(spark, sf_dir, "documents"),
+            table,
+            path=f"/root/repo/spark-warehouse/{table}",
+        )
+    return table
+
+
+@query(
+    "q253_indexed_proximity",
+    f"""
+    WITH toks AS (SELECT doc_id, {_WORDS_SRCH} AS ws FROM documents),
+    {_posting_sql('table', 'pa')},
+    {_posting_sql('row', 'pb')},
+    j AS (
+      SELECT pa2.doc_id, pa_pos, pb_pos
+      FROM pa2 JOIN pb2 USING (doc_id)
+    ),
+    scored AS (
+      SELECT doc_id,
+             coalesce(CAST(list_sum(list_transform(pa_pos,
+               p -> len(list_filter(pb_pos, q -> abs(q - p) <= 5))))
+               AS BIGINT), 0) AS n_pairs,
+             CAST(list_min(list_transform(pa_pos,
+               p -> list_min(list_transform(pb_pos, q -> abs(p - q)))))
+               AS BIGINT) AS min_dist
+      FROM j
+    )
+    SELECT doc_id, n_pairs, min_dist FROM scored WHERE n_pairs > 0
+    """,
+)
+def q253_indexed_proximity(spark, sf_dir):
+    """Indexed NEAR/5 search for ('table', 'row')
+    (corpus.build_positional_index + proximity_from_index): q246's
+    exact result computed from the PERSISTED positional index — two
+    bucket-pruned term lookups joined on doc_id, then the identical
+    pair-window arithmetic on the position lists. The one-shot scan
+    (q246) pays the corpus every query; this pays the corpus ONCE at
+    build time and O(two terms' postings) per query — the amortized
+    search-workload shape at 100 TB (VERDICT r12 task 1). The oracle
+    re-derives the postings (per-term sorted position lists), joins
+    them, and replays the window probe."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        proximity_from_index,
+    )
+
+    return proximity_from_index(
+        spark, _posindex(spark, sf_dir), "table", "row", window=5
+    )
+
+
+@query(
+    "q254_indexed_phrase",
+    f"""
+    WITH toks AS (SELECT doc_id, {_WORDS_SRCH} AS ws FROM documents),
+    {_posting_sql('table', 'pa')},
+    {_posting_sql('value', 'pb')},
+    j AS (
+      SELECT pa2.doc_id, pa_pos, pb_pos
+      FROM pa2 JOIN pb2 USING (doc_id)
+    ),
+    m AS (
+      SELECT doc_id,
+             list_filter(pa_pos,
+                         p -> list_contains(pb_pos, p + 1)) AS st
+      FROM j
+    )
+    SELECT doc_id,
+           CAST(len(st) AS INT) AS n_matches,
+           CAST(st[1] AS BIGINT) AS first_pos
+    FROM m WHERE len(st) > 0
+    """,
+)
+def q254_indexed_phrase(spark, sf_dir):
+    """Indexed exact-phrase search for "table value"
+    (corpus.phrase_from_index): q131's result from the positional
+    index — a 2-way postings join on doc_id (each side bucket-pruned
+    to its term) and one higher-order filter keeping first-term
+    positions p with the second term at p + 1. Same amortized
+    contract as q253: per-query cost is the phrase terms' postings,
+    never the corpus. The oracle re-derives postings, joins, and
+    replays the adjacency probe (first_pos is BIGINT here — index
+    positions are 64-bit; q131's in-scan sequence is INT)."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        phrase_from_index,
+    )
+
+    return phrase_from_index(
+        spark, _posindex(spark, sf_dir), ["table", "value"]
+    )
+
+
+# ------------- q252: incremental personalized PageRank on edge deltas
+
+
+@query(
+    "q252_ppr_incremental",
+    f"""
+    WITH dir AS (
+      SELECT DISTINCT 'c' || o.o_custkey AS a, 's' || l.l_suppkey AS b
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM dir
+      UNION
+      SELECT b AS src, a AS dst FROM dir
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    verts AS (SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges),
+    r0 AS (
+      SELECT v, CAST(CASE WHEN v IN ({_PPR_SEEDS_SQL})
+                          THEN 1000000 ELSE 0 END AS BIGINT) AS r
+      FROM verts
+    ),
+    i1 AS ({_PPR_ITER.format(prev='r0', seeds=_PPR_SEEDS_SQL)}),
+    i2 AS ({_PPR_ITER.format(prev='i1', seeds=_PPR_SEEDS_SQL)}),
+    i3 AS ({_PPR_ITER.format(prev='i2', seeds=_PPR_SEEDS_SQL)})
+    SELECT v AS vertex, r AS rank_micro FROM i3
+    """,
+)
+def q252_ppr_incremental(spark, sf_dir):
+    """Incremental personalized PageRank: an edge-delta batch (~20% of
+    the trade graph, the q198 (custkey+suppkey)%5 split) folds into
+    the PERSISTED rank trajectory of the remaining 80%
+    (state.save_ppr_state / state.ppr_fold_persisted) — per-round
+    work is the change frontier, the corpus-sized trajectory streams
+    from its vertex buckets with zero state-side Exchange, and the
+    result is BIT-IDENTICAL to recomputing all 3 rounds from scratch
+    on the merged graph. The oracle IS that from-scratch recompute
+    (q245's full unroll over ALL edges), so equality certifies the
+    fold exactly like q198 certifies incremental CC: warm rank state
+    plus a daily edge batch loses nothing vs re-ranking the whole
+    graph (VERDICT r12 task 3)."""
+    from capex_data_pipeline_spark.extensions.graph import ppr_trajectory
+    from capex_data_pipeline_spark.extensions.state import (
+        ppr_fold_persisted,
+        save_ppr_state,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dir_ = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+            ((F.col("o_custkey") + F.col("l_suppkey")) % 5 == 0).alias(
+                "is_new"
+            ),
+        )
+        .groupBy("a", "b")
+        # a pair is "new" only if EVERY trade on it is in the batch —
+        # otherwise the old graph already carried the edge
+        .agg(F.min(F.col("is_new").cast("int")).cast("boolean").alias(
+            "is_new"
+        ))
+    )
+
+    def _sym(d):
+        return d.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionByName(
+            d.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+
+    merged = _sym(dir_)
+    new = _sym(dir_.filter(F.col("is_new")))
+    old = _sym(dir_.filter(~F.col("is_new")))
+    # "yesterday": trajectory over the old graph, persisted bucketed
+    traj = ppr_trajectory(
+        old, list(_PPR_SEEDS), iterations=3, assume_distinct=True
+    )
+    save_ppr_state(
+        traj,
+        "t_state_ppr_q252",
+        n_buckets=8,
+        path="/root/repo/spark-warehouse/t_state_ppr_q252",
+    )
+    # "today": the batch folds in — reads the PERSISTED trajectory
+    return ppr_fold_persisted(
+        spark,
+        "t_state_ppr_q252",
+        merged,
+        new,
+        list(_PPR_SEEDS),
+        iterations=3,
+        assume_distinct=True,
+    )
+
+
+# ------------- q255: positional-index incremental fold (maintenance)
+
+
+@query(
+    "q255_posindex_fold",
+    f"""
+    WITH toks AS (SELECT doc_id, {_WORDS_SRCH} AS ws FROM documents),
+    {_posting_sql('table', 'pa')},
+    {_posting_sql('row', 'pb')},
+    j AS (
+      SELECT pa2.doc_id, pa_pos, pb_pos
+      FROM pa2 JOIN pb2 USING (doc_id)
+    ),
+    scored AS (
+      SELECT doc_id,
+             coalesce(CAST(list_sum(list_transform(pa_pos,
+               p -> len(list_filter(pb_pos, q -> abs(q - p) <= 5))))
+               AS BIGINT), 0) AS n_pairs,
+             CAST(list_min(list_transform(pa_pos,
+               p -> list_min(list_transform(pb_pos, q -> abs(p - q)))))
+               AS BIGINT) AS min_dist
+      FROM j
+    )
+    SELECT doc_id, n_pairs, min_dist FROM scored WHERE n_pairs > 0
+    """,
+)
+def q255_posindex_fold(spark, sf_dir):
+    """Positional-index MAINTENANCE: the index is built over 80% of
+    the corpus (doc_id % 5 != 0 — "yesterday"), then today's 20%
+    batch FOLDS in (corpus.build_positional_index mode='append'):
+    only the batch tokenizes, its postings append into the same
+    term-bucketed table, and the indexed NEAR/5 query then runs over
+    the merged postings. Valid because posting rows are per
+    (term, doc) and batch doc ids are new — old and new postings are
+    disjoint; every term lookup still bucket-prunes. The oracle is
+    the full-corpus postings derivation (identical to q253's), so
+    equality certifies the fold: daily indexing pays the batch, and
+    search results over the folded index lose nothing vs re-indexing
+    the corpus."""
+    from capex_data_pipeline_spark.extensions.corpus import (
+        build_positional_index,
+        proximity_from_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    table = "t_posindex_fold_q255"
+    path = f"/root/repo/spark-warehouse/{table}"
+    is_new = F.col("doc_id") % 5 == 0
+    build_positional_index(
+        docs.filter(~is_new), table, path=path, mode="overwrite"
+    )
+    build_positional_index(
+        docs.filter(is_new), table, path=path, mode="append"
+    )
+    return proximity_from_index(spark, table, "table", "row", window=5)

@@ -5697,3 +5697,80 @@ def q246_proximity_search(spark, sf_dir):
     return proximity_match_counts(
         _t(spark, sf_dir, "documents"), "table", "row", window=5
     )
+
+
+# ---- q251: advisor PLANNING-time query — reads the pre-persisted
+# stats state only (VERDICT r12 task 2: q228's 16-22s headline was
+# the nightly state build, not planning; this registers the
+# maintained-state read as its own benched query)
+
+
+def _q251_state(spark, sf_dir) -> str:
+    """Build-if-absent per-SF stats state (the nightly job q228
+    executes in-query every time). First call in a session pays the
+    6-table cell build ONCE; every later q251 call — and bench reps
+    2..n — reads the bucketed state table only, so the benched
+    median is PLANNING time (the --stress-advisor 7.4s shape)."""
+    import os
+
+    from capex_data_pipeline_spark.extensions.state import save_stats_cells
+
+    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    table = f"t_state_cells_plan_{base}"
+    if not spark.catalog.tableExists(table):
+        for i, (tname, cols) in enumerate(_Q200_KEYS.items()):
+            save_stats_cells(
+                _t(spark, sf_dir, tname),
+                list(cols),
+                partition=F.lit(tname),
+                table=table,
+                b=6,
+                n_buckets=8,
+                path=f"/root/repo/spark-warehouse/{table}",
+                mode="overwrite" if i == 0 else "append",
+            )
+    return table
+
+
+@query(
+    "q251_advisor_planning",
+    "SELECT edge, n_left, n_right, cms_width, est_join_rows, "
+    "est_selectivity, "
+    "row_number() OVER (ORDER BY est_join_rows, edge) AS plan_rank "
+    "FROM ("
+    + " UNION ALL ".join(f"({_q200_edge(*e)})" for e in _Q177_EDGES)
+    + ") profiled",
+)
+def q251_advisor_planning(spark, sf_dir):
+    """The advisor's PLANNING-time cost in isolation: q228 with the
+    nightly stats-state build amortized out — the persisted cell
+    table is built once per SF (\_q251_state) and the query itself
+    pays ONE zero-Exchange bucketed state read (column-count-sized
+    NDV lookup) + the 5 CMS edge passes. Register max-merge is
+    lossless, so the output — widths, CMS products, plan ranks — is
+    bit-identical to q228 and to q200's direct-scan oracle; what
+    changes is what the benched number MEANS: q228's headline is the
+    nightly-job cost, q251's is what a planner pays per plan request
+    against maintained state (VERDICT r12 task 2)."""
+    from capex_data_pipeline_spark.extensions.state import (
+        join_graph_profile_persisted,
+    )
+
+    t = {n: _t(spark, sf_dir, n) for n in _Q200_KEYS}
+    return join_graph_profile_persisted(
+        spark,
+        _q251_state(spark, sf_dir),
+        [
+            ("customer-orders", t["customer"], F.col("c_custkey"),
+             t["orders"], F.col("o_custkey")),
+            ("orders-lineitem", t["orders"], F.col("o_orderkey"),
+             t["lineitem"], F.col("l_orderkey")),
+            ("part-lineitem", t["part"], F.col("p_partkey"),
+             t["lineitem"], F.col("l_partkey")),
+            ("supplier-lineitem", t["supplier"], F.col("s_suppkey"),
+             t["lineitem"], F.col("l_suppkey")),
+            ("nation-customer", t["nation"], F.col("n_nationkey"),
+             t["customer"], F.col("c_nationkey")),
+        ],
+        _Q200_EDGE_KEYS,
+    )
