@@ -349,6 +349,13 @@ HEADLINE = [
     "q252_ppr_incremental",
     "q253_indexed_proximity",
     "q254_indexed_phrase",
+    "q255_posindex_fold",
+    "q256_kaplan_meier",
+    "q257_holt_forecast",
+    "q258_theil_sen",
+    "q259_naive_bayes",
+    "q260_join_multiplicity",
+    "q261_edge_support",
 ]
 
 

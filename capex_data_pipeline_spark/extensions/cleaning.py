@@ -899,3 +899,71 @@ def referential_integrity_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def join_multiplicity_report(
+    edges: "list",
+    decimals: int = 6,
+) -> DataFrame:
+    """Join-cardinality CONTRACT profile — the "is this really 1:N"
+    check every star-schema load should run before trusting a join:
+    for each declared parent—child edge ``(name, parent, pk, child,
+    fk)``, report whether the parent key is actually unique (the "1"
+    side), how the child fan-out distributes, and how many parent
+    keys are childless. The referential-integrity sibling
+    (:func:`referential_integrity_report`) looks child→parent for
+    orphans; this looks parent→child for multiplicity — together
+    they are the two halves of a join contract.
+
+    Scale shape per edge: both sides collapse to per-KEY counts
+    first (compact keys only), one left join parent-keys→child-counts,
+    one global aggregate — a hot parent is never re-scanned and
+    nothing row-sized shuffles.
+
+    Returns one row per edge: (edge, n_parent_keys, n_dup_parent_keys
+    — keys breaking the "1" side, n_childless_keys, max_fanout,
+    avg_fanout — child rows per parent key over ALL parent keys,
+    rounded).
+    """
+    if not edges:
+        raise ValueError("join_multiplicity_report: edges must be non-empty")
+    parts = []
+    for name, parent, pk, child, fk in edges:
+        pcnt = (
+            parent.filter(F.col(pk).isNotNull())
+            .groupBy(F.col(pk).alias("_k"))
+            .agg(F.count(F.lit(1)).alias("_pc"))
+        )
+        ccnt = (
+            child.filter(F.col(fk).isNotNull())
+            .groupBy(F.col(fk).alias("_k"))
+            .agg(F.count(F.lit(1)).alias("_cc"))
+        )
+        j = pcnt.join(ccnt, "_k", "left").select(
+            "_pc", F.coalesce("_cc", F.lit(0)).alias("_cc")
+        )
+        parts.append(
+            j.agg(
+                F.count(F.lit(1)).cast("long").alias("n_parent_keys"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_pc") > 1, 1)), F.lit(0)
+                ).cast("long").alias("n_dup_parent_keys"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_cc") == 0, 1)), F.lit(0)
+                ).cast("long").alias("n_childless_keys"),
+                F.coalesce(F.max("_cc"), F.lit(0)).cast("long").alias(
+                    "max_fanout"
+                ),
+                F.round(
+                    F.coalesce(F.sum("_cc"), F.lit(0))
+                    / F.nullif(
+                        F.count(F.lit(1)).cast("double"), F.lit(0.0)
+                    ),
+                    decimals,
+                ).alias("avg_fanout"),
+            ).select(F.lit(name).alias("edge"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1136,3 +1136,78 @@ def ppr_trajectory(
         F.col("round").cast("int").alias("round"),
         F.col("r").alias("rank_micro"),
     )
+
+
+def edge_support(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    assume_canonical: bool = False,
+) -> DataFrame:
+    """Per-EDGE triangle support — the number of triangles each edge
+    participates in, the building block of k-truss decomposition
+    (Cohen 2008, public): an edge with support 0 is a bridge-like tie,
+    high support marks cohesive community cores, and "support >= k−2"
+    is the k-truss membership test. The per-VERTEX sibling is
+    :func:`triangle_counts`; this keeps the triangle's identity long
+    enough to credit all THREE of its edges.
+
+    Same scale shape as triangle_counts (the Suri–Vassilvitskii
+    degree-ordered orientation): every vertex's oriented out-degree
+    is O(sqrt(m)) however skewed the raw degrees, wedge volume is
+    O(m^1.5) worst case, each triangle closes exactly once at its
+    minimum-(degree, id) corner, and the support credit is a
+    bounded ×3 explode of the triangle frame followed by one hash
+    aggregate on canonical (a < b) edge keys.
+
+    Returns (a, b, support) for edges in >= 1 triangle, a < b.
+    """
+    from capex_data_pipeline_spark.cache import persisted
+
+    und = _canonical_edges(edges, src_col, dst_col, assume_canonical)
+    deg = _undirected_degrees(und)
+    ann = und.join(
+        deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = persisted(
+        ann.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("wd"),
+        )
+    )
+    lo = oriented.select("u", F.col("w").alias("v"), F.col("wd").alias("vd"))
+    hi = oriented.select("u", F.col("w").alias("x"), F.col("wd").alias("xd"))
+    wedges = lo.join(hi, "u").where(
+        (F.col("vd") < F.col("xd"))
+        | ((F.col("vd") == F.col("xd")) & (F.col("v") < F.col("x")))
+    )
+    closing = oriented.select(F.col("u").alias("v"), F.col("w").alias("x"))
+    tris = wedges.join(closing, ["v", "x"])
+    # each triangle (u, v, x) credits its three edges in CANONICAL form
+    sides = tris.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("u", "v").alias("a"),
+                    F.greatest("u", "v").alias("b"),
+                ),
+                F.struct(
+                    F.least("u", "x").alias("a"),
+                    F.greatest("u", "x").alias("b"),
+                ),
+                F.struct(
+                    F.least("v", "x").alias("a"),
+                    F.greatest("v", "x").alias("b"),
+                ),
+            )
+        ).alias("_e")
+    )
+    return (
+        sides.select("_e.a", "_e.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )

@@ -429,3 +429,91 @@ def binned_roc_auc(
         ).alias("fpr"),
         "auc",
     )
+
+
+def naive_bayes_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    n_buckets: int = 64,
+    decimals: int = 6,
+) -> DataFrame:
+    """Train a Bernoulli naive Bayes classifier over hashed presence
+    features — the counting sibling of :func:`logreg_train` (same md5
+    bucket space, same fastText-style quality-gate niche) and the
+    model every "cheap prefilter before the expensive classifier"
+    pipeline starts with. Training IS aggregation: class priors are
+    doc counts, per-(bucket, class) likelihoods are presence counts
+    with Laplace add-one smoothing —
+
+        P(b | c) = (n_present + 1) / (n_docs_c + 2)
+
+    so the entire trainer is one tokenize pass + TWO hash aggregates
+    (class-sized and bucket×class-sized), no rounds, no driver-side
+    model state. Counts are exact BIGINTs; the only float is the
+    final ln of an exact integer ratio, rounded to ``decimals`` (the
+    q130/q138 convention).
+
+    Scale shape: the corpus collapses to (label, bucket-set) once;
+    the explode is bounded by ≤ ``n_buckets`` per doc; both
+    aggregates are map-side-combinable on compact keys. The model —
+    2·``n_buckets`` rows — is the frame a scorer broadcasts.
+
+    Returns (bucket, label, n_docs, n_present, logp_present,
+    logp_absent, log_prior): a complete generative model — score a
+    doc by summing logp_present over its present buckets and
+    logp_absent over the rest, plus the prior.
+    """
+    from capex_data_pipeline_spark.cache import persisted
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    base = persisted(
+        df.select(
+            F.col(label_col).cast("int").alias("label"),
+            hashed_buckets(F.col(text_col), n_buckets).alias("_bs"),
+        )
+    )
+    cls = base.groupBy("label").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = cls.agg(F.sum("n_docs").alias("_tot"))
+    pres = (
+        base.select("label", F.explode("_bs").alias("bucket"))
+        .groupBy("label", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_present"))
+    )
+    spark = df.sparkSession
+    grid = spark.range(n_buckets).select(
+        F.col("id").alias("bucket")
+    ).crossJoin(F.broadcast(cls))
+    npres = F.coalesce("n_present", F.lit(0)).cast("long")
+    return (
+        grid.join(pres, ["label", "bucket"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "label",
+            "n_docs",
+            npres.alias("n_present"),
+            F.round(
+                F.log(
+                    (npres + 1).cast("double")
+                    / (F.col("n_docs") + 2).cast("double")
+                ),
+                decimals,
+            ).alias("logp_present"),
+            F.round(
+                F.log(
+                    (F.col("n_docs") - npres + 1).cast("double")
+                    / (F.col("n_docs") + 2).cast("double")
+                ),
+                decimals,
+            ).alias("logp_absent"),
+            F.round(
+                F.log(
+                    F.col("n_docs").cast("double")
+                    / F.col("_tot").cast("double")
+                ),
+                decimals,
+            ).alias("log_prior"),
+        )
+    )

@@ -605,9 +605,9 @@ def ppr_fold_persisted(
         )
     )
     for r in range(1, iterations + 1):
-        frontier = changed.select("v").unionByName(
-            chdeg.select("v")
-        ).distinct()
+        # no distinct on the frontier: it only feeds a semi join,
+        # which dedups by construction — one less shuffle per round
+        frontier = changed.select("v").unionByName(chdeg.select("v"))
         touched = (
             edeg.join(frontier, edeg["src"] == frontier["v"], "left_semi")
             .select(F.col("dst").alias("v"))
@@ -670,10 +670,25 @@ def ppr_fold_persisted(
     final_state = state.filter(F.col("round") == iterations).select(
         F.col("vertex"), F.col("rank_micro").alias("_sr")
     )
+    # merged vertex set WITHOUT a corpus-wide distinct over the merged
+    # edge list: old vertices come straight from the bucketed state
+    # (round 0 has every old vertex), only the BATCH's endpoints need
+    # deduping — the fold's output-side shuffle is batch-sized too
     verts = (
-        edeg.select(F.col("src").alias("v"))
-        .unionByName(edeg.select(F.col("dst").alias("v")))
-        .distinct()
+        state.filter(F.col("round") == 0)
+        .select(F.col("vertex").alias("v"))
+        .unionByName(
+            ne.select(F.col("src").alias("v"))
+            .unionByName(ne.select(F.col("dst").alias("v")))
+            .join(
+                state.filter(F.col("round") == 0).select(
+                    F.col("vertex").alias("v")
+                ),
+                "v",
+                "left_anti",
+            )
+            .distinct()
+        )
     )
     return (
         verts.join(final_state, verts["v"] == final_state["vertex"], "left")

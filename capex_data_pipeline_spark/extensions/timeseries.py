@@ -1245,6 +1245,59 @@ def kaplan_meier(
         .alias("_dur"),
         churned.cast("long").alias("_e"),
     )
+    return _km_curve(du, decimals)
+
+
+def kaplan_meier_conversion(
+    events: DataFrame,
+    event_predicate: Column,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    decimals: int = 6,
+) -> DataFrame:
+    """Kaplan–Meier TIME-TO-CONVERSION curve — the same product-limit
+    estimator with "event" = the user's first row satisfying
+    ``event_predicate`` (first purchase, first error, first
+    qualifying order): duration = days from the user's first activity
+    to their first qualifying event; users who never qualify are
+    right-censored at the study horizon. This is the funnel-latency
+    statistic the naive "mean days to convert over converters"
+    metric biases optimistic (it drops exactly the users still
+    waiting). Identical scale shape and cross-engine float contract
+    as :func:`kaplan_meier`; the subject differs, the curve
+    machinery is shared.
+
+    Returns (duration_days, n_risk, n_events, n_censored, survival)
+    — survival here reads "share not yet converted by day t".
+    """
+    base = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("_d"),
+        event_predicate.alias("_q"),
+    )
+    pu = base.groupBy("_u").agg(
+        F.min("_d").alias("_f"),
+        F.min(F.when(F.col("_q"), F.col("_d"))).alias("_c"),
+    )
+    hz = base.agg(F.max("_d").alias("_h"))
+    converted = F.col("_c").isNotNull()
+    du = pu.crossJoin(F.broadcast(hz)).select(
+        F.when(converted, F.datediff(F.col("_c"), F.col("_f")))
+        .otherwise(F.datediff(F.col("_h"), F.col("_f")))
+        .alias("_dur"),
+        converted.cast("long").alias("_e"),
+    )
+    return _km_curve(du, decimals)
+
+
+def _km_curve(du: DataFrame, decimals: int) -> DataFrame:
+    """Product-limit curve from a (_dur, _e) frame — the shared tail
+    of the KM operators: duration-domain-bounded counts, then ONE
+    sorted-array fold for the at-risk walk and the rounded-ln
+    cumulative product (deterministic summation order; no
+    unpartitioned window)."""
     cnt = du.groupBy("_dur").agg(
         F.sum("_e").alias("_dd"),
         F.sum(F.lit(1) - F.col("_e")).alias("_c"),
@@ -1306,4 +1359,196 @@ def kaplan_meier(
         F.col("_r.d").alias("n_events"),
         F.col("_r.c").alias("n_censored"),
         F.round(F.exp(F.col("_r.lns")), decimals).alias("survival"),
+    )
+
+
+def _trunc_div(n: Column, d: Column) -> Column:
+    """Exact BIGINT truncating division (toward zero) — the same
+    operation as Spark SQL's ``div`` and DuckDB's integer ``//``,
+    expressible inside higher-order-function lambdas (where
+    ``F.expr`` strings cannot reach lambda variables). The
+    subtraction makes the numerator exactly divisible, so the double
+    division is exact at ANY int64 magnitude (quotient < 2^53);
+    pmod's floor-consistent remainder is then corrected to
+    truncation for negative numerators."""
+    q_floor = ((n - F.pmod(n, d)) / d).cast("long")
+    return q_floor + F.when(
+        (n < 0) & (F.pmod(n, d) != 0), F.lit(1)
+    ).otherwise(F.lit(0))
+
+
+def holt_forecast(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    horizon: int = 3,
+    cents: int = 2,
+) -> DataFrame:
+    """Holt linear-trend (double exponential) smoothing per key, in
+    EXACT integer cents (Holt 1957, public formula; α=0.3, β=0.2 as
+    tenths so every step is integer arithmetic):
+
+        l_t = (3·x_t + 7·(l_{t−1} + b_{t−1})) div 10
+        b_t = (2·(l_t − l_{t−1}) + 8·b_{t−1}) div 10
+
+    with l_0 = x_0, b_0 = 0 over the key's DAILY value sums in
+    cents-quantized integers (each row quantizes BEFORE the sum, so
+    the daily totals are order-independent). Integer truncating
+    division is the same operation on both engines, so levels,
+    trends, and forecasts replay bit-for-bit — the float-free
+    sibling of float exponential smoothing, whose running products
+    are summation-order traps.
+
+    Scale shape: one (key, day) aggregate collapses the stream; the
+    sequential recursion — inherently order-dependent — runs as a
+    per-key sorted-array fold (arrays bounded by the DAY DOMAIN of
+    the horizon, the q213/q247 bounded-collect contract), one row
+    per key out. No window over raw events, no driver loop.
+
+    Returns (key_col, n_days, last_day, level_cents, trend_cents,
+    forecast) — forecast = (level + horizon·trend) / 100 as the
+    h-step-ahead linear projection in value units.
+    """
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1: {horizon}")
+    scale = 10 ** cents
+    daily = (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("_k"),
+            F.date_trunc("day", F.col(ts_col)).cast("date").alias("_d"),
+            F.round(F.col(value_col).cast("double") * scale)
+            .cast("long")
+            .alias("_x"),
+        )
+        .groupBy("_k", "_d")
+        .agg(F.sum("_x").alias("_x"))
+    )
+    per_key = daily.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("_d").alias("last_day"),
+        F.sort_array(F.collect_list(F.struct("_d", "_x"))).alias("_arr"),
+    )
+    # same-shape accumulator trick (mirrors DuckDB's list_reduce,
+    # whose accumulator must share the element type): elements carry
+    # (a = x_t, b = 0), the accumulator reinterprets (a = level,
+    # b = trend); the first element doubles as the init (l_0 = x_0,
+    # b_0 = 0)
+    elems = F.transform(
+        F.col("_arr"),
+        lambda s: F.struct(s["_x"].alias("a"), F.lit(0).cast("long").alias("b")),
+    )
+
+    def _step(acc, x):
+        new_l = _trunc_div(
+            F.lit(3) * x["a"] + F.lit(7) * (acc["a"] + acc["b"]),
+            F.lit(10),
+        )
+        new_b = _trunc_div(
+            F.lit(2) * (new_l - acc["a"]) + F.lit(8) * acc["b"],
+            F.lit(10),
+        )
+        return F.struct(new_l.alias("a"), new_b.alias("b"))
+
+    folded = F.aggregate(
+        F.slice(elems, 2, F.greatest(F.size(elems) - 1, F.lit(0))),
+        F.element_at(elems, 1),
+        _step,
+    )
+    return per_key.select(
+        F.col("_k").alias(key_col),
+        "n_days",
+        "last_day",
+        folded["a"].alias("level_cents"),
+        folded["b"].alias("trend_cents"),
+        F.round(
+            (folded["a"] + F.lit(horizon) * folded["b"])
+            / F.lit(float(scale)),
+            cents,
+        ).alias("forecast"),
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    cents: int = 2,
+) -> DataFrame:
+    """Theil–Sen robust trend per key — the median of all pairwise
+    daily slopes (Theil 1950 / Sen 1968, public estimator), the
+    outlier-resistant alternative to least-squares: one corrupted
+    day moves OLS arbitrarily but moves the slope MEDIAN not at all
+    (breakdown point ~29%). Slopes are exact integer micro-units:
+    slope(i,j) = (x_j − x_i)·1e6 div (d_j − d_i) with cents-
+    quantized daily sums and day-count denominators — truncating
+    integer division, identical on both engines — and the median of
+    integers is exact (mean of the two middles on even counts,
+    a .5-exact double).
+
+    Scale shape: the stream collapses to one row per (key, day)
+    first, so the pairwise stage is quadratic in the DAY DOMAIN
+    (bounded by the analysis horizon — ~n·(n−1)/2 pairs for n days),
+    never in events; the per-key self-join ships compact
+    (key, day, cents) rows and the median runs on a sorted
+    slope array bounded the same way.
+
+    Returns (key_col, n_days, n_pairs, slope_micro_median) —
+    slope in value-cents·1e-6 per day.
+    """
+    scale = 10 ** cents
+    daily = (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("_k"),
+            F.date_trunc("day", F.col(ts_col)).cast("date").alias("_d"),
+            F.round(F.col(value_col).cast("double") * scale)
+            .cast("long")
+            .alias("_x"),
+        )
+        .groupBy("_k", "_d")
+        .agg(F.sum("_x").alias("_x"))
+    )
+    a = daily.select(
+        F.col("_k"), F.col("_d").alias("_da"), F.col("_x").alias("_xa")
+    )
+    b = daily.select(
+        F.col("_k"), F.col("_d").alias("_db"), F.col("_x").alias("_xb")
+    )
+    pairs = a.join(b, "_k").filter(F.col("_db") > F.col("_da"))
+    slope = _trunc_div(
+        (F.col("_xb") - F.col("_xa")) * F.lit(1_000_000),
+        F.datediff(F.col("_db"), F.col("_da")).cast("long"),
+    )
+    per_key = (
+        pairs.select("_k", slope.alias("_s"))
+        .groupBy("_k")
+        .agg(
+            F.sort_array(F.collect_list("_s")).alias("_ss"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    n = F.col("n_pairs")
+    mid_hi = F.element_at("_ss", ((n / 2).cast("int") + 1))
+    mid_lo = F.element_at("_ss", F.greatest((n + 1) / 2, F.lit(1)).cast("int"))
+    n_days = daily.groupBy("_k").agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        per_key.join(n_days, "_k")
+        .filter(F.col("n_pairs") > 0)
+        .select(
+            F.col("_k").alias(key_col),
+            "n_days",
+            "n_pairs",
+            ((mid_lo + mid_hi) / F.lit(2.0)).alias("slope_micro_median"),
+        )
     )

@@ -1620,3 +1620,63 @@ def q250_readability_profile(spark, sf_dir):
     )
 
     return readability_profile(_t(spark, sf_dir, "documents"))
+
+
+# ---- q260: join-cardinality contract (parent->child multiplicity)
+
+
+def _q260_edge(name: str, pt: str, pk: str, ct: str, fk: str) -> str:
+    return f"""
+    SELECT '{name}' AS edge,
+           count(*)::BIGINT AS n_parent_keys,
+           coalesce(sum(CASE WHEN _pc > 1 THEN 1 END), 0)::BIGINT
+             AS n_dup_parent_keys,
+           coalesce(sum(CASE WHEN _cc = 0 THEN 1 END), 0)::BIGINT
+             AS n_childless_keys,
+           coalesce(max(_cc), 0)::BIGINT AS max_fanout,
+           round(coalesce(sum(_cc), 0) / nullif(count(*)::DOUBLE, 0.0), 6)
+             AS avg_fanout
+    FROM (
+      SELECT p._pc, coalesce(c._cc, 0) AS _cc
+      FROM (SELECT {pk} AS k, count(*) AS _pc FROM {pt}
+            WHERE {pk} IS NOT NULL GROUP BY 1) p
+      LEFT JOIN (SELECT {fk} AS k, count(*) AS _cc FROM {ct}
+                 WHERE {fk} IS NOT NULL GROUP BY 1) c ON c.k = p.k
+    )"""
+
+
+@query(
+    "q260_join_multiplicity",
+    "("
+    + _q260_edge(
+        "customer-orders", "customer", "c_custkey", "orders", "o_custkey"
+    )
+    + ") UNION ALL ("
+    + _q260_edge(
+        "orders-lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"
+    )
+    + ")",
+)
+def q260_join_multiplicity(spark, sf_dir):
+    """Join-cardinality contract profile for the two fact edges
+    (cleaning.join_multiplicity_report): is the parent key really
+    unique (n_dup_parent_keys = the broken "1" side), how does child
+    fan-out distribute (max/avg over ALL parent keys), how many
+    parents are childless — the parent->child half of the join
+    contract whose child->parent half is q216's referential-
+    integrity orphan report. Both sides collapse to per-key counts
+    before one compact-key left join per edge. The oracle replays
+    the per-key counts and the contract aggregate."""
+    from capex_data_pipeline_spark.extensions.cleaning import (
+        join_multiplicity_report,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return join_multiplicity_report(
+        [
+            ("customer-orders", cust, "c_custkey", orders, "o_custkey"),
+            ("orders-lineitem", orders, "o_orderkey", li, "l_orderkey"),
+        ]
+    )

