@@ -356,6 +356,11 @@ HEADLINE = [
     "q259_naive_bayes",
     "q260_join_multiplicity",
     "q261_edge_support",
+    "q262_ivf_fold",
+    "q263_mmr_rerank",
+    "q264_ktruss",
+    "q265_sequence_pairs",
+    "q266_bitemporal_snapshot",
 ]
 
 

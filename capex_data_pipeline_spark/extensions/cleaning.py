@@ -967,3 +967,49 @@ def join_multiplicity_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def bitemporal_snapshot(
+    changelog: DataFrame,
+    key_cols: "list[str]",
+    valid_col: str,
+    tx_col: str,
+    valid_at,
+    tx_at,
+) -> DataFrame:
+    """Bitemporal point query — "what did the system KNOW at
+    transaction time T about the state EFFECTIVE at valid time V":
+    from a two-axis changelog (every row carries ``valid_col`` = when
+    the version takes business effect and ``tx_col`` = when the row
+    was recorded), reconstruct the record set at (V, T). The single-
+    axis siblings are q209's SCD2 history (valid time only) and
+    q103's CDC apply (transaction order only); two axes are what
+    late-arriving corrections need — a fix recorded after T must NOT
+    leak into the T snapshot even though it describes an older valid
+    version (the audit/"as-reported" semantics regulators ask for).
+
+    Per key: among rows with ``tx <= T`` (known) and ``valid <= V``
+    (effective), the winner has the LATEST valid_from (the version
+    in effect at V), corrections resolved by latest tx_from.
+    Determinism contract: (key, valid_from, tx_from) is unique in a
+    well-formed changelog — two same-instant recordings of the same
+    version are upstream's bug, not a tie to break silently.
+
+    Scale shape: one filter + ONE key-partitioned top-1 window over
+    compact keys — no self-join, no per-key history scan beyond the
+    window's sort. Returns the winning full rows.
+    """
+    from pyspark.sql.window import Window
+
+    known = changelog.filter(
+        (F.col(tx_col) <= F.lit(tx_at))
+        & (F.col(valid_col) <= F.lit(valid_at))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(valid_col).desc(), F.col(tx_col).desc()
+    )
+    return (
+        known.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1749,6 +1749,7 @@ def phrase_match_counts(
     phrase: "list[str]",
     id_col: str = "doc_id",
     text_col: str = "text",
+    rebalance_probe: bool = False,
 ) -> DataFrame:
     """Exact consecutive-phrase search: count the occurrences of
     ``phrase`` (a list of normalized words) in every document's token
@@ -1788,6 +1789,13 @@ def phrase_match_counts(
     ).filter(
         F.concat(F.lit(" "), F.col("_nt"), F.lit(" ")).contains(needle)
     )
+    if rebalance_probe:
+        # survivor-sized exchange before the positional tier — see
+        # proximity_match_counts; evens out few-split inputs and
+        # survivor concentration
+        cand = cand.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
     words = F.filter(F.split(F.col("_nt"), " "), lambda w: w != "")
 
     def _is_match(i: Column) -> Column:
@@ -2984,6 +2992,7 @@ def proximity_match_counts(
     window: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    rebalance_probe: bool = False,
 ) -> DataFrame:
     """Proximity search — documents where ``term_a`` and ``term_b``
     occur within ``window`` token positions (the NEAR/k operator of
@@ -3018,6 +3027,18 @@ def proximity_match_counts(
             f" {term_b} "
         )
     )
+    if rebalance_probe:
+        # the tier-2 positional probe is ~us/position while tier 1 is
+        # ns/byte: when the input has few splits (one parquet row
+        # group) or the prefilter's survivors concentrate in few
+        # files, the probe inherits that skew. One SURVIVOR-sized
+        # round-robin exchange rebalances it across the cluster —
+        # measured 17.2 s -> ~2 s at sf0.1's single-row-group corpus
+        # (docs/SCALE.md r13); the corpus-wide tier-1 scan stays
+        # map-only either way.
+        cand = cand.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
     words = F.filter(F.split(F.col("_nt"), " "), lambda w: w != "")
 
     def _positions(term: str) -> Column:

@@ -1143,6 +1143,7 @@ def edge_support(
     src_col: str = "src",
     dst_col: str = "dst",
     assume_canonical: bool = False,
+    use_boundary: bool = False,
 ) -> DataFrame:
     """Per-EDGE triangle support — the number of triangles each edge
     participates in, the building block of k-truss decomposition
@@ -1163,6 +1164,7 @@ def edge_support(
     Returns (a, b, support) for edges in >= 1 triangle, a < b.
     """
     from capex_data_pipeline_spark.cache import persisted
+    from capex_data_pipeline_spark.cache import plan_boundary as _pb
 
     und = _canonical_edges(edges, src_col, dst_col, assume_canonical)
     deg = _undirected_degrees(und)
@@ -1172,13 +1174,19 @@ def edge_support(
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = persisted(
-        ann.select(
-            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
-            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("wd"),
-        )
+    oriented = ann.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("wd"),
     )
+    # three consumers (both wedge sides + the closing probe): one-shot
+    # callers persist; iterative callers (ktruss) cut with an eager
+    # plan boundary instead, so per-round frames don't accumulate
+    # tracked persists (the r11 sssp ADVICE rule)
+    if use_boundary:
+        oriented = _pb(oriented, eager=True, label="edge-support")
+    else:
+        oriented = persisted(oriented)
     lo = oriented.select("u", F.col("w").alias("v"), F.col("wd").alias("vd"))
     hi = oriented.select("u", F.col("w").alias("x"), F.col("wd").alias("xd"))
     wedges = lo.join(hi, "u").where(
@@ -1210,4 +1218,89 @@ def edge_support(
         sides.select("_e.a", "_e.b")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("support"))
+    )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    until_fixpoint: bool = False,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    assume_canonical: bool = False,
+    boundary: str | None = None,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-truss decomposition by iterative support peeling (Cohen
+    2008, public): repeatedly delete edges in fewer than ``k − 2``
+    triangles; what survives is the k-truss — the EDGE-cohesion
+    community core, strictly stronger than the k-core (every
+    surviving edge is embedded in k−2 triangles, so trusses are the
+    "friends with many mutual friends" subgraphs; k-core only asks
+    for degree). :func:`edge_support` is one round's measurement;
+    this iterates it, because deleting weak edges lowers other
+    edges' support — the cascade is the point.
+
+    Stopping modes mirror :func:`kcore_peel`: ``rounds=R`` runs
+    exactly R peels (extra rounds are data no-ops once converged —
+    the engine-portable form the DuckDB oracle unrolls);
+    ``until_fixpoint=True`` peels to convergence with one tiny
+    driver edge-count per round, raising after ``max_rounds`` (an
+    unconverged truss silently over-keeps; no silent caps).
+
+    Per round: one degree-ordered triangle enumeration
+    (O(m^1.5) wedges — the q112 bound holds every round on the
+    SHRINKING edge set) + a ×3 bounded explode + one hash aggregate
+    + one left-anti filter, with an eager plan boundary per round
+    (iterative lineage rule). Returns the surviving canonical edges
+    with their final support: (a, b, support).
+    """
+    from capex_data_pipeline_spark.cache import plan_boundary as _boundary
+
+    if k < 3:
+        raise ValueError(f"ktruss: k must be >= 3, got {k}")
+    if (rounds is None) == (not until_fixpoint):
+        raise ValueError(
+            "ktruss: pass exactly one of rounds= or until_fixpoint=True"
+        )
+    cur = _canonical_edges(edges, src_col, dst_col, assume_canonical)
+    cur = _boundary(cur, mode=boundary, eager=True, label="ktruss-edges")
+    n_rounds = rounds if rounds is not None else max_rounds
+    prev_count = None
+    for i in range(n_rounds):
+        sup = edge_support(
+            cur, src_col="a", dst_col="b", assume_canonical=True,
+            use_boundary=True,
+        )
+        kept = (
+            cur.join(sup, ["a", "b"], "left")
+            .filter(
+                F.coalesce(F.col("support"), F.lit(0)) >= F.lit(k - 2)
+            )
+            .select("a", "b")
+        )
+        cur = _boundary(
+            kept, mode=boundary, eager=True, label="ktruss-edges"
+        )
+        if until_fixpoint:
+            c = cur.count()
+            if c == prev_count or c == 0:
+                break
+            prev_count = c
+    else:
+        if until_fixpoint:
+            raise ValueError(
+                f"ktruss: no fixpoint after max_rounds={max_rounds}"
+            )
+    final_sup = edge_support(
+        cur, src_col="a", dst_col="b", assume_canonical=True,
+        use_boundary=True,
+    )
+    return cur.join(final_sup, ["a", "b"], "left").select(
+        "a",
+        "b",
+        F.coalesce(F.col("support"), F.lit(0)).cast("long").alias(
+            "support"
+        ),
     )

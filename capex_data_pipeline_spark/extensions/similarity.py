@@ -1358,3 +1358,122 @@ def group_centroid_drift(
             decimals,
         ).alias("centroid_cos"),
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    pool: int = 20,
+    lam_tenths: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein
+    1998, public formula) — diversity-aware top-k: greedily pick the
+    candidate maximizing λ·relevance − (1−λ)·max-similarity-to-
+    already-selected, so the result covers the query's neighborhood
+    instead of returning ``k`` near-duplicates of the same best hit
+    (the retrieval-side complement of SemDeDup: dedup selects ONE
+    representative per blob, MMR selects ACROSS blobs). λ rides as
+    integer tenths and the score is round((λ₁₀·rel − (10−λ₁₀)·maxsim)
+    div-by-10, decimals) over ROUND-4 cosines, so both engines
+    compare identical doubles and the greedy argmax (ties by
+    neighbor id) replays bit-for-bit — writing ``1 − 0.7`` as a
+    float literal would already diverge (0.30000000000000004).
+
+    Scale shape: the candidate pool is the brute top-``pool`` per
+    query (one broadcast pass, the q34 operator); pairwise
+    similarities are pool²-bounded per query (POOL is the knob —
+    20² = 400 rows/query, never corpus-sized); each of the ``k``
+    greedy rounds is one anti join + one bounded max-aggregate + one
+    per-query argmax window, with a plan boundary per round.
+
+    Returns (query_id, neighbor_id, relevance, mmr_score,
+    pick_rank), ``pick_rank`` 1..k in selection order.
+    """
+    from capex_data_pipeline_spark.cache import persisted
+    from capex_data_pipeline_spark.cache import plan_boundary as _boundary
+
+    if not (1 <= lam_tenths <= 10):
+        raise ValueError(f"lam_tenths must be in 1..10: {lam_tenths}")
+    if k < 1 or pool < k:
+        raise ValueError(f"need pool >= k >= 1, got k={k}, pool={pool}")
+    p = persisted(cosine_topk(corpus, queries, k=pool, id_col=id_col,
+                              vec_col=vec_col).drop("rank"))
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    pv = p.join(nv, "neighbor_id")
+    a = pv.select(
+        "query_id", F.col("neighbor_id").alias("_a"), F.col("_nv").alias("_av")
+    )
+    b = pv.select(
+        "query_id", F.col("neighbor_id").alias("_b"), F.col("_nv").alias("_bv")
+    )
+    pairs = persisted(
+        a.join(b, "query_id")
+        .filter(F.col("_a") != F.col("_b"))
+        .select(
+            "query_id", "_a", "_b",
+            F.round(cosine(F.col("_av"), F.col("_bv")), 4).alias("_ps"),
+        )
+    )
+    lam_c = F.lit(lam_tenths)
+    inv_c = F.lit(10 - lam_tenths)
+    sel = None
+    out = None
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_score"), F.asc("neighbor_id")
+    )
+    for r in range(1, k + 1):
+        if sel is None:
+            scored = p.withColumn("_ms", F.lit(0.0))
+        else:
+            ms = (
+                pairs.join(
+                    sel.select(
+                        "query_id", F.col("neighbor_id").alias("_b")
+                    ),
+                    ["query_id", "_b"],
+                )
+                .groupBy("query_id", F.col("_a").alias("neighbor_id"))
+                .agg(F.max("_ps").alias("_ms"))
+            )
+            scored = (
+                p.join(
+                    sel.select("query_id", "neighbor_id"),
+                    ["query_id", "neighbor_id"],
+                    "left_anti",
+                )
+                .join(ms, ["query_id", "neighbor_id"], "left")
+                .withColumn("_ms", F.coalesce(F.col("_ms"), F.lit(0.0)))
+            )
+        scored = scored.withColumn(
+            "_score",
+            F.round(
+                (lam_c * F.col("cosine") - inv_c * F.col("_ms"))
+                / F.lit(10),
+                decimals,
+            ),
+        )
+        pick = _boundary(
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("cosine").alias("relevance"),
+                F.col("_score").alias("mmr_score"),
+                F.lit(r).cast("int").alias("pick_rank"),
+            ),
+            eager=True,
+            label="mmr",
+        )
+        out = pick if out is None else out.unionByName(pick)
+        sel = _boundary(
+            out.select("query_id", "neighbor_id"), eager=False,
+            label="mmr_sel",
+        )
+    return out

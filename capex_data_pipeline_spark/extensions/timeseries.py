@@ -1552,3 +1552,78 @@ def theil_sen_trend(
             ((mid_lo + mid_hi) / F.lit(2.0)).alias("slope_micro_median"),
         )
     )
+
+
+def sequence_pair_support(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    decimals: int = 6,
+) -> DataFrame:
+    """Temporal A-before-B pattern mining over daily activity
+    windows — the sequential-pattern primitive between q203's Markov
+    matrix (ADJACENT transitions only) and q202's funnel (one FIXED
+    step list): for every ordered pair of event types, in how many
+    (user, day) windows does A's first occurrence strictly precede
+    B's first occurrence, and with what confidence given A appeared
+    at all. This is the order-sensitive half of association mining
+    (q150 counts co-presence; this counts PRECEDENCE) — the signal
+    behind "users who err then purchase" style sequencing.
+
+    Scale shape: the stream collapses to FIRST occurrence per
+    (user, day, type) — one aggregate on compact keys, at most
+    |type domain| rows per window — so the pair stage is a
+    type-domain-bounded self-join per window (≤ T·(T−1) pairs, never
+    events²), and the support/confidence aggregates run on pair-type
+    keys. Equal first-occurrence instants count for NEITHER order
+    (strict precedence — deterministic, no tie-break invention).
+
+    Returns (ante, cons, support, n_ante_windows, confidence) for
+    pairs with support >= 1; confidence = support / windows where
+    ``ante`` appeared, rounded.
+    """
+    ev = df.filter(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("_d"),
+        F.col(type_col).alias("_t"),
+        F.col(ts_col).alias("_ts"),
+    )
+    from capex_data_pipeline_spark.cache import persisted
+
+    firsts = persisted(
+        ev.groupBy("_u", "_d", "_t").agg(F.min("_ts").alias("_ft"))
+    )
+    a = firsts.select(
+        "_u", "_d", F.col("_t").alias("ante"), F.col("_ft").alias("_fa")
+    )
+    b = firsts.select(
+        "_u", "_d", F.col("_t").alias("cons"), F.col("_ft").alias("_fb")
+    )
+    sup = (
+        a.join(b, ["_u", "_d"])
+        .filter(
+            (F.col("ante") != F.col("cons"))
+            & (F.col("_fa") < F.col("_fb"))
+        )
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    tw = firsts.groupBy(F.col("_t").alias("ante")).agg(
+        F.count(F.lit(1)).alias("n_ante_windows")
+    )
+    return sup.join(tw, "ante").select(
+        "ante",
+        "cons",
+        "support",
+        "n_ante_windows",
+        F.round(
+            F.col("support")
+            / F.nullif(F.col("n_ante_windows").cast("double"), F.lit(0.0)),
+            decimals,
+        ).alias("confidence"),
+    )

@@ -11,6 +11,8 @@ evidence) while staying value-exact.
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import functions as F
 
 from capex_data_pipeline_spark.registry import _t, query
@@ -1679,4 +1681,97 @@ def q260_join_multiplicity(spark, sf_dir):
             ("customer-orders", cust, "c_custkey", orders, "o_custkey"),
             ("orders-lineitem", orders, "o_orderkey", li, "l_orderkey"),
         ]
+    )
+
+
+# ---- q266: bitemporal snapshot (valid-time x transaction-time)
+
+#: deterministic two-axis changelog synthesized from orders: every
+#: order has a base version; %7 keys get a late-recorded CORRECTION
+#: of the same valid version (+3 days tx); %11 keys get a genuinely
+#: NEW version effective +10 days (recorded when effective)
+_Q266_LOG = """
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         o_totalprice AS amount,
+         CAST(o_orderdate AS DATE) AS valid_from,
+         CAST(o_orderdate AS DATE) AS tx_from
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus || '-corr', o_totalprice,
+         CAST(o_orderdate AS DATE),
+         CAST(o_orderdate AS DATE) + 3
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 'v2', o_totalprice,
+         CAST(o_orderdate AS DATE) + 10,
+         CAST(o_orderdate AS DATE) + 10
+  FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+_Q266_V = "1997-06-30"
+_Q266_T = "1997-07-04"
+
+
+@query(
+    "q266_bitemporal_snapshot",
+    f"""
+    WITH log AS ({_Q266_LOG}),
+    known AS (
+      SELECT * FROM log
+      WHERE tx_from <= DATE '{_Q266_T}'
+        AND valid_from <= DATE '{_Q266_V}'
+    )
+    SELECT k, status, amount, valid_from, tx_from FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY k ORDER BY valid_from DESC, tx_from DESC) AS rn
+      FROM known
+    ) WHERE rn = 1
+    """,
+)
+def q266_bitemporal_snapshot(spark, sf_dir):
+    """Bitemporal point query over a synthesized two-axis order
+    changelog (cleaning.bitemporal_snapshot): the record set the
+    system KNEW at 1997-07-04 about the state EFFECTIVE 1997-06-30 —
+    base versions, late-recorded corrections (+3 days transaction
+    lag, same valid version) and genuinely new versions (+10 days
+    both axes). A correction recorded after T stays OUT of the
+    snapshot even though it describes an older valid version — the
+    as-reported audit semantics single-axis SCD2 (q209/q231) and CDC
+    order (q103) each miss half of. One filter + one key-partitioned
+    top-1 window; the oracle replays the changelog synthesis and the
+    two-axis winner election."""
+    from capex_data_pipeline_spark.extensions.cleaning import (
+        bitemporal_snapshot,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        F.col("o_orderdate").cast("date").alias("tx_from"),
+    )
+    corr = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.concat(F.col("o_orderstatus"), F.lit("-corr")).alias("status"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        F.date_add(F.col("o_orderdate").cast("date"), 3).alias("tx_from"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("v2").alias("status"),
+        F.col("o_totalprice").alias("amount"),
+        F.date_add(F.col("o_orderdate").cast("date"), 10).alias(
+            "valid_from"
+        ),
+        F.date_add(F.col("o_orderdate").cast("date"), 10).alias(
+            "tx_from"
+        ),
+    )
+    log = base.unionByName(corr).unionByName(v2)
+    return bitemporal_snapshot(
+        log, ["k"], "valid_from", "tx_from",
+        datetime.date(1997, 6, 30), datetime.date(1997, 7, 4),
     )

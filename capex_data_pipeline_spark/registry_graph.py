@@ -466,3 +466,81 @@ def q261_edge_support(spark, sf_dir):
     return edge_support(
         edges, src_col="a", dst_col="b", assume_canonical=True
     )
+
+
+# ------------------------------------------------ k-truss (k=3)
+
+_KTRUSS_K = 3
+#: fixed peel rounds for the registered query — fixpoint at both
+#: driver SFs is 2 rounds (measured); extras are data no-ops, same
+#: convention as _KCORE_ROUNDS
+_KTRUSS_ROUNDS = 4
+
+
+def _ktruss_round(r: int) -> str:
+    """One unrolled support-peel round: lexicographic triangles on
+    e{r-1}, ×3 side credit, keep edges with support >= k-2."""
+    return f"""
+    tri{r} AS (
+      SELECT p.a AS u, p.b AS v, q.b AS w
+      FROM e{r - 1} p
+      JOIN e{r - 1} q ON p.a = q.a AND p.b < q.b
+      JOIN e{r - 1} rr ON rr.a = p.b AND rr.b = q.b
+    ),
+    sup{r} AS (
+      SELECT a, b, count(*)::BIGINT AS s FROM (
+        SELECT u AS a, v AS b FROM tri{r}
+        UNION ALL SELECT u AS a, w AS b FROM tri{r}
+        UNION ALL SELECT v AS a, w AS b FROM tri{r}
+      ) GROUP BY 1, 2
+    ),
+    e{r} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{r - 1} e
+      JOIN sup{r} s ON s.a = e.a AND s.b = e.b
+      WHERE s.s >= {_KTRUSS_K - 2}
+    )"""
+
+
+@query(
+    "q264_ktruss",
+    f"""
+    WITH e0 AS MATERIALIZED ({_COPURCH}),
+    {','.join(_ktruss_round(r) for r in range(1, _KTRUSS_ROUNDS + 1))},
+    trif AS (
+      SELECT p.a AS u, p.b AS v, q.b AS w
+      FROM e{_KTRUSS_ROUNDS} p
+      JOIN e{_KTRUSS_ROUNDS} q ON p.a = q.a AND p.b < q.b
+      JOIN e{_KTRUSS_ROUNDS} rr ON rr.a = p.b AND rr.b = q.b
+    ),
+    supf AS (
+      SELECT a, b, count(*)::BIGINT AS s FROM (
+        SELECT u AS a, v AS b FROM trif
+        UNION ALL SELECT u AS a, w AS b FROM trif
+        UNION ALL SELECT v AS a, w AS b FROM trif
+      ) GROUP BY 1, 2
+    )
+    SELECT e.a, e.b, coalesce(s.s, 0)::BIGINT AS support
+    FROM e{_KTRUSS_ROUNDS} e
+    LEFT JOIN supf s ON s.a = e.a AND s.b = e.b
+    """,
+)
+def q264_ktruss(spark, sf_dir):
+    """3-truss of the co-purchase graph (graph.ktruss, 4 fixed peel
+    rounds — fixpoint is 2 at both driver SFs, extras are data
+    no-ops): iteratively delete edges in no triangle until every
+    surviving edge closes one — the EDGE-cohesion community core
+    (strictly stronger than q113's k-core: degree can be faked by
+    stars, mutual triangles cannot). Per round one degree-ordered
+    O(m^1.5) triangle pass on the SHRINKING edge set + a x3 bounded
+    explode + one aggregate + a keep-filter, eager plan boundary per
+    round, per-round orientation frames boundary-cut (not persisted
+    — the r11 sssp rule, via edge_support(use_boundary=True)). The
+    oracle unrolls all rounds lexicographically and re-credits the
+    final support."""
+    from capex_data_pipeline_spark.extensions.graph import ktruss
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return ktruss(
+        edges, k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS,
+        src_col="a", dst_col="b", assume_canonical=True,
+    )

@@ -1394,6 +1394,7 @@ def q252_ppr_incremental(spark, sf_dir):
     from capex_data_pipeline_spark.extensions.graph import ppr_trajectory
     from capex_data_pipeline_spark.extensions.state import (
         ppr_fold_persisted,
+        save_ppr_graph_state,
         save_ppr_state,
     )
 
@@ -1423,7 +1424,6 @@ def q252_ppr_incremental(spark, sf_dir):
             d.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
 
-    merged = _sym(dir_)
     new = _sym(dir_.filter(F.col("is_new")))
     old = _sym(dir_.filter(~F.col("is_new")))
     # "yesterday": trajectory over the old graph, persisted bucketed —
@@ -1443,11 +1443,19 @@ def q252_ppr_incremental(spark, sf_dir):
             n_buckets=8,
             path=f"/root/repo/spark-warehouse/{table}",
         )
-    # "today": the batch folds in — reads the PERSISTED trajectory
+        save_ppr_graph_state(
+            old,
+            table,
+            n_buckets=8,
+            path=f"/root/repo/spark-warehouse/{table}",
+            assume_distinct=True,
+        )
+    # "today": the batch folds in — reads ONLY the persisted state
+    # (trajectory + degree-annotated edges + degrees); merged = state
+    # ∪ batch by construction, so nothing corpus-sized shuffles
     return ppr_fold_persisted(
         spark,
         table,
-        merged,
         new,
         list(_PPR_SEEDS),
         iterations=3,

@@ -232,7 +232,8 @@ def q131_phrase_search(spark, sf_dir):
     )
 
     return phrase_match_counts(
-        _t(spark, sf_dir, "documents"), list(_PHRASE)
+        _t(spark, sf_dir, "documents"), list(_PHRASE),
+        rebalance_probe=True,
     )
 
 # ------------------------------------ q132: anchor-text aggregation
@@ -5695,7 +5696,8 @@ def q246_proximity_search(spark, sf_dir):
     )
 
     return proximity_match_counts(
-        _t(spark, sf_dir, "documents"), "table", "row", window=5
+        _t(spark, sf_dir, "documents"), "table", "row", window=5,
+        rebalance_probe=True,
     )
 
 
@@ -5841,3 +5843,225 @@ def q259_naive_bayes(spark, sf_dir):
         labeled, label_col="y", text_col="text",
         n_buckets=_TRAIN_BUCKETS,
     )
+
+
+# ---- q262: IVF incremental fold (frozen-quantizer index maintenance)
+
+#: q143's chain with the QUANTIZER TRAINED ON THE OLD 80% ONLY
+#: (vec_id % 5 != 0) — sqrt sizing and the md5 center pick read the
+#: old subset, assignment covers the full corpus; this is exactly
+#: what freeze-quantizer-and-fold produces, so the oracle certifies
+#: the fold
+_Q262_CHAIN = f"""
+nc AS (
+      SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS n
+      FROM embeddings WHERE vec_id % 5 <> 0
+    ), ctr AS (
+      SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+               AS cell,
+             embedding
+      FROM embeddings WHERE vec_id % 5 <> 0
+      ORDER BY md5(vec_id::VARCHAR), vec_id
+      LIMIT (SELECT n FROM nc)
+    ), sim AS (
+      SELECT e.vec_id, c.cell,
+             {_Q143_COS.format(a='e.embedding', b='c.embedding')} AS s
+      FROM embeddings e, ctr c
+    ), assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell ASC) AS rn
+        FROM sim
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell ASC) AS rn
+        FROM sim WHERE vec_id < 5
+      ) WHERE rn <= 8
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a USING (cell)
+      WHERE a.vec_id <> p.query_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             round({_Q143_COS.format(a='eq.embedding', b='en.embedding')}, 4)
+               AS cosine
+      FROM cand
+      JOIN embeddings eq ON eq.vec_id = query_id
+      JOIN embeddings en ON en.vec_id = neighbor_id
+    )
+"""
+
+
+@query(
+    "q262_ivf_fold",
+    f"""
+    WITH {_Q262_CHAIN}
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC)
+                AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q262_ivf_fold(spark, sf_dir):
+    """IVF index MAINTENANCE (state.save_ivf_state +
+    ivf_fold_persisted): the index is built over 80% of the vectors
+    ("yesterday", quantizer trained there, assignment persisted
+    bucketed on cell), then today's 20% batch folds in with the
+    quantizer FROZEN — only the batch pays the assignment matmul,
+    the corpus-sized state streams from its cell buckets, and the
+    probe query runs over the merged assignment. Freezing the
+    quantizer is the FAISS add-after-train trade: assignments equal
+    a from-scratch build with the same centers — the oracle derives
+    centers from the old subset, assigns the FULL corpus, and
+    replays the nprobe=8 probe + exact re-rank, certifying the fold
+    value-exactly. Daily ANN maintenance cost: the batch, never the
+    corpus (the q198/q255 economics applied to similarity
+    search)."""
+    import math as _math
+    import os as _os
+
+    from capex_data_pipeline_spark.extensions.similarity import (
+        _ivf_centers,
+        ivf_query,
+    )
+    from capex_data_pipeline_spark.extensions.state import (
+        ivf_fold_persisted,
+        save_ivf_state,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    n_cells = max(16, int(_math.ceil(_math.sqrt(old.count()))))
+    _, centers = _ivf_centers(
+        old, "vec_id", "embedding", n_cells, "sample", 42
+    )
+    base = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    table = f"t_state_ivf_q262_{base}"
+    if not spark.catalog.tableExists(table):
+        from capex_data_pipeline_spark.extensions.similarity import (
+            _arrow_topcells,
+        )
+
+        assigned_old = old.withColumn(
+            "cell",
+            F.element_at(
+                _arrow_topcells(centers, 1)(F.col("embedding")), 1
+            ),
+        )
+        save_ivf_state(
+            assigned_old,
+            table,
+            n_buckets=8,
+            path=f"/root/repo/spark-warehouse/{table}",
+        )
+    merged = ivf_fold_persisted(spark, table, new, centers)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_query(merged, centers, queries, k=10, nprobe=8)
+
+
+# ---- q263: MMR diversified re-rank (greedy, integer-tenths lambda)
+
+
+def _mmr_round(r: int) -> str:
+    """One unrolled greedy MMR round: score remaining pool members
+    against sel{r-1}, pick the per-query argmax (ties by id)."""
+    score = "round((7*cosine - 3*ms) / 10, 6)"
+    return f"""
+    rem{r} AS (
+      SELECT p.query_id, p.neighbor_id, p.cosine,
+             coalesce((SELECT max(ps._ps) FROM mpairs ps
+                       JOIN sel{r - 1} s
+                         ON s.query_id = ps.query_id
+                        AND s.neighbor_id = ps._b
+                       WHERE ps.query_id = p.query_id
+                         AND ps._a = p.neighbor_id), 0.0) AS ms
+      FROM mpool p
+      WHERE NOT EXISTS (SELECT 1 FROM sel{r - 1} s
+                        WHERE s.query_id = p.query_id
+                          AND s.neighbor_id = p.neighbor_id)
+    ),
+    pick{r} AS (
+      SELECT query_id, neighbor_id, cosine, {score} AS mmr_score,
+             {r} AS pick_rank
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY {score} DESC, neighbor_id ASC) AS rn
+            FROM rem{r}) WHERE rn = 1
+    ),
+    sel{r} AS MATERIALIZED (
+      SELECT * FROM sel{r - 1}
+      UNION ALL
+      SELECT query_id, neighbor_id, cosine, mmr_score, pick_rank
+      FROM pick{r}
+    )"""
+
+
+_MMR_K = 10
+
+
+@query(
+    "q263_mmr_rerank",
+    f"""
+    WITH sims AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_Q143_COS.format(a='q.embedding', b='c.embedding')}, 4)
+               AS cosine
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 3
+    ),
+    mpool AS MATERIALIZED (
+      SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC,
+                                              neighbor_id ASC) AS rn
+        FROM sims
+      ) WHERE rn <= 20
+    ),
+    mpairs AS MATERIALIZED (
+      SELECT a.query_id, a.neighbor_id AS _a, b.neighbor_id AS _b,
+             round({_Q143_COS.format(a='ea.embedding', b='eb.embedding')}, 4)
+               AS _ps
+      FROM mpool a
+      JOIN mpool b ON a.query_id = b.query_id
+                  AND a.neighbor_id <> b.neighbor_id
+      JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+      JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+    ),
+    sel0 AS (
+      SELECT * FROM (SELECT CAST(NULL AS BIGINT) AS query_id,
+                            CAST(NULL AS BIGINT) AS neighbor_id,
+                            CAST(NULL AS DOUBLE) AS cosine,
+                            CAST(NULL AS DOUBLE) AS mmr_score,
+                            CAST(NULL AS INT) AS pick_rank) WHERE false
+    ),
+    {','.join(_mmr_round(r) for r in range(1, _MMR_K + 1))}
+    SELECT query_id, neighbor_id, cosine AS relevance, mmr_score,
+           CAST(pick_rank AS INT) AS pick_rank
+    FROM sel{_MMR_K}
+    """,
+)
+def q263_mmr_rerank(spark, sf_dir):
+    """MMR diversified top-10 for 3 query vectors
+    (similarity.mmr_rerank, lambda=0.7 as integer tenths, pool=20):
+    greedy argmax of (7*relevance - 3*max-sim-to-selected)/10 over
+    round-4 cosines — diversity-aware retrieval, the complement of
+    q67's SemDeDup (dedup keeps one doc per blob; MMR SELECTS across
+    blobs). Pool and pairwise stages are pool^2-bounded per query,
+    never corpus-sized; each greedy round is one anti join + one
+    bounded max + one argmax window. The oracle unrolls all 10
+    greedy rounds with the same integer-tenths score arithmetic
+    (a 1-0.7 float literal would already diverge engines)."""
+    from capex_data_pipeline_spark.extensions.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    return mmr_rerank(emb, queries, k=_MMR_K, pool=20, lam_tenths=7)

@@ -2210,3 +2210,57 @@ def q258_theil_sen(spark, sf_dir):
     return theil_sen_trend(
         _t(spark, sf_dir, "events"), "event_type", "ts", "value"
     )
+
+
+# ---- q265: A-before-B sequence-pair mining (daily windows)
+
+
+@query(
+    "q265_sequence_pairs",
+    """
+    WITH ev AS (
+      SELECT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS d,
+             event_type AS t, ts
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    firsts AS (
+      SELECT u, d, t, min(ts) AS ft FROM ev GROUP BY 1, 2, 3
+    ),
+    sup AS (
+      SELECT a.t AS ante, b.t AS cons, count(*)::BIGINT AS support
+      FROM firsts a
+      JOIN firsts b ON a.u = b.u AND a.d = b.d AND a.t <> b.t
+                   AND a.ft < b.ft
+      GROUP BY 1, 2
+    ),
+    tw AS (
+      SELECT t AS ante, count(*)::BIGINT AS n_ante_windows
+      FROM firsts GROUP BY 1
+    )
+    SELECT sup.ante, sup.cons, sup.support, tw.n_ante_windows,
+           round(sup.support
+                 / nullif(tw.n_ante_windows::DOUBLE, 0.0), 6)
+             AS confidence
+    FROM sup JOIN tw ON tw.ante = sup.ante
+    """,
+)
+def q265_sequence_pairs(spark, sf_dir):
+    """A-before-B sequence mining over (user, day) windows
+    (timeseries.sequence_pair_support): for every ordered event-type
+    pair, the windows where A's FIRST occurrence strictly precedes
+    B's, plus confidence given A appeared — the precedence half of
+    association mining (q150 counts co-presence, q203 only adjacent
+    transitions, q202 one fixed step list). First-occurrence
+    collapse makes the pair stage type-domain-bounded per window;
+    equal instants count for neither order (strict, no invented
+    tie-break). The oracle replays firsts, the precedence join, and
+    both counts."""
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        sequence_pair_support,
+    )
+
+    return sequence_pair_support(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type"
+    )

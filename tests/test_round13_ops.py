@@ -127,6 +127,7 @@ def test_ppr_fold_matches_from_scratch(spark, tmp_path):
     )
     from capex_data_pipeline_spark.extensions.state import (
         ppr_fold_persisted,
+        save_ppr_graph_state,
         save_ppr_state,
     )
 
@@ -143,10 +144,14 @@ def test_ppr_fold_matches_from_scratch(spark, tmp_path):
     save_ppr_state(
         traj, "t_r13_ppr_state", n_buckets=2, path=str(tmp_path / "ppr")
     )
+    save_ppr_graph_state(
+        old, "t_r13_ppr_state", n_buckets=2,
+        path=str(tmp_path / "pprg"), assume_distinct=True,
+    )
     folded = {
         r["vertex"]: r["rank_micro"]
         for r in ppr_fold_persisted(
-            spark, "t_r13_ppr_state", merged, new, seeds, iterations=3,
+            spark, "t_r13_ppr_state", new, seeds, iterations=3,
             assume_distinct=True,
         ).collect()
     }
@@ -159,7 +164,9 @@ def test_ppr_fold_matches_from_scratch(spark, tmp_path):
     assert folded == scratch
     # the seed actually propagated (non-trivial case)
     assert scratch["b"] > 0 and scratch["z"] > 0
-    spark.sql("DROP TABLE IF EXISTS t_r13_ppr_state")
+    for t in ("t_r13_ppr_state", "t_r13_ppr_state_edges",
+              "t_r13_ppr_state_deg"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 # -------------------------------------------------- Kaplan-Meier
@@ -376,3 +383,173 @@ def test_join_multiplicity_hand_case(spark):
     assert r["n_childless_keys"] == 1  # key 3
     assert r["max_fanout"] == 3
     assert r["avg_fanout"] == round(4 / 3, 6)
+
+
+# ------------------------------------------------------- k-truss
+
+
+def test_ktruss_hand_graph(spark):
+    """K4 plus a pendant triangle chain: the 4-truss (support >= 2)
+    keeps exactly the K4; the pendant triangle (support 1 edges)
+    peels, and its removal must NOT cascade into the K4."""
+    from capex_data_pipeline_spark.extensions.graph import ktruss
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pendant = [(4, 5), (4, 6), (5, 6)]
+    edges = spark.createDataFrame(k4 + pendant, "src long, dst long")
+    out = {
+        (r["a"], r["b"]): r["support"]
+        for r in ktruss(edges, k=4, rounds=3).collect()
+    }
+    assert set(out) == set(k4)
+    assert all(v == 2 for v in out.values())
+    # 3-truss keeps everything (every edge closes >= 1 triangle)
+    out3 = ktruss(edges, k=3, until_fixpoint=True).collect()
+    assert len(out3) == 9
+
+
+# ------------------------------------------------ sequence pairs
+
+
+def test_sequence_pairs_strict_precedence(spark):
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        sequence_pair_support,
+    )
+
+    rows = [
+        # window (1, day1): view -> purchase (strict)
+        (1, _ts("2024-01-01 09:00"), "view"),
+        (1, _ts("2024-01-01 10:00"), "purchase"),
+        # window (1, day2): purchase only
+        (1, _ts("2024-01-02 10:00"), "purchase"),
+        # window (2, day1): SAME instant -> counts for neither order
+        (2, _ts("2024-01-01 09:00"), "view"),
+        (2, _ts("2024-01-01 09:00"), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        (r["ante"], r["cons"]): (
+            r["support"], r["n_ante_windows"], r["confidence"]
+        )
+        for r in sequence_pair_support(df).collect()
+    }
+    # view appears in 2 windows; view->purchase strictly in 1
+    assert out == {("view", "purchase"): (1, 2, 0.5)}
+
+
+# ------------------------------------------------ bitemporal
+
+
+def test_bitemporal_snapshot_correction_visibility(spark):
+    from capex_data_pipeline_spark.extensions.cleaning import (
+        bitemporal_snapshot,
+    )
+
+    d = datetime.date
+    log = spark.createDataFrame(
+        [
+            # key 1: base, then correction recorded later
+            (1, "base", d(2024, 1, 1), d(2024, 1, 1)),
+            (1, "corrected", d(2024, 1, 1), d(2024, 1, 10)),
+            # key 2: new valid version effective later
+            (2, "v1", d(2024, 1, 1), d(2024, 1, 1)),
+            (2, "v2", d(2024, 2, 1), d(2024, 2, 1)),
+        ],
+        "k long, status string, valid_from date, tx_from date",
+    )
+    # T before the correction was recorded: must see 'base'
+    snap = {
+        r["k"]: r["status"]
+        for r in bitemporal_snapshot(
+            log, ["k"], "valid_from", "tx_from",
+            d(2024, 1, 15), d(2024, 1, 5),
+        ).collect()
+    }
+    assert snap == {1: "base", 2: "v1"}
+    # T after the correction, V before v2's effect: corrected + v1
+    snap2 = {
+        r["k"]: r["status"]
+        for r in bitemporal_snapshot(
+            log, ["k"], "valid_from", "tx_from",
+            d(2024, 1, 15), d(2024, 2, 15),
+        ).collect()
+    }
+    assert snap2 == {1: "corrected", 2: "v1"}
+
+
+# ------------------------------------------------ IVF fold
+
+
+def test_ivf_fold_equals_from_scratch(spark, tmp_path):
+    from capex_data_pipeline_spark.extensions.similarity import (
+        _arrow_topcells,
+        _ivf_centers,
+        ivf_query,
+    )
+    from capex_data_pipeline_spark.extensions.state import (
+        ivf_fold_persisted,
+        save_ivf_state,
+    )
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    _, centers = _ivf_centers(old, "vec_id", "embedding", 4, "sample", 42)
+
+    def assign(df):
+        return df.withColumn(
+            "cell",
+            F.element_at(_arrow_topcells(centers, 1)(F.col("embedding")), 1),
+        )
+
+    save_ivf_state(
+        assign(old), "t_r13_ivf", n_buckets=2, path=str(tmp_path / "ivf")
+    )
+    merged = ivf_fold_persisted(spark, "t_r13_ivf", new, centers)
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = sorted(
+        map(tuple, ivf_query(merged, centers, queries, k=5).collect())
+    )
+    want = sorted(
+        map(tuple, ivf_query(assign(emb), centers, queries, k=5).collect())
+    )
+    assert got == want and len(got) > 0
+    spark.sql("DROP TABLE IF EXISTS t_r13_ivf")
+
+
+# ------------------------------------------------------- MMR
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Query q; candidates: a1/a2 nearly identical high-relevance,
+    b different direction moderate relevance. MMR must pick a1 first
+    then b (a2's redundancy penalty sinks it), where plain top-2
+    would pick a1, a2."""
+    from capex_data_pipeline_spark.extensions.similarity import mmr_rerank
+
+    rows = [
+        (100, [1.0, 0.0, 0.0]),        # query
+        (1, [0.99, 0.14, 0.0]),        # a1
+        (2, [0.99, 0.141, 0.0]),       # a2 (near-dup of a1)
+        (3, [0.7, 0.0, 0.71]),         # b (different direction)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sorted(
+        (r["pick_rank"], r["neighbor_id"])
+        for r in mmr_rerank(
+            emb,
+            emb.filter(F.col("vec_id") == 100),
+            k=2,
+            pool=3,
+            lam_tenths=5,
+        ).collect()
+    )
+    assert out == [(1, 1), (2, 3)]
