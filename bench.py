@@ -361,6 +361,8 @@ HEADLINE = [
     "q264_ktruss",
     "q265_sequence_pairs",
     "q266_bitemporal_snapshot",
+    "q267_rate_limit_audit",
+    "q268_clamped_balance",
 ]
 
 
@@ -481,25 +483,46 @@ def scaling3() -> None:
     if not top:
         raise SystemExit("scaling3: no previous preview medians found")
 
+    # 10x the data needs the corresponding knobs: more heap for the
+    # single local JVM (q170's PPJoin aggregation OOMs at the 16g
+    # default) and shuffle partitions that scale with the input so
+    # per-task aggregation state stays memory-sized — exactly the
+    # sizing rule the module docstring preaches for real clusters
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark(
         app_name="capex-scaling3",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
     )
+    sf1_partitions = int(
+        os.environ.get("SPARK_GRAFT_SF1_PARTITIONS", str(4 * int(cpus)))
+    )
     out: dict[str, dict] = {}
     for name in top:
         entry: dict[str, float] = {}
-        for label, d in (("sf01", "/root/testdata/sf0.1"), ("sf1", sf1_dir)):
+        for label, d, parts in (
+            ("sf01", "/root/testdata/sf0.1", int(cpus)),
+            ("sf1", sf1_dir, sf1_partitions),
+        ):
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
             runs = []
             for _ in range(reps):
                 _reset_engine_caches()
                 t0 = time.perf_counter()
-                QUERIES[name](spark, d).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                try:
+                    QUERIES[name](spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception as exc:  # record, don't abort the sweep
+                    entry[f"{label}_error"] = str(exc)[:200]
+                    break
                 runs.append(time.perf_counter() - t0)
-            entry[label] = round(statistics.median(runs), 3)
-        entry["ratio"] = round(entry["sf1"] / max(entry["sf01"], 1e-9), 2)
+            if runs:
+                entry[label] = round(statistics.median(runs), 3)
+        if "sf01" in entry and "sf1" in entry:
+            entry["ratio"] = round(
+                entry["sf1"] / max(entry["sf01"], 1e-9), 2
+            )
         out[name] = entry
         print(json.dumps({name: entry}))
     print(

@@ -1749,7 +1749,7 @@ def phrase_match_counts(
     phrase: "list[str]",
     id_col: str = "doc_id",
     text_col: str = "text",
-    rebalance_probe: bool = False,
+    rebalance_input: bool = False,
 ) -> DataFrame:
     """Exact consecutive-phrase search: count the occurrences of
     ``phrase`` (a list of normalized words) in every document's token
@@ -1784,18 +1784,17 @@ def phrase_match_counts(
 
     k = len(phrase)
     needle = " " + " ".join(phrase) + " "
-    cand = df.select(
+    base = df.select(F.col(id_col), F.col(text_col))
+    if rebalance_input:
+        # few-split-input lever — see proximity_match_counts
+        base = base.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
+    cand = base.select(
         F.col(id_col), normalized_text(F.col(text_col)).alias("_nt")
     ).filter(
         F.concat(F.lit(" "), F.col("_nt"), F.lit(" ")).contains(needle)
     )
-    if rebalance_probe:
-        # survivor-sized exchange before the positional tier — see
-        # proximity_match_counts; evens out few-split inputs and
-        # survivor concentration
-        cand = cand.repartition(
-            df.sparkSession.sparkContext.defaultParallelism
-        )
     words = F.filter(F.split(F.col("_nt"), " "), lambda w: w != "")
 
     def _is_match(i: Column) -> Column:
@@ -1807,16 +1806,26 @@ def phrase_match_counts(
     starts = F.filter(
         F.sequence(F.lit(1), F.size("_ws") - (k - 1)), _is_match
     )
+    # nondeterministic barrier for the same reason as
+    # proximity_match_counts: without it the n_matches predicate
+    # substitutes the start-position filter into the scan-side
+    # Filter (re-evaluated, and below any rebalance exchange)
     return (
         cand.select(F.col(id_col), words.alias("_ws"))
         .filter(F.size("_ws") >= k)
-        .select(F.col(id_col), starts.alias("_st"))
+        .select(
+            F.col(id_col),
+            starts.alias("_st"),
+            F.monotonically_increasing_id().alias("_nd"),
+        )
         .select(
             F.col(id_col),
             F.size("_st").alias("n_matches"),
             F.element_at("_st", 1).alias("first_pos"),
+            F.col("_nd"),
         )
         .filter(F.col("n_matches") > 0)
+        .drop("_nd")
     )
 
 
@@ -2992,7 +3001,7 @@ def proximity_match_counts(
     window: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    rebalance_probe: bool = False,
+    rebalance_input: bool = False,
 ) -> DataFrame:
     """Proximity search — documents where ``term_a`` and ``term_b``
     occur within ``window`` token positions (the NEAR/k operator of
@@ -3017,7 +3026,21 @@ def proximity_match_counts(
         raise ValueError(f"window must be >= 1: {window}")
     from capex_data_pipeline_spark.extensions.dedup import normalized_text
 
-    cand = df.select(
+    base = df.select(F.col(id_col), F.col(text_col))
+    if rebalance_input:
+        # a corpus whose parquet carries FEW splits (testdata sf0.1 is
+        # ONE row group) runs the whole normalize+filter+probe chain
+        # on as many tasks as there are splits — one core, however
+        # wide the cluster. One row-level round-robin exchange of the
+        # raw (id, text) projection restores parallelism for
+        # EVERYTHING downstream; on real many-split inputs leave it
+        # off (the scan is already parallel and the exchange ships
+        # the corpus once for nothing). Measured at sf0.1:
+        # 21.9 s -> ~2 s (docs/SCALE.md r13).
+        base = base.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
+    cand = base.select(
         F.col(id_col), normalized_text(F.col(text_col)).alias("_nt")
     ).filter(
         F.concat(F.lit(" "), F.col("_nt"), F.lit(" ")).contains(
@@ -3027,18 +3050,6 @@ def proximity_match_counts(
             f" {term_b} "
         )
     )
-    if rebalance_probe:
-        # the tier-2 positional probe is ~us/position while tier 1 is
-        # ns/byte: when the input has few splits (one parquet row
-        # group) or the prefilter's survivors concentrate in few
-        # files, the probe inherits that skew. One SURVIVOR-sized
-        # round-robin exchange rebalances it across the cluster —
-        # measured 17.2 s -> ~2 s at sf0.1's single-row-group corpus
-        # (docs/SCALE.md r13); the corpus-wide tier-1 scan stays
-        # map-only either way.
-        cand = cand.repartition(
-            df.sparkSession.sparkContext.defaultParallelism
-        )
     words = F.filter(F.split(F.col("_nt"), " "), lambda w: w != "")
 
     def _positions(term: str) -> Column:
@@ -3076,13 +3087,22 @@ def proximity_match_counts(
             ),
         )
     )
+    # the qualifying filter must NOT be pushed below this projection:
+    # Catalyst would substitute the whole pair-probe aggregate into a
+    # scan-side Filter — single-evaluation here becomes re-evaluation
+    # there, and (worse) BELOW any rebalance exchange, single-tasking
+    # the probe on few-split inputs. A nondeterministic barrier column
+    # pins the projection (predicates cannot cross nondeterministic
+    # projects), so n_pairs evaluates ONCE, post-exchange.
     return (
         pos.select(
             F.col(id_col),
             n_pairs.cast("long").alias("n_pairs"),
             min_dist.cast("long").alias("min_dist"),
+            F.monotonically_increasing_id().alias("_nd"),
         )
         .filter(F.col("n_pairs") > 0)
+        .drop("_nd")
     )
 
 

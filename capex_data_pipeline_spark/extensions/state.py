@@ -826,8 +826,7 @@ def ivf_fold_persisted(
     new_vectors: DataFrame,
     centers: "list[list[float]]",
     vec_col: str = "embedding",
-    save_as: str | None = None,
-    save_path: str | None = None,
+    append: bool = False,
     n_buckets: int = 8,
 ) -> DataFrame:
     """Fold a batch of NEW vectors into the persisted IVF assignment —
@@ -845,6 +844,12 @@ def ivf_fold_persisted(
     a from-scratch build with these centers would produce — q262's
     oracle certifies it — while center drift is handled by periodic
     rebuilds, not per-batch reclustering.
+
+    ``append=False`` (default) returns state ∪ batch without
+    touching disk (the query-time fold — idempotent, what a repeated
+    probe job wants); ``append=True`` also writes the batch's rows
+    into ``state_table`` durably (bucketed append), closing the
+    day-over-day loop — call it once per batch, not per query.
     """
     from capex_data_pipeline_spark.extensions.similarity import (
         _arrow_topcells,
@@ -859,13 +864,12 @@ def ivf_fold_persisted(
             1,
         ),
     )
-    if save_as:
+    if append:
         save_ivf_state(
             assigned_new,
-            save_as,
+            state_table,
             n_buckets=n_buckets,
-            path=save_path,
             mode="append",
         )
-        return spark.table(save_as)
+        return spark.table(state_table)
     return spark.table(state_table).unionByName(assigned_new)

@@ -1627,3 +1627,129 @@ def sequence_pair_support(
             decimals,
         ).alias("confidence"),
     )
+
+
+def rate_limit_audit(
+    df: DataFrame,
+    limit: int,
+    window_seconds: int = 60,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window rate audit — which principals exceeded ``limit``
+    events per ``window_seconds`` and by how much: for every event,
+    the count of the key's events in the trailing window (inclusive);
+    an event is a BURST event when that count >= limit. The
+    abuse/quota primitive (API limits, scraper detection, fraud
+    velocity checks) that tumbling-window counts under-detect — a
+    burst straddling two tumbling windows hides in both halves, while
+    the sliding count sees it whole.
+
+    Scale shape: ONE key-partitioned RANGE window over integer
+    microseconds — native frame, no self-join, no explode; per-task
+    state is one key's timeline (the q243/q248 sort). Equal-instant
+    events share a frame (RANGE semantics), so the count is
+    order-independent under ties — deterministic with no invented
+    tie-break. Output is per KEY (compact), not per event.
+
+    Returns (user_col, n_events, n_burst_events, max_in_window,
+    first_burst_ts) for every key; n_burst_events = 0 marks the
+    compliant ones (kept — an audit that drops the innocent can't
+    prove compliance).
+    """
+    if limit < 1:
+        raise ValueError(f"limit must be >= 1: {limit}")
+    if window_seconds < 1:
+        raise ValueError(f"window_seconds must be >= 1: {window_seconds}")
+    us = window_seconds * 1_000_000
+    ev = df.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_e"),
+    )
+    w = (
+        Window.partitionBy("_u")
+        .orderBy("_e")
+        .rangeBetween(-(us - 1), 0)
+    )
+    cnt = ev.withColumn("_c", F.count(F.lit(1)).over(w))
+    return cnt.groupBy(F.col("_u").alias(user_col)).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("_c") >= limit).cast("long")).alias(
+            "n_burst_events"
+        ),
+        F.max("_c").alias("max_in_window"),
+        F.min(F.when(F.col("_c") >= limit, F.col("_ts"))).alias(
+            "first_burst_ts"
+        ),
+    )
+
+
+def clamped_balance(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    cents: int = 2,
+    initial_cents: int = 0,
+) -> DataFrame:
+    """Floor-clamped running balance — the NON-LINEAR running sum
+    behind inventory positions, prepaid credit, and token buckets:
+    per key, fold deltas in time order with
+    ``balance = max(0, balance + delta)`` — a drain below zero stops
+    at zero instead of going negative, so later deposits start from
+    0, not from a fictitious debt. A plain window cumsum CANNOT
+    express this (the clamp makes each step depend on the clamped
+    previous step); it is exactly a sequential fold.
+
+    Exactness: deltas quantize to integer cents per row BEFORE any
+    aggregation, the fold is integer max/add — bit-identical on any
+    engine (DuckDB replays it as a scalar ``list_reduce``, which is
+    safe — the struct-lambda accumulator bug q257 documents does not
+    apply to scalar folds). Per-key arrays are bounded by the
+    analysis horizon (the q213/q247 bounded-collect contract);
+    deltas in the same instant fold in (ts, delta) sorted order — a
+    pinned, engine-identical tie rule.
+
+    Returns (key_col, n_deltas, sum_deltas_cents, final_cents,
+    clamped — whether the floor ever engaged, exact).
+    """
+    scale = 10 ** cents
+    ev = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.round(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .alias("_x"),
+    )
+    per_key = ev.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("n_deltas"),
+        F.sum("_x").alias("sum_deltas_cents"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_ts", "_x"))),
+            lambda s: s["_x"],
+        ).alias("_arr"),
+    )
+    folded = F.aggregate(
+        F.col("_arr"),
+        F.lit(initial_cents).cast("long"),
+        lambda acc, x: F.greatest(acc + x, F.lit(0).cast("long")),
+    )
+    return per_key.select(
+        F.col("_k").alias(key_col),
+        "n_deltas",
+        "sum_deltas_cents",
+        folded.alias("final_cents"),
+        # the floor engaged iff the clamped result exceeds the
+        # unclamped one (clamping can only raise the balance)
+        (
+            folded
+            > F.lit(initial_cents) + F.col("sum_deltas_cents")
+        ).alias("clamped"),
+    )

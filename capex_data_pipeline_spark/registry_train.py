@@ -233,7 +233,7 @@ def q131_phrase_search(spark, sf_dir):
 
     return phrase_match_counts(
         _t(spark, sf_dir, "documents"), list(_PHRASE),
-        rebalance_probe=True,
+        rebalance_input=True,
     )
 
 # ------------------------------------ q132: anchor-text aggregation
@@ -5697,7 +5697,7 @@ def q246_proximity_search(spark, sf_dir):
 
     return proximity_match_counts(
         _t(spark, sf_dir, "documents"), "table", "row", window=5,
-        rebalance_probe=True,
+        rebalance_input=True,
     )
 
 

@@ -2264,3 +2264,99 @@ def q265_sequence_pairs(spark, sf_dir):
     return sequence_pair_support(
         _t(spark, sf_dir, "events"), "user_id", "ts", "event_type"
     )
+
+
+# ---- q267: sliding-window rate-limit audit
+
+
+@query(
+    "q267_rate_limit_audit",
+    """
+    WITH ev AS (
+      SELECT user_id AS u, ts, epoch_us(ts) AS e
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    c AS (
+      SELECT u, ts,
+             count(*) OVER (PARTITION BY u ORDER BY e
+                            RANGE BETWEEN 59999999 PRECEDING
+                                      AND CURRENT ROW) AS c
+      FROM ev
+    )
+    SELECT u AS user_id, count(*)::BIGINT AS n_events,
+           sum(CASE WHEN c >= 5 THEN 1 ELSE 0 END)::BIGINT
+             AS n_burst_events,
+           max(c)::BIGINT AS max_in_window,
+           min(CASE WHEN c >= 5 THEN ts END) AS first_burst_ts
+    FROM c GROUP BY 1
+    """,
+)
+def q267_rate_limit_audit(spark, sf_dir):
+    """Sliding-window rate audit, 5 events / 60 s per user
+    (timeseries.rate_limit_audit): per event the trailing-window
+    count via ONE key-partitioned RANGE window over integer
+    microseconds — bursts straddling tumbling-window edges can't
+    hide; RANGE frames make equal instants share a count, so ties
+    need no invented order. Per-key compact output keeps compliant
+    users (n_burst_events = 0 proves compliance). The oracle replays
+    the same RANGE frame and per-key aggregate."""
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        rate_limit_audit,
+    )
+
+    return rate_limit_audit(
+        _t(spark, sf_dir, "events"), limit=5, window_seconds=60
+    )
+
+
+# ---- q268: floor-clamped running balance (non-linear fold)
+
+
+@query(
+    "q268_clamped_balance",
+    """
+    WITH ev AS (
+      SELECT user_id AS k, ts,
+             CAST(round((CASE WHEN event_type = 'purchase'
+                              THEN value ELSE -value END) * 100)
+                  AS BIGINT) AS x
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND value IS NOT NULL
+    ),
+    pk AS (
+      SELECT k, count(*)::BIGINT AS n_deltas,
+             sum(x)::BIGINT AS sum_deltas_cents,
+             list_reduce(
+               list_prepend(0::BIGINT, list(x ORDER BY ts, x)),
+               (acc, x) -> greatest(acc + x, 0::BIGINT)
+             ) AS fin
+      FROM ev GROUP BY 1
+    )
+    SELECT k AS user_id, n_deltas, sum_deltas_cents,
+           fin AS final_cents,
+           (fin > sum_deltas_cents) AS clamped
+    FROM pk
+    """,
+)
+def q268_clamped_balance(spark, sf_dir):
+    """Floor-clamped running credit balance per user
+    (timeseries.clamped_balance): purchases top up, every other
+    event drains its value, and the balance folds max(0, bal+delta)
+    in (ts, delta) order — the NON-LINEAR running sum (inventory /
+    prepaid credit / token-bucket position) a window cumsum cannot
+    express because the clamp makes each step depend on the clamped
+    previous one. Exact integer cents end to end; the oracle replays
+    the fold as a 0-seeded scalar list_reduce (scalar folds are safe
+    — the struct-lambda accumulator bug q257 documents is not hit)."""
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        clamped_balance,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    signed = ev.withColumn(
+        "value",
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(-F.col("value")),
+    )
+    return clamped_balance(signed, "user_id", "ts", "value")

@@ -269,7 +269,7 @@ def test_driver_contract_registry_invariants():
     import bench
 
     qs, oracles = E.queries(), E.oracle_sql()
-    assert len(qs) == 266
+    assert len(qs) == 268
     # drift lint: registered names must be a contiguous q1..qN block, so
     # an added/removed query fails HERE with the offending number, not
     # just a bare count mismatch

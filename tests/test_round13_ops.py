@@ -553,3 +553,58 @@ def test_mmr_prefers_diverse_over_redundant(spark):
         ).collect()
     )
     assert out == [(1, 1), (2, 3)]
+
+
+# ------------------------------------------------ rate limit
+
+
+def test_rate_limit_audit_burst_and_straddle(spark):
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        rate_limit_audit,
+    )
+
+    base = _ts("2024-01-01 10:00:00")
+    import datetime as dt
+
+    rows = (
+        # user 1: 3 events in 60s — compliant at limit 3?? limit=3
+        # means count>=3 bursts; use limit 4 below: 3 events no burst
+        [(1, base + dt.timedelta(seconds=s)) for s in (0, 10, 50)]
+        # user 2: 4 events straddling a minute boundary (at :30,
+        # :50, :70, :80) — a tumbling [0,60) window sees only 2+2,
+        # the sliding window sees all 4 within 59s
+        + [(2, base + dt.timedelta(seconds=s)) for s in (30, 50, 70, 80)]
+    )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        r["user_id"]: (
+            r["n_events"], r["n_burst_events"], r["max_in_window"]
+        )
+        for r in rate_limit_audit(df, limit=4, window_seconds=60).collect()
+    }
+    assert out[1] == (3, 0, 3)
+    assert out[2] == (4, 1, 4)
+
+
+# --------------------------------------------- clamped balance
+
+
+def test_clamped_balance_floor_engages(spark):
+    from capex_data_pipeline_spark.extensions.timeseries import (
+        clamped_balance,
+    )
+
+    rows = [
+        ("a", _ts("2024-01-01 10:00"), 5.00),   # +500
+        ("a", _ts("2024-01-01 11:00"), -20.00),  # clamp to 0 (not -1500)
+        ("a", _ts("2024-01-01 12:00"), 3.00),   # restart from 0 -> 300
+        ("b", _ts("2024-01-01 10:00"), 2.00),
+        ("b", _ts("2024-01-01 11:00"), -1.00),  # never clamps
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {
+        r["k"]: (r["final_cents"], r["sum_deltas_cents"], r["clamped"])
+        for r in clamped_balance(df, "k", "ts", "value").collect()
+    }
+    assert out["a"] == (300, -1200, True)
+    assert out["b"] == (100, 100, False)
