@@ -2227,11 +2227,11 @@ def stress_advisor() -> None:
 
     from capex_data_pipeline_spark.extensions.sketches import (
         join_graph_profile,
-        table_stats_sketch,
+        table_stats_sketch_multi,
     )
     from capex_data_pipeline_spark.extensions.state import (
         join_graph_profile_persisted,
-        save_stats_cells,
+        save_stats_cells_multi,
     )
     from capex_data_pipeline_spark.registry_train import (
         _Q200_EDGE_KEYS,
@@ -2262,15 +2262,17 @@ def stress_advisor() -> None:
     ]
     out = {}
     try:
-        # the nightly job (untimed for the planning comparison)
+        # the nightly job (untimed for the planning comparison) — one
+        # unioned bucketed write, the q228 shape
         t0 = time.time()
-        for i, (tname, cols) in enumerate(_Q200_KEYS.items()):
-            save_stats_cells(
-                t[tname], list(cols), partition=F.lit(tname),
-                table="t_stress_advisor_state", b=6, n_buckets=8,
-                path=os.path.join(tmp, "state"),
-                mode="overwrite" if i == 0 else "append",
-            )
+        save_stats_cells_multi(
+            [
+                (t[tname], list(cols), F.lit(tname))
+                for tname, cols in _Q200_KEYS.items()
+            ],
+            table="t_stress_advisor_state", b=6, n_buckets=8,
+            path=os.path.join(tmp, "state"), mode="overwrite",
+        )
         out["state_build_sec"] = round(time.time() - t0, 3)
 
         def timed(fn):
@@ -2288,10 +2290,15 @@ def stress_advisor() -> None:
         )
 
         def direct():
-            ndv_by_col = {}
-            for tname, cols in _Q200_KEYS.items():
-                for r in table_stats_sketch(t[tname], list(cols)).collect():
-                    ndv_by_col[r["column_name"]] = float(r["ndv_est"])
+            ndv_by_col = {
+                r["column_name"]: float(r["ndv_est"])
+                for r in table_stats_sketch_multi(
+                    [
+                        (t[tname], list(cols))
+                        for tname, cols in _Q200_KEYS.items()
+                    ]
+                ).collect()
+            }
             ndv = {
                 e: max(ndv_by_col[ka], ndv_by_col[kb])
                 for e, (ka, kb) in _Q200_EDGE_KEYS.items()

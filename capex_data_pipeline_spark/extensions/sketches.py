@@ -1780,6 +1780,45 @@ def table_stats_sketch(
     return _stats_finalize(_stats_cells(melted, b), None, 1 << b, decimals)
 
 
+def table_stats_sketch_multi(
+    frames: "list[tuple[DataFrame, list[str]]]",
+    b: int = 6,
+    decimals: int = 6,
+) -> DataFrame:
+    """:func:`table_stats_sketch` over SEVERAL tables as ONE query —
+    the per-table cell aggregates union into a single plan, so one
+    Spark action scans every table with the independent scan stages
+    overlapping instead of running as N sequential driver-blocking
+    jobs (guide §2.6: actions are only sequential because driver code
+    calls them sequentially). Column names must be globally unique
+    across the frames (the TPC-H prefix convention) — the finalize
+    arithmetic groups on the column name, and each column's cells come
+    from exactly one table, so every per-column output row is
+    bit-identical to the sequential per-table calls.
+
+    Returns the union of the per-table sketch-stats rows:
+    (column_name, n_rows, n_null, null_frac, avg_len, ndv_est)."""
+    if not frames:
+        raise ValueError("table_stats_sketch_multi: frames must be non-empty")
+    seen: set[str] = set()
+    cells = None
+    for df, cols in frames:
+        if not cols:
+            raise ValueError(
+                "table_stats_sketch_multi: cols must be non-empty"
+            )
+        dup = seen & set(cols)
+        if dup:
+            raise ValueError(
+                "table_stats_sketch_multi: column names must be globally "
+                f"unique across frames; duplicated: {sorted(dup)}"
+            )
+        seen |= set(cols)
+        c = _stats_cells(_stats_melt(df, list(cols)), b)
+        cells = c if cells is None else cells.unionByName(c)
+    return _stats_finalize(cells, None, 1 << b, decimals)
+
+
 def _stats_melt(df: DataFrame, cols: "list[str]", extra: "list[str]" = ()) -> DataFrame:
     """Melt ``cols`` into compact (column, value-string) pairs — the
     one wide-data pass every stats variant shares. ``extra`` columns

@@ -147,6 +147,55 @@ def save_stats_cells(
     return df.sparkSession.table(table)
 
 
+def save_stats_cells_multi(
+    parts: "list[tuple[DataFrame, list[str], Column]]",
+    table: str,
+    b: int = 6,
+    n_buckets: int = 8,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """:func:`save_stats_cells` for SEVERAL (df, cols, partition)
+    sources in ONE bucketed write: the per-source cell aggregates
+    union into a single plan, so the nightly stats job pays one write
+    job whose independent scan stages overlap, instead of one
+    sequential overwrite + N-1 sequential appends (guide §2.6). The
+    written rows — (_pt, _col, _b, _cnt, _slen, _mr), bucketed and
+    per-bucket sorted on the same keys — are exactly the rows the
+    sequential append loop produces, so every reader
+    (:func:`stats_fold_persisted`, :func:`join_graph_profile_persisted`,
+    :func:`compact_stats_cells`) sees identical state."""
+    from capex_data_pipeline_spark.extensions.sketches import (
+        _stats_cells,
+        _stats_melt,
+    )
+    from capex_data_pipeline_spark.sources.bucketed import write_bucketed
+
+    if not parts:
+        raise ValueError("save_stats_cells_multi: parts must be non-empty")
+    cells = None
+    for df, cols, partition in parts:
+        if not cols:
+            raise ValueError(
+                "save_stats_cells_multi: cols must be non-empty"
+            )
+        melted = _stats_melt(
+            df.withColumn("_pt", partition), list(cols), extra=["_pt"]
+        )
+        c = _stats_cells(melted, b, keys=("_pt", "_col"))
+        cells = c if cells is None else cells.unionByName(c)
+    write_bucketed(
+        cells,
+        table,
+        ["_col"],
+        n_buckets=n_buckets,
+        sort_cols=["_col", "_b"],
+        path=path,
+        mode=mode,
+    )
+    return parts[0][0].sparkSession.table(table)
+
+
 def stats_fold_persisted(
     spark: SparkSession,
     state_table: str,

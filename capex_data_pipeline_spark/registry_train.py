@@ -4372,14 +4372,21 @@ def q200_join_graph_stats_sized(spark, sf_dir):
     variant for validation runs)."""
     from capex_data_pipeline_spark.extensions.sketches import (
         join_graph_profile,
-        table_stats_sketch,
+        table_stats_sketch_multi,
     )
 
     t = {n: _t(spark, sf_dir, n) for n in _Q200_KEYS}
-    ndv_by_col: dict[str, float] = {}
-    for tname, cols in _Q200_KEYS.items():
-        for r in table_stats_sketch(t[tname], cols).collect():
-            ndv_by_col[r["column_name"]] = float(r["ndv_est"])
+    # ONE action for all six tables' NDV sketches: the per-table melt
+    # scans union into a single plan and overlap, instead of running
+    # as 6 sequential driver-blocking collect()s (guide §2.6); each
+    # column's cells and finalize arithmetic are unchanged, so the
+    # estimates — and the widths derived from them — are bit-identical
+    ndv_by_col: dict[str, float] = {
+        r["column_name"]: float(r["ndv_est"])
+        for r in table_stats_sketch_multi(
+            [(t[tname], list(cols)) for tname, cols in _Q200_KEYS.items()]
+        ).collect()
+    }
     ndv = {
         edge: max(ndv_by_col[ka], ndv_by_col[kb])
         for edge, (ka, kb) in _Q200_EDGE_KEYS.items()
@@ -5225,23 +5232,25 @@ def q228_advisor_from_state(spark, sf_dir):
     direct-scan oracle."""
     from capex_data_pipeline_spark.extensions.state import (
         join_graph_profile_persisted,
-        save_stats_cells,
+        save_stats_cells_multi,
     )
 
     t = {n: _t(spark, sf_dir, n) for n in _Q200_KEYS}
-    # the nightly stats job: per-table key-column cells appended into
-    # one shared state table (column names are globally unique)
-    for i, (tname, cols) in enumerate(_Q200_KEYS.items()):
-        save_stats_cells(
-            t[tname],
-            list(cols),
-            partition=F.lit(tname),
-            table="t_state_cells_q228",
-            b=6,
-            n_buckets=8,
-            path="/root/repo/spark-warehouse/t_state_cells_q228",
-            mode="overwrite" if i == 0 else "append",
-        )
+    # the nightly stats job: all six tables' key-column cells written
+    # in ONE bucketed write (column names are globally unique) — the
+    # per-table scans overlap inside one job instead of running as an
+    # overwrite + 5 sequential appends; the written rows are identical
+    save_stats_cells_multi(
+        [
+            (t[tname], list(cols), F.lit(tname))
+            for tname, cols in _Q200_KEYS.items()
+        ],
+        table="t_state_cells_q228",
+        b=6,
+        n_buckets=8,
+        path="/root/repo/spark-warehouse/t_state_cells_q228",
+        mode="overwrite",
+    )
     return join_graph_profile_persisted(
         spark,
         "t_state_cells_q228",
@@ -5715,22 +5724,24 @@ def _q251_state(spark, sf_dir) -> str:
     median is PLANNING time (the --stress-advisor 7.4s shape)."""
     import os
 
-    from capex_data_pipeline_spark.extensions.state import save_stats_cells
+    from capex_data_pipeline_spark.extensions.state import (
+        save_stats_cells_multi,
+    )
 
     base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     table = f"t_state_cells_plan_{base}"
     if not spark.catalog.tableExists(table):
-        for i, (tname, cols) in enumerate(_Q200_KEYS.items()):
-            save_stats_cells(
-                _t(spark, sf_dir, tname),
-                list(cols),
-                partition=F.lit(tname),
-                table=table,
-                b=6,
-                n_buckets=8,
-                path=f"/root/repo/spark-warehouse/{table}",
-                mode="overwrite" if i == 0 else "append",
-            )
+        save_stats_cells_multi(
+            [
+                (_t(spark, sf_dir, tname), list(cols), F.lit(tname))
+                for tname, cols in _Q200_KEYS.items()
+            ],
+            table=table,
+            b=6,
+            n_buckets=8,
+            path=f"/root/repo/spark-warehouse/{table}",
+            mode="overwrite",
+        )
     return table
 
 
