@@ -3024,19 +3024,21 @@ def proximity_match_counts(
         )
     if window < 1:
         raise ValueError(f"window must be >= 1: {window}")
+    from pyspark.sql import types as T
+
     from capex_data_pipeline_spark.extensions.dedup import normalized_text
 
     base = df.select(F.col(id_col), F.col(text_col))
     if rebalance_input:
         # a corpus whose parquet carries FEW splits (testdata sf0.1 is
-        # ONE row group) runs the whole normalize+filter+probe chain
-        # on as many tasks as there are splits — one core, however
-        # wide the cluster. One row-level round-robin exchange of the
-        # raw (id, text) projection restores parallelism for
-        # EVERYTHING downstream; on real many-split inputs leave it
-        # off (the scan is already parallel and the exchange ships
-        # the corpus once for nothing). Measured at sf0.1:
-        # 21.9 s -> ~2 s (docs/SCALE.md r13).
+        # ONE row group) runs the whole normalize+filter chain on as
+        # many tasks as there are splits — one core, however wide the
+        # cluster. One row-level round-robin exchange of the raw
+        # (id, text) projection restores parallelism for the corpus
+        # pass; on real many-split inputs leave it off (the scan is
+        # already parallel and the exchange ships the corpus once for
+        # nothing). Measured at sf0.1: 21.9 s -> ~2 s (docs/SCALE.md
+        # r13).
         base = base.repartition(
             df.sparkSession.sparkContext.defaultParallelism
         )
@@ -3050,60 +3052,60 @@ def proximity_match_counts(
             f" {term_b} "
         )
     )
-    words = F.filter(F.split(F.col("_nt"), " "), lambda w: w != "")
+    # tier 2 — Arrow-vectorized positional probe (guide §4.2). The
+    # previous shape ran the position lists + pair window as Catalyst
+    # higher-order functions, which execute INTERPRETED (one lambda
+    # invocation per token per term — the measured ~11 s warm residual
+    # at sf0.1 was this tax, docs/SCALE.md "q246 anatomy"). Only the
+    # containment-prefilter SURVIVORS cross the Python boundary (both
+    # terms present — candidate-sized, never corpus-sized), tokenize
+    # via C-level str.split, and numpy does the position/pair math per
+    # batch. The candidate frame is round-robin-spread first so the
+    # probe parallelizes even when the prefilter output lands on few
+    # tasks — the exchange carries candidates only, which is exactly
+    # the "shuffle the lightweight proxy" rule (guide §8). The old
+    # nondeterministic pushdown barrier is obsolete: the qualifying
+    # filter now lives inside the opaque probe, so there is no
+    # n_pairs predicate for Catalyst to substitute into the scan.
+    ta, tb, win = str(term_a), str(term_b), int(window)
+    name = id_col
 
-    def _positions(term: str) -> Column:
-        return F.filter(
-            F.sequence(F.lit(1), F.size("_ws")),
-            lambda i: F.element_at("_ws", i) == F.lit(term),
-        )
+    def _probe(batches):
+        import numpy as np
+        import pandas as pd
 
-    pos = (
-        cand.select(F.col(id_col), words.alias("_ws"))
-        .filter(F.size("_ws") > 0)
-        .select(
-            F.col(id_col),
-            _positions(term_a).alias("_pa"),
-            _positions(term_b).alias("_pb"),
-        )
+        for pdf in batches:
+            ids, n_out, d_out = [], [], []
+            for doc_id, nt in zip(pdf[name].tolist(), pdf["_nt"].tolist()):
+                toks = np.array(
+                    [w for w in nt.split(" ") if w != ""], dtype=object
+                )
+                pa = np.flatnonzero(toks == ta) + 1
+                pb = np.flatnonzero(toks == tb) + 1
+                if len(pa) == 0 or len(pb) == 0:
+                    continue
+                diff = np.abs(pa[:, None] - pb[None, :])
+                n_pairs = int((diff <= win).sum())
+                if n_pairs == 0:
+                    continue
+                ids.append(doc_id)
+                n_out.append(n_pairs)
+                d_out.append(int(diff.min()))
+            if ids:
+                yield pd.DataFrame(
+                    {name: ids, "n_pairs": n_out, "min_dist": d_out}
+                )
+
+    out_schema = T.StructType(
+        [
+            cand.schema[name],
+            T.StructField("n_pairs", T.LongType()),
+            T.StructField("min_dist", T.LongType()),
+        ]
     )
-    n_pairs = F.aggregate(
-        F.col("_pa"),
-        F.lit(0),
-        lambda acc, p: acc
-        + F.size(
-            F.filter(
-                F.col("_pb"), lambda q: F.abs(q - p) <= F.lit(window)
-            )
-        ),
-    )
-    # the doc qualifies only when >= 1 pair is inside the window, so
-    # the unfiltered all-pairs min IS the min qualifying distance
-    min_dist = F.array_min(
-        F.transform(
-            F.col("_pa"),
-            lambda p: F.array_min(
-                F.transform(F.col("_pb"), lambda q: F.abs(p - q))
-            ),
-        )
-    )
-    # the qualifying filter must NOT be pushed below this projection:
-    # Catalyst would substitute the whole pair-probe aggregate into a
-    # scan-side Filter — single-evaluation here becomes re-evaluation
-    # there, and (worse) BELOW any rebalance exchange, single-tasking
-    # the probe on few-split inputs. A nondeterministic barrier column
-    # pins the projection (predicates cannot cross nondeterministic
-    # projects), so n_pairs evaluates ONCE, post-exchange.
-    return (
-        pos.select(
-            F.col(id_col),
-            n_pairs.cast("long").alias("n_pairs"),
-            min_dist.cast("long").alias("min_dist"),
-            F.monotonically_increasing_id().alias("_nd"),
-        )
-        .filter(F.col("n_pairs") > 0)
-        .drop("_nd")
-    )
+    return cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).mapInPandas(_probe, schema=out_schema)
 
 
 # ------------------------------------------- positional inverted index

@@ -1856,6 +1856,12 @@ def jaccard_similarity_join(
     ordered = _ppjoin_ordered(docs, threshold, text_col, id_col)
     cands = _ppjoin_candidates(ordered, threshold)
     sets = ordered.select("id", "ts")
+    # |union| = n_a + n_b − |intersection| EXACTLY (both arrays are
+    # distinct by construction), so the union's per-pair hash build —
+    # half the verify stage's array work across ~10M candidates — is
+    # replaced by two cached sizes and a subtraction (guide §1.2:
+    # per-task work, same value bit-for-bit)
+    inter = F.size(F.array_intersect("_ta", "_tb"))
     return (
         cands.join(sets.select(F.col("id").alias("id_a"), F.col("ts").alias("_ta")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("ts").alias("_tb")), "id_b")
@@ -1863,8 +1869,8 @@ def jaccard_similarity_join(
             "id_a",
             "id_b",
             F.round(
-                F.size(F.array_intersect("_ta", "_tb"))
-                / F.size(F.array_union("_ta", "_tb")).cast("double"),
+                inter
+                / (F.size("_ta") + F.size("_tb") - inter).cast("double"),
                 decimals,
             ).alias("jaccard"),
         )
