@@ -1703,7 +1703,21 @@ def _ppjoin_ordered(
     family: returns a persisted (id, ts, _plen) frame where ``ts`` is
     the doc's distinct tokens sorted by ascending global document
     frequency (ties by token) and ``_plen`` is the prefix length
-    ``n - ceil(t·n) + 1``."""
+    ``n - ceil(t·n) + 1``.
+
+    ``ts`` carries 64-bit TOKEN IDS (``xxhash64``), not the token
+    strings, whenever the hash is PROVEN injective on this corpus's
+    vocabulary (one vocab-sized aggregate: distinct tokens ==
+    distinct hashes certifies a bijection, so every downstream
+    equi-join and ``array_intersect`` over ids is value-identical to
+    operating on the strings — and 3-4× cheaper per pair: 8-byte
+    long compares instead of string hashing across the ~10M-pair
+    verify stage, and the candidate explode shuffles fixed 8-byte
+    keys). On a hash collision (probability ~|vocab|²/2⁶⁴) it falls
+    back LOUDLY to the string path — same results, old cost; exact
+    either way."""
+    import warnings
+
     from capex_data_pipeline_spark.cache import persisted
 
     if not 0 < threshold <= 1:
@@ -1720,24 +1734,42 @@ def _ppjoin_ordered(
             )
         ).alias("ts"),
     ).filter(F.size("ts") > 0)
-    freq = (
+    freq = persisted(
         toks.select(F.explode("ts").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
     )
+    chk = freq.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.xxhash64("tok")).alias("nh"),
+    ).first()
+    use_ids = int(chk["n"]) == int(chk["nh"])
+    if not use_ids:
+        warnings.warn(
+            "_ppjoin_ordered: xxhash64 collision on this vocabulary "
+            f"({chk['n']} tokens, {chk['nh']} distinct hashes) — "
+            "falling back to string token keys (correct, slower)",
+            stacklevel=2,
+        )
     # rarest-first ordering: sort structs (df, tok) ascending, then a
     # prefix of length n - ceil(t*n) + 1; sets with Jaccard >= t must
-    # share a prefix token under ANY consistent global order
+    # share a prefix token under ANY consistent global order. The id
+    # struct carries (df, tok, tid): (df, tok) is unique per doc, so
+    # appending tid never alters the sort order, and the codegen'd
+    # per-row hash column avoids an interpreted per-element HOF hash.
+    tok_struct = (
+        F.struct(F.col("df"), F.col("tok"), F.xxhash64("tok").alias("tid"))
+        if use_ids
+        else F.struct(F.col("df"), F.col("tok"))
+    )
     return persisted(
         toks.select("id", F.explode("ts").alias("tok"))
         .join(freq, "tok")
         .groupBy("id")
         .agg(
             F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("df"), F.col("tok")))
-                ),
-                lambda s: s["tok"],
+                F.array_sort(F.collect_list(tok_struct)),
+                lambda s: s["tid"] if use_ids else s["tok"],
             ).alias("ts")
         )
         .withColumn(

@@ -165,3 +165,31 @@ def test_cc_fixpoint_broadcast_state_identical(spark):
         )
     )
     assert on == off and len(on) > 0
+
+
+# ----------------------------------------------------- PPJoin int tokens
+
+
+def test_ppjoin_ordered_uses_long_token_ids(spark):
+    """The injectivity-certified xxhash64 token-id path must actually
+    engage on a collision-free vocabulary (array<long> ts) — a silent
+    fallback to string tokens would be a 2× verify-stage regression
+    with no functional symptom."""
+    from pyspark.sql import types as T
+
+    from capex_data_pipeline_spark.extensions.dedup import _ppjoin_ordered
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i} tok{i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    ordered = _ppjoin_ordered(docs, 0.6, "text", "doc_id")
+    ts_type = ordered.schema["ts"].dataType
+    assert isinstance(ts_type, T.ArrayType)
+    assert isinstance(ts_type.elementType, T.LongType)
+    # prefix length contract unchanged: n - ceil(0.6*n) + 1
+    row = ordered.filter(F.col("id") == 0).first()
+    n = len(row["ts"])
+    import math
+
+    assert row["_plen"] == n - math.ceil(0.6 * n - 1e-9) + 1
