@@ -644,6 +644,7 @@ def dedup_clusters(
     boundary: str | None = None,
     broadcast_labels: "bool | None" = None,
     assume_symmetric: bool = False,
+    emit_degree: bool = False,
 ) -> DataFrame:
     """Group near-dup PAIRS into connected components and pick keepers —
     the step a dedup pipeline needs between candidate pairs and actual
@@ -712,10 +713,15 @@ def dedup_clusters(
     # components, and the component's global-min id m has h(m) = m,
     # so min-labels over the contracted graph are exactly the
     # original cluster ids.
+    # ``emit_degree``: the symmetric-degree count rides the SAME
+    # aggregate (same shuffle, one more buffer) — callers that need
+    # per-node degree (the q170 dup summary) stop paying a second
+    # full-edge aggregation pass + a node-sized join for it.
+    h_aggs = [F.least(F.col("u"), F.min("v")).alias("h")]
+    if emit_degree:
+        h_aggs.append(F.count(F.lit(1)).alias("_deg"))
     h = _cut(
-        edges.groupBy("u").agg(
-            F.least(F.col("u"), F.min("v")).alias("h")
-        ),
+        edges.groupBy("u").agg(*h_aggs),
         "cc-contract",
     )
     # the mapping frame is NODE-sized while edges are PAIR-sized; when
@@ -745,18 +751,21 @@ def dedup_clusters(
         nbr = e2.join(
             _bc(labels.select(F.col("u").alias("v"), "lbl")), "v"
         ).select("u", "lbl")
+        # convergence check fused into the round (same move as
+        # graph.connected_components): each node's old label rides
+        # through the union+aggregate (labels holds exactly one row per
+        # node, so min(_old) skipping the neighbor rows' NULLs recovers
+        # it) and `changed` is a filter-count over the freshly cut frame
+        # instead of a second new × old join per round.
         new = _cut(
-            labels.union(nbr)
+            labels.withColumn("_old", F.col("lbl"))
+            .unionByName(nbr, allowMissingColumns=True)
             .groupBy("u")
-            .agg(F.min("lbl").alias("lbl")),
+            .agg(F.min("lbl").alias("lbl"), F.min("_old").alias("_old")),
             "cc-labels",
         )
-        changed = (
-            new.join(labels.withColumnRenamed("lbl", "_old"), "u")
-            .filter(F.col("lbl") != F.col("_old"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("lbl") != F.col("_old")).count()
+        labels = new.select("u", "lbl")
         if changed == 0:
             break
     else:
@@ -768,7 +777,11 @@ def dedup_clusters(
     # the (possibly empty) e2 label frame keep h(u) itself
     labels = h.join(
         labels.select(F.col("u").alias("h"), "lbl"), "h", "left"
-    ).select("u", F.coalesce("lbl", F.col("h")).alias("lbl"))
+    ).select(
+        "u",
+        F.coalesce("lbl", F.col("h")).alias("lbl"),
+        *(["_deg"] if emit_degree else []),
+    )
 
     base = (
         corpus.select(F.col(id_col).alias("u"))
@@ -778,10 +791,16 @@ def dedup_clusters(
     out = base.join(labels, "u", "left").select(
         F.col("u").alias(id_col),
         F.coalesce("lbl", F.col("u")).alias("cluster_id"),
+        *(
+            [F.coalesce("_deg", F.lit(0)).cast("long").alias("dup_degree")]
+            if emit_degree
+            else []
+        ),
     )
     w = Window.partitionBy("cluster_id")
     return out.select(
         id_col,
+        *(["dup_degree"] if emit_degree else []),
         "cluster_id",
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         # min over PRESENT members, not == cluster_id: if corpus lacks
@@ -1964,26 +1983,25 @@ def jaccard_dup_summary(
         eager=True,
         label="ppjoin-edges",
     )
-    deg = edges.groupBy(F.col("u").alias("_id")).agg(
-        F.count(F.lit(1)).alias("_deg")
-    )
-    clusters = dedup_clusters(
+    # dup_degree (= symmetric edge count per doc) rides the clustering's
+    # own contraction aggregate (emit_degree) — the standalone
+    # edges.groupBy(u).count() was a SECOND full aggregation pass over
+    # the 14.2M-row pair frame plus a node-sized join, whose shuffle
+    # key (u) is identical to the contraction's.
+    return dedup_clusters(
         edges,
         corpus=docs,
         id_col=id_col,
         id_a="u",
         id_b="v",
         assume_symmetric=True,
-    )
-    return (
-        clusters.join(deg, clusters[id_col] == deg["_id"], "left")
-        .select(
-            id_col,
-            F.coalesce("_deg", F.lit(0)).cast("long").alias("dup_degree"),
-            "cluster_id",
-            "cluster_size",
-            "is_keeper",
-        )
+        emit_degree=True,
+    ).select(
+        id_col,
+        "dup_degree",
+        "cluster_id",
+        "cluster_size",
+        "is_keeper",
     )
 
 

@@ -364,20 +364,27 @@ def connected_components(
         nbr = sym.join(
             _bc(labels.withColumnRenamed("v", "b").select("b", "lbl")), "b"
         ).select(F.col("a").alias("v"), "lbl")
-        new = (
-            labels.unionByName(nbr)
-            .groupBy("v")
-            .agg(F.min("lbl").alias("lbl"))
-        )
-        if plan_boundary:
-            new = _boundary(new, mode=boundary_mode, eager=False, label="cc")
         if until_fixpoint:
-            changed = (
-                new.join(_bc(labels.withColumnRenamed("lbl", "_old")), "v")
-                .where(F.col("lbl") != F.col("_old"))
-                .count()
+            # convergence check FUSED into the round: each vertex's old
+            # label rides through the same union+aggregate (labels holds
+            # exactly one row per vertex, so min(_old) skipping the
+            # neighbor rows' NULLs recovers it), and `changed` becomes a
+            # filter-count over the freshly cut frame — the old shape
+            # re-joined new × labels every round, one extra join (and
+            # its exchanges or broadcast build) per round whose only
+            # output was this count.
+            new = (
+                labels.withColumn("_old", F.col("lbl"))
+                .unionByName(nbr, allowMissingColumns=True)
+                .groupBy("v")
+                .agg(F.min("lbl").alias("lbl"), F.min("_old").alias("_old"))
             )
-            labels = new
+            if plan_boundary:
+                new = _boundary(
+                    new, mode=boundary_mode, eager=False, label="cc"
+                )
+            changed = new.where(F.col("lbl") != F.col("_old")).count()
+            labels = new.select("v", "lbl")
             if changed == 0:
                 break
             if i >= max_iter:
@@ -387,6 +394,15 @@ def connected_components(
                     "bound); raise max_iter"
                 )
         else:
+            new = (
+                labels.unionByName(nbr)
+                .groupBy("v")
+                .agg(F.min("lbl").alias("lbl"))
+            )
+            if plan_boundary:
+                new = _boundary(
+                    new, mode=boundary_mode, eager=False, label="cc"
+                )
             labels = new
     return labels.select(
         F.col("v").alias("vertex"), F.col("lbl").alias("component")

@@ -30,10 +30,21 @@ from capex_data_pipeline_spark.oracle_frags import (  # noqa: E402
 
 def _copurchase_edges(spark, sf_dir):
     """Canonical (a < b) co-purchase edges with >= MIN_SUPPORT distinct
-    shared orders — distinct by construction (groupBy on the pair)."""
+    shared orders — distinct by construction (groupBy on the pair).
+
+    PERSISTED (tracked — the bench's cache reset still re-pays it per
+    rep): the build is a lineitem self-join (~4 s at sf0.1, the single
+    most expensive subplan of the graph family) and every consumer
+    embeds the live plan in several places — connected_components'
+    symmetric union alone executes its input twice, and q242/q189/q198
+    additionally aggregate or split the same frame — so without the
+    persist one graph query re-runs the self-join 2-4×. The frame
+    itself is tiny (3.6k rows at sf0.1)."""
+    from capex_data_pipeline_spark.cache import persisted
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     x, y = li.alias("x"), li.alias("y")
-    return (
+    return persisted(
         x.join(
             y,
             (F.col("x.l_orderkey") == F.col("y.l_orderkey"))

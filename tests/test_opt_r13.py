@@ -193,3 +193,71 @@ def test_ppjoin_ordered_uses_long_token_ids(spark):
     import math
 
     assert row["_plen"] == n - math.ceil(0.6 * n - 1e-9) + 1
+
+
+# --------------------------------------- fused CC convergence + degree
+
+
+def test_cc_fixpoint_fused_convergence_identical(spark):
+    """connected_components(until_fixpoint) with the fused convergence
+    check (old label riding the round's own aggregate) must return the
+    same labeling as the unrolled rounds= mode on a graph whose
+    diameter forces several rounds — and the internal _old column must
+    not leak into the output schema."""
+    from capex_data_pipeline_spark.extensions.graph import (
+        connected_components,
+    )
+
+    # a 9-node path (diameter 8) plus a triangle and an isolated edge
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)]
+        + [(20, 21), (21, 22), (20, 22), (30, 31)],
+        "src long, dst long",
+    )
+    fixed = connected_components(
+        edges, until_fixpoint=True, assume_canonical=True
+    )
+    unrolled = connected_components(edges, rounds=10, assume_canonical=True)
+    assert sorted(fixed.columns) == ["component", "vertex"]
+    assert _rows(fixed) == _rows(unrolled)
+    comp = {r["vertex"]: r["component"] for r in fixed.collect()}
+    assert all(comp[v] == 1 for v in range(1, 10))
+    assert all(comp[v] == 20 for v in (20, 21, 22))
+    assert comp[30] == 30 and comp[31] == 30
+
+
+def test_dedup_clusters_emit_degree_equals_standalone(spark):
+    """emit_degree rides the contraction aggregate; its values must be
+    bit-identical to the standalone symmetric-degree aggregate the
+    q170 summary used to run, and every other output column must be
+    unchanged vs emit_degree=False."""
+    from capex_data_pipeline_spark.extensions.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (6, 7), (6, 8)],
+        "id_a long, id_b long",
+    )
+    corpus = spark.createDataFrame(
+        [(i,) for i in range(1, 10)], "doc_id long"
+    )
+    sym = pairs.union(
+        pairs.select(F.col("id_b"), F.col("id_a"))
+    ).toDF("u", "v")
+    with_deg = dedup_clusters(
+        sym, corpus=corpus, id_a="u", id_b="v",
+        assume_symmetric=True, emit_degree=True,
+    )
+    without = dedup_clusters(
+        sym, corpus=corpus, id_a="u", id_b="v", assume_symmetric=True
+    )
+    assert sorted(with_deg.columns) == sorted(
+        ["doc_id", "dup_degree", "cluster_id", "cluster_size", "is_keeper"]
+    )
+    assert _rows(with_deg.drop("dup_degree")) == _rows(without)
+    deg = {
+        r["u"]: r["d"]
+        for r in sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")).collect()
+    }
+    got = {r["doc_id"]: r["dup_degree"] for r in with_deg.collect()}
+    for doc in range(1, 10):
+        assert got[doc] == deg.get(doc, 0)
