@@ -1056,7 +1056,12 @@ def q39_corpus_curation(spark, sf_dir):
     → quality gate (composite score ≥ 0.75). Emits the curated doc ids
     with their language, token count and score — what a data-pipeline
     user actually ships to training."""
-    docs = _t(spark, sf_dir, "documents")
+    from capex_data_pipeline_spark.sources.parquet import spread_few_splits
+
+    # normalize+hash+signature passes fused onto a single-row-group
+    # scan: spread once, every curation stage inherits the parallel
+    # frame (per-doc flags/aggregates, order-insensitive)
+    docs = spread_few_splits(_t(spark, sf_dir, "documents"))
     keepers = D.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
     surv = docs.join(keepers, "doc_id", "left_semi")
     losers = (
@@ -1366,9 +1371,14 @@ def q47_contamination(spark, sf_dir):
     SQL."""
     from capex_data_pipeline_spark.extensions import corpus as C
 
+    from capex_data_pipeline_spark.sources.parquet import spread_few_splits
+
     docs = _t(spark, sf_dir, "documents")
     return C.contamination_check(
-        docs.filter(F.col("source") != "src0"),
+        # corpus-side shingling over a single-row-group scan: spread
+        # first or the whole pass runs on one task (per-doc flags,
+        # order-insensitive)
+        spread_few_splits(docs.filter(F.col("source") != "src0")),
         docs.filter(F.col("source") == "src0"),
         k=3,
         min_overlap=5,
@@ -1491,9 +1501,16 @@ def q194_fuzzy_decontamination(spark, sf_dir):
         minhash_cross_dups,
     )
 
+    from capex_data_pipeline_spark.sources.parquet import spread_few_splits
+
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id", "text")
-    corp = docs.filter(F.col("doc_id") % 37 != 0).select("doc_id", "text")
+    # corpus-side 8-hash signature battery over a single-row-group
+    # scan: spread first or it runs on one task (map-side flags,
+    # order-insensitive)
+    corp = spread_few_splits(
+        docs.filter(F.col("doc_id") % 37 != 0).select("doc_id", "text")
+    )
     return minhash_cross_dups(
         corp, bench, num_hashes=8, bands=4, threshold=0.5
     ).select(
@@ -1582,7 +1599,12 @@ def q196_lsh_banding_audit(spark, sf_dir):
         lsh_banding_audit,
     )
 
+    from capex_data_pipeline_spark.sources.parquet import spread_few_splits
+
     return lsh_banding_audit(
-        _t(spark, sf_dir, "documents"), num_hashes=8, threshold=0.5,
+        # shingling + 8-hash signatures fused onto a single-row-group
+        # scan: spread first (per-doc signatures, order-insensitive)
+        spread_few_splits(_t(spark, sf_dir, "documents")),
+        num_hashes=8, threshold=0.5,
         sample_fraction=0.5,
     )

@@ -234,9 +234,14 @@ def q119_bloom_contamination(spark, sf_dir):
         bloom_contamination,
     )
 
+    from capex_data_pipeline_spark.sources.parquet import spread_few_splits
+
     docs = _t(spark, sf_dir, "documents")
     return bloom_contamination(
-        docs.filter(F.col("source") != "src0"),
+        # corpus-side shingle+md5-position fan-out over a
+        # single-row-group scan: spread first (per-doc aggregates,
+        # order-insensitive)
+        spread_few_splits(docs.filter(F.col("source") != "src0")),
         docs.filter(F.col("source") == "src0"),
         k=3,
         m_bits=_BLOOM_M,

@@ -2090,7 +2090,11 @@ def q155_join_size_estimate(spark, sf_dir):
     overestimate bit-for-bit."""
     from capex_data_pipeline_spark.extensions.sketches import cms_join_size
 
-    li = _t(spark, sf_dir, "lineitem")
+    from capex_data_pipeline_spark.sources.parquet import spread_few_splits
+
+    # the 3x1024 CMS hash pass runs fused onto a single-row-group
+    # scan: spread first (counter sums, order-insensitive)
+    li = spread_few_splits(_t(spark, sf_dir, "lineitem"))
     return cms_join_size(
         li, F.col("l_partkey"), li, F.col("l_partkey"), depth=3, width=1024
     )
@@ -2125,7 +2129,11 @@ def q156_guarded_join(spark, sf_dir):
     partkey bucket to keep the certified frame compact."""
     from capex_data_pipeline_spark.extensions.sketches import guarded_join
 
-    li = _t(spark, sf_dir, "lineitem")
+    from capex_data_pipeline_spark.sources.parquet import spread_few_splits
+
+    # CMS hashing + hot/cold splits fused onto a single-row-group
+    # scan: spread once, both join sides inherit the parallel frame
+    li = spread_few_splits(_t(spark, sf_dir, "lineitem"))
     a = li.select("l_partkey", F.col("l_orderkey").alias("order_a"))
     b = li.select("l_partkey", F.col("l_orderkey").alias("order_b"))
     joined = guarded_join(
@@ -2283,7 +2291,13 @@ def q158_image_hash_agreement(spark, sf_dir):
         image_hash_agreement,
     )
 
-    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    from capex_data_pipeline_spark.sources.parquet import spread_few_splits
+
+    # the decode+hash pass runs fused onto a single-row-group scan:
+    # spread first (per-image hashes, order-insensitive)
+    media = documents_as_media(
+        spread_few_splits(_t(spark, sf_dir, "documents"))
+    )
     return image_hash_agreement(
         media,
         pixelizer=char_grid_pixelizer,
@@ -2422,8 +2436,12 @@ def q160_source_overlap(spark, sf_dir):
         source_overlap_minhash,
     )
 
+    from capex_data_pipeline_spark.sources.parquet import spread_few_splits
+
     return source_overlap_minhash(
-        _t(spark, sf_dir, "documents"), num_hashes=16, k=3
+        # 16-hash signature battery fused onto a single-row-group scan:
+        # spread first (per-doc signatures, order-insensitive)
+        spread_few_splits(_t(spark, sf_dir, "documents")), num_hashes=16, k=3
     )
 
 
@@ -3781,8 +3799,12 @@ def q184_stats_incremental(spark, sf_dir):
         table_stats_incremental,
     )
 
+    from capex_data_pipeline_spark.sources.parquet import spread_few_splits
+
     return table_stats_incremental(
-        _t(spark, sf_dir, "orders"),
+        # HLL-register building over a single-row-group scan: spread
+        # first or every per-day partial cell runs on one task
+        spread_few_splits(_t(spark, sf_dir, "orders")),
         list(_Q178_COLS),
         partition=F.date_trunc("day", F.col("o_orderdate")),
         b=6,
@@ -4970,8 +4992,12 @@ def q223_correlation_matrix(spark, sf_dir):
         correlation_matrix,
     )
 
+    from capex_data_pipeline_spark.sources.parquet import spread_few_splits
+
     return correlation_matrix(
-        _t(spark, sf_dir, "lineitem"),
+        # 6-pair-cell explode + DECIMAL(38,0) sums fused onto a
+        # single-row-group scan: spread first (order-insensitive sums)
+        spread_few_splits(_t(spark, sf_dir, "lineitem")),
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     )
 

@@ -1554,7 +1554,11 @@ def q220_bootstrap_se(spark, sf_dir):
         bootstrap_mean_se,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    from capex_data_pipeline_spark.sources.parquet import spread_few_splits
+
+    # 16 md5 inverse-CDF weights per row over a single-row-group scan:
+    # spread first or the whole battery runs on one task (see helper)
+    ev = spread_few_splits(_t(spark, sf_dir, "events"))
     return bootstrap_mean_se(
         ev, "event_type", "value", "event_id", r=16
     )

@@ -82,3 +82,31 @@ def load_tables(
     pin_utc: bool = True,
 ) -> dict[str, DataFrame]:
     return {n: read_table(spark, sf_dir, n, pin_utc=pin_utc) for n in names}
+
+
+def spread_few_splits(df: DataFrame) -> DataFrame:
+    """Restore executor parallelism over a FEW-SPLIT input before
+    heavy per-row compute (shingles, per-row md5 fan-outs, signature
+    batteries, wide decimal aggregates).
+
+    A parquet file is splittable only at row-group boundaries; a
+    single-row-group file — the shape of every testdata table, and of
+    any small upstream extract — therefore scans as ONE task no matter
+    how many cores the cluster has, and every codegen'd stage fused
+    onto that scan runs single-threaded (the unsplittable-input case
+    of the optimization guide: repartition right after the read). One
+    round-robin exchange of the (ideally pre-projected) frame spreads
+    the rows across ``defaultParallelism`` tasks.
+
+    Scale-adaptive, not local-tuned: when the scan already carries at
+    least ``defaultParallelism`` partitions — any real many-split
+    table at production scale — this is a NO-OP, so consumers never
+    pay a pointless corpus shuffle; the exchange only appears when
+    the input genuinely cannot parallelize by splits. Row order is
+    not preserved — callers must be order-insensitive (every consumer
+    here is an aggregation or per-row flag; their oracles re-certify
+    value equality)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
