@@ -296,6 +296,12 @@ def _explain_on(
     keyed = frame.withColumn("_strict", key).withColumn(
         "_ord", F.monotonically_increasing_id()
     )
+    # id below, regex above (same spread discipline as
+    # _explain_pair_staged): the explain CASE below would otherwise run
+    # single-task on a few-split input
+    from capex_data_pipeline_spark.sources.parquet import spread_few_splits
+
+    keyed = spread_few_splits(keyed)
     # audit label for the row's own (un-stripped) robust key feeds the
     # keyword loop's in-line fallback
     keyed = keyed.join(
@@ -360,16 +366,39 @@ def _explain_pair_staged(frame: DataFrame) -> DataFrame:
     still slots between them at reassembly.)"""
     from capex_data_pipeline_spark.cache import persisted
     from capex_data_pipeline_spark.functions.keys import robust_key
+    from capex_data_pipeline_spark.sources.parquet import spread_few_splits
 
     strict = strict_composite_key(
         F.col("RequestNo"), F.col("AssetItemName"), F.col("VendorName")
     )
     short = robust_key(F.col("RequestNo"), F.col("AssetItemName"), F.lit(""))
     pre_b, post_b = _explain_branches()
-    return frame.select(
-        strict.alias("_strict_raw"),
-        short.alias("_strict_ref"),
-        F.monotonically_increasing_id().alias("_ord"),
+    # keys + frame-order id are assigned BELOW the spread (so ``_ord``
+    # still reflects input order, the same _ingest discipline), then
+    # the regex CASE — the expensive part — runs ABOVE it: a few-split
+    # input (one parquet split at bench scale) would otherwise evaluate
+    # every branch regex on a single task. The exchange ships only the
+    # key/branch-input projection.
+    base = spread_few_splits(
+        frame.select(
+            strict.alias("_strict_raw"),
+            short.alias("_strict_ref"),
+            F.monotonically_increasing_id().alias("_ord"),
+            "RequestNo",
+            "AssetItemName",
+            "VendorName",
+            "RequestFunction",
+            "AssetCategoryName",
+            "CurrentStatus",
+            "IsSelectedVendor",
+            "ItemCategory",
+            "UserRemarks",
+        )
+    )
+    return base.select(
+        "_strict_raw",
+        "_strict_ref",
+        "_ord",
         "RequestNo",
         "AssetItemName",
         "VendorName",

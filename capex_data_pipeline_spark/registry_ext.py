@@ -547,8 +547,12 @@ def q94_explain_exclusion(spark, sf_dir):
         explain_exclusion_reason_col,
     )
     from capex_data_pipeline_spark.plans.synth import synthesize_capex_raw
+    from capex_data_pipeline_spark.sources.parquet import spread_few_splits
 
-    raw = synthesize_capex_raw(spark, sf_dir)
+    # the explain CASE (dozens of regexes per row) fuses onto the synth
+    # scan, which is a single parquet split at bench scale: spread
+    # first (per-row derivation, order-insensitive)
+    raw = spread_few_splits(synthesize_capex_raw(spark, sf_dir))
     return raw.select(
         "RequestNo",
         "AssetItemName",
