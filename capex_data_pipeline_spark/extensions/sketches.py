@@ -1823,7 +1823,14 @@ def _stats_melt(df: DataFrame, cols: "list[str]", extra: "list[str]" = ()) -> Da
     """Melt ``cols`` into compact (column, value-string) pairs — the
     one wide-data pass every stats variant shares. ``extra`` columns
     (e.g. an incremental partition key) ride along unmelted."""
-    return df.select(
+    from capex_data_pipeline_spark.sources.parquet import spread_few_splits
+
+    # the cols-way explode + per-cell md5/HLL math downstream fuses
+    # onto the scan; a few-split input would run the whole stats pass
+    # single-task — spread the pre-melt projection (no-op at scale)
+    return spread_few_splits(
+        df.select(*[F.col(e) for e in extra], *[F.col(c) for c in cols])
+    ).select(
         *[F.col(e) for e in extra],
         F.explode(
             F.array(
