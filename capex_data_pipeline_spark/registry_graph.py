@@ -41,8 +41,14 @@ def _copurchase_edges(spark, sf_dir):
     persist one graph query re-runs the self-join 2-4×. The frame
     itself is tiny (3.6k rows at sf0.1)."""
     from capex_data_pipeline_spark.cache import persisted
+    from capex_data_pipeline_spark.sources.parquet import spread_few_splits
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # the self-join's map side fuses onto the (few-split) scan: spread
+    # the 2-column projection first so both exchange writes parallelize
+    # (measured 3.4 -> 2.1 s for the build at sf0.1; no-op at scale)
+    li = spread_few_splits(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
     x, y = li.alias("x"), li.alias("y")
     return persisted(
         x.join(
