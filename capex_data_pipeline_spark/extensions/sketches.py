@@ -1819,18 +1819,31 @@ def table_stats_sketch_multi(
     return _stats_finalize(cells, None, 1 << b, decimals)
 
 
-def _stats_melt(df: DataFrame, cols: "list[str]", extra: "list[str]" = ()) -> DataFrame:
+def _stats_melt(
+    df: DataFrame,
+    cols: "list[str]",
+    extra: "list[str]" = (),
+    spread: bool = True,
+) -> DataFrame:
     """Melt ``cols`` into compact (column, value-string) pairs — the
     one wide-data pass every stats variant shares. ``extra`` columns
-    (e.g. an incremental partition key) ride along unmelted."""
-    from capex_data_pipeline_spark.sources.parquet import spread_few_splits
+    (e.g. an incremental partition key) ride along unmelted.
 
-    # the cols-way explode + per-cell md5/HLL math downstream fuses
-    # onto the scan; a few-split input would run the whole stats pass
-    # single-task — spread the pre-melt projection (no-op at scale)
-    return spread_few_splits(
-        df.select(*[F.col(e) for e in extra], *[F.col(c) for c in cols])
-    ).select(
+    ``spread`` (default True): the cols-way explode + per-cell md5/HLL
+    math downstream fuses onto the scan; a few-split input would run
+    the whole stats pass single-task, so the pre-melt projection goes
+    through spread_few_splits (no-op at scale). Pass False from LIGHT
+    consumers (a plain count aggregate) where one narrow exchange
+    costs more than the parallelism buys — measured on q185:
+    0.49 -> 1.27 s with the spread, reverted via this flag."""
+    base = df.select(*[F.col(e) for e in extra], *[F.col(c) for c in cols])
+    if spread:
+        from capex_data_pipeline_spark.sources.parquet import (
+            spread_few_splits,
+        )
+
+        base = spread_few_splits(base)
+    return base.select(
         *[F.col(e) for e in extra],
         F.explode(
             F.array(
@@ -2129,7 +2142,7 @@ def column_topk_values(
 
     if not cols:
         raise ValueError("column_topk_values: cols must be non-empty")
-    melted = _stats_melt(df, cols).select(
+    melted = _stats_melt(df, cols, spread=False).select(
         "_col", F.coalesce(F.col("_v"), F.lit("<null>")).alias("_v")
     )
     counts = melted.groupBy("_col", "_v").agg(
