@@ -508,9 +508,17 @@ def ivfpq_topk(
         seed=seed,
     )
 
-    # PQ: one Lloyd codebook per subspace over sliced views of pts
-    codebooks = [
-        _lloyd_fit(
+    # PQ: one Lloyd codebook per subspace over sliced views of pts —
+    # fitted CONCURRENTLY from driver threads (guide §2.6): each fit
+    # is a chain of tiny collect-driven jobs and the per-subspace
+    # chains are fully independent, so overlapping them fills the
+    # cluster during each round's single-aggregate tail (measured:
+    # the 4 sequential fits were ~2.3 s of q172's 3.5 s build).
+    # ex.map preserves subspace order; results are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fit_subspace(s: int) -> "list[list[float]]":
+        return _lloyd_fit(
             pts.select(
                 F.col("neighbor_id"),
                 F.slice("nv", s * dsub + 1, dsub).alias("_v"),
@@ -520,8 +528,9 @@ def ivfpq_topk(
             id_col="neighbor_id",
             decimals=decimals,
         )
-        for s in range(n_subspaces)
-    ]
+
+    with ThreadPoolExecutor(max_workers=min(4, n_subspaces)) as ex:
+        codebooks = list(ex.map(_fit_subspace, range(n_subspaces)))
 
     # encode: cell + per-subspace codes in ONE map-only pass
     enc = assigned.select(
