@@ -2522,6 +2522,12 @@ def main() -> None:
             "unit": "sec",
             "sf": sf,
             "n_queries": len(timings),
+            # the driver's round-over-round PERF comparison parses the
+            # LAST complete JSON line of stdout: it needs the full
+            # per-query median map here, not just the slowest-10 —
+            # without it PERF_rN.json reads per_query: {} and every
+            # optimization claim is unverifiable (r13 verdict item 1)
+            "queries": timings,
             "slowest": {k: v for k, v in slowest},
             # rides the tail so the driver-kept stdout suffix carries
             # the outlier adjudication even when the full line truncates

@@ -1813,11 +1813,17 @@ def _ppjoin_candidates(
     positional: bool = True,
 ) -> DataFrame:
     """Candidate pairs for the PPJoin prefix filter, optionally with
-    the length + positional filters (the "+P" of Xiao et al. 2008).
+    the length + positional filters (the "+P" of Xiao et al. 2008)
+    and the aggregated suffix-bound filter (PPJoin+'s idea in
+    aggregate form — see the inline comment). Returns ONE row per
+    candidate pair: (id_a, id_b, _cnt, _pa, _pb), where ``_cnt`` is
+    the matched-prefix-token count and ``_pa``/``_pb`` the 0-based
+    positions of the last matched prefix token — the verify stage's
+    inputs for suffix-only intersection.
 
-    Both extra filters are sound PER MATCHED TOKEN, so filtering
-    before the pair-level dropDuplicates keeps every qualifying pair
-    (a pair survives if ANY shared prefix token passes):
+    Both per-token filters are sound PER MATCHED TOKEN, so the pair
+    aggregate keeps every qualifying pair (a pair survives if ANY
+    shared prefix token passes):
 
     - length: Jaccard <= min(n_a,n_b)/max(n_a,n_b), so a qualifying
       pair needs min >= t·max.
@@ -1841,30 +1847,91 @@ def _ppjoin_candidates(
     cond = (F.col("a.tok") == F.col("b.tok")) & (
         F.col("a.id") < F.col("b.id")
     )
+    na, nb = F.col("a.n"), F.col("b.n")
     if positional:
-        na, nb = F.col("a.n"), F.col("b.n")
-        # length filter: min(n) >= t*max(n) (1e-9-guarded downward)
+        # length filter: min(n) >= t*max(n) (1e-9-guarded downward) —
+        # PAIR-level (the same truth for every matched token of a
+        # pair), so it stays in the join condition
         cond = cond & (
             F.least(na, nb).cast("double")
             >= F.greatest(na, nb) * F.lit(float(threshold)) - F.lit(1e-9)
         )
-        # positional filter: overlap upper bound at this token >= alpha
-        alpha = F.ceil(
-            (na + nb) * F.lit(float(threshold) / (1.0 + float(threshold)))
-            - F.lit(1e-9)
-        )
-        pa, pb = F.col("a.p"), F.col("b.p")  # 0-based: i-1 = pa
-        ubound = (
+    pa, pb = F.col("a.p"), F.col("b.p")  # 0-based: i-1 = pa
+    alpha = F.ceil(
+        (na + nb) * F.lit(float(threshold) / (1.0 + float(threshold)))
+        - F.lit(1e-9)
+    )
+    if positional:
+        # positional filter: overlap upper bound at this token >= alpha.
+        # PER-token — evaluated as a flag (not a join condition) so the
+        # pair aggregate below still sees EVERY matched prefix token:
+        # the _cnt/_pa/_pb triple it produces is what lets the verify
+        # stage intersect suffixes only (see jaccard_similarity_join);
+        # a token-level filter here would silently undercount _cnt.
+        # The pair survives iff ANY matched token passes — exactly the
+        # pre-r14 candidate set.
+        ok = (
             F.least(pa, pb)
             + F.lit(1)
             + F.least(na - pa - F.lit(1), nb - pb - F.lit(1))
+            >= alpha
         )
-        cond = cond & (ubound >= alpha)
-    return (
+    else:
+        ok = F.lit(True)
+    # ONE row per pair (same shuffle key as the old dropDuplicates,
+    # map-side partials collapse identically) carrying the PPJoin
+    # verify-stage inputs: _cnt = matched-prefix-token count, _pa/_pb =
+    # 0-based positions of the LAST matched prefix token (under the
+    # shared rarest-first total order, matched tokens have co-monotone
+    # positions, so max(_pa) and max(_pb) name the SAME token).
+    agg = (
         a.join(b, cond)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            na.alias("_na"),
+            nb.alias("_nb"),
+            pa.alias("_pa"),
+            pb.alias("_pb"),
+            ok.alias("_ok"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.max("_pa").alias("_pa"),
+            F.max("_pb").alias("_pb"),
+            F.max("_na").alias("_na"),
+            F.max("_nb").alias("_nb"),
+            F.max("_ok").alias("_any_ok"),
+        )
+        .filter(F.col("_any_ok"))
     )
+    if positional:
+        # aggregated suffix-bound filter (the PPJoin+ idea in
+        # aggregate form): every shared token ranks either <= the last
+        # matched prefix token (all such are matched — they sit inside
+        # BOTH prefixes — so there are exactly _cnt of them) or after
+        # it in both orderings (at most min(remaining suffix lengths)
+        # of them), hence overlap <= _cnt + min(n_a-_pa-1, n_b-_pb-1).
+        # Pairs whose bound cannot reach alpha are dropped BEFORE the
+        # verify stage fetches their token arrays (guide §2: cut data
+        # before shuffling it). Strictly prunes non-qualifying pairs —
+        # qualifying pairs always satisfy the bound, so recall is
+        # untouched.
+        av = F.ceil(
+            (F.col("_na") + F.col("_nb"))
+            * F.lit(float(threshold) / (1.0 + float(threshold)))
+            - F.lit(1e-9)
+        )
+        agg = agg.filter(
+            F.col("_cnt")
+            + F.least(
+                F.col("_na") - F.col("_pa") - F.lit(1),
+                F.col("_nb") - F.col("_pb") - F.lit(1),
+            )
+            >= av
+        )
+    return agg.select("id_a", "id_b", "_cnt", "_pa", "_pb")
 
 
 def jaccard_similarity_join(
@@ -1907,12 +1974,22 @@ def jaccard_similarity_join(
     ordered = _ppjoin_ordered(docs, threshold, text_col, id_col)
     cands = _ppjoin_candidates(ordered, threshold)
     sets = ordered.select("id", "ts")
+    # |intersection| = _cnt + |intersect of the SUFFIXES past the last
+    # matched prefix token| EXACTLY: every shared token ordered at or
+    # before that token lies inside both prefixes (positions are
+    # co-monotone under the shared total order) and is therefore one of
+    # the _cnt matched rows the candidate aggregate counted; every
+    # shared token after it sits strictly past _pa/_pb in both arrays.
+    # So the per-pair hash build only covers the array TAILS (~60% of
+    # the tokens at t=0.6, less for near-duplicates whose prefixes
+    # overlap deeply) instead of the full arrays — guide §1.2 per-task
+    # work, same value bit-for-bit.
     # |union| = n_a + n_b − |intersection| EXACTLY (both arrays are
-    # distinct by construction), so the union's per-pair hash build —
-    # half the verify stage's array work across ~10M candidates — is
-    # replaced by two cached sizes and a subtraction (guide §1.2:
-    # per-task work, same value bit-for-bit)
-    inter = F.size(F.array_intersect("_ta", "_tb"))
+    # distinct by construction) — two cached sizes and a subtraction
+    # instead of a second per-pair hash build.
+    suff_a = F.slice("_ta", F.col("_pa") + F.lit(2), F.size("_ta"))
+    suff_b = F.slice("_tb", F.col("_pb") + F.lit(2), F.size("_tb"))
+    inter = F.col("_cnt") + F.size(F.array_intersect(suff_a, suff_b))
     return (
         cands.join(sets.select(F.col("id").alias("id_a"), F.col("ts").alias("_ta")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("ts").alias("_tb")), "id_b")

@@ -78,9 +78,23 @@ def _state_bc(flag: "bool | None", count_fn, edge_count_fn=None):
                 _BROADCAST_STATE_MIN_EDGE_ROWS,
             )
         )
-        flag = count_fn() <= max_state and (
-            edge_count_fn is None or edge_count_fn() >= min_edges
-        )
+        # ONE driver count, not two (r13 verdict: the second count was
+        # pure gate overhead on gate-negative small graphs). Every
+        # caller's state frame is vertex-sized with vertices drawn from
+        # the edge frame's endpoints, so state rows <= 2 * edge rows —
+        # the edge count alone settles the gate except in the narrow
+        # band where 2*edges > max_state but the true vertex count
+        # might still fit (only there does the state count run).
+        if edge_count_fn is None:
+            flag = count_fn() <= max_state
+        else:
+            e_rows = edge_count_fn()
+            if e_rows < min_edges:
+                flag = False
+            elif 2 * e_rows <= max_state:
+                flag = True
+            else:
+                flag = count_fn() <= max_state
     return F.broadcast if flag else (lambda df: df)
 
 

@@ -1675,7 +1675,40 @@ def join_graph_profile(
         raise ValueError("join_graph_profile: edges must be non-empty")
     from pyspark.sql.window import Window
 
-    parts = []
+    from capex_data_pipeline_spark.cache import persisted
+
+    # ---- fuse: one pass per TABLE, not 3 passes per edge SIDE -------
+    # The same frame object typically carries several edges (lineitem
+    # sits on 3 of q177's 5), and each edge side used to pay its own
+    # scan for CMS cells, its own scan for per-key counts, and its own
+    # scan for the row count — ~30 scans for q177's graph. Here every
+    # frame melts its needed key projections ONCE (the _stats_melt
+    # move, guide §2.4/§2.6); everything an edge consumes afterwards
+    # is derived from the per-frame aggregate:
+    #  * include_exact: one (key-tag, key-value) count shuffle per
+    #    frame, persisted — CMS cells then aggregate over DISTINCT
+    #    keys (sum of counts, bit-identical integers) instead of
+    #    re-exploding every raw row, exact per-key counts filter by
+    #    tag, and n_rows is the sum of any one tag's counts (each raw
+    #    row emits exactly one melt row per tag, NULL keys included).
+    #  * sketch-only: one (key-tag, depth-row, cell) count aggregate
+    #    per frame, persisted (tags x depth x width rows) — NULL keys
+    #    route to sentinel cell -1 so n_rows rides the same aggregate;
+    #    real cells filter the sentinel out. NOTHING shuffles per-key
+    #    counts, preserving the mode's at-scale contract.
+    # All values are exact integer counts regrouped, so every edge row
+    # is bit-identical to the unfused per-side computation.
+    resolved = []  # (name, (fid, tag_l), (fid, tag_r), w_e)
+    frames: "dict[int, dict]" = {}  # id(df) -> {df, tags: {(expr,w): tag}}
+
+    def _side(df: DataFrame, key: Column, w_e: int) -> "tuple[int, str]":
+        fid = id(df)
+        ent = frames.setdefault(fid, {"df": df, "tags": {}})
+        sig = (str(key), int(w_e))
+        if sig not in ent["tags"]:
+            ent["tags"][sig] = (f"t{fid}k{len(ent['tags'])}", key, int(w_e))
+        return fid, ent["tags"][sig][0]
+
     for name, ld, lk, rd, rk in edges:
         w_e = width
         if ndv is not None:
@@ -1684,12 +1717,155 @@ def join_graph_profile(
                     f"join_graph_profile: no NDV hint for edge {name!r}"
                 )
             w_e = next_pow2_width(ndv[name], min_width, max_width)
+        resolved.append((name, _side(ld, lk, w_e), _side(rd, rk, w_e), w_e))
+
+    # per-frame fused aggregates
+    from capex_data_pipeline_spark.sources.parquet import spread_few_splits
+
+    per_frame: "dict[int, dict]" = {}
+    for fid, ent in frames.items():
+        tags = list(ent["tags"].values())  # [(tag, key, w)]
+        # project the key columns FIRST (narrow exchange, guide §2.3),
+        # then restore scan parallelism: the fused melt would otherwise
+        # run the tags x depth md5 battery on the frame's few-split
+        # scan — the old per-side subplans at least overlapped as
+        # independent stages; the fuse must not serialize them onto
+        # one task (no-op at scale, the spread_few_splits contract)
+        proj = spread_few_splits(
+            ent["df"].select(
+                *[
+                    key.cast("string").alias(f"_k{i}")
+                    for i, (_tag, key, _w) in enumerate(tags)
+                ]
+            )
+        )
+        melted = proj.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(tag).alias("_kt"),
+                            F.col(f"_k{i}").alias("_k"),
+                        )
+                        for i, (tag, _key, _w) in enumerate(tags)
+                    ]
+                )
+            ).alias("_m")
+        ).select("_m._kt", "_m._k")
+        first_tag = tags[0][0]
+        info: dict = {"first_tag": first_tag}
         if include_exact:
-            sz = cms_join_size(ld, lk, rd, rk, depth, w_e)
+            kc = persisted(
+                melted.groupBy("_kt", "_k").agg(
+                    F.count(F.lit(1)).alias("_c")
+                )
+            )
+            info["keycounts"] = kc
+            info["n_rows"] = kc.filter(F.col("_kt") == first_tag).agg(
+                F.coalesce(F.sum("_c"), F.lit(0)).alias("_n")
+            )
         else:
-            sz = cms_join_estimate(ld, lk, rd, rk, depth, w_e)
-        nl = ld.agg(F.count(F.lit(1)).alias("n_left"))
-        nr = rd.agg(F.count(F.lit(1)).alias("n_right"))
+            rows = F.array(*[F.lit(str(j)) for j in range(depth)])
+            wcol = None
+            for tag, _key, w_t in tags:
+                cond = F.col("_kt") == tag
+                wcol = (
+                    F.when(cond, F.lit(w_t))
+                    if wcol is None
+                    else wcol.when(cond, F.lit(w_t))
+                )
+            p = F.when(F.col("_k").isNull(), F.lit(-1)).otherwise(
+                _md5_mod(F.col("_j"), F.col("_k"), wcol)
+            )
+            info["cells"] = persisted(
+                melted.select("_kt", "_k", F.explode(rows).alias("_j"))
+                .select("_kt", "_j", p.alias("_p"))
+                .groupBy("_kt", "_j", "_p")
+                .agg(F.count(F.lit(1)).alias("_c"))
+            )
+            info["n_rows"] = (
+                info["cells"]
+                .filter(
+                    (F.col("_kt") == first_tag) & (F.col("_j") == "0")
+                )
+                .agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("_n"))
+            )
+        per_frame[fid] = info
+
+    def _cells_for(fid: int, tag: str, w_e: int, cname: str) -> DataFrame:
+        info = per_frame[fid]
+        if include_exact:
+            kc = info["keycounts"]
+            rows = F.array(*[F.lit(str(j)) for j in range(depth)])
+            return (
+                kc.filter(
+                    (F.col("_kt") == tag) & F.col("_k").isNotNull()
+                )
+                .select("_k", "_c", F.explode(rows).alias("_j"))
+                .select(
+                    "_j",
+                    _md5_mod(F.col("_j"), F.col("_k"), w_e).alias("_p"),
+                    "_c",
+                )
+                .groupBy("_j", "_p")
+                .agg(F.sum("_c").alias(cname))
+            )
+        return (
+            info["cells"]
+            .filter((F.col("_kt") == tag) & (F.col("_p") >= 0))
+            .select("_j", "_p", F.col("_c").alias(cname))
+        )
+
+    parts = []
+    for name, (fid_l, tag_l), (fid_r, tag_r), w_e in resolved:
+        ca_cells = _cells_for(fid_l, tag_l, w_e, "c_a").alias("_ca")
+        cb_cells = _cells_for(fid_r, tag_r, w_e, "c_b").alias("_cb")
+        all_rows = (
+            frames[fid_l]["df"]
+            .sparkSession.range(depth)
+            .select(F.col("id").cast("string").alias("_j"))
+        )
+        sz = (
+            all_rows.join(
+                ca_cells.join(
+                    cb_cells,
+                    (F.col("_ca._j") == F.col("_cb._j"))
+                    & (F.col("_ca._p") == F.col("_cb._p")),
+                )
+                .groupBy(F.col("_ca._j").alias("_j"))
+                .agg(F.sum(F.col("c_a") * F.col("c_b")).alias("_ip")),
+                "_j",
+                "left",
+            )
+            .agg(F.min(F.coalesce("_ip", F.lit(0))).alias("est_join_rows"))
+        )
+        if include_exact:
+            ca = (
+                per_frame[fid_l]["keycounts"]
+                .filter((F.col("_kt") == tag_l) & F.col("_k").isNotNull())
+                .select("_k", F.col("_c").alias("na"))
+                .alias("_ea")
+            )
+            cb = (
+                per_frame[fid_r]["keycounts"]
+                .filter((F.col("_kt") == tag_r) & F.col("_k").isNotNull())
+                .select(F.col("_k").alias("_kb"), F.col("_c").alias("nb"))
+                .alias("_eb")
+            )
+            exact = ca.join(cb, F.col("_k") == F.col("_kb")).agg(
+                F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias(
+                    "exact_join_rows"
+                )
+            )
+            sz = exact.crossJoin(F.broadcast(sz)).select(
+                "exact_join_rows",
+                "est_join_rows",
+                (F.col("est_join_rows") - F.col("exact_join_rows")).alias(
+                    "overestimate"
+                ),
+            )
+        nl = per_frame[fid_l]["n_rows"].select(F.col("_n").alias("n_left"))
+        nr = per_frame[fid_r]["n_rows"].select(F.col("_n").alias("n_right"))
         exact_cols = (
             ["exact_join_rows", "overestimate"] if include_exact else []
         )
@@ -1757,7 +1933,7 @@ def table_stats(
 
     # persisted: the cell aggregate and the exact-NDV ride-along both
     # consume the melted pairs — one scan + one explode, not two
-    melted = persisted(_stats_melt(df, cols))
+    melted = persisted(_stats_melt(df, cols, spread=True))
     cells = _stats_cells(melted, b)
     return _stats_finalize(cells, melted, m, decimals)
 
@@ -1776,7 +1952,7 @@ def table_stats_sketch(
     ndv_est)."""
     if not cols:
         raise ValueError("table_stats_sketch: cols must be non-empty")
-    melted = _stats_melt(df, cols)
+    melted = _stats_melt(df, cols, spread=True)
     return _stats_finalize(_stats_cells(melted, b), None, 1 << b, decimals)
 
 
@@ -1814,7 +1990,7 @@ def table_stats_sketch_multi(
                 f"unique across frames; duplicated: {sorted(dup)}"
             )
         seen |= set(cols)
-        c = _stats_cells(_stats_melt(df, list(cols)), b)
+        c = _stats_cells(_stats_melt(df, list(cols), spread=True), b)
         cells = c if cells is None else cells.unionByName(c)
     return _stats_finalize(cells, None, 1 << b, decimals)
 
@@ -1823,19 +1999,24 @@ def _stats_melt(
     df: DataFrame,
     cols: "list[str]",
     extra: "list[str]" = (),
-    spread: bool = True,
+    spread: bool = False,
 ) -> DataFrame:
     """Melt ``cols`` into compact (column, value-string) pairs — the
     one wide-data pass every stats variant shares. ``extra`` columns
     (e.g. an incremental partition key) ride along unmelted.
 
-    ``spread`` (default True): the cols-way explode + per-cell md5/HLL
-    math downstream fuses onto the scan; a few-split input would run
-    the whole stats pass single-task, so the pre-melt projection goes
-    through spread_few_splits (no-op at scale). Pass False from LIGHT
-    consumers (a plain count aggregate) where one narrow exchange
-    costs more than the parallelism buys — measured on q185:
-    0.49 -> 1.27 s with the spread, reverted via this flag."""
+    ``spread`` (default False — new callers FAIL SAFE): pass True from
+    the measured-heavy consumers (full-table stats / HLL register
+    builds), where the cols-way explode + per-cell md5/HLL math
+    downstream fuses onto the scan and a few-split input would run the
+    whole stats pass single-task; the pre-melt projection then goes
+    through spread_few_splits (no-op at scale). Light consumers (a
+    plain count aggregate, a per-day batch) must NOT spread: one
+    narrow exchange costs more than the parallelism buys — measured
+    on q185: 0.49 -> 1.27 s with the spread. The r13 default was True,
+    which made every new light caller silently pay the exchange
+    (ADVICE r13); flipped so the expensive path is the explicit
+    opt-in."""
     base = df.select(*[F.col(e) for e in extra], *[F.col(c) for c in cols])
     if spread:
         from capex_data_pipeline_spark.sources.parquet import (
@@ -2051,7 +2232,12 @@ def table_stats_incremental(
     from capex_data_pipeline_spark.cache import persisted
 
     melted = persisted(
-        _stats_melt(df.withColumn("_pt", partition), cols, extra=["_pt"])
+        _stats_melt(
+            df.withColumn("_pt", partition),
+            cols,
+            extra=["_pt"],
+            spread=True,
+        )
     )
     # the per-partition statistics table a deployment persists ...
     partial = _stats_cells(melted, b, keys=("_pt", "_col"))

@@ -133,7 +133,7 @@ def save_stats_cells(
     if not cols:
         raise ValueError("save_stats_cells: cols must be non-empty")
     melted = _stats_melt(df.withColumn("_pt", partition), cols,
-                         extra=["_pt"])
+                         extra=["_pt"], spread=True)
     cells = _stats_cells(melted, b, keys=("_pt", "_col"))
     write_bucketed(
         cells,
@@ -180,7 +180,10 @@ def save_stats_cells_multi(
                 "save_stats_cells_multi: cols must be non-empty"
             )
         melted = _stats_melt(
-            df.withColumn("_pt", partition), list(cols), extra=["_pt"]
+            df.withColumn("_pt", partition),
+            list(cols),
+            extra=["_pt"],
+            spread=True,
         )
         c = _stats_cells(melted, b, keys=("_pt", "_col"))
         cells = c if cells is None else cells.unionByName(c)

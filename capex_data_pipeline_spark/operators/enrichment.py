@@ -298,10 +298,30 @@ def _explain_on(
     )
     # id below, regex above (same spread discipline as
     # _explain_pair_staged): the explain CASE below would otherwise run
-    # single-task on a few-split input
+    # single-task on a few-split input. Project down to the columns the
+    # fallback rowkey, the explain CASE, and the downstream joins
+    # actually consume BEFORE the exchange — the full-width frame would
+    # otherwise ride the round-robin shuffle (and its
+    # sortBeforeRepartition local sort) for nothing, exactly the
+    # pre-projection _explain_pair_staged already does.
     from capex_data_pipeline_spark.sources.parquet import spread_few_splits
 
-    keyed = spread_few_splits(keyed)
+    _needed = ["_strict", "_ord"] + [
+        c
+        for c in (
+            "RequestNo",
+            "AssetItemName",
+            "VendorName",
+            "RequestFunction",
+            "AssetCategoryName",
+            "CurrentStatus",
+            "IsSelectedVendor",
+            "ItemCategory",
+            "UserRemarks",
+        )
+        if c in keyed.columns
+    ]
+    keyed = spread_few_splits(keyed.select(*_needed))
     # audit label for the row's own (un-stripped) robust key feeds the
     # keyword loop's in-line fallback
     keyed = keyed.join(

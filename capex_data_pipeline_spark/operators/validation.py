@@ -123,7 +123,12 @@ def validate_processed(processed: DataFrame, reference: DataFrame) -> Validation
     ).withColumn("in_p", F.coalesce("in_p", F.lit(False))).withColumn(
         "in_r", F.coalesce("in_r", F.lit(False))
     )
-    joined = joined.cache()
+    # tracked persist (not a bare DataFrame cache call): the agg below and any
+    # caller re-use both read this frame, and release_persisted() must
+    # be able to free it like every other engine-internal persist
+    from capex_data_pipeline_spark.cache import persisted
+
+    joined = persisted(joined)
 
     amount_mismatch = F.abs(
         F.coalesce("p_amt", F.lit(0.0)) - F.coalesce("r_amt", F.lit(0.0))

@@ -120,13 +120,21 @@ def test_state_bc_gate_decisions():
     assert _state_bc(True, boom, boom) is F.broadcast
     assert _state_bc(False, boom, boom)("x") == "x"
 
-    # auto: big edges + small state -> broadcast
-    assert _state_bc(None, lambda: 1_000, lambda: 500_000) is F.broadcast
-    # auto: tiny edge frame -> keep the shuffle join (q242's graph)
-    assert _state_bc(None, lambda: 1_000, lambda: 3_573) is not F.broadcast
-    # auto: state over the frame cap -> keep the shuffle join, and the
-    # edge count is never taken (short-circuit: no wasted pass)
-    assert _state_bc(None, lambda: 10_000_000, boom) is not F.broadcast
+    # auto: big edges + small state -> broadcast (r14: the EDGE count
+    # runs first and settles the gate alone whenever 2*edges <= cap —
+    # every caller's state is a vertex set of the edge frame's
+    # endpoints, so state <= 2*edges; the state count was pure
+    # overhead on gate-negative graphs, r13 verdict item 3)
+    assert _state_bc(None, boom, lambda: 500_000) is F.broadcast
+    # auto: tiny edge frame -> keep the shuffle join (q242's graph),
+    # decided without ever counting the state
+    assert _state_bc(None, boom, lambda: 3_573) is not F.broadcast
+    # auto: state over the frame cap (ambiguous band: 2*edges > cap)
+    # -> the state count runs and keeps the shuffle join
+    assert (
+        _state_bc(None, lambda: 10_000_000, lambda: 9_000_000)
+        is not F.broadcast
+    )
     # auto with no edge fn: state size alone decides
     assert _state_bc(None, lambda: 1_000) is F.broadcast
 
